@@ -1,0 +1,214 @@
+package graft.messages
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Declarative validation DSL — the reference's "WHERE clause"
+  * (JsonMessage.kt require/demand/forbid/reject/interestedIn families,
+  * MessageValidation.kt infix DSL; SURVEY §2.2).
+  *
+  * Each rule compiles to a Catalyst predicate over a parsed VARIANT message
+  * column, so an entire river's rule set becomes one codegen'd projection —
+  * replacing the reference's interpret-per-message Jackson closures with a
+  * plan Catalyst optimizes once. JSON type discrimination (string "3" is NOT
+  * number 3, JsonMessage.kt:645-650 / JsonMessageTest.kt:732-742) uses
+  * `schema_of_variant`, which preserves the original JSON type.
+  */
+object Validation {
+
+  /** A compiled rule: named predicate + failure message. Severity is decided
+    * by the stage it runs in (precondition => severe, validate => error),
+    * mirroring River.kt:52-65.
+    */
+  final case class Rule(key: String, description: String, passes: Column => Column) {
+    def apply(msg: Column): Column = passes(msg)
+  }
+
+  /** Untyped presence: SQL NULL when the path is missing; variant-null when
+    * the JSON value is null. Both count as "not present" for requireKey
+    * (JsonMessage.kt:747-752).
+    */
+  private def vraw(msg: Column, key: String): Column =
+    try_variant_get(msg, JsonPaths.variantPath(key), "variant")
+
+  private def present(msg: Column, key: String): Column = {
+    val v = vraw(msg, key)
+    v.isNotNull && !is_variant_null(v)
+  }
+
+  /** JSON type of the value at `key` as a DDL string (e.g. "STRING",
+    * "BIGINT", "DOUBLE", "BOOLEAN", "ARRAY<...>"); null when missing.
+    */
+  private def typeOf(msg: Column, key: String): Column =
+    schema_of_variant(vraw(msg, key))
+
+  private def asString(msg: Column, key: String): Column =
+    try_variant_get(msg, JsonPaths.variantPath(key), "string")
+
+  private def isStringType(msg: Column, key: String): Column = typeOf(msg, key) === "STRING"
+
+  private def isNumericType(msg: Column, key: String): Column = {
+    val t = typeOf(msg, key)
+    t.isin("TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUBLE") ||
+      t.startsWith("DECIMAL")
+  }
+
+  private def isBooleanType(msg: Column, key: String): Column = typeOf(msg, key) === "BOOLEAN"
+
+  private def isArrayType(msg: Column, key: String): Column = typeOf(msg, key).startsWith("ARRAY")
+
+  private def asStringArray(msg: Column, key: String): Column =
+    try_variant_get(msg, JsonPaths.variantPath(key), "array<string>")
+
+  // ------------------------------------------------------------- rule kinds
+
+  /** requireKey (JsonMessage.kt:628-630): fail when missing or null. */
+  def requireKey(key: String): Rule =
+    Rule(key, s"Missing required key $key", present(_, key))
+
+  /** requireValue for strings (JsonMessage.kt:638-643): present, string-typed,
+    * equal.
+    */
+  def requireValue(key: String, value: String): Rule =
+    Rule(key, s"Required $key = $value",
+      m => isStringType(m, key) && asString(m, key) === lit(value))
+
+  /** requireValue for booleans (JsonMessage.kt:632-637). */
+  def requireValue(key: String, value: Boolean): Rule =
+    Rule(key, s"Required $key = $value",
+      m => isBooleanType(m, key) &&
+        try_variant_get(m, JsonPaths.variantPath(key), "boolean") === lit(value))
+
+  /** requireValue for numbers (JsonMessage.kt:645-650): numeric JSON type
+    * required — the string "3" does not equal the number 3; 3 == 3.0 does.
+    */
+  def requireValue(key: String, value: Double): Rule =
+    Rule(key, s"Required $key = $value",
+      m => isNumericType(m, key) &&
+        try_variant_get(m, JsonPaths.variantPath(key), "double") === lit(value))
+
+  /** requireAny (JsonMessage.kt:652-657): string value in the allowed set. */
+  def requireAny(key: String, values: Seq[String]): Rule =
+    Rule(key, s"Required $key in ${values.mkString(",")}",
+      m => isStringType(m, key) && asString(m, key).isin(values: _*))
+
+  /** requireArray (JsonMessage.kt:659-672). */
+  def requireArray(key: String): Rule =
+    Rule(key, s"Required $key to be an array", isArrayType(_, key))
+
+  /** requireArray with per-element validation (JsonMessage.kt:663-670):
+    * every element, re-parsed as a message, must satisfy `elem`.
+    */
+  def requireArrayElements(key: String, elem: Column => Column): Rule =
+    Rule(key, s"Required all elements of $key to validate",
+      m => isArrayType(m, key) &&
+        forall(try_variant_get(m, JsonPaths.variantPath(key), "array<variant>"), elem))
+
+  /** requireAll (JsonMessage.kt:687-694): array value must contain every
+    * requested element.
+    */
+  def requireAll(key: String, values: Seq[String]): Rule =
+    Rule(key, s"Required $key to contain all of ${values.mkString(",")}",
+      m => isArrayType(m, key) &&
+        size(array_except(lit(values.toArray), asStringArray(m, key))) === 0)
+
+  /** requireContains (JsonMessage.kt:674-676) — sugar for requireAll(k, [v]). */
+  def requireContains(key: String, value: String): Rule = requireAll(key, Seq(value))
+
+  /** requireAllOrAny (JsonMessage.kt:678-685) — despite the name, passes when
+    * the array intersects the requested values.
+    */
+  def requireAllOrAny(key: String, values: Seq[String]): Rule =
+    Rule(key, s"Required $key to contain any of ${values.mkString(",")}",
+      m => isArrayType(m, key) &&
+        arrays_overlap(lit(values.toArray), asStringArray(m, key)))
+
+  /** require(key, parser) (JsonMessage.kt:700-709): present and the parser
+    * (a Converters.try* column function over the string value) succeeds.
+    */
+  def requireParsed(key: String, parser: Column => Column): Rule =
+    Rule(key, s"Required $key to parse",
+      m => present(m, key) && parser(asString(m, key)).isNotNull)
+
+  /** forbid (JsonMessage.kt:711-713): fail when present and non-null. */
+  def forbid(key: String): Rule =
+    Rule(key, s"Forbidden key $key", m => !present(m, key))
+
+  /** forbidValue for strings (JsonMessage.kt:715-725): fail only when
+    * present, correctly typed, and equal.
+    */
+  def forbidValue(key: String, value: String): Rule =
+    Rule(key, s"Forbidden $key = $value",
+      m => !(isStringType(m, key) && asString(m, key) === lit(value)))
+
+  def forbidValue(key: String, value: Boolean): Rule =
+    Rule(key, s"Forbidden $key = $value",
+      m => !(isBooleanType(m, key) &&
+        try_variant_get(m, JsonPaths.variantPath(key), "boolean") === lit(value)))
+
+  /** forbidValues (JsonMessage.kt:727-731). */
+  def forbidValues(key: String, values: Seq[String]): Rule =
+    Rule(key, s"Forbidden $key in ${values.mkString(",")}",
+      m => !(isStringType(m, key) && asString(m, key).isin(values: _*)))
+
+  /** interestedIn (JsonMessage.kt:733-735): no check — registers the key for
+    * nullable projection.
+    */
+  def interestedIn(key: String): Rule =
+    Rule(key, s"Interested in $key", _ => lit(true))
+
+  /** interestedIn with parser (JsonMessage.kt:737-745): error only when the
+    * value is present and the parser fails.
+    */
+  def interestedInParsed(key: String, parser: Column => Column): Rule =
+    Rule(key, s"Interested in $key (parsed)",
+      m => !present(m, key) || parser(asString(m, key)).isNotNull)
+
+  /** Arbitrary predicate over the variant message — escape hatch used by the
+    * analytics queries (and the analogue of custom precondition closures,
+    * JsonMessage.kt:171-176).
+    */
+  def predicate(description: String, p: Column => Column): Rule =
+    Rule("", description, p)
+
+  // ----------------------------------------------------- infix DSL (newer)
+  // MessageValidation.kt:10-37,54-78 — `"key" must exist`, `"key" should
+  // be("x")`, `"key" can exist`. `must` maps to the severe (precondition)
+  // stage, `should` to the error stage, `can` to interestedIn.
+
+  sealed trait Combinator { def toRule(key: String): Rule }
+  case object exist extends Combinator {
+    def toRule(key: String): Rule = requireKey(key)
+  }
+  final case class be(value: String) extends Combinator {
+    def toRule(key: String): Rule = requireValue(key, value)
+  }
+  final case class beIn(values: String*) extends Combinator {
+    def toRule(key: String): Rule = requireAny(key, values)
+  }
+
+  implicit final class KeyOps(private val key: String) extends AnyVal {
+    def must(c: Combinator): Rule   = c.toRule(key)
+    def should(c: Combinator): Rule = c.toRule(key)
+    def can(c: Combinator): Rule    = interestedIn(key)
+  }
+
+  // --------------------------------------------------------------- compile
+
+  /** Compile rules to a problems column: array<struct<severity,message>> of
+    * the rules that failed at the given severity — the columnar analogue of
+    * MessageProblems (MessageProblems.kt:7-18).
+    */
+  def problems(msg: Column, severity: String, rules: Seq[Rule]): Column = {
+    if (rules.isEmpty) array().cast("array<struct<severity:string,message:string>>")
+    else array_compact(array(rules.map { r =>
+      when(!coalesce(r(msg), lit(false)),
+        struct(lit(severity).as("severity"), lit(r.description).as("message")))
+        .otherwise(lit(null).cast("struct<severity:string,message:string>"))
+    }: _*))
+  }
+
+  /** Conjunction of all rules (null-safe: a null predicate counts as fail). */
+  def allPass(msg: Column, rules: Seq[Rule]): Column =
+    rules.map(r => coalesce(r(msg), lit(false))).foldLeft(lit(true))(_ && _)
+}

@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational capability suite over the TPC-H-ish fixtures — the analytics
+  * surface the reference lacks entirely (SURVEY §2.8) and the Spark engine
+  * provides natively: aggregation, joins (broadcast/semi/anti), windows,
+  * top-k, set ops, rollup.
+  *
+  * Scale notes (100 TB posture): dims (region/nation/customer/supplier) are
+  * broadcast explicitly; fact-side filters are pushed to the parquet scan;
+  * aggregations are partial (map-side combine) by construction.
+  */
+object Relational {
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1 shape: scan-heavy partial agg; filter pushed to parquet.
+    QueryDef.sql("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Global top-k with deterministic tie-break; sort + limit (TakeOrderedAndProject).
+    QueryDef.sql("q2_topk",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("odate"))
+    },
+
+    // TPC-H Q3 shape: selective dim filter broadcast into fact-fact join.
+    QueryDef.sql("q3_join_agg",
+      """SELECT l.l_orderkey,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |  strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l.l_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+      l.join(broadcast(c).join(o, col("c_custkey") === col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("odate"))
+    },
+
+    // Star join over broadcast dims: region -> nation -> customer -> orders.
+    QueryDef.sql("q4_star_join",
+      """SELECT r.r_name, n.n_name,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o.o_totalprice), 2) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name
+        |ORDER BY r.r_name, n.n_name""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // Window function: top order per customer (rank-1 per partition).
+    QueryDef.sql("q5_window_top_per_cust",
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) = 1
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // TPC-H Q6 shape: pure pushed-down scan + single-row agg.
+    QueryDef.sql("q6_filter_agg",
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // Set operation: INTERSECT of distinct projections.
+    QueryDef.sql("q7_setops",
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 8000
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier WHERE s_acctbal > 1000
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir).filter(col("c_acctbal") > 8000)
+        .select(col("c_nationkey").as("nationkey"))
+      val sup = Tables.supplier(s, dir).filter(col("s_acctbal") > 1000)
+        .select(col("s_nationkey").as("nationkey"))
+      c.intersect(sup).orderBy(col("nationkey"))
+    },
+
+    // Rollup (grouping sets) with stable ALL markers.
+    QueryDef.sql("q8_rollup",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    },
+
+    // Semi join (EXISTS): customers having a very large order.
+    QueryDef.sql("q9_semijoin",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+      Tables.customer(s, dir)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Anti join (NOT EXISTS): customers with no high-value order.
+    QueryDef.sql("q10_antijoin",
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+      Tables.customer(s, dir)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Distinct aggregation (shuffle-dedup path).
+    QueryDef.sql("q11_distinct_agg",
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    },
+
+    // UNION (distinct) of heterogeneous branches.
+    QueryDef.sql("q12_union",
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < 0
+        |UNION
+        |SELECT s_nationkey FROM supplier WHERE s_acctbal < 2000
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      val a = Tables.customer(s, dir).filter(col("c_acctbal") < 0)
+        .select(col("c_nationkey").as("nationkey"))
+      val b = Tables.supplier(s, dir).filter(col("s_acctbal") < 2000)
+        .select(col("s_nationkey").as("nationkey"))
+      a.union(b).distinct().orderBy(col("nationkey"))
+    }
+  )
+}
