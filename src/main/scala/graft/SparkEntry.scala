@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** The full registry, grouped by suite. */
   def registry: Seq[QueryDef] =
-    Relational.queries ++ Messages.queries
+    Relational.queries ++ Messages.queries ++ Pipeline.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

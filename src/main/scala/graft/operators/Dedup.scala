@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+import Portable._
+
+/** Deduplication operators for a training-data pipeline (SURVEY §2.8 /
+  * BASELINE north star): exact (hash groupBy), word-n-gram Jaccard,
+  * MinHash signatures + LSH banding, SimHash.
+  *
+  * Scale design:
+  *  - the shingle inverted index drops shingles with doc-frequency above
+  *    [[Portable.MaxShingleDocFreq]] before the candidate self-join — the
+  *    standard stop-shingle skew guard that bounds bucket sizes at 100 TB;
+  *  - candidate generation is a shuffle join on shingle / band hash, partial
+  *    counts map-side; no driver-side loops anywhere;
+  *  - MinHash/SimHash are single groupBy aggregates of codegen'd integer
+  *    expressions (md5-derived 32-bit hashes, portable to the oracle).
+  */
+object Dedup {
+
+  /** Jaccard threshold for reporting near-duplicate pairs. */
+  val JaccardThreshold = 0.5
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on normalized text: one representative (min id) per key. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(lower(trim(col("text")))).as("k"))
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n"))
+      .orderBy(col("k"))
+
+  val sqlExact: String =
+    """SELECT md5(lower(trim(text))) AS k, min(doc_id) AS rep_doc,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM documents GROUP BY 1 ORDER BY k""".stripMargin
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word-ShingleN-grams per doc, hot shingles dropped. */
+  def shingles(docs: DataFrame): DataFrame = {
+    val n = ShingleN
+    val sh0 = docs
+      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(
+        when(size(col("w")) >= n,
+          expr(s"transform(sequence(0, size(w) - $n), i -> array_join(slice(w, i + 1, $n), ' '))"))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .distinct()
+    val rare = sh0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDocFreq).select(col("g"))
+    sh0.join(rare, "g")
+  }
+
+  /** Oracle CTEs mirroring [[shingles]]; exposes `sh(doc_id, g)`. */
+  val sqlShingleCtes: String = {
+    val n = ShingleN
+    val grams = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    s"""toks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, $grams AS g
+       |        FROM toks, LATERAL unnest(range(1, len(w) - ${n - 2})) t(i)),
+       |rare AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= $MaxShingleDocFreq),
+       |sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN rare ON sh0.g = rare.g)""".stripMargin
+  }
+
+  // ------------------------------------------------------ n-gram Jaccard
+
+  /** Exact Jaccard near-dup pairs via inverted-index self-join. */
+  def jaccardPairs(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).cache()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.as("ca"), col("ia") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("ib") === col("cb.doc_id"))
+      .select(col("ia"), col("ib"),
+        round(col("inter") * lit(1.0) / (col("ca.n") + col("cb.n") - col("inter")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val sqlJaccardPairs: String =
+    s"""WITH $sqlShingleCtes,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT ia, ib,
+       |  round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+       |FROM pairs JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+       |WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= $JaccardThreshold
+       |ORDER BY ia, ib""".stripMargin
+
+  // -------------------------------------------------------------- MinHash
+
+  /** Per-doc MinHash signature: MinHashPerms min-values over permuted
+    * 32-bit shingle hashes, as wide columns h0..h{n-1}.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val hashed = shingles(docs).select(col("doc_id"), Portable.hash32(col("g")).as("h"))
+    val aggs = (0 until MinHashPerms).map(i => min(minHashPerm(col("h"), i)).as(s"h$i"))
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).orderBy(col("doc_id"))
+  }
+
+  val sqlMinhashSignatures: String = {
+    val h = Portable.sqlHash32("g")
+    val mins = (0 until MinHashPerms)
+      .map(i => s"min(${sqlMinHashPerm("h", i)}) AS h$i").mkString(",\n  ")
+    s"""WITH $sqlShingleCtes,
+       |hashed AS (SELECT doc_id, $h AS h FROM sh)
+       |SELECT doc_id,
+       |  $mins
+       |FROM hashed GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------ LSH pairs
+
+  /** MinHash-LSH near-dup pairs: band the signature (MinHashBands bands of
+    * MinHashRows), bucket-join per band for candidates, then verify with
+    * exact Jaccard >= threshold. The banding join is the scale path: at
+    * 100 TB only same-bucket pairs are ever materialized.
+    */
+  def lshPairs(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).cache()
+    val hashed = sh.select(col("doc_id"), Portable.hash32(col("g")).as("h"))
+    val aggs = (0 until MinHashPerms).map(i => min(minHashPerm(col("h"), i)).as(s"h$i"))
+    val sig = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until MinHashBands).map { b =>
+      md5(concat_ws(",", (0 until MinHashRows).map(r => col(s"h${b * MinHashRows + r}")): _*))
+        .as(s"band$b")
+    }
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    val stacked = banded.selectExpr("doc_id",
+      s"stack($MinHashBands, " +
+        (0 until MinHashBands).map(b => s"$b, band$b").mkString(", ") + ") AS (band, bh)")
+    val cand = stacked.as("x").join(stacked.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib")).distinct()
+    // verify candidates with exact jaccard
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("ia", "ib"))
+      .join(cnt.as("ca"), col("ia") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("ib") === col("cb.doc_id"))
+      .select(col("ia"), col("ib"),
+        round(col("inter") * lit(1.0) / (col("ca.n") + col("cb.n") - col("inter")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val sqlLshPairs: String = {
+    val h = Portable.sqlHash32("g")
+    val mins = (0 until MinHashPerms)
+      .map(i => s"min(${sqlMinHashPerm("h", i)}) AS h$i").mkString(", ")
+    val bands = (0 until MinHashBands).map { b =>
+      val cols = (0 until MinHashRows).map(r => s"h${b * MinHashRows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $sqlShingleCtes,
+       |hashed AS (SELECT doc_id, $h AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
+       |stacked AS ($bands),
+       |cand AS (SELECT DISTINCT x.doc_id ia, y.doc_id ib
+       |         FROM stacked x JOIN stacked y
+       |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT c.ia, c.ib,
+       |  round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+       |FROM cand c JOIN pairs p ON p.ia = c.ia AND p.ib = c.ib
+       |JOIN cnt ca ON ca.doc_id = c.ia JOIN cnt cb ON cb.doc_id = c.ib
+       |WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= $JaccardThreshold
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 32-bit SimHash per doc from token-count-weighted 32-bit token hashes. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tokCnt = docs
+      .select(col("doc_id"), explode(Portable.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", Portable.hash32(col("t")))
+    val bitAggs = (0 until SimHashBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$j")
+    }
+    val bits = tokCnt.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sim = (0 until SimHashBits).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    bits.select(col("doc_id"), sim.cast("bigint").as("simhash")).orderBy(col("doc_id"))
+  }
+
+  val sqlSimhash: String = {
+    val h = Portable.sqlHash32("t")
+    val bitSums = (0 until SimHashBits).map { j =>
+      s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN cnt ELSE -cnt END) AS b$j"
+    }.mkString(",\n  ")
+    val simExpr = (0 until SimHashBits)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w FROM documents),
+       |tc AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM (SELECT doc_id, unnest(w) AS t FROM toks) GROUP BY 1, 2),
+       |th AS (SELECT doc_id, $h AS h, cnt FROM tc),
+       |bits AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM th GROUP BY doc_id)
+       |SELECT doc_id, ($simExpr)::BIGINT AS simhash FROM bits ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-time windowing over the events stream-table: tumbling windows,
+  * gap-based sessionization, latest-per-key dedup. Batch forms here (oracle-
+  * checkable); the same expressions run under Structured Streaming with
+  * withWatermark (graft.streaming).
+  */
+object EventWindows {
+
+  /** Session gap in microseconds (30 min). */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Tumbling 1-hour window counts/sums per event_type — the watermarked
+    * windowed agg of SURVEY §2.7 in batch form (window() aligns to epoch,
+    * identical to date_trunc for whole-hour widths).
+    */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val sqlTumblingHourly: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(value), 2) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** Gap-based sessionization per user: a new session starts when the gap
+    * since the previous event exceeds SessionGapUs.
+    */
+  def sessionize(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+    events
+      .withColumn("new_sess", when(gap.isNull || gap > SessionGapUs, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val sqlSessionize: String =
+    s"""WITH g AS (SELECT user_id,
+       |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+       |  FROM events)
+       |SELECT user_id,
+       |  CAST(sum(CASE WHEN gap IS NULL OR gap > $SessionGapUs THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       |  CAST(count(*) AS BIGINT) AS n_events
+       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Latest event per user — keyed dedup keeping the newest (the batch
+    * analogue of dropDuplicates-with-watermark, SURVEY §2.7).
+    */
+  def latestPerUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .orderBy(col("user_id"))
+  }
+
+  val sqlLatestPerUser: String =
+    """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+      |FROM (SELECT user_id, event_id, ts,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Brute-force cosine top-k is the correctness baseline: the (small) query
+  * set is broadcast against the corpus — no shuffle of the corpus at all —
+  * and the per-row dot product is a codegen'd higher-order expression.
+  *
+  * The scale path is IVF: a coarse quantizer (here the label column stands
+  * in for a trained k-means assignment — deterministic, so oracle-checkable)
+  * restricts each query to its nearest `nprobe` partitions, turning a full
+  * scan into a partition-pruned scan at 100 TB.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Vectors cast to double (fp-portable with the oracle). */
+  private def vecs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** Brute-force cosine top-k for queries (vec_id < nQueries), rounded sims,
+    * deterministic tie-break on vec_id.
+    */
+  def knnBrute(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = vecs(emb).withColumn("nrm", norm(col("v")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val sims = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  def sqlKnnBrute(nQueries: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |sims AS (SELECT q.qid, e.vec_id,
+       |    round(list_dot_product(q.qv, e.v)
+       |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS sim
+       |  FROM e, q WHERE e.vec_id <> q.qid)
+       |SELECT qid, rnk, vec_id, sim FROM (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM sims) WHERE rnk <= $k
+       |ORDER BY qid, rnk""".stripMargin
+
+  /** All-pairs nearest neighbor (embedding-cosine near-dup detection): for
+    * every vector, its single closest neighbor.
+    */
+  def nnAll(emb: DataFrame): DataFrame = {
+    val e = vecs(emb).withColumn("nrm", norm(col("v")))
+    val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val sims = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("qid"), col("vec_id").as("nn"), col("sim"))
+      .orderBy(col("qid"))
+  }
+
+  val sqlNnAll: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sims AS (SELECT q.vec_id AS qid, e.vec_id,
+      |    round(list_dot_product(q.v, e.v)
+      |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 4) AS sim
+      |  FROM e, e q WHERE e.vec_id <> q.vec_id)
+      |SELECT qid, vec_id AS nn, sim FROM (
+      |  SELECT qid, vec_id, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+      |  FROM sims) WHERE rnk = 1
+      |ORDER BY qid""".stripMargin
+
+  /** IVF-style top-k: element-wise centroid per label partition, probe the
+    * `nprobe` nearest centroids per query (L2), search only those
+    * partitions.
+    */
+  def knnIvf(emb: DataFrame, nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val e = vecs(emb)
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i")).agg(avg(col("x")).as("cv"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val qdist = q.select(col("qid"), posexplode(col("qv")).as(Seq("i", "qx")))
+      .join(broadcast(cent), "i")
+      .groupBy(col("qid"), col("label"))
+      .agg(sum((col("qx") - col("cv")) * (col("qx") - col("cv"))).as("d"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("d"), col("label"))
+    val probes = qdist.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe).select(col("qid"), col("label"))
+    val eN = e.withColumn("nrm", norm(col("v")))
+    val cand = eN.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("qid"))
+    val qN = q.select(col("qid").as("qid2"), col("qv"), norm(col("qv")).as("qnrm"))
+    val sims = cand.join(broadcast(qN), col("qid") === col("qid2"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  def sqlKnnIvf(nQueries: Int, k: Int, nprobe: Int): String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT label, i, avg(v[i]) AS cv
+       |  FROM e, LATERAL unnest(range(1, len(v) + 1)) t(i) GROUP BY 1, 2),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |qdist AS (SELECT q.qid, c.label, sum((q.qv[c.i] - c.cv) * (q.qv[c.i] - c.cv)) AS d
+       |  FROM q, cent c GROUP BY 1, 2),
+       |probes AS (SELECT qid, label FROM (
+       |  SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY d, label) AS pr
+       |  FROM qdist) WHERE pr <= $nprobe),
+       |cand AS (SELECT p.qid, e.vec_id, e.v FROM e JOIN probes p ON e.label = p.label
+       |  WHERE e.vec_id <> p.qid),
+       |sims AS (SELECT c.qid, c.vec_id,
+       |    round(list_dot_product(q.qv, c.v)
+       |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 4) AS sim
+       |  FROM cand c JOIN q ON q.qid = c.qid)
+       |SELECT qid, rnk, vec_id, sim FROM (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM sims) WHERE rnk <= $k
+       |ORDER BY qid, rnk""".stripMargin
+}

