@@ -139,17 +139,17 @@ object Validation {
     */
   def forbidValue(key: String, value: String): Rule =
     Rule(key, s"Forbidden $key = $value",
-      m => !(isStringType(m, key) && asString(m, key) === lit(value)))
+      m => !coalesce(isStringType(m, key) && asString(m, key) === lit(value), lit(false)))
 
   def forbidValue(key: String, value: Boolean): Rule =
     Rule(key, s"Forbidden $key = $value",
-      m => !(isBooleanType(m, key) &&
-        try_variant_get(m, JsonPaths.variantPath(key), "boolean") === lit(value)))
+      m => !coalesce(isBooleanType(m, key) &&
+        try_variant_get(m, JsonPaths.variantPath(key), "boolean") === lit(value), lit(false)))
 
   /** forbidValues (JsonMessage.kt:727-731). */
   def forbidValues(key: String, values: Seq[String]): Rule =
     Rule(key, s"Forbidden $key in ${values.mkString(",")}",
-      m => !(isStringType(m, key) && asString(m, key).isin(values: _*)))
+      m => !coalesce(isStringType(m, key) && asString(m, key).isin(values: _*), lit(false)))
 
   /** interestedIn (JsonMessage.kt:733-735): no check — registers the key for
     * nullable projection.

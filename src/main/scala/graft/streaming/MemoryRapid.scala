@@ -1,0 +1,79 @@
+package graft.streaming
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.messages.{River, Routed}
+
+/** In-memory rapid — the TestRapid analogue (reference:
+  * rapids-and-rivers-test/src/main/kotlin/.../TestRapid.kt:15-76; SURVEY §3.3).
+  *
+  * `sendTestMessage` feeds a MemoryStream; each registered river flow runs as
+  * a Structured Streaming query whose replies are captured in an in-memory
+  * outbox inspected via [[MemoryRapid.Inspector]] — the same synchronous
+  * send-then-assert pattern as the reference (processAllAvailable drains the
+  * micro-batch like TestRapid's direct notifyMessage call).
+  */
+final class MemoryRapid(spark: SparkSession, name: String = "rapid") {
+  import spark.implicits._
+
+  private val input = MemoryStream[(String, String)](
+    implicitly[org.apache.spark.sql.Encoder[(String, String)]], spark)
+  private val outbox = mutable.ArrayBuffer.empty[(String, String)]
+  private val queries = mutable.ArrayBuffer.empty[StreamingQuery]
+
+  /** The rapid stream: (key, value) like the Kafka source's projection;
+    * tombstones (null values) are dropped by River.attach.
+    */
+  def stream: DataFrame = input.toDF().toDF("key", "value")
+
+  /** Attach a river and a reply flow. The flow maps the routed stream to a
+    * DataFrame with columns (key, value) — the messages to publish back on
+    * the rapid. Key-stickiness (KeyMessageContext.kt:7-10) is the flow's
+    * default: carry the incoming key column through.
+    */
+  def register(river: River)(flow: Routed => DataFrame): Unit = {
+    val routed = river.attach(stream, col("value"))
+    val replies = flow(routed)
+    val q = replies.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.select(
+          coalesce(col("key"), lit(null).cast("string")).as("key"), col("value"))
+          .collect()
+        outbox.synchronized {
+          outbox ++= rows.map(r => (r.getString(0), r.getString(1)))
+        }
+        ()
+      }
+      .queryName(s"$name-river-${queries.size}")
+      .start()
+    queries += q
+  }
+
+  /** Synchronously inject a message and drain all rivers. */
+  def sendTestMessage(message: String, key: String = null): Unit = {
+    input.addData((key, message))
+    queries.foreach(_.processAllAvailable())
+  }
+
+  def stop(): Unit = queries.foreach(_.stop())
+
+  /** TestRapid.inspektør (TestRapid.kt:38-75). */
+  def inspector: Inspector = outbox.synchronized(new Inspector(outbox.toVector))
+
+  final class Inspector(msgs: Vector[(String, String)]) {
+    def size: Int = msgs.size
+    def key(i: Int): String = msgs(i)._1
+    def message(i: Int): String = msgs(i)._2
+    /** Read a top-level field of message i (parsed on demand). */
+    def field(i: Int, key: String): Option[String] = {
+      import spark.implicits._
+      val df = Seq(msgs(i)._2).toDF("value")
+      Option(df.select(get_json_object(col("value"), s"$$['$key']")).first().getString(0))
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft.messages
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** River routing semantics (reference River.kt:52-65, RiverTest.kt:51-79). */
+class RiverSpec extends AnyFunSuite {
+
+  private val river = River()
+    .precondition(Validation.requireValue("@event_name", "ping"))
+    .validate(Validation.requireKey("ping_time"))
+
+  private def statusOf(json: String): String =
+    river.attach(TestSpark.messages(json), col("value")).all
+      .select(col("status")).first().getString(0)
+
+  test("full pipeline routing: parse -> precondition -> validation -> passed") {
+    assert(statusOf("""{"@event_name":"ping","ping_time":"2024-01-01T00:00:00"}""") == "passed")
+    assert(statusOf("""{"@event_name":"pong","ping_time":"x"}""") == "precondition_failed")
+    assert(statusOf("""{"@event_name":"ping"}""") == "validation_failed")
+    assert(statusOf(""""just a string"""") == "unparseable")
+    assert(statusOf("""[1,2,3]""") == "unparseable")
+    assert(statusOf("""{not json""") == "unparseable")
+  }
+
+  test("tombstones (null values) are dropped (KafkaRapid.kt:162-163)") {
+    val df = TestSpark.spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(null: String),
+        org.apache.spark.sql.Row("""{"@event_name":"ping","ping_time":"t"}""")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+    assert(river.attach(df, col("value")).all.count() == 1)
+  }
+
+  test("problems accumulate all failed checks with severity (MessageProblems.kt:7-18)") {
+    val r2 = River().validate(
+      Validation.requireKey("a"), Validation.requireKey("b"), Validation.requireValue("c", "x"))
+    val row = r2.attach(TestSpark.messages("""{"c":"y"}"""), col("value")).all
+      .select(col("status"), col("problems")).first()
+    assert(row.getString(0) == "validation_failed")
+    val problems = row.getSeq[org.apache.spark.sql.Row](1)
+    assert(problems.size == 3)
+    assert(problems.forall(_.getString(0) == "error"))
+  }
+
+  test("precondition failures report severe and skip validation problems (River.kt:57-60)") {
+    val row = river.attach(
+        TestSpark.messages("""{"@event_name":"pong"}"""), col("value")).all
+      .select(col("problems")).first()
+    val problems = row.getSeq[org.apache.spark.sql.Row](0)
+    assert(problems.size == 1 && problems.head.getString(0) == "severe")
+  }
+
+  test("declare-before-read: undeclared key raises at plan time (JsonMessage.kt:759-771)") {
+    val routed = river.attach(TestSpark.messages("""{}"""), col("value"))
+    assertThrows[IllegalArgumentException](routed.packet("undeclared"))
+    routed.packet("ping_time") // declared: fine
+  }
+
+  test("multi-river fanout: independent rivers over one stream (RapidsConnection.kt:44-55)") {
+    val msgs = TestSpark.messages(
+      """{"@event_name":"ping","ping_time":"t"}""",
+      """{"@event_name":"pong","pong_time":"t"}""")
+    val pings = River().precondition(Validation.requireValue("@event_name", "ping"))
+    val pongs = River().precondition(Validation.requireValue("@event_name", "pong"))
+    assert(pings.attach(msgs, col("value")).passed.count() == 1)
+    assert(pongs.attach(msgs, col("value")).passed.count() == 1)
+  }
+}

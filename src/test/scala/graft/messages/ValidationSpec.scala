@@ -1,0 +1,157 @@
+package graft.messages
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.Converters
+
+/** Truth tables from the reference conformance suite
+  * (JsonMessageTest.kt — missing / null / wrong-type / wrong-value / match
+  * per predicate; SURVEY §5.1).
+  */
+class ValidationSpec extends AnyFunSuite {
+
+  /** Evaluate a rule against one JSON message. */
+  private def check(rule: Validation.Rule, json: String): Boolean = {
+    val df = TestSpark.messages(json)
+      .select(coalesce(rule(try_parse_json(col("value"))), lit(false)).as("r"))
+    df.first().getBoolean(0)
+  }
+
+  test("requireKey: missing fails, null fails, value passes (JsonMessageTest.kt:713)") {
+    val r = Validation.requireKey("foo")
+    assert(!check(r, """{}"""))
+    assert(!check(r, """{"foo": null}"""))
+    assert(check(r, """{"foo": "bar"}"""))
+    assert(check(r, """{"foo": 0}"""))
+    assert(check(r, """{"foo": false}"""))
+  }
+
+  test("nested keys with dot paths (JsonMessageTest.kt:297-310)") {
+    val r = Validation.requireKey("foo.bar")
+    assert(check(r, """{"foo": {"bar": "baz"}}"""))
+    assert(!check(r, """{"foo": {}}"""))
+    assert(!check(r, """{"foo": "bar"}"""))
+  }
+
+  test("requireValue string: type and value must match (JsonMessageTest.kt:713-729)") {
+    val r = Validation.requireValue("foo", "bar")
+    assert(check(r, """{"foo": "bar"}"""))
+    assert(!check(r, """{"foo": "baz"}"""))
+    assert(!check(r, """{}"""))
+    assert(!check(r, """{"foo": null}"""))
+    assert(!check(r, """{"foo": 3}"""))
+  }
+
+  test("requireValue number: string \"3\" is not number 3 (JsonMessageTest.kt:732-742)") {
+    val r = Validation.requireValue("foo", 3.0)
+    assert(check(r, """{"foo": 3}"""))
+    assert(check(r, """{"foo": 3.0}"""))
+    assert(!check(r, """{"foo": "3"}"""))
+    assert(!check(r, """{"foo": 4}"""))
+  }
+
+  test("requireValue boolean requires boolean type") {
+    val r = Validation.requireValue("foo", value = true)
+    assert(check(r, """{"foo": true}"""))
+    assert(!check(r, """{"foo": "true"}"""))
+    assert(!check(r, """{"foo": false}"""))
+  }
+
+  test("requireAny: string membership (JsonMessage.kt:652-657)") {
+    val r = Validation.requireAny("foo", Seq("bar", "baz"))
+    assert(check(r, """{"foo": "bar"}"""))
+    assert(check(r, """{"foo": "baz"}"""))
+    assert(!check(r, """{"foo": "qux"}"""))
+    assert(!check(r, """{"foo": 1}"""))
+  }
+
+  test("requireArray and element validation (JsonMessageTest.kt:777-796)") {
+    val arr = Validation.requireArray("foo")
+    assert(check(arr, """{"foo": []}"""))
+    assert(check(arr, """{"foo": ["a"]}"""))
+    assert(!check(arr, """{"foo": "a"}"""))
+    val elems = Validation.requireArrayElements("foo",
+      e => try_variant_get(e, "$.bar", "string").isNotNull)
+    assert(check(elems, """{"foo": [{"bar": "baz"}]}"""))
+    assert(!check(elems, """{"foo": [{"bar": "baz"}, {}]}"""))
+  }
+
+  test("requireAll: array superset (JsonMessageTest.kt:613-658)") {
+    val r = Validation.requireAll("foo", Seq("bar", "baz"))
+    assert(check(r, """{"foo": ["bar", "baz", "qux"]}"""))
+    assert(!check(r, """{"foo": ["bar"]}"""))
+    assert(!check(r, """{"foo": "bar"}"""))
+  }
+
+  test("requireAllOrAny is an intersection test (JsonMessage.kt:678-685)") {
+    val r = Validation.requireAllOrAny("foo", Seq("bar", "baz"))
+    assert(check(r, """{"foo": ["bar"]}"""))
+    assert(check(r, """{"foo": ["baz", "other"]}"""))
+    assert(!check(r, """{"foo": ["other"]}"""))
+  }
+
+  test("requireContains (JsonMessage.kt:674-676)") {
+    val r = Validation.requireContains("foo", "bar")
+    assert(check(r, """{"foo": ["x", "bar"]}"""))
+    assert(!check(r, """{"foo": ["x"]}"""))
+  }
+
+  test("forbid: present non-null fails (JsonMessageTest.kt:842-878)") {
+    val r = Validation.forbid("foo")
+    assert(check(r, """{}"""))
+    assert(check(r, """{"foo": null}"""))
+    assert(!check(r, """{"foo": "x"}"""))
+  }
+
+  test("forbidValue only fails on exact typed match (JsonMessage.kt:715-725)") {
+    val r = Validation.forbidValue("foo", "bad")
+    assert(check(r, """{}"""))
+    assert(check(r, """{"foo": "good"}"""))
+    assert(check(r, """{"foo": 3}"""))
+    assert(!check(r, """{"foo": "bad"}"""))
+  }
+
+  test("interestedIn always passes; parsed variant errors only on bad parse (JsonMessage.kt:737-745)") {
+    assert(check(Validation.interestedIn("foo"), """{}"""))
+    val parsed = Validation.interestedInParsed("foo", Converters.asOptionalLocalDate)
+    assert(check(parsed, """{}"""))
+    assert(check(parsed, """{"foo": "2020-01-01"}"""))
+    assert(!check(parsed, """{"foo": "tomorrow"}"""))
+  }
+
+  test("temporal converters edge cases (JsonMessageTest.kt:881-1002)") {
+    def conv(c: org.apache.spark.sql.Column => org.apache.spark.sql.Column, v: String): Boolean = {
+      TestSpark.messages("{}").select(c(lit(v)).isNotNull.as("r")).first().getBoolean(0)
+    }
+    assert(conv(Converters.asOptionalLocalDate, "2020-01-01"))
+    assert(!conv(Converters.asOptionalLocalDate, ""))
+    assert(!conv(Converters.asOptionalLocalDate, "2020-13-40"))
+    assert(conv(Converters.asOptionalLocalDateTime, "2020-01-01T12:00:00"))
+    assert(conv(Converters.asOptionalLocalDateTime, "2020-01-01T12:00:00.000000"))
+    assert(!conv(Converters.asOptionalLocalDateTime, "2020-01-01"))
+    assert(conv(Converters.asOptionalInstant, "2020-01-01T12:00:00Z"))
+    assert(!conv(Converters.asOptionalInstant, "2020-01-01T12:00:00"))
+    // lenient accepts both zoned and local (JsonMessage.kt:819-833)
+    assert(conv(Converters.asOptionalLocalDateTimeLenient _, "2020-01-01T12:00:00Z"))
+    assert(conv(Converters.asOptionalLocalDateTimeLenient _, "2020-01-01T12:00:00"))
+    assert(conv(Converters.asOptionalYearMonth, "2020-01"))
+  }
+
+  test("uuid format validation (JsonMessage.kt:782)") {
+    def ok(v: String) = TestSpark.messages("{}")
+      .select(Converters.isUuid(lit(v)).as("r")).first().getBoolean(0)
+    assert(ok("123e4567-e89b-12d3-a456-426614174000"))
+    assert(!ok("not-a-uuid"))
+  }
+
+  test("infix DSL maps to the same rules (MessageValidation.kt:54-78)") {
+    import Validation._
+    assert(check("foo" must exist, """{"foo": 1}"""))
+    assert(!check("foo" must exist, """{"foo": null}"""))
+    assert(check("foo" should be("x"), """{"foo": "x"}"""))
+    assert(!check("foo" should be("x"), """{"foo": "y"}"""))
+    assert(check("foo" can exist, """{}"""))
+  }
+}
