@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions.col
 import graft.Tables
-import graft.operators.{Dedup, EventWindows, Similarity, TextOps}
+import graft.operators.{Dedup, EventWindows, Multimodal, Similarity, TextOps}
 
 /** Training-data pipeline suite: dedup family, text analysis, similarity
   * search, event-time windows — the 100 TB-scale operators beyond the
@@ -70,6 +70,19 @@ object Pipeline {
     },
     QueryDef.sql("w3_latest_per_key", EventWindows.sqlLatestPerUser) { (s, dir) =>
       EventWindows.latestPerUser(Tables.events(s, dir))
+    },
+
+    // -------- multimodal (binary columns; decode is a deterministic stub)
+    QueryDef.sql("mm1_features", Multimodal.sqlFeatures) { (s, dir) =>
+      import org.apache.spark.sql.functions.round
+      Multimodal.extractFeatures(Multimodal.assets(Tables.documents(s, dir)))
+        .select(col("asset_id"),
+          round(col("f0"), 8).as("f0"), round(col("f1"), 8).as("f1"),
+          round(col("f2"), 8).as("f2"), round(col("f3"), 8).as("f3"))
+        .orderBy(col("asset_id"))
+    },
+    QueryDef.sql("mm2_frame_sample", Multimodal.sqlSampleFrames(10)) { (s, dir) =>
+      Multimodal.sampleFrames(Multimodal.assets(Tables.documents(s, dir)), 10)
     }
   )
 }
