@@ -142,13 +142,15 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib")).distinct()
-    // verify candidates with exact jaccard
+    // verify ONLY candidate pairs with exact jaccard — the LSH payoff: the
+    // full pairwise self-join is never materialized, just bucket-cohabitants
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+    val inter = broadcast(cand).join(sh.as("a"), col("ia") === col("a.doc_id"))
+      .select(col("ia"), col("ib"), col("a.g").as("g"))
+      .join(sh.as("b"), col("g") === col("b.g") && col("ib") === col("b.doc_id"))
+      .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("ia", "ib"))
+    inter
       .join(cnt.as("ca"), col("ia") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("ib") === col("cb.doc_id"))
       .select(col("ia"), col("ib"),

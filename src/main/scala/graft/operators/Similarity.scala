@@ -17,10 +17,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd native expression (graft.functions.DotProduct); the
+    * composable zip_with/aggregate form allocates per row and was the
+    * benchmark bottleneck at O(n^2) pair volume.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = graft.functions.VectorExprs.norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
