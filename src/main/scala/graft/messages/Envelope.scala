@@ -85,6 +85,36 @@ object Envelope {
         instance.cast("string").as("instance"),
         image.cast("string").as("image")))
 
+  // ------------------------------------------------- envelope projections
+  // JsonMessage.kt:111-125 (null-safe; behov: empty array reads as null,
+  // JsonMessageTest.kt:1150-1156).
+
+  /** @event_name with the reference's default (JsonMessage.kt:38,111). */
+  def eventName(msg: Column): Column =
+    coalesce(try_variant_get(msg, "$['@event_name']", "string"), lit("ukjent"))
+
+  /** @behov — empty array projects as null (JsonMessageTest.kt:1150-1156). */
+  def behov(msg: Column): Column = {
+    val b = try_variant_get(msg, "$['@behov']", "array<string>")
+    when(size(b) === 0, lit(null).cast("array<string>")).otherwise(b)
+  }
+
+  /** Solution names: the keys of the @løsning object (JsonMessage.kt:117-125).
+    * Operates on the raw JSON string (object-key introspection).
+    */
+  def solutions(rawJson: Column): Column =
+    json_object_keys(get_json_object(rawJson, "$['@løsning']"))
+
+  /** Distinct non-null service names from system_participating_services
+    * (JsonMessage.kt:113-115).
+    */
+  def participatingServices(msg: Column): Column =
+    array_distinct(filter(
+      transform(
+        try_variant_get(msg, "$.system_participating_services", ParticipatingServiceDdl),
+        e => e.getField("service")),
+      s => s.isNotNull))
+
   // -------------------------------------------------- publish-side enrich
 
   /** The @forårsaket_av (caused-by) trace struct built from the originating

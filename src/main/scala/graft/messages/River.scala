@@ -89,4 +89,17 @@ final case class Routed(all: DataFrame, declared: Set[String]) {
       s"Key '$key' was not declared in any precondition/validation of this river")
     try_variant_get(col("msg"), JsonPaths.variantPath(key), ddl)
   }
+
+  /** Per-river metrics (reference message_counter / on_packet timer tags,
+    * River.kt:75-140): named observation over the routed stream counting
+    * each routing outcome. Works on batch (read via Observation) and
+    * streaming (StreamingQueryProgress.observedMetrics).
+    */
+  def observed(name: String = "river"): DataFrame =
+    all.observe(name,
+      count(lit(1)).as("messages"),
+      count(when(col("status") === "passed", 1)).as("passed"),
+      count(when(col("status") === "precondition_failed", 1)).as("precondition_failed"),
+      count(when(col("status") === "validation_failed", 1)).as("validation_failed"),
+      count(when(col("status") === "unparseable", 1)).as("unparseable"))
 }

@@ -171,6 +171,25 @@ object Validation {
   def predicate(description: String, p: Column => Column): Rule =
     Rule("", description, p)
 
+  // ---------------------------------------------- deprecated demand/reject
+  // The reference's demand*/reject* surface (JsonMessage.kt:177-626,
+  // deprecated there in favor of precondition{}): identical predicates whose
+  // severe semantics come from running them in the precondition stage
+  // (River.precondition), exactly like the reference's replacement guidance.
+
+  def demandKey(key: String): Rule = requireKey(key)
+  def demandValue(key: String, value: String): Rule = requireValue(key, value)
+  def demandValue(key: String, value: Double): Rule = requireValue(key, value)
+  def demandValue(key: String, value: Boolean): Rule = requireValue(key, value)
+  def demandAll(key: String, values: Seq[String]): Rule = requireAll(key, values)
+  def demandAny(key: String, values: Seq[String]): Rule = requireAny(key, values)
+  def demandAllOrAny(key: String, values: Seq[String]): Rule = requireAllOrAny(key, values)
+  def demand(key: String, parser: Column => Column): Rule = requireParsed(key, parser)
+  def rejectKey(key: String): Rule = forbid(key)
+  def rejectValue(key: String, value: String): Rule = forbidValue(key, value)
+  def rejectValue(key: String, value: Boolean): Rule = forbidValue(key, value)
+  def rejectValues(key: String, values: Seq[String]): Rule = forbidValues(key, values)
+
   // ----------------------------------------------------- infix DSL (newer)
   // MessageValidation.kt:10-37,54-78 — `"key" must exist`, `"key" should
   // be("x")`, `"key" can exist`. `must` maps to the severe (precondition)

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import java.time.LocalDateTime
+import java.util.UUID
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Application lifecycle events (reference: RapidApplication.kt:94-139;
+  * SURVEY §2.7): publish application_up / application_ready /
+  * application_not_ready / application_stop / application_down as rapid
+  * messages on state transitions.
+  *
+  * Spark mapping: a StreamingQueryListener publishes ready/down on query
+  * start/termination (the engine's own lifecycle), and the explicit up/stop
+  * hooks mirror the app shell's start/shutdown callbacks.
+  */
+object Lifecycle {
+
+  val Events = Seq("application_up", "application_ready", "application_not_ready",
+    "application_stop", "application_down")
+
+  /** Lifecycle message (RapidApplication.kt:119-139 shape). */
+  def event(name: String, appName: String, instanceId: String): String = {
+    require(Events.contains(name), s"unknown lifecycle event $name")
+    s"""{"@event_name":"$name","@id":"${UUID.randomUUID()}",""" +
+      s""""@opprettet":"${LocalDateTime.now()}","app_name":"$appName","instance_id":"$instanceId"}"""
+  }
+
+  /** Listener publishing ready/down on streaming query lifecycle. Returns
+    * the listener so callers can remove it on shutdown.
+    */
+  def attach(spark: SparkSession, appName: String, instanceId: String)(
+      publish: String => Unit): StreamingQueryListener = {
+    val l = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+        publish(event("application_ready", appName, instanceId))
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        publish(event("application_down", appName, instanceId))
+    }
+    spark.streams.addListener(l)
+    publish(event("application_up", appName, instanceId))
+    l
+  }
+}

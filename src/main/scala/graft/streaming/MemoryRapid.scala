@@ -60,6 +60,19 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid") {
     queries.foreach(_.processAllAvailable())
   }
 
+  /** Direct publish onto the outbox (TestRapid.publish). */
+  def publish(message: String, key: String = null): Unit =
+    outbox.synchronized { outbox += ((key, message)); () }
+
+  /** Bulk publish with per-index results (RapidsConnection.kt:13-29;
+    * KafkaRapid.kt:64-99). Null bodies fail (the producer would reject).
+    */
+  def publishBulk(messages: Seq[OutgoingMessage]): (Seq[SentMessage], Seq[FailedMessage]) =
+    BulkPublish(messages) { m =>
+      require(m.body != null && m.body.nonEmpty, "empty message body")
+      publish(m.body, m.key.orNull)
+    }
+
   def stop(): Unit = queries.foreach(_.stop())
 
   /** TestRapid.inspektør (TestRapid.kt:38-75). */

@@ -1,0 +1,97 @@
+package graft.messages
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property tests for the predicate compiler — the upgrade the reference's
+  * test suite lacks (SURVEY §5): for randomized JSON messages, the compiled
+  * Catalyst predicates must agree with a direct Scala evaluation of the
+  * documented semantics. Generators are driven with fixed seeds (no
+  * scalatestplus bridge in the offline cache) and each round evaluates a
+  * whole generated batch in one Spark job.
+  */
+class ValidationPropertySpec extends AnyFunSuite {
+
+  sealed trait JVal { def render: String }
+  case object JNull extends JVal { def render = "null" }
+  case class JStr(s: String) extends JVal { def render = "\"" + s + "\"" }
+  case class JNum(n: Int) extends JVal { def render = n.toString }
+  case class JBool(b: Boolean) extends JVal { def render = b.toString }
+
+  private val key = "k"
+  private val genVal: Gen[Option[JVal]] = Gen.oneOf(
+    Gen.const(None), // key absent
+    Gen.const(Some(JNull)),
+    Gen.oneOf("a", "b", "3", "").map(s => Some(JStr(s))),
+    Gen.chooseNum(-5, 5).map(n => Some(JNum(n))),
+    Gen.oneOf(true, false).map(b => Some(JBool(b))))
+
+  private def render(v: Option[JVal]): String =
+    v.map(x => s"""{"$key":${x.render},"other":1}""").getOrElse("""{"other":1}""")
+
+  private def sample(seed: Long): List[Option[JVal]] =
+    Gen.listOfN(40, genVal)(Gen.Parameters.default, Seed(seed))
+      .getOrElse(fail("generator produced no sample"))
+
+  /** Evaluate a rule over many messages in ONE Spark job. */
+  private def evalBatch(rule: Validation.Rule, msgs: Seq[String]): Seq[Boolean] = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    msgs.zipWithIndex.toDF("value", "i")
+      .select(col("i"), coalesce(rule(try_parse_json(col("value"))), lit(false)).as("r"))
+      .orderBy(col("i")).collect().map(_.getBoolean(1)).toSeq
+  }
+
+  private def checkAgainst(rule: Validation.Rule, expected: Option[JVal] => Boolean): Unit =
+    (1 to 4).foreach { round =>
+      val vs = sample(42L + round)
+      val got = evalBatch(rule, vs.map(render))
+      val want = vs.map(expected)
+      assert(got == want, s"round $round, values $vs")
+    }
+
+  test("requireKey passes iff present and non-null") {
+    checkAgainst(Validation.requireKey(key), v => v.exists(_ != JNull))
+  }
+
+  test("forbid passes iff absent or null") {
+    checkAgainst(Validation.forbid(key), v => !v.exists(_ != JNull))
+  }
+
+  test("requireValue(string) passes iff string-typed equal") {
+    checkAgainst(Validation.requireValue(key, "a"), _.contains(JStr("a")))
+    checkAgainst(Validation.requireValue(key, "3"), _.contains(JStr("3")))
+  }
+
+  test("requireValue(number) passes iff numeric equal — never for string digits") {
+    checkAgainst(Validation.requireValue(key, 3.0), _.contains(JNum(3)))
+  }
+
+  test("requireAny passes iff string in set") {
+    checkAgainst(Validation.requireAny(key, Seq("a", "3")),
+      v => v.contains(JStr("a")) || v.contains(JStr("3")))
+  }
+
+  test("forbidValue passes unless exact typed match") {
+    checkAgainst(Validation.forbidValue(key, "a"), v => !v.contains(JStr("a")))
+    checkAgainst(Validation.forbidValue(key, value = true), v => !v.contains(JBool(true)))
+  }
+
+  test("interestedIn always passes") {
+    checkAgainst(Validation.interestedIn(key), _ => true)
+  }
+
+  test("demand/reject aliases agree with their require/forbid twins") {
+    val msgs = sample(99L).map(render)
+    assert(evalBatch(Validation.demandKey(key), msgs) ==
+      evalBatch(Validation.requireKey(key), msgs))
+    assert(evalBatch(Validation.rejectValue(key, "a"), msgs) ==
+      evalBatch(Validation.forbidValue(key, "a"), msgs))
+    assert(evalBatch(Validation.rejectKey(key), msgs) ==
+      evalBatch(Validation.forbid(key), msgs))
+  }
+}

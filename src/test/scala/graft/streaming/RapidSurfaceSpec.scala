@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.messages.{River, Validation}
+
+/** Remaining rapid surface: metrics, lifecycle, bulk publish. */
+class RapidSurfaceSpec extends AnyFunSuite {
+
+  test("river metrics via observe (River.kt:75-140)") {
+    val msgs = TestSpark.messages(
+      """{"@event_name":"ping","ping_time":"t"}""",
+      """{"@event_name":"pong"}""",
+      """{"@event_name":"ping"}""",
+      """not json""")
+    val routed = River()
+      .precondition(Validation.requireValue("@event_name", "ping"))
+      .validate(Validation.requireKey("ping_time"))
+      .attach(msgs, col("value"))
+    val obs = Observation("river")
+    routed.all.observe(obs, count(lit(1)).as("messages"),
+      count(when(col("status") === "passed", 1)).as("passed"),
+      count(when(col("status") === "unparseable", 1)).as("unparseable")).collect()
+    val m = obs.get
+    assert(m("messages") == 4L && m("passed") == 1L && m("unparseable") == 1L)
+    // the built-in projection compiles too
+    routed.observed().collect()
+  }
+
+  test("lifecycle events publish on attach and query termination (RapidApplication.kt:94-139)") {
+    val spark = TestSpark.spark
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = Lifecycle.attach(spark, "app", "i-1")(m => seen.synchronized { seen += m; () })
+    try {
+      assert(seen.exists(_.contains("\"application_up\"")))
+      val rapid = new MemoryRapid(spark, "lc")
+      rapid.register(River()) { r => r.passed.select(col("key"), col("value")) }
+      rapid.sendTestMessage("""{"a":1}""")
+      rapid.stop()
+      // listener callbacks are async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline &&
+        !seen.synchronized(seen.exists(_.contains("application_down")))) Thread.sleep(100)
+      assert(seen.synchronized(seen.exists(_.contains("\"application_ready\""))))
+      assert(seen.synchronized(seen.exists(_.contains("\"application_down\""))))
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("bulk publish returns per-index sent/failed (RapidsConnection.kt:13-29)") {
+    val rapid = new MemoryRapid(TestSpark.spark, "bulk")
+    val (sent, failed) = rapid.publishBulk(Seq(
+      OutgoingMessage("""{"n":1}"""),
+      OutgoingMessage(null),
+      OutgoingMessage("""{"n":3}""", Some("k3"))))
+    assert(sent.map(_.index) == Seq(0, 2))
+    assert(failed.map(_.index) == Seq(1))
+    val insp = rapid.inspector
+    assert(insp.size == 2 && insp.key(1) == "k3")
+  }
+}
