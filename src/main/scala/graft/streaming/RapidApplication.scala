@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.messages.{River, Routed, Validation}
+
+/** Top-level app shell — the reference's RapidApplication
+  * (RapidApplication.kt:42-168, Defaults.kt:47-61): build the rapid from
+  * environment config, attach rivers, wire lifecycle events and the
+  * ping/pong responder, start/stop.
+  *
+  * The reference's Ktor HTTP surface (/isalive /isready /metrics) maps to
+  * Spark-native equivalents: StreamingQuery.status/isActive for liveness
+  * and observe()/StreamingQueryProgress for metrics — no embedded HTTP
+  * server belongs in an engine library.
+  */
+object RapidApplication {
+
+  /** Environment contract mirroring the reference's variable names
+    * (Defaults.kt:47-61) so a deployment can switch without config changes.
+    */
+  def configFromEnv(env: Map[String, String]): KafkaRapidConfig =
+    KafkaRapidConfig(
+      bootstrapServers = env.getOrElse("KAFKA_BROKERS", "localhost:9092"),
+      rapidTopic = env("KAFKA_RAPID_TOPIC"),
+      extraTopics = env.get("KAFKA_EXTRA_TOPIC")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+      resetPolicy = env.getOrElse("KAFKA_RESET_POLICY", "latest"),
+      checkpointLocation = env.getOrElse("KAFKA_CHECKPOINT_DIR", "/tmp/graft-rapid-checkpoint"))
+
+  /** In-memory application for tests/local runs: rivers + ping/pong +
+    * lifecycle, the whole reference wiring minus the Kafka transport.
+    */
+  final class InMemory(
+      spark: SparkSession,
+      appName: String,
+      instanceId: String,
+      clock: () => Long = () => System.currentTimeMillis()) {
+
+    val rapid = new MemoryRapid(spark, appName)
+    private var lifecycleListener: Option[org.apache.spark.sql.streaming.StreamingQueryListener] = None
+
+    /** PingPong river registered by default, like the reference
+      * (RapidApplication.kt:42-47).
+      */
+    def start(): this.type = {
+      rapid.register(
+        River()
+          .precondition(Validation.requireValue("@event_name", "ping"))
+          .validate(Validation.requireKey("ping_time"))) { routed =>
+        PingPong(routed.passed, appName, instanceId, clock).toDF("key", "value")
+      }
+      lifecycleListener = Some(Lifecycle.attach(spark, appName, instanceId) { m =>
+        rapid.publish(m)
+      })
+      this
+    }
+
+    def register(river: River)(flow: Routed => org.apache.spark.sql.DataFrame): Unit =
+      rapid.register(river)(flow)
+
+    def send(message: String, key: String = null): Unit = rapid.sendTestMessage(message, key)
+
+    def stop(): Unit = {
+      rapid.publish(Lifecycle.event("application_stop", appName, instanceId))
+      rapid.stop()
+      lifecycleListener.foreach(spark.streams.removeListener)
+    }
+  }
+
+  def createInMemory(spark: SparkSession, appName: String, instanceId: String,
+                     clock: () => Long = () => System.currentTimeMillis()): InMemory =
+    new InMemory(spark, appName, instanceId, clock).start()
+}

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Component test mirroring RapidApplicationComponentTest.kt:196-213 —
+  * the SURVEY §7 minimum end-to-end slice: ping in, enriched pong out.
+  */
+class RapidApplicationSpec extends AnyFunSuite {
+
+  test("app shell answers ping with pong; lifecycle events published") {
+    val base = 1700000000000L
+    val app = RapidApplication.createInMemory(
+      TestSpark.spark, "my-app", "instance-1", clock = () => base + 1000)
+    try {
+      val ping = s"""{"@event_name":"ping","@id":"ping-id-1","ping_time":"${
+        new java.sql.Timestamp(base).toInstant.toString.stripSuffix("Z")}"}"""
+      app.send(ping, key = "the-key")
+      val insp = app.rapid.inspector
+      val msgs = (0 until insp.size).map(i => (insp.key(i), insp.message(i)))
+      val pong = msgs.find(_._2.contains("\"pong\"")).map(_._2)
+      assert(pong.isDefined, s"expected a pong among $msgs")
+      assert(pong.get.contains("\"app_name\":\"my-app\""))
+      assert(pong.get.contains("\"instance_id\":\"instance-1\""))
+      assert(pong.get.contains("\"ping-id-1\"")) // @forårsaket_av tracing
+      assert(msgs.exists(_._2.contains("application_up")))
+    } finally app.stop()
+    assert((0 until app.rapid.inspector.size)
+      .exists(i => app.rapid.inspector.message(i).contains("application_stop")))
+  }
+
+  test("configFromEnv mirrors the reference env contract (Defaults.kt:47-61)") {
+    val c = RapidApplication.configFromEnv(Map(
+      "KAFKA_RAPID_TOPIC" -> "rapid.v1",
+      "KAFKA_EXTRA_TOPIC" -> "a,b",
+      "KAFKA_RESET_POLICY" -> "earliest",
+      "KAFKA_BROKERS" -> "broker:9092"))
+    assert(c.rapidTopic == "rapid.v1" && c.extraTopics == Seq("a", "b") &&
+      c.resetPolicy == "earliest" && c.bootstrapServers == "broker:9092")
+  }
+}
