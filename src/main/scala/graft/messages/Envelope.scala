@@ -26,13 +26,6 @@ object Envelope {
   /** Deterministic ids for oracle parity: md5 of a caller-supplied seed. */
   final case class SeededIdGen(seed: Column) extends IdGen { def next: Column = md5(seed.cast("string")) }
 
-  /** Variant-ify any column (variant is the message value type). */
-  def asVariant(c: Column): Column = parse_json(to_json(struct(c.as("v"))))
-
-  /** Parse a JSON message string into the mutable map representation. */
-  def parseMap(json: Column): Column =
-    from_json(json, org.apache.spark.sql.types.DataType.fromDDL("map<string,string>"))
-
   // -------------------------------------------------- message construction
 
   /** JsonMessage.newMessage (JsonMessage.kt:47-58): fresh envelope around the
@@ -129,21 +122,7 @@ object Envelope {
       g("@behov", "array<string>").as("behov"))
   }
 
-  /** populateStandardFields for an outgoing message held as map<string,string>
-    * of raw-JSON-fragment values: upsert @forårsaket_av, fresh @id/@opprettet,
-    * append participating-services (JsonMessage.kt:69-95; applied by
-    * JsonMessageContext.publish, JsonMessageContext.kt:12-29).
-    *
-    * Values in the map are JSON fragments; serialization uses a raw-value
-    * concat so nested objects/arrays round-trip untouched.
-    */
-  def enrichOutgoing(
-      outMap: Column, origMsg: Column, idGen: IdGen, now: Column,
-      service: Column, instance: Column): Column = {
-    val entries = Seq(
-      lit("@forårsaket_av") -> to_json(causedBy(origMsg)),
-      lit("@id") -> to_json(struct(idGen.next.as("v")))("v").cast("string"),
-      lit("@opprettet") -> date_format(now, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
-    map_concat(outMap, map(entries.flatMap { case (k, v) => Seq(k, v) }: _*))
-  }
+  // populateStandardFields (JsonMessage.kt:69-95, applied by
+  // JsonMessageContext.publish) lives in graft.streaming.Republish: the
+  // map<string,variant> upsert path that also preserves undeclared fields.
 }

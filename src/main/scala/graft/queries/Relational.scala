@@ -206,6 +206,69 @@ object Relational {
         .orderBy(col("event_type"))
     },
 
+    // Exact quantiles (sort-based statistics; DuckDB quantile_cont twin).
+    QueryDef.sql("q13_quantiles",
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS median,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(percentile(col("o_totalprice"), lit(0.5)), 2).as("median"),
+          round(percentile(col("o_totalprice"), lit(0.9)), 2).as("p90"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // Full CUBE grouping sets.
+    QueryDef.sql("q14_cube",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"), col("qty"))
+        .orderBy(col("rf"), col("ls"))
+    },
+
+    // EXCEPT (set difference).
+    QueryDef.sql("q15_except",
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      val a = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        .select(col("c_nationkey").as("nationkey"))
+      val b = Tables.supplier(s, dir).filter(col("s_acctbal") > 8000)
+        .select(col("s_nationkey").as("nationkey"))
+      a.except(b).orderBy(col("nationkey"))
+    },
+
+    // Pivot: event_type values to columns (relational pivot surface; the
+    // oracle states the equivalent conditional aggregation).
+    QueryDef.sql("q16_pivot",
+      """SELECT user_id,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "purchase", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "purchase", "view"))
+        .orderBy(col("user_id"))
+    },
+
     // UNION (distinct) of heterogeneous branches.
     QueryDef.sql("q12_union",
       """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < 0
