@@ -103,6 +103,40 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** TF-IDF top-k terms per document. Classic two-aggregate shape: term
+    * frequency per (doc, term), document frequency per term, idf = ln(N/df)
+    * (identical fp in both engines), rank per doc with term tie-break.
+    * N arrives via a broadcast single-row cross join — no driver-side count.
+    */
+  def tfidfTopK(df: DataFrame, k: Int): DataFrame = {
+    val toks = df.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val ndocs = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "t")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(ndocs))
+      .withColumn("tfidf", col("tf") * log(col("n").cast("double") / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("t"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("t").as("term"),
+        round(col("tfidf"), 4).as("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  def sqlTfidfTopK(k: Int): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(${Portable.sqlTokens("text")}) AS t FROM documents),
+       |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+       |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |sc AS (SELECT tf.doc_id, tf.t, tf.tf * ln(n.n::DOUBLE / dfreq.df) AS tfidf
+       |  FROM tf JOIN dfreq USING (t), n)
+       |SELECT doc_id, rnk, t AS term, round(tfidf, 4) AS tfidf FROM (
+       |  SELECT doc_id, t, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t) AS rnk
+       |  FROM sc) WHERE rnk <= $k
+       |ORDER BY doc_id, rnk""".stripMargin
+
   /** Document fingerprints: md5 of normalized text (exact-dup key) plus a
     * position-weighted rolling token-hash mod P (order-sensitive content
     * fingerprint, robust to the oracle: pure integer arithmetic).

@@ -49,6 +49,9 @@ object Pipeline {
     QueryDef.sql("t4_fingerprint", TextOps.sqlFingerprint) { (s, dir) =>
       TextOps.fingerprint(Tables.documents(s, dir), col("text")).orderBy(col("doc_id"))
     },
+    QueryDef.sql("t5_tfidf", TextOps.sqlTfidfTopK(3)) { (s, dir) =>
+      TextOps.tfidfTopK(Tables.documents(s, dir), 3)
+    },
 
     // -------- similarity search
     QueryDef.sql("s1_knn_brute", Similarity.sqlKnnBrute(10, 5)) { (s, dir) =>
