@@ -54,6 +54,19 @@ object EventWindows {
        |  CAST(count(*) AS BIGINT) AS n_events
        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Session windows via Spark's native session_window — the streaming-
+    * ready form of [[sessionize]] (state-store backed under Structured
+    * Streaming with a watermark). Per-user session count must agree with
+    * the lag/cumsum batch form (tested).
+    */
+  def sessionWindowCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+
   /** Latest event per user — keyed dedup keeping the newest (the batch
     * analogue of dropDuplicates-with-watermark, SURVEY §2.7).
     */

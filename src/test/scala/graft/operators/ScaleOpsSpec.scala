@@ -28,6 +28,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native session_window agrees with the lag-based batch sessionizer") {
+    val spark = TestSpark.spark
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val viaLag = EventWindows.sessionize(events)
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+    val viaWindow = EventWindows.sessionWindowCounts(events)
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+    assert(viaLag.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaLag).count() == 0)
+  }
+
+  test("file-stream source drives a river end-to-end (Kafka stand-in, SURVEY 5)") {
+    val spark = TestSpark.spark
+    import graft.messages.{River, Validation}
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-stream").toString
+    // re-encode sf0.001 events (micro-precision) as the stream input
+    graft.Tables.events(spark, "/root/testdata/sf0.001").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val msgs = stream.select(to_json(struct(col("event_type").as("@event_name"),
+      col("event_id"), col("value"))).as("value"))
+    val routed = River()
+      .precondition(Validation.requireAny("@event_name", Seq("click", "view")))
+      .attach(msgs, col("value"))
+    val q = routed.all.groupBy(col("status")).count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("file_river").start()
+    q.processAllAvailable()
+    val counts = spark.table("file_river").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(counts.values.sum == 1000)
+    assert(counts("passed") > 0 && counts("precondition_failed") > 0)
+  }
+
   test("tumbling window agg runs under streaming with watermark, append mode") {
     val spark = TestSpark.spark
     import spark.implicits._
