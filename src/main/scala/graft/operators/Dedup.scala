@@ -146,8 +146,8 @@ object Dedup {
     // full pairwise self-join is never materialized, just bucket-cohabitants
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = broadcast(cand).join(sh.as("a"), col("ia") === col("a.doc_id"))
-      .select(col("ia"), col("ib"), col("a.g").as("g"))
-      .join(sh.as("b"), col("g") === col("b.g") && col("ib") === col("b.doc_id"))
+      .select(col("ia"), col("ib"), col("a.g").as("cand_g"))
+      .join(sh.as("b"), col("cand_g") === col("b.g") && col("ib") === col("b.doc_id"))
       .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("inter"))
     inter
