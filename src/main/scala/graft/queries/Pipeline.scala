@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Dedup, EventWindows, Multimodal, Similarity, TextOps}
 
@@ -73,6 +73,46 @@ object Pipeline {
     },
     QueryDef.sql("w3_latest_per_key", EventWindows.sqlLatestPerUser) { (s, dir) =>
       EventWindows.latestPerUser(Tables.events(s, dir))
+    },
+
+    // -------- composed cleaning pipeline: the operators chained the way a
+    // real corpus-prep job runs them — quality gate, then exact-dedup
+    // representative selection, then language tag.
+    QueryDef.sql("p1_clean_corpus",
+      s"""WITH q AS (${TextOps.sqlQuality.replace("ORDER BY doc_id", "")}),
+         |keep AS (SELECT doc_id FROM q WHERE quality_score >= 0.15),
+         |rep AS (SELECT min(d.doc_id) AS doc_id
+         |        FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+         |        GROUP BY md5(lower(trim(d.text)))),
+         |lang AS (${TextOps.sqlLangId.replace("ORDER BY doc_id", "")})
+         |SELECT r.doc_id, l.lang_pred
+         |FROM rep r JOIN lang l ON l.doc_id = r.doc_id
+         |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val keep = TextOps.quality(docs, col("text"))
+        .filter(col("quality_score") >= 0.15).select(col("doc_id"))
+      val kept = docs.join(keep, "doc_id")
+      val rep = kept.groupBy(md5(lower(trim(col("text")))).as("k"))
+        .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      TextOps.langId(docs, col("text"))
+        .join(rep, "doc_id")
+        .select(col("doc_id"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -------- embedding centroid aggregate (element-wise partition stats)
+    QueryDef.sql("c1_centroids",
+      """SELECT label, i::INT AS i, round(avg((embedding::DOUBLE[])[i]), 6) AS c
+        |FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+        |WHERE i <= 8 GROUP BY 1, 2 ORDER BY label, i""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"),
+          posexplode(org.apache.spark.sql.functions.slice(
+            transform(col("embedding"), x => x.cast("double")), 1, 8)).as(Seq("i0", "x")))
+        .groupBy(col("label"), (col("i0") + 1).cast("int").as("i"))
+        .agg(round(avg(col("x")), 6).as("c"))
+        .orderBy(col("label"), col("i"))
     },
 
     // -------- multimodal (binary columns; decode is a deterministic stub)
