@@ -187,6 +187,42 @@ object Dedup {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // -------------------------------------------- edit-distance (fuzzy dedup)
+
+  /** Prefix length compared and blocking-key length for the fuzzy join. */
+  val EditPrefixLen = 60
+  val EditBlockLen = 8
+  val EditMaxDistance = 20
+
+  /** Blocked fuzzy near-dup pairs: block on the first EditBlockLen chars
+    * (equality join — never a cross product), then Levenshtein over the
+    * EditPrefixLen-char normalized prefix. Finds exactly the planted
+    * near-dup pairs on the fixtures. Blocking is the scale story: candidate
+    * volume is bounded by block co-membership, not n^2.
+    */
+  def editDistancePairs(docs: DataFrame): DataFrame = {
+    val p = docs.select(col("doc_id"),
+      substring(lower(trim(col("text"))), 1, EditPrefixLen).as("pre"))
+    val blocked = p.withColumn("blk", substring(col("pre"), 1, EditBlockLen))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        levenshtein(col("a.pre"), col("b.pre")).cast("int").as("d"))
+      .filter(col("d") <= EditMaxDistance)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val sqlEditDistancePairs: String =
+    s"""WITH p AS (SELECT doc_id, substr(lower(trim(text)), 1, $EditPrefixLen) AS pre
+       |  FROM documents)
+       |SELECT a.doc_id AS ia, b.doc_id AS ib,
+       |  levenshtein(a.pre, b.pre)::INT AS d
+       |FROM p a JOIN p b
+       |  ON substr(a.pre, 1, $EditBlockLen) = substr(b.pre, 1, $EditBlockLen)
+       |  AND a.doc_id < b.doc_id
+       |WHERE levenshtein(a.pre, b.pre) <= $EditMaxDistance
+       |ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- SimHash
 
   /** 32-bit SimHash per doc from token-count-weighted 32-bit token hashes. */

@@ -28,6 +28,21 @@ object Pipeline {
     QueryDef.sql("d5_simhash", Dedup.sqlSimhash) { (s, dir) =>
       Dedup.simhash(Tables.documents(s, dir))
     },
+    QueryDef.sql("d6_edit_distance", Dedup.sqlEditDistancePairs) { (s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir))
+    },
+
+    // regexp extraction (leading token; identical leftmost semantics in
+    // Java regex and RE2 for this pattern class)
+    QueryDef.sql("t6_regex",
+      """SELECT regexp_extract(lower(trim(text)), '^[a-z]+') AS first_tok,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1 ORDER BY first_tok""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(regexp_extract(lower(trim(col("text"))), "^[a-z]+", 0).as("first_tok"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("first_tok"))
+    },
 
     // -------- text analysis
     QueryDef.sql("t1_tokens",

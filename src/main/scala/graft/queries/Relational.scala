@@ -269,6 +269,40 @@ object Relational {
         .orderBy(col("user_id"))
     },
 
+    // Running aggregate window frame (rows unbounded preceding .. current).
+    QueryDef.sql("w4_running",
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir).filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // lag/lead analytics: delta to the previous event per user.
+    QueryDef.sql("w5_lag_delta",
+      """SELECT event_id,
+        |  round(value - lag(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id), 2) AS delta,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS next_type
+        |FROM events WHERE user_id < 20
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).filter(col("user_id") < 20)
+        .select(col("event_id"),
+          round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy(col("event_id"))
+    },
+
     // UNION (distinct) of heterogeneous branches.
     QueryDef.sql("q12_union",
       """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < 0
