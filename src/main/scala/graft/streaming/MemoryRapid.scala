@@ -75,6 +75,11 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid") {
 
   def stop(): Unit = queries.foreach(_.stop())
 
+  /** Liveness: every registered river query is active (KafkaRapid.isRunning
+    * analogue; surfaced by RapidApplication health).
+    */
+  def isRunning: Boolean = queries.nonEmpty && queries.forall(_.isActive)
+
   /** TestRapid.inspektør (TestRapid.kt:38-75). */
   def inspector: Inspector = outbox.synchronized(new Inspector(outbox.toVector))
 

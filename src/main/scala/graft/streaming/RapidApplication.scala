@@ -62,6 +62,12 @@ object RapidApplication {
 
     def send(message: String, key: String = null): Unit = rapid.sendTestMessage(message, key)
 
+    /** Health surface (reference /isalive /isready, KtorApplication.kt:97-153,
+      * bound to rapid::isRunning / isReady): all river queries active.
+      */
+    def isRunning: Boolean = rapid.isRunning
+    def isReady: Boolean = rapid.isRunning
+
     def stop(): Unit = {
       rapid.publish(Lifecycle.event("application_stop", appName, instanceId))
       rapid.stop()

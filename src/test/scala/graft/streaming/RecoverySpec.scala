@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Delivery-guarantee evidence (SURVEY §2.7): checkpointed restart does not
+  * reprocess committed batches (the micro-batch at-least-once contract,
+  * replacing KafkaRapid.kt:146-157's per-record commits), and the @id dedup
+  * compensation works under real streaming with a watermark.
+  */
+class RecoverySpec extends AnyFunSuite {
+
+  test("checkpointed file-stream restart resumes after committed batches (RapidIntegrationTest.kt:144-202 analogue)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dataDir = Files.createTempDirectory("graft-recovery-data").toString
+    val ckpt = Files.createTempDirectory("graft-recovery-ckpt").toString
+    val sink = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+    def startQuery() = spark.readStream
+      .schema("id LONG")
+      .option("maxFilesPerTrigger", "10")
+      .parquet(dataDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.synchronized { sink ++= b.collect().map(_.getLong(0)) }
+        ()
+      }.start()
+
+    Seq(1L, 2L, 3L).toDF("id").write.mode("append").parquet(dataDir)
+    val q1 = startQuery(); q1.awaitTermination(30000); q1.stop()
+    assert(sink.sorted == Seq(1L, 2L, 3L))
+
+    Seq(4L, 5L).toDF("id").write.mode("append").parquet(dataDir)
+    val q2 = startQuery(); q2.awaitTermination(30000); q2.stop()
+    // restart consumed ONLY the new file — committed offsets were honored
+    assert(sink.sorted == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("@id dedup compensates redelivery under streaming with watermark") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val input = MemoryStream[(String, java.sql.Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(String, java.sql.Timestamp)]], spark)
+    val deduped = Dedupe.byId(input.toDF().toDF("id", "otime"), "id", "otime")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(("a", ts("2024-01-01 00:00:00")), ("a", ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    input.addData(("a", ts("2024-01-01 00:00:00")), ("b", ts("2024-01-01 00:00:01")))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_stream").select(col("id")).collect().map(_.getString(0)).toSeq
+    q.stop()
+    // "a" delivered 3 times across batches -> exactly once downstream
+    assert(ids.sorted == Seq("a", "b"))
+  }
+
+  test("health surface reflects river query liveness") {
+    val app = RapidApplication.createInMemory(TestSpark.spark, "h-app", "i-1")
+    try assert(app.isRunning && app.isReady)
+    finally app.stop()
+    assert(!app.isRunning)
+  }
+}
