@@ -72,9 +72,14 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 4).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
-      .select(col("qid"), col("vec_id").as("nn"), col("sim"))
+    // k=1: a partial-aggregating hash max over struct(sim, -vec_id) — same
+    // (sim desc, vec_id asc) order as a rank-1 window, without the
+    // sort+window shuffle over the full O(n^2) pair set.
+    sims
+      .groupBy(col("qid"))
+      .agg(max(struct(col("sim"), (-col("vec_id")).as("neg_id"),
+        col("vec_id").as("nn"))).as("best"))
+      .select(col("qid"), col("best.nn").as("nn"), col("best.sim").as("sim"))
       .orderBy(col("qid"))
   }
 
