@@ -20,6 +20,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       // map upsert semantics for mutate-then-republish (Envelope.scala)
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   /** Apply the engine-required runtime confs to an existing session (used by
