@@ -269,6 +269,54 @@ object Relational {
         .orderBy(col("user_id"))
     },
 
+    // Temporal arithmetic: datediff/extract family.
+    QueryDef.sql("q17_datemath",
+      """SELECT date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00')::BIGINT AS age_days,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE extract(year FROM o_orderdate) = 2000
+        |GROUP BY 1 ORDER BY age_days""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 2000)
+        .groupBy(datediff(lit("2002-01-01").cast("date"), col("o_orderdate"))
+          .cast("bigint").as("age_days"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("age_days"))
+    },
+
+    // Statistical aggregates (merge-able moments: corr/stddev/variance).
+    QueryDef.sql("q18_stats",
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qp_corr,
+        |  round(stddev_samp(l_quantity), 4) AS qty_sd,
+        |  round(var_samp(l_discount), 6) AS disc_var
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qp_corr"),
+          round(stddev_samp(col("l_quantity")), 4).as("qty_sd"),
+          round(var_samp(col("l_discount")), 6).as("disc_var"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ntile bucketing over a total order.
+    QueryDef.sql("w6_ntile",
+      """SELECT q, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+        |FROM (SELECT c_acctbal,
+        |  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS q FROM customer)
+        |GROUP BY q ORDER BY q""".stripMargin) { (s, dir) =>
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_acctbal"), ntile(4).over(w).as("q"))
+        .groupBy(col("q"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("c_acctbal")), 2).as("lo"),
+          round(max(col("c_acctbal")), 2).as("hi"))
+        .orderBy(col("q"))
+    },
+
     // Running aggregate window frame (rows unbounded preceding .. current).
     QueryDef.sql("w4_running",
       """SELECT o_custkey, o_orderkey,
