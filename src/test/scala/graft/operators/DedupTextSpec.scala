@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Semantic unit tests for the dedup/text family on crafted documents —
+  * locks operator behavior independently of the fixture-based oracle gate.
+  */
+class DedupTextSpec extends AnyFunSuite {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = TestSpark.spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+  }
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  test("exact dedup groups normalized duplicates, keeps min id") {
+    val d = docs((1L, "Hello  World"), (2L, "hello  world"), (3L, "other"))
+    // trim+lower only: inner whitespace differences are NOT normalized
+    val r = Dedup.exact(d.withColumn("text", lower(col("text")))).collect()
+    assert(r.length == 2)
+    val dup = r.find(_.getLong(2) == 2).get
+    assert(dup.getLong(1) == 1L) // representative = min doc_id
+  }
+
+  test("jaccard and LSH both find a one-word-edit near-dup, not an unrelated doc") {
+    val d = docs(
+      (1L, base),
+      (2L, base.replace("theta", "thetaX")),
+      (3L, "completely different words entirely unrelated content here okay"))
+    val jac = Dedup.jaccardPairs(d).collect()
+    assert(jac.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(jac.head.getDouble(2) > 0.5 && jac.head.getDouble(2) < 1.0)
+    val lsh = Dedup.lshPairs(d).collect()
+    assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash is order-insensitive; rolling fingerprint is order-sensitive") {
+    val reordered = base.split(" ").reverse.mkString(" ")
+    val d = docs((1L, base), (2L, reordered))
+    val sim = Dedup.simhash(d).collect().map(_.getLong(1))
+    assert(sim(0) == sim(1)) // same token multiset -> same simhash
+    val fp = TextOps.fingerprint(d, col("text")).collect()
+    assert(fp(0).getLong(2) != fp(1).getLong(2)) // position-weighted differs
+    assert(fp(0).getString(1) != fp(1).getString(1)) // md5 differs too
+  }
+
+  test("tfidf ranks a document-specific rare term first") {
+    val d = docs(
+      (1L, "common common common uniqueterm"),
+      (2L, "common common common"),
+      (3L, "common common common"))
+    val top = TextOps.tfidfTopK(d, 1).filter(col("doc_id") === 1).collect()
+    assert(top.head.getString(2) == "uniqueterm")
+  }
+
+  test("langId picks the language with most marker hits, alphabetical ties") {
+    val d = docs((1L, "the a value value"), (2L, "spark stream batch batch"))
+    val r = TextOps.langId(d, col("text")).orderBy(col("doc_id")).collect()
+    assert(r(0).getString(1) == "en")
+    assert(r(1).getString(1) == "zh")
+    // no markers at all -> all scores zero -> alphabetically first language
+    val none = TextOps.langId(docs((9L, "zzz yyy xxx")), col("text")).collect()
+    assert(none.head.getString(1) == "de")
+  }
+
+  test("edit-distance pairs respect the blocking key") {
+    val d = docs(
+      (1L, base), (2L, base.replace("kappa", "kapqa")),
+      (3L, "different-prefix " + base)) // same content, different block
+    val r = Dedup.editDistancePairs(d).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSet == Set((1L, 2L)))
+  }
+}
