@@ -103,6 +103,32 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic content-hash dataset splitting (train/val/test) — the
+    * standard reproducible-split technique for training corpora: the split
+    * follows the document content, not row order or partitioning, so it is
+    * stable across reshuffles, engines, and re-ingestion.
+    */
+  val SplitTrainPct = 80
+  val SplitValPct = 10 // test gets the remainder
+
+  def datasetSplit(df: DataFrame): DataFrame = {
+    val bucket = Portable.hash32(lower(trim(col("text")))) % 100
+    df.select(col("doc_id"),
+      when(bucket < SplitTrainPct, "train")
+        .when(bucket < SplitTrainPct + SplitValPct, "val")
+        .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlDatasetSplit: String = {
+    val h = Portable.sqlHash32("lower(trim(text))")
+    s"""SELECT doc_id,
+       |  CASE WHEN $h % 100 < $SplitTrainPct THEN 'train'
+       |       WHEN $h % 100 < ${SplitTrainPct + SplitValPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** TF-IDF top-k terms per document. Classic two-aggregate shape: term
     * frequency per (doc, term), document frequency per term, idf = ln(N/df)
     * (identical fp in both engines), rank per doc with term tie-break.

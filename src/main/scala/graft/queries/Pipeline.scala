@@ -116,6 +116,11 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // -------- deterministic content-hash dataset split (train/val/test)
+    QueryDef.sql("p2_dataset_split", TextOps.sqlDatasetSplit) { (s, dir) =>
+      TextOps.datasetSplit(Tables.documents(s, dir))
+    },
+
     // -------- embedding centroid aggregate (element-wise partition stats)
     QueryDef.sql("c1_centroids",
       """SELECT label, i::INT AS i, round(avg((embedding::DOUBLE[])[i]), 6) AS c
