@@ -90,6 +90,16 @@ final case class Routed(all: DataFrame, declared: Set[String]) {
     try_variant_get(col("msg"), JsonPaths.variantPath(key), ddl)
   }
 
+  /** Dead-letter projection: everything that did NOT pass, with its raw
+    * payload and accumulated problems — what the reference's onError /
+    * onSevere consumers receive (River.kt:67-72). Write it to any sink
+    * (parquet dead-letter table, side topic).
+    */
+  def deadLetters(rawCol: Column): DataFrame =
+    all.filter(col("status") =!= "passed")
+      .select(rawCol.as("raw"), col("status"),
+        to_json(col("problems")).as("problems_json"))
+
   /** Per-river metrics (reference message_counter / on_packet timer tags,
     * River.kt:75-140): named observation over the routed stream counting
     * each routing outcome. Works on batch (read via Observation) and

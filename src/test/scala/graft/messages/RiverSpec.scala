@@ -61,6 +61,28 @@ class RiverSpec extends AnyFunSuite {
     routed.packet("ping_time") // declared: fine
   }
 
+  test("unicode envelope keys route through bracket paths (@løsning, @forårsaket_av)") {
+    val r = River().validate(
+      Validation.requireKey("@løsning.Inntekt"),
+      Validation.requireKey("@forårsaket_av.id"))
+    val routed = r.attach(TestSpark.messages(
+      """{"@løsning":{"Inntekt":{"beløp":1}},"@forårsaket_av":{"id":"x"}}"""), col("value"))
+    assert(routed.passed.count() == 1)
+    assert(routed.packetAs("@forårsaket_av.id", "string") != null)
+  }
+
+  test("dead-letter projection carries raw payload and problems") {
+    val routed = river.attach(TestSpark.messages(
+      """{"@event_name":"ping"}""",
+      """{"@event_name":"ping","ping_time":"t"}""",
+      """not json"""), col("value"))
+    val dl = routed.deadLetters(col("value")).collect()
+    assert(dl.length == 2)
+    val failed = dl.find(_.getString(1) == "validation_failed").get
+    assert(failed.getString(0).contains("ping"))
+    assert(failed.getString(2).contains("ping_time"))
+  }
+
   test("multi-river fanout: independent rivers over one stream (RapidsConnection.kt:44-55)") {
     val msgs = TestSpark.messages(
       """{"@event_name":"ping","ping_time":"t"}""",

@@ -30,6 +30,39 @@ class RapidSurfaceSpec extends AnyFunSuite {
     routed.observed().collect()
   }
 
+  test("river metrics surface in StreamingQueryProgress under streaming") {
+    val spark = TestSpark.spark
+    val rapid = new MemoryRapid(spark, "obs")
+    @volatile var seen: Option[Map[String, Long]] = None
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics
+        if (m.containsKey("river")) {
+          val r = m.get("river")
+          seen = Some(Map("messages" -> r.getLong(0), "passed" -> r.getLong(1)))
+        }
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      rapid.register(River().precondition(Validation.requireValue("@event_name", "ping"))) {
+        routed => routed.observed("river").filter(col("status") === "passed")
+          .select(col("key"), col("value"))
+      }
+      rapid.sendTestMessage("""{"@event_name":"ping"}""")
+      rapid.sendTestMessage("""{"@event_name":"nope"}""")
+      val deadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline && seen.isEmpty) Thread.sleep(100)
+      assert(seen.isDefined, "no observed metrics reached StreamingQueryProgress")
+      assert(seen.get("messages") >= 1L)
+    } finally {
+      rapid.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("lifecycle events publish on attach and query termination (RapidApplication.kt:94-139)") {
     val spark = TestSpark.spark
     val seen = scala.collection.mutable.ArrayBuffer.empty[String]
