@@ -14,8 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object Converters {
 
-  private val IsoLocalDateTime = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]"
-  private val IsoInstant       = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]X"
+  /** Accepted ISO local forms: second precision with 0/1/2/3/6-digit
+    * fractions, and minute precision — mirroring java.time's
+    * ISO_LOCAL_DATE_TIME leniency the reference inherits (fractions of
+    * width 4, 5, 7-9 are not representable in one Spark pattern and are
+    * rejected; rare in practice).
+    */
+  private val LocalPatterns = Seq(
+    "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]",
+    "yyyy-MM-dd'T'HH:mm:ss[.SS][.S]",
+    "yyyy-MM-dd'T'HH:mm")
+
+  /** Offset suffixes: Z / +HH:MM (XXX), Z / +HH (X), +HHMM (XXXX). */
+  private val InstantPatterns =
+    LocalPatterns.flatMap(p => Seq(p + "XXX", p + "X", p + "XXXX"))
+
+  private def tryAny(c: Column, patterns: Seq[String]): Column =
+    patterns.map(p => try_to_timestamp(c, lit(p))).reduce(coalesce(_, _))
 
   /** JsonMessage.kt:786-787 asLocalDate — strict ISO date. */
   def asLocalDate(c: Column): Column = to_date(c, "yyyy-MM-dd")
@@ -30,23 +45,26 @@ object Converters {
   def asOptionalYearMonth(c: Column): Column =
     try_to_timestamp(concat(nullif(c, lit("")), lit("-01")), lit("yyyy-MM-dd")).cast("date")
 
-  /** JsonMessage.kt:803 asLocalDateTime — ISO local, no zone suffix accepted. */
-  def asLocalDateTime(c: Column): Column = to_timestamp(c, IsoLocalDateTime)
+  /** JsonMessage.kt:803 asLocalDateTime — ISO local, no zone suffix accepted
+    * (null on parse failure; requireParsed turns that into a validation
+    * error, the analogue of the reference's parser throw).
+    */
+  def asLocalDateTime(c: Column): Column = tryAny(c, LocalPatterns)
 
   def asOptionalLocalDateTime(c: Column): Column =
-    try_to_timestamp(nullif(c, lit("")), lit(IsoLocalDateTime))
+    tryAny(nullif(c, lit("")), LocalPatterns)
 
-  /** JsonMessage.kt:805-810 asInstant — requires zone/offset suffix. */
-  def asInstant(c: Column): Column = to_timestamp(c, IsoInstant)
+  /** JsonMessage.kt:805-810 asInstant — requires a zone/offset suffix. */
+  def asInstant(c: Column): Column = tryAny(c, InstantPatterns)
 
   def asOptionalInstant(c: Column): Column =
-    try_to_timestamp(nullif(c, lit("")), lit(IsoInstant))
+    tryAny(nullif(c, lit("")), InstantPatterns)
 
   /** JsonMessage.kt:819-825 lenient: accept either an Instant (zoned) or a
     * LocalDateTime (unzoned, interpreted in session zone = UTC).
     */
   def asLocalDateTimeLenient(c: Column): Column =
-    coalesce(try_to_timestamp(c, lit(IsoInstant)), try_to_timestamp(c, lit(IsoLocalDateTime)))
+    coalesce(asInstant(c), asLocalDateTime(c))
 
   def asInstantLenient(c: Column): Column = asLocalDateTimeLenient(c)
 

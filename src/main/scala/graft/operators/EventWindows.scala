@@ -33,13 +33,16 @@ object EventWindows {
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
   /** Gap-based sessionization per user: a new session starts when the gap
-    * since the previous event exceeds SessionGapUs.
+    * since the previous event reaches SessionGapUs. `>=` matches Spark's
+    * session_window half-open [start, last + gap) semantics exactly — an
+    * event landing precisely on the close boundary opens a new session —
+    * keeping this form and [[sessionWindowCounts]] equivalent.
     */
   def sessionize(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
     events
-      .withColumn("new_sess", when(gap.isNull || gap > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("new_sess", when(gap.isNull || gap >= SessionGapUs, 1L).otherwise(0L))
       .groupBy(col("user_id"))
       .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
@@ -50,7 +53,7 @@ object EventWindows {
        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
        |  FROM events)
        |SELECT user_id,
-       |  CAST(sum(CASE WHEN gap IS NULL OR gap > $SessionGapUs THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       |  CAST(sum(CASE WHEN gap IS NULL OR gap >= $SessionGapUs THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        |  CAST(count(*) AS BIGINT) AS n_events
        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 

@@ -28,8 +28,16 @@ final case class KafkaRapidConfig(
     extraTopics: Seq[String] = Nil,
     resetPolicy: String = "latest", // Defaults.kt:20
     maxOffsetsPerTrigger: Option[Long] = Some(500), // Defaults.kt:21
-    checkpointLocation: String = "/tmp/graft-rapid-checkpoint",
-    startingOffsetsByTimestamp: Option[String] = None) // Consumer.kt:12-34
+    /** Must be unique per logical app AND stable across restarts (it IS the
+      * consumer-group identity here); empty derives /tmp/graft-checkpoint-
+      * {rapidTopic}, which assumes one app per topic per host.
+      */
+    checkpointLocation: String = "",
+    startingOffsetsByTimestamp: Option[String] = None) { // Consumer.kt:12-34
+  def resolvedCheckpoint: String =
+    if (checkpointLocation.nonEmpty) checkpointLocation
+    else s"/tmp/graft-checkpoint-$rapidTopic"
+}
 
 final class KafkaRapid(spark: SparkSession, config: KafkaRapidConfig) {
 
@@ -65,5 +73,5 @@ final class KafkaRapid(spark: SparkSession, config: KafkaRapidConfig) {
       .option("kafka.bootstrap.servers", config.bootstrapServers)
       .option("topic", config.rapidTopic)
       .option("kafka.acks", "all") // AivenConfig.kt:37
-      .option("checkpointLocation", config.checkpointLocation)
+      .option("checkpointLocation", config.resolvedCheckpoint)
 }

@@ -29,15 +29,20 @@ object Lifecycle {
 
   /** Listener publishing ready/down on streaming query lifecycle. Returns
     * the listener so callers can remove it on shutdown.
+    *
+    * The listener bus is session-global, so events are filtered through
+    * `owns` (membership test on the query id — this app's rivers): two apps
+    * sharing a SparkSession don't see each other's lifecycle.
     */
-  def attach(spark: SparkSession, appName: String, instanceId: String)(
+  def attach(spark: SparkSession, appName: String, instanceId: String,
+             owns: java.util.UUID => Boolean = _ => true)(
       publish: String => Unit): StreamingQueryListener = {
     val l = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
-        publish(event("application_ready", appName, instanceId))
+        if (owns(e.id)) publish(event("application_ready", appName, instanceId))
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        publish(event("application_down", appName, instanceId))
+        if (owns(e.id)) publish(event("application_down", appName, instanceId))
     }
     spark.streams.addListener(l)
     publish(event("application_up", appName, instanceId))

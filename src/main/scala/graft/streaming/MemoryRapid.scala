@@ -20,15 +20,25 @@ import graft.messages.{River, Routed}
 final class MemoryRapid(spark: SparkSession, name: String = "rapid") {
   import spark.implicits._
 
-  private val input = MemoryStream[(String, String)](
-    implicitly[org.apache.spark.sql.Encoder[(String, String)]], spark)
+  // One MemoryStream PER RIVER: a MemoryStream serves a single query —
+  // the first query's offset commit trims the shared batch buffer, which
+  // would starve every other subscriber (each Kafka consumer group gets its
+  // own offsets; this is the in-memory equivalent).
+  private val inputs = mutable.ArrayBuffer.empty[MemoryStream[(String, String)]]
   private val outbox = mutable.ArrayBuffer.empty[(String, String)]
   private val queries = mutable.ArrayBuffer.empty[StreamingQuery]
 
-  /** The rapid stream: (key, value) like the Kafka source's projection;
-    * tombstones (null values) are dropped by River.attach.
+  private def newInput(): MemoryStream[(String, String)] = {
+    val in = MemoryStream[(String, String)](
+      implicitly[org.apache.spark.sql.Encoder[(String, String)]], spark)
+    inputs += in
+    in
+  }
+
+  /** A fresh subscription to the rapid: (key, value) like the Kafka source's
+    * projection; tombstones (null values) are dropped by River.attach.
     */
-  def stream: DataFrame = input.toDF().toDF("key", "value")
+  def stream: DataFrame = newInput().toDF().toDF("key", "value")
 
   /** Attach a river and a reply flow. The flow maps the routed stream to a
     * DataFrame with columns (key, value) — the messages to publish back on
@@ -54,9 +64,11 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid") {
     queries += q
   }
 
-  /** Synchronously inject a message and drain all rivers. */
+  /** Synchronously inject a message and drain all rivers (every subscriber
+    * sees every message, RapidsConnection.kt:44-55).
+    */
   def sendTestMessage(message: String, key: String = null): Unit = {
-    input.addData((key, message))
+    inputs.foreach(_.addData((key, message)))
     queries.foreach(_.processAllAvailable())
   }
 
@@ -79,6 +91,9 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid") {
     * analogue; surfaced by RapidApplication health).
     */
   def isRunning: Boolean = queries.nonEmpty && queries.forall(_.isActive)
+
+  /** Ids of this rapid's river queries (lifecycle-event ownership filter). */
+  def queryIds: Set[java.util.UUID] = queries.map(_.id).toSet
 
   /** TestRapid.inspektør (TestRapid.kt:38-75). */
   def inspector: Inspector = outbox.synchronized(new Inspector(outbox.toVector))

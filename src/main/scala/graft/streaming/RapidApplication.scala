@@ -42,18 +42,24 @@ object RapidApplication {
     private var lifecycleListener: Option[org.apache.spark.sql.streaming.StreamingQueryListener] = None
 
     /** PingPong river registered by default, like the reference
-      * (RapidApplication.kt:42-47).
+      * (RapidApplication.kt:42-47). Lifecycle attaches FIRST so the first
+      * river's ready event is not missed; events are filtered to this
+      * rapid's own queries.
       */
     def start(): this.type = {
+      lifecycleListener = Some(
+        Lifecycle.attach(spark, appName, instanceId,
+          // lambda, not eta-expansion: queryIds must be read at event time
+          id => rapid.queryIds.contains(id)) { m =>
+          rapid.publish(m)
+        })
       rapid.register(
         River()
           .precondition(Validation.requireValue("@event_name", "ping"))
-          .validate(Validation.requireKey("ping_time"))) { routed =>
-        PingPong(routed.passed, appName, instanceId, clock).toDF("key", "value")
+          .validate(Validation.requireParsed("ping_time",
+            graft.functions.Converters.asOptionalLocalDateTimeLenient))) { routed =>
+        PingPong(routed.passed, appName, instanceId, clock)
       }
-      lifecycleListener = Some(Lifecycle.attach(spark, appName, instanceId) { m =>
-        rapid.publish(m)
-      })
       this
     }
 

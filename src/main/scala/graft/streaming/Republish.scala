@@ -39,6 +39,12 @@ object Republish {
       instanceId: String,
       idGen: Envelope.IdGen = Envelope.RandomIdGen,
       now: Column = current_timestamp()): DataFrame = {
+    // Materialize the fresh id ONCE: the reference uses the SAME id for the
+    // outgoing @id and the appended participating-services entry
+    // (JsonMessage.kt:82-95), and non-deterministic generators are not
+    // common-subexpression-eliminated — two idGen.next occurrences would
+    // yield two different ids.
+    val withId = messages.withColumn("_fresh_id", idGen.next)
     val m = from_json(col("value"), MapOfVariant)
     val orig = parse_json(col("value"))
     val readCount = Envelope.incrementReadCount(
@@ -46,16 +52,19 @@ object Republish {
     val services = Envelope.appendParticipatingService(
       try_variant_get(orig, "$.system_participating_services",
         Envelope.ParticipatingServiceDdl),
-      idGen.next, now, lit(serviceName), lit(instanceId), lit(null).cast("string"))
+      col("_fresh_id"), now, lit(serviceName), lit(instanceId), lit(null).cast("string"))
+    // @id is regenerated because an incoming message's id is by construction
+    // inherited from the origin (the reference's regenerate-when-inherited
+    // rule); a caller-set @id in `mutations` wins (applied last, LAST_WIN).
     val envelope: Seq[(String, Column)] = Seq(
       "system_read_count" -> variantOf(readCount),
       "system_participating_services" -> variantOf(services),
       "@forårsaket_av" -> variantOf(Envelope.causedBy(orig)),
-      "@id" -> variantOf(idGen.next),
+      "@id" -> variantOf(col("_fresh_id")),
       "@opprettet" -> variantOf(date_format(now, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
     val upserts = (envelope ++ mutations.map { case (k, c) => k -> variantOf(c) })
       .flatMap { case (k, c) => Seq(lit(k), c) }
-    messages.select(
+    withId.select(
       col("key"),
       to_json(map_concat(m, map(upserts: _*))).as("value"))
   }

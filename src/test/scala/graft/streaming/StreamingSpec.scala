@@ -29,6 +29,27 @@ class StreamingSpec extends AnyFunSuite {
     rapid.stop()
   }
 
+  test("multi-river fanout: EVERY registered river sees EVERY message (RapidsConnection.kt:44-55)") {
+    val spark = TestSpark.spark
+    val rapid = new MemoryRapid(spark, "fanout")
+    rapid.register(
+      River().precondition(Validation.requireValue("@event_name", "ping"))) { r =>
+      r.passed.select(col("key"), lit("""{"seen":"by-ping-river"}""").as("value"))
+    }
+    rapid.register(
+      River().validate(Validation.requireKey("@event_name"))) { r =>
+      r.passed.select(col("key"), lit("""{"seen":"by-all-river"}""").as("value"))
+    }
+    rapid.sendTestMessage("""{"@event_name":"ping"}""", "k1")
+    val insp = rapid.inspector
+    val bodies = (0 until insp.size).map(insp.message)
+    // a shared MemoryStream would let the first query's commit starve the
+    // second river — both rivers must reply
+    assert(bodies.exists(_.contains("by-ping-river")), s"got $bodies")
+    assert(bodies.exists(_.contains("by-all-river")), s"got $bodies")
+    rapid.stop()
+  }
+
   test("Republish preserves undeclared fields through mutation (JsonMessage.kt:773-779)") {
     val spark = TestSpark.spark
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
@@ -70,7 +91,6 @@ class StreamingSpec extends AnyFunSuite {
         .precondition(Validation.requireValue("@event_name", "ping"))
         .validate(Validation.requireKey("ping_time"))) { routed =>
       PingPong(routed.passed, "app", "i-1", clock)
-        .toDF("key", "value")
     }
     def ping(id: String, atMs: Long): String =
       s"""{"@event_name":"ping","@id":"$id","ping_time":"${new java.sql.Timestamp(atMs).toInstant.toString.stripSuffix("Z")}"}"""
