@@ -66,7 +66,14 @@ object Dedup {
 
   // ------------------------------------------------------ n-gram Jaccard
 
-  /** Exact Jaccard near-dup pairs via inverted-index self-join. */
+  /** Exact Jaccard near-dup pairs via inverted-index self-join.
+    *
+    * Note on cache lifecycle: the shingle index is cached because three
+    * consumers read it (doc counts + both join sides); it stays pinned for
+    * the session. Long-lived multi-job sessions should bound storage with
+    * spark.catalog.clearCache() between pipeline runs (one-shot jobs — the
+    * normal deployment — don't care).
+    */
   def jaccardPairs(docs: DataFrame): DataFrame = {
     val sh = shingles(docs).cache()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
