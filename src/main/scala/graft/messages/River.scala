@@ -49,11 +49,18 @@ final case class River(
       .withColumn("msg", msg)
       .withColumn("_severe", severeProblems)
       .withColumn("_error", errorProblems)
-      .withColumn("status",
+      // status is wrapped in OptimizerFence (a non-deterministic no-op):
+      // PushPredicateThroughNonJoin pushes ANY filter through a Project
+      // whose fields are all deterministic — which would substitute the
+      // full interpreted variant tree into the routing filter and evaluate
+      // it twice per row (measured 3-6x on the envelope queries). A
+      // non-deterministic field pins the projection; the filter then reads
+      // the computed status column.
+      .withColumn("status", graft.functions.OptimizerFence(
         when(msg.isNull || !isObject, lit("unparseable"))
           .when(size(col("_severe")) > 0, lit("precondition_failed"))
           .when(size(col("_error")) > 0, lit("validation_failed"))
-          .otherwise(lit("passed")))
+          .otherwise(lit("passed"))))
       .withColumn("problems",
         when(col("status") === "precondition_failed", col("_severe"))
           .when(col("status") === "validation_failed", col("_error"))
@@ -68,6 +75,7 @@ final case class River(
   * filtered branches over one computed projection.
   */
 final case class Routed(all: DataFrame, declared: Set[String]) {
+
   def passed: DataFrame             = all.filter(col("status") === "passed")
   def preconditionFailed: DataFrame = all.filter(col("status") === "precondition_failed")
   def validationFailed: DataFrame   = all.filter(col("status") === "validation_failed")
