@@ -42,30 +42,52 @@ final case class River(
     // Reference: a message must be a JSON *object* (JsonMessage.kt:97-105);
     // scalars/arrays are severe.
     val isObject = schema_of_variant(msg).startsWith("OBJECT")
-    val severeProblems = Validation.problems(msg, "severe", preconditions)
-    val errorProblems  = Validation.problems(msg, "error", validations)
-    val out = df
+    // Stage 1 — ONE projection holding the parse and every rule predicate
+    // as a boolean flag, each wrapped in OptimizerFence. The fence (a
+    // non-deterministic identity, zero runtime cost) serves two purposes
+    // here: CollapseProject refuses to inline non-deterministic fields into
+    // consumers, so this projection stays physically materialized (without
+    // it, column pruning + collapse re-inlined every rule tree — each with
+    // its own copy of the parse — into the status expression, inside
+    // CaseWhen branches where codegen subexpression elimination cannot
+    // reach; measured ~1.3 s/rule on the sf0.1 envelope suite). Within this
+    // projection the fences sit at field ROOTS, so the deterministic rule
+    // trees below them still CSE: the parse and each shared variant read
+    // evaluate once per row.
+    val preFlags = preconditions.zipWithIndex.map { case (r, i) =>
+      s"_p$i" -> graft.functions.OptimizerFence(coalesce(r(msg), lit(false)))
+    }
+    val valFlags = validations.zipWithIndex.map { case (r, i) =>
+      s"_v$i" -> graft.functions.OptimizerFence(coalesce(r(msg), lit(false)))
+    }
+    val flagCols =
+      ("_bad" -> graft.functions.OptimizerFence(msg.isNull || !isObject)) +: (preFlags ++ valFlags)
+    val flagged = df
       .filter(jsonCol.isNotNull) // tombstone filter
-      .withColumn("msg", msg)
-      .withColumn("_severe", severeProblems)
-      .withColumn("_error", errorProblems)
-      // status is wrapped in OptimizerFence (a non-deterministic no-op):
-      // PushPredicateThroughNonJoin pushes ANY filter through a Project
-      // whose fields are all deterministic — which would substitute the
-      // full interpreted variant tree into the routing filter and evaluate
-      // it twice per row (measured 3-6x on the envelope queries). A
-      // non-deterministic field pins the projection; the filter then reads
-      // the computed status column.
+      .withColumns(Map(("msg" -> msg) +: flagCols: _*))
+    // Stage 2 — status/problems as cheap boolean/literal combinations over
+    // the flag ATTRIBUTES (no variant reads here). status keeps its own
+    // fence: PushPredicateThroughNonJoin pushes any filter through a
+    // Project whose fields are all deterministic, which would duplicate the
+    // routing when-chain into every downstream filter (measured 3-6x); the
+    // fence pins it so filters read the computed column.
+    val anyPre = preFlags.map { case (n, _) => !col(n) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val anyVal = valFlags.map { case (n, _) => !col(n) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val out = flagged
       .withColumn("status", graft.functions.OptimizerFence(
-        when(msg.isNull || !isObject, lit("unparseable"))
-          .when(size(col("_severe")) > 0, lit("precondition_failed"))
-          .when(size(col("_error")) > 0, lit("validation_failed"))
+        when(col("_bad"), lit("unparseable"))
+          .when(anyPre, lit("precondition_failed"))
+          .when(anyVal, lit("validation_failed"))
           .otherwise(lit("passed"))))
       .withColumn("problems",
-        when(col("status") === "precondition_failed", col("_severe"))
-          .when(col("status") === "validation_failed", col("_error"))
+        when(col("status") === "precondition_failed",
+          Validation.problemsFromFlags("severe", preconditions, i => col(s"_p$i")))
+          .when(col("status") === "validation_failed",
+            Validation.problemsFromFlags("error", validations, i => col(s"_v$i")))
           .otherwise(array().cast("array<struct<severity:string,message:string>>")))
-      .drop("_severe", "_error")
+      .drop(flagCols.map(_._1): _*)
     Routed(out, declaredKeys)
   }
 }

@@ -33,6 +33,9 @@ object Validation {
 
   private def present(msg: Column, key: String): Column = {
     val v = vraw(msg, key)
+    // NOTE is_variant_null(SQL NULL) = false, so the isNotNull guard is
+    // load-bearing. The left operand is always evaluated, which keeps the
+    // parse under it visible to codegen subexpression elimination.
     v.isNotNull && !is_variant_null(v)
   }
 
@@ -225,6 +228,22 @@ object Validation {
         struct(lit(severity).as("severity"), lit(r.description).as("message")))
         .otherwise(lit(null).cast("struct<severity:string,message:string>"))
     }: _*))
+  }
+
+  /** Problem array from already-materialized per-rule pass flags (false =
+    * failed; flags are null-coalesced upstream). Built as concat of
+    * 0/1-element arrays, NOT array_compact — array_compact rewrites to the
+    * higher-order filter(λ), a CodegenFallback that kicks the whole
+    * projection out of whole-stage codegen.
+    */
+  def problemsFromFlags(severity: String, rules: Seq[Rule], flag: Int => Column): Column = {
+    val empty = array().cast("array<struct<severity:string,message:string>>")
+    if (rules.isEmpty) empty
+    else concat(rules.zipWithIndex.map { case (r, i) =>
+      when(!flag(i),
+        array(struct(lit(severity).as("severity"), lit(r.description).as("message"))))
+        .otherwise(empty)
+    }: _*)
   }
 
   /** Conjunction of all rules (null-safe: a null predicate counts as fail). */
