@@ -214,8 +214,10 @@ object Dedup {
     blocked.as("a").join(blocked.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
-        levenshtein(col("a.pre"), col("b.pre")).cast("int").as("d"))
-      .filter(col("d") <= EditMaxDistance)
+        // banded Levenshtein: O(len*k) and early-exits above the bound,
+        // returning -1 — exact for kept rows, so oracle output is identical
+        levenshtein(col("a.pre"), col("b.pre"), EditMaxDistance).cast("int").as("d"))
+      .filter(col("d") >= 0 && col("d") <= EditMaxDistance)
       .orderBy(col("ia"), col("ib"))
   }
 
