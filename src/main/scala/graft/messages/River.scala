@@ -38,7 +38,12 @@ final case class River(
     * Tombstones (null values) are dropped, KafkaRapid.kt:162-163.
     */
   def attach(df: DataFrame, jsonCol: Column): Routed = {
-    val msg = try_parse_json(jsonCol)
+    // Materialize the raw JSON once, fenced: the tombstone Filter would
+    // otherwise inline jsonCol (often a full to_json envelope build,
+    // ~10 us/row) and evaluate it a second time alongside the parse input.
+    val rawName = "_graft_raw"
+    val raw = col(rawName)
+    val msg = try_parse_json(raw)
     // Reference: a message must be a JSON *object* (JsonMessage.kt:97-105);
     // scalars/arrays are severe.
     val isObject = schema_of_variant(msg).startsWith("OBJECT")
@@ -63,7 +68,8 @@ final case class River(
     val flagCols =
       ("_bad" -> graft.functions.OptimizerFence(msg.isNull || !isObject)) +: (preFlags ++ valFlags)
     val flagged = df
-      .filter(jsonCol.isNotNull) // tombstone filter
+      .withColumn(rawName, graft.functions.OptimizerFence(jsonCol))
+      .filter(raw.isNotNull) // tombstone filter
       .withColumns(Map(("msg" -> msg) +: flagCols: _*))
     // Stage 2 — status/problems as cheap boolean/literal combinations over
     // the flag ATTRIBUTES (no variant reads here). status keeps its own
@@ -87,7 +93,7 @@ final case class River(
           .when(col("status") === "validation_failed",
             Validation.problemsFromFlags("error", validations, i => col(s"_v$i")))
           .otherwise(array().cast("array<struct<severity:string,message:string>>")))
-      .drop(flagCols.map(_._1): _*)
+      .drop(flagCols.map(_._1) :+ rawName: _*)
     Routed(out, declaredKeys)
   }
 }
