@@ -16,6 +16,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Coalesce toward advisoryPartitionSizeInBytes instead of preserving
+      // parallelism-many tiny partitions (the setting Spark's tuning guide
+      // recommends for production): post-shuffle tasks then match the data,
+      // not the cluster width.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // map upsert semantics for mutate-then-republish (Envelope.scala)
@@ -29,6 +34,7 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Portable
+
+/** Corpus-curation operators for a training-data pipeline (SURVEY §2.8
+  * north star): deterministic stratified sampling, per-source caps, and
+  * benchmark decontamination.
+  *
+  * Scale design:
+  *  - sampling is a stateless per-row hash predicate — no shuffle at all,
+  *    fully pushdown-friendly, reproducible across runs and engines;
+  *  - the per-source cap is one shuffle on the skew-bounded source key;
+  *  - decontamination reuses the stop-shingle-capped inverted index
+  *    (Dedup.shingles) and joins train-side shingles against the (small)
+  *    benchmark side — broadcast-able at 100 TB, never a cross product.
+  */
+object Curation {
+
+  // ------------------------------------------- deterministic sampling
+
+  /** Per-source sampling rate in percent: 20..79, derived from the source
+    * name's hash — stands in for a configured mixing-weights table while
+    * staying oracle-derivable.
+    */
+  def sampleRate(source: Column): Column =
+    lit(20) + Portable.hash32(source) % lit(60)
+
+  def sqlSampleRate(e: String): String =
+    s"(20 + ${Portable.sqlHash32(e)} % 60)"
+
+  /** Deterministic stratified Bernoulli sample: keep a doc iff
+    * hash32(doc_id) mod 100 falls under its source's rate. A pure per-row
+    * predicate — reproducible, engine-portable, and zero-shuffle (the
+    * filter pushes to the scan).
+    */
+  def stratifiedSample(docs: DataFrame): DataFrame =
+    docs
+      .filter(Portable.hash32(col("doc_id").cast("string")) % 100 < sampleRate(col("source")))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  val sqlStratifiedSample: String =
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${Portable.sqlHash32("doc_id::VARCHAR")} % 100 < ${sqlSampleRate("source")}
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- per-source caps
+
+  /** Max documents kept per source (quality practice: bound any one
+    * domain's contribution to the corpus).
+    */
+  val SourceCap = 10
+
+  /** Keep at most [[SourceCap]] docs per source, deterministically the
+    * lowest doc_ids. One shuffle on source; rank is computed per-partition
+    * after the exchange (no global sort).
+    */
+  def perSourceCap(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SourceCap)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sqlPerSourceCap: String =
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents) WHERE rn <= $SourceCap
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- benchmark decontamination
+
+  /** Benchmark-membership predicate: a deterministic held-out slice of the
+    * corpus (stands in for a real eval-set manifest).
+    */
+  val BenchmarkMod = 97
+
+  /** Training docs sharing at least one (stop-shingle-capped) shingle with
+    * any benchmark doc, with the count of distinct shared shingles — the
+    * n-gram-overlap decontamination pass run before training. Benchmark
+    * side is tiny => Spark broadcasts it; train side streams through.
+    */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingles(docs)
+    val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
+      .select(col("g")).distinct()
+    sh.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sqlDecontaminate: String =
+    s"""WITH ${Dedup.sqlShingleCtes},
+       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % $BenchmarkMod = 0)
+       |SELECT s.doc_id, CAST(count(DISTINCT s.g) AS BIGINT) AS n_shared
+       |FROM sh s JOIN bench b ON s.g = b.g
+       |WHERE s.doc_id % $BenchmarkMod <> 0
+       |GROUP BY s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+}

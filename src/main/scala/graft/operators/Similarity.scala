@@ -146,4 +146,39 @@ object Similarity {
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
        |  FROM sims) WHERE rnk <= $k
        |ORDER BY qid, rnk""".stripMargin
+
+  // ------------------------------------------- embedding-cosine near-dup
+
+  /** Cosine threshold above which a blocked pair counts as a near-dup. */
+  val CosineDupThreshold = 0.4
+
+  /** Embedding-cosine near-dup PAIRS (the dedup-flavored counterpart of
+    * [[nnAll]]): candidates are blocked on the coarse-quantizer cell (the
+    * label column, as in IVF), then verified with exact cosine. The
+    * blocking join is the scale path — pair volume is bounded by cell
+    * co-membership, never the n^2 cross product; the verify dot product is
+    * the codegen'd native expression.
+    */
+  def cosineDupPairs(emb: DataFrame): DataFrame = {
+    val e = vecs(emb).withColumn("nrm", norm(col("v")))
+    val a = e.select(col("label"), col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, "label")
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
+      .filter(col("sim") >= CosineDupThreshold)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val sqlCosineDupPairs: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |  round(list_dot_product(a.v, b.v)
+       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.v, b.v)
+       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+       |  >= $CosineDupThreshold
+       |ORDER BY ia, ib""".stripMargin
 }

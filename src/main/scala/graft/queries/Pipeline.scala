@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, EventWindows, Multimodal, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, EventWindows, Multimodal, Similarity, TextOps}
 
 /** Training-data pipeline suite: dedup family, text analysis, similarity
   * search, event-time windows — the 100 TB-scale operators beyond the
@@ -119,6 +119,23 @@ object Pipeline {
     // -------- deterministic content-hash dataset split (train/val/test)
     QueryDef.sql("p2_dataset_split", TextOps.sqlDatasetSplit) { (s, dir) =>
       TextOps.datasetSplit(Tables.documents(s, dir))
+    },
+
+    // -------- curation: deterministic sampling, per-source caps,
+    // benchmark decontamination (operators/Curation.scala)
+    QueryDef.sql("p3_source_sample", Curation.sqlStratifiedSample) { (s, dir) =>
+      Curation.stratifiedSample(Tables.documents(s, dir))
+    },
+    QueryDef.sql("p4_source_cap", Curation.sqlPerSourceCap) { (s, dir) =>
+      Curation.perSourceCap(Tables.documents(s, dir))
+    },
+    QueryDef.sql("p5_decontaminate", Curation.sqlDecontaminate) { (s, dir) =>
+      Curation.decontaminate(Tables.documents(s, dir))
+    },
+
+    // -------- embedding-cosine near-dup pairs (IVF-cell blocked)
+    QueryDef.sql("d7_embed_cosine_dup", Similarity.sqlCosineDupPairs) { (s, dir) =>
+      Similarity.cosineDupPairs(Tables.embeddings(s, dir))
     },
 
     // -------- embedding centroid aggregate (element-wise partition stats)
