@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Physical-plan shape assertions for the scale-critical operators: these
+  * lock the properties that matter at 100 TB (broadcasts where one side is
+  * small, no shuffle where a per-row predicate suffices, column pruning at
+  * the scan) so a refactor that silently regresses the plan fails CI, not
+  * the cluster.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): String = {
+    df.collect() // run so AQE finalizes the plan
+    // keep only the final adaptive plan (toString also prints the initial)
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("brute-force kNN broadcasts the query side and top-ks before the shuffle") {
+    val plan = executed(Similarity.knnBrute(graft.Tables.embeddings(TestSpark.spark, dir), 10, 5))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected broadcast of the query set in:\n$plan")
+    // rank<=k is pushed below the exchange (WindowGroupLimit partial), so
+    // what shuffles is k rows per (qid, input partition), not the pair set
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected map-side top-k (WindowGroupLimit) in:\n$plan")
+  }
+
+  test("decontamination broadcasts the benchmark shingle set") {
+    val docs = graft.Tables.documents(TestSpark.spark, dir)
+    val plan = executed(Curation.decontaminate(docs))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast join against the benchmark side in:\n$plan")
+  }
+
+  test("stratified sample is shuffle-free up to the presentation sort") {
+    val docs = graft.Tables.documents(TestSpark.spark, dir)
+    val plan = executed(Curation.stratifiedSample(docs))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    // exactly the rangepartitioning exchange for the final ORDER BY
+    assert(exchanges <= 1 && plan.contains("rangepartitioning"),
+      s"sampling must be a pure per-row predicate (no data shuffle):\n$plan")
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    val ev = graft.Tables.events(TestSpark.spark, dir)
+    val q = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val plan = executed(q)
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final HashAggregate pair in:\n$plan")
+  }
+
+  test("column pruning reaches the parquet scan") {
+    val docs = graft.Tables.documents(TestSpark.spark, dir)
+    val q = docs.select(col("doc_id"), length(col("text")).as("len"))
+    val plan = executed(q)
+    val readSchema = plan.split("ReadSchema: ").last
+    assert(readSchema.contains("doc_id") && readSchema.contains("text")
+      && !readSchema.contains("source") && !readSchema.contains("lang"),
+      s"scan should read only doc_id+text, got: $readSchema")
+  }
+}
