@@ -33,6 +33,19 @@ object TextOps {
 
   def nTokens(text: Column): Column = size(tokens(text)).cast("bigint")
 
+  /** BPE-style pre-tokenizer: letter runs, single digits, single marks —
+    * the GPT-2-style split whose match count upper-bounds BPE token count.
+    * The alternation's character classes are disjoint, so Java regex
+    * (Spark) and RE2 (DuckDB) produce identical token streams.
+    */
+  val BpePattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  def bpeCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpePattern), lit(0))).cast("bigint")
+
+  def sqlBpeCount(e: String): String =
+    s"""len(regexp_extract_all(lower($e), '[a-z]+|[0-9]|[^a-z0-9\\s]'))::BIGINT"""
+
   /** Count of tokens exactly in `words`. */
   private def tokenHits(text: Column, words: Seq[String]): Column = {
     val inSet = (t: Column) => words.map(w => t === lit(w)).reduce(_ || _)

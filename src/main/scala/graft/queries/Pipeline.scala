@@ -55,6 +55,14 @@ object Pipeline {
         org.apache.spark.sql.functions.length(col("text")).cast("bigint").as("n_chars"))
         .orderBy(col("doc_id"))
     },
+    // BPE-ish pre-tokenizer count alongside the whitespace count
+    QueryDef.sql("t7_bpe_tokens",
+      s"""SELECT doc_id, ${TextOps.sqlBpeCount("text")} AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.bpeCount(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    },
     QueryDef.sql("t2_quality", TextOps.sqlQuality) { (s, dir) =>
       TextOps.quality(Tables.documents(s, dir), col("text")).orderBy(col("doc_id"))
     },
