@@ -36,6 +36,7 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.plans.GraftExtensions.register(spark)
     spark
   }
 

@@ -38,16 +38,26 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Distinct word-ShingleN-grams per doc, hot shingles dropped. */
-  def shingles(docs: DataFrame): DataFrame = {
+  /** Per-doc distinct word-ShingleN-gram array — a stateless per-row
+    * expression, usable identically on batch and streaming inputs.
+    */
+  def shingleArray(text: Column): Column = {
     val n = ShingleN
-    val sh0 = docs
-      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
-      .select(col("doc_id"), explode(
-        when(size(col("w")) >= n,
-          expr(s"transform(sequence(0, size(w) - $n), i -> array_join(slice(w, i + 1, $n), ' '))"))
-          .otherwise(array().cast("array<string>"))).as("g"))
-      .distinct()
+    val w = Portable.tokens(text)
+    array_distinct(
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => array_join(slice(w, i + lit(1), lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Distinct word-ShingleN-grams per doc, hot shingles dropped.
+    * Per-doc dedup happens inside [[shingleArray]] (array_distinct before
+    * the explode) — equivalent to a global DISTINCT on (doc_id, g) given
+    * unique doc_ids, without that extra shuffle.
+    */
+  def shingles(docs: DataFrame): DataFrame = {
+    val sh0 = docs.select(col("doc_id"), explode(shingleArray(col("text"))).as("g"))
     val rare = sh0.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDocFreq).select(col("g"))
     sh0.join(rare, "g")

@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a builder as a session-scoped SQL function on an EXISTING
+    * session (the conf-based `spark.sql.extensions` route only applies at
+    * session build; this is the runtime equivalent for sessions the library
+    * didn't create).
+    */
+  def registerTempFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -89,4 +89,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 01:00:00", "click", 2L, 3.0)))
     assert(rows.contains(("2024-01-01 01:00:00", "view", 1L, 3.0)))
   }
+
+  test("stream-static decontamination: live docs flagged against a static benchmark") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val bench = "one two three four five six seven eight nine ten"
+    // static side: benchmark shingles, broadcast into the stream
+    val benchG = Seq((0L, bench)).toDF("doc_id", "text")
+      .select(explode(Dedup.shingleArray(col("text"))).as("g")).distinct()
+    val input = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]], spark)
+    // per-row shingling (stateless) + stream-static broadcast join + update-mode agg
+    val flagged = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), explode(Dedup.shingleArray(col("text"))).as("g"))
+      .join(broadcast(benchG), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    val q = flagged.writeStream.outputMode("update")
+      .format("memory").queryName("stream_decon").start()
+    input.addData((1L, "zz " + bench), (2L, "alpha beta gamma delta epsilon zeta"))
+    q.processAllAvailable()
+    val rows = spark.table("stream_decon").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(rows.keySet == Set(1L))
+    assert(rows(1L) >= 8)
+  }
 }
