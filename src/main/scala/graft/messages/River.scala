@@ -32,21 +32,62 @@ final case class River(
     (preconditions ++ validations).map(_.key).filter(_.nonEmpty).toSet
 
   /** Attach to a DataFrame whose `jsonCol` holds raw JSON message strings.
-    * Adds columns: `msg` (VARIANT), `status`, `problems`.
+    * Adds columns: `msg`, `status`, `problems`.
     *
     * status: unparseable | precondition_failed | validation_failed | passed.
     * Tombstones (null values) are dropped, KafkaRapid.kt:162-163.
+    *
+    * Two compilation modes, one semantics (same truth tables, same Routed
+    * surface):
+    *  - FAST PATH, when every rule is key-scoped (`onValue`) on flat keys:
+    *    the message parses via schema-pruned from_json into
+    *    struct<key: variant, ...> — Jackson skips undeclared fields, reads
+    *    are struct-field accesses, malformed/non-object roots surface in a
+    *    corrupt-record column. Measured ~2x over whole-document variant
+    *    parse on the envelope suite.
+    *  - VARIANT PATH otherwise (msg-level `predicate` rules, dotted keys):
+    *    whole-document try_parse_json + per-key variant gets.
     */
   def attach(df: DataFrame, jsonCol: Column): Routed = {
-    // Materialize the raw JSON once, fenced: the tombstone Filter would
-    // otherwise inline jsonCol (often a full to_json envelope build,
-    // ~10 us/row) and evaluate it a second time alongside the parse input.
-    val rawName = "_graft_raw"
-    val raw = col(rawName)
-    val msg = try_parse_json(raw)
+    val rules = preconditions ++ validations
+    val keys = declaredKeys.toSeq.sorted
+    val fast = keys.nonEmpty && rules.forall(_.onValue.isDefined) &&
+      keys.forall(k => !k.contains(".") && !k.contains("`"))
+    if (fast) attachFast(df, jsonCol, keys) else attachVariant(df, jsonCol)
+  }
+
+  private def attachFast(df: DataFrame, jsonCol: Column, keys: Seq[String]): Routed = {
+    val corrupt = River.CorruptCol
+    val ddl = (keys.map(k => s"`$k` variant") :+ s"`$corrupt` string")
+      .mkString("struct<", ", ", ">")
+    val schema = org.apache.spark.sql.types.DataType.fromDDL(ddl)
+    val msg = from_json(col(River.RawCol), schema,
+      Map("columnNameOfCorruptRecord" -> corrupt, "mode" -> "PERMISSIVE"))
+    // malformed JSON and non-object roots (scalars/arrays) land in the
+    // corrupt-record field — the reference's "message must be a JSON
+    // object" severe (JsonMessage.kt:97-105)
+    val bad = msg.isNull || msg.getField(corrupt).isNotNull
+    stage(df, jsonCol, msg, bad,
+      r => r.onValue.get(msg.getField(r.key)), structMsg = true)
+  }
+
+  private def attachVariant(df: DataFrame, jsonCol: Column): Routed = {
+    val msg = try_parse_json(col(River.RawCol))
     // Reference: a message must be a JSON *object* (JsonMessage.kt:97-105);
     // scalars/arrays are severe.
     val isObject = schema_of_variant(msg).startsWith("OBJECT")
+    stage(df, jsonCol, msg, msg.isNull || !isObject, r => r(msg), structMsg = false)
+  }
+
+  /** Shared routing stages over a parsed message expression and a per-rule
+    * flag builder.
+    */
+  private def stage(df: DataFrame, jsonCol: Column, msg: Column, bad: Column,
+      flag: Rule => Column, structMsg: Boolean): Routed = {
+    // Stage 0 — materialize the raw JSON once, fenced: the tombstone Filter
+    // would otherwise inline jsonCol (often a full to_json envelope build,
+    // ~10 us/row) and evaluate it a second time alongside the parse input.
+    val raw = col(River.RawCol)
     // Stage 1 — ONE projection holding the parse and every rule predicate
     // as a boolean flag, each wrapped in OptimizerFence. The fence (a
     // non-deterministic identity, zero runtime cost) serves two purposes
@@ -60,15 +101,15 @@ final case class River(
     // trees below them still CSE: the parse and each shared variant read
     // evaluate once per row.
     val preFlags = preconditions.zipWithIndex.map { case (r, i) =>
-      s"_p$i" -> graft.functions.OptimizerFence(coalesce(r(msg), lit(false)))
+      s"_p$i" -> graft.functions.OptimizerFence(coalesce(flag(r), lit(false)))
     }
     val valFlags = validations.zipWithIndex.map { case (r, i) =>
-      s"_v$i" -> graft.functions.OptimizerFence(coalesce(r(msg), lit(false)))
+      s"_v$i" -> graft.functions.OptimizerFence(coalesce(flag(r), lit(false)))
     }
     val flagCols =
-      ("_bad" -> graft.functions.OptimizerFence(msg.isNull || !isObject)) +: (preFlags ++ valFlags)
+      ("_bad" -> graft.functions.OptimizerFence(bad)) +: (preFlags ++ valFlags)
     val flagged = df
-      .withColumn(rawName, graft.functions.OptimizerFence(jsonCol))
+      .withColumn(River.RawCol, graft.functions.OptimizerFence(jsonCol))
       .filter(raw.isNotNull) // tombstone filter
       .withColumns(Map(("msg" -> msg) +: flagCols: _*))
     // Stage 2 — status/problems as cheap boolean/literal combinations over
@@ -93,16 +134,23 @@ final case class River(
           .when(col("status") === "validation_failed",
             Validation.problemsFromFlags("error", validations, i => col(s"_v$i")))
           .otherwise(array().cast("array<struct<severity:string,message:string>>")))
-      .drop(flagCols.map(_._1) :+ rawName: _*)
-    Routed(out, declaredKeys)
+      .drop(flagCols.map(_._1) :+ River.RawCol: _*)
+    Routed(out, declaredKeys, structMsg)
   }
+}
+
+object River {
+  /** Internal column names (dropped / not part of the routed surface). */
+  private[messages] val RawCol = "_graft_raw"
+  private[messages] val CorruptCol = "_graft_corrupt"
 }
 
 /** The 4-way routed result. Mirrors the listener fanout onSevere /
   * onPreconditionError / onError / onPacket (River.kt:52-65) as lazily
   * filtered branches over one computed projection.
   */
-final case class Routed(all: DataFrame, declared: Set[String]) {
+final case class Routed(all: DataFrame, declared: Set[String],
+    structMsg: Boolean = false) {
 
   def passed: DataFrame             = all.filter(col("status") === "passed")
   def preconditionFailed: DataFrame = all.filter(col("status") === "precondition_failed")
@@ -111,19 +159,23 @@ final case class Routed(all: DataFrame, declared: Set[String]) {
 
   /** Declare-before-read enforcement (JsonMessage.kt:759-771): reading an
     * undeclared key raises at plan-build time, preserving the reference's
-    * safety property with zero runtime cost.
+    * safety property with zero runtime cost. The accessor compiles to a
+    * struct-field read on the fast path and a variant path get otherwise —
+    * caller code is identical either way.
     */
   def packet(key: String): Column = {
     require(declared.contains(key),
       s"Key '$key' was not declared in any precondition/validation of this river")
-    try_variant_get(col("msg"), JsonPaths.variantPath(key), "variant")
+    if (structMsg) col("msg").getField(key)
+    else try_variant_get(col("msg"), JsonPaths.variantPath(key), "variant")
   }
 
   /** Typed read of a declared key. */
   def packetAs(key: String, ddl: String): Column = {
     require(declared.contains(key),
       s"Key '$key' was not declared in any precondition/validation of this river")
-    try_variant_get(col("msg"), JsonPaths.variantPath(key), ddl)
+    if (structMsg) try_variant_get(col("msg").getField(key), "$", ddl)
+    else try_variant_get(col("msg"), JsonPaths.variantPath(key), ddl)
   }
 
   /** Dead-letter projection: everything that did NOT pass, with its raw

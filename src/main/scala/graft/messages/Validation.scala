@@ -19,101 +19,103 @@ object Validation {
   /** A compiled rule: named predicate + failure message. Severity is decided
     * by the stage it runs in (precondition => severe, validate => error),
     * mirroring River.kt:52-65.
+    *
+    * `passes` evaluates against the whole parsed message; `onValue`, when
+    * defined (every rule kind except the msg-level `predicate` escape
+    * hatch), evaluates against just the key's VARIANT value — which lets
+    * River compile a fully-declared river to the schema-pruned from_json
+    * fast path where each declared key is its own struct field.
     */
-  final case class Rule(key: String, description: String, passes: Column => Column) {
+  final case class Rule(key: String, description: String,
+      passes: Column => Column, onValue: Option[Column => Column] = None) {
     def apply(msg: Column): Column = passes(msg)
   }
 
-  /** Untyped presence: SQL NULL when the path is missing; variant-null when
-    * the JSON value is null. Both count as "not present" for requireKey
+  /** Untyped value at `key`: SQL NULL when the path is missing; variant-null
+    * when the JSON value is null. Both count as "not present" for requireKey
     * (JsonMessage.kt:747-752).
     */
   private def vraw(msg: Column, key: String): Column =
     try_variant_get(msg, JsonPaths.variantPath(key), "variant")
 
-  private def present(msg: Column, key: String): Column = {
-    val v = vraw(msg, key)
+  /** Key-scoped rule: the predicate sees only the key's variant value. */
+  private def keyRule(key: String, desc: String)(f: Column => Column): Rule =
+    Rule(key, desc, m => f(vraw(m, key)), Some(f))
+
+  private def present(v: Column): Column =
     // NOTE is_variant_null(SQL NULL) = false, so the isNotNull guard is
     // load-bearing. The left operand is always evaluated, which keeps the
     // parse under it visible to codegen subexpression elimination.
     v.isNotNull && !is_variant_null(v)
-  }
 
-  /** JSON type of the value at `key` as a DDL string (e.g. "STRING",
+  /** JSON type of the variant value as a DDL string (e.g. "STRING",
     * "BIGINT", "DOUBLE", "BOOLEAN", "ARRAY<...>"); null when missing.
     */
-  private def typeOf(msg: Column, key: String): Column =
-    schema_of_variant(vraw(msg, key))
+  private def typeOf(v: Column): Column = schema_of_variant(v)
 
-  private def asString(msg: Column, key: String): Column =
-    try_variant_get(msg, JsonPaths.variantPath(key), "string")
+  private def asString(v: Column): Column = try_variant_get(v, "$", "string")
 
-  private def isStringType(msg: Column, key: String): Column = typeOf(msg, key) === "STRING"
+  private def isStringType(v: Column): Column = typeOf(v) === "STRING"
 
-  private def isNumericType(msg: Column, key: String): Column = {
-    val t = typeOf(msg, key)
+  private def isNumericType(v: Column): Column = {
+    val t = typeOf(v)
     t.isin("TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUBLE") ||
       t.startsWith("DECIMAL")
   }
 
-  private def isBooleanType(msg: Column, key: String): Column = typeOf(msg, key) === "BOOLEAN"
+  private def isBooleanType(v: Column): Column = typeOf(v) === "BOOLEAN"
 
-  private def isArrayType(msg: Column, key: String): Column = typeOf(msg, key).startsWith("ARRAY")
+  private def isArrayType(v: Column): Column = typeOf(v).startsWith("ARRAY")
 
-  private def asStringArray(msg: Column, key: String): Column =
-    try_variant_get(msg, JsonPaths.variantPath(key), "array<string>")
+  private def asStringArray(v: Column): Column = try_variant_get(v, "$", "array<string>")
 
   // ------------------------------------------------------------- rule kinds
 
   /** requireKey (JsonMessage.kt:628-630): fail when missing or null. */
   def requireKey(key: String): Rule =
-    Rule(key, s"Missing required key $key", present(_, key))
+    keyRule(key, s"Missing required key $key")(present)
 
   /** requireValue for strings (JsonMessage.kt:638-643): present, string-typed,
     * equal.
     */
   def requireValue(key: String, value: String): Rule =
-    Rule(key, s"Required $key = $value",
-      m => isStringType(m, key) && asString(m, key) === lit(value))
+    keyRule(key, s"Required $key = $value")(
+      v => isStringType(v) && asString(v) === lit(value))
 
   /** requireValue for booleans (JsonMessage.kt:632-637). */
   def requireValue(key: String, value: Boolean): Rule =
-    Rule(key, s"Required $key = $value",
-      m => isBooleanType(m, key) &&
-        try_variant_get(m, JsonPaths.variantPath(key), "boolean") === lit(value))
+    keyRule(key, s"Required $key = $value")(
+      v => isBooleanType(v) && try_variant_get(v, "$", "boolean") === lit(value))
 
   /** requireValue for numbers (JsonMessage.kt:645-650): numeric JSON type
     * required — the string "3" does not equal the number 3; 3 == 3.0 does.
     */
   def requireValue(key: String, value: Double): Rule =
-    Rule(key, s"Required $key = $value",
-      m => isNumericType(m, key) &&
-        try_variant_get(m, JsonPaths.variantPath(key), "double") === lit(value))
+    keyRule(key, s"Required $key = $value")(
+      v => isNumericType(v) && try_variant_get(v, "$", "double") === lit(value))
 
   /** requireAny (JsonMessage.kt:652-657): string value in the allowed set. */
   def requireAny(key: String, values: Seq[String]): Rule =
-    Rule(key, s"Required $key in ${values.mkString(",")}",
-      m => isStringType(m, key) && asString(m, key).isin(values: _*))
+    keyRule(key, s"Required $key in ${values.mkString(",")}")(
+      v => isStringType(v) && asString(v).isin(values: _*))
 
   /** requireArray (JsonMessage.kt:659-672). */
   def requireArray(key: String): Rule =
-    Rule(key, s"Required $key to be an array", isArrayType(_, key))
+    keyRule(key, s"Required $key to be an array")(isArrayType)
 
   /** requireArray with per-element validation (JsonMessage.kt:663-670):
     * every element, re-parsed as a message, must satisfy `elem`.
     */
   def requireArrayElements(key: String, elem: Column => Column): Rule =
-    Rule(key, s"Required all elements of $key to validate",
-      m => isArrayType(m, key) &&
-        forall(try_variant_get(m, JsonPaths.variantPath(key), "array<variant>"), elem))
+    keyRule(key, s"Required all elements of $key to validate")(
+      v => isArrayType(v) && forall(try_variant_get(v, "$", "array<variant>"), elem))
 
   /** requireAll (JsonMessage.kt:687-694): array value must contain every
     * requested element.
     */
   def requireAll(key: String, values: Seq[String]): Rule =
-    Rule(key, s"Required $key to contain all of ${values.mkString(",")}",
-      m => isArrayType(m, key) &&
-        size(array_except(lit(values.toArray), asStringArray(m, key))) === 0)
+    keyRule(key, s"Required $key to contain all of ${values.mkString(",")}")(
+      v => isArrayType(v) && size(array_except(lit(values.toArray), asStringArray(v))) === 0)
 
   /** requireContains (JsonMessage.kt:674-676) — sugar for requireAll(k, [v]). */
   def requireContains(key: String, value: String): Rule = requireAll(key, Seq(value))
@@ -122,50 +124,49 @@ object Validation {
     * the array intersects the requested values.
     */
   def requireAllOrAny(key: String, values: Seq[String]): Rule =
-    Rule(key, s"Required $key to contain any of ${values.mkString(",")}",
-      m => isArrayType(m, key) &&
-        arrays_overlap(lit(values.toArray), asStringArray(m, key)))
+    keyRule(key, s"Required $key to contain any of ${values.mkString(",")}")(
+      v => isArrayType(v) && arrays_overlap(lit(values.toArray), asStringArray(v)))
 
   /** require(key, parser) (JsonMessage.kt:700-709): present and the parser
     * (a Converters.try* column function over the string value) succeeds.
     */
   def requireParsed(key: String, parser: Column => Column): Rule =
-    Rule(key, s"Required $key to parse",
-      m => present(m, key) && parser(asString(m, key)).isNotNull)
+    keyRule(key, s"Required $key to parse")(
+      v => present(v) && parser(asString(v)).isNotNull)
 
   /** forbid (JsonMessage.kt:711-713): fail when present and non-null. */
   def forbid(key: String): Rule =
-    Rule(key, s"Forbidden key $key", m => !present(m, key))
+    keyRule(key, s"Forbidden key $key")(v => !present(v))
 
   /** forbidValue for strings (JsonMessage.kt:715-725): fail only when
     * present, correctly typed, and equal.
     */
   def forbidValue(key: String, value: String): Rule =
-    Rule(key, s"Forbidden $key = $value",
-      m => !coalesce(isStringType(m, key) && asString(m, key) === lit(value), lit(false)))
+    keyRule(key, s"Forbidden $key = $value")(
+      v => !coalesce(isStringType(v) && asString(v) === lit(value), lit(false)))
 
   def forbidValue(key: String, value: Boolean): Rule =
-    Rule(key, s"Forbidden $key = $value",
-      m => !coalesce(isBooleanType(m, key) &&
-        try_variant_get(m, JsonPaths.variantPath(key), "boolean") === lit(value), lit(false)))
+    keyRule(key, s"Forbidden $key = $value")(
+      v => !coalesce(isBooleanType(v) &&
+        try_variant_get(v, "$", "boolean") === lit(value), lit(false)))
 
   /** forbidValues (JsonMessage.kt:727-731). */
   def forbidValues(key: String, values: Seq[String]): Rule =
-    Rule(key, s"Forbidden $key in ${values.mkString(",")}",
-      m => !coalesce(isStringType(m, key) && asString(m, key).isin(values: _*), lit(false)))
+    keyRule(key, s"Forbidden $key in ${values.mkString(",")}")(
+      v => !coalesce(isStringType(v) && asString(v).isin(values: _*), lit(false)))
 
   /** interestedIn (JsonMessage.kt:733-735): no check — registers the key for
     * nullable projection.
     */
   def interestedIn(key: String): Rule =
-    Rule(key, s"Interested in $key", _ => lit(true))
+    keyRule(key, s"Interested in $key")(_ => lit(true))
 
   /** interestedIn with parser (JsonMessage.kt:737-745): error only when the
     * value is present and the parser fails.
     */
   def interestedInParsed(key: String, parser: Column => Column): Rule =
-    Rule(key, s"Interested in $key (parsed)",
-      m => !present(m, key) || parser(asString(m, key)).isNotNull)
+    keyRule(key, s"Interested in $key (parsed)")(
+      v => !present(v) || parser(asString(v)).isNotNull)
 
   /** Arbitrary predicate over the variant message — escape hatch used by the
     * analytics queries (and the analogue of custom precondition closures,

@@ -65,10 +65,10 @@ object Messages {
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
       val river = River()
         .validate(Validation.requireAny("@event_name", Seq("signup", "error")))
-      river.attach(Tables.events(s, dir), msgJson())
-        .passed
+      val routed = river.attach(Tables.events(s, dir), msgJson())
+      routed.passed
         .select(col("event_id"),
-          try_variant_get(col("msg"), "$['@event_name']", "string").as("event_type"))
+          routed.packetAs("@event_name", "string").as("event_type"))
         .orderBy(col("event_id"))
     },
 
@@ -171,8 +171,8 @@ object Messages {
       val routed = river.attach(Tables.events(s, dir), tagged)
       routed.passed.select(
           routed.packetAs("event_id", "bigint").as("event_id"),
-          coalesce(allRule(col("msg")), lit(false)).as("all_pass"),
-          coalesce(anyRule(col("msg")), lit(false)).as("any_pass"))
+          coalesce(allRule.onValue.get(routed.packet("tags")), lit(false)).as("all_pass"),
+          coalesce(anyRule.onValue.get(routed.packet("tags")), lit(false)).as("any_pass"))
         .orderBy(col("event_id"))
     },
 

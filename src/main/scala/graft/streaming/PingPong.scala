@@ -59,21 +59,23 @@ object PingPong {
     replies.iterator
   }
 
-  /** Attach to a routed ping stream: expects columns (key, value, msg) where
-    * msg is the parsed variant with ping_time declared. Returns the enriched
-    * (key, value) pong stream.
+  /** Attach to a routed ping river (ping_time declared): responds over its
+    * passed branch, reading ping_time via the river's packet accessor (works
+    * on both the struct fast path and the variant path). Returns the
+    * enriched (key, value) pong stream.
     */
   def apply(
-      pings: DataFrame,
+      routed: graft.messages.Routed,
       appName: String,
       instanceId: String,
       now: () => Long = () => System.currentTimeMillis(),
       idGen: Envelope.IdGen = Envelope.RandomIdGen): DataFrame = {
+    val pings = routed.passed
     val spark = pings.sparkSession
     import spark.implicits._
     val answered = pings
       .select(
-        try_variant_get(col("msg"), "$.ping_time", "timestamp").as("pingTime"),
+        routed.packetAs("ping_time", "timestamp").as("pingTime"),
         col("key"),
         col("value").as("raw"))
       .as[PingEvent]

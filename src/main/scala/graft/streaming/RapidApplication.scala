@@ -58,7 +58,7 @@ object RapidApplication {
           .precondition(Validation.requireValue("@event_name", "ping"))
           .validate(Validation.requireParsed("ping_time",
             graft.functions.Converters.asOptionalLocalDateTimeLenient))) { routed =>
-        PingPong(routed.passed, appName, instanceId, clock)
+        PingPong(routed, appName, instanceId, clock)
       }
       this
     }

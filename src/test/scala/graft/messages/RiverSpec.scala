@@ -83,6 +83,32 @@ class RiverSpec extends AnyFunSuite {
     assert(failed.getString(2).contains("ping_time"))
   }
 
+  test("fast (struct) path and variant path route and read identically") {
+    val msgs = TestSpark.messages(
+      """{"a":"x","b":"y","d":7}""",          // passes
+      """{"a":"x","b":"z"}""",                // b wrong value
+      """{"b":"y"}""",                        // a missing
+      """{"a":null,"b":"y"}""",               // a JSON-null
+      """{"a":"x","b":"y","c":1}""",          // c forbidden
+      """{"a":"x","b":3}""",                  // b wrong type
+      """[1,2,3]""", """3""", """not json""") // non-objects / malformed
+    def rules(r: River) = r.validate(
+      Validation.requireKey("a"), Validation.requireValue("b", "y"),
+      Validation.forbid("c"), Validation.interestedIn("d"))
+    val fast = rules(River())
+    // a msg-level predicate (always true) forces the variant path
+    val slow = rules(River().precondition(Validation.predicate("t", _ => lit(true))))
+    val fr = fast.attach(msgs, col("value"))
+    val sr = slow.attach(msgs, col("value"))
+    assert(fr.structMsg && !sr.structMsg) // modes actually differ
+    def dump(r: Routed) = r.all
+      .select(col("value"), col("status"), to_json(col("problems")).as("p"),
+        r.packetAs("d", "int").as("d"))
+      .collect().map(x => (x.getString(0), x.getString(1), x.getString(2),
+        if (x.isNullAt(3)) -1 else x.getInt(3))).toSet
+    assert(dump(fr) == dump(sr))
+  }
+
   test("multi-river fanout: independent rivers over one stream (RapidsConnection.kt:44-55)") {
     val msgs = TestSpark.messages(
       """{"@event_name":"ping","ping_time":"t"}""",

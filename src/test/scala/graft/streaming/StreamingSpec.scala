@@ -90,7 +90,7 @@ class StreamingSpec extends AnyFunSuite {
       River()
         .precondition(Validation.requireValue("@event_name", "ping"))
         .validate(Validation.requireKey("ping_time"))) { routed =>
-      PingPong(routed.passed, "app", "i-1", clock)
+      PingPong(routed, "app", "i-1", clock)
     }
     def ping(id: String, atMs: Long): String =
       s"""{"@event_name":"ping","@id":"$id","ping_time":"${new java.sql.Timestamp(atMs).toInstant.toString.stripSuffix("Z")}"}"""
