@@ -168,9 +168,17 @@ object Validation {
     keyRule(key, s"Interested in $key (parsed)")(
       v => !present(v) || parser(asString(v)).isNotNull)
 
-  /** Arbitrary predicate over the variant message — escape hatch used by the
-    * analytics queries (and the analogue of custom precondition closures,
-    * JsonMessage.kt:171-176).
+  /** Custom predicate over one key's variant value — the key-scoped form of
+    * the reference's custom validation closures (JsonMessage.kt:171-176).
+    * Declares the key (readable via packet) and stays eligible for the
+    * schema-pruned fast path.
+    */
+  def predicateOn(key: String, description: String)(p: Column => Column): Rule =
+    keyRule(key, description)(p)
+
+  /** Arbitrary predicate over the whole variant message — escape hatch for
+    * cross-key checks. Forces the river onto the whole-document variant
+    * path (the planner cannot prune what it cannot see).
     */
   def predicate(description: String, p: Column => Column): Rule =
     Rule("", description, p)

@@ -40,8 +40,8 @@ object Messages {
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       val river = River()
         .precondition(Validation.requireAny("@event_name", Seq("click", "purchase", "view")))
-        .validate(Validation.predicate("value <= 150",
-          m => try_variant_get(m, "$.value", "double") <= 150.0))
+        .validate(Validation.predicateOn("value", "value <= 150")(
+          v => try_variant_get(v, "$", "double") <= 150.0))
       river.attach(Tables.events(s, dir), msgJson())
         .all.select(col("event_id"), col("status"))
         .orderBy(col("event_id"))
