@@ -46,6 +46,37 @@ object TextOps {
   def sqlBpeCount(e: String): String =
     s"""len(regexp_extract_all(lower($e), '[a-z]+|[0-9]|[^a-z0-9\\s]'))::BIGINT"""
 
+  /** Within-document n-gram repetition ratio (the Gopher/C4-style
+    * repetition quality filter): 1 - distinct/total shingles. A pure
+    * per-row expression — no shuffle, no state.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val n = Portable.ShingleN
+    val w = Portable.tokens(col("text"))
+    val total = greatest(size(w) - (n - 1), lit(0)).cast("double")
+    val dist = size(Dedup.shingleArray(col("text"))).cast("double")
+    docs.select(col("doc_id"),
+      when(total > 0, round(lit(1.0) - dist / total, 4))
+        .otherwise(lit(0.0)).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlRepetition: String = {
+    val n = Portable.ShingleN
+    val grams = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w FROM documents),
+       |tot AS (SELECT doc_id, greatest(len(w) - ${n - 1}, 0) AS total FROM toks),
+       |dis AS (SELECT doc_id, count(DISTINCT g) AS d
+       |        FROM (SELECT doc_id, $grams AS g
+       |              FROM toks, LATERAL unnest(range(1, len(w) - ${n - 2})) t(i))
+       |        GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CASE WHEN t.total > 0 THEN round(1.0 - coalesce(dis.d, 0) * 1.0 / t.total, 4)
+       |       ELSE 0.0 END AS rep_ratio
+       |FROM tot t LEFT JOIN dis ON dis.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   /** Count of tokens exactly in `words`. */
   private def tokenHits(text: Column, words: Seq[String]): Column = {
     val inSet = (t: Column) => words.map(w => t === lit(w)).reduce(_ || _)

@@ -63,6 +63,10 @@ object Pipeline {
         .select(col("doc_id"), TextOps.bpeCount(col("text")).as("n_bpe"))
         .orderBy(col("doc_id"))
     },
+    // within-doc n-gram repetition ratio (Gopher/C4 repetition filter)
+    QueryDef.sql("t8_repetition", TextOps.sqlRepetition) { (s, dir) =>
+      TextOps.repetition(Tables.documents(s, dir))
+    },
     QueryDef.sql("t2_quality", TextOps.sqlQuality) { (s, dir) =>
       TextOps.quality(Tables.documents(s, dir), col("text")).orderBy(col("doc_id"))
     },

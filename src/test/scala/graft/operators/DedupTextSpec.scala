@@ -40,6 +40,18 @@ class DedupTextSpec extends AnyFunSuite {
     assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("repetition ratio: repeated sentence high, unique text zero, short text zero") {
+    val d = docs(
+      (1L, Seq.fill(10)("the cat sat here").mkString(" ")), // heavy repetition
+      (2L, base),                                           // all-unique shingles
+      (3L, "too short"))                                    // < n tokens
+    val r = TextOps.repetition(d).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) > 0.8)
+    assert(r(2L) == 0.0)
+    assert(r(3L) == 0.0)
+  }
+
   test("simhash is order-insensitive; rolling fingerprint is order-sensitive") {
     val reordered = base.split(" ").reverse.mkString(" ")
     val d = docs((1L, base), (2L, reordered))
