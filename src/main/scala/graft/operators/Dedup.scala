@@ -38,16 +38,22 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Per-doc distinct word-ShingleN-gram array — a stateless per-row
-    * expression, usable identically on batch and streaming inputs.
+  /** Per-doc distinct word-ShingleN-gram array over an ALREADY-MATERIALIZED
+    * token-array column — a stateless per-row expression, usable identically
+    * on batch and streaming inputs.
+    *
+    * The tokens must be a materialized column (projected in a prior select),
+    * NOT an inline tokens(text) tree: the transform lambda references the
+    * array per element, and an inline regex-split tree would re-tokenize per
+    * shingle — O(tokens^2) splits per doc (measured 3x on the shingle
+    * pipeline).
     */
-  def shingleArray(text: Column): Column = {
+  def shingleArray(tokensCol: Column): Column = {
     val n = ShingleN
-    val w = Portable.tokens(text)
     array_distinct(
-      when(size(w) >= n,
-        transform(sequence(lit(0), size(w) - n),
-          i => array_join(slice(w, i + lit(1), lit(n)), " ")))
+      when(size(tokensCol) >= n,
+        transform(sequence(lit(0), size(tokensCol) - n),
+          i => array_join(slice(tokensCol, i + lit(1), lit(n)), " ")))
         .otherwise(array().cast("array<string>")))
   }
 
@@ -57,7 +63,9 @@ object Dedup {
     * unique doc_ids, without that extra shuffle.
     */
   def shingles(docs: DataFrame): DataFrame = {
-    val sh0 = docs.select(col("doc_id"), explode(shingleArray(col("text"))).as("g"))
+    val sh0 = docs
+      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(shingleArray(col("w"))).as("g"))
     val rare = sh0.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDocFreq).select(col("g"))
     sh0.join(rare, "g")

@@ -52,12 +52,13 @@ object TextOps {
     */
   def repetition(docs: DataFrame): DataFrame = {
     val n = Portable.ShingleN
-    val w = Portable.tokens(col("text"))
+    val w = col("w")
     val total = greatest(size(w) - (n - 1), lit(0)).cast("double")
-    val dist = size(Dedup.shingleArray(col("text"))).cast("double")
-    docs.select(col("doc_id"),
-      when(total > 0, round(lit(1.0) - dist / total, 4))
-        .otherwise(lit(0.0)).as("rep_ratio"))
+    val dist = size(Dedup.shingleArray(w)).cast("double")
+    docs.select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        when(total > 0, round(lit(1.0) - dist / total, 4))
+          .otherwise(lit(0.0)).as("rep_ratio"))
       .orderBy(col("doc_id"))
   }
 

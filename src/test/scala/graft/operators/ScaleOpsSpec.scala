@@ -96,12 +96,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     val bench = "one two three four five six seven eight nine ten"
     // static side: benchmark shingles, broadcast into the stream
     val benchG = Seq((0L, bench)).toDF("doc_id", "text")
-      .select(explode(Dedup.shingleArray(col("text"))).as("g")).distinct()
+      .select(graft.functions.Portable.tokens(col("text")).as("w"))
+      .select(explode(Dedup.shingleArray(col("w"))).as("g")).distinct()
     val input = MemoryStream[(Long, String)](
       implicitly[org.apache.spark.sql.Encoder[(Long, String)]], spark)
     // per-row shingling (stateless) + stream-static broadcast join + update-mode agg
     val flagged = input.toDF().toDF("doc_id", "text")
-      .select(col("doc_id"), explode(Dedup.shingleArray(col("text"))).as("g"))
+      .select(col("doc_id"), graft.functions.Portable.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(Dedup.shingleArray(col("w"))).as("g"))
       .join(broadcast(benchG), "g")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
     val q = flagged.writeStream.outputMode("update")
