@@ -147,6 +147,70 @@ object Similarity {
        |  FROM sims) WHERE rnk <= $k
        |ORDER BY qid, rnk""".stripMargin
 
+  // ------------------------------------------------- k-means (Lloyd's)
+
+  /** Deterministic distributed k-means: fixed iteration count, centroids
+    * initialized from the first k vectors, squared-L2 assignment with
+    * (distance, cluster) tie-break. Centroids live EXPLODED as (c, i, cv)
+    * rows — updates are one groupBy avg, assignment is a broadcast join on
+    * the dimension index + partial-aggregated distance sum; the corpus
+    * never shuffles by vector. Distances and centroids are rounded to 6
+    * decimals at every iteration boundary so floating-point summation
+    * order (partial aggregation) cannot flip an argmin between engines.
+    */
+  def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val ex = vecs(emb)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
+      .select(col("vec_id"), (col("i0") + 1).cast("int").as("i"), col("x"))
+    var cent = ex.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("c"), col("i"), round(col("x"), 6).as("cv"))
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val d = ex.join(broadcast(cent), "i")
+        .groupBy(col("vec_id"), col("c"))
+        .agg(round(sum((col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("d"))
+      assigned = d.groupBy(col("vec_id"))
+        .agg(max(struct((-col("d")).as("nd"), (-col("c")).as("nc"), col("c").as("cc"))).as("b"))
+        .select(col("vec_id"), col("b.cc").as("c"))
+      cent = assigned.join(ex, "vec_id")
+        .groupBy(col("c"), col("i")).agg(round(avg(col("x")), 6).as("cv"))
+    }
+    val sizes = assigned.groupBy(col("c")).agg(count(lit(1)).as("n"))
+    cent.filter(col("i") <= 8).join(sizes, "c")
+      .select(col("c"), col("n"), col("i"), col("cv"))
+      .orderBy(col("c"), col("i"))
+  }
+
+  def sqlKmeans(k: Int, iters: Int): String = {
+    def step(it: Int, prevCent: String): (String, String, String) = {
+      val d = s"d$it"; val a = s"a$it"; val c = s"c$it"
+      val ctes =
+        s"""$d AS (SELECT ex.vec_id, p.c, round(sum((ex.x - p.cv) * (ex.x - p.cv)), 6) AS d
+           |  FROM ex JOIN $prevCent p USING (i) GROUP BY 1, 2),
+           |$a AS (SELECT vec_id, c FROM (
+           |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+           |  FROM $d) WHERE rn = 1),
+           |$c AS (SELECT $a.c, ex.i, round(avg(ex.x), 6) AS cv
+           |  FROM $a JOIN ex USING (vec_id) GROUP BY 1, 2)""".stripMargin
+      (ctes, a, c)
+    }
+    val steps = (1 to iters).foldLeft((List.empty[String], "", "c0")) {
+      case ((acc, _, prev), it) =>
+        val (ctes, a, c) = step(it, prev)
+        (acc :+ ctes, a, c)
+    }
+    val (stepCtes, lastA, lastC) = steps
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT vec_id, i::INT AS i, v[i] AS x
+       |  FROM e, LATERAL unnest(range(1, len(v) + 1)) t(i)),
+       |c0 AS (SELECT vec_id::INT AS c, i, round(x, 6) AS cv FROM ex WHERE vec_id < $k),
+       |${stepCtes.mkString(",\n")},
+       |sizes AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM $lastA GROUP BY 1)
+       |SELECT $lastC.c, sizes.n, $lastC.i, $lastC.cv
+       |FROM $lastC JOIN sizes USING (c) WHERE $lastC.i <= 8
+       |ORDER BY c, i""".stripMargin
+  }
+
   // ------------------------------------------- embedding-cosine near-dup
 
   /** Cosine threshold above which a blocked pair counts as a near-dup. */

@@ -150,6 +150,11 @@ object Pipeline {
       Similarity.cosineDupPairs(Tables.embeddings(s, dir))
     },
 
+    // -------- deterministic distributed k-means (2 Lloyd iterations)
+    QueryDef.sql("c2_kmeans", Similarity.sqlKmeans(4, 2)) { (s, dir) =>
+      Similarity.kmeans(Tables.embeddings(s, dir), 4, 2)
+    },
+
     // -------- embedding centroid aggregate (element-wise partition stats)
     QueryDef.sql("c1_centroids",
       """SELECT label, i::INT AS i, round(avg((embedding::DOUBLE[])[i]), 6) AS c

@@ -48,6 +48,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"sampling must be a pure per-row predicate (no data shuffle):\n$plan")
   }
 
+  test("shingle index plans without a distinct exchange (per-doc array_distinct instead)") {
+    val docs = graft.Tables.documents(TestSpark.spark, dir)
+    val plan = executed(Dedup.shingles(docs))
+    // exactly the two shuffles the algorithm needs: the doc-frequency agg
+    // and the rare-join; the old global DISTINCT added a third
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 hash exchanges (df-agg + join) in:\n$plan")
+    assert(!plan.contains("HashAggregate(keys=[doc_id"),
+      s"no global distinct on (doc_id, g) expected:\n$plan")
+  }
+
   test("aggregations are partial (map-side combine) before the shuffle") {
     val ev = graft.Tables.events(TestSpark.spark, dir)
     val q = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
