@@ -46,6 +46,33 @@ object TextOps {
   def sqlBpeCount(e: String): String =
     s"""len(regexp_extract_all(lower($e), '[a-z]+|[0-9]|[^a-z0-9\\s]'))::BIGINT"""
 
+  /** PII redaction patterns (emails, phone-number-shaped digit runs).
+    * Anchored to character classes whose greedy leftmost semantics are
+    * identical in Java regex (Spark) and RE2 (DuckDB).
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\s.-]{7,}[0-9]"
+
+  /** Mask emails/phones and count what was masked — the standard
+    * PII-scrub pass before a corpus ships to training. Pure per-row
+    * expressions; the masked text is md5'd for compact verification.
+    */
+  def redact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("bigint").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("bigint").as("n_phones"),
+      md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+
+  def sqlRedact: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailRe'))::BIGINT AS n_emails,
+       |  len(regexp_extract_all(text, '$PhoneRe'))::BIGINT AS n_phones,
+       |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Within-document n-gram repetition ratio (the Gopher/C4-style
     * repetition quality filter): 1 - distinct/total shingles. A pure
     * per-row expression — no shuffle, no state.

@@ -150,6 +150,11 @@ object Pipeline {
       Similarity.cosineDupPairs(Tables.embeddings(s, dir))
     },
 
+    // -------- PII scrub (emails/phones masked + counted)
+    QueryDef.sql("p6_redact", TextOps.sqlRedact) { (s, dir) =>
+      TextOps.redact(Tables.documents(s, dir))
+    },
+
     // -------- deterministic distributed k-means (2 Lloyd iterations)
     QueryDef.sql("c2_kmeans", Similarity.sqlKmeans(4, 2)) { (s, dir) =>
       Similarity.kmeans(Tables.embeddings(s, dir), 4, 2)

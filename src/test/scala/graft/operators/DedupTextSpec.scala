@@ -40,6 +40,20 @@ class DedupTextSpec extends AnyFunSuite {
     assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("redaction masks emails and phone runs, counts them, leaves clean text alone") {
+    val d = docs(
+      (1L, "mail a.b@x.org or +1-555-123-4567 and c@y.io now"),
+      (2L, "no pii here at all"))
+    val r = TextOps.redact(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L)._1 == 2 && r(1L)._2 == 1)
+    assert(r(2L)._1 == 0 && r(2L)._2 == 0)
+    // clean text's hash is the hash of the original
+    val cleanMd5 = d.filter(col("doc_id") === 2)
+      .select(md5(col("text"))).first().getString(0)
+    assert(r(2L)._3 == cleanMd5)
+  }
+
   test("repetition ratio: repeated sentence high, unique text zero, short text zero") {
     val d = docs(
       (1L, Seq.fill(10)("the cat sat here").mkString(" ")), // heavy repetition
