@@ -158,7 +158,8 @@ object Similarity {
     * decimals at every iteration boundary so floating-point summation
     * order (partial aggregation) cannot flip an argmin between engines.
     */
-  def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** Train the model: returns (centroids(c, i, cv), assignment(vec_id, c)). */
+  def kmeansModel(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val ex = vecs(emb)
       .select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
       .select(col("vec_id"), (col("i0") + 1).cast("int").as("i"), col("x"))
@@ -175,13 +176,79 @@ object Similarity {
       cent = assigned.join(ex, "vec_id")
         .groupBy(col("c"), col("i")).agg(round(avg(col("x")), 6).as("cv"))
     }
+    (cent, assigned)
+  }
+
+  def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val (cent, assigned) = kmeansModel(emb, k, iters)
     val sizes = assigned.groupBy(col("c")).agg(count(lit(1)).as("n"))
     cent.filter(col("i") <= 8).join(sizes, "c")
       .select(col("c"), col("n"), col("i"), col("cv"))
       .orderBy(col("c"), col("i"))
   }
 
-  def sqlKmeans(k: Int, iters: Int): String = {
+  /** IVF top-k over TRAINED k-means cells (the composed form of [[knnIvf]],
+    * which uses the pre-labeled partition): probe the nprobe nearest
+    * centroids per query, search only those cells' vectors. At scale the
+    * assignment is the partition/bucket key of the vector table, so a probe
+    * is a partition-pruned scan.
+    */
+  def knnIvfKmeans(emb: DataFrame, nQueries: Int, k: Int,
+      kClusters: Int, iters: Int, nprobe: Int): DataFrame = {
+    val (cent, assigned) = kmeansModel(emb, kClusters, iters)
+    val e = vecs(emb).join(assigned, "vec_id")
+    val q = vecs(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val qdist = q.select(col("qid"), posexplode(col("qv")).as(Seq("i0", "qx")))
+      .select(col("qid"), (col("i0") + 1).cast("int").as("i"), col("qx"))
+      .join(broadcast(cent), "i")
+      .groupBy(col("qid"), col("c"))
+      .agg(round(sum((col("qx") - col("cv")) * (col("qx") - col("cv"))), 6).as("d"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("d"), col("c"))
+    val probes = qdist.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe).select(col("qid"), col("c"))
+    val eN = e.withColumn("nrm", norm(col("v")))
+    val cand = eN.join(broadcast(probes), Seq("c"))
+      .filter(col("vec_id") =!= col("qid"))
+    val qN = q.select(col("qid").as("qid2"), col("qv"), norm(col("qv")).as("qnrm"))
+    val sims = cand.join(broadcast(qN), col("qid") === col("qid2"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  def sqlKnnIvfKmeans(nQueries: Int, k: Int, kClusters: Int, iters: Int, nprobe: Int): String = {
+    val (ctes, lastA, lastC) = sqlKmeansCtes(kClusters, iters)
+    s"""WITH $ctes,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |qdist AS (SELECT q.qid, p.c, round(sum((q.qv[p.i] - p.cv) * (q.qv[p.i] - p.cv)), 6) AS d
+       |  FROM q, $lastC p GROUP BY 1, 2),
+       |probes AS (SELECT qid, c FROM (
+       |  SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY d, c) AS pr
+       |  FROM qdist) WHERE pr <= $nprobe),
+       |cand AS (SELECT p.qid, e.vec_id, e.v
+       |  FROM e JOIN $lastA a ON a.vec_id = e.vec_id
+       |  JOIN probes p ON p.c = a.c
+       |  WHERE e.vec_id <> p.qid),
+       |sims AS (SELECT c.qid, c.vec_id,
+       |    round(list_dot_product(q.qv, c.v)
+       |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 4) AS sim
+       |  FROM cand c JOIN q ON q.qid = c.qid)
+       |SELECT qid, rnk, vec_id, sim FROM (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM sims) WHERE rnk <= $k
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** CTE block for the k-means iterations; exposes `ex(vec_id, i, x)`,
+    * final assignment `aN(vec_id, c)` and final centroids `cN(c, i, cv)`.
+    * Returns (ctes, assignName, centName).
+    */
+  def sqlKmeansCtes(k: Int, iters: Int): (String, String, String) = {
     def step(it: Int, prevCent: String): (String, String, String) = {
       val d = s"d$it"; val a = s"a$it"; val c = s"c$it"
       val ctes =
@@ -200,11 +267,18 @@ object Similarity {
         (acc :+ ctes, a, c)
     }
     val (stepCtes, lastA, lastC) = steps
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |ex AS (SELECT vec_id, i::INT AS i, v[i] AS x
-       |  FROM e, LATERAL unnest(range(1, len(v) + 1)) t(i)),
-       |c0 AS (SELECT vec_id::INT AS c, i, round(x, 6) AS cv FROM ex WHERE vec_id < $k),
-       |${stepCtes.mkString(",\n")},
+    val all =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ex AS (SELECT vec_id, i::INT AS i, v[i] AS x
+         |  FROM e, LATERAL unnest(range(1, len(v) + 1)) t(i)),
+         |c0 AS (SELECT vec_id::INT AS c, i, round(x, 6) AS cv FROM ex WHERE vec_id < $k),
+         |${stepCtes.mkString(",\n")}""".stripMargin
+    (all, lastA, lastC)
+  }
+
+  def sqlKmeans(k: Int, iters: Int): String = {
+    val (ctes, lastA, lastC) = sqlKmeansCtes(k, iters)
+    s"""WITH $ctes,
        |sizes AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM $lastA GROUP BY 1)
        |SELECT $lastC.c, sizes.n, $lastC.i, $lastC.cv
        |FROM $lastC JOIN sizes USING (c) WHERE $lastC.i <= 8

@@ -90,6 +90,10 @@ object Pipeline {
     QueryDef.sql("s3_embed_nn", Similarity.sqlNnAll) { (s, dir) =>
       Similarity.nnAll(Tables.embeddings(s, dir))
     },
+    // IVF over TRAINED kmeans cells — the composed scale path (c2 ∘ s2)
+    QueryDef.sql("s4_knn_ivf_kmeans", Similarity.sqlKnnIvfKmeans(10, 3, 4, 2, 2)) { (s, dir) =>
+      Similarity.knnIvfKmeans(Tables.embeddings(s, dir), 10, 3, 4, 2, 2)
+    },
 
     // -------- event-time windows
     QueryDef.sql("w1_tumbling", EventWindows.sqlTumblingHourly) { (s, dir) =>
