@@ -46,6 +46,24 @@ class CurationSpec extends AnyFunSuite {
     assert(r.head.getLong(1) >= 8) // shares the benchmark's 3-gram shingles
   }
 
+  test("kmeans separates two obvious clusters and reports sizes") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // two tight clusters around (0,0) and (10,10); init = first 2 vectors,
+    // one from each cluster
+    val emb = Seq(
+      (0L, Array(0.1f, 0.0f), 0), (1L, Array(10.0f, 10.1f), 0),
+      (2L, Array(0.0f, 0.2f), 0), (3L, Array(9.9f, 10.0f), 0),
+      (4L, Array(0.2f, 0.1f), 0), (5L, Array(10.2f, 9.8f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val (_, assigned) = Similarity.kmeansModel(emb, 2, 2)
+    val byCluster = assigned.collect().map(r => r.getLong(0) -> r.getInt(1))
+      .groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).toSet }
+    assert(byCluster.values.toSet == Set(Set(0L, 2L, 4L), Set(1L, 3L, 5L)))
+    val out = Similarity.kmeans(emb, 2, 2).collect()
+    assert(out.map(_.getLong(1)).forall(_ == 3L)) // both clusters size 3
+  }
+
   test("cosine near-dup pairs: same-cell near-identical vectors only") {
     val s = TestSpark.spark
     import s.implicits._
