@@ -158,11 +158,17 @@ object Similarity {
     * decimals at every iteration boundary so floating-point summation
     * order (partial aggregation) cannot flip an argmin between engines.
     */
-  /** Train the model: returns (centroids(c, i, cv), assignment(vec_id, c)). */
+  /** Train the model: returns (centroids(c, i, cv), assignment(vec_id, c)).
+    * The exploded working set is cached for the iteration loop — the
+    * canonical Spark pattern for iterative ML (every iteration reads it
+    * twice; without the cache each of the 2k+1 reads re-scans and
+    * re-explodes the source).
+    */
   def kmeansModel(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val ex = vecs(emb)
       .select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
       .select(col("vec_id"), (col("i0") + 1).cast("int").as("i"), col("x"))
+      .cache()
     var cent = ex.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("c"), col("i"), round(col("x"), 6).as("cv"))
     var assigned: DataFrame = null
