@@ -226,19 +226,6 @@ object Validation {
 
   // --------------------------------------------------------------- compile
 
-  /** Compile rules to a problems column: array<struct<severity,message>> of
-    * the rules that failed at the given severity — the columnar analogue of
-    * MessageProblems (MessageProblems.kt:7-18).
-    */
-  def problems(msg: Column, severity: String, rules: Seq[Rule]): Column = {
-    if (rules.isEmpty) array().cast("array<struct<severity:string,message:string>>")
-    else array_compact(array(rules.map { r =>
-      when(!coalesce(r(msg), lit(false)),
-        struct(lit(severity).as("severity"), lit(r.description).as("message")))
-        .otherwise(lit(null).cast("struct<severity:string,message:string>"))
-    }: _*))
-  }
-
   /** Problem array from already-materialized per-rule pass flags (false =
     * failed; flags are null-coalesced upstream). Built as concat of
     * 0/1-element arrays, NOT array_compact — array_compact rewrites to the
@@ -254,8 +241,4 @@ object Validation {
         .otherwise(empty)
     }: _*)
   }
-
-  /** Conjunction of all rules (null-safe: a null predicate counts as fail). */
-  def allPass(msg: Column, rules: Seq[Rule]): Column =
-    rules.map(r => coalesce(r(msg), lit(false))).foldLeft(lit(true))(_ && _)
 }
