@@ -85,6 +85,36 @@ class ValidationPropertySpec extends AnyFunSuite {
     checkAgainst(Validation.interestedIn(key), _ => true)
   }
 
+  test("fast (struct) and variant river paths agree on every generated message x rule set") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rules = Seq(
+      Validation.requireKey(key),
+      Validation.requireValue(key, "a"),
+      Validation.requireValue(key, 3.0),
+      Validation.requireAny(key, Seq("a", "b")),
+      Validation.forbid("never"),
+      Validation.forbidValue(key, value = true),
+      Validation.interestedIn("maybe"))
+    (1 to 3).foreach { round =>
+      val msgs = sample(7L * round).map(render) ++
+        Seq("""[1]""", """3""", """not json""", """"s"""")
+      val df = msgs.zipWithIndex.toDF("value", "idx")
+      def route(r: River) = {
+        val routed = r.attach(df, col("value"))
+        (routed, routed.all.select(col("idx"), col("status"),
+            to_json(col("problems")).as("p"), routed.packetAs(key, "string").as("kv"))
+          .orderBy(col("idx")).collect()
+          .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getString(3))).toSeq)
+      }
+      val (fr, fast) = route(River().validate(rules: _*))
+      val (sr, slow) = route(River()
+        .precondition(Validation.predicate("t", _ => lit(true))).validate(rules: _*))
+      assert(fr.structMsg && !sr.structMsg)
+      assert(fast == slow, s"round $round")
+    }
+  }
+
   test("demand/reject aliases agree with their require/forbid twins") {
     val msgs = sample(99L).map(render)
     assert(evalBatch(Validation.demandKey(key), msgs) ==
