@@ -224,6 +224,27 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Sketch twins of q13/q11 — the operators a 100 TB job actually runs
+    // (t-digest percentiles, HyperLogLog++ distinct: bounded memory, one
+    // pass, mergeable partials — no exact-sort or exact-distinct shuffle).
+    // No DuckDB oracle: sketch internals differ across engines, so the
+    // driver records the rows-only check; ScaleOpsSpec bounds the error
+    // against the exact operators instead.
+    QueryDef.rowsOnly("q19_approx_quantiles") { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)), 2).as("median"),
+          round(percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)), 2).as("p90"))
+        .orderBy(col("o_orderstatus"))
+    },
+    QueryDef.rowsOnly("q20_approx_distinct") { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("n_orders"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Full CUBE grouping sets.
     QueryDef.sql("q14_cube",
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,

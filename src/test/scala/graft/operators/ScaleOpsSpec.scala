@@ -90,6 +90,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 01:00:00", "view", 1L, 3.0)))
   }
 
+  test("sketch aggregates track their exact twins within tolerance (q19/q20)") {
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.01"
+    val approxQ = graft.SparkEntry.queries("q19_approx_quantiles")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val exactQ = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(round(percentile(col("o_totalprice"), lit(0.5)), 2).as("m"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 2).as("p"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    exactQ.foreach { case (k, (m, p)) =>
+      assert(math.abs(approxQ(k)._1 - m) / m < 0.02, s"median $k")
+      assert(math.abs(approxQ(k)._2 - p) / p < 0.02, s"p90 $k")
+    }
+    val approxD = graft.SparkEntry.queries("q20_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactD = graft.Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactD.foreach { case (k, n) =>
+      assert(math.abs(approxD(k) - n).toDouble / n < 0.05, s"distinct $k")
+    }
+  }
+
   test("stream-static decontamination: live docs flagged against a static benchmark") {
     val spark = TestSpark.spark
     import spark.implicits._
