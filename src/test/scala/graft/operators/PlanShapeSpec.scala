@@ -67,6 +67,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(aggs >= 2, s"expected partial+final HashAggregate pair in:\n$plan")
   }
 
+  test("partition pruning reaches a partitioned-layout scan") {
+    val spark = TestSpark.spark
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    graft.Tables.events(spark, dir)
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val q = spark.read.parquet(out)
+      .filter(col("event_type") === "click")
+      .agg(count(lit(1)).as("n"))
+    val plan = executed(q)
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected the event_type predicate as a PartitionFilter in:\n$plan")
+    // the data filter list must NOT carry it — pruning happened at listing
+    assert(!plan.split("PartitionFilters").head.contains("event_type ="),
+      s"predicate should not survive as a row-level filter:\n$plan")
+  }
+
   test("column pruning reaches the parquet scan") {
     val docs = graft.Tables.documents(TestSpark.spark, dir)
     val q = docs.select(col("doc_id"), length(col("text")).as("len"))
