@@ -65,7 +65,9 @@ final case class River(
       Map("columnNameOfCorruptRecord" -> corrupt, "mode" -> "PERMISSIVE"))
     // malformed JSON and non-object roots (scalars/arrays) land in the
     // corrupt-record field — the reference's "message must be a JSON
-    // object" severe (JsonMessage.kt:97-105)
+    // object" severe (JsonMessage.kt:97-105). A DATA key named like the
+    // corrupt column cannot spoof it: JacksonParser only writes that field
+    // on a parse failure (locked by the path-equivalence property test).
     val bad = msg.isNull || msg.getField(corrupt).isNotNull
     stage(df, jsonCol, msg, bad,
       r => r.onValue.get(msg.getField(r.key)), structMsg = true)

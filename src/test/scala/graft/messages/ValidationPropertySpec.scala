@@ -98,7 +98,8 @@ class ValidationPropertySpec extends AnyFunSuite {
       Validation.interestedIn("maybe"))
     (1 to 3).foreach { round =>
       val msgs = sample(7L * round).map(render) ++
-        Seq("""[1]""", """3""", """not json""", """"s"""")
+        Seq("""[1]""", """3""", """not json""", """"s"""",
+          s"""{"$key":"a","_graft_corrupt":"spoof"}""") // corrupt-col data-key collision
       val df = msgs.zipWithIndex.toDF("value", "idx")
       def route(r: River) = {
         val routed = r.attach(df, col("value"))
