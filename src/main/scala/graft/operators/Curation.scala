@@ -74,6 +74,42 @@ object Curation {
        |  FROM documents) WHERE rn <= $SourceCap
        |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- token chunking
+
+  /** Fixed-size token windows with overlap — the sequence-prep op that
+    * turns documents into training samples.
+    */
+  val ChunkSize = 64
+  val ChunkOverlap = 16
+
+  /** Chunk each doc into ChunkSize-token windows starting every
+    * (ChunkSize - ChunkOverlap) tokens. Pure per-row explode over
+    * materialized tokens — no shuffle besides the presentation sort;
+    * chunks are verified by md5 of their joined text.
+    */
+  def chunk(docs: DataFrame): DataFrame = {
+    val step = ChunkSize - ChunkOverlap
+    docs.select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), greatest(size(col("w")), lit(1)), lit(step))).as("s"))
+      .select(col("doc_id"), col("s"),
+        slice(col("w"), col("s"), lit(ChunkSize)).as("chunk"))
+      .select(col("doc_id"), col("s"),
+        size(col("chunk")).cast("bigint").as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("s"))
+  }
+
+  def sqlChunk: String = {
+    val step = ChunkSize - ChunkOverlap
+    s"""WITH toks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w FROM documents)
+       |SELECT doc_id, s,
+       |  len(w[s : least(s + ${ChunkSize - 1}, len(w))])::BIGINT AS n_tokens,
+       |  md5(array_to_string(w[s : least(s + ${ChunkSize - 1}, len(w))], ' ')) AS chunk_md5
+       |FROM toks, LATERAL unnest(range(1, greatest(len(w), 1) + 1, $step)) t(s)
+       |ORDER BY doc_id, s""".stripMargin
+  }
+
   // ------------------------------------------- benchmark decontamination
 
   /** Benchmark-membership predicate: a deterministic held-out slice of the

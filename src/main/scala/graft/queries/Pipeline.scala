@@ -154,6 +154,11 @@ object Pipeline {
       Similarity.cosineDupPairs(Tables.embeddings(s, dir))
     },
 
+    // -------- token chunking into overlapping training windows
+    QueryDef.sql("p7_chunk", Curation.sqlChunk) { (s, dir) =>
+      Curation.chunk(Tables.documents(s, dir))
+    },
+
     // -------- PII scrub (emails/phones masked + counted)
     QueryDef.sql("p6_redact", TextOps.sqlRedact) { (s, dir) =>
       TextOps.redact(Tables.documents(s, dir))

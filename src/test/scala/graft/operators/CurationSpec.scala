@@ -46,6 +46,18 @@ class CurationSpec extends AnyFunSuite {
     assert(r.head.getLong(1) >= 8) // shares the benchmark's 3-gram shingles
   }
 
+  test("chunking: overlapping fixed windows cover every token, tail is short") {
+    val words = (1 to 150).map(i => s"w$i")
+    val d = docs((1L, words.mkString(" "), "s"))
+    val r = Curation.chunk(d).collect()
+      .map(x => (x.getLong(2), x.getString(3))) // (n_tokens, md5)
+    val step = Curation.ChunkSize - Curation.ChunkOverlap // 48
+    // starts at 1, 49, 97, 145 over 150 tokens -> sizes 64, 64, 54, 6
+    assert(r.map(_._1).toSeq == Seq(64L, 64L, 54L, 6L))
+    assert(r.map(_._2).distinct.length == r.length) // distinct windows
+    assert(step == 48)
+  }
+
   test("kmeans separates two obvious clusters and reports sizes") {
     val s = TestSpark.spark
     import s.implicits._
