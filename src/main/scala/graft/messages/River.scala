@@ -52,7 +52,7 @@ final case class River(
     val rules = preconditions ++ validations
     val keys = declaredKeys.toSeq.sorted
     val fast = keys.nonEmpty && rules.forall(_.onValue.isDefined) &&
-      keys.forall(k => !k.contains(".") && !k.contains("`"))
+      keys.forall(k => !k.contains(".") && !k.contains("`") && k != River.CorruptCol)
     if (fast) attachFast(df, jsonCol, keys) else attachVariant(df, jsonCol)
   }
 
@@ -61,16 +61,27 @@ final case class River(
     val ddl = (keys.map(k => s"`$k` variant") :+ s"`$corrupt` string")
       .mkString("struct<", ", ", ">")
     val schema = org.apache.spark.sql.types.DataType.fromDDL(ddl)
-    val msg = from_json(col(River.RawCol), schema,
-      Map("columnNameOfCorruptRecord" -> corrupt, "mode" -> "PERMISSIVE"))
+    // Jackson's leniencies are explicitly OFF so both compilation modes
+    // accept the same strict-RFC JSON the variant parser does. Remaining
+    // documented divergence: duplicate object keys (Jackson is last-wins —
+    // matching the REFERENCE's Jackson behavior — while the variant parser
+    // rejects them as unparseable).
+    val parsed = from_json(col(River.RawCol), schema, Map(
+      "columnNameOfCorruptRecord" -> corrupt,
+      "mode" -> "PERMISSIVE",
+      "allowSingleQuotes" -> "false",
+      "allowNonNumericNumbers" -> "false"))
     // malformed JSON and non-object roots (scalars/arrays) land in the
     // corrupt-record field — the reference's "message must be a JSON
     // object" severe (JsonMessage.kt:97-105). A DATA key named like the
     // corrupt column cannot spoof it: JacksonParser only writes that field
     // on a parse failure (locked by the path-equivalence property test).
-    val bad = msg.isNull || msg.getField(corrupt).isNotNull
-    stage(df, jsonCol, msg, bad,
-      r => r.onValue.get(msg.getField(r.key)), structMsg = true)
+    val bad = parsed.isNull || parsed.getField(corrupt).isNotNull
+    // the exposed msg struct carries ONLY the declared keys — the corrupt
+    // field (which holds the full raw text of malformed payloads) must not
+    // leak into downstream sinks via msg.* / to_json(msg)
+    stage(df, jsonCol, parsed.dropFields(corrupt), bad,
+      r => r.onValue.get(parsed.getField(r.key)), structMsg = true)
   }
 
   private def attachVariant(df: DataFrame, jsonCol: Column): Routed = {

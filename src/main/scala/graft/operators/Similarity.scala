@@ -158,11 +158,14 @@ object Similarity {
     * decimals at every iteration boundary so floating-point summation
     * order (partial aggregation) cannot flip an argmin between engines.
     */
-  /** Train the model: returns (centroids(c, i, cv), assignment(vec_id, c)).
-    * The exploded working set is cached for the iteration loop — the
-    * canonical Spark pattern for iterative ML (every iteration reads it
-    * twice; without the cache each of the 2k+1 reads re-scans and
-    * re-explodes the source).
+  /** Train the model: returns (centroids(c, i, cv), assignment(vec_id, c)),
+    * both small (k x dims, n x 2) and MATERIALIZED. The exploded working
+    * set is cached for the iteration loop — the canonical Spark pattern for
+    * iterative ML (every iteration reads it twice; without the cache each
+    * of the 2k+1 reads re-scans and re-explodes the source) — and released
+    * before returning: the results are forced (cache + count) first, so the
+    * big rows-x-dims set does not stay pinned in executor storage for the
+    * rest of the session.
     */
   def kmeansModel(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val ex = vecs(emb)
@@ -182,7 +185,11 @@ object Similarity {
       cent = assigned.join(ex, "vec_id")
         .groupBy(col("c"), col("i")).agg(round(avg(col("x")), 6).as("cv"))
     }
-    (cent, assigned)
+    val centOut = cent.cache()
+    val assignedOut = assigned.cache()
+    centOut.count(); assignedOut.count()
+    ex.unpersist()
+    (centOut, assignedOut)
   }
 
   def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame = {

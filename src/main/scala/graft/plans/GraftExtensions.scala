@@ -26,12 +26,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def arity(name: String, n: Int)(b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n) throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> name,
+          "expectedNum" -> n.toString, "actualNum" -> args.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+      b(args)
+    }
+
   /** (name, usage, builder) for every SQL-exposed native expression. */
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("dot_product", "dot_product(array<double>, array<double>) - codegen'd dot product",
-      args => DotProduct(args(0), args(1))),
+      arity("dot_product", 2)(args => DotProduct(args(0), args(1)))),
     ("fence", "fence(expr) - identity marked non-deterministic: pins the enclosing projection against collapse/pushdown",
-      args => OptimizerFence(args.head)))
+      arity("fence", 1)(args => OptimizerFence(args.head))))
 
   /** Register the same functions on an already-built session. */
   def register(spark: SparkSession): Unit =

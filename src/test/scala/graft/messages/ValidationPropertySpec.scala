@@ -99,6 +99,7 @@ class ValidationPropertySpec extends AnyFunSuite {
     (1 to 3).foreach { round =>
       val msgs = sample(7L * round).map(render) ++
         Seq("""[1]""", """3""", """not json""", """"s"""",
+          s"""{'$key':'a'}""", // single quotes: strict-RFC-rejected on BOTH paths
           s"""{"$key":"a","_graft_corrupt":"spoof"}""") // corrupt-col data-key collision
       val df = msgs.zipWithIndex.toDF("value", "idx")
       def route(r: River) = {
