@@ -212,6 +212,68 @@ object Dedup {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ------------------------------------------- duplicate clusters (CC)
+
+  /** Min-label propagation rounds. Components from near-dup pairs are
+    * shallow (planted dup groups of 2-4 docs), so a fixed small round
+    * count converges; at true scale swap in pointer-doubling, which
+    * halves the diameter per round instead of walking it.
+    */
+  val CCIterations = 8
+
+  /** Connected components over an undirected pair list: every doc gets the
+    * min doc_id reachable from it — the cluster id / canonical
+    * representative. Each round is one shuffle join + min-aggregate over
+    * the (small) edge set, never over the corpus. The edge set is
+    * materialized once up front: the iteration references it every round,
+    * and an uncached upstream (the whole LSH pipeline here) would be
+    * re-expanded into the plan per round. Released after the result is
+    * forced, same lifecycle as kmeansModel.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("ia"), col("ib"))
+      .union(pairs.select(col("ib").as("ia"), col("ia").as("ib")))
+      .cache()
+    var labels = edges.select(col("ia").as("v")).distinct()
+      .select(col("v"), col("v").as("lab"))
+    for (_ <- 1 to CCIterations) {
+      val viaNeighbors = edges.join(labels, col("ib") === col("v"))
+        .select(col("ia").as("v"), col("lab"))
+      // labels feeds BOTH the union and the join, so each round must CUT
+      // LINEAGE, not merely cache: a cached plan still doubles its LOGICAL
+      // tree per iteration (2^rounds subtrees — analysis alone OOM'd the
+      // driver before this localCheckpoint truncation).
+      labels = labels.union(viaNeighbors)
+        .groupBy(col("v")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup CLUSTERS from the LSH pairs: (doc_id, cluster) where cluster
+    * is the min doc_id of the component — the final step that turns pair
+    * detection into actual deduplication (keep cluster == doc_id rows).
+    */
+  def dupClusters(docs: DataFrame): DataFrame =
+    connectedComponents(lshPairs(docs))
+      .select(col("v").as("doc_id"), col("lab").as("cluster"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle: exact reachability closure via recursive CTE over the same
+    * LSH pairs — convergence-independent ground truth for [[dupClusters]].
+    */
+  def sqlDupClusters: String =
+    s"""WITH RECURSIVE p AS ($sqlLshPairs),
+       |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+       |r AS (SELECT a, b FROM e
+       |      UNION
+       |      SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |self AS (SELECT DISTINCT a, a AS b FROM e)
+       |SELECT a AS doc_id, min(b) AS cluster
+       |FROM (SELECT a, b FROM r UNION ALL SELECT a, b FROM self)
+       |GROUP BY a ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------- edit-distance (fuzzy dedup)
 
   /** Prefix length compared and blocking-key length for the fuzzy join. */

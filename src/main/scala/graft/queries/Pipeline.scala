@@ -31,6 +31,11 @@ object Pipeline {
     QueryDef.sql("d6_edit_distance", Dedup.sqlEditDistancePairs) { (s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir))
     },
+    // pairs -> clusters: connected components over the LSH pairs (the
+    // oracle computes the exact recursive closure)
+    QueryDef.sql("d8_dup_clusters", Dedup.sqlDupClusters) { (s, dir) =>
+      Dedup.dupClusters(Tables.documents(s, dir))
+    },
 
     // regexp extraction (leading token; identical leftmost semantics in
     // Java regex and RE2 for this pattern class)

@@ -40,6 +40,18 @@ class DedupTextSpec extends AnyFunSuite {
     assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("connected components: chain collapses to min label within iteration budget") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // a 7-node path (worst diameter) plus a separate pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (10L, 11L))
+      .toDF("ia", "ib")
+    val labs = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 7L).forall(labs(_) == 1L))
+    assert(labs(10L) == 10L && labs(11L) == 10L)
+  }
+
   test("redaction masks emails and phone runs, counts them, leaves clean text alone") {
     val d = docs(
       (1L, "mail a.b@x.org or +1-555-123-4567 and c@y.io now"),
