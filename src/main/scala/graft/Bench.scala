@@ -40,14 +40,18 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       // a fast failure must not masquerade as a fast result: min over
-      // SUCCESSFUL runs only; all-failed reports the elapsed worst case
+      // SUCCESSFUL runs only; all-failed is reported in "failed", not as
+      // a timing
       val good = timed.filter(_._2).map(_._1)
-      name -> (if (good.nonEmpty) good.min else timed.map(_._1).max)
+      name -> good.minOption
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.collect { case (k, Some(v)) => k -> v }
+    val failed = results.collect { case (k, None) => k }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","protocol":"min-of-$runs","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","protocol":"min-of-$runs","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

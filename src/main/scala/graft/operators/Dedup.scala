@@ -214,21 +214,17 @@ object Dedup {
 
   // ------------------------------------------- duplicate clusters (CC)
 
-  /** Min-label propagation rounds. Components from near-dup pairs are
-    * shallow (planted dup groups of 2-4 docs), so a fixed small round
-    * count converges; at true scale swap in pointer-doubling, which
-    * halves the diameter per round instead of walking it.
-    */
-  val CCIterations = 8
-
   /** Connected components over an undirected pair list: every doc gets the
     * min doc_id reachable from it — the cluster id / canonical
-    * representative. Each round is one shuffle join + min-aggregate over
-    * the (small) edge set, never over the corpus. The edge set is
-    * materialized once up front: the iteration references it every round,
-    * and an uncached upstream (the whole LSH pipeline here) would be
-    * re-expanded into the plan per round. Released after the result is
-    * forced, same lifecycle as kmeansModel.
+    * representative. Min-label propagation to a FIXED POINT: labels only
+    * decrease, so an unchanged sum(lab) proves convergence (<= diameter+1
+    * rounds, each one shuffle join + min-aggregate over the small edge
+    * set, never over the corpus). Like MLlib's fit, this is an ACTION —
+    * the loop runs when called, and the returned plan reads the final
+    * labels, so Explain shows the (accurate) serving plan, not the loop.
+    * The edge set is materialized once up front: the iteration references
+    * it every round, and an uncached upstream (the whole LSH pipeline
+    * here) would be re-expanded into the plan per round.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("ia"), col("ib"))
@@ -236,7 +232,10 @@ object Dedup {
       .cache()
     var labels = edges.select(col("ia").as("v")).distinct()
       .select(col("v"), col("v").as("lab"))
-    for (_ <- 1 to CCIterations) {
+      .localCheckpoint(true)
+    var prevSum = Long.MaxValue
+    var converged = false
+    while (!converged) {
       val viaNeighbors = edges.join(labels, col("ib") === col("v"))
         .select(col("ia").as("v"), col("lab"))
       // labels feeds BOTH the union and the join, so each round must CUT
@@ -246,6 +245,9 @@ object Dedup {
       labels = labels.union(viaNeighbors)
         .groupBy(col("v")).agg(min(col("lab")).as("lab"))
         .localCheckpoint(true)
+      val s = labels.agg(sum(col("lab"))).first().getLong(0)
+      converged = s == prevSum
+      prevSum = s
     }
     edges.unpersist()
     labels

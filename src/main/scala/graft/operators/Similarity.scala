@@ -159,13 +159,15 @@ object Similarity {
     * order (partial aggregation) cannot flip an argmin between engines.
     */
   /** Train the model: returns (centroids(c, i, cv), assignment(vec_id, c)),
-    * both small (k x dims, n x 2) and MATERIALIZED. The exploded working
-    * set is cached for the iteration loop — the canonical Spark pattern for
-    * iterative ML (every iteration reads it twice; without the cache each
-    * of the 2k+1 reads re-scans and re-explodes the source) — and released
-    * before returning: the results are forced (cache + count) first, so the
-    * big rows-x-dims set does not stay pinned in executor storage for the
-    * rest of the session.
+    * both small (k x dims, n x 2) and MATERIALIZED via localCheckpoint —
+    * lineage-cut blocks the ContextCleaner releases with the RDD, NOT
+    * CacheManager entries (a cache() here would be plan-keyed, so a second
+    * identical training call would silently return the first call's cached
+    * result — benchmarks would measure cache hits, and the entries would
+    * pin storage for the session). Like MLlib's fit, training is an
+    * ACTION: the loop runs when called. The exploded working set is cached
+    * for the loop (every iteration reads it twice) and released before
+    * returning.
     */
   def kmeansModel(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val ex = vecs(emb)
@@ -185,9 +187,8 @@ object Similarity {
       cent = assigned.join(ex, "vec_id")
         .groupBy(col("c"), col("i")).agg(round(avg(col("x")), 6).as("cv"))
     }
-    val centOut = cent.cache()
-    val assignedOut = assigned.cache()
-    centOut.count(); assignedOut.count()
+    val centOut = cent.localCheckpoint(true)
+    val assignedOut = assigned.localCheckpoint(true)
     ex.unpersist()
     (centOut, assignedOut)
   }

@@ -8,10 +8,9 @@ object TimeQuery {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 2
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    graft.GraftSession.tune(spark)
+    // same session shape as Bench/Verify (honors SPARK_GRAFT_CPUS) so
+    // timings are comparable
+    val spark = graft.GraftSession.get()
     spark.sparkContext.setLogLevel("ERROR")
     (1 to runs).foreach { r =>
       val t0 = System.nanoTime()
