@@ -40,7 +40,7 @@ class DedupTextSpec extends AnyFunSuite {
     assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
-  test("connected components: chain collapses to min label within iteration budget") {
+  test("connected components: chain collapses to min label at fixed point") {
     val s = TestSpark.spark
     import s.implicits._
     // a 7-node path (worst diameter) plus a separate pair
