@@ -245,7 +245,10 @@ object Dedup {
       labels = labels.union(viaNeighbors)
         .groupBy(col("v")).agg(min(col("lab")).as("lab"))
         .localCheckpoint(true)
-      val s = labels.agg(sum(col("lab"))).first().getLong(0)
+      // sum() over zero rows is NULL — an empty pair set (corpus with no
+      // near-dups) must converge immediately, not NPE on getLong.
+      val s = Option(labels.agg(sum(col("lab"))).first().getAs[java.lang.Long](0))
+        .fold(0L)(_.longValue)
       converged = s == prevSum
       prevSum = s
     }
