@@ -227,21 +227,36 @@ object Relational {
     // Sketch twins of q13/q11 — the operators a 100 TB job actually runs
     // (t-digest percentiles, HyperLogLog++ distinct: bounded memory, one
     // pass, mergeable partials — no exact-sort or exact-distinct shuffle).
-    // No DuckDB oracle: sketch internals differ across engines, so the
-    // driver records the rows-only check; ScaleOpsSpec bounds the error
-    // against the exact operators instead.
-    QueryDef.rowsOnly("q19_approx_quantiles") { (s, dir) =>
+    // Sketch internals differ across engines, so the oracle checks a
+    // TOLERANCE VERDICT instead of raw sketch output: Spark computes the
+    // sketch AND the exact value and emits `|approx-exact|/exact <= tol`
+    // per group; DuckDB emits the expected verdict (true). A sketch drifting
+    // past tolerance flips the boolean and fails the hash gate.
+    // ScaleOpsSpec additionally bounds the numeric error.
+    QueryDef.sql("q19_approx_quantiles",
+      """SELECT o_orderstatus, true AS median_ok, true AS p90_ok
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       Tables.orders(s, dir)
         .groupBy(col("o_orderstatus"))
         .agg(
-          round(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)), 2).as("median"),
-          round(percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)), 2).as("p90"))
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("am"),
+          percentile(col("o_totalprice"), lit(0.5)).as("em"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("ap"),
+          percentile(col("o_totalprice"), lit(0.9)).as("ep"))
+        .select(col("o_orderstatus"),
+          (abs(col("am") - col("em")) / col("em") <= 0.05).as("median_ok"),
+          (abs(col("ap") - col("ep")) / col("ep") <= 0.05).as("p90_ok"))
         .orderBy(col("o_orderstatus"))
     },
-    QueryDef.rowsOnly("q20_approx_distinct") { (s, dir) =>
+    QueryDef.sql("q20_approx_distinct",
+      """SELECT l_returnflag, true AS within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("n_orders"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("a"),
+          countDistinct(col("l_orderkey")).as("e"))
+        .select(col("l_returnflag"),
+          (abs(col("a").cast("double") - col("e")) / col("e") <= 0.05).as("within_tol"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -93,26 +93,32 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("sketch aggregates track their exact twins within tolerance (q19/q20)") {
     val spark = TestSpark.spark
     val dir = "/root/testdata/sf0.01"
-    val approxQ = graft.SparkEntry.queries("q19_approx_quantiles")(spark, dir)
-      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
-    val exactQ = graft.Tables.orders(spark, dir)
+    // numeric error bound (tighter than the queries' 5% verdict), computed
+    // here since q19/q20 themselves now emit the oracle-gated boolean verdict
+    graft.Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
-      .agg(round(percentile(col("o_totalprice"), lit(0.5)), 2).as("m"),
-        round(percentile(col("o_totalprice"), lit(0.9)), 2).as("p"))
-      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
-    exactQ.foreach { case (k, (m, p)) =>
-      assert(math.abs(approxQ(k)._1 - m) / m < 0.02, s"median $k")
-      assert(math.abs(approxQ(k)._2 - p) / p < 0.02, s"p90 $k")
-    }
-    val approxD = graft.SparkEntry.queries("q20_approx_distinct")(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exactD = graft.Tables.lineitem(spark, dir)
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("am"),
+        percentile(col("o_totalprice"), lit(0.5)).as("em"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("ap"),
+        percentile(col("o_totalprice"), lit(0.9)).as("ep"))
+      .collect().foreach { r =>
+        val k = r.getString(0)
+        assert(math.abs(r.getDouble(1) - r.getDouble(2)) / r.getDouble(2) < 0.02, s"median $k")
+        assert(math.abs(r.getDouble(3) - r.getDouble(4)) / r.getDouble(4) < 0.02, s"p90 $k")
+      }
+    graft.Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_orderkey")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exactD.foreach { case (k, n) =>
-      assert(math.abs(approxD(k) - n).toDouble / n < 0.05, s"distinct $k")
-    }
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("a"),
+        countDistinct(col("l_orderkey")).as("e"))
+      .collect().foreach { r =>
+        assert(math.abs(r.getLong(1) - r.getLong(2)).toDouble / r.getLong(2) < 0.05,
+          s"distinct ${r.getString(0)}")
+      }
+    // and the CORRECTNESS-gated verdict queries emit all-true at this SF
+    assert(graft.SparkEntry.queries("q19_approx_quantiles")(spark, dir)
+      .collect().forall(r => r.getBoolean(1) && r.getBoolean(2)))
+    assert(graft.SparkEntry.queries("q20_approx_distinct")(spark, dir)
+      .collect().forall(r => r.getBoolean(1)))
   }
 
   test("stream-static decontamination: live docs flagged against a static benchmark") {
