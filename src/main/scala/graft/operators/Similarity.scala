@@ -63,18 +63,29 @@ object Similarity {
        |ORDER BY qid, rnk""".stripMargin
 
   /** All-pairs nearest neighbor (embedding-cosine near-dup detection): for
-    * every vector, its single closest neighbor.
+    * every vector, its closest neighbor WITHIN its coarse-quantizer cell —
+    * the label column, as in [[knnIvf]] / [[cosineDupPairs]] (at scale the
+    * cell is a trained k-means assignment, [[kmeansModel]], and the bucket/
+    * partition key of the vector table).
+    *
+    * Candidates come from an equi-join on the cell key, so pair volume is
+    * bounded by cell co-membership — never the n^2 cross product — and
+    * NOTHING is broadcast: both sides shuffle (or are pre-bucketed) by
+    * cell, which survives a corpus that outgrows any single executor. The
+    * per-vector arg-max is a partial-aggregating hash max over
+    * struct(sim, -vec_id) — same (sim desc, vec_id asc) order as a rank-1
+    * window, without sorting the pair set. A vector alone in its cell has
+    * no near-dup candidate and emits no row (PlanShapeSpec locks the
+    * no-broadcast / no-cross-product shape).
     */
   def nnAll(emb: DataFrame): DataFrame = {
     val e = vecs(emb).withColumn("nrm", norm(col("v")))
-    val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val sims = e.crossJoin(broadcast(q))
+    val q = e.select(col("label"), col("vec_id").as("qid"),
+      col("v").as("qv"), col("nrm").as("qnrm"))
+    val sims = e.join(q, "label")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 4).as("sim"))
-    // k=1: a partial-aggregating hash max over struct(sim, -vec_id) — same
-    // (sim desc, vec_id asc) order as a rank-1 window, without the
-    // sort+window shuffle over the full O(n^2) pair set.
     sims
       .groupBy(col("qid"))
       .agg(max(struct(col("sim"), (-col("vec_id")).as("neg_id"),
@@ -84,11 +95,11 @@ object Similarity {
   }
 
   val sqlNnAll: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       |sims AS (SELECT q.vec_id AS qid, e.vec_id,
       |    round(list_dot_product(q.v, e.v)
       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 4) AS sim
-      |  FROM e, e q WHERE e.vec_id <> q.vec_id)
+      |  FROM e, e q WHERE e.label = q.label AND e.vec_id <> q.vec_id)
       |SELECT qid, vec_id AS nn, sim FROM (
       |  SELECT qid, vec_id, sim,
       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk

@@ -32,6 +32,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected map-side top-k (WindowGroupLimit) in:\n$plan")
   }
 
+  test("all-pairs NN is cell-blocked: no corpus broadcast, no cross product") {
+    val spark = TestSpark.spark
+    // disable auto-broadcast so the assertion sees only FORCED broadcasts
+    // (an explicit broadcast() hint would still produce a BroadcastExchange)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(Similarity.nnAll(graft.Tables.embeddings(spark, dir)))
+      assert(!plan.contains("BroadcastExchange") && !plan.contains("CartesianProduct"),
+        s"NN must equi-join on the cell key, never broadcast/cross the corpus:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join on the cell key in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("decontamination broadcasts the benchmark shingle set") {
     val docs = graft.Tables.documents(TestSpark.spark, dir)
     val plan = executed(Curation.decontaminate(docs))
