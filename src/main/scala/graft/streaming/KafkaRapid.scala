@@ -29,14 +29,21 @@ final case class KafkaRapidConfig(
     resetPolicy: String = "latest", // Defaults.kt:20
     maxOffsetsPerTrigger: Option[Long] = Some(500), // Defaults.kt:21
     /** Must be unique per logical app AND stable across restarts (it IS the
-      * consumer-group identity here); empty derives /tmp/graft-checkpoint-
-      * {rapidTopic}, which assumes one app per topic per host.
+      * consumer-group identity here, the reference's KAFKA_CONSUMER_GROUP_ID),
+      * and on durable shared storage: a node-local path (e.g. /tmp) silently
+      * loses offsets/exactly-once state across host restarts. Left empty the
+      * transport FAILS FAST at wiring time rather than defaulting to a
+      * perishable location.
       */
     checkpointLocation: String = "",
     startingOffsetsByTimestamp: Option[String] = None) { // Consumer.kt:12-34
-  def resolvedCheckpoint: String =
-    if (checkpointLocation.nonEmpty) checkpointLocation
-    else s"/tmp/graft-checkpoint-$rapidTopic"
+  def resolvedCheckpoint: String = {
+    require(checkpointLocation.trim.nonEmpty,
+      s"checkpointLocation must be set to a durable path for topic '$rapidTopic' " +
+        "(it is the consumer-group identity; a default such as /tmp would silently " +
+        "lose offsets across host restarts)")
+    checkpointLocation
+  }
 }
 
 final class KafkaRapid(spark: SparkSession, config: KafkaRapidConfig) {

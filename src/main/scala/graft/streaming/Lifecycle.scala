@@ -20,11 +20,24 @@ object Lifecycle {
   val Events = Seq("application_up", "application_ready", "application_not_ready",
     "application_stop", "application_down")
 
+  /** Minimal JSON string escaping (quote, backslash, control chars) so a
+    * caller-supplied app/instance name can never emit invalid JSON onto
+    * the rapid.
+    */
+  private[streaming] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
   /** Lifecycle message (RapidApplication.kt:119-139 shape). */
   def event(name: String, appName: String, instanceId: String): String = {
     require(Events.contains(name), s"unknown lifecycle event $name")
     s"""{"@event_name":"$name","@id":"${UUID.randomUUID()}",""" +
-      s""""@opprettet":"${LocalDateTime.now()}","app_name":"$appName","instance_id":"$instanceId"}"""
+      s""""@opprettet":"${LocalDateTime.now()}","app_name":"${jsonEscape(appName)}",""" +
+      s""""instance_id":"${jsonEscape(instanceId)}"}"""
   }
 
   /** Listener publishing ready/down on streaming query lifecycle. Returns

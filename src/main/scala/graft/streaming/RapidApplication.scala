@@ -27,7 +27,10 @@ object RapidApplication {
       extraTopics = env.get("KAFKA_EXTRA_TOPIC")
         .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
       resetPolicy = env.getOrElse("KAFKA_RESET_POLICY", "latest"),
-      checkpointLocation = env.getOrElse("KAFKA_CHECKPOINT_DIR", "/tmp/graft-rapid-checkpoint"))
+      // no default: KafkaRapidConfig.resolvedCheckpoint fails fast on empty —
+      // a deploy that forgot to mount durable checkpoint storage must not
+      // silently run against a node-local purged path
+      checkpointLocation = env.getOrElse("KAFKA_CHECKPOINT_DIR", ""))
 
   /** In-memory application for tests/local runs: rivers + ping/pong +
     * lifecycle, the whole reference wiring minus the Kafka transport.

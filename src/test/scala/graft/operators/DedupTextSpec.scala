@@ -52,6 +52,16 @@ class DedupTextSpec extends AnyFunSuite {
     assert(labs(10L) == 10L && labs(11L) == 10L)
   }
 
+  test("connected components: empty pair set yields empty labels, no NPE") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // a corpus with no near-dup pairs at all is a valid input: the first
+    // convergence probe sees sum() over zero rows (NULL) and must converge
+    // to an empty label set instead of NPE-ing on getLong
+    val empty = Seq.empty[(Long, Long)].toDF("ia", "ib")
+    assert(Dedup.connectedComponents(empty).collect().isEmpty)
+  }
+
   test("redaction masks emails and phone runs, counts them, leaves clean text alone") {
     val d = docs(
       (1L, "mail a.b@x.org or +1-555-123-4567 and c@y.io now"),

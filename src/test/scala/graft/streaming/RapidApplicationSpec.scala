@@ -35,8 +35,30 @@ class RapidApplicationSpec extends AnyFunSuite {
       "KAFKA_RAPID_TOPIC" -> "rapid.v1",
       "KAFKA_EXTRA_TOPIC" -> "a,b",
       "KAFKA_RESET_POLICY" -> "earliest",
-      "KAFKA_BROKERS" -> "broker:9092"))
+      "KAFKA_BROKERS" -> "broker:9092",
+      "KAFKA_CHECKPOINT_DIR" -> "/data/ckpt"))
     assert(c.rapidTopic == "rapid.v1" && c.extraTopics == Seq("a", "b") &&
       c.resetPolicy == "earliest" && c.bootstrapServers == "broker:9092")
+    assert(c.resolvedCheckpoint == "/data/ckpt")
+  }
+
+  test("kafka transport fails fast on a missing checkpoint location") {
+    val c = RapidApplication.configFromEnv(Map("KAFKA_RAPID_TOPIC" -> "rapid.v1"))
+    // a perishable default (/tmp) would silently lose offsets across host
+    // restarts — the wiring must refuse instead
+    val e = intercept[IllegalArgumentException](c.resolvedCheckpoint)
+    assert(e.getMessage.contains("checkpointLocation"))
+  }
+
+  test("lifecycle events stay valid JSON for hostile app/instance names") {
+    val spark = TestSpark.spark
+    val raw = Lifecycle.event("application_up", """my"app\name""", "inst-\"1\"")
+    import spark.implicits._
+    val parsed = Seq(raw).toDF("raw")
+      .select(org.apache.spark.sql.functions.try_variant_get(
+        org.apache.spark.sql.functions.try_parse_json(org.apache.spark.sql.functions.col("raw")),
+        "$.app_name", "string"))
+      .first().getString(0)
+    assert(parsed == """my"app\name""") // round-trips through a real JSON parser
   }
 }
