@@ -1,6 +1,6 @@
 package graft.messages
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 import Validation.Rule
@@ -24,6 +24,16 @@ final case class River(
 
   def precondition(rules: Rule*): River = copy(preconditions = preconditions ++ rules)
   def validate(rules: Rule*): River     = copy(validations = validations ++ rules)
+
+  /** One mixed infix-DSL block (MessageValidation.kt:54-78): severity is
+    * routed from the verb, not the call site — `must` rules (severe) land
+    * in the precondition stage, `should`/`can` rules in the validation
+    * stage. `river.rules("a" must exist, "b" should be("x"))` ≡
+    * `river.precondition("a" must exist).validate("b" should be("x"))`.
+    */
+  def rules(rs: Rule*): River = copy(
+    preconditions = preconditions ++ rs.filter(_.severe),
+    validations = validations ++ rs.filterNot(_.severe))
 
   /** All keys this river declared — the reference's "recognized keys"
     * (JsonMessage.kt:110,759-761); only these may be read via Packet.
@@ -148,8 +158,19 @@ final case class River(
             Validation.problemsFromFlags("error", validations, i => col(s"_v$i")))
           .otherwise(array().cast("array<struct<severity:string,message:string>>")))
       .drop(flagCols.map(_._1) :+ River.RawCol: _*)
-    Routed(out, declaredKeys, structMsg)
+    Routed(out, declaredKeys, structMsg, declaredValues)
   }
+
+  /** Statically-declared tag values per key (requireValue/Any/All... rules)
+    * — the label sets the reference's message_counter emits per message
+    * (River.kt:75-140). Known at river-declaration time, so [[Routed
+    * .observed]] can compile each into a conditional counter.
+    */
+  def declaredValues: Map[String, Seq[String]] =
+    (preconditions ++ validations)
+      .filter(r => r.key.nonEmpty && r.values.nonEmpty)
+      .groupBy(_.key)
+      .view.mapValues(_.flatMap(_.values).distinct).toMap
 }
 
 object River {
@@ -163,7 +184,8 @@ object River {
   * filtered branches over one computed projection.
   */
 final case class Routed(all: DataFrame, declared: Set[String],
-    structMsg: Boolean = false) {
+    structMsg: Boolean = false,
+    tagValues: Map[String, Seq[String]] = Map.empty) {
 
   def passed: DataFrame             = all.filter(col("status") === "passed")
   def preconditionFailed: DataFrame = all.filter(col("status") === "precondition_failed")
@@ -203,14 +225,44 @@ final case class Routed(all: DataFrame, declared: Set[String],
 
   /** Per-river metrics (reference message_counter / on_packet timer tags,
     * River.kt:75-140): named observation over the routed stream counting
-    * each routing outcome. Works on batch (read via Observation) and
-    * streaming (StreamingQueryProgress.observedMetrics).
+    * each routing outcome, PLUS one tagged counter per statically-declared
+    * label value — `event_name_<e>` for each declared @event_name value,
+    * `behov_<b>` for each declared @behov element, `losning_<k>` for each
+    * declared @løsning.<k> key — mirroring the reference's message_counter
+    * event_name/behov/løsninger labels. The tag values come from the
+    * river's own requireValue/requireAny/requireAll declarations, so each
+    * is a codegen'd conditional count: streaming-safe (observe carries no
+    * state, unlike a groupBy) and zero-shuffle. Works on batch (read via
+    * Observation) and streaming (StreamingQueryProgress.observedMetrics).
     */
   def observed(name: String = "river"): DataFrame =
-    all.observe(name,
+    all.observe(name, metricExprs.head, metricExprs.tail: _*)
+
+  /** Batch-friendly variant: read the same metrics via `obs.get`. */
+  def observed(obs: Observation): DataFrame =
+    all.observe(obs, metricExprs.head, metricExprs.tail: _*)
+
+  private def metricExprs: Seq[Column] = {
+    val passed = col("status") === "passed"
+    // on_packet counters tag only successfully-routed messages, like the
+    // reference incrementing inside onPacket (River.kt:75-96)
+    val eventTags = tagValues.getOrElse("@event_name", Nil).map(e =>
+      count(when(passed && packetAs("@event_name", "string") === e, 1))
+        .as(s"event_name_$e"))
+    val behovTags = tagValues.getOrElse("@behov", Nil).map(b =>
+      count(when(passed && array_contains(
+        coalesce(packetAs("@behov", "array<string>"),
+          array().cast("array<string>")), b), 1))
+        .as(s"behov_$b"))
+    val losningTags = declared.filter(_.startsWith("@løsning.")).toSeq.sorted.map(k =>
+      count(when(passed && packet(k).isNotNull && !is_variant_null(packet(k)), 1))
+        .as(s"losning_${k.stripPrefix("@løsning.")}"))
+    Seq(
       count(lit(1)).as("messages"),
-      count(when(col("status") === "passed", 1)).as("passed"),
+      count(when(passed, 1)).as("passed"),
       count(when(col("status") === "precondition_failed", 1)).as("precondition_failed"),
       count(when(col("status") === "validation_failed", 1)).as("validation_failed"),
-      count(when(col("status") === "unparseable", 1)).as("unparseable"))
+      count(when(col("status") === "unparseable", 1)).as("unparseable")) ++
+      eventTags ++ behovTags ++ losningTags
+  }
 }

@@ -27,7 +27,18 @@ object Validation {
     * fast path where each declared key is its own struct field.
     */
   final case class Rule(key: String, description: String,
-      passes: Column => Column, onValue: Option[Column => Column] = None) {
+      passes: Column => Column, onValue: Option[Column => Column] = None,
+      /** Infix-DSL severity tag (MessageValidation.kt:67-72): `must` marks
+        * the rule severe so [[graft.messages.River.rules]] routes it to the
+        * precondition stage; explicit precondition()/validate() calls ignore
+        * it (stage is the call site there, as in the deprecated demand* API).
+        */
+      severe: Boolean = false,
+      /** Values this rule declares for the key (requireValue/Any/All...) —
+        * the statically-known metric tag values the reference's
+        * message_counter emits per event_name/behov (River.kt:75-140).
+        */
+      values: Seq[String] = Nil) {
     def apply(msg: Column): Column = passes(msg)
   }
 
@@ -80,7 +91,7 @@ object Validation {
     */
   def requireValue(key: String, value: String): Rule =
     keyRule(key, s"Required $key = $value")(
-      v => isStringType(v) && asString(v) === lit(value))
+      v => isStringType(v) && asString(v) === lit(value)).copy(values = Seq(value))
 
   /** requireValue for booleans (JsonMessage.kt:632-637). */
   def requireValue(key: String, value: Boolean): Rule =
@@ -97,7 +108,7 @@ object Validation {
   /** requireAny (JsonMessage.kt:652-657): string value in the allowed set. */
   def requireAny(key: String, values: Seq[String]): Rule =
     keyRule(key, s"Required $key in ${values.mkString(",")}")(
-      v => isStringType(v) && asString(v).isin(values: _*))
+      v => isStringType(v) && asString(v).isin(values: _*)).copy(values = values)
 
   /** requireArray (JsonMessage.kt:659-672). */
   def requireArray(key: String): Rule =
@@ -116,6 +127,7 @@ object Validation {
   def requireAll(key: String, values: Seq[String]): Rule =
     keyRule(key, s"Required $key to contain all of ${values.mkString(",")}")(
       v => isArrayType(v) && size(array_except(lit(values.toArray), asStringArray(v))) === 0)
+      .copy(values = values)
 
   /** requireContains (JsonMessage.kt:674-676) — sugar for requireAll(k, [v]). */
   def requireContains(key: String, value: String): Rule = requireAll(key, Seq(value))
@@ -126,6 +138,7 @@ object Validation {
   def requireAllOrAny(key: String, values: Seq[String]): Rule =
     keyRule(key, s"Required $key to contain any of ${values.mkString(",")}")(
       v => isArrayType(v) && arrays_overlap(lit(values.toArray), asStringArray(v)))
+      .copy(values = values)
 
   /** require(key, parser) (JsonMessage.kt:700-709): present and the parser
     * (a Converters.try* column function over the string value) succeeds.
@@ -204,8 +217,11 @@ object Validation {
 
   // ----------------------------------------------------- infix DSL (newer)
   // MessageValidation.kt:10-37,54-78 — `"key" must exist`, `"key" should
-  // be("x")`, `"key" can exist`. `must` maps to the severe (precondition)
-  // stage, `should` to the error stage, `can` to interestedIn.
+  // be("x")`, `"key" can exist`. Severity is routed FROM THE VERB, not the
+  // call site: `must` tags the rule severe (precondition stage), `should`
+  // leaves it error (validation stage), `can` is should(optional) — passes
+  // when the key is missing/null, validates the value when present. One
+  // mixed block goes through [[River.rules]], which splits by the tag.
 
   sealed trait Combinator { def toRule(key: String): Rule }
   case object exist extends Combinator {
@@ -219,9 +235,19 @@ object Validation {
   }
 
   implicit final class KeyOps(private val key: String) extends AnyVal {
-    def must(c: Combinator): Rule   = c.toRule(key)
+    /** severe: MessageProblems::severe strategy (MessageValidation.kt:70-71). */
+    def must(c: Combinator): Rule   = c.toRule(key).copy(severe = true)
+    /** error: MessageProblems::error strategy (MessageValidation.kt:67-68). */
     def should(c: Combinator): Rule = c.toRule(key)
-    def can(c: Combinator): Rule    = interestedIn(key)
+    /** should(optional): ValueValidation.optional (MessageValidation.kt:33-36,
+      * 73-74) — missing/null is fine, a present value must validate.
+      */
+    def can(c: Combinator): Rule = {
+      val r = c.toRule(key)
+      val opt = (v: Column) => !present(v) || coalesce(r.onValue.get(v), lit(false))
+      Rule(key, s"Optional: ${r.description}", m => opt(vraw(m, key)), Some(opt),
+        values = r.values)
+    }
   }
 
   // --------------------------------------------------------------- compile

@@ -109,6 +109,38 @@ class RiverSpec extends AnyFunSuite {
     assert(dump(fr) == dump(sr))
   }
 
+  test("one infix block auto-routes severity: must=>severe, should=>error (MessageValidation.kt:54-78)") {
+    import Validation._
+    val r = River().rules(
+      "@event_name" must be("order"),
+      "amount" should exist,
+      "note" can exist)
+    def route(json: String) =
+      r.attach(TestSpark.messages(json), col("value")).all
+        .select(col("status"), to_json(col("problems")).as("p")).first()
+    // must-failure: precondition stage, severe problem
+    val mustFail = route("""{"@event_name":"other","amount":1}""")
+    assert(mustFail.getString(0) == "precondition_failed")
+    assert(mustFail.getString(1).contains("severe"))
+    // should-failure only: validation stage, error problem
+    val shouldFail = route("""{"@event_name":"order"}""")
+    assert(shouldFail.getString(0) == "validation_failed")
+    assert(shouldFail.getString(1).contains("error"))
+    assert(route("""{"@event_name":"order","amount":5}""").getString(0) == "passed")
+  }
+
+  test("can is should(optional): missing fine, present value must validate (MessageValidation.kt:33-36,73-74)") {
+    import Validation._
+    val r = River().rules("status" can be("ok"))
+    def st(json: String) =
+      r.attach(TestSpark.messages(json), col("value")).all
+        .select(col("status")).first().getString(0)
+    assert(st("""{}""") == "passed")                  // missing: fine
+    assert(st("""{"status":null}""") == "passed")     // JSON null: fine
+    assert(st("""{"status":"ok"}""") == "passed")
+    assert(st("""{"status":"bad"}""") == "validation_failed")
+  }
+
   test("multi-river fanout: independent rivers over one stream (RapidsConnection.kt:44-55)") {
     val msgs = TestSpark.messages(
       """{"@event_name":"ping","ping_time":"t"}""",

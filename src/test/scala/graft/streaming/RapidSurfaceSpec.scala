@@ -30,6 +30,28 @@ class RapidSurfaceSpec extends AnyFunSuite {
     routed.observed().collect()
   }
 
+  test("per-event_name and per-behov tagged counters (River.kt:75-140)") {
+    val msgs = TestSpark.messages(
+      """{"@event_name":"order","@behov":["Inntekt","Sykdom"]}""",
+      """{"@event_name":"order","@behov":["Inntekt"]}""",
+      """{"@event_name":"refund","@behov":["Inntekt"]}""",
+      """{"@event_name":"unknown","@behov":["Inntekt"]}""", // fails routing: untagged
+      """not json""")
+    val routed = River()
+      .precondition(
+        Validation.requireAny("@event_name", Seq("order", "refund")),
+        Validation.requireAllOrAny("@behov", Seq("Inntekt", "Sykdom")))
+      .attach(msgs, col("value"))
+    val obs = Observation("tagged")
+    routed.observed(obs).collect()
+    val m = obs.get
+    // tag values come from the river's own declarations; counters tag only
+    // passed messages, like the reference incrementing inside onPacket
+    assert(m("messages") == 5L && m("passed") == 3L)
+    assert(m("event_name_order") == 2L && m("event_name_refund") == 1L)
+    assert(m("behov_Inntekt") == 3L && m("behov_Sykdom") == 1L)
+  }
+
   test("river metrics surface in StreamingQueryProgress under streaming") {
     val spark = TestSpark.spark
     val rapid = new MemoryRapid(spark, "obs")
