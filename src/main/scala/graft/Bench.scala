@@ -7,11 +7,14 @@ import org.apache.spark.sql.SparkSession
   * measured query doesn't pay JVM spin-up; queries run in name order for
   * run-to-run comparability.
   *
-  * Protocol: each query runs twice and the MINIMUM is reported (declared as
-  * "protocol":"min-of-2" in the JSON). At sf0.1 a single cold run is
-  * dominated by per-plan Janino compilation + JIT (measured ~2-4s of the
-  * slowest queries' time), a fixed cost that amortizes to zero over a real
-  * corpus; min-of-N is the standard steady-state throughput protocol.
+  * Protocol: each query runs SPARK_GRAFT_RUNS times (default 3); "queries"
+  * carries the MINIMUM (steady-state throughput — a single cold run is
+  * dominated by per-plan Janino compilation + JIT, measured ~2-4s on the
+  * slowest queries, a fixed cost that amortizes to zero over a real
+  * corpus), "queries_median" the MEDIAN, and "noisy" lists queries whose
+  * max/min spread exceeds 3x — this machine has co-tenants (observed 1.7x
+  * cross-round variance), and recording both stops one noisy run from
+  * masquerading as a regression or a win.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,7 +31,7 @@ object Bench {
 
     SparkEntry.entry(spark).count() // warmup: session, codegen, parquet footers
 
-    val runs = 2
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val timed = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -39,19 +42,24 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      // a fast failure must not masquerade as a fast result: min over
+      // a fast failure must not masquerade as a fast result: stats over
       // SUCCESSFUL runs only; all-failed is reported in "failed", not as
       // a timing
-      val good = timed.filter(_._2).map(_._1)
-      name -> good.minOption
+      val good = timed.filter(_._2).map(_._1).sorted
+      name -> good
     }
-    val ok = results.collect { case (k, Some(v)) => k -> v }
-    val failed = results.collect { case (k, None) => k }
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def median(xs: Seq[Double]): Double = // xs sorted, nonempty
+      if (xs.size % 2 == 1) xs(xs.size / 2)
+      else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2
+    val ok = results.collect { case (k, v) if v.nonEmpty => (k, v) }
+    val failed = results.collect { case (k, v) if v.isEmpty => k }
+    def obj(f: Seq[Double] => Double) = ok
+      .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val noisy = ok.collect { case (k, v) if v.last > 3 * v.head => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","protocol":"min-of-$runs","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2.head).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","protocol":"min-of-$runs","queries":${obj(_.head)},"queries_median":${obj(median)},"noisy":$noisyJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
