@@ -45,6 +45,46 @@ class RecoverySpec extends AnyFunSuite {
     assert(sink.sorted == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("kill mid-stream: uncommitted batch redelivers; @id-idempotent sink restores exactly-once (RapidIntegrationTest.kt:144-276 analogue)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dataDir = Files.createTempDirectory("graft-crash-data").toString
+    val ckpt = Files.createTempDirectory("graft-crash-ckpt").toString
+    val deliveries = scala.collection.mutable.ArrayBuffer.empty[String] // every delivery, dups included
+    val byId = scala.collection.concurrent.TrieMap.empty[String, String] // consumer-side @id idempotency
+    @volatile var crashOnce = true
+
+    def startQuery() = spark.readStream
+      .schema("id STRING, payload STRING")
+      .parquet(dataDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(r => (r.getString(0), r.getString(1)))
+        deliveries.synchronized { deliveries ++= rows.map(_._1) }
+        rows.foreach { case (id, p) => byId.put(id, p) }
+        // die AFTER the side effect but BEFORE the commit-log entry — the
+        // hard half of the reference's at-least-once contract
+        if (crashOnce) { crashOnce = false; sys.error("injected crash before offset commit") }
+        ()
+      }.start()
+
+    Seq(("a", "1"), ("b", "2")).toDF("id", "payload").write.mode("append").parquet(dataDir)
+    val q1 = startQuery()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](q1.awaitTermination(30000))
+    assert(deliveries.sorted == Seq("a", "b")) // side effect happened, commit did not
+
+    Seq(("c", "3")).toDF("id", "payload").write.mode("append").parquet(dataDir)
+    val q2 = startQuery(); q2.awaitTermination(30000); q2.stop()
+    // the uncommitted batch was REDELIVERED (at-least-once, duplicates real)...
+    assert(deliveries.sorted == Seq("a", "a", "b", "b", "c"),
+      s"expected exactly the uncommitted batch redelivered, got $deliveries")
+    // ...and keying the sink on @id restores exactly-once, the reference's
+    // documented consumer contract
+    assert(byId.toMap == Map("a" -> "1", "b" -> "2", "c" -> "3"))
+  }
+
   test("@id dedup compensates redelivery under streaming with watermark") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -106,6 +106,48 @@ class StreamingSpec extends AnyFunSuite {
     rapid.stop()
   }
 
+  test("session windows under watermark merge out-of-order events and drop late ones (SURVEY 2.7)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, java.sql.Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(String, java.sql.Timestamp)]], spark)
+    // the stateful core of EventWindows.sessionWindowCounts (same 30 min
+    // gap), run as a real stream: append mode emits a session only once
+    // the watermark passes its close boundary
+    val sessions = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").cast("long").as("start"), col("n_events"))
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_stream").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // OUT OF ORDER: 00:10 arrives before 00:05; both inside the watermark
+      input.addData(("u1", ts("2024-01-01 00:10:00")), ("u1", ts("2024-01-01 00:05:00")),
+        ("u2", ts("2024-01-01 00:12:00")))
+      q.processAllAvailable()
+      // 2h later: advances the watermark (to 01:50) past the first sessions'
+      // close boundaries (00:40 / 00:42), flushing them
+      input.addData(("u1", ts("2024-01-01 02:00:00")), ("u2", ts("2024-01-01 02:05:00")))
+      q.processAllAvailable()
+      // a THIRD batch delivers an event at 00:07 — behind the advanced
+      // watermark (the watermark is updated at batch boundaries, so it must
+      // arrive after the advancing batch committed) — which must be dropped,
+      // not resurrect u1's closed session
+      input.addData(("u1", ts("2024-01-01 00:07:00")))
+      q.processAllAvailable()
+      val closed = spark.table("sess_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val t0 = ts("2024-01-01 00:05:00").getTime / 1000
+      val t2 = ts("2024-01-01 00:12:00").getTime / 1000
+      // u1's out-of-order pair merged into ONE session anchored at the
+      // EARLIER event; the late 00:07 event did not appear anywhere
+      assert(closed == Set(("u1", t0, 2L), ("u2", t2, 1L)),
+        s"closed sessions: $closed")
+    } finally q.stop()
+  }
+
   test("streaming dedup by @id compensates at-least-once redelivery (SURVEY 2.7)") {
     val spark = TestSpark.spark
     val msgs = TestSpark.messages(
