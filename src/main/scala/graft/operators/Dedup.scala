@@ -86,6 +86,13 @@ object Dedup {
 
   /** Exact Jaccard near-dup pairs via inverted-index self-join.
     *
+    * SCALE: this is the declared exact BASELINE — candidate volume is the
+    * inverted-index self-join, bounded only by the stop-shingle cap, i.e.
+    * quadratic in the worst case. At corpus scale use [[lshPairs]] (band-
+    * bucketed MinHash candidates, exact-Jaccard verify on candidates only)
+    * and [[connectedComponents]] for cluster formation; keep this form for
+    * small corpora and for validating the LSH recall.
+    *
     * Note on cache lifecycle: the shingle index is cached because three
     * consumers read it (doc counts + both join sides); it stays pinned for
     * the session. Long-lived multi-job sessions should bound storage with

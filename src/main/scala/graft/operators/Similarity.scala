@@ -34,6 +34,13 @@ object Similarity {
 
   /** Brute-force cosine top-k for queries (vec_id < nQueries), rounded sims,
     * deterministic tie-break on vec_id.
+    *
+    * SCALE: this is the declared exact BASELINE — it broadcasts the QUERY
+    * side only (fine while queries fit in memory) but scans every corpus
+    * vector per query. At corpus scale use [[knnIvf]] / [[knnIvfKmeans]]
+    * (cell-pruned probes) for queries, or [[nnAll]] (cell-blocked equi-join)
+    * for all-pairs; keep this form for small corpora and for validating IVF
+    * recall.
     */
   def knnBrute(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val e = vecs(emb).withColumn("nrm", norm(col("v")))

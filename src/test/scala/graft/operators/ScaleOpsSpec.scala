@@ -28,6 +28,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Tables.events scopes the nanosAsLong conf to the load: no session leak, ts still materializes") {
+    val spark = TestSpark.spark
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    // the legacy flag must not leak into later parquet reads in the session
+    // (getOption reports the registered default "false" after unset)
+    assert(spark.conf.get(key, "false") != "true", s"$key leaked into session conf")
+    // and the nanos column still reads fine after the conf was restored
+    // (the flag is only consulted during eager schema inference)
+    assert(events.selectExpr("max(ts)").first().get(0) != null)
+  }
+
   test("native session_window agrees with the lag-based batch sessionizer") {
     val spark = TestSpark.spark
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
