@@ -27,6 +27,31 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid") {
   private val inputs = mutable.ArrayBuffer.empty[MemoryStream[(String, String)]]
   private val outbox = mutable.ArrayBuffer.empty[(String, String)]
   private val queries = mutable.ArrayBuffer.empty[StreamingQuery]
+  private val failure = new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+
+  // Error stops the rapid (RapidIntegrationTest.kt:126-141): an unhandled
+  // exception in ANY river flow shuts the whole application down — one dead
+  // subscriber must not leave the app half-alive and reporting healthy. Each
+  // river is its own streaming query here, so a listener propagates the
+  // first erroneous termination to every sibling query. Stopping is done off
+  // the listener bus thread (stop() joins the stream thread and would
+  // deadlock the bus).
+  private val errorPropagation = new org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      if (e.exception.isDefined && queryIds.contains(e.id)) {
+        failure.compareAndSet(None, Some(e.exception.get))
+        val siblings = queries.synchronized(queries.filter(_.id != e.id).toVector)
+        new Thread(() => siblings.foreach(q => if (q.isActive) q.stop()),
+          s"$name-error-stop").start()
+      }
+  }
+  spark.streams.addListener(errorPropagation)
+
+  /** First river failure that brought the rapid down, if any. */
+  def firstFailure: Option[String] = failure.get()
 
   private def newInput(): MemoryStream[(String, String)] = {
     val in = MemoryStream[(String, String)](
@@ -61,7 +86,7 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid") {
       }
       .queryName(s"$name-river-${queries.size}")
       .start()
-    queries += q
+    queries.synchronized { queries += q; () }
   }
 
   /** Synchronously inject a message and drain all rivers (every subscriber
@@ -85,15 +110,18 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid") {
       publish(m.body, m.key.orNull)
     }
 
-  def stop(): Unit = queries.foreach(_.stop())
+  def stop(): Unit = {
+    queries.synchronized(queries.toVector).foreach(_.stop())
+    spark.streams.removeListener(errorPropagation)
+  }
 
   /** Liveness: every registered river query is active (KafkaRapid.isRunning
     * analogue; surfaced by RapidApplication health).
     */
-  def isRunning: Boolean = queries.nonEmpty && queries.forall(_.isActive)
+  def isRunning: Boolean = queries.synchronized(queries.nonEmpty && queries.forall(_.isActive))
 
   /** Ids of this rapid's river queries (lifecycle-event ownership filter). */
-  def queryIds: Set[java.util.UUID] = queries.map(_.id).toSet
+  def queryIds: Set[java.util.UUID] = queries.synchronized(queries.map(_.id).toSet)
 
   /** TestRapid.inspektør (TestRapid.kt:38-75). */
   def inspector: Inspector = outbox.synchronized(new Inspector(outbox.toVector))

@@ -50,6 +50,35 @@ class StreamingSpec extends AnyFunSuite {
     rapid.stop()
   }
 
+  test("error in one river stops the WHOLE rapid (RapidIntegrationTest.kt:126-141)") {
+    val spark = TestSpark.spark
+    val rapid = new MemoryRapid(spark, "errstop")
+    // healthy river: echoes everything it passes
+    rapid.register(
+      River().validate(Validation.requireKey("@event_name"))) { r =>
+      r.passed.select(col("key"), col("value"))
+    }
+    // poison river: the flow throws on a specific payload (the reference's
+    // unhandled-listener-exception scenario)
+    rapid.register(
+      River().precondition(Validation.requireValue("@event_name", "boom"))) { r =>
+      r.passed.select(col("key"),
+        when(lit(true), raise_error(lit("poison message"))).otherwise(col("value"))
+          .cast("string").as("value"))
+    }
+    rapid.sendTestMessage("""{"@event_name":"fine"}""")
+    assert(rapid.isRunning)
+    // the poison payload kills the second river's query...
+    intercept[Exception](rapid.sendTestMessage("""{"@event_name":"boom"}"""))
+    // ...and the failure must propagate: EVERY river query stops (one dead
+    // subscriber must not leave the app half-alive and reporting healthy)
+    val deadline = System.currentTimeMillis() + 30000
+    while (rapid.isRunning && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(!rapid.isRunning, "healthy sibling river kept running after a river error")
+    assert(rapid.firstFailure.exists(_.contains("poison message")))
+    rapid.stop()
+  }
+
   test("Republish preserves undeclared fields through mutation (JsonMessage.kt:773-779)") {
     val spark = TestSpark.spark
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
