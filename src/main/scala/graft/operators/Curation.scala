@@ -110,6 +110,66 @@ object Curation {
        |ORDER BY doc_id, s""".stripMargin
   }
 
+  // ------------------------------------------- segment-level dedup
+
+  /** Non-overlapping segment width (tokens) for sub-document dedup. */
+  val SegSize = 8
+
+  /** Sub-document exact dedup (the line/paragraph-dedup pass of web-corpus
+    * pipelines, e.g. RefinedWeb-style repeated-boilerplate removal): split
+    * each doc into non-overlapping [[SegSize]]-token segments, keep only the
+    * FIRST corpus occurrence of each distinct segment text (min by
+    * (doc_id, s) — deterministic), drop every later repeat, and fingerprint
+    * the reassembled doc.
+    *
+    * Scale shape: first-occurrence is a hash groupBy of min(struct(doc_id,
+    * s)) — partial-aggregated map-side, so a boilerplate segment appearing
+    * in millions of docs collapses per-partition BEFORE the shuffle (a
+    * row_number window over the segment key would send every instance of
+    * the heavy hitter to one reducer instead). The winner set then joins
+    * back on the segment key (AQE skew-join splits hot keys), and doc
+    * reassembly is the second shuffle, on doc_id. Nothing is broadcast and
+    * no step is quadratic.
+    */
+  def segmentDedup(docs: DataFrame): DataFrame = {
+    val segs = docs.select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), greatest(size(col("w")), lit(1)), lit(SegSize))).as("s"),
+        col("w"))
+      .select(col("doc_id"), col("s"),
+        array_join(slice(col("w"), col("s"), lit(SegSize)), " ").as("seg"))
+    val first = segs.groupBy(col("seg").as("fseg"))
+      .agg(min(struct(col("doc_id"), col("s"))).as("f"))
+      .select(col("fseg"), col("f.doc_id").as("fdoc"), col("f.s").as("fs"))
+    segs.join(first, segs("seg") === first("fseg"))
+      .withColumn("kept", col("doc_id") === col("fdoc") && col("s") === col("fs"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_segments"),
+        sum(when(col("kept"), 0).otherwise(1)).cast("bigint").as("n_dropped"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("s").as("s"), col("seg").as("seg"))))),
+            x => x.getField("seg")),
+          " ")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sqlSegmentDedup: String =
+    s"""WITH toks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w FROM documents),
+       |segs AS (SELECT doc_id, s,
+       |    array_to_string(w[s : least(s + ${SegSize - 1}, len(w))], ' ') AS seg
+       |  FROM toks, LATERAL unnest(range(1, greatest(len(w), 1) + 1, $SegSize)) t(s)),
+       |flagged AS (SELECT doc_id, s, seg,
+       |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, s) = 1 AS kept
+       |  FROM segs)
+       |SELECT doc_id,
+       |  count(*)::BIGINT AS n_segments,
+       |  sum(CASE WHEN kept THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+       |  md5(coalesce(array_to_string(list(seg ORDER BY s) FILTER (WHERE kept), ' '), '')) AS clean_md5
+       |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------- benchmark decontamination
 
   /** Benchmark-membership predicate: a deterministic held-out slice of the

@@ -164,6 +164,11 @@ object Pipeline {
       Curation.chunk(Tables.documents(s, dir))
     },
 
+    // -------- sub-document (segment/paragraph) dedup
+    QueryDef.sql("p8_segment_dedup", Curation.sqlSegmentDedup) { (s, dir) =>
+      Curation.segmentDedup(Tables.documents(s, dir))
+    },
+
     // -------- PII scrub (emails/phones masked + counted)
     QueryDef.sql("p6_redact", TextOps.sqlRedact) { (s, dir) =>
       TextOps.redact(Tables.documents(s, dir))

@@ -58,6 +58,25 @@ class CurationSpec extends AnyFunSuite {
     assert(step == 48)
   }
 
+  test("segment dedup keeps the first corpus occurrence of boilerplate, drops repeats") {
+    val boiler = (1 to Curation.SegSize).map(i => s"b$i").mkString(" ") // exactly one segment
+    val uniqA = (1 to Curation.SegSize).map(i => s"a$i").mkString(" ")
+    val uniqC = (1 to Curation.SegSize).map(i => s"c$i").mkString(" ")
+    val d = docs(
+      (1L, s"$boiler $uniqA", "s"), // first occurrence of boiler (doc 1, seg 1)
+      (2L, s"$boiler $boiler", "s"), // two repeats, both dropped -> md5("")
+      (3L, s"$uniqC $boiler", "s")) // repeat in second segment only
+    val r = Curation.segmentDedup(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((2L, 0L, md5Hex(s"$boiler $uniqA"))))
+    assert(r(2L) == ((2L, 2L, md5Hex(""))))
+    assert(r(3L) == ((2L, 1L, md5Hex(uniqC))))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   test("kmeans separates two obvious clusters and reports sizes") {
     val s = TestSpark.spark
     import s.implicits._

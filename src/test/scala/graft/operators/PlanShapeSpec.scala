@@ -82,6 +82,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(aggs >= 2, s"expected partial+final HashAggregate pair in:\n$plan")
   }
 
+  test("segment dedup: partial-aggregated first-occurrence, no cross product") {
+    val spark = TestSpark.spark
+    // forced-broadcast-free plan: at scale the winner set is corpus-sized
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(Curation.segmentDedup(graft.Tables.documents(spark, dir)))
+      // the heavy-hitter defense: min(struct(doc_id,s)) per segment must
+      // partial-aggregate map-side BEFORE its exchange (a row_number window
+      // would funnel every instance of a boilerplate segment to one reducer)
+      assert("partial_min".r.findAllIn(plan).nonEmpty,
+        s"expected map-side partial min for first-occurrence in:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"no cross product expected:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partition pruning reaches a partitioned-layout scan") {
     val spark = TestSpark.spark
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
