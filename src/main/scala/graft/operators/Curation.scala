@@ -110,6 +110,35 @@ object Curation {
        |ORDER BY doc_id, s""".stripMargin
   }
 
+  // ------------------------------------------------- corpus accounting
+
+  /** Per-source corpus accounting — docs, tokens, and each source's share
+    * of total tokens: the numbers a mixture-weights decision reads.
+    *
+    * Scale shape: one partial-aggregated groupBy on source; the grand total
+    * is a single-row aggregate of the (tiny, one-row-per-source) result,
+    * broadcast back — never a single-partition window over row data.
+    */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Portable.tokens(col("text")))).cast("bigint").as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tot"), 6).as("token_share"))
+      .orderBy(col("source"))
+  }
+
+  val sqlCorpusStats: String =
+    s"""WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
+       |    sum(len(${Portable.sqlTokens("text")}))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT sum(n_tokens)::BIGINT AS tot FROM per)
+       |SELECT source, n_docs, n_tokens,
+       |  round(n_tokens::DOUBLE / tot, 6) AS token_share
+       |FROM per, tot ORDER BY source""".stripMargin
+
   // ------------------------------------------- segment-level dedup
 
   /** Non-overlapping segment width (tokens) for sub-document dedup. */

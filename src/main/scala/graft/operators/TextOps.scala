@@ -73,6 +73,44 @@ object TextOps {
        |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Top-K corpus n-grams by raw occurrence count (corpus analysis /
+    * boilerplate discovery — the frequency table a pipeline inspects before
+    * picking stop-shingles and dedup thresholds).
+    */
+  val TopNgramK = 20
+
+  /** All word-ShingleN-gram occurrences (NOT per-doc distinct — frequency
+    * analysis wants raw counts), partial-aggregated counts, then a global
+    * top-K with a total (count desc, gram asc) order.
+    *
+    * Scale shape: count per gram is a map-side-combined hash aggregate, and
+    * the final ORDER BY+LIMIT plans as TakeOrderedAndProject — each
+    * partition ships only its local top-K to the driver, never the full
+    * gram table.
+    */
+  def topNgrams(docs: DataFrame): DataFrame = {
+    val n = Portable.ShingleN
+    docs.select(Portable.tokens(col("text")).as("w"))
+      .select(explode(
+        when(size(col("w")) >= n,
+          transform(sequence(lit(0), size(col("w")) - n),
+            i => array_join(slice(col("w"), i + lit(1), lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("g"))
+      .limit(TopNgramK)
+  }
+
+  def sqlTopNgrams: String = {
+    val n = Portable.ShingleN
+    val gram = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT ${Portable.sqlTokens("text")} AS w FROM documents),
+       |grams AS (SELECT $gram AS g
+       |  FROM toks, LATERAL unnest(range(1, len(w) - ${n - 2})) t(i))
+       |SELECT g, count(*)::BIGINT AS n FROM grams GROUP BY g
+       |ORDER BY n DESC, g LIMIT $TopNgramK""".stripMargin
+  }
+
   /** Within-document n-gram repetition ratio (the Gopher/C4-style
     * repetition quality filter): 1 - distinct/total shingles. A pure
     * per-row expression — no shuffle, no state.

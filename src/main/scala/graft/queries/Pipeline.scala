@@ -164,6 +164,14 @@ object Pipeline {
       Curation.chunk(Tables.documents(s, dir))
     },
 
+    // -------- corpus analysis: top n-grams, per-source accounting
+    QueryDef.sql("t9_top_ngrams", TextOps.sqlTopNgrams) { (s, dir) =>
+      TextOps.topNgrams(Tables.documents(s, dir))
+    },
+    QueryDef.sql("p9_corpus_stats", Curation.sqlCorpusStats) { (s, dir) =>
+      Curation.corpusStats(Tables.documents(s, dir))
+    },
+
     // -------- sub-document (segment/paragraph) dedup
     QueryDef.sql("p8_segment_dedup", Curation.sqlSegmentDedup) { (s, dir) =>
       Curation.segmentDedup(Tables.documents(s, dir))

@@ -98,6 +98,14 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("corpus top-ngrams ships only per-partition top-K (TakeOrderedAndProject)") {
+    val plan = executed(TextOps.topNgrams(graft.Tables.documents(TestSpark.spark, dir)))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global ORDER BY+LIMIT must plan as partial top-K, not a full sort:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"gram counts must partial-aggregate map-side:\n$plan")
+  }
+
   test("partition pruning reaches a partitioned-layout scan") {
     val spark = TestSpark.spark
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
