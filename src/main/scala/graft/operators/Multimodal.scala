@@ -113,6 +113,33 @@ object Multimodal {
           .as("offset_ms"))
       .orderBy(col("asset_id"), col("frame_no"))
 
+  /** Audio windowing constants: 1 s windows every 500 ms (50% overlap) —
+    * the standard feature-extraction framing.
+    */
+  val WindowMs = 1000L
+  val StepMs = 500L
+
+  /** Overlapping analysis windows for audio assets: (window_no, start_ms,
+    * end_ms, n_samples) per window — the framing a spectrogram/feature
+    * kernel consumes. Like [[sampleFrames]], explodes only scalar window
+    * bounds derived from metadata; the audio payload itself is projected
+    * away and never shuffled.
+    */
+  def audioWindows(assetsDf: DataFrame): DataFrame =
+    assetsDf.filter(col("kind") === "audio")
+      .select(col("asset_id"),
+        col("meta.duration_ms").as("dur"), col("meta.sample_rate").as("sr"))
+      .select(col("asset_id"), col("dur"), col("sr"),
+        explode(sequence(lit(0L), greatest(col("dur") - 1, lit(0L)), lit(StepMs)))
+          .as("start_ms"))
+      .select(col("asset_id"),
+        (col("start_ms") / StepMs).cast("bigint").as("window_no"),
+        col("start_ms").cast("bigint").as("start_ms"),
+        least(col("start_ms") + WindowMs, col("dur")).cast("bigint").as("end_ms"),
+        expr(s"(least(start_ms + $WindowMs, dur) - start_ms) * sr div 1000")
+          .cast("bigint").as("n_samples"))
+      .orderBy(col("asset_id"), col("window_no"))
+
   // -------------------------------------------------------------- oracles
 
   /** DuckDB twin of assets->extractFeatures: feature i = big-endian uint of
@@ -126,6 +153,16 @@ object Multimodal {
        |  $feats
        |FROM documents ORDER BY asset_id""".stripMargin
   }
+
+  val sqlAudioWindows: String =
+    s"""WITH a AS (SELECT doc_id AS asset_id, (n_chars * 100)::BIGINT AS dur,
+       |    16000 AS sr
+       |  FROM documents WHERE doc_id % 3 = 1)
+       |SELECT asset_id, (s // $StepMs)::BIGINT AS window_no, s::BIGINT AS start_ms,
+       |  least(s + $WindowMs, dur)::BIGINT AS end_ms,
+       |  ((least(s + $WindowMs, dur) - s) * sr // 1000)::BIGINT AS n_samples
+       |FROM a, LATERAL unnest(range(0, greatest(dur, 1), $StepMs)) t(s)
+       |ORDER BY asset_id, window_no""".stripMargin
 
   def sqlSampleFrames(stride: Int): String =
     s"""WITH v AS (SELECT doc_id AS asset_id,

@@ -116,6 +116,14 @@ object Similarity {
   /** IVF-style top-k: element-wise centroid per label partition, probe the
     * `nprobe` nearest centroids per query (L2), search only those
     * partitions.
+    *
+    * RECALL depends on the cells being geometrically coherent: over an
+    * arbitrary pre-existing partition key (like the fixture's label column)
+    * pruning loses most true neighbors (measured 0.3 recall@3 at nprobe=2),
+    * while the same search over TRAINED cells ([[knnIvfKmeans]]) reaches
+    * 0.97 — at scale, train the coarse quantizer; use this form only when
+    * the partition key is already a clustering. ScaleOpsSpec locks the
+    * comparison.
     */
   def knnIvf(emb: DataFrame, nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     val e = vecs(emb)

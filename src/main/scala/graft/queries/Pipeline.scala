@@ -212,6 +212,9 @@ object Pipeline {
     },
     QueryDef.sql("mm2_frame_sample", Multimodal.sqlSampleFrames(10)) { (s, dir) =>
       Multimodal.sampleFrames(Multimodal.assets(Tables.documents(s, dir)), 10)
+    },
+    QueryDef.sql("mm3_audio_windows", Multimodal.sqlAudioWindows) { (s, dir) =>
+      Multimodal.audioWindows(Multimodal.assets(Tables.documents(s, dir)))
     }
   )
 }

@@ -260,6 +260,20 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // Skew-salted two-phase aggregation (operators/Skew.scala): the hot-key
+    // defense a 100 TB aggregation needs, oracle-checked against the plain
+    // one-phase aggregate (salting must be EXACT for sum/count up to fp
+    // rounding).
+    QueryDef.sql("q21_salted_agg",
+      """SELECT event_type, round(sum(value), 2) AS total,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.operators.Skew.saltedAgg(
+          Tables.events(s, dir), col("event_type"), col("value"), salt = 8)
+        .select(col("k").as("event_type"), round(col("total"), 2).as("total"), col("n"))
+        .orderBy(col("event_type"))
+    },
+
     // Full CUBE grouping sets.
     QueryDef.sql("q14_cube",
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
