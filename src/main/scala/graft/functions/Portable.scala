@@ -53,6 +53,25 @@ object Portable {
   def sqlMinHashPerm(h32: String, i: Int): String =
     s"((($h32) * ${MinHashA(i)}::BIGINT + ${MinHashB(i)}::BIGINT) % ${P}::BIGINT)"
 
+  // ---------------------------------------------- signed random projection
+
+  /** SRP-LSH shape: bands x bits-per-band sign buckets over deterministic
+    * hyperplanes. A pair colliding in ANY band becomes a candidate —
+    * the embedding-space analogue of MinHash banding.
+    */
+  val SrpBands = 4
+  val SrpBits = 8
+
+  /** Hyperplane component for (band b, bit j, 1-based element i):
+    * md5-derived, symmetric in [-1, 1] — identical in both engines.
+    */
+  def srpPlane(b: Column, j: Column, i: Column): Column =
+    (hash32(concat_ws("_", lit("srp"), b, j, i)) % 2001 - 1000) / 1000.0
+
+  /** DuckDB twin of [[srpPlane]]; operands are SQL expression strings. */
+  def sqlSrpPlane(b: String, j: String, i: String): String =
+    s"((${sqlHash32(s"'srp_' || ($b)::VARCHAR || '_' || ($j)::VARCHAR || '_' || ($i)::VARCHAR")} % 2001) - 1000) / 1000.0"
+
   // ---------------------------------------------------------------- SimHash
 
   /** SimHash width in bits (32-bit simhash; fits BIGINT in both engines). */

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.Portable
+
 /** Similarity search over an embedding column (array<float>).
   *
   * Brute-force cosine top-k is the correctness baseline: the (small) query
@@ -347,6 +349,87 @@ object Similarity {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
       .filter(col("sim") >= CosineDupThreshold)
       .orderBy(col("ia"), col("ib"))
+  }
+
+  /** SRP-LSH near-dup pairs: the LSH-bucketed alternative to IVF cells.
+    * Each vector gets [[Portable.SrpBands]] sign-buckets of
+    * [[Portable.SrpBits]] deterministic-hyperplane projections; a pair
+    * colliding in ANY band is a candidate, verified with exact cosine —
+    * MinHash banding ([[Dedup.lshPairs]]) transplanted to embedding space,
+    * for when no trained quantizer exists.
+    *
+    * RECALL ENVELOPE (be honest about what banding can do): a pair at
+    * angle θ collides in one band with prob (1−θ/π)^bits, in any band
+    * 1−(1−(1−θ/π)^bits)^bands. Near-identical vectors (cos ≥ 0.99) are
+    * found with prob ≈ 1 (ScaleOpsSpec proves ≥ 9/10 planted pairs on
+    * synthetic data); at moderate similarity (cos ≈ 0.4, the verify
+    * threshold) per-bit agreement is only 0.63 vs 0.5 for random pairs, so
+    * banding recalls a fraction (measured 0.22 on the fixture) — that
+    * regime belongs to the cell-blocked forms ([[cosineDupPairs]],
+    * [[nnAll]]). Use SRP for true near-duplicate detection, cells for
+    * moderate-similarity search.
+    *
+    * Scale shape: the plane matrix is tiny (bands*bits*dim) and evaluated
+    * ONCE from the shared Portable expression, then inlined as literals so
+    * the per-row signature is pure codegen (32 native dot products — no
+    * join, no explode of the corpus). Candidates come from per-band
+    * equi-joins on the bucket value (bounded by band collisions, never
+    * all-pairs), and only candidates pay the exact-cosine verify.
+    */
+  def srpLshPairs(emb: DataFrame): DataFrame = {
+    import Portable.{SrpBands, SrpBits}
+    val e = vecs(emb).withColumn("nrm", norm(col("v")))
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val spark = emb.sparkSession
+    val planes: Map[(Int, Int), Array[Double]] =
+      spark.range(SrpBands.toLong * SrpBits * dim).select(
+          (col("id") / (SrpBits * dim)).cast("int").as("b"),
+          (col("id") % (SrpBits * dim) / dim).cast("int").as("j"),
+          (col("id") % dim + 1).cast("int").as("i"))
+        .select(col("b"), col("j"), col("i"),
+          Portable.srpPlane(col("b"), col("j"), col("i")).as("pv"))
+        .collect().groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k, rows) => k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)) }
+    val bucketCols = (0 until SrpBands).map { b =>
+      (0 until SrpBits).map { j =>
+        when(dot(col("v"), lit(planes((b, j)))) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"bucket_$b")
+    }
+    val sigs = e.select(col("vec_id") +: bucketCols: _*)
+    val cand = (0 until SrpBands).map { b =>
+        sigs.select(col("vec_id").as("ia"), col(s"bucket_$b").as("bk"))
+          .join(sigs.select(col("vec_id").as("ib"), col(s"bucket_$b").as("bk")), "bk")
+          .filter(col("ia") < col("ib")).select(col("ia"), col("ib"))
+      }.reduce(_ union _).distinct()
+    val va = e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val vb = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(va, "ia").join(vb, "ib")
+      .select(col("ia"), col("ib"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
+      .filter(col("sim") >= CosineDupThreshold)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val sqlSrpLshPairs: String = {
+    import Portable.{SrpBands, SrpBits}
+    val cos = "round(list_dot_product(ea.v, eb.v) / " +
+      "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |planes AS (SELECT b, j, i::INT AS i, ${Portable.sqlSrpPlane("b", "j", "i")} AS pv
+       |  FROM range(0, $SrpBands) t1(b), range(0, $SrpBits) t2(j),
+       |    (SELECT max(len(v)) AS dim FROM e) d, LATERAL unnest(range(1, d.dim + 1)) t3(i)),
+       |proj AS (SELECT e.vec_id, p.b, p.j, sum(e.v[p.i] * p.pv) AS dsum
+       |  FROM e, planes p WHERE p.i <= len(e.v) GROUP BY 1, 2, 3),
+       |buckets AS (SELECT vec_id, b,
+       |    sum(CASE WHEN dsum >= 0 THEN (2 ** j)::BIGINT ELSE 0 END)::BIGINT AS bk
+       |  FROM proj GROUP BY vec_id, b),
+       |cand AS (SELECT DISTINCT a.vec_id AS ia, c.vec_id AS ib
+       |  FROM buckets a JOIN buckets c ON a.b = c.b AND a.bk = c.bk
+       |    AND a.vec_id < c.vec_id)
+       |SELECT cand.ia, cand.ib, $cos AS sim
+       |FROM cand JOIN e ea ON ea.vec_id = cand.ia JOIN e eb ON eb.vec_id = cand.ib
+       |WHERE $cos >= $CosineDupThreshold
+       |ORDER BY ia, ib""".stripMargin
   }
 
   val sqlCosineDupPairs: String =

@@ -99,6 +99,11 @@ object Pipeline {
     QueryDef.sql("s4_knn_ivf_kmeans", Similarity.sqlKnnIvfKmeans(10, 3, 4, 2, 2)) { (s, dir) =>
       Similarity.knnIvfKmeans(Tables.embeddings(s, dir), 10, 3, 4, 2, 2)
     },
+    // SRP-LSH near-dup pairs — the banded-LSH alternative when no trained
+    // quantizer exists (MinHash banding transplanted to embedding space)
+    QueryDef.sql("s5_srp_lsh", Similarity.sqlSrpLshPairs) { (s, dir) =>
+      Similarity.srpLshPairs(Tables.embeddings(s, dir))
+    },
 
     // -------- event-time windows
     QueryDef.sql("w1_tumbling", EventWindows.sqlTumblingHourly) { (s, dir) =>

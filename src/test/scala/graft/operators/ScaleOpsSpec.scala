@@ -155,6 +155,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rKm > rIvf, s"training the quantizer must beat arbitrary cells ($rKm vs $rIvf)")
   }
 
+  test("SRP-LSH finds planted near-identical pairs (the high-similarity contract)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def vec() = Array.fill(8)(rnd.nextGaussian().toFloat)
+    // 80 random base vectors; vectors 100+i are tiny perturbations of i<10
+    // (cos > 0.99) — the planted near-dups SRP banding must catch
+    val base = (0L until 80L).map(i => (i, vec(), 0))
+    val planted = (0L until 10L).map { i =>
+      (100L + i, base(i.toInt)._2.map(x => x + 0.02f * rnd.nextGaussian().toFloat), 0)
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding", "label")
+    val found = Similarity.srpLshPairs(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (0L until 10L).count(i => found.contains((i, 100L + i)))
+    // P[miss] per planted pair is ~2e-5 at 4 bands x 8 bits and cos>0.99;
+    // allow one unlucky geometry, no more
+    assert(hits >= 9, s"found only $hits/10 planted near-identical pairs: $found")
+  }
+
   test("stream-static decontamination: live docs flagged against a static benchmark") {
     val spark = TestSpark.spark
     import spark.implicits._
