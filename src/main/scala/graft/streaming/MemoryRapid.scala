@@ -17,7 +17,14 @@ import graft.messages.{River, Routed}
   * send-then-assert pattern as the reference (processAllAvailable drains the
   * micro-batch like TestRapid's direct notifyMessage call).
   */
-final class MemoryRapid(spark: SparkSession, name: String = "rapid") {
+final class MemoryRapid(spark: SparkSession, name: String = "rapid",
+    /** When true, every reply a river publishes is ALSO fed back onto the
+      * rapid (all subscriptions see it next micro-batch) — the in-memory
+      * analogue of publishing to the shared Kafka topic, enabling
+      * multi-hop flows (need → løsning → coordinator) entirely in memory.
+      * [[sendTestMessage]] then drains until the rapid is quiescent.
+      */
+    loopback: Boolean = false) {
   import spark.implicits._
 
   // One MemoryStream PER RIVER: a MemoryStream serves a single query —
@@ -79,9 +86,12 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid") {
         val rows = batch.select(
           coalesce(col("key"), lit(null).cast("string")).as("key"), col("value"))
           .collect()
-        outbox.synchronized {
-          outbox ++= rows.map(r => (r.getString(0), r.getString(1)))
-        }
+        val msgs = rows.map(r => (r.getString(0), r.getString(1)))
+        outbox.synchronized { outbox ++= msgs }
+        // loopback: replies rejoin the rapid for every subscription (runs on
+        // the streaming thread; MemoryStream.addData is thread-safe)
+        if (loopback && msgs.nonEmpty)
+          inputs.synchronized(inputs.toVector).foreach(_.addData(msgs))
         ()
       }
       .queryName(s"$name-river-${queries.size}")
@@ -90,11 +100,21 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid") {
   }
 
   /** Synchronously inject a message and drain all rivers (every subscriber
-    * sees every message, RapidsConnection.kt:44-55).
+    * sees every message, RapidsConnection.kt:44-55). Under [[loopback]],
+    * drains repeatedly until no river produces anything new (quiescence),
+    * so multi-hop flows settle within one call; a hop cap guards against a
+    * reply loop that never converges.
     */
   def sendTestMessage(message: String, key: String = null): Unit = {
-    inputs.foreach(_.addData((key, message)))
-    queries.foreach(_.processAllAvailable())
+    inputs.synchronized(inputs.toVector).foreach(_.addData((key, message)))
+    var before = -1
+    var hops = 0
+    while (before != outbox.synchronized(outbox.size) && hops < 100) {
+      before = outbox.synchronized(outbox.size)
+      queries.synchronized(queries.toVector).foreach(_.processAllAvailable())
+      hops += 1
+    }
+    require(hops < 100, s"rapid did not quiesce after $hops drain rounds (reply loop?)")
   }
 
   /** Direct publish onto the outbox (TestRapid.publish). */

@@ -50,6 +50,46 @@ class StreamingSpec extends AnyFunSuite {
     rapid.stop()
   }
 
+  test("behov round-trip: need published, solver adds løsning, coordinator sees it (multi-hop loopback)") {
+    val spark = TestSpark.spark
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    val rapid = new MemoryRapid(spark, "needs", loopback = true)
+    // solver: answers Inntekt needs that carry no løsning yet, republishing
+    // the SAME message enriched with @løsning (the reference's behov flow)
+    rapid.register(River()
+      .precondition(Validation.requireAllOrAny("@behov", Seq("Inntekt")))
+      .precondition(Validation.forbid("@løsning.Inntekt"))) { r =>
+      Republish(r.passed.select(col("key"), col("value")),
+        Seq("@løsning" -> struct(lit(42000.0).as("Inntekt"))),
+        "inntekt-service", "solver-1")
+    }
+    // coordinator: reacts only to SOLVED needs — which exist solely as the
+    // solver's looped-back replies, never as direct test input
+    rapid.register(River()
+      .precondition(Validation.requireKey("@løsning.Inntekt"))) { r =>
+      r.passed.select(col("key"),
+        lit("""{"@event_name":"inntekt_recorded"}""").as("value"))
+    }
+    import spark.implicits._
+    val needJson = Seq(1).toDF("x").select(Envelope.newNeed(Seq("Inntekt"),
+      Seq("fnr" -> lit("123")), Envelope.RandomIdGen,
+      current_timestamp()).as("m")).first().getString(0)
+    rapid.sendTestMessage(needJson, key = "fnr-123")
+    val insp = rapid.inspector
+    val bodies = (0 until insp.size).map(i => (insp.key(i), insp.message(i)))
+    // hop 1: the solver's reply carries the løsning AND the original need
+    // fields (Republish passthrough), under the sticky key
+    val solved = bodies.collect { case (k, m) if m.contains("@løsning") => (k, m) }
+    assert(solved.size == 1, s"solver must answer exactly once, got $bodies")
+    assert(solved.head._1 == "fnr-123")
+    assert(solved.head._2.contains("42000") && solved.head._2.contains("@behovId")
+      && solved.head._2.contains(""""fnr":"123""""))
+    // hop 2: the coordinator consumed the LOOPED-BACK solved message
+    assert(bodies.exists(_._2.contains("inntekt_recorded")),
+      s"coordinator never saw the solved need: $bodies")
+    rapid.stop()
+  }
+
   test("error in one river stops the WHOLE rapid (RapidIntegrationTest.kt:126-141)") {
     val spark = TestSpark.spark
     val rapid = new MemoryRapid(spark, "errstop")
