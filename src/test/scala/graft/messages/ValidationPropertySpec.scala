@@ -117,6 +117,27 @@ class ValidationPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("infix `can` is the optional form: missing/null passes, present value must validate") {
+    import Validation._
+    // can be("a"): absent or JSON-null fine; present must be the string "a"
+    checkAgainst(key can be("a"), {
+      case None | Some(JNull) => true
+      case Some(JStr("a"))    => true
+      case _                  => false
+    })
+    // can exist: always passes (registers the key, validates nothing)
+    checkAgainst(key can exist, _ => true)
+  }
+
+  test("infix must/should compile the same predicate, differ only in severity tag") {
+    import Validation._
+    val msgs = sample(7L).map(render)
+    assert(evalBatch(key must be("a"), msgs) == evalBatch(key should be("a"), msgs))
+    assert(evalBatch(key must exist, msgs) == evalBatch(key should exist, msgs))
+    assert((key must exist).severe && !(key should exist).severe)
+    assert(!(key can exist).severe)
+  }
+
   test("demand/reject aliases agree with their require/forbid twins") {
     val msgs = sample(99L).map(render)
     assert(evalBatch(Validation.demandKey(key), msgs) ==
