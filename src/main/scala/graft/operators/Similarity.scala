@@ -395,12 +395,18 @@ object Similarity {
         when(dot(col("v"), lit(planes((b, j)))) >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _).as(s"bucket_$b")
     }
-    val sigs = e.select(col("vec_id") +: bucketCols: _*)
-    val cand = (0 until SrpBands).map { b =>
-        sigs.select(col("vec_id").as("ia"), col(s"bucket_$b").as("bk"))
-          .join(sigs.select(col("vec_id").as("ib"), col(s"bucket_$b").as("bk")), "bk")
-          .filter(col("ia") < col("ib")).select(col("ia"), col("ib"))
-      }.reduce(_ union _).distinct()
+    // long form (vec_id, band, bucket): ONE self-join on (band, bucket)
+    // instead of bands-many unioned self-joins — the corpus is scanned once
+    // per side (and the shuffle is identical on both sides, so Spark reuses
+    // the exchange), not 2*bands times
+    val sigs = e.select(col("vec_id"),
+      explode(array((0 until SrpBands).map(b =>
+        struct(lit(b).as("b"), bucketCols(b).as("bk"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.b").as("b"), col("s.bk").as("bk"))
+    val cand = sigs.select(col("vec_id").as("ia"), col("b"), col("bk"))
+      .join(sigs.select(col("vec_id").as("ib"), col("b"), col("bk")), Seq("b", "bk"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
     val va = e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
     val vb = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
     cand.join(va, "ia").join(vb, "ib")
