@@ -177,7 +177,12 @@ object Dedup {
     // verify ONLY candidate pairs with exact jaccard — the LSH payoff: the
     // full pairwise self-join is never materialized, just bucket-cohabitants
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = broadcast(cand).join(sh.as("a"), col("ia") === col("a.doc_id"))
+    // no broadcast hint on cand: candidate volume is DATA-DEPENDENT (a
+    // boilerplate-heavy crawl explodes band collisions), so a mandatory
+    // BroadcastExchange would OOM the driver at scale. AQE broadcasts it
+    // at runtime when it measures small — same plan on small corpora,
+    // safe shuffle join on pathological ones.
+    val inter = cand.join(sh.as("a"), col("ia") === col("a.doc_id"))
       .select(col("ia"), col("ib"), col("a.g").as("cand_g"))
       .join(sh.as("b"), col("cand_g") === col("b.g") && col("ib") === col("b.doc_id"))
       .groupBy(col("ia"), col("ib"))
@@ -223,44 +228,85 @@ object Dedup {
 
   /** Connected components over an undirected pair list: every doc gets the
     * min doc_id reachable from it — the cluster id / canonical
-    * representative. Min-label propagation to a FIXED POINT: labels only
-    * decrease, so an unchanged sum(lab) proves convergence (<= diameter+1
-    * rounds, each one shuffle join + min-aggregate over the small edge
-    * set, never over the corpus). Like MLlib's fit, this is an ACTION —
-    * the loop runs when called, and the returned plan reads the final
-    * labels, so Explain shows the (accurate) serving plan, not the loop.
-    * The edge set is materialized once up front: the iteration references
-    * it every round, and an uncached upstream (the whole LSH pipeline
-    * here) would be re-expanded into the plan per round.
+    * representative.
+    *
+    * Algorithm: ALTERNATING LARGE-STAR / SMALL-STAR contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC '14).
+    * Each round rewires every node toward the minimum of its neighborhood,
+    * roughly halving tree heights, so convergence is O(log n) rounds — a
+    * 1,000-link boilerplate-edit chain is ~10 Spark jobs, not 1,000, which
+    * is what makes this safe on a 100 TB corpus where near-dup chains get
+    * long. (Plain min-label propagation, the previous implementation, is
+    * O(diameter) rounds.) Each round is two groupBy+join passes over the
+    * EDGE set only, never the corpus.
+    *
+    * Like MLlib's fit, this is an ACTION — the loop runs when called, and
+    * the returned plan reads the final star edges, so Explain shows the
+    * (accurate) serving plan, not the loop. Per-round localCheckpoint cuts
+    * lineage: the edge frame feeds several operators per round, so an
+    * uncheckpointed logical plan grows geometrically with rounds.
+    * Convergence = unchanged (count, bit_xor of xxhash64) edge-set
+    * fingerprint, one cheap action per round over checkpointed edges.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("ia"), col("ib"))
-      .union(pairs.select(col("ib").as("ia"), col("ia").as("ib")))
-      .cache()
-    var labels = edges.select(col("ia").as("v")).distinct()
-      .select(col("v"), col("v").as("lab"))
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs)._1
+
+  /** [[connectedComponents]] plus the number of contraction rounds run —
+    * exposed so tests can pin the O(log n) convergence bound.
+    */
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    val verts = pairs.select(col("ia").as("x"))
+      .union(pairs.select(col("ib").as("x")))
+      .distinct().localCheckpoint(true)
+    // canonical big->small orientation, self-loops and duplicates dropped
+    var edges = pairs
+      .select(greatest(col("ia"), col("ib")).as("u"), least(col("ia"), col("ib")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
-    var prevSum = Long.MaxValue
-    var converged = false
-    while (!converged) {
-      val viaNeighbors = edges.join(labels, col("ib") === col("v"))
-        .select(col("ia").as("v"), col("lab"))
-      // labels feeds BOTH the union and the join, so each round must CUT
-      // LINEAGE, not merely cache: a cached plan still doubles its LOGICAL
-      // tree per iteration (2^rounds subtrees — analysis alone OOM'd the
-      // driver before this localCheckpoint truncation).
-      labels = labels.union(viaNeighbors)
-        .groupBy(col("v")).agg(min(col("lab")).as("lab"))
-        .localCheckpoint(true)
-      // sum() over zero rows is NULL — an empty pair set (corpus with no
-      // near-dups) must converge immediately, not NPE on getLong.
-      val s = Option(labels.agg(sum(col("lab"))).first().getAs[java.lang.Long](0))
-        .fold(0L)(_.longValue)
-      converged = s == prevSum
-      prevSum = s
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    edges.unpersist()
-    labels
+    var sig = fingerprint(edges)
+    var rounds = 0
+    var converged = sig._1 == 0L
+    while (!converged) {
+      rounds += 1
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = fingerprint(edges)
+      converged = next == sig
+      sig = next
+    }
+    // fixed point = stars: every non-minimum vertex carries exactly one
+    // edge (v, component-min); minima label themselves via the coalesce
+    val labels = verts.join(edges, verts("x") === edges("u"), "left")
+      .select(verts("x").as("v"), coalesce(edges("v"), verts("x")).as("lab"))
+    (labels, rounds)
+  }
+
+  /** Large-star: for each node, connect every STRICTLY LARGER neighbor to
+    * the minimum of the closed neighborhood. Symmetrizes internally;
+    * output keeps the big->small invariant (target = a neighborhood min).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+    sym.join(mins, "u").filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: for each node (all neighbors smaller, by invariant),
+    * connect the node and every non-minimum neighbor to the minimum
+    * neighbor. Preserves the big->small invariant.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    e.join(mins, "u").filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .distinct()
   }
 
   /** Near-dup CLUSTERS from the LSH pairs: (doc_id, cluster) where cluster

@@ -52,6 +52,18 @@ class DedupTextSpec extends AnyFunSuite {
     assert(labs(10L) == 10L && labs(11L) == 10L)
   }
 
+  test("connected components: 50-link chain converges in O(log n) rounds") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // worst case for label propagation (diameter 50 would need ~51 rounds);
+    // star contraction must collapse it in logarithmic rounds
+    val chain = (1L until 51L).map(i => (i, i + 1)).toDF("ia", "ib")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain)
+    val labs = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs.size == 51 && (1L to 51L).forall(labs(_) == 1L))
+    assert(rounds <= 7, s"expected O(log n) convergence, took $rounds rounds")
+  }
+
   test("connected components: empty pair set yields empty labels, no NPE") {
     val s = TestSpark.spark
     import s.implicits._

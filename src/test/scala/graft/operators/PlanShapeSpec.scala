@@ -47,6 +47,23 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("LSH candidate-verify join carries no mandatory broadcast of the candidate set") {
+    val spark = TestSpark.spark
+    // candidate volume is data-dependent (band collisions explode on
+    // boilerplate-heavy corpora), so the verify join must stay valid with
+    // broadcasting disabled: a forced broadcast() hint would still emit a
+    // BroadcastExchange here and OOM the driver at scale
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(Dedup.lshPairs(graft.Tables.documents(spark, dir)))
+      assert(!plan.contains("BroadcastExchange"),
+        s"candidate verify must not force a broadcast (AQE may choose one when small):\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected shuffled equi-joins for candidate verify in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("decontamination broadcasts the benchmark shingle set") {
     val docs = graft.Tables.documents(TestSpark.spark, dir)
     val plan = executed(Curation.decontaminate(docs))
