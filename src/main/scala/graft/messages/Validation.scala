@@ -244,7 +244,13 @@ object Validation {
       */
     def can(c: Combinator): Rule = {
       val r = c.toRule(key)
-      val opt = (v: Column) => !present(v) || coalesce(r.onValue.get(v), lit(false))
+      // every current Combinator is key-scoped (onValue defined); a future
+      // message-level one must fail loudly at DSL-construction time, not
+      // with a bare NoSuchElementException from .get
+      val onValue = r.onValue.getOrElse(throw new IllegalArgumentException(
+        s"'$key' can ...: combinator produced a message-level rule " +
+          "(no value predicate); `can` needs a key-scoped combinator"))
+      val opt = (v: Column) => !present(v) || coalesce(onValue(v), lit(false))
       Rule(key, s"Optional: ${r.description}", m => opt(vraw(m, key)), Some(opt),
         values = r.values)
     }

@@ -379,7 +379,10 @@ object Similarity {
   def srpLshPairs(emb: DataFrame): DataFrame = {
     import Portable.{SrpBands, SrpBits}
     val e = vecs(emb).withColumn("nrm", norm(col("v")))
-    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    // max over the table, not an arbitrary first() row: the oracle twin
+    // uses max(len) with a bounds guard, and on a ragged embeddings table
+    // a short first row would silently truncate every signature
+    val dim = emb.agg(max(size(col("embedding")))).first().getInt(0)
     val spark = emb.sparkSession
     val planes: Map[(Int, Int), Array[Double]] =
       spark.range(SrpBands.toLong * SrpBits * dim).select(

@@ -24,7 +24,9 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
       * multi-hop flows (need → løsning → coordinator) entirely in memory.
       * [[sendTestMessage]] then drains until the rapid is quiescent.
       */
-    loopback: Boolean = false) {
+    loopback: Boolean = false,
+    /** Hard bound on loopback re-injection rounds per send. */
+    maxLoopbackHops: Int = 100) {
   import spark.implicits._
 
   // One MemoryStream PER RIVER: a MemoryStream serves a single query —
@@ -33,6 +35,12 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
   // own offsets; this is the in-memory equivalent).
   private val inputs = mutable.ArrayBuffer.empty[MemoryStream[(String, String)]]
   private val outbox = mutable.ArrayBuffer.empty[(String, String)]
+  // loopback replies awaiting re-injection: buffered here by foreachBatch and
+  // fed back from the sendTestMessage drain loop — NOT addData'd on the
+  // streaming thread, where a reply that re-matches its own subscription
+  // would keep a single processAllAvailable call busy forever and the hop
+  // cap (which counts drain rounds) could never fire.
+  private val pending = mutable.ArrayBuffer.empty[(String, String)]
   private val queries = mutable.ArrayBuffer.empty[StreamingQuery]
   private val failure = new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
 
@@ -88,10 +96,8 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
           .collect()
         val msgs = rows.map(r => (r.getString(0), r.getString(1)))
         outbox.synchronized { outbox ++= msgs }
-        // loopback: replies rejoin the rapid for every subscription (runs on
-        // the streaming thread; MemoryStream.addData is thread-safe)
         if (loopback && msgs.nonEmpty)
-          inputs.synchronized(inputs.toVector).foreach(_.addData(msgs))
+          pending.synchronized { pending ++= msgs; () }
         ()
       }
       .queryName(s"$name-river-${queries.size}")
@@ -101,20 +107,27 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
 
   /** Synchronously inject a message and drain all rivers (every subscriber
     * sees every message, RapidsConnection.kt:44-55). Under [[loopback]],
-    * drains repeatedly until no river produces anything new (quiescence),
-    * so multi-hop flows settle within one call; a hop cap guards against a
-    * reply loop that never converges.
+    * buffered replies are re-injected between drain rounds until none are
+    * produced (quiescence); `maxLoopbackHops` re-injection rounds guard
+    * against a reply loop that never converges. Quiescence — an empty
+    * reply buffer — is the termination test, so a flow that legitimately
+    * settles on exactly the last permitted hop still passes.
     */
   def sendTestMessage(message: String, key: String = null): Unit = {
     inputs.synchronized(inputs.toVector).foreach(_.addData((key, message)))
-    var before = -1
     var hops = 0
-    while (before != outbox.synchronized(outbox.size) && hops < 100) {
-      before = outbox.synchronized(outbox.size)
+    var quiescent = false
+    while (!quiescent && hops <= maxLoopbackHops) {
       queries.synchronized(queries.toVector).foreach(_.processAllAvailable())
-      hops += 1
+      val replays = pending.synchronized { val p = pending.toVector; pending.clear(); p }
+      if (replays.isEmpty) quiescent = true
+      else {
+        inputs.synchronized(inputs.toVector).foreach(_.addData(replays))
+        hops += 1
+      }
     }
-    require(hops < 100, s"rapid did not quiesce after $hops drain rounds (reply loop?)")
+    require(quiescent,
+      s"rapid did not quiesce after $hops loopback hops (reply loop?)")
   }
 
   /** Direct publish onto the outbox (TestRapid.publish). */
@@ -146,15 +159,25 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
   /** TestRapid.inspektør (TestRapid.kt:38-75). */
   def inspector: Inspector = outbox.synchronized(new Inspector(outbox.toVector))
 
+  private object Inspector {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+  }
+
   final class Inspector(msgs: Vector[(String, String)]) {
     def size: Int = msgs.size
     def key(i: Int): String = msgs(i)._1
     def message(i: Int): String = msgs(i)._2
-    /** Read a top-level field of message i (parsed on demand). */
+    /** Read a top-level field of message i (parsed on demand). Plain
+      * Jackson, not a Spark job: this is a per-assertion test surface and
+      * a one-row DataFrame would pay ~100 ms of job overhead per read.
+      * Same contract as get_json_object: None for missing/null, the bare
+      * text for scalars, JSON text for objects/arrays.
+      */
     def field(i: Int, key: String): Option[String] = {
-      import spark.implicits._
-      val df = Seq(msgs(i)._2).toDF("value")
-      Option(df.select(get_json_object(col("value"), s"$$['$key']")).first().getString(0))
+      val node = Inspector.mapper.readTree(msgs(i)._2).path(key)
+      if (node.isMissingNode || node.isNull) None
+      else if (node.isTextual) Some(node.asText())
+      else Some(node.toString)
     }
   }
 }
