@@ -240,26 +240,37 @@ object Dedup {
     * O(diameter) rounds.) Each round is two groupBy+join passes over the
     * EDGE set only, never the corpus.
     *
-    * Like MLlib's fit, this is an ACTION — the loop runs when called, and
-    * the returned plan reads the final star edges, so Explain shows the
-    * (accurate) serving plan, not the loop. Per-round localCheckpoint cuts
-    * lineage: the edge frame feeds several operators per round, so an
-    * uncheckpointed logical plan grows geometrically with rounds.
-    * Convergence = unchanged (count, bit_xor of xxhash64) edge-set
-    * fingerprint, one cheap action per round over checkpointed edges.
+    * Like MLlib's fit, this is an ACTION — the loop runs when called and
+    * the returned labels are materialized (one localCheckpoint of |V| rows),
+    * which lets every intermediate cached block — the canonical pair set,
+    * the per-round star edges — be unpersisted before returning; nothing
+    * stays pinned for the session. Per-round localCheckpoint cuts lineage:
+    * the edge frame feeds several operators per round, so an uncheckpointed
+    * logical plan grows geometrically with rounds. Convergence = unchanged
+    * (count, bit_xor of xxhash64) edge-set fingerprint, one cheap action per
+    * round over checkpointed edges, bounded by [[CcMaxRounds]] so a
+    * non-converging fingerprint fails loudly instead of spinning forever.
     */
   def connectedComponents(pairs: DataFrame): DataFrame =
     connectedComponentsWithRounds(pairs)._1
+
+  /** Hard bound on contraction rounds: convergence is O(log n) so 64 rounds
+    * covers any graph that fits in a cluster; hitting it means a bug.
+    */
+  private[graft] val CcMaxRounds = 64
 
   /** [[connectedComponents]] plus the number of contraction rounds run —
     * exposed so tests can pin the O(log n) convergence bound.
     */
   private[graft] def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
-    val verts = pairs.select(col("ia").as("x"))
-      .union(pairs.select(col("ib").as("x")))
-      .distinct().localCheckpoint(true)
+    // ONE evaluation of the upstream (for dupClusters: the whole LSH
+    // pipeline); vertices and oriented edges both derive from this block
+    val base = pairs.select(col("ia"), col("ib")).localCheckpoint(true)
+    val verts = base.select(col("ia").as("x"))
+      .union(base.select(col("ib").as("x")))
+      .distinct()
     // canonical big->small orientation, self-loops and duplicates dropped
-    var edges = pairs
+    var edges = base
       .select(greatest(col("ia"), col("ib")).as("u"), least(col("ia"), col("ib")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
@@ -272,15 +283,27 @@ object Dedup {
     var converged = sig._1 == 0L
     while (!converged) {
       rounds += 1
-      edges = smallStar(largeStar(edges)).localCheckpoint(true)
-      val next = fingerprint(edges)
-      converged = next == sig
-      sig = next
+      require(rounds <= CcMaxRounds,
+        s"connectedComponents did not converge after $CcMaxRounds " +
+          "large/small-star rounds — contraction halves tree heights each " +
+          "round, so this indicates a bug (or a fingerprint collision loop), " +
+          "not a large graph")
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // next is eagerly materialized; the previous round's blocks are dead
+      edges.unpersist()
+      edges = next
+      val nsig = fingerprint(edges)
+      converged = nsig == sig
+      sig = nsig
     }
     // fixed point = stars: every non-minimum vertex carries exactly one
-    // edge (v, component-min); minima label themselves via the coalesce
+    // edge (v, component-min); minima label themselves via the coalesce.
+    // Materialize labels so base + final edges can be released now.
     val labels = verts.join(edges, verts("x") === edges("u"), "left")
       .select(verts("x").as("v"), coalesce(edges("v"), verts("x")).as("lab"))
+      .localCheckpoint(true)
+    edges.unpersist()
+    base.unpersist()
     (labels, rounds)
   }
 

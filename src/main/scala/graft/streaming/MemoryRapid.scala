@@ -117,17 +117,21 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
     inputs.synchronized(inputs.toVector).foreach(_.addData((key, message)))
     var hops = 0
     var quiescent = false
-    while (!quiescent && hops <= maxLoopbackHops) {
+    while (!quiescent) {
       queries.synchronized(queries.toVector).foreach(_.processAllAvailable())
       val replays = pending.synchronized { val p = pending.toVector; pending.clear(); p }
       if (replays.isEmpty) quiescent = true
       else {
+        // cap checked BEFORE re-injection: on failure the un-replayed batch
+        // is dropped (pending already cleared) and the MemoryStreams hold no
+        // undrained data, so a caller that catches this can keep using the
+        // rapid without stale messages polluting the next send's drain
+        require(hops < maxLoopbackHops,
+          s"rapid did not quiesce after $hops loopback hops (reply loop?)")
         inputs.synchronized(inputs.toVector).foreach(_.addData(replays))
         hops += 1
       }
     }
-    require(quiescent,
-      s"rapid did not quiesce after $hops loopback hops (reply loop?)")
   }
 
   /** Direct publish onto the outbox (TestRapid.publish). */
@@ -170,14 +174,15 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
     /** Read a top-level field of message i (parsed on demand). Plain
       * Jackson, not a Spark job: this is a per-assertion test surface and
       * a one-row DataFrame would pay ~100 ms of job overhead per read.
-      * Same contract as get_json_object: None for missing/null, the bare
-      * text for scalars, JSON text for objects/arrays.
+      * Same contract as get_json_object: None for missing/null AND for a
+      * message that is not valid JSON at all.
       */
-    def field(i: Int, key: String): Option[String] = {
-      val node = Inspector.mapper.readTree(msgs(i)._2).path(key)
-      if (node.isMissingNode || node.isNull) None
-      else if (node.isTextual) Some(node.asText())
-      else Some(node.toString)
-    }
+    def field(i: Int, key: String): Option[String] =
+      scala.util.Try(Option(Inspector.mapper.readTree(msgs(i)._2))).toOption.flatten.flatMap { root =>
+        val node = root.path(key)
+        if (node.isMissingNode || node.isNull) None
+        else if (node.isTextual) Some(node.asText())
+        else Some(node.toString)
+      }
   }
 }

@@ -229,4 +229,39 @@ class StreamingSpec extends AnyFunSuite {
     // batch form of the same expression pipeline (streaming adds watermark state)
     assert(Dedupe.byId(msgs, "id", "otime").count() == 2)
   }
+
+  test("loopback hop cap fails WITHOUT injecting: rapid stays usable after a caught reply loop") {
+    val spark = TestSpark.spark
+    val rapid = new MemoryRapid(spark, "loopcap", loopback = true, maxLoopbackHops = 3)
+    // a river that replies "ping" to every "ping" — never quiesces
+    rapid.register(
+      River().precondition(Validation.requireValue("@event_name", "ping"))) { r =>
+      r.passed.select(col("key"), lit("""{"@event_name":"ping"}""").as("value"))
+    }
+    val ex = intercept[IllegalArgumentException] {
+      rapid.sendTestMessage("""{"@event_name":"ping"}""", "k")
+    }
+    assert(ex.getMessage.contains("did not quiesce"))
+    // the failed send left no undrained data in the MemoryStreams: a
+    // subsequent non-looping send sees ONLY its own traffic
+    val before = rapid.inspector.size
+    rapid.sendTestMessage("""{"@event_name":"other"}""", "k2")
+    assert(rapid.inspector.size == before,
+      "stale looped messages drained into the next send")
+    rapid.stop()
+  }
+
+  test("Inspector.field: None for missing, null, and NON-JSON messages; JSON text for objects") {
+    val spark = TestSpark.spark
+    val rapid = new MemoryRapid(spark, "insp")
+    rapid.publish("""{"a":"x","n":null,"o":{"b":1}}""")
+    rapid.publish("not json at all")
+    val insp = rapid.inspector
+    assert(insp.field(0, "a").contains("x"))
+    assert(insp.field(0, "n").isEmpty)
+    assert(insp.field(0, "missing").isEmpty)
+    assert(insp.field(0, "o").contains("""{"b":1}"""))
+    assert(insp.field(1, "a").isEmpty) // malformed JSON = None, not a throw
+    rapid.stop()
+  }
 }
