@@ -17,10 +17,17 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *  - publish only to the rapid topic (KafkaRapid.kt:72-75), key-sticky
   *    (KeyMessageContext.kt:7-10): carry the incoming key to the sink select
   *  - producer ordering acks=all (AivenConfig.kt:37-39) -> kafka.acks=all
+  *  - opaque security/client config (AivenConfig.kt:35-65 SSL base config;
+  *    Config.producerConfig/consumerConfig merge arbitrary Properties) ->
+  *    [[KafkaRapidConfig.kafkaOptions]], forwarded verbatim to both the
+  *    source and the sink with the connector's `kafka.` client prefix
   *
-  * Requires spark-sql-kafka on the classpath (not bundled in this
-  * container, so this class is wiring + options only; MemoryRapid is the
-  * in-process transport used by the test suites).
+  * The option maps are built by pure functions ([[KafkaRapidConfig.sourceOptions]]
+  * / [[KafkaRapidConfig.sinkOptions]]) so the full mapping is unit-testable
+  * without a broker; [[KafkaRapid.stream]]/[[KafkaRapid.publish]] apply them
+  * unchanged. Requires spark-sql-kafka on the classpath (not bundled in this
+  * container, so execution is untestable here; MemoryRapid is the in-process
+  * transport used by the test suites).
   */
 final case class KafkaRapidConfig(
     bootstrapServers: String,
@@ -36,13 +43,66 @@ final case class KafkaRapidConfig(
       * perishable location.
       */
     checkpointLocation: String = "",
-    startingOffsetsByTimestamp: Option[String] = None) { // Consumer.kt:12-34
+    startingOffsetsByTimestamp: Option[String] = None, // Consumer.kt:12-34
+    /** Opaque Kafka client options forwarded verbatim to BOTH the source and
+      * the sink — the TLS/SASL surface of AivenConfig.kt:35-65 (e.g.
+      * `kafka.security.protocol` -> SSL, `kafka.ssl.truststore.location`,
+      * `kafka.ssl.keystore.password`) and any client tuning the reference
+      * passes through consumer/producer Properties. Keys must carry the
+      * connector's `kafka.` prefix (that is how spark-sql-kafka routes them
+      * to the underlying client) and may not collide with an option this
+      * config already owns — a cluster operator should never silently
+      * override the subscribe list or the ordering acks.
+      */
+    kafkaOptions: Map[String, String] = Map.empty) {
+
   def resolvedCheckpoint: String = {
     require(checkpointLocation.trim.nonEmpty,
       s"checkpointLocation must be set to a durable path for topic '$rapidTopic' " +
         "(it is the consumer-group identity; a default such as /tmp would silently " +
         "lose offsets across host restarts)")
     checkpointLocation
+  }
+
+  /** Every option [[KafkaRapid.stream]] sets on the DataStreamReader.
+    * Pure — assertable without a broker or `load()`.
+    */
+  def sourceOptions: Map[String, String] = {
+    val structural = Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> (rapidTopic +: extraTopics).mkString(","), // KafkaRapid.kt:47
+      "includeHeaders" -> "true") ++ // MessageMetadata.kt:3-9 carries headers
+      (startingOffsetsByTimestamp match {
+        // offsets-for-time seek, Consumer.kt:30-34
+        case Some(ts) => Map("startingOffsetsByTimestamp" -> ts)
+        case None     => Map("startingOffsets" -> resetPolicy) // Defaults.kt:20
+      }) ++
+      maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString) // Defaults.kt:21
+    merged(structural)
+  }
+
+  /** Every option [[KafkaRapid.publish]] sets on the DataStreamWriter.
+    * Pure apart from the checkpoint fail-fast.
+    */
+  def sinkOptions: Map[String, String] = {
+    val structural = Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "topic" -> rapidTopic, // publish only to the rapid, KafkaRapid.kt:72-75
+      "kafka.acks" -> "all", // AivenConfig.kt:37
+      "checkpointLocation" -> resolvedCheckpoint)
+    merged(structural)
+  }
+
+  private def merged(structural: Map[String, String]): Map[String, String] = {
+    val unprefixed = kafkaOptions.keys.filterNot(_.startsWith("kafka.")).toSeq.sorted
+    require(unprefixed.isEmpty,
+      s"kafkaOptions keys must use the connector's 'kafka.' client prefix " +
+        s"(got: ${unprefixed.mkString(", ")}); structural options " +
+        "(subscribe, topic, offsets, checkpoint) are config fields, not pass-through")
+    val clashes = kafkaOptions.keySet.intersect(structural.keySet).toSeq.sorted
+    require(clashes.isEmpty,
+      s"kafkaOptions may not override options this config owns: ${clashes.mkString(", ")}")
+    structural ++ kafkaOptions
   }
 }
 
@@ -51,25 +111,16 @@ final class KafkaRapid(spark: SparkSession, config: KafkaRapidConfig) {
   /** The subscribed stream with the reference's MessageMetadata columns
     * (MessageMetadata.kt:3-9): key, value, topic, partition, offset, headers.
     */
-  def stream: DataFrame = {
-    val reader = spark.readStream
+  def stream: DataFrame =
+    spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", config.bootstrapServers)
-      .option("subscribe", (config.rapidTopic +: config.extraTopics).mkString(","))
-      .option("includeHeaders", "true")
-    val withOffsets = config.startingOffsetsByTimestamp match {
-      case Some(ts) => reader.option("startingOffsetsByTimestamp", ts)
-      case None     => reader.option("startingOffsets", config.resetPolicy)
-    }
-    config.maxOffsetsPerTrigger.fold(withOffsets)(n =>
-        withOffsets.option("maxOffsetsPerTrigger", n.toString))
+      .options(config.sourceOptions)
       .load()
       .select(
         col("key").cast("string").as("key"),
         col("value").cast("string").as("value"),
         col("topic"), col("partition"), col("offset"), col("headers"))
       .filter(col("value").isNotNull) // tombstone filter, KafkaRapid.kt:162-163
-  }
 
   /** Publish a (key, value) stream back onto the rapid topic only. */
   def publish(messages: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
@@ -77,8 +128,5 @@ final class KafkaRapid(spark: SparkSession, config: KafkaRapidConfig) {
       .select(col("key").cast("binary").as("key"), col("value").cast("binary").as("value"))
       .writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", config.bootstrapServers)
-      .option("topic", config.rapidTopic)
-      .option("kafka.acks", "all") // AivenConfig.kt:37
-      .option("checkpointLocation", config.resolvedCheckpoint)
+      .options(config.sinkOptions)
 }

@@ -27,10 +27,36 @@ object RapidApplication {
       extraTopics = env.get("KAFKA_EXTRA_TOPIC")
         .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
       resetPolicy = env.getOrElse("KAFKA_RESET_POLICY", "latest"),
+      maxOffsetsPerTrigger = env.get("KAFKA_MAX_RECORDS").map(_.toLong)
+        .orElse(Some(500L)), // Defaults.kt:57
       // no default: KafkaRapidConfig.resolvedCheckpoint fails fast on empty —
       // a deploy that forgot to mount durable checkpoint storage must not
       // silently run against a node-local purged path
-      checkpointLocation = env.getOrElse("KAFKA_CHECKPOINT_DIR", ""))
+      checkpointLocation = env.getOrElse("KAFKA_CHECKPOINT_DIR", ""),
+      kafkaOptions = sslOptionsFromEnv(env))
+
+  /** The Aiven TLS client config (AivenConfig.kt:35-65) from its env
+    * contract: present iff KAFKA_TRUSTSTORE_PATH is set, in which case the
+    * companion credstore variables are required, like the reference's
+    * requireNotNull guards (AivenConfig.kt:19-25).
+    */
+  private[streaming] def sslOptionsFromEnv(env: Map[String, String]): Map[String, String] =
+    env.get("KAFKA_TRUSTSTORE_PATH") match {
+      case None => Map.empty
+      case Some(truststore) =>
+        def need(k: String) = env.getOrElse(k,
+          sys.error(s"Expected $k alongside KAFKA_TRUSTSTORE_PATH"))
+        val credstorePw = need("KAFKA_CREDSTORE_PASSWORD")
+        Map(
+          "kafka.security.protocol" -> "SSL",
+          "kafka.ssl.endpoint.identification.algorithm" -> "",
+          "kafka.ssl.truststore.type" -> "jks",
+          "kafka.ssl.keystore.type" -> "PKCS12",
+          "kafka.ssl.truststore.location" -> truststore,
+          "kafka.ssl.truststore.password" -> credstorePw,
+          "kafka.ssl.keystore.location" -> need("KAFKA_KEYSTORE_PATH"),
+          "kafka.ssl.keystore.password" -> credstorePw)
+    }
 
   /** In-memory application for tests/local runs: rivers + ping/pong +
     * lifecycle, the whole reference wiring minus the Kafka transport.
