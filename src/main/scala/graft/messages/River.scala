@@ -91,7 +91,10 @@ final case class River(
     // field (which holds the full raw text of malformed payloads) must not
     // leak into downstream sinks via msg.* / to_json(msg)
     stage(df, jsonCol, parsed.dropFields(corrupt), bad,
-      r => r.onValue.get(parsed.getField(r.key)), structMsg = true)
+      r => r.onValue.get(parsed.getField(r.key)), structMsg = true,
+      // problem messages read the MATERIALIZED msg struct attribute (stage 2
+      // runs after the fenced parse projection), not a re-parse
+      valueOf = r => col("msg").getField(r.key))
   }
 
   private def attachVariant(df: DataFrame, jsonCol: Column): Routed = {
@@ -99,14 +102,15 @@ final case class River(
     // Reference: a message must be a JSON *object* (JsonMessage.kt:97-105);
     // scalars/arrays are severe.
     val isObject = schema_of_variant(msg).startsWith("OBJECT")
-    stage(df, jsonCol, msg, msg.isNull || !isObject, r => r(msg), structMsg = false)
+    stage(df, jsonCol, msg, msg.isNull || !isObject, r => r(msg), structMsg = false,
+      valueOf = r => try_variant_get(col("msg"), JsonPaths.variantPath(r.key), "variant"))
   }
 
   /** Shared routing stages over a parsed message expression and a per-rule
     * flag builder.
     */
   private def stage(df: DataFrame, jsonCol: Column, msg: Column, bad: Column,
-      flag: Rule => Column, structMsg: Boolean): Routed = {
+      flag: Rule => Column, structMsg: Boolean, valueOf: Rule => Column): Routed = {
     // Stage 0 — materialize the raw JSON once, fenced: the tombstone Filter
     // would otherwise inline jsonCol (often a full to_json envelope build,
     // ~10 us/row) and evaluate it a second time alongside the parse input.
@@ -153,9 +157,9 @@ final case class River(
           .otherwise(lit("passed"))))
       .withColumn("problems",
         when(col("status") === "precondition_failed",
-          Validation.problemsFromFlags("severe", preconditions, i => col(s"_p$i")))
+          Validation.problemsFromFlags("severe", preconditions, i => col(s"_p$i"), valueOf))
           .when(col("status") === "validation_failed",
-            Validation.problemsFromFlags("error", validations, i => col(s"_v$i")))
+            Validation.problemsFromFlags("error", validations, i => col(s"_v$i"), valueOf))
           .otherwise(array().cast("array<struct<severity:string,message:string>>")))
       .drop(flagCols.map(_._1) :+ River.RawCol: _*)
     Routed(out, declaredKeys, structMsg, declaredValues)

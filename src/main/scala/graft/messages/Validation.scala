@@ -38,7 +38,24 @@ object Validation {
         * the statically-known metric tag values the reference's
         * message_counter emits per event_name/behov (River.kt:75-140).
         */
-      values: Seq[String] = Nil) {
+      values: Seq[String] = Nil,
+      /** Value-dependent failure message over the key's raw variant value —
+        * the reference distinguishes e.g. "Missing required key k" from
+        * "Required key k is null" (JsonMessage.kt:749-750). Plain
+        * when/otherwise columns (no higher-order functions), so the problems
+        * projection stays codegen'd; evaluated only under the rule's failed
+        * branch. None = the static [[description]].
+        */
+      messageOn: Option[Column => Column] = None,
+      /** Multi-entry failure messages (array of strings) over the key's raw
+        * variant value — one problem PER failing array element, like the
+        * reference's per-index requireArray element reports
+        * (JsonMessage.kt:663-670). Uses higher-order functions, which are
+        * CodegenFallback: only rivers that declare such a rule pay the
+        * interpreted problems projection. Takes precedence over
+        * [[messageOn]].
+        */
+      problemsOn: Option[Column => Column] = None) {
     def apply(msg: Column): Column = passes(msg)
   }
 
@@ -81,51 +98,94 @@ object Validation {
   private def asStringArray(v: Column): Column = try_variant_get(v, "$", "array<string>")
 
   // ------------------------------------------------------------- rule kinds
+  // Failure messages reproduce the reference's EXACT strings (including the
+  // "does not contains" typo, JsonMessage.kt:691) so onError consumers
+  // migrating from the reference see identical diagnostics. $values renders
+  // like a Kotlin List ("[a, b]").
 
-  /** requireKey (JsonMessage.kt:628-630): fail when missing or null. */
+  private def listFmt(values: Seq[String]): String = values.mkString("[", ", ", "]")
+
+  /** "Missing required key k" when the key is absent, `other` otherwise —
+    * the two-message shape every require* rule shares (JsonMessage.kt:633ff).
+    */
+  private def missingOr(key: String, other: String)(v: Column): Column =
+    when(v.isNull, lit(s"Missing required key $key")).otherwise(lit(other))
+
+  private def keyRuleM(key: String, desc: String, failMsg: Column => Column)(
+      f: Column => Column): Rule =
+    Rule(key, desc, m => f(vraw(m, key)), Some(f), messageOn = Some(failMsg))
+
+  /** requireKey (JsonMessage.kt:747-752): fail when missing or null, with
+    * the reference's DISTINCT messages for the two cases.
+    */
   def requireKey(key: String): Rule =
-    keyRule(key, s"Missing required key $key")(present)
+    keyRuleM(key, s"Missing required key $key",
+      missingOr(key, s"Required key $key is null"))(present)
 
   /** requireValue for strings (JsonMessage.kt:638-643): present, string-typed,
     * equal.
     */
   def requireValue(key: String, value: String): Rule =
-    keyRule(key, s"Required $key = $value")(
+    keyRuleM(key, s"Required $key is not string $value",
+      missingOr(key, s"Required $key is not string $value"))(
       v => isStringType(v) && asString(v) === lit(value)).copy(values = Seq(value))
 
   /** requireValue for booleans (JsonMessage.kt:632-637). */
   def requireValue(key: String, value: Boolean): Rule =
-    keyRule(key, s"Required $key = $value")(
+    keyRuleM(key, s"Required $key is not boolean $value",
+      missingOr(key, s"Required $key is not boolean $value"))(
       v => isBooleanType(v) && try_variant_get(v, "$", "boolean") === lit(value))
 
   /** requireValue for numbers (JsonMessage.kt:645-650): numeric JSON type
     * required — the string "3" does not equal the number 3; 3 == 3.0 does.
     */
   def requireValue(key: String, value: Double): Rule =
-    keyRule(key, s"Required $key = $value")(
+    keyRuleM(key, s"Required $key is not number $value",
+      missingOr(key, s"Required $key is not number $value"))(
       v => isNumericType(v) && try_variant_get(v, "$", "double") === lit(value))
 
   /** requireAny (JsonMessage.kt:652-657): string value in the allowed set. */
   def requireAny(key: String, values: Seq[String]): Rule =
-    keyRule(key, s"Required $key in ${values.mkString(",")}")(
+    keyRuleM(key, s"Required $key must be one of ${listFmt(values)}",
+      missingOr(key, s"Required $key must be one of ${listFmt(values)}"))(
       v => isStringType(v) && asString(v).isin(values: _*)).copy(values = values)
 
-  /** requireArray (JsonMessage.kt:659-672). */
+  /** requireArray (JsonMessage.kt:659-662). */
   def requireArray(key: String): Rule =
-    keyRule(key, s"Required $key to be an array")(isArrayType)
+    keyRuleM(key, s"Required $key is not an array",
+      missingOr(key, s"Required $key is not an array"))(isArrayType)
 
   /** requireArray with per-element validation (JsonMessage.kt:663-670):
-    * every element, re-parsed as a message, must satisfy `elem`.
+    * every element, read as a variant, must satisfy `elem`. Failure reports
+    * ONE problem PER failing element with its index, like the reference's
+    * "Array element #i at k did not pass validation" (JsonMessageTest.kt:
+    * 777-796; the reference additionally appends the element's own nested
+    * problem text, which has no analogue here — `elem` is one predicate,
+    * not a nested rule set).
     */
-  def requireArrayElements(key: String, elem: Column => Column): Rule =
+  def requireArrayElements(key: String, elem: Column => Column): Rule = {
+    val failures = (v: Column) =>
+      when(v.isNull, array(lit(s"Missing required key $key")))
+        .when(!coalesce(isArrayType(v), lit(false)),
+          array(lit(s"Required $key is not an array")))
+        .otherwise(filter(
+          transform(try_variant_get(v, "$", "array<variant>"),
+            (e: Column, i: Column) =>
+              when(coalesce(elem(e), lit(false)), lit(null).cast("string"))
+                .otherwise(concat(lit("Array element #"), i.cast("string"),
+                  lit(s" at $key did not pass validation")))),
+          (m: Column) => m.isNotNull))
     keyRule(key, s"Required all elements of $key to validate")(
       v => isArrayType(v) && forall(try_variant_get(v, "$", "array<variant>"), elem))
+      .copy(problemsOn = Some(failures))
+  }
 
   /** requireAll (JsonMessage.kt:687-694): array value must contain every
     * requested element.
     */
   def requireAll(key: String, values: Seq[String]): Rule =
-    keyRule(key, s"Required $key to contain all of ${values.mkString(",")}")(
+    keyRuleM(key, s"Required $key does not contains ${listFmt(values)}",
+      missingOr(key, s"Required $key does not contains ${listFmt(values)}"))(
       v => isArrayType(v) && size(array_except(lit(values.toArray), asStringArray(v))) === 0)
       .copy(values = values)
 
@@ -136,36 +196,41 @@ object Validation {
     * the array intersects the requested values.
     */
   def requireAllOrAny(key: String, values: Seq[String]): Rule =
-    keyRule(key, s"Required $key to contain any of ${values.mkString(",")}")(
+    keyRuleM(key, s"Required array $key does not contain one of ${listFmt(values)}",
+      missingOr(key, s"Required array $key does not contain one of ${listFmt(values)}"))(
       v => isArrayType(v) && arrays_overlap(lit(values.toArray), asStringArray(v)))
       .copy(values = values)
 
   /** require(key, parser) (JsonMessage.kt:700-709): present and the parser
     * (a Converters.try* column function over the string value) succeeds.
+    * The reference appends the parser exception's own message; a column
+    * parser signals failure by null, so there is no exception text here.
     */
   def requireParsed(key: String, parser: Column => Column): Rule =
-    keyRule(key, s"Required $key to parse")(
+    keyRuleM(key, s"Required $key did not match the predicate",
+      missingOr(key, s"Required $key did not match the predicate"))(
       v => present(v) && parser(asString(v)).isNotNull)
 
-  /** forbid (JsonMessage.kt:711-713): fail when present and non-null. */
+  /** forbid (JsonMessage.kt:754-757): fail when present and non-null. */
   def forbid(key: String): Rule =
-    keyRule(key, s"Forbidden key $key")(v => !present(v))
+    keyRule(key, s"Forbidden key $key exists")(v => !present(v))
 
   /** forbidValue for strings (JsonMessage.kt:715-725): fail only when
-    * present, correctly typed, and equal.
+    * present, correctly typed, and equal. (The reference's message really
+    * does read "Required key ... with value ...", JsonMessage.kt:717.)
     */
   def forbidValue(key: String, value: String): Rule =
-    keyRule(key, s"Forbidden $key = $value")(
+    keyRule(key, s"Required key $key with value $value")(
       v => !coalesce(isStringType(v) && asString(v) === lit(value), lit(false)))
 
   def forbidValue(key: String, value: Boolean): Rule =
-    keyRule(key, s"Forbidden $key = $value")(
+    keyRule(key, s"Required key $key with value $value")(
       v => !coalesce(isBooleanType(v) &&
         try_variant_get(v, "$", "boolean") === lit(value), lit(false)))
 
   /** forbidValues (JsonMessage.kt:727-731). */
   def forbidValues(key: String, values: Seq[String]): Rule =
-    keyRule(key, s"Forbidden $key in ${values.mkString(",")}")(
+    keyRule(key, s"Required $key is one of ${listFmt(values)}")(
       v => !coalesce(isStringType(v) && asString(v).isin(values: _*), lit(false)))
 
   /** interestedIn (JsonMessage.kt:733-735): no check — registers the key for
@@ -178,7 +243,7 @@ object Validation {
     * value is present and the parser fails.
     */
   def interestedInParsed(key: String, parser: Column => Column): Rule =
-    keyRule(key, s"Interested in $key (parsed)")(
+    keyRule(key, s"Optional $key did not match the predicate")(
       v => !present(v) || parser(asString(v)).isNotNull)
 
   /** Custom predicate over one key's variant value — the key-scoped form of
@@ -251,8 +316,10 @@ object Validation {
         s"'$key' can ...: combinator produced a message-level rule " +
           "(no value predicate); `can` needs a key-scoped combinator"))
       val opt = (v: Column) => !present(v) || coalesce(onValue(v), lit(false))
+      // failure only happens on a PRESENT invalid value, so the inner rule's
+      // message applies as-is (its missing branch can never fire)
       Rule(key, s"Optional: ${r.description}", m => opt(vraw(m, key)), Some(opt),
-        values = r.values)
+        values = r.values, messageOn = r.messageOn, problemsOn = r.problemsOn)
     }
   }
 
@@ -263,14 +330,27 @@ object Validation {
     * 0/1-element arrays, NOT array_compact — array_compact rewrites to the
     * higher-order filter(λ), a CodegenFallback that kicks the whole
     * projection out of whole-stage codegen.
+    *
+    * `valueOf` reads a rule's key value from the MATERIALIZED msg column
+    * (not a re-parse) for the value-dependent messages; it is consulted
+    * only under a failed rule's branch. Rules with [[Rule.problemsOn]]
+    * contribute one problem per entry (higher-order functions — only their
+    * rivers lose the codegen'd problems projection).
     */
-  def problemsFromFlags(severity: String, rules: Seq[Rule], flag: Int => Column): Column = {
+  def problemsFromFlags(severity: String, rules: Seq[Rule], flag: Int => Column,
+      valueOf: Rule => Column): Column = {
     val empty = array().cast("array<struct<severity:string,message:string>>")
     if (rules.isEmpty) empty
     else concat(rules.zipWithIndex.map { case (r, i) =>
-      when(!flag(i),
-        array(struct(lit(severity).as("severity"), lit(r.description).as("message"))))
-        .otherwise(empty)
+      val failed = r.problemsOn match {
+        case Some(msgs) =>
+          transform(msgs(valueOf(r)), m =>
+            struct(lit(severity).as("severity"), m.as("message")))
+        case None =>
+          val msg = r.messageOn.fold(lit(r.description))(f => f(valueOf(r)))
+          array(struct(lit(severity).as("severity"), msg.as("message")))
+      }
+      when(!flag(i), failed).otherwise(empty)
     }: _*)
   }
 }

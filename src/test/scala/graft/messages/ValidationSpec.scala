@@ -154,4 +154,73 @@ class ValidationSpec extends AnyFunSuite {
     assert(!check("foo" should be("x"), """{"foo": "y"}"""))
     assert(check("foo" can exist, """{}"""))
   }
+
+  /** Problem messages for `json` routed through a river validating `rule`,
+    * on BOTH compilation paths (fast struct + whole-doc variant — a
+    * message-level predicate sidekick forces the variant path).
+    */
+  private def messagesFor(rule: Validation.Rule, json: String): (Seq[String], Seq[String]) = {
+    def run(river: River) = river.attach(TestSpark.messages(json), col("value"))
+      .all.select(col("problems.message")).first().getSeq[String](0)
+    val fast = run(River().validate(rule))
+    val variant = run(River().validate(rule,
+      Validation.predicate("always true", _ => lit(true))))
+    (fast, variant)
+  }
+
+  test("problem-message truth table matches the reference's exact strings (JsonMessage.kt:633-757)") {
+    import Validation._
+    // (rule, message-json, expected problem messages) — both paths must agree
+    val table: Seq[(Rule, String, Seq[String])] = Seq(
+      // requireKey distinguishes missing from null (JsonMessage.kt:749-750)
+      (requireKey("foo"), """{}""", Seq("Missing required key foo")),
+      (requireKey("foo"), """{"foo": null}""", Seq("Required key foo is null")),
+      (requireKey("foo"), """{"foo": 1}""", Nil),
+      // require* families: missing vs wrong value/type (JsonMessage.kt:633-698)
+      (requireValue("foo", "bar"), """{}""", Seq("Missing required key foo")),
+      (requireValue("foo", "bar"), """{"foo": "baz"}""", Seq("Required foo is not string bar")),
+      (requireValue("foo", true), """{"foo": 1}""", Seq("Required foo is not boolean true")),
+      (requireValue("foo", 3.0), """{"foo": "3"}""", Seq("Required foo is not number 3.0")),
+      (requireAny("foo", Seq("a", "b")), """{"foo": "c"}""",
+        Seq("Required foo must be one of [a, b]")),
+      (requireArray("foo"), """{"foo": 1}""", Seq("Required foo is not an array")),
+      (requireAll("foo", Seq("a", "b")), """{"foo": ["a"]}""",
+        Seq("Required foo does not contains [a, b]")), // reference's own typo, kt:691
+      (requireAllOrAny("foo", Seq("a", "b")), """{"foo": ["c"]}""",
+        Seq("Required array foo does not contain one of [a, b]")),
+      (requireParsed("foo", Converters.asOptionalLocalDate), """{"foo": "xx"}""",
+        Seq("Required foo did not match the predicate")),
+      (requireParsed("foo", Converters.asOptionalLocalDate), """{}""",
+        Seq("Missing required key foo")),
+      // forbid family (JsonMessage.kt:715-731,754-757)
+      (forbid("foo"), """{"foo": 1}""", Seq("Forbidden key foo exists")),
+      (forbid("foo"), """{"foo": null}""", Nil),
+      (forbidValue("foo", "x"), """{"foo": "x"}""", Seq("Required key foo with value x")),
+      (forbidValues("foo", Seq("x", "y")), """{"foo": "y"}""",
+        Seq("Required foo is one of [x, y]")),
+      (interestedInParsed("foo", Converters.asOptionalLocalDate), """{"foo": "xx"}""",
+        Seq("Optional foo did not match the predicate")))
+    table.foreach { case (rule, json, expected) =>
+      val (fast, variant) = messagesFor(rule, json)
+      assert(fast == expected, s"fast path, ${rule.description} on $json")
+      assert(variant == expected, s"variant path, ${rule.description} on $json")
+    }
+  }
+
+  test("requireArrayElements reports one problem per failing element with its index (JsonMessageTest.kt:777-796)") {
+    import Validation._
+    val rule = requireArrayElements("tags",
+      e => Validation.requireKey("id").onValue.get(try_variant_get(e, "$.id", "variant")))
+    // elements #0 and #2 lack `id`
+    val (fast, variant) = messagesFor(rule,
+      """{"tags": [{"x":1}, {"id":2}, {"y":3}]}""")
+    val expected = Seq(
+      "Array element #0 at tags did not pass validation",
+      "Array element #2 at tags did not pass validation")
+    assert(fast == expected)
+    assert(variant == expected)
+    // missing key and non-array still produce the require-family messages
+    assert(messagesFor(rule, """{}""")._1 == Seq("Missing required key tags"))
+    assert(messagesFor(rule, """{"tags": 5}""")._1 == Seq("Required tags is not an array"))
+  }
 }
