@@ -217,15 +217,38 @@ final case class Routed(all: DataFrame, declared: Set[String],
     else try_variant_get(col("msg"), JsonPaths.variantPath(key), ddl)
   }
 
+  /** Per-message diagnostic trace — the Spark-native analogue of the
+    * reference's MDC record context (MDC.kt:6-17; recordDiganostics,
+    * KafkaRapid.kt:160-174,209-217): a struct of the source's record
+    * coordinates (topic/partition/offset/key — the KafkaRapid.stream
+    * metadata columns when present, null otherwise) plus the envelope's
+    * @id/@event_name read from the raw payload. Executors share no
+    * per-record logging context, so the trace travels WITH the data:
+    * computed on demand, so the raw-JSON path reads cost only on the rows
+    * actually traced (dead letters, reply enrichment), not per message.
+    */
+  def trace(rawCol: Column): Column = {
+    def meta(name: String, tpe: String) =
+      (if (all.columns.contains(name)) col(name).cast(tpe)
+       else lit(null).cast(tpe)).as(name)
+    struct(
+      meta("topic", "string"), meta("partition", "int"), meta("offset", "bigint"),
+      meta("key", "string"),
+      get_json_object(rawCol, "$['@id']").as("id"),
+      get_json_object(rawCol, "$['@event_name']").as("event_name"))
+  }
+
   /** Dead-letter projection: everything that did NOT pass, with its raw
-    * payload and accumulated problems — what the reference's onError /
-    * onSevere consumers receive (River.kt:67-72). Write it to any sink
-    * (parquet dead-letter table, side topic).
+    * payload, accumulated problems, and originating [[trace]] — what the
+    * reference's onError / onSevere consumers receive (River.kt:67-72),
+    * correlatable to the source record like the reference's MDC'd error
+    * logs. Write it to any sink (parquet dead-letter table, side topic).
     */
   def deadLetters(rawCol: Column): DataFrame =
     all.filter(col("status") =!= "passed")
       .select(rawCol.as("raw"), col("status"),
-        to_json(col("problems")).as("problems_json"))
+        to_json(col("problems")).as("problems_json"),
+        trace(rawCol).as("trace"))
 
   /** Per-river metrics (reference message_counter / on_packet timer tags,
     * River.kt:75-140): named observation over the routed stream counting

@@ -38,7 +38,15 @@ object Republish {
       serviceName: String,
       instanceId: String,
       idGen: Envelope.IdGen = Envelope.RandomIdGen,
-      now: Column = current_timestamp()): DataFrame = {
+      now: Column = current_timestamp(),
+      /** Originating-record trace ([[graft.messages.Routed.trace]]) to stamp
+        * into the reply as `system_trace` — the reply-side analogue of the
+        * reference's MDC record context (MDC.kt:6-17): with no shared
+        * logging context across executors, the trace rides the message, so
+        * a consumer can correlate a reply back to the exact source record
+        * (topic/partition/offset/key/@id/@event_name) that caused it.
+        */
+      trace: Option[Column] = None): DataFrame = {
     // Materialize the fresh id ONCE: the reference uses the SAME id for the
     // outgoing @id and the appended participating-services entry
     // (JsonMessage.kt:82-95), and non-deterministic generators are not
@@ -61,7 +69,8 @@ object Republish {
       "system_participating_services" -> variantOf(services),
       "@forårsaket_av" -> variantOf(Envelope.causedBy(orig)),
       "@id" -> variantOf(col("_fresh_id")),
-      "@opprettet" -> variantOf(date_format(now, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
+      "@opprettet" -> variantOf(date_format(now, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))) ++
+      trace.map(t => "system_trace" -> variantOf(t))
     val upserts = (envelope ++ mutations.map { case (k, c) => k -> variantOf(c) })
       .flatMap { case (k, c) => Seq(lit(k), c) }
     withId.select(

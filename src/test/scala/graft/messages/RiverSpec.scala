@@ -83,6 +83,45 @@ class RiverSpec extends AnyFunSuite {
     assert(failed.getString(2).contains("ping_time"))
   }
 
+  test("dead letters carry the originating record trace (MDC.kt:6-17, KafkaRapid.kt:160-174)") {
+    // simulate the KafkaRapid.stream projection: value + record coordinates
+    val src = TestSpark.messages("""{"@event_name":"pong","@id":"id-7"}""")
+      .withColumn("topic", lit("rapid.v1"))
+      .withColumn("partition", lit(3))
+      .withColumn("offset", lit(42L))
+      .withColumn("key", lit("k-9"))
+    val routed = river.attach(src, col("value"))
+    val t = routed.deadLetters(col("value"))
+      .select(col("trace.topic"), col("trace.partition"), col("trace.offset"),
+        col("trace.key"), col("trace.id"), col("trace.event_name")).first()
+    assert(t.getString(0) == "rapid.v1" && t.getInt(1) == 3 && t.getLong(2) == 42L)
+    assert(t.getString(3) == "k-9" && t.getString(4) == "id-7" && t.getString(5) == "pong")
+    // file-source rivers (no record coordinates) still trace the envelope
+    val bare = river.attach(TestSpark.messages("""{"@event_name":"pong","@id":"id-8"}"""),
+      col("value"))
+    val bt = bare.deadLetters(col("value")).select(col("trace")).first().getStruct(0)
+    assert(bt.isNullAt(0) && bt.getString(4) == "id-8")
+  }
+
+  test("republished replies carry the originating trace as system_trace") {
+    val src = TestSpark.messages("""{"@event_name":"need","@id":"orig-1","data":1}""")
+      .withColumn("topic", lit("rapid.v1"))
+      .withColumn("partition", lit(0))
+      .withColumn("offset", lit(7L))
+      .withColumn("key", lit("k"))
+    val routed = River().precondition(Validation.requireValue("@event_name", "need"))
+      .attach(src, col("value"))
+    val reply = graft.streaming.Republish(
+      routed.passed, Seq("solved" -> lit(true)), "solver", "i-1",
+      trace = Some(routed.trace(col("value"))))
+      .select(get_json_object(col("value"), "$['system_trace']['offset']").as("off"),
+        get_json_object(col("value"), "$['system_trace']['id']").as("oid"),
+        get_json_object(col("value"), "$['data']").as("passthrough"))
+      .first()
+    assert(reply.getString(0) == "7" && reply.getString(1) == "orig-1")
+    assert(reply.getString(2) == "1")
+  }
+
   test("fast (struct) path and variant path route and read identically") {
     val msgs = TestSpark.messages(
       """{"a":"x","b":"y","d":7}""",          // passes
