@@ -85,6 +85,34 @@ class RapidSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("per-river batch duration timer — the on_packet_seconds analogue (River.kt:75-96)") {
+    val spark = TestSpark.spark
+    val rapid = new MemoryRapid(spark, "timed")
+    // lambda, not eta-expansion: queryIds must be read at event time
+    val timers = Timers.attach(spark, id => rapid.queryIds.contains(id))
+    try {
+      rapid.register(River().precondition(Validation.requireValue("@event_name", "ping"))) {
+        r => r.passed.select(col("key"), col("value"))
+      }
+      rapid.sendTestMessage("""{"@event_name":"ping"}""")
+      rapid.sendTestMessage("""{"@event_name":"other"}""")
+      // progress events are async; poll for the recorded batch
+      val deadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline && timers.latest.isEmpty)
+        Thread.sleep(100)
+      val byName = timers.latest
+      assert(byName.keySet == Set("timed-river-0"), s"got ${byName.keySet}")
+      val t = byName("timed-river-0")
+      assert(t.numInputRows >= 1)
+      assert(t.triggerMs > 0, "batch wall clock should be non-zero")
+      assert(t.secondsPerMessage > 0.0)
+      assert(timers.history("timed-river-0").nonEmpty)
+    } finally {
+      Timers.detach(spark, timers)
+      rapid.stop()
+    }
+  }
+
   test("lifecycle events publish on attach and query termination (RapidApplication.kt:94-139)") {
     val spark = TestSpark.spark
     val seen = scala.collection.mutable.ArrayBuffer.empty[String]
