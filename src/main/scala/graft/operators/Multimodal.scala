@@ -70,25 +70,30 @@ object Multimodal {
     }.toArray
 
   /** Feature extraction: batched per-partition kernel over the binary
-    * column. Iterator is consumed in BatchSize groups — the batch boundary
-    * where a real kernel would hand a columnar block to the decoder.
+    * column — a TYPED Dataset mapPartitions, not an RDD round-trip, so the
+    * whole pipeline stays ONE Catalyst plan: the narrow select above the
+    * kernel reaches the scan as column pruning, AQE re-plans around it, and
+    * there is no createDataFrame re-analysis on the way out (the JVM
+    * analogue of mapInPandas: Spark plans DeserializeToObject → kernel →
+    * SerializeFromObject with codegen'd boundaries).
+    *
+    * The iterator is consumed in BatchSize groups — the batch boundary
+    * where a real kernel hands a columnar block to the decoder.
     */
   def extractFeatures(assetsDf: DataFrame): DataFrame = {
     val spark = assetsDf.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("asset_id", LongType),
-      StructField("f0", DoubleType), StructField("f1", DoubleType),
-      StructField("f2", DoubleType), StructField("f3", DoubleType)))
-    val rdd = assetsDf.select(col("asset_id"), col("data")).rdd
+    import spark.implicits._
+    assetsDf.select(col("asset_id"), col("data")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(BatchSize).flatMap { batch =>
-          batch.map { r =>
-            val f = decodeStub(r.getAs[Array[Byte]]("data"))
-            Row(r.getLong(0), f(0), f(1), f(2), f(3))
+          // a real decoder receives `batch` whole (columnar block seam)
+          batch.map { case (id, data) =>
+            val f = decodeStub(data)
+            (id, f(0), f(1), f(2), f(3))
           }
         }
       }
-    spark.createDataFrame(rdd, outSchema)
+      .toDF("asset_id", "f0", "f1", "f2", "f3")
   }
 
   /** Metadata-only resize: blob untouched (and prunable by Catalyst if the

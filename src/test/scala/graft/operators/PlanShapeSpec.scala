@@ -148,4 +148,20 @@ class PlanShapeSpec extends AnyFunSuite {
       && !readSchema.contains("source") && !readSchema.contains("lang"),
       s"scan should read only doc_id+text, got: $readSchema")
   }
+
+  test("multimodal kernel is one plan: pruned scan under the mapPartitions seam, no RDD break") {
+    val docs = graft.Tables.documents(TestSpark.spark, dir)
+    val q = Multimodal.extractFeatures(Multimodal.assets(docs))
+    val plan = executed(q)
+    // one continuous plan down to the parquet scan (an RDD round-trip would
+    // show Scan ExistingRDD and hide the file scan from this plan)
+    assert(plan.contains("MapPartitions"), s"expected the typed kernel node in:\n$plan")
+    assert(!plan.contains("ExistingRDD"), s"kernel must not break the plan at an RDD:\n$plan")
+    // the kernel consumes only (asset_id, data) = (doc_id, md5(text)):
+    // pruning must reach the documents scan through the kernel boundary
+    val readSchema = plan.split("ReadSchema: ").last
+    assert(readSchema.contains("doc_id") && readSchema.contains("text")
+      && !readSchema.contains("n_chars") && !readSchema.contains("source"),
+      s"scan should read only doc_id+text under the kernel, got: $readSchema")
+  }
 }
