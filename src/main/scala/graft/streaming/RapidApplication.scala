@@ -12,8 +12,10 @@ import graft.messages.{River, Routed, Validation}
   *
   * The reference's Ktor HTTP surface (/isalive /isready /metrics) maps to
   * Spark-native equivalents: StreamingQuery.status/isActive for liveness
-  * and observe()/StreamingQueryProgress for metrics — no embedded HTTP
-  * server belongs in an engine library.
+  * and observe()/StreamingQueryProgress for metrics. Deployments that need
+  * the actual probe endpoints wire [[Health.serve]] (JDK http server, zero
+  * dependencies) to `rapid.isRunning` and a [[Timers]] handle — full
+  * endpoint parity without pulling an HTTP framework into the engine.
   */
 object RapidApplication {
 
