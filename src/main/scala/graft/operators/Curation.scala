@@ -139,6 +139,100 @@ object Curation {
        |  round(n_tokens::DOUBLE / tot, 6) AS token_share
        |FROM per, tot ORDER BY source""".stripMargin
 
+  // ------------------------------------------- mixture weights
+
+  /** Temperature for mixture re-weighting: share^α with α < 1 upsamples
+    * small sources (the standard multilingual/data-mixing temperature
+    * sampling; α = 1 is proportional, α = 0 uniform).
+    */
+  val MixtureAlpha = 0.5
+
+  /** Temperature-scaled source mixture weights — the data-mixing decision
+    * [[corpusStats]] feeds: weight_s = share_s^α / Σ_t share_t^α, plus the
+    * implied effective epochs (weight/share — how many passes over source
+    * s one corpus-sized sample makes).
+    *
+    * Scale shape: everything after the per-source token aggregate operates
+    * on one-row-per-source frames; the two normalization totals are
+    * single-row aggregates broadcast back. The corpus is read once.
+    */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy(col("source"))
+      .agg(sum(size(Portable.tokens(col("text")))).cast("bigint").as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot"))
+    val shares = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens") / col("tot")).as("share"),
+        pow(col("n_tokens") / col("tot"), MixtureAlpha).as("p"))
+    val z = shares.agg(sum(col("p")).as("z"))
+    shares.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"),
+        round(col("share"), 6).as("token_share"),
+        round(col("p") / col("z"), 6).as("weight"),
+        round(col("p") / col("z") / col("share"), 4).as("epochs"))
+      .orderBy(col("source"))
+  }
+
+  val sqlMixtureWeights: String =
+    s"""WITH per AS (SELECT source,
+       |    sum(len(${Portable.sqlTokens("text")}))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT sum(n_tokens)::BIGINT AS tot FROM per),
+       |shares AS (SELECT source, n_tokens, n_tokens::DOUBLE / tot AS share,
+       |    power(n_tokens::DOUBLE / tot, $MixtureAlpha) AS p
+       |  FROM per, tot),
+       |z AS (SELECT sum(p) AS z FROM shares)
+       |SELECT source, n_tokens,
+       |  round(share, 6) AS token_share,
+       |  round(p / z, 6) AS weight,
+       |  round(p / z / share, 4) AS epochs
+       |FROM shares, z ORDER BY source""".stripMargin
+
+  // ------------------------------------------- sequence packing
+
+  /** Training sequence length (tokens) for packing. */
+  val SeqLen = 512
+
+  /** Concat-and-chunk sequence packing: documents are concatenated in
+    * doc_id order WITHIN each source and cut into [[SeqLen]]-token training
+    * sequences; each doc reports the sequence span it lands in and how many
+    * sequence boundaries cut through it (the doc-boundary fragmentation a
+    * packing-aware loader wants to know).
+    *
+    * Scale shape: a global concatenation order would be an inherently
+    * sequential running sum (one reducer owns the whole corpus), so packing
+    * is per-source — the way real pipelines pack per shard — making the
+    * prefix sum a partitioned window: one shuffle on source, streams within
+    * each partition. Integer `div` keeps boundary math exact (no doubles).
+    */
+  def packSequences(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        size(Portable.tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .withColumn("cum_prev",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"cum_prev div $SeqLen").as("seq_first"),
+        expr(s"(cum_prev + greatest(n_tokens, 1) - 1) div $SeqLen").as("seq_last"))
+      .withColumn("n_cuts", (col("seq_last") - col("seq_first")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sqlPackSequences: String =
+    s"""WITH toks AS (SELECT doc_id, source,
+       |    len(${Portable.sqlTokens("text")})::BIGINT AS n_tokens
+       |  FROM documents),
+       |packed AS (SELECT doc_id, source, n_tokens,
+       |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |       ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS cum_prev
+       |  FROM toks)
+       |SELECT doc_id, source, n_tokens,
+       |  (cum_prev // $SeqLen)::BIGINT AS seq_first,
+       |  ((cum_prev + greatest(n_tokens, 1) - 1) // $SeqLen)::BIGINT AS seq_last,
+       |  (((cum_prev + greatest(n_tokens, 1) - 1) // $SeqLen)
+       |    - (cum_prev // $SeqLen))::INT AS n_cuts
+       |FROM packed ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------- segment-level dedup
 
   /** Non-overlapping segment width (tokens) for sub-document dedup. */

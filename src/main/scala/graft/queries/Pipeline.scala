@@ -177,6 +177,16 @@ object Pipeline {
       Curation.corpusStats(Tables.documents(s, dir))
     },
 
+    // -------- temperature-scaled data-mixing weights over the source stats
+    QueryDef.sql("p10_mixture", Curation.sqlMixtureWeights) { (s, dir) =>
+      Curation.mixtureWeights(Tables.documents(s, dir))
+    },
+
+    // -------- concat-and-chunk sequence packing (per-source prefix sums)
+    QueryDef.sql("p11_pack", Curation.sqlPackSequences) { (s, dir) =>
+      Curation.packSequences(Tables.documents(s, dir))
+    },
+
     // -------- sub-document (segment/paragraph) dedup
     QueryDef.sql("p8_segment_dedup", Curation.sqlSegmentDedup) { (s, dir) =>
       Curation.segmentDedup(Tables.documents(s, dir))
