@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
+import java.util.concurrent.{CompletableFuture, ExecutionException, TimeUnit, TimeoutException}
 import java.util.concurrent.atomic.AtomicBoolean
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
@@ -10,8 +11,10 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * Ktor endpoints (KtorApplication.kt:97-153): GET /isalive ("ALIVE" or
   * 503), GET /isready ("READY" or 503 until started/after stop begins),
   * GET /metrics (Prometheus text exposition), GET /stop (the preStop hook:
-  * flips readiness off, runs the stop hook, then 200 OK — the documented
-  * graceful-termination order, KtorApplication.kt:112-139).
+  * flips readiness off, runs the stop hook bounded by a 30 s drain window,
+  * then 200 OK / 503 on timeout / 500 on hook failure — the documented
+  * graceful-termination order, KtorApplication.kt:112-139 +
+  * PreStopHook.kt:52-67).
   *
   * Built on the JDK's com.sun.net.httpserver — zero added dependencies, so
   * the engine library stays dependency-free while a deployment gets the
@@ -47,6 +50,11 @@ object Health {
         */
       metrics: () => Map[String, Double] = () => Map.empty,
       stopHook: () => Unit = () => (),
+      /** Upper bound on the /stop drain — the reference's PreStopHook waits
+        * at most 30 s for shutdown-complete before letting the preStop call
+        * return (PreStopHook.kt:52-67).
+        */
+      stopTimeoutMillis: Long = 30000,
       port: Int = 0): Server = {
     val readyToggle = new AtomicBoolean(false)
     val http = HttpServer.create(new InetSocketAddress(port), 0)
@@ -69,10 +77,31 @@ object Health {
         .map { case (k, v) => s"$k $v" }.mkString("", "\n", "\n")))
     http.createContext("/stop", { (x: HttpExchange) =>
       // readiness drops FIRST so the load balancer stops routing here while
-      // the hook drains (KtorApplication.kt:124-137's termination order)
+      // the hook drains (KtorApplication.kt:124-137's termination order).
       readyToggle.set(false)
-      stopHook()
-      respond(x, 200, "OK")
+      // The drain is BOUNDED like the reference's PreStopHook (30 s wait for
+      // shutdown-complete, PreStopHook.kt:52-67): the hook runs on its own
+      // daemon thread so a hung drain cannot hold this HTTP worker — on
+      // timeout the hook keeps draining in the background and the probe gets
+      // a 503 (the reference logs and returns; kubelet proceeds to SIGTERM).
+      val done = new CompletableFuture[Unit]()
+      val drain = new Thread(() =>
+        try { stopHook(); done.complete(()); () }
+        catch { case e: Throwable => done.completeExceptionally(e); () },
+        "graft-stop-hook")
+      drain.setDaemon(true)
+      drain.start()
+      try {
+        done.get(stopTimeoutMillis, TimeUnit.MILLISECONDS)
+        respond(x, 200, "OK")
+      } catch {
+        case _: TimeoutException =>
+          respond(x, 503, s"shutdown did not complete within $stopTimeoutMillis ms")
+        case e: ExecutionException =>
+          // a throwing hook must surface a 500, not a hung exchange (the
+          // reference's Ktor handler would 500); the pod stays unready
+          respond(x, 500, s"stop hook failed: ${Option(e.getCause).getOrElse(e)}")
+      }
     })
     http.start()
     new Server(http, readyToggle)

@@ -22,6 +22,13 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   */
 object Timers {
 
+  /** Retained timings per query — newest-first ring semantics, like a meter
+    * registry's bounded sample window. A rapid ticking every second would
+    * otherwise leak ~86k entries/day/river into driver memory over the
+    * handle's (app-long) life.
+    */
+  val MaxHistory = 128
+
   /** One batch's timing for one river query. */
   final case class RiverTiming(
       queryName: String,
@@ -43,9 +50,17 @@ object Timers {
     /** Most recent non-empty-batch timing per river query name. */
     def latest: Map[String, RiverTiming] =
       state.synchronized(state.view.mapValues(_.head).toMap)
-    /** Newest-first batch history for one river query. */
+    /** Newest-first batch history for one river query, at most
+      * [[MaxHistory]] entries.
+      */
     def history(queryName: String): Seq[RiverTiming] =
       state.synchronized(state.getOrElse(queryName, Nil))
+    /** Bounded insert — newest first, oldest dropped past [[MaxHistory]]. */
+    private[streaming] def record(t: RiverTiming): Unit =
+      state.synchronized {
+        state.update(t.queryName,
+          (t :: state.getOrElse(t.queryName, Nil)).take(MaxHistory))
+      }
   }
 
   /** Attach a progress listener recording batch timings for the queries
@@ -57,6 +72,7 @@ object Timers {
   def attach(spark: SparkSession,
       owns: java.util.UUID => Boolean = _ => true): Handle = {
     val state = mutable.Map.empty[String, List[RiverTiming]]
+    var handle: Handle = null
     val listener = new StreamingQueryListener {
       import StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -66,21 +82,19 @@ object Timers {
         if (owns(p.id) && p.numInputRows > 0) {
           def dur(k: String) =
             Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
-          val t = RiverTiming(
+          handle.record(RiverTiming(
             queryName = p.name,
             batchId = p.batchId,
             numInputRows = p.numInputRows,
             triggerMs = dur("triggerExecution"),
             addBatchMs = dur("addBatch"),
-            secondsPerMessage = dur("triggerExecution") / 1000.0 / p.numInputRows)
-          state.synchronized {
-            state.update(t.queryName, t :: state.getOrElse(t.queryName, Nil))
-          }
+            secondsPerMessage = dur("triggerExecution") / 1000.0 / p.numInputRows))
         }
       }
     }
+    handle = new Handle(listener, state)
     spark.streams.addListener(listener)
-    new Handle(listener, state)
+    handle
   }
 
   def detach(spark: SparkSession, handle: Handle): Unit =
