@@ -169,7 +169,11 @@ object Curation {
       .select(col("source"), col("n_tokens"),
         round(col("share"), 6).as("token_share"),
         round(col("p") / col("z"), 6).as("weight"),
-        round(col("p") / col("z") / col("share"), 4).as("epochs"))
+        // share = 0 (a source whose docs tokenize to nothing) makes epochs
+        // 0/0 — Spark's non-ANSI divide yields NULL, DuckDB's IEEE divide
+        // yields NaN. Pin the edge to an explicit NULL in BOTH engines.
+        when(col("share") === 0, lit(null).cast("double"))
+          .otherwise(round(col("p") / col("z") / col("share"), 4)).as("epochs"))
       .orderBy(col("source"))
   }
 
@@ -185,7 +189,7 @@ object Curation {
        |SELECT source, n_tokens,
        |  round(share, 6) AS token_share,
        |  round(p / z, 6) AS weight,
-       |  round(p / z / share, 4) AS epochs
+       |  CASE WHEN share = 0 THEN NULL ELSE round(p / z / share, 4) END AS epochs
        |FROM shares, z ORDER BY source""".stripMargin
 
   // ------------------------------------------- sequence packing
@@ -193,25 +197,39 @@ object Curation {
   /** Training sequence length (tokens) for packing. */
   val SeqLen = 512
 
+  /** Packing shards per source: each source's concat order is split into
+    * this many independent shards so no single reducer ever owns a whole
+    * source's prefix sum. At 100 TB a real corpus is dominated by one
+    * source (web ≈ 90%); per-source-only packing would put ~90 TB of
+    * running sum in ONE window partition.
+    */
+  val PackShards = 64
+
   /** Concat-and-chunk sequence packing: documents are concatenated in
-    * doc_id order WITHIN each source and cut into [[SeqLen]]-token training
-    * sequences; each doc reports the sequence span it lands in and how many
-    * sequence boundaries cut through it (the doc-boundary fragmentation a
-    * packing-aware loader wants to know).
+    * doc_id order WITHIN each (source, shard) and cut into [[SeqLen]]-token
+    * training sequences; each doc reports its shard, the shard-local
+    * sequence span it lands in, and how many sequence boundaries cut
+    * through it (the doc-boundary fragmentation a packing-aware loader
+    * wants to know).
     *
-    * Scale shape: a global concatenation order would be an inherently
-    * sequential running sum (one reducer owns the whole corpus), so packing
-    * is per-source — the way real pipelines pack per shard — making the
-    * prefix sum a partitioned window: one shuffle on source, streams within
-    * each partition. Integer `div` keeps boundary math exact (no doubles).
+    * Scale shape: a global (or even per-source) concatenation order is an
+    * inherently sequential running sum — the dominant source lands in one
+    * window partition, a straggler-or-OOM at 100 TB. Real pipelines pack
+    * per shard, so the shard key is first-class: a deterministic
+    * [[graft.functions.Portable.hash32]] of doc_id mod [[PackShards]],
+    * making the prefix sum a (source, shard)-partitioned window — one
+    * shuffle, [[PackShards]]-way parallel within every source, and the
+    * same documents land in the same shards on every engine. Integer
+    * `div` keeps boundary math exact (no doubles).
     */
   def packSequences(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    docs.select(col("doc_id"), col("source"),
+    val shard = Portable.hash32(col("doc_id").cast("string")) % PackShards
+    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), col("source"), shard.cast("int").as("shard"),
         size(Portable.tokens(col("text"))).cast("bigint").as("n_tokens"))
       .withColumn("cum_prev",
         coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
-      .select(col("doc_id"), col("source"), col("n_tokens"),
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
         expr(s"cum_prev div $SeqLen").as("seq_first"),
         expr(s"(cum_prev + greatest(n_tokens, 1) - 1) div $SeqLen").as("seq_last"))
       .withColumn("n_cuts", (col("seq_last") - col("seq_first")).cast("int"))
@@ -220,13 +238,14 @@ object Curation {
 
   val sqlPackSequences: String =
     s"""WITH toks AS (SELECT doc_id, source,
+       |    (${Portable.sqlHash32("doc_id::VARCHAR")} % $PackShards)::INT AS shard,
        |    len(${Portable.sqlTokens("text")})::BIGINT AS n_tokens
        |  FROM documents),
-       |packed AS (SELECT doc_id, source, n_tokens,
-       |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |packed AS (SELECT doc_id, source, shard, n_tokens,
+       |    (sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
        |       ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS cum_prev
        |  FROM toks)
-       |SELECT doc_id, source, n_tokens,
+       |SELECT doc_id, source, shard, n_tokens,
        |  (cum_prev // $SeqLen)::BIGINT AS seq_first,
        |  ((cum_prev + greatest(n_tokens, 1) - 1) // $SeqLen)::BIGINT AS seq_last,
        |  (((cum_prev + greatest(n_tokens, 1) - 1) // $SeqLen)

@@ -89,6 +89,12 @@ final case class KafkaRapidConfig(
       "kafka.bootstrap.servers" -> bootstrapServers,
       "topic" -> rapidTopic, // publish only to the rapid, KafkaRapid.kt:72-75
       "kafka.acks" -> "all", // AivenConfig.kt:37
+      // The reference pins per-key ordering with max.in.flight=1 + linger=0
+      // (AivenConfig.kt:38-39). Idempotence gives the same no-reorder-on-
+      // retry guarantee (it caps in-flight at 5 WITH sequence numbers)
+      // without serializing every send — the scalable form of the same
+      // contract, and it also de-dupes broker-side on producer retry.
+      "kafka.enable.idempotence" -> "true",
       "checkpointLocation" -> resolvedCheckpoint)
     merged(structural)
   }

@@ -149,6 +149,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scan should read only doc_id+text, got: $readSchema")
   }
 
+  test("sequence packing windows on (source, shard) — never source alone") {
+    val plan = executed(Curation.packSequences(graft.Tables.documents(TestSpark.spark, dir)))
+    // the prefix sum must be sharded: a window partitioned by source alone
+    // puts the dominant source's whole running sum in ONE task at 100 TB
+    val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windowSpecs.nonEmpty, s"expected a window in:\n$plan")
+    windowSpecs.foreach { spec =>
+      assert(spec.contains("shard"),
+        s"window partition spec must include the shard key, got: $spec\nin:\n$plan")
+    }
+  }
+
   test("multimodal kernel is one plan: pruned scan under the mapPartitions seam, no RDD break") {
     val docs = graft.Tables.documents(TestSpark.spark, dir)
     val q = Multimodal.extractFeatures(Multimodal.assets(docs))

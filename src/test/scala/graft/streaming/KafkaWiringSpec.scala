@@ -40,11 +40,14 @@ class KafkaWiringSpec extends AnyFunSuite {
       "both offset options set: the connector would reject the stream")
   }
 
-  test("sink options: rapid topic only, acks=all, checkpoint (KafkaRapid.kt:72-75, AivenConfig.kt:37)") {
+  test("sink options: rapid topic only, acks=all + idempotent ordering, checkpoint (KafkaRapid.kt:72-75, AivenConfig.kt:37-39)") {
     assert(base.sinkOptions == Map(
       "kafka.bootstrap.servers" -> "b-1:9092,b-2:9092",
       "topic" -> "rapid",
       "kafka.acks" -> "all",
+      // the reference's max.in.flight=1/linger=0 ordering guarantee, in its
+      // scalable idempotent-producer form
+      "kafka.enable.idempotence" -> "true",
       "checkpointLocation" -> "/durable/ckpt"))
   }
 
