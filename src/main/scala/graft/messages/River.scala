@@ -248,6 +248,11 @@ final case class Routed(all: DataFrame, declared: Set[String],
     all.filter(col("status") =!= "passed")
       .select(rawCol.as("raw"), col("status"),
         to_json(col("problems")).as("problems_json"),
+        // the reference's human-readable renderings (MessageProblems.kt:23-49)
+        // alongside the structured problems: toString's "S:"/"E:" lines and
+        // toExtendedReport's counted sections + original-message echo
+        Validation.report(col("problems")).as("problems_report"),
+        Validation.extendedReport(col("problems"), rawCol).as("problems_extended_report"),
         trace(rawCol).as("trace"))
 
   /** Per-river metrics (reference message_counter / on_packet timer tags,

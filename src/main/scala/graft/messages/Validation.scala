@@ -155,13 +155,13 @@ object Validation {
     keyRuleM(key, s"Required $key is not an array",
       missingOr(key, s"Required $key is not an array"))(isArrayType)
 
-  /** requireArray with per-element validation (JsonMessage.kt:663-670):
-    * every element, read as a variant, must satisfy `elem`. Failure reports
-    * ONE problem PER failing element with its index, like the reference's
-    * "Array element #i at k did not pass validation" (JsonMessageTest.kt:
-    * 777-796; the reference additionally appends the element's own nested
-    * problem text, which has no analogue here — `elem` is one predicate,
-    * not a nested rule set).
+  /** requireArray with per-element PREDICATE validation: every element, read
+    * as a variant, must satisfy `elem`. Failure reports ONE problem PER
+    * failing element with its index, like the reference's "Array element #i
+    * at k did not pass validation" (JsonMessageTest.kt:777-796). `elem` is
+    * one predicate, not a nested rule set, so there is no nested problem
+    * text here — for the reference's composed element-failure messages use
+    * the nested-RULES overload below.
     */
   def requireArrayElements(key: String, elem: Column => Column): Rule = {
     val failures = (v: Column) =>
@@ -177,6 +177,52 @@ object Validation {
           (m: Column) => m.isNotNull))
     keyRule(key, s"Required all elements of $key to validate")(
       v => isArrayType(v) && forall(try_variant_get(v, "$", "array<variant>"), elem))
+      .copy(problemsOn = Some(failures))
+  }
+
+  /** requireArray with NESTED RULES per element (JsonMessage.kt:663-670):
+    * each element is re-validated as its own message against `rules`, and a
+    * failing element contributes one problem PER failing rule, composed the
+    * reference's way — `MessageProblems.error(melding, other)` appends each
+    * nested error to the element prefix with a space
+    * (MessageProblems.kt:12-14). The reference's prefix string ends in a
+    * literal "%s" that the composing overload never String.format's — a
+    * quirk reproduced verbatim, so migrating onError consumers see
+    * byte-identical diagnostics, e.g.:
+    *
+    *   "Array element #0 at foo did not pass validation: %s Missing required key bar"
+    *
+    * Nested severe rules have no analogue (the reference's nested
+    * JsonMessage composes only `errors`); nested rules here contribute
+    * error-composed text regardless of their severe tag.
+    */
+  def requireArrayElements(key: String, first: Rule, rest: Rule*): Rule = {
+    val rules = first +: rest
+    val elems = (v: Column) => try_variant_get(v, "$", "array<variant>")
+    val elemPasses = (e: Column) =>
+      rules.map(r => coalesce(r.passes(e), lit(false))).reduce(_ && _)
+    val emptyStr = array().cast("array<string>")
+    val failures = (v: Column) =>
+      when(v.isNull, array(lit(s"Missing required key $key")))
+        .when(!coalesce(isArrayType(v), lit(false)),
+          array(lit(s"Required $key is not an array")))
+        .otherwise(flatten(transform(elems(v), (e: Column, i: Column) => {
+          val prefix = concat(lit("Array element #"), i.cast("string"),
+            lit(s" at $key did not pass validation: %s "))
+          concat(rules.map { r =>
+            val failedMsgs = r.problemsOn match {
+              // a nested rule with multi-entry problems (e.g. a nested
+              // requireArrayElements) composes EACH of its entries
+              case Some(msgs) => transform(msgs(vraw(e, r.key)),
+                (m: Column) => concat(prefix, m))
+              case None => array(concat(prefix,
+                r.messageOn.fold(lit(r.description))(f => f(vraw(e, r.key)))))
+            }
+            when(!coalesce(r.passes(e), lit(false)), failedMsgs).otherwise(emptyStr)
+          }: _*)
+        })))
+    keyRule(key, s"Required all elements of $key to validate")(
+      v => isArrayType(v) && forall(elems(v), elemPasses))
       .copy(problemsOn = Some(failures))
   }
 
@@ -337,6 +383,44 @@ object Validation {
     * contribute one problem per entry (higher-order functions — only their
     * rivers lose the codegen'd problems projection).
     */
+  // --------------------------------------------------------------- reports
+
+  /** MessageProblems.toString analogue (MessageProblems.kt:33-36): severe
+    * problems as "S: ..." lines, then error problems as "E: ..." lines,
+    * newline-joined (empty string when there are no problems). Takes the
+    * routed `problems` column (array<struct<severity,message>>).
+    *
+    * Higher-order transforms (CodegenFallback) — render on the dead-letter
+    * branch, never the per-message hot path.
+    */
+  def report(problems: Column): Column = {
+    def lines(sev: String, prefix: String) = transform(
+      filter(problems, p => p.getField("severity") === sev),
+      p => concat(lit(prefix), p.getField("message")))
+    array_join(concat(lines("severe", "S: "), lines("error", "E: ")), "\n")
+  }
+
+  /** MessageProblems.toExtendedReport analogue (MessageProblems.kt:23-31,
+    * 38-49): "No errors in message\n" when clean, otherwise the counted
+    * "Severe errors"/"Errors" sections followed by the original message
+    * echo, byte-identical to the reference's StringBuffer construction
+    * (including the tab after the header line that precedes the first
+    * section's leading newline).
+    */
+  def extendedReport(problems: Column, originalMessage: Column): Column = {
+    def msgs(sev: String) = transform(
+      filter(problems, p => p.getField("severity") === sev),
+      p => p.getField("message"))
+    def section(label: String, m: Column) =
+      when(size(m) === 0, lit(""))
+        .otherwise(concat(lit(s"\n$label: "), size(m).cast("string"),
+          array_join(transform(m, x => concat(lit("\n\t"), x)), "")))
+    when(coalesce(size(problems), lit(0)) === 0, lit("No errors in message\n"))
+      .otherwise(concat(lit("Message has errors:\n\t"),
+        section("Severe errors", msgs("severe")), section("Errors", msgs("error")),
+        lit("\n"), lit("Original message: "), originalMessage, lit("\n")))
+  }
+
   def problemsFromFlags(severity: String, rules: Seq[Rule], flag: Int => Column,
       valueOf: Rule => Column): Column = {
     val empty = array().cast("array<struct<severity:string,message:string>>")

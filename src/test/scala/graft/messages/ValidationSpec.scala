@@ -223,4 +223,84 @@ class ValidationSpec extends AnyFunSuite {
     assert(messagesFor(rule, """{}""")._1 == Seq("Missing required key tags"))
     assert(messagesFor(rule, """{"tags": 5}""")._1 == Seq("Required tags is not an array"))
   }
+
+  test("requireArrayElements with nested rules composes the element's own problem text (JsonMessage.kt:663-670, MessageProblems.kt:12-14)") {
+    import Validation._
+    // the reference's composing overload appends each nested error as
+    // "$melding $it" WITHOUT String.format, so the melding's literal "%s"
+    // survives into the final string — reproduced byte-for-byte
+    val rule = requireArrayElements("foo", requireKey("bar"))
+    val (fast, variant) = messagesFor(rule, """{"foo": [{}]}""")
+    val expected =
+      Seq("Array element #0 at foo did not pass validation: %s Missing required key bar")
+    assert(fast == expected)
+    assert(variant == expected)
+    // empty array passes; all-valid elements pass (JsonMessageTest.kt:777-796)
+    assert(check(rule, """{"foo": []}"""))
+    assert(check(rule, """{"foo": [{"bar":"baz"}]}"""))
+    assert(!check(rule, """{"foo": [{}]}"""))
+    // per-element, per-rule: nested null vs missing messages compose, with
+    // one problem for every failing (element, rule) pair
+    val multi = requireArrayElements("foo", requireKey("bar"), requireValue("kind", "a"))
+    assert(messagesFor(multi,
+      """{"foo": [{"bar": null, "kind": "a"}, {"bar": 1, "kind": "b"}, {"bar": 2, "kind": "a"}]}""")._1
+      == Seq(
+        "Array element #0 at foo did not pass validation: %s Required key bar is null",
+        "Array element #1 at foo did not pass validation: %s Required kind is not string a"))
+    // missing array key / non-array keep the require-family messages
+    assert(messagesFor(rule, """{}""")._1 == Seq("Missing required key foo"))
+    assert(messagesFor(rule, """{"foo": "x"}""")._1 == Seq("Required foo is not an array"))
+  }
+
+  test("problems report renders the reference's toString format (MessageProblems.kt:33-36)") {
+    val df = TestSpark.spark.sql(
+      """SELECT array(
+        |  named_struct('severity', 'severe', 'message', 'Severe one'),
+        |  named_struct('severity', 'error', 'message', 'err A'),
+        |  named_struct('severity', 'error', 'message', 'err B')) AS problems""".stripMargin)
+    assert(df.select(Validation.report(col("problems"))).first().getString(0)
+      == "S: Severe one\nE: err A\nE: err B")
+    // no problems -> empty string, like joining two empty lists
+    val clean = TestSpark.spark.sql(
+      "SELECT cast(array() as array<struct<severity:string,message:string>>) AS problems")
+    assert(clean.select(Validation.report(col("problems"))).first().getString(0) == "")
+  }
+
+  test("problems extended report renders the reference's counted sections byte-for-byte (MessageProblems.kt:23-49)") {
+    val df = TestSpark.spark.sql(
+      """SELECT array(
+        |  named_struct('severity', 'severe', 'message', 'Severe one'),
+        |  named_struct('severity', 'error', 'message', 'err A'),
+        |  named_struct('severity', 'error', 'message', 'err B')) AS problems,
+        |  '{"x": 1}' AS raw""".stripMargin)
+    val expected =
+      "Message has errors:\n\t" +
+        "\nSevere errors: 1\n\tSevere one" +
+        "\nErrors: 2\n\terr A\n\terr B" +
+        "\n" + "Original message: {\"x\": 1}\n"
+    assert(df.select(Validation.extendedReport(col("problems"), col("raw")))
+      .first().getString(0) == expected)
+    // errors-only: no Severe section at all
+    val errOnly = TestSpark.spark.sql(
+      """SELECT array(named_struct('severity', 'error', 'message', 'e1')) AS problems,
+        |  'orig' AS raw""".stripMargin)
+    assert(errOnly.select(Validation.extendedReport(col("problems"), col("raw")))
+      .first().getString(0)
+      == "Message has errors:\n\t\nErrors: 1\n\te1\nOriginal message: orig\n")
+    val clean = TestSpark.spark.sql(
+      """SELECT cast(array() as array<struct<severity:string,message:string>>) AS problems,
+        |  'orig' AS raw""".stripMargin)
+    assert(clean.select(Validation.extendedReport(col("problems"), col("raw")))
+      .first().getString(0) == "No errors in message\n")
+  }
+
+  test("dead letters carry the rendered problem reports") {
+    val river = River().validate(Validation.requireKey("foo"))
+    val routed = river.attach(TestSpark.messages("""{"bar": 1}"""), col("value"))
+    val dl = routed.deadLetters(col("value")).first()
+    assert(dl.getString(dl.fieldIndex("problems_report")) == "E: Missing required key foo")
+    assert(dl.getString(dl.fieldIndex("problems_extended_report"))
+      == "Message has errors:\n\t\nErrors: 1\n\tMissing required key foo\n" +
+        "Original message: {\"bar\": 1}\n")
+  }
 }
