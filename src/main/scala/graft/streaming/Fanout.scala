@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.messages.{River, Routed}
+
+/** Read-once listener fanout — the reference consumes each record ONCE and
+  * notifies every registered listener in-process (RapidsConnection.kt:44-55;
+  * MessageListener loop, KafkaRapid.kt:130-174). The naive Structured
+  * Streaming translation runs one streaming query per river, which on Kafka
+  * means R subscriptions, R topic scans, and R checkpoints per application —
+  * R× source cost at a 100 TB topic.
+  *
+  * This is the single-scan form: ONE streaming query per rapid. Its
+  * foreachBatch persists the micro-batch, routes every registered river's
+  * 4-way split off the in-memory rows, hands each river's replies to the
+  * sink, then unpersists — so the source is scanned once per micro-batch no
+  * matter how many rivers are registered (SURVEY §4 item 2). Each river
+  * re-parses its own schema-pruned projection off the cached rows: CPU over
+  * memory-resident rows, not another source scan, and each river keeps its
+  * own fast-path parse exactly as in the per-query mode.
+  *
+  * Error semantics come free: any river's flow throwing inside foreachBatch
+  * fails THE query, which is the reference's one-dead-listener-stops-the-app
+  * contract (RapidIntegrationTest.kt:126-141) without cross-query
+  * propagation machinery.
+  */
+object Fanout {
+
+  /** One registered river and its reply flow. */
+  final case class Registration(river: River, flow: Routed => DataFrame)
+
+  /** Route one micro-batch (columns: key, value, plus any source metadata)
+    * through every registration off a single persisted scan, passing each
+    * river's reply DataFrame to `sink`. The persist is scoped to the batch:
+    * released before the micro-batch commits, so state never accumulates
+    * across triggers.
+    */
+  def routeBatch(batch: DataFrame, regs: Seq[Registration])(
+      sink: DataFrame => Unit): Unit = {
+    batch.persist()
+    try regs.foreach { r => sink(r.flow(r.river.attach(batch, col("value")))) }
+    finally { batch.unpersist(); () }
+  }
+}

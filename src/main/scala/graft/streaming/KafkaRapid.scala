@@ -99,6 +99,13 @@ final case class KafkaRapidConfig(
     merged(structural)
   }
 
+  /** Options for the per-batch reply write inside the single-query fanout
+    * ([[KafkaRapid.run]]): the sink surface minus checkpointLocation — the
+    * ONE streaming query's own checkpoint carries the offsets; a batch
+    * DataFrameWriter takes no checkpoint.
+    */
+  def sinkBatchOptions: Map[String, String] = sinkOptions - "checkpointLocation"
+
   private def merged(structural: Map[String, String]): Map[String, String] = {
     val unprefixed = kafkaOptions.keys.filterNot(_.startsWith("kafka.")).toSeq.sorted
     require(unprefixed.isEmpty,
@@ -135,4 +142,28 @@ final class KafkaRapid(spark: SparkSession, config: KafkaRapidConfig) {
       .writeStream
       .format("kafka")
       .options(config.sinkOptions)
+
+  /** Run the whole rapid as ONE streaming query — the reference's read-once
+    * listener fanout (RapidsConnection.kt:44-55) in its single-scan Spark
+    * form ([[Fanout]]): one topic subscription, one checkpoint, every
+    * registered river routed off one persisted micro-batch, each river's
+    * replies written back to the rapid topic per batch. An app with R
+    * rivers reads the topic ONCE per trigger instead of R times — the scan
+    * cost that dominates at a 100 TB topic. Any river's flow throwing fails
+    * this query: one dead listener stops the app
+    * (RapidIntegrationTest.kt:126-141).
+    */
+  def run(regs: Seq[Fanout.Registration]): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .queryName(s"rapid-${config.rapidTopic}")
+      .option("checkpointLocation", config.resolvedCheckpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Fanout.routeBatch(batch, regs) { replies =>
+          replies
+            .select(col("key").cast("binary").as("key"),
+              col("value").cast("binary").as("value"))
+            .write.format("kafka").options(config.sinkBatchOptions).save()
+        }
+      }
+      .start()
 }

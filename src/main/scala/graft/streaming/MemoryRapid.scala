@@ -26,14 +26,25 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
       */
     loopback: Boolean = false,
     /** Hard bound on loopback re-injection rounds per send. */
-    maxLoopbackHops: Int = 100) {
+    maxLoopbackHops: Int = 100,
+    /** Single-scan mode ([[Fanout]]): the whole rapid runs as ONE streaming
+      * query whose foreachBatch routes every registered river off one
+      * persisted micro-batch — the reference's read-once listener fanout
+      * (RapidsConnection.kt:44-55). Register all rivers BEFORE the first
+      * send; the query starts lazily on the first [[sendTestMessage]].
+      * Default (false) keeps one query per river — each river then has
+      * independent offsets, like separate Kafka consumer groups.
+      */
+    fanout: Boolean = false) {
   import spark.implicits._
 
-  // One MemoryStream PER RIVER: a MemoryStream serves a single query —
-  // the first query's offset commit trims the shared batch buffer, which
-  // would starve every other subscriber (each Kafka consumer group gets its
-  // own offsets; this is the in-memory equivalent).
+  // One MemoryStream PER RIVER (non-fanout mode): a MemoryStream serves a
+  // single query — the first query's offset commit trims the shared batch
+  // buffer, which would starve every other subscriber (each Kafka consumer
+  // group gets its own offsets; this is the in-memory equivalent). In
+  // fanout mode there is exactly ONE entry here, serving the one query.
   private val inputs = mutable.ArrayBuffer.empty[MemoryStream[(String, String)]]
+  private val fanoutRegs = mutable.ArrayBuffer.empty[Fanout.Registration]
   private val outbox = mutable.ArrayBuffer.empty[(String, String)]
   // loopback replies awaiting re-injection: buffered here by foreachBatch and
   // fed back from the sendTestMessage drain loop — NOT addData'd on the
@@ -84,25 +95,57 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
     * DataFrame with columns (key, value) — the messages to publish back on
     * the rapid. Key-stickiness (KeyMessageContext.kt:7-10) is the flow's
     * default: carry the incoming key column through.
+    *
+    * Per-river-query mode starts the river's own streaming query here;
+    * [[fanout]] mode only records the registration — the single shared
+    * query starts on the first send and routes all rivers per batch.
     */
-  def register(river: River)(flow: Routed => DataFrame): Unit = {
-    val routed = river.attach(stream, col("value"))
-    val replies = flow(routed)
-    val q = replies.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch.select(
-          coalesce(col("key"), lit(null).cast("string")).as("key"), col("value"))
-          .collect()
-        val msgs = rows.map(r => (r.getString(0), r.getString(1)))
-        outbox.synchronized { outbox ++= msgs }
-        if (loopback && msgs.nonEmpty)
-          pending.synchronized { pending ++= msgs; () }
-        ()
-      }
-      .queryName(s"$name-river-${queries.size}")
-      .start()
-    queries.synchronized { queries += q; () }
+  def register(river: River)(flow: Routed => DataFrame): Unit =
+    if (fanout) {
+      require(queries.synchronized(queries.isEmpty),
+        "fanout rapid: register every river before the first send " +
+          "(the single streaming query is already running)")
+      fanoutRegs.synchronized { fanoutRegs += Fanout.Registration(river, flow); () }
+    } else {
+      val routed = river.attach(stream, col("value"))
+      val replies = flow(routed)
+      val q = replies.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) => collectReplies(batch) }
+        .queryName(s"$name-river-${queries.size}")
+        .start()
+      queries.synchronized { queries += q; () }
+    }
+
+  /** Drain one reply batch into the outbox (and the loopback buffer). */
+  private def collectReplies(replies: DataFrame): Unit = {
+    val rows = replies.select(
+      coalesce(col("key"), lit(null).cast("string")).as("key"), col("value"))
+      .collect()
+    val msgs = rows.map(r => (r.getString(0), r.getString(1)))
+    outbox.synchronized { outbox ++= msgs }
+    if (loopback && msgs.nonEmpty)
+      pending.synchronized { pending ++= msgs; () }
+    ()
+  }
+
+  /** Start the fanout query (idempotent; no-op unless [[fanout]]): ONE
+    * MemoryStream, ONE streaming query, every registered river routed off
+    * one persisted batch per trigger ([[Fanout.routeBatch]]).
+    */
+  def startFanout(): Unit = if (fanout) queries.synchronized {
+    if (queries.isEmpty) {
+      val regs = fanoutRegs.synchronized(fanoutRegs.toVector)
+      val q = newInput().toDF().toDF("key", "value").writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Fanout.routeBatch(batch, regs)(collectReplies)
+        }
+        .queryName(s"$name-fanout")
+        .start()
+      queries += q
+      ()
+    }
   }
 
   /** Synchronously inject a message and drain all rivers (every subscriber
@@ -114,6 +157,7 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
     * settles on exactly the last permitted hop still passes.
     */
   def sendTestMessage(message: String, key: String = null): Unit = {
+    startFanout()
     inputs.synchronized(inputs.toVector).foreach(_.addData((key, message)))
     var hops = 0
     var quiescent = false
@@ -153,9 +197,16 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
   }
 
   /** Liveness: every registered river query is active (KafkaRapid.isRunning
-    * analogue; surfaced by RapidApplication health).
+    * analogue; surfaced by RapidApplication health). A fanout rapid whose
+    * single query has not started yet (it starts on the first send) counts
+    * as running once rivers are registered and nothing has failed.
     */
-  def isRunning: Boolean = queries.synchronized(queries.nonEmpty && queries.forall(_.isActive))
+  def isRunning: Boolean = queries.synchronized {
+    if (fanout)
+      fanoutRegs.synchronized(fanoutRegs.nonEmpty) && failure.get().isEmpty &&
+        queries.forall(_.isActive)
+    else queries.nonEmpty && queries.forall(_.isActive)
+  }
 
   /** Ids of this rapid's river queries (lifecycle-event ownership filter). */
   def queryIds: Set[java.util.UUID] = queries.synchronized(queries.map(_.id).toSet)
