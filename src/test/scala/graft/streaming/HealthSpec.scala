@@ -46,4 +46,33 @@ class HealthSpec extends AnyFunSuite {
       assert(get(srv.port, "/isalive")._1 == 200) // still alive during drain
     } finally srv.close()
   }
+
+  test("/stop drain is bounded: a hung hook gets 503 within the timeout (PreStopHook.kt:52-67)") {
+    val hungForever = new java.util.concurrent.CountDownLatch(1)
+    val srv = Health.serve(
+      alive = () => true, ready = () => true,
+      stopHook = () => hungForever.await(), // never completes
+      stopTimeoutMillis = 300)
+    try {
+      val t0 = System.currentTimeMillis()
+      val (code, body) = get(srv.port, "/stop")
+      val elapsed = System.currentTimeMillis() - t0
+      assert(code == 503, s"hung drain must 503, got $code: $body")
+      assert(body.contains("did not complete"))
+      assert(elapsed < 10000, s"bounded drain took ${elapsed}ms")
+      // readiness stays dropped — the pod is draining, not routable
+      assert(get(srv.port, "/isready")._1 == 503)
+    } finally { hungForever.countDown(); srv.close() }
+  }
+
+  test("/stop surfaces a throwing hook as 500, never a hung exchange") {
+    val srv = Health.serve(
+      alive = () => true, ready = () => true,
+      stopHook = () => sys.error("drain exploded"))
+    try {
+      val (code, body) = get(srv.port, "/stop")
+      assert(code == 500, s"throwing hook must 500, got $code: $body")
+      assert(body.contains("drain exploded"))
+    } finally srv.close()
+  }
 }

@@ -113,6 +113,25 @@ class RapidSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("timer history is bounded: a long-running rapid keeps only the latest MaxHistory batches") {
+    val spark = TestSpark.spark
+    val timers = Timers.attach(spark, _ => false) // no live queries needed
+    try {
+      // an app-long handle on a 1-batch/sec rapid sees ~86k batches/day;
+      // the retained window must stay fixed no matter how many arrive
+      (1 to Timers.MaxHistory * 3).foreach { i =>
+        timers.record(Timers.RiverTiming("r0", i.toLong, 1L, 10L, 5L, 0.01))
+      }
+      val h = timers.history("r0")
+      assert(h.size == Timers.MaxHistory, s"history grew to ${h.size}")
+      // newest-first: the latest batch is at the head, oldest retained is
+      // exactly MaxHistory batches back
+      assert(h.head.batchId == (Timers.MaxHistory * 3).toLong)
+      assert(h.last.batchId == (Timers.MaxHistory * 2 + 1).toLong)
+      assert(timers.latest("r0").batchId == h.head.batchId)
+    } finally Timers.detach(spark, timers)
+  }
+
   test("lifecycle events publish on attach and query termination (RapidApplication.kt:94-139)") {
     val spark = TestSpark.spark
     val seen = scala.collection.mutable.ArrayBuffer.empty[String]
