@@ -115,4 +115,77 @@ object RapidApplication {
   def createInMemory(spark: SparkSession, appName: String, instanceId: String,
                      clock: () => Long = () => System.currentTimeMillis()): InMemory =
     new InMemory(spark, appName, instanceId, clock).start()
+
+  /** The full production assembly — the reference's
+    * `RapidApplication.create(env).start()` story (RapidApplication.kt:
+    * 144-168) in one object: rapid + default ping/pong river + lifecycle
+    * events + per-river timers + the Ktor-analogue HTTP probe surface
+    * (/isalive /isready /metrics /stop with the bounded preStop drain).
+    *
+    * MemoryRapid-backed — the transport this container can execute; a Kafka
+    * deployment keeps the identical surface and swaps the transport for
+    * [[KafkaRapid.run]] (single-scan fanout) driven by [[configFromEnv]].
+    */
+  final class Wired private[RapidApplication] (
+      val app: InMemory,
+      val timers: Timers.Handle,
+      spark: SparkSession,
+      port: Int) {
+
+    /** Probe metrics: the latest per-river batch timings as Prometheus
+      * gauges — the on_packet_seconds analogue surfaced exactly where the
+      * reference's Ktor /metrics exposes its micrometer registry.
+      */
+    private def metrics(): Map[String, Double] =
+      timers.latest.toSeq.flatMap { case (q, t) =>
+        Seq(
+          s"""on_packet_seconds{river="$q"}""" -> t.secondsPerMessage,
+          s"""last_batch_input_rows{river="$q"}""" -> t.numInputRows.toDouble)
+      }.toMap
+
+    @volatile private var stopped = false
+
+    /** Graceful shutdown (idempotent): stop-event + rivers + timers. Wired
+      * as the /stop preStop hook, so a drain request from the platform runs
+      * the same path as a programmatic close.
+      */
+    def shutdown(): Unit = synchronized {
+      if (!stopped) {
+        stopped = true
+        app.stop()
+        Timers.detach(spark, timers)
+      }
+    }
+
+    val health: Health.Server = Health.serve(
+      alive = () => app.isRunning,
+      ready = () => !stopped && app.isReady,
+      metrics = () => metrics(),
+      stopHook = () => shutdown(),
+      port = port)
+    // ApplicationStarted: rivers are registered and running by the time the
+    // assembly returns, so readiness flips on here (KtorApplication.kt:120)
+    health.markReady()
+
+    def send(message: String, key: String = null): Unit = app.send(message, key)
+
+    /** Tear down everything including the HTTP surface. */
+    def close(): Unit = {
+      shutdown()
+      health.close()
+    }
+  }
+
+  /** Boot the full wired assembly. Timers attach BEFORE the rivers start so
+    * the first micro-batch is already owned and counted.
+    */
+  def createWired(spark: SparkSession, appName: String, instanceId: String,
+                  clock: () => Long = () => System.currentTimeMillis(),
+                  port: Int = 0): Wired = {
+    val app = new InMemory(spark, appName, instanceId, clock)
+    // lambda, not eta-expansion: queryIds must be read at event time
+    val timers = Timers.attach(spark, id => app.rapid.queryIds.contains(id))
+    app.start()
+    new Wired(app, timers, spark, port)
+  }
 }
