@@ -252,6 +252,70 @@ object Curation {
        |    - (cum_prev // $SeqLen))::INT AS n_cuts
        |FROM packed ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- token-budget selection
+
+  /** Fraction of each shard's tokens the budget keeps. */
+  val BudgetFrac = 0.5
+
+  /** Token-budget subset selection: keep the highest-quality documents
+    * until [[BudgetFrac]] of the token budget is spent — the "we can only
+    * train on X% of this corpus, take the best" curation step. Quality is
+    * the same blended score as the t2 quality query (length + stopword
+    * ratio), so selection order is reproducible across engines.
+    *
+    * Scale shape: the budget is apportioned per (source, shard) — the same
+    * deterministic [[graft.functions.Portable.hash32]] sharding as
+    * [[packSequences]] — so the greedy running sum is a
+    * (source, shard)-partitioned window, never a global (single-reducer)
+    * sort. Shard totals are a tiny per-shard aggregate joined back
+    * (AQE-broadcast); the corpus is scanned once.
+    */
+  def budgetSelect(docs: DataFrame): DataFrame = {
+    val toks = Portable.tokens(col("text"))
+    val n = size(toks).cast("double")
+    val stops = TextOps.tokenHits(col("text"), TextOps.Stopwords).cast("double")
+    val base = docs.select(
+      col("doc_id"), col("source"),
+      (Portable.hash32(col("doc_id").cast("string")) % PackShards).cast("int").as("shard"),
+      size(toks).cast("bigint").as("n_tokens"),
+      round(least(n / lit(200.0), lit(1.0)) * 0.5 + (stops / n) * 0.5, 4)
+        .as("quality_score"))
+    val totals = base.groupBy(col("source"), col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    base.join(totals, Seq("source", "shard"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // greedy take-while-budget-remains: a doc is kept iff the budget was
+      // not exhausted BEFORE it (standard knapsack-greedy overshoot-by-one
+      // — guarantees progress even when one doc exceeds the whole budget)
+      .filter(col("cum_tokens") - col("n_tokens") < col("shard_tokens") * BudgetFrac)
+      .select(col("doc_id"), col("source"), col("shard"),
+        col("n_tokens"), col("quality_score"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sqlBudgetSelect: String = {
+    val toks = Portable.sqlTokens("text")
+    val stops = TextOps.sqlTokenHits("text", TextOps.Stopwords)
+    s"""WITH base AS (SELECT doc_id, source,
+       |    (${Portable.sqlHash32("doc_id::VARCHAR")} % $PackShards)::INT AS shard,
+       |    len($toks)::BIGINT AS n_tokens,
+       |    round(least(len($toks) / 200.0, 1.0) * 0.5
+       |      + ($stops::DOUBLE / len($toks)) * 0.5, 4) AS quality_score
+       |  FROM documents),
+       |totals AS (SELECT source, shard, sum(n_tokens)::BIGINT AS shard_tokens
+       |  FROM base GROUP BY source, shard),
+       |ranked AS (SELECT b.*, t.shard_tokens,
+       |    sum(b.n_tokens) OVER (PARTITION BY b.source, b.shard
+       |      ORDER BY b.quality_score DESC, b.doc_id
+       |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+       |  FROM base b JOIN totals t USING (source, shard))
+       |SELECT doc_id, source, shard, n_tokens, quality_score, cum_tokens
+       |FROM ranked WHERE cum_tokens - n_tokens < shard_tokens * $BudgetFrac
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------- segment-level dedup
 
   /** Non-overlapping segment width (tokens) for sub-document dedup. */

@@ -355,6 +355,40 @@ object Dedup {
        |FROM (SELECT a, b FROM r UNION ALL SELECT a, b FROM self)
        |GROUP BY a ORDER BY doc_id""".stripMargin
 
+  /** The deduplicated corpus keep-list — the END PRODUCT of the whole dedup
+    * chain: every document outside any near-dup cluster, plus one canonical
+    * (min doc_id) per cluster. This is what a training pipeline actually
+    * materializes after pair detection + clustering.
+    *
+    * Scale shape: the non-canonical set is a projection of [[dupClusters]]
+    * (small relative to the corpus — only docs IN clusters), anti-joined on
+    * doc_id; AQE broadcasts it when small, falls back to a shuffled
+    * anti-join when a pathological corpus makes it large. The corpus itself
+    * is scanned once and never shuffled beyond the join.
+    */
+  def dedupedCorpus(docs: DataFrame): DataFrame =
+    docs.join(
+      dupClusters(docs).filter(col("doc_id") =!= col("cluster")).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle: same keep-list via the exact recursive closure. */
+  def sqlDedupedCorpus: String =
+    s"""WITH RECURSIVE p AS ($sqlLshPairs),
+       |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+       |r AS (SELECT a, b FROM e
+       |      UNION
+       |      SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |self AS (SELECT DISTINCT a, a AS b FROM e),
+       |clus AS (SELECT a AS doc_id, min(b) AS cluster
+       |  FROM (SELECT a, b FROM r UNION ALL SELECT a, b FROM self)
+       |  GROUP BY a),
+       |drop AS (SELECT doc_id FROM clus WHERE doc_id != cluster)
+       |SELECT doc_id, source FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drop)
+       |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------- edit-distance (fuzzy dedup)
 
   /** Prefix length compared and blocking-key length for the fuzzy join. */

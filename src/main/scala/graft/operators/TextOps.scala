@@ -144,12 +144,12 @@ object TextOps {
   }
 
   /** Count of tokens exactly in `words`. */
-  private def tokenHits(text: Column, words: Seq[String]): Column = {
+  private[operators] def tokenHits(text: Column, words: Seq[String]): Column = {
     val inSet = (t: Column) => words.map(w => t === lit(w)).reduce(_ || _)
     size(filter(tokens(text), inSet)).cast("bigint")
   }
 
-  private def sqlTokenHits(textExpr: String, words: Seq[String]): String = {
+  private[operators] def sqlTokenHits(textExpr: String, words: Seq[String]): String = {
     val ors = words.map(w => s"x = '$w'").mkString(" OR ")
     s"len(list_filter(${Portable.sqlTokens(textExpr)}, x -> $ors))::BIGINT"
   }

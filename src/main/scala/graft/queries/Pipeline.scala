@@ -36,6 +36,11 @@ object Pipeline {
     QueryDef.sql("d8_dup_clusters", Dedup.sqlDupClusters) { (s, dir) =>
       Dedup.dupClusters(Tables.documents(s, dir))
     },
+    // clusters -> keep-list: the deduplicated corpus (non-canonical cluster
+    // members anti-joined away) — the end product a pipeline materializes
+    QueryDef.sql("d9_dedup_corpus", Dedup.sqlDedupedCorpus) { (s, dir) =>
+      Dedup.dedupedCorpus(Tables.documents(s, dir))
+    },
 
     // regexp extraction (leading token; identical leftmost semantics in
     // Java regex and RE2 for this pattern class)
@@ -182,9 +187,14 @@ object Pipeline {
       Curation.mixtureWeights(Tables.documents(s, dir))
     },
 
-    // -------- concat-and-chunk sequence packing (per-source prefix sums)
+    // -------- concat-and-chunk sequence packing (sharded prefix sums)
     QueryDef.sql("p11_pack", Curation.sqlPackSequences) { (s, dir) =>
       Curation.packSequences(Tables.documents(s, dir))
+    },
+
+    // -------- token-budget subset selection (greedy by quality per shard)
+    QueryDef.sql("p12_budget_select", Curation.sqlBudgetSelect) { (s, dir) =>
+      Curation.budgetSelect(Tables.documents(s, dir))
     },
 
     // -------- sub-document (segment/paragraph) dedup

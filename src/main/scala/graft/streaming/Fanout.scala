@@ -43,4 +43,24 @@ object Fanout {
     try regs.foreach { r => sink(r.flow(r.river.attach(batch, col("value")))) }
     finally { batch.unpersist(); () }
   }
+
+  /** Like [[routeBatch]] but hands the sink ONE unioned (key, value) reply
+    * frame for the whole batch instead of one frame per river. The sink
+    * then runs a single action: one Spark job sharing the persisted batch
+    * across every river's plan, and — on Kafka — ONE producer write per
+    * trigger instead of R sequential writes. Error semantics are identical
+    * (any river's branch failing fails the one action, downing the query).
+    * Returns None when no rivers are registered.
+    */
+  def routeBatchUnioned(batch: DataFrame, regs: Seq[Registration])(
+      sink: DataFrame => Unit): Unit = {
+    batch.persist()
+    try {
+      val replies = regs.map { r =>
+        r.flow(r.river.attach(batch, col("value")))
+          .select(col("key").cast("string").as("key"), col("value").cast("string").as("value"))
+      }
+      replies.reduceOption(_.unionAll(_)).foreach(sink)
+    } finally { batch.unpersist(); () }
+  }
 }

@@ -158,7 +158,9 @@ final class KafkaRapid(spark: SparkSession, config: KafkaRapidConfig) {
       .queryName(s"rapid-${config.rapidTopic}")
       .option("checkpointLocation", config.resolvedCheckpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Fanout.routeBatch(batch, regs) { replies =>
+        // unioned: one producer write per trigger, all river plans in one
+        // job off the shared persisted batch (not R sequential writes)
+        Fanout.routeBatchUnioned(batch, regs) { replies =>
           replies
             .select(col("key").cast("binary").as("key"),
               col("value").cast("binary").as("value"))

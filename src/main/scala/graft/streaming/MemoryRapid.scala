@@ -139,7 +139,8 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
       val q = newInput().toDF().toDF("key", "value").writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          Fanout.routeBatch(batch, regs)(collectReplies)
+          // unioned: all rivers' replies drain in ONE action per batch
+          Fanout.routeBatchUnioned(batch, regs)(collectReplies)
         }
         .queryName(s"$name-fanout")
         .start()

@@ -162,6 +162,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("budget selection windows on (source, shard) and never cross-products") {
+    val plan = executed(Curation.budgetSelect(graft.Tables.documents(TestSpark.spark, dir)))
+    val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windowSpecs.nonEmpty, s"expected a window in:\n$plan")
+    windowSpecs.foreach { spec =>
+      assert(spec.contains("shard"),
+        s"budget prefix sum must be sharded, got: $spec\nin:\n$plan")
+    }
+    assert(!plan.contains("CartesianProduct"), s"no cross product expected in:\n$plan")
+  }
+
+  test("dedup keep-list anti-joins the small non-canonical set — corpus never shuffled twice") {
+    val plan = executed(Dedup.dedupedCorpus(graft.Tables.documents(TestSpark.spark, dir)))
+    assert(plan.contains("LeftAnti"), s"expected an anti-join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cross product expected in:\n$plan")
+  }
+
   test("multimodal kernel is one plan: pruned scan under the mapPartitions seam, no RDD break") {
     val docs = graft.Tables.documents(TestSpark.spark, dir)
     val q = Multimodal.extractFeatures(Multimodal.assets(docs))
