@@ -102,7 +102,7 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
     */
   def register(river: River)(flow: Routed => DataFrame): Unit =
     if (fanout) {
-      require(queries.synchronized(queries.isEmpty),
+      require(!fanoutStarted.get(),
         "fanout rapid: register every river before the first send " +
           "(the single streaming query is already running)")
       fanoutRegs.synchronized { fanoutRegs += Fanout.Registration(river, flow); () }
@@ -129,12 +129,19 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
     ()
   }
 
+  private val fanoutStarted = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Start the fanout query (idempotent; no-op unless [[fanout]]): ONE
     * MemoryStream, ONE streaming query, every registered river routed off
     * one persisted batch per trigger ([[Fanout.routeBatch]]).
+    *
+    * The start-once guard is an AtomicBoolean, NOT the queries monitor:
+    * `start()` delivers QueryStartedEvent to listeners synchronously, and a
+    * listener reading [[queryIds]] (Lifecycle's ownership filter does)
+    * would deadlock against a start() made while holding that monitor.
     */
-  def startFanout(): Unit = if (fanout) queries.synchronized {
-    if (queries.isEmpty) {
+  def startFanout(): Unit =
+    if (fanout && fanoutStarted.compareAndSet(false, true)) {
       val regs = fanoutRegs.synchronized(fanoutRegs.toVector)
       val q = newInput().toDF().toDF("key", "value").writeStream
         .outputMode("append")
@@ -144,10 +151,8 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
         }
         .queryName(s"$name-fanout")
         .start()
-      queries += q
-      ()
+      queries.synchronized { queries += q; () }
     }
-  }
 
   /** Synchronously inject a message and drain all rivers (every subscriber
     * sees every message, RapidsConnection.kt:44-55). Under [[loopback]],

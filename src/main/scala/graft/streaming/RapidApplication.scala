@@ -67,9 +67,14 @@ object RapidApplication {
       spark: SparkSession,
       appName: String,
       instanceId: String,
-      clock: () => Long = () => System.currentTimeMillis()) {
+      clock: () => Long = () => System.currentTimeMillis(),
+      /** Single-scan mode ([[Fanout]]): the whole app runs as ONE streaming
+        * query — the reference's read-once listener fanout. Register every
+        * river before the first send.
+        */
+      fanout: Boolean = false) {
 
-    val rapid = new MemoryRapid(spark, appName)
+    val rapid = new MemoryRapid(spark, appName, fanout = fanout)
     private var lifecycleListener: Option[org.apache.spark.sql.streaming.StreamingQueryListener] = None
 
     /** PingPong river registered by default, like the reference
@@ -113,8 +118,9 @@ object RapidApplication {
   }
 
   def createInMemory(spark: SparkSession, appName: String, instanceId: String,
-                     clock: () => Long = () => System.currentTimeMillis()): InMemory =
-    new InMemory(spark, appName, instanceId, clock).start()
+                     clock: () => Long = () => System.currentTimeMillis(),
+                     fanout: Boolean = false): InMemory =
+    new InMemory(spark, appName, instanceId, clock, fanout).start()
 
   /** The full production assembly — the reference's
     * `RapidApplication.create(env).start()` story (RapidApplication.kt:
@@ -181,8 +187,9 @@ object RapidApplication {
     */
   def createWired(spark: SparkSession, appName: String, instanceId: String,
                   clock: () => Long = () => System.currentTimeMillis(),
-                  port: Int = 0): Wired = {
-    val app = new InMemory(spark, appName, instanceId, clock)
+                  port: Int = 0,
+                  fanout: Boolean = false): Wired = {
+    val app = new InMemory(spark, appName, instanceId, clock, fanout)
     // lambda, not eta-expansion: queryIds must be read at event time
     val timers = Timers.attach(spark, id => app.rapid.queryIds.contains(id))
     app.start()

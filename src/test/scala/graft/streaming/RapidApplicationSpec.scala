@@ -30,6 +30,24 @@ class RapidApplicationSpec extends AnyFunSuite {
       .exists(i => app.rapid.inspector.message(i).contains("application_stop")))
   }
 
+  test("app shell in single-scan fanout mode: ping->pong off ONE query") {
+    val base = 1700000000000L
+    val app = RapidApplication.createInMemory(
+      TestSpark.spark, "fanout-app", "instance-f1", clock = () => base + 1000,
+      fanout = true)
+    try {
+      val ping = s"""{"@event_name":"ping","@id":"ping-f-1","ping_time":"${
+        new java.sql.Timestamp(base).toInstant.toString.stripSuffix("Z")}"}"""
+      app.send(ping, key = "the-key")
+      val insp = app.rapid.inspector
+      val msgs = (0 until insp.size).map(insp.message)
+      assert(msgs.exists(_.contains("\"pong\"")), s"expected a pong among $msgs")
+      // the whole app is ONE streaming query (read-once fanout)
+      assert(app.rapid.queryIds.size == 1)
+      assert(app.isRunning && app.isReady)
+    } finally app.stop()
+  }
+
   test("configFromEnv mirrors the reference env contract (Defaults.kt:47-61)") {
     val c = RapidApplication.configFromEnv(Map(
       "KAFKA_RAPID_TOPIC" -> "rapid.v1",
