@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 import graft.messages.{River, Routed}
@@ -28,8 +28,11 @@ import graft.messages.{River, Routed}
   */
 object Fanout {
 
-  /** One registered river and its reply flow. */
-  final case class Registration(river: River, flow: Routed => DataFrame)
+  /** One registered river and its reply flow. `name` labels the river's
+    * metrics (the reference's per-listener counter tags).
+    */
+  final case class Registration(river: River, flow: Routed => DataFrame,
+      name: String = "river")
 
   /** Route one micro-batch (columns: key, value, plus any source metadata)
     * through every registration off a single persisted scan, passing each
@@ -54,13 +57,40 @@ object Fanout {
     */
   def routeBatchUnioned(batch: DataFrame, regs: Seq[Registration])(
       sink: DataFrame => Unit): Unit = {
+    routeBatchObserved(batch, regs)(sink)
+    ()
+  }
+
+  /** [[routeBatchUnioned]] + per-river routing metrics — the reference's
+    * per-listener message_counter survives the single-scan mode: each
+    * river's branch carries an `observe` node (a row-pass-through over its
+    * routed split), so the ONE unioned action fires every river's counters
+    * with zero extra Spark jobs. Returns (registration name -> this batch's
+    * metric row: messages / passed / precondition_failed /
+    * validation_failed / unparseable + the river's declared tag counters);
+    * empty when there were no registrations (no action ran).
+    */
+  def routeBatchObserved(batch: DataFrame, regs: Seq[Registration])(
+      sink: DataFrame => Unit): Seq[(String, Map[String, Any])] = {
     batch.persist()
     try {
-      val replies = regs.map { r =>
-        r.flow(r.river.attach(batch, col("value")))
+      val observations = regs.map(_ => new Observation())
+      val replies = regs.zip(observations).map { case (r, o) =>
+        val routed = r.river.attach(batch, col("value"))
+        // the flow reads THROUGH the observe node so the union's single
+        // action executes it; metrics describe the routed stream, and the
+        // flow's own filters (e.g. .passed) sit above the observation
+        r.flow(routed.copy(all = routed.observed(o)))
           .select(col("key").cast("string").as("key"), col("value").cast("string").as("value"))
       }
-      replies.reduceOption(_.unionAll(_)).foreach(sink)
+      replies.reduceOption(_.unionAll(_)) match {
+        case Some(all) =>
+          sink(all)
+          // safe to block: the sink's action completed, so every branch's
+          // observation is resolved
+          regs.zip(observations).map { case (r, o) => r.name -> o.get }
+        case None => Nil
+      }
     } finally { batch.unpersist(); () }
   }
 }

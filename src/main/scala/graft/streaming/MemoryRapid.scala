@@ -105,7 +105,10 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
       require(!fanoutStarted.get(),
         "fanout rapid: register every river before the first send " +
           "(the single streaming query is already running)")
-      fanoutRegs.synchronized { fanoutRegs += Fanout.Registration(river, flow); () }
+      fanoutRegs.synchronized {
+        fanoutRegs += Fanout.Registration(river, flow, s"$name-river-${fanoutRegs.size}")
+        ()
+      }
     } else {
       val routed = river.attach(stream, col("value"))
       val replies = flow(routed)
@@ -130,6 +133,28 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
   }
 
   private val fanoutStarted = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // per-river routing counters accumulated across fanout batches — the
+  // reference's per-listener message_counter kept alive in single-scan mode
+  private val fanoutCounters = mutable.Map.empty[String, Map[String, Long]]
+
+  /** Accumulated per-river routing metrics in fanout mode (river query name
+    * -> messages/passed/precondition_failed/validation_failed/unparseable +
+    * declared tag counters). Empty in per-river-query mode, where each
+    * query's own observe/Timers surface carries this.
+    */
+  def fanoutMetrics: Map[String, Map[String, Long]] =
+    fanoutCounters.synchronized(fanoutCounters.toMap)
+
+  private def recordFanoutMetrics(batch: Seq[(String, Map[String, Any])]): Unit =
+    fanoutCounters.synchronized {
+      batch.foreach { case (riverName, m) =>
+        val counts = m.collect { case (k, v: Long) => k -> v }
+        val prev = fanoutCounters.getOrElse(riverName, Map.empty)
+        fanoutCounters.update(riverName,
+          (prev.keySet ++ counts.keySet).map(k =>
+            k -> (prev.getOrElse(k, 0L) + counts.getOrElse(k, 0L))).toMap)
+      }
+    }
 
   /** Start the fanout query (idempotent; no-op unless [[fanout]]): ONE
     * MemoryStream, ONE streaming query, every registered river routed off
@@ -146,8 +171,9 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
       val q = newInput().toDF().toDF("key", "value").writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          // unioned: all rivers' replies drain in ONE action per batch
-          Fanout.routeBatchUnioned(batch, regs)(collectReplies)
+          // unioned: all rivers' replies drain in ONE action per batch,
+          // which also fires every river's observed routing counters
+          recordFanoutMetrics(Fanout.routeBatchObserved(batch, regs)(collectReplies))
         }
         .queryName(s"$name-fanout")
         .start()

@@ -47,6 +47,18 @@ class FanoutSpec extends AnyFunSuite {
     val scanned = q.recentProgress.map(_.numInputRows).sum
     assert(scanned == msgs.size.toLong,
       s"expected ${msgs.size} scanned input rows (read-once), got $scanned")
+
+    // per-river routing counters survive the single-scan mode (the
+    // reference's per-listener message_counter): every river observed ALL
+    // 4 messages, and passed exactly its own
+    val m = rapid.fanoutMetrics
+    assert(m.keySet == Set("fanout-river-0", "fanout-river-1", "fanout-river-2"),
+      s"got ${m.keySet}")
+    assert(m.values.forall(_("messages") == 4L), s"got $m")
+    assert(m("fanout-river-0")("passed") == 2L) // river a: 2 matches
+    assert(m("fanout-river-1")("passed") == 1L)
+    assert(m("fanout-river-2")("passed") == 1L)
+    assert(m("fanout-river-0")("precondition_failed") == 2L) // the b/c msgs
     rapid.stop()
   }
 
