@@ -222,19 +222,67 @@ object Curation {
     * same documents land in the same shards on every engine. Integer
     * `div` keeps boundary math exact (no doubles).
     */
-  def packSequences(docs: DataFrame): DataFrame = {
+  /** Shared packing arithmetic: each doc's token interval
+    * [cum_prev, cum_prev + n_tokens) within its (source, shard) concat
+    * stream.
+    */
+  private def packedIntervals(docs: DataFrame): DataFrame = {
     val shard = Portable.hash32(col("doc_id").cast("string")) % PackShards
     val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
     docs.select(col("doc_id"), col("source"), shard.cast("int").as("shard"),
         size(Portable.tokens(col("text"))).cast("bigint").as("n_tokens"))
       .withColumn("cum_prev",
         coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+  }
+
+  def packSequences(docs: DataFrame): DataFrame =
+    packedIntervals(docs)
       .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
         expr(s"cum_prev div $SeqLen").as("seq_first"),
         expr(s"(cum_prev + greatest(n_tokens, 1) - 1) div $SeqLen").as("seq_last"))
       .withColumn("n_cuts", (col("seq_last") - col("seq_first")).cast("int"))
       .orderBy(col("doc_id"))
-  }
+
+  /** The loader-facing output of packing: WHICH TOKENS of which doc land in
+    * which training sequence. Each doc explodes into one row per sequence
+    * it intersects: shard-local seq id, the doc-relative token span
+    * [tok_start, tok_start + n_seq_tokens), in (source, shard, seq, doc)
+    * order — exactly what a packing-aware data loader replays. Zero-token
+    * docs contribute no segments.
+    *
+    * Scale shape: [[packedIntervals]]' sharded window plus a per-row
+    * explode bounded by ceil(n_tokens / SeqLen) + 1 — output is O(corpus
+    * tokens / SeqLen), never quadratic, and no further shuffle after the
+    * window.
+    */
+  def packSegments(docs: DataFrame): DataFrame =
+    packedIntervals(docs)
+      .filter(col("n_tokens") > 0)
+      .withColumn("seq", explode(sequence(
+        expr(s"cum_prev div $SeqLen"),
+        expr(s"(cum_prev + n_tokens - 1) div $SeqLen"))))
+      .select(col("doc_id"), col("source"), col("shard"), col("seq"),
+        greatest(col("seq") * SeqLen - col("cum_prev"), lit(0L)).as("tok_start"),
+        (least(col("n_tokens"), (col("seq") + 1) * SeqLen - col("cum_prev")) -
+          greatest(col("seq") * SeqLen - col("cum_prev"), lit(0L))).as("n_seq_tokens"))
+      .orderBy(col("doc_id"), col("seq"))
+
+  val sqlPackSegments: String =
+    s"""WITH toks AS (SELECT doc_id, source,
+       |    (${Portable.sqlHash32("doc_id::VARCHAR")} % $PackShards)::INT AS shard,
+       |    len(${Portable.sqlTokens("text")})::BIGINT AS n_tokens
+       |  FROM documents),
+       |packed AS (SELECT doc_id, source, shard, n_tokens,
+       |    (sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |       ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS cum_prev
+       |  FROM toks WHERE n_tokens > 0)
+       |SELECT doc_id, source, shard, t.seq::BIGINT AS seq,
+       |  greatest(t.seq * $SeqLen - cum_prev, 0)::BIGINT AS tok_start,
+       |  (least(n_tokens, (t.seq + 1) * $SeqLen - cum_prev)
+       |    - greatest(t.seq * $SeqLen - cum_prev, 0))::BIGINT AS n_seq_tokens
+       |FROM packed, LATERAL unnest(range(cum_prev // $SeqLen,
+       |  ((cum_prev + n_tokens - 1) // $SeqLen) + 1)) t(seq)
+       |ORDER BY doc_id, seq""".stripMargin
 
   val sqlPackSequences: String =
     s"""WITH toks AS (SELECT doc_id, source,

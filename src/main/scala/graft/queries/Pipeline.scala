@@ -197,6 +197,11 @@ object Pipeline {
       Curation.budgetSelect(Tables.documents(s, dir))
     },
 
+    // -------- packed-sequence segments (the loader-facing packing output)
+    QueryDef.sql("p13_pack_segments", Curation.sqlPackSegments) { (s, dir) =>
+      Curation.packSegments(Tables.documents(s, dir))
+    },
+
     // -------- sub-document (segment/paragraph) dedup
     QueryDef.sql("p8_segment_dedup", Curation.sqlSegmentDedup) { (s, dir) =>
       Curation.segmentDedup(Tables.documents(s, dir))

@@ -140,14 +140,21 @@ object RapidApplication {
 
     /** Probe metrics: the latest per-river batch timings as Prometheus
       * gauges — the on_packet_seconds analogue surfaced exactly where the
-      * reference's Ktor /metrics exposes its micrometer registry.
+      * reference's Ktor /metrics exposes its micrometer registry — plus, in
+      * fanout mode, the accumulated per-river routing counters (the
+      * message_counter analogue, kept alive by the per-branch observations).
       */
     private def metrics(): Map[String, Double] =
       timers.latest.toSeq.flatMap { case (q, t) =>
         Seq(
           s"""on_packet_seconds{river="$q"}""" -> t.secondsPerMessage,
           s"""last_batch_input_rows{river="$q"}""" -> t.numInputRows.toDouble)
-      }.toMap
+      }.toMap ++
+        app.rapid.fanoutMetrics.flatMap { case (riverName, counts) =>
+          counts.map { case (metric, v) =>
+            s"""message_counter{river="$riverName",status="$metric"}""" -> v.toDouble
+          }
+        }
 
     @volatile private var stopped = false
 

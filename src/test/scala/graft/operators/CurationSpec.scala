@@ -99,6 +99,36 @@ class CurationSpec extends AnyFunSuite {
     assert(kept.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
+  test("packed segments: every doc fully covered, every sequence at most SeqLen tokens") {
+    // docs long enough (up to ~3x SeqLen) to cross sequence boundaries
+    val d = docs((0L until 40L).map(i =>
+      (i, ("tok " * (100 + (i % 30).toInt * 50)).trim, s"src${i % 2}")): _*)
+    val segs = Curation.packSegments(d).collect()
+    // full coverage: each doc's segments sum to its token count and tile
+    // [0, n_tokens) contiguously in seq order
+    val tokens = d.select(col("doc_id"),
+      size(graft.functions.Portable.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    segs.groupBy(_.getLong(0)).foreach { case (docId, rows) =>
+      val ordered = rows.sortBy(_.getLong(3)) // by seq
+      assert(ordered.map(_.getLong(5)).sum == tokens(docId), s"doc $docId not covered")
+      val spans = ordered.map(r => (r.getLong(4), r.getLong(4) + r.getLong(5)))
+      assert(spans.head._1 == 0L)
+      spans.sliding(2).foreach {
+        case Array((_, e), (s2, _)) => assert(e == s2, s"gap in doc $docId")
+        case _ =>
+      }
+    }
+    // a sequence never holds more than SeqLen tokens across its docs
+    segs.groupBy(r => (r.getString(1), r.getInt(2), r.getLong(3)))
+      .foreach { case (k, rows) =>
+        val total = rows.map(_.getLong(5)).sum
+        assert(total <= Curation.SeqLen, s"sequence $k overflows: $total")
+      }
+    // multi-segment docs exist (the test exercises boundary cuts)
+    assert(segs.groupBy(_.getLong(0)).exists(_._2.length > 1))
+  }
+
   test("kmeans separates two obvious clusters and reports sizes") {
     val s = TestSpark.spark
     import s.implicits._

@@ -57,4 +57,24 @@ class WiredSpec extends AnyFunSuite {
       assert(!wired.app.isRunning)
     } finally wired.close()
   }
+
+  test("wired app in fanout mode surfaces per-river message counters on /metrics") {
+    val base = 1700000000000L
+    val wired = RapidApplication.createWired(
+      TestSpark.spark, "wired-fan", "wired-f1", clock = () => base + 1000,
+      fanout = true)
+    try {
+      val ping = s"""{"@event_name":"ping","@id":"wired-ping-f","ping_time":"${
+        new java.sql.Timestamp(base).toInstant.toString.stripSuffix("Z")}"}"""
+      wired.send(ping, key = "k-f")
+      assert((0 until wired.app.rapid.inspector.size)
+        .map(wired.app.rapid.inspector.message).exists(_.contains("\"pong\"")))
+      // one query for the whole app; per-river counters still on /metrics
+      assert(wired.app.rapid.queryIds.size == 1)
+      val (mc, body) = get(wired.health.port, "/metrics")
+      assert(mc == 200)
+      assert(body.contains("""message_counter{river="wired-fan-river-0",status="passed"} 1"""),
+        s"expected the fanout river counter in:\n$body")
+    } finally wired.close()
+  }
 }
