@@ -117,6 +117,47 @@ class ValidationPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("nested requireArrayElements agrees with direct evaluation and across paths") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // arrays of objects with optional "bar": nested requireKey("bar") passes
+    // iff EVERY element carries a non-null bar (empty array passes)
+    val genElem: Gen[Option[JVal]] = Gen.oneOf(
+      Gen.const(None), Gen.const(Some(JNull)),
+      Gen.oneOf("x", "y").map(s => Some(JStr(s))))
+    val genArr: Gen[List[Option[JVal]]] = Gen.chooseNum(0, 4)
+      .flatMap(n => Gen.listOfN(n, genElem))
+    def renderArr(elems: List[Option[JVal]]): String =
+      elems.map(e => e.map(v => s"""{"bar":${v.render}}""").getOrElse("{}"))
+        .mkString("""{"foo":[""", ",", "]}")
+    val rule = Validation.requireArrayElements("foo", Validation.requireKey("bar"))
+    (1 to 3).foreach { round =>
+      val arrs = Gen.listOfN(30, genArr)(Gen.Parameters.default, Seed(99L + round))
+        .getOrElse(fail("generator produced no sample"))
+      val msgs = arrs.map(renderArr)
+      val want = arrs.map(_.forall(e => e.exists(_ != JNull)))
+      assert(evalBatch(rule, msgs) == want, s"round $round")
+      // and the composed problem text appears for each failing element, on
+      // both compilation paths
+      val df = msgs.zipWithIndex.toDF("value", "i")
+      def problems(r: River) = r.attach(df, col("value"))
+        .all.select(col("i"), col("problems.message")).orderBy(col("i"))
+        .collect().map(_.getSeq[String](1).toSeq).toSeq
+      val fast = problems(River().validate(rule))
+      val variant = problems(River().validate(rule,
+        Validation.predicate("always true", _ => lit(true))))
+      assert(fast == variant, s"round $round path divergence")
+      arrs.zip(fast).foreach { case (elems, probs) =>
+        val expected = elems.zipWithIndex.collect {
+          case (e, i) if !e.exists(_ != JNull) =>
+            val reason = if (e.isEmpty) "Missing required key bar" else "Required key bar is null"
+            s"Array element #$i at foo did not pass validation: %s $reason"
+        }
+        assert(probs == expected, s"round $round elems $elems")
+      }
+    }
+  }
+
   test("infix `can` is the optional form: missing/null passes, present value must validate") {
     import Validation._
     // can be("a"): absent or JSON-null fine; present must be the string "a"
