@@ -25,6 +25,12 @@ import graft.messages.{River, Routed}
   * fails THE query, which is the reference's one-dead-listener-stops-the-app
   * contract (RapidIntegrationTest.kt:126-141) without cross-query
   * propagation machinery.
+  *
+  * Metric granularity trade-off: per-river ROUTING COUNTS survive (each
+  * branch carries an Observation, [[routeBatchObserved]]), but batch TIMING
+  * is whole-rapid — the rivers execute as one fused action, so
+  * [[Timers]]-style on_packet_seconds covers the batch, not one river.
+  * Apps needing per-river wall-clock keep the per-river-query mode.
   */
 object Fanout {
 
