@@ -85,6 +85,61 @@ class RecoverySpec extends AnyFunSuite {
     assert(byId.toMap == Map("a" -> "1", "b" -> "2", "c" -> "3"))
   }
 
+  test("fanout foreachBatch under checkpointed restart: a crashed batch redelivers to EVERY river, committed batches do not") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.messages.{River, Validation}
+    val dataDir = Files.createTempDirectory("graft-fanout-rec-data").toString
+    val ckpt = Files.createTempDirectory("graft-fanout-rec-ckpt").toString
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[String]
+    @volatile var crashOnce = true
+
+    val regs = Seq(
+      Fanout.Registration(
+        River().precondition(Validation.requireValue("@event_name", "a")),
+        r => r.passed.select(col("key"), concat(lit("ra:"), col("value")).as("value")),
+        "ra"),
+      Fanout.Registration(
+        River().validate(Validation.requireKey("@event_name")),
+        r => r.passed.select(col("key"), concat(lit("rb:"), col("value")).as("value")),
+        "rb"))
+
+    def startQuery() = spark.readStream
+      .schema("key STRING, value STRING")
+      .parquet(dataDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Fanout.routeBatchObserved(b, regs) { replies =>
+          val rows = replies.collect().map(_.getString(1))
+          sunk.synchronized { sunk ++= rows; () }
+        }
+        // crash AFTER the side effect, BEFORE the commit — the batch must
+        // redeliver to ALL rivers on restart
+        if (crashOnce) { crashOnce = false; sys.error("injected crash") }
+        ()
+      }.start()
+
+    Seq(("k1", """{"@event_name":"a"}""")).toDF("key", "value")
+      .write.mode("append").parquet(dataDir)
+    val q1 = startQuery()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](q1.awaitTermination(30000))
+    // both rivers' replies happened before the crash
+    assert(sunk.sorted == Seq("ra:{\"@event_name\":\"a\"}", "rb:{\"@event_name\":\"a\"}"))
+
+    Seq(("k2", """{"@event_name":"b"}""")).toDF("key", "value")
+      .write.mode("append").parquet(dataDir)
+    val q2 = startQuery(); q2.awaitTermination(30000); q2.stop()
+    // the uncommitted batch replayed through BOTH rivers (at-least-once,
+    // same contract as per-river mode), then the new batch flowed once
+    assert(sunk.sorted == Seq(
+      "ra:{\"@event_name\":\"a\"}", "ra:{\"@event_name\":\"a\"}",
+      "rb:{\"@event_name\":\"a\"}", "rb:{\"@event_name\":\"a\"}",
+      "rb:{\"@event_name\":\"b\"}"),
+      s"got ${sunk.sorted}")
+  }
+
   test("@id dedup state runs on the RocksDB state store (the 100 TB state backend)") {
     val spark = TestSpark.spark
     import spark.implicits._
