@@ -93,6 +93,9 @@ object Validation {
 
   private def isBooleanType(v: Column): Column = typeOf(v) === "BOOLEAN"
 
+  private def isIntegralType(v: Column): Column =
+    typeOf(v).isin("TINYINT", "SMALLINT", "INT", "BIGINT")
+
   private def isArrayType(v: Column): Column = typeOf(v).startsWith("ARRAY")
 
   private def asStringArray(v: Column): Column = try_variant_get(v, "$", "array<string>")
@@ -143,6 +146,19 @@ object Validation {
     keyRuleM(key, s"Required $key is not number $value",
       missingOr(key, s"Required $key is not number $value"))(
       v => isNumericType(v) && try_variant_get(v, "$", "double") === lit(value))
+
+  /** requireValue for INTEGER literals — Kotlin's `Number.equals` is
+    * type-strict (JsonMessage.kt:648 `node.numberValue() != value`):
+    * `requireValue("foo", 3)` matches JSON 3 but NOT JSON 3.0, because
+    * Jackson yields Double(3.0) and Integer(3) never equals it. The message
+    * renders the Int ("number 3", not "number 3.0"), like the reference.
+    * An exact Int parameter also keeps existing `requireValue(k, 3)` call
+    * sites resolving here rather than widening to the Double overload.
+    */
+  def requireValue(key: String, value: Int): Rule =
+    keyRuleM(key, s"Required $key is not number $value",
+      missingOr(key, s"Required $key is not number $value"))(
+      v => isIntegralType(v) && try_variant_get(v, "$", "long") === lit(value.toLong))
 
   /** requireAny (JsonMessage.kt:652-657): string value in the allowed set. */
   def requireAny(key: String, values: Seq[String]): Rule =
@@ -316,6 +332,7 @@ object Validation {
   def demandKey(key: String): Rule = requireKey(key)
   def demandValue(key: String, value: String): Rule = requireValue(key, value)
   def demandValue(key: String, value: Double): Rule = requireValue(key, value)
+  def demandValue(key: String, value: Int): Rule = requireValue(key, value)
   def demandValue(key: String, value: Boolean): Rule = requireValue(key, value)
   def demandAll(key: String, values: Seq[String]): Rule = requireAll(key, values)
   def demandAny(key: String, values: Seq[String]): Rule = requireAny(key, values)

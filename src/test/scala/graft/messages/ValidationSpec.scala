@@ -52,6 +52,19 @@ class ValidationSpec extends AnyFunSuite {
     assert(!check(r, """{"foo": 4}"""))
   }
 
+  test("requireValue with an Int is type-strict like Kotlin Number.equals (JsonMessage.kt:648)") {
+    val r = Validation.requireValue("foo", 3)
+    assert(check(r, """{"foo": 3}"""))
+    assert(!check(r, """{"foo": 3.0}""")) // Integer(3) != Double(3.0) in Kotlin
+    assert(!check(r, """{"foo": "3"}"""))
+    assert(!check(r, """{"foo": 4}"""))
+    assert(!check(r, """{}"""))
+    // and the message renders the Int, not a Double
+    val (fast, variant) = messagesFor(r, """{"foo": 3.0}""")
+    assert(fast == Seq("Required foo is not number 3"))
+    assert(variant == fast)
+  }
+
   test("requireValue boolean requires boolean type") {
     val r = Validation.requireValue("foo", value = true)
     assert(check(r, """{"foo": true}"""))
