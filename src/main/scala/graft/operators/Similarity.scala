@@ -71,6 +71,72 @@ object Similarity {
        |  FROM sims) WHERE rnk <= $k
        |ORDER BY qid, rnk""".stripMargin
 
+  /** Brute-force cosine top-k over INT8-QUANTIZED vectors, with an honest
+    * per-row recall flag against the exact float top-k. Symmetric
+    * per-vector quantization (q_i = round(x_i / max|x| * 127)) makes cosine
+    * scale-invariant — the per-vector scales cancel — so similarity runs
+    * directly on the small integers, and integer dot products are EXACT in
+    * both engines (|q| ≤ 127, 64 dims → sums < 2^21, no float drift).
+    *
+    * SCALE: at 100 TB the embedding store is memory-bound; int8 cuts it 4×
+    * and the quantized corpus co-resides with IVF cells ([[knnIvfKmeans]]).
+    * `in_exact` measures what the compression costs: recall is reported,
+    * not assumed.
+    */
+  def knnQuantized(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = vecs(emb)
+      .withColumn("scale",
+        greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-12)))
+      .withColumn("qv", transform(col("v"), x => round(x / col("scale") * 127, 0)))
+      .withColumn("qnrm", norm(col("qv")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("qnrm").as("qqnrm"))
+    val sims = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qqv"), col("qv")) / (col("qqnrm") * col("qnrm")), 4).as("qsim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("vec_id"))
+    val quantTop = sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    val exact = knnBrute(emb, nQueries, k)
+      .select(col("qid").as("eqid"), col("vec_id").as("evid"))
+    quantTop
+      .join(broadcast(exact),
+        col("qid") === col("eqid") && col("vec_id") === col("evid"), "left")
+      .select(col("qid"), col("rnk"), col("vec_id"), col("qsim"),
+        col("evid").isNotNull.as("in_exact"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  def sqlKnnQuantized(nQueries: Int, k: Int): String =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qz AS (SELECT vec_id,
+       |    list_transform(v, x -> round(
+       |      x / greatest(list_max(list_transform(v, y -> abs(y))), 1e-12) * 127)) AS qv
+       |  FROM e0),
+       |en AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS qnrm FROM qz),
+       |q AS (SELECT vec_id AS qid, qv AS qqv, qnrm AS qqnrm FROM en
+       |  WHERE vec_id < $nQueries),
+       |sims AS (SELECT q.qid, en.vec_id,
+       |    round(list_dot_product(q.qqv, en.qv) / (q.qqnrm * en.qnrm), 4) AS qsim
+       |  FROM en, q WHERE en.vec_id <> q.qid),
+       |qt AS (SELECT qid, rnk, vec_id, qsim FROM (
+       |  SELECT qid, vec_id, qsim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY qsim DESC, vec_id) AS rnk
+       |  FROM sims) WHERE rnk <= $k),
+       |exq AS (SELECT vec_id AS qid, v AS qv2 FROM e0 WHERE vec_id < $nQueries),
+       |exsims AS (SELECT x.qid, e0.vec_id,
+       |    round(list_dot_product(x.qv2, e0.v)
+       |      / (sqrt(list_dot_product(x.qv2, x.qv2)) * sqrt(list_dot_product(e0.v, e0.v))), 4) AS sim
+       |  FROM e0, exq x WHERE e0.vec_id <> x.qid),
+       |ex AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM exsims) WHERE rnk <= $k)
+       |SELECT qt.qid, qt.rnk, qt.vec_id, qt.qsim,
+       |  (ex.vec_id IS NOT NULL) AS in_exact
+       |FROM qt LEFT JOIN ex ON ex.qid = qt.qid AND ex.vec_id = qt.vec_id
+       |ORDER BY qt.qid, qt.rnk""".stripMargin
+
   /** All-pairs nearest neighbor (embedding-cosine near-dup detection): for
     * every vector, its closest neighbor WITHIN its coarse-quantizer cell —
     * the label column, as in [[knnIvf]] / [[cosineDupPairs]] (at scale the

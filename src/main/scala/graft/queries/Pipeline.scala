@@ -109,6 +109,10 @@ object Pipeline {
     QueryDef.sql("s5_srp_lsh", Similarity.sqlSrpLshPairs) { (s, dir) =>
       Similarity.srpLshPairs(Tables.embeddings(s, dir))
     },
+    // int8-quantized kNN with per-row recall vs the exact float top-k
+    QueryDef.sql("s6_knn_quantized", Similarity.sqlKnnQuantized(10, 5)) { (s, dir) =>
+      Similarity.knnQuantized(Tables.embeddings(s, dir), 10, 5)
+    },
 
     // -------- event-time windows
     QueryDef.sql("w1_tumbling", EventWindows.sqlTumblingHourly) { (s, dir) =>
