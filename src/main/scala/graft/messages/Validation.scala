@@ -352,14 +352,55 @@ object Validation {
   // mixed block goes through [[River.rules]], which splits by the tag.
 
   sealed trait Combinator { def toRule(key: String): Rule }
+
+  /** exist = !isMissingOrNull (MessageValidation.kt:10-12). The DSL has its
+    * OWN failure strings — key-prefixed Norwegian messages composed by
+    * ValidationSpec.validate ("$key: ${message}", MessageValidation.kt:
+    * 89-92) and asserted verbatim by MessageValidationTest.kt:43-147 —
+    * distinct from the require-family messages.
+    */
   case object exist extends Combinator {
-    def toRule(key: String): Rule = requireKey(key)
+    def toRule(key: String): Rule = {
+      val msg = s"$key: Feltet finnes ikke"
+      requireKey(key).copy(description = msg, messageOn = Some(_ => lit(msg)))
+    }
   }
+
+  /** be(v) compares `node.asString() == v` (MessageValidation.kt:13-15) — a
+    * COERCING comparison, unlike requireValue's type-strict one: number 3
+    * matches be("3"), true matches be("true"). Jackson's asString edges are
+    * reproduced: JSON null reads "null", a missing key and container nodes
+    * read "".
+    */
   final case class be(value: String) extends Combinator {
-    def toRule(key: String): Rule = requireValue(key, value)
+    def toRule(key: String): Rule = {
+      val msg = s"$key: Feltet har ikke forventet verdi $value"
+      val coerced = (v: Column) =>
+        when(v.isNull, lit(""))
+          .when(is_variant_null(v), lit("null"))
+          .when(typeOf(v).startsWith("ARRAY") || typeOf(v).startsWith("OBJECT"), lit(""))
+          .otherwise(coalesce(asString(v), lit("")))
+      val pass = (v: Column) => coerced(v) === lit(value)
+      Rule(key, msg, m => pass(vraw(m, key)), Some(pass),
+        values = Seq(value), messageOn = Some(_ => lit(msg)))
+    }
   }
+
+  /** graft extension (no reference analogue): set membership in the DSL's
+    * message style, with be()'s coercing comparison per element.
+    */
   final case class beIn(values: String*) extends Combinator {
-    def toRule(key: String): Rule = requireAny(key, values)
+    def toRule(key: String): Rule = {
+      val msg = s"$key: Feltet har ikke forventet verdi ${listFmt(values)}"
+      val coerced = (v: Column) =>
+        when(v.isNull, lit(""))
+          .when(is_variant_null(v), lit("null"))
+          .when(typeOf(v).startsWith("ARRAY") || typeOf(v).startsWith("OBJECT"), lit(""))
+          .otherwise(coalesce(asString(v), lit("")))
+      val pass = (v: Column) => coerced(v).isin(values: _*)
+      Rule(key, msg, m => pass(vraw(m, key)), Some(pass),
+        values = values, messageOn = Some(_ => lit(msg)))
+    }
   }
 
   implicit final class KeyOps(private val key: String) extends AnyVal {

@@ -220,6 +220,28 @@ class ValidationSpec extends AnyFunSuite {
     }
   }
 
+  test("infix DSL emits its own key-prefixed messages and be() coerces like Jackson asString (MessageValidationTest.kt:43-147)") {
+    import Validation._
+    // the DSL's messages are NOT the require-family strings
+    assert(messagesFor("@event_name" should exist, """{}""")._1
+      == Seq("@event_name: Feltet finnes ikke"))
+    assert(messagesFor("@event_name" should exist, """{"@event_name": null}""")._1
+      == Seq("@event_name: Feltet finnes ikke"))
+    assert(messagesFor("@event_name" should be("mitt_eventnavn"), """{"@event_name": "x"}""")._1
+      == Seq("@event_name: Feltet har ikke forventet verdi mitt_eventnavn"))
+    // be() compares node.asString(): numbers and booleans coerce to text
+    assert(check("n" should be("3"), """{"n": 3}"""))
+    assert(check("n" should be("3"), """{"n": "3"}"""))
+    assert(!check("n" should be("3"), """{"n": 4}"""))
+    assert(check("b" should be("true"), """{"b": true}"""))
+    // Jackson edges: NullNode.asString() == "null"; missing reads ""
+    assert(check("k" should be("null"), """{"k": null}"""))
+    assert(check("k" should be(""), """{}"""))
+    // both compilation paths agree
+    val (fast, variant) = messagesFor("n" should be("3"), """{"n": 4}""")
+    assert(fast == variant && fast == Seq("n: Feltet har ikke forventet verdi 3"))
+  }
+
   test("requireArrayElements reports one problem per failing element with its index (JsonMessageTest.kt:777-796)") {
     import Validation._
     val rule = requireArrayElements("tags",
