@@ -289,12 +289,29 @@ final case class Routed(all: DataFrame, declared: Set[String],
     val losningTags = declared.filter(_.startsWith("@løsning.")).toSeq.sorted.map(k =>
       count(when(passed && packet(k).isNotNull && !is_variant_null(packet(k)), 1))
         .as(s"losning_${k.stripPrefix("@løsning.")}"))
+    // the reference's participating_services tag (River.kt:136,211-214,
+    // RiverTest's three tag cases) joins arbitrary service names into the
+    // label — unbounded metric cardinality at corpus scale. The bounded
+    // Spark-native form is a present/none counter pair over every parsed
+    // outcome (the reference tags severe/error outcomes too), available
+    // when the river declares the key (declare-before-read applies to
+    // metrics like any other access).
+    val svcTags = if (declared.contains("system_participating_services")) {
+      val v = packet("system_participating_services")
+      val parsed = col("status") =!= "unparseable"
+      val present = v.isNotNull && !is_variant_null(v) &&
+        size(coalesce(try_variant_get(v, "$", "array<variant>"),
+          array().cast("array<variant>"))) > 0
+      Seq(
+        count(when(parsed && present, 1)).as("participating_services_present"),
+        count(when(parsed && !present, 1)).as("participating_services_none"))
+    } else Nil
     Seq(
       count(lit(1)).as("messages"),
       count(when(passed, 1)).as("passed"),
       count(when(col("status") === "precondition_failed", 1)).as("precondition_failed"),
       count(when(col("status") === "validation_failed", 1)).as("validation_failed"),
       count(when(col("status") === "unparseable", 1)).as("unparseable")) ++
-      eventTags ++ behovTags ++ losningTags
+      eventTags ++ behovTags ++ losningTags ++ svcTags
   }
 }

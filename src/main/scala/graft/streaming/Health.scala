@@ -55,6 +55,12 @@ object Health {
         * return (PreStopHook.kt:52-67).
         */
       stopTimeoutMillis: Long = 30000,
+      /** Deployment-specific endpoints alongside the probes — the analogue
+        * of the reference's withKtorModule custom routing
+        * (RapidApplication.kt builder; RapidApplicationComponentTest
+        * "custom endpoint"): path -> handler returning (status, body).
+        */
+      extraRoutes: Map[String, () => (Int, String)] = Map.empty,
       port: Int = 0): Server = {
     val readyToggle = new AtomicBoolean(false)
     val http = HttpServer.create(new InetSocketAddress(port), 0)
@@ -103,6 +109,14 @@ object Health {
           respond(x, 500, s"stop hook failed: ${Option(e.getCause).getOrElse(e)}")
       }
     })
+    extraRoutes.foreach { case (path, handler) =>
+      http.createContext(path, { (x: HttpExchange) =>
+        val (code, body) =
+          try handler()
+          catch { case e: Throwable => (500, s"handler failed: $e") }
+        respond(x, code, body)
+      })
+    }
     http.start()
     new Server(http, readyToggle)
   }

@@ -136,7 +136,8 @@ object RapidApplication {
       val app: InMemory,
       val timers: Timers.Handle,
       spark: SparkSession,
-      port: Int) {
+      port: Int,
+      extraRoutes: Map[String, () => (Int, String)] = Map.empty) {
 
     /** Probe metrics: the latest per-river batch timings as Prometheus
       * gauges — the on_packet_seconds analogue surfaced exactly where the
@@ -175,6 +176,7 @@ object RapidApplication {
       ready = () => !stopped && app.isReady,
       metrics = () => metrics(),
       stopHook = () => shutdown(),
+      extraRoutes = extraRoutes,
       port = port)
     // ApplicationStarted: rivers are registered and running by the time the
     // assembly returns, so readiness flips on here (KtorApplication.kt:120)
@@ -195,11 +197,15 @@ object RapidApplication {
   def createWired(spark: SparkSession, appName: String, instanceId: String,
                   clock: () => Long = () => System.currentTimeMillis(),
                   port: Int = 0,
-                  fanout: Boolean = false): Wired = {
+                  fanout: Boolean = false,
+                  /** Custom endpoints alongside the probes — the reference's
+                    * withKtorModule analogue.
+                    */
+                  extraRoutes: Map[String, () => (Int, String)] = Map.empty): Wired = {
     val app = new InMemory(spark, appName, instanceId, clock, fanout)
     // lambda, not eta-expansion: queryIds must be read at event time
     val timers = Timers.attach(spark, id => app.rapid.queryIds.contains(id))
     app.start()
-    new Wired(app, timers, spark, port)
+    new Wired(app, timers, spark, port, extraRoutes)
   }
 }

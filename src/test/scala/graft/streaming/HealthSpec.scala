@@ -47,6 +47,21 @@ class HealthSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("custom endpoints serve alongside the probes (RapidApplicationComponentTest 'custom endpoint')") {
+    val srv = Health.serve(
+      alive = () => true, ready = () => true,
+      extraRoutes = Map(
+        "/custom" -> (() => (200, "CUSTOM RESPONSE")),
+        "/broken" -> (() => sys.error("boom"))))
+    try {
+      assert(get(srv.port, "/custom") == (200, "CUSTOM RESPONSE"))
+      assert(get(srv.port, "/isalive")._1 == 200) // probes unaffected
+      // a throwing handler surfaces a 500, never a hung exchange
+      val (code, body) = get(srv.port, "/broken")
+      assert(code == 500 && body.contains("boom"))
+    } finally srv.close()
+  }
+
   test("/stop drain is bounded: a hung hook gets 503 within the timeout (PreStopHook.kt:52-67)") {
     val hungForever = new java.util.concurrent.CountDownLatch(1)
     val srv = Health.serve(

@@ -52,6 +52,25 @@ class RapidSurfaceSpec extends AnyFunSuite {
     assert(m("behov_Inntekt") == 3L && m("behov_Sykdom") == 1L)
   }
 
+  test("participating_services presence counters (River.kt:136,211-214; RiverTest tag cases)") {
+    val msgs = TestSpark.messages(
+      """{"@event_name":"order","system_participating_services":[{"service":"a"}]}""",
+      """{"@event_name":"order"}""",
+      """{"@event_name":"other","system_participating_services":[{"service":"b"}]}""", // fails routing, still tagged
+      """not json""") // unparseable: excluded (nothing to read the field from)
+    val routed = River()
+      .validate(Validation.requireValue("@event_name", "order"))
+      .precondition(Validation.interestedIn("system_participating_services"))
+      .attach(msgs, col("value"))
+    val obs = Observation("svc")
+    routed.observed(obs).collect()
+    val m = obs.get
+    // counted over every PARSED outcome (the reference tags severe/error
+    // message_counter increments too), bounded present/none cardinality
+    assert(m("participating_services_present") == 2L, s"got $m")
+    assert(m("participating_services_none") == 1L, s"got $m")
+  }
+
   test("river metrics surface in StreamingQueryProgress under streaming") {
     val spark = TestSpark.spark
     val rapid = new MemoryRapid(spark, "obs")
