@@ -25,6 +25,17 @@ class RiverSpec extends AnyFunSuite {
     assert(statusOf("""{not json""") == "unparseable")
   }
 
+  test("a river with no rules passes every JSON object (RiverTest 'no validations')") {
+    val bare = River()
+    def st(json: String) = bare.attach(TestSpark.messages(json), col("value")).all
+      .select(col("status")).first().getString(0)
+    assert(st("""{"anything": 1}""") == "passed")
+    assert(st("""{}""") == "passed")
+    // non-objects are still severe — parse is the zeroth precondition
+    assert(st("""[1]""") == "unparseable")
+    assert(st("""not json""") == "unparseable")
+  }
+
   test("tombstones (null values) are dropped (KafkaRapid.kt:162-163)") {
     val df = TestSpark.spark.createDataFrame(
       java.util.List.of[org.apache.spark.sql.Row](
