@@ -65,8 +65,8 @@ object RapidApplication {
     */
   final class InMemory(
       spark: SparkSession,
-      appName: String,
-      instanceId: String,
+      val appName: String,
+      val instanceId: String,
       clock: () => Long = () => System.currentTimeMillis(),
       /** Single-scan mode ([[Fanout]]): the whole app runs as ONE streaming
         * query — the reference's read-once listener fanout. Register every
@@ -166,6 +166,11 @@ object RapidApplication {
     def shutdown(): Unit = synchronized {
       if (!stopped) {
         stopped = true
+        // the reference's termination order (RapidApplication.kt:105-115):
+        // application_not_ready (readiness dropped) -> application_stop ->
+        // application_down (queries terminated, via the lifecycle listener)
+        app.rapid.publish(
+          Lifecycle.event("application_not_ready", app.appName, app.instanceId))
         app.stop()
         Timers.detach(spark, timers)
       }

@@ -55,6 +55,17 @@ class WiredSpec extends AnyFunSuite {
       assert(get(port, "/stop")._1 == 200)
       assert(get(port, "/isready")._1 == 503)
       assert(!wired.app.isRunning)
+      // the reference's termination order: not_ready -> stop -> down (the
+      // down event arrives via the async listener bus — poll for it)
+      def events() = (0 until wired.app.rapid.inspector.size)
+        .map(wired.app.rapid.inspector.message)
+        .flatMap(m => Lifecycle.Events.find(m.contains))
+      val deadline2 = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline2 &&
+        !events().exists(_ == "application_down")) Thread.sleep(100)
+      val tail = events().dropWhile(e => !e.contains("not_ready"))
+      assert(tail.take(3) == Seq("application_not_ready", "application_stop", "application_down"),
+        s"expected the reference termination order, got ${events()}")
     } finally wired.close()
   }
 
