@@ -193,6 +193,24 @@ class RecoverySpec extends AnyFunSuite {
     assert(ids.sorted == Seq("a", "b"))
   }
 
+  test("id-less messages are never falsely merged by the dedup (JsonMessage.kt:129-131 analogue)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val input = MemoryStream[(String, java.sql.Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(String, java.sql.Timestamp)]], spark)
+    val deduped = Dedupe.byId(input.toDF().toDF("id", "otime"), "id", "otime")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_nullid").start()
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // two DISTINCT id-less messages with the same event time: nulls compare
+    // EQUAL in dropDuplicates, so without generated ids one would vanish
+    input.addData((null, t), (null, t), ("a", t), ("a", t))
+    q.processAllAvailable()
+    val n = spark.table("dedup_nullid").count()
+    q.stop()
+    assert(n == 3L, s"expected both id-less messages plus one 'a', got $n")
+  }
+
   test("health surface reflects river query liveness") {
     val app = RapidApplication.createInMemory(TestSpark.spark, "h-app", "i-1")
     try assert(app.isRunning && app.isReady)
