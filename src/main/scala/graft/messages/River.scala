@@ -160,6 +160,9 @@ final case class River(
           Validation.problemsFromFlags("severe", preconditions, i => col(s"_p$i"), valueOf))
           .when(col("status") === "validation_failed",
             Validation.problemsFromFlags("error", validations, i => col(s"_v$i"), valueOf))
+          // unparseable rows carry their severe parse problem (JsonMessage
+          // .kt:97-105) — a dead letter must never render as "No errors"
+          .when(col("status") === "unparseable", Validation.unparseableProblems(raw))
           .otherwise(array().cast("array<struct<severity:string,message:string>>")))
       .drop(flagCols.map(_._1) :+ River.RawCol: _*)
     Routed(out, declaredKeys, structMsg, declaredValues)

@@ -366,21 +366,25 @@ object Validation {
     }
   }
 
+  /** Jackson asString() coercion (MessageValidation.kt:13-15): scalars
+    * stringify ("3", "true"), JSON null reads "null", a missing key and
+    * container nodes read "". Shared by every coercing DSL combinator so
+    * the edges cannot diverge.
+    */
+  private def coerceAsString(v: Column): Column =
+    when(v.isNull, lit(""))
+      .when(is_variant_null(v), lit("null"))
+      .when(typeOf(v).startsWith("ARRAY") || typeOf(v).startsWith("OBJECT"), lit(""))
+      .otherwise(coalesce(asString(v), lit("")))
+
   /** be(v) compares `node.asString() == v` (MessageValidation.kt:13-15) — a
     * COERCING comparison, unlike requireValue's type-strict one: number 3
-    * matches be("3"), true matches be("true"). Jackson's asString edges are
-    * reproduced: JSON null reads "null", a missing key and container nodes
-    * read "".
+    * matches be("3"), true matches be("true").
     */
   final case class be(value: String) extends Combinator {
     def toRule(key: String): Rule = {
       val msg = s"$key: Feltet har ikke forventet verdi $value"
-      val coerced = (v: Column) =>
-        when(v.isNull, lit(""))
-          .when(is_variant_null(v), lit("null"))
-          .when(typeOf(v).startsWith("ARRAY") || typeOf(v).startsWith("OBJECT"), lit(""))
-          .otherwise(coalesce(asString(v), lit("")))
-      val pass = (v: Column) => coerced(v) === lit(value)
+      val pass = (v: Column) => coerceAsString(v) === lit(value)
       Rule(key, msg, m => pass(vraw(m, key)), Some(pass),
         values = Seq(value), messageOn = Some(_ => lit(msg)))
     }
@@ -392,12 +396,7 @@ object Validation {
   final case class beIn(values: String*) extends Combinator {
     def toRule(key: String): Rule = {
       val msg = s"$key: Feltet har ikke forventet verdi ${listFmt(values)}"
-      val coerced = (v: Column) =>
-        when(v.isNull, lit(""))
-          .when(is_variant_null(v), lit("null"))
-          .when(typeOf(v).startsWith("ARRAY") || typeOf(v).startsWith("OBJECT"), lit(""))
-          .otherwise(coalesce(asString(v), lit("")))
-      val pass = (v: Column) => coerced(v).isin(values: _*)
+      val pass = (v: Column) => coerceAsString(v).isin(values: _*)
       Rule(key, msg, m => pass(vraw(m, key)), Some(pass),
         values = values, messageOn = Some(_ => lit(msg)))
     }
@@ -441,6 +440,21 @@ object Validation {
     * contribute one problem per entry (higher-order functions — only their
     * rivers lose the codegen'd problems projection).
     */
+  /** The severe problem carried by an unparseable message, from the raw
+    * payload (path-independent, so both river compilation modes agree):
+    * non-object JSON gets the reference's exact string
+    * (JsonMessage.kt:103); malformed text gets the Jackson-failure message
+    * minus the parser's own detail text, which Spark's parse does not
+    * surface (JsonMessage.kt:101 appends `err.message`).
+    */
+  def unparseableProblems(raw: Column): Column = {
+    val parsed = try_parse_json(raw)
+    val msg = when(parsed.isNotNull && !schema_of_variant(parsed).startsWith("OBJECT"),
+      lit("Incomplete json. Should be able to cast as ObjectNode."))
+      .otherwise(lit("Invalid JSON per Jackson library"))
+    array(struct(lit("severe").as("severity"), msg.as("message")))
+  }
+
   // --------------------------------------------------------------- reports
 
   /** MessageProblems.toString analogue (MessageProblems.kt:33-36): severe

@@ -245,9 +245,10 @@ object Curation {
 
   /** The loader-facing output of packing: WHICH TOKENS of which doc land in
     * which training sequence. Each doc explodes into one row per sequence
-    * it intersects: shard-local seq id, the doc-relative token span
-    * [tok_start, tok_start + n_seq_tokens), in (source, shard, seq, doc)
-    * order — exactly what a packing-aware data loader replays. Zero-token
+    * it intersects: shard-local seq id plus the doc-relative token span
+    * [tok_start, tok_start + n_seq_tokens). Emitted in (doc_id, seq) order
+    * (the oracle's total order); a loader replays by re-sorting its shard's
+    * slice on (source, shard, seq) — a partition-local sort. Zero-token
     * docs contribute no segments.
     *
     * Scale shape: [[packedIntervals]]' sharded window plus a per-row
@@ -326,7 +327,11 @@ object Curation {
       col("doc_id"), col("source"),
       (Portable.hash32(col("doc_id").cast("string")) % PackShards).cast("int").as("shard"),
       size(toks).cast("bigint").as("n_tokens"),
-      round(least(n / lit(200.0), lit(1.0)) * 0.5 + (stops / n) * 0.5, 4)
+      // zero-token docs: 0/0 is NULL in Spark but NaN in DuckDB (which
+      // would sort FIRST under DESC and always be kept there) — pin the
+      // edge to score 0.0 in both engines, same as the epochs guard
+      when(n === 0, lit(0.0))
+        .otherwise(round(least(n / lit(200.0), lit(1.0)) * 0.5 + (stops / n) * 0.5, 4))
         .as("quality_score"))
     val totals = base.groupBy(col("source"), col("shard"))
       .agg(sum(col("n_tokens")).as("shard_tokens"))
@@ -349,8 +354,9 @@ object Curation {
     s"""WITH base AS (SELECT doc_id, source,
        |    (${Portable.sqlHash32("doc_id::VARCHAR")} % $PackShards)::INT AS shard,
        |    len($toks)::BIGINT AS n_tokens,
-       |    round(least(len($toks) / 200.0, 1.0) * 0.5
-       |      + ($stops::DOUBLE / len($toks)) * 0.5, 4) AS quality_score
+       |    CASE WHEN len($toks) = 0 THEN 0.0
+       |      ELSE round(least(len($toks) / 200.0, 1.0) * 0.5
+       |        + ($stops::DOUBLE / len($toks)) * 0.5, 4) END AS quality_score
        |  FROM documents),
        |totals AS (SELECT source, shard, sum(n_tokens)::BIGINT AS shard_tokens
        |  FROM base GROUP BY source, shard),

@@ -165,9 +165,13 @@ object TextOps {
     df.select(
       col("doc_id"),
       n.cast("bigint").as("n_tokens"),
-      round(alphaLen / n, 4).as("avg_token_len"),
-      round(stops / n, 4).as("stopword_ratio"),
-      round(least(n / lit(200.0), lit(1.0)) * 0.5 + (stops / n) * 0.5, 4).as("quality_score"))
+      // zero-token docs: x/0 diverges between engines (Spark NULL, DuckDB
+      // NaN/inf) — pin every ratio to 0.0 on both sides
+      when(n === 0, lit(0.0)).otherwise(round(alphaLen / n, 4)).as("avg_token_len"),
+      when(n === 0, lit(0.0)).otherwise(round(stops / n, 4)).as("stopword_ratio"),
+      when(n === 0, lit(0.0))
+        .otherwise(round(least(n / lit(200.0), lit(1.0)) * 0.5 + (stops / n) * 0.5, 4))
+        .as("quality_score"))
   }
 
   def sqlQuality: String = {
@@ -175,9 +179,9 @@ object TextOps {
     val stops = sqlTokenHits("text", Stopwords)
     s"""SELECT doc_id,
        |  len($toks)::BIGINT AS n_tokens,
-       |  round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len($toks), 4) AS avg_token_len,
-       |  round($stops::DOUBLE / len($toks), 4) AS stopword_ratio,
-       |  round(least(len($toks) / 200.0, 1.0) * 0.5 + ($stops::DOUBLE / len($toks)) * 0.5, 4) AS quality_score
+       |  CASE WHEN len($toks) = 0 THEN 0.0 ELSE round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len($toks), 4) END AS avg_token_len,
+       |  CASE WHEN len($toks) = 0 THEN 0.0 ELSE round($stops::DOUBLE / len($toks), 4) END AS stopword_ratio,
+       |  CASE WHEN len($toks) = 0 THEN 0.0 ELSE round(least(len($toks) / 200.0, 1.0) * 0.5 + ($stops::DOUBLE / len($toks)) * 0.5, 4) END AS quality_score
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 

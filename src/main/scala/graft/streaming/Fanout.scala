@@ -61,10 +61,25 @@ object Fanout {
     * (any river's branch failing fails the one action, downing the query).
     * Returns None when no rivers are registered.
     */
+  /** Like [[routeBatch]] but hands the sink ONE unioned (key, value) reply
+    * frame for the whole batch instead of one frame per river: a single
+    * Spark job shares the persisted batch across every river's plan, and —
+    * on Kafka — ONE producer write per trigger instead of R sequential
+    * writes. Error semantics are identical (any river's branch failing
+    * fails the one action, downing the query). No-op when no rivers are
+    * registered. This is the production hot path: no per-river metric
+    * machinery — use [[routeBatchObserved]] for that.
+    */
   def routeBatchUnioned(batch: DataFrame, regs: Seq[Registration])(
       sink: DataFrame => Unit): Unit = {
-    routeBatchObserved(batch, regs)(sink)
-    ()
+    batch.persist()
+    try {
+      val replies = regs.map { r =>
+        rejectStateful(r.flow(r.river.attach(batch, col("value"))), r.name)
+          .select(col("key").cast("string").as("key"), col("value").cast("string").as("value"))
+      }
+      replies.reduceOption(_.unionAll(_)).foreach(sink)
+    } finally { batch.unpersist(); () }
   }
 
   /** [[routeBatchUnioned]] + per-river routing metrics — the reference's
@@ -74,7 +89,8 @@ object Fanout {
     * with zero extra Spark jobs. Returns (registration name -> this batch's
     * metric row: messages / passed / precondition_failed /
     * validation_failed / unparseable + the river's declared tag counters);
-    * empty when there were no registrations (no action ran).
+    * empty when there were no registrations (no action ran, and the sink
+    * was never invoked).
     */
   def routeBatchObserved(batch: DataFrame, regs: Seq[Registration])(
       sink: DataFrame => Unit): Seq[(String, Map[String, Any])] = {
@@ -86,7 +102,7 @@ object Fanout {
         // the flow reads THROUGH the observe node so the union's single
         // action executes it; metrics describe the routed stream, and the
         // flow's own filters (e.g. .passed) sit above the observation
-        r.flow(routed.copy(all = routed.observed(o)))
+        rejectStateful(r.flow(routed.copy(all = routed.observed(o))), r.name)
           .select(col("key").cast("string").as("key"), col("value").cast("string").as("value"))
       }
       replies.reduceOption(_.unionAll(_)) match {
@@ -98,5 +114,28 @@ object Fanout {
         case None => Nil
       }
     } finally { batch.unpersist(); () }
+  }
+
+  /** Inside foreachBatch a flow runs as a per-batch BATCH job: keyed state
+    * (flatMapGroupsWithState) and watermarked dedup restart EMPTY every
+    * trigger — they would run without error and silently forget everything
+    * between batches. Stateful rivers must keep their own streaming query
+    * (MemoryRapid.registerStateful / a dedicated KafkaRapid.stream query);
+    * this guard turns the silent state reset into a loud error.
+    */
+  private def rejectStateful(replies: DataFrame, name: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, FlatMapGroupsWithState}
+    replies.queryExecution.logical.collectFirst {
+      case _: FlatMapGroupsWithState => "flatMapGroupsWithState/mapGroupsWithState"
+      case _: EventTimeWatermark     => "withWatermark (watermarked dedup/aggregation)"
+    }.foreach { op =>
+      throw new IllegalStateException(
+        s"fanout river '$name' uses $op, whose keyed state restarts EMPTY " +
+          "on every micro-batch inside foreachBatch — the operator would run " +
+          "without error and silently forget all cross-batch state. Register " +
+          "stateful rivers with their own streaming query " +
+          "(MemoryRapid.registerStateful) instead of the shared fanout scan.")
+    }
+    replies
   }
 }

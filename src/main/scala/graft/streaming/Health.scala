@@ -107,6 +107,11 @@ object Health {
           // a throwing hook must surface a 500, not a hung exchange (the
           // reference's Ktor handler would 500); the pod stays unready
           respond(x, 500, s"stop hook failed: ${Option(e.getCause).getOrElse(e)}")
+        case _: InterruptedException =>
+          // server shutdown interrupting a blocked dispatcher: still answer
+          // (no dropped connection) and preserve the interrupt status
+          Thread.currentThread().interrupt()
+          respond(x, 503, "interrupted while waiting for the drain")
       }
     })
     extraRoutes.foreach { case (path, handler) =>

@@ -46,13 +46,22 @@ object Lifecycle {
     * The listener bus is session-global, so events are filtered through
     * `owns` (membership test on the query id — this app's rivers): two apps
     * sharing a SparkSession don't see each other's lifecycle.
+    *
+    * STARTED events are additionally matched by `ownsName` (query-name
+    * predicate): QueryStartedEvent is delivered SYNCHRONOUSLY inside
+    * `start()`, before the caller can learn the new query's id and record
+    * it — an id-only filter can never match the ready event. Query names
+    * are caller-chosen (the rapid prefixes its own name), so name matching
+    * is race-free where id matching cannot be.
     */
   def attach(spark: SparkSession, appName: String, instanceId: String,
-             owns: java.util.UUID => Boolean = _ => true)(
+             owns: java.util.UUID => Boolean = _ => true,
+             ownsName: String => Boolean = _ => false)(
       publish: String => Unit): StreamingQueryListener = {
     val l = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
-        if (owns(e.id)) publish(event("application_ready", appName, instanceId))
+        if (owns(e.id) || (e.name != null && ownsName(e.name)))
+          publish(event("application_ready", appName, instanceId))
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         if (owns(e.id)) publish(event("application_down", appName, instanceId))

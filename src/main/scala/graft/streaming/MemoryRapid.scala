@@ -88,8 +88,15 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
 
   /** A fresh subscription to the rapid: (key, value) like the Kafka source's
     * projection; tombstones (null values) are dropped by River.attach.
+    * Per-river-query mode only — a fanout rapid has exactly ONE stream (its
+    * own); an extra subscription would be an orphan no query drains.
     */
-  def stream: DataFrame = newInput().toDF().toDF("key", "value")
+  def stream: DataFrame = {
+    require(!fanout,
+      "fanout rapid: rivers attach via register (the single query routes " +
+        "them); a separate subscription would never be consumed")
+    newInput().toDF().toDF("key", "value")
+  }
 
   /** Attach a river and a reply flow. The flow maps the routed stream to a
     * DataFrame with columns (key, value) — the messages to publish back on
@@ -102,23 +109,38 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
     */
   def register(river: River)(flow: Routed => DataFrame): Unit =
     if (fanout) {
-      require(!fanoutStarted.get(),
-        "fanout rapid: register every river before the first send " +
-          "(the single streaming query is already running)")
+      // check-and-append under the SAME lock startFanout snapshots under: a
+      // registration racing the first send must either land in the snapshot
+      // or fail loudly — never silently miss the routing
       fanoutRegs.synchronized {
+        require(!fanoutStarted.get(),
+          "fanout rapid: register every river before the first send " +
+            "(the single streaming query is already running)")
         fanoutRegs += Fanout.Registration(river, flow, s"$name-river-${fanoutRegs.size}")
         ()
       }
-    } else {
-      val routed = river.attach(stream, col("value"))
-      val replies = flow(routed)
-      val q = replies.writeStream
-        .outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) => collectReplies(batch) }
-        .queryName(s"$name-river-${queries.size}")
-        .start()
-      queries.synchronized { queries += q; () }
-    }
+    } else registerOwnQuery(river)(flow)
+
+  /** A river with its OWN streaming query. In fanout mode this is how
+    * STATEFUL rivers run (flatMapGroupsWithState / watermarked dedup):
+    * keyed state needs a continuous streaming query — inside the fanout's
+    * foreachBatch it would restart empty every trigger (Fanout guard). The
+    * stateful river pays its own source subscription; stateless rivers
+    * keep sharing the single scan.
+    */
+  def registerStateful(river: River)(flow: Routed => DataFrame): Unit =
+    registerOwnQuery(river)(flow)
+
+  private def registerOwnQuery(river: River)(flow: Routed => DataFrame): Unit = {
+    val routed = river.attach(newInput().toDF().toDF("key", "value"), col("value"))
+    val replies = flow(routed)
+    val q = replies.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => collectReplies(batch) }
+      .queryName(s"$name-river-${queries.size}")
+      .start()
+    queries.synchronized { queries += q; () }
+  }
 
   /** Drain one reply batch into the outbox (and the loopback buffer). */
   private def collectReplies(replies: DataFrame): Unit = {
@@ -165,9 +187,18 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
     * listener reading [[queryIds]] (Lifecycle's ownership filter does)
     * would deadlock against a start() made while holding that monitor.
     */
-  def startFanout(): Unit =
-    if (fanout && fanoutStarted.compareAndSet(false, true)) {
-      val regs = fanoutRegs.synchronized(fanoutRegs.toVector)
+  def startFanout(): Unit = if (fanout) {
+    // flag + snapshot share the fanoutRegs lock with register's
+    // check-and-append (TOCTOU-free); the query starts OUTSIDE any lock —
+    // start() delivers QueryStartedEvent synchronously to listeners that
+    // may take other locks. No fanout rivers (e.g. only stateful rivers
+    // with their own queries) -> nothing to start yet.
+    val regs = fanoutRegs.synchronized {
+      if (fanoutRegs.nonEmpty && fanoutStarted.compareAndSet(false, true))
+        fanoutRegs.toVector
+      else Vector.empty
+    }
+    if (regs.nonEmpty) {
       val q = newInput().toDF().toDF("key", "value").writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -179,6 +210,7 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
         .start()
       queries.synchronized { queries += q; () }
     }
+  }
 
   /** Synchronously inject a message and drain all rivers (every subscriber
     * sees every message, RapidsConnection.kt:44-55). Under [[loopback]],
@@ -224,9 +256,14 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
     }
 
   def stop(): Unit = {
+    rapidStopped = true
     queries.synchronized(queries.toVector).foreach(_.stop())
     spark.streams.removeListener(errorPropagation)
   }
+
+  // a stopped fanout rapid whose lazy query never started has no inactive
+  // query to observe — the explicit flag keeps isRunning truthful
+  @volatile private var rapidStopped = false
 
   /** Liveness: every registered river query is active (KafkaRapid.isRunning
     * analogue; surfaced by RapidApplication health). A fanout rapid whose
@@ -234,9 +271,12 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
     * as running once rivers are registered and nothing has failed.
     */
   def isRunning: Boolean = queries.synchronized {
-    if (fanout)
-      fanoutRegs.synchronized(fanoutRegs.nonEmpty) && failure.get().isEmpty &&
-        queries.forall(_.isActive)
+    if (rapidStopped) false
+    else if (fanout)
+      // registered = pending fanout rivers (query starts on first send) OR
+      // already-running queries (incl. stateful rivers' own queries)
+      (fanoutRegs.synchronized(fanoutRegs.nonEmpty) || queries.nonEmpty) &&
+        failure.get().isEmpty && queries.forall(_.isActive)
     else queries.nonEmpty && queries.forall(_.isActive)
   }
 

@@ -86,14 +86,22 @@ object RapidApplication {
       lifecycleListener = Some(
         Lifecycle.attach(spark, appName, instanceId,
           // lambda, not eta-expansion: queryIds must be read at event time
-          id => rapid.queryIds.contains(id)) { m =>
+          id => rapid.queryIds.contains(id),
+          // started events match by NAME: they arrive synchronously inside
+          // start(), before the id lands in queryIds (Lifecycle scaladoc)
+          name => name.startsWith(s"$appName-")) { m =>
           rapid.publish(m)
         })
-      rapid.register(
-        River()
-          .precondition(Validation.requireValue("@event_name", "ping"))
-          .validate(Validation.requireParsed("ping_time",
-            graft.functions.Converters.asOptionalLocalDateTimeLenient))) { routed =>
+      // ping/pong is STATEFUL (per-instance rate-limit via
+      // flatMapGroupsWithState), so in fanout mode it keeps its own
+      // streaming query — keyed state cannot live inside the shared scan's
+      // foreachBatch (it would restart empty every trigger; Fanout rejects
+      // it loudly). User rivers still share the single scan.
+      val pingRiver = River()
+        .precondition(Validation.requireValue("@event_name", "ping"))
+        .validate(Validation.requireParsed("ping_time",
+          graft.functions.Converters.asOptionalLocalDateTimeLenient))
+      rapid.registerStateful(pingRiver) { routed =>
         PingPong(routed, appName, instanceId, clock)
       }
       this

@@ -92,6 +92,23 @@ class RiverSpec extends AnyFunSuite {
     val failed = dl.find(_.getString(1) == "validation_failed").get
     assert(failed.getString(0).contains("ping"))
     assert(failed.getString(2).contains("ping_time"))
+    // unparseable dead letters carry their severe parse problem — never a
+    // report claiming "No errors in message" (JsonMessage.kt:97-105)
+    val bad = dl.find(_.getString(1) == "unparseable").get
+    assert(bad.getString(2).contains("Invalid JSON per Jackson library"))
+    assert(bad.getString(bad.fieldIndex("problems_extended_report"))
+      .startsWith("Message has errors:"))
+  }
+
+  test("unparseable problems distinguish malformed text from non-object JSON (JsonMessage.kt:97-105)") {
+    def problems(json: String) =
+      river.attach(TestSpark.messages(json), col("value")).all
+        .select(col("problems.message")).first().getSeq[String](0)
+    assert(problems("""not json""") == Seq("Invalid JSON per Jackson library"))
+    assert(problems("""[1,2]""")
+      == Seq("Incomplete json. Should be able to cast as ObjectNode."))
+    assert(problems(""""scalar"""")
+      == Seq("Incomplete json. Should be able to cast as ObjectNode."))
   }
 
   test("dead letters carry the originating record trace (MDC.kt:6-17, KafkaRapid.kt:160-174)") {

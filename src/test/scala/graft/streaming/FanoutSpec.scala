@@ -110,6 +110,46 @@ class FanoutSpec extends AnyFunSuite {
     rapid.stop()
   }
 
+  test("a stateful flow on the shared scan fails LOUDLY, never silently resets state") {
+    val spark = TestSpark.spark
+    val rapid = new MemoryRapid(spark, "fanout-stateful", fanout = true)
+    // flatMapGroupsWithState inside the fanout's per-batch routing would
+    // run fine and silently forget its state every trigger — the guard
+    // must down the rapid with actionable guidance instead
+    rapid.register(River()
+      .precondition(Validation.requireValue("@event_name", "ping"))
+      .validate(Validation.requireParsed("ping_time",
+        graft.functions.Converters.asOptionalLocalDateTimeLenient))) { r =>
+      PingPong(r, "app", "inst", () => System.currentTimeMillis())
+    }
+    intercept[Exception](rapid.sendTestMessage("""{"@event_name":"ping"}"""))
+    val deadline = System.currentTimeMillis() + 30000
+    while (rapid.isRunning && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(rapid.firstFailure.exists(_.contains("registerStateful")),
+      s"expected the stateful-flow guidance, got ${rapid.firstFailure}")
+    // the same river registered STATEFUL works: its own query owns the state
+    val rapid2 = new MemoryRapid(spark, "fanout-stateful2", fanout = true)
+    rapid2.registerStateful(River()
+      .precondition(Validation.requireValue("@event_name", "ping"))
+      .validate(Validation.requireParsed("ping_time",
+        graft.functions.Converters.asOptionalLocalDateTimeLenient))) { r =>
+      PingPong(r, "app", "inst", () => 1700000001000L)
+    }
+    rapid2.sendTestMessage(
+      """{"@event_name":"ping","ping_time":"2023-11-14T22:13:20"}""")
+    assert((0 until rapid2.inspector.size).map(rapid2.inspector.message)
+      .exists(_.contains("\"pong\"")))
+    rapid2.stop()
+  }
+
+  test("a stopped fanout rapid reports not running even if its lazy query never started") {
+    val rapid = new MemoryRapid(TestSpark.spark, "fanout-idle", fanout = true)
+    rapid.register(eventRiver("a")) { r => r.passed.select(col("key"), col("value")) }
+    assert(rapid.isRunning) // registered, nothing failed
+    rapid.stop()            // stopped before any send: no query ever existed
+    assert(!rapid.isRunning, "a drained rapid must not report alive")
+  }
+
   test("sink batch options drop only the checkpoint (the fanout query's own)") {
     val cfg = KafkaRapidConfig("b:9092", "rapid", checkpointLocation = "/durable/ckpt")
     assert(cfg.sinkBatchOptions == cfg.sinkOptions - "checkpointLocation")

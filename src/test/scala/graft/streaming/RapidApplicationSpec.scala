@@ -30,20 +30,35 @@ class RapidApplicationSpec extends AnyFunSuite {
       .exists(i => app.rapid.inspector.message(i).contains("application_stop")))
   }
 
-  test("app shell in single-scan fanout mode: ping->pong off ONE query") {
+  test("fanout app shell: stateless rivers share ONE scan, stateful ping/pong keeps its state across batches") {
     val base = 1700000000000L
     val app = RapidApplication.createInMemory(
-      TestSpark.spark, "fanout-app", "instance-f1", clock = () => base + 1000,
+      TestSpark.spark, "fanout-app", "instance-f1", clock = () => base + 10000,
       fanout = true)
     try {
-      val ping = s"""{"@event_name":"ping","@id":"ping-f-1","ping_time":"${
-        new java.sql.Timestamp(base).toInstant.toString.stripSuffix("Z")}"}"""
-      app.send(ping, key = "the-key")
+      // a stateless user river rides the shared fanout scan
+      app.register(graft.messages.River()
+        .precondition(graft.messages.Validation.requireValue("@event_name", "order"))) { r =>
+        r.passed.select(org.apache.spark.sql.functions.col("key"),
+          org.apache.spark.sql.functions.lit("""{"@event_name":"order_seen"}""").as("value"))
+      }
+      def ping(id: String, atMs: Long) =
+        s"""{"@event_name":"ping","@id":"$id","ping_time":"${
+          new java.sql.Timestamp(atMs).toInstant.toString.stripSuffix("Z")}"}"""
+      app.send(ping("p1", base))
+      app.send("""{"@event_name":"order"}""")
+      // SECOND ping 2s after the first, in a LATER micro-batch: the
+      // reference's 5s rate limit must still drop it — keyed state
+      // persists because ping/pong runs its own streaming query, not the
+      // per-batch fanout routing
+      app.send(ping("p2", base + 2000))
       val insp = app.rapid.inspector
       val msgs = (0 until insp.size).map(insp.message)
-      assert(msgs.exists(_.contains("\"pong\"")), s"expected a pong among $msgs")
-      // the whole app is ONE streaming query (read-once fanout)
-      assert(app.rapid.queryIds.size == 1)
+      assert(msgs.count(_.contains("\"pong\"")) == 1,
+        s"rate limit must hold across batches, got $msgs")
+      assert(msgs.exists(_.contains("order_seen")))
+      // exactly TWO queries: the shared fanout scan + the stateful river's
+      assert(app.rapid.queryIds.size == 2, s"got ${app.rapid.queryIds}")
       assert(app.isRunning && app.isReady)
     } finally app.stop()
   }

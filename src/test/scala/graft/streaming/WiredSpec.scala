@@ -75,17 +75,26 @@ class WiredSpec extends AnyFunSuite {
       TestSpark.spark, "wired-fan", "wired-f1", clock = () => base + 1000,
       fanout = true)
     try {
+      // a stateless user river on the shared scan (ping/pong, being
+      // stateful, runs its own query and reports via Timers instead)
+      wired.app.register(graft.messages.River()
+        .precondition(graft.messages.Validation.requireValue("@event_name", "order"))) { r =>
+        r.passed.select(org.apache.spark.sql.functions.col("key"),
+          org.apache.spark.sql.functions.lit("""{"@event_name":"order_seen"}""").as("value"))
+      }
       val ping = s"""{"@event_name":"ping","@id":"wired-ping-f","ping_time":"${
         new java.sql.Timestamp(base).toInstant.toString.stripSuffix("Z")}"}"""
       wired.send(ping, key = "k-f")
+      wired.send("""{"@event_name":"order"}""")
       assert((0 until wired.app.rapid.inspector.size)
         .map(wired.app.rapid.inspector.message).exists(_.contains("\"pong\"")))
-      // one query for the whole app; per-river counters still on /metrics
-      assert(wired.app.rapid.queryIds.size == 1)
+      // the user river's counters land on /metrics from the fanout scan
       val (mc, body) = get(wired.health.port, "/metrics")
       assert(mc == 200)
       assert(body.contains("""message_counter{river="wired-fan-river-0",status="passed"} 1"""),
         s"expected the fanout river counter in:\n$body")
+      assert(body.contains("""message_counter{river="wired-fan-river-0",status="messages"} 2"""),
+        s"every rapid message is observed by the river, in:\n$body")
     } finally wired.close()
   }
 }
