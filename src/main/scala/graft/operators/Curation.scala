@@ -126,7 +126,10 @@ object Curation {
     val tot = per.agg(sum(col("n_tokens")).as("tot"))
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        round(col("n_tokens") / col("tot"), 6).as("token_share"))
+        // a fully zero-token corpus makes 0/0 — NULL in Spark, NaN in
+        // DuckDB; pin the degenerate edge to 0.0 in both engines
+        when(col("tot") === 0, lit(0.0))
+          .otherwise(round(col("n_tokens") / col("tot"), 6)).as("token_share"))
       .orderBy(col("source"))
   }
 
@@ -136,7 +139,7 @@ object Curation {
        |  FROM documents GROUP BY source),
        |tot AS (SELECT sum(n_tokens)::BIGINT AS tot FROM per)
        |SELECT source, n_docs, n_tokens,
-       |  round(n_tokens::DOUBLE / tot, 6) AS token_share
+       |  CASE WHEN tot = 0 THEN 0.0 ELSE round(n_tokens::DOUBLE / tot, 6) END AS token_share
        |FROM per, tot ORDER BY source""".stripMargin
 
   // ------------------------------------------- mixture weights
@@ -162,13 +165,17 @@ object Curation {
     val tot = per.agg(sum(col("n_tokens")).as("tot"))
     val shares = per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_tokens"),
-        (col("n_tokens") / col("tot")).as("share"),
-        pow(col("n_tokens") / col("tot"), MixtureAlpha).as("p"))
+        // tot = 0 (whole corpus tokenizes to nothing): pin 0/0 to 0.0 in
+        // both engines, like the per-source zero-share guard below
+        when(col("tot") === 0, lit(0.0))
+          .otherwise(col("n_tokens") / col("tot")).as("share"))
+      .withColumn("p", pow(col("share"), MixtureAlpha))
     val z = shares.agg(sum(col("p")).as("z"))
     shares.crossJoin(broadcast(z))
       .select(col("source"), col("n_tokens"),
         round(col("share"), 6).as("token_share"),
-        round(col("p") / col("z"), 6).as("weight"),
+        when(col("z") === 0, lit(0.0))
+          .otherwise(round(col("p") / col("z"), 6)).as("weight"),
         // share = 0 (a source whose docs tokenize to nothing) makes epochs
         // 0/0 — Spark's non-ANSI divide yields NULL, DuckDB's IEEE divide
         // yields NaN. Pin the edge to an explicit NULL in BOTH engines.
@@ -182,13 +189,15 @@ object Curation {
        |    sum(len(${Portable.sqlTokens("text")}))::BIGINT AS n_tokens
        |  FROM documents GROUP BY source),
        |tot AS (SELECT sum(n_tokens)::BIGINT AS tot FROM per),
-       |shares AS (SELECT source, n_tokens, n_tokens::DOUBLE / tot AS share,
-       |    power(n_tokens::DOUBLE / tot, $MixtureAlpha) AS p
+       |shares AS (SELECT source, n_tokens,
+       |    CASE WHEN tot = 0 THEN 0.0 ELSE n_tokens::DOUBLE / tot END AS share,
+       |    power(CASE WHEN tot = 0 THEN 0.0 ELSE n_tokens::DOUBLE / tot END,
+       |      $MixtureAlpha) AS p
        |  FROM per, tot),
        |z AS (SELECT sum(p) AS z FROM shares)
        |SELECT source, n_tokens,
        |  round(share, 6) AS token_share,
-       |  round(p / z, 6) AS weight,
+       |  CASE WHEN z = 0 THEN 0.0 ELSE round(p / z, 6) END AS weight,
        |  CASE WHEN share = 0 THEN NULL ELSE round(p / z / share, 4) END AS epochs
        |FROM shares, z ORDER BY source""".stripMargin
 

@@ -111,6 +111,11 @@ object Multimodal {
     assetsDf.filter(col("kind") === "video")
       .select(col("asset_id"), col("meta.n_frames").as("n_frames"),
         col("meta.duration_ms").as("duration_ms"))
+      // zero-frame assets emit no samples. Load-bearing beyond semantics:
+      // Spark's sequence(0, n_frames-1, stride) THROWS when n_frames = 0
+      // (step sign vs direction), so one malformed asset would crash the
+      // whole job where the oracle's range() just yields nothing
+      .filter(col("n_frames") > 0)
       .select(col("asset_id"), col("n_frames"), col("duration_ms"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_no"))
       .select(col("asset_id"), col("frame_no").cast("bigint").as("frame_no"),
