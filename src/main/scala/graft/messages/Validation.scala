@@ -368,13 +368,19 @@ object Validation {
 
   /** Jackson asString() coercion (MessageValidation.kt:13-15): scalars
     * stringify ("3", "true"), JSON null reads "null", a missing key and
-    * container nodes read "". Shared by every coercing DSL combinator so
-    * the edges cannot diverge.
+    * container nodes read "". Non-integral numbers go through the DOUBLE
+    * rendering — Jackson parses 3.10 as DoubleNode(3.1) and stringifies
+    * "3.1", where Spark's variant keeps DECIMAL(3,2) and would print
+    * "3.10". Shared by every coercing DSL combinator so the edges cannot
+    * diverge.
     */
   private def coerceAsString(v: Column): Column =
     when(v.isNull, lit(""))
       .when(is_variant_null(v), lit("null"))
       .when(typeOf(v).startsWith("ARRAY") || typeOf(v).startsWith("OBJECT"), lit(""))
+      .when(isIntegralType(v), coalesce(asString(v), lit("")))
+      .when(isNumericType(v),
+        coalesce(try_variant_get(v, "$", "double").cast("string"), lit("")))
       .otherwise(coalesce(asString(v), lit("")))
 
   /** be(v) compares `node.asString() == v` (MessageValidation.kt:13-15) — a
@@ -440,21 +446,6 @@ object Validation {
     * contribute one problem per entry (higher-order functions — only their
     * rivers lose the codegen'd problems projection).
     */
-  /** The severe problem carried by an unparseable message, from the raw
-    * payload (path-independent, so both river compilation modes agree):
-    * non-object JSON gets the reference's exact string
-    * (JsonMessage.kt:103); malformed text gets the Jackson-failure message
-    * minus the parser's own detail text, which Spark's parse does not
-    * surface (JsonMessage.kt:101 appends `err.message`).
-    */
-  def unparseableProblems(raw: Column): Column = {
-    val parsed = try_parse_json(raw)
-    val msg = when(parsed.isNotNull && !schema_of_variant(parsed).startsWith("OBJECT"),
-      lit("Incomplete json. Should be able to cast as ObjectNode."))
-      .otherwise(lit("Invalid JSON per Jackson library"))
-    array(struct(lit("severe").as("severity"), msg.as("message")))
-  }
-
   // --------------------------------------------------------------- reports
 
   /** MessageProblems.toString analogue (MessageProblems.kt:33-36): severe
@@ -508,5 +499,20 @@ object Validation {
       }
       when(!flag(i), failed).otherwise(empty)
     }: _*)
+  }
+
+  /** The severe problem carried by an unparseable message, from the raw
+    * payload (path-independent, so both river compilation modes agree):
+    * non-object JSON gets the reference's exact string
+    * (JsonMessage.kt:103); malformed text gets the Jackson-failure message
+    * minus the parser's own detail text, which Spark's parse does not
+    * surface (JsonMessage.kt:101 appends `err.message`).
+    */
+  def unparseableProblems(raw: Column): Column = {
+    val parsed = try_parse_json(raw)
+    val msg = when(parsed.isNotNull && !schema_of_variant(parsed).startsWith("OBJECT"),
+      lit("Incomplete json. Should be able to cast as ObjectNode."))
+      .otherwise(lit("Invalid JSON per Jackson library"))
+    array(struct(lit("severe").as("severity"), msg.as("message")))
   }
 }

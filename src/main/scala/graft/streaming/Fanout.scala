@@ -54,14 +54,6 @@ object Fanout {
   }
 
   /** Like [[routeBatch]] but hands the sink ONE unioned (key, value) reply
-    * frame for the whole batch instead of one frame per river. The sink
-    * then runs a single action: one Spark job sharing the persisted batch
-    * across every river's plan, and — on Kafka — ONE producer write per
-    * trigger instead of R sequential writes. Error semantics are identical
-    * (any river's branch failing fails the one action, downing the query).
-    * Returns None when no rivers are registered.
-    */
-  /** Like [[routeBatch]] but hands the sink ONE unioned (key, value) reply
     * frame for the whole batch instead of one frame per river: a single
     * Spark job shares the persisted batch across every river's plan, and —
     * on Kafka — ONE producer write per trigger instead of R sequential
@@ -122,6 +114,12 @@ object Fanout {
     * between batches. Stateful rivers must keep their own streaming query
     * (MemoryRapid.registerStateful / a dedicated KafkaRapid.stream query);
     * this guard turns the silent state reset into a loud error.
+    *
+    * Scope: only STREAMING-INTENT operators are flagged. Plain aggregation
+    * or dropDuplicates in a flow is legitimate per-batch semantics (one
+    * reply per key per batch) and cannot be distinguished from cross-batch
+    * intent, so it is allowed — the APIs that only make sense with
+    * continuous keyed state are the ones rejected.
     */
   private def rejectStateful(replies: DataFrame, name: String): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, FlatMapGroupsWithState}

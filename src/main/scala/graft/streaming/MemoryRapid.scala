@@ -116,10 +116,16 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
         require(!fanoutStarted.get(),
           "fanout rapid: register every river before the first send " +
             "(the single streaming query is already running)")
-        fanoutRegs += Fanout.Registration(river, flow, s"$name-river-${fanoutRegs.size}")
+        fanoutRegs += Fanout.Registration(river, flow,
+          s"$name-river-${riverSeq.getAndIncrement()}")
         ()
       }
     } else registerOwnQuery(river)(flow)
+
+  // one sequence across BOTH registration paths: fanout registration names
+  // and own-query names share the "<rapid>-river-N" format, so independent
+  // counters would hand the same metrics label to two different rivers
+  private val riverSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** A river with its OWN streaming query. In fanout mode this is how
     * STATEFUL rivers run (flatMapGroupsWithState / watermarked dedup):
@@ -137,7 +143,7 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
     val q = replies.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) => collectReplies(batch) }
-      .queryName(s"$name-river-${queries.size}")
+      .queryName(s"$name-river-${riverSeq.getAndIncrement()}")
       .start()
     queries.synchronized { queries += q; () }
   }
@@ -191,11 +197,11 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
     // flag + snapshot share the fanoutRegs lock with register's
     // check-and-append (TOCTOU-free); the query starts OUTSIDE any lock —
     // start() delivers QueryStartedEvent synchronously to listeners that
-    // may take other locks. No fanout rivers (e.g. only stateful rivers
-    // with their own queries) -> nothing to start yet.
+    // may take other locks. The flag latches on the FIRST send even with
+    // zero fanout rivers (e.g. only stateful rivers): a later register
+    // must fail loudly rather than silently miss the already-sent messages.
     val regs = fanoutRegs.synchronized {
-      if (fanoutRegs.nonEmpty && fanoutStarted.compareAndSet(false, true))
-        fanoutRegs.toVector
+      if (fanoutStarted.compareAndSet(false, true)) fanoutRegs.toVector
       else Vector.empty
     }
     if (regs.nonEmpty) {

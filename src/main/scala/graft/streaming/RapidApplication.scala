@@ -88,8 +88,11 @@ object RapidApplication {
           // lambda, not eta-expansion: queryIds must be read at event time
           id => rapid.queryIds.contains(id),
           // started events match by NAME: they arrive synchronously inside
-          // start(), before the id lands in queryIds (Lifecycle scaladoc)
-          name => name.startsWith(s"$appName-")) { m =>
+          // start(), before the id lands in queryIds (Lifecycle scaladoc).
+          // EXACT scheme match, not a prefix — app "orders" must not claim
+          // app "orders-audit"'s queries on a shared session
+          name => name == s"$appName-fanout" ||
+            name.matches(java.util.regex.Pattern.quote(appName) + "-river-\\d+")) { m =>
           rapid.publish(m)
         })
       // ping/pong is STATEFUL (per-instance rate-limit via
@@ -119,8 +122,22 @@ object RapidApplication {
     def isReady: Boolean = rapid.isRunning
 
     def stop(): Unit = {
+      // QueryTerminatedEvent is delivered on the ASYNC listener bus;
+      // removing the lifecycle listener right after stop() races the
+      // delivery and can drop application_down. Wait (bounded) for one
+      // down event per active owned query before removing.
+      val activeOwned = spark.streams.active.count(q => rapid.queryIds.contains(q.id))
+      def downs() = {
+        val insp = rapid.inspector
+        (0 until insp.size).count(i =>
+          insp.message(i).contains("\"application_down\""))
+      }
+      val before = downs()
       rapid.publish(Lifecycle.event("application_stop", appName, instanceId))
       rapid.stop()
+      val deadline = System.currentTimeMillis() + 5000
+      while (System.currentTimeMillis() < deadline && downs() - before < activeOwned)
+        Thread.sleep(50)
       lifecycleListener.foreach(spark.streams.removeListener)
     }
   }

@@ -237,6 +237,12 @@ class ValidationSpec extends AnyFunSuite {
     // Jackson edges: NullNode.asString() == "null"; missing reads ""
     assert(check("k" should be("null"), """{"k": null}"""))
     assert(check("k" should be(""), """{}"""))
+    // decimals render via the DOUBLE path like Jackson (3.10 -> "3.1",
+    // NOT the variant's DECIMAL "3.10"); integers stay integral ("3")
+    assert(check("n" should be("3.1"), """{"n": 3.10}"""))
+    assert(check("n" should be("3.1"), """{"n": 3.1}"""))
+    assert(check("n" should be("3.0"), """{"n": 3.0}"""))
+    assert(!check("n" should be("3"), """{"n": 3.0}""")) // DoubleNode -> "3.0"
     // both compilation paths agree
     val (fast, variant) = messagesFor("n" should be("3"), """{"n": 4}""")
     assert(fast == variant && fast == Seq("n: Feltet har ikke forventet verdi 3"))

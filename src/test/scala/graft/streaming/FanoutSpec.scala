@@ -123,8 +123,11 @@ class FanoutSpec extends AnyFunSuite {
       PingPong(r, "app", "inst", () => System.currentTimeMillis())
     }
     intercept[Exception](rapid.sendTestMessage("""{"@event_name":"ping"}"""))
+    // firstFailure lands via the ASYNC terminated event — poll for it, not
+    // for isRunning (the query flips inactive before the event delivers)
     val deadline = System.currentTimeMillis() + 30000
-    while (rapid.isRunning && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    while (rapid.firstFailure.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
     assert(rapid.firstFailure.exists(_.contains("registerStateful")),
       s"expected the stateful-flow guidance, got ${rapid.firstFailure}")
     // the same river registered STATEFUL works: its own query owns the state

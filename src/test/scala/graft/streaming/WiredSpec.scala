@@ -89,11 +89,13 @@ class WiredSpec extends AnyFunSuite {
       assert((0 until wired.app.rapid.inspector.size)
         .map(wired.app.rapid.inspector.message).exists(_.contains("\"pong\"")))
       // the user river's counters land on /metrics from the fanout scan
+      // (river-0 is the stateful ping/pong query; the shared sequence
+      // names the user river river-1 — one label never means two rivers)
       val (mc, body) = get(wired.health.port, "/metrics")
       assert(mc == 200)
-      assert(body.contains("""message_counter{river="wired-fan-river-0",status="passed"} 1"""),
+      assert(body.contains("""message_counter{river="wired-fan-river-1",status="passed"} 1"""),
         s"expected the fanout river counter in:\n$body")
-      assert(body.contains("""message_counter{river="wired-fan-river-0",status="messages"} 2"""),
+      assert(body.contains("""message_counter{river="wired-fan-river-1",status="messages"} 2"""),
         s"every rapid message is observed by the river, in:\n$body")
     } finally wired.close()
   }
