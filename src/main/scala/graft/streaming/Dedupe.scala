@@ -15,18 +15,27 @@ object Dedupe {
     * watermark delay — at 100 TB this is the only sane unbounded-stream
     * dedup: state size is O(ids within the horizon), not O(all ids).
     *
-    * Id-less messages get a FRESH generated id first — the reference
-    * assigns @id at parse time (JsonMessage.kt:129-131), so two distinct
-    * id-less messages are never merged. Without this, dropDuplicates
-    * compares nulls EQUAL and would silently collapse them. Like the
-    * reference (which re-generates on every re-read), a redelivered id-less
-    * message is NOT deduped — at-least-once stands, false merges never
-    * happen.
+    * Id-less messages get a SYNTHETIC id first — the reference assigns @id
+    * at parse time (JsonMessage.kt:129-131), so two distinct id-less
+    * messages are never merged. Without this, dropDuplicates compares nulls
+    * EQUAL and would silently collapse them.
+    *
+    * The synthetic id is DETERMINISTIC (sha2 over every column of the row),
+    * not uuid(): a non-deterministic expression upstream of the dedup
+    * shuffle can, on task retry, recompute a row with a different id that
+    * hashes to a different partition — under Spark's non-deterministic
+    * recompute semantics that can DROP the row, breaking at-least-once in
+    * exactly the failure path dedup exists to protect. The trade: id-less
+    * rows identical in EVERY column (key, value, event time, any source
+    * metadata such as topic/partition/offset) dedup together — they are
+    * indistinguishable, so collapsing them is safe where dropping a
+    * distinct row is not.
     */
   def byId(messages: DataFrame, idCol: String, eventTimeCol: String,
            watermarkDelay: String = "10 minutes"): DataFrame =
     messages
-      .withColumn(idCol, coalesce(col(idCol), expr("uuid()")))
+      .withColumn(idCol, coalesce(col(idCol),
+        concat(lit("graft-noid-"), sha2(to_json(struct(col("*"))), 256))))
       .withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicates(idCol, eventTimeCol)
 }

@@ -44,12 +44,17 @@ object Fanout {
     * through every registration off a single persisted scan, passing each
     * river's reply DataFrame to `sink`. The persist is scoped to the batch:
     * released before the micro-batch commits, so state never accumulates
-    * across triggers.
+    * across triggers. Each flow passes the same [[rejectStateful]] guard as
+    * the unioned/observed forms — a caller reaching for the per-river-sink
+    * variant gets the same loud error instead of silent per-batch state
+    * resets.
     */
   def routeBatch(batch: DataFrame, regs: Seq[Registration])(
       sink: DataFrame => Unit): Unit = {
     batch.persist()
-    try regs.foreach { r => sink(r.flow(r.river.attach(batch, col("value")))) }
+    try regs.foreach { r =>
+      sink(rejectStateful(r.flow(r.river.attach(batch, col("value"))), r.name))
+    }
     finally { batch.unpersist(); () }
   }
 

@@ -53,14 +53,22 @@ object Lifecycle {
     * it — an id-only filter can never match the ready event. Query names
     * are caller-chosen (the rapid prefixes its own name), so name matching
     * is race-free where id matching cannot be.
+    *
+    * Readiness is latched ONCE per attach: the reference publishes a single
+    * application_ready per app startup (RapidApplication.kt:94-103), so the
+    * first owned query's start flips it and later river/fanout query starts
+    * stay silent. application_down stays per-owned-query — the app shell
+    * counts terminations against it on shutdown.
     */
   def attach(spark: SparkSession, appName: String, instanceId: String,
              owns: java.util.UUID => Boolean = _ => true,
              ownsName: String => Boolean = _ => false)(
       publish: String => Unit): StreamingQueryListener = {
+    val readyLatched = new java.util.concurrent.atomic.AtomicBoolean(false)
     val l = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
-        if (owns(e.id) || (e.name != null && ownsName(e.name)))
+        if ((owns(e.id) || (e.name != null && ownsName(e.name))) &&
+            readyLatched.compareAndSet(false, true))
           publish(event("application_ready", appName, instanceId))
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =

@@ -186,7 +186,7 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
 
   /** Start the fanout query (idempotent; no-op unless [[fanout]]): ONE
     * MemoryStream, ONE streaming query, every registered river routed off
-    * one persisted batch per trigger ([[Fanout.routeBatch]]).
+    * one persisted batch per trigger ([[Fanout.routeBatchObserved]]).
     *
     * The start-once guard is an AtomicBoolean, NOT the queries monitor:
     * `start()` delivers QueryStartedEvent to listeners synchronously, and a

@@ -76,6 +76,9 @@ object RapidApplication {
 
     val rapid = new MemoryRapid(spark, appName, fanout = fanout)
     private var lifecycleListener: Option[org.apache.spark.sql.streaming.StreamingQueryListener] = None
+    // application_down publishes counted AT THE LIFECYCLE CALLBACK — stop()
+    // waits on this O(1) counter, not an O(outbox) rescan per poll
+    private val downEvents = new java.util.concurrent.atomic.AtomicInteger(0)
 
     /** PingPong river registered by default, like the reference
       * (RapidApplication.kt:42-47). Lifecycle attaches FIRST so the first
@@ -93,6 +96,10 @@ object RapidApplication {
           // app "orders-audit"'s queries on a shared session
           name => name == s"$appName-fanout" ||
             name.matches(java.util.regex.Pattern.quote(appName) + "-river-\\d+")) { m =>
+          // the publish lambda IS the lifecycle listener's delivery path, so
+          // counting here waits on the listener directly (one short event
+          // string per lifecycle transition, not per rapid message)
+          if (m.contains("\"application_down\"")) downEvents.incrementAndGet()
           rapid.publish(m)
         })
       // ping/pong is STATEFUL (per-instance rate-limit via
@@ -125,19 +132,16 @@ object RapidApplication {
       // QueryTerminatedEvent is delivered on the ASYNC listener bus;
       // removing the lifecycle listener right after stop() races the
       // delivery and can drop application_down. Wait (bounded) for one
-      // down event per active owned query before removing.
+      // down event per active owned query before removing — on the O(1)
+      // counter the lifecycle publish path maintains, not by rescanning
+      // the outbox.
       val activeOwned = spark.streams.active.count(q => rapid.queryIds.contains(q.id))
-      def downs() = {
-        val insp = rapid.inspector
-        (0 until insp.size).count(i =>
-          insp.message(i).contains("\"application_down\""))
-      }
-      val before = downs()
+      val before = downEvents.get()
       rapid.publish(Lifecycle.event("application_stop", appName, instanceId))
       rapid.stop()
       val deadline = System.currentTimeMillis() + 5000
-      while (System.currentTimeMillis() < deadline && downs() - before < activeOwned)
-        Thread.sleep(50)
+      while (System.currentTimeMillis() < deadline && downEvents.get() - before < activeOwned)
+        Thread.sleep(10)
       lifecycleListener.foreach(spark.streams.removeListener)
     }
   }

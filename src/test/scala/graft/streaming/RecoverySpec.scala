@@ -196,19 +196,26 @@ class RecoverySpec extends AnyFunSuite {
   test("id-less messages are never falsely merged by the dedup (JsonMessage.kt:129-131 analogue)") {
     val spark = TestSpark.spark
     import spark.implicits._
-    val input = MemoryStream[(String, java.sql.Timestamp)](
-      implicitly[org.apache.spark.sql.Encoder[(String, java.sql.Timestamp)]], spark)
-    val deduped = Dedupe.byId(input.toDF().toDF("id", "otime"), "id", "otime")
+    val input = MemoryStream[(String, String, java.sql.Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(String, String, java.sql.Timestamp)]], spark)
+    val deduped = Dedupe.byId(input.toDF().toDF("id", "value", "otime"), "id", "otime")
     val q = deduped.writeStream.outputMode("append")
       .format("memory").queryName("dedup_nullid").start()
     val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-    // two DISTINCT id-less messages with the same event time: nulls compare
-    // EQUAL in dropDuplicates, so without generated ids one would vanish
-    input.addData((null, t), (null, t), ("a", t), ("a", t))
+    // two DISTINCT id-less messages (different bodies, same event time):
+    // nulls compare EQUAL in dropDuplicates, so without synthetic ids one
+    // would vanish. The third id-less row is a byte-identical replica of
+    // the second: the DETERMINISTIC synthetic id (hash of the whole row)
+    // merges indistinguishable replicas — the documented trade for never
+    // dropping a row on task retry (uuid() recompute would risk that).
+    input.addData((null, "m1", t), (null, "m2", t), (null, "m2", t),
+      ("a", "x", t), ("a", "x", t))
     q.processAllAvailable()
-    val n = spark.table("dedup_nullid").count()
+    val vals = spark.table("dedup_nullid")
+      .select(col("value")).collect().map(_.getString(0)).sorted.toSeq
     q.stop()
-    assert(n == 3L, s"expected both id-less messages plus one 'a', got $n")
+    assert(vals == Seq("m1", "m2", "x"),
+      s"expected both distinct id-less messages plus one 'a', got $vals")
   }
 
   test("health surface reflects river query liveness") {
