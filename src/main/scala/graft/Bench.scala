@@ -7,14 +7,17 @@ import org.apache.spark.sql.SparkSession
   * measured query doesn't pay JVM spin-up; queries run in name order for
   * run-to-run comparability.
   *
-  * Protocol: each query runs once UNTIMED (per-plan Janino compilation +
-  * JIT, measured ~2-4s cold vs ~0.6s warm on the slowest queries — a fixed
-  * cost that amortizes to zero over a real corpus), then SPARK_GRAFT_RUNS
-  * timed runs (default 3); "queries" carries the MINIMUM (steady-state
-  * throughput), "queries_median" the MEDIAN, and "noisy" lists queries whose
-  * max/min spread exceeds 3x — this machine has co-tenants (observed 1.7x
-  * cross-round variance), and recording both stops one noisy run from
-  * masquerading as a regression or a win.
+  * Protocol: one UNTIMED warm-up pass over the whole query list (per-plan
+  * Janino compilation + JIT, measured ~2-4s cold vs ~0.6s warm on the
+  * slowest queries — a fixed cost that amortizes to zero over a real
+  * corpus), then SPARK_GRAFT_RUNS timed passes (default 3) INTERLEAVED
+  * round-robin: every pass runs the full sorted query list once, so a noisy
+  * co-tenant window (observed 1.7x+ cross-round variance on this machine)
+  * lands on at most one sample of each query instead of every sample of one
+  * query — the failure mode that published 2.4-5.9x inflated entries in
+  * BENCH_r06 and had to be refuted by hand. "queries" carries the MINIMUM
+  * across passes (steady-state throughput), "queries_median" the MEDIAN,
+  * and "noisy" lists queries whose max/min spread exceeds 3x.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,26 +35,29 @@ object Bench {
     SparkEntry.entry(spark).count() // warmup: session, codegen, parquet footers
 
     val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // one discarded warm-up per query: the FIRST execution of a plan pays
-      // Janino codegen + JIT (~5s vs ~0.6s warm on the m-suite) — a fixed
-      // per-plan cost that amortizes to zero over a real corpus and would
-      // otherwise pollute even a min-of-N when every run lands cold
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // warm-up pass: the FIRST execution of each plan pays codegen + JIT —
+    // discard it so no timed pass ever lands cold
+    queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      val timed = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
-      // a fast failure must not masquerade as a fast result: stats over
-      // SUCCESSFUL runs only; all-failed is reported in "failed", not as
-      // a timing
-      val good = timed.filter(_._2).map(_._1).sorted
-      name -> good
+    }
+    // timed passes, round-robin over the whole list per pass
+    val samples = collection.mutable.Map.empty[String, List[(Double, Boolean)]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to runs; (name, fn) <- queries) {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      samples(name) = samples(name) :+ (((System.nanoTime() - t0) / 1e9, ok))
+    }
+    // a fast failure must not masquerade as a fast result: stats over
+    // SUCCESSFUL runs only; all-failed is reported in "failed", not as
+    // a timing
+    val results = queries.map { case (name, _) =>
+      name -> samples(name).filter(_._2).map(_._1).sorted
     }
     def median(xs: Seq[Double]): Double = // xs sorted, nonempty
       if (xs.size % 2 == 1) xs(xs.size / 2)
@@ -64,7 +70,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2.head).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm+min-of-$runs","queries":${obj(_.head)},"queries_median":${obj(median)},"noisy":$noisyJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm+interleaved-min-of-$runs","queries":${obj(_.head)},"queries_median":${obj(median)},"noisy":$noisyJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
