@@ -152,6 +152,33 @@ object Dedup {
 
   // ------------------------------------------------------------ LSH pairs
 
+  /** LSH candidate pairs from a shingle table: MinHash signature of
+    * `bands * rows` permutations, banded, one bucket self-join. Band/row
+    * counts are parameters so the recall test (ScaleOpsSpec) can prove the
+    * S-curve sensitivity — a band-count reduction measurably loses recall;
+    * the production path is the [[Portable.MinHashBands]] x
+    * [[Portable.MinHashRows]] configuration, byte-identical to the oracle.
+    */
+  private[graft] def lshCandidates(sh: DataFrame, bands: Int, rows: Int): DataFrame = {
+    require(bands * rows <= MinHashPerms,
+      s"bands*rows must fit the ${MinHashPerms} defined permutations")
+    val hashed = sh.select(col("doc_id"), Portable.hash32(col("g")).as("h"))
+    val aggs = (0 until bands * rows).map(i => min(minHashPerm(col("h"), i)).as(s"h$i"))
+    val sig = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws(",", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
+        .as(s"band$b")
+    }
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    val stacked = banded.selectExpr("doc_id",
+      s"stack($bands, " +
+        (0 until bands).map(b => s"$b, band$b").mkString(", ") + ") AS (band, bh)")
+    stacked.as("x").join(stacked.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib")).distinct()
+  }
+
   /** MinHash-LSH near-dup pairs: band the signature (MinHashBands bands of
     * MinHashRows), bucket-join per band for candidates, then verify with
     * exact Jaccard >= threshold. The banding join is the scale path: at
@@ -159,21 +186,7 @@ object Dedup {
     */
   def lshPairs(docs: DataFrame): DataFrame = {
     val sh = shingles(docs).cache()
-    val hashed = sh.select(col("doc_id"), Portable.hash32(col("g")).as("h"))
-    val aggs = (0 until MinHashPerms).map(i => min(minHashPerm(col("h"), i)).as(s"h$i"))
-    val sig = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val bandCols = (0 until MinHashBands).map { b =>
-      md5(concat_ws(",", (0 until MinHashRows).map(r => col(s"h${b * MinHashRows + r}")): _*))
-        .as(s"band$b")
-    }
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
-    val stacked = banded.selectExpr("doc_id",
-      s"stack($MinHashBands, " +
-        (0 until MinHashBands).map(b => s"$b, band$b").mkString(", ") + ") AS (band, bh)")
-    val cand = stacked.as("x").join(stacked.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib")).distinct()
+    val cand = lshCandidates(sh, MinHashBands, MinHashRows)
     // verify ONLY candidate pairs with exact jaccard — the LSH payoff: the
     // full pairwise self-join is never materialized, just bucket-cohabitants
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

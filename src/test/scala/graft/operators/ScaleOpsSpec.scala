@@ -186,6 +186,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(hits >= 9, s"found only $hits/10 planted near-identical pairs: $found")
   }
 
+  test("MinHash-LSH banding recall meets the S-curve bound; fewer bands measurably lose it") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def doc() = Array.fill(40)(s"tok${rnd.nextInt(5000)}").mkString(" ")
+    // 40 random-token base docs; docs 1000+i are copies of i<20 with ONE
+    // token swapped at position 20 — 38 trigrams per doc, a middle mutation
+    // kills 3 and adds 3, so planted trigram Jaccard = 35/41 ~ 0.854
+    val base = (0L until 40L).map(i => (i, doc()))
+    val planted = (0L until 20L).map { i =>
+      val w = base(i.toInt)._2.split(" "); w(20) = s"mut$i"
+      (1000L + i, w.mkString(" "))
+    }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs).cache()
+    def recall(bands: Int, rows: Int): Double = {
+      val found = Dedup.lshCandidates(sh, bands, rows).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (0L until 20L).count(i => found.contains((i, 1000L + i))) / 20.0
+    }
+    import graft.functions.Portable.{MinHashBands, MinHashRows}
+    val r44 = recall(MinHashBands, MinHashRows)
+    val r14 = recall(1, MinHashRows)
+    sh.unpersist()
+    // S-curve: P(candidate) = 1 - (1 - J^rows)^bands; at J=0.854, rows=4:
+    // 0.95 with 4 bands but only 0.53 with 1 band. The production (4,4)
+    // banding must clear the bound (minus sampling slack on 20 pairs) and a
+    // deliberate band-count reduction must fail the same bound — a silent
+    // regression of MinHashBands cannot pass this test.
+    val j = 35.0 / 41.0
+    val bound4 = 1 - math.pow(1 - math.pow(j, MinHashRows), MinHashBands)
+    assert(r44 >= bound4 - 0.15, s"banding recall $r44 below S-curve bound $bound4")
+    assert(r14 < bound4 - 0.15, s"1-band recall $r14 should fail the 4-band bound")
+    assert(r44 > r14, s"more bands must not lose recall ($r44 vs $r14)")
+  }
+
   test("stream-static decontamination: live docs flagged against a static benchmark") {
     val spark = TestSpark.spark
     import spark.implicits._
