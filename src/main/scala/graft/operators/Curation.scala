@@ -439,6 +439,40 @@ object Curation {
        |  md5(coalesce(array_to_string(list(seg ORDER BY s) FILTER (WHERE kept), ' '), '')) AS clean_md5
        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- training-order shuffle
+
+  /** Seed naming the permutation epoch: a different seed is a different
+    * deterministic global order (epoch 2 reshuffles by changing the seed,
+    * nothing else).
+    */
+  val ShuffleSeed = "epoch-0"
+
+  /** Deterministic global training-order shuffle: the corpus ordered by
+    * hash32(seed, doc_id) — a keyed pseudo-random permutation. This is the
+    * step that materializes the order training actually consumes; packing
+    * ([[packSequences]]) and selection ([[budgetSelect]]) decide WHAT
+    * trains, this decides WHEN.
+    *
+    * Scale shape: a seeded hash sort is ONE range exchange (sampled range
+    * boundaries, all partitions sort locally) — no window, no
+    * single-reducer prefix sum, no driver state; re-running with the same
+    * seed reproduces the identical order on any cluster size or engine. A
+    * global row_number position is deliberately NOT emitted: it would
+    * funnel the corpus through one window partition. Consumers that need
+    * offsets read the written files in order (file index, row-in-file), as
+    * training loaders do.
+    */
+  def shuffleOrder(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        Portable.hash32(concat_ws("-", lit(ShuffleSeed), col("doc_id")))
+          .as("shuffle_key"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+
+  val sqlShuffleOrder: String =
+    s"""SELECT doc_id, source,
+       |  ${Portable.sqlHash32(s"'$ShuffleSeed-' || doc_id::VARCHAR")} AS shuffle_key
+       |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
+
   // ------------------------------------------- benchmark decontamination
 
   /** Benchmark-membership predicate: a deterministic held-out slice of the

@@ -206,6 +206,11 @@ object Pipeline {
       Curation.packSegments(Tables.documents(s, dir))
     },
 
+    // -------- deterministic global training-order shuffle (seeded)
+    QueryDef.sql("p14_shuffle_order", Curation.sqlShuffleOrder) { (s, dir) =>
+      Curation.shuffleOrder(Tables.documents(s, dir))
+    },
+
     // -------- sub-document (segment/paragraph) dedup
     QueryDef.sql("p8_segment_dedup", Curation.sqlSegmentDedup) { (s, dir) =>
       Curation.segmentDedup(Tables.documents(s, dir))

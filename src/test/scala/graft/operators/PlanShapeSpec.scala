@@ -174,6 +174,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cross product expected in:\n$plan")
   }
 
+  test("training-order shuffle is one range exchange: no window, no single-reducer stage") {
+    val plan = executed(Curation.shuffleOrder(graft.Tables.documents(TestSpark.spark, dir)))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    // a keyed permutation is exactly the ORDER BY's range exchange; a global
+    // row_number position would add a single-partition window — the shape
+    // this test exists to forbid
+    assert(exchanges == 1 && plan.contains("rangepartitioning"),
+      s"expected exactly one range exchange in:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("SinglePartition"),
+      s"no window / single-partition stage expected in:\n$plan")
+  }
+
   test("dedup keep-list anti-joins the small non-canonical set — corpus never shuffled twice") {
     val plan = executed(Dedup.dedupedCorpus(graft.Tables.documents(TestSpark.spark, dir)))
     assert(plan.contains("LeftAnti"), s"expected an anti-join in:\n$plan")
