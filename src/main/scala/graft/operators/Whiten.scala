@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding whitening / decorrelation for the embedding store (the missing
+  * piece between k-means ([[Similarity.kmeans]]) and quantization
+  * ([[Similarity.knnQuantized]]): decorrelated, unit-variance dimensions
+  * make both cells and int8 grids measurably tighter).
+  *
+  * Shape (the scale-correct one for 100 TB): ONE partial-aggregated pass
+  * over the corpus builds the tiny D x D covariance (shuffle volume = D^2
+  * groups, map-side combined), the factorization of that D x D happens on
+  * the driver in O(D^3), and the projection is a broadcast-literal
+  * expression — pure codegen per row, corpus scanned once, nothing wide
+  * ever shuffles.
+  *
+  * FACTORIZATION CHOICE: Cholesky (cov = L L^T, whitener W = L^-1) instead
+  * of an eigendecomposition. Both whiten (cov of W(x - mean) = I); Cholesky
+  * is a FIXED sequence of IEEE add/mul/sqrt/divide, so the DuckDB oracle
+  * replays the identical arithmetic from the identical 6-decimal-rounded
+  * covariance and the WHITENED VECTORS THEMSELVES hash-match cross-engine —
+  * an iterative eigensolver's convergence path could not be pinned this
+  * way. Spark-side driver code and the generated oracle SQL keep strictly
+  * left-associated sums so both engines execute bit-identical operations.
+  */
+object Whiten {
+
+  /** Whitened subspace: leading D dims of the embedding. D = 8 keeps the
+    * unrolled forward-substitution expression tree small (y_i references
+    * y_0..y_{i-1}; Catalyst inlines the chain, so depth is bounded by D).
+    */
+  val D = 8
+
+  /** Diagonal loading added to the covariance before factorization —
+    * guards a near-singular dimension; applied identically in both engines.
+    */
+  val DiagEps = 1e-6
+
+  private def vecs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      slice(transform(col("embedding"), x => x.cast("double")), 1, D).as("v"))
+
+  // ------------------------------------------------------------ covariance
+
+  /** Covariance matrix of the leading [[D]] dims: cov(i,j) =
+    * avg(x_i * x_j) - avg(x_i) * avg(x_j), rounded to 6 decimals (the
+    * engine-portable boundary — partial-aggregation summation order differs
+    * below ~1e-13).
+    *
+    * Scale shape: the D^2-way pair explode is per-row work; the aggregate
+    * partial-combines map-side, so the shuffle carries D^2 groups, not the
+    * corpus.
+    */
+  def gram(emb: DataFrame): DataFrame =
+    vecs(emb)
+      .select(col("v"), posexplode(col("v")).as(Seq("i0", "xi")))
+      .select((col("i0") + 1).cast("int").as("i"), col("xi"),
+        posexplode(col("v")).as(Seq("j0", "xj")))
+      .groupBy(col("i"), (col("j0") + 1).cast("int").as("j"))
+      .agg(round(avg(col("xi") * col("xj")) - avg(col("xi")) * avg(col("xj")), 6)
+        .as("cov"))
+      .orderBy(col("i"), col("j"))
+
+  val sqlGram: String =
+    s"""WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:$D] AS v FROM embeddings)
+       |SELECT i::INT AS i, j::INT AS j,
+       |  round(avg(v[i] * v[j]) - avg(v[i]) * avg(v[j]), 6) AS cov
+       |FROM e, LATERAL unnest(range(1, $D + 1)) t1(i),
+       |  LATERAL unnest(range(1, $D + 1)) t2(j)
+       |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+
+  /** Per-dim means, rounded like the covariance. */
+  private def means(emb: DataFrame): Array[Double] =
+    vecs(emb)
+      .select(posexplode(col("v")).as(Seq("i0", "x")))
+      .groupBy(col("i0")).agg(round(avg(col("x")), 6).as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+
+  // ------------------------------------------------------------- Cholesky
+
+  /** Lower-triangular L with cov + eps*I = L L^T (Cholesky–Crout), sums
+    * accumulated in strict k-ascending order to mirror the generated SQL's
+    * left-associated additions.
+    */
+  private[operators] def cholesky(cov: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = cov.length
+    val l = Array.ofDim[Double](n, n)
+    for (j <- 0 until n) {
+      var s = 0.0
+      for (k <- 0 until j) s = s + l(j)(k) * l(j)(k)
+      l(j)(j) = math.sqrt(cov(j)(j) + DiagEps - s)
+      for (i <- j + 1 until n) {
+        var t = 0.0
+        for (k <- 0 until j) t = t + l(i)(k) * l(j)(k)
+        l(i)(j) = (cov(i)(j) - t) / l(j)(j)
+      }
+    }
+    l
+  }
+
+  /** Collected model: (means, L). Two tiny aggregates (D and D^2 rows); the
+    * corpus is scanned twice at train time, once at apply time.
+    */
+  def model(emb: DataFrame): (Array[Double], Array[Array[Double]]) = {
+    val m = means(emb)
+    val cov = Array.ofDim[Double](D, D)
+    gram(emb).collect().foreach { r =>
+      cov(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getDouble(2)
+    }
+    (m, cholesky(cov))
+  }
+
+  // ------------------------------------------------------------ projection
+
+  /** Whitened vectors: y = L^-1 (x - mean) by unrolled forward
+    * substitution over broadcast literals — y_i = ((x_i - m_i) - (L_i0*y_0
+    * + ... )) / L_ii, strictly left-associated, rounded to 4 decimals at
+    * the output boundary only (intermediates stay bit-identical across
+    * engines).
+    */
+  def whiten(emb: DataFrame): DataFrame = {
+    val (m, l) = model(emb)
+    var df = vecs(emb)
+    for (i <- 0 until D) {
+      val xi = element_at(col("v"), i + 1) - lit(m(i))
+      val sub =
+        if (i == 0) xi
+        else xi - (0 until i).map(k => lit(l(i)(k)) * col(s"y$k")).reduce(_ + _)
+      df = df.withColumn(s"y$i", sub / lit(l(i)(i)))
+    }
+    df.select(col("vec_id") +: (0 until D).map(i => round(col(s"y$i"), 4).as(s"y$i")): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle twin: covariance + means CTEs pivoted to scalars, the Cholesky
+    * columns unrolled one CTE per column (each references the previous —
+    * no lateral-alias dependence), then the forward substitution chained
+    * per dimension. Every sum is written left-associated so DuckDB executes
+    * the same IEEE operation sequence as [[cholesky]]/[[whiten]].
+    */
+  val sqlWhiten: String = {
+    val covCells = (for (i <- 1 to D; j <- 1 to i) yield
+      s"max(CASE WHEN g.i = $i AND g.j = $j THEN cov END) AS c_${i}_$j").mkString(",\n    ")
+    val meanCells = (1 to D)
+      .map(i => s"max(CASE WHEN mn.i = $i THEN m END) AS m_$i").mkString(", ")
+    // one CTE per Cholesky column j: l_j_j then l_i_j for i > j
+    val cholCtes = (1 to D).map { j =>
+      val prev = if (j == 1) "gp" else s"ch${j - 1}"
+      val sumJJ = (1 until j).map(k => s"l_${j}_$k * l_${j}_$k").mkString(" + ")
+      val diag =
+        if (j == 1) s"sqrt(c_1_1 + $DiagEps)"
+        else s"sqrt(c_${j}_$j + $DiagEps - ($sumJJ))"
+      val offs = (j + 1 to D).map { i =>
+        val sumIJ = (1 until j).map(k => s"l_${i}_$k * l_${j}_$k").mkString(" + ")
+        val num = if (j == 1) s"c_${i}_1" else s"(c_${i}_$j - ($sumIJ))"
+        s"$num / sqrt(c_${j}_$j + $DiagEps${if (j == 1) "" else s" - ($sumJJ)"}) AS l_${i}_$j"
+      }
+      val cols = (s"$diag AS l_${j}_$j" +: offs).mkString(",\n    ")
+      s"ch$j AS (SELECT *, $cols FROM $prev)"
+    }
+    // forward substitution, one CTE per dimension
+    val subCtes = (1 to D).map { i =>
+      val prev = if (i == 1) "rows" else s"s${i - 1}"
+      val sumK = (1 until i).map(k => s"l_${i}_$k * y${k - 1}").mkString(" + ")
+      val num = if (i == 1) s"(v[1] - m_1)" else s"((v[$i] - m_$i) - ($sumK))"
+      s"s$i AS (SELECT *, $num / l_${i}_$i AS y${i - 1} FROM $prev)"
+    }
+    val ys = (0 until D).map(i => s"round(y$i, 4) AS y$i").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:$D] AS v FROM embeddings),
+       |g AS (SELECT i::INT AS i, j::INT AS j,
+       |    round(avg(v[i] * v[j]) - avg(v[i]) * avg(v[j]), 6) AS cov
+       |  FROM e, LATERAL unnest(range(1, $D + 1)) t1(i),
+       |    LATERAL unnest(range(1, $D + 1)) t2(j) GROUP BY 1, 2),
+       |mn AS (SELECT i::INT AS i, round(avg(v[i]), 6) AS m
+       |  FROM e, LATERAL unnest(range(1, $D + 1)) t(i) GROUP BY 1),
+       |gp AS (SELECT
+       |    $covCells,
+       |    $meanCells
+       |  FROM g, mn),
+       |${cholCtes.mkString(",\n")},
+       |rows AS (SELECT vec_id, v, ch$D.* FROM e, ch$D),
+       |${subCtes.mkString(",\n")}
+       |SELECT vec_id, $ys FROM s$D ORDER BY vec_id""".stripMargin
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Curation, Dedup, EventWindows, Multimodal, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, EventWindows, Multimodal, Similarity, TextOps, Whiten}
 
 /** Training-data pipeline suite: dedup family, text analysis, similarity
   * search, event-time windows — the 100 TB-scale operators beyond the
@@ -238,6 +238,16 @@ object Pipeline {
         .groupBy(col("label"), (col("i0") + 1).cast("int").as("i"))
         .agg(round(avg(col("x")), 6).as("c"))
         .orderBy(col("label"), col("i"))
+    },
+
+    // -------- embedding whitening: one-pass covariance + driver Cholesky
+    // + broadcast-literal projection (the decorrelation step between
+    // k-means cells and int8 quantization)
+    QueryDef.sql("c3_gram", Whiten.sqlGram) { (s, dir) =>
+      Whiten.gram(Tables.embeddings(s, dir))
+    },
+    QueryDef.sql("c4_whiten", Whiten.sqlWhiten) { (s, dir) =>
+      Whiten.whiten(Tables.embeddings(s, dir))
     },
 
     // -------- multimodal (binary columns; decode is a deterministic stub)
