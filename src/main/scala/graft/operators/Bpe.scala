@@ -1,0 +1,226 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Learned byte-pair encoding: a DISTRIBUTED trainer (iterative max-count
+  * pair merge over the corpus word-frequency table) and a deterministic
+  * apply producing per-document token-id streams — the real tokenizer a
+  * training-data pipeline runs, replacing the t7 regex approximation.
+  *
+  * Algorithm (Sennrich et al., "Neural Machine Translation of Rare Words
+  * with Subword Units", ACL 2016): start from characters, repeatedly count
+  * adjacent symbol pairs weighted by word frequency and merge the max-count
+  * pair everywhere, greedy left-to-right within a word. No end-of-word
+  * marker (documented variant); ties break (count desc, left asc, right
+  * asc) so training is deterministic and engine-portable. Training is over
+  * lowercase alphabetic pre-tokens only — digits and marks are single
+  * tokens under [[TextOps.BpePattern]] already, and ASCII-only symbols keep
+  * the char-split identical across engines.
+  *
+  * Scale design, mirroring the CC / k-means loops:
+  *  - the trainer never re-reads the corpus: ONE pass builds the (word,
+  *    freq) table (partial-aggregated groupBy), and every merge round runs
+  *    over that vocabulary table — |distinct words|, not |corpus| — with a
+  *    partial-aggregated pair count (PlanShapeSpec) and a one-row argmax
+  *    collect, O(1) driver state per round;
+  *  - per-round localCheckpoint cuts lineage exactly like
+  *    [[Dedup.connectedComponentsWithRounds]], so round r+1's plan does not
+  *    re-run rounds 1..r;
+  *  - apply is a broadcast join of the trained vocabulary (word -> final
+  *    symbolization) against the corpus pre-token stream — the corpus is
+  *    scanned once, nothing corpus-sized shuffles except the per-doc
+  *    aggregate. Token-id assignment windows over the DISTINCT-SYMBOL
+  *    table, which is O(alphabet + merges + distinct marks) — a dimension
+  *    table by construction, never corpus-sized.
+  */
+object Bpe {
+
+  /** Merge rounds learned by the t10/t11 queries (the oracle unrolls one
+    * CTE block per round, so this is a shared constant, not a default).
+    */
+  val NMerges = 10
+
+  private val AlphaWordRe = "[a-z]+"
+
+  /** "abc" -> "a b c" (ASCII alpha only, so Java-regex and RE2 agree). */
+  private def charSyms(word: Column): Column =
+    rtrim(regexp_replace(word, "(.)", "$1 "))
+
+  private def sqlCharSyms(e: String): String =
+    s"rtrim(regexp_replace($e, '(.)', '\\1 ', 'g'))"
+
+  /** Word-frequency table with initial char symbolization — the trainer's
+    * working set. One partial-aggregated pass over the corpus.
+    */
+  def initialWords(docs: DataFrame): DataFrame =
+    docs.select(explode(
+        regexp_extract_all(lower(col("text")), lit(AlphaWordRe), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"), charSyms(col("word")).as("syms"))
+
+  /** Adjacent-pair counts over the current symbolization, freq-weighted.
+    * Overlapping occurrences count separately ("a a a" contributes two
+    * (a,a)) — the standard BPE count, identical in the oracle.
+    */
+  private[graft] def pairCounts(words: DataFrame): DataFrame = {
+    val a = split(col("syms"), " ")
+    val pairs = when(size(a) >= 2,
+      transform(sequence(lit(1), size(a) - 1),
+        i => struct(element_at(a, i).as("x"), element_at(a, i + 1).as("y"))))
+      .otherwise(array().cast("array<struct<x:string,y:string>>"))
+    words.select(col("freq"), explode(pairs).as("pr"))
+      .groupBy(col("pr.x").as("x"), col("pr.y").as("y"))
+      .agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Greedy left-to-right merge of (x, y) in a space-delimited
+    * symbolization, as a pure fold: the accumulator appends each symbol
+    * unless its last symbol is x and the next is y, in which case the pair
+    * becomes xy. A freshly-merged xy can't chain-merge (it no longer equals
+    * x), which is exactly BPE's non-overlapping greedy scan. The oracle
+    * replays the identical fold via DuckDB list_reduce.
+    */
+  private[graft] def applyMerge(syms: Column, x: String, y: String): Column =
+    ltrim(aggregate(split(syms, " "), lit(""), (acc, s) => {
+      val last = substring_index(acc, " ", -1)
+      when(last === lit(x) && s === lit(y),
+        concat(acc.substr(lit(1), length(acc) - length(last)), lit(x + y)))
+        .otherwise(concat(acc, lit(" "), s))
+    }))
+
+  /** Train: returns the learned merges (rank, x, y, count) and the final
+    * vocabulary (word, freq, syms). An ACTION like the CC loop — each round
+    * aggregates the vocabulary table, collects the one-row argmax, applies
+    * the merge with literal x/y, and checkpoints.
+    */
+  def train(docs: DataFrame, nMerges: Int = NMerges)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var words = initialWords(docs).localCheckpoint(true)
+    val merges = ArrayBuffer.empty[(Int, String, String, Long)]
+    var continue = true
+    while (continue && merges.size < nMerges) {
+      pairCounts(words).orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
+        .collect().headOption match {
+        case None => continue = false // nothing left to merge
+        case Some(r) =>
+          val (x, y, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
+          merges += ((merges.size + 1, x, y, cnt))
+          val next = words
+            .select(col("word"), col("freq"), applyMerge(col("syms"), x, y).as("syms"))
+            .localCheckpoint(true)
+          words.unpersist()
+          words = next
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  /** The learned merge table as a query result (t10). */
+  def learnedMerges(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs)._1.toDF("merge_rank", "x", "y", "cnt").orderBy(col("merge_rank"))
+  }
+
+  /** Tokenize every document with the trained vocabulary (t11): pre-tokens
+    * ([[TextOps.BpePattern]]) join the vocab for their final symbolization
+    * (non-alpha pre-tokens are single symbols; the char-split fallback also
+    * covers out-of-vocab alpha words for corpora the trainer didn't see),
+    * symbols get dense ids by sorted order over the distinct-symbol table,
+    * and each doc reports its token count plus the md5 of its ordered
+    * token-id stream — a full-fidelity fingerprint of the tokenization.
+    */
+  def applyBpe(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val pre = docs.select(col("doc_id"),
+      posexplode(regexp_extract_all(lower(col("text")),
+        lit(TextOps.BpePattern), lit(0))).as(Seq("p", "tok")))
+    val withSyms = pre
+      .join(broadcast(vocab.select(col("word"), col("syms"))),
+        pre("tok") === col("word"), "left")
+      .select(col("doc_id"), col("p"),
+        coalesce(col("syms"), charSyms(col("tok"))).as("ts"))
+    val symRows = withSyms.select(col("doc_id"), col("p"),
+      posexplode(split(col("ts"), " ")).as(Seq("q", "sym")))
+    val ids = symRows.select(col("sym")).distinct()
+      .withColumn("id", row_number().over(Window.orderBy(col("sym"))))
+    symRows.join(broadcast(ids), "sym")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bpe"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("p"), col("q"), col("id")))),
+            s => s.getField("id").cast("string")),
+          ",")).as("ids_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t11 end-to-end: train on the corpus, tokenize the corpus. */
+  def tokenize(docs: DataFrame): DataFrame = applyBpe(docs, train(docs)._2)
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** One CTE block per merge round — p{r} pair counts, b{r} the argmax
+    * merge, w{r} the re-symbolized vocabulary (LEFT JOIN ON TRUE so an
+    * exhausted corpus degrades to a no-op round exactly like the driver
+    * loop's stop). Returns (ctes, final vocab CTE name).
+    */
+  def sqlTrainCtes(n: Int): (String, String) = {
+    val w0 =
+      s"""w0 AS (SELECT word, count(*)::BIGINT AS freq,
+         |    ${sqlCharSyms("word")} AS syms
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '$AlphaWordRe')) AS word
+         |        FROM documents)
+         |  GROUP BY word)""".stripMargin
+    val rounds = (1 to n).map { r =>
+      s"""p$r AS (SELECT ss[i] AS x, ss[i + 1] AS y, freq
+         |  FROM (SELECT freq, string_split(syms, ' ') AS ss FROM w${r - 1}),
+         |    LATERAL unnest(range(1, len(ss))) t(i)),
+         |b$r AS (SELECT x, y, sum(freq)::BIGINT AS cnt FROM p$r
+         |  GROUP BY x, y ORDER BY cnt DESC, x, y LIMIT 1),
+         |w$r AS (SELECT w.word, w.freq,
+         |    CASE WHEN b.x IS NULL THEN w.syms ELSE
+         |      list_reduce(string_split(w.syms, ' '), (acc, s) -> CASE
+         |        WHEN regexp_extract(acc, '[^ ]*$$') = b.x AND s = b.y
+         |        THEN substr(acc, 1, length(acc)
+         |          - length(regexp_extract(acc, '[^ ]*$$'))) || b.x || b.y
+         |        ELSE acc || ' ' || s END)
+         |    END AS syms
+         |  FROM w${r - 1} w LEFT JOIN b$r b ON TRUE)""".stripMargin
+    }
+    ((w0 +: rounds).mkString(",\n"), s"w$n")
+  }
+
+  val sqlLearnedMerges: String = {
+    val (ctes, _) = sqlTrainCtes(NMerges)
+    val union = (1 to NMerges)
+      .map(r => s"SELECT $r AS merge_rank, x, y, cnt FROM b$r").mkString(" UNION ALL ")
+    s"""WITH $ctes
+       |SELECT merge_rank, x, y, cnt FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
+
+  val sqlTokenize: String = {
+    val (ctes, wN) = sqlTrainCtes(NMerges)
+    s"""WITH $ctes,
+       |tk AS (SELECT doc_id,
+       |    regexp_extract_all(lower(text), '${TextOps.BpePattern}') AS toks
+       |  FROM documents),
+       |pre AS (SELECT doc_id, i AS p, toks[i] AS tok
+       |  FROM tk, LATERAL unnest(range(1, len(toks) + 1)) t(i)),
+       |ws AS (SELECT pre.doc_id, pre.p,
+       |    coalesce(v.syms, ${sqlCharSyms("pre.tok")}) AS ts
+       |  FROM pre LEFT JOIN $wN v ON v.word = pre.tok),
+       |sy AS (SELECT doc_id, p, j AS q, ss[j] AS sym
+       |  FROM (SELECT doc_id, p, string_split(ts, ' ') AS ss FROM ws),
+       |    LATERAL unnest(range(1, len(ss) + 1)) t(j)),
+       |ids AS (SELECT sym, row_number() OVER (ORDER BY sym) AS id
+       |  FROM (SELECT DISTINCT sym FROM sy))
+       |SELECT sy.doc_id, count(*)::BIGINT AS n_bpe,
+       |  md5(string_agg(ids.id::VARCHAR, ',' ORDER BY sy.p, sy.q)) AS ids_md5
+       |FROM sy JOIN ids USING (sym)
+       |GROUP BY sy.doc_id ORDER BY sy.doc_id""".stripMargin
+  }
+}

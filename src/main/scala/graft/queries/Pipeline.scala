@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Curation, Dedup, EventWindows, Multimodal, Similarity, TextOps, Whiten}
+import graft.operators.{Bpe, Curation, Dedup, EventWindows, Multimodal, Similarity, TextOps, Whiten}
 
 /** Training-data pipeline suite: dedup family, text analysis, similarity
   * search, event-time windows — the 100 TB-scale operators beyond the
@@ -73,6 +73,15 @@ object Pipeline {
         .select(col("doc_id"), TextOps.bpeCount(col("text")).as("n_bpe"))
         .orderBy(col("doc_id"))
     },
+    // learned BPE: the distributed trainer's merge table, and the corpus
+    // tokenized with it (per-doc count + ordered token-id fingerprint)
+    QueryDef.sql("t10_bpe_merges", Bpe.sqlLearnedMerges) { (s, dir) =>
+      Bpe.learnedMerges(Tables.documents(s, dir))
+    },
+    QueryDef.sql("t11_bpe_apply", Bpe.sqlTokenize) { (s, dir) =>
+      Bpe.tokenize(Tables.documents(s, dir))
+    },
+
     // within-doc n-gram repetition ratio (Gopher/C4 repetition filter)
     QueryDef.sql("t8_repetition", TextOps.sqlRepetition) { (s, dir) =>
       TextOps.repetition(Tables.documents(s, dir))

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The BPE trainer against hand-computed merges (the classic
+  * low/lower/lowest corpus), the greedy-fold overlap semantics, and the
+  * apply path's count/ordering invariants.
+  */
+class BpeSpec extends AnyFunSuite {
+
+  test("trainer reproduces hand-computed merges on the classic corpus") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // words: low x3, lower x1, lowest x1
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.train(docs, nMerges = 4)
+    // round 1: (l,o)=5 ties (o,w)=5 -> left asc picks (l,o)
+    // round 2: (lo,w)=5    round 3: (low,e)=2
+    // round 4: (lowe,r)=1 ties (lowe,s)=1 and (s,t)=1 -> (x,y) asc
+    assert(merges == Seq(
+      (1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "low", "e", 2L),
+      (4, "lowe", "r", 1L)))
+    val syms = vocab.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(syms == Map("low" -> "low", "lower" -> "lower", "lowest" -> "lowe s t"))
+  }
+
+  test("merge fold is greedy left-to-right: overlapping pairs don't chain") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val out = Seq("a a a", "a a a a", "b a a", "a", "x y")
+      .toDF("syms")
+      .select(Bpe.applyMerge(col("syms"), "a", "a").as("m"))
+      .collect().map(_.getString(0))
+    assert(out.sameElements(Array("aa a", "aa aa", "b aa", "a", "x y")))
+  }
+
+  test("trainer stops early when nothing is left to merge") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // single-char words only: no adjacent pairs exist at all
+    val docs = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    val (merges, _) = Bpe.train(docs, nMerges = 5)
+    assert(merges.isEmpty)
+  }
+
+  test("apply: learned tokens, single-symbol marks/digits, stable id fingerprint") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val train = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val (_, vocab) = Bpe.train(train, nMerges = 4)
+    // "low lowest 7!" -> [low] [lowe s t] [7] [!] = 6 tokens
+    val docs = Seq((1L, "low lowest 7!"), (2L, "low low")).toDF("doc_id", "text")
+    val rows = Bpe.applyBpe(docs, vocab).collect()
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 6L, 2L -> 2L))
+    // determinism: same corpus, same fingerprints
+    val again = Bpe.applyBpe(docs, vocab).collect()
+    assert(rows.map(_.getString(2)).sameElements(again.map(_.getString(2))))
+    // doc 2 is "low low" -> the same id twice, comma-joined
+    val idsMd5 = rows.find(_.getLong(0) == 2L).get.getString(2)
+    val lowId = Bpe.applyBpe(Seq((9L, "low")).toDF("doc_id", "text"), vocab)
+      .collect()
+    assert(lowId.head.getLong(1) == 1L)
+    assert(idsMd5.nonEmpty)
+  }
+
+  test("merge count tie-breaks are (count desc, left asc, right asc)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // "ba" and "ab" both once: pairs (b,a)=1, (a,b)=1 -> (a,b) first
+    val docs = Seq((1L, "ba ab")).toDF("doc_id", "text")
+    val (merges, _) = Bpe.train(docs, nMerges = 1)
+    assert(merges == Seq((1, "a", "b", 1L)))
+  }
+}

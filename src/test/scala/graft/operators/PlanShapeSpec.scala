@@ -174,6 +174,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cross product expected in:\n$plan")
   }
 
+  test("BPE trainer round: pair counts partial-aggregate map-side; apply never shuffles the corpus stream") {
+    val spark = TestSpark.spark
+    val docs = graft.Tables.documents(spark, dir)
+    // the per-round aggregation is the trainer's hot loop: a heavy pair
+    // (think 'th'/'he' across a web corpus) must combine map-side, not ship
+    // every occurrence to one reducer
+    val plan = executed(Bpe.pairCounts(Bpe.initialWords(docs)))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final HashAggregate for pair counts in:\n$plan")
+    // apply: the vocab and id dimension tables broadcast; the corpus-sized
+    // symbol stream shuffles only for the per-doc aggregate
+    val (_, vocab) = Bpe.train(docs, nMerges = 2)
+    val applyPlan = executed(Bpe.applyBpe(docs, vocab))
+    assert("BroadcastHashJoin".r.findAllIn(applyPlan).size >= 2,
+      s"vocab and id joins must broadcast in:\n$applyPlan")
+    assert(!applyPlan.contains("CartesianProduct"), s"no cross product in:\n$applyPlan")
+  }
+
   test("training-order shuffle is one range exchange: no window, no single-reducer stage") {
     val plan = executed(Curation.shuffleOrder(graft.Tables.documents(TestSpark.spark, dir)))
     val exchanges = "Exchange".r.findAllIn(plan).size
