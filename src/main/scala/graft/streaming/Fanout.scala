@@ -113,6 +113,34 @@ object Fanout {
     } finally { batch.unpersist(); () }
   }
 
+  /** Approximate per-river cost attribution for the fused fanout action.
+    * The one action cannot be timed per river (the paradigm trade-off of
+    * single-scan mode), so each batch's measured wall clock is apportioned
+    * by a two-tier work model over the per-branch observations: every
+    * routed row costs one unit (parse + route), every PASSED row one more
+    * (it continues through the flow) — so a river passing more traffic
+    * attracts proportionally more of the batch wall. Weights aside, the
+    * invariant is exact by construction: the per-river "est_busy_nanos"
+    * entries of a batch sum to its wall clock (±1 ns rounding per river),
+    * so /metrics shows a defensible, conserved seconds estimate. A batch
+    * with no observed work splits evenly (idle overhead lands somewhere
+    * rather than vanishing).
+    */
+  def attributeCost(metrics: Seq[(String, Map[String, Any])], wallNanos: Long)
+      : Seq[(String, Map[String, Any])] = {
+    def cnt(m: Map[String, Any], k: String): Long =
+      m.get(k) match { case Some(l: Long) => l; case _ => 0L }
+    val weights = metrics.map { case (_, m) => cnt(m, "messages") + cnt(m, "passed") }
+    val total = weights.sum
+    metrics.zip(weights).map { case ((name, m), w) =>
+      val share =
+        if (total > 0) wallNanos.toDouble * w / total
+        else if (metrics.nonEmpty) wallNanos.toDouble / metrics.size
+        else 0.0
+      name -> (m + ("est_busy_nanos" -> share.round))
+    }
+  }
+
   /** Inside foreachBatch a flow runs as a per-batch BATCH job: keyed state
     * (flatMapGroupsWithState) and watermarked dedup restart EMPTY every
     * trigger — they would run without error and silently forget everything

@@ -164,6 +164,13 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
   // per-river routing counters accumulated across fanout batches — the
   // reference's per-listener message_counter kept alive in single-scan mode
   private val fanoutCounters = mutable.Map.empty[String, Map[String, Long]]
+  private val fanoutWall = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Total wall-clock spent routing fanout batches (nanos). The per-river
+    * est_busy_nanos entries in [[fanoutMetrics]] sum to this — the
+    * conservation law RapidSurfaceSpec pins.
+    */
+  def fanoutBusyNanos: Long = fanoutWall.get()
 
   /** Accumulated per-river routing metrics in fanout mode (river query name
     * -> messages/passed/precondition_failed/validation_failed/unparseable +
@@ -209,8 +216,13 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // unioned: all rivers' replies drain in ONE action per batch,
-          // which also fires every river's observed routing counters
-          recordFanoutMetrics(Fanout.routeBatchObserved(batch, regs)(collectReplies))
+          // which also fires every river's observed routing counters; the
+          // batch wall is measured here and apportioned per river
+          val t0 = System.nanoTime()
+          val observed = Fanout.routeBatchObserved(batch, regs)(collectReplies)
+          val wall = System.nanoTime() - t0
+          fanoutWall.addAndGet(wall)
+          recordFanoutMetrics(Fanout.attributeCost(observed, wall))
         }
         .queryName(s"$name-fanout")
         .start()

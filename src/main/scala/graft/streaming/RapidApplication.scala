@@ -181,8 +181,14 @@ object RapidApplication {
           s"""last_batch_input_rows{river="$q"}""" -> t.numInputRows.toDouble)
       }.toMap ++
         app.rapid.fanoutMetrics.flatMap { case (riverName, counts) =>
-          counts.map { case (metric, v) =>
-            s"""message_counter{river="$riverName",status="$metric"}""" -> v.toDouble
+          counts.map {
+            // per-river share of the fused batch wall (Fanout.attributeCost)
+            // — the closest defensible analogue of per-river
+            // on_packet_seconds that single-scan mode can offer
+            case ("est_busy_nanos", v) =>
+              s"""river_busy_seconds_estimate{river="$riverName"}""" -> v / 1e9
+            case (metric, v) =>
+              s"""message_counter{river="$riverName",status="$metric"}""" -> v.toDouble
           }
         }
 

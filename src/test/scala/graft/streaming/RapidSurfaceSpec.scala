@@ -151,6 +151,30 @@ class RapidSurfaceSpec extends AnyFunSuite {
     } finally Timers.detach(spark, timers)
   }
 
+  test("fanout cost attribution: per-river busy estimates sum to the batch wall") {
+    val spark = TestSpark.spark
+    val rapid = new MemoryRapid(spark, "fanout-cost", fanout = true)
+    Seq("a", "b").foreach { ev =>
+      rapid.register(River().precondition(Validation.requireValue("@event_name", ev))) {
+        r => r.passed.select(col("key"), col("value"))
+      }
+    }
+    // 3 messages for river a, 1 for b: a carries more passed traffic, so
+    // the cost model must hand it the larger share of the wall
+    Seq("a", "a", "b", "a").foreach(ev => rapid.sendTestMessage(s"""{"@event_name":"$ev"}"""))
+    val m = rapid.fanoutMetrics
+    val est = m.view.mapValues(_("est_busy_nanos")).toMap
+    assert(est.values.forall(_ > 0), s"every river gets a share: $est")
+    // conservation: estimates sum to the measured batch wall (rounding is
+    // at most 1 ns per river per batch; 4 sends = 4 batches here)
+    val slack = 4L * m.size
+    assert(math.abs(est.values.sum - rapid.fanoutBusyNanos) <= slack,
+      s"sum ${est.values.sum} vs wall ${rapid.fanoutBusyNanos}")
+    assert(est("fanout-cost-river-0") > est("fanout-cost-river-1"),
+      s"the river passing 3x the traffic must attract more wall: $est")
+    rapid.stop()
+  }
+
   test("lifecycle events publish on attach and query termination (RapidApplication.kt:94-139)") {
     val spark = TestSpark.spark
     val seen = scala.collection.mutable.ArrayBuffer.empty[String]
