@@ -126,15 +126,13 @@ object Bpe {
     train(docs)._1.toDF("merge_rank", "x", "y", "cnt").orderBy(col("merge_rank"))
   }
 
-  /** Tokenize every document with the trained vocabulary (t11): pre-tokens
-    * ([[TextOps.BpePattern]]) join the vocab for their final symbolization
-    * (non-alpha pre-tokens are single symbols; the char-split fallback also
-    * covers out-of-vocab alpha words for corpora the trainer didn't see),
-    * symbols get dense ids by sorted order over the distinct-symbol table,
-    * and each doc reports its token count plus the md5 of its ordered
-    * token-id stream — a full-fidelity fingerprint of the tokenization.
+  /** The corpus as a positioned symbol stream (doc_id, p, q, sym): every
+    * pre-token replaced by its trained symbolization. This is the
+    * streaming-safe core of [[applyBpe]] — stateless per-row expressions
+    * plus a broadcast stream-static vocab join, so the same plan tokenizes
+    * a live rapid (StreamingSpec proves it).
     */
-  def applyBpe(docs: DataFrame, vocab: DataFrame): DataFrame = {
+  def symbolStream(docs: DataFrame, vocab: DataFrame): DataFrame = {
     val pre = docs.select(col("doc_id"),
       posexplode(regexp_extract_all(lower(col("text")),
         lit(TextOps.BpePattern), lit(0))).as(Seq("p", "tok")))
@@ -143,10 +141,35 @@ object Bpe {
         pre("tok") === col("word"), "left")
       .select(col("doc_id"), col("p"),
         coalesce(col("syms"), charSyms(col("tok"))).as("ts"))
-    val symRows = withSyms.select(col("doc_id"), col("p"),
+    withSyms.select(col("doc_id"), col("p"),
       posexplode(split(col("ts"), " ")).as(Seq("q", "sym")))
-    val ids = symRows.select(col("sym")).distinct()
+  }
+
+  /** Dense token ids over the distinct symbols of a symbol stream — the
+    * id -> symbol table a training loader ships with the tokenized corpus.
+    * The window is over the DISTINCT-SYMBOL dimension table (O(alphabet +
+    * merges + distinct marks)), never corpus-sized.
+    */
+  def symbolIds(symRows: DataFrame): DataFrame =
+    symRows.select(col("sym")).distinct()
       .withColumn("id", row_number().over(Window.orderBy(col("sym"))))
+
+  /** The trained tokenizer's id table for this corpus (t12). */
+  def vocabulary(docs: DataFrame): DataFrame =
+    symbolIds(symbolStream(docs, train(docs)._2))
+      .select(col("id"), col("sym")).orderBy(col("id"))
+
+  /** Tokenize every document with the trained vocabulary (t11): pre-tokens
+    * ([[TextOps.BpePattern]]) join the vocab for their final symbolization
+    * (non-alpha pre-tokens are single symbols; the char-split fallback also
+    * covers out-of-vocab alpha words for corpora the trainer didn't see),
+    * symbols get dense ids from [[symbolIds]], and each doc reports its
+    * token count plus the md5 of its ordered token-id stream — a
+    * full-fidelity fingerprint of the tokenization.
+    */
+  def applyBpe(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val symRows = symbolStream(docs, vocab)
+    val ids = symbolIds(symRows)
     symRows.join(broadcast(ids), "sym")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bpe"),
@@ -202,10 +225,11 @@ object Bpe {
        |SELECT merge_rank, x, y, cnt FROM ($union) ORDER BY merge_rank""".stripMargin
   }
 
-  val sqlTokenize: String = {
-    val (ctes, wN) = sqlTrainCtes(NMerges)
-    s"""WITH $ctes,
-       |tk AS (SELECT doc_id,
+  /** Shared apply CTE block (pre-tokens -> symbol stream -> id table);
+    * exposes `sy(doc_id, p, q, sym)` and `ids(sym, id)`.
+    */
+  private def sqlApplyCtes(wN: String): String =
+    s"""tk AS (SELECT doc_id,
        |    regexp_extract_all(lower(text), '${TextOps.BpePattern}') AS toks
        |  FROM documents),
        |pre AS (SELECT doc_id, i AS p, toks[i] AS tok
@@ -217,7 +241,19 @@ object Bpe {
        |  FROM (SELECT doc_id, p, string_split(ts, ' ') AS ss FROM ws),
        |    LATERAL unnest(range(1, len(ss) + 1)) t(j)),
        |ids AS (SELECT sym, row_number() OVER (ORDER BY sym) AS id
-       |  FROM (SELECT DISTINCT sym FROM sy))
+       |  FROM (SELECT DISTINCT sym FROM sy))""".stripMargin
+
+  val sqlVocabulary: String = {
+    val (ctes, wN) = sqlTrainCtes(NMerges)
+    s"""WITH $ctes,
+       |${sqlApplyCtes(wN)}
+       |SELECT id, sym FROM ids ORDER BY id""".stripMargin
+  }
+
+  val sqlTokenize: String = {
+    val (ctes, wN) = sqlTrainCtes(NMerges)
+    s"""WITH $ctes,
+       |${sqlApplyCtes(wN)}
        |SELECT sy.doc_id, count(*)::BIGINT AS n_bpe,
        |  md5(string_agg(ids.id::VARCHAR, ',' ORDER BY sy.p, sy.q)) AS ids_md5
        |FROM sy JOIN ids USING (sym)

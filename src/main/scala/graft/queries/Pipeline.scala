@@ -81,6 +81,9 @@ object Pipeline {
     QueryDef.sql("t11_bpe_apply", Bpe.sqlTokenize) { (s, dir) =>
       Bpe.tokenize(Tables.documents(s, dir))
     },
+    QueryDef.sql("t12_bpe_vocab", Bpe.sqlVocabulary) { (s, dir) =>
+      Bpe.vocabulary(Tables.documents(s, dir))
+    },
 
     // within-doc n-gram repetition ratio (Gopher/C4 repetition filter)
     QueryDef.sql("t8_repetition", TextOps.sqlRepetition) { (s, dir) =>

@@ -66,6 +66,46 @@ class BpeSpec extends AnyFunSuite {
     assert(idsMd5.nonEmpty)
   }
 
+  test("invariants on a real corpus: symbolizations reconstruct words; merges only shrink") {
+    val spark = TestSpark.spark
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val (merges, vocab) = Bpe.train(docs)
+    assert(merges.size == Bpe.NMerges, s"corpus must support ${Bpe.NMerges} merges")
+    // lossless: stripping the symbolization's separators gives the word back
+    val rows = vocab.collect()
+    rows.foreach { r =>
+      assert(r.getString(2).replace(" ", "") == r.getString(0),
+        s"symbolization must reconstruct '${r.getString(0)}'")
+    }
+    // merges strictly decrease total symbol count vs char-split
+    val symCount = rows.map(_.getString(2).split(" ").length.toLong).sum
+    val charCount = rows.map(_.getString(0).length.toLong).sum
+    assert(symCount < charCount, s"$symCount symbols vs $charCount chars")
+    assert(merges.map(_._1) == (1 to merges.size))
+    assert(merges.forall(_._4 > 0))
+  }
+
+  test("streaming tokenization: the symbol stream runs on a live stream with the static vocab") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val train = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val (_, vocab) = Bpe.train(train, nMerges = 4)
+    val input = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]], spark)
+    val counts = Bpe.symbolStream(input.toDF().toDF("doc_id", "text"), vocab)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bpe"))
+    val q = counts.writeStream.outputMode("update")
+      .format("memory").queryName("stream_bpe").start()
+    input.addData((1L, "low lowest 7!"), (2L, "low low"))
+    q.processAllAvailable()
+    val got = spark.table("stream_bpe").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    // identical to the batch apply: [low] [lowe s t] [7] [!] = 6; [low low] = 2
+    assert(got == Map(1L -> 6L, 2L -> 2L))
+  }
+
   test("merge count tie-breaks are (count desc, left asc, right asc)") {
     val spark = TestSpark.spark
     import spark.implicits._
