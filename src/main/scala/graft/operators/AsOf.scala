@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-time AS-OF join — the classic operator Spark lacks natively: each
+  * left row matched to the LATEST right row with ts_right <= ts_left within
+  * its key (trade-to-quote, event-to-dimension-version, click-to-view
+  * attribution).
+  *
+  * Why not a join: Spark plans a `l.key = r.key AND r.ts <= l.ts` join with
+  * a per-key NESTED LOOP over right rows (and keeps EVERY match, needing a
+  * rank-1 window on an |L|x|R|-per-key intermediate) — quadratic per key,
+  * the 100 TB anti-pattern. The scale-correct composition: tag both sides,
+  * union, ONE hash shuffle on the key, one partition-local sort, and a
+  * running ignore-nulls last_value window — O(n log n) per partition, no
+  * pair blowup, no broadcast. PlanShapeSpec locks the no-nested-loop shape;
+  * DuckDB's native ASOF JOIN is the oracle, pinning the semantics
+  * (inclusive <=, latest-wins) cross-engine.
+  *
+  * Right rows must be unique per (key, ts) — pre-aggregate duplicates (the
+  * w7 query takes max view per instant); "latest at t" is ill-defined in
+  * both engines otherwise. The payload must be non-null on right rows (a
+  * null payload is indistinguishable from "no match yet" to the running
+  * last_value).
+  */
+object AsOf {
+
+  /** Left rows + (`__match` = latest right payload, `__mts` = its ts), null
+    * when no right row precedes. Left columns pass through unchanged.
+    */
+  def asOf(left: DataFrame, key: String, leftTs: String,
+           right: DataFrame, rightTs: String, payload: String): DataFrame = {
+    val payType = right.schema(payload).dataType
+    val l = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
+      lit(1).as("__side"), lit(null).cast(payType).as("__pay"),
+      struct(left.columns.map(col): _*).as("__row"))
+    val rowType = l.schema("__row").dataType
+    val r = right.select(col(key).as("__k"), col(rightTs).as("__ts"),
+      lit(0).as("__side"), col(payload).as("__pay"),
+      lit(null).cast(rowType).as("__row"))
+    // right rows sort BEFORE left rows at the same instant => inclusive <=
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .withColumn("__mts",
+        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((left.columns.map(c => col(s"__row.$c")) :+ col("__match") :+ col("__mts")): _*)
+  }
+
+  /** Click-to-view attribution over the events table (w7): every click
+    * matched to the user's latest preceding (or simultaneous) view, with
+    * the microsecond gap — unmatched clicks keep a null attribution.
+    */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("vts"))
+      .agg(max(col("event_id")).as("view_id"))
+    asOf(clicks, "user_id", "ts", views, "vts", "view_id")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("__match").as("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("__mts"))).as("gap_us"))
+      .orderBy(col("click_id"))
+  }
+
+  val sqlClickAttribution: String =
+    """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      |v AS (SELECT user_id, ts AS vts, max(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT c.event_id AS click_id, c.user_id, v.view_id,
+      |  (epoch_us(c.ts) - epoch_us(v.vts))::BIGINT AS gap_us
+      |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.vts <= c.ts
+      |ORDER BY click_id""".stripMargin
+}

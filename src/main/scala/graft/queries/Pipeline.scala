@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bpe, Curation, Dedup, EventWindows, Multimodal, Similarity, TextOps, Whiten}
+import graft.operators.{AsOf, Bpe, Curation, Dedup, EventWindows, Multimodal, Similarity, TextOps, Whiten}
 
 /** Training-data pipeline suite: dedup family, text analysis, similarity
   * search, event-time windows — the 100 TB-scale operators beyond the
@@ -135,6 +135,11 @@ object Pipeline {
     },
     QueryDef.sql("w3_latest_per_key", EventWindows.sqlLatestPerUser) { (s, dir) =>
       EventWindows.latestPerUser(Tables.events(s, dir))
+    },
+    // event-time AS-OF join (click -> latest preceding view, per user);
+    // oracle is DuckDB's NATIVE ASOF JOIN, pinning the semantics
+    QueryDef.sql("w7_asof", AsOf.sqlClickAttribution) { (s, dir) =>
+      AsOf.clickAttribution(Tables.events(s, dir))
     },
 
     // -------- composed cleaning pipeline: the operators chained the way a

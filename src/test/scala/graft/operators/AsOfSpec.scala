@@ -1,0 +1,46 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** AS-OF join semantics on a hand-computed fixture: inclusive <=,
+  * latest-wins, null before the first right row, per-key isolation.
+  */
+class AsOfSpec extends AnyFunSuite {
+
+  private def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+
+  test("each left row matches the latest right row at or before it, per key") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val clicks = Seq(
+      (1L, ts(0), 100L), // before any view -> null
+      (1L, ts(2), 101L), // between views  -> view at t1
+      (1L, ts(3), 102L), // simultaneous   -> view at t3 (inclusive <=)
+      (1L, ts(9), 103L), // after all      -> latest view t3
+      (2L, ts(5), 104L)  // other user: only ITS views count -> null
+    ).toDF("user_id", "ts", "event_id")
+    val views = Seq((1L, ts(1), 900L), (1L, ts(3), 901L))
+      .toDF("user_id", "vts", "view_id")
+    val got = AsOf.asOf(clicks, "user_id", "ts", views, "vts", "view_id")
+      .select(col("event_id"), col("__match"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got == Map(100L -> -1L, 101L -> 900L, 102L -> 901L, 103L -> 901L, 104L -> -1L))
+  }
+
+  test("matched timestamp rides along and left columns pass through") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val left = Seq((1L, ts(5), "payload")).toDF("k", "t", "extra")
+    val right = Seq((1L, ts(2), 7L)).toDF("k", "rt", "v")
+    val r = AsOf.asOf(left, "k", "t", right, "rt", "v").collect().head
+    assert(r.getAs[String]("extra") == "payload")
+    assert(r.getAs[Long]("__match") == 7L)
+    assert(r.getAs[Timestamp]("__mts") == ts(2))
+  }
+}

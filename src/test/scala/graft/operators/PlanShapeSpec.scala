@@ -174,6 +174,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cross product expected in:\n$plan")
   }
 
+  test("as-of join plans as union+window: no nested loop, no cartesian, no pair blowup") {
+    val spark = TestSpark.spark
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(AsOf.clickAttribution(graft.Tables.events(spark, dir)))
+      // the naive ts-inequality join Spark would otherwise plan
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"as-of must never plan a per-key nested loop:\n$plan")
+      assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+        s"expected the running last_value window in:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"union+window form has NO join at all:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("BPE trainer round: pair counts partial-aggregate map-side; apply never shuffles the corpus stream") {
     val spark = TestSpark.spark
     val docs = graft.Tables.documents(spark, dir)
