@@ -77,3 +77,67 @@ object AsOf {
       |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.vts <= c.ts
       |ORDER BY click_id""".stripMargin
 }
+
+/** Banded event-time RANGE join — as-of's sibling among the operators
+  * Spark lacks a scale-safe plan for: all (left, right) pairs within a key
+  * where ts_right lands in [ts_left, ts_left + window].
+  *
+  * A direct `l.key = r.key AND r.ts BETWEEN ...` join keeps the range
+  * predicate OUT of the hash key — Spark equi-joins on the key alone and
+  * post-filters, so one hot key (a bot user, a boilerplate domain) owns an
+  * |L|x|R| pair blowup on a single reducer. The banded form quantizes time
+  * into window-width buckets and makes the BUCKET part of the equi-join
+  * key: a left row joins only buckets b and b+1 (the two a window starting
+  * inside bucket b can reach), so candidate volume is bounded by temporal
+  * co-location, not by key cardinality — the same blocking idea as
+  * [[Dedup.editDistancePairs]] and the LSH band join, applied to time.
+  * Candidates then pass the exact range filter; a pair appears exactly
+  * once (the right row lives in one bucket).
+  */
+object RangeJoin {
+
+  /** Attribution window (microseconds) for the w8 query: purchases within
+    * 6 hours of a signup.
+    */
+  val WindowUs: Long = 6L * 3600 * 1000000
+
+  /** All (left, right) pairs with rightTs in [leftTs, leftTs + windowUs]
+    * per key. Caller renames columns so the two sides don't collide.
+    */
+  def banded(left: DataFrame, key: String, leftTs: String,
+             right: DataFrame, rightTs: String, windowUs: Long): DataFrame = {
+    // integer `div` keeps bucket math exact at epoch-micros magnitudes
+    val lb = expr(s"unix_micros($leftTs) div $windowUs")
+    val l = left.withColumn("__b", explode(array(lb, lb + 1)))
+    val r = right.withColumn("__b", expr(s"unix_micros($rightTs) div $windowUs"))
+    l.join(r, Seq(key, "__b"))
+      .filter((unix_micros(col(rightTs)) - unix_micros(col(leftTs)))
+        .between(0, windowUs))
+      .drop("__b")
+  }
+
+  /** Signup-to-purchase attribution (w8): every purchase within
+    * [[WindowUs]] of the same user's signup, with the microsecond gap.
+    */
+  def signupPurchases(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("sts"), col("event_id").as("signup_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+    banded(signups, "user_id", "sts", purchases, "pts", WindowUs)
+      .select(col("signup_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("pts")) - unix_micros(col("sts"))).as("gap_us"))
+      .orderBy(col("signup_id"), col("purchase_id"))
+  }
+
+  val sqlSignupPurchases: String =
+    s"""WITH s AS (SELECT user_id, ts AS sts, event_id AS signup_id
+       |  FROM events WHERE event_type = 'signup'),
+       |p AS (SELECT user_id, ts AS pts, event_id AS purchase_id
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT s.signup_id, p.purchase_id, s.user_id,
+       |  (epoch_us(p.pts) - epoch_us(s.sts))::BIGINT AS gap_us
+       |FROM s JOIN p ON s.user_id = p.user_id
+       |  AND epoch_us(p.pts) - epoch_us(s.sts) BETWEEN 0 AND $WindowUs
+       |ORDER BY signup_id, purchase_id""".stripMargin
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOf, Bpe, Curation, Dedup, EventWindows, Multimodal, Similarity, TextOps, Whiten}
+import graft.operators.{AsOf, Bpe, Curation, Dedup, EventWindows, Multimodal, RangeJoin, Similarity, TextOps, Whiten}
 
 /** Training-data pipeline suite: dedup family, text analysis, similarity
   * search, event-time windows — the 100 TB-scale operators beyond the
@@ -140,6 +140,12 @@ object Pipeline {
     // oracle is DuckDB's NATIVE ASOF JOIN, pinning the semantics
     QueryDef.sql("w7_asof", AsOf.sqlClickAttribution) { (s, dir) =>
       AsOf.clickAttribution(Tables.events(s, dir))
+    },
+    // banded range join (purchases within a window of the user's signup):
+    // the time bucket is part of the equi-join key, so a hot user cannot
+    // own an |L|x|R| pair blowup on one reducer
+    QueryDef.sql("w8_range_join", RangeJoin.sqlSignupPurchases) { (s, dir) =>
+      RangeJoin.signupPurchases(Tables.events(s, dir))
     },
 
     // -------- composed cleaning pipeline: the operators chained the way a

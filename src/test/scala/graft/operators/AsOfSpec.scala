@@ -33,6 +33,24 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == Map(100L -> -1L, 101L -> 900L, 102L -> 901L, 103L -> 901L, 104L -> -1L))
   }
 
+  test("banded range join finds exactly the in-window pairs, each once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // window = 10s; left at t5 reaches [5, 15]: catches t5 (inclusive
+    // start), t12 (bucket boundary crossed), t15 (inclusive end); misses
+    // t4 (before) and t16 (after). Pair (t5, t12) spans two buckets —
+    // the explode must find it exactly once.
+    val left = Seq((1L, ts(5), 10L)).toDF("k", "lt", "lid")
+    val right = Seq((1L, ts(4), 20L), (1L, ts(5), 21L), (1L, ts(12), 22L),
+      (1L, ts(15), 23L), (1L, ts(16), 24L), (2L, ts(6), 25L))
+      .toDF("k", "rt", "rid")
+    val got = RangeJoin.banded(left, "k", "lt", right, "rt", 10L * 1000000).collect()
+      .map(r => (r.getAs[Long]("lid"), r.getAs[Long]("rid")))
+    assert(got.sorted.sameElements(Array((10L, 21L), (10L, 22L), (10L, 23L))),
+      s"got ${got.toSeq}")
+    assert(got.length == got.distinct.length, "each pair exactly once")
+  }
+
   test("matched timestamp rides along and left columns pass through") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -190,6 +190,22 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("range join equi-joins on (key, time bucket): no nested loop, no post-filter-only key join") {
+    val spark = TestSpark.spark
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(RangeJoin.signupPurchases(graft.Tables.events(spark, dir)))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"range join must never nested-loop:\n$plan")
+      // the bucket must be IN the join key (a key-only join with the range
+      // as post-filter lets one hot key own an |L|x|R| blowup)
+      assert(plan.contains("__b"), s"expected the time bucket in the join key:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join on (key, bucket):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("BPE trainer round: pair counts partial-aggregate map-side; apply never shuffles the corpus stream") {
     val spark = TestSpark.spark
     val docs = graft.Tables.documents(spark, dir)
