@@ -277,6 +277,58 @@ object TextOps {
        |  FROM sc) WHERE rnk <= $k
        |ORDER BY doc_id, rnk""".stripMargin
 
+  /** Unigram-LM surprisal per document (t13) — the oracle-checkable core of
+    * the CCNet/KenLM-style perplexity quality filter: train a unigram model
+    * on the corpus (add-one smoothing over the observed vocabulary), score
+    * every document by its mean per-token surprisal in bits. Boilerplate
+    * and in-distribution text scores low; rare-token noise scores high —
+    * the standard "too surprising to be clean text" signal, here with an
+    * exactly-reproducible model so both engines agree to the bit.
+    *
+    * Scale shape: ONE corpus pass builds the token-count model
+    * (partial-aggregated); the two scalars (total tokens, vocab size) are a
+    * broadcast single-row aggregate; scoring joins the exploded token
+    * stream against the count table on the token key (AQE splits hot
+    * stopword keys) and partial-aggregates the per-doc mean. Nothing
+    * corpus-sized is broadcast.
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val counts = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val scored = toks.join(counts, "t")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (-log2((col("c") + 1.0) / (col("n") + col("v")))).as("bits"))
+    docs.select(col("doc_id"))
+      .join(scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), round(avg(col("bits")), 4).as("bits_per_token")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        // zero-token docs: pin the empty mean to 0.0 in both engines
+        coalesce(col("bits_per_token"), lit(0.0)).as("bits_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlUnigramSurprisal: String = {
+    val toks = Portable.sqlTokens("text")
+    s"""WITH tk AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+       |counts AS (SELECT t, count(*)::BIGINT AS c FROM tk GROUP BY t),
+       |totals AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM counts),
+       |scored AS (SELECT tk.doc_id,
+       |    -log2((counts.c + 1.0) / (totals.n + totals.v)) AS bits
+       |  FROM tk JOIN counts USING (t), totals),
+       |per AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |    round(avg(bits), 4) AS bits_per_token
+       |  FROM scored GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+       |  coalesce(per.bits_per_token, 0.0) AS bits_per_token
+       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Document fingerprints: md5 of normalized text (exact-dup key) plus a
     * position-weighted rolling token-hash mod P (order-sensitive content
     * fingerprint, robust to the oracle: pure integer arithmetic).

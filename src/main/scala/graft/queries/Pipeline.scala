@@ -84,6 +84,11 @@ object Pipeline {
     QueryDef.sql("t12_bpe_vocab", Bpe.sqlVocabulary) { (s, dir) =>
       Bpe.vocabulary(Tables.documents(s, dir))
     },
+    // unigram-LM surprisal (the CCNet-style perplexity quality filter with
+    // an exactly-reproducible model)
+    QueryDef.sql("t13_surprisal", TextOps.sqlUnigramSurprisal) { (s, dir) =>
+      TextOps.unigramSurprisal(Tables.documents(s, dir))
+    },
 
     // within-doc n-gram repetition ratio (Gopher/C4 repetition filter)
     QueryDef.sql("t8_repetition", TextOps.sqlRepetition) { (s, dir) =>
