@@ -287,22 +287,26 @@ object TextOps {
     *
     * Scale shape: ONE corpus pass builds the token-count model
     * (partial-aggregated); the two scalars (total tokens, vocab size) are a
-    * broadcast single-row aggregate; scoring joins the exploded token
-    * stream against the count table on the token key (AQE splits hot
-    * stopword keys) and partial-aggregates the per-doc mean. Nothing
-    * corpus-sized is broadcast.
+    * broadcast single-row aggregate. Scoring joins per-doc TERM FREQUENCIES
+    * (map-side combined on (doc, token) BEFORE any shuffle) against the
+    * count table on the token key — so a hot stopword ships docs-containing
+    * rows through the exchange, not every occurrence; AQE splits whatever
+    * skew remains. The per-doc mean is the tf-weighted average, identical
+    * arithmetic in the oracle. Nothing corpus-sized is broadcast.
     */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-    val counts = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy(col("t")).agg(sum(col("tf")).as("c"))
     val totals = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
-    val scored = toks.join(counts, "t")
+    val scored = tf.join(counts, "t")
       .crossJoin(broadcast(totals))
-      .select(col("doc_id"),
-        (-log2((col("c") + 1.0) / (col("n") + col("v")))).as("bits"))
+      .select(col("doc_id"), col("tf"),
+        (col("tf") * -log2((col("c") + 1.0) / (col("n") + col("v")))).as("wbits"))
     docs.select(col("doc_id"))
       .join(scored.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), round(avg(col("bits")), 4).as("bits_per_token")),
+        .agg(sum(col("tf")).as("n_tokens"),
+          round(sum(col("wbits")) / sum(col("tf")), 4).as("bits_per_token")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
@@ -314,13 +318,14 @@ object TextOps {
   def sqlUnigramSurprisal: String = {
     val toks = Portable.sqlTokens("text")
     s"""WITH tk AS (SELECT doc_id, unnest($toks) AS t FROM documents),
-       |counts AS (SELECT t, count(*)::BIGINT AS c FROM tk GROUP BY t),
+       |tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+       |counts AS (SELECT t, sum(tf)::BIGINT AS c FROM tf GROUP BY t),
        |totals AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM counts),
-       |scored AS (SELECT tk.doc_id,
-       |    -log2((counts.c + 1.0) / (totals.n + totals.v)) AS bits
-       |  FROM tk JOIN counts USING (t), totals),
-       |per AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
-       |    round(avg(bits), 4) AS bits_per_token
+       |scored AS (SELECT tf.doc_id, tf.tf,
+       |    tf.tf * -log2((counts.c + 1.0) / (totals.n + totals.v)) AS wbits
+       |  FROM tf JOIN counts USING (t), totals),
+       |per AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+       |    round(sum(wbits) / sum(tf), 4) AS bits_per_token
        |  FROM scored GROUP BY doc_id)
        |SELECT d.doc_id,
        |  coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
