@@ -18,6 +18,13 @@ import org.apache.spark.sql.SparkSession
   * BENCH_r06 and had to be refuted by hand. "queries" carries the MINIMUM
   * across passes (steady-state throughput), "queries_median" the MEDIAN,
   * and "noisy" lists queries whose max/min spread exceeds 3x.
+  *
+  * Codegen-cache note: interleaving could in principle evict a query's
+  * generated classes between its samples (the codegen cache is bounded)
+  * and make every timed run recompilation-cold. Measured NOT to happen at
+  * this query count: interleaved per-query minima land at or below the
+  * old batched protocol's (m2 0.51 vs 1.10, m4 0.44 vs 1.19 at sf0.1),
+  * with no codegen-cold multi-second samples anywhere in the list.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -37,9 +37,15 @@ object AsOf {
       lit(1).as("__side"), lit(null).cast(payType).as("__pay"),
       struct(left.columns.map(col): _*).as("__row"))
     val rowType = l.schema("__row").dataType
-    val r = right.select(col(key).as("__k"), col(rightTs).as("__ts"),
-      lit(0).as("__side"), col(payload).as("__pay"),
-      lit(null).cast(rowType).as("__row"))
+    // join semantics on NULL keys: a null never matches anything. The
+    // window's partitionBy would group null keys TOGETHER (unlike a join),
+    // so null-key right rows are dropped — null-key left rows then share
+    // their partition only with each other, see only null payloads, and
+    // come out unmatched, exactly like DuckDB's ASOF LEFT JOIN.
+    val r = right.filter(col(key).isNotNull)
+      .select(col(key).as("__k"), col(rightTs).as("__ts"),
+        lit(0).as("__side"), col(payload).as("__pay"),
+        lit(null).cast(rowType).as("__row"))
     // right rows sort BEFORE left rows at the same instant => inclusive <=
     val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

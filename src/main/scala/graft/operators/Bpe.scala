@@ -95,7 +95,11 @@ object Bpe {
   /** Train: returns the learned merges (rank, x, y, count) and the final
     * vocabulary (word, freq, syms). An ACTION like the CC loop — each round
     * aggregates the vocabulary table, collects the one-row argmax, applies
-    * the merge with literal x/y, and checkpoints.
+    * the merge with literal x/y, and checkpoints. The returned vocabulary
+    * is a live localCheckpoint: like kmeansModel's outputs, its blocks are
+    * released by the ContextCleaner with the RDD once the caller drops the
+    * frame (callers that never execute it, e.g. [[learnedMerges]],
+    * unpersist eagerly instead).
     */
   def train(docs: DataFrame, nMerges: Int = NMerges)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
@@ -123,7 +127,11 @@ object Bpe {
   def learnedMerges(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    train(docs)._1.toDF("merge_rank", "x", "y", "cnt").orderBy(col("merge_rank"))
+    val (merges, words) = train(docs)
+    // the merges are driver-side already; release the vocabulary
+    // checkpoint now instead of waiting for the ContextCleaner
+    words.unpersist()
+    merges.toDF("merge_rank", "x", "y", "cnt").orderBy(col("merge_rank"))
   }
 
   /** The corpus as a positioned symbol stream (doc_id, p, q, sym): every
@@ -168,7 +176,12 @@ object Bpe {
     * full-fidelity fingerprint of the tokenization.
     */
   def applyBpe(docs: DataFrame, vocab: DataFrame): DataFrame = {
-    val symRows = symbolStream(docs, vocab)
+    // cached because two consumers read the corpus-sized stream (the id
+    // table's distinct and the scoring join) — without it the corpus is
+    // scanned and re-tokenized twice. Same session-cache trade-off as
+    // Dedup.jaccardPairs' shingle index: long-lived multi-job sessions
+    // bound storage with spark.catalog.clearCache() between runs.
+    val symRows = symbolStream(docs, vocab).cache()
     val ids = symbolIds(symRows)
     symRows.join(broadcast(ids), "sym")
       .groupBy(col("doc_id"))

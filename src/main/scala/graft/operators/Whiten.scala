@@ -89,7 +89,16 @@ object Whiten {
     for (j <- 0 until n) {
       var s = 0.0
       for (k <- 0 until j) s = s + l(j)(k) * l(j)(k)
-      l(j)(j) = math.sqrt(cov(j)(j) + DiagEps - s)
+      val pivot = cov(j)(j) + DiagEps - s
+      // a non-positive pivot means dimension j is (numerically) a linear
+      // combination of dims < j: sqrt would go NaN and silently poison
+      // every whitened vector downstream — fail loudly instead
+      require(pivot > 0,
+        s"covariance is not positive definite at dim $j (pivot $pivot): " +
+          "a leading embedding dimension is linearly dependent on earlier " +
+          "ones — whitening this subspace is ill-defined; drop or reorder " +
+          "the degenerate dimension")
+      l(j)(j) = math.sqrt(pivot)
       for (i <- j + 1 until n) {
         var t = 0.0
         for (k <- 0 until j) t = t + l(i)(k) * l(j)(k)

@@ -33,6 +33,22 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == Map(100L -> -1L, 101L -> 900L, 102L -> 901L, 103L -> 901L, 104L -> -1L))
   }
 
+  test("null join keys never match — join semantics, not window-partition semantics") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val clicks = Seq((Option.empty[Long], ts(5), 100L), (Some(1L), ts(5), 101L))
+      .toDF("user_id", "ts", "event_id")
+    val views = Seq((Option.empty[Long], ts(1), 900L), (Some(1L), ts(1), 901L))
+      .toDF("user_id", "vts", "view_id")
+    val got = AsOf.asOf(clicks, "user_id", "ts", views, "vts", "view_id")
+      .select(col("event_id"), col("__match"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // the null-key click must NOT attribute to the null-key view (an ASOF
+    // JOIN never matches NULL = NULL); the real key still matches
+    assert(got == Map(100L -> -1L, 101L -> 901L))
+  }
+
   test("banded range join finds exactly the in-window pairs, each once") {
     val spark = TestSpark.spark
     import spark.implicits._
