@@ -379,6 +379,55 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------- adaptive quality gate
+
+  /** Per-source ADAPTIVE quality gate (p15): keep documents scoring at or
+    * above their OWN source's median quality — a fixed global threshold
+    * over-prunes clean sources and under-prunes noisy ones; the
+    * per-source median adapts automatically (the CCNet bucketing idea
+    * collapsed to a keep/drop gate). Quality is the same blended t2 score,
+    * so the gate composes with [[budgetSelect]]'s ordering.
+    *
+    * Scale shape: one partial-aggregated score pass; the per-source
+    * thresholds are a ONE-ROW-PER-SOURCE aggregate joined back
+    * (AQE-broadcast). Exact `percentile` here is the oracle-checkable twin
+    * (DuckDB quantile_cont, same interpolation — the q13 precedent); at
+    * 100 TB the gate swaps in `percentile_approx` with a tolerance check,
+    * exactly the q13 → q19 sketch relationship.
+    */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    val toks = Portable.tokens(col("text"))
+    val n = size(toks).cast("double")
+    val stops = TextOps.tokenHits(col("text"), TextOps.Stopwords).cast("double")
+    val scored = docs.select(col("doc_id"), col("source"),
+      when(n === 0, lit(0.0))
+        .otherwise(round(least(n / lit(200.0), lit(1.0)) * 0.5 + (stops / n) * 0.5, 4))
+        .as("quality_score"))
+    val thr = scored.groupBy(col("source"))
+      .agg(percentile(col("quality_score"), lit(0.5)).as("thr"))
+    scored.join(thr, "source")
+      .filter(col("quality_score") >= col("thr"))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        round(col("thr"), 6).as("source_median"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sqlQualityGate: String = {
+    val toks = Portable.sqlTokens("text")
+    val stops = TextOps.sqlTokenHits("text", TextOps.Stopwords)
+    s"""WITH scored AS (SELECT doc_id, source,
+       |    CASE WHEN len($toks) = 0 THEN 0.0
+       |      ELSE round(least(len($toks) / 200.0, 1.0) * 0.5
+       |        + ($stops::DOUBLE / len($toks)) * 0.5, 4) END AS quality_score
+       |  FROM documents),
+       |thr AS (SELECT source, quantile_cont(quality_score, 0.5) AS thr
+       |  FROM scored GROUP BY source)
+       |SELECT s.doc_id, s.source, s.quality_score, round(t.thr, 6) AS source_median
+       |FROM scored s JOIN thr t USING (source)
+       |WHERE s.quality_score >= t.thr
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   // ------------------------------------------- segment-level dedup
 
   /** Non-overlapping segment width (tokens) for sub-document dedup. */

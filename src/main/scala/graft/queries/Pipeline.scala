@@ -239,6 +239,11 @@ object Pipeline {
       Curation.shuffleOrder(Tables.documents(s, dir))
     },
 
+    // -------- per-source adaptive quality gate (keep >= source median)
+    QueryDef.sql("p15_quality_gate", Curation.sqlQualityGate) { (s, dir) =>
+      Curation.qualityGate(Tables.documents(s, dir))
+    },
+
     // -------- sub-document (segment/paragraph) dedup
     QueryDef.sql("p8_segment_dedup", Curation.sqlSegmentDedup) { (s, dir) =>
       Curation.segmentDedup(Tables.documents(s, dir))
