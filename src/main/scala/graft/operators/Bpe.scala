@@ -176,12 +176,14 @@ object Bpe {
     * full-fidelity fingerprint of the tokenization.
     */
   def applyBpe(docs: DataFrame, vocab: DataFrame): DataFrame = {
-    // cached because two consumers read the corpus-sized stream (the id
-    // table's distinct and the scoring join) — without it the corpus is
-    // scanned and re-tokenized twice. Same session-cache trade-off as
-    // Dedup.jaccardPairs' shingle index: long-lived multi-job sessions
-    // bound storage with spark.catalog.clearCache() between runs.
-    val symRows = symbolStream(docs, vocab).cache()
+    // materialized ONCE because two consumers read the corpus-sized stream
+    // (the id table's distinct and the scoring join) — without it the
+    // corpus is scanned and re-tokenized twice. localCheckpoint, NOT
+    // cache(): each invocation trains a fresh vocab so the plan is never
+    // identical, and a plan-keyed cache entry would pin storage for the
+    // session per call — checkpoint blocks are released by the
+    // ContextCleaner with the RDD instead (the kmeansModel rationale).
+    val symRows = symbolStream(docs, vocab).localCheckpoint(true)
     val ids = symbolIds(symRows)
     symRows.join(broadcast(ids), "sym")
       .groupBy(col("doc_id"))

@@ -216,11 +216,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       s"expected partial+final HashAggregate for pair counts in:\n$plan")
     // apply: the vocab and id dimension tables broadcast; the corpus-sized
-    // symbol stream shuffles only for the per-doc aggregate
+    // symbol stream shuffles only for the per-doc aggregate. The vocab
+    // join lives in the symbol-stream plan (materialized once via
+    // localCheckpoint); the id join in the aggregate plan above it.
     val (_, vocab) = Bpe.train(docs, nMerges = 2)
+    val streamPlan = executed(Bpe.symbolStream(docs, vocab))
+    assert(streamPlan.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast in:\n$streamPlan")
     val applyPlan = executed(Bpe.applyBpe(docs, vocab))
-    assert("BroadcastHashJoin".r.findAllIn(applyPlan).size >= 2,
-      s"vocab and id joins must broadcast in:\n$applyPlan")
+    assert(applyPlan.contains("BroadcastHashJoin"),
+      s"id join must broadcast in:\n$applyPlan")
     assert(!applyPlan.contains("CartesianProduct"), s"no cross product in:\n$applyPlan")
   }
 
