@@ -137,6 +137,51 @@ object Similarity {
        |FROM qt LEFT JOIN ex ON ex.qid = qt.qid AND ex.vec_id = qt.vec_id
        |ORDER BY qt.qid, qt.rnk""".stripMargin
 
+  /** Per-label int8 quantization error budget (c5): the cosine between
+    * each vector and its int8-quantize-then-reconstruct round trip,
+    * aggregated per coarse cell — the error-measurement companion to
+    * [[knnQuantized]]'s recall flag. A cell whose avg reconstruction
+    * cosine drifts from ~1.0 is where the symmetric per-vector grid is
+    * too coarse and the 100 TB store should keep that cell at fp16.
+    *
+    * Pure per-row codegen (quantize, reconstruct, one dot product) plus a
+    * partial-aggregated per-label mean — the corpus is scanned once and
+    * only (label, stats) rows shuffle.
+    */
+  def quantError(emb: DataFrame): DataFrame = {
+    val e = vecs(emb)
+      .withColumn("scale",
+        greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-12)))
+      .withColumn("r",
+        transform(col("v"), x => round(x / col("scale") * 127, 0) * col("scale") / 127))
+    val denom = norm(col("v")) * norm(col("r"))
+    val cosRt = when(denom === 0, lit(1.0)) // zero vector reconstructs exactly
+      .otherwise(dot(col("v"), col("r")) / denom)
+    e.select(col("label"), cosRt.as("c"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("c")), 6).as("avg_cos"),
+        round(min(col("c")), 6).as("min_cos"))
+      .orderBy(col("label"))
+  }
+
+  val sqlQuantError: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |qz AS (SELECT vec_id, label, v,
+      |    list_transform(v, x -> round(
+      |        x / greatest(list_max(list_transform(v, y -> abs(y))), 1e-12) * 127)
+      |      * greatest(list_max(list_transform(v, y -> abs(y))), 1e-12) / 127) AS r
+      |  FROM e),
+      |sc AS (SELECT label,
+      |    CASE WHEN sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(r, r)) = 0
+      |      THEN 1.0
+      |      ELSE list_dot_product(v, r)
+      |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(r, r))) END AS c
+      |  FROM qz)
+      |SELECT label, count(*)::BIGINT AS n,
+      |  round(avg(c), 6) AS avg_cos, round(min(c), 6) AS min_cos
+      |FROM sc GROUP BY label ORDER BY label""".stripMargin
+
   /** All-pairs nearest neighbor (embedding-cosine near-dup detection): for
     * every vector, its closest neighbor WITHIN its coarse-quantizer cell —
     * the label column, as in [[knnIvf]] / [[cosineDupPairs]] (at scale the

@@ -283,6 +283,11 @@ object Pipeline {
       Whiten.whiten(Tables.embeddings(s, dir))
     },
 
+    // -------- int8 quantization error budget per coarse cell
+    QueryDef.sql("c5_quant_error", Similarity.sqlQuantError) { (s, dir) =>
+      Similarity.quantError(Tables.embeddings(s, dir))
+    },
+
     // -------- multimodal (binary columns; decode is a deterministic stub)
     QueryDef.sql("mm1_features", Multimodal.sqlFeatures) { (s, dir) =>
       import org.apache.spark.sql.functions.round
