@@ -76,8 +76,29 @@ final class MemoryRapid(spark: SparkSession, name: String = "rapid",
   }
   spark.streams.addListener(errorPropagation)
 
-  /** First river failure that brought the rapid down, if any. */
-  def firstFailure: Option[String] = failure.get()
+  /** First river failure that brought the rapid down, if any.
+    *
+    * Reads the listener-recorded failure when present, else derives it from
+    * the owned queries' `StreamingQuery.exception` — which Spark sets on the
+    * stream thread BEFORE the query flips inactive, unlike the
+    * QueryTerminatedEvent that arrives on the ASYNC listener bus. Without
+    * the fallback, an observer that polls [[isRunning]] to false and then
+    * reads this could see stopped-but-no-failure (a real flake in full-suite
+    * runs). The derived value is latched into the same cell the listener
+    * CASes, so whichever path reports first wins permanently.
+    */
+  def firstFailure: Option[String] = failure.get().orElse {
+    queries.synchronized(queries.toVector).iterator
+      .flatMap(_.exception)
+      .map { e =>
+        // the terminated event carries the rendered cause chain; render the
+        // same information here so both paths satisfy the same assertions
+        Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+          .map(t => Option(t.getMessage).getOrElse(t.toString)).mkString("\n")
+      }
+      .nextOption()
+      .map { derived => failure.compareAndSet(None, Some(derived)); failure.get().get }
+  }
 
   private def newInput(): MemoryStream[(String, String)] = {
     val in = MemoryStream[(String, String)](
