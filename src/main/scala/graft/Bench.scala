@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.SparkSession
 
 /** Driver-contract benchmark: one JSON line with per-query seconds at
@@ -45,8 +47,10 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // warm-up pass: the FIRST execution of each plan pays codegen + JIT —
     // discard it so no timed pass ever lands cold
+    // NonFatal only: an OOM or other fatal JVM error leaves the session
+    // corrupted — every subsequent "timing" would be bogus, so let it abort
     queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count() catch { case NonFatal(_) => () }
     }
     // timed passes, round-robin over the whole list per pass
     val samples = collection.mutable.Map.empty[String, List[(Double, Boolean)]]
@@ -55,7 +59,7 @@ object Bench {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
+          case NonFatal(e) =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       samples(name) = samples(name) :+ (((System.nanoTime() - t0) / 1e9, ok))
@@ -77,7 +81,14 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2.head).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm+interleaved-min-of-$runs","queries":${obj(_.head)},"queries_median":${obj(median)},"noisy":$noisyJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm+interleaved-min-of-$runs","queries":${obj(_.head)},"queries_median":${obj(median)},"noisy":$noisyJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO write the line to a file: the driver captures only a tail of
+    // stdout, which truncated BENCH_r07's per-query map — the file is the
+    // durable artifact
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
