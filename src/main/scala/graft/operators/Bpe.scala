@@ -199,6 +199,41 @@ object Bpe {
   /** t11 end-to-end: train on the corpus, tokenize the corpus. */
   def tokenize(docs: DataFrame): DataFrame = applyBpe(docs, train(docs)._2)
 
+  // -------------------------------------------------------- persistence
+
+  /** Train and persist the tokenizer under `dir`: `dir/merges` (rank, x, y,
+    * cnt) and `dir/vocab` (word, freq, syms) — the train-once/apply-anywhere
+    * form. [[applyBpe]] with [[loadVocab]] reproduces [[tokenize]] exactly
+    * (t14 hash-matches t11); the merge table alone can re-derive the vocab
+    * for corpora the trainer never saw (replay the merges in rank order).
+    */
+  def trainAndSave(docs: DataFrame, dir: String, nMerges: Int = NMerges): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, words) = train(docs, nMerges)
+    graft.sources.ModelStore.save(
+      merges.toDF("merge_rank", "x", "y", "cnt"), s"$dir/merges")
+    graft.sources.ModelStore.save(
+      words.select(col("word"), col("freq"), col("syms")), s"$dir/vocab")
+    words.unpersist()
+    ()
+  }
+
+  /** The persisted vocabulary (word, freq, syms) — [[applyBpe]]'s input. */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.sources.ModelStore.load(spark, s"$dir/vocab")
+
+  /** The persisted merge table (merge_rank, x, y, cnt). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.sources.ModelStore.load(spark, s"$dir/merges")
+
+  /** Tokenize with a PERSISTED tokenizer (t14): identical output to
+    * [[tokenize]] when `dir` holds the same corpus's training run, without
+    * re-running a single merge round.
+    */
+  def tokenizeSaved(docs: DataFrame, dir: String): DataFrame =
+    applyBpe(docs, loadVocab(docs.sparkSession, dir))
+
   // ------------------------------------------------------------ oracle SQL
 
   /** One CTE block per merge round — p{r} pair counts, b{r} the argmax

@@ -308,21 +308,35 @@ object Similarity {
     * for the loop (every iteration reads it twice) and released before
     * returning.
     */
-  def kmeansModel(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
-    val ex = vecs(emb)
+  /** Per-dimension long form of the vector table (vec_id, i, x) — the
+    * working set both the training loop and [[assign]] consume.
+    */
+  private def explodedDims(emb: DataFrame): DataFrame =
+    vecs(emb)
       .select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
       .select(col("vec_id"), (col("i0") + 1).cast("int").as("i"), col("x"))
-      .cache()
+
+  /** Nearest-centroid assignment of an exploded vector table: broadcast
+    * join on the dimension index, partial-aggregated distance sum, argmin
+    * via hash max over struct(-d, -c, c) — (distance, cluster) tie-break
+    * without sorting.
+    */
+  private def assignStep(ex: DataFrame, cent: DataFrame): DataFrame = {
+    val d = ex.join(broadcast(cent), "i")
+      .groupBy(col("vec_id"), col("c"))
+      .agg(round(sum((col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("d"))
+    d.groupBy(col("vec_id"))
+      .agg(max(struct((-col("d")).as("nd"), (-col("c")).as("nc"), col("c").as("cc"))).as("b"))
+      .select(col("vec_id"), col("b.cc").as("c"))
+  }
+
+  def kmeansModel(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val ex = explodedDims(emb).cache()
     var cent = ex.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("c"), col("i"), round(col("x"), 6).as("cv"))
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      val d = ex.join(broadcast(cent), "i")
-        .groupBy(col("vec_id"), col("c"))
-        .agg(round(sum((col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("d"))
-      assigned = d.groupBy(col("vec_id"))
-        .agg(max(struct((-col("d")).as("nd"), (-col("c")).as("nc"), col("c").as("cc"))).as("b"))
-        .select(col("vec_id"), col("b.cc").as("c"))
+      assigned = assignStep(ex, cent)
       cent = assigned.join(ex, "vec_id")
         .groupBy(col("c"), col("i")).agg(round(avg(col("x")), 6).as("cv"))
     }
@@ -331,6 +345,42 @@ object Similarity {
     ex.unpersist()
     (centOut, assignedOut)
   }
+
+  /** Assign vectors to their nearest centroid from an ALREADY-TRAINED
+    * centroid table ([[kmeansModel]]'s first output or [[loadCentroids]]):
+    * one corpus pass, no training rounds — how a saved coarse quantizer
+    * labels a new shard (and how IVF cells are rebuilt from centroids
+    * alone when only the small artifact shipped).
+    */
+  def assign(emb: DataFrame, cent: DataFrame): DataFrame =
+    assignStep(explodedDims(emb), cent)
+
+  // -------------------------------------------------------- persistence
+
+  /** Train k-means and persist the model under `dir`: `dir/centroids`
+    * (c, i, cv) and `dir/cells` (vec_id, c) — centroids are the reusable
+    * quantizer, cells the IVF index of THIS corpus. Parquet doubles are
+    * binary-exact, so the loaded model is bit-identical to the returned
+    * one. NOTE the Lloyd's pairing: `cells` is the assignment the LAST
+    * update step averaged over, while `centroids` are that update's
+    * output — [[assign]] over the saved centroids is the (k+1)-th
+    * assignment, not a replay of `cells`.
+    */
+  def trainAndSaveKmeans(emb: DataFrame, k: Int, iters: Int, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (cent, assigned) = kmeansModel(emb, k, iters)
+    graft.sources.ModelStore.save(cent, s"$dir/centroids")
+    graft.sources.ModelStore.save(assigned, s"$dir/cells")
+    (cent, assigned)
+  }
+
+  /** The persisted centroid table (c, i, cv). */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.sources.ModelStore.load(spark, s"$dir/centroids")
+
+  /** The persisted IVF cell assignment (vec_id, c). */
+  def loadCells(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.sources.ModelStore.load(spark, s"$dir/cells")
 
   def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val (cent, assigned) = kmeansModel(emb, k, iters)

@@ -130,6 +130,14 @@ object Whiten {
     */
   def whiten(emb: DataFrame): DataFrame = {
     val (m, l) = model(emb)
+    whitenWith(emb, m, l)
+  }
+
+  /** Projection with an ALREADY-TRAINED model ([[model]] or [[loadModel]]):
+    * the apply-anywhere half of train-once/apply-anywhere — pure codegen,
+    * no training scans.
+    */
+  def whitenWith(emb: DataFrame, m: Array[Double], l: Array[Array[Double]]): DataFrame = {
     var df = vecs(emb)
     for (i <- 0 until D) {
       val xi = element_at(col("v"), i + 1) - lit(m(i))
@@ -140,6 +148,50 @@ object Whiten {
     }
     df.select(col("vec_id") +: (0 until D).map(i => round(col(s"y$i"), 4).as(s"y$i")): _*)
       .orderBy(col("vec_id"))
+  }
+
+  // -------------------------------------------------------- persistence
+
+  /** Persist a trained model under `dir` as one tiny parquet of (kind, i,
+    * j, v) rows — "mean" rows carry m_i at (i, 0), "l" rows the Cholesky
+    * factor at (i, j). Parquet doubles are binary-exact, so
+    * [[whitenWith]] over [[loadModel]] reproduces [[whiten]] bit-for-bit.
+    */
+  def saveModel(emb: DataFrame, dir: String): Unit = {
+    val (m, l) = model(emb)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows =
+      m.zipWithIndex.map { case (v, i) => ("mean", i, 0, v) } ++
+        (for (i <- 0 until D; j <- 0 to i) yield ("l", i, j, l(i)(j)))
+    graft.sources.ModelStore.save(rows.toSeq.toDF("kind", "i", "j", "v"), dir)
+  }
+
+  /** Load a persisted (means, L) model. Fails loudly on a wrong-D artifact
+    * rather than silently whitening with a garbage factor.
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (Array[Double], Array[Array[Double]]) = {
+    val rows = graft.sources.ModelStore.load(spark, dir).collect()
+    val m = Array.ofDim[Double](D)
+    val l = Array.ofDim[Double](D, D)
+    var nM = 0
+    var nL = 0
+    rows.foreach { r =>
+      val (kind, i, j, v) = (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3))
+      require(i >= 0 && i < D && j >= 0 && j < D,
+        s"whitening model at $dir has index ($i,$j) outside D=$D — trained with a different D")
+      kind match {
+        case "mean" => m(i) = v; nM += 1
+        case "l"    => l(i)(j) = v; nL += 1
+        case other  => throw new IllegalArgumentException(
+          s"whitening model at $dir has unknown row kind '$other'")
+      }
+    }
+    require(nM == D && nL == D * (D + 1) / 2,
+      s"whitening model at $dir is incomplete: $nM mean rows (want $D), " +
+        s"$nL factor rows (want ${D * (D + 1) / 2})")
+    (m, l)
   }
 
   /** Oracle twin: covariance + means CTEs pivoted to scalars, the Cholesky

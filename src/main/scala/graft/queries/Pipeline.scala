@@ -84,6 +84,14 @@ object Pipeline {
     QueryDef.sql("t12_bpe_vocab", Bpe.sqlVocabulary) { (s, dir) =>
       Bpe.vocabulary(Tables.documents(s, dir))
     },
+    // train-once/apply-anywhere: persist the tokenizer (merges + vocab),
+    // load it back, apply — must hash-match t11 byte-for-byte, proving the
+    // saved artifact carries the full tokenization
+    QueryDef.sql("t14_bpe_apply_saved", Bpe.sqlTokenize) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bpe-model-").toString
+      Bpe.trainAndSave(Tables.documents(s, dir), tmp)
+      Bpe.tokenizeSaved(Tables.documents(s, dir), tmp)
+    },
     // unigram-LM surprisal (the CCNet-style perplexity quality filter with
     // an exactly-reproducible model)
     QueryDef.sql("t13_surprisal", TextOps.sqlUnigramSurprisal) { (s, dir) =>

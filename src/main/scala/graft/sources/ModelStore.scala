@@ -1,0 +1,29 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet round-trip for TRAINED ARTIFACTS (BPE merges/vocab, whitening
+  * model, k-means centroids, IVF cell assignments): a real pipeline trains
+  * ONCE and applies across shards/days, so every learned model needs a
+  * durable form — not a lifetime bounded by the query that trained it.
+  *
+  * Parquet is the storage: binary-exact for doubles (no decimal round trip
+  * to drift a centroid), self-describing schema, splittable on read. Models
+  * are dimension-table-sized by construction (vocab, D x D, k x dims), so a
+  * single coalesced file per artifact keeps the load side a cheap local
+  * scan — at 100 TB the MODEL stays tiny even when the corpus doesn't; it
+  * is the corpus-sized outputs that go through [[Corpus.writeParquet]]'s
+  * partitioned writer instead.
+  */
+object ModelStore {
+
+  /** Write one model table (overwrite). Single file: every artifact here is
+    * dimension-sized, and one file makes the apply-side broadcast read one
+    * footer instead of shuffle-partition-many.
+    */
+  def save(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-trip tests for every trained artifact: save to parquet, load,
+  * and prove the APPLIED result is identical to applying the in-memory
+  * model — train-once/apply-anywhere with nothing lost in the store.
+  */
+class PersistSpec extends AnyFunSuite {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def embeddings = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // DYADIC grid values (multiples of 0.125): every sum/product is exact
+    // in IEEE doubles regardless of aggregation order, so train-twice
+    // comparisons can't flake on partial-aggregation summation order — the
+    // same knife-edge the production queries kill by rounding at 6 decimals
+    (0L until 40L).map { id =>
+      val v = Array.tabulate(10) { i =>
+        (((id * 2654435761L + i * 40503L + id * id * (i + 3)) % 64) - 32) * 0.125f
+      }
+      (id, (id % 4).toString, v)
+    }.toDF("vec_id", "label", "embedding")
+  }
+
+  test("BPE model round-trips: saved vocab tokenizes identically, merges survive") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low low lower lowest"),
+      (2L, "slow slower glow glowing"),
+      (3L, "the lowest low")).toDF("doc_id", "text")
+    val dir = tmp("graft-bpe-rt-")
+    Bpe.trainAndSave(docs, dir, nMerges = 5)
+
+    val (merges, words) = Bpe.train(docs, nMerges = 5)
+    val loadedMerges = Bpe.loadMerges(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(loadedMerges == merges)
+
+    val direct = Bpe.applyBpe(docs, words).collect().map(_.toSeq).toSeq
+    val viaStore = Bpe.tokenizeSaved(docs, dir).collect().map(_.toSeq).toSeq
+    assert(viaStore == direct)
+    words.unpersist()
+  }
+
+  test("whitening model round-trips bit-exactly and whitenWith(loaded) == whiten") {
+    val spark = TestSpark.spark
+    val emb = embeddings
+    val dir = tmp("graft-whiten-rt-")
+    Whiten.saveModel(emb, dir)
+
+    val (m, l) = Whiten.model(emb)
+    val (lm, ll) = Whiten.loadModel(spark, dir)
+    // parquet doubles are binary-exact: require equality, not tolerance
+    assert(lm.toSeq == m.toSeq)
+    assert(ll.map(_.toSeq).toSeq == l.map(_.toSeq).toSeq)
+
+    val direct = Whiten.whiten(emb).collect().map(_.toSeq).toSeq
+    val viaStore = Whiten.whitenWith(emb, lm, ll)
+      .orderBy(col("vec_id")).collect().map(_.toSeq).toSeq
+    assert(viaStore == direct)
+  }
+
+  test("k-means model round-trips: loaded == trained, bit-exact") {
+    val spark = TestSpark.spark
+    val emb = embeddings
+    val dir = tmp("graft-kmeans-rt-")
+    // compare against the RETURNED model, not a second training run: a
+    // retrain can legitimately flip a near-equidistant vector (summation
+    // order under partial aggregation), which says nothing about the store
+    val (cent, assigned) = Similarity.trainAndSaveKmeans(emb, k = 3, iters = 2, dir)
+    val loadedCent = Similarity.loadCentroids(spark, dir)
+    assert(loadedCent.orderBy(col("c"), col("i")).collect().map(_.toSeq).toSeq
+      == cent.orderBy(col("c"), col("i")).collect().map(_.toSeq).toSeq)
+    assert(Similarity.loadCells(spark, dir)
+      .orderBy(col("vec_id")).collect().map(_.toSeq).toSeq
+      == assigned.orderBy(col("vec_id")).collect().map(_.toSeq).toSeq)
+    cent.unpersist()
+    assigned.unpersist()
+  }
+
+  test("assign labels a new shard from the saved centroid artifact alone") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // three clusters 100 apart with ±0.125 jitter: every distance
+    // comparison has a margin of thousands, so no rounding boundary can
+    // flip an assignment — the semantics are testable without flake risk.
+    // Seeds (vec_id 0, 1, 2) land one per cluster, so centroid c = cluster.
+    def shard(ids: Range) = ids.map { id =>
+      val c = (id % 3).toDouble
+      val v = Array.tabulate(6)(i => (c * 100.0 + ((id + i) % 3) * 0.125).toFloat)
+      (id.toLong, c.toInt.toString, v)
+    }.toDF("vec_id", "label", "embedding")
+    val dir = tmp("graft-kmeans-assign-")
+    val (cent, assigned) = Similarity.trainAndSaveKmeans(shard(0 until 30), 3, 2, dir)
+    // a shard the trainer never saw, labeled from the loaded centroids
+    val out = Similarity.assign(shard(30 until 60), Similarity.loadCentroids(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == (30 until 60).map(id => id.toLong -> id % 3).toMap)
+    cent.unpersist()
+    assigned.unpersist()
+  }
+
+  test("a corrupt or wrong-shape whitening artifact fails loudly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = tmp("graft-whiten-bad-")
+    graft.sources.ModelStore.save(
+      Seq(("mean", 0, 0, 1.0)).toDF("kind", "i", "j", "v"), dir)
+    val ex = intercept[IllegalArgumentException](Whiten.loadModel(spark, dir))
+    assert(ex.getMessage.contains("incomplete"))
+  }
+}
