@@ -395,14 +395,21 @@ object Curation {
     * 100 TB the gate swaps in `percentile_approx` with a tolerance check,
     * exactly the q13 → q19 sketch relationship.
     */
-  def qualityGate(docs: DataFrame): DataFrame = {
+  /** The blended t2 quality score per (doc_id, source) — shared by the
+    * exact gate (p15) and its approx scale twin (p16).
+    */
+  private def qualityScored(docs: DataFrame): DataFrame = {
     val toks = Portable.tokens(col("text"))
     val n = size(toks).cast("double")
     val stops = TextOps.tokenHits(col("text"), TextOps.Stopwords).cast("double")
-    val scored = docs.select(col("doc_id"), col("source"),
+    docs.select(col("doc_id"), col("source"),
       when(n === 0, lit(0.0))
         .otherwise(round(least(n / lit(200.0), lit(1.0)) * 0.5 + (stops / n) * 0.5, 4))
         .as("quality_score"))
+  }
+
+  def qualityGate(docs: DataFrame): DataFrame = {
+    val scored = qualityScored(docs)
     val thr = scored.groupBy(col("source"))
       .agg(percentile(col("quality_score"), lit(0.5)).as("thr"))
     scored.join(thr, "source")
@@ -411,6 +418,40 @@ object Curation {
         round(col("thr"), 6).as("source_median"))
       .orderBy(col("doc_id"))
   }
+
+  /** The 100 TB form of the gate (p16): per-source threshold from
+    * `percentile_approx` (KLL/GK-style sketch — bounded memory, one pass,
+    * mergeable partials; no exact per-source sort). Sketch internals
+    * differ across engines, so like q19 the oracle checks a TOLERANCE
+    * VERDICT, not sketch output: Spark computes BOTH thresholds and emits
+    * per source (a) the approx threshold within 0.02 absolute of the exact
+    * median (scores live in [0,1] — absolute, not relative, so a clean
+    * source's near-zero median can't blow up the ratio) and (b) the kept
+    * count under the approx gate within 5% of the exact gate's. DuckDB
+    * emits the expected all-true row; a sketch drifting past tolerance
+    * flips the boolean and fails the hash gate.
+    */
+  def qualityGateApprox(docs: DataFrame): DataFrame = {
+    val scored = qualityScored(docs)
+    val thr = scored.groupBy(col("source"))
+      .agg(percentile_approx(col("quality_score"), lit(0.5), lit(10000)).as("athr"),
+        percentile(col("quality_score"), lit(0.5)).as("ethr"))
+    scored.join(thr, "source")
+      .groupBy(col("source"))
+      .agg(
+        first(col("athr")).as("athr"),
+        first(col("ethr")).as("ethr"),
+        sum(when(col("quality_score") >= col("athr"), 1L).otherwise(0L)).as("ka"),
+        sum(when(col("quality_score") >= col("ethr"), 1L).otherwise(0L)).as("ke"))
+      .select(col("source"),
+        (abs(col("athr") - col("ethr")) <= 0.02).as("thr_ok"),
+        (abs(col("ka") - col("ke")).cast("double") / col("ke") <= 0.05).as("keep_ok"))
+      .orderBy(col("source"))
+  }
+
+  val sqlQualityGateApprox: String =
+    """SELECT source, true AS thr_ok, true AS keep_ok
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   val sqlQualityGate: String = {
     val toks = Portable.sqlTokens("text")

@@ -251,6 +251,11 @@ object Pipeline {
     QueryDef.sql("p15_quality_gate", Curation.sqlQualityGate) { (s, dir) =>
       Curation.qualityGate(Tables.documents(s, dir))
     },
+    // the approx scale twin: percentile_approx threshold, tolerance
+    // verdict vs the exact median (the q13 -> q19 sketch relationship)
+    QueryDef.sql("p16_quality_gate_approx", Curation.sqlQualityGateApprox) { (s, dir) =>
+      Curation.qualityGateApprox(Tables.documents(s, dir))
+    },
 
     // -------- sub-document (segment/paragraph) dedup
     QueryDef.sql("p8_segment_dedup", Curation.sqlSegmentDedup) { (s, dir) =>
