@@ -7,13 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque BINARY columns
   * with typed metadata, processed by batched per-partition kernels.
   *
-  * The container has no media codecs, so the decode step is a STUB — a
-  * deterministic fake (bytes -> features derived from the leading bytes)
-  * clearly marked below. Everything around it is real and tested: the
-  * asset schema, binary column handling, the batched mapPartitions kernel
-  * signature (the JVM analogue of an Arrow-batched Pandas UDF: fixed-size
-  * batches, columnar in, columnar out), frame-sampling explode, and
-  * partitioning.
+  * The decode step is REAL: payloads are genuine binary-PPM (P6) images
+  * and RIFF/PCM WAV audio, and the kernel parses the actual container
+  * formats via [[MediaCodec]] (validating headers, walking RIFF chunks)
+  * before computing features from the decoded pixels/samples. The fixture
+  * generator wraps deterministic md5-derived payload bytes in real
+  * headers, so the DuckDB oracle can replay the identical feature math
+  * from the same bytes — and any real small PPM/WAV file runs through the
+  * same kernel unchanged.
   *
   * Scale notes: binary payloads are kept opaque and never shuffled unless
   * the operator needs them (metadata-only transforms project the blob away);
@@ -39,35 +40,90 @@ object Multimodal {
     StructField("data", BinaryType),
     StructField("meta", MetaSchema)))
 
-  /** Synthesize a deterministic asset table from the documents fixture
-    * (the fixtures ship no real media): data = md5(text) bytes; metadata
-    * derived arithmetically from n_chars. Kind cycles image/audio/video.
+  /** Image payload dims (2x2 P6 = 12 pixel bytes) and audio payload shape
+    * (4 PCM16 samples @ 16 kHz = 8 data bytes): both payloads fit in one
+    * md5 digest, so the fixture stays deterministic and oracle-replayable.
     */
-  def assets(docs: DataFrame): DataFrame =
+  val PpmW = 2
+  val PpmH = 2
+  val AudioSamples = 4
+  val AudioRate = 16000
+
+  /** Synthesize a deterministic asset table from the documents fixture
+    * (the fixtures ship no real media): payload bytes come from md5(text),
+    * wrapped in REAL container headers — audio assets are valid RIFF/PCM
+    * WAV files, image/video assets valid binary PPMs — so the kernel
+    * exercises the actual decoders. Metadata derives arithmetically from
+    * n_chars. Kind cycles image/audio/video.
+    */
+  def assets(docs: DataFrame): DataFrame = {
+    val payload = to_binary(md5(col("text")), lit("hex"))
+    val wav = concat(lit(MediaCodec.wavHeader(AudioSamples, AudioRate)),
+      substring(payload, 1, AudioSamples * 2))
+    val ppm = concat(lit(MediaCodec.ppmHeader(PpmW, PpmH)),
+      substring(payload, 1, PpmW * PpmH * 3))
     docs.select(
       col("doc_id").as("asset_id"),
       element_at(lit(Array("image", "audio", "video")),
         (col("doc_id") % 3).cast("int") + 1).as("kind"),
-      to_binary(md5(col("text")), lit("hex")).as("data"),
+      when(col("doc_id") % 3 === 1, wav).otherwise(ppm).as("data"),
       struct(
         (col("n_chars") % 640 + 16).cast("int").as("width"),
         (col("n_chars") % 480 + 16).cast("int").as("height"),
-        lit(16000).as("sample_rate"),
+        lit(AudioRate).as("sample_rate"),
         (col("n_chars") * 100).cast("long").as("duration_ms"),
         (col("n_chars") % 240 + 1).cast("int").as("n_frames")).as("meta"))
+  }
 
-  /** STUB DECODE — deterministic fake standing in for a real image/audio
-    * decoder (no codec libraries in this container). Consumes the binary
-    * payload and emits 4 floats: feature i is the big-endian unsigned int of
-    * bytes [4i, 4i+4) scaled to [0,1). A real deployment swaps only this
-    * function; the batching, schema, and partitioning around it stay.
+  /** Features of a decoded image: per-channel means and the brightest
+    * pixel's luminance, all scaled to [0,1]. Channel sums are exact ints,
+    * so the divide-then-divide sequence is IEEE-identical in the oracle.
     */
-  def decodeStub(data: Array[Byte]): Array[Double] =
-    (0 until 4).map { i =>
-      val u = ((data(4 * i) & 0xffL) << 24) | ((data(4 * i + 1) & 0xffL) << 16) |
-        ((data(4 * i + 2) & 0xffL) << 8) | (data(4 * i + 3) & 0xffL)
-      u.toDouble / 4294967296.0
-    }.toArray
+  def imageFeatures(img: MediaCodec.Ppm): Array[Double] = {
+    val n = img.width * img.height
+    var sr = 0L; var sg = 0L; var sb = 0L; var maxSum = 0L
+    var p = 0
+    while (p < n) {
+      val r = img.rgb(3 * p); val g = img.rgb(3 * p + 1); val b = img.rgb(3 * p + 2)
+      sr += r; sg += g; sb += b
+      if (r + g + b > maxSum) maxSum = r + g + b
+      p += 1
+    }
+    Array(sr / n.toDouble / 255.0, sg / n.toDouble / 255.0,
+      sb / n.toDouble / 255.0, maxSum / 765.0)
+  }
+
+  /** Features of decoded PCM audio: mean |amplitude|, RMS, zero-crossing
+    * rate, peak — all scaled to [0,1]. Sums are exact ints (|s| <= 2^15,
+    * squares <= 2^30), so the math replays exactly cross-engine.
+    */
+  def audioFeatures(wav: MediaCodec.Wav): Array[Double] = {
+    val s = wav.samples
+    val n = s.length
+    require(n > 0, "audio features need at least one sample")
+    var sumAbs = 0L; var sumSq = 0L; var maxAbs = 0L; var crossings = 0L
+    var i = 0
+    while (i < n) {
+      val v = s(i).toLong
+      val a = math.abs(v)
+      sumAbs += a; sumSq += v * v
+      if (a > maxAbs) maxAbs = a
+      if (i > 0 && (s(i) >= 0) != (s(i - 1) >= 0)) crossings += 1
+      i += 1
+    }
+    val zc = if (n < 2) 0.0 else crossings / (n - 1).toDouble
+    Array(sumAbs / n.toDouble / 32768.0, math.sqrt(sumSq / n.toDouble) / 32768.0,
+      zc, maxAbs / 32768.0)
+  }
+
+  /** Kind-dispatched REAL decode: audio payloads parse as WAV, image and
+    * video payloads as PPM (a video asset's payload is its poster frame).
+    * Malformed bytes fail loudly in the codec, never silently zero.
+    */
+  def decode(kind: String, data: Array[Byte]): Array[Double] = kind match {
+    case "audio" => audioFeatures(MediaCodec.decodeWav(data))
+    case _       => imageFeatures(MediaCodec.decodePpm(data))
+  }
 
   /** Feature extraction: batched per-partition kernel over the binary
     * column — a TYPED Dataset mapPartitions, not an RDD round-trip, so the
@@ -83,12 +139,13 @@ object Multimodal {
   def extractFeatures(assetsDf: DataFrame): DataFrame = {
     val spark = assetsDf.sparkSession
     import spark.implicits._
-    assetsDf.select(col("asset_id"), col("data")).as[(Long, Array[Byte])]
+    assetsDf.select(col("asset_id"), col("kind"), col("data"))
+      .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(BatchSize).flatMap { batch =>
           // a real decoder receives `batch` whole (columnar block seam)
-          batch.map { case (id, data) =>
-            val f = decodeStub(data)
+          batch.map { case (id, kind, data) =>
+            val f = decode(kind, data)
             (id, f(0), f(1), f(2), f(3))
           }
         }
@@ -152,16 +209,43 @@ object Multimodal {
 
   // -------------------------------------------------------------- oracles
 
-  /** DuckDB twin of assets->extractFeatures: feature i = big-endian uint of
-    * md5 bytes [4i,4i+4) / 2^32 — i.e. hex chars [8i+1, 8i+8].
+  /** DuckDB twin of assets -> extractFeatures: the payload bytes are
+    * md5(text), so the oracle extracts the same bytes from the hex digest
+    * and replays [[imageFeatures]]/[[audioFeatures]] arithmetic exactly —
+    * image pixels are bytes 0..11 as RGB triples, audio samples bytes 0..7
+    * as little-endian int16. Every sum is an exact integer, so the
+    * divide/sqrt sequences are IEEE-identical cross-engine.
     */
   val sqlFeatures: String = {
-    val feats = (0 until 4).map { i =>
-      s"round((('0x' || substr(md5(text), ${8 * i + 1}, 8))::BIGINT) / 4294967296.0, 8) AS f$i"
-    }.mkString(",\n  ")
-    s"""SELECT doc_id AS asset_id,
-       |  $feats
-       |FROM documents ORDER BY asset_id""".stripMargin
+    val bytes = (0 until 12)
+      .map(k => s"('0x' || substr(hx, ${2 * k + 1}, 2))::INT AS b$k").mkString(", ")
+    // BIGINT samples: the f1 sum of squares tops out near 4 * 2^30, past
+    // INT32 — the Scala kernel accumulates in Long for the same reason
+    val samples = (0 until AudioSamples).map { i =>
+      s"(CASE WHEN b${2 * i} + b${2 * i + 1} * 256 < 32768 " +
+        s"THEN b${2 * i} + b${2 * i + 1} * 256 " +
+        s"ELSE b${2 * i} + b${2 * i + 1} * 256 - 65536 END)::BIGINT AS s$i"
+    }.mkString(", ")
+    def cross(i: Int, j: Int) =
+      s"CASE WHEN (s$i >= 0) <> (s$j >= 0) THEN 1 ELSE 0 END"
+    s"""WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents),
+       |b AS (SELECT doc_id, $bytes FROM m),
+       |s AS (SELECT *, $samples FROM b)
+       |SELECT doc_id AS asset_id,
+       |  round(CASE WHEN doc_id % 3 = 1
+       |    THEN ((abs(s0) + abs(s1) + abs(s2) + abs(s3)) / 4.0) / 32768.0
+       |    ELSE ((b0 + b3 + b6 + b9) / 4.0) / 255.0 END, 8) AS f0,
+       |  round(CASE WHEN doc_id % 3 = 1
+       |    THEN sqrt((s0*s0 + s1*s1 + s2*s2 + s3*s3) / 4.0) / 32768.0
+       |    ELSE ((b1 + b4 + b7 + b10) / 4.0) / 255.0 END, 8) AS f1,
+       |  round(CASE WHEN doc_id % 3 = 1
+       |    THEN (${cross(1, 0)} + ${cross(2, 1)} + ${cross(3, 2)}) / 3.0
+       |    ELSE ((b2 + b5 + b8 + b11) / 4.0) / 255.0 END, 8) AS f2,
+       |  round(CASE WHEN doc_id % 3 = 1
+       |    THEN greatest(abs(s0), abs(s1), abs(s2), abs(s3)) / 32768.0
+       |    ELSE greatest(b0 + b1 + b2, b3 + b4 + b5, b6 + b7 + b8, b9 + b10 + b11)
+       |      / 765.0 END, 8) AS f3
+       |FROM s ORDER BY asset_id""".stripMargin
   }
 
   val sqlAudioWindows: String =

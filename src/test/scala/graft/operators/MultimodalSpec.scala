@@ -14,24 +14,73 @@ class MultimodalSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "n_chars")
   }
 
-  test("assets: binary payload + typed metadata, kind cycles by id") {
+  // real container sizes: P6 header "P6\n2 2\n255\n" (11) + 12 pixel bytes;
+  // RIFF/WAV canonical header (44) + 8 PCM bytes
+  private val PpmLen = 11 + 12
+  private val WavLen = 44 + 8
+
+  test("assets: REAL container payloads + typed metadata, kind cycles by id") {
     val a = Multimodal.assets(docs).orderBy(col("asset_id")).collect()
     assert(a.map(_.getString(1)).toSeq == Seq("image", "audio", "video"))
-    assert(a.head.getAs[Array[Byte]]("data").length == 16) // md5 bytes
+    val img = a(0).getAs[Array[Byte]]("data")
+    val wav = a(1).getAs[Array[Byte]]("data")
+    assert(img.length == PpmLen && img(0) == 'P' && img(1) == '6')
+    assert(wav.length == WavLen
+      && new String(wav.take(4), "US-ASCII") == "RIFF"
+      && new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
     assert(a.head.getStruct(3).getInt(0) >= 16) // width
   }
 
-  test("extractFeatures: batched kernel, features in [0,1), deterministic") {
+  test("extractFeatures: batched kernel, decoded features in [0,1], deterministic") {
     val f1 = Multimodal.extractFeatures(Multimodal.assets(docs)).orderBy(col("asset_id")).collect()
     val f2 = Multimodal.extractFeatures(Multimodal.assets(docs)).orderBy(col("asset_id")).collect()
     assert(f1.toSeq == f2.toSeq)
-    assert(f1.forall(r => (1 to 4).forall(i => r.getDouble(i) >= 0 && r.getDouble(i) < 1)))
+    assert(f1.forall(r => (1 to 4).forall(i => r.getDouble(i) >= 0 && r.getDouble(i) <= 1)))
   }
 
   test("resize caps metadata without touching payload") {
     val r = Multimodal.resize(Multimodal.assets(docs), 32, 32)
-      .select(col("meta.width"), col("meta.height"), length(col("data"))).collect()
-    assert(r.forall(x => x.getInt(0) <= 32 && x.getInt(1) <= 32 && x.getInt(2) == 16))
+      .select(col("kind"), col("meta.width"), col("meta.height"), length(col("data"))).collect()
+    assert(r.forall(x => x.getInt(1) <= 32 && x.getInt(2) <= 32
+      && x.getInt(3) == (if (x.getString(0) == "audio") WavLen else PpmLen)))
+  }
+
+  test("PPM codec: header round-trip, comments skipped, pixel values exact") {
+    val px = Array[Byte](0, 50, 100, -1, -56, 25, 7, 8, 9, 10, 11, 12) // -1 = 255
+    val bytes = MediaCodec.ppmHeader(2, 2) ++ px
+    val img = MediaCodec.decodePpm(bytes)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.rgb.toSeq == Seq(0, 50, 100, 255, 200, 25, 7, 8, 9, 10, 11, 12))
+    // spec allows comments between header tokens
+    val commented = "P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++ px
+    assert(MediaCodec.decodePpm(commented).rgb.toSeq == img.rgb.toSeq)
+  }
+
+  test("WAV codec: header round-trip, LE samples, extra chunks tolerated") {
+    val hdr = MediaCodec.wavHeader(3, 16000)
+    val samples = Array[Short](-32768, 0, 12345)
+    val data = samples.flatMap(s => Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val wav = MediaCodec.decodeWav(hdr ++ data)
+    assert(wav.sampleRate == 16000 && wav.samples.toSeq == samples.toSeq)
+    // a LIST chunk between fmt and data must be skipped, not choked on
+    val withList = hdr.take(36) ++
+      "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII") ++
+      hdr.slice(36, 44) ++ data
+    assert(MediaCodec.decodeWav(withList).samples.toSeq == samples.toSeq)
+  }
+
+  test("malformed payloads fail loudly, never decode to garbage") {
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decodePpm("JUNK".getBytes)).getMessage.contains("magic"))
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decodePpm(MediaCodec.ppmHeader(2, 2) ++ Array[Byte](1, 2, 3)))
+      .getMessage.contains("pixel bytes"))
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decodeWav("RIFFxxxxJUNK".getBytes)).getMessage.contains("WAVE"))
+    // a truncated data chunk must not silently yield fewer samples
+    val hdr = MediaCodec.wavHeader(4, 16000)
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decodeWav(hdr ++ Array[Byte](1, 2))).getMessage.contains("claims"))
   }
 
   test("sampleFrames: only video assets, stride respected, offsets monotonic") {
