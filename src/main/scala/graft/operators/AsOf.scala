@@ -23,7 +23,8 @@ import org.apache.spark.sql.expressions.Window
   * w7 query takes max view per instant); "latest at t" is ill-defined in
   * both engines otherwise. The payload must be non-null on right rows (a
   * null payload is indistinguishable from "no match yet" to the running
-  * last_value).
+  * last_value). BOTH preconditions are ENFORCED, not documented — see
+  * [[AsOf.asOf]]: misuse raise_errors instead of silently mis-matching.
   */
 object AsOf {
 
@@ -42,14 +43,32 @@ object AsOf {
     // so null-key right rows are dropped — null-key left rows then share
     // their partition only with each other, see only null payloads, and
     // come out unmatched, exactly like DuckDB's ASOF LEFT JOIN.
+    // null payload would read as "no match yet" downstream — fail the row
+    val guardedPay = when(col(payload).isNotNull, col(payload))
+      .otherwise(raise_error(lit(
+        s"as-of: right payload '$payload' is null — a null payload is " +
+          "indistinguishable from 'no right row yet'; filter or coalesce " +
+          "right rows first")).cast(payType))
     val r = right.filter(col(key).isNotNull)
       .select(col(key).as("__k"), col(rightTs).as("__ts"),
-        lit(0).as("__side"), col(payload).as("__pay"),
+        lit(0).as("__side"), guardedPay.as("__pay"),
         lit(null).cast(rowType).as("__row"))
     // right rows sort BEFORE left rows at the same instant => inclusive <=
     val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // duplicate (key, ts) right rows are ADJACENT under (ts, side) order, so
+    // one lag over the identical window spec detects them inside the same
+    // sorted pass — "latest at t" would otherwise be engine-arbitrary
+    val wLag = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
+    val dup = col("__side") === 0 &&
+      lag(col("__side"), 1).over(wLag) === 0 &&
+      lag(col("__ts"), 1).over(wLag) === col("__ts")
     l.unionByName(r)
+      .withColumn("__pay", when(dup,
+        raise_error(concat(lit("as-of: duplicate right rows at (key, ts) = ("),
+          col("__k").cast("string"), lit(", "), col("__ts").cast("string"),
+          lit(") — pre-aggregate right to one row per (key, ts)"))).cast(payType))
+        .otherwise(col("__pay")))
       .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
       .withColumn("__mts",
         last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))

@@ -205,17 +205,26 @@ object Whiten {
       s"max(CASE WHEN g.i = $i AND g.j = $j THEN cov END) AS c_${i}_$j").mkString(",\n    ")
     val meanCells = (1 to D)
       .map(i => s"max(CASE WHEN mn.i = $i THEN m END) AS m_$i").mkString(", ")
-    // one CTE per Cholesky column j: l_j_j then l_i_j for i > j
+    // one CTE per Cholesky column j: l_j_j then l_i_j for i > j.
+    // Each pivot sqrt carries the SAME strict positive-pivot guard as
+    // cholesky(): without it, a pivot of exactly 0 slides through sqrt to
+    // a divide-by-zero inf (and the engines would diverge precisely in the
+    // degenerate case the Scala require exists for) — error() makes the
+    // oracle fail as loudly as the Scala path
+    def guardedSqrt(pivot: String, j: Int): String =
+      s"CASE WHEN $pivot <= 0 THEN error('covariance is not positive " +
+        s"definite at dim $j (oracle pivot guard)') ELSE sqrt($pivot) END"
     val cholCtes = (1 to D).map { j =>
       val prev = if (j == 1) "gp" else s"ch${j - 1}"
       val sumJJ = (1 until j).map(k => s"l_${j}_$k * l_${j}_$k").mkString(" + ")
-      val diag =
-        if (j == 1) s"sqrt(c_1_1 + $DiagEps)"
-        else s"sqrt(c_${j}_$j + $DiagEps - ($sumJJ))"
+      val pivot =
+        if (j == 1) s"c_1_1 + $DiagEps"
+        else s"c_${j}_$j + $DiagEps - ($sumJJ)"
+      val diag = guardedSqrt(pivot, j)
       val offs = (j + 1 to D).map { i =>
         val sumIJ = (1 until j).map(k => s"l_${i}_$k * l_${j}_$k").mkString(" + ")
         val num = if (j == 1) s"c_${i}_1" else s"(c_${i}_$j - ($sumIJ))"
-        s"$num / sqrt(c_${j}_$j + $DiagEps${if (j == 1) "" else s" - ($sumJJ)"}) AS l_${i}_$j"
+        s"$num / (${guardedSqrt(pivot, j)}) AS l_${i}_$j"
       }
       val cols = (s"$diag AS l_${j}_$j" +: offs).mkString(",\n    ")
       s"ch$j AS (SELECT *, $cols FROM $prev)"

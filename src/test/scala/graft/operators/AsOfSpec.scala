@@ -67,6 +67,33 @@ class AsOfSpec extends AnyFunSuite {
     assert(got.length == got.distinct.length, "each pair exactly once")
   }
 
+  test("a null right payload fails loudly, never reads as 'no match yet'") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val left = Seq((1L, ts(5), 100L)).toDF("k", "t", "id")
+    val right = Seq((1L, ts(1), Option.empty[Long]), (1L, ts(2), Some(7L)))
+      .toDF("k", "rt", "v")
+    val ex = intercept[Exception](
+      AsOf.asOf(left, "k", "t", right, "rt", "v").collect())
+    assert(ex.getMessage.contains("payload 'v' is null"),
+      s"expected the null-payload guard, got: ${ex.getMessage}")
+  }
+
+  test("duplicate right rows per (key, ts) fail loudly, never pick a winner") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val left = Seq((1L, ts(5), 100L)).toDF("k", "t", "id")
+    val right = Seq((1L, ts(2), 7L), (1L, ts(2), 8L)).toDF("k", "rt", "v")
+    val ex = intercept[Exception](
+      AsOf.asOf(left, "k", "t", right, "rt", "v").collect())
+    assert(ex.getMessage.contains("duplicate right rows"),
+      s"expected the duplicate guard, got: ${ex.getMessage}")
+    // same instant on DIFFERENT keys is fine (uniqueness is per key)
+    val ok = Seq((1L, ts(2), 7L), (2L, ts(2), 8L)).toDF("k", "rt", "v")
+    assert(AsOf.asOf(left, "k", "t", ok, "rt", "v")
+      .collect().head.getAs[Long]("__match") == 7L)
+  }
+
   test("matched timestamp rides along and left columns pass through") {
     val spark = TestSpark.spark
     import spark.implicits._
