@@ -76,6 +76,90 @@ object AsOf {
       .select((left.columns.map(c => col(s"__row.$c")) :+ col("__match") :+ col("__mts")): _*)
   }
 
+  /** SEGMENTED as-of: identical semantics to [[asOf]], but the window
+    * partitions on (key, coarse-epoch bucket) instead of the raw key — the
+    * hot-key cap. [[asOf]]'s per-key ordered scan serializes one
+    * pathological key (a bot user with a year of events) onto one task;
+    * here a task owns at most one bucket of one key, so per-task work is
+    * bounded by temporal co-location (the w8 banding idea applied to the
+    * as-of scan).
+    *
+    * Two passes:
+    *  1. carry-in: per (key, bucket), the last right (payload, ts) INSIDE
+    *     the bucket (one partial-aggregated max), then a per-key running
+    *     last over the BUCKET-SUMMARY table — one row per non-empty
+    *     (key, bucket), dimension-sized, never the corpus — with a
+    *     rows-(-1) frame so a bucket sees only strictly-earlier buckets;
+    *  2. the [[asOf]] union+sort+running-last within each (key, bucket),
+    *     coalesced with the bucket's carry-in for left rows that precede
+    *     every right row in their bucket.
+    *
+    * Timestamps must be TimestampType (bucketing uses unix_micros). Both
+    * [[asOf]] preconditions are enforced the same way (duplicates share a
+    * bucket, so the lag guard still sees them adjacent).
+    */
+  def asOfSegmented(left: DataFrame, key: String, leftTs: String,
+                    right: DataFrame, rightTs: String, payload: String,
+                    bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val payType = right.schema(payload).dataType
+    val l = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
+      lit(1).as("__side"), lit(null).cast(payType).as("__pay"),
+      struct(left.columns.map(col): _*).as("__row"))
+    val rowType = l.schema("__row").dataType
+    val guardedPay = when(col(payload).isNotNull, col(payload))
+      .otherwise(raise_error(lit(
+        s"as-of: right payload '$payload' is null — a null payload is " +
+          "indistinguishable from 'no right row yet'; filter or coalesce " +
+          "right rows first")).cast(payType))
+    val r = right.filter(col(key).isNotNull)
+      .select(col(key).as("__k"), col(rightTs).as("__ts"),
+        lit(0).as("__side"), guardedPay.as("__pay"),
+        lit(null).cast(rowType).as("__row"))
+    val bucketed = l.unionByName(r)
+      .withColumn("__b", expr(s"unix_micros(__ts) div $bucketUs"))
+
+    // pass 1: bucket summaries (right side only) -> per-key carry-in over
+    // the summary table. max(struct(ts, pay)) is the in-bucket latest; the
+    // frame stops at -1 row so a bucket's carry is strictly earlier buckets.
+    val rSum = bucketed.filter(col("__side") === 0)
+      .groupBy(col("__k"), col("__b"))
+      .agg(max(struct(col("__ts"), col("__pay"))).as("m"))
+      .select(col("__k"), col("__b"),
+        col("m.__ts").as("__bts"), col("m.__pay").as("__bpay"))
+    val allBuckets = bucketed.select(col("__k"), col("__b")).distinct()
+    val wCarry = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = allBuckets.join(rSum, Seq("__k", "__b"), "left")
+      .select(col("__k"), col("__b"),
+        last(col("__bpay"), ignoreNulls = true).over(wCarry).as("__carry_pay"),
+        last(col("__bts"), ignoreNulls = true).over(wCarry).as("__carry_ts"))
+
+    // pass 2: the asOf window, partitioned by (key, BUCKET)
+    val wSeg = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__ts"), col("__side"))
+    val dup = col("__side") === 0 &&
+      lag(col("__side"), 1).over(wLag) === 0 &&
+      lag(col("__ts"), 1).over(wLag) === col("__ts")
+    bucketed.join(carry, Seq("__k", "__b"), "left")
+      .withColumn("__pay", when(dup,
+        raise_error(concat(lit("as-of: duplicate right rows at (key, ts) = ("),
+          col("__k").cast("string"), lit(", "), col("__ts").cast("string"),
+          lit(") — pre-aggregate right to one row per (key, ts)"))).cast(payType))
+        .otherwise(col("__pay")))
+      .withColumn("__match",
+        coalesce(last(col("__pay"), ignoreNulls = true).over(wSeg),
+          col("__carry_pay")))
+      .withColumn("__mts",
+        coalesce(last(when(col("__side") === 0, col("__ts")), ignoreNulls = true)
+          .over(wSeg), col("__carry_ts")))
+      .filter(col("__side") === 1)
+      .select((left.columns.map(c => col(s"__row.$c")) :+ col("__match") :+ col("__mts")): _*)
+  }
+
   /** Click-to-view attribution over the events table (w7): every click
     * matched to the user's latest preceding (or simultaneous) view, with
     * the microsecond gap — unmatched clicks keep a null attribution.
@@ -87,6 +171,25 @@ object AsOf {
       .groupBy(col("user_id"), col("ts").as("vts"))
       .agg(max(col("event_id")).as("view_id"))
     asOf(clicks, "user_id", "ts", views, "vts", "view_id")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("__match").as("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("__mts"))).as("gap_us"))
+      .orderBy(col("click_id"))
+  }
+
+  /** Segment width for the w9 query: 6-hour buckets over the events table. */
+  val SegmentUs: Long = 6L * 3600 * 1000000
+
+  /** w7 via the SEGMENTED path (w9): identical result — the oracle is the
+    * same native ASOF JOIN — through the hot-key-capped two-pass plan.
+    */
+  def clickAttributionSegmented(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("vts"))
+      .agg(max(col("event_id")).as("view_id"))
+    asOfSegmented(clicks, "user_id", "ts", views, "vts", "view_id", SegmentUs)
       .select(col("event_id").as("click_id"), col("user_id"),
         col("__match").as("view_id"),
         (unix_micros(col("ts")) - unix_micros(col("__mts"))).as("gap_us"))

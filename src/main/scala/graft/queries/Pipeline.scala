@@ -160,6 +160,12 @@ object Pipeline {
     QueryDef.sql("w8_range_join", RangeJoin.sqlSignupPurchases) { (s, dir) =>
       RangeJoin.signupPurchases(Tables.events(s, dir))
     },
+    // w7 via the SEGMENTED as-of (hot-key cap: the window partitions on
+    // (key, 6h bucket) with a carry-in pass) — same native-ASOF oracle,
+    // proving the segmented path is a pure plan change
+    QueryDef.sql("w9_asof_segmented", AsOf.sqlClickAttribution) { (s, dir) =>
+      AsOf.clickAttributionSegmented(Tables.events(s, dir))
+    },
 
     // -------- composed cleaning pipeline: the operators chained the way a
     // real corpus-prep job runs them — quality gate, then exact-dedup

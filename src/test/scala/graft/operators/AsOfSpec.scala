@@ -67,6 +67,33 @@ class AsOfSpec extends AnyFunSuite {
     assert(got.length == got.distinct.length, "each pair exactly once")
   }
 
+  test("segmented as-of matches plain as-of, carry-ins crossing bucket boundaries") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val clicks = Seq(
+      (1L, ts(0), 100L),  // before any view -> null
+      (1L, ts(2), 101L),  // same bucket as the t1 view
+      (1L, ts(3), 102L),  // simultaneous view (inclusive <=)
+      (1L, ts(9), 103L),  // THIRD bucket: match must carry in from bucket 0
+      (1L, ts(30), 105L), // many empty buckets later: carry still reaches
+      (2L, ts(5), 104L)   // other key, no views -> null
+    ).toDF("user_id", "ts", "event_id")
+    val views = Seq((1L, ts(1), 900L), (1L, ts(3), 901L))
+      .toDF("user_id", "vts", "view_id")
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("__match"), col("__mts"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getTimestamp(2))).toSet
+    // 4-second buckets: t9 and t30 land in buckets with no views at all,
+    // so their matches exist ONLY via the carry-in pass
+    val seg = run(AsOf.asOfSegmented(clicks, "user_id", "ts", views, "vts",
+      "view_id", 4L * 1000000))
+    val plain = run(AsOf.asOf(clicks, "user_id", "ts", views, "vts", "view_id"))
+    assert(seg == plain, s"segmented $seg != plain $plain")
+    assert(seg.contains((103L, 901L, ts(3))) && seg.contains((105L, 901L, ts(3))))
+  }
+
   test("a null right payload fails loudly, never reads as 'no match yet'") {
     val spark = TestSpark.spark
     import spark.implicits._

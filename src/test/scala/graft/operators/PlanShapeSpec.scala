@@ -190,6 +190,25 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("segmented as-of exchanges on (key, BUCKET) — the hot-key cap is in the partitioning") {
+    val spark = TestSpark.spark
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(AsOf.clickAttributionSegmented(graft.Tables.events(spark, dir)))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"segmented as-of must never nested-loop:\n$plan")
+      // the main scan's exchange must carry the bucket alongside the key —
+      // partitioning by the raw key alone would serialize a hot key on one
+      // task, the exact failure mode this variant exists to cap
+      assert(plan.contains("hashpartitioning(__k"),
+        s"expected a (__k, __b) hash exchange in:\n$plan")
+      val partLine = plan.split("\n").filter(_.contains("hashpartitioning(__k"))
+      assert(partLine.exists(_.contains("__b")),
+        s"the bucket must be part of the exchange key, got:\n${partLine.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("range join equi-joins on (key, time bucket): no nested loop, no post-filter-only key join") {
     val spark = TestSpark.spark
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
