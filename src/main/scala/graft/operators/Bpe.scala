@@ -46,21 +46,35 @@ object Bpe {
 
   private val AlphaWordRe = "[a-z]+"
 
-  /** "abc" -> "a b c" (ASCII alpha only, so Java-regex and RE2 agree). */
-  private def charSyms(word: Column): Column =
-    rtrim(regexp_replace(word, "(.)", "$1 "))
+  /** End-of-word marker for the Sennrich-faithful trainer mode: the last
+    * character carries `</w>`, so a merge reaching the word boundary is a
+    * DIFFERENT symbol than the same pair word-internally — the standard
+    * setup that lets the tokenizer distinguish "low" the word from "low"
+    * the prefix of "lowest".
+    */
+  val EowMarker = "</w>"
 
-  private def sqlCharSyms(e: String): String =
-    s"rtrim(regexp_replace($e, '(.)', '\\1 ', 'g'))"
+  /** "abc" -> "a b c" (ASCII alpha only, so Java-regex and RE2 agree);
+    * marked mode appends [[EowMarker]] to the final character's symbol.
+    */
+  private def charSyms(word: Column, marker: Boolean = false): Column = {
+    val plain = rtrim(regexp_replace(word, "(.)", "$1 "))
+    if (marker) concat(plain, lit(EowMarker)) else plain
+  }
+
+  private def sqlCharSyms(e: String, marker: Boolean = false): String = {
+    val plain = s"rtrim(regexp_replace($e, '(.)', '\\1 ', 'g'))"
+    if (marker) s"($plain || '$EowMarker')" else plain
+  }
 
   /** Word-frequency table with initial char symbolization — the trainer's
     * working set. One partial-aggregated pass over the corpus.
     */
-  def initialWords(docs: DataFrame): DataFrame =
+  def initialWords(docs: DataFrame, marker: Boolean = false): DataFrame =
     docs.select(explode(
         regexp_extract_all(lower(col("text")), lit(AlphaWordRe), lit(0))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(col("word"), col("freq"), charSyms(col("word")).as("syms"))
+      .select(col("word"), col("freq"), charSyms(col("word"), marker).as("syms"))
 
   /** Adjacent-pair counts over the current symbolization, freq-weighted.
     * Overlapping occurrences count separately ("a a a" contributes two
@@ -102,11 +116,35 @@ object Bpe {
     * unpersist eagerly instead).
     */
   def train(docs: DataFrame, nMerges: Int = NMerges)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    trainCore(docs, marker = false, maxMerges = nMerges, targetVocab = None)
+
+  /** Sennrich-faithful trainer mode: end-of-word-marked symbolization
+    * ([[EowMarker]]) and an optional TARGET-VOCAB-SIZE stop — merging ends
+    * once the symbolization's distinct-symbol count reaches `targetVocab`
+    * (checked before each round over the tiny distinct-symbol dimension
+    * table), or after `maxMerges` rounds, whichever first. The merge loop
+    * itself is byte-identical to [[train]]; only the initial symbols and
+    * the stop rule differ.
+    */
+  def trainMarked(docs: DataFrame, maxMerges: Int = NMerges,
+                  targetVocab: Option[Int] = None)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    trainCore(docs, marker = true, maxMerges = maxMerges, targetVocab = targetVocab)
+
+  private def trainCore(docs: DataFrame, marker: Boolean, maxMerges: Int,
+                        targetVocab: Option[Int])
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    var words = initialWords(docs).localCheckpoint(true)
+    var words = initialWords(docs, marker).localCheckpoint(true)
+    // distinct-symbol count of the CURRENT symbolization — a one-row agg
+    // over the vocabulary table, only paid when a vocab-size stop is set
+    def vocabSize(): Long = words
+      .select(explode(split(col("syms"), " ")).as("s"))
+      .agg(countDistinct(col("s"))).collect().head.getLong(0)
     val merges = ArrayBuffer.empty[(Int, String, String, Long)]
     var continue = true
-    while (continue && merges.size < nMerges) {
+    while (continue && merges.size < maxMerges
+        && targetVocab.forall(vocabSize() < _)) {
       pairCounts(words).orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
         .collect().headOption match {
         case None => continue = false // nothing left to merge
@@ -241,10 +279,10 @@ object Bpe {
     * exhausted corpus degrades to a no-op round exactly like the driver
     * loop's stop). Returns (ctes, final vocab CTE name).
     */
-  def sqlTrainCtes(n: Int): (String, String) = {
+  def sqlTrainCtes(n: Int, marker: Boolean = false): (String, String) = {
     val w0 =
       s"""w0 AS (SELECT word, count(*)::BIGINT AS freq,
-         |    ${sqlCharSyms("word")} AS syms
+         |    ${sqlCharSyms("word", marker)} AS syms
          |  FROM (SELECT unnest(regexp_extract_all(lower(text), '$AlphaWordRe')) AS word
          |        FROM documents)
          |  GROUP BY word)""".stripMargin
@@ -269,6 +307,26 @@ object Bpe {
 
   val sqlLearnedMerges: String = {
     val (ctes, _) = sqlTrainCtes(NMerges)
+    val union = (1 to NMerges)
+      .map(r => s"SELECT $r AS merge_rank, x, y, cnt FROM b$r").mkString(" UNION ALL ")
+    s"""WITH $ctes
+       |SELECT merge_rank, x, y, cnt FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** The marked learned-merges query (t15): the t10 merge table under the
+    * end-of-word-marked symbolization — the merge fold is identical, only
+    * w0's initial symbols differ, so the oracle unrolls the same CTEs.
+    */
+  def learnedMergesMarked(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, words) = trainMarked(docs)
+    words.unpersist()
+    merges.toDF("merge_rank", "x", "y", "cnt").orderBy(col("merge_rank"))
+  }
+
+  val sqlLearnedMergesMarked: String = {
+    val (ctes, _) = sqlTrainCtes(NMerges, marker = true)
     val union = (1 to NMerges)
       .map(r => s"SELECT $r AS merge_rank, x, y, cnt FROM b$r").mkString(" UNION ALL ")
     s"""WITH $ctes

@@ -84,6 +84,11 @@ object Pipeline {
     QueryDef.sql("t12_bpe_vocab", Bpe.sqlVocabulary) { (s, dir) =>
       Bpe.vocabulary(Tables.documents(s, dir))
     },
+    // the Sennrich-faithful trainer mode: end-of-word marker in the
+    // symbolization (boundary merges become distinct symbols)
+    QueryDef.sql("t15_bpe_merges_marked", Bpe.sqlLearnedMergesMarked) { (s, dir) =>
+      Bpe.learnedMergesMarked(Tables.documents(s, dir))
+    },
     // train-once/apply-anywhere: persist the tokenizer (merges + vocab),
     // load it back, apply — must hash-match t11 byte-for-byte, proving the
     // saved artifact carries the full tokenization

@@ -46,6 +46,46 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.isEmpty)
   }
 
+  test("marked trainer: end-of-word merges are distinct symbols (hand-computed)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // low x3, lower x1, lowest x1 with </w>: "l o w</w>", "l o w e r</w>",
+    // "l o w e s t</w>" — so (o, w</w>) at the boundary counts separately
+    // from word-internal (o, w), unlike the unmarked trainer
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.trainMarked(docs, maxMerges = 5)
+    // r1: (l,o)=5. r2: (lo,w</w>)=3 beats (lo,w)=2 — the boundary symbol.
+    // r3: (lo,w)=2 ties (w,e)=2 -> x asc picks (lo,w). r4: (low,e)=2.
+    // r5: (lowe,r</w>)=1 ties (lowe,s) and (s,t</w>) -> (x,y) asc.
+    assert(merges == Seq(
+      (1, "l", "o", 5L), (2, "lo", "w</w>", 3L), (3, "lo", "w", 2L),
+      (4, "low", "e", 2L), (5, "lowe", "r</w>", 1L)))
+    val syms = vocab.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(syms == Map("low" -> "low</w>", "lower" -> "lower</w>",
+      "lowest" -> "lowe s t</w>"))
+    vocab.unpersist()
+  }
+
+  test("marked trainer: target-vocab-size stop ends merging at the target") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // init syms: "a b x</w>", "a y</w>", "b z</w>" -> 5 distinct symbols;
+    // merging (a,b) keeps a and b alive in the other words, so the vocab
+    // GROWS to 6: {ab, x</w>, a, y</w>, b, z</w>}
+    val docs = Seq((1L, "abx ay bz")).toDF("doc_id", "text")
+    val (m1, v1) = Bpe.trainMarked(docs, maxMerges = 5, targetVocab = Some(6))
+    assert(m1.map(t => (t._2, t._3)) == Seq(("a", "b"))) // one round, then 6 >= 6
+    v1.unpersist()
+    // a target at or below the initial size means zero merges
+    val (m0, v0) = Bpe.trainMarked(docs, maxMerges = 5, targetVocab = Some(5))
+    assert(m0.isEmpty)
+    v0.unpersist()
+    // no target: runs to maxMerges (or exhaustion) exactly like train
+    val (mAll, vAll) = Bpe.trainMarked(docs, maxMerges = 2)
+    assert(mAll.size == 2)
+    vAll.unpersist()
+  }
+
   test("apply: learned tokens, single-symbol marks/digits, stable id fingerprint") {
     val spark = TestSpark.spark
     import spark.implicits._
