@@ -97,6 +97,13 @@ object AsOf {
     * Timestamps must be TimestampType (bucketing uses unix_micros). Both
     * [[asOf]] preconditions are enforced the same way (duplicates share a
     * bucket, so the lag guard still sees them adjacent).
+    *
+    * Cost trade vs [[asOf]]: the inputs are read again for the carry pass,
+    * but those extra reads are NARROW (key/ts/payload only — column
+    * pruning drops the carried left row), and the summary they aggregate
+    * to is bucket-counted. Paying ~2 pruned scans to bound per-task work
+    * is the right trade exactly when a hot key exists; keep [[asOf]] when
+    * keys are known to be balanced.
     */
   def asOfSegmented(left: DataFrame, key: String, leftTs: String,
                     right: DataFrame, rightTs: String, payload: String,
