@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -28,47 +28,74 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOf {
 
+  /** Tagged side prep shared by [[asOf]] and [[asOfSegmented]]: left rows
+    * carry their original row as a struct, right rows their (guarded)
+    * payload; both collapse to the (__k, __ts, __side, __pay, __row) shape
+    * the union sorts.
+    *
+    * NULL semantics, pinned to the DuckDB ASOF LEFT JOIN oracle:
+    *  - null KEYS never match: the window's partitionBy would group null
+    *    keys TOGETHER (unlike a join), so null-key right rows are dropped —
+    *    null-key left rows then see only null payloads and come out
+    *    unmatched;
+    *  - null right TIMESTAMPS never match (`vts <= ts` is never true for
+    *    NULL): dropped for the same reason — the window's nulls-first sort
+    *    would otherwise put a null-ts right row BEFORE every left row and
+    *    silently match it everywhere (and two null-ts rows would evade the
+    *    duplicate guard, NULL === NULL being null);
+    *  - a null right PAYLOAD is indistinguishable from "no match yet" to
+    *    the running last_value, so it fails loudly per row instead.
+    */
+  private def prepSides(left: DataFrame, key: String, leftTs: String,
+                        right: DataFrame, rightTs: String, payload: String)
+      : (DataFrame, DataFrame) = {
+    val payType = right.schema(payload).dataType
+    val l = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
+      lit(1).as("__side"), lit(null).cast(payType).as("__pay"),
+      struct(left.columns.map(col): _*).as("__row"))
+    val rowType = l.schema("__row").dataType
+    val guardedPay = when(col(payload).isNotNull, col(payload))
+      .otherwise(raise_error(lit(
+        s"as-of: right payload '$payload' is null — a null payload is " +
+          "indistinguishable from 'no right row yet'; filter or coalesce " +
+          "right rows first")).cast(payType))
+    val r = right.filter(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(col(key).as("__k"), col(rightTs).as("__ts"),
+        lit(0).as("__side"), guardedPay.as("__pay"),
+        lit(null).cast(rowType).as("__row"))
+    (l, r)
+  }
+
+  /** The duplicate-(key, ts) guard woven into `__pay`: duplicates are
+    * ADJACENT under the (ts, side) sort within `partitionCols`, so one lag
+    * over the match window's own ordering detects them with no extra
+    * exchange — "latest at t" would otherwise be engine-arbitrary.
+    */
+  private def dupGuardedPay(partitionCols: Seq[Column], payType: org.apache.spark.sql.types.DataType): Column = {
+    val wLag = Window.partitionBy(partitionCols: _*)
+      .orderBy(col("__ts"), col("__side"))
+    val dup = col("__side") === 0 &&
+      lag(col("__side"), 1).over(wLag) === 0 &&
+      lag(col("__ts"), 1).over(wLag) === col("__ts")
+    when(dup,
+      raise_error(concat(lit("as-of: duplicate right rows at (key, ts) = ("),
+        col("__k").cast("string"), lit(", "), col("__ts").cast("string"),
+        lit(") — pre-aggregate right to one row per (key, ts)"))).cast(payType))
+      .otherwise(col("__pay"))
+  }
+
   /** Left rows + (`__match` = latest right payload, `__mts` = its ts), null
     * when no right row precedes. Left columns pass through unchanged.
     */
   def asOf(left: DataFrame, key: String, leftTs: String,
            right: DataFrame, rightTs: String, payload: String): DataFrame = {
     val payType = right.schema(payload).dataType
-    val l = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
-      lit(1).as("__side"), lit(null).cast(payType).as("__pay"),
-      struct(left.columns.map(col): _*).as("__row"))
-    val rowType = l.schema("__row").dataType
-    // join semantics on NULL keys: a null never matches anything. The
-    // window's partitionBy would group null keys TOGETHER (unlike a join),
-    // so null-key right rows are dropped — null-key left rows then share
-    // their partition only with each other, see only null payloads, and
-    // come out unmatched, exactly like DuckDB's ASOF LEFT JOIN.
-    // null payload would read as "no match yet" downstream — fail the row
-    val guardedPay = when(col(payload).isNotNull, col(payload))
-      .otherwise(raise_error(lit(
-        s"as-of: right payload '$payload' is null — a null payload is " +
-          "indistinguishable from 'no right row yet'; filter or coalesce " +
-          "right rows first")).cast(payType))
-    val r = right.filter(col(key).isNotNull)
-      .select(col(key).as("__k"), col(rightTs).as("__ts"),
-        lit(0).as("__side"), guardedPay.as("__pay"),
-        lit(null).cast(rowType).as("__row"))
+    val (l, r) = prepSides(left, key, leftTs, right, rightTs, payload)
     // right rows sort BEFORE left rows at the same instant => inclusive <=
     val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // duplicate (key, ts) right rows are ADJACENT under (ts, side) order, so
-    // one lag over the identical window spec detects them inside the same
-    // sorted pass — "latest at t" would otherwise be engine-arbitrary
-    val wLag = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
-    val dup = col("__side") === 0 &&
-      lag(col("__side"), 1).over(wLag) === 0 &&
-      lag(col("__ts"), 1).over(wLag) === col("__ts")
     l.unionByName(r)
-      .withColumn("__pay", when(dup,
-        raise_error(concat(lit("as-of: duplicate right rows at (key, ts) = ("),
-          col("__k").cast("string"), lit(", "), col("__ts").cast("string"),
-          lit(") — pre-aggregate right to one row per (key, ts)"))).cast(payType))
-        .otherwise(col("__pay")))
+      .withColumn("__pay", dupGuardedPay(Seq(col("__k")), payType))
       .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
       .withColumn("__mts",
         last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
@@ -110,19 +137,7 @@ object AsOf {
                     bucketUs: Long): DataFrame = {
     require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
     val payType = right.schema(payload).dataType
-    val l = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
-      lit(1).as("__side"), lit(null).cast(payType).as("__pay"),
-      struct(left.columns.map(col): _*).as("__row"))
-    val rowType = l.schema("__row").dataType
-    val guardedPay = when(col(payload).isNotNull, col(payload))
-      .otherwise(raise_error(lit(
-        s"as-of: right payload '$payload' is null — a null payload is " +
-          "indistinguishable from 'no right row yet'; filter or coalesce " +
-          "right rows first")).cast(payType))
-    val r = right.filter(col(key).isNotNull)
-      .select(col(key).as("__k"), col(rightTs).as("__ts"),
-        lit(0).as("__side"), guardedPay.as("__pay"),
-        lit(null).cast(rowType).as("__row"))
+    val (l, r) = prepSides(left, key, leftTs, right, rightTs, payload)
     val bucketed = l.unionByName(r)
       .withColumn("__b", expr(s"unix_micros(__ts) div $bucketUs"))
 
@@ -146,17 +161,8 @@ object AsOf {
     val wSeg = Window.partitionBy(col("__k"), col("__b"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wLag = Window.partitionBy(col("__k"), col("__b"))
-      .orderBy(col("__ts"), col("__side"))
-    val dup = col("__side") === 0 &&
-      lag(col("__side"), 1).over(wLag) === 0 &&
-      lag(col("__ts"), 1).over(wLag) === col("__ts")
     bucketed.join(carry, Seq("__k", "__b"), "left")
-      .withColumn("__pay", when(dup,
-        raise_error(concat(lit("as-of: duplicate right rows at (key, ts) = ("),
-          col("__k").cast("string"), lit(", "), col("__ts").cast("string"),
-          lit(") — pre-aggregate right to one row per (key, ts)"))).cast(payType))
-        .otherwise(col("__pay")))
+      .withColumn("__pay", dupGuardedPay(Seq(col("__k"), col("__b")), payType))
       .withColumn("__match",
         coalesce(last(col("__pay"), ignoreNulls = true).over(wSeg),
           col("__carry_pay")))

@@ -178,15 +178,20 @@ object Bpe {
     * plus a broadcast stream-static vocab join, so the same plan tokenizes
     * a live rapid (StreamingSpec proves it).
     */
-  def symbolStream(docs: DataFrame, vocab: DataFrame): DataFrame = {
+  def symbolStream(docs: DataFrame, vocab: DataFrame,
+                   marker: Boolean = false): DataFrame = {
     val pre = docs.select(col("doc_id"),
       posexplode(regexp_extract_all(lower(col("text")),
         lit(TextOps.BpePattern), lit(0))).as(Seq("p", "tok")))
+    // the out-of-vocab fallback must follow the TRAINED convention: a
+    // marked vocabulary's words all end in an </w> symbol, so an unmarked
+    // fallback would mix boundary conventions in one id space and tokenize
+    // OOV words in a way the marked trainer could never produce
     val withSyms = pre
       .join(broadcast(vocab.select(col("word"), col("syms"))),
         pre("tok") === col("word"), "left")
       .select(col("doc_id"), col("p"),
-        coalesce(col("syms"), charSyms(col("tok"))).as("ts"))
+        coalesce(col("syms"), charSyms(col("tok"), marker)).as("ts"))
     withSyms.select(col("doc_id"), col("p"),
       posexplode(split(col("ts"), " ")).as(Seq("q", "sym")))
   }
@@ -213,7 +218,8 @@ object Bpe {
     * token count plus the md5 of its ordered token-id stream — a
     * full-fidelity fingerprint of the tokenization.
     */
-  def applyBpe(docs: DataFrame, vocab: DataFrame): DataFrame = {
+  def applyBpe(docs: DataFrame, vocab: DataFrame,
+               marker: Boolean = false): DataFrame = {
     // materialized ONCE because two consumers read the corpus-sized stream
     // (the id table's distinct and the scoring join) — without it the
     // corpus is scanned and re-tokenized twice. localCheckpoint, NOT
@@ -221,7 +227,7 @@ object Bpe {
     // identical, and a plan-keyed cache entry would pin storage for the
     // session per call — checkpoint blocks are released by the
     // ContextCleaner with the RDD instead (the kmeansModel rationale).
-    val symRows = symbolStream(docs, vocab).localCheckpoint(true)
+    val symRows = symbolStream(docs, vocab, marker).localCheckpoint(true)
     val ids = symbolIds(symRows)
     symRows.join(broadcast(ids), "sym")
       .groupBy(col("doc_id"))
@@ -245,14 +251,18 @@ object Bpe {
     * (t14 hash-matches t11); the merge table alone can re-derive the vocab
     * for corpora the trainer never saw (replay the merges in rank order).
     */
-  def trainAndSave(docs: DataFrame, dir: String, nMerges: Int = NMerges): Unit = {
+  def trainAndSave(docs: DataFrame, dir: String, nMerges: Int = NMerges,
+                   marker: Boolean = false): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (merges, words) = train(docs, nMerges)
+    val (merges, words) = trainCore(docs, marker, nMerges, targetVocab = None)
     graft.sources.ModelStore.save(
       merges.toDF("merge_rank", "x", "y", "cnt"), s"$dir/merges")
     graft.sources.ModelStore.save(
       words.select(col("word"), col("freq"), col("syms")), s"$dir/vocab")
+    // the marker convention is part of the model: apply must pick the
+    // matching OOV fallback, so it rides with the artifact
+    graft.sources.ModelStore.save(Seq(marker).toDF("marker"), s"$dir/meta")
     words.unpersist()
     ()
   }
@@ -265,12 +275,20 @@ object Bpe {
   def loadMerges(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     graft.sources.ModelStore.load(spark, s"$dir/merges")
 
+  /** The persisted marker convention. */
+  def loadMarker(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    graft.sources.ModelStore.load(spark, s"$dir/meta")
+      .collect().head.getBoolean(0)
+
   /** Tokenize with a PERSISTED tokenizer (t14): identical output to
     * [[tokenize]] when `dir` holds the same corpus's training run, without
-    * re-running a single merge round.
+    * re-running a single merge round. The saved marker convention selects
+    * the matching OOV fallback automatically.
     */
-  def tokenizeSaved(docs: DataFrame, dir: String): DataFrame =
-    applyBpe(docs, loadVocab(docs.sparkSession, dir))
+  def tokenizeSaved(docs: DataFrame, dir: String): DataFrame = {
+    val spark = docs.sparkSession
+    applyBpe(docs, loadVocab(spark, dir), loadMarker(spark, dir))
+  }
 
   // ------------------------------------------------------------ oracle SQL
 

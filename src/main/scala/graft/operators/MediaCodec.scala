@@ -54,10 +54,12 @@ object MediaCodec {
     require(pos < bytes.length && bytes(pos).toChar.isWhitespace,
       "PPM: missing separator before pixel data")
     pos += 1 // exactly one whitespace byte, per spec
-    val n = w * h * 3
-    require(bytes.length - pos == n,
+    // Long math: a crafted 65536x65536 header would overflow w*h*3 to 0 and
+    // sail past the byte-count check into NaN features downstream
+    val n = w.toLong * h * 3
+    require(bytes.length.toLong - pos == n,
       s"PPM: expected $n pixel bytes, got ${bytes.length - pos}")
-    Ppm(w, h, Array.tabulate(n)(i => bytes(pos + i) & 0xff))
+    Ppm(w, h, Array.tabulate(n.toInt)(i => bytes(pos + i) & 0xff))
   }
 
   // ------------------------------------------------------------------ WAV
@@ -102,7 +104,10 @@ object MediaCodec {
       val size = b.getInt()
       require(size >= 0 && size <= b.remaining(),
         s"WAV: chunk '$id' claims $size bytes, ${b.remaining()} remain")
-      val next = b.position() + size + (size & 1) // chunks are word-aligned
+      // word alignment: an odd-sized final chunk may legally omit its pad
+      // byte at EOF — clamp instead of letting position() throw a raw
+      // buffer error on a file that is otherwise spec-complete
+      val next = math.min(b.position() + size + (size & 1), b.limit())
       id match {
         case "fmt " =>
           require(size >= 16, s"WAV: fmt chunk too short ($size)")

@@ -94,6 +94,30 @@ class AsOfSpec extends AnyFunSuite {
     assert(seg.contains((103L, 901L, ts(3))) && seg.contains((105L, 901L, ts(3))))
   }
 
+  test("null right timestamps never match — vts <= ts is never true for NULL") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val clicks = Seq((1L, ts(5), 100L)).toDF("user_id", "ts", "event_id")
+    // a null-ts view would sort FIRST under the window's nulls-first order
+    // and silently match every click if it weren't dropped
+    val views = Seq((1L, Option.empty[Timestamp], 900L), (1L, Some(ts(2)), 901L))
+      .toDF("user_id", "vts", "view_id")
+    for (result <- Seq(
+        AsOf.asOf(clicks, "user_id", "ts", views, "vts", "view_id"),
+        AsOf.asOfSegmented(clicks, "user_id", "ts", views, "vts", "view_id",
+          4L * 1000000))) {
+      val r = result.collect().head
+      assert(r.getAs[Long]("__match") == 901L)
+      assert(r.getAs[Timestamp]("__mts") == ts(2))
+    }
+    // two null-ts right rows are dropped, not flagged as duplicates
+    val twoNulls = Seq((1L, Option.empty[Timestamp], 900L),
+      (1L, Option.empty[Timestamp], 902L)).toDF("user_id", "vts", "view_id")
+    val unmatched = AsOf.asOf(clicks, "user_id", "ts", twoNulls, "vts", "view_id")
+      .collect().head
+    assert(unmatched.isNullAt(unmatched.fieldIndex("__match")))
+  }
+
   test("a null right payload fails loudly, never reads as 'no match yet'") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -69,6 +69,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.decodeWav(withList).samples.toSeq == samples.toSeq)
   }
 
+  test("PPM giant-header overflow is rejected, not NaN-decoded") {
+    // 65536 * 65536 * 3 overflows Int to 0 — must still fail the byte count
+    val crafted = "P6\n65536 65536\n255\n".getBytes("US-ASCII")
+    val ex = intercept[IllegalArgumentException](MediaCodec.decodePpm(crafted))
+    assert(ex.getMessage.contains("pixel bytes"))
+  }
+
+  test("WAV odd-sized final chunk may omit its pad byte at EOF") {
+    val hdr = MediaCodec.wavHeader(2, 16000)
+    val data = Array[Byte](1, 0, 2, 0)
+    // trailing 3-byte chunk, no pad byte: spec-tolerable at EOF
+    val odd = hdr ++ data ++ "oddc".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](9, 9, 9)
+    assert(MediaCodec.decodeWav(odd).samples.toSeq == Seq(1.toShort, 2.toShort))
+  }
+
   test("malformed payloads fail loudly, never decode to garbage") {
     assert(intercept[IllegalArgumentException](
       MediaCodec.decodePpm("JUNK".getBytes)).getMessage.contains("magic"))

@@ -53,6 +53,22 @@ class PersistSpec extends AnyFunSuite {
     words.unpersist()
   }
 
+  test("marked BPE model persists its convention: OOV fallback is marked too") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val dir = tmp("graft-bpe-marked-")
+    Bpe.trainAndSave(docs, dir, nMerges = 3, marker = true)
+    assert(Bpe.loadMarker(spark, dir))
+    // an out-of-vocab word must fall back to the MARKED char split — an
+    // unmarked fallback would mix boundary conventions in one id space
+    val newDocs = Seq((2L, "zzz")).toDF("doc_id", "text")
+    val syms = Bpe.symbolStream(newDocs, Bpe.loadVocab(spark, dir),
+        Bpe.loadMarker(spark, dir))
+      .orderBy(col("q")).collect().map(_.getString(3))
+    assert(syms.toSeq == Seq("z", "z", "z</w>"))
+  }
+
   test("whitening model round-trips bit-exactly and whitenWith(loaded) == whiten") {
     val spark = TestSpark.spark
     val emb = embeddings
