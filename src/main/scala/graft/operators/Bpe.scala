@@ -258,7 +258,10 @@ object Bpe {
     val (merges, words) = trainCore(docs, marker, nMerges, targetVocab = None)
     graft.sources.ModelStore.save(
       merges.toDF("merge_rank", "x", "y", "cnt"), s"$dir/merges")
-    graft.sources.ModelStore.save(
+    // the vocabulary is one row per DISTINCT WORD — it grows with the
+    // corpus (unlike the bounded merge table), so it takes the parallel
+    // writer; the apply-side broadcast reads it back regardless of layout
+    graft.sources.ModelStore.saveLarge(
       words.select(col("word"), col("freq"), col("syms")), s"$dir/vocab")
     // the marker convention is part of the model: apply must pick the
     // matching OOV fallback, so it rides with the artifact

@@ -370,7 +370,8 @@ object Similarity {
       : (DataFrame, DataFrame) = {
     val (cent, assigned) = kmeansModel(emb, k, iters)
     graft.sources.ModelStore.save(cent, s"$dir/centroids")
-    graft.sources.ModelStore.save(assigned, s"$dir/cells")
+    // cells are one row PER VECTOR — corpus-scaling, parallel write
+    graft.sources.ModelStore.saveLarge(assigned, s"$dir/cells")
     (cent, assigned)
   }
 

@@ -17,12 +17,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ModelStore {
 
-  /** Write one model table (overwrite). Single file: every artifact here is
-    * dimension-sized, and one file makes the apply-side broadcast read one
-    * footer instead of shuffle-partition-many.
+  /** Write one SMALL model table (overwrite). Single file: for artifacts
+    * that are dimension-sized by construction (centroids k x dims, the
+    * whitening D x D, the merge table), one file makes the apply-side
+    * broadcast read one footer instead of shuffle-partition-many. Do NOT
+    * use for tables that grow with the corpus — that's [[saveLarge]].
     */
   def save(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Write a model table that SCALES WITH THE DATA (the k-means cell
+    * assignment is one row per vector; a BPE vocabulary is one row per
+    * distinct word): parallel write with bounded file sizes — a coalesce(1)
+    * here would funnel the table through a single task at 100 TB.
+    */
+  def saveLarge(df: DataFrame, path: String): Unit =
+    df.write.option("maxRecordsPerFile", "5000000")
+      .mode("overwrite").parquet(path)
 
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
