@@ -243,6 +243,63 @@ object Bpe {
   /** t11 end-to-end: train on the corpus, tokenize the corpus. */
   def tokenize(docs: DataFrame): DataFrame = applyBpe(docs, train(docs)._2)
 
+  // ---------------------------------------------------- merge-replay apply
+
+  /** A pre-token symbolized by REPLAYING the merge list in rank order over
+    * its char split — the real BPE apply (how sentencepiece/GPT tokenizers
+    * run): each learned merge is a greedy left-to-right pass, chained as a
+    * fold of [[applyMerge]] expressions, pure codegen. Replaying the
+    * merges on a TRAINING word reproduces its trained symbolization
+    * exactly (training applied the same merges globally in the same
+    * order), and an UNSEEN word gets the correct compressed tokenization —
+    * unlike the vocab join's char-split fallback.
+    *
+    * Expression depth grows with the merge count: fine for the bounded
+    * lists here (each merge is one codegen'd aggregate), but a production
+    * 32k-merge tokenizer exceeds what an expression tree should hold —
+    * at that size the replay belongs in a mapPartitions kernel with the
+    * merge table broadcast, and the vocab join covers in-vocab words.
+    */
+  def symbolizeByMerges(tok: Column, merges: Seq[(String, String)],
+                        marker: Boolean = false): Column =
+    merges.foldLeft(charSyms(tok, marker)) {
+      case (syms, (x, y)) => applyMerge(syms, x, y)
+    }
+
+  /** Tokenize from the MERGE TABLE alone (t16) — no vocabulary at all:
+    * proves the small rank-ordered merge list is a complete tokenizer
+    * artifact (what you'd actually ship), producing byte-identical output
+    * to the vocab-join path on the training corpus.
+    */
+  def tokenizeByMerges(docs: DataFrame, merges: Seq[(String, String)],
+                       marker: Boolean = false): DataFrame = {
+    val pre = docs.select(col("doc_id"),
+      posexplode(regexp_extract_all(lower(col("text")),
+        lit(TextOps.BpePattern), lit(0))).as(Seq("p", "tok")))
+    val symRows = pre.select(col("doc_id"), col("p"),
+        posexplode(split(symbolizeByMerges(col("tok"), merges, marker), " "))
+          .as(Seq("q", "sym")))
+      .localCheckpoint(true)
+    val ids = symbolIds(symRows)
+    symRows.join(broadcast(ids), "sym")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bpe"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("p"), col("q"), col("id")))),
+            s => s.getField("id").cast("string")),
+          ",")).as("ids_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t16: train, keep only the merge list, tokenize by replay. */
+  def tokenizeViaMergeReplay(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val (merges, words) = train(docs)
+    words.unpersist()
+    tokenizeByMerges(docs, merges.map(m => (m._2, m._3)))
+  }
+
   // -------------------------------------------------------- persistence
 
   /** Train and persist the tokenizer under `dir`: `dir/merges` (rank, x, y,

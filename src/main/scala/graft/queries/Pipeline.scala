@@ -88,6 +88,12 @@ object Pipeline {
     QueryDef.sql("t12_bpe_vocab", Bpe.sqlVocabulary) { (s, dir) =>
       Bpe.vocabulary(Tables.documents(s, dir))
     },
+    // tokenize from the MERGE TABLE alone (rank-ordered replay, no vocab):
+    // the shippable-artifact path — must hash-match t11, proving the merge
+    // list is a complete tokenizer
+    QueryDef.sql("t16_bpe_merge_replay", Bpe.sqlTokenize) { (s, dir) =>
+      Bpe.tokenizeViaMergeReplay(Tables.documents(s, dir))
+    },
     // the Sennrich-faithful trainer mode: end-of-word marker in the
     // symbolization (boundary merges become distinct symbols)
     QueryDef.sql("t15_bpe_merges_marked", Bpe.sqlLearnedMergesMarked) { (s, dir) =>

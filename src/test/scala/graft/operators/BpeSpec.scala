@@ -86,6 +86,37 @@ class BpeSpec extends AnyFunSuite {
     vAll.unpersist()
   }
 
+  test("merge replay: OOV words get the correct COMPRESSED tokenization") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val trainDocs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val (merges, words) = Bpe.train(trainDocs, nMerges = 4)
+    words.unpersist()
+    val pairList = merges.map(m => (m._2, m._3))
+    // "lowly" was never trained, but replaying (l,o)(lo,w)(low,e)(lowe,r)
+    // still compresses its prefix — the vocab join's char-split fallback
+    // would emit 5 raw chars instead
+    val syms = Seq("lowly").toDF("tok")
+      .select(Bpe.symbolizeByMerges(col("tok"), pairList).as("s"))
+      .collect().head.getString(0)
+    assert(syms == "low l y", s"got '$syms'")
+    // single-char digit/mark pre-tokens are replay no-ops
+    val mark = Seq("7").toDF("tok")
+      .select(Bpe.symbolizeByMerges(col("tok"), pairList).as("s"))
+      .collect().head.getString(0)
+    assert(mark == "7")
+  }
+
+  test("merge replay reproduces the vocab-join tokenization on the training corpus") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq((1L, "low lower lowest, 42 low!"),
+      (2L, "slower glowing lows")).toDF("doc_id", "text")
+    val direct = Bpe.tokenize(docs).collect().map(_.toSeq).toSeq
+    val replay = Bpe.tokenizeViaMergeReplay(docs).collect().map(_.toSeq).toSeq
+    assert(replay == direct)
+  }
+
   test("apply: learned tokens, single-symbol marks/digits, stable id fingerprint") {
     val spark = TestSpark.spark
     import spark.implicits._
