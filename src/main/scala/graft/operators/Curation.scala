@@ -469,6 +469,89 @@ object Curation {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  // --------------------------- importance resampling weights (DSIR)
+
+  /** Hashed-feature space size for DSIR. Small enough that the two bucket
+    * count tables are broadcast single-digit-KB dimension tables at any
+    * corpus size; large enough that collisions don't flatten the signal on
+    * the fixture vocabulary.
+    */
+  val DsirBuckets = 256
+
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    * every document by how much more likely its hashed-unigram bag is
+    * under a TARGET distribution than under the RAW corpus distribution —
+    * the published recipe for selecting in-domain pretraining data
+    * without a trained classifier. Target here: the `lang = 'en'` slice
+    * (any deterministic predicate works — a quality gate, a trusted
+    * source list). Both distributions are add-one-smoothed bucket models,
+    * the per-doc weight is the tf-weighted log-likelihood ratio in bits
+    * per token, and `selected` is the principled zero threshold (the doc
+    * looks more target than raw). The paper resamples ∝ weight; the
+    * deterministic gate is the oracle-checkable core, and [[shuffleOrder]]
+    * (p14) supplies the downstream sampling order.
+    *
+    * Scale shape (same skeleton as t13 surprisal): tokens hash straight
+    * to 256 buckets so every shuffle key is bounded-cardinality; per-doc
+    * bucket TFs are map-side combined BEFORE the exchange; the two model
+    * tables (256 rows) and the two totals are broadcast. One corpus scan
+    * builds everything; nothing corpus-sized is broadcast or collected.
+    */
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    val b = Portable.hash32(col("t")) % DsirBuckets
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(Portable.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), col("lang"), b.as("b"))
+    val tf = toks.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+    val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val target = toks.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(sum(col("cr")).as("nr"))
+      .crossJoin(target.agg(sum(col("ct")).as("nt")))
+    val scored = tf
+      .join(raw, "b")
+      .join(target, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("tf"),
+        (col("tf") * (log2((coalesce(col("ct"), lit(0L)) + 1.0) / (col("nt") + DsirBuckets))
+          - log2((col("cr") + 1.0) / (col("nr") + DsirBuckets)))).as("wbits"))
+    val per = scored.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("wbits")) / sum(col("tf")), 4).as("llr_bits_per_token"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("llr_bits_per_token"), lit(0.0)).as("llr_bits_per_token"),
+        (coalesce(col("llr_bits_per_token"), lit(0.0)) > 0.0).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sqlDsirWeights: String = {
+    val toks = Portable.sqlTokens("text")
+    val h = Portable.sqlHash32("t")
+    s"""WITH tk AS (SELECT doc_id, lang, ($h % $DsirBuckets) AS b
+       |  FROM (SELECT doc_id, lang, unnest($toks) AS t FROM documents)),
+       |tf AS (SELECT doc_id, b, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+       |raw AS (SELECT b, count(*)::BIGINT AS cr FROM tk GROUP BY b),
+       |tgt AS (SELECT b, count(*)::BIGINT AS ct FROM tk WHERE lang = 'en' GROUP BY b),
+       |tot AS (SELECT (SELECT sum(cr) FROM raw)::BIGINT AS nr,
+       |               (SELECT sum(ct) FROM tgt)::BIGINT AS nt),
+       |scored AS (SELECT tf.doc_id, tf.tf,
+       |    tf.tf * (log2((coalesce(tgt.ct, 0) + 1.0) / (tot.nt + $DsirBuckets))
+       |           - log2((raw.cr + 1.0) / (tot.nr + $DsirBuckets))) AS wbits
+       |  FROM tf JOIN raw USING (b) LEFT JOIN tgt USING (b), tot),
+       |per AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+       |    round(sum(wbits) / sum(tf), 4) AS llr_bits_per_token
+       |  FROM scored GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+       |  coalesce(per.llr_bits_per_token, 0.0) AS llr_bits_per_token,
+       |  (coalesce(per.llr_bits_per_token, 0.0) > 0.0) AS selected
+       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ------------------------------------------- segment-level dedup
 
   /** Non-overlapping segment width (tokens) for sub-document dedup. */

@@ -489,6 +489,227 @@ object Similarity {
        |ORDER BY c, i""".stripMargin
   }
 
+  // ---------------------------------------- product quantization (ADC)
+
+  /** PQ shape: M sub-spaces x k* codes each. With 64-dim embeddings this
+    * is 8 blocks of 8 dims, 16 codes per block — a 16^8-point implicit
+    * codebook from 128 stored sub-centroids, and each vector compresses to
+    * 8 small code ids (vs 64 floats).
+    */
+  val PqBlocks = 8
+  val PqCodes = 16
+  val PqIters = 2
+
+  /** ADC candidates kept per final neighbor for the exact rerank pass. */
+  val PqRerank = 10
+
+  /** Unit-normalized vectors, components rounded so both engines hold the
+    * same doubles. PQ trains and scans NORMALIZED data: the exact baseline
+    * ranks by cosine, and on the unit sphere L2 order IS cosine order
+    * (d^2 = 2 - 2cos) — ADC on raw vectors would optimize a different
+    * metric and bleed recall against the cosine ground truth.
+    */
+  private def unitVecs(emb: DataFrame): DataFrame = {
+    val e = vecs(emb).withColumn("nrm", norm(col("v")))
+    e.select(col("vec_id"),
+      transform(col("v"), x => round(x / col("nrm"), 6)).as("v"))
+  }
+
+  /** Exploded per-dimension view of the UNIT vectors with the PQ block id. */
+  private def explodedBlocks(emb: DataFrame, sub: Int): DataFrame =
+    unitVecs(emb)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
+      .select(col("vec_id"), (col("i0") + 1).cast("int").as("i"),
+        (col("i0") / sub).cast("int").as("m"), col("x"))
+
+  /** Per-(vector, block) nearest sub-centroid — [[assignStep]] lifted to
+    * sub-spaces. `cent` is (c, i, cv); the block id is implied by the
+    * dimension index, so the join key stays the single dim index and the
+    * block comes along from the exploded side.
+    */
+  private def assignPqStep(ex: DataFrame, cent: DataFrame): DataFrame = {
+    val d = ex.join(broadcast(cent), "i")
+      .groupBy(col("vec_id"), col("m"), col("c"))
+      .agg(round(sum((col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("d"))
+    d.groupBy(col("vec_id"), col("m"))
+      .agg(max(struct((-col("d")).as("nd"), (-col("c")).as("nc"), col("c").as("cc"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.cc").as("c"))
+  }
+
+  /** Train all M product-quantizer codebooks in ONE distributed Lloyd's
+    * loop (the block id just joins the grouping keys — M separate
+    * trainings would scan the corpus M times for no reason), returning
+    * (codebooks (c, i, cv), codes (vec_id, m, c)).
+    *
+    * Same determinism contract as [[kmeansModel]]: init from the first k*
+    * vectors' sub-vectors, fixed iterations, round(6) at every boundary,
+    * (distance, code) tie-break.
+    */
+  def pqModel(emb: DataFrame, sub: Int): (DataFrame, DataFrame) = {
+    val ex = explodedBlocks(emb, sub).cache()
+    var cent = ex.filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").cast("int").as("c"), col("i"), round(col("x"), 6).as("cv"))
+    var codes: DataFrame = null
+    for (_ <- 1 to PqIters) {
+      codes = assignPqStep(ex, cent)
+      cent = codes.join(ex, Seq("vec_id", "m"))
+        .groupBy(col("c"), col("i")).agg(round(avg(col("x")), 6).as("cv"))
+    }
+    val centOut = cent.localCheckpoint(true)
+    val codesOut = codes.localCheckpoint(true)
+    ex.unpersist()
+    (centOut, codesOut)
+  }
+
+  /** Top-k nearest neighbors by PQ asymmetric distance computation
+    * (Jégou/Douze/Schmid, TPAMI 2011) with exact rerank: queries stay
+    * exact, the corpus is scanned as its PQ codes, the approximate
+    * distance is the sum over blocks of the query's distance to each
+    * block's assigned sub-centroid — read from a tiny per-query lookup
+    * table (nQueries x M x k* rows) — and the ADC top-(PqRerank*k)
+    * candidates get an exact-cosine rerank (the standard IVFADC+R
+    * pipeline: codes prune, floats decide).
+    *
+    * Scale shape: the corpus is scanned as CODES (M small ints per
+    * vector, the 100 TB memory story), the LUT join is a broadcast
+    * equi-join on (block, code), the per-(query, vector) sum
+    * partial-aggregates M rows map-side, and only the bounded candidate
+    * set (PqRerank*k per query) fetches its float vector for the rerank.
+    * Nothing corpus-sized is broadcast, the corpus never shuffles by
+    * vector, and at scale this composes with IVF cells (probe first, ADC
+    * within the probed cells, rerank the survivors).
+    */
+  def knnPq(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val dim = emb.agg(max(size(col("embedding")))).first().getInt(0)
+    require(dim % PqBlocks == 0, s"dim $dim not divisible into $PqBlocks blocks")
+    val sub = dim / PqBlocks
+    val (cent, codes) = pqModel(emb, sub)
+    val lut = explodedBlocks(emb, sub).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("m"), col("i"), col("x").as("qx"))
+      .join(broadcast(cent), "i")
+      .groupBy(col("qid"), col("m"), col("c"))
+      .agg(round(sum((col("qx") - col("cv")) * (col("qx") - col("cv"))), 6).as("dq"))
+    val adist = codes.join(broadcast(lut), Seq("m", "c"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("dq")), 6).as("adist"))
+    val wCand = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    val cands = adist.withColumn("cr", row_number().over(wCand))
+      .filter(col("cr") <= PqRerank * k).select(col("qid"), col("vec_id"))
+    val u = unitVecs(emb)
+    val qv = u.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid2"), col("v").as("qv"))
+    val sims = cands.join(u, "vec_id").join(broadcast(qv), col("qid") === col("qid2"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")), 4).as("sim")) // unit vectors: dot IS cosine
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** DuckDB twin of [[knnPq]]: replays the normalization, the one-loop
+    * multi-block training, the ADC scoring and the rerank with identical
+    * rounding and tie-breaks.
+    */
+  def sqlKnnPq(nQueries: Int, k: Int, dim: Int): String = {
+    val sub = dim / PqBlocks
+    def stepCtes(it: Int, prevCent: String): String = {
+      val d = s"pd$it"; val a = s"pa$it"; val c = s"pc$it"
+      s"""$d AS (SELECT exb.vec_id, exb.m, p.c, round(sum((exb.x - p.cv) * (exb.x - p.cv)), 6) AS d
+         |  FROM exb JOIN $prevCent p USING (i) GROUP BY 1, 2, 3),
+         |$a AS (SELECT vec_id, m, c FROM (
+         |  SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+         |  FROM $d) WHERE rn = 1),
+         |$c AS (SELECT $a.c, exb.i, round(avg(exb.x), 6) AS cv
+         |  FROM $a JOIN exb ON exb.vec_id = $a.vec_id AND exb.m = $a.m
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    val steps = (1 to PqIters).map(it => stepCtes(it, if (it == 1) "pc0" else s"pc${it - 1}"))
+    val lastA = s"pa$PqIters"; val lastC = s"pc$PqIters"
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+       |u AS (SELECT vec_id,
+       |    list_transform(v0, x -> round(x / sqrt(list_dot_product(v0, v0)), 6)) AS v
+       |  FROM ev),
+       |exb AS (SELECT vec_id, i::INT AS i, ((i - 1) // $sub)::INT AS m, v[i] AS x
+       |  FROM u, LATERAL unnest(range(1, len(v) + 1)) t(i)),
+       |pc0 AS (SELECT vec_id::INT AS c, i, round(x, 6) AS cv FROM exb WHERE vec_id < $PqCodes),
+       |${steps.mkString(",\n")},
+       |lut AS (SELECT exb.vec_id AS qid, exb.m, p.c,
+       |    round(sum((exb.x - p.cv) * (exb.x - p.cv)), 6) AS dq
+       |  FROM exb JOIN $lastC p USING (i) WHERE exb.vec_id < $nQueries GROUP BY 1, 2, 3),
+       |ad AS (SELECT l.qid, a.vec_id, round(sum(l.dq), 6) AS adist
+       |  FROM $lastA a JOIN lut l ON l.m = a.m AND l.c = a.c
+       |  WHERE a.vec_id <> l.qid GROUP BY 1, 2),
+       |cand AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS cr
+       |  FROM ad) WHERE cr <= ${PqRerank * k}),
+       |sims AS (SELECT c.qid, c.vec_id,
+       |    round(list_dot_product(qu.v, xu.v), 4) AS sim
+       |  FROM cand c JOIN u xu ON xu.vec_id = c.vec_id
+       |  JOIN u qu ON qu.vec_id = c.qid)
+       |SELECT qid, rnk, vec_id, sim FROM (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM sims) WHERE rnk <= $k
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  // --------------------------------------------------------- SemDeDup
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering embeddings with k-means, then dropping every vector whose
+    * cosine to a LOWER-ID vector in the SAME cluster exceeds `tau`. The
+    * keep rule is the standard non-recursive variant (compare against all
+    * lower-id cluster members, kept or not) — deterministic, one pass, and
+    * exactly expressible in both engines; the recursive "compare only
+    * against survivors" variant is order-chained and keeps MORE docs, but
+    * its sequential dependency has no scalable distributed form.
+    *
+    * Scale shape: this is WHY SemDeDup clusters first — the quadratic
+    * verify is confined to cluster co-members (sum of n_c^2, never n^2),
+    * and the candidate join is an equi-join on the cluster id, so AQE can
+    * split a hot cluster. At 100 TB the cluster id is the bucket key of
+    * the embedding store and each cluster's pair block is one co-located
+    * task; clusters too large for that get sub-clustered (k recursion),
+    * not cross-joined.
+    */
+  def semDedup(emb: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
+    val (_, assigned) = kmeansModel(emb, k, iters)
+    val e = vecs(emb).join(assigned, "vec_id").withColumn("nrm", norm(col("v")))
+    val a = e.select(col("c"), col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("c"), col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, "c")
+      .filter(col("ib") < col("ia"))
+      .select(col("ia"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
+      .filter(col("sim") >= tau)
+      .select(col("ia").as("vec_id")).distinct()
+    e.select(col("vec_id"), col("c"))
+      .join(dropped.withColumn("kept", lit(false)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c"), coalesce(col("kept"), lit(true)).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB twin of [[semDedup]]: identical k-means replay (the
+    * [[sqlKmeansCtes]] block), identical pair rule, exact recursive-free
+    * keep semantics.
+    */
+  def sqlSemDedup(k: Int, iters: Int, tau: Double): String = {
+    val (ctes, lastA, _) = sqlKmeansCtes(k, iters)
+    s"""WITH $ctes,
+       |ea AS (SELECT e.vec_id, e.v, a.c FROM e JOIN $lastA a USING (vec_id)),
+       |dropped AS (SELECT x.vec_id FROM ea x JOIN ea y
+       |    ON x.c = y.c AND y.vec_id < x.vec_id
+       |  WHERE round(list_dot_product(x.v, y.v)
+       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) >= $tau
+       |  GROUP BY 1)
+       |SELECT ea.vec_id, ea.c, (d.vec_id IS NULL) AS kept
+       |FROM ea LEFT JOIN dropped d ON d.vec_id = ea.vec_id
+       |ORDER BY ea.vec_id""".stripMargin
+  }
+
   // ------------------------------------------- embedding-cosine near-dup
 
   /** Cosine threshold above which a blocked pair counts as a near-dup. */

@@ -159,6 +159,12 @@ object Pipeline {
     QueryDef.sql("s6_knn_quantized", Similarity.sqlKnnQuantized(10, 5)) { (s, dir) =>
       Similarity.knnQuantized(Tables.embeddings(s, dir), 10, 5)
     },
+    // product-quantization ADC kNN: the corpus scanned as M code ids per
+    // vector (the 100 TB embedding-memory story); recall vs the exact
+    // top-k is pinned in ScaleOpsSpec
+    QueryDef.sql("s7_knn_pq", Similarity.sqlKnnPq(10, 5, 64)) { (s, dir) =>
+      Similarity.knnPq(Tables.embeddings(s, dir), 10, 5)
+    },
 
     // -------- event-time windows
     QueryDef.sql("w1_tumbling", EventWindows.sqlTumblingHourly) { (s, dir) =>
@@ -282,6 +288,14 @@ object Pipeline {
     // verdict vs the exact median (the q13 -> q19 sketch relationship)
     QueryDef.sql("p16_quality_gate_approx", Curation.sqlQualityGateApprox) { (s, dir) =>
       Curation.qualityGateApprox(Tables.documents(s, dir))
+    },
+    // SemDeDup: semantic dedup = k-means cells + within-cell cosine prune
+    QueryDef.sql("p17_semdedup", Similarity.sqlSemDedup(4, 2, 0.4)) { (s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir), 4, 2, 0.4)
+    },
+    // DSIR: hashed-unigram importance weights vs the lang='en' target
+    QueryDef.sql("p18_dsir", Curation.sqlDsirWeights) { (s, dir) =>
+      Curation.dsirWeights(Tables.documents(s, dir))
     },
 
     // -------- sub-document (segment/paragraph) dedup

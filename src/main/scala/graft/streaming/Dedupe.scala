@@ -38,4 +38,28 @@ object Dedupe {
         concat(lit("graft-noid-"), sha2(to_json(struct(col("*"))), 256))))
       .withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicates(idCol, eventTimeCol)
+
+  /** Dedup on @id ALONE within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`): unlike [[byId]], two deliveries of
+    * the same id with DIFFERENT event times still collapse — the case a
+    * re-publish hop produces (same @id, fresh @opprettet stamped by the
+    * producer), which [[byId]]'s (id, ts) key would let through as a
+    * duplicate. State is still evicted at the watermark: an id is
+    * remembered for the delay window past its first sighting, so state
+    * size stays O(ids within the horizon) — the only shape that survives
+    * an unbounded stream.
+    *
+    * The trade vs [[byId]]: a LEGITIMATE reuse of an id more than the
+    * delay apart still passes (horizon semantics, same as the reference's
+    * practical guarantee — its consumers dedup on recent ids, not all
+    * history); within the horizon, id is authoritative regardless of
+    * timestamp.
+    */
+  def byIdWithinWatermark(messages: DataFrame, idCol: String, eventTimeCol: String,
+                          watermarkDelay: String = "10 minutes"): DataFrame =
+    messages
+      .withColumn(idCol, coalesce(col(idCol),
+        concat(lit("graft-noid-"), sha2(to_json(struct(col("*"))), 256))))
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol)
 }

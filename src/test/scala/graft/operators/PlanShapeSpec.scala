@@ -266,6 +266,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cross product expected in:\n$plan")
   }
 
+  test("SemDeDup verify is cluster-blocked: equi-join on the cell key, no cross product, no corpus broadcast") {
+    val spark = TestSpark.spark
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(
+        Similarity.semDedup(graft.Tables.embeddings(spark, dir), 4, 2, 0.4))
+      // the whole point of clustering first: pair volume is bounded by
+      // cluster co-membership — a cross product here is the n^2 failure
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"SemDeDup must equi-join on the cluster id:\n$plan")
+      assert(plan.contains("LeftAnti") || plan.contains("LeftOuter"),
+        s"expected the keep-list join in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("PQ-ADC scan joins codes to a broadcast LUT — the corpus is never broadcast or crossed") {
+    val plan = executed(Similarity.knnPq(graft.Tables.embeddings(TestSpark.spark, dir), 10, 5))
+    // the LUT (queries x blocks x codes) is the ONLY broadcast; the code
+    // table streams through a hash join on (block, code)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the LUT broadcast join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cross product in the ADC scan:\n$plan")
+    // top-k per query is bounded before the final sort
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected map-side top-k (WindowGroupLimit) in:\n$plan")
+  }
+
+  test("DSIR model tables aggregate on bounded bucket keys; scoring joins are on the bucket id") {
+    val plan = executed(Curation.dsirWeights(graft.Tables.documents(TestSpark.spark, dir)))
+    // per-doc TFs and the two 256-row models are hash aggregates with
+    // map-side partials; nothing corpus-sized is broadcast or crossed
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"totals must come from broadcast single-row aggregates:\n$plan")
+  }
+
   test("multimodal kernel is one plan: pruned scan under the mapPartitions seam, no RDD break") {
     val docs = graft.Tables.documents(TestSpark.spark, dir)
     val q = Multimodal.extractFeatures(Multimodal.assets(docs))

@@ -166,6 +166,62 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"quantized recall@5 = $recall")
   }
 
+  test("PQ-ADC kNN keeps useful recall vs the exact top-k (compression is measured, not assumed)") {
+    val spark = TestSpark.spark
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val (nq, k) = (10, 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = pairs(Similarity.knnBrute(emb, nq, k))
+    val rows = Similarity.knnPq(emb, nq, k).collect()
+    val pq = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    // 8 blocks x 16 codes compresses 64 floats to 8 code ids (a 32x cut);
+    // ADC prunes to 50 candidates, exact cosine reranks — the bound pins
+    // the measured fixture value so a regression in the normalization, the
+    // codebook training, or the ADC join fails loudly
+    assert(recall >= 0.7, s"PQ recall@$k = $recall")
+    // and the output shape is full: k reranked neighbors per query
+    assert(rows.length == nq * k)
+  }
+
+  test("SemDeDup drops only vectors with a lower-id same-cluster near-dup; cluster minima survive") {
+    val spark = TestSpark.spark
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val (k, iters, tau) = (4, 2, 0.4)
+    val out = Similarity.semDedup(emb, k, iters, tau).collect()
+    assert(out.length == emb.count())
+    val kept = out.count(_.getBoolean(2))
+    // the gate must act (the fixture has near-dups above tau) but must not
+    // collapse the corpus (clusters keep at least their seed member)
+    assert(kept > 0 && kept < out.length, s"kept $kept of ${out.length}")
+    // the lowest vec_id of every cluster has no lower-id member to match —
+    // it is kept BY CONSTRUCTION; violating this means the keep rule broke
+    out.groupBy(_.getInt(1)).foreach { case (c, members) =>
+      val first = members.minBy(_.getLong(0))
+      assert(first.getBoolean(2), s"cluster $c lost its lowest-id member ${first.getLong(0)}")
+    }
+  }
+
+  test("DSIR weights point toward the target slice: en docs score above non-en on average") {
+    val spark = TestSpark.spark
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val w = Curation.dsirWeights(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang"), col("llr_bits_per_token")).collect()
+    val (en, rest) = w.partition(_.getString(0) == "en")
+    def mean(a: Array[org.apache.spark.sql.Row]) =
+      a.map(_.getDouble(1)).sum / a.length
+    // the importance weight is a log-likelihood ratio FOR the target: if
+    // the en slice doesn't score higher than the rest on its own corpus,
+    // the hashed model learned nothing and the operator is decorative
+    assert(mean(en) > mean(rest),
+      s"mean llr en=${mean(en)} vs rest=${mean(rest)}")
+    // and the selection gate is non-trivial in both directions
+    val sel = Curation.dsirWeights(docs).collect().count(_.getBoolean(3))
+    assert(sel > 0 && sel < w.length, s"selected $sel of ${w.length}")
+  }
+
   test("SRP-LSH finds planted near-identical pairs (the high-similarity contract)") {
     val spark = TestSpark.spark
     import spark.implicits._

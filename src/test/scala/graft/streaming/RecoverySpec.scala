@@ -193,6 +193,40 @@ class RecoverySpec extends AnyFunSuite {
     assert(ids.sorted == Seq("a", "b"))
   }
 
+  test("within-watermark dedup collapses same-id redeliveries with DIFFERENT event times") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val input = MemoryStream[(String, java.sql.Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(String, java.sql.Timestamp)]], spark)
+    val deduped = Dedupe.byIdWithinWatermark(input.toDF().toDF("id", "otime"), "id", "otime")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_within_wm").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // a re-publish hop: same @id, a FRESH producer timestamp one second
+    // later — byId's (id, ts) key would pass it as a new row; the
+    // id-alone-within-horizon key must collapse it
+    input.addData(("a", ts("2024-01-01 00:00:00")), ("a", ts("2024-01-01 00:00:01")))
+    q.processAllAvailable()
+    input.addData(("a", ts("2024-01-01 00:00:02")), ("b", ts("2024-01-01 00:00:01")))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_within_wm").select(col("id")).collect().map(_.getString(0)).toSeq
+    q.stop()
+    assert(ids.sorted == Seq("a", "b"),
+      s"same-id/different-ts redeliveries must dedup within the horizon, got $ids")
+    // and the (id, ts) variant demonstrably does NOT catch this case —
+    // the two operators are different contracts, both documented
+    val input2 = MemoryStream[(String, java.sql.Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(String, java.sql.Timestamp)]], spark)
+    val loose = Dedupe.byId(input2.toDF().toDF("id", "otime"), "id", "otime")
+    val q2 = loose.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_byid_ts").start()
+    input2.addData(("a", ts("2024-01-01 00:00:00")), ("a", ts("2024-01-01 00:00:01")))
+    q2.processAllAvailable()
+    val n = spark.table("dedup_byid_ts").count()
+    q2.stop()
+    assert(n == 2, "byId keys on (id, ts): different-ts redelivery passes (the gap byIdWithinWatermark closes)")
+  }
+
   test("id-less messages are never falsely merged by the dedup (JsonMessage.kt:129-131 analogue)") {
     val spark = TestSpark.spark
     import spark.implicits._
