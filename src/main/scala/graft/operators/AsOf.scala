@@ -217,6 +217,73 @@ object AsOf {
       |  (epoch_us(c.ts) - epoch_us(v.vts))::BIGINT AS gap_us
       |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.vts <= c.ts
       |ORDER BY click_id""".stripMargin
+
+  // --------------------------------------------------- streaming as-of
+
+  /** Tagged union row for the streaming as-of (micros keep ordering exact). */
+  final case class StreamEv(k: String, tsUs: Long, side: Int, pay: String)
+
+  /** One enriched left row: the latest right payload/ts seen at or before it. */
+  final case class StreamMatch(k: String, ts_us: Long, value: String,
+                               match_pay: Option[String], match_ts_us: Option[Long])
+
+  /** Per-key state + batch fold shared by the streaming op and its spec:
+    * rows event-time-sorted with right-before-left at the same instant
+    * (the batch [[asOf]] inclusive-<= tie rule); right rows advance the
+    * (ts, payload) state, left rows emit the current state.
+    */
+  def foldAsOf(key: String, rows: Iterator[StreamEv],
+               state: org.apache.spark.sql.streaming.GroupState[(Long, String)])
+      : Iterator[StreamMatch] = {
+    var cur: Option[(Long, String)] = state.getOption
+    val out = rows.toSeq.sortBy(e => (e.tsUs, e.side)).flatMap { e =>
+      if (e.side == 0) { cur = Some((e.tsUs, e.pay)); None }
+      else Some(StreamMatch(key, e.tsUs, e.pay, cur.map(_._2), cur.map(_._1)))
+    }
+    cur.foreach(state.update)
+    out.iterator
+  }
+
+  /** STREAM-ORDER as-of enrichment — the unbounded-stream form of [[asOf]]:
+    * a left stream (key, ts, value) enriched with the latest preceding
+    * right payload per key, via keyed state (`flatMapGroupsWithState`)
+    * over the tagged union of both streams.
+    *
+    * The contract is stream-time, stated honestly: a left row matches the
+    * latest right row APPLIED to state at or before it — which equals the
+    * event-time [[asOf]] exactly when each key's rows ARRIVE in event-time
+    * order (what per-key sticky Kafka partitioning gives the rapid: one
+    * partition per key is totally ordered). A right row arriving LATE —
+    * after a left row of larger event time was already emitted — does not
+    * retro-match it; within a micro-batch, rows are event-time sorted
+    * (right before left at the same instant, the batch tie rule), so
+    * intra-batch disorder is absorbed.
+    *
+    * Scale shape: state is ONE (ts, payload) pair per key — the enrichment
+    * dimension's live size, not the stream's history — partitioned by key
+    * across executors like all keyed state; each micro-batch shuffles once
+    * on the key. The 100 TB/day form of click-to-view attribution, running
+    * continuously instead of re-scanning a day's events.
+    *
+    * Both inputs must be streaming DataFrames with columns (key, ts,
+    * value/payload); ts is event-time (TimestampType).
+    */
+  def asOfStream(left: DataFrame, key: String, leftTs: String, value: String,
+                 right: DataFrame, rightTs: String, payload: String): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val l = left.select(col(key).cast("string").as("k"),
+      unix_micros(col(leftTs)).as("tsUs"), lit(1).as("side"),
+      col(value).cast("string").as("pay"))
+    val r = right.select(col(key).cast("string").as("k"),
+      unix_micros(col(rightTs)).as("tsUs"), lit(0).as("side"),
+      col(payload).cast("string").as("pay"))
+    l.unionByName(r).as[StreamEv]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(foldAsOf)
+      .toDF()
+  }
 }
 
 /** Banded event-time RANGE join — as-of's sibling among the operators

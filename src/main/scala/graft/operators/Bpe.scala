@@ -276,9 +276,16 @@ object Bpe {
     val pre = docs.select(col("doc_id"),
       posexplode(regexp_extract_all(lower(col("text")),
         lit(TextOps.BpePattern), lit(0))).as(Seq("p", "tok")))
-    val symRows = pre.select(col("doc_id"), col("p"),
-        posexplode(split(symbolizeByMerges(col("tok"), merges, marker), " "))
-          .as(Seq("q", "sym")))
+    // replay the merge fold over DISTINCT words, then join occurrences
+    // back — the fold is a merge-count-deep expression chain, so paying it
+    // per occurrence instead of per vocab entry multiplied the work by the
+    // corpus/vocab ratio (measured 5.9s -> t11-band at sf0.1); the join is
+    // the same broadcast vocab-dimension shape as [[symbolStream]]
+    val dict = pre.select(col("tok")).distinct()
+      .withColumn("ts", symbolizeByMerges(col("tok"), merges, marker))
+    val symRows = pre.join(broadcast(dict), "tok")
+      .select(col("doc_id"), col("p"),
+        posexplode(split(col("ts"), " ")).as(Seq("q", "sym")))
       .localCheckpoint(true)
     val ids = symbolIds(symRows)
     symRows.join(broadcast(ids), "sym")

@@ -335,15 +335,19 @@ object Similarity {
     var cent = ex.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("c"), col("i"), round(col("x"), 6).as("cv"))
     var assigned: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       assigned = assignStep(ex, cent)
+      // materialize the LAST assignment before deriving its centroid
+      // update from it: cent's lineage runs THROUGH assigned, so
+      // checkpointing cent first and assigned second would re-run the
+      // whole iteration chain a second time for the same rows
+      if (it == iters) assigned = assigned.localCheckpoint(true)
       cent = assigned.join(ex, "vec_id")
         .groupBy(col("c"), col("i")).agg(round(avg(col("x")), 6).as("cv"))
     }
     val centOut = cent.localCheckpoint(true)
-    val assignedOut = assigned.localCheckpoint(true)
     ex.unpersist()
-    (centOut, assignedOut)
+    (centOut, assigned)
   }
 
   /** Assign vectors to their nearest centroid from an ALREADY-TRAINED
@@ -550,16 +554,49 @@ object Similarity {
     var cent = ex.filter(col("vec_id") < PqCodes)
       .select(col("vec_id").cast("int").as("c"), col("i"), round(col("x"), 6).as("cv"))
     var codes: DataFrame = null
-    for (_ <- 1 to PqIters) {
+    for (it <- 1 to PqIters) {
       codes = assignPqStep(ex, cent)
+      // same materialization order as [[kmeansModel]]: the final centroids
+      // derive FROM the final codes — checkpoint codes once, then the
+      // centroid update is one cheap join-agg over the checkpointed rows
+      // instead of a full re-run of the iteration chain
+      if (it == PqIters) codes = codes.localCheckpoint(true)
       cent = codes.join(ex, Seq("vec_id", "m"))
         .groupBy(col("c"), col("i")).agg(round(avg(col("x")), 6).as("cv"))
     }
     val centOut = cent.localCheckpoint(true)
-    val codesOut = codes.localCheckpoint(true)
     ex.unpersist()
-    (centOut, codesOut)
+    (centOut, codes)
   }
+
+  /** Train the PQ model and persist it under `dir`: `dir/pq_codebooks`
+    * (c, i, cv — the M sub-quantizers, dimension-sized) and
+    * `dir/pq_codes` (vec_id, m, c — THIS corpus's compressed form, one
+    * row per vector per block, corpus-scaling). The codebooks alone
+    * encode any new shard via [[encodePq]] — the same
+    * small-artifact-labels-new-data shape as the k-means
+    * centroids/cells split.
+    */
+  def trainAndSavePq(emb: DataFrame, sub: Int, dir: String): (DataFrame, DataFrame) = {
+    val (cent, codes) = pqModel(emb, sub)
+    graft.sources.ModelStore.save(cent, s"$dir/pq_codebooks")
+    graft.sources.ModelStore.saveLarge(codes, s"$dir/pq_codes")
+    (cent, codes)
+  }
+
+  /** The persisted PQ codebooks (c, i, cv). */
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.sources.ModelStore.load(spark, s"$dir/pq_codebooks")
+
+  /** The persisted PQ codes of the training corpus (vec_id, m, c). */
+  def loadPqCodes(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.sources.ModelStore.load(spark, s"$dir/pq_codes")
+
+  /** Compress a (new) shard against ALREADY-TRAINED codebooks: one pass,
+    * no training rounds — how a saved quantizer encodes tomorrow's data.
+    */
+  def encodePq(emb: DataFrame, cent: DataFrame, sub: Int): DataFrame =
+    assignPqStep(explodedBlocks(emb, sub), cent)
 
   /** Top-k nearest neighbors by PQ asymmetric distance computation
     * (Jégou/Douze/Schmid, TPAMI 2011) with exact rerank: queries stay

@@ -155,4 +155,49 @@ class AsOfSpec extends AnyFunSuite {
     assert(r.getAs[Long]("__match") == 7L)
     assert(r.getAs[Timestamp]("__mts") == ts(2))
   }
+
+  test("streaming as-of equals the batch as-of when keys arrive in event order") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the batch ground truth on the same fixture as the semantics test
+    val clicks = Seq(
+      (1L, ts(0), 100L), (1L, ts(2), 101L), (1L, ts(3), 102L),
+      (1L, ts(9), 103L), (2L, ts(5), 104L)
+    ).toDF("user_id", "ts", "event_id")
+    val views = Seq((1L, ts(1), 900L), (1L, ts(3), 901L))
+      .toDF("user_id", "vts", "view_id")
+    val expected = AsOf.asOf(clicks, "user_id", "ts", views, "vts", "view_id")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("__match"))) -1L else r.getAs[Long]("__match")))
+      .toMap
+
+    val lIn = MemoryStream[(Long, Timestamp, Long)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Timestamp, Long)]], spark)
+    val rIn = MemoryStream[(Long, Timestamp, Long)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Timestamp, Long)]], spark)
+    val out = AsOf.asOfStream(
+      lIn.toDF().toDF("user_id", "ts", "event_id"), "user_id", "ts", "event_id",
+      rIn.toDF().toDF("user_id", "vts", "view_id"), "vts", "view_id")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("asof_stream").start()
+    // batch 1: events up to t2, in event order (t3 view NOT yet seen)
+    rIn.addData((1L, ts(1), 900L))
+    lIn.addData((1L, ts(0), 100L), (1L, ts(2), 101L))
+    q.processAllAvailable()
+    // batch 2: the rest — the simultaneous view+click land in ONE batch,
+    // so the intra-batch sort applies the inclusive-<= tie rule
+    rIn.addData((1L, ts(3), 901L))
+    lIn.addData((1L, ts(3), 102L), (1L, ts(9), 103L), (2L, ts(5), 104L))
+    q.processAllAvailable()
+    val got = spark.table("asof_stream")
+      .collect()
+      .map(r => r.getAs[String]("value").toLong ->
+        Option(r.getAs[String]("match_pay")).map(_.toLong).getOrElse(-1L))
+      .toMap
+    q.stop()
+    assert(got == expected,
+      s"stream-order as-of must equal batch as-of on in-order arrival: $got vs $expected")
+  }
 }

@@ -127,6 +127,28 @@ class PersistSpec extends AnyFunSuite {
     assigned.unpersist()
   }
 
+  test("PQ model round-trips: loaded codebooks/codes == trained, and encode a new shard deterministically") {
+    val spark = TestSpark.spark
+    val emb = embeddings // 10 dims -> 2 blocks of 5 here (pqModel takes sub directly)
+    val dir = tmp("graft-pq-rt-")
+    val (cent, codes) = Similarity.trainAndSavePq(emb, sub = 5, dir)
+    assert(Similarity.loadPqCodebooks(spark, dir)
+      .orderBy(col("c"), col("i")).collect().map(_.toSeq).toSeq
+      == cent.orderBy(col("c"), col("i")).collect().map(_.toSeq).toSeq)
+    assert(Similarity.loadPqCodes(spark, dir)
+      .orderBy(col("vec_id"), col("m")).collect().map(_.toSeq).toSeq
+      == codes.orderBy(col("vec_id"), col("m")).collect().map(_.toSeq).toSeq)
+    // the small artifact alone encodes data: two encode passes over the
+    // same shard from the LOADED codebooks agree row-for-row (the encode
+    // is a pure function of (shard, codebooks) — no hidden training state)
+    val loaded = Similarity.loadPqCodebooks(spark, dir)
+    def enc() = Similarity.encodePq(emb, loaded, sub = 5)
+      .orderBy(col("vec_id"), col("m")).collect().map(_.toSeq).toSeq
+    assert(enc() == enc())
+    cent.unpersist()
+    codes.unpersist()
+  }
+
   test("a corrupt or wrong-shape whitening artifact fails loudly") {
     val spark = TestSpark.spark
     import spark.implicits._
