@@ -452,4 +452,56 @@ object Bpe {
        |FROM sy JOIN ids USING (sym)
        |GROUP BY sy.doc_id ORDER BY sy.doc_id""".stripMargin
   }
+
+  // ----------------------------------------------------- tokenizer eval
+
+  /** Tokenizer FERTILITY/compression per language (t17) — the standard
+    * tokenizer-evaluation table (how SentencePiece/tiktoken teams compare
+    * vocabularies): per language, total BPE tokens, total characters,
+    * characters per token (compression), and tokens per whitespace word
+    * (fertility). A tokenizer trained on a skewed mix shows its bias
+    * here — the under-represented language pays more tokens for the same
+    * text, which at pretraining scale is budget and context-window tax.
+    *
+    * Scale shape: the symbol stream is the [[tokenize]] scan (broadcast
+    * vocab join, no corpus shuffle); per-doc counts partial-aggregate
+    * before the tiny per-language rollup.
+    */
+  def fertility(docs: DataFrame): DataFrame = {
+    val (_, words) = train(docs)
+    val perDoc = symbolStream(docs, words)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bpe"))
+    val d = docs.select(col("doc_id"), col("lang"),
+      length(col("text")).cast("long").as("n_chars"),
+      graft.operators.TextOps.nTokens(col("text")).as("n_words"))
+    d.join(perDoc, Seq("doc_id"), "left")
+      .select(col("lang"), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"),
+        col("n_chars"), col("n_words"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_bpe")).as("tokens"),
+        sum(col("n_chars")).as("chars"),
+        round(sum(col("n_chars")) /
+          when(sum(col("n_bpe")) === 0, lit(null)).otherwise(sum(col("n_bpe"))), 4)
+          .as("chars_per_token"),
+        round(sum(col("n_bpe")) /
+          when(sum(col("n_words")) === 0, lit(null)).otherwise(sum(col("n_words"))), 4)
+          .as("fertility"))
+      .orderBy(col("lang"))
+  }
+
+  val sqlFertility: String = {
+    val (ctes, wN) = sqlTrainCtes(NMerges)
+    s"""WITH $ctes,
+       |${sqlApplyCtes(wN)},
+       |per AS (SELECT doc_id, count(*)::BIGINT AS n_bpe FROM sy GROUP BY 1),
+       |d AS (SELECT doc_id, lang, length(text)::BIGINT AS n_chars,
+       |    len(${graft.functions.Portable.sqlTokens("text")})::BIGINT AS n_words
+       |  FROM documents)
+       |SELECT d.lang, sum(coalesce(per.n_bpe, 0))::BIGINT AS tokens,
+       |  sum(d.n_chars)::BIGINT AS chars,
+       |  round(sum(d.n_chars) / nullif(sum(coalesce(per.n_bpe, 0)), 0), 4) AS chars_per_token,
+       |  round(sum(coalesce(per.n_bpe, 0)) / nullif(sum(d.n_words), 0), 4) AS fertility
+       |FROM d LEFT JOIN per USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
 }

@@ -118,6 +118,11 @@ object Pipeline {
     QueryDef.sql("t13_surprisal", TextOps.sqlUnigramSurprisal) { (s, dir) =>
       TextOps.unigramSurprisal(Tables.documents(s, dir))
     },
+    // tokenizer fertility/compression per language — the standard
+    // tokenizer-eval table (per-language token cost of the trained BPE)
+    QueryDef.sql("t17_fertility", Bpe.sqlFertility) { (s, dir) =>
+      Bpe.fertility(Tables.documents(s, dir))
+    },
 
     // within-doc n-gram repetition ratio (Gopher/C4 repetition filter)
     QueryDef.sql("t8_repetition", TextOps.sqlRepetition) { (s, dir) =>

@@ -185,4 +185,27 @@ class BpeSpec extends AnyFunSuite {
     val (merges, _) = Bpe.train(docs, nMerges = 1)
     assert(merges == Seq((1, "a", "b", 1L)))
   }
+
+  test("fertility table: one row per language, fertility >= 1, exact token totals") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low lower", "en"),
+      (2L, "low lowest", "en"),
+      (3L, "bas bas basse", "fr")).toDF("doc_id", "text", "lang")
+    val rows = Bpe.fertility(docs).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("en", "fr"))
+    rows.foreach { r =>
+      // every whitespace word becomes >= 1 BPE token, so fertility >= 1;
+      // compression is bounded by the raw char count
+      assert(r.getDouble(4) >= 1.0, s"fertility ${r.getDouble(4)}")
+      assert(r.getLong(1) <= r.getLong(2), "tokens cannot exceed chars")
+    }
+    // en token total equals the summed per-doc n_bpe of the apply path —
+    // the eval table is an aggregation of the SAME tokenization, not a
+    // second tokenizer
+    val perDoc = Bpe.tokenize(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val en = rows.find(_.getString(0) == "en").get.getLong(1)
+    assert(en == perDoc(1L) + perDoc(2L))
+  }
 }
