@@ -503,17 +503,20 @@ object Curation {
       .select(col("doc_id"), col("lang"), explode(Portable.tokens(col("text"))).as("t"))
       .select(col("doc_id"), col("lang"), b.as("b"))
     val tf = toks.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
-    val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val target = toks.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val totals = raw.agg(sum(col("cr")).as("nr"))
-      .crossJoin(target.agg(sum(col("ct")).as("nt")))
+    // BOTH models in one conditional-agg pass, materialized (256 rows) so
+    // the scoring join and the totals read it without re-scanning the
+    // corpus — separate raw/target/totals aggregations cost 4 corpus
+    // scans; this shape costs exactly 2 (tf + models)
+    val models = toks.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint(true)
+    val totals = models.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     val scored = tf
-      .join(raw, "b")
-      .join(target, Seq("b"), "left")
+      .join(broadcast(models), "b")
       .crossJoin(broadcast(totals))
       .select(col("doc_id"), col("tf"),
-        (col("tf") * (log2((coalesce(col("ct"), lit(0L)) + 1.0) / (col("nt") + DsirBuckets))
+        (col("tf") * (log2((col("ct") + 1.0) / (col("nt") + DsirBuckets))
           - log2((col("cr") + 1.0) / (col("nr") + DsirBuckets)))).as("wbits"))
     val per = scored.groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
