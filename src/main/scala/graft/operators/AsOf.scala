@@ -220,24 +220,30 @@ object AsOf {
 
   // --------------------------------------------------- streaming as-of
 
-  /** Tagged union row for the streaming as-of (micros keep ordering exact). */
-  final case class StreamEv(k: String, tsUs: Long, side: Int, pay: String)
+  /** Tagged union row for the streaming as-of (micros keep ordering exact;
+    * tsUs is optional so a null LEFT event time flows through as a row
+    * instead of killing the query at the non-nullable encoder).
+    */
+  final case class StreamEv(k: String, tsUs: Option[Long], side: Int, pay: String)
 
   /** One enriched left row: the latest right payload/ts seen at or before it. */
-  final case class StreamMatch(k: String, ts_us: Long, value: String,
+  final case class StreamMatch(k: String, ts_us: Option[Long], value: String,
                                match_pay: Option[String], match_ts_us: Option[Long])
 
   /** Per-key state + batch fold shared by the streaming op and its spec:
     * rows event-time-sorted with right-before-left at the same instant
     * (the batch [[asOf]] inclusive-<= tie rule); right rows advance the
-    * (ts, payload) state, left rows emit the current state.
+    * (ts, payload) state, left rows emit the current state. A left row
+    * with NO event time emits unmatched — `vts <= NULL` is never true in
+    * the batch/oracle semantics, so it must not read the state.
     */
   def foldAsOf(key: String, rows: Iterator[StreamEv],
                state: org.apache.spark.sql.streaming.GroupState[(Long, String)])
       : Iterator[StreamMatch] = {
     var cur: Option[(Long, String)] = state.getOption
-    val out = rows.toSeq.sortBy(e => (e.tsUs, e.side)).flatMap { e =>
-      if (e.side == 0) { cur = Some((e.tsUs, e.pay)); None }
+    val out = rows.toSeq.sortBy(e => (e.tsUs.getOrElse(Long.MinValue), e.side)).flatMap { e =>
+      if (e.side == 0) { e.tsUs.foreach(t => cur = Some((t, e.pay))); None }
+      else if (e.tsUs.isEmpty) Some(StreamMatch(key, None, e.pay, None, None))
       else Some(StreamMatch(key, e.tsUs, e.pay, cur.map(_._2), cur.map(_._1)))
     }
     cur.foreach(state.update)
@@ -276,9 +282,14 @@ object AsOf {
     val l = left.select(col(key).cast("string").as("k"),
       unix_micros(col(leftTs)).as("tsUs"), lit(1).as("side"),
       col(value).cast("string").as("pay"))
-    val r = right.select(col(key).cast("string").as("k"),
-      unix_micros(col(rightTs)).as("tsUs"), lit(0).as("side"),
-      col(payload).cast("string").as("pay"))
+    // same null semantics as the batch [[prepSides]]: null-key / null-ts
+    // RIGHT rows are dropped (they can never match anything; letting them
+    // into the null-key state group would silently enrich null-key left
+    // rows, which the batch join semantics forbid)
+    val r = right.filter(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(col(key).cast("string").as("k"),
+        unix_micros(col(rightTs)).as("tsUs"), lit(0).as("side"),
+        col(payload).cast("string").as("pay"))
     l.unionByName(r).as[StreamEv]
       .groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(foldAsOf)

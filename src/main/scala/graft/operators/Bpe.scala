@@ -178,11 +178,17 @@ object Bpe {
     * plus a broadcast stream-static vocab join, so the same plan tokenizes
     * a live rapid (StreamingSpec proves it).
     */
-  def symbolStream(docs: DataFrame, vocab: DataFrame,
-                   marker: Boolean = false): DataFrame = {
-    val pre = docs.select(col("doc_id"),
+  /** Positioned pre-tokens (doc_id, p, tok) — the [[TextOps.BpePattern]]
+    * split both apply paths (vocab join and merge replay) consume.
+    */
+  private def preTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       posexplode(regexp_extract_all(lower(col("text")),
         lit(TextOps.BpePattern), lit(0))).as(Seq("p", "tok")))
+
+  def symbolStream(docs: DataFrame, vocab: DataFrame,
+                   marker: Boolean = false): DataFrame = {
+    val pre = preTokens(docs)
     // the out-of-vocab fallback must follow the TRAINED convention: a
     // marked vocabulary's words all end in an </w> symbol, so an unmarked
     // fallback would mix boundary conventions in one id space and tokenize
@@ -228,6 +234,15 @@ object Bpe {
     // session per call — checkpoint blocks are released by the
     // ContextCleaner with the RDD instead (the kmeansModel rationale).
     val symRows = symbolStream(docs, vocab, marker).localCheckpoint(true)
+    docFingerprint(symRows)
+  }
+
+  /** Per-doc (n_bpe, ids_md5) from a positioned symbol stream — THE t11
+    * output shape, shared by the vocab-join and merge-replay apply paths
+    * so the t16 ≡ t11 byte-identity can never drift on the fingerprint
+    * expression alone.
+    */
+  private def docFingerprint(symRows: DataFrame): DataFrame = {
     val ids = symbolIds(symRows)
     symRows.join(broadcast(ids), "sym")
       .groupBy(col("doc_id"))
@@ -273,9 +288,7 @@ object Bpe {
     */
   def tokenizeByMerges(docs: DataFrame, merges: Seq[(String, String)],
                        marker: Boolean = false): DataFrame = {
-    val pre = docs.select(col("doc_id"),
-      posexplode(regexp_extract_all(lower(col("text")),
-        lit(TextOps.BpePattern), lit(0))).as(Seq("p", "tok")))
+    val pre = preTokens(docs)
     // replay the merge fold over DISTINCT words, then join occurrences
     // back — the fold is a merge-count-deep expression chain, so paying it
     // per occurrence instead of per vocab entry multiplied the work by the
@@ -287,21 +300,11 @@ object Bpe {
       .select(col("doc_id"), col("p"),
         posexplode(split(col("ts"), " ")).as(Seq("q", "sym")))
       .localCheckpoint(true)
-    val ids = symbolIds(symRows)
-    symRows.join(broadcast(ids), "sym")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bpe"),
-        md5(array_join(
-          transform(
-            array_sort(collect_list(struct(col("p"), col("q"), col("id")))),
-            s => s.getField("id").cast("string")),
-          ",")).as("ids_md5"))
-      .orderBy(col("doc_id"))
+    docFingerprint(symRows)
   }
 
   /** t16: train, keep only the merge list, tokenize by replay. */
   def tokenizeViaMergeReplay(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
     val (merges, words) = train(docs)
     words.unpersist()
     tokenizeByMerges(docs, merges.map(m => (m._2, m._3)))

@@ -538,8 +538,8 @@ object Curation {
        |tf AS (SELECT doc_id, b, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
        |raw AS (SELECT b, count(*)::BIGINT AS cr FROM tk GROUP BY b),
        |tgt AS (SELECT b, count(*)::BIGINT AS ct FROM tk WHERE lang = 'en' GROUP BY b),
-       |tot AS (SELECT (SELECT sum(cr) FROM raw)::BIGINT AS nr,
-       |               (SELECT sum(ct) FROM tgt)::BIGINT AS nt),
+       |tot AS (SELECT coalesce((SELECT sum(cr) FROM raw), 0)::BIGINT AS nr,
+       |               coalesce((SELECT sum(ct) FROM tgt), 0)::BIGINT AS nt),
        |scored AS (SELECT tf.doc_id, tf.tf,
        |    tf.tf * (log2((coalesce(tgt.ct, 0) + 1.0) / (tot.nt + $DsirBuckets))
        |           - log2((raw.cr + 1.0) / (tot.nr + $DsirBuckets))) AS wbits

@@ -200,4 +200,33 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == expected,
       s"stream-order as-of must equal batch as-of on in-order arrival: $got vs $expected")
   }
+
+  test("streaming as-of null semantics match the batch join: null keys/ts never match, never crash") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val lIn = MemoryStream[(String, Timestamp, String)](
+      implicitly[org.apache.spark.sql.Encoder[(String, Timestamp, String)]], spark)
+    val rIn = MemoryStream[(String, Timestamp, String)](
+      implicitly[org.apache.spark.sql.Encoder[(String, Timestamp, String)]], spark)
+    val out = AsOf.asOfStream(
+      lIn.toDF().toDF("k", "ts", "v"), "k", "ts", "v",
+      rIn.toDF().toDF("k", "rts", "pay"), "rts", "pay")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("asof_stream_nulls").start()
+    // a null-key right row and a null-ts right row: both DROPPED (batch
+    // prepSides semantics) — the null-key left row below must NOT see them
+    rIn.addData((null, ts(1), "ghost"), ("u1", null, "ghost2"), ("u1", ts(1), "real"))
+    // null-key left, null-ts left, and a normal left that matches "real"
+    lIn.addData((null, ts(5), "nullkey"), ("u1", null, "nullts"), ("u1", ts(5), "ok"))
+    q.processAllAvailable()
+    val rows = spark.table("asof_stream_nulls").collect()
+      .map(r => r.getAs[String]("value") -> Option(r.getAs[String]("match_pay")))
+      .toMap
+    q.stop()
+    assert(rows == Map(
+      "nullkey" -> None, // null key: no right row can match (join, not window, semantics)
+      "nullts" -> None,  // vts <= NULL is never true
+      "ok" -> Some("real")), s"got $rows")
+  }
 }
