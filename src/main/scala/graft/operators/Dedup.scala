@@ -402,6 +402,104 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT doc_id FROM drop)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- dedup analytics
+
+  /** Per-source near-duplicate rate (d10) — the dedup DASHBOARD a curation
+    * team reads before deciding which sources to keep: for each source,
+    * document count, how many are non-canonical near-dup cluster members
+    * (exactly the rows [[dedupedCorpus]] would remove), and the dup
+    * fraction. A source with a high rate is boilerplate-heavy or scraped
+    * twice; at 100 TB this table is what justifies dropping it.
+    *
+    * Scale shape: the cluster labels are [[dupClusters]] (bounded-round
+    * star contraction over LSH pairs); the rollup joins the SMALL
+    * non-canonical set against the corpus on doc_id and aggregates to one
+    * row per source.
+    */
+  def dupRateBySource(docs: DataFrame): DataFrame = {
+    val dups = dupClusters(docs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"), lit(1L).as("dup"))
+    docs.select(col("doc_id"), col("source"))
+      .join(dups, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        round(col("n_dups") / col("n_docs"), 4).as("dup_frac"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the exact recursive closure (as in [[sqlDupClusters]]) rolled
+    * up per source.
+    */
+  def sqlDupRateBySource: String =
+    s"""WITH RECURSIVE p AS ($sqlLshPairs),
+       |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+       |r AS (SELECT a, b FROM e
+       |      UNION
+       |      SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |self AS (SELECT DISTINCT a, a AS b FROM e),
+       |clus AS (SELECT a AS doc_id, min(b) AS cluster
+       |  FROM (SELECT a, b FROM r UNION ALL SELECT a, b FROM self)
+       |  GROUP BY a),
+       |dup AS (SELECT doc_id FROM clus WHERE doc_id != cluster)
+       |SELECT d.source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_dups,
+       |  round(sum(CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END) * 1.0
+       |    / count(*), 4) AS dup_frac
+       |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** Doc-frequency above which a shingle counts as boilerplate (t18). */
+  val BoilerplateDocFreq = 3
+
+  /** Per-document boilerplate fraction (t18) — the repeated-content score
+    * of web-corpus pipelines (RefinedWeb-style line/fragment dedup
+    * signals): the fraction of a document's distinct word-3-gram shingles
+    * that appear in MORE than [[BoilerplateDocFreq]] documents. High
+    * fraction = the document is mostly templated text the corpus already
+    * has many copies of; it feeds the quality gate alongside t2/t13.
+    *
+    * Unlike the dedup candidate path, this DELIBERATELY keeps hot
+    * shingles — they're the signal here, not skew to cap. The shuffle key
+    * is still the shingle, the DF table is one row per distinct shingle,
+    * and the per-doc rollup partial-aggregates; AQE splits whatever skew
+    * the hottest boilerplate creates.
+    */
+  def boilerplateFraction(docs: DataFrame): DataFrame = {
+    val sh0 = docs
+      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(shingleArray(col("w"))).as("g"))
+    val df = sh0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val per = sh0.join(df, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > BoilerplateDocFreq, 1L).otherwise(0L)).as("hot"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(round(col("hot") / col("n_shingles"), 4), lit(0.0)).as("boilerplate_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlBoilerplateFraction: String = {
+    val n = ShingleN
+    val grams = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, $grams AS g
+       |        FROM toks, LATERAL unnest(range(1, len(w) - ${n - 2})) t(i)),
+       |dfq AS (SELECT g, count(*)::BIGINT AS df FROM sh0 GROUP BY g),
+       |per AS (SELECT sh0.doc_id, count(*)::BIGINT AS n_shingles,
+       |    sum(CASE WHEN dfq.df > $BoilerplateDocFreq THEN 1 ELSE 0 END)::BIGINT AS hot
+       |  FROM sh0 JOIN dfq USING (g) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(per.n_shingles, 0)::BIGINT AS n_shingles,
+       |  coalesce(round(per.hot * 1.0 / per.n_shingles, 4), 0.0) AS boilerplate_frac
+       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // -------------------------------------------- edit-distance (fuzzy dedup)
 
   /** Prefix length compared and blocking-key length for the fuzzy join. */

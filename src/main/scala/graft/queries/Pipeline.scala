@@ -45,6 +45,14 @@ object Pipeline {
     QueryDef.sql("d9_dedup_corpus", Dedup.sqlDedupedCorpus) { (s, dir) =>
       Dedup.dedupedCorpus(Tables.documents(s, dir))
     },
+    // the dedup dashboard: per-source near-dup rate (who to drop at 100 TB)
+    QueryDef.sql("d10_dup_rate", Dedup.sqlDupRateBySource) { (s, dir) =>
+      Dedup.dupRateBySource(Tables.documents(s, dir))
+    },
+    // repeated-shingle boilerplate score (hot shingles ARE the signal here)
+    QueryDef.sql("t18_boilerplate", Dedup.sqlBoilerplateFraction) { (s, dir) =>
+      Dedup.boilerplateFraction(Tables.documents(s, dir))
+    },
 
     // regexp extraction (leading token; identical leftmost semantics in
     // Java regex and RE2 for this pattern class)

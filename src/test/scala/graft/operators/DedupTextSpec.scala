@@ -136,4 +136,34 @@ class DedupTextSpec extends AnyFunSuite {
     val r = Dedup.editDistancePairs(d).collect()
     assert(r.map(x => (x.getLong(0), x.getLong(1))).toSet == Set((1L, 2L)))
   }
+
+  test("boilerplate fraction: templated shingles score, unique text scores zero") {
+    val boiler = "click here to subscribe to our newsletter today"
+    // the template appears in 5 docs (> BoilerplateDocFreq=3); each doc
+    // adds a unique tail so the docs are NOT near-dup identical
+    val d = docs((1L to 5L).map(i =>
+      i -> s"$boiler unique$i tail$i words$i here$i now$i"): _*)
+      .union(docs((9L, base)))
+    val r = Dedup.boilerplateFraction(d).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // templated docs: the shared shingles exceed the DF threshold
+    (1L to 5L).foreach(i => assert(r(i) > 0.3, s"doc $i frac ${r(i)}"))
+    // fully unique text: nothing repeats
+    assert(r(9L) == 0.0)
+  }
+
+  test("dup-rate by source counts exactly the non-canonical cluster members") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // src_a: two identical docs (one cluster, one non-canonical);
+    // src_b: a unique doc — rate 0
+    val d = Seq(
+      (1L, base, "src_a"), (2L, base, "src_a"),
+      (3L, "totally different words entirely unrelated content here now", "src_b"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.dupRateBySource(d).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r("src_a") == ((2L, 1L)), s"src_a ${r("src_a")}")
+    assert(r("src_b") == ((1L, 0L)), s"src_b ${r("src_b")}")
+  }
 }
