@@ -456,7 +456,9 @@ object Similarity {
     * final assignment `aN(vec_id, c)` and final centroids `cN(c, i, cv)`.
     * Returns (ctes, assignName, centName).
     */
-  def sqlKmeansCtes(k: Int, iters: Int): (String, String, String) = {
+  def sqlKmeansCtes(k: Int, iters: Int,
+      eCte: String = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)")
+      : (String, String, String) = {
     def step(it: Int, prevCent: String): (String, String, String) = {
       val d = s"d$it"; val a = s"a$it"; val c = s"c$it"
       val ctes =
@@ -476,7 +478,7 @@ object Similarity {
     }
     val (stepCtes, lastA, lastC) = steps
     val all =
-      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""$eCte,
          |ex AS (SELECT vec_id, i::INT AS i, v[i] AS x
          |  FROM e, LATERAL unnest(range(1, len(v) + 1)) t(i)),
          |c0 AS (SELECT vec_id::INT AS c, i, round(x, 6) AS cv FROM ex WHERE vec_id < $k),
@@ -549,8 +551,14 @@ object Similarity {
     * vectors' sub-vectors, fixed iterations, round(6) at every boundary,
     * (distance, code) tie-break.
     */
-  def pqModel(emb: DataFrame, sub: Int): (DataFrame, DataFrame) = {
-    val ex = explodedBlocks(emb, sub).cache()
+  def pqModel(emb: DataFrame, sub: Int): (DataFrame, DataFrame) =
+    pqTrainLoop(explodedBlocks(emb, sub))
+
+  /** The multi-block Lloyd loop over ANY exploded (vec_id, i, m, x) frame —
+    * shared by [[pqModel]] (raw sub-vectors) and [[knnIvfPq]] (residuals).
+    */
+  private def pqTrainLoop(exIn: DataFrame): (DataFrame, DataFrame) = {
+    val ex = exIn.select(col("vec_id"), col("i"), col("m"), col("x")).cache()
     var cent = ex.filter(col("vec_id") < PqCodes)
       .select(col("vec_id").cast("int").as("c"), col("i"), round(col("x"), 6).as("cv"))
     var codes: DataFrame = null
@@ -649,21 +657,31 @@ object Similarity {
     * multi-block training, the ADC scoring and the rerank with identical
     * rounding and tie-breaks.
     */
-  def sqlKnnPq(nQueries: Int, k: Int, dim: Int): String = {
-    val sub = dim / PqBlocks
+  /** PQ Lloyd-round CTEs over an exploded (vec_id, i, m, x) CTE `ex` —
+    * the SQL twin of [[pqTrainLoop]]; `prefix` keeps multiple PQ
+    * trainings (raw s7, residual s8) from colliding in one query.
+    * Returns (ctes, lastAssign, lastCent); expects `${prefix}c0` defined.
+    */
+  private def sqlPqStepCtes(ex: String, prefix: String): (String, String, String) = {
     def stepCtes(it: Int, prevCent: String): String = {
-      val d = s"pd$it"; val a = s"pa$it"; val c = s"pc$it"
-      s"""$d AS (SELECT exb.vec_id, exb.m, p.c, round(sum((exb.x - p.cv) * (exb.x - p.cv)), 6) AS d
-         |  FROM exb JOIN $prevCent p USING (i) GROUP BY 1, 2, 3),
+      val d = s"${prefix}d$it"; val a = s"${prefix}a$it"; val c = s"${prefix}c$it"
+      s"""$d AS (SELECT $ex.vec_id, $ex.m, p.c, round(sum(($ex.x - p.cv) * ($ex.x - p.cv)), 6) AS d
+         |  FROM $ex JOIN $prevCent p USING (i) GROUP BY 1, 2, 3),
          |$a AS (SELECT vec_id, m, c FROM (
          |  SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
          |  FROM $d) WHERE rn = 1),
-         |$c AS (SELECT $a.c, exb.i, round(avg(exb.x), 6) AS cv
-         |  FROM $a JOIN exb ON exb.vec_id = $a.vec_id AND exb.m = $a.m
+         |$c AS (SELECT $a.c, $ex.i, round(avg($ex.x), 6) AS cv
+         |  FROM $a JOIN $ex ON $ex.vec_id = $a.vec_id AND $ex.m = $a.m
          |  GROUP BY 1, 2)""".stripMargin
     }
-    val steps = (1 to PqIters).map(it => stepCtes(it, if (it == 1) "pc0" else s"pc${it - 1}"))
-    val lastA = s"pa$PqIters"; val lastC = s"pc$PqIters"
+    val steps = (1 to PqIters).map(it =>
+      stepCtes(it, s"${prefix}c${it - 1}"))
+    (steps.mkString(",\n"), s"${prefix}a$PqIters", s"${prefix}c$PqIters")
+  }
+
+  def sqlKnnPq(nQueries: Int, k: Int, dim: Int): String = {
+    val sub = dim / PqBlocks
+    val (stepSql, lastA, lastC) = sqlPqStepCtes("exb", "p")
     s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
        |u AS (SELECT vec_id,
        |    list_transform(v0, x -> round(x / sqrt(list_dot_product(v0, v0)), 6)) AS v
@@ -671,7 +689,7 @@ object Similarity {
        |exb AS (SELECT vec_id, i::INT AS i, ((i - 1) // $sub)::INT AS m, v[i] AS x
        |  FROM u, LATERAL unnest(range(1, len(v) + 1)) t(i)),
        |pc0 AS (SELECT vec_id::INT AS c, i, round(x, 6) AS cv FROM exb WHERE vec_id < $PqCodes),
-       |${steps.mkString(",\n")},
+       |$stepSql,
        |lut AS (SELECT exb.vec_id AS qid, exb.m, p.c,
        |    round(sum((exb.x - p.cv) * (exb.x - p.cv)), 6) AS dq
        |  FROM exb JOIN $lastC p USING (i) WHERE exb.vec_id < $nQueries GROUP BY 1, 2, 3),
@@ -686,6 +704,139 @@ object Similarity {
        |    round(list_dot_product(qu.v, xu.v), 4) AS sim
        |  FROM cand c JOIN u xu ON xu.vec_id = c.vec_id
        |  JOIN u qu ON qu.vec_id = c.qid)
+       |SELECT qid, rnk, vec_id, sim FROM (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM sims) WHERE rnk <= $k
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  // ------------------------------------------------------------ IVF-PQ
+
+  /** Coarse cells and probes for the composed IVF-PQ index (s8). */
+  val IvfPqCoarse = 4
+  val IvfPqProbes = 2
+
+  /** Unit-normalized table in the (vec_id, label, embedding) shape the
+    * k-means trainer consumes — the coarse quantizer for IVF-PQ must
+    * cluster the SAME sphere the PQ codebooks and the rerank use.
+    */
+  private def unitEmb(emb: DataFrame): DataFrame = {
+    val e = vecs(emb).withColumn("nrm", norm(col("v")))
+    e.select(col("vec_id"), lit("u").as("label"),
+      transform(col("v"), x => round(x / col("nrm"), 6)).as("embedding"))
+  }
+
+  /** Top-k nearest neighbors via the composed IVF-PQ index — the Faiss
+    * IVFADC architecture (Jégou et al. TPAMI 2011, §IV) assembled from
+    * this file's own parts: a trained coarse quantizer partitions the
+    * corpus into cells ([[kmeansModel]]), PQ codebooks are trained on the
+    * RESIDUALS x − c(x) (residuals cluster far tighter than raw vectors,
+    * so the same 8×16 codebook spends its precision where the cell didn't),
+    * each query probes its [[IvfPqProbes]] nearest cells and ADC-scans
+    * ONLY those cells' codes with a per-(query, cell) residual lookup
+    * table, and the exact rerank decides the final top-k.
+    *
+    * Scale shape — this is the 100 TB ANN endgame the s2/s4/s7 pieces
+    * build toward: the corpus is stored as (cell, 8 code ids) per vector;
+    * a query touches nprobe/k_coarse of the corpus (partition pruning by
+    * cell), reads codes not floats (32× memory), and fetches full vectors
+    * only for the bounded rerank set. Every join is an equi-join on
+    * (cell, block, code) with only dimension-sized sides broadcast.
+    */
+  def knnIvfPq(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val dim = emb.agg(max(size(col("embedding")))).first().getInt(0)
+    require(dim % PqBlocks == 0, s"dim $dim not divisible into $PqBlocks blocks")
+    val sub = dim / PqBlocks
+    val (coarse, cellsRaw) = kmeansModel(unitEmb(emb), IvfPqCoarse, 2)
+    val cells = cellsRaw.select(col("vec_id"), col("c").as("cell"))
+    val ex = explodedBlocks(emb, sub)
+    // residual stream: x − (assigned cell's centroid component)
+    val exr = ex.join(cells, "vec_id")
+      .join(coarse.select(col("c").as("cell"), col("i"), col("cv")), Seq("cell", "i"))
+      .select(col("vec_id"), col("i"), col("m"), (col("x") - col("cv")).as("x"))
+    val (pqCent, codes0) = pqTrainLoop(exr)
+    val codes = codes0.join(cells, "vec_id")
+    // probes: full-dimension distance of the unit query to the coarse cents
+    val qex = ex.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("i"), col("m"), col("x").as("qx"))
+    val qdist = qex.join(broadcast(coarse), "i")
+      .groupBy(col("qid"), col("c"))
+      .agg(round(sum((col("qx") - col("cv")) * (col("qx") - col("cv"))), 6).as("d"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("d"), col("c"))
+    val probes = qdist.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= IvfPqProbes).select(col("qid"), col("c").as("cell"))
+    // per-(query, probed cell) residual LUT against the PQ codebook
+    val lut = qex.join(broadcast(probes), "qid")
+      .join(broadcast(coarse.select(col("c").as("cell"), col("i"), col("cv"))),
+        Seq("cell", "i"))
+      .select(col("qid"), col("cell"), col("i"), col("m"),
+        (col("qx") - col("cv")).as("qr"))
+      .join(broadcast(pqCent.select(col("c"), col("i"), col("cv").as("pcv"))), "i")
+      .groupBy(col("qid"), col("cell"), col("m"), col("c"))
+      .agg(round(sum((col("qr") - col("pcv")) * (col("qr") - col("pcv"))), 6).as("dq"))
+    // ADC over the PROBED cells' codes only
+    val adist = codes.join(broadcast(lut), Seq("cell", "m", "c"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("dq")), 6).as("adist"))
+    val wCand = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    val cands = adist.withColumn("cr", row_number().over(wCand))
+      .filter(col("cr") <= PqRerank * k).select(col("qid"), col("vec_id"))
+    val u = unitVecs(emb)
+    val qv = u.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid2"), col("v").as("qv"))
+    val sims = cands.join(u, "vec_id").join(broadcast(qv), col("qid") === col("qid2"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** DuckDB twin of [[knnIvfPq]]: unit normalization, coarse k-means
+    * replay, residual PQ replay, probes, cell-pruned ADC, exact rerank —
+    * identical rounding and tie-breaks end to end.
+    */
+  def sqlKnnIvfPq(nQueries: Int, k: Int, dim: Int): String = {
+    val sub = dim / PqBlocks
+    val eUnit =
+      """e AS (SELECT vec_id,
+        |    list_transform(v0, x -> round(x / sqrt(list_dot_product(v0, v0)), 6)) AS v
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings))""".stripMargin
+    val (kmCtes, aN, cN) = sqlKmeansCtes(IvfPqCoarse, 2, eUnit)
+    val (pqSteps, raN, rcN) = sqlPqStepCtes("exr", "r")
+    s"""WITH $kmCtes,
+       |exb AS (SELECT vec_id, i, ((i - 1) // $sub)::INT AS m, x FROM ex),
+       |exr AS (SELECT exb.vec_id, exb.i, exb.m, exb.x - $cN.cv AS x
+       |  FROM exb JOIN $aN a USING (vec_id)
+       |  JOIN $cN ON $cN.c = a.c AND $cN.i = exb.i),
+       |rc0 AS (SELECT vec_id::INT AS c, i, round(x, 6) AS cv FROM exr WHERE vec_id < $PqCodes),
+       |$pqSteps,
+       |qd AS (SELECT ex.vec_id AS qid, p.c, round(sum((ex.x - p.cv) * (ex.x - p.cv)), 6) AS d
+       |  FROM ex JOIN $cN p USING (i) WHERE ex.vec_id < $nQueries GROUP BY 1, 2),
+       |probes AS (SELECT qid, c AS cell FROM (
+       |  SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY d, c) AS pr
+       |  FROM qd) WHERE pr <= $IvfPqProbes),
+       |qres AS (SELECT pr.qid, pr.cell, exb.i, exb.m, exb.x - $cN.cv AS qr
+       |  FROM probes pr JOIN exb ON exb.vec_id = pr.qid
+       |  JOIN $cN ON $cN.c = pr.cell AND $cN.i = exb.i),
+       |lut AS (SELECT qres.qid, qres.cell, qres.m, p.c,
+       |    round(sum((qres.qr - p.cv) * (qres.qr - p.cv)), 6) AS dq
+       |  FROM qres JOIN $rcN p ON p.i = qres.i GROUP BY 1, 2, 3, 4),
+       |ad AS (SELECT l.qid, a.vec_id, round(sum(l.dq), 6) AS adist
+       |  FROM $raN a JOIN $aN cells ON cells.vec_id = a.vec_id
+       |  JOIN lut l ON l.cell = cells.c AND l.m = a.m AND l.c = a.c
+       |  WHERE a.vec_id <> l.qid GROUP BY 1, 2),
+       |cand AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS cr
+       |  FROM ad) WHERE cr <= ${PqRerank * k}),
+       |sims AS (SELECT c.qid, c.vec_id,
+       |    round(list_dot_product(qu.v, xu.v), 4) AS sim
+       |  FROM cand c JOIN e xu ON xu.vec_id = c.vec_id
+       |  JOIN e qu ON qu.vec_id = c.qid)
        |SELECT qid, rnk, vec_id, sim FROM (
        |  SELECT qid, vec_id, sim,
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk

@@ -178,6 +178,11 @@ object Pipeline {
     QueryDef.sql("s7_knn_pq", Similarity.sqlKnnPq(10, 5, 64)) { (s, dir) =>
       Similarity.knnPq(Tables.embeddings(s, dir), 10, 5)
     },
+    // the composed Faiss-style IVFADC index: coarse cells -> residual PQ
+    // -> cell-pruned ADC scan -> exact rerank (the 100 TB ANN endgame)
+    QueryDef.sql("s8_knn_ivfpq", Similarity.sqlKnnIvfPq(10, 5, 64)) { (s, dir) =>
+      Similarity.knnIvfPq(Tables.embeddings(s, dir), 10, 5)
+    },
 
     // -------- event-time windows
     QueryDef.sql("w1_tumbling", EventWindows.sqlTumblingHourly) { (s, dir) =>

@@ -185,6 +185,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.length == nq * k)
   }
 
+  test("IVF-PQ keeps useful recall vs the exact top-k despite cell pruning AND code compression") {
+    val spark = TestSpark.spark
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val (nq, k) = (10, 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = pairs(Similarity.knnBrute(emb, nq, k))
+    val rows = Similarity.knnIvfPq(emb, nq, k).collect()
+    val ivfpq = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivfpq).size.toDouble / brute.size
+    // two approximations stack here (probe 2/4 cells, 8x16 residual
+    // codes): the composed index must still find most true neighbors or
+    // the composition is decorative — bound pins the measured fixture
+    // value; residual coding is what keeps it near the flat-PQ recall
+    assert(recall >= 0.6, s"IVF-PQ recall@$k = $recall")
+    assert(rows.length == nq * k)
+  }
+
   test("SemDeDup drops only vectors with a lower-id same-cluster near-dup; cluster minima survive") {
     val spark = TestSpark.spark
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
