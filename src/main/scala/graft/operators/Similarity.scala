@@ -744,10 +744,14 @@ object Similarity {
     * only for the bounded rerank set. Every join is an equi-join on
     * (cell, block, code) with only dimension-sized sides broadcast.
     */
-  def knnIvfPq(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val dim = emb.agg(max(size(col("embedding")))).first().getInt(0)
-    require(dim % PqBlocks == 0, s"dim $dim not divisible into $PqBlocks blocks")
-    val sub = dim / PqBlocks
+  /** The four trained artifacts an IVF-PQ index consists of. */
+  final case class IvfPqIndex(coarse: DataFrame, cells: DataFrame,
+                              pqCent: DataFrame, codes: DataFrame)
+
+  /** Train the index: coarse cells over the unit sphere, PQ codebooks
+    * over the residuals, every corpus vector as (cell, M code ids).
+    */
+  def ivfPqTrain(emb: DataFrame, sub: Int): IvfPqIndex = {
     val (coarse, cellsRaw) = kmeansModel(unitEmb(emb), IvfPqCoarse, 2)
     val cells = cellsRaw.select(col("vec_id"), col("c").as("cell"))
     val ex = explodedBlocks(emb, sub)
@@ -756,7 +760,24 @@ object Similarity {
       .join(coarse.select(col("c").as("cell"), col("i"), col("cv")), Seq("cell", "i"))
       .select(col("vec_id"), col("i"), col("m"), (col("x") - col("cv")).as("x"))
     val (pqCent, codes0) = pqTrainLoop(exr)
-    val codes = codes0.join(cells, "vec_id")
+    IvfPqIndex(coarse, cells, pqCent, codes0.join(cells, "vec_id"))
+  }
+
+  def knnIvfPq(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val dim = emb.agg(max(size(col("embedding")))).first().getInt(0)
+    require(dim % PqBlocks == 0, s"dim $dim not divisible into $PqBlocks blocks")
+    val sub = dim / PqBlocks
+    ivfPqSearch(emb, ivfPqTrain(emb, sub), sub, nQueries, k)
+  }
+
+  /** The query phase against an ALREADY-TRAINED index (in-memory or
+    * loaded) — the serving path: probe, residual LUT, cell-pruned ADC,
+    * exact rerank. No training rounds run here.
+    */
+  def ivfPqSearch(emb: DataFrame, idx: IvfPqIndex, sub: Int,
+                  nQueries: Int, k: Int): DataFrame = {
+    val IvfPqIndex(coarse, _, pqCent, codes) = idx
+    val ex = explodedBlocks(emb, sub)
     // probes: full-dimension distance of the unit query to the coarse cents
     val qex = ex.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("i"), col("m"), col("x").as("qx"))
@@ -794,6 +815,28 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("vec_id"), col("sim"))
       .orderBy(col("qid"), col("rnk"))
   }
+
+  /** Persist a trained IVF-PQ index under `dir`: the two quantizers
+    * (coarse centroids, PQ codebooks — dimension-sized, single file) and
+    * the two corpus-scaling tables (cell assignment, codes — parallel
+    * write). Parquet doubles are binary-exact, so a loaded index serves
+    * bit-identical results.
+    */
+  def trainAndSaveIvfPq(emb: DataFrame, sub: Int, dir: String): IvfPqIndex = {
+    val idx = ivfPqTrain(emb, sub)
+    graft.sources.ModelStore.save(idx.coarse, s"$dir/ivfpq_coarse")
+    graft.sources.ModelStore.save(idx.pqCent, s"$dir/ivfpq_codebooks")
+    graft.sources.ModelStore.saveLarge(idx.cells, s"$dir/ivfpq_cells")
+    graft.sources.ModelStore.saveLarge(idx.codes, s"$dir/ivfpq_codes")
+    idx
+  }
+
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex =
+    IvfPqIndex(
+      graft.sources.ModelStore.load(spark, s"$dir/ivfpq_coarse"),
+      graft.sources.ModelStore.load(spark, s"$dir/ivfpq_cells"),
+      graft.sources.ModelStore.load(spark, s"$dir/ivfpq_codebooks"),
+      graft.sources.ModelStore.load(spark, s"$dir/ivfpq_codes"))
 
   /** DuckDB twin of [[knnIvfPq]]: unit normalization, coarse k-means
     * replay, residual PQ replay, probes, cell-pruned ADC, exact rerank —

@@ -14,6 +14,10 @@ object Pipeline {
   private val bpeModelDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // per-corpus-dir IVF-PQ index location for s9 (build once per process)
+  private val ivfPqIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   val queries: Seq[QueryDef] = Seq(
 
     // -------- dedup
@@ -182,6 +186,19 @@ object Pipeline {
     // -> cell-pruned ADC scan -> exact rerank (the 100 TB ANN endgame)
     QueryDef.sql("s8_knn_ivfpq", Similarity.sqlKnnIvfPq(10, 5, 64)) { (s, dir) =>
       Similarity.knnIvfPq(Tables.embeddings(s, dir), 10, 5)
+    },
+    // serve from the PERSISTED index: build once per process, load the
+    // four artifacts, query — must hash-match s8 byte-for-byte (the t14
+    // train-once/apply-anywhere pattern applied to the ANN index; timed
+    // passes measure the serving path, which is what the query claims)
+    QueryDef.sql("s9_knn_ivfpq_saved", Similarity.sqlKnnIvfPq(10, 5, 64)) { (s, dir) =>
+      val idxDir = ivfPqIndexDirs.getOrElseUpdate(dir, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-").toString
+        Similarity.trainAndSaveIvfPq(Tables.embeddings(s, dir), 64 / Similarity.PqBlocks, tmp)
+        tmp
+      })
+      Similarity.ivfPqSearch(Tables.embeddings(s, dir),
+        Similarity.loadIvfPq(s, idxDir), 64 / Similarity.PqBlocks, 10, 5)
     },
 
     // -------- event-time windows

@@ -149,6 +149,21 @@ class PersistSpec extends AnyFunSuite {
     codes.unpersist()
   }
 
+  test("IVF-PQ index round-trips: search over the loaded index == search over the trained one") {
+    val spark = TestSpark.spark
+    val emb = embeddings // 10 dims -> sub = 5 (2 blocks)
+    val dir = tmp("graft-ivfpq-rt-")
+    val idx = Similarity.trainAndSaveIvfPq(emb, sub = 5, dir)
+    val direct = Similarity.ivfPqSearch(emb, idx, sub = 5, nQueries = 4, k = 3)
+      .collect().map(_.toSeq).toSeq
+    val viaStore = Similarity.ivfPqSearch(emb, Similarity.loadIvfPq(spark, dir),
+      sub = 5, nQueries = 4, k = 3)
+      .collect().map(_.toSeq).toSeq
+    // parquet doubles are binary-exact: the serving path over the loaded
+    // artifacts must reproduce the in-memory index bit-for-bit
+    assert(viaStore == direct)
+  }
+
   test("a corrupt or wrong-shape whitening artifact fails loudly") {
     val spark = TestSpark.spark
     import spark.implicits._
