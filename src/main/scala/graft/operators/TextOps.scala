@@ -334,6 +334,74 @@ object TextOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Bigram-LM surprisal per document (t19) — one Markov order up from
+    * [[unigramSurprisal]], a step closer to the KenLM 5-gram filter CCNet
+    * actually ships: score each document by its mean conditional
+    * surprisal −log2 P(w_i | w_{i−1}) under an add-one-smoothed bigram
+    * model trained on the corpus (P = (c(w_{i−1}w_i)+1)/(c(w_{i−1})+V)).
+    * The unigram model can't see scrambled word order; this one charges
+    * for improbable TRANSITIONS — the difference between fluent
+    * boilerplate and shuffled tokens.
+    *
+    * Scale shape (the t13 skeleton, one model order up): per-doc bigram
+    * TERM FREQUENCIES map-side combine before any exchange; the model
+    * tables (distinct bigrams, distinct unigrams) are corpus-vocabulary
+    * sized, joined on their own keys; the vocab size V is a broadcast
+    * single-row aggregate. Two corpus passes (unigram model, bigram
+    * stream), nothing corpus-sized broadcast.
+    */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val uni = tk.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    val vtot = uni.agg(count(lit(1)).as("v"))
+    val bg = tk.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(
+          concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)).as("g"),
+          element_at(col("w"), i).as("pre")))).as("b"))
+      .select(col("doc_id"), col("b.g").as("g"), col("b.pre").as("pre"))
+    val tf = bg.groupBy(col("doc_id"), col("g"), col("pre")).agg(count(lit(1)).as("tf"))
+    val bc = tf.groupBy(col("g")).agg(sum(col("tf")).as("cg"))
+    val scored = tf.join(bc, "g")
+      .join(uni, col("pre") === col("t"))
+      .crossJoin(broadcast(vtot))
+      .select(col("doc_id"), col("tf"),
+        (col("tf") * -log2((col("cg") + 1.0) / (col("cu") + col("v")))).as("wbits"))
+    docs.select(col("doc_id"))
+      .join(scored.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_bigrams"),
+          round(sum(col("wbits")) / sum(col("tf")), 4).as("bits_per_bigram")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        // sub-2-token docs: pin the empty mean to 0.0 in both engines
+        coalesce(col("bits_per_bigram"), lit(0.0)).as("bits_per_bigram"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlBigramSurprisal: String = {
+    val toks = Portable.sqlTokens("text")
+    s"""WITH tk AS (SELECT doc_id, $toks AS w FROM documents),
+       |uni AS (SELECT t, count(*)::BIGINT AS cu
+       |  FROM (SELECT unnest(w) AS t FROM tk) GROUP BY t),
+       |vtot AS (SELECT count(*)::BIGINT AS v FROM uni),
+       |bg AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS g, w[i] AS pre
+       |  FROM tk, LATERAL unnest(range(1, len(w))) t(i)),
+       |tf AS (SELECT doc_id, g, pre, count(*)::BIGINT AS tf FROM bg GROUP BY 1, 2, 3),
+       |bc AS (SELECT g, sum(tf)::BIGINT AS cg FROM tf GROUP BY g),
+       |scored AS (SELECT tf.doc_id, tf.tf,
+       |    tf.tf * -log2((bc.cg + 1.0) / (uni.cu + vtot.v)) AS wbits
+       |  FROM tf JOIN bc USING (g) JOIN uni ON uni.t = tf.pre, vtot),
+       |per AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+       |    round(sum(wbits) / sum(tf), 4) AS bits_per_bigram
+       |  FROM scored GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
+       |  coalesce(per.bits_per_bigram, 0.0) AS bits_per_bigram
+       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Document fingerprints: md5 of normalized text (exact-dup key) plus a
     * position-weighted rolling token-hash mod P (order-sensitive content
     * fingerprint, robust to the oracle: pure integer arithmetic).

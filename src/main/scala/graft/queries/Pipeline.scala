@@ -135,6 +135,11 @@ object Pipeline {
     QueryDef.sql("t17_fertility", Bpe.sqlFertility) { (s, dir) =>
       Bpe.fertility(Tables.documents(s, dir))
     },
+    // bigram-LM surprisal — charges improbable TRANSITIONS (one Markov
+    // order up from t13, toward the CCNet KenLM filter)
+    QueryDef.sql("t19_bigram_surprisal", TextOps.sqlBigramSurprisal) { (s, dir) =>
+      TextOps.bigramSurprisal(Tables.documents(s, dir))
+    },
 
     // within-doc n-gram repetition ratio (Gopher/C4 repetition filter)
     QueryDef.sql("t8_repetition", TextOps.sqlRepetition) { (s, dir) =>

@@ -152,6 +152,25 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r(9L) == 0.0)
   }
 
+  test("bigram surprisal charges scrambled word order; unigram surprisal cannot see it") {
+    val fluent = "the quick brown fox jumps over the lazy dog"
+    val shuffled = "dog the over quick lazy jumps brown the fox" // same bag of words
+    // several fluent copies make the fluent TRANSITIONS probable under
+    // the corpus bigram model; the shuffled doc uses the same words in
+    // transitions the model has never seen
+    val d = docs((1L, fluent), (2L, fluent), (3L, fluent), (4L, shuffled))
+    def score(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bi = score(TextOps.bigramSurprisal(d))
+    assert(bi(4L) > bi(1L),
+      s"shuffled transitions must surprise the bigram model: ${bi(4L)} vs ${bi(1L)}")
+    // the unigram model sees identical bags of words — identical score;
+    // this gap is exactly why the pipeline wants the higher-order model
+    val uni = score(TextOps.unigramSurprisal(d))
+    assert(math.abs(uni(4L) - uni(1L)) < 1e-9,
+      s"unigram model must be order-blind: ${uni(4L)} vs ${uni(1L)}")
+  }
+
   test("dup-rate by source counts exactly the non-canonical cluster members") {
     val s = TestSpark.spark
     import s.implicits._

@@ -295,6 +295,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected map-side top-k (WindowGroupLimit) in:\n$plan")
   }
 
+  test("IVF-PQ serving path: only dimension-sized sides broadcast, no cross product, bounded top-k") {
+    val spark = TestSpark.spark
+    val emb = graft.Tables.embeddings(spark, dir)
+    val idx = Similarity.ivfPqTrain(emb, sub = 8)
+    val plan = executed(Similarity.ivfPqSearch(emb, idx, sub = 8, nQueries = 10, k = 5))
+    // the LUT, probes, quantizers and query set are the ONLY broadcasts;
+    // the code table streams through hash joins on (cell, block, code)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins for the dimension-sized sides in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cross product in the serving path:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected map-side top-k (WindowGroupLimit) in:\n$plan")
+  }
+
   test("DSIR model tables aggregate on bounded bucket keys; scoring joins are on the bucket id") {
     val plan = executed(Curation.dsirWeights(graft.Tables.documents(TestSpark.spark, dir)))
     // per-doc TFs and the two 256-row models are hash aggregates with
