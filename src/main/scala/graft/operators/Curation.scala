@@ -555,6 +555,83 @@ object Curation {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // --------------------------------------- curated-manifest selection
+
+  /** Quality floor / boilerplate ceiling for the p20 composite gate. */
+  val ManifestQualityMin = 0.15
+  val ManifestBoilerMax = 0.2
+
+  /** The CURATED MANIFEST (p20) — the full web-corpus selection recipe as
+    * ONE query, composing four of this engine's own signals the way
+    * CCNet/RefinedWeb actually chain them:
+    *  - quality floor (t2 blended score ≥ [[ManifestQualityMin]]);
+    *  - the MIDDLE surprisal band (t13 bits/token within the corpus's own
+    *    P25–P75 — CCNet keeps middle perplexity: the low tail is
+    *    boilerplate the model already knows, the high tail is noise);
+    *  - boilerplate ceiling (t18 repeated-shingle fraction ≤
+    *    [[ManifestBoilerMax]]);
+    *  - exact-dup canonical (min doc_id per normalized-text hash).
+    * Emits every document with its scores, per-gate verdicts and the
+    * final `keep` — the audit table a curation run ships with the corpus,
+    * and the proof the operators compose in one Catalyst plan.
+    *
+    * Scale shape: each signal keeps its own documented shape; the band is
+    * a broadcast single-row aggregate; the composition joins on doc_id.
+    * The exact percentile is the oracle-checkable twin — at 100 TB swap
+    * `percentile_approx` exactly as p15→p16 demonstrates.
+    */
+  def curatedManifest(docs: DataFrame): DataFrame = {
+    val q = TextOps.quality(docs, col("text")).select(col("doc_id"), col("quality_score"))
+    val sp = TextOps.unigramSurprisal(docs).select(col("doc_id"), col("bits_per_token"))
+    val bp = graft.operators.Dedup.boilerplateFraction(docs)
+      .select(col("doc_id"), col("boilerplate_frac"))
+    val band = sp.agg(percentile(col("bits_per_token"), lit(0.25)).as("lo"),
+      percentile(col("bits_per_token"), lit(0.75)).as("hi"))
+    val canon = docs.select(col("doc_id"),
+      (col("doc_id") === min(col("doc_id"))
+        .over(Window.partitionBy(md5(lower(trim(col("text"))))))).as("canonical"))
+    val qualityOk = col("quality_score") >= ManifestQualityMin
+    val pplOk = col("bits_per_token") >= col("lo") && col("bits_per_token") <= col("hi")
+    val boilerOk = col("boilerplate_frac") <= ManifestBoilerMax
+    docs.select(col("doc_id"))
+      .join(q, "doc_id").join(sp, "doc_id").join(bp, "doc_id").join(canon, "doc_id")
+      .crossJoin(broadcast(band))
+      .select(col("doc_id"), col("quality_score"), col("bits_per_token"),
+        col("boilerplate_frac"), col("canonical"),
+        qualityOk.as("quality_ok"), pplOk.as("ppl_ok"), boilerOk.as("boiler_ok"),
+        (qualityOk && pplOk && boilerOk && col("canonical")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same composition with each signal's full oracle query
+    * nested as a CTE subquery (DuckDB allows WITH inside subqueries), so
+    * the composite can never drift from the component oracles.
+    */
+  def sqlCuratedManifest: String = {
+    def noOrder(sql: String): String = sql.substring(0, sql.lastIndexOf("ORDER BY"))
+    s"""WITH q AS (SELECT doc_id, quality_score FROM (${noOrder(TextOps.sqlQuality)}) t),
+       |sp AS (SELECT doc_id, bits_per_token FROM (${noOrder(TextOps.sqlUnigramSurprisal)}) t),
+       |bp AS (SELECT doc_id, boilerplate_frac FROM (${noOrder(graft.operators.Dedup.sqlBoilerplateFraction)}) t),
+       |canon AS (SELECT doc_id,
+       |    doc_id = min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS canonical
+       |  FROM documents),
+       |band AS (SELECT quantile_cont(bits_per_token, 0.25) AS lo,
+       |                quantile_cont(bits_per_token, 0.75) AS hi FROM sp)
+       |SELECT d.doc_id, q.quality_score, sp.bits_per_token, bp.boilerplate_frac,
+       |  canon.canonical,
+       |  q.quality_score >= $ManifestQualityMin AS quality_ok,
+       |  (sp.bits_per_token >= band.lo AND sp.bits_per_token <= band.hi) AS ppl_ok,
+       |  bp.boilerplate_frac <= $ManifestBoilerMax AS boiler_ok,
+       |  (q.quality_score >= $ManifestQualityMin
+       |    AND sp.bits_per_token >= band.lo AND sp.bits_per_token <= band.hi
+       |    AND bp.boilerplate_frac <= $ManifestBoilerMax
+       |    AND canon.canonical) AS keep
+       |FROM documents d
+       |JOIN q USING (doc_id) JOIN sp USING (doc_id)
+       |JOIN bp USING (doc_id) JOIN canon USING (doc_id), band
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ------------------------------------------- segment-level dedup
 
   /** Non-overlapping segment width (tokens) for sub-document dedup. */

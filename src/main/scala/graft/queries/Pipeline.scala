@@ -329,6 +329,12 @@ object Pipeline {
     QueryDef.sql("p16_quality_gate_approx", Curation.sqlQualityGateApprox) { (s, dir) =>
       Curation.qualityGateApprox(Tables.documents(s, dir))
     },
+    // the CURATED MANIFEST: the full selection recipe in one plan —
+    // quality floor + middle-surprisal band + boilerplate ceiling +
+    // exact-dup canonical, with per-gate verdicts (the audit table)
+    QueryDef.sql("p20_curated_manifest", Curation.sqlCuratedManifest) { (s, dir) =>
+      Curation.curatedManifest(Tables.documents(s, dir))
+    },
     // SemDeDup: semantic dedup = k-means cells + within-cell cosine prune
     QueryDef.sql("p17_semdedup", Similarity.sqlSemDedup(4, 2, 0.4)) { (s, dir) =>
       Similarity.semDedup(Tables.embeddings(s, dir), 4, 2, 0.4)
