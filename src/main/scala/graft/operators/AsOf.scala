@@ -242,7 +242,32 @@ object AsOf {
       : Iterator[StreamMatch] = {
     var cur: Option[(Long, String)] = state.getOption
     val out = rows.toSeq.sortBy(e => (e.tsUs.getOrElse(Long.MinValue), e.side)).flatMap { e =>
-      if (e.side == 0) { e.tsUs.foreach(t => cur = Some((t, e.pay))); None }
+      if (e.side == 0) {
+        // the batch asOf's two enforced preconditions, enforced HERE too
+        // (an exception stops the query — the rapid's error-stop
+        // contract, same as a raise_error in the batch plan):
+        // a null payload is indistinguishable from "no match yet"...
+        if (e.pay == null) throw new IllegalArgumentException(
+          s"as-of stream: right payload is null at (key=$key, ts=${e.tsUs}) — " +
+            "filter or coalesce right rows first")
+        // ...and duplicate (key, ts) right rows make "latest at t"
+        // arrival-order-arbitrary. An identical re-delivery (same ts AND
+        // same payload) is an idempotent no-op and passes — at-least-once
+        // sources replay records; only a CONFLICTING duplicate dies.
+        e.tsUs.foreach { t =>
+          cur match {
+            case Some((pt, pp)) if pt == t && pp != e.pay =>
+              throw new IllegalArgumentException(
+                s"as-of stream: conflicting right rows at (key=$key, ts=$t) — " +
+                  "pre-aggregate right to one row per (key, ts)")
+            case Some((pt, _)) if t < pt =>
+              () // late right row OLDER than the state: stale — "latest
+                 // wins" must not regress to it
+            case _ => cur = Some((t, e.pay))
+          }
+        }
+        None
+      }
       else if (e.tsUs.isEmpty) Some(StreamMatch(key, None, e.pay, None, None))
       else Some(StreamMatch(key, e.tsUs, e.pay, cur.map(_._2), cur.map(_._1)))
     }

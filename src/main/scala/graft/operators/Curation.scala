@@ -608,7 +608,16 @@ object Curation {
     * the composite can never drift from the component oracles.
     */
   def sqlCuratedManifest: String = {
-    def noOrder(sql: String): String = sql.substring(0, sql.lastIndexOf("ORDER BY"))
+    def noOrder(sql: String): String = {
+      val i = sql.lastIndexOf("ORDER BY")
+      // fail loudly at oracle-construction time if a component is ever
+      // refactored away from a TERMINAL order clause (a -1 would throw a
+      // bare StringIndexOutOfBounds; an ORDER BY inside a trailing paren
+      // would silently truncate mid-query)
+      require(i >= 0 && !sql.substring(i).contains(")"),
+        s"component oracle must end in a terminal ORDER BY clause:\n$sql")
+      sql.substring(0, i)
+    }
     s"""WITH q AS (SELECT doc_id, quality_score FROM (${noOrder(TextOps.sqlQuality)}) t),
        |sp AS (SELECT doc_id, bits_per_token FROM (${noOrder(TextOps.sqlUnigramSurprisal)}) t),
        |bp AS (SELECT doc_id, boilerplate_frac FROM (${noOrder(graft.operators.Dedup.sqlBoilerplateFraction)}) t),

@@ -638,6 +638,17 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(round(sum(col("dq")), 6).as("adist"))
+    rerankAdcTopK(adist, emb, nQueries, k)
+  }
+
+  /** Shared ADC tail for [[knnPq]] and [[ivfPqSearch]]: keep the
+    * PqRerank*k best candidates by (adist, vec_id), score them with the
+    * exact unit-sphere cosine, emit the top-k — one definition so the two
+    * paths (and their oracles) can never drift on the cutoff, tie-breaks
+    * or rounding.
+    */
+  private def rerankAdcTopK(adist: DataFrame, emb: DataFrame,
+                            nQueries: Int, k: Int): DataFrame = {
     val wCand = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
     val cands = adist.withColumn("cr", row_number().over(wCand))
       .filter(col("cr") <= PqRerank * k).select(col("qid"), col("vec_id"))
@@ -721,11 +732,11 @@ object Similarity {
     * k-means trainer consumes — the coarse quantizer for IVF-PQ must
     * cluster the SAME sphere the PQ codebooks and the rerank use.
     */
-  private def unitEmb(emb: DataFrame): DataFrame = {
-    val e = vecs(emb).withColumn("nrm", norm(col("v")))
-    e.select(col("vec_id"), lit("u").as("label"),
-      transform(col("v"), x => round(x / col("nrm"), 6)).as("embedding"))
-  }
+  private def unitEmb(emb: DataFrame): DataFrame =
+    // MUST be the same sphere as [[unitVecs]] (the PQ training and rerank
+    // surface), so it is literally that projection reshaped for the
+    // k-means trainer's (vec_id, label, embedding) input
+    unitVecs(emb).select(col("vec_id"), lit("u").as("label"), col("v").as("embedding"))
 
   /** Top-k nearest neighbors via the composed IVF-PQ index — the Faiss
     * IVFADC architecture (Jégou et al. TPAMI 2011, §IV) assembled from
@@ -801,19 +812,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(round(sum(col("dq")), 6).as("adist"))
-    val wCand = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
-    val cands = adist.withColumn("cr", row_number().over(wCand))
-      .filter(col("cr") <= PqRerank * k).select(col("qid"), col("vec_id"))
-    val u = unitVecs(emb)
-    val qv = u.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid2"), col("v").as("qv"))
-    val sims = cands.join(u, "vec_id").join(broadcast(qv), col("qid") === col("qid2"))
-      .select(col("qid"), col("vec_id"),
-        round(dot(col("qv"), col("v")), 4).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("vec_id"), col("sim"))
-      .orderBy(col("qid"), col("rnk"))
+    rerankAdcTopK(adist, emb, nQueries, k)
   }
 
   /** Persist a trained IVF-PQ index under `dir`: the two quantizers

@@ -201,6 +201,50 @@ class AsOfSpec extends AnyFunSuite {
       s"stream-order as-of must equal batch as-of on in-order arrival: $got vs $expected")
   }
 
+  test("streaming as-of enforces the batch preconditions; idempotent redelivery and stale rights are safe") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def start(name: String) = {
+      val lIn = MemoryStream[(String, Timestamp, String)](
+        implicitly[org.apache.spark.sql.Encoder[(String, Timestamp, String)]], spark)
+      val rIn = MemoryStream[(String, Timestamp, String)](
+        implicitly[org.apache.spark.sql.Encoder[(String, Timestamp, String)]], spark)
+      val q = AsOf.asOfStream(
+        lIn.toDF().toDF("k", "ts", "v"), "k", "ts", "v",
+        rIn.toDF().toDF("k", "rts", "pay"), "rts", "pay")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      (lIn, rIn, q)
+    }
+    // conflicting duplicate right rows at one (key, ts): the query DIES
+    // (the rapid error-stop contract — batch raise_errors the same input)
+    val (_, rDup, qDup) = start("asof_dup_conflict")
+    rDup.addData(("u1", ts(1), "a"), ("u1", ts(1), "b"))
+    val died = intercept[Exception](qDup.processAllAvailable())
+    assert(died.getMessage.contains("conflicting right rows")
+      || Option(died.getCause).exists(_.getMessage.contains("conflicting right rows")))
+    qDup.stop()
+    // null right payload: dies too (indistinguishable from "no match yet")
+    val (_, rNull, qNull) = start("asof_null_pay")
+    rNull.addData(("u1", ts(1), null))
+    val died2 = intercept[Exception](qNull.processAllAvailable())
+    assert(died2.getMessage.contains("right payload is null")
+      || Option(died2.getCause).exists(_.getMessage.contains("right payload is null")))
+    qNull.stop()
+    // identical redelivery (at-least-once) is a no-op; a LATE right row
+    // older than the state never regresses "latest wins"
+    val (lOk, rOk, qOk) = start("asof_redeliver")
+    rOk.addData(("u1", ts(2), "new"))
+    qOk.processAllAvailable()
+    rOk.addData(("u1", ts(2), "new"), ("u1", ts(1), "stale"))
+    lOk.addData(("u1", ts(5), "left"))
+    qOk.processAllAvailable()
+    val got = spark.table("asof_redeliver").collect()
+      .map(r => r.getAs[String]("value") -> r.getAs[String]("match_pay")).toMap
+    qOk.stop()
+    assert(got == Map("left" -> "new"), s"got $got")
+  }
+
   test("streaming as-of null semantics match the batch join: null keys/ts never match, never crash") {
     val spark = TestSpark.spark
     import spark.implicits._
