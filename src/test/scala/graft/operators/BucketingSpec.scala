@@ -46,4 +46,39 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
     }
   }
+
+  test("embedding store bucketed by trained cell: the SemDeDup/IVF verify self-join plans shuffle-free") {
+    // the claim the SemDeDup/IVF docs make — "at 100 TB the cluster id is
+    // the bucket key of the embedding store and each cluster's pair block
+    // is one co-located task" — made executable: train the cells, bucket
+    // the store by them, and the within-cell pair join needs NO exchange
+    val spark = TestSpark.spark
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (_, assigned) = Similarity.kmeansModel(emb, 4, 2)
+    spark.sql("DROP TABLE IF EXISTS emb_bkt")
+    emb.join(assigned, "vec_id")
+      .write.mode("overwrite").bucketBy(8, "c").sortBy("c")
+      .saveAsTable("emb_bkt")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = spark.table("emb_bkt")
+      val a = e.select(col("c"), col("vec_id").as("ia"), col("embedding").as("va"))
+      val b = e.select(col("c"), col("vec_id").as("ib"), col("embedding").as("vb"))
+      val pairs = a.join(b, "c").filter(col("ia") < col("ib"))
+        .select(graft.functions.VectorExprs.dot(
+          org.apache.spark.sql.functions.transform(col("va"), x => x.cast("double")),
+          org.apache.spark.sql.functions.transform(col("vb"), x => x.cast("double"))).as("d"))
+      assert(pairs.count() > 0)
+      val plan = pairs.queryExecution.executedPlan.toString
+      val joinSection = plan.split("SortMergeJoin").last
+      assert(plan.contains("SortMergeJoin"),
+        s"expected the co-bucketed self-join in:\n$plan")
+      assert(!joinSection.contains("Exchange"),
+        s"the within-cell verify must read co-located buckets, not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS emb_bkt")
+    }
+  }
 }
