@@ -766,4 +766,56 @@ object Curation {
        |WHERE s.doc_id % $BenchmarkMod <> 0
        |GROUP BY s.doc_id
        |ORDER BY s.doc_id""".stripMargin
+
+  /** Contamination severity threshold for p21's verdict column. */
+  val ContaminationFracMax = 0.1
+
+  /** Contamination REPORT (p21) — the graded form of [[decontaminate]]:
+    * p5 lists contaminated docs with a raw shared-shingle count, but what
+    * a decontamination run acts on is the FRACTION of a document's
+    * content that overlaps the benchmark (GPT-3 appendix-C style n-gram
+    * overlap): a 10k-shingle doc sharing 3 shingles is a coincidence, a
+    * 30-shingle doc sharing 20 is a leaked test item. Emits every
+    * non-benchmark doc's distinct-shingle count, shared count, overlap
+    * fraction, and the `contaminated` verdict at
+    * [[ContaminationFracMax]].
+    *
+    * Scale shape: identical to p5 (benchmark shingle set broadcast,
+    * corpus side never shuffles for it) plus one per-doc total from the
+    * same shingle stream.
+    */
+  def contaminationReport(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingles(docs)
+    val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
+      .select(col("g")).distinct()
+    val corpus = sh.filter(col("doc_id") % BenchmarkMod =!= 0)
+    val totals = corpus.groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shingles"))
+    val shared = corpus.join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+    totals.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)) / col("n_shingles"), 4)
+          .as("overlap_frac"),
+        (coalesce(col("n_shared"), lit(0L)) / col("n_shingles")
+          > ContaminationFracMax).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sqlContaminationReport: String =
+    s"""WITH ${Dedup.sqlShingleCtes},
+       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % $BenchmarkMod = 0),
+       |corpus AS (SELECT doc_id, g FROM sh WHERE doc_id % $BenchmarkMod <> 0),
+       |totals AS (SELECT doc_id, count(DISTINCT g)::BIGINT AS n_shingles
+       |  FROM corpus GROUP BY doc_id),
+       |shared AS (SELECT c.doc_id, count(DISTINCT c.g)::BIGINT AS n_shared
+       |  FROM corpus c JOIN bench b ON c.g = b.g GROUP BY c.doc_id)
+       |SELECT t.doc_id, t.n_shingles,
+       |  coalesce(s.n_shared, 0)::BIGINT AS n_shared,
+       |  round(coalesce(s.n_shared, 0) / t.n_shingles, 4) AS overlap_frac,
+       |  (coalesce(s.n_shared, 0) / t.n_shingles > $ContaminationFracMax) AS contaminated
+       |FROM totals t LEFT JOIN shared s ON s.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 }

@@ -329,6 +329,11 @@ object Pipeline {
     QueryDef.sql("p16_quality_gate_approx", Curation.sqlQualityGateApprox) { (s, dir) =>
       Curation.qualityGateApprox(Tables.documents(s, dir))
     },
+    // the graded decontamination report: per-doc benchmark-overlap
+    // FRACTION + verdict (p5's boolean, made actionable)
+    QueryDef.sql("p21_contamination_report", Curation.sqlContaminationReport) { (s, dir) =>
+      Curation.contaminationReport(Tables.documents(s, dir))
+    },
     // the CURATED MANIFEST: the full selection recipe in one plan —
     // quality floor + middle-surprisal band + boilerplate ceiling +
     // exact-dup canonical, with per-gate verdicts (the audit table)
