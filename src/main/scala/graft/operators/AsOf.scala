@@ -241,7 +241,21 @@ object AsOf {
                state: org.apache.spark.sql.streaming.GroupState[(Long, String)])
       : Iterator[StreamMatch] = {
     var cur: Option[(Long, String)] = state.getOption
-    val out = rows.toSeq.sortBy(e => (e.tsUs.getOrElse(Long.MinValue), e.side)).flatMap { e =>
+    val batch = rows.toSeq
+    // within-batch duplicate check FIRST, independent of the carried
+    // state: two conflicting right rows at one ts must die even when both
+    // are older than the state (the stale branch below would otherwise
+    // swallow them). NOTE the honest limit vs the batch guard: a conflict
+    // between batches at a ts STRICTLY OLDER than the carried state is
+    // undetectable with O(1) state — the stream remembers one (ts,
+    // payload) pair, not history; enforce upstream dedup for that case.
+    batch.filter(e => e.side == 0 && e.tsUs.isDefined)
+      .groupBy(_.tsUs)
+      .collectFirst { case (Some(t), es) if es.map(_.pay).distinct.sizeIs > 1 => t }
+      .foreach(t => throw new IllegalArgumentException(
+        s"as-of stream: conflicting right rows at (key=$key, ts=$t) — " +
+          "pre-aggregate right to one row per (key, ts)"))
+    val out = batch.sortBy(e => (e.tsUs.getOrElse(Long.MinValue), e.side)).flatMap { e =>
       if (e.side == 0) {
         // the batch asOf's two enforced preconditions, enforced HERE too
         // (an exception stops the query — the rapid's error-stop

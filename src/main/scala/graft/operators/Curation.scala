@@ -785,37 +785,59 @@ object Curation {
     * same shingle stream.
     */
   def contaminationReport(docs: DataFrame): DataFrame = {
-    val sh = Dedup.shingles(docs)
-    val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
-      .select(col("g")).distinct()
-    val corpus = sh.filter(col("doc_id") % BenchmarkMod =!= 0)
-    val totals = corpus.groupBy(col("doc_id"))
-      .agg(countDistinct(col("g")).as("n_shingles"))
-    val shared = corpus.join(broadcast(bench), "g")
+    // UN-capped shingle stream — deliberately NOT [[Dedup.shingles]]: the
+    // stop-shingle cap (df > MaxShingleDocFreq dropped) is a skew guard
+    // for candidate JOINS, but here a benchmark item leaked into hundreds
+    // of documents is exactly the hot-shingle case the cap would hide —
+    // the worst contamination would read as clean. Materialized ONCE
+    // (corpus-sized, two consumers) via localCheckpoint, not cache: the
+    // plan-keyed cache would make repeat invocations silently measure
+    // cache hits (the kmeansModel rationale).
+    val sh0 = docs
+      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(Dedup.shingleArray(col("w"))).as("g"))
+      .localCheckpoint(true)
+    val bench = sh0.filter(col("doc_id") % BenchmarkMod === 0)
+      .select(col("g")).distinct().withColumn("hit", lit(1))
+    // ONE corpus-side aggregation: left-join the broadcast benchmark set
+    // with a hit flag; per-doc shingles are already distinct (the
+    // array_distinct inside shingleArray), so count(*) is the distinct
+    // total and count(hit) the shared count
+    val per = sh0.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .join(broadcast(bench), Seq("g"), "left")
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("g")).as("n_shared"))
-    totals.join(shared, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
+    docs.select(col("doc_id")).filter(col("doc_id") % BenchmarkMod =!= 0)
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        round(coalesce(col("n_shared"), lit(0L)) / col("n_shingles"), 4)
+        coalesce(round(col("n_shared") / col("n_shingles"), 4), lit(0.0))
           .as("overlap_frac"),
-        (coalesce(col("n_shared"), lit(0L)) / col("n_shingles")
-          > ContaminationFracMax).as("contaminated"))
+        coalesce(col("n_shared") / col("n_shingles") > ContaminationFracMax,
+          lit(false)).as("contaminated"))
       .orderBy(col("doc_id"))
   }
 
-  val sqlContaminationReport: String =
-    s"""WITH ${Dedup.sqlShingleCtes},
-       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % $BenchmarkMod = 0),
-       |corpus AS (SELECT doc_id, g FROM sh WHERE doc_id % $BenchmarkMod <> 0),
-       |totals AS (SELECT doc_id, count(DISTINCT g)::BIGINT AS n_shingles
-       |  FROM corpus GROUP BY doc_id),
-       |shared AS (SELECT c.doc_id, count(DISTINCT c.g)::BIGINT AS n_shared
-       |  FROM corpus c JOIN bench b ON c.g = b.g GROUP BY c.doc_id)
-       |SELECT t.doc_id, t.n_shingles,
-       |  coalesce(s.n_shared, 0)::BIGINT AS n_shared,
-       |  round(coalesce(s.n_shared, 0) / t.n_shingles, 4) AS overlap_frac,
-       |  (coalesce(s.n_shared, 0) / t.n_shingles > $ContaminationFracMax) AS contaminated
-       |FROM totals t LEFT JOIN shared s ON s.doc_id = t.doc_id
-       |ORDER BY t.doc_id""".stripMargin
+  val sqlContaminationReport: String = {
+    val n = Portable.ShingleN
+    val grams = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, $grams AS g
+       |        FROM toks, LATERAL unnest(range(1, len(w) - ${n - 2})) t(i)),
+       |bench AS (SELECT DISTINCT g FROM sh0 WHERE doc_id % $BenchmarkMod = 0),
+       |per AS (SELECT c.doc_id, count(*)::BIGINT AS n_shingles,
+       |    count(b.g)::BIGINT AS n_shared
+       |  FROM (SELECT doc_id, g FROM sh0 WHERE doc_id % $BenchmarkMod <> 0) c
+       |  LEFT JOIN bench b ON b.g = c.g GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(per.n_shingles, 0)::BIGINT AS n_shingles,
+       |  coalesce(per.n_shared, 0)::BIGINT AS n_shared,
+       |  coalesce(round(per.n_shared * 1.0 / per.n_shingles, 4), 0.0) AS overlap_frac,
+       |  coalesce(per.n_shared * 1.0 / per.n_shingles > $ContaminationFracMax, false)
+       |    AS contaminated
+       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+       |WHERE d.doc_id % $BenchmarkMod <> 0
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }
