@@ -231,6 +231,17 @@ class AsOfSpec extends AnyFunSuite {
     assert(died2.getMessage.contains("right payload is null")
       || Option(died2.getCause).exists(_.getMessage.contains("right payload is null")))
     qNull.stop()
+    // conflicting duplicates OLDER than the carried state still die: the
+    // within-batch check is state-independent (the stale branch must not
+    // swallow them)
+    val (_, rOld, qOld) = start("asof_dup_old")
+    rOld.addData(("u1", ts(5), "newer"))
+    qOld.processAllAvailable()
+    rOld.addData(("u1", ts(1), "a"), ("u1", ts(1), "b")) // both older than state ts(5)
+    val died3 = intercept[Exception](qOld.processAllAvailable())
+    assert(died3.getMessage.contains("conflicting right rows")
+      || Option(died3.getCause).exists(_.getMessage.contains("conflicting right rows")))
+    qOld.stop()
     // identical redelivery (at-least-once) is a no-op; a LATE right row
     // older than the state never regresses "latest wins"
     val (lOk, rOk, qOk) = start("asof_redeliver")
