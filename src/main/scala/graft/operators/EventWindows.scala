@@ -32,6 +32,42 @@ object EventWindows {
       |  round(sum(value), 2) AS total
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Trailing time-RANGE frame width (1 hour, microseconds). */
+  val RangeFrameUs: Long = 3600L * 1000000
+
+  /** Per-user trailing 1-HOUR window at every event (w10): count and
+    * value-sum over the TIME-based frame [t − 1h, t] — the frame a row
+    * frame (w4) cannot express: "last N rows" is "last hour" only for a
+    * perfectly regular stream; for a bursty user N rows spans seconds and
+    * for an idle one days. RANGE puts the boundary in event time, which
+    * is what rate limits, rolling exposure counts and activity scores
+    * actually mean.
+    *
+    * Scale shape: one hash exchange on user_id + one partition-local sort
+    * — identical cost to any per-key window; the frame bound adds no
+    * shuffle. A pathological hot key serializes its own scan (inherent to
+    * per-key ordering); the w9 bucketing idea applies if one key owns the
+    * stream.
+    */
+  def rangeFrame(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-RangeFrameUs, Window.currentRow)
+    events.select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value")).over(w), 2).as("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  val sqlRangeFrame: String =
+    s"""SELECT event_id, user_id,
+       |  CAST(count(*) OVER win AS BIGINT) AS n_1h,
+       |  round(sum(value) OVER win, 2) AS sum_1h
+       |FROM events
+       |WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+       |  RANGE BETWEEN $RangeFrameUs PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
   /** Gap-based sessionization per user: a new session starts when the gap
     * since the previous event reaches SessionGapUs. `>=` matches Spark's
     * session_window half-open [start, last + gap) semantics exactly — an

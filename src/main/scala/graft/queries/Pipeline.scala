@@ -213,6 +213,11 @@ object Pipeline {
     QueryDef.sql("w2_session", EventWindows.sqlSessionize) { (s, dir) =>
       EventWindows.sessionize(Tables.events(s, dir))
     },
+    // trailing 1-HOUR time-RANGE frame per user at every event — the
+    // frame a row frame can't express on irregular streams
+    QueryDef.sql("w10_range_frame", EventWindows.sqlRangeFrame) { (s, dir) =>
+      EventWindows.rangeFrame(Tables.events(s, dir))
+    },
     QueryDef.sql("w3_latest_per_key", EventWindows.sqlLatestPerUser) { (s, dir) =>
       EventWindows.latestPerUser(Tables.events(s, dir))
     },
