@@ -233,9 +233,12 @@ object AsOf {
   /** Per-key state + batch fold shared by the streaming op and its spec:
     * rows event-time-sorted with right-before-left at the same instant
     * (the batch [[asOf]] inclusive-<= tie rule); right rows advance the
-    * (ts, payload) state, left rows emit the current state. A left row
-    * with NO event time emits unmatched — `vts <= NULL` is never true in
-    * the batch/oracle semantics, so it must not read the state.
+    * (ts, payload) state, left rows emit the current state ONLY when its
+    * event time is at-or-before their own (state newer than the left row
+    * = an out-of-order arrival the state can't rewind for; the row emits
+    * unmatched rather than matched-to-its-future). A left row with NO
+    * event time emits unmatched — `vts <= NULL` is never true in the
+    * batch/oracle semantics, so it must not read the state.
     */
   def foldAsOf(key: String, rows: Iterator[StreamEv],
                state: org.apache.spark.sql.streaming.GroupState[(Long, String)])
@@ -283,7 +286,18 @@ object AsOf {
         None
       }
       else if (e.tsUs.isEmpty) Some(StreamMatch(key, None, e.pay, None, None))
-      else Some(StreamMatch(key, e.tsUs, e.pay, cur.map(_._2), cur.map(_._1)))
+      else {
+        // the carried state can be NEWER than a late-arriving left row
+        // (state can't rewind) — enriching it with a payload from the
+        // row's event-time FUTURE would be silently event-time-wrong, so
+        // emit it unmatched instead: a violation of the in-order-arrival
+        // contract becomes an observable null match, never a wrong one.
+        // In-order keys never hit this (state ts <= left ts by arrival
+        // order, with <= covering the same-instant right-first tie rule),
+        // so the batch-equivalence property is untouched.
+        val m = cur.filter(_._1 <= e.tsUs.get)
+        Some(StreamMatch(key, e.tsUs, e.pay, m.map(_._2), m.map(_._1)))
+      }
     }
     cur.foreach(state.update)
     out.iterator

@@ -63,13 +63,21 @@ object Dedup {
     * unique doc_ids, without that extra shuffle.
     */
   def shingles(docs: DataFrame): DataFrame = {
-    val sh0 = docs
-      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
-      .select(col("doc_id"), explode(shingleArray(col("w"))).as("g"))
+    val sh0 = rawShingles(docs)
     val rare = sh0.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDocFreq).select(col("g"))
     sh0.join(rare, "g")
   }
+
+  /** The UN-capped per-doc shingle stream — exposed so t18/p21 (which
+    * need hot shingles: they ARE the signal there) and the ScaleOpsSpec
+    * pair-volume proof can read the pre-filter stream; every candidate-
+    * JOIN consumer goes through [[shingles]] (the df-capped index).
+    */
+  private[graft] def rawShingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(shingleArray(col("w"))).as("g"))
 
   /** Oracle CTEs mirroring [[shingles]]; exposes `sh(doc_id, g)`. */
   val sqlShingleCtes: String = {
@@ -86,12 +94,25 @@ object Dedup {
 
   /** Exact Jaccard near-dup pairs via inverted-index self-join.
     *
-    * SCALE: this is the declared exact BASELINE — candidate volume is the
-    * inverted-index self-join, bounded only by the stop-shingle cap, i.e.
-    * quadratic in the worst case. At corpus scale use [[lshPairs]] (band-
-    * bucketed MinHash candidates, exact-Jaccard verify on candidates only)
-    * and [[connectedComponents]] for cluster formation; keep this form for
-    * small corpora and for validating the LSH recall.
+    * SCALE: pair generation reads ONLY the df-capped shingle index
+    * ([[shingles]] drops every shingle with document frequency >
+    * [[Portable.MaxShingleDocFreq]] BEFORE the self-join). The cap is the
+    * whole scale story for this operator: shingle frequency is power-law,
+    * and one boilerplate shingle shared by 10^5 documents would put
+    * ~10^10/2 candidate pairs on a single join key — inherently quadratic
+    * output that no AQE skew split can save. Dropping stop-shingles from
+    * candidate generation is the standard move (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * shingle in >MaxShingleDocFreq docs carries no discriminative signal
+    * for near-dup detection, so the capped join changes candidate VOLUME,
+    * not verdicts, for any threshold-passing pair. With the cap, per-key
+    * join output is ≤ MaxShingleDocFreq²/2 rows — bounded regardless of
+    * corpus size. The oracle mirrors the cap (the `rare` CTE), and
+    * ScaleOpsSpec proves on a planted hot shingle that the capped pair
+    * volume stays bounded where the uncapped one explodes. At corpus
+    * scale prefer [[lshPairs]] (band-bucketed MinHash candidates,
+    * exact-Jaccard verify on candidates only) + [[connectedComponents]];
+    * keep this form for small corpora and for validating LSH recall.
     *
     * Note on cache lifecycle: the shingle index is cached because three
     * consumers read it (doc counts + both join sides); it stays pinned for
@@ -100,6 +121,10 @@ object Dedup {
     * normal deployment — don't care).
     */
   def jaccardPairs(docs: DataFrame): DataFrame = {
+    // df-capped index (df <= MaxShingleDocFreq enforced inside shingles):
+    // the self-join key is never a stop-shingle, so per-key output is
+    // bounded — NOT the raw shingle stream (that's rawShingles, for the
+    // operators where hot shingles are the signal)
     val sh = shingles(docs).cache()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
@@ -354,6 +379,33 @@ object Dedup {
       .select(col("v").as("doc_id"), col("lab").as("cluster"))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------ cluster-label artifact (d11)
+
+  /** Persist the [[dupClusters]] labels — the train-once/apply-anywhere
+    * pattern (t14 BPE model, s9 IVF-PQ index) applied to the MOST
+    * expensive pipeline product: the shingle→MinHash→LSH→CC chain. A real
+    * pipeline clusters ONCE and lets every downstream reader (the
+    * keep-list, the per-source dashboard, ad-hoc audits) load the labels
+    * instead of re-running the chain — at 100 TB "recompute LSH+CC per
+    * reader" is the single biggest avoidable cost in the whole dedup
+    * family.
+    *
+    * Labels are (doc_id, cluster) — ONE ROW PER DOCUMENT, corpus-scaling
+    * — so this goes through [[graft.sources.ModelStore.saveLarge]]'s
+    * parallel bounded-file writer, never the dimension-table coalesce(1)
+    * path. Parquet keeps the ids binary-exact, so a load-then-derive is
+    * byte-identical to derive-in-lineage (d11 gates exactly this:
+    * save → load must hash-match d8).
+    */
+  def clusterAndSave(docs: DataFrame, path: String): Unit =
+    graft.sources.ModelStore.saveLarge(dupClusters(docs), path)
+
+  /** Load saved cluster labels (the [[clusterAndSave]] artifact). */
+  def loadClusters(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    graft.sources.ModelStore.load(spark, path)
+      .select(col("doc_id"), col("cluster"))
+      .orderBy(col("doc_id"))
+
   /** Oracle: exact reachability closure via recursive CTE over the same
     * LSH pairs — convergence-independent ground truth for [[dupClusters]].
     */
@@ -380,8 +432,17 @@ object Dedup {
     * is scanned once and never shuffled beyond the join.
     */
   def dedupedCorpus(docs: DataFrame): DataFrame =
+    dedupedCorpusFrom(docs, dupClusters(docs))
+
+  /** [[dedupedCorpus]] from an EXISTING label frame — the artifact path:
+    * pass [[loadClusters]] output and the keep-list derives from the saved
+    * labels with zero recompute of the LSH+CC chain. The anti-join shape
+    * is unchanged: the non-canonical set is small relative to the corpus,
+    * AQE broadcasts it when measured small.
+    */
+  def dedupedCorpusFrom(docs: DataFrame, clusters: DataFrame): DataFrame =
     docs.join(
-      dupClusters(docs).filter(col("doc_id") =!= col("cluster")).select(col("doc_id")),
+      clusters.filter(col("doc_id") =!= col("cluster")).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
@@ -416,8 +477,14 @@ object Dedup {
     * non-canonical set against the corpus on doc_id and aggregates to one
     * row per source.
     */
-  def dupRateBySource(docs: DataFrame): DataFrame = {
-    val dups = dupClusters(docs)
+  def dupRateBySource(docs: DataFrame): DataFrame =
+    dupRateBySourceFrom(docs, dupClusters(docs))
+
+  /** [[dupRateBySource]] from an EXISTING label frame (the saved-artifact
+    * path, like [[dedupedCorpusFrom]]).
+    */
+  def dupRateBySourceFrom(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val dups = clusters
       .filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id"), lit(1L).as("dup"))
     docs.select(col("doc_id"), col("source"))
@@ -468,9 +535,7 @@ object Dedup {
     * the hottest boilerplate creates.
     */
   def boilerplateFraction(docs: DataFrame): DataFrame = {
-    val sh0 = docs
-      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
-      .select(col("doc_id"), explode(shingleArray(col("w"))).as("g"))
+    val sh0 = rawShingles(docs)
     val df = sh0.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val per = sh0.join(df, "g")
       .groupBy(col("doc_id"))

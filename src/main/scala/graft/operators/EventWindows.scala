@@ -53,7 +53,13 @@ object EventWindows {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(unix_micros(col("ts")))
       .rangeBetween(-RangeFrameUs, Window.currentRow)
-    events.select(col("event_id"), col("user_id"),
+    // null event times are EXCLUDED explicitly: a row with no event time
+    // has no place on a time axis, and leaving it in would also diverge
+    // cross-engine (Spark sorts NULLS FIRST, DuckDB NULLS LAST — the
+    // null "frame peers" group differs). The filter pins the semantics
+    // identically in both plans instead of relying on fixture luck.
+    events.filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
         count(lit(1)).over(w).as("n_1h"),
         round(sum(col("value")).over(w), 2).as("sum_1h"))
       .orderBy(col("event_id"))
@@ -64,6 +70,7 @@ object EventWindows {
        |  CAST(count(*) OVER win AS BIGINT) AS n_1h,
        |  round(sum(value) OVER win, 2) AS sum_1h
        |FROM events
+       |WHERE ts IS NOT NULL
        |WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
        |  RANGE BETWEEN $RangeFrameUs PRECEDING AND CURRENT ROW)
        |ORDER BY event_id""".stripMargin

@@ -343,6 +343,17 @@ object TextOps {
     * for improbable TRANSITIONS — the difference between fluent
     * boilerplate and shuffled tokens.
     *
+    * Modeling note (deliberate): the smoothing denominator is the
+    * corpus-wide unigram OCCURRENCE count c(w_{i−1}) — which includes
+    * document-final occurrences that start no bigram — not the sum of
+    * bigram counts with that predecessor, so P(·|pre) sums to slightly
+    * under 1 (a mildly over-normalized conditional). This is the cheap
+    * standard form (one unigram table, no second bigram rollup); as a
+    * RANKING score for the quality filter the monotonicity is identical,
+    * and Spark and the oracle implement the same formula so cross-engine
+    * parity is exact. t20's interpolated model reuses the same
+    * convention for both orders.
+    *
     * Scale shape (the t13 skeleton, one model order up): per-doc bigram
     * TERM FREQUENCIES map-side combine before any exchange; the model
     * tables (distinct bigrams, distinct unigrams) are corpus-vocabulary

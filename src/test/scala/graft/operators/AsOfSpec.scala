@@ -256,6 +256,39 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == Map("left" -> "new"), s"got $got")
   }
 
+  test("an out-of-order left row older than the carried state emits UNMATCHED, never a future payload") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val lIn = MemoryStream[(String, Timestamp, String)](
+      implicitly[org.apache.spark.sql.Encoder[(String, Timestamp, String)]], spark)
+    val rIn = MemoryStream[(String, Timestamp, String)](
+      implicitly[org.apache.spark.sql.Encoder[(String, Timestamp, String)]], spark)
+    val q = AsOf.asOfStream(
+      lIn.toDF().toDF("k", "ts", "v"), "k", "ts", "v",
+      rIn.toDF().toDF("k", "rts", "pay"), "rts", "pay")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_ooo_left").start()
+    // state advances to ts(5) first
+    rIn.addData(("u1", ts(5), "future"))
+    q.processAllAvailable()
+    // then a LATE left row at ts(2): the state can't rewind to whatever
+    // held at ts(2), and "future" is from the row's event-time FUTURE —
+    // the in-order contract is violated, so the row must surface as
+    // unmatched (observable) instead of silently event-time-wrong...
+    lIn.addData(("u1", ts(2), "late"))
+    // ...while an in-order left row after the state matches normally
+    lIn.addData(("u1", ts(7), "ontime"))
+    q.processAllAvailable()
+    val rows = spark.table("asof_ooo_left").collect()
+      .map(r => r.getAs[String]("value") ->
+        (Option(r.getAs[String]("match_pay")), Option(r.getAs[java.lang.Long]("match_ts_us"))))
+      .toMap
+    q.stop()
+    assert(rows("late") == (None, None), s"late row must not match its future: $rows")
+    assert(rows("ontime")._1 == Some("future"), s"in-order row must match: $rows")
+  }
+
   test("streaming as-of null semantics match the batch join: null keys/ts never match, never crash") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -164,6 +164,30 @@ class PersistSpec extends AnyFunSuite {
     assert(viaStore == direct)
   }
 
+  test("dedup cluster labels round-trip: loaded == computed, keep-list and dashboard derive identically") {
+    val spark = TestSpark.spark
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = tmp("graft-dupclusters-rt-")
+    Dedup.clusterAndSave(docs, dir)
+
+    // the artifact carries the FULL clustering: load == compute, row for row
+    val loaded = Dedup.loadClusters(spark, dir).collect().map(_.toSeq).toSeq
+    val direct = Dedup.dupClusters(docs).collect().map(_.toSeq).toSeq
+    assert(loaded == direct)
+    assert(loaded.nonEmpty)
+
+    // and every downstream reader derives identically from the saved
+    // labels — the chain runs once, d9/d10 become cheap derivations
+    val keepSaved = Dedup.dedupedCorpusFrom(docs, Dedup.loadClusters(spark, dir))
+      .collect().map(_.toSeq).toSeq
+    val keepDirect = Dedup.dedupedCorpus(docs).collect().map(_.toSeq).toSeq
+    assert(keepSaved == keepDirect)
+    val rateSaved = Dedup.dupRateBySourceFrom(docs, Dedup.loadClusters(spark, dir))
+      .collect().map(_.toSeq).toSeq
+    val rateDirect = Dedup.dupRateBySource(docs).collect().map(_.toSeq).toSeq
+    assert(rateSaved == rateDirect)
+  }
+
   test("a corrupt or wrong-shape whitening artifact fails loudly") {
     val spark = TestSpark.spark
     import spark.implicits._

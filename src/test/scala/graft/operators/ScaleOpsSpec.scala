@@ -296,6 +296,50 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r44 > r14, s"more bands must not lose recall ($r44 vs $r14)")
   }
 
+  test("stop-shingle df cap bounds exact-pair candidate volume on a planted hot shingle; verdicts survive") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.functions.Portable.MaxShingleDocFreq
+    val rnd = new scala.util.Random(11)
+    // 120 docs (> MaxShingleDocFreq = 100) all opening with ONE shared
+    // 3-gram "hub0 hub1 hub2" — the planted boilerplate stop-shingle —
+    // followed by 12 unique tokens each (every other shingle has df=1)
+    val hub = (0L until (MaxShingleDocFreq + 20).toLong).map { i =>
+      (i, "hub0 hub1 hub2 " + Array.fill(12)(s"u${i}x${rnd.nextInt(1 << 30)}").mkString(" "))
+    }
+    // plus one REAL near-dup pair on rare shingles: 2001 = 2000 with one
+    // middle token swapped (the d2 verdict the cap must preserve)
+    val body = Array.fill(24)(s"rare${rnd.nextInt(1 << 30)}")
+    val mut = body.clone(); mut(12) = "mutated"
+    val docs = (hub ++ Seq(
+      (2000L, body.mkString(" ")), (2001L, mut.mkString(" ")))).toDF("doc_id", "text")
+
+    def candVolume(sh: org.apache.spark.sql.DataFrame): Long =
+      sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id")).count()
+    val capped = candVolume(Dedup.shingles(docs))
+    val uncapped = candVolume(Dedup.rawShingles(docs))
+
+    // the hot shingle alone contributes C(120,2) = 7140 uncapped candidate
+    // rows — inherently quadratic in its doc frequency, the thing no AQE
+    // skew split can fix; the cap drops it from pair GENERATION entirely,
+    // leaving only the rare-shingle candidates (the planted pair's ~20)
+    val hotPairs = {
+      val n = (MaxShingleDocFreq + 20).toLong; n * (n - 1) / 2
+    }
+    assert(uncapped >= capped + hotPairs,
+      s"uncapped volume $uncapped should carry the full quadratic hot-key load (capped $capped)")
+    assert(uncapped >= 100 * capped,
+      s"planted hot shingle must blow up the uncapped volume >=100x: $uncapped vs $capped")
+    // and the VERDICTS are unchanged: the hub docs share nothing but the
+    // stop-shingle (pairwise Jaccard ~1/27, far below threshold), so the
+    // only reported near-dup pair is the planted one — found WITH the cap
+    val pairs = Dedup.jaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2000L, 2001L)),
+      s"cap must drop candidate volume, not the true near-dup verdict: $pairs")
+  }
+
   test("stream-static decontamination: live docs flagged against a static benchmark") {
     val spark = TestSpark.spark
     import spark.implicits._
