@@ -20,11 +20,13 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
-  /** events.parquet stores ts as TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and floor-truncate to microseconds —
-    * exactly what DuckDB does reading the same file (verified: .179575175ns
-    * -> .179575). Integer `div` (not /1000.0) — doubles lose precision on
-    * epoch-nanos magnitudes.
+  /** events.parquet has shipped with two physical ts encodings across
+    * fixture generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read nanos as long, floor-truncate to micros exactly like
+    * DuckDB: .179575175ns -> .179575, integer `div` because doubles lose
+    * precision at epoch-nanos magnitudes) and plain timestamp[us] (arrives
+    * as TIMESTAMP_NTZ — cast to session-TZ timestamp; the session is pinned
+    * UTC so the instant is unchanged). Detect which by the loaded dtype.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // nanosAsLong is only consulted during the EAGER schema inference inside
@@ -34,10 +36,16 @@ object Tables {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
-    try load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    finally prev match {
+    try {
+      val raw = load(spark, dir, "events")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case _ =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      }
+    } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }

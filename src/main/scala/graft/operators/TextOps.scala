@@ -413,6 +413,118 @@ object TextOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Interpolation weight for [[interpolatedSurprisal]] (t20): the mass on
+    * the bigram channel; 1 − λ backs off to the unigram channel. Fixed so
+    * the model is exactly reproducible cross-engine.
+    */
+  val InterpLambda = 0.75
+
+  /** Interpolated bigram→unigram surprisal (t20) — the Jelinek-Mercer
+    * step between t19's raw bigram model and the CCNet KenLM filter:
+    * P(w|pre) = λ·P_bi(w|pre) + (1−λ)·P_uni(w), both channels add-one
+    * smoothed as in t13/t19. The point of the backoff: a bigram the model
+    * never saw no longer floors at the flat add-one penalty
+    * 1/(c(pre)+V) — the unigram channel keeps a COMMON word cheap in any
+    * context and only genuinely rare words expensive, which is what
+    * separates "unusual phrasing of normal text" from noise.
+    *
+    * Trained on the scored corpus itself (the t13/t19 convention);
+    * [[interpolatedSurprisalAgainst]] is the general form where the model
+    * corpus and the scored corpus differ — that's where unseen bigrams
+    * actually occur, and the unit spec pins the backoff there.
+    */
+  def interpolatedSurprisal(docs: DataFrame): DataFrame =
+    interpolatedSurprisalAgainst(docs, docs)
+
+  /** Score `docs` under an interpolated model trained on `model` — the
+    * train-here/score-there form (new shards scored against yesterday's
+    * corpus model). All model joins are LEFT with coalesce-to-0 counts so
+    * unseen bigrams, predecessors and words degrade smoothly through the
+    * add-one floor instead of dropping rows.
+    *
+    * Scale shape: identical to t19 — per-doc bigram TERM FREQUENCIES
+    * map-side combine before any exchange, the model tables (distinct
+    * bigrams, distinct unigrams) join on their own keys, and the two
+    * scalars (N, V) are one broadcast single-row aggregate. The unigram
+    * table joins twice (predecessor count for the bigram denominator,
+    * successor count for the backoff channel) — both are
+    * vocabulary-keyed equi-joins, nothing corpus-sized broadcast. The
+    * smoothing denominator keeps t19's documented convention (corpus-wide
+    * unigram occurrence count).
+    */
+  def interpolatedSurprisalAgainst(model: DataFrame, docs: DataFrame): DataFrame = {
+    val mtk = model.select(tokens(col("text")).as("w"))
+    val uni = mtk.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    val totals = uni.agg(sum(col("cu")).as("n"), count(lit(1)).as("v"))
+    val bc = mtk.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cg"))
+    val bg = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(
+          concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)).as("g"),
+          element_at(col("w"), i).as("pre"),
+          element_at(col("w"), i + 1).as("nxt")))).as("b"))
+      .select(col("doc_id"), col("b.g").as("g"), col("b.pre").as("pre"), col("b.nxt").as("nxt"))
+    val tf = bg.groupBy(col("doc_id"), col("g"), col("pre"), col("nxt"))
+      .agg(count(lit(1)).as("tf"))
+    val lam = lit(InterpLambda)
+    val om = lit(1 - InterpLambda)
+    val pBi = (coalesce(col("cg"), lit(0L)) + 1.0) / (coalesce(col("cpre"), lit(0L)) + col("v"))
+    val pUni = (coalesce(col("cnxt"), lit(0L)) + 1.0) / (col("n") + col("v"))
+    val scored = tf
+      .join(bc, Seq("g"), "left")
+      .join(uni.select(col("t"), col("cu").as("cpre")), col("pre") === col("t"), "left")
+      .drop("t")
+      .join(uni.select(col("t"), col("cu").as("cnxt")), col("nxt") === col("t"), "left")
+      .drop("t")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("tf"),
+        (col("tf") * -log2(lam * pBi + om * pUni)).as("wbits"))
+    docs.select(col("doc_id"))
+      .join(scored.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_bigrams"),
+          round(sum(col("wbits")) / sum(col("tf")), 4).as("bits_interp")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        // sub-2-token docs: pin the empty mean to 0.0 in both engines
+        coalesce(col("bits_interp"), lit(0.0)).as("bits_interp"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlInterpolatedSurprisal: String = {
+    val toks = Portable.sqlTokens("text")
+    val lam = InterpLambda
+    val om = 1 - InterpLambda
+    s"""WITH tk AS (SELECT doc_id, $toks AS w FROM documents),
+       |uni AS (SELECT t, count(*)::BIGINT AS cu
+       |  FROM (SELECT unnest(w) AS t FROM tk) GROUP BY t),
+       |totals AS (SELECT sum(cu)::BIGINT AS n, count(*)::BIGINT AS v FROM uni),
+       |bgm AS (SELECT w[i] || ' ' || w[i + 1] AS g
+       |  FROM tk, LATERAL unnest(range(1, len(w))) t(i)),
+       |bc AS (SELECT g, count(*)::BIGINT AS cg FROM bgm GROUP BY g),
+       |bg AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS g, w[i] AS pre, w[i + 1] AS nxt
+       |  FROM tk, LATERAL unnest(range(1, len(w))) t(i)),
+       |tf AS (SELECT doc_id, g, pre, nxt, count(*)::BIGINT AS tf FROM bg GROUP BY 1, 2, 3, 4),
+       |scored AS (SELECT tf.doc_id, tf.tf,
+       |    tf.tf * -log2($lam * ((coalesce(bc.cg, 0) + 1.0) / (coalesce(up.cu, 0) + totals.v))
+       |                + $om * ((coalesce(un.cu, 0) + 1.0) / (totals.n + totals.v))) AS wbits
+       |  FROM tf LEFT JOIN bc USING (g)
+       |  LEFT JOIN uni up ON up.t = tf.pre
+       |  LEFT JOIN uni un ON un.t = tf.nxt, totals),
+       |per AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+       |    round(sum(wbits) / sum(tf), 4) AS bits_interp
+       |  FROM scored GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
+       |  coalesce(per.bits_interp, 0.0) AS bits_interp
+       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Document fingerprints: md5 of normalized text (exact-dup key) plus a
     * position-weighted rolling token-hash mod P (order-sensitive content
     * fingerprint, robust to the oracle: pure integer arithmetic).

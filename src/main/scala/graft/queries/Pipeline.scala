@@ -182,6 +182,12 @@ object Pipeline {
     QueryDef.sql("t19_bigram_surprisal", TextOps.sqlBigramSurprisal) { (s, dir) =>
       TextOps.bigramSurprisal(Tables.documents(s, dir))
     },
+    // interpolated bigram→unigram backoff (Jelinek-Mercer) — an unseen
+    // bigram no longer floors at the flat add-one penalty; the next step
+    // from t19 toward the CCNet KenLM filter
+    QueryDef.sql("t20_interp_surprisal", TextOps.sqlInterpolatedSurprisal) { (s, dir) =>
+      TextOps.interpolatedSurprisal(Tables.documents(s, dir))
+    },
 
     // within-doc n-gram repetition ratio (Gopher/C4 repetition filter)
     QueryDef.sql("t8_repetition", TextOps.sqlRepetition) { (s, dir) =>

@@ -171,6 +171,27 @@ class DedupTextSpec extends AnyFunSuite {
       s"unigram model must be order-blind: ${uni(4L)} vs ${uni(1L)}")
   }
 
+  test("interpolated surprisal: unseen bigram backs off to the unigram channel") {
+    // model: 'dog' is common, 'cat' rare; NO bigram starts with 'purple'
+    val model = docs((1L, "dog dog dog dog dog dog dog cat"))
+    // cu: dog=7 cat=1; N=8 V=2 — both scored bigrams are unseen (cg=0,
+    // cpre=0), so the pure add-one bigram penalty is the flat floor
+    // -log2(1/(0+V)) = 1.0 bits for BOTH docs
+    val scored = docs((10L, "purple dog"), (11L, "purple cat"))
+    val r = TextOps.interpolatedSurprisalAgainst(model, scored).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // 'purple dog': p = λ·(1/2) + (1−λ)·((7+1)/(8+2)) = 0.575
+    val expDog = -math.log(0.75 * 0.5 + 0.25 * 0.8) / math.log(2)
+    assert(math.abs(r(10L) - expDog) < 1e-3, s"got ${r(10L)}, want ~$expDog")
+    // the backoff BEATS the flat add-one floor when the successor is a
+    // common word — that's the whole point of interpolating
+    assert(r(10L) < 1.0, s"unseen bigram must back off below the 1.0-bit floor: ${r(10L)}")
+    // ...and only for common successors: a rare successor stays expensive,
+    // so the model still separates normal words in new contexts from noise
+    assert(r(11L) > 1.0 && r(10L) < r(11L),
+      s"rare successor must stay above the floor: dog=${r(10L)} cat=${r(11L)}")
+  }
+
   test("dup-rate by source counts exactly the non-canonical cluster members") {
     val s = TestSpark.spark
     import s.implicits._

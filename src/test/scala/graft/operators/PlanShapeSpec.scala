@@ -38,6 +38,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // (an explicit broadcast() hint would still produce a BroadcastExchange)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.catalog.clearCache() // see the LSH test: stale cached fragments
     try {
       val plan = executed(Similarity.nnAll(graft.Tables.embeddings(spark, dir)))
       assert(!plan.contains("BroadcastExchange") && !plan.contains("CartesianProduct"),
@@ -55,6 +56,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // BroadcastExchange here and OOM the driver at scale
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // an earlier suite may have materialized shingles(docs).cache() under
+    // the DEFAULT threshold — the cache manager would substitute that
+    // InMemoryRelation here, whose baked physical fragment legitimately
+    // contains an AQE-chosen BroadcastExchange. Clear so planning is fresh
+    // under the -1 threshold and the assertion sees only FORCED broadcasts.
+    spark.catalog.clearCache()
     try {
       val plan = executed(Dedup.lshPairs(graft.Tables.documents(spark, dir)))
       assert(!plan.contains("BroadcastExchange"),
