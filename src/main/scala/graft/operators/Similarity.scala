@@ -837,6 +837,162 @@ object Similarity {
       graft.sources.ModelStore.load(spark, s"$dir/ivfpq_codebooks"),
       graft.sources.ModelStore.load(spark, s"$dir/ivfpq_codes"))
 
+  /** Recall-vs-nprobe tuning report over a trained IVF-PQ index (s10) —
+    * the table an operator reads BEFORE setting nprobe on a real corpus:
+    * one row per probe width with measured recall@k against the exact
+    * brute-force top-k and the ADC candidate volume that width paid for
+    * it. The s6 `in_exact` honesty pattern applied to the serving index:
+    * recall is REPORTED, never assumed.
+    *
+    * One index scan serves every width: ADC distances are computed once
+    * at max(nprobes) with each candidate tagged by its cell's probe rank
+    * `pr`, and width np is the slice pr <= np — narrower widths are
+    * prefixes of the widest probe order, exactly how a real serving stack
+    * evaluates the knob. recall@k divides by nQueries*k (every query has
+    * >= k true neighbors in the fixtures; the oracle mirrors the same
+    * literal denominator).
+    *
+    * SCALE: the report costs one cell-pruned ADC pass at the widest
+    * nprobe plus one bounded rerank per width — the ground truth is the
+    * only quadratic piece (declared exact baseline, query side broadcast)
+    * and in production it runs over a SAMPLED query set, not the corpus.
+    */
+  def ivfPqRecallReport(emb: DataFrame, idx: IvfPqIndex, sub: Int,
+                        nQueries: Int, k: Int, nprobes: Seq[Int]): DataFrame = {
+    val IvfPqIndex(coarse, _, pqCent, codes) = idx
+    val maxProbe = nprobes.max
+    val ex = explodedBlocks(emb, sub)
+    val qex = ex.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("i"), col("m"), col("x").as("qx"))
+    val qdist = qex.join(broadcast(coarse), "i")
+      .groupBy(col("qid"), col("c"))
+      .agg(round(sum((col("qx") - col("cv")) * (col("qx") - col("cv"))), 6).as("d"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("d"), col("c"))
+    val probes = qdist.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= maxProbe)
+      .select(col("qid"), col("c").as("cell"), col("pr"))
+    // residual LUT per (query, probed cell), probe rank carried through
+    val lut = qex.join(broadcast(probes), "qid")
+      .join(broadcast(coarse.select(col("c").as("cell"), col("i"), col("cv"))),
+        Seq("cell", "i"))
+      .select(col("qid"), col("cell"), col("pr"), col("i"), col("m"),
+        (col("qx") - col("cv")).as("qr"))
+      .join(broadcast(pqCent.select(col("c"), col("i"), col("cv").as("pcv"))), "i")
+      .groupBy(col("qid"), col("cell"), col("pr"), col("m"), col("c"))
+      .agg(round(sum((col("qr") - col("pcv")) * (col("qr") - col("pcv"))), 6).as("dq"))
+    // ADC once at the widest probe; pr is functional in (qid, vec_id)
+    // (every vector lives in exactly one cell)
+    val adist = codes.join(broadcast(lut), Seq("cell", "m", "c"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("pr"), col("vec_id"))
+      .agg(round(sum(col("dq")), 6).as("adist"))
+    val s = emb.sparkSession
+    import s.implicits._
+    val tagged = adist.crossJoin(broadcast(nprobes.toDF("np")))
+      .filter(col("pr") <= col("np"))
+    val scanned = tagged.groupBy(col("np"))
+      .agg(count(lit(1)).as("candidates_scanned"))
+    val wCand = Window.partitionBy(col("np"), col("qid"))
+      .orderBy(col("adist"), col("vec_id"))
+    val cands = tagged.withColumn("cr", row_number().over(wCand))
+      .filter(col("cr") <= PqRerank * k)
+      .select(col("np"), col("qid"), col("vec_id"))
+    val u = unitVecs(emb)
+    val qv = u.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid2"), col("v").as("qv"))
+    val sims = cands.join(u, "vec_id")
+      .join(broadcast(qv), col("qid") === col("qid2"))
+      .select(col("np"), col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")), 4).as("sim"))
+    val wTop = Window.partitionBy(col("np"), col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val topk = sims.withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k).select(col("np"), col("qid"), col("vec_id"))
+    val gt = knnBrute(emb, nQueries, k).select(col("qid"), col("vec_id"))
+    val hits = topk.join(gt, Seq("qid", "vec_id"))
+      .groupBy(col("np")).agg(count(lit(1)).as("hits"))
+    scanned.join(hits, Seq("np"), "left")
+      .select(col("np").as("nprobe"),
+        round(coalesce(col("hits"), lit(0L)) / lit(nQueries.toDouble * k), 4)
+          .as("recall_at_k"),
+        col("candidates_scanned"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** DuckDB twin of [[ivfPqRecallReport]]: replays the index training
+    * (as [[sqlKnnIvfPq]] does — the oracle can't read the saved
+    * artifact), then the pr-tagged ADC, the per-width rerank and the
+    * brute-force ground truth with identical rounding and tie-breaks.
+    */
+  def sqlIvfPqRecallReport(nQueries: Int, k: Int, dim: Int,
+                           nprobes: Seq[Int]): String = {
+    val sub = dim / PqBlocks
+    val maxProbe = nprobes.max
+    val npList = nprobes.mkString("[", ", ", "]")
+    val eUnit =
+      """e AS (SELECT vec_id,
+        |    list_transform(v0, x -> round(x / sqrt(list_dot_product(v0, v0)), 6)) AS v
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings))""".stripMargin
+    val (kmCtes, aN, cN) = sqlKmeansCtes(IvfPqCoarse, 2, eUnit)
+    val (pqSteps, raN, rcN) = sqlPqStepCtes("exr", "r")
+    s"""WITH $kmCtes,
+       |exb AS (SELECT vec_id, i, ((i - 1) // $sub)::INT AS m, x FROM ex),
+       |exr AS (SELECT exb.vec_id, exb.i, exb.m, exb.x - $cN.cv AS x
+       |  FROM exb JOIN $aN a USING (vec_id)
+       |  JOIN $cN ON $cN.c = a.c AND $cN.i = exb.i),
+       |rc0 AS (SELECT vec_id::INT AS c, i, round(x, 6) AS cv FROM exr WHERE vec_id < $PqCodes),
+       |$pqSteps,
+       |qd AS (SELECT ex.vec_id AS qid, p.c, round(sum((ex.x - p.cv) * (ex.x - p.cv)), 6) AS d
+       |  FROM ex JOIN $cN p USING (i) WHERE ex.vec_id < $nQueries GROUP BY 1, 2),
+       |probes AS (SELECT qid, c AS cell, pr FROM (
+       |  SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY d, c) AS pr
+       |  FROM qd) WHERE pr <= $maxProbe),
+       |qres AS (SELECT pr.qid, pr.cell, pr.pr, exb.i, exb.m, exb.x - $cN.cv AS qr
+       |  FROM probes pr JOIN exb ON exb.vec_id = pr.qid
+       |  JOIN $cN ON $cN.c = pr.cell AND $cN.i = exb.i),
+       |lut AS (SELECT qres.qid, qres.cell, qres.pr, qres.m, p.c,
+       |    round(sum((qres.qr - p.cv) * (qres.qr - p.cv)), 6) AS dq
+       |  FROM qres JOIN $rcN p ON p.i = qres.i GROUP BY 1, 2, 3, 4, 5),
+       |ad AS (SELECT l.qid, l.pr, a.vec_id, round(sum(l.dq), 6) AS adist
+       |  FROM $raN a JOIN $aN cells ON cells.vec_id = a.vec_id
+       |  JOIN lut l ON l.cell = cells.c AND l.m = a.m AND l.c = a.c
+       |  WHERE a.vec_id <> l.qid GROUP BY 1, 2, 3),
+       |nps AS (SELECT unnest($npList) AS np),
+       |tagged AS (SELECT nps.np, ad.qid, ad.vec_id, ad.adist
+       |  FROM ad, nps WHERE ad.pr <= nps.np),
+       |scanned AS (SELECT np, count(*)::BIGINT AS candidates_scanned
+       |  FROM tagged GROUP BY np),
+       |cand AS (SELECT np, qid, vec_id FROM (
+       |  SELECT np, qid, vec_id,
+       |    row_number() OVER (PARTITION BY np, qid ORDER BY adist, vec_id) AS cr
+       |  FROM tagged) WHERE cr <= ${PqRerank * k}),
+       |sims AS (SELECT c.np, c.qid, c.vec_id,
+       |    round(list_dot_product(qu.v, xu.v), 4) AS sim
+       |  FROM cand c JOIN e xu ON xu.vec_id = c.vec_id
+       |  JOIN e qu ON qu.vec_id = c.qid),
+       |topk AS (SELECT np, qid, vec_id FROM (
+       |  SELECT np, qid, vec_id,
+       |    row_number() OVER (PARTITION BY np, qid ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM sims) WHERE rnk <= $k),
+       |gtv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |gtq AS (SELECT vec_id AS qid, v AS qv FROM gtv WHERE vec_id < $nQueries),
+       |gts AS (SELECT gtq.qid, gtv.vec_id,
+       |    round(list_dot_product(gtq.qv, gtv.v)
+       |      / (sqrt(list_dot_product(gtq.qv, gtq.qv)) * sqrt(list_dot_product(gtv.v, gtv.v))), 4) AS sim
+       |  FROM gtv, gtq WHERE gtv.vec_id <> gtq.qid),
+       |gt AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM gts) WHERE rnk <= $k),
+       |hits AS (SELECT np, count(*)::BIGINT AS h
+       |  FROM topk JOIN gt USING (qid, vec_id) GROUP BY np)
+       |SELECT s.np AS nprobe,
+       |  round(coalesce(h.h, 0) / ${nQueries.toDouble * k}, 4) AS recall_at_k,
+       |  s.candidates_scanned
+       |FROM scanned s LEFT JOIN hits h ON h.np = s.np
+       |ORDER BY nprobe""".stripMargin
+  }
+
   /** DuckDB twin of [[knnIvfPq]]: unit normalization, coarse k-means
     * replay, residual PQ replay, probes, cell-pruned ADC, exact rerank —
     * identical rounding and tie-breaks end to end.

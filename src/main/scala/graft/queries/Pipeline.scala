@@ -250,6 +250,17 @@ object Pipeline {
       Similarity.ivfPqSearch(Tables.embeddings(s, dir),
         Similarity.loadIvfPq(s, idxDir), 64 / Similarity.PqBlocks, 10, 5)
     },
+    // the nprobe tuning table: measured recall@k + ADC candidate volume
+    // per probe width against the brute-force ground truth, served from
+    // the SAME saved index as s9 — what an operator reads before setting
+    // nprobe at scale (the s6 honesty pattern applied to the index)
+    QueryDef.sql("s10_ann_recall",
+      Similarity.sqlIvfPqRecallReport(10, 5, 64, Seq(1, 2, 4))) { (s, dir) =>
+      val idxDir = artifactDir("ivfpq", dir)(tmp =>
+        Similarity.trainAndSaveIvfPq(Tables.embeddings(s, dir), 64 / Similarity.PqBlocks, tmp))
+      Similarity.ivfPqRecallReport(Tables.embeddings(s, dir),
+        Similarity.loadIvfPq(s, idxDir), 64 / Similarity.PqBlocks, 10, 5, Seq(1, 2, 4))
+    },
 
     // -------- event-time windows
     QueryDef.sql("w1_tumbling", EventWindows.sqlTumblingHourly) { (s, dir) =>

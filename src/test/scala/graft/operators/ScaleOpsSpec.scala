@@ -203,6 +203,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.length == nq * k)
   }
 
+  test("recall-vs-nprobe report: candidate volume grows with width, recall is measured honestly") {
+    val spark = TestSpark.spark
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val sub = 64 / Similarity.PqBlocks
+    val idx = Similarity.ivfPqTrain(emb, sub)
+    val rows = Similarity.ivfPqRecallReport(emb, idx, sub, 10, 5, Seq(1, 2, 4))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4))
+    // ADC candidate volume is STRICTLY monotone in nprobe (wider probe =
+    // superset of scanned cells) — that's the cost axis of the knob
+    assert(rows.sliding(2).forall { case Array(a, b) => a._3 < b._3 },
+      s"candidate volume must grow with nprobe: ${rows.toSeq}")
+    rows.foreach { case (np, rec, _) =>
+      assert(rec >= 0.0 && rec <= 1.0, s"recall out of range at nprobe=$np: $rec") }
+    // the benefit axis: the widest probe must beat the narrowest by a
+    // real margin on this fixture. NOT asserted monotone across ALL
+    // widths — ADC is approximate, so extra scanned candidates can push
+    // a true neighbor past the bounded rerank cutoff (np=2 -> 4 dips
+    // 0.78 -> 0.76 here); surfacing exactly that interaction is what the
+    // report is for.
+    assert(rows.last._2 > rows.head._2,
+      s"widest probe must beat narrowest on recall: ${rows.toSeq}")
+  }
+
   test("SemDeDup drops only vectors with a lower-id same-cluster near-dup; cluster minima survive") {
     val spark = TestSpark.spark
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
