@@ -157,6 +157,20 @@ object TextOps {
   /** Quality metrics per document (length/stopword-ratio family):
     * n_tokens, avg_token_len, stopword_ratio, and a blended score.
     */
+  /** The blended t2 quality score as ONE stateless per-row Column — the
+    * expression-layer unification seam: [[quality]] projects it in the
+    * batch manifest, and the streaming curation gate
+    * (graft.streaming.CurationStream) applies the IDENTICAL expression
+    * per micro-batch row, so batch and stream can never drift.
+    */
+  def qualityScore(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    val n = size(toks).cast("double")
+    val stops = tokenHits(textCol, Stopwords).cast("double")
+    when(n === 0, lit(0.0))
+      .otherwise(round(least(n / lit(200.0), lit(1.0)) * 0.5 + (stops / n) * 0.5, 4))
+  }
+
   def quality(df: DataFrame, textCol: Column): DataFrame = {
     val toks = tokens(textCol)
     val n = size(toks).cast("double")
@@ -169,9 +183,7 @@ object TextOps {
       // NaN/inf) — pin every ratio to 0.0 on both sides
       when(n === 0, lit(0.0)).otherwise(round(alphaLen / n, 4)).as("avg_token_len"),
       when(n === 0, lit(0.0)).otherwise(round(stops / n, 4)).as("stopword_ratio"),
-      when(n === 0, lit(0.0))
-        .otherwise(round(least(n / lit(200.0), lit(1.0)) * 0.5 + (stops / n) * 0.5, 4))
-        .as("quality_score"))
+      qualityScore(textCol).as("quality_score"))
   }
 
   def sqlQuality: String = {
