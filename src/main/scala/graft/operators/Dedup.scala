@@ -463,6 +463,78 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT doc_id FROM drop)
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------- cross-doc exact-substring dedup
+
+  /** Window width (tokens) for cross-doc exact-substring detection. */
+  val SubstrN = 10
+
+  /** Cross-document exact-substring coverage (d12) — the hashed-n-gram
+    * approximation of Lee et al. 2021's ExactSubstr pass (the suffix-array
+    * half of "Deduplicating Training Data Makes Language Models Better"):
+    * any [[SubstrN]]-token run whose exact text also occurs in ANOTHER
+    * document marks all its token positions as duplicated; per document we
+    * report how much of it is covered by such cross-doc runs. A run of L
+    * consecutive shared tokens (L >= N) is covered exactly by its L−N+1
+    * shared windows, so coverage equals the true shared-span length —
+    * the windowed form loses only runs shorter than N, which is the same
+    * trade the suffix-array threshold makes. WITHIN-doc repetition is
+    * deliberately out of scope here (p8 segment dedup and t8 repetition
+    * cover it); a gram repeated only inside one doc is not cross-doc.
+    *
+    * Scale shape — why windows instead of suffix arrays: the distributed
+    * form is two bounded aggregates and a semi-join, all linear in corpus
+    * token count. Positional grams shuffle once on the gram key for the
+    * distinct-doc count (partial map-side; a boilerplate gram collapses
+    * per-partition before the exchange), the >= 2-docs survivor set
+    * semi-joins back (AQE splits hot grams), and span coverage is one
+    * DISTINCT on (doc_id, position) — output bounded by corpus tokens,
+    * never pair-quadratic. The suffix array's cross-shard merge has no
+    * such form.
+    */
+  def substrSpans(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+    val grams = toks.filter(size(col("w")) >= SubstrN)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - (SubstrN - 1)),
+          i => struct(i.as("i"),
+            array_join(slice(col("w"), i, lit(SubstrN)), " ").as("g")))).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
+    val rep = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("g"))
+    val cover = grams.join(rep, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (SubstrN - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tokens"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(cover, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 4))
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlSubstrSpans: String = {
+    val n = SubstrN
+    val grams = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w FROM documents),
+       |gr AS (SELECT doc_id, i, $grams AS g
+       |       FROM toks, LATERAL unnest(range(1, len(w) - ${n - 2})) t(i)),
+       |rep AS (SELECT g FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (SELECT DISTINCT gr.doc_id, p
+       |        FROM gr JOIN rep USING (g), LATERAL unnest(range(gr.i, gr.i + $n)) t(p)),
+       |per AS (SELECT doc_id, count(*)::BIGINT AS dup_tokens FROM cov GROUP BY doc_id)
+       |SELECT toks.doc_id, len(w)::BIGINT AS n_tokens,
+       |  coalesce(per.dup_tokens, 0)::BIGINT AS dup_tokens,
+       |  CASE WHEN len(w) = 0 THEN 0.0
+       |       ELSE round(coalesce(per.dup_tokens, 0) * 1.0 / len(w), 4) END AS dup_frac
+       |FROM toks LEFT JOIN per ON per.doc_id = toks.doc_id
+       |ORDER BY toks.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- dedup analytics
 
   /** Per-source near-duplicate rate (d10) — the dedup DASHBOARD a curation

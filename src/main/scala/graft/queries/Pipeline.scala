@@ -84,6 +84,12 @@ object Pipeline {
     QueryDef.sql("d11_dedup_from_saved", Dedup.sqlDupClusters) { (s, dir) =>
       Dedup.loadClusters(s, clusterLabelDir(s, dir))
     },
+    // cross-doc exact-substring coverage (Lee et al. 2021's ExactSubstr
+    // pass, hashed-window form): per doc, how many token positions sit in
+    // a SubstrN-token run whose exact text also occurs in another doc
+    QueryDef.sql("d12_substr_spans", Dedup.sqlSubstrSpans) { (s, dir) =>
+      Dedup.substrSpans(Tables.documents(s, dir))
+    },
     // clusters -> keep-list: the deduplicated corpus (non-canonical cluster
     // members anti-joined away) — the end product a pipeline materializes.
     // Derived from the SAVED labels: the LSH+CC chain runs once per corpus

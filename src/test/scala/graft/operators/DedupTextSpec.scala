@@ -192,6 +192,30 @@ class DedupTextSpec extends AnyFunSuite {
       s"rare successor must stay above the floor: dog=${r(10L)} cat=${r(11L)}")
   }
 
+  test("cross-doc substring spans cover exactly the planted shared run, nothing else") {
+    // a 12-token run planted inside two otherwise-disjoint documents; a
+    // third document shares nothing. N=10 windows: a 12-token shared run
+    // is covered by its 3 shared windows -> exactly 12 positions per doc.
+    val run = "one two three four five six seven eight nine ten eleven twelve"
+    val d = docs(
+      (1L, s"prefixa prefixb $run sufa sufb sufc"),
+      (2L, s"intro1 intro2 intro3 $run tail1"),
+      (3L, "totally unrelated filler words padding content nothing shared " +
+        "here at all keeps going longer than ten tokens easily"))
+    val r = Dedup.substrSpans(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((17L, 12L, 0.7059)), s"doc 1: ${r(1L)}")
+    assert(r(2L) == ((16L, 12L, 0.75)), s"doc 2: ${r(2L)}")
+    assert(r(3L)._2 == 0L && r(3L)._3 == 0.0, s"doc 3 must be untouched: ${r(3L)}")
+    // within-doc repetition alone is NOT cross-doc: one doc repeating its
+    // own run twice gains no coverage (p8/t8 own that case)
+    val selfRep = docs((7L, s"$run again $run"), (8L, "nothing in common whatsoever " +
+      "more unrelated words to clear the minimum window width for grams"))
+    val r2 = Dedup.substrSpans(selfRep).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r2(7L) == 0L, s"self-repetition must not count as cross-doc: ${r2(7L)}")
+  }
+
   test("dup-rate by source counts exactly the non-canonical cluster members") {
     val s = TestSpark.spark
     import s.implicits._
