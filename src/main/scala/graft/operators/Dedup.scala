@@ -483,13 +483,17 @@ object Dedup {
     *
     * Scale shape — why windows instead of suffix arrays: the distributed
     * form is two bounded aggregates and a semi-join, all linear in corpus
-    * token count. Positional grams shuffle once on the gram key for the
-    * distinct-doc count (partial map-side; a boilerplate gram collapses
-    * per-partition before the exchange), the >= 2-docs survivor set
-    * semi-joins back (AQE splits hot grams), and span coverage is one
-    * DISTINCT on (doc_id, position) — output bounded by corpus tokens,
-    * never pair-quadratic. The suffix array's cross-shard merge has no
-    * such form.
+    * token count. The shuffle/join key is xxhash64 OF the window, not the
+    * full SubstrN-token text — the exchange ships 8 bytes per gram
+    * instead of ~60+, and a 64-bit collision only over-counts coverage by
+    * a window (negligible for a coverage statistic; the oracle keys on
+    * the exact text, so the fixtures also PROVE no collision bites).
+    * Positional gram hashes shuffle once for the distinct-doc count
+    * (partial map-side; a boilerplate gram collapses per-partition before
+    * the exchange), the >= 2-docs survivor set semi-joins back (AQE
+    * splits hot grams), and span coverage is one DISTINCT on (doc_id,
+    * position) — output bounded by corpus tokens, never pair-quadratic.
+    * The suffix array's cross-shard merge has no such form.
     */
   def substrSpans(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), Portable.tokens(col("text")).as("w"))
@@ -497,7 +501,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("w")) - (SubstrN - 1)),
           i => struct(i.as("i"),
-            array_join(slice(col("w"), i, lit(SubstrN)), " ").as("g")))).as("s"))
+            xxhash64(array_join(slice(col("w"), i, lit(SubstrN)), " ")).as("g")))).as("s"))
       .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
     val rep = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("nd"))

@@ -80,7 +80,12 @@ object CurationStream {
       .withColumn("one", lit(1))
     docs.withColumn("one", lit(1))
       .join(broadcast(hotArr), "one")
-      .withColumn("sh", Dedup.shingleArray(TextOps.tokens(col("text"))))
+      // tokens MUST be materialized before shingleArray (its documented
+      // contract): an inline tokens(text) tree would re-run the regex
+      // split per shingle — O(tokens^2) per doc on the per-micro-batch
+      // hot path (measured 3x on the batch shingle pipeline)
+      .withColumn("w", TextOps.tokens(col("text")))
+      .withColumn("sh", Dedup.shingleArray(col("w")))
       .select(col("doc_id"),
         md5(lower(trim(col("text")))).as("h"),
         TextOps.qualityScore(col("text")).as("quality_score"),

@@ -9,7 +9,18 @@ import java.nio.file.{Files, Paths}
   */
 object VerifyOne {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: VerifyOne <query1[,query2,...]> [sfDir] [outDir]")
+      sys.exit(1)
+    }
     val names = args(0).split(",").toSeq
+    val unknown = names.filterNot(graft.SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}\n" +
+        s"known: ${graft.SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val out = if (args.length > 2) args(2) else "/tmp/verify_one"
     val spark = graft.GraftSession.get()

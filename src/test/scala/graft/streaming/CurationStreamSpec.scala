@@ -82,7 +82,9 @@ class CurationStreamSpec extends AnyFunSuite {
     val q1 = startQuery()
     intercept[org.apache.spark.sql.streaming.StreamingQueryException](
       q1.awaitTermination(60000))
-    val q2 = startQuery(); q2.awaitTermination(120000); q2.stop()
+    val q2 = startQuery()
+    assert(q2.awaitTermination(120000), "restarted query did not finish in time")
+    q2.stop()
 
     // at-least-once was real: the crashed batch delivered twice...
     assert(deliveries.get() > ids.length.toLong,
