@@ -81,7 +81,12 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2.head).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm+interleaved-min-of-$runs","queries":${obj(_.head)},"queries_median":${obj(median)},"noisy":$noisyJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    // system 1-min load average at report time: co-tenant noise context
+    // for round-over-round comparisons (a uniform drift across untouched
+    // queries + high loadavg = machine load, not regression)
+    val loadavg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm+interleaved-min-of-$runs","loadavg":$loadavg,"queries":${obj(_.head)},"queries_median":${obj(median)},"noisy":$noisyJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // ALSO write the line to a file: the driver captures only a tail of
     // stdout, which truncated BENCH_r07's per-query map — the file is the

@@ -497,19 +497,7 @@ object Dedup {
     */
   def substrSpans(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), Portable.tokens(col("text")).as("w"))
-    val grams = toks.filter(size(col("w")) >= SubstrN)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("w")) - (SubstrN - 1)),
-          i => struct(i.as("i"),
-            xxhash64(array_join(slice(col("w"), i, lit(SubstrN)), " ")).as("g")))).as("s"))
-      .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
-    val rep = grams.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("g"))
-    val cover = grams.join(rep, Seq("g"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("i"), col("i") + (SubstrN - 1))).as("p"))
-      .distinct()
+    val cover = coveredPositions(toks)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tokens"))
     toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
       .join(cover, Seq("doc_id"), "left")
@@ -519,6 +507,90 @@ object Dedup {
           .otherwise(round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 4))
           .as("dup_frac"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The DISTINCT (doc_id, p) token positions covered by a cross-doc
+    * repeated [[SubstrN]]-window — the shared core of d12 (coverage
+    * statistics) and p22 (the span CUT). `toks` is (doc_id, w) with w the
+    * materialized token array. Shuffle key is xxhash64 of the window (see
+    * [[substrSpans]]'s scale note).
+    */
+  private def coveredPositions(toks: DataFrame): DataFrame = {
+    val grams = toks.filter(size(col("w")) >= SubstrN)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - (SubstrN - 1)),
+          i => struct(i.as("i"),
+            xxhash64(array_join(slice(col("w"), i, lit(SubstrN)), " ")).as("g")))).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
+    val rep = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("g"))
+    grams.join(rep, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (SubstrN - 1))).as("p"))
+      .distinct()
+  }
+
+  /** ExactSubstr span REMOVAL (p22) — the actual intervention of Lee et
+    * al. 2021's suffix-array pass, in the windowed form d12 measures:
+    * every token position covered by a cross-document repeated
+    * [[SubstrN]]-window is CUT, and the document is re-emitted as its
+    * surviving tokens (in order). d12 is the audit statistic; this is the
+    * corpus a pipeline actually ships — duplicated spans excised, unique
+    * prose kept, docs that were pure boilerplate reduced to empty text.
+    *
+    * Scale shape: the covered-position set is [[coveredPositions]]
+    * (linear in corpus tokens, hash-keyed exchange); the cut itself is a
+    * per-row array expression over the doc's own positions — the only
+    * added shuffle is the collect_set of covered positions per doc_id,
+    * bounded by the doc's own length. Nothing pair-quadratic, nothing
+    * corpus-sized broadcast.
+    */
+  def substrCut(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+    val covArr = coveredPositions(toks)
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cps0"))
+    val cps = coalesce(col("cps0"), array().cast("array<int>"))
+    val kept = filter(
+      zip_with(col("w"), sequence(lit(1), size(col("w"))),
+        (t, p) => when(array_contains(cps, p), lit(null)).otherwise(t)),
+      x => x.isNotNull)
+    toks.join(covArr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(cps).cast("long").as("cut_tokens"),
+        // guard the empty doc: sequence(1, 0) would count DOWN
+        when(size(col("w")) === 0, lit(""))
+          .otherwise(array_join(kept, " ")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the exact-text twin of the cut — covered positions from the
+    * text-keyed repeated-gram join, surviving tokens re-joined in
+    * position order.
+    */
+  def sqlSubstrCut: String = {
+    val n = SubstrN
+    val grams = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w FROM documents),
+       |gr AS (SELECT doc_id, i, $grams AS g
+       |       FROM toks, LATERAL unnest(range(1, len(w) - ${n - 2})) t(i)),
+       |rep AS (SELECT g FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (SELECT DISTINCT gr.doc_id, p
+       |        FROM gr JOIN rep USING (g), LATERAL unnest(range(gr.i, gr.i + $n)) t(p)),
+       |pos AS (SELECT doc_id, p FROM toks, LATERAL unnest(range(1, len(w) + 1)) t(p)),
+       |keep AS (SELECT pos.doc_id, pos.p FROM pos
+       |         LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+       |         WHERE cov.p IS NULL),
+       |cut AS (SELECT doc_id, count(*)::BIGINT AS cut_tokens FROM cov GROUP BY doc_id),
+       |cln AS (SELECT keep.doc_id, string_agg(w[p], ' ' ORDER BY p) AS clean_text
+       |        FROM keep JOIN toks ON toks.doc_id = keep.doc_id GROUP BY keep.doc_id)
+       |SELECT toks.doc_id, len(w)::BIGINT AS n_tokens,
+       |  coalesce(cut.cut_tokens, 0)::BIGINT AS cut_tokens,
+       |  coalesce(cln.clean_text, '') AS clean_text
+       |FROM toks LEFT JOIN cut ON cut.doc_id = toks.doc_id
+       |LEFT JOIN cln ON cln.doc_id = toks.doc_id
+       |ORDER BY toks.doc_id""".stripMargin
   }
 
   def sqlSubstrSpans: String = {

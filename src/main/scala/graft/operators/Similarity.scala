@@ -837,6 +837,121 @@ object Similarity {
       graft.sources.ModelStore.load(spark, s"$dir/ivfpq_codebooks"),
       graft.sources.ModelStore.load(spark, s"$dir/ivfpq_codes"))
 
+  /** Encode a NEW shard into an ALREADY-TRAINED IVF-PQ index (s11) — the
+    * daily-ingest path the saved index exists for: assign each new vector
+    * its coarse cell (nearest saved centroid, the c2 `assign` pattern on
+    * the unit sphere), subtract that cell's centroid for the residual,
+    * and pick the nearest saved PQ code per block — NO training rounds,
+    * only broadcast equi-joins against the two dimension-sized
+    * quantizers. Returns (cells, codes) in exactly the saved tables'
+    * shapes, so `cells ∪ newCells` / `codes ∪ newCodes` IS the enlarged
+    * index ([[ivfPqSearch]] serves it unchanged).
+    *
+    * Scale rationale: retraining (s8's in-query form) scans the WHOLE
+    * corpus per refresh; encoding scans only the shard. At 100 TB with
+    * daily shards that is the difference between an index you can keep
+    * and one you rebuild nightly — the same train-once economics as
+    * t14/d11/t21, applied to the last artifact that lacked it. Quantizer
+    * drift under a shifting distribution is a retrain DECISION (the s10
+    * recall report is the dashboard that triggers it), not a per-shard
+    * cost.
+    */
+  def encodeIvfPqShard(emb: DataFrame, idx: IvfPqIndex, sub: Int)
+      : (DataFrame, DataFrame) = {
+    val ex = explodedBlocks(emb, sub)
+    // coarse assign: full-dimension distance to the saved centroids,
+    // argmin with assignStep's (distance, cell) tie-break
+    val d = ex.join(broadcast(idx.coarse), "i")
+      .groupBy(col("vec_id"), col("c"))
+      .agg(round(sum((col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("d"))
+    val cells = d.groupBy(col("vec_id"))
+      .agg(max(struct((-col("d")).as("nd"), (-col("c")).as("nc"), col("c").as("cc"))).as("b"))
+      .select(col("vec_id"), col("b.cc").as("cell"))
+    val exr = ex.join(cells, "vec_id")
+      .join(broadcast(idx.coarse.select(col("c").as("cell"), col("i"), col("cv"))),
+        Seq("cell", "i"))
+      .select(col("vec_id"), col("i"), col("m"), (col("x") - col("cv")).as("x"))
+    val codes = assignPqStep(exr, idx.pqCent).join(cells, "vec_id")
+    (cells, codes)
+  }
+
+  /** DuckDB twin of the s11 composition: train the index on the first
+    * 4/5 of the corpus (replayed as in [[sqlKnnIvfPq]], restricted to the
+    * training vec_ids), one-pass encode the held-out shard against the
+    * trained quantizers, serve the probe/ADC/rerank tail over the UNION
+    * of training codes and shard codes — identical rounding and
+    * tie-breaks end to end.
+    */
+  def sqlKnnIvfPqIncremental(nQueries: Int, k: Int, dim: Int): String = {
+    val sub = dim / PqBlocks
+    // training slice: cn is the shard boundary (4/5 of the corpus); the
+    // kmeans/PQ CTEs train on `e` = the slice, while `eall` keeps the
+    // full unit corpus for queries, shard encode and rerank
+    val eUnit =
+      """cn AS (SELECT (count(*) * 4) // 5 AS cnt FROM embeddings),
+        |eall AS (SELECT vec_id,
+        |    list_transform(v0, x -> round(x / sqrt(list_dot_product(v0, v0)), 6)) AS v
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings)),
+        |e AS (SELECT vec_id, v FROM eall WHERE vec_id < (SELECT cnt FROM cn))""".stripMargin
+    val (kmCtes, aN, cN) = sqlKmeansCtes(IvfPqCoarse, 2, eUnit)
+    val (pqSteps, raN, rcN) = sqlPqStepCtes("exr", "r")
+    s"""WITH $kmCtes,
+       |exall AS (SELECT vec_id, i::INT AS i, ((i - 1) // $sub)::INT AS m, v[i] AS x
+       |  FROM eall, LATERAL unnest(range(1, len(v) + 1)) t(i)),
+       |exb AS (SELECT vec_id, i, ((i - 1) // $sub)::INT AS m, x FROM ex),
+       |exr AS (SELECT exb.vec_id, exb.i, exb.m, exb.x - $cN.cv AS x
+       |  FROM exb JOIN $aN a USING (vec_id)
+       |  JOIN $cN ON $cN.c = a.c AND $cN.i = exb.i),
+       |rc0 AS (SELECT vec_id::INT AS c, i, round(x, 6) AS cv FROM exr WHERE vec_id < $PqCodes),
+       |$pqSteps,
+       |exn AS (SELECT * FROM exall WHERE vec_id >= (SELECT cnt FROM cn)),
+       |ncd AS (SELECT exn.vec_id, p.c, round(sum((exn.x - p.cv) * (exn.x - p.cv)), 6) AS d
+       |  FROM exn JOIN $cN p USING (i) GROUP BY 1, 2),
+       |ncell AS (SELECT vec_id, c FROM (
+       |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |  FROM ncd) WHERE rn = 1),
+       |exrn AS (SELECT exn.vec_id, exn.i, exn.m, exn.x - $cN.cv AS x
+       |  FROM exn JOIN ncell ON ncell.vec_id = exn.vec_id
+       |  JOIN $cN ON $cN.c = ncell.c AND $cN.i = exn.i),
+       |nqd AS (SELECT exrn.vec_id, exrn.m, p.c,
+       |    round(sum((exrn.x - p.cv) * (exrn.x - p.cv)), 6) AS d
+       |  FROM exrn JOIN $rcN p USING (i) GROUP BY 1, 2, 3),
+       |ncode AS (SELECT vec_id, m, c FROM (
+       |  SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+       |  FROM nqd) WHERE rn = 1),
+       |cells AS (SELECT vec_id, c FROM $aN UNION ALL SELECT vec_id, c FROM ncell),
+       |codes AS (SELECT vec_id, m, c FROM $raN UNION ALL SELECT vec_id, m, c FROM ncode),
+       |qd AS (SELECT exall.vec_id AS qid, p.c,
+       |    round(sum((exall.x - p.cv) * (exall.x - p.cv)), 6) AS d
+       |  FROM exall JOIN $cN p USING (i) WHERE exall.vec_id < $nQueries GROUP BY 1, 2),
+       |probes AS (SELECT qid, c AS cell FROM (
+       |  SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY d, c) AS pr
+       |  FROM qd) WHERE pr <= $IvfPqProbes),
+       |qres AS (SELECT pr.qid, pr.cell, exall.i, exall.m, exall.x - $cN.cv AS qr
+       |  FROM probes pr JOIN exall ON exall.vec_id = pr.qid
+       |  JOIN $cN ON $cN.c = pr.cell AND $cN.i = exall.i),
+       |lut AS (SELECT qres.qid, qres.cell, qres.m, p.c,
+       |    round(sum((qres.qr - p.cv) * (qres.qr - p.cv)), 6) AS dq
+       |  FROM qres JOIN $rcN p ON p.i = qres.i GROUP BY 1, 2, 3, 4),
+       |ad AS (SELECT l.qid, a.vec_id, round(sum(l.dq), 6) AS adist
+       |  FROM codes a JOIN cells cl ON cl.vec_id = a.vec_id
+       |  JOIN lut l ON l.cell = cl.c AND l.m = a.m AND l.c = a.c
+       |  WHERE a.vec_id <> l.qid GROUP BY 1, 2),
+       |cand AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS cr
+       |  FROM ad) WHERE cr <= ${PqRerank * k}),
+       |sims AS (SELECT c.qid, c.vec_id,
+       |    round(list_dot_product(qu.v, xu.v), 4) AS sim
+       |  FROM cand c JOIN eall xu ON xu.vec_id = c.vec_id
+       |  JOIN eall qu ON qu.vec_id = c.qid)
+       |SELECT qid, rnk, vec_id, sim FROM (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM sims) WHERE rnk <= $k
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Recall-vs-nprobe tuning report over a trained IVF-PQ index (s10) —
     * the table an operator reads BEFORE setting nprobe on a real corpus:
     * one row per probe width with measured recall@k against the exact

@@ -307,14 +307,39 @@ object TextOps {
     * arithmetic in the oracle. Nothing corpus-sized is broadcast.
     */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val (counts, totals) = unigramModel(docs)
+    scoreUnigram(docs, counts, totals)
+  }
+
+  /** The t13 unigram model tables: counts (t, c) — vocabulary-scaling —
+    * and the one-row totals (n, v). Split out so the model can be trained
+    * once, persisted, and scored against ([[trainAndSaveSurprisalModel]]).
+    */
+  private def unigramModel(docs: DataFrame): (DataFrame, DataFrame) = {
+    val counts = docs.select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    (counts, totals)
+  }
+
+  /** Score ANY corpus under a GIVEN unigram model — the shared core of
+    * t13 (model trained on the scored corpus itself) and t21 (model
+    * loaded from the saved artifact). Model joins are LEFT with
+    * coalesce-to-0 counts, so a token the model never saw degrades to the
+    * add-one floor −log2(1/(n+v)) instead of dropping — the same unseen
+    * convention as [[interpolatedSurprisalAgainst]]; when model corpus ==
+    * scored corpus (t13/t21) no token is unseen and the left join is
+    * row-identical to an inner one.
+    */
+  private def scoreUnigram(docs: DataFrame, counts: DataFrame,
+                           totals: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
     val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-    val counts = tf.groupBy(col("t")).agg(sum(col("tf")).as("c"))
-    val totals = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
-    val scored = tf.join(counts, "t")
+    val scored = tf.join(counts, Seq("t"), "left")
       .crossJoin(broadcast(totals))
       .select(col("doc_id"), col("tf"),
-        (col("tf") * -log2((col("c") + 1.0) / (col("n") + col("v")))).as("wbits"))
+        (col("tf") * -log2((coalesce(col("c"), lit(0L)) + 1.0)
+          / (col("n") + col("v")))).as("wbits"))
     docs.select(col("doc_id"))
       .join(scored.groupBy(col("doc_id"))
         .agg(sum(col("tf")).as("n_tokens"),
@@ -326,6 +351,51 @@ object TextOps {
         coalesce(col("bits_per_token"), lit(0.0)).as("bits_per_token"))
       .orderBy(col("doc_id"))
   }
+
+  /** A persisted t13 surprisal model: the unigram `counts` (t, c), the
+    * one-row `totals` (n, v), and the one-row `band` (lo, hi) — the
+    * corpus P25/P75 of bits_per_token under this model, i.e. p20's
+    * middle-surprisal band edges FROZEN WITH the model that defines them.
+    * This is the CCNet deployment shape: the LM and its keep thresholds
+    * are trained offline on yesterday's corpus and applied unchanged to
+    * today's stream — which is exactly what lets the streaming curation
+    * gate (graft.streaming.CurationStream) apply the full p20 recipe
+    * per-row instead of excluding the corpus-global band.
+    */
+  final case class SurprisalModel(counts: DataFrame, totals: DataFrame,
+                                  band: DataFrame)
+
+  /** Train the t13 model on `docs` and persist it under `dir`:
+    * `dir/lm_unigram` (vocabulary-scaling — parallel write),
+    * `dir/lm_totals` and `dir/lm_band` (one row each). Parquet longs and
+    * doubles are binary-exact, so scoring from the loaded model is
+    * byte-identical to scoring in-lineage (t21 gates exactly this
+    * against t13).
+    */
+  def trainAndSaveSurprisalModel(docs: DataFrame, dir: String): SurprisalModel = {
+    val (counts, totals) = unigramModel(docs)
+    val band = scoreUnigram(docs, counts, totals)
+      .agg(percentile(col("bits_per_token"), lit(0.25)).as("lo"),
+        percentile(col("bits_per_token"), lit(0.75)).as("hi"))
+    graft.sources.ModelStore.saveLarge(counts, s"$dir/lm_unigram")
+    graft.sources.ModelStore.save(totals, s"$dir/lm_totals")
+    graft.sources.ModelStore.save(band, s"$dir/lm_band")
+    loadSurprisalModel(docs.sparkSession, dir)
+  }
+
+  def loadSurprisalModel(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): SurprisalModel =
+    SurprisalModel(
+      graft.sources.ModelStore.load(spark, s"$dir/lm_unigram"),
+      graft.sources.ModelStore.load(spark, s"$dir/lm_totals"),
+      graft.sources.ModelStore.load(spark, s"$dir/lm_band"))
+
+  /** t21: score a corpus against the LOADED model — must hash-match t13
+    * byte-for-byte when the model was trained on the same corpus (the
+    * t14/d11/s9 train-once gate applied to the LM).
+    */
+  def unigramSurprisalFromSaved(docs: DataFrame, model: SurprisalModel): DataFrame =
+    scoreUnigram(docs, model.counts, model.totals)
 
   def sqlUnigramSurprisal: String = {
     val toks = Portable.sqlTokens("text")
@@ -533,6 +603,144 @@ object TextOps {
        |  FROM scored GROUP BY doc_id)
        |SELECT d.doc_id, coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
        |  coalesce(per.bits_interp, 0.0) AS bits_interp
+       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Backoff discount for [[stupidBackoffSurprisal]] (t22): the fixed α
+    * of Brants et al. 2007 ("Large Language Models in Machine
+    * Translation") — their recommended 0.4. Fixed so the score is exactly
+    * reproducible cross-engine.
+    */
+  val SbAlpha = 0.4
+
+  /** Stupid-Backoff trigram surprisal (t22) — the next KenLM step after
+    * t20's Jelinek-Mercer bigram: score each document by the mean
+    * −log2 S(w3 | w1 w2) where S is Brants et al.'s Stupid Backoff:
+    * S = c(w1w2w3)/c(w1w2) when the trigram is attested, else
+    * α·c(w2w3)/c(w2) when the bigram is, else α²·(c(w3)+1)/(N+V).
+    * S is a SCORE, not a normalized probability — that's the trade that
+    * makes it trainable and serveable with nothing but count tables
+    * (Brants et al. showed it matches Kneser-Ney at web scale), which is
+    * exactly what a distributed, oracle-checkable engine wants. The
+    * unigram base keeps t13's add-one floor so an out-of-vocabulary word
+    * scores finite bits instead of −log2(0).
+    *
+    * Trained on the scored corpus itself (every trigram attested — the
+    * backoff is exercised by [[stupidBackoffAgainst]], where model and
+    * scored corpus differ; the unit spec pins the chain
+    * trigram→bigram→unigram there).
+    */
+  def stupidBackoffSurprisal(docs: DataFrame): DataFrame =
+    stupidBackoffAgainst(docs, docs)
+
+  /** Score `docs` under Stupid-Backoff count tables trained on `model` —
+    * the train-here/score-there form. All model joins are LEFT with
+    * coalesce-to-0 counts; the CASE chain picks the highest-order
+    * attested channel. c(tri)>0 implies c(prefix bigram)>0 and
+    * c(bigram)>0 implies c(middle word)>0 in the SAME model, so no
+    * attested channel ever divides by zero.
+    *
+    * Scale shape (the t19/t20 skeleton, one order up): per-doc trigram
+    * TERM FREQUENCIES map-side combine before any exchange; the three
+    * count tables (distinct trigrams, bigrams, unigrams) are
+    * model-vocabulary sized and join on their own keys; (N, V) is one
+    * broadcast single-row aggregate. Nothing corpus-sized broadcast.
+    */
+  def stupidBackoffAgainst(model: DataFrame, docs: DataFrame): DataFrame = {
+    val mtk = model.select(tokens(col("text")).as("w"))
+    val uni = mtk.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    val totals = uni.agg(sum(col("cu")).as("n"), count(lit(1)).as("v"))
+    val big = mtk.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cb"))
+    val tri = mtk.filter(size(col("w")) >= 3)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1),
+          element_at(col("w"), i + 2)))).as("g3"))
+      .groupBy(col("g3")).agg(count(lit(1)).as("ct"))
+    val tg = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("w")) - 2),
+        i => struct(
+          concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2)).as("g3"),
+          concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)).as("g12"),
+          concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2)).as("g23"),
+          element_at(col("w"), i + 1).as("w2"),
+          element_at(col("w"), i + 2).as("w3")))).as("b"))
+      .select(col("doc_id"), col("b.g3").as("g3"), col("b.g12").as("g12"),
+        col("b.g23").as("g23"), col("b.w2").as("w2"), col("b.w3").as("w3"))
+    val tf = tg.groupBy(col("doc_id"), col("g3"), col("g12"), col("g23"),
+      col("w2"), col("w3")).agg(count(lit(1)).as("tf"))
+    val ct = coalesce(col("ct"), lit(0L))
+    val c12 = coalesce(col("c12"), lit(0L))
+    val c23 = coalesce(col("c23"), lit(0L))
+    val cu2 = coalesce(col("cu2"), lit(0L))
+    val cu3 = coalesce(col("cu3"), lit(0L))
+    val s = when(ct > 0, ct.cast("double") / c12)
+      .otherwise(lit(SbAlpha) * when(c23 > 0, c23.cast("double") / cu2)
+        .otherwise(lit(SbAlpha) * (cu3 + 1.0) / (col("n") + col("v"))))
+    val scored = tf
+      .join(tri, Seq("g3"), "left")
+      .join(big.select(col("g").as("g12"), col("cb").as("c12")), Seq("g12"), "left")
+      .join(big.select(col("g").as("g23"), col("cb").as("c23")), Seq("g23"), "left")
+      .join(uni.select(col("t").as("w2"), col("cu").as("cu2")), Seq("w2"), "left")
+      .join(uni.select(col("t").as("w3"), col("cu").as("cu3")), Seq("w3"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("tf"), (col("tf") * -log2(s)).as("wbits"))
+    docs.select(col("doc_id"))
+      .join(scored.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_trigrams"),
+          round(sum(col("wbits")) / sum(col("tf")), 4).as("bits_sb")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        // sub-3-token docs: pin the empty mean to 0.0 in both engines
+        coalesce(col("bits_sb"), lit(0.0)).as("bits_sb"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlStupidBackoffSurprisal: String = {
+    val toks = Portable.sqlTokens("text")
+    val a = SbAlpha
+    s"""WITH tk AS (SELECT doc_id, $toks AS w FROM documents),
+       |uni AS (SELECT t, count(*)::BIGINT AS cu
+       |  FROM (SELECT unnest(w) AS t FROM tk) GROUP BY t),
+       |totals AS (SELECT sum(cu)::BIGINT AS n, count(*)::BIGINT AS v FROM uni),
+       |big AS (SELECT g, count(*)::BIGINT AS cb FROM (
+       |  SELECT w[i] || ' ' || w[i + 1] AS g
+       |  FROM tk, LATERAL unnest(range(1, len(w))) t(i)) GROUP BY g),
+       |tri AS (SELECT g3, count(*)::BIGINT AS ct FROM (
+       |  SELECT w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g3
+       |  FROM tk, LATERAL unnest(range(1, len(w) - 1)) t(i)) GROUP BY g3),
+       |tg AS (SELECT doc_id,
+       |    w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g3,
+       |    w[i] || ' ' || w[i + 1] AS g12,
+       |    w[i + 1] || ' ' || w[i + 2] AS g23,
+       |    w[i + 1] AS w2, w[i + 2] AS w3
+       |  FROM tk, LATERAL unnest(range(1, len(w) - 1)) t(i)),
+       |tf AS (SELECT doc_id, g3, g12, g23, w2, w3, count(*)::BIGINT AS tf
+       |  FROM tg GROUP BY 1, 2, 3, 4, 5, 6),
+       |scored AS (SELECT tf.doc_id, tf.tf,
+       |    tf.tf * -log2(CASE WHEN coalesce(tri.ct, 0) > 0
+       |        THEN coalesce(tri.ct, 0)::DOUBLE / b12.cb
+       |        ELSE $a * (CASE WHEN coalesce(b23.cb, 0) > 0
+       |          THEN coalesce(b23.cb, 0)::DOUBLE / u2.cu
+       |          ELSE $a * (coalesce(u3.cu, 0) + 1.0) / (totals.n + totals.v) END)
+       |        END) AS wbits
+       |  FROM tf LEFT JOIN tri USING (g3)
+       |  LEFT JOIN big b12 ON b12.g = tf.g12
+       |  LEFT JOIN big b23 ON b23.g = tf.g23
+       |  LEFT JOIN uni u2 ON u2.t = tf.w2
+       |  LEFT JOIN uni u3 ON u3.t = tf.w3, totals),
+       |per AS (SELECT doc_id, sum(tf)::BIGINT AS n_trigrams,
+       |    round(sum(wbits) / sum(tf), 4) AS bits_sb
+       |  FROM scored GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(per.n_trigrams, 0)::BIGINT AS n_trigrams,
+       |  coalesce(per.bits_sb, 0.0) AS bits_sb
        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }

@@ -90,6 +90,12 @@ object Pipeline {
     QueryDef.sql("d12_substr_spans", Dedup.sqlSubstrSpans) { (s, dir) =>
       Dedup.substrSpans(Tables.documents(s, dir))
     },
+    // the ExactSubstr INTERVENTION (Lee et al.'s actual dedup step): cut
+    // every cross-doc duplicated span d12 measures, re-emit the corpus as
+    // surviving tokens — the span-cut corpus a pipeline ships
+    QueryDef.sql("p22_substr_cut", Dedup.sqlSubstrCut) { (s, dir) =>
+      Dedup.substrCut(Tables.documents(s, dir))
+    },
     // clusters -> keep-list: the deduplicated corpus (non-canonical cluster
     // members anti-joined away) — the end product a pipeline materializes.
     // Derived from the SAVED labels: the LSH+CC chain runs once per corpus
@@ -194,6 +200,22 @@ object Pipeline {
     QueryDef.sql("t20_interp_surprisal", TextOps.sqlInterpolatedSurprisal) { (s, dir) =>
       TextOps.interpolatedSurprisal(Tables.documents(s, dir))
     },
+    // score from the PERSISTED LM (counts + totals + frozen band edges):
+    // train once per corpus (memoized artifact), load, score — must
+    // hash-match t13 byte-for-byte (the t14/d11/s9 train-once gate
+    // applied to the surprisal model; this same artifact is what lets
+    // the streaming curation gate apply the p20 band per row)
+    QueryDef.sql("t21_surprisal_from_saved", TextOps.sqlUnigramSurprisal) { (s, dir) =>
+      val lmDir = artifactDir("lm", dir)(tmp =>
+        TextOps.trainAndSaveSurprisalModel(Tables.documents(s, dir), tmp))
+      TextOps.unigramSurprisalFromSaved(Tables.documents(s, dir),
+        TextOps.loadSurprisalModel(s, lmDir))
+    },
+    // Stupid-Backoff trigram surprisal (Brants et al. 2007) — the next
+    // KenLM step after t20: highest attested channel wins, fixed α=0.4
+    QueryDef.sql("t22_sb_surprisal", TextOps.sqlStupidBackoffSurprisal) { (s, dir) =>
+      TextOps.stupidBackoffSurprisal(Tables.documents(s, dir))
+    },
 
     // within-doc n-gram repetition ratio (Gopher/C4 repetition filter)
     QueryDef.sql("t8_repetition", TextOps.sqlRepetition) { (s, dir) =>
@@ -255,6 +277,27 @@ object Pipeline {
         Similarity.trainAndSaveIvfPq(Tables.embeddings(s, dir), 64 / Similarity.PqBlocks, tmp))
       Similarity.ivfPqSearch(Tables.embeddings(s, dir),
         Similarity.loadIvfPq(s, idxDir), 64 / Similarity.PqBlocks, 10, 5)
+    },
+    // incremental shard ingest: train the index on the FIRST 4/5 of the
+    // corpus (saved artifact), one-pass encode the held-out shard against
+    // the saved quantizers (coarse assign -> residual -> nearest PQ code,
+    // broadcast joins only — no retraining), serve over old ∪ new codes.
+    // The daily-ingest economics: encode cost scales with the SHARD, the
+    // s8 retrain with the corpus
+    QueryDef.sql("s11_knn_ivfpq_shard",
+      Similarity.sqlKnnIvfPqIncremental(10, 5, 64)) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val sub = 64 / Similarity.PqBlocks
+      val cut = emb.count() * 4 / 5
+      val idxDir = artifactDir("ivfpq_inc", dir)(tmp =>
+        Similarity.trainAndSaveIvfPq(emb.filter(col("vec_id") < cut), sub, tmp))
+      val idx = Similarity.loadIvfPq(s, idxDir)
+      val (newCells, newCodes) =
+        Similarity.encodeIvfPqShard(emb.filter(col("vec_id") >= cut), idx, sub)
+      val combined = Similarity.IvfPqIndex(idx.coarse,
+        idx.cells.unionByName(newCells), idx.pqCent,
+        idx.codes.unionByName(newCodes))
+      Similarity.ivfPqSearch(emb, combined, sub, 10, 5)
     },
     // the nprobe tuning table: measured recall@k + ADC candidate volume
     // per probe width against the brute-force ground truth, served from

@@ -12,74 +12,127 @@ import graft.operators.{Curation, Dedup, TextOps}
   * gated document-by-document as it lands instead of re-scanning the
   * corpus nightly.
   *
-  * What streams and what doesn't, stated honestly:
+  * Every batch gate streams — the full p20 recipe, stated per gate:
   *  - quality floor: [[TextOps.qualityScore]] is a stateless per-row
   *    expression — literally the batch manifest's Column, applied to the
   *    stream unchanged.
+  *  - surprisal band: corpus-global in batch (the model AND its P25/P75
+  *    edges are corpus aggregates). The streaming form scores each row
+  *    against a TRAINED [[TextOps.SurprisalModel]] whose band edges were
+  *    frozen at training time — the CCNet deployment shape (the KenLM
+  *    binary and its perplexity cuts are built offline and shipped to
+  *    the workers); [[TextOps.trainAndSaveSurprisalModel]] is the train
+  *    step, t21 gates its round trip.
   *  - boilerplate ceiling: corpus-global in batch (shingle document
   *    frequency). The streaming form gates against a TRAINED hot-shingle
-  *    artifact ([[trainHotShingles]], run on yesterday's corpus — the
-  *    CCNet convention: models are trained offline, applied online),
-  *    joined stream-static and evaluated per row.
+  *    artifact ([[trainHotShingles]], run on yesterday's corpus — same
+  *    convention), joined stream-static and evaluated per row.
   *  - exact-dup canonical: the one genuinely stateful gate — first-seen
   *    per normalized-text hash via keyed state. Equals the batch
   *    min-doc_id canonical exactly when each hash's docs ARRIVE in
   *    doc_id order (what an id-ordered ingest gives); within a
   *    micro-batch, rows are doc_id-sorted so intra-batch disorder is
-  *    absorbed.
-  *  - the surprisal band (t13 P25–P75) is EXCLUDED: both its model AND
-  *    its band edges are corpus-global percentiles — there is no
-  *    honest per-row streaming form, so the stream keep set is the batch
-  *    keep set with the band gate dropped (a superset; CurationStreamSpec
-  *    pins exactly that relation).
+  *    absorbed. An optional event-time horizon ([[manifest]]'s
+  *    `dedupHorizonMs`) bounds the state for unbounded corpora.
   *
-  * Scale shape: the hot set is the power-law HEAD of the shingle table
-  * (df > cutoff) — small by construction, broadcast by AQE through the
-  * stream-static join. Canonical state is one boolean per distinct text
-  * hash (the dedup horizon); at 100 TB run it on the RocksDB state store
-  * (conf-only, proven in RecoverySpec) and bound the horizon upstream if
-  * the corpus is unbounded.
+  * Scale shape: both trained artifacts are BOUNDED BY CONSTRUCTION — the
+  * hot set is top-[[HotShingleTopK]] by document frequency (a
+  * TakeOrderedAndProject, so a boilerplate-heavy crawl cannot push the
+  * broadcast row past the cap), and the LM map is vocabulary-sized
+  * (model-scaling, not corpus-scaling; per-executor LM residency is how
+  * CCNet ships KenLM — for vocabularies beyond broadcast limits the
+  * hashed-bucket form p18/DSIR uses is the fallback). Canonical state is
+  * one boolean per distinct text hash within the dedup horizon; at 100 TB
+  * run it on the RocksDB state store (conf-only, proven in RecoverySpec).
   */
 object CurationStream {
 
-  /** Per-row gate output (pre-canonical). */
+  /** Per-row gate output (pre-canonical). `ts` is the event time carried
+    * for the optional dedup horizon (null when the input has no ts
+    * column and the horizon is off).
+    */
   final case class GateRow(doc_id: Long, h: String, quality_score: Double,
-                           boiler_frac: Double, quality_ok: Boolean,
-                           boiler_ok: Boolean)
+                           bits_per_token: Double, boiler_frac: Double,
+                           quality_ok: Boolean, ppl_ok: Boolean,
+                           boiler_ok: Boolean, ts: java.sql.Timestamp)
 
   /** The streamed manifest row: per-gate verdicts + the final keep. */
   final case class ManifestRow(doc_id: Long, quality_score: Double,
-                               boiler_frac: Double, quality_ok: Boolean,
+                               bits_per_token: Double, boiler_frac: Double,
+                               quality_ok: Boolean, ppl_ok: Boolean,
                                boiler_ok: Boolean, canonical: Boolean,
                                keep: Boolean)
 
-  /** Train step (batch, offline): the hot-shingle artifact the streaming
-    * boilerplate ceiling gates against — shingles in more than
-    * [[Dedup.BoilerplateDocFreq]] training-corpus documents, exactly the
-    * set [[Dedup.boilerplateFraction]] counts as hot.
+  /** Cap on the trained hot-shingle artifact: the power-law HEAD above
+    * the df cutoff is usually small, but nothing in the DATA bounds it —
+    * the cap does. Top-K BY df is semantically the right truncation (the
+    * hottest shingles dominate any document's boilerplate fraction), and
+    * it makes the broadcast artifact bounded by construction instead of
+    * by hope.
     */
-  def trainHotShingles(docs: DataFrame): DataFrame =
+  val HotShingleTopK = 10000
+
+  /** Train step (batch, offline): the hot-shingle artifact the streaming
+    * boilerplate ceiling gates against — the top-`topK` shingles BY
+    * document frequency among those in more than
+    * [[Dedup.BoilerplateDocFreq]] training-corpus documents (exactly the
+    * set [[Dedup.boilerplateFraction]] counts as hot, capped). The
+    * ORDER BY df LIMIT topK plans as TakeOrderedAndProject — each
+    * partition ships only its local top-K, and the artifact can never
+    * exceed topK rows whatever the corpus looks like.
+    */
+  def trainHotShingles(docs: DataFrame, topK: Int = HotShingleTopK): DataFrame =
     Dedup.rawShingles(docs)
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > Dedup.BoilerplateDocFreq)
+      .orderBy(col("df").desc, col("g"))
+      .limit(topK)
       .select(col("g"))
+
+  /** The LM gate artifact as ONE static row: the unigram counts rolled
+    * into a map column, the (n, v) totals and the frozen (lo, hi) band
+    * edges. Joined stream-static through the same dummy-key equi-join as
+    * the hot set; the per-row score is then a pure `aggregate` expression
+    * over the token array — no streaming aggregation, no watermark, no
+    * state. The map is vocabulary-sized (the model, not the corpus).
+    */
+  def lmGateFrame(model: TextOps.SurprisalModel): DataFrame =
+    model.counts
+      .agg(map_from_entries(collect_list(struct(col("t"), col("c")))).as("cnt"))
+      .crossJoin(model.totals)
+      .crossJoin(model.band)
 
   /** Stateless per-row gates over ANY (doc_id, text) frame — batch or
     * streaming micro-batch, the same Catalyst expressions either way.
-    * The trained hot set arrives as one collected-array row through a
-    * dummy-key equi-join (stream-static cross joins are unsupported;
-    * the single-row static side broadcasts), and the per-doc fraction is
-    * a pure array expression: |sh ∩ hot| / |sh| over the doc's DISTINCT
-    * shingles — the identical quantity [[Dedup.boilerplateFraction]]
-    * computes by explode + join + re-aggregate in batch, without the
-    * streaming aggregation (and watermark machinery) that shape would
-    * drag in.
+    * The trained artifacts (hot-shingle set, LM map + band) arrive as one
+    * collected row each through a dummy-key equi-join (stream-static
+    * cross joins are unsupported; the single-row static sides broadcast).
+    * The boilerplate fraction is a pure array expression — |sh ∩ hot| /
+    * |sh| over the doc's DISTINCT shingles, the identical quantity
+    * [[Dedup.boilerplateFraction]] computes by explode + join +
+    * re-aggregate in batch. The surprisal is the same add-one unigram
+    * bits-per-token t13 computes, as a fold over the token array with a
+    * map lookup per token (unseen tokens take the add-one floor — the
+    * [[TextOps.unigramSurprisalFromSaved]] convention for scoring
+    * tomorrow's data under yesterday's model).
     */
-  def gated(docs: DataFrame, hot: DataFrame): DataFrame = {
+  def gated(docs: DataFrame, hot: DataFrame,
+            lm: TextOps.SurprisalModel): DataFrame = {
     val hotArr = hot.agg(collect_set(col("g")).as("hot_set"))
       .withColumn("one", lit(1))
+    val lmRow = lmGateFrame(lm).withColumn("one", lit(1))
+    val bits = when(size(col("w")) === 0, lit(0.0))
+      .otherwise(round(
+        aggregate(col("w"), lit(0.0),
+          (acc, t) => acc - log2((coalesce(element_at(col("cnt"), t), lit(0L)) + 1.0)
+            / (col("n") + col("v"))))
+          / size(col("w")), 4))
+    val ts =
+      if (docs.columns.contains("ts")) col("ts")
+      else lit(null).cast("timestamp")
     docs.withColumn("one", lit(1))
       .join(broadcast(hotArr), "one")
+      .join(broadcast(lmRow), "one")
       // tokens MUST be materialized before shingleArray (its documented
       // contract): an inline tokens(text) tree would re-run the regex
       // split per shingle — O(tokens^2) per doc on the per-micro-batch
@@ -87,45 +140,99 @@ object CurationStream {
       .withColumn("w", TextOps.tokens(col("text")))
       .withColumn("sh", Dedup.shingleArray(col("w")))
       .select(col("doc_id"),
+        ts.as("ts"),
         md5(lower(trim(col("text")))).as("h"),
         TextOps.qualityScore(col("text")).as("quality_score"),
+        bits.as("bits_per_token"),
         when(size(col("sh")) === 0, lit(0.0))
           .otherwise(round(
             size(array_intersect(col("sh"), col("hot_set"))).cast("double")
-              / size(col("sh")), 4)).as("boiler_frac"))
+              / size(col("sh")), 4)).as("boiler_frac"),
+        col("lo"), col("hi"))
       .withColumn("quality_ok", col("quality_score") >= Curation.ManifestQualityMin)
+      .withColumn("ppl_ok",
+        col("bits_per_token") >= col("lo") && col("bits_per_token") <= col("hi"))
       .withColumn("boiler_ok", col("boiler_frac") <= Curation.ManifestBoilerMax)
+      .drop("lo", "hi")
   }
 
   /** First-seen canonical per text hash: the group's min-doc_id row in the
     * first micro-batch that sees the hash is canonical; everything later
-    * (same batch or any after) is a duplicate. State is one boolean per
-    * hash, committed WITH the batch — a crash-and-replay recomputes the
-    * identical verdicts (RecoverySpec's at-least-once contract).
+    * (same batch or any after, within the horizon) is a duplicate.
+    * State is one boolean per hash, committed WITH the batch — a
+    * crash-and-replay recomputes the identical verdicts (RecoverySpec's
+    * at-least-once contract).
+    *
+    * `horizonMs` is the EVENT-TIME dedup horizon (the
+    * dropDuplicatesWithinWatermark convention, applied to canonical
+    * selection): every arrival re-arms an event-time timeout at the
+    * hash's max event time + horizon, and when the watermark passes it
+    * the state is evicted — the next arrival is canonical again.
+    * Duplicates INSIDE the horizon are detected exactly as in the
+    * unbounded mode; what the horizon trades away is only re-detection
+    * across gaps longer than itself, in exchange for state bounded by
+    * the hash-arrival rate × horizon instead of the corpus's lifetime
+    * distinct count. Event time, not processing time, deliberately: a
+    * processing-time timer forces the engine to schedule timer-check
+    * batches forever (FlatMapGroupsWithStateExec requests another batch
+    * unconditionally under ProcessingTimeTimeout — an AvailableNow drain
+    * would never terminate), while the event-time timer fires only when
+    * the watermark moves, i.e. when data arrives. The deadline is
+    * clamped above the current watermark so a late straggler re-arming
+    * an old hash cannot set an already-expired timer (which Spark
+    * rejects).
     */
-  def firstSeen(h: String, rows: Iterator[GateRow],
-                state: GroupState[Boolean]): Iterator[ManifestRow] = {
-    val rs = rows.toArray.sortBy(_.doc_id)
-    val seenBefore = state.exists
-    if (!seenBefore && rs.nonEmpty) state.update(true)
-    rs.iterator.zipWithIndex.map { case (r, i) =>
-      val canonical = !seenBefore && i == 0
-      ManifestRow(r.doc_id, r.quality_score, r.boiler_frac,
-        r.quality_ok, r.boiler_ok, canonical,
-        r.quality_ok && r.boiler_ok && canonical)
+  def firstSeen(horizonMs: Option[Long])(h: String, rows: Iterator[GateRow],
+                state: GroupState[Boolean]): Iterator[ManifestRow] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val rs = rows.toArray.sortBy(_.doc_id)
+      val seenBefore = state.exists
+      if (!seenBefore && rs.nonEmpty) state.update(true)
+      horizonMs.foreach { h =>
+        if (state.exists && rs.nonEmpty) {
+          val maxTs = rs.iterator.map(_.ts.getTime).max
+          state.setTimeoutTimestamp(
+            math.max(maxTs + h, state.getCurrentWatermarkMs() + 1))
+        }
+      }
+      rs.iterator.zipWithIndex.map { case (r, i) =>
+        val canonical = !seenBefore && i == 0
+        ManifestRow(r.doc_id, r.quality_score, r.bits_per_token, r.boiler_frac,
+          r.quality_ok, r.ppl_ok, r.boiler_ok, canonical,
+          r.quality_ok && r.ppl_ok && r.boiler_ok && canonical)
+      }
     }
-  }
 
   /** The streaming manifest: per-row gates + keyed first-seen canonical.
-    * `docs` is a streaming (doc_id, text, ...) frame; `hot` the trained
-    * static artifact. Emits one ManifestRow per document, append mode.
+    * `docs` is a streaming (doc_id, text, ...) frame; `hot` and `lm` the
+    * trained static artifacts. Emits one ManifestRow per document, append
+    * mode. `dedupHorizonMs` bounds the canonical state's EVENT-TIME
+    * horizon: the input must then carry a `ts` timestamp column (a
+    * watermark of the same width is applied here), and a hash silent for
+    * longer than the horizon is evicted when the watermark passes its
+    * deadline. None keeps state for the query's lifetime — a deliberate
+    * choice for bounded corpora, not the only mode.
     */
-  def manifest(docs: DataFrame, hot: DataFrame): DataFrame = {
+  def manifest(docs: DataFrame, hot: DataFrame, lm: TextOps.SurprisalModel,
+               dedupHorizonMs: Option[Long] = None): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    gated(docs, hot).as[GateRow]
+    val timeout =
+      if (dedupHorizonMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val base = dedupHorizonMs match {
+      case Some(h) =>
+        require(docs.columns.contains("ts"),
+          "dedupHorizonMs requires an event-time `ts` column on the input")
+        docs.withWatermark("ts", s"$h milliseconds")
+      case None => docs
+    }
+    gated(base, hot, lm).as[GateRow]
       .groupByKey(_.h)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(firstSeen)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(firstSeen(dedupHorizonMs))
       .toDF()
   }
 }

@@ -216,6 +216,46 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r2(7L) == 0L, s"self-repetition must not count as cross-doc: ${r2(7L)}")
   }
 
+  test("substr cut excises exactly the planted shared run, keeps unique prose in order") {
+    // same planted-run shape as the coverage test: the cut must remove
+    // ONLY the 12 shared positions and re-join the survivors in order
+    val run = "one two three four five six seven eight nine ten eleven twelve"
+    val d = docs(
+      (1L, s"prefixa prefixb $run sufa sufb sufc"),
+      (2L, s"intro1 intro2 intro3 $run tail1"),
+      (3L, "totally unrelated filler words padding content nothing shared " +
+        "here at all keeps going longer than ten tokens easily"))
+    val r = Dedup.substrCut(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((17L, 12L, "prefixa prefixb sufa sufb sufc")), s"doc 1: ${r(1L)}")
+    assert(r(2L) == ((16L, 12L, "intro1 intro2 intro3 tail1")), s"doc 2: ${r(2L)}")
+    assert(r(3L)._2 == 0L, s"doc 3 must be untouched: ${r(3L)}")
+    // a doc that IS the shared run is cut to empty text, not dropped
+    val full = docs((4L, run), (5L, s"$run extra"), (6L, "padding so the " +
+      "corpus keeps one doc with nothing shared across documents at all"))
+    val r2 = Dedup.substrCut(full).collect()
+      .map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(r2(4L) == "", s"fully-duplicated doc must become empty: '${r2(4L)}'")
+    assert(r2(5L) == "extra", s"doc 5: '${r2(5L)}'")
+  }
+
+  test("stupid backoff walks the chain trigram -> bigram -> unigram with alpha discounts") {
+    // model: "the cat sat on the mat" — N=6 tokens, V=5 vocab
+    val model = docs((0L, "the cat sat on the mat"))
+    def sb(text: String): Double =
+      TextOps.stupidBackoffAgainst(model, docs((1L, text))).collect()
+        .map(r => r.getDouble(2)).head
+    def r4(x: Double): Double = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // attested trigram: S = c(the cat sat)/c(the cat) = 1/1 -> 0 bits
+    assert(sb("the cat sat") == 0.0)
+    // unseen trigram, attested suffix bigram: S = a*c(cat sat)/c(cat) = 0.4
+    assert(sb("dog cat sat") == r4(-math.log(0.4) / math.log(2)))
+    // unseen trigram AND bigram: S = a^2 * (c(w3)+1)/(N+V); w3 unseen -> add-one floor
+    assert(sb("dog mat zzz") == r4(-math.log(0.4 * 0.4 * 1.0 / 11.0) / math.log(2)))
+    // ...and a seen w3 pays less than an unseen one through the same floor
+    assert(sb("dog zzz the") == r4(-math.log(0.4 * 0.4 * 3.0 / 11.0) / math.log(2)))
+  }
+
   test("dup-rate by source counts exactly the non-canonical cluster members") {
     val s = TestSpark.spark
     import s.implicits._

@@ -164,6 +164,60 @@ class PersistSpec extends AnyFunSuite {
     assert(viaStore == direct)
   }
 
+  test("surprisal model round-trips: scoring from saved == t13, band edges are the frozen percentiles") {
+    val spark = TestSpark.spark
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = tmp("graft-lm-rt-")
+    TextOps.trainAndSaveSurprisalModel(docs, dir)
+    val model = TextOps.loadSurprisalModel(spark, dir)
+    // parquet longs/doubles are binary-exact: the loaded model scores the
+    // training corpus identically to the in-lineage t13
+    val fromSaved = TextOps.unigramSurprisalFromSaved(docs, model)
+      .collect().map(_.toSeq).toSeq
+    val direct = TextOps.unigramSurprisal(docs).collect().map(_.toSeq).toSeq
+    assert(fromSaved == direct)
+    // the frozen band edges ARE the P25/P75 of the scores under the model
+    val band = model.band.collect().head
+    val (lo, hi) = (band.getAs[Double]("lo"), band.getAs[Double]("hi"))
+    assert(lo <= hi)
+    val bits = direct.map(_(2).asInstanceOf[Double]).sorted
+    assert(lo >= bits.head && hi <= bits.last,
+      "band edges must lie within the observed score range")
+    val inside = bits.count(b => b >= lo && b <= hi)
+    assert(inside >= bits.size / 2 - 1,
+      s"P25-P75 band must hold ~half the corpus: $inside of ${bits.size}")
+  }
+
+  test("incremental shard encode: a new vector enters the saved index and is served, no retraining") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val emb = embeddings // 40 vectors, 10 dims -> sub = 5 (2 blocks)
+    val dir = tmp("graft-ivfpq-inc-")
+    val old = emb.filter(col("vec_id") < 30)
+    val idx = Similarity.trainAndSaveIvfPq(old, sub = 5, dir)
+    // the shard: vectors 30..39, plus a PLANTED TWIN of query 0 at id 100
+    val twin = emb.filter(col("vec_id") === 0L)
+      .select(lit(100L).as("vec_id"), col("label"), col("embedding"))
+    val shard = emb.filter(col("vec_id") >= 30).unionByName(twin)
+    val (cells, codes) = Similarity.encodeIvfPqShard(shard, idx, sub = 5)
+    // coverage: every shard vector gets exactly one cell and one code per block
+    assert(cells.count() == 11)
+    assert(codes.groupBy(col("vec_id")).count().collect().forall(_.getLong(1) == 2))
+    // determinism: a second encode is bit-identical (pure joins, no state)
+    val again = Similarity.encodeIvfPqShard(shard, idx, sub = 5)
+    assert(again._2.collect().map(_.toSeq).toSet == codes.collect().map(_.toSeq).toSet)
+    // serve over old ∪ new: the twin lands in query 0's own coarse cell
+    // with a ~zero residual distance, survives ADC, and the exact rerank
+    // puts it at rank 1 with cosine 1 — the shard is IN the index
+    val combined = Similarity.IvfPqIndex(idx.coarse,
+      idx.cells.unionByName(cells), idx.pqCent, idx.codes.unionByName(codes))
+    val all = emb.unionByName(twin)
+    val top = Similarity.ivfPqSearch(all, combined, sub = 5, nQueries = 2, k = 3)
+      .filter(col("qid") === 0 && col("rnk") === 1).collect().head
+    assert(top.getLong(2) == 100L, s"planted twin must be rank 1: $top")
+    assert(top.getDouble(3) == 1.0, s"twin cosine must be 1.0: $top")
+  }
+
   test("dedup cluster labels round-trip: loaded == computed, keep-list and dashboard derive identically") {
     val spark = TestSpark.spark
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -12,24 +12,29 @@ import graft.TestSpark
 /** The p20 gate logic running as a real checkpointed streaming job
   * (SURVEY §7's batch/stream unification claim, beyond the as-of case):
   * kill-and-restart mid-corpus must produce the IDENTICAL manifest as an
-  * uninterrupted run, and the per-gate verdicts must equal the batch
-  * curatedManifest's — modulo the surprisal band, which is corpus-global
-  * (documented exclusion; the streamed keep set is therefore a superset
-  * of the batch keep set).
+  * uninterrupted run, and — now that the surprisal model and its band
+  * edges ship as a trained artifact — the streamed keep set must EQUAL
+  * the batch curatedManifest's, all four gates included.
   */
 class CurationStreamSpec extends AnyFunSuite {
+
+  private def trainLm(docs: DataFrame): graft.operators.TextOps.SurprisalModel = {
+    val dir = Files.createTempDirectory("graft-curstream-lm").toString
+    graft.operators.TextOps.trainAndSaveSurprisalModel(docs, dir)
+  }
 
   test("streamed gates equal the batch manifest; crash mid-corpus redelivers without changing a verdict") {
     val spark = TestSpark.spark
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val hot = CurationStream.trainHotShingles(docs)
+    val lm = trainLm(docs)
 
     // batch expectation: p20 emits (doc_id, quality_score, bits_per_token,
     // boilerplate_frac, canonical, quality_ok, ppl_ok, boiler_ok, keep)
     val batch = graft.operators.Curation.curatedManifest(docs).collect()
       .map(r => r.getLong(0) ->
-        ((r.getDouble(1), r.getDouble(3), r.getBoolean(5), r.getBoolean(7),
-          r.getBoolean(4)))).toMap
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(5),
+          r.getBoolean(6), r.getBoolean(7), r.getBoolean(4)))).toMap
     val batchKeep = graft.operators.Curation.curatedManifest(docs).collect()
       .filter(_.getBoolean(8)).map(_.getLong(0)).toSet
 
@@ -54,14 +59,14 @@ class CurationStreamSpec extends AnyFunSuite {
     writeChunk(docs.filter(col("doc_id") >= c2), 2)
 
     val byId = scala.collection.concurrent.TrieMap
-      .empty[Long, (Double, Double, Boolean, Boolean, Boolean, Boolean)]
+      .empty[Long, (Double, Double, Double, Boolean, Boolean, Boolean, Boolean, Boolean)]
     val deliveries = new java.util.concurrent.atomic.AtomicLong
     @volatile var crashOnce = true
 
     def startQuery() = {
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(dataDir)
-      CurationStream.manifest(stream, hot).writeStream
+      CurationStream.manifest(stream, hot, lm).writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
@@ -69,8 +74,9 @@ class CurationStreamSpec extends AnyFunSuite {
           val rows = b.collect()
           deliveries.addAndGet(rows.length.toLong)
           rows.foreach(r => byId.put(r.getLong(0),
-            (r.getDouble(1), r.getDouble(2), r.getBoolean(3),
-              r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))))
+            (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+              r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+              r.getBoolean(7), r.getBoolean(8))))
           // die AFTER the side effect, BEFORE the offset/state commit —
           // the replayed batch must recompute identical verdicts (state
           // rolls back with the batch)
@@ -92,21 +98,128 @@ class CurationStreamSpec extends AnyFunSuite {
     // ...and idempotent-by-doc_id absorption leaves exactly the corpus
     assert(byId.size == ids.length, s"got ${byId.size} of ${ids.length} docs")
 
-    // every per-gate verdict equals the batch manifest's
-    byId.foreach { case (id, (q, bf, qOk, bOk, canon, keep)) =>
-      val (bq, bbf, bqOk, bbOk, bcanon) = batch(id)
-      assert(q == bq && bf == bbf,
-        s"doc $id scores: stream ($q, $bf) vs batch ($bq, $bbf)")
-      assert(qOk == bqOk && bOk == bbOk && canon == bcanon,
-        s"doc $id verdicts: stream ($qOk, $bOk, $canon) vs batch ($bqOk, $bbOk, $bcanon)")
-      assert(keep == (qOk && bOk && canon), s"doc $id keep must compose its gates")
+    // every score and per-gate verdict equals the batch manifest's —
+    // including the band gate, scored from the saved model
+    byId.foreach { case (id, (q, bt, bf, qOk, pOk, bOk, canon, keep)) =>
+      val (bq, bbt, bbf, bqOk, bpOk, bbOk, bcanon) = batch(id)
+      assert(q == bq && bt == bbt && bf == bbf,
+        s"doc $id scores: stream ($q, $bt, $bf) vs batch ($bq, $bbt, $bbf)")
+      assert(qOk == bqOk && pOk == bpOk && bOk == bbOk && canon == bcanon,
+        s"doc $id verdicts: stream ($qOk, $pOk, $bOk, $canon) " +
+          s"vs batch ($bqOk, $bpOk, $bbOk, $bcanon)")
+      assert(keep == (qOk && pOk && bOk && canon),
+        s"doc $id keep must compose its gates")
     }
-    // the documented band exclusion: batch p20 keep (which ALSO gates on
-    // the corpus-global surprisal band) is a strict subset of the stream's
-    val streamKeep = byId.collect { case (id, t) if t._6 => id }.toSet
-    assert(batchKeep.subsetOf(streamKeep),
-      s"batch keep must be contained in stream keep: ${(batchKeep -- streamKeep).take(5)}")
-    assert(streamKeep.size > batchKeep.size,
-      "the band gate must actually drop something in batch, or this pin is vacuous")
+    // full parity: with the band scored from the frozen model, the
+    // streamed keep set IS the batch p20 keep set — no exclusions left
+    val streamKeep = byId.collect { case (id, t) if t._8 => id }.toSet
+    assert(streamKeep == batchKeep,
+      s"stream keep must equal batch keep; stream-only=${(streamKeep -- batchKeep).take(5)} " +
+        s"batch-only=${(batchKeep -- streamKeep).take(5)}")
+    // the band gate actually participates (guards against a vacuous pin)
+    assert(byId.exists { case (_, t) => !t._5 },
+      "some document must fail the band gate, or the parity pin is vacuous")
+  }
+
+  test("hot-shingle artifact is bounded by construction; the cap changes nothing on the fixtures") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+
+    // the fixtures' hot head is far below the default cap, so the capped
+    // artifact IS the uncapped set — verdict stability for free
+    val uncapped = CurationStream.trainHotShingles(docs, Int.MaxValue)
+      .collect().map(_.getString(0)).toSet
+    val capped = CurationStream.trainHotShingles(docs)
+      .collect().map(_.getString(0)).toSet
+    assert(uncapped.size < CurationStream.HotShingleTopK,
+      "fixture head must sit below the cap or this equality is vacuous")
+    assert(capped == uncapped, "default cap must not drop fixture hot shingles")
+
+    // planted power-law corpus: every doc shares one template sentence
+    // (one hot head per template shingle), plus a unique tail — a
+    // boilerplate-heavy crawl in miniature. The cap bounds the artifact
+    // no matter how many documents repeat the template.
+    val template = "click here to accept all cookies and continue reading now"
+    val planted = (0L until 200L).map(i => (i, s"$template unique tail $i marker${i}a marker${i}b"))
+      .toDF("doc_id", "text")
+    val head = CurationStream.trainHotShingles(planted, Int.MaxValue)
+    assert(head.count() >= 8, "template must plant a real hot head")
+    val cappedPlanted = CurationStream.trainHotShingles(planted, 5)
+    assert(cappedPlanted.count() == 5, "capped artifact must be exactly topK rows")
+    // and the kept 5 are the HOTTEST (all template shingles have df=200;
+    // the tie-break is deterministic on the gram text)
+    val keptDf = CurationStream.trainHotShingles(planted, 5)
+      .join(graft.operators.Dedup.rawShingles(planted).groupBy($"g").count(), "g")
+      .select($"count").collect().map(_.getLong(0))
+    assert(keptDf.forall(_ == 200L), "the capped artifact must keep max-df shingles")
+  }
+
+  test("event-time dedup horizon evicts silent hashes; duplicates inside the horizon still die") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // artifacts trained on a tiny static corpus (content is irrelevant to
+    // the canonical gate — we assert canonical flags only)
+    val train = Seq((0L, "the a of and to in base corpus text")).toDF("doc_id", "text")
+    val hot = CurationStream.trainHotShingles(train)
+    val lm = trainLm(train)
+
+    // event-time horizon: fully data-driven (the watermark advances with
+    // the files, no wall-clock sleeps). One file per micro-batch; the
+    // watermark a batch sees is computed from the PREVIOUS batch, and
+    // timers fire after that batch's data — hence the eviction chunk (c)
+    // sits between the far-future watermark push (b) and the re-arrival (d)
+    val horizon = 60000L // 1 min
+    val t0 = 1700000000000L // fixed epoch base; determinism over wall clock
+    val dataDir = Files.createTempDirectory("graft-curstream-hzn-data").toString
+    val ckpt = Files.createTempDirectory("graft-curstream-hzn-ckpt").toString
+    var chunk = 0
+    def land(rows: (Long, String, Long)*): Unit = {
+      val tmp = Files.createTempDirectory("graft-hzn-chunk").toString
+      rows.toSeq.toDF("doc_id", "text", "ms")
+        .withColumn("ts", (col("ms") / 1000.0).cast("timestamp")).drop("ms")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dest = new java.io.File(dataDir, f"chunk-$chunk%03d.parquet")
+      Files.move(part.toPath, dest.toPath)
+      // pin mtimes so the file source's one-file-per-batch order is the
+      // landing order, not a same-millisecond race
+      assert(dest.setLastModified(System.currentTimeMillis() - 3600000L + chunk * 60000L))
+      chunk += 1
+    }
+    // a: first-seen pair + an intra-horizon duplicate 30 s later
+    land((1L, "dup text body", t0), (2L, "other text", t0),
+      (3L, "dup text body", t0 + 30000L))
+    // b: far-future event pushes the watermark past every deadline
+    land((4L, "unrelated text", t0 + 600000L))
+    // c: a batch AFTER the watermark advanced — its timer phase evicts
+    // the now-expired hashes
+    land((6L, "window turner text", t0 + 610000L))
+    // d: the evicted hash arrives again — canonical again
+    land((5L, "dup text body", t0 + 620000L))
+
+    val got = scala.collection.concurrent.TrieMap.empty[Long, Boolean]
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, ts TIMESTAMP")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = CurationStream.manifest(stream, hot, lm, dedupHorizonMs = Some(horizon))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r => got.put(r.getLong(0), r.getBoolean(7)))
+        ()
+      }.start()
+    assert(q.awaitTermination(120000), "horizon drain did not finish")
+    q.stop()
+
+    assert(got(1L) && got(2L), "first arrivals are canonical")
+    assert(!got(3L), "a duplicate INSIDE the horizon must still die")
+    assert(got(4L) && got(6L), "unrelated docs are canonical")
+    assert(got(5L),
+      "after the watermark passes the horizon the hash's next arrival " +
+        "must be canonical again")
   }
 }
