@@ -201,6 +201,82 @@ object Curation {
        |  CASE WHEN share = 0 THEN NULL ELSE round(p / z / share, 4) END AS epochs
        |FROM shares, z ORDER BY source""".stripMargin
 
+  /** Sampling resolution for [[mixtureResample]]: keep rates are rounded
+    * to 1e-6 and compared against a 32-bit content hash mod this scale,
+    * so the keep decision is integer-exact in both engines.
+    */
+  val ResampleScale = 1000000L
+
+  /** APPLY the p10 mixture weights (p19) — the resampled-corpus keep-list
+    * a pipeline actually materializes after choosing a temperature: each
+    * source is deterministically DOWN-sampled toward its target share,
+    * scaled so the most up-weighted source keeps everything (downsampling
+    * only — this engine never fabricates repeats; epochs > 1 is the
+    * loader's job, exactly what p10's `epochs` column reports). keep_rate
+    * for source s is (weight_s / share_s) / max_s(weight_s / share_s);
+    * the per-doc coin is the seeded content hash ("mix" salt, doc_id) so
+    * the sample is stable across reshuffles, engines and re-ingestion —
+    * the p2/p14 determinism convention applied to mixture sampling.
+    *
+    * Scale shape: two source-cardinality aggregates (token shares, the
+    * rate normalizer) broadcast back onto the corpus as a tiny dimension
+    * table; the keep decision is a stateless per-row expression. One
+    * corpus scan, one broadcast join, no shuffle of the corpus itself.
+    */
+  def mixtureResample(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy(col("source"))
+      .agg(sum(size(Portable.tokens(col("text")))).cast("bigint").as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot"))
+    val shares = per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        when(col("tot") === 0, lit(0.0))
+          .otherwise(col("n_tokens") / col("tot")).as("share"))
+      .withColumn("p", pow(col("share"), MixtureAlpha))
+    val z = shares.agg(sum(col("p")).as("z"))
+    val rates = shares.crossJoin(broadcast(z))
+      .select(col("source"),
+        // share = 0 (tokenless source): nothing to sample — rate 0, both
+        // engines, instead of a 0/0 NULL/NaN divergence
+        when(col("share") === 0 || col("z") === 0, lit(0.0))
+          .otherwise(col("p") / col("z") / col("share")).as("rate0"))
+    val m = rates.agg(max(col("rate0")).as("m"))
+    val keepRate = rates.crossJoin(broadcast(m))
+      .select(col("source"),
+        when(col("m") === 0, lit(0.0))
+          .otherwise(round(col("rate0") / col("m"), 6)).as("keep_rate"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(keepRate), "source")
+      .select(col("doc_id"), col("source"), col("keep_rate"),
+        (Portable.hash32(concat_ws("|", lit("mix"), col("doc_id"))) % ResampleScale
+          < col("keep_rate") * ResampleScale).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sqlMixtureResample: String = {
+    val h = Portable.sqlHash32("'mix|' || doc_id")
+    s"""WITH per AS (SELECT source,
+       |    sum(len(${Portable.sqlTokens("text")}))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT sum(n_tokens)::BIGINT AS tot FROM per),
+       |shares AS (SELECT source,
+       |    CASE WHEN tot = 0 THEN 0.0 ELSE n_tokens::DOUBLE / tot END AS share,
+       |    power(CASE WHEN tot = 0 THEN 0.0 ELSE n_tokens::DOUBLE / tot END,
+       |      $MixtureAlpha) AS p
+       |  FROM per, tot),
+       |z AS (SELECT sum(p) AS z FROM shares),
+       |rates AS (SELECT source,
+       |    CASE WHEN share = 0 OR z = 0 THEN 0.0 ELSE p / z / share END AS rate0
+       |  FROM shares, z),
+       |m AS (SELECT max(rate0) AS m FROM rates),
+       |kr AS (SELECT source,
+       |    CASE WHEN m = 0 THEN 0.0 ELSE round(rate0 / m, 6) END AS keep_rate
+       |  FROM rates, m)
+       |SELECT d.doc_id, d.source, kr.keep_rate,
+       |  ($h % $ResampleScale) < kr.keep_rate * $ResampleScale AS keep
+       |FROM documents d JOIN kr USING (source)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ------------------------------------------- sequence packing
 
   /** Training sequence length (tokens) for packing. */

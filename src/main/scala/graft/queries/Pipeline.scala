@@ -409,6 +409,12 @@ object Pipeline {
     QueryDef.sql("p10_mixture", Curation.sqlMixtureWeights) { (s, dir) =>
       Curation.mixtureWeights(Tables.documents(s, dir))
     },
+    // APPLY the mixture: deterministic content-hash downsample of each
+    // source toward its p10 target share (binding source keeps all) —
+    // the resampled keep-list a pipeline ships after picking a temperature
+    QueryDef.sql("p19_mixture_resample", Curation.sqlMixtureResample) { (s, dir) =>
+      Curation.mixtureResample(Tables.documents(s, dir))
+    },
 
     // -------- concat-and-chunk sequence packing (sharded prefix sums)
     QueryDef.sql("p11_pack", Curation.sqlPackSequences) { (s, dir) =>

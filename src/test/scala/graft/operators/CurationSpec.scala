@@ -29,6 +29,36 @@ class CurationSpec extends AnyFunSuite {
     assert(rates.values.forall(r => r >= 20 && r < 80))
   }
 
+  test("mixture resample: binding source keeps all, dominant source is thinned toward its target") {
+    // big: 160 docs x 4 tokens; small: 40 docs x 4 tokens -> shares 0.8/0.2.
+    // alpha=0.5 targets ~(0.67, 0.33): small is the most up-weighted source
+    // (rate 0.33/0.2) -> keep_rate 1.0; big is thinned by (0.67/0.8)/(0.33/0.2)
+    val d = docs(
+      ((0L until 160L).map(i => (i, "alpha beta gamma delta", "big")) ++
+        (160L until 200L).map(i => (i, "alpha beta gamma delta", "small"))): _*)
+    val r = Curation.mixtureResample(d).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2), x.getBoolean(3)))
+    val bySource = r.groupBy(_._2)
+    // the binding (most up-weighted) source keeps everything
+    assert(bySource("small").forall(_._3 == 1.0))
+    assert(bySource("small").forall(_._4))
+    // expected big rate: (w_big/s_big) / (w_small/s_small) with alpha=.5
+    val (sb, ss) = (0.8, 0.2)
+    val z = math.pow(sb, 0.5) + math.pow(ss, 0.5)
+    val expected = BigDecimal((math.pow(sb, 0.5) / z / sb) / (math.pow(ss, 0.5) / z / ss))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(bySource("big").forall(_._3 == expected),
+      s"big keep_rate ${bySource("big").head._3} != $expected")
+    // the thinning actually happens, at roughly the advertised rate
+    val kept = bySource("big").count(_._4)
+    assert(kept < 160 && kept > 160 * expected * 0.5,
+      s"big kept $kept of 160 at rate $expected")
+    // deterministic: same corpus, same sample
+    val again = Curation.mixtureResample(d).collect()
+      .map(x => (x.getLong(0), x.getBoolean(3))).toSeq
+    assert(again == r.map(x => (x._1, x._4)).toSeq)
+  }
+
   test("per-source cap keeps the lowest doc_ids, at most SourceCap per source") {
     val d = docs((0L until 50L).map(i => (i, s"doc $i", "only")): _*)
     val kept = Curation.perSourceCap(d).collect().map(_.getLong(0)).toSeq
