@@ -365,19 +365,34 @@ object TextOps {
   final case class SurprisalModel(counts: DataFrame, totals: DataFrame,
                                   band: DataFrame)
 
-  /** Train the t13 model on `docs` and persist it under `dir`:
-    * `dir/lm_unigram` (vocabulary-scaling — parallel write),
-    * `dir/lm_totals` and `dir/lm_band` (one row each). Parquet longs and
-    * doubles are binary-exact, so scoring from the loaded model is
-    * byte-identical to scoring in-lineage (t21 gates exactly this
-    * against t13).
+  /** Cap on the persisted model's vocabulary: top-K words BY COUNT. The
+    * lookup table is bounded by construction (a TakeOrderedAndProject,
+    * whatever the corpus's long tail looks like) — the CCNet/KenLM
+    * convention of a truncated vocabulary, with everything below the cap
+    * scoring through the SAME add-one unseen floor the scorer already
+    * applies to genuinely novel words. The (N, V) totals stay FULL-corpus
+    * statistics: the cap truncates the lookup table, not the model's
+    * notion of how much text it saw. On the fixtures the vocabulary sits
+    * far below the cap, so t21's byte-for-byte hash-match against t13
+    * also proves the cap changes nothing until it has to.
     */
-  def trainAndSaveSurprisalModel(docs: DataFrame, dir: String): SurprisalModel = {
+  val LmVocabTopK = 1000000
+
+  /** Train the t13 model on `docs` and persist it under `dir`:
+    * `dir/lm_unigram` (top-[[LmVocabTopK]] by count — bounded, parallel
+    * write), `dir/lm_totals` and `dir/lm_band` (one row each). Parquet
+    * longs and doubles are binary-exact, so scoring from the loaded
+    * model is byte-identical to scoring in-lineage (t21 gates exactly
+    * this against t13).
+    */
+  def trainAndSaveSurprisalModel(docs: DataFrame, dir: String,
+                                 vocabTopK: Int = LmVocabTopK): SurprisalModel = {
     val (counts, totals) = unigramModel(docs)
-    val band = scoreUnigram(docs, counts, totals)
+    val capped = counts.orderBy(col("c").desc, col("t")).limit(vocabTopK)
+    val band = scoreUnigram(docs, capped, totals)
       .agg(percentile(col("bits_per_token"), lit(0.25)).as("lo"),
         percentile(col("bits_per_token"), lit(0.75)).as("hi"))
-    graft.sources.ModelStore.saveLarge(counts, s"$dir/lm_unigram")
+    graft.sources.ModelStore.saveLarge(capped, s"$dir/lm_unigram")
     graft.sources.ModelStore.save(totals, s"$dir/lm_totals")
     graft.sources.ModelStore.save(band, s"$dir/lm_band")
     loadSurprisalModel(docs.sparkSession, dir)

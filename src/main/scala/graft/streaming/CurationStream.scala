@@ -36,12 +36,14 @@ import graft.operators.{Curation, Dedup, TextOps}
   *    `dedupHorizonMs`) bounds the state for unbounded corpora.
   *
   * Scale shape: both trained artifacts are BOUNDED BY CONSTRUCTION — the
-  * hot set is top-[[HotShingleTopK]] by document frequency (a
-  * TakeOrderedAndProject, so a boilerplate-heavy crawl cannot push the
-  * broadcast row past the cap), and the LM map is vocabulary-sized
-  * (model-scaling, not corpus-scaling; per-executor LM residency is how
-  * CCNet ships KenLM — for vocabularies beyond broadcast limits the
-  * hashed-bucket form p18/DSIR uses is the fallback). Canonical state is
+  * hot set is top-[[HotShingleTopK]] by document frequency and the LM
+  * vocabulary is top-[[TextOps.LmVocabTopK]] by count (each a
+  * TakeOrderedAndProject, so neither a boilerplate-heavy crawl nor a
+  * long-tailed vocabulary can push the broadcast rows past their caps;
+  * below-cap words score through the same add-one floor as unseen ones).
+  * Per-executor LM residency is how CCNet ships KenLM; for models beyond
+  * broadcast limits the hashed-bucket form p18/DSIR uses is the
+  * fallback. Canonical state is
   * one boolean per distinct text hash within the dedup horizon; at 100 TB
   * run it on the RocksDB state store (conf-only, proven in RecoverySpec).
   */

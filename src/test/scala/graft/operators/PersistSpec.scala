@@ -188,6 +188,29 @@ class PersistSpec extends AnyFunSuite {
       s"P25-P75 band must hold ~half the corpus: $inside of ${bits.size}")
   }
 
+  test("LM vocab cap bounds the artifact, keeps the hottest words, totals stay corpus-exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // planted long tail: 5 hot words everywhere + a unique word per doc
+    val docs = (0L until 50L)
+      .map(i => (i, s"the cat sat on mat unique$i"))
+      .toDF("doc_id", "text")
+    val dir = tmp("graft-lm-cap-")
+    val m = TextOps.trainAndSaveSurprisalModel(docs, dir, vocabTopK = 5)
+    val kept = m.counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // bounded by construction, hottest words kept
+    assert(kept.size == 5, s"capped vocab must be exactly topK: $kept")
+    assert(kept.keySet == Set("the", "cat", "sat", "on", "mat"))
+    assert(kept.values.forall(_ == 50L))
+    // totals describe the FULL corpus (cap truncates the table, not N/V)
+    val t = m.totals.collect().head
+    assert(t.getAs[Long]("n") == 50L * 6)
+    assert(t.getAs[Long]("v") == 5 + 50)
+    // tail words score via the add-one floor — same as genuinely unseen
+    val scored = TextOps.unigramSurprisalFromSaved(docs, m).collect()
+    assert(scored.forall(_.getDouble(2) > 0.0))
+  }
+
   test("incremental shard encode: a new vector enters the saved index and is served, no retraining") {
     val spark = TestSpark.spark
     import spark.implicits._
