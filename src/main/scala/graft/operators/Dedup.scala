@@ -185,23 +185,35 @@ object Dedup {
     * [[Portable.MinHashRows]] configuration, byte-identical to the oracle.
     */
   private[graft] def lshCandidates(sh: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val hashed = sh.select(col("doc_id"), Portable.hash32(col("g")).as("h"))
+    val stacked = bandBuckets(hashed, bands, rows)
+    stacked.as("x").join(stacked.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib")).distinct()
+  }
+
+  /** (doc_id, band, bh) band-bucket rows from a HASHED shingle table
+    * (doc_id, h): MinHash signature of `bands * rows` permutations, each
+    * band's row block md5-fingerprinted — the LSH bucket key. One row per
+    * (doc, band); shared by the in-query candidate join ([[lshCandidates]])
+    * and the persisted index ([[buildAndSaveLshIndex]]).
+    */
+  private[graft] def bandBuckets(hashed: DataFrame,
+                                 bands: Int = MinHashBands,
+                                 rows: Int = MinHashRows): DataFrame = {
     require(bands * rows <= MinHashPerms,
       s"bands*rows must fit the ${MinHashPerms} defined permutations")
-    val hashed = sh.select(col("doc_id"), Portable.hash32(col("g")).as("h"))
     val aggs = (0 until bands * rows).map(i => min(minHashPerm(col("h"), i)).as(s"h$i"))
     val sig = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws(",", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
         .as(s"band$b")
     }
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
-    val stacked = banded.selectExpr("doc_id",
-      s"stack($bands, " +
-        (0 until bands).map(b => s"$b, band$b").mkString(", ") + ") AS (band, bh)")
-    stacked.as("x").join(stacked.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib")).distinct()
+    sig.select(col("doc_id") +: bandCols: _*)
+      .selectExpr("doc_id",
+        s"stack($bands, " +
+          (0 until bands).map(b => s"$b, band$b").mkString(", ") + ") AS (band, bh)")
   }
 
   /** MinHash-LSH near-dup pairs: band the signature (MinHashBands bands of
@@ -405,6 +417,179 @@ object Dedup {
     graft.sources.ModelStore.load(spark, path)
       .select(col("doc_id"), col("cluster"))
       .orderBy(col("doc_id"))
+
+  // ---------------------------------- persisted LSH index + shard dedup (d13)
+
+  /** The persisted LSH index of a corpus — what [[shardLshPairs]] dedups a
+    * NEW shard against without touching the old corpus again:
+    *  - `shingles`: (doc_id, h) — the df-capped inverted index, shingle
+    *    identity reduced to [[Portable.hash32]] (8 bytes on the wire; the
+    *    oracle keys on the SAME hash, so there is no cross-engine
+    *    collision divergence to argue about);
+    *  - `buckets`: (doc_id, band, bh) — the MinHash band buckets, the
+    *    candidate-join key;
+    *  - `stop`: (h) — the hot shingles the df cap DROPPED, persisted so a
+    *    shard can apply the same stop list to its own shingles (a
+    *    boilerplate shingle must not re-enter candidate generation just
+    *    because the shard is processed alone).
+    */
+  final case class LshIndex(shingles: DataFrame, buckets: DataFrame, stop: DataFrame)
+
+  /** Build and persist the [[LshIndex]] of a corpus — the dedup analogue
+    * of s9's saved ANN index: cluster-side state that lets tomorrow's
+    * shard be deduplicated against today's corpus at SHARD cost. All
+    * three tables scale with the corpus (shingles/buckets) or the
+    * power-law head (stop), so they go through
+    * [[graft.sources.ModelStore.saveLarge]]'s bounded-file parallel
+    * writer. The stop list carries its df so bounded consumers (the
+    * streaming gate's top-K collected form) can rank it; the batch path
+    * uses the full list via anti-join and never collects it.
+    */
+  def buildAndSaveLshIndex(docs: DataFrame, dir: String): Unit = {
+    val sh0 = rawShingles(docs)
+    val df = sh0.groupBy(col("g")).agg(count(lit(1)).as("df")).cache()
+    val stop = df.filter(col("df") > MaxShingleDocFreq)
+      .select(Portable.hash32(col("g")).as("h"), col("df"))
+    val kept = sh0
+      .join(df.filter(col("df") <= MaxShingleDocFreq).select(col("g")), "g")
+      .select(col("doc_id"), Portable.hash32(col("g")).as("h"))
+      .cache()
+    graft.sources.ModelStore.saveLarge(kept, s"$dir/shingles")
+    graft.sources.ModelStore.saveLarge(bandBuckets(kept), s"$dir/buckets")
+    graft.sources.ModelStore.saveLarge(stop, s"$dir/stop")
+    kept.unpersist()
+    df.unpersist()
+  }
+
+  /** Load a persisted [[LshIndex]] (the [[buildAndSaveLshIndex]] artifact). */
+  def loadLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String): LshIndex =
+    LshIndex(
+      graft.sources.ModelStore.load(spark, s"$dir/shingles"),
+      graft.sources.ModelStore.load(spark, s"$dir/buckets"),
+      graft.sources.ModelStore.load(spark, s"$dir/stop"))
+
+  /** Incremental shard dedup (d13): near-dup pairs of a NEW shard —
+    * against the indexed corpus AND within itself — computed entirely
+    * from the shard plus the saved [[LshIndex]], with the old corpus
+    * never re-read. The daily-ingest economics of s11 applied to dedup:
+    * at 100 TB the corpus-side LSH state is built ONCE
+    * ([[buildAndSaveLshIndex]]) and each day's shard costs
+    * O(shard + matched candidates), while the d4 form re-shingles and
+    * re-signs the whole corpus per run.
+    *
+    * Declared incremental semantics (each a deliberate, documented
+    * divergence from a full d4 re-run over the union — all mirrored
+    * exactly by the oracle):
+    *  - the index side is FROZEN: old docs keep the signatures computed
+    *    under the old corpus's df cap (that is what an index is);
+    *  - the shard drops, first, every shingle on the saved stop list
+    *    (hot in the OLD corpus), then every shingle with shard-local df
+    *    above the same cap (hot in the SHARD) — both drops are the d2/d4
+    *    skew guard, applied per collection because a union-wide df
+    *    recount would cost a corpus pass and defeat the point.
+    *
+    * Scale shape: candidates come from two equi-joins on (band, bh) —
+    * shard buckets x saved buckets, shard buckets x themselves — so
+    * per-key volume is bounded by bucket co-membership exactly as in d4;
+    * the Jaccard verify joins candidate pairs to the hashed shingle
+    * tables on 8-byte keys, touching only candidate docs' postings. AQE
+    * broadcasts the shard side when it measures small.
+    */
+  def shardLshPairs(shard: DataFrame, idx: LshIndex): DataFrame = {
+    val hashed = rawShingles(shard)
+      .select(col("doc_id"), Portable.hash32(col("g")).as("h"))
+      .join(idx.stop, Seq("h"), "left_anti")
+    val sdf = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val news = hashed
+      .join(sdf.filter(col("df") <= MaxShingleDocFreq).select(col("h")), "h")
+      .cache()
+    val nb = bandBuckets(news)
+    val cross = nb.as("x").join(idx.buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("ia"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("ib"))
+    val within = nb.as("x").join(nb.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+    val cand = cross.union(within).distinct()
+    val all = idx.shingles.select(col("doc_id"), col("h")).unionByName(news)
+    val cnt = all.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand.join(all.as("a"), col("ia") === col("a.doc_id"))
+      .select(col("ia"), col("ib"), col("a.h").as("ch"))
+      .join(all.as("b"), col("ch") === col("b.h") && col("ib") === col("b.doc_id"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.as("ca"), col("ia") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("ib") === col("cb.doc_id"))
+      .select(col("ia"), col("ib"),
+        round(col("inter") * lit(1.0) / (col("ca.n") + col("cb.n") - col("inter")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** Oracle for [[shardLshPairs]]: replays the identical split (first 4/5
+    * of the corpus indexed, the rest is the shard), per-collection df
+    * caps, hash32-keyed signatures/buckets and hashed-postings Jaccard —
+    * every declared incremental semantic mirrored term by term.
+    */
+  def sqlShardLshPairs: String = {
+    val n = ShingleN
+    val grams = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    val h = Portable.sqlHash32("g")
+    def mins(src: String, out: String) = {
+      val ms = (0 until MinHashPerms)
+        .map(i => s"min(${sqlMinHashPerm("h", i)}) AS h$i").mkString(", ")
+      s"$out AS (SELECT doc_id, $ms FROM $src GROUP BY doc_id)"
+    }
+    def stack(sig: String, out: String) = {
+      val arms = (0 until MinHashBands).map { b =>
+        val cols = (0 until MinHashRows).map(r => s"h${b * MinHashRows + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bh FROM $sig"
+      }.mkString(" UNION ALL ")
+      s"$out AS ($arms)"
+    }
+    s"""WITH cn AS (SELECT (count(*) * 4) // 5 AS cnt FROM documents),
+       |toks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, $grams AS g
+       |        FROM toks, LATERAL unnest(range(1, len(w) - ${n - 2})) t(i)),
+       |old0 AS (SELECT * FROM sh0 WHERE doc_id < (SELECT cnt FROM cn)),
+       |odf AS (SELECT g, count(*) AS df FROM old0 GROUP BY g),
+       |stop AS (SELECT $h AS h FROM odf WHERE df > $MaxShingleDocFreq),
+       |olds AS (SELECT doc_id, $h AS h FROM old0
+       |         JOIN (SELECT g FROM odf WHERE df <= $MaxShingleDocFreq) USING (g)),
+       |new0 AS (SELECT doc_id, $h AS h FROM sh0 WHERE doc_id >= (SELECT cnt FROM cn)),
+       |new1 AS (SELECT doc_id, h FROM new0 WHERE h NOT IN (SELECT h FROM stop)),
+       |ndf AS (SELECT h, count(*) AS df FROM new1 GROUP BY h),
+       |news AS (SELECT doc_id, h FROM new1
+       |         JOIN (SELECT h FROM ndf WHERE df <= $MaxShingleDocFreq) USING (h)),
+       |${mins("olds", "osig")},
+       |${mins("news", "nsig")},
+       |${stack("osig", "ob")},
+       |${stack("nsig", "nb")},
+       |cand AS (
+       |  SELECT least(x.doc_id, y.doc_id) AS ia, greatest(x.doc_id, y.doc_id) AS ib
+       |  FROM nb x JOIN ob y ON x.band = y.band AND x.bh = y.bh
+       |    AND x.doc_id != y.doc_id
+       |  UNION
+       |  SELECT x.doc_id, y.doc_id
+       |  FROM nb x JOIN nb y ON x.band = y.band AND x.bh = y.bh
+       |    AND x.doc_id < y.doc_id),
+       |allsh AS (SELECT doc_id, h FROM olds UNION ALL SELECT doc_id, h FROM news),
+       |cnt2 AS (SELECT doc_id, count(*) AS n FROM allsh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS inter
+       |          FROM allsh a JOIN allsh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT c.ia, c.ib,
+       |  round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+       |FROM cand c JOIN pairs p ON p.ia = c.ia AND p.ib = c.ib
+       |JOIN cnt2 ca ON ca.doc_id = c.ia JOIN cnt2 cb ON cb.doc_id = c.ib
+       |WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= $JaccardThreshold
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   /** Oracle: exact reachability closure via recursive CTE over the same
     * LSH pairs — convergence-independent ground truth for [[dupClusters]].

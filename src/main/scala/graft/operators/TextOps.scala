@@ -718,6 +718,142 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Absolute discount for [[knSurprisal]] (t23): Kneser-Ney's D, fixed
+    * at the standard 0.75 so the model is exactly reproducible
+    * cross-engine (estimating D from n1/(n1+2n2) would work but adds a
+    * corpus-dependent constant for no oracle benefit).
+    */
+  val KnDiscount = 0.75
+
+  /** Interpolated Kneser-Ney bigram surprisal (t23) — the canonical
+    * n-gram smoother (Kneser & Ney 1995; Chen & Goodman 1999), the
+    * model KenLM itself ships: score each document by the mean
+    * −log2 P_KN(w | pre) where
+    *
+    *   P_KN(w|pre) = max(c(pre w) − D, 0)/c(pre)
+    *               + (D · N1+(pre,·)/c(pre)) · P_cont(w)
+    *   P_cont(w)   = (N1+(·,w) + 1) / (B + V)
+    *
+    * with N1+(pre,·) the number of DISTINCT bigram types starting with
+    * pre, N1+(·,w) the distinct types ending in w, and B the total
+    * distinct-bigram count. The Kneser-Ney insight over t20's
+    * Jelinek-Mercer: the backoff channel is the CONTINUATION count, not
+    * the raw unigram count — "francisco" is frequent but follows almost
+    * nothing except "san", so its backoff mass is tiny and a stray
+    * "the francisco" is charged properly, where t20's unigram channel
+    * would let it off cheap. P_cont keeps the house add-one floor so an
+    * out-of-vocabulary word scores finite bits; a history with no
+    * attested continuations (unseen, or seen only document-finally)
+    * backs off fully to P_cont. The smoothing denominator keeps t19's
+    * documented convention (corpus-wide unigram OCCURRENCE count).
+    *
+    * Trained on the scored corpus itself (the t13–t22 convention);
+    * [[knAgainst]] is the train-here/score-there form where the backoff
+    * is actually exercised — the unit spec pins the continuation-count
+    * behavior there.
+    */
+  def knSurprisal(docs: DataFrame): DataFrame =
+    knAgainst(docs, docs)
+
+  /** Score `docs` under Kneser-Ney count tables trained on `model`.
+    *
+    * Scale shape (the t19/t20 skeleton plus two fertility tables): the
+    * model is four vocabulary-sized tables — unigram counts, bigram
+    * counts keyed (pre, nxt), per-predecessor type counts N1+(pre,·),
+    * per-successor type counts N1+(·,w) — each joined on its own key;
+    * (N, V, B) is one broadcast single-row aggregate. Per-doc bigram
+    * term frequencies map-side combine before any exchange; nothing
+    * corpus-sized is ever broadcast.
+    */
+  def knAgainst(model: DataFrame, docs: DataFrame): DataFrame = {
+    val mtk = model.select(tokens(col("text")).as("w"))
+    val uni = mtk.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    val bcf = mtk.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("pre"),
+          element_at(col("w"), i + 1).as("nxt")))).as("b"))
+      .select(col("b.pre").as("pre"), col("b.nxt").as("nxt"))
+      .groupBy(col("pre"), col("nxt")).agg(count(lit(1)).as("cg"))
+    val fpre = bcf.groupBy(col("pre")).agg(count(lit(1)).as("n1f"))
+    val fnxt = bcf.groupBy(col("nxt")).agg(count(lit(1)).as("n1b"))
+    val totals = uni.agg(sum(col("cu")).as("n"), count(lit(1)).as("v"))
+      .crossJoin(bcf.agg(count(lit(1)).as("btot")))
+    val bg = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("pre"),
+          element_at(col("w"), i + 1).as("nxt")))).as("b"))
+      .select(col("doc_id"), col("b.pre").as("pre"), col("b.nxt").as("nxt"))
+    val tf = bg.groupBy(col("doc_id"), col("pre"), col("nxt"))
+      .agg(count(lit(1)).as("tf"))
+    val d = lit(KnDiscount)
+    val cg0 = coalesce(col("cg"), lit(0L))
+    val cpre0 = coalesce(col("cpre"), lit(0L))
+    val n1f0 = coalesce(col("n1f"), lit(0L))
+    val n1b0 = coalesce(col("n1b"), lit(0L))
+    val pCont = (n1b0 + 1.0) / (col("btot") + col("v"))
+    val p = when(cpre0 > 0 && n1f0 > 0,
+        greatest(cg0 - d, lit(0.0)) / cpre0 + d * n1f0 / cpre0 * pCont)
+      .otherwise(pCont)
+    val scored = tf
+      .join(bcf, Seq("pre", "nxt"), "left")
+      .join(uni.select(col("t"), col("cu").as("cpre")), col("pre") === col("t"), "left")
+      .drop("t")
+      .join(fpre.select(col("pre"), col("n1f")), Seq("pre"), "left")
+      .join(fnxt.select(col("nxt"), col("n1b")), Seq("nxt"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("tf"), (col("tf") * -log2(p)).as("wbits"))
+    docs.select(col("doc_id"))
+      .join(scored.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_bigrams"),
+          round(sum(col("wbits")) / sum(col("tf")), 4).as("bits_kn")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        // sub-2-token docs: pin the empty mean to 0.0 in both engines
+        coalesce(col("bits_kn"), lit(0.0)).as("bits_kn"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlKnSurprisal: String = {
+    val toks = Portable.sqlTokens("text")
+    val d = KnDiscount
+    s"""WITH tk AS (SELECT doc_id, $toks AS w FROM documents),
+       |uni AS (SELECT t, count(*)::BIGINT AS cu
+       |  FROM (SELECT unnest(w) AS t FROM tk) GROUP BY t),
+       |bcf AS (SELECT pre, nxt, count(*)::BIGINT AS cg FROM (
+       |  SELECT w[i] AS pre, w[i + 1] AS nxt
+       |  FROM tk, LATERAL unnest(range(1, len(w))) t(i)) GROUP BY 1, 2),
+       |fpre AS (SELECT pre, count(*)::BIGINT AS n1f FROM bcf GROUP BY pre),
+       |fnxt AS (SELECT nxt, count(*)::BIGINT AS n1b FROM bcf GROUP BY nxt),
+       |totals AS (SELECT (SELECT sum(cu) FROM uni)::BIGINT AS n,
+       |  (SELECT count(*) FROM uni)::BIGINT AS v,
+       |  (SELECT count(*) FROM bcf)::BIGINT AS btot),
+       |bg AS (SELECT doc_id, w[i] AS pre, w[i + 1] AS nxt
+       |  FROM tk, LATERAL unnest(range(1, len(w))) t(i)),
+       |tf AS (SELECT doc_id, pre, nxt, count(*)::BIGINT AS tf FROM bg GROUP BY 1, 2, 3),
+       |scored AS (SELECT tf.doc_id, tf.tf,
+       |    tf.tf * -log2(CASE
+       |      WHEN coalesce(up.cu, 0) > 0 AND coalesce(fpre.n1f, 0) > 0
+       |      THEN greatest(coalesce(bcf.cg, 0) - $d, 0.0) / up.cu
+       |         + $d * fpre.n1f / up.cu
+       |           * ((coalesce(fnxt.n1b, 0) + 1.0) / (totals.btot + totals.v))
+       |      ELSE (coalesce(fnxt.n1b, 0) + 1.0) / (totals.btot + totals.v)
+       |      END) AS wbits
+       |  FROM tf LEFT JOIN bcf ON bcf.pre = tf.pre AND bcf.nxt = tf.nxt
+       |  LEFT JOIN uni up ON up.t = tf.pre
+       |  LEFT JOIN fpre ON fpre.pre = tf.pre
+       |  LEFT JOIN fnxt ON fnxt.nxt = tf.nxt, totals),
+       |per AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+       |    round(sum(wbits) / sum(tf), 4) AS bits_kn
+       |  FROM scored GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
+       |  coalesce(per.bits_kn, 0.0) AS bits_kn
+       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def sqlStupidBackoffSurprisal: String = {
     val toks = Portable.sqlTokens("text")
     val a = SbAlpha

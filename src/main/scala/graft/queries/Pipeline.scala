@@ -96,6 +96,21 @@ object Pipeline {
     QueryDef.sql("p22_substr_cut", Dedup.sqlSubstrCut) { (s, dir) =>
       Dedup.substrCut(Tables.documents(s, dir))
     },
+    // incremental shard dedup: build the LSH index on the FIRST 4/5 of
+    // the corpus (saved artifact: hashed shingle postings + band buckets
+    // + stop list), then find the held-out shard's near-dup pairs —
+    // cross-corpus AND within-shard — from the shard plus the index
+    // alone, the old corpus never re-read. The s11 daily-ingest
+    // economics applied to dedup: index once at corpus cost, dedup each
+    // shard at shard cost
+    QueryDef.sql("d13_lsh_shard_pairs", Dedup.sqlShardLshPairs) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cut = docs.count() * 4 / 5
+      val idxDir = artifactDir("lshindex", dir)(tmp =>
+        Dedup.buildAndSaveLshIndex(docs.filter(col("doc_id") < cut), tmp))
+      Dedup.shardLshPairs(docs.filter(col("doc_id") >= cut),
+        Dedup.loadLshIndex(s, idxDir))
+    },
     // clusters -> keep-list: the deduplicated corpus (non-canonical cluster
     // members anti-joined away) — the end product a pipeline materializes.
     // Derived from the SAVED labels: the LSH+CC chain runs once per corpus
@@ -215,6 +230,12 @@ object Pipeline {
     // KenLM step after t20: highest attested channel wins, fixed α=0.4
     QueryDef.sql("t22_sb_surprisal", TextOps.sqlStupidBackoffSurprisal) { (s, dir) =>
       TextOps.stupidBackoffSurprisal(Tables.documents(s, dir))
+    },
+    // interpolated Kneser-Ney bigram surprisal — the canonical smoother
+    // KenLM ships: absolute discount + CONTINUATION-count backoff
+    // (frequent-but-predictable words get small backoff mass)
+    QueryDef.sql("t23_kn_surprisal", TextOps.sqlKnSurprisal) { (s, dir) =>
+      TextOps.knSurprisal(Tables.documents(s, dir))
     },
 
     // within-doc n-gram repetition ratio (Gopher/C4 repetition filter)

@@ -208,6 +208,94 @@ object CurationStream {
       }
     }
 
+  /** Cap on the collected stop-shingle set the streaming near-dup gate
+    * subtracts per row — the [[HotShingleTopK]] argument applied to the
+    * LSH stop list: its size is the power-law head above the df cutoff,
+    * data-dependent and unbounded, so the per-row form takes the top-K
+    * BY df (a TakeOrderedAndProject over the saved (h, df) artifact —
+    * bounded by construction). Batch/stream verdict equality holds
+    * whenever the true head fits the cap (pinned on the fixtures); the
+    * batch path ([[graft.operators.Dedup.shardLshPairs]]) anti-joins the
+    * FULL list and never collects it.
+    */
+  val NearDupStopTopK = 10000
+
+  /** Streaming near-dup-of-corpus gate: each arriving document's MinHash
+    * band hashes are computed PER ROW (pure array expressions over its
+    * own shingles — no streaming aggregation, no state), candidates come
+    * from a stream-static equi-join against the saved
+    * [[graft.operators.Dedup.LshIndex]] band buckets, and each candidate
+    * is verified with exact hashed-shingle Jaccard against the indexed
+    * doc's postings. Emits one append-mode row per verified pair
+    * (doc_id, dup_of, jaccard) — the streaming twin of d13's
+    * cross-corpus pairs, and the artifact convention is the same:
+    * yesterday's corpus is indexed offline, today's crawl is gated
+    * against it document by document.
+    *
+    * Scope (documented, deliberate): WITHIN-STREAM near-dup pairs are
+    * not detected here — two near-identical docs arriving today collide
+    * with each other only in the next index build (exact within-stream
+    * dups are [[manifest]]'s first-seen state). The shard-local df cap
+    * of the batch path has no per-row form (df is a shard aggregate);
+    * what the stream drops is the saved stop list, top-K-bounded.
+    *
+    * Scale shape: the static sides are the corpus-sized index tables
+    * (band buckets; per-doc postings aggregated to one row per indexed
+    * doc) joined on their own keys — never collected, never broadcast by
+    * hint; only the capped stop set rides the single-row dummy-key join.
+    * A pair colliding in several bands is emitted ONCE, statelessly: the
+    * indexed doc's band map rides the join and the row survives only for
+    * its minimal colliding band.
+    */
+  def nearDupPairs(docs: DataFrame, idx: Dedup.LshIndex,
+                   stopTopK: Int = NearDupStopTopK): DataFrame = {
+    import graft.functions.Portable
+    val stopArr = idx.stop.orderBy(col("df").desc, col("h")).limit(stopTopK)
+      .agg(collect_set(col("h")).as("stop_set"))
+      .withColumn("one", lit(1))
+    val oldSide = idx.shingles.groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("ohs"), count(lit(1)).as("n"))
+      .join(idx.buckets.groupBy(col("doc_id"))
+        .agg(map_from_entries(collect_list(struct(col("band"), col("bh")))).as("obm")),
+        "doc_id")
+      .withColumnRenamed("doc_id", "old_id")
+    val bands = Portable.MinHashBands
+    val rows = Portable.MinHashRows
+    val minCols = (0 until bands * rows).map(i =>
+      array_min(transform(col("hsf"), h => Portable.minHashPerm(h, i))).as(s"h$i"))
+    val bandArr = array((0 until bands).map { b =>
+      md5(concat_ws(",", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
+    }: _*)
+    val xs = docs
+      .withColumn("one", lit(1))
+      .join(broadcast(stopArr), "one")
+      .withColumn("w", TextOps.tokens(col("text")))
+      .withColumn("hs",
+        array_distinct(transform(Dedup.shingleArray(col("w")), g => Portable.hash32(g))))
+      .withColumn("hsf", array_except(col("hs"), col("stop_set")))
+      .filter(size(col("hsf")) > 0)
+      .select(col("doc_id") +: col("hsf") +: minCols: _*)
+      .withColumn("xbands", bandArr)
+      .select(col("doc_id"), col("hsf"), col("xbands"),
+        posexplode(col("xbands")).as(Seq("band", "bh")))
+      .as("x")
+    xs.join(idx.buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("doc_id"), col("hsf"), col("xbands"), col("x.band").as("band"),
+        col("y.doc_id").as("old_id"))
+      .join(oldSide, "old_id")
+      // minimal-collision-band filter: stateless pair dedup across bands
+      .filter(col("band") === 0 ||
+        forall(sequence(lit(0), col("band") - 1),
+          bb => element_at(col("obm"), bb) =!= element_at(col("xbands"), bb + lit(1))))
+      .withColumn("inter", size(array_intersect(col("hsf"), col("ohs"))))
+      .select(col("doc_id"),
+        col("old_id").as("dup_of"),
+        round(col("inter") * lit(1.0) / (size(col("hsf")) + col("n") - col("inter")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= Dedup.JaccardThreshold)
+  }
+
   /** The streaming manifest: per-row gates + keyed first-seen canonical.
     * `docs` is a streaming (doc_id, text, ...) frame; `hot` and `lm` the
     * trained static artifacts. Emits one ManifestRow per document, append

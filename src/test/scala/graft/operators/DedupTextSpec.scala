@@ -256,6 +256,63 @@ class DedupTextSpec extends AnyFunSuite {
     assert(sb("dog zzz the") == r4(-math.log(0.4 * 0.4 * 3.0 / 11.0) / math.log(2)))
   }
 
+  test("kneser-ney: continuation count, not raw frequency, sets the backoff cost") {
+    // model: "francisco" and "cat" are EQUALLY frequent (4 each), but
+    // francisco follows only "san" (1 continuation type) while cat follows
+    // a/b/c/d (4 types). After an unseen history both back off to P_cont:
+    // KN charges the predictable-but-frequent word MORE.
+    val model = docs(
+      (1L, "san francisco san francisco san francisco san francisco"),
+      (2L, "a cat b cat c cat d cat"))
+    def kn(text: String): Double =
+      TextOps.knAgainst(model, docs((10L, text))).collect().head.getDouble(2)
+    assert(kn("zzz francisco") > kn("zzz cat"),
+      "low-fertility word must cost more bits through the backoff")
+    // ...where t20's raw-unigram backoff channel provably can't tell them apart
+    def jm(text: String): Double =
+      TextOps.interpolatedSurprisalAgainst(model, docs((10L, text))).collect()
+        .head.getDouble(2)
+    assert(jm("zzz francisco") == jm("zzz cat"),
+      "the unigram channel sees equal counts — the KN distinction is real")
+  }
+
+  test("kneser-ney: hand-computed discount + backoff mass on a two-bigram model") {
+    // model "a b a b": c(a b)=2, c(b a)=1, c(a)=c(b)=2, B=2, V=2
+    // P(b|a) = max(2-0.75,0)/2 + 0.75*(1/2)*P_cont(b)
+    // P_cont(b) = (N1+(.,b)+1)/(B+V) = (1+1)/4 = 0.5  ->  P = 0.8125
+    val model = docs((0L, "a b a b"))
+    val r = TextOps.knAgainst(model, docs((1L, "a b"))).collect().head
+    assert(r.getLong(1) == 1L)
+    val expected = BigDecimal(-math.log(0.8125) / math.log(2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) == expected, s"got ${r.getDouble(2)}, want $expected")
+  }
+
+  test("saved LSH index dedups a shard: cross-corpus and within-shard pairs, at shard cost") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+    // indexed corpus: base + an unrelated doc
+    val old = docs(
+      (1L, base),
+      (2L, "completely different words entirely unrelated content here okay"))
+    Dedup.buildAndSaveLshIndex(old, dir)
+    val idx = Dedup.loadLshIndex(TestSpark.spark, dir)
+    // shard: a one-word edit of doc 1 (cross-corpus near-dup), a fresh
+    // pair of near-identical docs (within-shard), and an unrelated doc
+    val other = "orange banana cherry date elderberry fig grape honeydew " +
+      "kiwi lemon mango nectarine papaya quince raspberry strawberry"
+    val shard = docs(
+      (10L, base.replace("theta", "thetaX")),
+      (11L, other),
+      (12L, other + " tangerine"),
+      (13L, "nothing in common with anything else at all in this corpus"))
+    val pairs = Dedup.shardLshPairs(shard, idx).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (11L, 12L)),
+      s"got ${pairs.map(r => (r.getLong(0), r.getLong(1))).toSet}")
+    assert(pairs.forall(r => r.getDouble(2) >= Dedup.JaccardThreshold &&
+      r.getDouble(2) < 1.0))
+  }
+
   test("dup-rate by source counts exactly the non-canonical cluster members") {
     val s = TestSpark.spark
     import s.implicits._

@@ -155,6 +155,59 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(keptDf.forall(_ == 200L), "the capped artifact must keep max-df shingles")
   }
 
+  test("streaming near-dup gate equals the batch shard pass against the same saved index") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "orange banana cherry date elderberry fig grape honeydew " +
+      "kiwi lemon mango nectarine papaya quince raspberry strawberry"
+    val old = Seq(
+      (1L, base),
+      (2L, other),
+      (3L, "completely different words entirely unrelated content here okay"))
+      .toDF("doc_id", "text")
+    val idxDir = Files.createTempDirectory("graft-stream-lshidx").toString
+    graft.operators.Dedup.buildAndSaveLshIndex(old, idxDir)
+    val idx = graft.operators.Dedup.loadLshIndex(spark, idxDir)
+
+    // today's crawl: near-dups of docs 1 and 2, plus a fresh doc
+    val shard = Seq(
+      (10L, base + " appended"),
+      (11L, other + " trailer"),
+      (12L, "nothing in common with anything else at all in this corpus"))
+      .toDF("doc_id", "text")
+
+    // batch expectation: the cross-corpus half of d13's shard pass
+    val batch = graft.operators.Dedup.shardLshPairs(shard, idx)
+      .filter(col("ia") < 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixture must plant at least one cross-corpus pair")
+
+    val dataDir = Files.createTempDirectory("graft-stream-neardup").toString
+    shard.coalesce(1).write.mode("overwrite").parquet(dataDir)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val stream = spark.readStream.schema(shard.schema).parquet(dataDir)
+    val q = CurationStream.nearDupPairs(stream, idx)
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          got.synchronized { got += ((r.getLong(1), r.getLong(0), r.getDouble(2))) })
+        ()
+      }.start()
+    assert(q.awaitTermination(120000), "near-dup stream did not finish")
+    q.stop()
+
+    assert(got.toSet == batch,
+      s"streamed pairs must equal the batch shard pass: stream-only=${got.toSet -- batch} " +
+        s"batch-only=${batch -- got.toSet}")
+    // each pair is emitted exactly once despite multi-band collisions
+    // (the minimal-collision-band filter is the stateless dedup)
+    assert(got.size == got.distinct.size,
+      s"pairs must not repeat across bands: $got")
+  }
+
   test("event-time dedup horizon evicts silent hashes; duplicates inside the horizon still die") {
     val spark = TestSpark.spark
     import spark.implicits._
