@@ -515,10 +515,19 @@ object Dedup {
       .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
     val cand = cross.union(within).distinct()
     val all = idx.shingles.select(col("doc_id"), col("h")).unionByName(news)
-    val cnt = all.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand.join(all.as("a"), col("ia") === col("a.doc_id"))
+    verifyHashedPairs(cand, all)
+  }
+
+  /** Exact-Jaccard verify of candidate (ia, ib) pairs over a HASHED
+    * postings table (doc_id, h) — the tail shared by [[shardLshPairs]]
+    * and [[indexPairs]]. Only candidate docs' postings are touched; the
+    * joins are 8-byte-keyed equi-joins.
+    */
+  private def verifyHashedPairs(cand: DataFrame, postings: DataFrame): DataFrame = {
+    val cnt = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand.join(postings.as("a"), col("ia") === col("a.doc_id"))
       .select(col("ia"), col("ib"), col("a.h").as("ch"))
-      .join(all.as("b"), col("ch") === col("b.h") && col("ib") === col("b.doc_id"))
+      .join(postings.as("b"), col("ch") === col("b.h") && col("ib") === col("b.doc_id"))
       .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -531,12 +540,102 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
+  /** LSH near-dup pairs of the INDEXED corpus itself, derived from the
+    * saved [[LshIndex]] alone (band-bucket self-join + hashed-postings
+    * verify) — no re-shingling, no re-signing. This is how the label
+    * artifact for [[shardUpdateClusters]] is (re)built when only the
+    * index survives.
+    */
+  def indexPairs(idx: LshIndex): DataFrame = {
+    val cand = idx.buckets.as("x").join(idx.buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib")).distinct()
+    verifyHashedPairs(cand, idx.shingles.select(col("doc_id"), col("h")))
+  }
+
+  /** Cluster the indexed corpus from its own saved index and persist the
+    * labels — the companion artifact of [[buildAndSaveLshIndex]] (the
+    * d11 pattern, sourced from the index instead of the raw corpus).
+    */
+  def clusterIndexAndSave(idx: LshIndex, path: String): Unit =
+    graft.sources.ModelStore.saveLarge(
+      connectedComponents(indexPairs(idx))
+        .select(col("v").as("doc_id"), col("lab").as("cluster")), path)
+
+  /** Incrementally updated cluster labels after a shard lands (d14) —
+    * the final step of the shard-dedup story: near-dup CLUSTERS over
+    * old ∪ shard, computed from the saved label artifact plus the
+    * shard's pairs alone. The old corpus's connectivity rides in as its
+    * star edges (doc_id → cluster for non-canonical members — tiny:
+    * one edge per clustered doc), unioned with [[shardLshPairs]]'s
+    * cross-corpus + within-shard pairs, and the bounded-round star
+    * contraction re-converges. Cost: O(old clustered docs + shard
+    * pairs) edges — never a corpus-sized recluster. A shard doc linking
+    * two old clusters correctly MERGES them (the min label wins), which
+    * is exactly what a fresh clustering of the union would do.
+    */
+  def shardUpdateClusters(shard: DataFrame, idx: LshIndex,
+                          oldLabels: DataFrame): DataFrame = {
+    val oldEdges = oldLabels.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as("ia"), col("cluster").as("ib"))
+    val newPairs = shardLshPairs(shard, idx).select(col("ia"), col("ib"))
+    connectedComponents(oldEdges.unionByName(newPairs))
+      .select(col("v").as("doc_id"), col("lab").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Oracle for [[shardLshPairs]]: replays the identical split (first 4/5
     * of the corpus indexed, the rest is the shard), per-collection df
     * caps, hash32-keyed signatures/buckets and hashed-postings Jaccard —
     * every declared incremental semantic mirrored term by term.
     */
-  def sqlShardLshPairs: String = {
+  def sqlShardLshPairs: String =
+    s"""WITH $sqlShardCtes
+       |SELECT c.ia, c.ib,
+       |  round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+       |FROM cand c JOIN pairs p ON p.ia = c.ia AND p.ib = c.ib
+       |JOIN cnt2 ca ON ca.doc_id = c.ia JOIN cnt2 cb ON cb.doc_id = c.ib
+       |WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= $JaccardThreshold
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Oracle for [[shardUpdateClusters]]: exact reachability closure over
+    * the union of the indexed corpus's OWN verified pairs (the ob
+    * self-join — exactly [[indexPairs]]) and the shard pass's verified
+    * pairs — convergence-independent ground truth for the incremental
+    * label update.
+    */
+  def sqlShardUpdateClusters: String =
+    s"""WITH RECURSIVE $sqlShardCtes,
+       |oldcand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+       |  FROM ob x JOIN ob y ON x.band = y.band AND x.bh = y.bh
+       |    AND x.doc_id < y.doc_id),
+       |oldpairs AS (SELECT c.ia, c.ib
+       |  FROM oldcand c JOIN pairs p ON p.ia = c.ia AND p.ib = c.ib
+       |  JOIN cnt2 ca ON ca.doc_id = c.ia JOIN cnt2 cb ON cb.doc_id = c.ib
+       |  WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= $JaccardThreshold),
+       |newpairs AS (SELECT c.ia, c.ib
+       |  FROM cand c JOIN pairs p ON p.ia = c.ia AND p.ib = c.ib
+       |  JOIN cnt2 ca ON ca.doc_id = c.ia JOIN cnt2 cb ON cb.doc_id = c.ib
+       |  WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= $JaccardThreshold),
+       |e0 AS (SELECT ia AS a, ib AS b FROM oldpairs
+       |       UNION SELECT ia, ib FROM newpairs),
+       |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       |r AS (SELECT a, b FROM e
+       |      UNION
+       |      SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |self AS (SELECT DISTINCT a, a AS b FROM e)
+       |SELECT a AS doc_id, min(b) AS cluster
+       |FROM (SELECT a, b FROM r UNION ALL SELECT a, b FROM self)
+       |GROUP BY a ORDER BY doc_id""".stripMargin
+
+  /** The shared CTE block of the shard-dedup oracles: the 4/5 split, the
+    * old side's hashed df-capped postings / signatures / buckets (the
+    * saved index, replayed), the shard side's stop-list + shard-df
+    * capped postings / signatures / buckets, the candidate set, and the
+    * hashed-postings intersection table.
+    */
+  private def sqlShardCtes: String = {
     val n = ShingleN
     val grams = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
     val h = Portable.sqlHash32("g")
@@ -552,7 +651,7 @@ object Dedup {
       }.mkString(" UNION ALL ")
       s"$out AS ($arms)"
     }
-    s"""WITH cn AS (SELECT (count(*) * 4) // 5 AS cnt FROM documents),
+    s"""cn AS (SELECT (count(*) * 4) // 5 AS cnt FROM documents),
        |toks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w FROM documents),
        |sh0 AS (SELECT DISTINCT doc_id, $grams AS g
        |        FROM toks, LATERAL unnest(range(1, len(w) - ${n - 2})) t(i)),
@@ -582,13 +681,7 @@ object Dedup {
        |cnt2 AS (SELECT doc_id, count(*) AS n FROM allsh GROUP BY 1),
        |pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS inter
        |          FROM allsh a JOIN allsh b ON a.h = b.h AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2)
-       |SELECT c.ia, c.ib,
-       |  round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
-       |FROM cand c JOIN pairs p ON p.ia = c.ia AND p.ib = c.ib
-       |JOIN cnt2 ca ON ca.doc_id = c.ia JOIN cnt2 cb ON cb.doc_id = c.ib
-       |WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= $JaccardThreshold
-       |ORDER BY 1, 2""".stripMargin
+       |          GROUP BY 1, 2)""".stripMargin
   }
 
   /** Oracle: exact reachability closure via recursive CTE over the same

@@ -111,6 +111,24 @@ object Pipeline {
       Dedup.shardLshPairs(docs.filter(col("doc_id") >= cut),
         Dedup.loadLshIndex(s, idxDir))
     },
+    // the incremental story's last step: UPDATED cluster labels for
+    // old ∪ shard from the saved label artifact + the shard's pairs —
+    // the old corpus's connectivity rides in as its star edges (one
+    // edge per clustered doc), so the re-clustering cost scales with
+    // the CLUSTERED set and the shard, never the corpus. A shard doc
+    // bridging two old clusters merges them, exactly as a fresh
+    // clustering of the union would
+    QueryDef.sql("d14_shard_clusters", Dedup.sqlShardUpdateClusters) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cut = docs.count() * 4 / 5
+      val idxDir = artifactDir("lshindex", dir)(tmp =>
+        Dedup.buildAndSaveLshIndex(docs.filter(col("doc_id") < cut), tmp))
+      val idx = Dedup.loadLshIndex(s, idxDir)
+      val labDir = artifactDir("lshlabels", dir)(tmp =>
+        Dedup.clusterIndexAndSave(idx, tmp))
+      Dedup.shardUpdateClusters(docs.filter(col("doc_id") >= cut), idx,
+        Dedup.loadClusters(s, labDir))
+    },
     // clusters -> keep-list: the deduplicated corpus (non-canonical cluster
     // members anti-joined away) — the end product a pipeline materializes.
     // Derived from the SAVED labels: the LSH+CC chain runs once per corpus

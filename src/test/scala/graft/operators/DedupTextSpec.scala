@@ -313,6 +313,41 @@ class DedupTextSpec extends AnyFunSuite {
       r.getDouble(2) < 1.0))
   }
 
+  test("incremental label update: shard joins clusters, and a bridge doc merges two of them") {
+    // 27 distinct words; X = w1..w20, Y = w8..w27 share an 11-shingle run
+    // (J(X,Y)=11/25=0.44 — below threshold, so A and B stay separate),
+    // and the shard's bridge = w1..w27 covers both (J=18/25=0.72 each)
+    // word list chosen so every REQUIRED band collision occurs (banding
+    // at J=0.72 collides with p≈0.7 — a fixture has to pick hashes that
+    // do; verified offline with the portable hash32/minhash recipe)
+    val w = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda " +
+      "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega aleph " +
+      "vex troll").split(" ")
+    assert(w.length == 27)
+    val x = w.slice(0, 20).mkString(" ")
+    val y = w.slice(7, 27).mkString(" ")
+    val bridge = w.mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx2").toString
+    val old = docs(
+      (1L, x), (2L, x.replace("kappa", "kappaX")),       // cluster A -> 1
+      (3L, y), (4L, y.replace("sigma", "sigmaX")),       // cluster B -> 3
+      (5L, "totally unrelated content words here that match nothing else"))
+    Dedup.buildAndSaveLshIndex(old, dir)
+    val idx = Dedup.loadLshIndex(TestSpark.spark, dir)
+    Dedup.clusterIndexAndSave(idx, s"$dir/labels")
+    val oldLabs = Dedup.loadClusters(TestSpark.spark, s"$dir/labels")
+    assert(oldLabs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L),
+      "A and B must start as separate clusters")
+    val shard = docs((10L, bridge))
+    val updated = Dedup.shardUpdateClusters(shard, idx, oldLabs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the bridge pairs with members of BOTH clusters -> one merged
+    // component labeled by the global min
+    assert(updated == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 1L),
+      s"got $updated")
+  }
+
   test("dup-rate by source counts exactly the non-canonical cluster members") {
     val s = TestSpark.spark
     import s.implicits._
