@@ -846,6 +846,21 @@ object Curation {
   /** Contamination severity threshold for p21's verdict column. */
   val ContaminationFracMax = 0.1
 
+  /** The benchmark's distinct shingle set — the decontamination artifact
+    * the streaming gate ([[graft.streaming.CurationStream.contaminationGate]])
+    * checks each arriving document against. Benchmark suites are SMALL by
+    * nature (an eval set, not a corpus), so this is a genuinely bounded
+    * artifact; the gate still refuses loudly if handed one too large to
+    * broadcast, because truncating a benchmark set would hide exactly the
+    * contamination it exists to catch (the [[contaminationReport]]
+    * no-cap rationale).
+    */
+  def benchmarkShingles(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % BenchmarkMod === 0)
+      .select(col("doc_id"), graft.functions.Portable.tokens(col("text")).as("w"))
+      .select(explode(graft.operators.Dedup.shingleArray(col("w"))).as("g"))
+      .distinct()
+
   /** Contamination REPORT (p21) — the graded form of [[decontaminate]]:
     * p5 lists contaminated docs with a raw shared-shingle count, but what
     * a decontamination run acts on is the FRACTION of a document's

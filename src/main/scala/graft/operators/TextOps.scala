@@ -412,6 +412,36 @@ object TextOps {
   def unigramSurprisalFromSaved(docs: DataFrame, model: SurprisalModel): DataFrame =
     scoreUnigram(docs, model.counts, model.totals)
 
+  /** Merge two trained surprisal models (t24) — the incremental LM
+    * update: unigram counts are ADDITIVE, so yesterday's model plus a
+    * new shard's model combine with one vocabulary-sized aggregation —
+    * never a re-count of the old corpus. N sums exactly; V is the
+    * merged table's row count (= |vocab(a) ∪ vocab(b)|, exact while
+    * neither input hit its vocab cap — above the cap the merge-of-capped
+    * is the standard streaming-vocabulary approximation, same add-one
+    * floor below). The band edges are corpus percentiles of per-doc
+    * scores, so they cannot merge from the inputs' edges; they are
+    * re-derived by SCORING `bandCorpus` under the merged model — a
+    * join-shaped linear pass, not a retrain. t24 gates the whole claim:
+    * scoring from merge(train(old), train(shard)) must hash-match t13's
+    * full-corpus train byte-for-byte.
+    */
+  def mergeSurprisalModels(a: SurprisalModel, b: SurprisalModel,
+                           bandCorpus: DataFrame): SurprisalModel = {
+    val counts = a.counts.unionByName(b.counts)
+      .groupBy(col("t")).agg(sum(col("c")).as("c"))
+    // N from the inputs' TOTALS (full-corpus statistics even under a
+    // vocab cap — the t21 convention); V from the merged table
+    val totals = a.totals.select(col("n").as("na"))
+      .crossJoin(b.totals.select(col("n").as("nb")))
+      .crossJoin(counts.agg(count(lit(1)).as("v")))
+      .select((col("na") + col("nb")).as("n"), col("v"))
+    val band = scoreUnigram(bandCorpus, counts, totals)
+      .agg(percentile(col("bits_per_token"), lit(0.25)).as("lo"),
+        percentile(col("bits_per_token"), lit(0.75)).as("hi"))
+    SurprisalModel(counts, totals, band)
+  }
+
   def sqlUnigramSurprisal: String = {
     val toks = Portable.sqlTokens("text")
     s"""WITH tk AS (SELECT doc_id, unnest($toks) AS t FROM documents),

@@ -249,6 +249,22 @@ object Pipeline {
     QueryDef.sql("t22_sb_surprisal", TextOps.sqlStupidBackoffSurprisal) { (s, dir) =>
       TextOps.stupidBackoffSurprisal(Tables.documents(s, dir))
     },
+    // incremental LM update: two models trained independently (old 4/5,
+    // shard 1/5 — saved artifacts) MERGE with one vocabulary-sized
+    // aggregation, and scoring from the merged model must hash-match
+    // t13's full-corpus train — the count-additivity proof that daily
+    // LM refresh never re-counts the old corpus
+    QueryDef.sql("t24_lm_merged", TextOps.sqlUnigramSurprisal) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cut = docs.count() * 4 / 5
+      val dirA = artifactDir("lm_old", dir)(tmp =>
+        TextOps.trainAndSaveSurprisalModel(docs.filter(col("doc_id") < cut), tmp))
+      val dirB = artifactDir("lm_shard", dir)(tmp =>
+        TextOps.trainAndSaveSurprisalModel(docs.filter(col("doc_id") >= cut), tmp))
+      val merged = TextOps.mergeSurprisalModels(
+        TextOps.loadSurprisalModel(s, dirA), TextOps.loadSurprisalModel(s, dirB), docs)
+      TextOps.unigramSurprisalFromSaved(docs, merged)
+    },
     // interpolated Kneser-Ney bigram surprisal — the canonical smoother
     // KenLM ships: absolute discount + CONTINUATION-count backoff
     // (frequent-but-predictable words get small backoff mass)

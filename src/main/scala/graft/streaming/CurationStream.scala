@@ -296,6 +296,53 @@ object CurationStream {
       .filter(col("jaccard") >= Dedup.JaccardThreshold)
   }
 
+  /** Hard bound on the collected benchmark shingle set: ~a few hundred MB
+    * of broadcast at the limit. Deliberately a LOUD refusal, not a top-K
+    * cap — truncating a benchmark set would hide exactly the
+    * contamination the gate exists to catch (p21's no-cap rationale), so
+    * an oversized benchmark must go through the batch report instead.
+    */
+  val BenchMaxShingles = 5000000L
+
+  /** Streaming benchmark-decontamination gate: p21's graded contamination
+    * report as a per-row expression — each arriving document's distinct
+    * shingles are intersected with the TRAINED benchmark shingle set
+    * ([[graft.operators.Curation.benchmarkShingles]], built offline from
+    * the eval suite), emitting the same (n_shingles, n_shared,
+    * overlap_frac, contaminated) row the batch report computes. The GPT-3
+    * appendix-C measurement, applied at ingest time: a crawl document
+    * that quotes the benchmark is flagged before it ever reaches a
+    * training shard.
+    *
+    * Stateless: the benchmark set rides a single-row dummy-key broadcast
+    * join (size-guarded against [[BenchMaxShingles]]); the per-doc
+    * arithmetic is pure array expressions. CurationStreamSpec pins
+    * row-for-row equality with the batch report.
+    */
+  def contaminationGate(docs: DataFrame, bench: DataFrame,
+                        maxShingles: Long = BenchMaxShingles): DataFrame = {
+    val nb = bench.count()
+    require(nb <= maxShingles,
+      s"benchmark shingle set has $nb entries (> $maxShingles): too " +
+        "large to broadcast per row — run the batch contamination report, " +
+        "or split the benchmark suite")
+    val benchArr = bench.agg(collect_set(col("g")).as("bench_set"))
+      .withColumn("one", lit(1))
+    val n = size(col("sh")).cast("long")
+    val shared = size(array_intersect(col("sh"), col("bench_set"))).cast("long")
+    docs.withColumn("one", lit(1))
+      .join(broadcast(benchArr), "one")
+      .withColumn("w", TextOps.tokens(col("text")))
+      .withColumn("sh", Dedup.shingleArray(col("w")))
+      .select(col("doc_id"),
+        n.as("n_shingles"),
+        shared.as("n_shared"),
+        when(n === 0, lit(0.0))
+          .otherwise(round(shared / n, 4)).as("overlap_frac"),
+        when(n === 0, lit(false))
+          .otherwise(shared / n > Curation.ContaminationFracMax).as("contaminated"))
+  }
+
   /** The streaming manifest: per-row gates + keyed first-seen canonical.
     * `docs` is a streaming (doc_id, text, ...) frame; `hot` and `lm` the
     * trained static artifacts. Emits one ManifestRow per document, append

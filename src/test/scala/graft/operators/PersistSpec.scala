@@ -211,6 +211,36 @@ class PersistSpec extends AnyFunSuite {
     assert(scored.forall(_.getDouble(2) > 0.0))
   }
 
+  test("LM merge: counts add, totals add, and the merged model scores like the full-corpus train") {
+    val spark = TestSpark.spark
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val cut = docs.count() * 4 / 5
+    import org.apache.spark.sql.functions.col
+    val a = TextOps.trainAndSaveSurprisalModel(
+      docs.filter(col("doc_id") < cut), tmp("graft-lm-a-"))
+    val b = TextOps.trainAndSaveSurprisalModel(
+      docs.filter(col("doc_id") >= cut), tmp("graft-lm-b-"))
+    val merged = TextOps.mergeSurprisalModels(a, b, docs)
+    // count additivity: merged scoring == the full-corpus t13, bit-exact
+    val viaMerge = TextOps.unigramSurprisalFromSaved(docs, merged)
+      .collect().map(_.toSeq).toSeq
+    val full = TextOps.unigramSurprisal(docs).collect().map(_.toSeq).toSeq
+    assert(viaMerge == full)
+    // totals add exactly; V is the union vocabulary
+    val t = merged.totals.collect().head
+    val ft = TextOps.trainAndSaveSurprisalModel(docs, tmp("graft-lm-f-")).totals
+      .collect().head
+    assert(t.getAs[Long]("n") == ft.getAs[Long]("n"))
+    assert(t.getAs[Long]("v") == ft.getAs[Long]("v"))
+    // the re-derived band edges equal a full train's frozen edges
+    val mb = merged.band.collect().head
+    val fb = TextOps.loadSurprisalModel(spark,
+      { val d = tmp("graft-lm-f2-"); TextOps.trainAndSaveSurprisalModel(docs, d); d })
+      .band.collect().head
+    assert(mb.getAs[Double]("lo") == fb.getAs[Double]("lo"))
+    assert(mb.getAs[Double]("hi") == fb.getAs[Double]("hi"))
+  }
+
   test("incremental shard encode: a new vector enters the saved index and is served, no retraining") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -208,6 +208,46 @@ class CurationStreamSpec extends AnyFunSuite {
       s"pairs must not repeat across bands: $got")
   }
 
+  test("streaming contamination gate equals the batch report row for row; oversized benchmark refuses") {
+    val spark = TestSpark.spark
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = graft.operators.Curation.benchmarkShingles(docs)
+    val batch = graft.operators.Curation.contaminationReport(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(batch.values.exists(_._2 > 0L),
+      "fixture must plant real benchmark overlap or the parity pin is vacuous")
+
+    // the crawl = the non-benchmark docs, streamed
+    val crawl = docs.filter(col("doc_id") % graft.operators.Curation.BenchmarkMod =!= 0)
+    val dataDir = Files.createTempDirectory("graft-stream-contam").toString
+    crawl.coalesce(1).write.mode("overwrite").parquet(dataDir)
+    val got = scala.collection.concurrent.TrieMap
+      .empty[Long, (Long, Long, Double, Boolean)]
+    val stream = spark.readStream.schema(crawl.schema).parquet(dataDir)
+    val q = CurationStream.contaminationGate(stream, bench)
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r => got.put(r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+        ()
+      }.start()
+    assert(q.awaitTermination(120000), "contamination stream did not finish")
+    q.stop()
+    assert(got.size == batch.size)
+    got.foreach { case (id, row) =>
+      assert(row == batch(id), s"doc $id: stream $row vs batch ${batch(id)}")
+    }
+
+    // a benchmark too large to broadcast refuses loudly, never truncates
+    val err = intercept[IllegalArgumentException] {
+      CurationStream.contaminationGate(crawl, bench, maxShingles = 1L)
+    }
+    assert(err.getMessage.contains("too large to broadcast"),
+      s"refusal must say why: ${err.getMessage}")
+  }
+
   test("event-time dedup horizon evicts silent hashes; duplicates inside the horizon still die") {
     val spark = TestSpark.spark
     import spark.implicits._
