@@ -1048,6 +1048,89 @@ object Dedup {
     bits.select(col("doc_id"), sim.cast("bigint").as("simhash")).orderBy(col("doc_id"))
   }
 
+  /** Maximum Hamming distance for [[simhashPairs]] (d15): Manku et al.'s
+    * classic k=3 over a short fingerprint.
+    */
+  val HammingMax = 3
+  val SimHashBandBits = 8
+
+  /** SimHash near-duplicate pairs (d15) — Manku, Jain & Das Sarma (WWW
+    * 2007), "Detecting Near-Duplicates for Web Crawling", the Google
+    * crawl-dedup design: two documents are near-dups when their SimHash
+    * fingerprints differ in at most [[HammingMax]] bits. Candidate
+    * generation is the paper's multi-band pigeonhole: the
+    * [[Portable.SimHashBits]]-bit fingerprint splits into
+    * bits/[[SimHashBandBits]] = 4 byte-bands, and any pair within
+    * Hamming distance 3 MUST agree exactly on at least one band (3
+    * differing bits can corrupt at most 3 of the 4 bands) — so the
+    * band-bucket equi-join finds EVERY qualifying pair; this operator is
+    * exact within the radius, not probabilistic like MinHash banding
+    * (unit-pinned against a brute-force scan on the fixtures).
+    *
+    * Scale shape: one fingerprint row per doc, 4 band rows per doc, one
+    * equi-join on (band, byte) — candidate volume bounded by bucket
+    * co-membership (256 buckets per band spread the corpus; a skewed
+    * bucket is AQE's problem, not a cross product), then a codegen'd
+    * bit_count(xor) verify on candidates only. The fingerprint table is
+    * ~12 bytes a doc: at 100 TB of text this join runs over gigabytes.
+    */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val bands = SimHashBits / SimHashBandBits
+    val sim = simhash(docs)
+    val stacked = sim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * SimHashBandBits)
+            .bitwiseAND(lit(255L)).as("bv"))): _*)).as("s"))
+      .select(col("doc_id"), col("simhash"), col("s.band").as("band"), col("s.bv").as("bv"))
+    val cand = stacked.as("x").join(stacked.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+    cand.select(col("ia"), col("ib"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .filter(col("hamming") <= HammingMax)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  def sqlSimhashPairs: String = {
+    val bands = SimHashBits / SimHashBandBits
+    val bandList = (0 until bands).mkString(", ")
+    s"""WITH $sqlSimhashCtes,
+       |st AS (SELECT doc_id, simhash, b AS band,
+       |    (simhash >> (b * $SimHashBandBits)) & 255 AS bv
+       |  FROM sim, LATERAL unnest([$bandList]) t(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib,
+       |    x.simhash AS sa, y.simhash AS sb
+       |  FROM st x JOIN st y ON x.band = y.band AND x.bv = y.bv
+       |    AND x.doc_id < y.doc_id)
+       |SELECT ia, ib, bit_count(xor(sa, sb))::INT AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $HammingMax
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** The [[sqlSimhash]] pipeline as reusable CTEs exposing
+    * `sim(doc_id, simhash)`.
+    */
+  private def sqlSimhashCtes: String = {
+    val h = Portable.sqlHash32("t")
+    val bitSums = (0 until SimHashBits).map { j =>
+      s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN cnt ELSE -cnt END) AS b$j"
+    }.mkString(",\n  ")
+    val simExpr = (0 until SimHashBits)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""toks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w FROM documents),
+       |tc AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM (SELECT doc_id, unnest(w) AS t FROM toks) GROUP BY 1, 2),
+       |th AS (SELECT doc_id, $h AS h, cnt FROM tc),
+       |bits AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM th GROUP BY doc_id),
+       |sim AS (SELECT doc_id, ($simExpr)::BIGINT AS simhash FROM bits)""".stripMargin
+  }
+
   val sqlSimhash: String = {
     val h = Portable.sqlHash32("t")
     val bitSums = (0 until SimHashBits).map { j =>

@@ -69,6 +69,13 @@ object Pipeline {
     QueryDef.sql("d5_simhash", Dedup.sqlSimhash) { (s, dir) =>
       Dedup.simhash(Tables.documents(s, dir))
     },
+    // SimHash -> PAIRS (Manku et al. 2007): byte-band pigeonhole
+    // candidates + bit_count(xor) verify — EXACT within Hamming<=3 by
+    // construction, the crawl-dedup complement to MinHash's
+    // probabilistic banding
+    QueryDef.sql("d15_simhash_pairs", Dedup.sqlSimhashPairs) { (s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir))
+    },
     QueryDef.sql("d6_edit_distance", Dedup.sqlEditDistancePairs) { (s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir))
     },

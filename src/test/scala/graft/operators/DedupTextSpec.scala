@@ -348,6 +348,24 @@ class DedupTextSpec extends AnyFunSuite {
       s"got $updated")
   }
 
+  test("simhash pairs are EXACT within the Hamming radius: banding equals brute force") {
+    val s = TestSpark.spark
+    val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    val sims = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1))
+    // brute-force ground truth over every pair
+    val brute = (for {
+      (ia, sa) <- sims; (ib, sb) <- sims if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= Dedup.HammingMax
+    } yield (ia, ib, h)).toSet
+    val banded = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the pigeonhole argument is a guarantee, not a probability: 3
+    // differing bits cannot corrupt all 4 byte-bands
+    assert(banded == brute,
+      s"banding must find exactly the brute-force pairs: missing=${brute -- banded} extra=${banded -- brute}")
+    assert(brute.nonEmpty, "fixture must contain at least one close pair, or the pin is vacuous")
+  }
+
   test("dup-rate by source counts exactly the non-canonical cluster members") {
     val s = TestSpark.spark
     import s.implicits._
