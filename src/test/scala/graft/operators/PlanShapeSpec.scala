@@ -267,6 +267,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no window / single-partition stage expected in:\n$plan")
   }
 
+  test("shard dedup against the saved index: equi-joins only, no forced broadcast, no cross product") {
+    val spark = TestSpark.spark
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-plan-lshidx").toString
+    val docs = graft.Tables.documents(spark, dir)
+    val cut = docs.count() * 4 / 5
+    Dedup.buildAndSaveLshIndex(docs.filter(col("doc_id") < cut), idxDir)
+    val idx = Dedup.loadLshIndex(spark, idxDir)
+    // candidate + verify volumes are data-dependent — with broadcasting
+    // disabled the whole shard pass must still plan as shuffled equi-joins
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.catalog.clearCache()
+    try {
+      val plan = executed(Dedup.shardLshPairs(docs.filter(col("doc_id") >= cut), idx))
+      assert(!plan.contains("BroadcastExchange"),
+        s"no side of the shard pass may be FORCE-broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"no cross product anywhere in the shard pass:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("simhash pairs: band-bucket equi-join candidates, no cross product") {
+    val plan = executed(Dedup.simhashPairs(graft.Tables.documents(TestSpark.spark, dir)))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the Hamming verify must run on banded candidates only, never all pairs:\n$plan")
+  }
+
   test("dedup keep-list anti-joins the small non-canonical set — corpus never shuffled twice") {
     val plan = executed(Dedup.dedupedCorpus(graft.Tables.documents(TestSpark.spark, dir)))
     assert(plan.contains("LeftAnti"), s"expected an anti-join in:\n$plan")
