@@ -461,6 +461,71 @@ object TextOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Per-source distribution-drift report (p23) — the monitoring table a
+    * daily pipeline reads before trusting a new crawl: every document
+    * scored under YESTERDAY'S saved model and under the current
+    * full-corpus model, rolled up per source as mean bits/token plus the
+    * drift (stale-model excess). A source whose content distribution
+    * moved scores systematically higher under the stale model (its new
+    * vocabulary keeps hitting the add-one floor); a near-zero drift
+    * says the saved artifacts (LM gate bands, DSIR weights) are still
+    * valid. The unigram form keeps the whole report oracle-exact while
+    * exercising the real mechanism — KL(source ‖ model) estimated by the
+    * model's cross-entropy.
+    *
+    * Scale shape: two scoring passes (each the t13 join skeleton —
+    * vocabulary-keyed equi-joins, single-row totals broadcast) and one
+    * per-source rollup; the old model arrives as the saved t24 artifact,
+    * so nothing is retrained.
+    */
+  def surprisalDrift(docs: DataFrame, oldModel: SurprisalModel): DataFrame = {
+    val o = unigramSurprisalFromSaved(docs, oldModel)
+      .select(col("doc_id"), col("bits_per_token").as("bits_old"))
+    val f = unigramSurprisal(docs)
+      .select(col("doc_id"), col("bits_per_token").as("bits_full"))
+    docs.select(col("doc_id"), col("source"))
+      .join(o, "doc_id").join(f, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("bits_old")), 4).as("bits_old"),
+        round(avg(col("bits_full")), 4).as("bits_full"),
+        // + 0.0 normalizes IEEE -0.0 (a zero drift must hash as 0.0
+        // in both engines)
+        (round(avg(col("bits_old")) - avg(col("bits_full")), 4) + lit(0.0)).as("drift"))
+      .orderBy(col("source"))
+  }
+
+  def sqlSurprisalDrift: String = {
+    val toks = Portable.sqlTokens("text")
+    s"""WITH cn AS (SELECT (count(*) * 4) // 5 AS cnt FROM documents),
+       |tk AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+       |tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+       |oc AS (SELECT t, sum(tf)::BIGINT AS c FROM tf
+       |       WHERE doc_id < (SELECT cnt FROM cn) GROUP BY t),
+       |ot AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM oc),
+       |osc AS (SELECT tf.doc_id, tf.tf,
+       |    tf.tf * -log2((coalesce(oc.c, 0) + 1.0) / (ot.n + ot.v)) AS wbits
+       |  FROM tf LEFT JOIN oc USING (t), ot),
+       |oper AS (SELECT doc_id, round(sum(wbits) / sum(tf), 4) AS bits_old
+       |  FROM osc GROUP BY doc_id),
+       |fc AS (SELECT t, sum(tf)::BIGINT AS c FROM tf GROUP BY t),
+       |ft AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM fc),
+       |fsc AS (SELECT tf.doc_id, tf.tf,
+       |    tf.tf * -log2((fc.c + 1.0) / (ft.n + ft.v)) AS wbits
+       |  FROM tf JOIN fc USING (t), ft),
+       |fper AS (SELECT doc_id, round(sum(wbits) / sum(tf), 4) AS bits_full
+       |  FROM fsc GROUP BY doc_id)
+       |SELECT d.source, count(*)::BIGINT AS n_docs,
+       |  round(avg(coalesce(oper.bits_old, 0.0)), 4) AS bits_old,
+       |  round(avg(coalesce(fper.bits_full, 0.0)), 4) AS bits_full,
+       |  round(avg(coalesce(oper.bits_old, 0.0))
+       |    - avg(coalesce(fper.bits_full, 0.0)), 4) + 0.0 AS drift
+       |FROM documents d
+       |LEFT JOIN oper ON oper.doc_id = d.doc_id
+       |LEFT JOIN fper ON fper.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   /** Bigram-LM surprisal per document (t19) — one Markov order up from
     * [[unigramSurprisal]], a step closer to the KenLM 5-gram filter CCNet
     * actually ships: score each document by its mean conditional

@@ -258,6 +258,17 @@ object Pipeline {
       TextOps.unigramSurprisalFromSaved(Tables.documents(s, dir),
         TextOps.loadSurprisalModel(s, lmDir))
     },
+    // per-source drift report: every doc scored under YESTERDAY'S saved
+    // LM vs the current full-corpus model, rolled up per source — the
+    // monitoring table that says whether the saved gate artifacts are
+    // still valid for today's crawl
+    QueryDef.sql("p23_drift_report", TextOps.sqlSurprisalDrift) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cut = docs.count() * 4 / 5
+      val dirA = artifactDir("lm_old", dir)(tmp =>
+        TextOps.trainAndSaveSurprisalModel(docs.filter(col("doc_id") < cut), tmp))
+      TextOps.surprisalDrift(docs, TextOps.loadSurprisalModel(s, dirA))
+    },
     // Stupid-Backoff trigram surprisal (Brants et al. 2007) — the next
     // KenLM step after t20: highest attested channel wins, fixed α=0.4
     QueryDef.sql("t22_sb_surprisal", TextOps.sqlStupidBackoffSurprisal) { (s, dir) =>

@@ -366,6 +366,29 @@ class DedupTextSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture must contain at least one close pair, or the pin is vacuous")
   }
 
+  test("drift report: a source with new vocabulary scores higher under the stale model") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val stableText = "the cat sat on the mat and the dog ran off"
+    val d = Seq(
+      (0L, stableText, "stable"), (1L, stableText, "stable"),
+      (2L, stableText, "stable"), (3L, stableText, "stable"),
+      // yesterday's model never saw this vocabulary
+      (4L, "quantum flux capacitors entangle superconducting qubit arrays", "shifted"),
+      (5L, stableText, "stable"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    TextOps.trainAndSaveSurprisalModel(d.filter(col("doc_id") < 4), dir)
+    val r = TextOps.surprisalDrift(d, TextOps.loadSurprisalModel(s, dir))
+      .collect().map(x => x.getString(0) -> x.getDouble(4)).toMap
+    assert(r("shifted") > r("stable"),
+      s"new vocabulary must drift: $r")
+    assert(r("shifted") > 0.0,
+      s"shifted tokens hit the stale add-one floor — drift must be positive: $r")
+    assert(math.abs(r("stable")) < 0.5,
+      s"an unchanged source must sit near zero drift: $r")
+  }
+
   test("dup-rate by source counts exactly the non-canonical cluster members") {
     val s = TestSpark.spark
     import s.implicits._

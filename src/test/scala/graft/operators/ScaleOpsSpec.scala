@@ -364,6 +364,42 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"cap must drop candidate volume, not the true near-dup verdict: $pairs")
   }
 
+  test("shard dedup survives boilerplate on BOTH sides: index stop list + shard df cap, verdicts intact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.functions.Portable.MaxShingleDocFreq
+    val rnd = new scala.util.Random(17)
+    val n = (MaxShingleDocFreq + 20).toLong
+    // index corpus: n docs sharing the hub 3-gram (df=120 > cap -> the
+    // SAVED STOP LIST), plus one doc with a rare body
+    val body = Array.fill(24)(s"rare${rnd.nextInt(1 << 30)}")
+    val old = (0L until n).map { i =>
+      (i, "hub0 hub1 hub2 " + Array.fill(12)(s"u${i}x${rnd.nextInt(1 << 30)}").mkString(" "))
+    } :+ ((2000L, body.mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale-lshidx").toString
+    Dedup.buildAndSaveLshIndex(old.toDF("doc_id", "text"), dir)
+    val idx = Dedup.loadLshIndex(spark, dir)
+    // exactly the hub 3-gram got stopped (every other shingle is unique)
+    assert(idx.stop.count() == 1L,
+      "the planted hub shingle must be the stop list, alone")
+
+    // shard: n docs sharing the hub (must die via the SAVED stop list —
+    // the shard alone can't see the index's df) AND a shard-hot 3-gram
+    // (df=120 in the shard -> the SHARD-LOCAL df cap), plus one true
+    // cross-corpus near-dup of old doc 2000
+    val mut = body.clone(); mut(12) = "mutated"
+    val shard = ((0L until n).map { i =>
+      (5000L + i, "hub0 hub1 hub2 shard0 shard1 shard2 " +
+        Array.fill(12)(s"s${i}x${rnd.nextInt(1 << 30)}").mkString(" "))
+    } :+ ((6000L, mut.mkString(" ")))).toDF("doc_id", "text")
+    val pairs = Dedup.shardLshPairs(shard, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 241 boilerplate-sharing docs on the two sides produce ZERO false
+    // pairs, and the planted cross-corpus near-dup is found
+    assert(pairs == Set((2000L, 6000L)),
+      s"boilerplate must not manufacture pairs nor hide the true one: $pairs")
+  }
+
   test("stream-static decontamination: live docs flagged against a static benchmark") {
     val spark = TestSpark.spark
     import spark.implicits._
