@@ -1056,6 +1056,28 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
+  /** The 32-bit SimHash as a PER-ROW expression over a MATERIALIZED
+    * hashed-token array (`transform(tokens, `[[Portable.hash32]]`)`,
+    * projected once by the caller so md5 runs once per token, not once
+    * per bit) — the streaming-safe form of [[simhash]]: the batch
+    * aggregate weighs each distinct token by its count, and summing ±1
+    * per OCCURRENCE is the same quantity, so a pure fold needs no
+    * groupBy. Exactly equal to the batch column (unit-pinned), which is
+    * what lets the streaming crawl dedup
+    * ([[graft.streaming.CurationStream.simhashStreamPairs]]) fingerprint
+    * each arriving doc statelessly before the keyed bucket lookup.
+    */
+  def simhashExpr(hashedTokens: Column): Column = {
+    val bitSums = (0 until SimHashBits).map { j =>
+      aggregate(hashedTokens, lit(0L), (acc, th) =>
+        acc + when(shiftright(th, j).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))
+    }
+    (0 until SimHashBits).map { j =>
+      when(bitSums(j) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _).cast("bigint")
+  }
+
   /** 32-bit SimHash per doc from token-count-weighted 32-bit token hashes. */
   def simhash(docs: DataFrame): DataFrame = {
     val tokCnt = docs

@@ -343,6 +343,115 @@ object CurationStream {
           .otherwise(shared / n > Curation.ContaminationFracMax).as("contaminated"))
   }
 
+  /** One (doc, band) bucket row of the streaming SimHash dedup. */
+  final case class SimBucketRow(doc_id: Long, sim: Long, band: Int, bv: Long,
+                                ts: java.sql.Timestamp)
+
+  /** An emitted within-stream near-dup pair. */
+  final case class SimPair(doc_id: Long, dup_of: Long, hamming: Int)
+
+  /** WITHIN-STREAM near-duplicate detection — the actual deployment of
+    * Manku, Jain & Das Sarma (WWW 2007): a crawl is deduplicated AGAINST
+    * ITSELF as it arrives, with the fingerprint tables held as keyed
+    * state. Each arriving doc is fingerprinted per row
+    * ([[graft.operators.Dedup.simhashExpr]] — a pure fold, provably equal
+    * to the batch SimHash), split into the same 4 byte-bands as d15, and
+    * looked up in its band bucket's state: every stored fingerprint
+    * within Hamming distance [[graft.operators.Dedup.HammingMax]] emits a
+    * pair, then the newcomer joins the state. The d15 pigeonhole
+    * guarantee carries over — a qualifying pair MUST share a band — and
+    * each pair is emitted exactly once (only in its MINIMAL colliding
+    * band, decidable locally because both fingerprints are in hand).
+    * CurationStreamSpec pins set-equality with the batch d15 pass.
+    *
+    * State: the stored fingerprints ARE Manku's tables — 4 × (doc_id,
+    * sim) per document, ~64 bytes/doc, sharded across buckets (the
+    * (band, byte) key spreads 1024 ways; RocksDB holds it at corpus
+    * scale). `horizonMs` bounds the horizon exactly like [[manifest]]'s
+    * dedup horizon: a bucket silent past the event-time horizon is
+    * evicted wholesale, trading re-detection across long gaps for state
+    * bounded by arrival rate × horizon. Requires doc_id-ordered arrival
+    * for deterministic orientation (the ordered-ingest precondition the
+    * canonical gate already documents).
+    */
+  def simhashStreamPairs(docs: DataFrame,
+                         horizonMs: Option[Long] = None): DataFrame = {
+    import graft.functions.Portable
+    val s = docs.sparkSession
+    import s.implicits._
+    val bands = Portable.SimHashBits / Dedup.SimHashBandBits
+    val ts =
+      if (docs.columns.contains("ts")) col("ts")
+      else lit(null).cast("timestamp")
+    val base = horizonMs match {
+      case Some(h) =>
+        require(docs.columns.contains("ts"),
+          "horizonMs requires an event-time `ts` column on the input")
+        docs.withWatermark("ts", s"$h milliseconds")
+      case None => docs
+    }
+    val timeout =
+      if (horizonMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    base
+      .withColumn("w", TextOps.tokens(col("text")))
+      .withColumn("th", transform(col("w"), t => Portable.hash32(t)))
+      .select(col("doc_id"), Dedup.simhashExpr(col("th")).as("sim"), ts.as("ts"))
+      .select(col("doc_id"), col("sim"), col("ts"),
+        explode(array((0 until bands).map(b => lit(b)): _*)).as("band"))
+      .withColumn("bv",
+        expr(s"shiftright(sim, band * ${Dedup.SimHashBandBits}) & 255"))
+      .as[SimBucketRow]
+      .groupByKey(r => r.band.toLong * 256L + r.bv)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(simBucket(horizonMs))
+      .toDF()
+  }
+
+  /** Per-bucket state transition of [[simhashStreamPairs]]: compare each
+    * arrival (doc_id order) against the stored fingerprints, emit
+    * minimal-band pairs, append the newcomer. State rolls back with the
+    * batch, so crash-and-replay recomputes identical pairs.
+    */
+  private def simBucket(horizonMs: Option[Long])(key: Long,
+      rows: Iterator[SimBucketRow],
+      state: GroupState[List[(Long, Long)]]): Iterator[SimPair] = {
+    import graft.functions.Portable
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val band = (key / 256L).toInt
+      val stored = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long)] ++= state.getOption.getOrElse(Nil)
+      val rs = rows.toArray.sortBy(_.doc_id)
+      val out = scala.collection.mutable.ArrayBuffer.empty[SimPair]
+      def byteOf(sim: Long, b: Int): Long =
+        (sim >> (b * Dedup.SimHashBandBits)) & 255L
+      rs.foreach { r =>
+        stored.foreach { case (od, os) =>
+          if (od != r.doc_id &&
+              java.lang.Long.bitCount(r.sim ^ os) <= Dedup.HammingMax) {
+            val minBand = (0 until Portable.SimHashBits / Dedup.SimHashBandBits)
+              .find(b => byteOf(r.sim, b) == byteOf(os, b)).get
+            if (minBand == band)
+              out += SimPair(r.doc_id, od,
+                java.lang.Long.bitCount(r.sim ^ os))
+          }
+        }
+        stored += ((r.doc_id, r.sim))
+      }
+      state.update(stored.toList)
+      horizonMs.foreach { h =>
+        if (rs.nonEmpty) {
+          val maxTs = rs.iterator.map(_.ts.getTime).max
+          state.setTimeoutTimestamp(
+            math.max(maxTs + h, state.getCurrentWatermarkMs() + 1))
+        }
+      }
+      out.iterator
+    }
+  }
+
   /** The streaming manifest: per-row gates + keyed first-seen canonical.
     * `docs` is a streaming (doc_id, text, ...) frame; `hot` and `lm` the
     * trained static artifacts. Emits one ManifestRow per document, append

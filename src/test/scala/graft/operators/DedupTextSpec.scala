@@ -351,6 +351,13 @@ class DedupTextSpec extends AnyFunSuite {
   test("simhash pairs are EXACT within the Hamming radius: banding equals brute force") {
     val s = TestSpark.spark
     val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    // the per-row fold (streaming form) IS the batch aggregate
+    val perRow = docs
+      .withColumn("w", graft.functions.Portable.tokens(col("text")))
+      .withColumn("th", transform(col("w"), t => graft.functions.Portable.hash32(t)))
+      .select(col("doc_id"), Dedup.simhashExpr(col("th")).as("simhash"))
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(perRow == Dedup.simhash(docs).collect().map(_.toSeq).toSeq)
     val sims = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1))
     // brute-force ground truth over every pair
     val brute = (for {

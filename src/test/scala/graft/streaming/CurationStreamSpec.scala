@@ -248,6 +248,67 @@ class CurationStreamSpec extends AnyFunSuite {
       s"refusal must say why: ${err.getMessage}")
   }
 
+  test("within-stream simhash dedup equals the batch d15 pass; crash-redelivery changes nothing") {
+    val spark = TestSpark.spark
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = graft.operators.Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batch.nonEmpty, "fixture must contain close simhash pairs")
+
+    // the corpus lands as 3 doc_id-ordered files; a crash after the first
+    // delivered batch forces a replay (state rolls back with the batch)
+    val dataDir = Files.createTempDirectory("graft-simstream-data").toString
+    val ckpt = Files.createTempDirectory("graft-simstream-ckpt").toString
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val base = System.currentTimeMillis() - 3600000L
+    var i = 0
+    def land(df: DataFrame): Unit = {
+      val tmp = Files.createTempDirectory("graft-simstream-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dest = new java.io.File(dataDir, f"chunk-$i%03d.parquet")
+      Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(base + i * 60000L))
+      i += 1
+    }
+    land(docs.filter(col("doc_id") < c1))
+    land(docs.filter(col("doc_id") >= c1 && col("doc_id") < c2))
+    land(docs.filter(col("doc_id") >= c2))
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    @volatile var crashOnce = true
+    def run() = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dataDir)
+      CurationStream.simhashStreamPairs(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.collect()
+          got.synchronized {
+            rows.foreach(r => got += ((r.getLong(0), r.getLong(1), r.getInt(2))))
+          }
+          if (crashOnce && rows.nonEmpty) { crashOnce = false; sys.error("injected crash") }
+          ()
+        }.start()
+    }
+    val q1 = run()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q1.awaitTermination(60000))
+    val q2 = run()
+    assert(q2.awaitTermination(180000), "simhash stream did not finish")
+    q2.stop()
+
+    // normalize orientation (stream emits (later, earlier)) and absorb the
+    // redelivered batch's duplicates — the verdicts must equal batch d15
+    val norm = got.map { case (a, b, h) => (math.min(a, b), math.max(a, b), h) }.toSet
+    assert(norm == batch,
+      s"stream-only=${(norm -- batch).take(5)} batch-only=${(batch -- norm).take(5)}")
+  }
+
   test("event-time dedup horizon evicts silent hashes; duplicates inside the horizon still die") {
     val spark = TestSpark.spark
     import spark.implicits._
