@@ -309,6 +309,57 @@ class CurationStreamSpec extends AnyFunSuite {
       s"stream-only=${(norm -- batch).take(5)} batch-only=${(batch -- norm).take(5)}")
   }
 
+  test("simhash stream horizon: silent buckets evict, pairs inside the horizon still found") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val horizon = 60000L
+    val t0 = 1700000000000L
+    val dataDir = Files.createTempDirectory("graft-simhzn-data").toString
+    val ckpt = Files.createTempDirectory("graft-simhzn-ckpt").toString
+    var chunk = 0
+    def land(rows: (Long, String, Long)*): Unit = {
+      val tmp = Files.createTempDirectory("graft-simhzn-chunk").toString
+      rows.toSeq.toDF("doc_id", "text", "ms")
+        .withColumn("ts", (col("ms") / 1000.0).cast("timestamp")).drop("ms")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dest = new java.io.File(dataDir, f"chunk-$chunk%03d.parquet")
+      Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - 3600000L + chunk * 60000L))
+      chunk += 1
+    }
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    // a: first copy + an intra-horizon duplicate 30 s later -> pair found
+    land((1L, text, t0), (2L, text, t0 + 30000L))
+    // b: far-future doc pushes the watermark past every bucket deadline
+    land((3L, "completely unrelated content with different words", t0 + 600000L))
+    // c: a batch after the watermark moved — timers fire, buckets evict
+    land((4L, "another unrelated set of tokens entirely", t0 + 610000L))
+    // d: the same text again — its buckets were evicted, NO pair vs doc 1/2
+    land((5L, text, t0 + 620000L))
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, ts TIMESTAMP")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = CurationStream.simhashStreamPairs(stream, horizonMs = Some(horizon))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          got.synchronized { got += ((r.getLong(0), r.getLong(1))) })
+        ()
+      }.start()
+    assert(q.awaitTermination(180000), "simhash horizon drain did not finish")
+    q.stop()
+
+    assert(got.toSet == Set((2L, 1L)),
+      s"inside-horizon pair found once, evicted buckets stay silent: $got")
+  }
+
   test("event-time dedup horizon evicts silent hashes; duplicates inside the horizon still die") {
     val spark = TestSpark.spark
     import spark.implicits._
