@@ -1197,6 +1197,74 @@ object Similarity {
     * [[sqlKmeansCtes]] block), identical pair rule, exact recursive-free
     * keep semantics.
     */
+  /** Incremental SemDeDup of a NEW shard (p24) — the semantic leg of the
+    * shard-ingest triad (lexical d13, fingerprint d15's stream form,
+    * semantic here): the shard enters the SAVED clustering — coarse
+    * assignment from the persisted centroids ([[assign]], the c2
+    * pattern), cells = saved corpus cells ∪ shard cells — and each shard
+    * vector is kept unless a LOWER-ID cell co-member (old corpus or
+    * earlier shard vector) exceeds cosine `tau`. Emits verdicts for the
+    * SHARD only; the old corpus's own verdicts are yesterday's p17 run.
+    * Declared incremental semantics, exactly as s11: the quantizer is
+    * FROZEN (no Lloyd re-iteration over the union) — that is what a
+    * saved model is.
+    *
+    * Scale shape: assignment is a broadcast join against the k×D
+    * centroid artifact; the quadratic verify is confined to cell
+    * co-members (Abbas et al.'s whole point) with the shard side small,
+    * equi-joined on the cell id so AQE splits hot cells. Cost scales
+    * with shard × cell occupancy, never corpus².
+    */
+  def semDedupShard(emb: DataFrame, cut: Long, cent: DataFrame,
+                    oldCells: DataFrame, tau: Double): DataFrame = {
+    val newCells = assign(emb.filter(col("vec_id") >= cut), cent)
+    val cells = oldCells.select(col("vec_id"), col("c"))
+      .unionByName(newCells.select(col("vec_id"), col("c")))
+    val e = vecs(emb).join(cells, "vec_id").withColumn("nrm", norm(col("v")))
+    val a = e.filter(col("vec_id") >= cut)
+      .select(col("c"), col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("c"), col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, "c")
+      .filter(col("ib") < col("ia"))
+      .select(col("ia"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
+      .filter(col("sim") >= tau)
+      .select(col("ia").as("vec_id")).distinct()
+    e.filter(col("vec_id") >= cut).select(col("vec_id"), col("c"))
+      .join(dropped.withColumn("kept", lit(false)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c"), coalesce(col("kept"), lit(true)).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  def sqlSemDedupShard(k: Int, iters: Int, tau: Double): String = {
+    val eOld =
+      """cn AS (SELECT (count(*) * 4) // 5 AS cnt FROM embeddings),
+        |eall AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |e AS (SELECT vec_id, v FROM eall WHERE vec_id < (SELECT cnt FROM cn))""".stripMargin
+    val (ctes, lastA, lastC) = sqlKmeansCtes(k, iters, eOld)
+    s"""WITH $ctes,
+       |exall AS (SELECT vec_id, i::INT AS i, v[i] AS x
+       |  FROM eall, LATERAL unnest(range(1, len(v) + 1)) t(i)),
+       |exn AS (SELECT * FROM exall WHERE vec_id >= (SELECT cnt FROM cn)),
+       |nd AS (SELECT exn.vec_id, p.c, round(sum((exn.x - p.cv) * (exn.x - p.cv)), 6) AS d
+       |  FROM exn JOIN $lastC p USING (i) GROUP BY 1, 2),
+       |ncell AS (SELECT vec_id, c FROM (
+       |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |  FROM nd) WHERE rn = 1),
+       |cells AS (SELECT vec_id, c FROM $lastA UNION ALL SELECT vec_id, c FROM ncell),
+       |ea AS (SELECT eall.vec_id, eall.v, cells.c FROM eall JOIN cells USING (vec_id)),
+       |dropped AS (SELECT x.vec_id FROM ea x JOIN ea y
+       |    ON x.c = y.c AND y.vec_id < x.vec_id
+       |  WHERE x.vec_id >= (SELECT cnt FROM cn)
+       |    AND round(list_dot_product(x.v, y.v)
+       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) >= $tau
+       |  GROUP BY 1)
+       |SELECT ea.vec_id, ea.c, (d.vec_id IS NULL) AS kept
+       |FROM ea LEFT JOIN dropped d ON d.vec_id = ea.vec_id
+       |WHERE ea.vec_id >= (SELECT cnt FROM cn)
+       |ORDER BY ea.vec_id""".stripMargin
+  }
+
   def sqlSemDedup(k: Int, iters: Int, tau: Double): String = {
     val (ctes, lastA, _) = sqlKmeansCtes(k, iters)
     s"""WITH $ctes,

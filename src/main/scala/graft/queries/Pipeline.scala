@@ -540,6 +540,19 @@ object Pipeline {
     QueryDef.sql("p17_semdedup", Similarity.sqlSemDedup(4, 2, 0.4)) { (s, dir) =>
       Similarity.semDedup(Tables.embeddings(s, dir), 4, 2, 0.4)
     },
+    // incremental SemDeDup: the shard enters the SAVED clustering
+    // (coarse assign from persisted centroids — no Lloyd re-iteration)
+    // and each shard vector is pruned against lower-id cell co-members
+    // old ∪ new — the semantic leg of the shard-ingest triad
+    QueryDef.sql("p24_semdedup_shard", Similarity.sqlSemDedupShard(4, 2, 0.4)) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cut = emb.count() * 4 / 5
+      val kmDir = artifactDir("km_old", dir)(tmp =>
+        Similarity.trainAndSaveKmeans(emb.filter(col("vec_id") < cut), 4, 2, tmp))
+      Similarity.semDedupShard(emb, cut,
+        graft.sources.ModelStore.load(s, s"$kmDir/centroids"),
+        graft.sources.ModelStore.load(s, s"$kmDir/cells"), 0.4)
+    },
     // DSIR: hashed-unigram importance weights vs the lang='en' target
     QueryDef.sql("p18_dsir", Curation.sqlDsirWeights) { (s, dir) =>
       Curation.dsirWeights(Tables.documents(s, dir))

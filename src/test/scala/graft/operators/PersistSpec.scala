@@ -241,6 +241,29 @@ class PersistSpec extends AnyFunSuite {
     assert(mb.getAs[Double]("hi") == fb.getAs[Double]("hi"))
   }
 
+  test("incremental SemDeDup: shard pruned against the saved cells, near-dup dropped, fresh vector kept") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f)),
+      // shard: 8 is a near-copy of old vector 2; 9 sits between the cells
+      (8L, Array(0.95f, 0.05f)), (9L, Array(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("label", org.apache.spark.sql.functions.lit("x"))
+    val dir = tmp("graft-semdedup-inc-")
+    Similarity.trainAndSaveKmeans(emb.filter(col("vec_id") < 8), 2, 1, dir)
+    val r = Similarity.semDedupShard(emb, 8L,
+      graft.sources.ModelStore.load(spark, s"$dir/centroids"),
+      graft.sources.ModelStore.load(spark, s"$dir/cells"), 0.9)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    // verdicts are emitted for the SHARD only
+    assert(r.keySet == Set(8L, 9L), s"shard-only verdicts expected: $r")
+    assert(!r(8L), "a near-copy of an indexed vector must be dropped")
+    assert(r(9L), "a genuinely new vector must be kept")
+  }
+
   test("incremental shard encode: a new vector enters the saved index and is served, no retraining") {
     val spark = TestSpark.spark
     import spark.implicits._
