@@ -819,12 +819,7 @@ object Dedup {
     * [[substrSpans]]'s scale note).
     */
   private def coveredPositions(toks: DataFrame): DataFrame = {
-    val grams = toks.filter(size(col("w")) >= SubstrN)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("w")) - (SubstrN - 1)),
-          i => struct(i.as("i"),
-            xxhash64(array_join(slice(col("w"), i, lit(SubstrN)), " ")).as("g")))).as("s"))
-      .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
+    val grams = positionalGrams(toks)
     val rep = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("g"))
@@ -832,6 +827,93 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (SubstrN - 1))).as("p"))
       .distinct()
+  }
+
+  /** Positional hashed windows (doc_id, i, g): every [[SubstrN]]-token
+    * window of each doc, keyed by xxhash64 of its text (8 bytes on the
+    * exchange — see [[substrSpans]]'s scale note). Shared by the
+    * in-corpus pass ([[coveredPositions]]) and the incremental shard
+    * pass ([[shardSubstrSpans]]).
+    */
+  private def positionalGrams(toks: DataFrame): DataFrame =
+    toks.filter(size(col("w")) >= SubstrN)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - (SubstrN - 1)),
+          i => struct(i.as("i"),
+            xxhash64(array_join(slice(col("w"), i, lit(SubstrN)), " ")).as("g")))).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
+
+  /** Build and persist the ExactSubstr gram index of a corpus: the
+    * DISTINCT hashed [[SubstrN]]-token windows, one 8-byte column — the
+    * artifact [[shardSubstrSpans]] checks a new shard against. Linear in
+    * corpus tokens (the suffix array's distributed stand-in, same as the
+    * d12 trade).
+    */
+  def buildAndSaveSubstrIndex(docs: DataFrame, dir: String): Unit =
+    graft.sources.ModelStore.saveLarge(
+      positionalGrams(
+        docs.select(col("doc_id"), Portable.tokens(col("text")).as("w")))
+        .select(col("g")).distinct(), dir)
+
+  def loadSubstrIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.sources.ModelStore.load(spark, dir)
+
+  /** Incremental cross-doc exact-substring coverage (d16) — d12's audit
+    * for a NEW shard at shard cost: a shard token position is duplicated
+    * if its window occurs in the INDEXED corpus (any old doc is by
+    * construction another doc) OR in at least two distinct shard docs
+    * (d12's rule applied within the shard). The old corpus is never
+    * re-tokenized — its entire contribution is the saved distinct-gram
+    * set, semi-joined on 8-byte keys. Completes the shard-ingest story
+    * for the ExactSubstr family alongside d13 (MinHash), p24 (semantic).
+    */
+  def shardSubstrSpans(shard: DataFrame, idxGrams: DataFrame): DataFrame = {
+    val toks = shard.select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+    val grams = positionalGrams(toks)
+    val repn = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("g"))
+    val covg = idxGrams.select(col("g")).union(repn).distinct()
+    val cover = grams.join(covg, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (SubstrN - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tokens"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(cover, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 4))
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[shardSubstrSpans]]: the exact-text twin over the same
+    * 4/5 split — old contribution via the distinct old-gram set, shard
+    * repeats via the ≥2-distinct-docs rule.
+    */
+  def sqlShardSubstrSpans: String = {
+    val n = SubstrN
+    val grams = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    s"""WITH cn AS (SELECT (count(*) * 4) // 5 AS cnt FROM documents),
+       |toks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w FROM documents),
+       |gr AS (SELECT doc_id, i, $grams AS g
+       |       FROM toks, LATERAL unnest(range(1, len(w) - ${n - 2})) t(i)),
+       |oldg AS (SELECT DISTINCT g FROM gr WHERE doc_id < (SELECT cnt FROM cn)),
+       |grn AS (SELECT * FROM gr WHERE doc_id >= (SELECT cnt FROM cn)),
+       |repn AS (SELECT g FROM grn GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+       |covg AS (SELECT g FROM oldg UNION SELECT g FROM repn),
+       |cov AS (SELECT DISTINCT grn.doc_id, p
+       |        FROM grn JOIN covg USING (g), LATERAL unnest(range(grn.i, grn.i + $n)) t(p)),
+       |per AS (SELECT doc_id, count(*)::BIGINT AS dup_tokens FROM cov GROUP BY doc_id)
+       |SELECT toks.doc_id, len(w)::BIGINT AS n_tokens,
+       |  coalesce(per.dup_tokens, 0)::BIGINT AS dup_tokens,
+       |  CASE WHEN len(w) = 0 THEN 0.0
+       |       ELSE round(coalesce(per.dup_tokens, 0) * 1.0 / len(w), 4) END AS dup_frac
+       |FROM toks LEFT JOIN per ON per.doc_id = toks.doc_id
+       |WHERE toks.doc_id >= (SELECT cnt FROM cn)
+       |ORDER BY toks.doc_id""".stripMargin
   }
 
   /** ExactSubstr span REMOVAL (p22) — the actual intervention of Lee et

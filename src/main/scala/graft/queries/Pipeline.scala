@@ -97,6 +97,17 @@ object Pipeline {
     QueryDef.sql("d12_substr_spans", Dedup.sqlSubstrSpans) { (s, dir) =>
       Dedup.substrSpans(Tables.documents(s, dir))
     },
+    // incremental ExactSubstr: a new shard's duplicated-span coverage
+    // against the SAVED distinct-gram index (plus within-shard repeats)
+    // — the old corpus is never re-tokenized
+    QueryDef.sql("d16_substr_shard", Dedup.sqlShardSubstrSpans) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cut = docs.count() * 4 / 5
+      val idxDir = artifactDir("substridx", dir)(tmp =>
+        Dedup.buildAndSaveSubstrIndex(docs.filter(col("doc_id") < cut), tmp))
+      Dedup.shardSubstrSpans(docs.filter(col("doc_id") >= cut),
+        Dedup.loadSubstrIndex(s, idxDir))
+    },
     // the ExactSubstr INTERVENTION (Lee et al.'s actual dedup step): cut
     // every cross-doc duplicated span d12 measures, re-emit the corpus as
     // surviving tokens — the span-cut corpus a pipeline ships

@@ -216,6 +216,32 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r2(7L) == 0L, s"self-repetition must not count as cross-doc: ${r2(7L)}")
   }
 
+  test("shard substr coverage: saved gram index marks cross-corpus runs; within-shard repeats count too") {
+    val run = "one two three four five six seven eight nine ten eleven twelve"
+    val srun = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val dir = java.nio.file.Files.createTempDirectory("graft-substridx").toString
+    // index: one doc holding the run
+    Dedup.buildAndSaveSubstrIndex(
+      docs((1L, s"prefixa prefixb $run sufa sufb sufc")), dir)
+    val idx = Dedup.loadSubstrIndex(TestSpark.spark, dir)
+    val shard = docs(
+      // carries the indexed run -> 12 covered positions, corpus never re-read
+      (10L, s"intro1 intro2 intro3 $run tail1"),
+      // a shard-internal pair sharing srun -> covered by the >=2-docs rule
+      (11L, s"$srun closing1 closing2"),
+      (12L, s"opener1 $srun"),
+      // nothing shared anywhere
+      (13L, "totally unrelated filler words padding content nothing shared " +
+        "here at all keeps going longer than ten tokens easily"))
+    val r = Dedup.shardSubstrSpans(shard, idx).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r.keySet == Set(10L, 11L, 12L, 13L), "shard-only rows")
+    assert(r(10L) == ((16L, 12L)), s"cross-corpus run covered: ${r(10L)}")
+    assert(r(11L) == ((14L, 12L)), s"within-shard run covered: ${r(11L)}")
+    assert(r(12L) == ((13L, 12L)), s"within-shard partner covered: ${r(12L)}")
+    assert(r(13L)._2 == 0L, s"unrelated doc untouched: ${r(13L)}")
+  }
+
   test("substr cut excises exactly the planted shared run, keeps unique prose in order") {
     // same planted-run shape as the coverage test: the cut must remove
     // ONLY the 12 shared positions and re-join the survivors in order
