@@ -500,7 +500,11 @@ object Dedup {
     * per-key volume is bounded by bucket co-membership exactly as in d4;
     * the Jaccard verify joins candidate pairs to the hashed shingle
     * tables on 8-byte keys, touching only candidate docs' postings. AQE
-    * broadcasts the shard side when it measures small.
+    * broadcasts the shard side when it measures small. The shard's capped
+    * postings are cached (two consumers: band signing and the verify)
+    * under the [[jaccardPairs]] cache-lifecycle convention — one-shot
+    * jobs don't care; long-lived sessions bound storage with
+    * clearCache() between runs.
     */
   def shardLshPairs(shard: DataFrame, idx: LshIndex): DataFrame = {
     val hashed = rawShingles(shard)

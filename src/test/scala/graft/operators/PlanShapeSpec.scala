@@ -289,6 +289,32 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("incremental SemDeDup: cell-blocked equi-join, centroid broadcast only, no cross product") {
+    val spark = TestSpark.spark
+    val emb = graft.Tables.embeddings(spark, dir)
+    val kmDir = java.nio.file.Files.createTempDirectory("graft-plan-km").toString
+    val cut = emb.count() * 4 / 5
+    Similarity.trainAndSaveKmeans(emb.filter(col("vec_id") < cut), 4, 2, kmDir)
+    val plan = executed(Similarity.semDedupShard(emb, cut,
+      graft.sources.ModelStore.load(spark, s"$kmDir/centroids"),
+      graft.sources.ModelStore.load(spark, s"$kmDir/cells"), 0.4))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the verify must be confined to cell co-members:\n$plan")
+  }
+
+  test("shard substr coverage: hashed semi-join against the saved gram set, no cross product") {
+    val spark = TestSpark.spark
+    val docs = graft.Tables.documents(spark, dir)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-plan-substr").toString
+    val cut = docs.count() * 4 / 5
+    Dedup.buildAndSaveSubstrIndex(docs.filter(col("doc_id") < cut), idxDir)
+    val plan = executed(Dedup.shardSubstrSpans(docs.filter(col("doc_id") >= cut),
+      Dedup.loadSubstrIndex(spark, idxDir)))
+    assert(plan.contains("LeftSemi"), s"expected the covered-gram semi-join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cross product expected in:\n$plan")
+  }
+
   test("simhash pairs: band-bucket equi-join candidates, no cross product") {
     val plan = executed(Dedup.simhashPairs(graft.Tables.documents(TestSpark.spark, dir)))
     assert(!plan.contains("CartesianProduct") &&
