@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** The composed daily-ingest story, end to end: day 1 trains and persists
+  * every artifact from the OLD corpus slice; day 2 processes the new
+  * shard using ONLY the saved artifacts plus the shard (and, where the
+  * semantics require old payloads — the semantic prune, ANN serving —
+  * the immutable store the artifacts index). No path retrains or
+  * re-scans the old corpus. The per-operator gates live in their own
+  * specs and in the oracle; what THIS spec locks is the composition: the
+  * artifact schemas all fit together, and each incremental output is
+  * consistent with its inputs.
+  */
+class DailyIngestSpec extends AnyFunSuite {
+
+  test("day-2 shard ingest runs every incremental path off day-1 artifacts") {
+    val spark = TestSpark.spark
+    val root = java.nio.file.Files.createTempDirectory("graft-daily").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dCut = docs.count() * 4 / 5
+    val vCut = emb.count() * 4 / 5
+    val oldDocs = docs.filter(col("doc_id") < dCut)
+    val shardDocs = docs.filter(col("doc_id") >= dCut)
+    val sub = 64 / Similarity.PqBlocks
+
+    // ---- day 1: train once, persist everything
+    Dedup.buildAndSaveLshIndex(oldDocs, s"$root/lsh")
+    val lshIdx = Dedup.loadLshIndex(spark, s"$root/lsh")
+    Dedup.clusterIndexAndSave(lshIdx, s"$root/lshlabels")
+    Dedup.buildAndSaveSubstrIndex(oldDocs, s"$root/substr")
+    TextOps.trainAndSaveSurprisalModel(oldDocs, s"$root/lm")
+    Similarity.trainAndSaveKmeans(emb.filter(col("vec_id") < vCut), 4, 2, s"$root/km")
+    Similarity.trainAndSaveIvfPq(emb.filter(col("vec_id") < vCut), sub, s"$root/ivfpq")
+
+    // ---- day 2: the shard, against the artifacts
+    // lexical near-dup pairs + label update
+    val pairs = Dedup.shardLshPairs(shardDocs, lshIdx)
+    val labels = Dedup.shardUpdateClustersFrom(pairs,
+      Dedup.loadClusters(spark, s"$root/lshlabels"))
+    val labMap = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.collect().foreach { p =>
+      val (ia, ib) = (p.getLong(0), p.getLong(1))
+      assert(labMap(ia) == labMap(ib),
+        s"paired docs ($ia, $ib) must share an updated cluster label")
+    }
+
+    // exact-substring coverage vs the saved gram index
+    val cov = Dedup.shardSubstrSpans(shardDocs, Dedup.loadSubstrIndex(spark, s"$root/substr"))
+      .collect()
+    assert(cov.length == shardDocs.count(),
+      "coverage emits one row per shard doc")
+    cov.foreach(r => assert(r.getLong(2) <= r.getLong(1),
+      "coverage bounded by doc length"))
+
+    // LM: score the shard under yesterday's model, refresh by count-merge
+    val lmOld = TextOps.loadSurprisalModel(spark, s"$root/lm")
+    val scored = TextOps.unigramSurprisalFromSaved(shardDocs, lmOld).collect()
+    assert(scored.length == shardDocs.count())
+    TextOps.trainAndSaveSurprisalModel(shardDocs, s"$root/lmShard")
+    val merged = TextOps.mergeSurprisalModels(lmOld,
+      TextOps.loadSurprisalModel(spark, s"$root/lmShard"), docs)
+    val viaMerge = TextOps.unigramSurprisalFromSaved(docs, merged)
+      .collect().map(_.toSeq).toSeq
+    assert(viaMerge == TextOps.unigramSurprisal(docs).collect().map(_.toSeq).toSeq,
+      "the refreshed model IS the full-corpus model (count additivity)")
+
+    // drift monitor: stale-model excess per source is finite and defined
+    val drift = TextOps.surprisalDrift(docs, lmOld).collect()
+    assert(drift.nonEmpty && drift.forall(r => !r.getDouble(4).isNaN))
+
+    // semantic prune of the shard against the saved cells
+    val sem = Similarity.semDedupShard(emb, vCut,
+      graft.sources.ModelStore.load(spark, s"$root/km/centroids"),
+      graft.sources.ModelStore.load(spark, s"$root/km/cells"), 0.4).collect()
+    assert(sem.map(_.getLong(0)).forall(_ >= vCut), "semantic verdicts are shard-only")
+
+    // ANN: encode the shard into the saved index, serve over old ∪ new
+    val ivf = Similarity.loadIvfPq(spark, s"$root/ivfpq")
+    val (nc, ncodes) = Similarity.encodeIvfPqShard(
+      emb.filter(col("vec_id") >= vCut), ivf, sub)
+    val combined = Similarity.IvfPqIndex(ivf.coarse,
+      ivf.cells.unionByName(nc), ivf.pqCent, ivf.codes.unionByName(ncodes))
+    val served = Similarity.ivfPqSearch(emb, combined, sub, 5, 3).collect()
+    assert(served.length == 5 * 3, "k results per query over the enlarged index")
+  }
+}
