@@ -568,6 +568,13 @@ object Pipeline {
     QueryDef.sql("p18_dsir", Curation.sqlDsirWeights) { (s, dir) =>
       Curation.dsirWeights(Tables.documents(s, dir))
     },
+    // the LEARNED quality filter: logistic regression over per-row
+    // features, IRLS-trained distributed (aggregate passes + driver
+    // Cholesky solve, oracle-replayed) — the GPT-3-style classifier gate
+    QueryDef.sql("p25_quality_classifier",
+      graft.operators.Classifier.sqlQualityClassifier) { (s, dir) =>
+      graft.operators.Classifier.qualityClassifier(Tables.documents(s, dir))
+    },
 
     // -------- sub-document (segment/paragraph) dedup
     QueryDef.sql("p8_segment_dedup", Curation.sqlSegmentDedup) { (s, dir) =>

@@ -422,6 +422,31 @@ class DedupTextSpec extends AnyFunSuite {
       s"an unchanged source must sit near zero drift: $r")
   }
 
+  test("quality classifier: the driver solve is exact, and training separates the planted signal") {
+    // hand-checked SPD solve: H=[[4,2],[2,3]], g=(10,8) -> δ=(1.75, 1.5)
+    val d = Classifier.solveSpd(
+      Array(Array(4.0, 2.0), Array(2.0, 3.0)), Array(10.0, 8.0))
+    assert(math.abs(d(0) - 1.75) < 1e-4 && math.abs(d(1) - 1.5) < 1e-4,
+      s"solve: ${d.toSeq}")
+
+    // planted separable corpus: en docs are stopword-rich, others not —
+    // two IRLS steps must rank every en doc above every non-en doc
+    val s = TestSpark.spark
+    import s.implicits._
+    val en = "the cat and the dog sat in the big house of it all day long"
+    val xx = "chat maison rouge bleu vert jaune montagne riviere soleil lune"
+    val docs = Seq(
+      (0L, en, "en"), (1L, en + " again today", "en"), (2L, "the fish and it", "en"),
+      (3L, xx, "xx"), (4L, xx + " encore", "xx"), (5L, "montagne soleil", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val r = Classifier.qualityClassifier(docs).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    val enMin = Seq(0L, 1L, 2L).map(r).min
+    val xxMax = Seq(3L, 4L, 5L).map(r).max
+    assert(enMin > xxMax,
+      s"the learned filter must separate the slices: en>=$enMin xx<=$xxMax ($r)")
+  }
+
   test("dup-rate by source counts exactly the non-canonical cluster members") {
     val s = TestSpark.spark
     import s.implicits._
