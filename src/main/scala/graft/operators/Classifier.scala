@@ -149,11 +149,44 @@ object Classifier {
   def qualityClassifier(docs: DataFrame): DataFrame = {
     val feats = features(docs).localCheckpoint(true)
     val w = trainWeights(feats)
-    val out = feats.select(col("doc_id"), col("y").cast("long").as("y"),
+    feats.unpersist()
+    scoreWith(docs, w)
+  }
+
+  /** The scoring half alone, from GIVEN weights — pure per-row
+    * expressions (no training scans, no state), so it applies unchanged
+    * to a streaming micro-batch: the classic offline-train/online-apply
+    * filter deployment. Shares the exact select with
+    * [[qualityClassifier]] so p26's hash-match gate proves the artifact
+    * carries the whole model.
+    */
+  def scoreWith(docs: DataFrame, w: Array[Double]): DataFrame = {
+    require(w.length == D, s"weight artifact has ${w.length} entries, want $D")
+    features(docs).select(col("doc_id"), col("y").cast("long").as("y"),
       round(sigmoid(dotW(w)), 4).as("p"))
       .withColumn("keep", col("p") >= 0.5)
       .orderBy(col("doc_id"))
-    out
+  }
+
+  /** Train and persist the weights (D rows, binary-exact doubles). */
+  def trainAndSave(docs: DataFrame, dir: String): Array[Double] = {
+    val feats = features(docs).localCheckpoint(true)
+    val w = trainWeights(feats)
+    feats.unpersist()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.sources.ModelStore.save(
+      w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "w"), dir)
+    w
+  }
+
+  /** Load persisted weights; loud on a wrong-D artifact. */
+  def loadWeights(spark: org.apache.spark.sql.SparkSession, dir: String): Array[Double] = {
+    val rows = graft.sources.ModelStore.load(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    require(rows.keySet == (0 until D).toSet,
+      s"classifier artifact at $dir has indices ${rows.keySet} — trained with a different D")
+    (0 until D).map(rows).toArray
   }
 
   // ------------------------------------------------------------- oracle

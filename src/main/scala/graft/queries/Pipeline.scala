@@ -575,6 +575,17 @@ object Pipeline {
       graft.operators.Classifier.sqlQualityClassifier) { (s, dir) =>
       graft.operators.Classifier.qualityClassifier(Tables.documents(s, dir))
     },
+    // score from the PERSISTED weights (train once per corpus, memoized)
+    // — must hash-match p25 byte-for-byte: the t21/t14 artifact gate
+    // applied to the learned filter; scoring is stream-ready (pure
+    // per-row expressions, no training scans)
+    QueryDef.sql("p26_classifier_from_saved",
+      graft.operators.Classifier.sqlQualityClassifier) { (s, dir) =>
+      val wDir = artifactDir("qclassifier", dir)(tmp =>
+        { graft.operators.Classifier.trainAndSave(Tables.documents(s, dir), tmp); () })
+      graft.operators.Classifier.scoreWith(Tables.documents(s, dir),
+        graft.operators.Classifier.loadWeights(s, wDir))
+    },
 
     // -------- sub-document (segment/paragraph) dedup
     QueryDef.sql("p8_segment_dedup", Curation.sqlSegmentDedup) { (s, dir) =>

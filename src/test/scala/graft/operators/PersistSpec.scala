@@ -318,6 +318,27 @@ class PersistSpec extends AnyFunSuite {
     assert(rateSaved == rateDirect)
   }
 
+  test("classifier weights round-trip: scoring from saved == train-and-score, wrong-D refuses") {
+    val spark = TestSpark.spark
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = tmp("graft-qclf-")
+    val w = graft.operators.Classifier.trainAndSave(docs, dir)
+    val loaded = graft.operators.Classifier.loadWeights(spark, dir)
+    assert(w.toSeq == loaded.toSeq, "parquet doubles are binary-exact")
+    val fromSaved = graft.operators.Classifier.scoreWith(docs, loaded)
+      .collect().map(_.toSeq).toSeq
+    val direct = graft.operators.Classifier.qualityClassifier(docs)
+      .collect().map(_.toSeq).toSeq
+    assert(fromSaved == direct)
+    // a truncated artifact refuses instead of silently mis-scoring
+    import spark.implicits._
+    val bad = tmp("graft-qclf-bad-")
+    graft.sources.ModelStore.save(Seq((0, 0.5)).toDF("i", "w"), bad)
+    val err = intercept[IllegalArgumentException](
+      graft.operators.Classifier.loadWeights(spark, bad))
+    assert(err.getMessage.contains("different D"))
+  }
+
   test("a corrupt or wrong-shape whitening artifact fails loudly") {
     val spark = TestSpark.spark
     import spark.implicits._
