@@ -162,10 +162,12 @@ object Classifier {
     */
   def scoreWith(docs: DataFrame, w: Array[Double]): DataFrame = {
     require(w.length == D, s"weight artifact has ${w.length} entries, want $D")
-    features(docs).select(col("doc_id"), col("y").cast("long").as("y"),
+    val scored = features(docs).select(col("doc_id"), col("y").cast("long").as("y"),
       round(sigmoid(dotW(w)), 4).as("p"))
       .withColumn("keep", col("p") >= 0.5)
-      .orderBy(col("doc_id"))
+    // presentation sort is a batch concept; a streaming micro-batch is
+    // unordered by nature (and Spark rejects the sort in append mode)
+    if (docs.isStreaming) scored else scored.orderBy(col("doc_id"))
   }
 
   /** Train and persist the weights (D rows, binary-exact doubles). */

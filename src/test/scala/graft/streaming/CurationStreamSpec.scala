@@ -360,6 +360,37 @@ class CurationStreamSpec extends AnyFunSuite {
       s"inside-horizon pair found once, evicted buckets stay silent: $got")
   }
 
+  test("the saved quality classifier gates a stream: scores equal the batch pass row for row") {
+    val spark = TestSpark.spark
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-stream-qclf").toString
+    graft.operators.Classifier.trainAndSave(docs, dir)
+    val w = graft.operators.Classifier.loadWeights(spark, dir)
+    val batch = graft.operators.Classifier.scoreWith(docs, w).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+
+    val dataDir = Files.createTempDirectory("graft-stream-qclf-data").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(dataDir)
+    val got = scala.collection.concurrent.TrieMap.empty[Long, (Double, Boolean)]
+    val stream = spark.readStream.schema(docs.schema).parquet(dataDir)
+    // scoreWith is pure per-row expressions — the SAME call gates the
+    // stream (offline-train/online-apply, no adaptation layer)
+    val q = graft.operators.Classifier.scoreWith(stream, w)
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          got.put(r.getLong(0), (r.getDouble(2), r.getBoolean(3))))
+        ()
+      }.start()
+    assert(q.awaitTermination(120000), "classifier stream did not finish")
+    q.stop()
+    assert(got.size == batch.size)
+    got.foreach { case (id, v) =>
+      assert(v == batch(id), s"doc $id: stream $v vs batch ${batch(id)}")
+    }
+  }
+
   test("event-time dedup horizon evicts silent hashes; duplicates inside the horizon still die") {
     val spark = TestSpark.spark
     import spark.implicits._
