@@ -218,6 +218,108 @@ object AsOf {
       |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.vts <= c.ts
       |ORDER BY click_id""".stripMargin
 
+  // --------------------------------------------------- nearest as-of (w11)
+
+  /** NEAREST as-of with a tolerance (pandas `merge_asof(direction=
+    * 'nearest', tolerance=...)`): each left row matched to the right row
+    * minimizing |ts_right - ts_left| within its key, match discarded when
+    * the nearer side is still more than `tolUs` away; an EXACT tie (one
+    * candidate each side, equidistant) resolves to the BACKWARD one — the
+    * causal row — so the choice is total and engine-independent.
+    *
+    * Same scale shape as [[asOf]], and the reason this is an operator
+    * instead of "join on |Δt| <= tol and rank": ONE union, ONE hash
+    * shuffle on the key, one partition-local sort, and BOTH directions
+    * read from the same sorted run — the backward candidate is a running
+    * ignore-nulls `last` over the preceding frame, the forward candidate a
+    * running ignore-nulls `first` over the following frame. No per-key
+    * pair blowup, no second exchange for the forward pass. At-the-same-
+    * instant right rows belong to the BACKWARD side (inclusive <=, the
+    * [[asOf]] tie rule); the forward frame sees strictly-later rows only,
+    * because same-instant right rows sort before the left row and a ROWS
+    * following frame starts at the left row itself.
+    *
+    * Both [[asOf]] preconditions (unique right (key, ts), non-null
+    * payload) are enforced by the same guards. Timestamps must be
+    * TimestampType (the gap arithmetic is in microseconds).
+    */
+  def asOfNearest(left: DataFrame, key: String, leftTs: String,
+                  right: DataFrame, rightTs: String, payload: String,
+                  tolUs: Long): DataFrame = {
+    val payType = right.schema(payload).dataType
+    val (l, r) = prepSides(left, key, leftTs, right, rightTs, payload)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
+    val wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val backWins = col("__bok") && (!col("__fok") || col("__bgap") <= col("__fgap"))
+    l.unionByName(r)
+      .withColumn("__pay", dupGuardedPay(Seq(col("__k")), payType))
+      .withColumn("__bm", last(col("__pay"), ignoreNulls = true).over(wb))
+      .withColumn("__bts",
+        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(wb))
+      .withColumn("__fm", first(col("__pay"), ignoreNulls = true).over(wf))
+      .withColumn("__fts",
+        first(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+      .withColumn("__bgap", unix_micros(col("__ts")) - unix_micros(col("__bts")))
+      .withColumn("__fgap", unix_micros(col("__fts")) - unix_micros(col("__ts")))
+      .withColumn("__bok", col("__bts").isNotNull && col("__bgap") <= tolUs)
+      .withColumn("__fok", col("__fts").isNotNull && col("__fgap") <= tolUs)
+      .withColumn("__match",
+        when(backWins, col("__bm")).when(col("__fok"), col("__fm")))
+      .withColumn("__mts",
+        when(backWins, col("__bts")).when(col("__fok"), col("__fts")))
+      .select((left.columns.map(c => col(s"__row.$c"))
+        :+ col("__match") :+ col("__mts")): _*)
+  }
+
+  /** Tolerance for the w11 query: 1 day in microseconds — wide enough that
+    * most clicks find a view on one side, narrow enough that some stay
+    * unmatched and some resolve FORWARD (the fixture's backward gaps
+    * median ~1.45 days).
+    */
+  val NearestTolUs: Long = 86400L * 1000000L
+
+  /** w11: every click matched to the user's NEAREST view within a day —
+    * the attribution variant for instrument-skew data where the relevant
+    * exposure may be logged just after the click. `gap_us` is SIGNED
+    * (positive = view before click, negative = view after).
+    */
+  def clickNearestAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("vts"))
+      .agg(max(col("event_id")).as("view_id"))
+    asOfNearest(clicks, "user_id", "ts", views, "vts", "view_id", NearestTolUs)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("__match").as("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("__mts"))).as("gap_us"))
+      .orderBy(col("click_id"))
+  }
+
+  /** Oracle: candidate pairs within tolerance, ranked by (gap, direction)
+    * — `min_by` over the composite `gap * 2 + fwd` key, which is UNIQUE
+    * per click (same gap + same direction would mean the same view row,
+    * since right rows are unique per (key, ts)), so the pick is total.
+    */
+  val sqlClickNearestAttribution: String =
+    s"""WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+       |v AS (SELECT user_id, ts AS vts, max(event_id) AS view_id
+       |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+       |cand AS (SELECT c.event_id, v.view_id, v.vts,
+       |    abs(epoch_us(c.ts) - epoch_us(v.vts)) AS gap,
+       |    CASE WHEN v.vts <= c.ts THEN 0 ELSE 1 END AS fwd
+       |  FROM c JOIN v ON c.user_id = v.user_id
+       |  WHERE abs(epoch_us(c.ts) - epoch_us(v.vts)) <= $NearestTolUs),
+       |best AS (SELECT event_id, min_by(view_id, gap * 2 + fwd) AS view_id,
+       |    min_by(vts, gap * 2 + fwd) AS vts
+       |  FROM cand GROUP BY event_id)
+       |SELECT c.event_id AS click_id, c.user_id, b.view_id,
+       |  (epoch_us(c.ts) - epoch_us(b.vts))::BIGINT AS gap_us
+       |FROM c LEFT JOIN best b ON b.event_id = c.event_id
+       |ORDER BY click_id""".stripMargin
+
   // --------------------------------------------------- streaming as-of
 
   /** Tagged union row for the streaming as-of (micros keep ordering exact;

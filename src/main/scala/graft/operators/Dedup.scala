@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
 import Portable._
@@ -766,6 +767,55 @@ object Dedup {
        |  FROM (SELECT a, b FROM r UNION ALL SELECT a, b FROM self)
        |  GROUP BY a),
        |drop AS (SELECT doc_id FROM clus WHERE doc_id != cluster)
+       |SELECT doc_id, source FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drop)
+       |ORDER BY doc_id""".stripMargin
+
+  /** The keep-list with a QUALITY-RANKED canonical (p28): instead of d9's
+    * min-doc_id representative, each near-dup cluster keeps its
+    * highest-[[TextOps.qualityScore]] member (ties broken to the lower
+    * doc_id, so the choice is total). This is what a curation pipeline
+    * actually wants from dedup — near-dup clusters usually mix a clean
+    * original with mangled re-crawls, and "keep the first id we happened
+    * to see" throws away quality the cluster already contains.
+    *
+    * Same artifact-first shape as d9: `clusters` is the SAVED label frame
+    * ([[loadClusters]]) — the chain never re-runs. The ranking window
+    * partitions the LABEL frame (only docs inside clusters — small
+    * relative to the corpus), joined to a narrow (doc_id, score)
+    * projection; the corpus itself is touched once by the final anti-join,
+    * which AQE broadcasts when the drop side is measured small.
+    */
+  def bestQualityCorpusFrom(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val q = docs.select(col("doc_id"), TextOps.qualityScore(col("text")).as("qs"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("qs").desc, col("doc_id"))
+    val drop = clusters.join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: exact recursive closure + the same quality ranking. */
+  def sqlBestQualityCorpus: String =
+    s"""WITH RECURSIVE p AS ($sqlLshPairs),
+       |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+       |r AS (SELECT a, b FROM e
+       |      UNION
+       |      SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |self AS (SELECT DISTINCT a, a AS b FROM e),
+       |clus AS (SELECT a AS doc_id, min(b) AS cluster
+       |  FROM (SELECT a, b FROM r UNION ALL SELECT a, b FROM self)
+       |  GROUP BY a),
+       |q AS (SELECT doc_id, ${TextOps.sqlQualityScoreExpr("text")} AS qs
+       |      FROM documents),
+       |rk AS (SELECT c.doc_id,
+       |    row_number() OVER (PARTITION BY c.cluster ORDER BY q.qs DESC, c.doc_id) AS rn
+       |  FROM clus c JOIN q USING (doc_id)),
+       |drop AS (SELECT doc_id FROM rk WHERE rn > 1)
        |SELECT doc_id, source FROM documents
        |WHERE doc_id NOT IN (SELECT doc_id FROM drop)
        |ORDER BY doc_id""".stripMargin

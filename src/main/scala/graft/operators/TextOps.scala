@@ -186,6 +186,15 @@ object TextOps {
       qualityScore(textCol).as("quality_score"))
   }
 
+  /** The blended quality score as ONE SQL expression — the oracle twin of
+    * [[qualityScore]], shared by every oracle that ranks or gates on it.
+    */
+  private[operators] def sqlQualityScoreExpr(textExpr: String): String = {
+    val toks = Portable.sqlTokens(textExpr)
+    val stops = sqlTokenHits(textExpr, Stopwords)
+    s"CASE WHEN len($toks) = 0 THEN 0.0 ELSE round(least(len($toks) / 200.0, 1.0) * 0.5 + ($stops::DOUBLE / len($toks)) * 0.5, 4) END"
+  }
+
   def sqlQuality: String = {
     val toks = Portable.sqlTokens("text")
     val stops = sqlTokenHits("text", Stopwords)
@@ -1016,5 +1025,133 @@ object TextOps {
        |  LATERAL unnest(range(1, len(w) + 1)) t(i)
        |GROUP BY doc_id, text
        |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------- Gopher rule battery
+
+  /** Gopher/MassiveText-style per-document quality RULES (Rae et al. 2021,
+    * table A1) — the rule battery a crawl passes through before any learned
+    * scoring: hard bounds on document shape, each rule reported as its own
+    * boolean so a pipeline can audit WHICH rule rejected a document (the
+    * per-rule rejection histogram is the first thing one reads when a
+    * source's yield drops). Bounds follow the paper where the signal
+    * exists in any corpus (word count 50..100k, mean word length 3..10,
+    * >=80% alphabetic words, >=2 stopwords); the repetition rule is the
+    * unigram form of the paper's top-n-gram-fraction family (most frequent
+    * token <= 10% of the document).
+    */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinWordLen = 3.0
+  val GopherMaxWordLen = 10.0
+  val GopherMinAlphaFrac = 0.8
+  val GopherMinStopHits = 2L
+  val GopherMaxTopTokFrac = 0.1
+
+  /** The battery as one narrow projection — every metric is a pure
+    * expression over the doc's own token array (materialized ONCE per
+    * row), so the pass is embarrassingly parallel with no shuffle at all:
+    * the 100 TB shape is "scan, project, write". The top-token fraction is
+    * O(distinct x tokens) per row — bounded by document length, never by
+    * corpus size.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val w = col("w")
+    val n = size(w).cast("double")
+    val mwl = when(n === 0, lit(0.0)).otherwise(round(
+      aggregate(w, lit(0L), (a, x) => a + length(x)).cast("double") / n, 4))
+    val alpha = when(n === 0, lit(0.0)).otherwise(round(
+      size(filter(w, x => x.rlike("[a-z]"))).cast("double") / n, 4))
+    val top = when(n === 0, lit(0.0)).otherwise(round(
+      array_max(transform(array_distinct(w), x =>
+        size(filter(w, y => y === x)))).cast("double") / n, 4))
+    val stops = size(filter(w, t =>
+      Stopwords.map(s => t === lit(s)).reduce(_ || _))).cast("bigint")
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(w).cast("bigint").as("n_tokens"),
+        mwl.as("mean_word_len"),
+        alpha.as("alpha_frac"),
+        top.as("top_tok_frac"),
+        stops.as("stop_hits"))
+      .withColumn("n_ok",
+        col("n_tokens") >= GopherMinWords && col("n_tokens") <= GopherMaxWords)
+      .withColumn("wordlen_ok",
+        col("mean_word_len") >= GopherMinWordLen && col("mean_word_len") <= GopherMaxWordLen)
+      .withColumn("alpha_ok", col("alpha_frac") >= GopherMinAlphaFrac)
+      .withColumn("stop_ok", col("stop_hits") >= GopherMinStopHits)
+      .withColumn("rep_ok", col("top_tok_frac") <= GopherMaxTopTokFrac)
+      .withColumn("pass",
+        col("n_ok") && col("wordlen_ok") && col("alpha_ok") &&
+          col("stop_ok") && col("rep_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlGopherRules: String = {
+    val toks = Portable.sqlTokens("text")
+    val ors = Stopwords.map(s => s"x = '$s'").mkString(" OR ")
+    s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+       |m AS (SELECT doc_id,
+       |  len(w)::BIGINT AS n_tokens,
+       |  CASE WHEN len(w) = 0 THEN 0.0 ELSE round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 4) END AS mean_word_len,
+       |  CASE WHEN len(w) = 0 THEN 0.0 ELSE round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(w), 4) END AS alpha_frac,
+       |  CASE WHEN len(w) = 0 THEN 0.0 ELSE round(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x))))::DOUBLE / len(w), 4) END AS top_tok_frac,
+       |  len(list_filter(w, x -> $ors))::BIGINT AS stop_hits
+       |  FROM t)
+       |SELECT doc_id, n_tokens, mean_word_len, alpha_frac, top_tok_frac, stop_hits,
+       |  n_tokens >= $GopherMinWords AND n_tokens <= $GopherMaxWords AS n_ok,
+       |  mean_word_len >= $GopherMinWordLen AND mean_word_len <= $GopherMaxWordLen AS wordlen_ok,
+       |  alpha_frac >= $GopherMinAlphaFrac AS alpha_ok,
+       |  stop_hits >= $GopherMinStopHits AS stop_ok,
+       |  top_tok_frac <= $GopherMaxTopTokFrac AS rep_ok,
+       |  (n_tokens >= $GopherMinWords AND n_tokens <= $GopherMaxWords)
+       |    AND (mean_word_len >= $GopherMinWordLen AND mean_word_len <= $GopherMaxWordLen)
+       |    AND alpha_frac >= $GopherMinAlphaFrac
+       |    AND stop_hits >= $GopherMinStopHits
+       |    AND top_tok_frac <= $GopherMaxTopTokFrac AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------- hashed feature vectors
+
+  /** Bucket count for the hashing-trick feature space. Small here so the
+    * fixture output is readable; the operator's cost is independent of it
+    * (the aggregate key is (doc_id, bucket) — output rows per doc are
+    * min(buckets, distinct tokens)).
+    */
+  val HashFeatBuckets = 32L
+
+  /** Signed hashed bag-of-words features (the hashing trick — Weinberger
+    * et al. 2009; the fastText / Vowpal-Wabbit input representation): each
+    * token hashes to one of [[HashFeatBuckets]] buckets with a +/-1 sign
+    * drawn from an independent hash bit, and the document's feature vector
+    * is the per-bucket signed count. This is the FIXED-dimensional,
+    * vocabulary-free feature path for classifiers at corpus scale — no
+    * vocabulary table to build, broadcast, or keep consistent across
+    * shards (the t5 TF-IDF route needs all three); a new shard featurizes
+    * with zero corpus-side state.
+    *
+    * Shape: explode -> hash -> partial-aggregated sum on (doc_id, bucket).
+    * The single shuffle is the per-doc aggregate, map-side combined; sign
+    * bit 5 is independent of the bucket (bits 0..4) by construction.
+    */
+  def hashedFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), Portable.hash32(col("t")).as("h"))
+      .select(col("doc_id"),
+        (col("h") % HashFeatBuckets).as("bucket"),
+        when(shiftright(col("h"), 5) % 2 === 0, lit(1L)).otherwise(lit(-1L)).as("s"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("s")).as("weight"))
+      .orderBy(col("doc_id"), col("bucket"))
+
+  def sqlHashedFeatures: String = {
+    val toks = Portable.sqlTokens("text")
+    val h = Portable.sqlHash32("tk")
+    s"""WITH t AS (SELECT doc_id, unnest($toks) AS tk FROM documents),
+       |hh AS (SELECT doc_id, $h AS h FROM t)
+       |SELECT doc_id, (h % $HashFeatBuckets)::BIGINT AS bucket,
+       |  sum(CASE WHEN (h // 32) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS weight
+       |FROM hh GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
   }
 }

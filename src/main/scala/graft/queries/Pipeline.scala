@@ -168,6 +168,13 @@ object Pipeline {
       Dedup.dupRateBySourceFrom(Tables.documents(s, dir),
         Dedup.loadClusters(s, clusterLabelDir(s, dir)))
     },
+    // QUALITY-RANKED canonical per cluster: keep each near-dup cluster's
+    // best-scoring member instead of d9's min-id — derived from the SAME
+    // saved labels; the ranking window runs over the label frame only
+    QueryDef.sql("p28_best_canonical", Dedup.sqlBestQualityCorpus) { (s, dir) =>
+      Dedup.bestQualityCorpusFrom(Tables.documents(s, dir),
+        Dedup.loadClusters(s, clusterLabelDir(s, dir)))
+    },
     // repeated-shingle boilerplate score (hot shingles ARE the signal here)
     QueryDef.sql("t18_boilerplate", Dedup.sqlBoilerplateFraction) { (s, dir) =>
       Dedup.boilerplateFraction(Tables.documents(s, dir))
@@ -324,6 +331,12 @@ object Pipeline {
     QueryDef.sql("t5_tfidf", TextOps.sqlTfidfTopK(3)) { (s, dir) =>
       TextOps.tfidfTopK(Tables.documents(s, dir), 3)
     },
+    // hashing-trick features (Weinberger et al.): fixed-dimensional,
+    // vocabulary-free classifier input — no corpus-side state, so a new
+    // shard featurizes identically with zero coordination
+    QueryDef.sql("t25_hash_features", TextOps.sqlHashedFeatures) { (s, dir) =>
+      TextOps.hashedFeatures(Tables.documents(s, dir))
+    },
 
     // -------- similarity search
     QueryDef.sql("s1_knn_brute", Similarity.sqlKnnBrute(10, 5)) { (s, dir) =>
@@ -434,6 +447,12 @@ object Pipeline {
     QueryDef.sql("w9_asof_segmented", AsOf.sqlClickAttribution) { (s, dir) =>
       AsOf.clickAttributionSegmented(Tables.events(s, dir))
     },
+    // NEAREST as-of with tolerance (merge_asof direction='nearest'):
+    // both directions read one sorted run — backward = running last,
+    // forward = running first over the same window; no second exchange
+    QueryDef.sql("w11_asof_nearest", AsOf.sqlClickNearestAttribution) { (s, dir) =>
+      AsOf.clickNearestAttribution(Tables.events(s, dir))
+    },
 
     // -------- composed cleaning pipeline: the operators chained the way a
     // real corpus-prep job runs them — quality gate, then exact-dedup
@@ -530,6 +549,12 @@ object Pipeline {
     // -------- per-source adaptive quality gate (keep >= source median)
     QueryDef.sql("p15_quality_gate", Curation.sqlQualityGate) { (s, dir) =>
       Curation.qualityGate(Tables.documents(s, dir))
+    },
+    // the Gopher rule battery (Rae et al., table A1): per-rule verdicts so
+    // a pipeline can audit WHICH rule rejected a document; shuffle-free —
+    // the 100 TB shape is scan, project, write
+    QueryDef.sql("p27_gopher_rules", TextOps.sqlGopherRules) { (s, dir) =>
+      TextOps.gopherRules(Tables.documents(s, dir))
     },
     // the approx scale twin: percentile_approx threshold, tolerance
     // verdict vs the exact median (the q13 -> q19 sketch relationship)

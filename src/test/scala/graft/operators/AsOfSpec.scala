@@ -317,4 +317,32 @@ class AsOfSpec extends AnyFunSuite {
       "nullts" -> None,  // vts <= NULL is never true
       "ok" -> Some("real")), s"got $rows")
   }
+
+  test("nearest as-of: closer side wins, exact tie goes backward, tolerance cuts off") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val clicks = Seq(
+      (1L, ts(50), 100L), // views at 30 and 55: forward is closer (5 < 20)
+      (2L, ts(45), 200L), // views at 35 and 55: equidistant -> BACKWARD wins
+      (3L, ts(50), 300L), // view exactly AT 50: backward, gap 0
+      (4L, ts(50), 400L), // only view at 20: |30s| > 10s tolerance -> unmatched
+      (5L, ts(50), 500L)  // only view ahead at 56: forward within tolerance
+    ).toDF("user_id", "ts", "event_id")
+    val views = Seq(
+      (1L, ts(30), 11L), (1L, ts(55), 12L),
+      (2L, ts(35), 21L), (2L, ts(55), 22L),
+      (3L, ts(50), 31L),
+      (4L, ts(20), 41L),
+      (5L, ts(56), 51L)
+    ).toDF("user_id", "vts", "view_id")
+    val got = AsOf.asOfNearest(clicks, "user_id", "ts", views, "vts", "view_id",
+        10L * 1000000)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("__match")).map(_.longValue))
+      .toMap
+    assert(got == Map(
+      100L -> Some(12L), 200L -> Some(21L), 300L -> Some(31L),
+      400L -> None, 500L -> Some(51L)), s"got $got")
+  }
 }

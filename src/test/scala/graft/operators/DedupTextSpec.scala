@@ -461,4 +461,69 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r("src_a") == ((2L, 1L)), s"src_a ${r("src_a")}")
     assert(r("src_b") == ((1L, 0L)), s"src_b ${r("src_b")}")
   }
+
+  test("quality-ranked canonical keeps the cluster's best-scoring member, min id on ties") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val d = Seq(
+      // cluster {1,2}: doc 2 is all stopwords — far higher quality score
+      (1L, "alpha beta gamma", "src"),
+      (2L, "the a of and", "src"),
+      // cluster {3,4}: identical text — identical score, tie -> min id
+      (3L, "same same words here", "src"),
+      (4L, "same same words here", "src"),
+      (5L, "untouched singleton document", "src"))
+      .toDF("doc_id", "text", "source")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster")
+    val keep = Dedup.bestQualityCorpusFrom(d, clusters).collect().map(_.getLong(0))
+    assert(keep.toSeq == Seq(2L, 3L, 5L),
+      s"expected best-quality 2, tie-min 3, singleton 5 — got ${keep.toSeq}")
+  }
+
+  test("gopher rules: each planted defect trips exactly its own rule") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val good = ((1 to 58).map(i => s"word$i") ++ Seq("the", "a")).mkString(" ")
+    val short = "the a tiny doc"                                   // n_ok fails
+    val noStops = (1 to 60).map(i => s"word$i").mkString(" ")      // stop_ok fails
+    val repeated = (Seq.fill(30)("spam") ++ (1 to 28).map(i => s"word$i")
+      ++ Seq("the", "a")).mkString(" ")                            // rep_ok fails
+    val digits = ((1 to 58).map(i => s"$i$i$i") ++ Seq("the", "a")).mkString(" ")
+    val longWords = ((1 to 58).map(i => s"extraordinarily$i") ++ Seq("the", "a"))
+      .mkString(" ")                                               // wordlen_ok fails
+    val d = Seq((1L, good), (2L, short), (3L, noStops), (4L, repeated),
+      (5L, digits), (6L, longWords)).toDF("doc_id", "text")
+    val r = TextOps.gopherRules(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    def rules(id: Long) = Seq("n_ok", "wordlen_ok", "alpha_ok", "stop_ok", "rep_ok")
+      .map(c => c -> r(id).getAs[Boolean](c)).toMap
+    assert(r(1L).getAs[Boolean]("pass"), s"good doc must pass: ${rules(1L)}")
+    assert(!rules(2L)("n_ok") && !r(2L).getAs[Boolean]("pass"))
+    assert(!rules(3L)("stop_ok") && rules(3L)("n_ok"))
+    assert(!rules(4L)("rep_ok") && rules(4L)("stop_ok"))
+    // digit-run tokens contain no [a-z]: alpha fails (stopwords still present)
+    assert(!rules(5L)("alpha_ok") && rules(5L)("stop_ok"))
+    assert(!rules(6L)("wordlen_ok") && rules(6L)("alpha_ok"))
+  }
+
+  test("hashed features: order-invariant, sign-coherent, buckets from the token hash") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val d = Seq((1L, "alpha beta gamma alpha"), (2L, "gamma alpha alpha beta"),
+      (3L, "alpha alpha alpha")).toDF("doc_id", "text")
+    val r = TextOps.hashedFeatures(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val byDoc = r.groupBy(_._1._1)
+      .map { case (id, m) => id -> m.map { case ((_, b), w) => b -> w } }
+    // same multiset of tokens => identical vector, whatever the order
+    assert(byDoc(1L) == byDoc(2L), s"order must not matter: ${byDoc(1L)} vs ${byDoc(2L)}")
+    // one distinct token repeated k times: a single bucket at weight +/-k
+    assert(byDoc(3L).size == 1 && math.abs(byDoc(3L).head._2) == 3L, s"${byDoc(3L)}")
+    // the bucket is hash32(token) mod buckets — recompute independently
+    val h = d.sparkSession.range(1)
+      .select(graft.functions.Portable.hash32(lit("alpha")).as("h"))
+      .head().getLong(0)
+    assert(byDoc(3L).head._1 == h % TextOps.HashFeatBuckets)
+  }
 }

@@ -197,6 +197,25 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("nearest as-of: still the union+window form — both directions off ONE sorted run, no join") {
+    val spark = TestSpark.spark
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(AsOf.clickNearestAttribution(graft.Tables.events(spark, dir)))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"nearest as-of must never plan a per-key nested loop:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"union+window form has NO join at all:\n$plan")
+      // ONE key exchange feeds both the backward and the forward window —
+      // a second hashpartitioning(__k) would mean the forward pass paid
+      // its own shuffle
+      val keyExchanges = plan.split("\n").count(_.contains("hashpartitioning(__k"))
+      assert(keyExchanges <= 1,
+        s"backward+forward must share one exchange, saw $keyExchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("segmented as-of exchanges on (key, BUCKET) — the hot-key cap is in the partitioning") {
     val spark = TestSpark.spark
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
