@@ -254,12 +254,17 @@ object AsOf {
     val backWins = col("__bok") && (!col("__fok") || col("__bgap") <= col("__fgap"))
     l.unionByName(r)
       .withColumn("__pay", dupGuardedPay(Seq(col("__k")), payType))
-      .withColumn("__bm", last(col("__pay"), ignoreNulls = true).over(wb))
-      .withColumn("__bts",
-        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(wb))
-      .withColumn("__fm", first(col("__pay"), ignoreNulls = true).over(wf))
-      .withColumn("__fts",
-        first(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(wf))
+      // all four running candidates in ONE select: same-frame expressions
+      // collapse into a single Window operator per direction (interleaved
+      // withColumns would leave a Project between them and defeat
+      // CollapseWindow — four passes over the sorted run instead of two)
+      .select(col("*"),
+        last(col("__pay"), ignoreNulls = true).over(wb).as("__bm"),
+        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true)
+          .over(wb).as("__bts"),
+        first(col("__pay"), ignoreNulls = true).over(wf).as("__fm"),
+        first(when(col("__side") === 0, col("__ts")), ignoreNulls = true)
+          .over(wf).as("__fts"))
       .filter(col("__side") === 1)
       .withColumn("__bgap", unix_micros(col("__ts")) - unix_micros(col("__bts")))
       .withColumn("__fgap", unix_micros(col("__fts")) - unix_micros(col("__ts")))

@@ -931,4 +931,52 @@ object Curation {
        |WHERE d.doc_id % $BenchmarkMod <> 0
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  // ------------------------------------- bloom-filter decontamination (p29)
+
+  /** Bloom sketch size for the benchmark-shingle filter: 2^20 bits =
+    * 128 KB — a plan-shipped literal, three orders of magnitude under the
+    * collected-set gate's refusal threshold. At this size / the fixture's
+    * item count the false-positive rate is far below one per corpus;
+    * production sizes bits ~10x expected items for ~1% FPR.
+    */
+  val BloomBits: Long = 1L << 20
+
+  /** Expected-item parameter (fixes the hash-function count, hence the
+    * sketch layout — two builds over the same set are byte-identical).
+    */
+  val BloomEstItems: Long = 100000L
+
+  /** Train the benchmark bloom artifact: distinct benchmark shingles,
+    * xxhash64'd, aggregated into one serialized sketch. The build is a
+    * partial aggregate whose merge is bitwise OR — one corpus-side pass,
+    * order-independent, deterministic. The returned bytes are the gate
+    * artifact (ModelStore-persistable binary, like the classifier
+    * weights).
+    */
+  def trainBenchmarkBloom(docs: DataFrame): Array[Byte] =
+    benchmarkShingles(docs)
+      .agg(graft.functions.Bloom.bloomAgg(xxhash64(col("g")),
+        BloomEstItems, BloomBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+
+  /** The decontamination gate at the scale where the benchmark shingle SET
+    * no longer broadcasts (the contaminationGate refusal path): probe each
+    * document's distinct shingles against the 128 KB bloom LITERAL —
+    * a pure per-row expression, NO join, NO shuffle (scan → project →
+    * sort); stream-applicable unchanged. One-sided error in the SAFE
+    * direction for decontamination: `n_maybe >= n_shared` per doc and
+    * every truly-contaminated doc is flagged (no false negatives) — a
+    * false positive wastes one clean doc, a false negative ships a leaked
+    * benchmark item to training.
+    */
+  def bloomDecontaminate(docs: DataFrame, bloom: Array[Byte]): DataFrame =
+    docs.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(filter(Dedup.shingleArray(col("w")),
+          g => graft.functions.Bloom.mightContain(bloom, xxhash64(g))))
+          .cast("bigint").as("n_maybe"))
+      .withColumn("flagged", col("n_maybe") > 0)
+      .orderBy(col("doc_id"))
 }

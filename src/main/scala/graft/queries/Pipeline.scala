@@ -496,6 +496,15 @@ object Pipeline {
     QueryDef.sql("p5_decontaminate", Curation.sqlDecontaminate) { (s, dir) =>
       Curation.decontaminate(Tables.documents(s, dir))
     },
+    // bloom-filter decontamination (p5's scale path once the benchmark set
+    // no longer broadcasts): 128 KB sketch literal, per-row probe, no join
+    // — one-sided error, superset of the exact gate (no false negatives;
+    // rows-only driver check, the sketch bits aren't oracle-replayable;
+    // CurationSpec pins the superset relation per doc)
+    QueryDef.rowsOnly("p29_bloom_decontam") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Curation.bloomDecontaminate(docs, Curation.trainBenchmarkBloom(docs))
+    },
 
     // -------- embedding-cosine near-dup pairs (IVF-cell blocked)
     QueryDef.sql("d7_embed_cosine_dup", Similarity.sqlCosineDupPairs) { (s, dir) =>

@@ -76,6 +76,24 @@ class CurationSpec extends AnyFunSuite {
     assert(r.head.getLong(1) >= 8) // shares the benchmark's 3-gram shingles
   }
 
+  test("bloom decontamination: flags every truly-contaminated doc, clean docs unflagged at this size") {
+    val bench = "one two three four five six seven eight nine ten"
+    val contaminated = "zz " + bench
+    val clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs((0L, bench, "b"), (1L, contaminated, "t"), (2L, clean, "t"))
+    val bloom = Curation.trainBenchmarkBloom(d)
+    val r = Curation.bloomDecontaminate(d, bloom).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    // NO false negatives ever: the leaked doc must be flagged, and its
+    // maybe-count must dominate the exact shared count (8 shared shingles)
+    assert(r(1L)._2 && r(1L)._1 >= 8, s"leak must be caught: $r")
+    // at 2^20 bits over ~10 items, a false positive on the clean doc would
+    // mean the sketch is broken, not unlucky
+    assert(!r(2L)._2, s"clean doc wrongly flagged: $r")
+    // benchmark docs themselves are excluded from the gate (as in p5/p21)
+    assert(!r.contains(0L))
+  }
+
   test("chunking: overlapping fixed windows cover every token, tail is short") {
     val words = (1 to 150).map(i => s"w$i")
     val d = docs((1L, words.mkString(" "), "s"))
