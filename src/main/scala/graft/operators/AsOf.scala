@@ -278,6 +278,85 @@ object AsOf {
         :+ col("__match") :+ col("__mts")): _*)
   }
 
+  /** SEGMENTED nearest as-of — [[asOfNearest]] semantics through the
+    * [[asOfSegmented]] hot-key cap: windows partition on (key, coarse
+    * epoch bucket), so one pathological key cannot serialize its whole
+    * history onto one task. The carry machinery is SYMMETRIC: the
+    * backward carry-in is the latest right summary over strictly-EARLIER
+    * buckets (the asOfSegmented pass), the forward carry-out the earliest
+    * right summary over strictly-LATER buckets — both running over the
+    * per-(key, bucket) summary table (one row per non-empty bucket,
+    * dimension-sized), both frames off ONE (key)-ordered exchange of that
+    * summary. Buckets partition event time, so "latest right ≤ t" is
+    * in-bucket or in the backward carry, and "earliest right > t"
+    * in-bucket or in the forward carry — coalesce is exact, not a
+    * heuristic. Same guards, same nearest/tie/tolerance rule as
+    * [[asOfNearest]].
+    */
+  def asOfNearestSegmented(left: DataFrame, key: String, leftTs: String,
+                           right: DataFrame, rightTs: String, payload: String,
+                           tolUs: Long, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val payType = right.schema(payload).dataType
+    val (l, r) = prepSides(left, key, leftTs, right, rightTs, payload)
+    val bucketed = l.unionByName(r)
+      .withColumn("__b", expr(s"unix_micros(__ts) div $bucketUs"))
+
+    // pass 1: per-(key, bucket) right summaries — latest for the backward
+    // carry, earliest for the forward carry — then both carries off one
+    // (key)-ordered window over the summary table
+    val rSum = bucketed.filter(col("__side") === 0)
+      .groupBy(col("__k"), col("__b"))
+      .agg(max(struct(col("__ts"), col("__pay"))).as("mx"),
+        min(struct(col("__ts"), col("__pay"))).as("mn"))
+      .select(col("__k"), col("__b"),
+        col("mx.__ts").as("__lts"), col("mx.__pay").as("__lpay"),
+        col("mn.__ts").as("__ets"), col("mn.__pay").as("__epay"))
+    val allBuckets = bucketed.select(col("__k"), col("__b")).distinct()
+    val wBack = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wFwd = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carry = allBuckets.join(rSum, Seq("__k", "__b"), "left")
+      .select(col("__k"), col("__b"),
+        last(col("__lpay"), ignoreNulls = true).over(wBack).as("__cb_pay"),
+        last(col("__lts"), ignoreNulls = true).over(wBack).as("__cb_ts"),
+        first(col("__epay"), ignoreNulls = true).over(wFwd).as("__cf_pay"),
+        first(col("__ets"), ignoreNulls = true).over(wFwd).as("__cf_ts"))
+
+    // pass 2: both in-bucket candidates off one (key, bucket)-sorted run,
+    // coalesced with their carries; then the asOfNearest pick
+    val wSeg = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__ts"), col("__side"))
+    val wSegB = wSeg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSegF = wSeg.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val backWins = col("__bok") && (!col("__fok") || col("__bgap") <= col("__fgap"))
+    bucketed.join(carry, Seq("__k", "__b"), "left")
+      .withColumn("__pay", dupGuardedPay(Seq(col("__k"), col("__b")), payType))
+      .select(col("*"),
+        last(col("__pay"), ignoreNulls = true).over(wSegB).as("__ibm"),
+        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true)
+          .over(wSegB).as("__ibts"),
+        first(col("__pay"), ignoreNulls = true).over(wSegF).as("__ifm"),
+        first(when(col("__side") === 0, col("__ts")), ignoreNulls = true)
+          .over(wSegF).as("__ifts"))
+      .filter(col("__side") === 1)
+      .withColumn("__bm", coalesce(col("__ibm"), col("__cb_pay")))
+      .withColumn("__bts", coalesce(col("__ibts"), col("__cb_ts")))
+      .withColumn("__fm", coalesce(col("__ifm"), col("__cf_pay")))
+      .withColumn("__fts", coalesce(col("__ifts"), col("__cf_ts")))
+      .withColumn("__bgap", unix_micros(col("__ts")) - unix_micros(col("__bts")))
+      .withColumn("__fgap", unix_micros(col("__fts")) - unix_micros(col("__ts")))
+      .withColumn("__bok", col("__bts").isNotNull && col("__bgap") <= tolUs)
+      .withColumn("__fok", col("__fts").isNotNull && col("__fgap") <= tolUs)
+      .withColumn("__match",
+        when(backWins, col("__bm")).when(col("__fok"), col("__fm")))
+      .withColumn("__mts",
+        when(backWins, col("__bts")).when(col("__fok"), col("__fts")))
+      .select((left.columns.map(c => col(s"__row.$c"))
+        :+ col("__match") :+ col("__mts")): _*)
+  }
+
   /** Tolerance for the w11 query: 1 day in microseconds — wide enough that
     * most clicks find a view on one side, narrow enough that some stay
     * unmatched and some resolve FORWARD (the fixture's backward gaps
@@ -297,6 +376,23 @@ object AsOf {
       .groupBy(col("user_id"), col("ts").as("vts"))
       .agg(max(col("event_id")).as("view_id"))
     asOfNearest(clicks, "user_id", "ts", views, "vts", "view_id", NearestTolUs)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("__match").as("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("__mts"))).as("gap_us"))
+      .orderBy(col("click_id"))
+  }
+
+  /** w12: w11 through the SEGMENTED nearest path (hot-key cap) — same
+    * oracle, proving the symmetric two-carry plan is a pure plan change.
+    */
+  def clickNearestSegmented(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("vts"))
+      .agg(max(col("event_id")).as("view_id"))
+    asOfNearestSegmented(clicks, "user_id", "ts", views, "vts", "view_id",
+        NearestTolUs, SegmentUs)
       .select(col("event_id").as("click_id"), col("user_id"),
         col("__match").as("view_id"),
         (unix_micros(col("ts")) - unix_micros(col("__mts"))).as("gap_us"))

@@ -970,13 +970,16 @@ object Curation {
     * false positive wastes one clean doc, a false negative ships a leaked
     * benchmark item to training.
     */
-  def bloomDecontaminate(docs: DataFrame, bloom: Array[Byte]): DataFrame =
-    docs.filter(col("doc_id") % BenchmarkMod =!= 0)
+  def bloomDecontaminate(docs: DataFrame, bloom: Array[Byte]): DataFrame = {
+    val gated = docs.filter(col("doc_id") % BenchmarkMod =!= 0)
       .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
       .select(col("doc_id"),
         size(filter(Dedup.shingleArray(col("w")),
           g => graft.functions.Bloom.mightContain(bloom, xxhash64(g))))
           .cast("bigint").as("n_maybe"))
       .withColumn("flagged", col("n_maybe") > 0)
-      .orderBy(col("doc_id"))
+    // presentation sort is a batch concept; the same gate applies to a
+    // streaming micro-batch unchanged (stateless, join-free)
+    if (docs.isStreaming) gated else gated.orderBy(col("doc_id"))
+  }
 }

@@ -1087,6 +1087,36 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The per-rule rejection histogram over [[gopherRules]] (p30) — the
+    * FIRST table one reads when a source's yield drops: how many documents
+    * each rule rejects (independently — a doc failing two rules counts in
+    * both), plus the overall pass count. One partial-aggregated pass to a
+    * single row; at 100 TB this is the nightly monitoring number, not a
+    * per-doc table.
+    */
+  def gopherHistogram(docs: DataFrame): DataFrame =
+    gopherRules(docs).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(!col("n_ok"), 1L).otherwise(0L)).as("fail_n"),
+      sum(when(!col("wordlen_ok"), 1L).otherwise(0L)).as("fail_wordlen"),
+      sum(when(!col("alpha_ok"), 1L).otherwise(0L)).as("fail_alpha"),
+      sum(when(!col("stop_ok"), 1L).otherwise(0L)).as("fail_stop"),
+      sum(when(!col("rep_ok"), 1L).otherwise(0L)).as("fail_rep"),
+      sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+
+  def sqlGopherHistogram: String = {
+    val rules = sqlGopherRules.replace("ORDER BY doc_id", "")
+    s"""WITH g AS ($rules)
+       |SELECT count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN NOT n_ok THEN 1 ELSE 0 END)::BIGINT AS fail_n,
+       |  sum(CASE WHEN NOT wordlen_ok THEN 1 ELSE 0 END)::BIGINT AS fail_wordlen,
+       |  sum(CASE WHEN NOT alpha_ok THEN 1 ELSE 0 END)::BIGINT AS fail_alpha,
+       |  sum(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END)::BIGINT AS fail_stop,
+       |  sum(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END)::BIGINT AS fail_rep,
+       |  sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_pass
+       |FROM g""".stripMargin
+  }
+
   def sqlGopherRules: String = {
     val toks = Portable.sqlTokens("text")
     val ors = Stopwords.map(s => s"x = '$s'").mkString(" OR ")

@@ -453,6 +453,12 @@ object Pipeline {
     QueryDef.sql("w11_asof_nearest", AsOf.sqlClickNearestAttribution) { (s, dir) =>
       AsOf.clickNearestAttribution(Tables.events(s, dir))
     },
+    // w11 via the SEGMENTED nearest path: symmetric carry-in/carry-out
+    // over the bucket-summary table, windows partition (key, bucket) —
+    // same oracle, pure plan change (the w9-vs-w7 relationship)
+    QueryDef.sql("w12_nearest_segmented", AsOf.sqlClickNearestAttribution) { (s, dir) =>
+      AsOf.clickNearestSegmented(Tables.events(s, dir))
+    },
 
     // -------- composed cleaning pipeline: the operators chained the way a
     // real corpus-prep job runs them — quality gate, then exact-dedup
@@ -564,6 +570,11 @@ object Pipeline {
     // the 100 TB shape is scan, project, write
     QueryDef.sql("p27_gopher_rules", TextOps.sqlGopherRules) { (s, dir) =>
       TextOps.gopherRules(Tables.documents(s, dir))
+    },
+    // the per-rule rejection histogram: the monitoring row a yield drop is
+    // diagnosed from (one partial-aggregated pass to a single row)
+    QueryDef.sql("p30_gopher_histogram", TextOps.sqlGopherHistogram) { (s, dir) =>
+      TextOps.gopherHistogram(Tables.documents(s, dir))
     },
     // the approx scale twin: percentile_approx threshold, tolerance
     // verdict vs the exact median (the q13 -> q19 sketch relationship)

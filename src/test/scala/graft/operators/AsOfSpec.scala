@@ -345,4 +345,31 @@ class AsOfSpec extends AnyFunSuite {
       100L -> Some(12L), 200L -> Some(21L), 300L -> Some(31L),
       400L -> None, 500L -> Some(51L)), s"got $got")
   }
+
+  test("segmented nearest matches plain nearest, carries crossing buckets BOTH directions") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 5-second buckets force the backward candidate of the t=22 click into
+    // an earlier bucket (view at 18) and the forward candidate of the t=27
+    // click into a later bucket (view at 33)
+    val clicks = Seq(
+      (1L, ts(22), 100L), (1L, ts(27), 200L), (2L, ts(40), 300L)
+    ).toDF("user_id", "ts", "event_id")
+    val views = Seq(
+      (1L, ts(18), 11L), (1L, ts(33), 12L), (2L, ts(39), 21L)
+    ).toDF("user_id", "vts", "view_id")
+    val tol = 10L * 1000000
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[java.lang.Long]("__match")).map(_.longValue),
+          Option(r.getAs[java.sql.Timestamp]("__mts")))))
+      .toMap
+    val plain = res(AsOf.asOfNearest(clicks, "user_id", "ts", views, "vts", "view_id", tol))
+    val seg = res(AsOf.asOfNearestSegmented(clicks, "user_id", "ts", views, "vts",
+      "view_id", tol, 5L * 1000000))
+    assert(seg == plain, s"segmented must equal plain: $seg vs $plain")
+    // and the carries really were exercised: 100 matched backward across a
+    // bucket boundary, 200 forward across one
+    assert(plain(100L)._1 == Some(11L) && plain(200L)._1 == Some(12L), s"$plain")
+  }
 }

@@ -216,6 +216,20 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("segmented nearest as-of: bucket in the main exchange, both carries off the summary table, no join blowup") {
+    val spark = TestSpark.spark
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(AsOf.clickNearestSegmented(graft.Tables.events(spark, dir)))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"segmented nearest must never nested-loop:\n$plan")
+      val partLine = plan.split("\n").filter(_.contains("hashpartitioning(__k"))
+      assert(partLine.exists(_.contains("__b")),
+        s"the bucket must be part of an exchange key, got:\n${partLine.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("segmented as-of exchanges on (key, BUCKET) — the hot-key cap is in the partitioning") {
     val spark = TestSpark.spark
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -208,6 +208,35 @@ class CurationStreamSpec extends AnyFunSuite {
       s"pairs must not repeat across bands: $got")
   }
 
+  test("bloom gate is stream-ready as-is: literal sketch, no join, batch rows reproduced") {
+    val spark = TestSpark.spark
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bloom = graft.operators.Curation.trainBenchmarkBloom(docs)
+    val batch = graft.operators.Curation.bloomDecontaminate(docs, bloom).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(batch.values.exists(_._2), "fixture must plant real overlap")
+
+    val dataDir = Files.createTempDirectory("graft-stream-bloom").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(dataDir)
+    val got = scala.collection.concurrent.TrieMap.empty[Long, (Long, Boolean)]
+    val stream = spark.readStream.schema(docs.schema).parquet(dataDir)
+    // the batch operator applied to a streaming frame UNCHANGED — it is
+    // stateless and join-free by construction (the sketch rides the plan
+    // as a literal), so there is nothing to adapt; only the presentation
+    // sort is batch-only
+    val q = graft.operators.Curation.bloomDecontaminate(stream, bloom)
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r => got.put(r.getLong(0), (r.getLong(1), r.getBoolean(2))))
+        ()
+      }.start()
+    assert(q.awaitTermination(120000), "bloom stream did not finish")
+    q.stop()
+    assert(got.toMap == batch,
+      s"streamed bloom verdicts must equal batch: ${got.toMap.toSeq.diff(batch.toSeq)}")
+  }
+
   test("streaming contamination gate equals the batch report row for row; oversized benchmark refuses") {
     val spark = TestSpark.spark
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
