@@ -161,6 +161,69 @@ object Multimodal {
       col("meta").withField("width", least(col("meta.width"), lit(w)))
         .withField("height", least(col("meta.height"), lit(h))))
 
+  /** REAL pixel resize (mm4): block-average downsample of the DECODED
+    * image — each output pixel is the integer-floor mean of its source
+    * block per channel, the standard area-average thumbnail. Runs through
+    * the same batched mapPartitions kernel seam as [[extractFeatures]]
+    * (the shape a native decoder slots into), emits one row per OUTPUT
+    * pixel — scalars only, the payload never shuffles past the kernel.
+    * All sums are exact integers, so the output is engine-replayable
+    * byte-for-byte (the [[sqlFeatures]] oracle technique).
+    */
+  def thumbnails(assetsDf: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, s"output dims must be positive: $outW x $outH")
+    val spark = assetsDf.sparkSession
+    import spark.implicits._
+    assetsDf.filter(col("kind") === "image")
+      .select(col("asset_id"), col("data")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { case (id, data) =>
+            val img = MediaCodec.decodePpm(data)
+            for (py <- 0 until outH; px <- 0 until outW) yield {
+              val y0 = py * img.height / outH; val y1 = (py + 1) * img.height / outH
+              val x0 = px * img.width / outW; val x1 = (px + 1) * img.width / outW
+              var r = 0L; var g = 0L; var b = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val p = 3 * (y * img.width + x)
+                  r += img.rgb(p); g += img.rgb(p + 1); b += img.rgb(p + 2)
+                  x += 1
+                }
+                y += 1
+              }
+              val n = (y1 - y0).toLong * (x1 - x0)
+              (id, px, py, r / n, g / n, b / n)
+            }
+          }
+        }
+      }
+      .toDF("asset_id", "px", "py", "r", "g", "b")
+      .select(col("asset_id"), col("px").cast("bigint").as("px"),
+        col("py").cast("bigint").as("py"),
+        col("r"), col("g"), col("b"))
+      .orderBy(col("asset_id"), col("py"), col("px"))
+  }
+
+  /** Oracle for [[thumbnails]] at the fixture's 2x2 -> 1x1 shape: the one
+    * output pixel is the floor-mean of the four RGB triples replayed from
+    * the md5 payload bytes.
+    */
+  val sqlThumbnails: String = {
+    val bytes = (0 until 12)
+      .map(k => s"('0x' || substr(hx, ${2 * k + 1}, 2))::BIGINT AS b$k").mkString(", ")
+    s"""WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents
+       |  WHERE doc_id % 3 = 0),
+       |b AS (SELECT doc_id, $bytes FROM m)
+       |SELECT doc_id AS asset_id, 0::BIGINT AS px, 0::BIGINT AS py,
+       |  ((b0 + b3 + b6 + b9) // 4)::BIGINT AS r,
+       |  ((b1 + b4 + b7 + b10) // 4)::BIGINT AS g,
+       |  ((b2 + b5 + b8 + b11) // 4)::BIGINT AS b
+       |FROM b ORDER BY asset_id, py, px""".stripMargin
+  }
+
   /** Frame sampling for video assets: every `stride`-th frame index with its
     * timestamp offset; explodes only scalar pairs, never the payload.
     */

@@ -690,6 +690,11 @@ object Pipeline {
     },
     QueryDef.sql("mm3_audio_windows", Multimodal.sqlAudioWindows) { (s, dir) =>
       Multimodal.audioWindows(Multimodal.assets(Tables.documents(s, dir)))
+    },
+    // REAL pixel resize: block-average thumbnail of the decoded image
+    // through the batched kernel seam — integer-exact, oracle-replayed
+    QueryDef.sql("mm4_thumbnail", Multimodal.sqlThumbnails) { (s, dir) =>
+      Multimodal.thumbnails(Multimodal.assets(Tables.documents(s, dir)), 1, 1)
     }
   )
 }

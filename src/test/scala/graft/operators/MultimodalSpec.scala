@@ -106,4 +106,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(offs == offs.sorted)
     assert(f.map(_.getLong(1)).forall(_ % 2 == 0))
   }
+
+  test("thumbnails: block-average downsample is the floor-mean per source block, per channel") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // hand-built 4x2 PPM: left 2x2 block all (10,20,30) except one (13,20,30)
+    // pixel -> floor mean (10, 20, 30); right block values 0..255 mixed
+    val left = Seq((10, 20, 30), (13, 20, 30), (10, 20, 30), (10, 20, 30))
+    val right = Seq((0, 0, 0), (255, 255, 255), (1, 2, 3), (4, 5, 6))
+    // row-major 4x2: row 0 = L0 L1 R0 R1, row 1 = L2 L3 R2 R3
+    val pixels = Seq(left(0), left(1), right(0), right(1),
+      left(2), left(3), right(2), right(3))
+    val bytes = MediaCodec.ppmHeader(4, 2) ++
+      pixels.flatMap { case (r, g, b) => Seq(r.toByte, g.toByte, b.toByte) }
+    val assets = Seq((0L, "image", bytes))
+      .toDF("asset_id", "kind", "data")
+    val got = Multimodal.thumbnails(assets, 2, 1).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // left output pixel: floor((10+13+10+10)/4)=10, channels exact
+    assert(got((0L, 0L)) == ((10L, 20L, 30L)), s"$got")
+    // right output pixel: floor(260/4)=65, floor(262/4)=65, floor(264/4)=66
+    assert(got((1L, 0L)) == ((65L, 65L, 66L)), s"$got")
+  }
 }
