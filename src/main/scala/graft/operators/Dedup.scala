@@ -799,6 +799,48 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-split near-dup LEAKAGE report (p31) — the dedup finding that
+    * motivated Lee et al. 2021 in the first place: two near-duplicates
+    * landing in different dataset splits silently turn evaluation into
+    * memorization measurement. Joins the content-hash split assignment
+    * ([[TextOps.datasetSplit]]) against the SAVED cluster labels and
+    * reports, per near-dup cluster, its size, how many distinct splits
+    * its members span, the sorted split list, and the `leaky` verdict —
+    * the table a split design is audited with BEFORE training.
+    *
+    * Scale shape: the corpus is scanned once for the split hash; the
+    * label frame (clustered docs only) rides the join — AQE broadcasts it
+    * when measured small; the aggregate keys on cluster id (bounded by
+    * cluster count). No pair enumeration anywhere.
+    */
+  def splitLeakage(docs: DataFrame, clusters: DataFrame): DataFrame =
+    clusters.join(TextOps.datasetSplit(docs), "doc_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        concat_ws(",", array_sort(collect_set(col("split")))).as("splits"))
+      .withColumn("leaky", col("n_splits") > 1)
+      .orderBy(col("cluster"))
+
+  /** Oracle: exact recursive closure + the same split-hash assignment. */
+  def sqlSplitLeakage: String =
+    s"""WITH RECURSIVE p AS ($sqlLshPairs),
+       |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+       |r AS (SELECT a, b FROM e
+       |      UNION
+       |      SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |self AS (SELECT DISTINCT a, a AS b FROM e),
+       |clus AS (SELECT a AS doc_id, min(b) AS cluster
+       |  FROM (SELECT a, b FROM r UNION ALL SELECT a, b FROM self)
+       |  GROUP BY a),
+       |sp AS (${TextOps.sqlDatasetSplit.replace("ORDER BY doc_id", "")})
+       |SELECT c.cluster, count(*)::BIGINT AS n_docs,
+       |  count(DISTINCT s.split)::BIGINT AS n_splits,
+       |  array_to_string(list_sort(list_distinct(list(s.split))), ',') AS splits,
+       |  count(DISTINCT s.split) > 1 AS leaky
+       |FROM clus c JOIN sp s USING (doc_id)
+       |GROUP BY c.cluster ORDER BY c.cluster""".stripMargin
+
   /** Oracle: exact recursive closure + the same quality ranking. */
   def sqlBestQualityCorpus: String =
     s"""WITH RECURSIVE p AS ($sqlLshPairs),

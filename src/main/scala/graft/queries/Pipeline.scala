@@ -175,6 +175,13 @@ object Pipeline {
       Dedup.bestQualityCorpusFrom(Tables.documents(s, dir),
         Dedup.loadClusters(s, clusterLabelDir(s, dir)))
     },
+    // cross-split near-dup leakage: clusters spanning train/val/test — the
+    // split audit the dedup papers exist for; derived from the SAME saved
+    // labels, aggregate keys on cluster id, no pair enumeration
+    QueryDef.sql("p31_split_leakage", Dedup.sqlSplitLeakage) { (s, dir) =>
+      Dedup.splitLeakage(Tables.documents(s, dir),
+        Dedup.loadClusters(s, clusterLabelDir(s, dir)))
+    },
     // repeated-shingle boilerplate score (hot shingles ARE the signal here)
     QueryDef.sql("t18_boilerplate", Dedup.sqlBoilerplateFraction) { (s, dir) =>
       Dedup.boilerplateFraction(Tables.documents(s, dir))

@@ -481,6 +481,27 @@ class DedupTextSpec extends AnyFunSuite {
       s"expected best-quality 2, tie-min 3, singleton 5 — got ${keep.toSeq}")
   }
 
+  test("split leakage: a cluster straddling splits is leaky, a same-split cluster is not") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // split assignments fixed by the content hash: the first/third/fourth
+    // texts land in train, the second in test (verified against the
+    // oracle's md5 arithmetic)
+    val d = Seq(
+      (1L, "alpha beta gamma one"),   // train
+      (2L, "delta epsilon zeta"),     // test
+      (3L, "alpha beta gamma two"),   // train
+      (4L, "alpha beta gamma three")) // train
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster")
+    val r = Dedup.splitLeakage(d, clusters).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3), x.getBoolean(4)))).toMap
+    assert(r(1L) == ((2L, 2L, "test,train", true)), s"$r")
+    assert(r(3L) == ((2L, 1L, "train", false)), s"$r")
+  }
+
   test("gopher rules: each planted defect trips exactly its own rule") {
     val s = TestSpark.spark
     import s.implicits._
