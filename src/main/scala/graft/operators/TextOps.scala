@@ -1067,7 +1067,7 @@ object TextOps {
         size(filter(w, y => y === x)))).cast("double") / n, 4))
     val stops = size(filter(w, t =>
       Stopwords.map(s => t === lit(s)).reduce(_ || _))).cast("bigint")
-    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val ruled = docs.select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"),
         size(w).cast("bigint").as("n_tokens"),
         mwl.as("mean_word_len"),
@@ -1084,7 +1084,9 @@ object TextOps {
       .withColumn("pass",
         col("n_ok") && col("wordlen_ok") && col("alpha_ok") &&
           col("stop_ok") && col("rep_ok"))
-      .orderBy(col("doc_id"))
+    // presentation sort is a batch concept; the battery itself is pure
+    // per-row expressions and applies to a streaming micro-batch unchanged
+    if (docs.isStreaming) ruled else ruled.orderBy(col("doc_id"))
   }
 
   /** The per-rule rejection histogram over [[gopherRules]] (p30) — the
@@ -1140,6 +1142,48 @@ object TextOps {
        |    AND stop_hits >= $GopherMinStopHits
        |    AND top_tok_frac <= $GopherMaxTopTokFrac AS pass
        |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------- character entropy (t26)
+
+  /** Per-document character-level Shannon entropy (t26) — the cheap
+    * garbage detector upstream of every learned filter: binary blobs
+    * mislabeled as text score HIGH (near-uniform bytes), stuck-key runs
+    * and template spam score LOW (a few dominant characters); natural
+    * language sits in a recognizable band (~3–4.5 bits/char). One narrow
+    * shuffle-free projection, entropy as a fold over the doc's own sorted
+    * distinct characters — O(distinct x length) per row, bounded by the
+    * alphabet, never the corpus.
+    *
+    * Determinism: the fold visits distinct characters in SORTED order in
+    * both engines, so the floating-point summation order is identical;
+    * `0.0 - P` (not `-P`) keeps the all-one-character edge at +0.0 in
+    * both (negating the exact zero P would yield -0.0).
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val cs = col("cs")
+    val n = size(cs).cast("double")
+    val p = (c: Column) => size(filter(cs, x => x === c)).cast("double") / n
+    val sumPlogP = aggregate(array_sort(array_distinct(cs)), lit(0.0),
+      (acc, c) => acc + p(c) * log2(p(c)))
+    docs.select(col("doc_id"), split(lower(trim(col("text"))), "").as("cs"))
+      .select(col("doc_id"),
+        when(n === 0, lit(0.0))
+          .otherwise(round(lit(0.0) - sumPlogP, 4)).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlCharEntropy: String = {
+    val p = "(len(list_filter(cs, x -> x = c))::DOUBLE / len(cs))"
+    s"""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), '') AS cs
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN len(cs) = 0 THEN 0.0 ELSE
+       |    round(0.0 - list_reduce(
+       |      list_prepend(0.0, list_transform(list_sort(list_distinct(cs)),
+       |        c -> $p * log2($p))),
+       |      (a, b) -> a + b), 4) END AS entropy
+       |FROM t ORDER BY doc_id""".stripMargin
   }
 
   // ----------------------------------------------- hashed feature vectors

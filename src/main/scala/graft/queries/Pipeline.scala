@@ -344,6 +344,12 @@ object Pipeline {
     QueryDef.sql("t25_hash_features", TextOps.sqlHashedFeatures) { (s, dir) =>
       TextOps.hashedFeatures(Tables.documents(s, dir))
     },
+    // character-entropy garbage detector: binary-as-text scores high,
+    // stuck-key/template spam scores low; shuffle-free, sorted-fold
+    // deterministic cross-engine
+    QueryDef.sql("t26_char_entropy", TextOps.sqlCharEntropy) { (s, dir) =>
+      TextOps.charEntropy(Tables.documents(s, dir))
+    },
 
     // -------- similarity search
     QueryDef.sql("s1_knn_brute", Similarity.sqlKnnBrute(10, 5)) { (s, dir) =>

@@ -528,6 +528,21 @@ class DedupTextSpec extends AnyFunSuite {
     assert(!rules(6L)("wordlen_ok") && rules(6L)("alpha_ok"))
   }
 
+  test("char entropy: uniform alphabet hits log2(k), constant run is zero, skew sits between") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "abcd"),      // 4 distinct, uniform -> exactly 2 bits
+      (2L, "aaaaaa"),    // one symbol -> 0 (and +0.0, not -0.0)
+      (3L, "aab")        // 2/3, 1/3 -> ~0.9183
+    ).toDF("doc_id", "text")
+    val r = TextOps.charEntropy(d).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == 2.0, s"$r")
+    assert(r(2L) == 0.0 && !r(2L).equals(-0.0), s"$r")
+    assert(r(3L) == 0.9183, s"$r")
+  }
+
   test("hashed features: order-invariant, sign-coherent, buckets from the token hash") {
     val s = TestSpark.spark
     import s.implicits._

@@ -208,6 +208,27 @@ class CurationStreamSpec extends AnyFunSuite {
       s"pairs must not repeat across bands: $got")
   }
 
+  test("gopher battery is stream-ready as-is: per-row rules, batch rows reproduced") {
+    val spark = TestSpark.spark
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = graft.operators.TextOps.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val dataDir = Files.createTempDirectory("graft-stream-gopher").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(dataDir)
+    val got = scala.collection.concurrent.TrieMap.empty[Long, Seq[Any]]
+    val stream = spark.readStream.schema(docs.schema).parquet(dataDir)
+    val q = graft.operators.TextOps.gopherRules(stream)
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r => got.put(r.getLong(0), r.toSeq.tail))
+        ()
+      }.start()
+    assert(q.awaitTermination(120000), "gopher stream did not finish")
+    q.stop()
+    assert(got.toMap == batch, "streamed rule rows must equal batch")
+  }
+
   test("bloom gate is stream-ready as-is: literal sketch, no join, batch rows reproduced") {
     val spark = TestSpark.spark
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
