@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Similarity, TextOps}
 
 /** The composed daily-ingest story, end to end: day 1 trains and persists
   * every artifact from the OLD corpus slice; day 2 processes the new
@@ -87,5 +87,23 @@ class DailyIngestSpec extends AnyFunSuite {
       ivf.cells.unionByName(nc), ivf.pqCent, ivf.codes.unionByName(ncodes))
     val served = Similarity.ivfPqSearch(emb, combined, sub, 5, 3).collect()
     assert(served.length == 5 * 3, "k results per query over the enlarged index")
+
+    // label-artifact consumers at day-2 cost: quality-ranked canonical and
+    // the split-leakage audit both derive from the UPDATED labels
+    val keep = Dedup.bestQualityCorpusFrom(docs, labels).collect()
+    val nonCanon = labMap.count { case (id, c) => id != c }
+    assert(keep.length == docs.count() - nonCanon,
+      "keep-list = corpus minus non-canonical members")
+    val leak = Dedup.splitLeakage(docs, labels).collect()
+    assert(leak.length == labMap.values.toSet.size &&
+      leak.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1)),
+      "one audit row per updated cluster, split counts bounded by size")
+
+    // decontamination: the day-1 bloom artifact gates the shard per row
+    val bloom = Curation.trainBenchmarkBloom(oldDocs)
+    val gate = Curation.bloomDecontaminate(shardDocs, bloom)
+    assert(gate.count() ==
+      shardDocs.filter(col("doc_id") % Curation.BenchmarkMod =!= 0).count(),
+      "one verdict per non-benchmark shard doc")
   }
 }
