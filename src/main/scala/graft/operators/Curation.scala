@@ -717,6 +717,95 @@ object Curation {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ----------------------------------------------- curation funnel (p32)
+
+  /** The curation FUNNEL (p32) — the yield dashboard every corpus run is
+    * judged by: how many documents survive each successive gate. Stages
+    * are the CONJUNCTION of the standalone gates, each computed on the
+    * full corpus exactly as its own query computes it (the corpus-global
+    * percentiles, document frequencies and canonical choices are
+    * unchanged — this is an intersection of the published verdicts, not a
+    * re-derivation on shrinking corpora):
+    *   0 raw -> 1 gopher pass (p27) -> 2 manifest keep (p20) ->
+    *   3 near-dup canonical (d9, from the saved labels) ->
+    *   4 decontaminated (p21 verdict false; benchmark docs themselves
+    *     exit here — they are not in the contamination report and must
+    *     not reach training data).
+    *
+    * Scale shape: four per-doc flag projections joined on doc_id
+    * (co-partitioned shuffles, AQE-sized), one partial-aggregated pass to
+    * a single row of conditional counts, exploded to the 5-row funnel.
+    */
+  def curationFunnel(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val g = TextOps.gopherRules(docs).select(col("doc_id"), col("pass").as("g_ok"))
+    val m = curatedManifest(docs).select(col("doc_id"), col("keep").as("m_ok"))
+    val k = graft.operators.Dedup.dedupedCorpusFrom(docs, clusters)
+      .select(col("doc_id"), lit(true).as("k_ok"))
+    val c = contaminationReport(docs)
+      .select(col("doc_id"), (!col("contaminated")).as("c_ok"))
+    val f = docs.select(col("doc_id"))
+      .join(g, "doc_id").join(m, "doc_id")
+      .join(k, Seq("doc_id"), "left")
+      .join(c, Seq("doc_id"), "left")
+      .select(col("g_ok"), col("m_ok"),
+        coalesce(col("k_ok"), lit(false)).as("k_ok"),
+        coalesce(col("c_ok"), lit(false)).as("c_ok"))
+    val a = f.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("g_ok"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("g_ok") && col("m_ok"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("g_ok") && col("m_ok") && col("k_ok"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("g_ok") && col("m_ok") && col("k_ok") && col("c_ok"), 1L)
+        .otherwise(0L)).as("n4"))
+    a.select(explode(array(
+        struct(lit(0L).as("stage"), lit("raw").as("gate"), col("n0").as("n_docs")),
+        struct(lit(1L).as("stage"), lit("gopher").as("gate"), col("n1").as("n_docs")),
+        struct(lit(2L).as("stage"), lit("manifest").as("gate"), col("n2").as("n_docs")),
+        struct(lit(3L).as("stage"), lit("neardup_canonical").as("gate"),
+          col("n3").as("n_docs")),
+        struct(lit(4L).as("stage"), lit("decontaminated").as("gate"),
+          col("n4").as("n_docs")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.gate").as("gate"),
+        col("s.n_docs").as("n_docs"))
+      .orderBy(col("stage"))
+  }
+
+  /** Oracle: the same conjunction over the component oracles, each nested
+    * verbatim as a CTE subquery (the [[sqlCuratedManifest]] composition
+    * rule — the funnel can never drift from the gates it reports on).
+    */
+  def sqlCurationFunnel: String = {
+    def noOrder(sql: String): String = {
+      val i = sql.lastIndexOf("ORDER BY")
+      require(i >= 0 && !sql.substring(i).contains(")"),
+        s"component oracle must end in a terminal ORDER BY clause:\n$sql")
+      sql.substring(0, i)
+    }
+    s"""WITH g AS (SELECT doc_id, pass AS g_ok FROM (${noOrder(TextOps.sqlGopherRules)}) t),
+       |m AS (SELECT doc_id, keep AS m_ok FROM (${noOrder(sqlCuratedManifest)}) t),
+       |kl AS (SELECT doc_id FROM (${noOrder(graft.operators.Dedup.sqlDedupedCorpus)}) t),
+       |c AS (SELECT doc_id, NOT contaminated AS c_ok FROM (${noOrder(sqlContaminationReport)}) t),
+       |f AS (SELECT g.g_ok, m.m_ok,
+       |    kl.doc_id IS NOT NULL AS k_ok,
+       |    coalesce(c.c_ok, false) AS c_ok
+       |  FROM documents d
+       |  JOIN g USING (doc_id) JOIN m USING (doc_id)
+       |  LEFT JOIN kl USING (doc_id) LEFT JOIN c USING (doc_id)),
+       |a AS (SELECT count(*)::BIGINT AS n0,
+       |  sum(CASE WHEN g_ok THEN 1 ELSE 0 END)::BIGINT AS n1,
+       |  sum(CASE WHEN g_ok AND m_ok THEN 1 ELSE 0 END)::BIGINT AS n2,
+       |  sum(CASE WHEN g_ok AND m_ok AND k_ok THEN 1 ELSE 0 END)::BIGINT AS n3,
+       |  sum(CASE WHEN g_ok AND m_ok AND k_ok AND c_ok THEN 1 ELSE 0 END)::BIGINT AS n4
+       |  FROM f)
+       |SELECT * FROM (
+       |  SELECT 0::BIGINT AS stage, 'raw' AS gate, n0 AS n_docs FROM a
+       |  UNION ALL SELECT 1, 'gopher', n1 FROM a
+       |  UNION ALL SELECT 2, 'manifest', n2 FROM a
+       |  UNION ALL SELECT 3, 'neardup_canonical', n3 FROM a
+       |  UNION ALL SELECT 4, 'decontaminated', n4 FROM a)
+       |ORDER BY stage""".stripMargin
+  }
+
   // ------------------------------------------- segment-level dedup
 
   /** Non-overlapping segment width (tokens) for sub-document dedup. */

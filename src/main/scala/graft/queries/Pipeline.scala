@@ -589,6 +589,13 @@ object Pipeline {
     QueryDef.sql("p30_gopher_histogram", TextOps.sqlGopherHistogram) { (s, dir) =>
       TextOps.gopherHistogram(Tables.documents(s, dir))
     },
+    // the curation FUNNEL: survivors per successive gate (gopher ->
+    // manifest -> near-dup canonical -> decontaminated), each gate the
+    // published standalone verdict — the corpus run's yield dashboard
+    QueryDef.sql("p32_curation_funnel", Curation.sqlCurationFunnel) { (s, dir) =>
+      Curation.curationFunnel(Tables.documents(s, dir),
+        Dedup.loadClusters(s, clusterLabelDir(s, dir)))
+    },
     // the approx scale twin: percentile_approx threshold, tolerance
     // verdict vs the exact median (the q13 -> q19 sketch relationship)
     QueryDef.sql("p16_quality_gate_approx", Curation.sqlQualityGateApprox) { (s, dir) =>
