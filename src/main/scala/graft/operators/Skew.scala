@@ -26,4 +26,28 @@ object Skew {
       .agg(sum(value).as("_psum"), count(lit(1)).as("_pn"))
       .groupBy(col("k"))
       .agg(sum(col("_psum")).as("total"), sum(col("_pn")).as("n"))
+
+  /** Salted inner JOIN for a skewed fact key (q22): AQE's skew-join split
+    * handled declaratively — the standard technique when a broadcast is
+    * impossible (right side too large) and one fact key owns a reduce
+    * partition. The fact side gets a deterministic salt in [0, salt); the
+    * dimension side is replicated once per salt value; the join key
+    * becomes (key, _salt), so a hot key's rows spread across `salt`
+    * reducers instead of serializing on one. EXACT for inner joins: each
+    * fact row meets each of its dimension rows exactly once (the
+    * replication is on the other side of its salt pin).
+    *
+    * Cost: the dimension shuffle inflates by `salt`x — the right trade
+    * exactly when the dimension is orders of magnitude smaller than the
+    * fact (else let AQE decide). The salt hashes the whole fact row, so
+    * the spread is data-dependent and reproducible, never rand().
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int): DataFrame = {
+    require(salt > 0, s"salt must be positive, got $salt")
+    val f = fact.withColumn("_salt",
+      pmod(hash(fact.columns.map(col): _*), lit(salt)))
+    val d = dim.withColumn("_salt",
+      explode(array((0 until salt).map(lit(_)): _*)))
+    f.join(d, Seq(key, "_salt")).drop("_salt")
+  }
 }

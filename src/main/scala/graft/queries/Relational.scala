@@ -274,6 +274,25 @@ object Relational {
         .orderBy(col("event_type"))
     },
 
+    // Skew-salted fact-dimension JOIN (q22): the hot-fact-key defense when
+    // broadcast is impossible — dim replicated per salt, fact salted
+    // deterministically, join key (key, _salt); EXACT vs the plain join
+    // (the oracle IS the plain join), count-sum aggregate keeps output small
+    QueryDef.sql("q22_salted_join",
+      """SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin) { (s, dir) =>
+      graft.operators.Skew.saltedJoin(
+          Tables.lineitem(s, dir).select(col("l_partkey"), col("l_quantity")),
+          Tables.part(s, dir).select(col("p_partkey").as("l_partkey"), col("p_brand")),
+          "l_partkey", salt = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("bigint").as("sum_qty"))
+        .orderBy(col("p_brand"))
+    },
+
     // Full CUBE grouping sets.
     QueryDef.sql("q14_cube",
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,

@@ -181,6 +181,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cross product expected in:\n$plan")
   }
 
+  test("salted join exchanges on (key, SALT): the hot fact key is spread, not serialized") {
+    val spark = TestSpark.spark
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = graft.Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_quantity"))
+      val pt = graft.Tables.part(spark, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      val plan = executed(Skew.saltedJoin(li, pt, "l_partkey", 8))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"salted join must stay an equi-join:\n$plan")
+      val partLine = plan.split("\n").filter(_.contains("hashpartitioning(l_partkey"))
+      assert(partLine.nonEmpty && partLine.forall(_.contains("_salt")),
+        s"the salt must be part of EVERY join exchange key:\n${partLine.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("as-of join plans as union+window: no nested loop, no cartesian, no pair blowup") {
     val spark = TestSpark.spark
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

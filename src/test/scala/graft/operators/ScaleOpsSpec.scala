@@ -28,6 +28,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join equals the plain inner join exactly, row multiset included") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // planted hot key: 0 carries most fact rows, dim has multi-row keys
+    // (each fact row must meet EVERY matching dim row exactly once)
+    val fact = ((1 to 50).map(i => (0L, i.toLong)) ++ Seq((1L, 100L), (2L, 200L)))
+      .toDF("k", "v")
+    val dim = Seq((0L, "a"), (0L, "b"), (1L, "c"), (3L, "unmatched"))
+      .toDF("k", "tag")
+    val got = Skew.saltedJoin(fact, dim, "k", 4)
+      .groupBy(col("k"), col("tag"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val want = fact.join(dim, "k")
+      .groupBy(col("k"), col("tag"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, s"salted join must be exact: $got vs $want")
+    assert(got((0L, "a")) == ((50L, (1 to 50).sum.toLong)), s"$got")
+  }
+
   test("Tables.events scopes the nanosAsLong conf to the load: no session leak, ts still materializes") {
     val spark = TestSpark.spark
     val key = "spark.sql.legacy.parquet.nanosAsLong"
