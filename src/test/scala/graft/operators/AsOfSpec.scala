@@ -346,6 +346,43 @@ class AsOfSpec extends AnyFunSuite {
       400L -> None, 500L -> Some(51L)), s"got $got")
   }
 
+  test("nearest as-of equals the reference nearest semantics on random histories, plain AND segmented") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    (1 to 10).foreach { round =>
+      val rnd = new scala.util.Random(7000 + round)
+      val nl = 1 + rnd.nextInt(20)
+      val nr = rnd.nextInt(20)
+      val lefts = (0 until nl).map(i =>
+        (1L + rnd.nextInt(3), rnd.nextInt(1800).toLong, i.toLong))
+      val rights = (0 until nr).map(i =>
+        (1L + rnd.nextInt(3), rnd.nextInt(1800).toLong, 1000L + i))
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique (key, ts)
+      val tolSec = (30 + rnd.nextInt(400)).toLong
+      val lDf = lefts.toDF("k", "sec", "lid")
+        .select(col("k"), col("sec").cast("timestamp").as("ts"), col("lid"))
+      val rDf = rights.toDF("k", "rsec", "pay")
+        .select(col("k"), col("rsec").cast("timestamp").as("rts"), col("pay"))
+      def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("lid") ->
+          Option(r.getAs[java.lang.Long]("__match")).map(_.longValue)).toMap
+      val got = run(AsOf.asOfNearest(lDf, "k", "ts", rDf, "rts", "pay", tolSec * 1000000))
+      val seg = run(AsOf.asOfNearestSegmented(lDf, "k", "ts", rDf, "rts", "pay",
+        tolSec * 1000000, 300L * 1000000))
+      val want = lefts.map { case (k, ls, id) =>
+        val cands = rights.filter(_._1 == k).flatMap { case (_, rs, pay) =>
+          val gap = math.abs(rs - ls)
+          val fwd = if (rs <= ls) 0 else 1
+          if (gap <= tolSec) Some(((gap, fwd), pay)) else None
+        }
+        id -> (if (cands.isEmpty) None
+               else Some(cands.minBy(_._1)(Ordering.Tuple2[Long, Int])._2))
+      }.toMap
+      assert(got == want, s"round $round: plain $got vs reference $want (tol $tolSec)")
+      assert(seg == want, s"round $round: segmented $seg vs reference $want (tol $tolSec)")
+    }
+  }
+
   test("segmented nearest matches plain nearest, carries crossing buckets BOTH directions") {
     val spark = TestSpark.spark
     import spark.implicits._
