@@ -551,6 +551,137 @@ object AsOf {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(foldAsOf)
       .toDF()
   }
+
+  // ---------------------------------------------- streaming nearest as-of
+
+  /** Tagged union row for the streaming NEAREST as-of: `ts` (timestamp)
+    * carries the watermark, `tsUs` the exact microseconds (Timestamp
+    * getTime is ms-truncated), null event times flow as None.
+    */
+  final case class NearEv(k: String, ts: java.sql.Timestamp, tsUs: Option[Long],
+                          side: Int, pay: String)
+
+  /** Keyed state: pending undecided left rows + the right-row buffer
+    * within the reachable horizon.
+    */
+  final case class NearState(pend: List[(Long, String)],
+                             rights: List[(Long, String)])
+
+  /** One decided left row: the nearest right payload/ts within tolerance,
+    * or unmatched.
+    */
+  final case class NearMatch(k: String, ts_us: Option[Long], value: String,
+                             match_pay: Option[String], match_ts_us: Option[Long])
+
+  /** STREAMING nearest as-of — [[asOfNearest]] semantics over two live
+    * streams. Unlike the backward-only [[asOfStream]] (which can emit a
+    * left row the moment it arrives — its match can only be in the past),
+    * a NEAREST match may still be beaten by a closer FORWARD right row
+    * that has not arrived yet, so a left row is decidable only once the
+    * watermark passes its forward horizon `lt + tolUs`: by the watermark
+    * contract no right row at or before that instant can still arrive,
+    * and every candidate is in hand. Left rows buffer in keyed state
+    * until then (an event-time timer fires the decision when no new data
+    * does); right rows buffer within the reachable horizon and are
+    * EVICTED once older than both `min(pending) - tol` and
+    * `watermark - tol` (a future left admitted by the watermark has
+    * `lt >= watermark`, so older rights are unreachable by ANY future or
+    * pending row) — state is bounded by arrival rate x tolerance, never
+    * the stream's lifetime. Same tie rule as batch (equal gap -> the
+    * backward, causal row), same enforced preconditions (conflicting
+    * duplicate rights die; idempotent redeliveries pass; null payloads
+    * die; null-ts/key rows never match), and decided rows emit in
+    * event-time order per key. The input union must carry a watermark
+    * ([[asOfNearestStream]] applies it).
+    */
+  def foldNearest(tolUs: Long)(key: String, rows: Iterator[NearEv],
+      state: org.apache.spark.sql.streaming.GroupState[NearState])
+      : Iterator[NearMatch] = {
+    val st0 = state.getOption.getOrElse(NearState(Nil, Nil))
+    var pend = st0.pend
+    var rights = st0.rights
+    val immediate = scala.collection.mutable.ArrayBuffer.empty[NearMatch]
+    rows.toSeq.sortBy(e => (e.tsUs.getOrElse(Long.MinValue), e.side)).foreach { e =>
+      if (e.side == 0) {
+        if (e.pay == null) throw new IllegalArgumentException(
+          s"nearest as-of stream: right payload is null at (key=$key, ts=${e.tsUs})")
+        e.tsUs.foreach { t =>
+          rights.find(_._1 == t) match {
+            case Some((_, pp)) if pp != e.pay =>
+              throw new IllegalArgumentException(
+                s"nearest as-of stream: conflicting right rows at (key=$key, ts=$t) — " +
+                  "pre-aggregate right to one row per (key, ts)")
+            case Some(_) => () // idempotent redelivery
+            case None => rights ::= (t, e.pay)
+          }
+        }
+      } else e.tsUs match {
+        // a null-ts left can never match: decidable immediately
+        case None => immediate += NearMatch(key, None, e.pay, None, None)
+        case Some(t) => pend ::= (t, e.pay)
+      }
+    }
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val (ready, still) = pend.partition { case (lt, _) => lt + tolUs < wmUs }
+    val decided = ready.sortBy(_._1).map { case (lt, v) =>
+      val cands = rights.flatMap { case (rt, p) =>
+        val gap = math.abs(rt - lt)
+        if (gap <= tolUs) Some(((gap, if (rt <= lt) 0 else 1), (p, rt))) else None
+      }
+      if (cands.isEmpty) NearMatch(key, Some(lt), v, None, None)
+      else {
+        val (p, rt) = cands.minBy(_._1)(Ordering.Tuple2[Long, Int])._2
+        NearMatch(key, Some(lt), v, Some(p), Some(rt))
+      }
+    }
+    val keepFrom = math.min(
+      still.map(_._1).minOption.getOrElse(Long.MaxValue) - tolUs,
+      wmUs - tolUs)
+    rights = rights.filter(_._1 >= keepFrom)
+    if (still.isEmpty && rights.isEmpty) state.remove()
+    else {
+      state.update(NearState(still, rights))
+      // next decision instant: the earliest pending left's horizon, or —
+      // rights-only state — the instant the last right becomes
+      // unreachable (pure GC); clamped above the watermark (Spark
+      // rejects an already-expired timer)
+      val deadlineUs =
+        if (still.nonEmpty) still.map(_._1).min + tolUs
+        else rights.map(_._1).max + 2 * tolUs
+      state.setTimeoutTimestamp(
+        math.max(deadlineUs / 1000L + 1, state.getCurrentWatermarkMs() + 1))
+    }
+    (immediate ++ decided).iterator
+  }
+
+  /** Streaming twin of [[asOfNearest]]: tag, union, watermark, keyed fold.
+    * `delay` is the watermark delay on the union's event time — it bounds
+    * how late a row may arrive AND (plus `tolUs`) the decision latency of
+    * each left row.
+    */
+  def asOfNearestStream(left: DataFrame, key: String, leftTs: String, value: String,
+                        right: DataFrame, rightTs: String, payload: String,
+                        tolUs: Long, delay: String): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val l = left.select(col(key).cast("string").as("k"),
+      col(leftTs).cast("timestamp").as("ts"),
+      unix_micros(col(leftTs)).as("tsUs"), lit(1).as("side"),
+      col(value).cast("string").as("pay"))
+    val r = right.filter(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(col(key).cast("string").as("k"),
+        col(rightTs).cast("timestamp").as("ts"),
+        unix_micros(col(rightTs)).as("tsUs"), lit(0).as("side"),
+        col(payload).cast("string").as("pay"))
+    l.unionByName(r)
+      .withWatermark("ts", delay)
+      .as[NearEv]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(foldNearest(tolUs))
+      .toDF()
+  }
 }
 
 /** Banded event-time RANGE join — as-of's sibling among the operators

@@ -346,6 +346,69 @@ class AsOfSpec extends AnyFunSuite {
       400L -> None, 500L -> Some(51L)), s"got $got")
   }
 
+  test("streaming nearest as-of decides at the watermark horizon and matches the batch rule") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val lIn = MemoryStream[(String, Timestamp, String)](
+      implicitly[org.apache.spark.sql.Encoder[(String, Timestamp, String)]], spark)
+    val rIn = MemoryStream[(String, Timestamp, String)](
+      implicitly[org.apache.spark.sql.Encoder[(String, Timestamp, String)]], spark)
+    val out = AsOf.asOfNearestStream(
+      lIn.toDF().toDF("k", "ts", "v"), "k", "ts", "v",
+      rIn.toDF().toDF("k", "rts", "pay"), "rts", "pay",
+      10L * 1000000, "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("nearest_stream").start()
+    rIn.addData(("u1", ts(30), "p30"), ("u1", ts(55), "p55"),
+      ("u2", ts(35), "q35"), ("u2", ts(55), "q55"))
+    lIn.addData(
+      ("u1", ts(50), "c50"),   // back 30 out of tol, fwd 55 gap 5 -> p55
+      ("u1", ts(58), "c58"),   // back 55 gap 3 -> p55
+      ("u2", ts(45), "c45"),   // tie: 35 and 55 both gap 10 -> BACKWARD q35
+      ("u3", ts(50), "alone"), // no rights -> unmatched
+      ("u4", null, "nullts"))  // null event time -> immediate unmatched
+    q.processAllAvailable()
+    // nothing with lt + tol past the watermark may have emitted yet; the
+    // sentinel pushes the watermark beyond every horizon
+    rIn.addData(("zz", Timestamp.valueOf("2024-01-01 02:00:00"), "sentinel"))
+    q.processAllAvailable()
+    val got = spark.table("nearest_stream").collect()
+      .map(r => r.getAs[String]("value") -> Option(r.getAs[String]("match_pay")))
+      .toMap
+    q.stop()
+    assert(got == Map(
+      "c50" -> Some("p55"), "c58" -> Some("p55"), "c45" -> Some("q35"),
+      "alone" -> None, "nullts" -> None), s"got $got")
+  }
+
+  test("nearest fold evicts unreachable rights: state bounded by the horizon, not the stream") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val tolUs = 10L * 1000000
+    def st(s: Option[AsOf.NearState], wmMs: Long) =
+      TestGroupState.create[AsOf.NearState](
+        org.apache.spark.api.java.Optional.ofNullable(s.orNull),
+        GroupStateTimeout.EventTimeTimeout, 0L,
+        org.apache.spark.api.java.Optional.of(wmMs),
+        hasTimedOut = false)
+    def right(sec: Long) = AsOf.NearEv("k", ts(0), Some(sec * 1000000), 0, s"p$sec")
+    // batch 1 (watermark 0): two rights buffer, no pending lefts
+    val s1 = st(None, 0L)
+    assert(AsOf.foldNearest(tolUs)("k", Iterator(right(20), right(40)), s1).isEmpty)
+    assert(s1.exists && s1.get.rights.size == 2)
+    // batch 2: watermark at 35s -> the 20s right is unreachable by ANY
+    // pending (none) or future left (lt >= 35s, horizon 25s) and is
+    // evicted; the 40s right survives
+    val s2 = st(Some(s1.get), 35000L)
+    assert(AsOf.foldNearest(tolUs)("k", Iterator.empty, s2).isEmpty)
+    assert(s2.exists && s2.get.rights.map(_._1) == List(40000000L),
+      s"state ${s2.get}")
+    // batch 3: watermark past every right's GC horizon -> state removed
+    val s3 = st(Some(s2.get), 70000L)
+    assert(AsOf.foldNearest(tolUs)("k", Iterator.empty, s3).isEmpty)
+    assert(s3.isRemoved, "rights-only state must clean itself up")
+  }
+
   test("nearest as-of equals the reference nearest semantics on random histories, plain AND segmented") {
     val spark = TestSpark.spark
     import spark.implicits._
