@@ -275,4 +275,33 @@ object Classifier {
        |  round(1.0 / (1.0 + exp(-($zf))), 4) >= 0.5 AS keep
        |FROM feats, wt2 ORDER BY feats.doc_id""".stripMargin
   }
+
+  /** Calibration (reliability) report over the classifier scores (p33) —
+    * the table that says whether the scores MEAN anything: documents
+    * bucketed into fixed-width probability bins, each bin's observed
+    * proxy-positive rate against its mean predicted probability (a
+    * calibrated filter has pos_rate tracking mean_p; a divergent tail
+    * says the threshold is lying). Fixed-width bins deliberately, not
+    * ntile deciles: the bin is a pure per-row expression and the
+    * aggregate keys on <=10 values — an ntile would global-sort the
+    * corpus through one reducer, the 100 TB anti-pattern, for no
+    * statistical gain.
+    */
+  def calibrationReport(scored: DataFrame): DataFrame =
+    scored.groupBy(least(floor(col("p") * 10), lit(9)).cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("p")), 4).as("mean_p"),
+        round(avg(col("y").cast("double")), 4).as("pos_rate"))
+      .orderBy(col("bin"))
+
+  /** Oracle: the full classifier oracle nested verbatim, same binning. */
+  def sqlCalibration: String = {
+    val base = sqlQualityClassifier
+    val i = base.lastIndexOf("ORDER BY")
+    require(i >= 0, "classifier oracle must end in ORDER BY")
+    s"""WITH sc AS (SELECT doc_id, y, p FROM (${base.substring(0, i)}) t)
+       |SELECT least(floor(p * 10), 9)::BIGINT AS bin, count(*)::BIGINT AS n,
+       |  round(avg(p), 4) AS mean_p, round(avg(y::DOUBLE), 4) AS pos_rate
+       |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin
+  }
 }

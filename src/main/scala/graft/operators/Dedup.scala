@@ -799,6 +799,36 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup cluster-SIZE histogram (d17) — the first sanity plot of any
+    * dedup run: how many clusters of each size exist (near-dup cluster
+    * sizes are heavy-tailed on web corpora; a sudden mass at large sizes
+    * means boilerplate leaked past the stop list, a flat histogram at 2
+    * means the thresholds are too tight to matter). Derived from the
+    * SAVED labels: two bounded aggregations (per-cluster count, then
+    * per-size count) — the second keys on size, whose cardinality is at
+    * most the largest cluster.
+    */
+  def clusterSizeHistogram(clusters: DataFrame): DataFrame =
+    clusters.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
+  /** Oracle: exact recursive closure, same two-level count. */
+  def sqlClusterSizeHistogram: String =
+    s"""WITH RECURSIVE p AS ($sqlLshPairs),
+       |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+       |r AS (SELECT a, b FROM e
+       |      UNION
+       |      SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |self AS (SELECT DISTINCT a, a AS b FROM e),
+       |clus AS (SELECT a AS doc_id, min(b) AS cluster
+       |  FROM (SELECT a, b FROM r UNION ALL SELECT a, b FROM self)
+       |  GROUP BY a),
+       |sz AS (SELECT cluster, count(*)::BIGINT AS sz FROM clus GROUP BY 1)
+       |SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters
+       |FROM sz GROUP BY 1 ORDER BY cluster_size""".stripMargin
+
   /** Cross-split near-dup LEAKAGE report (p31) — the dedup finding that
     * motivated Lee et al. 2021 in the first place: two near-duplicates
     * landing in different dataset splits silently turn evaluation into

@@ -175,6 +175,12 @@ object Pipeline {
       Dedup.bestQualityCorpusFrom(Tables.documents(s, dir),
         Dedup.loadClusters(s, clusterLabelDir(s, dir)))
     },
+    // cluster-size histogram: the dedup run's first sanity plot (heavy
+    // tail = boilerplate leaked past the stop list); two bounded aggs
+    // over the saved labels
+    QueryDef.sql("d17_cluster_sizes", Dedup.sqlClusterSizeHistogram) { (s, dir) =>
+      Dedup.clusterSizeHistogram(Dedup.loadClusters(s, clusterLabelDir(s, dir)))
+    },
     // cross-split near-dup leakage: clusters spanning train/val/test — the
     // split audit the dedup papers exist for; derived from the SAME saved
     // labels, aggregate keys on cluster id, no pair enumeration
@@ -650,6 +656,17 @@ object Pipeline {
         { graft.operators.Classifier.trainAndSave(Tables.documents(s, dir), tmp); () })
       graft.operators.Classifier.scoreWith(Tables.documents(s, dir),
         graft.operators.Classifier.loadWeights(s, wDir))
+    },
+    // calibration (reliability) table over the saved classifier's scores:
+    // fixed-width probability bins (per-row expression — never an ntile
+    // global sort), observed proxy-positive rate vs mean predicted p
+    QueryDef.sql("p33_calibration",
+      graft.operators.Classifier.sqlCalibration) { (s, dir) =>
+      val wDir = artifactDir("qclassifier", dir)(tmp =>
+        { graft.operators.Classifier.trainAndSave(Tables.documents(s, dir), tmp); () })
+      graft.operators.Classifier.calibrationReport(
+        graft.operators.Classifier.scoreWith(Tables.documents(s, dir),
+          graft.operators.Classifier.loadWeights(s, wDir)))
     },
 
     // -------- sub-document (segment/paragraph) dedup
