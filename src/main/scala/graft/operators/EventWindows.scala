@@ -75,6 +75,57 @@ object EventWindows {
        |  RANGE BETWEEN $RangeFrameUs PRECEDING AND CURRENT ROW)
        |ORDER BY event_id""".stripMargin
 
+  /** Hopping-window parameters (w13): 1-hour windows sliding every 15
+    * minutes — every event lands in exactly WindowUs/SlideUs = 4
+    * overlapping windows. The slide in microseconds is the oracle's
+    * alignment constant.
+    */
+  val HopWindowDur = "1 hour"
+  val HopSlideDur = "15 minutes"
+  val HopSlideUs: Long = 15L * 60 * 1000000
+  val HopSlots: Int = 4
+
+  /** Hopping (sliding) windows per event_type (w13) — the window family
+    * member tumbling can't express: a trailing-exposure dashboard wants
+    * "events in the last hour, refreshed every 15 min", which is one
+    * 1-hour window STARTING at every 15-minute slide boundary. Spark's
+    * `window(ts, win, slide)` replicates each event into its
+    * win/slide = 4 covering windows (half-open [start, start+win),
+    * starts aligned to slide multiples of the epoch) and the aggregate
+    * proceeds as a plain partial-aggregated groupBy.
+    *
+    * Scale shape: the explode multiplies rows by a CONSTANT 4 before the
+    * map-side combine collapses them to (window, type) groups — shuffle
+    * volume is bounded by distinct windows × types, not events. The same
+    * expression runs under Structured Streaming with a watermark (append
+    * mode emits each window once the watermark passes its end — parity
+    * pinned in StreamingSpec).
+    *
+    * Null event times are excluded explicitly (the w10 convention): a
+    * row with no event time has no place on a time axis.
+    */
+  def hopping(events: DataFrame): DataFrame =
+    events.filter(col("ts").isNotNull)
+      .groupBy(window(col("ts"), HopWindowDur, HopSlideDur).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** Oracle twin: each event's 4 covering window starts are the slide
+    * multiples in (t − window, t] — integer epoch-microsecond floor
+    * division, exactly Spark's epoch-aligned assignment.
+    */
+  val sqlHopping: String =
+    s"""WITH hops AS (
+       |  SELECT make_timestamp((epoch_us(ts) // $HopSlideUs - i) * $HopSlideUs) AS ws,
+       |    event_type, value
+       |  FROM events, LATERAL unnest(range(0, $HopSlots)) t(i)
+       |  WHERE ts IS NOT NULL)
+       |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+       |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+       |FROM hops GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
   /** Gap-based sessionization per user: a new session starts when the gap
     * since the previous event reaches SessionGapUs. `>=` matches Spark's
     * session_window half-open [start, last + gap) semantics exactly — an

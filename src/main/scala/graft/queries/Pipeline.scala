@@ -441,6 +441,12 @@ object Pipeline {
     QueryDef.sql("w2_session", EventWindows.sqlSessionize) { (s, dir) =>
       EventWindows.sessionize(Tables.events(s, dir))
     },
+    // hopping (sliding) windows: 1-hour windows every 15 min — each event
+    // in exactly 4 overlapping windows; constant-factor explode collapsed
+    // by the map-side combine before the exchange
+    QueryDef.sql("w13_hopping", EventWindows.sqlHopping) { (s, dir) =>
+      EventWindows.hopping(Tables.events(s, dir))
+    },
     // trailing 1-HOUR time-RANGE frame per user at every event — the
     // frame a row frame can't express on irregular streams
     QueryDef.sql("w10_range_frame", EventWindows.sqlRangeFrame) { (s, dir) =>

@@ -217,6 +217,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hopping windows under watermark: 4 covering windows per event, stream equals batch (w13)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // hand case first: an event exactly ON a slide boundary (00:30) covers
+    // starts 00:30, 00:15, 00:00, 23:45 — half-open [start, start+1h)
+    // keeps the t-60min window OUT
+    val rows = Seq(("click", ts("2024-01-01 00:30:00"), 1.0),
+      ("click", ts("2024-01-01 00:40:00"), 2.0),
+      ("view", ts("2024-01-01 00:05:00"), 4.0))
+    val batchDf = rows.toDF("event_type", "ts", "value")
+      .withColumn("event_id", lit(0L)).withColumn("user_id", lit(0L))
+      .withColumn("props", lit(""))
+    val batch = graft.operators.EventWindows.hopping(batchDf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val starts30 = batch.collect { case (w, "click", _, _) => w }
+    assert(Set("2023-12-31 23:45:00", "2024-01-01 00:00:00",
+      "2024-01-01 00:15:00", "2024-01-01 00:30:00").subsetOf(starts30.toSet),
+      s"boundary event missing a covering window: $starts30")
+    // the same expression as a watermarked stream: append mode emits each
+    // window once the watermark passes its END; a far-future row flushes all
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, java.sql.Timestamp, Double)](
+      implicitly[org.apache.spark.sql.Encoder[(String, java.sql.Timestamp, Double)]], spark)
+    val agg = input.toDF().toDF("event_type", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), graft.operators.EventWindows.HopWindowDur,
+        graft.operators.EventWindows.HopSlideDur).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("hop_stream").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(("flush", ts("2024-01-02 12:00:00"), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("hop_stream")
+        .filter(col("event_type") =!= "flush")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch, s"stream/batch divergence:\n  stream=$streamed\n  batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming dedup by @id compensates at-least-once redelivery (SURVEY 2.7)") {
     val spark = TestSpark.spark
     val msgs = TestSpark.messages(
