@@ -293,6 +293,14 @@ object Relational {
         .orderBy(col("p_brand"))
     },
 
+    // Bloom-pruned star join (q23): the dim predicate reduced onto the
+    // fact scan as a per-row might_contain BEFORE the join exchange —
+    // superset-safe, so the oracle is the PLAIN join (exactness free)
+    QueryDef.sql("q23_bloom_join", graft.operators.RuntimeFilter.sqlSmallPartRevenue) { (s, dir) =>
+      graft.operators.RuntimeFilter.smallPartRevenue(
+        Tables.lineitem(s, dir), Tables.part(s, dir))
+    },
+
     // Full CUBE grouping sets.
     QueryDef.sql("q14_cube",
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,

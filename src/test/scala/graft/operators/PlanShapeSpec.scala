@@ -198,6 +198,29 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bloom-pruned join: the probe filters the fact BELOW the join exchange") {
+    val spark = TestSpark.spark
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(RuntimeFilter.smallPartRevenue(
+        graft.Tables.lineitem(spark, dir), graft.Tables.part(spark, dir)))
+      assert(plan.contains("might_contain"),
+        s"expected the bloom probe in the plan:\n$plan")
+      // the probe must sit on the scan side of the fact branch: in the
+      // plan's line order the filter prints BELOW (after) the fact
+      // exchange it feeds — i.e. no Exchange appears between the fact
+      // scan and the might_contain filter
+      val lines = plan.split("\n")
+      val probeIdx = lines.indexWhere(_.contains("might_contain"))
+      val scanIdx = lines.indexWhere(_.contains("lineitem"), probeIdx)
+      assert(probeIdx >= 0 && scanIdx >= 0,
+        s"probe/scan lines not found:\n$plan")
+      assert(!lines.slice(probeIdx + 1, scanIdx).exists(_.contains("Exchange")),
+        s"the bloom probe must be below the fact exchange (no Exchange between probe and scan):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("as-of join plans as union+window: no nested loop, no cartesian, no pair blowup") {
     val spark = TestSpark.spark
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -51,6 +51,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got((0L, "a")) == ((50L, (1 to 50).sum.toLong)), s"$got")
   }
 
+  test("bloom-pruned join: actually prunes non-matching fact rows, result equals the plain join") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 1000 fact keys, dim keeps only 10 — the probe must discard the vast
+    // majority BEFORE the join while changing nothing in the result
+    val fact = (1L to 1000L).map(k => (k, k * 2)).toDF("k", "v")
+    val dim = (1L to 10L).map(k => (k * 100, s"d$k")).toDF("k", "tag")
+    val bf = RuntimeFilter.trainKeyBloom(dim, "k")
+    val survivors = fact.filter(RuntimeFilter.probe(bf, col("k"))).count()
+    // no false negatives (all 10 matches survive); false positives are
+    // allowed but at 10 keys in 2^20 bits there should be almost none
+    assert(survivors >= 10 && survivors < 100,
+      s"expected ~10 survivors of 1000, got $survivors")
+    val got = RuntimeFilter.bloomPrunedJoin(fact, dim, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val want = fact.join(dim, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(got == want, s"bloom-pruned join must equal the plain join: $got vs $want")
+  }
+
   test("Tables.events scopes the nanosAsLong conf to the load: no session leak, ts still materializes") {
     val spark = TestSpark.spark
     val key = "spark.sql.legacy.parquet.nanosAsLong"
