@@ -74,6 +74,92 @@ object Curation {
        |  FROM documents) WHERE rn <= $SourceCap
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------- systematic PPS weighted sampling (p34)
+
+  /** Target sample size as a corpus fraction: one doc kept per
+    * [[PpsTargetDiv]] docs (in expectation weight-proportionally).
+    */
+  val PpsTargetDiv = 10
+
+  /** Shards for the PPS prefix sum — same rationale as [[PackShards]]:
+    * a global running sum is one reducer's straggle at 100 TB.
+    */
+  val PpsShards = 64
+
+  /** Systematic probability-proportional-to-size sampling (p34) — the
+    * classical survey-sampling technique (Madow 1949) applied to corpus
+    * curation: lay every document's weight (its n_chars — a proxy for
+    * token cost) end to end on an integer line, then pick one document at
+    * every `stride = total_weight / target` boundary. Each doc's pick
+    * count is the number of stride boundaries inside its weight interval
+    * — selection probability exactly proportional to size, heavy docs
+    * may be hit more than once (`n_picks` carries the multiplicity, the
+    * standard PPS-with-replacement accounting a weighted-mixture loader
+    * consumes). Unlike Bernoulli-by-hash (p3), the sample size is
+    * GUARANTEED: exactly total/stride picks, never a variance-of-the-
+    * draw miss on a small stratum — and the whole computation is integer
+    * division, bit-identical cross-engine, no random state anywhere.
+    *
+    * Scale shape: the concat line is ordered (shard, doc_id) — the
+    * [[PackShards]] trick: per-(shard) windows do the running sum
+    * [[PpsShards]]-way parallel, a [[PpsShards]]-row summary table
+    * provides each shard's carry-in offset (rows-frame window over the
+    * tiny table, then broadcast back), and the single-row grand total
+    * arrives via a broadcast cross join. One corpus shuffle total.
+    */
+  def ppsSample(docs: DataFrame): DataFrame = {
+    val shard = (Portable.hash32(col("doc_id").cast("string")) % PpsShards).cast("int")
+    val wWin = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    val intervals = docs
+      .select(col("doc_id"), shard.as("shard"), col("n_chars").as("w"))
+      .withColumn("cum", sum(col("w")).over(wWin))
+    val shardTot = intervals.groupBy(col("shard"))
+      .agg(max(col("cum")).as("tot"))
+    val carryWin = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = shardTot
+      .withColumn("carry", coalesce(sum(col("tot")).over(carryWin), lit(0L)))
+      .select(col("shard"), col("carry"))
+    val totals = shardTot.agg(sum(col("tot")).as("total"),
+      count(lit(1)).as("nsh"))
+    // stride from the doc count, floor-guarded to 1 for tiny corpora
+    val target = docs.agg((count(lit(1)) / PpsTargetDiv).cast("bigint").as("target"))
+    intervals
+      .join(broadcast(carries), "shard")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(target))
+      .withColumn("stride",
+        greatest(expr("total div greatest(target, 1)"), lit(1L)))
+      .withColumn("n_picks",
+        (expr("(carry + cum) div stride") -
+          expr("(carry + cum - w) div stride")).cast("int"))
+      .filter(col("n_picks") >= 1)
+      .select(col("doc_id"), col("w"), col("n_picks"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sqlPpsSample: String =
+    s"""WITH iv AS (SELECT doc_id,
+       |    (${Portable.sqlHash32("doc_id::VARCHAR")} % $PpsShards)::INT AS shard,
+       |    n_chars AS w,
+       |    sum(n_chars) OVER (PARTITION BY (${Portable.sqlHash32("doc_id::VARCHAR")} % $PpsShards)
+       |      ORDER BY doc_id) AS cum
+       |  FROM documents),
+       |st AS (SELECT shard, max(cum) AS tot FROM iv GROUP BY shard),
+       |ca AS (SELECT shard, coalesce(sum(tot) OVER (ORDER BY shard
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry FROM st),
+       |tt AS (SELECT sum(tot) AS total FROM st),
+       |tg AS (SELECT (count(*) // $PpsTargetDiv)::BIGINT AS target FROM documents)
+       |SELECT iv.doc_id, iv.w::BIGINT AS w,
+       |  ((ca.carry + iv.cum) // s.stride
+       |    - (ca.carry + iv.cum - iv.w) // s.stride)::INT AS n_picks
+       |FROM iv JOIN ca USING (shard),
+       |  (SELECT greatest(tt.total // greatest(tg.target, 1), 1) AS stride
+       |   FROM tt, tg) s
+       |WHERE (ca.carry + iv.cum) // s.stride
+       |    - (ca.carry + iv.cum - iv.w) // s.stride >= 1
+       |ORDER BY iv.doc_id""".stripMargin
+
   // ----------------------------------------------------- token chunking
 
   /** Fixed-size token windows with overlap — the sequence-prep op that

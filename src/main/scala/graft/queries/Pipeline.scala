@@ -524,6 +524,12 @@ object Pipeline {
     QueryDef.sql("p4_source_cap", Curation.sqlPerSourceCap) { (s, dir) =>
       Curation.perSourceCap(Tables.documents(s, dir))
     },
+    // systematic PPS weighted sampling: guaranteed sample size, selection
+    // probability exactly proportional to doc weight, pure integer
+    // arithmetic — the sharded prefix sum + tiny carry table, one shuffle
+    QueryDef.sql("p34_pps_sample", Curation.sqlPpsSample) { (s, dir) =>
+      Curation.ppsSample(Tables.documents(s, dir))
+    },
     QueryDef.sql("p5_decontaminate", Curation.sqlDecontaminate) { (s, dir) =>
       Curation.decontaminate(Tables.documents(s, dir))
     },

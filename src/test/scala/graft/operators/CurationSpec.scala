@@ -94,6 +94,24 @@ class CurationSpec extends AnyFunSuite {
     assert(!r.contains(0L))
   }
 
+  test("PPS sample: total picks == total div stride, multiplicity proportional to weight") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // 100 docs, one whale at 100x the weight of the minnows
+    val d = (1L to 100L).map(i => (i, if (i == 42) 5000L else 50L))
+      .toDF("doc_id", "n_chars")
+    val got = Curation.ppsSample(d)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // total weight 9950, target 100/10 = 10, stride 995 → exactly 10 picks
+    assert(got.values.sum == 10, s"systematic PPS must land exactly total div stride picks: $got")
+    // the whale holds 5000/9950 ≈ half the line: 5 or 6 boundaries fall in it
+    assert(got(42L) >= 4, s"the heavy doc must dominate the sample: $got")
+    // determinism: a second run picks the identical multiset
+    val again = Curation.ppsSample(d)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == again, "PPS selection must be deterministic")
+  }
+
   test("chunking: overlapping fixed windows cover every token, tail is short") {
     val words = (1 to 150).map(i => s"w$i")
     val d = docs((1L, words.mkString(" "), "s"))
