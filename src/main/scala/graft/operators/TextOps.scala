@@ -1209,6 +1209,113 @@ object TextOps {
     * The single shuffle is the per-doc aggregate, map-side combined; sign
     * bit 5 is independent of the bucket (bits 0..4) by construction.
     */
+  /** N-gram orders for [[repetitionCoverage]] (t27): the top-n-gram char
+    * fraction uses bigrams, the duplicate-n-gram coverage uses 5-grams —
+    * the two ends of Rae et al. 2021 table A1's repetition block (their
+    * n = 2..4 "top" family and n = 5..10 "duplicate" family, one
+    * representative each; the other orders are the same plan with a
+    * different literal).
+    */
+  val CovTopN = 2
+  val CovDupN = 5
+
+  /** Gopher repetition-coverage metrics (t27) — the CHARACTER-fraction
+    * repetition rules of Rae et al. 2021 that t8's distinct/total ratio
+    * can't express:
+    *  - `top2_frac`: fraction of the doc's token characters contained in
+    *    occurrences of its single most frequent bigram (count desc, gram
+    *    asc tie-break) — a doc dominated by one repeated phrase scores
+    *    high even when its OTHER n-grams are all distinct;
+    *  - `dup5_frac`: fraction of token characters covered by at least one
+    *    5-gram that occurs more than once IN THE SAME DOC — positional
+    *    union coverage (each character counted once however many
+    *    duplicated grams span it), the d12 span idea turned inward.
+    * Both denominators are the doc's total token characters; zero-token
+    * docs pin to 0.0.
+    *
+    * Scale shape: explodes are linear in corpus tokens; both gram counts
+    * partial-aggregate on (doc, gram) before their exchange; the coverage
+    * union is a distinct on (doc, position) — bounded by corpus tokens,
+    * never quadratic. Per-doc rollups are map-side combined.
+    */
+  def repetitionCoverage(docs: DataFrame): DataFrame = {
+    val n = CovDupN
+    val tk = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .withColumn("total_chars",
+        aggregate(transform(col("w"), t => length(t).cast("bigint")),
+          lit(0L), (a, x) => a + x))
+    val bi = tk.filter(size(col("w")) >= CovTopN)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("g"))
+    val top = bi.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+      .select(col("doc_id"),
+        (col("cnt") * length(translate(col("g"), " ", ""))).cast("bigint").as("top2_chars"))
+    val g5 = tk.filter(size(col("w")) >= n)
+      .select(col("doc_id"), posexplode(transform(sequence(lit(0), size(col("w")) - n),
+        i => array_join(slice(col("w"), i + lit(1), lit(n)), " "))))
+      .toDF("doc_id", "i", "g")
+    val rep5 = g5.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c5"))
+      .filter(col("c5") >= 2).select(col("doc_id"), col("g"))
+    val covered = g5.join(rep5, Seq("doc_id", "g"))
+      .select(col("doc_id"), explode(sequence(col("i") + 1, col("i") + n)).as("p"))
+      .distinct()
+    val tokLens = tk.select(col("doc_id"), posexplode(col("w")))
+      .toDF("doc_id", "p0", "tok")
+      .select(col("doc_id"), (col("p0") + 1).as("p"),
+        length(col("tok")).cast("bigint").as("len"))
+    val dup = covered.join(tokLens, Seq("doc_id", "p"))
+      .groupBy(col("doc_id")).agg(sum(col("len")).as("dup_chars"))
+    tk.select(col("doc_id"), col("total_chars"))
+      .join(top, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("total_chars") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("top2_chars"), lit(0L)) / col("total_chars"), 4))
+          .as("top2_frac"),
+        when(col("total_chars") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("dup_chars"), lit(0L)) / col("total_chars"), 4))
+          .as("dup5_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlRepetitionCoverage: String = {
+    val toks = Portable.sqlTokens("text")
+    val n = CovDupN
+    val g5 = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    s"""WITH tk AS (SELECT doc_id, $toks AS w FROM documents),
+       |tot AS (SELECT doc_id,
+       |    coalesce(list_sum(list_transform(w, t -> length(t))), 0)::BIGINT AS total_chars
+       |  FROM tk),
+       |bi AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS g, count(*)::BIGINT AS cnt
+       |  FROM tk, LATERAL unnest(range(1, len(w))) t(i) GROUP BY 1, 2),
+       |top AS (SELECT doc_id, (cnt * length(replace(g, ' ', '')))::BIGINT AS top2_chars
+       |  FROM (SELECT doc_id, g, cnt,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+       |    FROM bi) WHERE rn = 1),
+       |g5 AS (SELECT doc_id, i, $g5 AS g
+       |  FROM tk, LATERAL unnest(range(1, len(w) - ${n - 2})) t(i)),
+       |c5 AS (SELECT doc_id, g FROM g5 GROUP BY doc_id, g HAVING count(*) >= 2),
+       |cov AS (SELECT DISTINCT g5.doc_id, g5.i + j AS p
+       |  FROM g5 JOIN c5 USING (doc_id, g), LATERAL unnest(range(0, $n)) u(j)),
+       |tl AS (SELECT doc_id, i AS p, length(w[i])::BIGINT AS len
+       |  FROM tk, LATERAL unnest(range(1, len(w) + 1)) t(i)),
+       |dup AS (SELECT cov.doc_id, sum(tl.len)::BIGINT AS dup_chars
+       |  FROM cov JOIN tl ON tl.doc_id = cov.doc_id AND tl.p = cov.p GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CASE WHEN tot.total_chars = 0 THEN 0.0
+       |    ELSE round(coalesce(top.top2_chars, 0)::DOUBLE / tot.total_chars, 4) END AS top2_frac,
+       |  CASE WHEN tot.total_chars = 0 THEN 0.0
+       |    ELSE round(coalesce(dup.dup_chars, 0)::DOUBLE / tot.total_chars, 4) END AS dup5_frac
+       |FROM documents d
+       |JOIN tot ON tot.doc_id = d.doc_id
+       |LEFT JOIN top ON top.doc_id = d.doc_id
+       |LEFT JOIN dup ON dup.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def hashedFeatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), Portable.hash32(col("t")).as("h"))

@@ -332,6 +332,11 @@ object Pipeline {
     QueryDef.sql("t8_repetition", TextOps.sqlRepetition) { (s, dir) =>
       TextOps.repetition(Tables.documents(s, dir))
     },
+    // the Gopher CHARACTER-fraction repetition rules: top-bigram char
+    // fraction + positional union coverage of duplicated 5-grams
+    QueryDef.sql("t27_dup_coverage", TextOps.sqlRepetitionCoverage) { (s, dir) =>
+      TextOps.repetitionCoverage(Tables.documents(s, dir))
+    },
     QueryDef.sql("t2_quality", TextOps.sqlQuality) { (s, dir) =>
       TextOps.quality(Tables.documents(s, dir), col("text")).orderBy(col("doc_id"))
     },

@@ -100,6 +100,21 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r(3L) == 0.0)
   }
 
+  test("repetition coverage: repeated 5-gram run covers the doc, top-bigram fraction hand-exact") {
+    // 12 tokens 'a b c d e f a b c d e f': the 5-grams starting at 1..2
+    // repeat at 7..8, so the positional union covers ALL 12 tokens →
+    // dup5_frac = 1.0; every bigram occurs twice, tie-break (cnt desc, g
+    // asc) picks 'a b': 2 occurrences × 2 chars / 12 chars = 0.3333
+    val d = docs((1L, "a b c d e f a b c d e f"),
+      (2L, "one two three four five six seven"), // no repeated 5-gram
+      (3L, "x")) // sub-bigram doc pins both fractions through the 0 path
+    val r = TextOps.repetitionCoverage(d)
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    assert(r(1L) == ((0.3333, 1.0)), s"hand case diverged: ${r(1L)}")
+    assert(r(2L)._2 == 0.0, s"unique text must have zero dup coverage: ${r(2L)}")
+    assert(r(3L) == ((0.0, 0.0)), s"sub-bigram doc must pin to zero: ${r(3L)}")
+  }
+
   test("simhash is order-insensitive; rolling fingerprint is order-sensitive") {
     val reordered = base.split(" ").reverse.mkString(" ")
     val d = docs((1L, base), (2L, reordered))
