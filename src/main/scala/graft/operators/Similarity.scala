@@ -401,10 +401,20 @@ object Similarity {
     * assignment is the partition/bucket key of the vector table, so a probe
     * is a partition-pruned scan.
     */
+  /** `candPred` (s12): an optional metadata predicate evaluated on the
+    * CANDIDATE rows inside the probed cells — filtered vector search,
+    * the "top-k among label=X" query every serving stack needs. The
+    * filter applies BEFORE distances are computed (pre-filter: selective
+    * predicates shrink the scan, and k never starves the way post-
+    * filtering a fixed candidate list does); the standard operational
+    * companion is a wider nprobe, since the filter thins each probed
+    * cell. Default `lit(true)` = unfiltered, the s4 form.
+    */
   def knnIvfKmeans(emb: DataFrame, nQueries: Int, k: Int,
-      kClusters: Int, iters: Int, nprobe: Int): DataFrame = {
+      kClusters: Int, iters: Int, nprobe: Int,
+      candPred: Column = lit(true)): DataFrame = {
     val (cent, assigned) = kmeansModel(emb, kClusters, iters)
-    val e = vecs(emb).join(assigned, "vec_id")
+    val e = vecs(emb).join(assigned, "vec_id").filter(candPred)
     val q = vecs(emb).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val qdist = q.select(col("qid"), posexplode(col("qv")).as(Seq("i0", "qx")))
@@ -428,7 +438,11 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  def sqlKnnIvfKmeans(nQueries: Int, k: Int, kClusters: Int, iters: Int, nprobe: Int): String = {
+  /** `candPred`: SQL twin of the Spark `candPred` — a predicate over
+    * `em` (the embeddings row joined for its metadata columns).
+    */
+  def sqlKnnIvfKmeans(nQueries: Int, k: Int, kClusters: Int, iters: Int, nprobe: Int,
+      candPred: String = "true"): String = {
     val (ctes, lastA, lastC) = sqlKmeansCtes(kClusters, iters)
     s"""WITH $ctes,
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
@@ -438,9 +452,10 @@ object Similarity {
        |  SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY d, c) AS pr
        |  FROM qdist) WHERE pr <= $nprobe),
        |cand AS (SELECT p.qid, e.vec_id, e.v
-       |  FROM e JOIN $lastA a ON a.vec_id = e.vec_id
+       |  FROM e JOIN embeddings em ON em.vec_id = e.vec_id
+       |  JOIN $lastA a ON a.vec_id = e.vec_id
        |  JOIN probes p ON p.c = a.c
-       |  WHERE e.vec_id <> p.qid),
+       |  WHERE e.vec_id <> p.qid AND ($candPred)),
        |sims AS (SELECT c.qid, c.vec_id,
        |    round(list_dot_product(q.qv, c.v)
        |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 4) AS sim

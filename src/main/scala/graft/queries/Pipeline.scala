@@ -376,6 +376,15 @@ object Pipeline {
     QueryDef.sql("s4_knn_ivf_kmeans", Similarity.sqlKnnIvfKmeans(10, 3, 4, 2, 2)) { (s, dir) =>
       Similarity.knnIvfKmeans(Tables.embeddings(s, dir), 10, 3, 4, 2, 2)
     },
+    // FILTERED vector search (s12): top-k among label%2=0 only — the
+    // metadata predicate pre-filters the probed cells' candidates (never
+    // post-filters a fixed list, so k can't starve); nprobe widened 2→3
+    // because the filter thins each cell
+    QueryDef.sql("s12_knn_filtered",
+      Similarity.sqlKnnIvfKmeans(10, 3, 4, 2, 3, "em.label % 2 = 0")) { (s, dir) =>
+      Similarity.knnIvfKmeans(Tables.embeddings(s, dir), 10, 3, 4, 2, 3,
+        col("label") % 2 === 0)
+    },
     // SRP-LSH near-dup pairs — the banded-LSH alternative when no trained
     // quantizer exists (MinHash banding transplanted to embedding space)
     QueryDef.sql("s5_srp_lsh", Similarity.sqlSrpLshPairs) { (s, dir) =>

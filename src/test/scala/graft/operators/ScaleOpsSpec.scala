@@ -176,6 +176,29 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().forall(r => r.getBoolean(1)))
   }
 
+  test("filtered ANN: every hit satisfies the predicate; all-cells probe equals exact filtered top-k") {
+    val spark = TestSpark.spark
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("label") % 2 === 0
+    // nprobe = kClusters: the IVF degenerates to an exact scan WITHIN the
+    // filter — this is the filtered ground truth
+    val exact = Similarity.knnIvfKmeans(emb, 10, 3, 4, 2, 4, pred)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // the predicate holds on every returned neighbor
+    val evenIds = emb.filter(pred).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.values.forall(evenIds), "a filtered hit violated the predicate")
+    // and no query starves: k neighbors each (the even slice is plenty big)
+    assert(exact.keys.map(_._1).toSet.forall(q => exact.contains((q, 3))),
+      s"a query starved below k: ${exact.keys}")
+    // the production nprobe=3 keeps high recall against the filtered truth
+    val approx = Similarity.knnIvfKmeans(emb, 10, 3, 4, 2, 3, pred)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val hits = exact.count { case (kk, v) => approx.get(kk).contains(v) }
+    assert(hits.toDouble / exact.size >= 0.7,
+      s"filtered recall collapsed: $hits/${exact.size}")
+  }
+
   test("IVF kNN recall vs brute force: the approximation is good, not just fast") {
     val spark = TestSpark.spark
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
