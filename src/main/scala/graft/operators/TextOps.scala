@@ -1316,6 +1316,58 @@ object TextOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Corpus rank-frequency health report (t28) — the one-row summary a
+    * pipeline reads before trusting a new crawl's LANGUAGE SHAPE, the way
+    * p9 reads its size shape: token/type counts, hapax fraction (share of
+    * vocabulary seen exactly once — scraped-garbage corpora skew high,
+    * template spam skews low), and the Zipf slope — the OLS fit of
+    * log2(count) on log2(rank) over the full rank-frequency table, which
+    * for natural language sits near −1 (Zipf 1949); a slope far from it
+    * is the corpus-level smell that no per-doc gate can see.
+    *
+    * Scale shape: one token count (map-side combined), a vocabulary-sized
+    * rank window (the t9 caveat: vocabulary, not corpus, sized — tens of
+    * millions of rows at web scale, one sort), then a single-row
+    * aggregate of the OLS moments. All log2/doubles; the only outputs are
+    * 4-decimal-rounded, far above the fp noise floor of a vocabulary-
+    * sized summation.
+    */
+  def zipfReport(docs: DataFrame): DataFrame = {
+    val counts = docs.select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("t"))
+    val ranked = counts.withColumn("r", row_number().over(w))
+      .select(log2(col("r")).as("x"), log2(col("c")).as("y"),
+        col("c"), (col("c") === 1).cast("bigint").as("hapax"))
+    ranked.agg(
+        sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("hapax")).as("nh"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_tokens"), col("n_types"),
+        round(col("nh") / col("n_types"), 4).as("hapax_frac"),
+        round((col("n_types") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_types") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+  }
+
+  def sqlZipfReport: String = {
+    val toks = Portable.sqlTokens("text")
+    s"""WITH counts AS (SELECT t, count(*)::BIGINT AS c
+       |  FROM (SELECT unnest($toks) AS t FROM documents) GROUP BY t),
+       |ranked AS (SELECT log2(row_number() OVER (ORDER BY c DESC, t)) AS x,
+       |    log2(c) AS y, c, CASE WHEN c = 1 THEN 1 ELSE 0 END AS hapax
+       |  FROM counts),
+       |m AS (SELECT sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+       |    sum(hapax)::BIGINT AS nh, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * y) AS sxy, sum(x * x) AS sxx
+       |  FROM ranked)
+       |SELECT n_tokens, n_types,
+       |  round(nh::DOUBLE / n_types, 4) AS hapax_frac,
+       |  round((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx), 4) AS zipf_slope
+       |FROM m""".stripMargin
+  }
+
   def hashedFeatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), Portable.hash32(col("t")).as("h"))

@@ -574,6 +574,11 @@ object Pipeline {
     QueryDef.sql("p9_corpus_stats", Curation.sqlCorpusStats) { (s, dir) =>
       Curation.corpusStats(Tables.documents(s, dir))
     },
+    // rank-frequency (Zipf) health row: token/type counts, hapax share,
+    // log-log OLS slope — the corpus-level language-shape smell test
+    QueryDef.sql("t28_zipf", TextOps.sqlZipfReport) { (s, dir) =>
+      TextOps.zipfReport(Tables.documents(s, dir))
+    },
 
     // -------- temperature-scaled data-mixing weights over the source stats
     QueryDef.sql("p10_mixture", Curation.sqlMixtureWeights) { (s, dir) =>

@@ -115,6 +115,19 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r(3L) == ((0.0, 0.0)), s"sub-bigram doc must pin to zero: ${r(3L)}")
   }
 
+  test("zipf report: geometric rank-frequency fits a negative slope, hapax and counts exact") {
+    // counts 16/8/4/2/1 over 5 types: 31 tokens, one hapax
+    val text = Seq.fill(16)("aa") ++ Seq.fill(8)("bb") ++ Seq.fill(4)("cc") ++
+      Seq.fill(2)("dd") ++ Seq("ee")
+    val d = docs((1L, text.mkString(" ")))
+    val r = TextOps.zipfReport(d).collect().head
+    assert(r.getLong(0) == 31 && r.getLong(1) == 5, s"token/type counts: $r")
+    assert(r.getDouble(2) == 0.2, s"hapax fraction: $r")
+    // log-log OLS of a strictly decreasing geometric profile is firmly
+    // negative (hand value −1.6785 on these 5 points)
+    assert(math.abs(r.getDouble(3) - -1.6785) < 0.001, s"zipf slope: $r")
+  }
+
   test("simhash is order-insensitive; rolling fingerprint is order-sensitive") {
     val reordered = base.split(" ").reverse.mkString(" ")
     val d = docs((1L, base), (2L, reordered))
