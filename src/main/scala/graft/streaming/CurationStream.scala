@@ -452,6 +452,77 @@ object CurationStream {
     }
   }
 
+  /** One arriving doc of the packing stream, post-projection. */
+  final case class PackInRow(doc_id: Long, source: String, shard: Int,
+                             n_tokens: Long)
+
+  /** The streamed packing row — field-for-field the batch
+    * [[graft.operators.Curation.packSequences]] output.
+    */
+  final case class PackedRow(doc_id: Long, source: String, shard: Int,
+                             n_tokens: Long, seq_first: Long, seq_last: Long,
+                             n_cuts: Int)
+
+  /** STREAMING sequence packing — p11's concat-and-chunk assignment
+    * maintained as documents arrive: each (source, shard) stream keeps ONE
+    * running token offset as keyed state, and every arriving doc is
+    * assigned its training-sequence span [seq_first, seq_last] exactly as
+    * the batch prefix sum would. This is the loader-facing stream: a
+    * training shard can consume sequence assignments while the crawl is
+    * still landing, instead of waiting for a nightly batch pack.
+    *
+    * Semantics contract (the asOfStream/firstSeen convention): shard
+    * assignment and token counts are the IDENTICAL per-row expressions as
+    * batch [[graft.operators.Curation.packSequences]]; the running offset
+    * equals the batch prefix sum whenever each (source, shard) group's
+    * docs ARRIVE in doc_id order across micro-batches (ordered ingest) —
+    * within a micro-batch, rows are doc_id-sorted so intra-batch disorder
+    * is absorbed. Under out-of-order arrival the stream still packs
+    * every doc gaplessly (a valid packing — arrival order IS a concat
+    * order); it just differs from the batch one, exactly like a loader
+    * that packs in receipt order.
+    *
+    * Scale/state shape: state is ONE long per (source, shard) — at most
+    * sources × [[graft.operators.Curation.PackShards]] entries, bounded
+    * by CONSTRUCTION, so NoTimeout is the correct mode here (contrast
+    * [[firstSeen]], whose per-hash state needs the event-time horizon to
+    * stay bounded). State commits with the batch: crash-and-replay
+    * recomputes identical spans.
+    */
+  def packStream(docs: DataFrame): DataFrame = {
+    import graft.functions.Portable
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("source"),
+        (Portable.hash32(col("doc_id").cast("string")) % Curation.PackShards)
+          .cast("int").as("shard"),
+        size(Portable.tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .as[PackInRow]
+      .groupByKey(r => (r.source, r.shard))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(packGroup)
+      .toDF()
+  }
+
+  /** Per-(source, shard) state transition of [[packStream]]: fold the
+    * batch's doc_id-ordered arrivals over the stored running offset —
+    * integer division only, the batch packing arithmetic verbatim.
+    */
+  private def packGroup(key: (String, Int), rows: Iterator[PackInRow],
+      state: GroupState[Long]): Iterator[PackedRow] = {
+    val rs = rows.toArray.sortBy(_.doc_id)
+    var cum = state.getOption.getOrElse(0L)
+    val out = rs.map { r =>
+      val cumPrev = cum
+      cum += r.n_tokens
+      val seqFirst = cumPrev / Curation.SeqLen
+      val seqLast = (cumPrev + math.max(r.n_tokens, 1L) - 1) / Curation.SeqLen
+      PackedRow(r.doc_id, r.source, r.shard, r.n_tokens,
+        seqFirst, seqLast, (seqLast - seqFirst).toInt)
+    }
+    if (rs.nonEmpty) state.update(cum)
+    out.iterator
+  }
+
   /** The streaming manifest: per-row gates + keyed first-seen canonical.
     * `docs` is a streaming (doc_id, text, ...) frame; `hot` and `lm` the
     * trained static artifacts. Emits one ManifestRow per document, append

@@ -208,6 +208,53 @@ class CurationStreamSpec extends AnyFunSuite {
       s"pairs must not repeat across bands: $got")
   }
 
+  test("streamed packing equals batch packSequences across micro-batch boundaries (ordered ingest)") {
+    val spark = TestSpark.spark
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = graft.operators.Curation.packSequences(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getInt(6)))).toMap
+
+    // corpus lands as 3 doc_id-ordered chunks so the running offset MUST
+    // survive micro-batch boundaries to reproduce the batch prefix sum
+    val dataDir = Files.createTempDirectory("graft-packstream-data").toString
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val base = System.currentTimeMillis() - 3600000L
+    def writeChunk(df: DataFrame, i: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft-packstream-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dest = new java.io.File(dataDir, f"chunk-$i%03d.parquet")
+      Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(base + i * 60000L))
+    }
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    writeChunk(docs.filter(col("doc_id") < c1), 0)
+    writeChunk(docs.filter(col("doc_id") >= c1 && col("doc_id") < c2), 1)
+    writeChunk(docs.filter(col("doc_id") >= c2), 2)
+
+    val got = scala.collection.concurrent.TrieMap
+      .empty[Long, (String, Int, Long, Long, Long, Int)]
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = CurationStream.packStream(stream)
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r => got.put(r.getLong(0),
+          (r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getInt(6))))
+        ()
+      }.start()
+    assert(q.awaitTermination(120000), "packing stream did not finish")
+    q.stop()
+    assert(got.toMap == batch,
+      s"streamed packing diverged from batch: stream-only=${got.toMap.toSet -- batch.toSet} " +
+        s"batch-only=${batch.toSet -- got.toMap.toSet}")
+  }
+
   test("gopher battery is stream-ready as-is: per-row rules, batch rows reproduced") {
     val spark = TestSpark.spark
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
