@@ -217,6 +217,87 @@ object Dedup {
           (0 until bands).map(b => s"$b, band$b").mkString(", ") + ") AS (band, bh)")
   }
 
+  /** Banding configurations for the d18 tuning table: three (bands, rows)
+    * splits of the SAME [[Portable.MinHashPerms]] = 16 permutations —
+    * recall-leaning (8×2), production (4×4), precision-leaning (2×8).
+    */
+  val LshTuneConfigs: Seq[(Int, Int)] = Seq((8, 2), (4, 4), (2, 8))
+
+  /** Sub-threshold Jaccard reference point for the tuning table. */
+  val LshTuneLowJ = 0.3
+
+  /** LSH banding tuning report (d18) — the s10 honesty table applied to
+    * the dedup leg: before an operator picks a banding, this is the row
+    * they read. For each (bands, rows) split of the SAME 16-permutation
+    * signature: the MEASURED candidate volume on this corpus (Σ over
+    * buckets of C(n,2) — exactly the number of pairs the verify join
+    * would have to score, i.e. the banding's cost knob) and the
+    * THEORETICAL S-curve collision probability 1−(1−J^r)^b at the verify
+    * threshold (recall knob) and at a sub-threshold J (false-candidate
+    * knob). More bands of fewer rows buys recall with candidate volume;
+    * the table shows both sides priced on real data.
+    *
+    * Scale shape: ONE signature aggregation (16 partial-aggregated mins
+    * per doc) shared by all three bandings; per config a (band, bh)
+    * count — candidate pairs are COUNTED from bucket sizes, never
+    * materialized, so the report costs a vocabulary-of-buckets aggregate
+    * even where the worst banding would explode the actual join. The
+    * probability columns are plan literals (same Scala arithmetic
+    * generates the oracle's literals).
+    */
+  def lshTuningReport(docs: DataFrame): DataFrame = {
+    val hashed = shingles(docs).select(col("doc_id"), Portable.hash32(col("g")).as("h"))
+    val aggs = (0 until Portable.MinHashPerms)
+      .map(i => min(minHashPerm(col("h"), i)).as(s"h$i"))
+    val sig = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val reports = LshTuneConfigs.map { case (b, r) =>
+      val bandCols = (0 until b).map { bb =>
+        md5(concat_ws(",", (0 until r).map(rr => col(s"h${bb * r + rr}")): _*))
+          .as(s"band$bb")
+      }
+      val stacked = sig.select(col("doc_id") +: bandCols: _*)
+        .selectExpr("doc_id",
+          s"stack($b, " + (0 until b).map(bb => s"$bb, band$bb").mkString(", ") +
+            ") AS (band, bh)")
+      stacked.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("cand_pairs"))
+        .select(lit(b).as("bands"), lit(r).as("n_rows"),
+          col("cand_pairs").cast("bigint").as("cand_pairs"),
+          lit(sCurve(JaccardThreshold, b, r)).as("p_at_threshold"),
+          lit(sCurve(LshTuneLowJ, b, r)).as("p_at_low"))
+    }
+    reports.reduce(_.unionByName(_)).orderBy(col("bands").desc)
+  }
+
+  /** The banding S-curve 1−(1−J^r)^b — computed in Scala so the SAME
+    * double lands as a literal in both the Spark plan and the generated
+    * oracle SQL (shortest-round-trip toString parses back bit-exact).
+    */
+  def sCurve(j: Double, b: Int, r: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, r), b)
+
+  def sqlLshTuningReport: String = {
+    val h = Portable.sqlHash32("g")
+    val mins = (0 until Portable.MinHashPerms)
+      .map(i => s"min(${sqlMinHashPerm("h", i)}) AS h$i").mkString(", ")
+    val cfgs = LshTuneConfigs.map { case (b, r) =>
+      val bandsSel = (0 until b).map { bb =>
+        val cols = (0 until r).map(rr => s"h${bb * r + rr}").mkString(", ")
+        s"SELECT doc_id, $bb AS band, md5(concat_ws(',', $cols)) AS bh FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""SELECT $b::INT AS bands, $r::INT AS n_rows,
+         |  (SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT
+         |   FROM (SELECT count(*) AS n FROM ($bandsSel) GROUP BY band, bh)) AS cand_pairs,
+         |  ${sCurve(JaccardThreshold, b, r)} AS p_at_threshold,
+         |  ${sCurve(LshTuneLowJ, b, r)} AS p_at_low""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $sqlShingleCtes,
+       |hashed AS (SELECT doc_id, $h AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id)
+       |$cfgs
+       |ORDER BY bands DESC""".stripMargin
+  }
+
   /** MinHash-LSH near-dup pairs: band the signature (MinHashBands bands of
     * MinHashRows), bucket-join per band for candidates, then verify with
     * exact Jaccard >= threshold. The banding join is the scale path: at

@@ -69,6 +69,13 @@ object Pipeline {
     QueryDef.sql("d5_simhash", Dedup.sqlSimhash) { (s, dir) =>
       Dedup.simhash(Tables.documents(s, dir))
     },
+    // LSH banding tuning table: measured candidate volume (counted from
+    // bucket sizes, pairs never materialized) + S-curve recall per
+    // (bands, rows) split of the same signature — the knob table an
+    // operator reads before picking a banding
+    QueryDef.sql("d18_lsh_tuning", Dedup.sqlLshTuningReport) { (s, dir) =>
+      Dedup.lshTuningReport(Tables.documents(s, dir))
+    },
     // SimHash -> PAIRS (Manku et al. 2007): byte-band pigeonhole
     // candidates + bit_count(xor) verify — EXACT within Hamming<=3 by
     // construction, the crawl-dedup complement to MinHash's

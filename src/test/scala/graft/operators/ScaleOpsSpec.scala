@@ -176,6 +176,23 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().forall(r => r.getBoolean(1)))
   }
 
+  test("LSH tuning table: S-curve constants hand-exact, recall-leaning banding costs more candidates") {
+    val spark = TestSpark.spark
+    // the probability columns are pure math — pin them by hand
+    assert(Dedup.sCurve(0.5, 4, 4) == 1.0 - math.pow(1.0 - 0.0625, 4))
+    assert(Dedup.sCurve(1.0, 2, 8) == 1.0, "an exact duplicate must always collide")
+    val rep = Dedup.lshTuningReport(graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // recall ordering of the theory columns: more bands of fewer rows
+    // collides more at BOTH reference points...
+    assert(rep((8, 2))._2 > rep((4, 4))._2 && rep((4, 4))._2 > rep((2, 8))._2)
+    assert(rep((8, 2))._3 > rep((4, 4))._3 && rep((4, 4))._3 > rep((2, 8))._3)
+    // ...and the measured candidate volume prices it on real data
+    assert(rep((8, 2))._1 >= rep((4, 4))._1 && rep((4, 4))._1 >= rep((2, 8))._1,
+      s"candidate volume must not shrink as banding loosens: $rep")
+  }
+
   test("filtered ANN: every hit satisfies the predicate; all-cells probe equals exact filtered top-k") {
     val spark = TestSpark.spark
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
