@@ -150,6 +150,94 @@ object Whiten {
       .orderBy(col("vec_id"))
   }
 
+  // ------------------------------------------- dominant PC (power method)
+
+  /** Fixed power-method iteration count for [[pcaPower]]: enough for the
+    * fixture spectra to converge to printable precision, and FIXED so the
+    * oracle replays the exact sequence (a convergence test would make the
+    * iteration count data-dependent and the replay fragile).
+    */
+  val PowerIters = 12
+
+  /** Uniform start coordinate 1/sqrt(D) — the same double lands in the
+    * Spark driver loop and (via shortest-round-trip toString) the oracle.
+    */
+  val PowerStart: Double = 1.0 / math.sqrt(D.toDouble)
+
+  /** Dominant principal component of the leading-[[D]] covariance (c6) —
+    * the one-vector PCA a pipeline reads before deciding whether its
+    * embedding space is dominated by a single direction (a known failure
+    * mode of contrastively trained embedders: one "hub" axis carries most
+    * variance and cosine similarity degenerates). Power method from the
+    * UNIFORM unit vector (overlaps every axis-aligned direction — e1
+    * would silently stall on a dominant eigenvector with a zero first
+    * coordinate; a start exactly orthogonal to the dominant eigenvector
+    * remains the method's documented blind spot, non-generic for real
+    * covariances) with L2 renormalization each step, over the 6-decimal-ROUNDED
+    * covariance (the [[gram]] boundary — both engines iterate from
+    * identical matrices); every sum is accumulated in strict index order
+    * so the oracle replays the identical IEEE sequence, the
+    * Cholesky/IRLS convention applied to the power method. Output: one
+    * row — the dominant eigenvalue (the step-[[PowerIters]] norm) and the
+    * unit eigenvector.
+    *
+    * Scale shape: the corpus is touched ONCE (the c3 covariance pass,
+    * D²-group partial aggregate); the iteration itself is driver-side
+    * arithmetic on a D×D matrix — the Whiten pattern: never iterate over
+    * data when you can iterate over a dimension-sized summary.
+    */
+  def pcaPower(emb: DataFrame): DataFrame = {
+    val c = Array.ofDim[Double](D, D)
+    gram(emb).collect().foreach { r =>
+      c(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getDouble(2)
+    }
+    var v = Array.fill(D)(PowerStart)
+    var eig = 0.0
+    for (_ <- 0 until PowerIters) {
+      val w = Array.tabulate(D)(i =>
+        (0 until D).map(j => c(i)(j) * v(j)).reduce(_ + _))
+      eig = math.sqrt(w.map(x => x * x).reduce(_ + _))
+      v = w.map(_ / eig)
+    }
+    val spark = emb.sparkSession
+    spark.range(1).select(
+      (round(lit(eig), 6) + lit(0.0)).as("eig") +:
+        (0 until D).map(i => (round(lit(v(i)), 6) + lit(0.0)).as(s"pc${i + 1}")): _*)
+  }
+
+  /** Oracle: same covariance CTE pivoted to scalars, then one (w, v) CTE
+    * pair per iteration with every sum left-associated — DuckDB executes
+    * the same IEEE sequence as [[pcaPower]]'s driver loop.
+    */
+  val sqlPcaPower: String = {
+    val covCells = (for (i <- 1 to D; j <- 1 to D) yield
+      s"max(CASE WHEN i = $i AND j = $j THEN cov END) AS c_${i}_$j").mkString(",\n    ")
+    val iterCtes = (1 to PowerIters).flatMap { it =>
+      val prevV = (j: Int) =>
+        if (it == 1) PowerStart.toString else s"v${it - 1}_$j"
+      val wCols = (1 to D).map { i =>
+        (1 to D).map(j => s"c_${i}_$j * ${prevV(j)}").mkString(" + ") + s" AS w${it}_$i"
+      }.mkString(",\n    ")
+      val nrm = "sqrt(" + (1 to D).map(i => s"w${it}_$i * w${it}_$i").mkString(" + ") + ")"
+      val vCols = (1 to D).map(i => s"w${it}_$i / $nrm AS v${it}_$i").mkString(",\n    ")
+      val prev = if (it == 1) "gp" else s"vv${it - 1}"
+      Seq(s"ww$it AS (SELECT *, $wCols FROM $prev)",
+        s"vv$it AS (SELECT *, $vCols FROM ww$it)")
+    }.mkString(",\n")
+    val lastN = "sqrt(" +
+      (1 to D).map(i => s"w${PowerIters}_$i * w${PowerIters}_$i").mkString(" + ") + ")"
+    val out = (s"round($lastN, 6) + 0.0 AS eig" +:
+      (1 to D).map(i => s"round(v${PowerIters}_$i, 6) + 0.0 AS pc$i")).mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:$D] AS v FROM embeddings),
+       |g AS (SELECT i, j, round(avg(v[i] * v[j]) - avg(v[i]) * avg(v[j]), 6) AS cov
+       |  FROM e, LATERAL unnest(range(1, $D + 1)) t1(i),
+       |    LATERAL unnest(range(1, $D + 1)) t2(j)
+       |  GROUP BY 1, 2),
+       |gp AS (SELECT $covCells FROM g),
+       |$iterCtes
+       |SELECT $out FROM vv$PowerIters""".stripMargin
+  }
+
   // -------------------------------------------------------- persistence
 
   /** Persist a trained model under `dir` as one tiny parquet of (kind, i,

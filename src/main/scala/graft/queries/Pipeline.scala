@@ -745,6 +745,12 @@ object Pipeline {
     QueryDef.sql("c4_whiten", Whiten.sqlWhiten) { (s, dir) =>
       Whiten.whiten(Tables.embeddings(s, dir))
     },
+    // dominant principal component by fixed power iteration over the
+    // rounded covariance — corpus touched once, iteration driver-side,
+    // oracle replays the identical IEEE sequence
+    QueryDef.sql("c6_pca_power", Whiten.sqlPcaPower) { (s, dir) =>
+      Whiten.pcaPower(Tables.embeddings(s, dir))
+    },
 
     // -------- int8 quantization error budget per coarse cell
     QueryDef.sql("c5_quant_error", Similarity.sqlQuantError) { (s, dir) =>

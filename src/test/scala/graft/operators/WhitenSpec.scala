@@ -41,6 +41,26 @@ class WhitenSpec extends AnyFunSuite {
     assert(ids.sameElements(ids.sorted))
   }
 
+  test("power iteration finds a planted dominant axis: eigenvector and eigenvalue by definition") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // variance planted on dim 3 (index 2): ±10 there, ±0.1 elsewhere
+    val rows = (0L until 64L).map { i =>
+      val big = if (i % 2 == 0) 10.0f else -10.0f
+      val small = if (i % 4 < 2) 0.1f else -0.1f
+      (i, Array.tabulate(8)(d => if (d == 2) big else small), 0)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val r = Whiten.pcaPower(emb).collect().head
+    val eig = r.getDouble(0)
+    val v = (1 to 8).map(i => r.getDouble(i))
+    assert(math.abs(math.abs(v(2)) - 1.0) < 1e-4,
+      s"dominant axis must be dim 3: $v")
+    assert(math.abs(eig - 100.0) < 0.1, s"eigenvalue must be the planted variance: $eig")
+    // unit norm
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-6, s"not unit: $v")
+  }
+
   test("covariance matrix is symmetric and diagonally dominant-positive") {
     val g = Whiten.gram(graft.Tables.embeddings(TestSpark.spark, "/root/testdata/sf0.001"))
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
