@@ -224,6 +224,69 @@ object Multimodal {
        |FROM b ORDER BY asset_id, py, px""".stripMargin
   }
 
+  /** Decimation factor for [[downsampleAudio]] (mm5). */
+  val DecimateBy = 2
+
+  /** REAL audio downsample (mm5): block-mean decimation of the DECODED
+    * PCM stream by [[DecimateBy]] — the audio twin of mm4's pixel
+    * resize, through the same batched mapPartitions kernel seam. Each
+    * output sample is the TRUNCATE-toward-zero mean of its source block:
+    * int16 blocks can sum negative, where floor and truncation diverge
+    * by one — Scala `/`, Spark `div` and DuckDB `//` all truncate
+    * (measured: DuckDB `-1 // 2 = 0`), so truncation is the one
+    * convention every engine shares and the unit pins it on a planted
+    * negative block. Emitted with the decimated rate; a trailing partial
+    * block is dropped (the standard decimator convention). One scalar
+    * row per output sample — the payload never shuffles past the kernel.
+    */
+  def downsampleAudio(assetsDf: DataFrame, factor: Int = DecimateBy): DataFrame = {
+    require(factor > 0, s"decimation factor must be positive: $factor")
+    val spark = assetsDf.sparkSession
+    import spark.implicits._
+    assetsDf.filter(col("kind") === "audio")
+      .select(col("asset_id"), col("data")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { case (id, data) =>
+            val wav = MediaCodec.decodeWav(data)
+            val n = wav.samples.length / factor
+            (0 until n).map { i =>
+              var s = 0L
+              var j = i * factor
+              while (j < (i + 1) * factor) { s += wav.samples(j); j += 1 }
+              (id, i.toLong, s / factor, wav.sampleRate / factor)
+            }
+          }
+        }
+      }
+      .toDF("asset_id", "idx", "sample", "out_rate")
+      .select(col("asset_id"), col("idx"), col("sample"),
+        col("out_rate").cast("int").as("out_rate"))
+      .orderBy(col("asset_id"), col("idx"))
+  }
+
+  /** Oracle: the md5-payload int16 samples replayed ([[sqlFeatures]]'
+    * technique), each output block a `//`-truncated pair mean.
+    */
+  val sqlDownsampleAudio: String = {
+    val bytes = (0 until AudioSamples * 2)
+      .map(k => s"('0x' || substr(hx, ${2 * k + 1}, 2))::INT AS b$k").mkString(", ")
+    val samples = (0 until AudioSamples).map { i =>
+      s"(CASE WHEN b${2 * i} + b${2 * i + 1} * 256 < 32768 " +
+        s"THEN b${2 * i} + b${2 * i + 1} * 256 " +
+        s"ELSE b${2 * i} + b${2 * i + 1} * 256 - 65536 END)::BIGINT AS s$i"
+    }.mkString(", ")
+    val outs = (0 until AudioSamples / DecimateBy).map { i =>
+      val blk = (0 until DecimateBy).map(j => s"s${i * DecimateBy + j}").mkString(" + ")
+      s"SELECT doc_id AS asset_id, ${i}::BIGINT AS idx, (($blk) // $DecimateBy)::BIGINT AS sample, ${AudioRate / DecimateBy}::INT AS out_rate FROM s"
+    }.mkString(" UNION ALL ")
+    s"""WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents WHERE doc_id % 3 = 1),
+       |b AS (SELECT doc_id, $bytes FROM m),
+       |s AS (SELECT *, $samples FROM b)
+       |$outs
+       |ORDER BY asset_id, idx""".stripMargin
+  }
+
   /** Frame sampling for video assets: every `stride`-th frame index with its
     * timestamp offset; explodes only scalar pairs, never the payload.
     */

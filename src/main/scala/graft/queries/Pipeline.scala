@@ -776,6 +776,11 @@ object Pipeline {
     // through the batched kernel seam — integer-exact, oracle-replayed
     QueryDef.sql("mm4_thumbnail", Multimodal.sqlThumbnails) { (s, dir) =>
       Multimodal.thumbnails(Multimodal.assets(Tables.documents(s, dir)), 1, 1)
+    },
+    // REAL audio decimation: floor-mean block downsample of decoded PCM
+    // through the same kernel — floorDiv pinned against the oracle's //
+    QueryDef.sql("mm5_downsample", Multimodal.sqlDownsampleAudio) { (s, dir) =>
+      Multimodal.downsampleAudio(Multimodal.assets(Tables.documents(s, dir)))
     }
   )
 }

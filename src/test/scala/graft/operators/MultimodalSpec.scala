@@ -107,6 +107,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.map(_.getLong(1)).forall(_ % 2 == 0))
   }
 
+  test("downsampleAudio: truncating block mean (the shared engine convention), tail dropped") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // 5 samples at factor 2: blocks (-3, 2) and (10, 11), tail 99 dropped.
+    // -1 / 2 TRUNCATES to 0 in Scala, Spark div AND DuckDB // (floor
+    // would say -1) — this pin holds the kernel to the one convention
+    // all engines share
+    val samples = Array[Short](-3, 2, 10, 11, 99)
+    val data = MediaCodec.wavHeader(5, 16000) ++
+      samples.flatMap(x => Array((x & 0xff).toByte, ((x >> 8) & 0xff).toByte))
+    val assets = Seq((7L, "audio", data)).toDF("asset_id", "kind", "data")
+    val got = Multimodal.downsampleAudio(assets).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getInt(3))))
+    assert(got.toSeq == Seq(0L -> ((0L, 8000)), 1L -> ((10L, 8000))), s"${got.toSeq}")
+  }
+
   test("thumbnails: block-average downsample is the floor-mean per source block, per channel") {
     val s = TestSpark.spark
     import s.implicits._
