@@ -294,6 +294,69 @@ object Classifier {
         round(avg(col("y").cast("double")), 4).as("pos_rate"))
       .orderBy(col("bin"))
 
+  /** Decision thresholds for the p35 sweep — the operating points an
+    * operator actually considers when turning scores into a keep gate.
+    */
+  val SweepThresholds: Seq[Double] = Seq(0.3, 0.5, 0.7)
+
+  /** Threshold sweep (p35) — the precision/recall operating table over
+    * the classifier's scores vs the proxy label: for each candidate
+    * threshold, the confusion counts and the resulting precision (kept
+    * docs that are truly positive) and recall (positives kept). p33 says
+    * whether the scores are CALIBRATED; this says what each cut COSTS —
+    * the two tables a filter deployment reads together.
+    *
+    * Scale shape: ONE partial-aggregated corpus pass computes every
+    * threshold's conditional sums as parallel aggregate columns; the
+    * per-threshold rows come off that single one-row frame via stack().
+    * Never one scan per threshold, never a sort.
+    */
+  def thresholdSweep(scored: DataFrame): DataFrame = {
+    val aggs = SweepThresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+      sum(when(col("p") >= t && col("y") === 1, 1L).otherwise(0L)).as(s"tp$i"),
+      sum(when(col("p") >= t && col("y") === 0, 1L).otherwise(0L)).as(s"fp$i"),
+      sum(when(col("p") < t && col("y") === 1, 1L).otherwise(0L)).as(s"fn$i"))
+    }
+    val stackArgs = SweepThresholds.zipWithIndex
+      .map { case (t, i) => s"${t}d, tp$i, fp$i, fn$i" }
+      .mkString(", ")
+    scored.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${SweepThresholds.size}, $stackArgs) " +
+        "AS (threshold, tp, fp, fn)")
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0, lit(0.0))
+          .otherwise(round(col("tp") / (col("tp") + col("fp")), 4)).as("precision"),
+        when(col("tp") + col("fn") === 0, lit(0.0))
+          .otherwise(round(col("tp") / (col("tp") + col("fn")), 4)).as("recall"))
+      .orderBy(col("threshold"))
+  }
+
+  /** Oracle: the full classifier oracle nested verbatim, one aggregate
+    * row, per-threshold SELECTs unioned.
+    */
+  def sqlThresholdSweep: String = {
+    val base = sqlQualityClassifier
+    val i = base.lastIndexOf("ORDER BY")
+    require(i >= 0, "classifier oracle must end in ORDER BY")
+    val sums = Classifier.SweepThresholds.zipWithIndex.flatMap { case (t, k) => Seq(
+      s"sum(CASE WHEN p >= $t AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp$k",
+      s"sum(CASE WHEN p >= $t AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp$k",
+      s"sum(CASE WHEN p < $t AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn$k")
+    }.mkString(",\n    ")
+    val rows = Classifier.SweepThresholds.zipWithIndex.map { case (t, k) =>
+      s"""SELECT ${t}::DOUBLE AS threshold, tp$k AS tp, fp$k AS fp, fn$k AS fn,
+         |  CASE WHEN tp$k + fp$k = 0 THEN 0.0
+         |    ELSE round(tp$k::DOUBLE / (tp$k + fp$k), 4) END AS precision,
+         |  CASE WHEN tp$k + fn$k = 0 THEN 0.0
+         |    ELSE round(tp$k::DOUBLE / (tp$k + fn$k), 4) END AS recall
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sc AS (SELECT doc_id, y, p FROM (${base.substring(0, i)}) t),
+       |m AS (SELECT $sums FROM sc)
+       |$rows
+       |ORDER BY threshold""".stripMargin
+  }
+
   /** Oracle: the full classifier oracle nested verbatim, same binning. */
   def sqlCalibration: String = {
     val base = sqlQualityClassifier

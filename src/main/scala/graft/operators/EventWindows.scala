@@ -164,6 +164,47 @@ object EventWindows {
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** OHLC candle rollup per (hour, event_type) (w14) — the telemetry
+    * downsampling every metrics store ships: open (earliest value in the
+    * window), high, low, close (latest value), count. Open/close are
+    * `min`/`max` over a (ts, event_id, value) STRUCT — lexicographic
+    * struct ordering makes first/last a pure partial-aggregable hash
+    * aggregate with a deterministic event_id tie-break, the q2-style "no
+    * rank window for a top-1" idiom: nothing is sorted, nothing shuffles
+    * but the (window, type) groups.
+    */
+  def ohlc(events: DataFrame): DataFrame = {
+    val tagged = struct(unix_micros(col("ts")).as("t"),
+      col("event_id").as("e"), col("value").as("v"))
+    events.filter(col("ts").isNotNull)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(
+        min(tagged).as("o"),
+        max(tagged).as("c"),
+        round(max(col("value")), 2).as("high"),
+        round(min(col("value")), 2).as("low"),
+        count(lit(1)).as("n"))
+      .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"),
+        round(col("o.v"), 2).as("open"), col("high"), col("low"),
+        round(col("c.v"), 2).as("close"), col("n"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val sqlOhlc: String =
+    """WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type, ts, event_id, value
+      |  FROM events WHERE ts IS NOT NULL),
+      |w AS (SELECT h, event_type, value,
+      |    row_number() OVER (PARTITION BY h, event_type ORDER BY ts, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY h, event_type ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM e)
+      |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+      |  round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+      |  round(max(value), 2) AS high, round(min(value), 2) AS low,
+      |  round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+      |  count(*)::BIGINT AS n
+      |FROM w GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
   /** Latest event per user — keyed dedup keeping the newest (the batch
     * analogue of dropDuplicates-with-watermark, SURVEY §2.7).
     */

@@ -462,6 +462,11 @@ object Pipeline {
     QueryDef.sql("w2_session", EventWindows.sqlSessionize) { (s, dir) =>
       EventWindows.sessionize(Tables.events(s, dir))
     },
+    // OHLC candle rollup: open/close via struct-ordered min/max — the
+    // "no rank window for a top-1" idiom, pure partial aggregate
+    QueryDef.sql("w14_ohlc", EventWindows.sqlOhlc) { (s, dir) =>
+      EventWindows.ohlc(Tables.events(s, dir))
+    },
     // hopping (sliding) windows: 1-hour windows every 15 min — each event
     // in exactly 4 overlapping windows; constant-factor explode collapsed
     // by the map-side combine before the exchange
@@ -703,6 +708,17 @@ object Pipeline {
       val wDir = artifactDir("qclassifier", dir)(tmp =>
         { graft.operators.Classifier.trainAndSave(Tables.documents(s, dir), tmp); () })
       graft.operators.Classifier.calibrationReport(
+        graft.operators.Classifier.scoreWith(Tables.documents(s, dir),
+          graft.operators.Classifier.loadWeights(s, wDir)))
+    },
+
+    // precision/recall operating table over the saved classifier's
+    // scores: one aggregate pass, all thresholds as parallel columns
+    QueryDef.sql("p35_threshold_sweep",
+      graft.operators.Classifier.sqlThresholdSweep) { (s, dir) =>
+      val wDir = artifactDir("qclassifier", dir)(tmp =>
+        { graft.operators.Classifier.trainAndSave(Tables.documents(s, dir), tmp); () })
+      graft.operators.Classifier.thresholdSweep(
         graft.operators.Classifier.scoreWith(Tables.documents(s, dir),
           graft.operators.Classifier.loadWeights(s, wDir)))
     },

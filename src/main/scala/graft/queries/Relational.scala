@@ -260,6 +260,36 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // Count-min-sketch heavy hitters (q24): the CMS completes the sketch
+    // family (t-digest q19, HLL q20, bloom p29) — estimate the true
+    // top-10 keys' counts from one mergeable 0.1%-width sketch and emit
+    // the one-sided-error verdict (CMS NEVER underestimates; the
+    // overestimate is bounded by eps*N at the sketch's confidence). The
+    // oracle computes the same top-10 exactly and expects all-true.
+    QueryDef.sql("q24_cms_topk",
+      """SELECT l_partkey AS k, true AS never_under, true AS within_tol
+        |FROM (SELECT l_partkey, count(*) AS c FROM lineitem
+        |      GROUP BY 1 ORDER BY c DESC, l_partkey LIMIT 10)
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_partkey"))
+      val top = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("l_partkey")).limit(10).collect()
+      val n = li.count()
+      val eps = 0.001
+      val bytes = li
+        .select(expr(s"count_min_sketch(l_partkey, ${eps}d, 0.99d, 42)").as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      val rows = top.toSeq.map { r =>
+        val k = r.getLong(0); val c = r.getLong(1)
+        val est = cms.estimateCount(k)
+        (k, est >= c, est <= c + (eps * n).toLong)
+      }
+      import s.implicits._
+      rows.toDF("k", "never_under", "within_tol").orderBy(col("k"))
+    },
+
     // Skew-salted two-phase aggregation (operators/Skew.scala): the hot-key
     // defense a 100 TB aggregation needs, oracle-checked against the plain
     // one-phase aggregate (salting must be EXACT for sum/count up to fp
