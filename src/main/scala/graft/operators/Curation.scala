@@ -109,27 +109,29 @@ object Curation {
     */
   def ppsSample(docs: DataFrame): DataFrame = {
     val shard = (Portable.hash32(col("doc_id").cast("string")) % PpsShards).cast("int")
+    val base = docs.select(col("doc_id"), shard.as("shard"), col("n_chars").as("w"))
     val wWin = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-    val intervals = docs
-      .select(col("doc_id"), shard.as("shard"), col("n_chars").as("w"))
-      .withColumn("cum", sum(col("w")).over(wWin))
-    val shardTot = intervals.groupBy(col("shard"))
-      .agg(max(col("cum")).as("tot"))
+    val intervals = base.withColumn("cum", sum(col("w")).over(wWin))
+    // shard totals come from a PLAIN aggregate, not max(cum) over the
+    // windowed frame: deriving them from `intervals` would make Spark
+    // recompute the corpus window once per consumer (measured: three
+    // Window subtrees in the plan) — the aggregate is a pruned scan
+    val shardTot = base.groupBy(col("shard"))
+      .agg(sum(col("w")).as("tot"), count(lit(1)).as("cnt"))
     val carryWin = Window.orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carries = shardTot
       .withColumn("carry", coalesce(sum(col("tot")).over(carryWin), lit(0L)))
       .select(col("shard"), col("carry"))
-    val totals = shardTot.agg(sum(col("tot")).as("total"),
-      count(lit(1)).as("nsh"))
     // stride from the doc count, floor-guarded to 1 for tiny corpora
-    val target = docs.agg((count(lit(1)) / PpsTargetDiv).cast("bigint").as("target"))
+    val strideRow = shardTot
+      .agg(sum(col("tot")).as("total"), sum(col("cnt")).as("ndocs"))
+      .select(greatest(
+        expr(s"total div greatest(ndocs div $PpsTargetDiv, 1L)"), lit(1L))
+        .as("stride"))
     intervals
       .join(broadcast(carries), "shard")
-      .crossJoin(broadcast(totals))
-      .crossJoin(broadcast(target))
-      .withColumn("stride",
-        greatest(expr("total div greatest(target, 1)"), lit(1L)))
+      .crossJoin(broadcast(strideRow))
       .withColumn("n_picks",
         (expr("(carry + cum) div stride") -
           expr("(carry + cum - w) div stride")).cast("int"))
