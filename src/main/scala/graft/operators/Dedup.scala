@@ -298,6 +298,58 @@ object Dedup {
        |ORDER BY bands DESC""".stripMargin
   }
 
+  /** Inter-source content-overlap matrix via per-source MinHash UNION
+    * sketches (d19) — which sources share material, without ever
+    * comparing documents: a source's sketch is the elementwise MIN of
+    * its documents' permutation minima (MinHash composes over set union
+    * — min(min(A), min(B)) = min(A ∪ B)), and for two sources the
+    * fraction of agreeing permutation slots is the standard unbiased
+    * estimator of the Jaccard similarity of their SHINGLE SETS. The
+    * corpus-analytics companion to d10's dup-rate table: a pair of
+    * mirrored crawls lights up here before any pair enumeration is
+    * spent on them.
+    *
+    * Scale shape: one pass over the df-capped shingle stream,
+    * partial-aggregated to sources × 16 mins; the pair comparison is a
+    * self-join of a SOURCES-sized frame — at 100 TB that's thousands of
+    * rows, not documents. Estimator variance is 1/√16 per pair
+    * (coarse by design — this is a triage table; the verified pair
+    * passes d2/d4 price anything it flags).
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val hashed = shingles(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), Portable.hash32(col("g")).as("h"))
+    val aggs = (0 until Portable.MinHashPerms)
+      .map(i => min(minHashPerm(col("h"), i)).as(s"h$i"))
+    val sk = hashed.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    val matches = (0 until Portable.MinHashPerms)
+      .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        matches.cast("int").as("match_perms"),
+        round(matches / lit(Portable.MinHashPerms.toDouble), 4).as("est_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  def sqlSourceOverlap: String = {
+    val h = Portable.sqlHash32("g")
+    val mins = (0 until Portable.MinHashPerms)
+      .map(i => s"min(${sqlMinHashPerm("h", i)}) AS h$i").mkString(", ")
+    val matches = (0 until Portable.MinHashPerms)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $sqlShingleCtes,
+       |hashed AS (SELECT d.source, $h AS h
+       |  FROM sh JOIN documents d ON d.doc_id = sh.doc_id),
+       |sk AS (SELECT source, $mins FROM hashed GROUP BY source)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  ($matches)::INT AS match_perms,
+       |  round(($matches) / ${Portable.MinHashPerms}.0, 4) AS est_jaccard
+       |FROM sk a JOIN sk b ON a.source < b.source
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   /** MinHash-LSH near-dup pairs: band the signature (MinHashBands bands of
     * MinHashRows), bucket-join per band for candidates, then verify with
     * exact Jaccard >= threshold. The banding join is the scale path: at

@@ -350,6 +350,50 @@ object Similarity {
     (centOut, assigned)
   }
 
+  /** k values for the c7 elbow table. */
+  val ElbowKs: Seq[Int] = Seq(2, 4, 8)
+
+  /** k-means elbow report (c7) — the tuning table for the clustering
+    * knob every cell-blocked operator downstream depends on (IVF probes,
+    * SemDeDup cells, int8 budgets): within-cluster sum of squares after
+    * the same fixed-iteration training as c2, for each candidate k. The
+    * operator reads where the curve bends; a k past the bend buys cells,
+    * not structure. The s10/d18 honesty-table pattern applied to the
+    * quantizer itself.
+    *
+    * Scale shape: one [[kmeansModel]] training per k (each its own
+    * bounded Lloyd loop over the cached exploded table), then one
+    * assignment-joined pass per k for the WCSS — per-vector distances
+    * rounded at the same 6-decimal boundary as training, the corpus-sum
+    * rounded at 2 (fp-order-safe far below either digit).
+    */
+  def kmeansElbow(emb: DataFrame): DataFrame = {
+    val ex = explodedDims(emb)
+    val reports = ElbowKs.map { k =>
+      val (cent, assigned) = kmeansModel(emb, k, 2)
+      val perVec = assigned.join(ex, "vec_id")
+        .join(broadcast(cent), Seq("c", "i"))
+        .groupBy(col("vec_id"))
+        .agg(round(sum((col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("dd"))
+      perVec.agg(round(sum(col("dd")), 2).as("wcss"))
+        .select(lit(k).as("k"), col("wcss"))
+    }
+    reports.reduce(_.unionByName(_)).orderBy(col("k"))
+  }
+
+  def sqlKmeansElbow: String = {
+    val parts = ElbowKs.map { k =>
+      val (ctes, lastA, lastC) = sqlKmeansCtes(k, 2)
+      s"""(WITH $ctes,
+         |pv AS (SELECT a.vec_id, round(sum((ex.x - p.cv) * (ex.x - p.cv)), 6) AS dd
+         |  FROM $lastA a JOIN ex ON ex.vec_id = a.vec_id
+         |  JOIN $lastC p ON p.c = a.c AND p.i = ex.i
+         |  GROUP BY a.vec_id)
+         |SELECT $k::INT AS k, round(sum(dd), 2) AS wcss FROM pv)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$parts\nORDER BY k"
+  }
+
   /** Assign vectors to their nearest centroid from an ALREADY-TRAINED
     * centroid table ([[kmeansModel]]'s first output or [[loadCentroids]]):
     * one corpus pass, no training rounds — how a saved coarse quantizer

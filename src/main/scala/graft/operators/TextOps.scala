@@ -1316,6 +1316,30 @@ object TextOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Language-ID confusion matrix (t29) — the eval table for t3's
+    * heuristic against the corpus's labeled `lang` column: (label,
+    * prediction, count). A classifier whose scores are consumed
+    * downstream (mixture weights key on lang, the p25 proxy target IS
+    * lang='en') deserves the same honesty table the learned filter got
+    * in p33/p35. One partial-aggregated pass; per-row scoring is the
+    * identical stateless expression as t3.
+    */
+  def langConfusion(docs: DataFrame): DataFrame =
+    langId(docs, col("text"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_pred"))
+
+  def sqlLangConfusion: String = {
+    val base = sqlLangId
+    val i = base.lastIndexOf("ORDER BY")
+    s"""WITH pred AS (SELECT doc_id, lang_pred FROM (${base.substring(0, i)}) t)
+       |SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
+       |FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+       |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+  }
+
   /** Corpus rank-frequency health report (t28) — the one-row summary a
     * pipeline reads before trusting a new crawl's LANGUAGE SHAPE, the way
     * p9 reads its size shape: token/type counts, hapax fraction (share of

@@ -350,6 +350,11 @@ object Pipeline {
     QueryDef.sql("t3_langid", TextOps.sqlLangId) { (s, dir) =>
       TextOps.langId(Tables.documents(s, dir), col("text")).orderBy(col("doc_id"))
     },
+    // the t3 heuristic's confusion matrix vs the labeled lang column —
+    // the honesty table for a score other gates consume
+    QueryDef.sql("t29_lang_confusion", TextOps.sqlLangConfusion) { (s, dir) =>
+      TextOps.langConfusion(Tables.documents(s, dir))
+    },
     QueryDef.sql("t4_fingerprint", TextOps.sqlFingerprint) { (s, dir) =>
       TextOps.fingerprint(Tables.documents(s, dir), col("text")).orderBy(col("doc_id"))
     },
@@ -736,6 +741,16 @@ object Pipeline {
     // -------- deterministic distributed k-means (2 Lloyd iterations)
     QueryDef.sql("c2_kmeans", Similarity.sqlKmeans(4, 2)) { (s, dir) =>
       Similarity.kmeans(Tables.embeddings(s, dir), 4, 2)
+    },
+    // the elbow table: WCSS per candidate k — the tuning row every
+    // cell-blocked operator's k is picked from
+    QueryDef.sql("c7_kmeans_elbow", Similarity.sqlKmeansElbow) { (s, dir) =>
+      Similarity.kmeansElbow(Tables.embeddings(s, dir))
+    },
+    // inter-source MinHash union-sketch overlap matrix: which sources
+    // share content, at sources-squared cost, before any pair pass
+    QueryDef.sql("d19_source_overlap", Dedup.sqlSourceOverlap) { (s, dir) =>
+      Dedup.sourceOverlap(Tables.documents(s, dir))
     },
 
     // -------- embedding centroid aggregate (element-wise partition stats)

@@ -176,6 +176,34 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().forall(r => r.getBoolean(1)))
   }
 
+  test("source overlap: identical sources read near-1 jaccard, disjoint sources near-0") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // src a and b carry the SAME five documents; src c is disjoint text
+    val texts = (0 until 5).map(i =>
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i")
+    val rows =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "a") } ++
+      texts.zipWithIndex.map { case (t, i) => (100L + i, t, "b") } ++
+      (0 until 5).map(i => (200L + i.toLong,
+        s"one$i two$i three$i four$i five$i six$i seven$i eight$i", "c"))
+    val d = rows.toDF("doc_id", "text", "source")
+    val r = Dedup.sourceOverlap(d)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(3)).toMap
+    // identical shingle sets ⇒ every permutation min agrees
+    assert(r(("a", "b")) == 1.0, s"identical sources must read 1.0: $r")
+    assert(r(("a", "c")) < 0.5 && r(("b", "c")) < 0.5,
+      s"disjoint sources must read low: $r")
+  }
+
+  test("kmeans elbow: WCSS decreases with k on the fixture, all positive") {
+    val spark = TestSpark.spark
+    val r = Similarity.kmeansElbow(graft.Tables.embeddings(spark, "/root/testdata/sf0.001"))
+      .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(r.keySet == Similarity.ElbowKs.toSet && r.values.forall(_ > 0), s"$r")
+    assert(r(8) < r(2), s"more cells must explain more variance: $r")
+  }
+
   test("LSH tuning table: S-curve constants hand-exact, recall-leaning banding costs more candidates") {
     val spark = TestSpark.spark
     // the probability columns are pure math — pin them by hand
