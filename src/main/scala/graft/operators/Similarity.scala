@@ -1171,7 +1171,12 @@ object Similarity {
     * replay, residual PQ replay, probes, cell-pruned ADC, exact rerank —
     * identical rounding and tie-breaks end to end.
     */
-  def sqlKnnIvfPq(nQueries: Int, k: Int, dim: Int): String = {
+  /** `deleteWhere` (s13): a tombstone predicate over `a.vec_id` excluded
+    * from the ADC scan — deletion WITHOUT rebuilding the index. Default
+    * "false" deletes nothing (the s9 form).
+    */
+  def sqlKnnIvfPq(nQueries: Int, k: Int, dim: Int,
+                  deleteWhere: String = "false"): String = {
     val sub = dim / PqBlocks
     val eUnit =
       """e AS (SELECT vec_id,
@@ -1200,7 +1205,7 @@ object Similarity {
        |ad AS (SELECT l.qid, a.vec_id, round(sum(l.dq), 6) AS adist
        |  FROM $raN a JOIN $aN cells ON cells.vec_id = a.vec_id
        |  JOIN lut l ON l.cell = cells.c AND l.m = a.m AND l.c = a.c
-       |  WHERE a.vec_id <> l.qid GROUP BY 1, 2),
+       |  WHERE a.vec_id <> l.qid AND NOT ($deleteWhere) GROUP BY 1, 2),
        |cand AS (SELECT qid, vec_id FROM (
        |  SELECT qid, vec_id,
        |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS cr

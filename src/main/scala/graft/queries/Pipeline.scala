@@ -427,6 +427,22 @@ object Pipeline {
       Similarity.ivfPqSearch(Tables.embeddings(s, dir),
         Similarity.loadIvfPq(s, idxDir), 64 / Similarity.PqBlocks, 10, 5)
     },
+    // tombstoned serving (s13): a delete-list (vec_id % 7 = 3 stands in
+    // for the tombstone table) anti-filtered from the SAVED index's
+    // corpus tables — GDPR-style deletion without a rebuild; the two
+    // quantizers are untouched, a deleted vector can never surface as a
+    // candidate, and the rerank only sees ADC survivors
+    QueryDef.sql("s13_knn_ivfpq_deleted",
+      Similarity.sqlKnnIvfPq(10, 5, 64, "a.vec_id % 7 = 3")) { (s, dir) =>
+      val idxDir = artifactDir("ivfpq", dir)(tmp =>
+        Similarity.trainAndSaveIvfPq(Tables.embeddings(s, dir), 64 / Similarity.PqBlocks, tmp))
+      val idx = Similarity.loadIvfPq(s, idxDir)
+      val deleted = col("vec_id") % 7 === 3
+      val pruned = Similarity.IvfPqIndex(idx.coarse,
+        idx.cells.filter(!deleted), idx.pqCent, idx.codes.filter(!deleted))
+      Similarity.ivfPqSearch(Tables.embeddings(s, dir), pruned,
+        64 / Similarity.PqBlocks, 10, 5)
+    },
     // incremental shard ingest: train the index on the FIRST 4/5 of the
     // corpus (saved artifact), one-pass encode the held-out shard against
     // the saved quantizers (coarse assign -> residual -> nearest PQ code,

@@ -176,6 +176,17 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().forall(r => r.getBoolean(1)))
   }
 
+  test("tombstoned index serving: deleted vectors never surface, survivors still fill k") {
+    val spark = TestSpark.spark
+    val rows = graft.SparkEntry.queries("s13_knn_ivfpq_deleted")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.forall(_.getLong(2) % 7 != 3),
+      "a tombstoned vector surfaced in the filtered serving results")
+    // every query still gets its full k from the surviving corpus
+    val perQ = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQ.values.forall(_ == 5), s"a query starved: ${perQ.toMap}")
+  }
+
   test("source overlap: identical sources read near-1 jaccard, disjoint sources near-0") {
     val spark = TestSpark.spark
     import spark.implicits._
