@@ -805,6 +805,62 @@ object Curation {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** The manifest's gate columns, alphabetical (the diff's row order). */
+  private val ManifestGates = Seq("boiler_ok", "canonical", "keep", "ppl_ok", "quality_ok")
+
+  /** Manifest diff (p36) — the release-over-release regression dashboard:
+    * per-gate pass counts of yesterday's corpus slice vs today's full
+    * corpus, with the delta. The corpus-global gates (surprisal band,
+    * boilerplate dfs, canonical sets) are DELIBERATELY re-derived per
+    * corpus — that is what makes the diff meaningful: a delta out of
+    * proportion to the ingest says a gate's distribution moved (p23's
+    * drift signal, read at the keep-set level where it actually costs
+    * documents).
+    *
+    * Scale shape: two manifest plans (each its documented composition)
+    * reduced to ONE summary row each before the 5-row stack join —
+    * nothing but the gate sums crosses between the two runs.
+    */
+  def manifestDiff(docsOld: DataFrame, docsNew: DataFrame): DataFrame = {
+    def gateCounts(m: DataFrame) =
+      m.agg(ManifestGates.map(g => sum(col(g).cast("long")).as(g)).head,
+        ManifestGates.map(g => sum(col(g).cast("long")).as(g)).tail: _*)
+    def stacked(m: DataFrame, as: String) =
+      gateCounts(m).selectExpr(
+        s"stack(${ManifestGates.size}, " +
+          ManifestGates.map(g => s"'$g', $g").mkString(", ") + s") AS (gate, $as)")
+    stacked(curatedManifest(docsOld), "n_old")
+      .join(stacked(curatedManifest(docsNew), "n_new"), "gate")
+      .select(col("gate"), col("n_old"), col("n_new"),
+        (col("n_new") - col("n_old")).as("delta"))
+      .orderBy(col("gate"))
+  }
+
+  /** Oracle: the manifest oracle nested twice — the old slice's copy
+    * shadows `documents` with a filtered CTE (schema-qualified
+    * `main.documents` breaks the circular reference), so the component
+    * oracles run unmodified against the slice.
+    */
+  def sqlManifestDiff: String = {
+    val m = sqlCuratedManifest
+    val i = m.lastIndexOf("ORDER BY")
+    require(i >= 0, "manifest oracle must end in ORDER BY")
+    val body = m.substring(0, i)
+    val oldBody = body.replaceFirst("^WITH ",
+      "WITH documents AS (SELECT * FROM main.documents " +
+        "WHERE doc_id < (SELECT (count(*) * 4) // 5 FROM main.documents)),\n")
+    def sums = ManifestGates.map(g => s"sum($g::INT)::BIGINT AS $g").mkString(", ")
+    val rows = ManifestGates.map(g =>
+      s"SELECT '$g' AS gate, oc.$g AS n_old, nc.$g AS n_new, nc.$g - oc.$g AS delta FROM oc, nc")
+      .mkString("\nUNION ALL\n")
+    s"""WITH om AS (SELECT * FROM ($oldBody) t),
+       |oc AS (SELECT $sums FROM om),
+       |nm AS (SELECT * FROM ($body) t),
+       |nc AS (SELECT $sums FROM nm)
+       |$rows
+       |ORDER BY gate""".stripMargin
+  }
+
   // ----------------------------------------------- curation funnel (p32)
 
   /** The curation FUNNEL (p32) — the yield dashboard every corpus run is

@@ -164,6 +164,46 @@ object EventWindows {
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** Gap threshold for [[heartbeatGaps]] (w15): 2 hours in microseconds. */
+  val GapThresholdUs: Long = 2L * 3600 * 1000000
+
+  /** Heartbeat-gap detection per user (w15) — the monitoring query
+    * sessionization implies but doesn't emit: every silence longer than
+    * [[GapThresholdUs]] between a user's consecutive events, with its
+    * bounds and duration. The ops counterpart of w2: w2 counts sessions,
+    * this SHOWS the outages between them.
+    *
+    * Scale shape: one lag over the per-user event-time order — the same
+    * single exchange + partition-local sort as every per-key window; the
+    * output is gaps only, a tiny fraction of events.
+    */
+  def heartbeatGaps(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        lag(col("ts"), 1).over(w).as("prev_ts"))
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+      .filter(col("prev_ts").isNotNull && col("gap_us") > GapThresholdUs)
+      .select(col("user_id"),
+        date_format(col("prev_ts"), "yyyy-MM-dd HH:mm:ss").as("gap_start"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("gap_end"),
+        expr("gap_us div 1000000").as("gap_s"))
+      .orderBy(col("user_id"), col("gap_start"))
+  }
+
+  val sqlHeartbeatGaps: String =
+    s"""WITH g AS (SELECT user_id, event_id, ts,
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |  FROM events WHERE ts IS NOT NULL)
+       |SELECT user_id,
+       |  strftime(prev_ts, '%Y-%m-%d %H:%M:%S') AS gap_start,
+       |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS gap_end,
+       |  ((epoch_us(ts) - epoch_us(prev_ts)) // 1000000)::BIGINT AS gap_s
+       |FROM g
+       |WHERE prev_ts IS NOT NULL
+       |  AND epoch_us(ts) - epoch_us(prev_ts) > $GapThresholdUs
+       |ORDER BY user_id, gap_start""".stripMargin
+
   /** OHLC candle rollup per (hour, event_type) (w14) — the telemetry
     * downsampling every metrics store ships: open (earliest value in the
     * window), high, low, close (latest value), count. Open/close are

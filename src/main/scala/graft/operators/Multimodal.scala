@@ -224,6 +224,64 @@ object Multimodal {
        |FROM b ORDER BY asset_id, py, px""".stripMargin
   }
 
+  /** Histogram bins for [[channelHistogram]] (mm6): 4 bins of 64 levels. */
+  val HistBins = 4
+
+  /** Per-channel pixel histogram (mm6) — the first real statistic an
+    * image-quality gate reads (all-dark, blown-out, or single-level
+    * images show up as mass in one bin): decoded RGB values bucketed
+    * into [[HistBins]] equal ranges, counted per (asset, channel, bin)
+    * INSIDE the kernel — only bounded scalar rows leave it (≤ 3×bins per
+    * asset), the payload never shuffles. Integer arithmetic throughout.
+    */
+  def channelHistogram(assetsDf: DataFrame): DataFrame = {
+    val spark = assetsDf.sparkSession
+    import spark.implicits._
+    val width = 256 / HistBins
+    assetsDf.filter(col("kind") === "image")
+      .select(col("asset_id"), col("data")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { case (id, data) =>
+            val img = MediaCodec.decodePpm(data)
+            val n = img.width * img.height
+            val counts = Array.ofDim[Long](3, HistBins)
+            var p = 0
+            while (p < n) {
+              var ch = 0
+              while (ch < 3) {
+                counts(ch)(img.rgb(3 * p + ch) / width) += 1
+                ch += 1
+              }
+              p += 1
+            }
+            for (ch <- 0 until 3; b <- 0 until HistBins if counts(ch)(b) > 0)
+              yield (id, ch, b, counts(ch)(b))
+          }
+        }
+      }
+      .toDF("asset_id", "channel", "bin", "n")
+      .select(col("asset_id"), col("channel").cast("int").as("channel"),
+        col("bin").cast("int").as("bin"), col("n"))
+      .orderBy(col("asset_id"), col("channel"), col("bin"))
+  }
+
+  /** Oracle: md5-payload bytes bucketed with the same integer division;
+    * byte k of the 2x2 fixture image is channel k%3.
+    */
+  val sqlChannelHistogram: String = {
+    val width = 256 / HistBins
+    val bytes = (0 until 12)
+      .map(k => s"SELECT doc_id, ${k % 3} AS channel, ('0x' || substr(hx, ${2 * k + 1}, 2))::INT // $width AS bin FROM m")
+      .mkString(" UNION ALL ")
+    s"""WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents WHERE doc_id % 3 = 0),
+       |px AS ($bytes)
+       |SELECT doc_id AS asset_id, channel::INT AS channel, bin::INT AS bin,
+       |  count(*)::BIGINT AS n
+       |FROM px GROUP BY 1, 2, 3
+       |ORDER BY asset_id, channel, bin""".stripMargin
+  }
+
   /** Decimation factor for [[downsampleAudio]] (mm5). */
   val DecimateBy = 2
 

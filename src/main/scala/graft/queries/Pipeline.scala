@@ -682,6 +682,13 @@ object Pipeline {
     QueryDef.sql("p20_curated_manifest", Curation.sqlCuratedManifest) { (s, dir) =>
       Curation.curatedManifest(Tables.documents(s, dir))
     },
+    // release-over-release manifest diff: per-gate pass counts on the
+    // first-4/5 slice vs the full corpus — the keep-set drift dashboard
+    QueryDef.sql("p36_manifest_diff", Curation.sqlManifestDiff) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cut = docs.count() * 4 / 5
+      Curation.manifestDiff(docs.filter(col("doc_id") < cut), docs)
+    },
     // SemDeDup: semantic dedup = k-means cells + within-cell cosine prune
     QueryDef.sql("p17_semdedup", Similarity.sqlSemDedup(4, 2, 0.4)) { (s, dir) =>
       Similarity.semDedup(Tables.embeddings(s, dir), 4, 2, 0.4)
@@ -828,6 +835,16 @@ object Pipeline {
     // through the same kernel — floorDiv pinned against the oracle's //
     QueryDef.sql("mm5_downsample", Multimodal.sqlDownsampleAudio) { (s, dir) =>
       Multimodal.downsampleAudio(Multimodal.assets(Tables.documents(s, dir)))
+    },
+    // per-channel pixel histograms: the all-dark/blown-out image gate,
+    // counted inside the kernel — bounded scalar rows only
+    QueryDef.sql("mm6_histogram", Multimodal.sqlChannelHistogram) { (s, dir) =>
+      Multimodal.channelHistogram(Multimodal.assets(Tables.documents(s, dir)))
+    },
+    // per-user heartbeat gaps: the outages sessionization implies —
+    // one lag over the per-key order, output only the silences
+    QueryDef.sql("w15_gaps", EventWindows.sqlHeartbeatGaps) { (s, dir) =>
+      EventWindows.heartbeatGaps(Tables.events(s, dir))
     }
   )
 }
