@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-computed cases for the window-family rollups the oracle gates at
+  * corpus scale: OHLC candles (w14) and heartbeat gaps (w15).
+  */
+class EventWindowsSpec extends AnyFunSuite {
+
+  private def events(rows: (Long, String, String, Double)*) = {
+    val s = TestSpark.spark
+    import s.implicits._
+    rows.toSeq.toDF("event_id", "ts_s", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_type"), col("value"), lit(0L).as("user_id"), lit("").as("props"))
+  }
+
+  test("OHLC: open/high/low/close by event time, event_id breaks exact ts ties") {
+    val d = events(
+      (1L, "2024-01-01 00:05:00", "x", 3.0),
+      (2L, "2024-01-01 00:10:00", "x", 9.0),
+      (3L, "2024-01-01 00:20:00", "x", 1.0),
+      // exact-ts tie with id 5: the LOWER id must be the close loser,
+      // the HIGHER id wins max(struct) — deterministic either way
+      (4L, "2024-01-01 00:40:00", "x", 5.0),
+      (5L, "2024-01-01 00:40:00", "x", 7.0))
+    val r = EventWindows.ohlc(d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "2024-01-01 00:00:00" && row.getString(1) == "x")
+    assert((row.getDouble(2), row.getDouble(3), row.getDouble(4), row.getDouble(5),
+      row.getLong(6)) == ((3.0, 9.0, 1.0, 7.0, 5L)),
+      s"hand candle diverged: $row")
+  }
+
+  test("heartbeat gaps: only silences past the threshold emit, bounds and seconds exact") {
+    val d = events(
+      (1L, "2024-01-01 00:00:00", "hb", 0.0),
+      (2L, "2024-01-01 01:00:00", "hb", 0.0), // 1h gap: below threshold
+      (3L, "2024-01-01 04:00:00", "hb", 0.0), // 3h gap: emitted
+      (4L, "2024-01-01 04:30:00", "hb", 0.0))
+    val r = EventWindows.heartbeatGaps(d).collect()
+      .map(x => (x.getString(1), x.getString(2), x.getLong(3)))
+    assert(r.toSeq == Seq(("2024-01-01 01:00:00", "2024-01-01 04:00:00", 10800L)),
+      s"gaps diverged: ${r.toSeq}")
+  }
+}

@@ -107,6 +107,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.map(_.getLong(1)).forall(_ % 2 == 0))
   }
 
+  test("channelHistogram: planted pixel values land in their bins, zero bins omitted") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // 2x2 image: reds 0,63,64,255 → bins 0,0,1,3; greens all 10 → bin 0 x4;
+    // blues 100,150,200,250 → bins 1,2,3,3
+    val pixels = Seq((0, 10, 100), (63, 10, 150), (64, 10, 200), (255, 10, 250))
+    val bytes = MediaCodec.ppmHeader(2, 2) ++
+      pixels.flatMap { case (r, g, b) => Seq(r.toByte, g.toByte, b.toByte) }
+    val assets = Seq((3L, "image", bytes)).toDF("asset_id", "kind", "data")
+    val got = Multimodal.channelHistogram(assets).collect()
+      .map(r => (r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    val want = Map((0, 0) -> 2L, (0, 1) -> 1L, (0, 3) -> 1L,
+      (1, 0) -> 4L,
+      (2, 1) -> 1L, (2, 2) -> 1L, (2, 3) -> 2L)
+    assert(got == want, s"histogram diverged: $got")
+  }
+
   test("downsampleAudio: truncating block mean (the shared engine convention), tail dropped") {
     val s = TestSpark.spark
     import s.implicits._
