@@ -22,6 +22,19 @@ object Portable {
     */
   val P: Long = 2147483647L
 
+  /** Strip a component oracle's TERMINAL ORDER BY so it can nest as a
+    * CTE subquery — the one string surgery composite oracles perform,
+    * centralized so every site carries the same loud guard: a missing
+    * clause OR one inside a trailing parenthesized subquery fails at
+    * oracle-construction time instead of silently truncating mid-query.
+    */
+  def sqlNoOrder(sql: String): String = {
+    val i = sql.lastIndexOf("ORDER BY")
+    require(i >= 0 && !sql.substring(i).contains(")"),
+      s"component oracle must end in a terminal ORDER BY clause:\n$sql")
+    sql.substring(0, i)
+  }
+
   /** 32-bit deterministic hash of a string: first 8 hex chars of md5.
     * Value range [0, 2^32) — always non-negative, fits BIGINT in both engines.
     */

@@ -335,9 +335,7 @@ object Classifier {
     * row, per-threshold SELECTs unioned.
     */
   def sqlThresholdSweep: String = {
-    val base = sqlQualityClassifier
-    val i = base.lastIndexOf("ORDER BY")
-    require(i >= 0, "classifier oracle must end in ORDER BY")
+    val body = graft.functions.Portable.sqlNoOrder(sqlQualityClassifier)
     val sums = Classifier.SweepThresholds.zipWithIndex.flatMap { case (t, k) => Seq(
       s"sum(CASE WHEN p >= $t AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp$k",
       s"sum(CASE WHEN p >= $t AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp$k",
@@ -351,7 +349,7 @@ object Classifier {
          |    ELSE round(tp$k::DOUBLE / (tp$k + fn$k), 4) END AS recall
          |FROM m""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH sc AS (SELECT doc_id, y, p FROM (${base.substring(0, i)}) t),
+    s"""WITH sc AS (SELECT doc_id, y, p FROM ($body) t),
        |m AS (SELECT $sums FROM sc)
        |$rows
        |ORDER BY threshold""".stripMargin
@@ -359,10 +357,8 @@ object Classifier {
 
   /** Oracle: the full classifier oracle nested verbatim, same binning. */
   def sqlCalibration: String = {
-    val base = sqlQualityClassifier
-    val i = base.lastIndexOf("ORDER BY")
-    require(i >= 0, "classifier oracle must end in ORDER BY")
-    s"""WITH sc AS (SELECT doc_id, y, p FROM (${base.substring(0, i)}) t)
+    val body = graft.functions.Portable.sqlNoOrder(sqlQualityClassifier)
+    s"""WITH sc AS (SELECT doc_id, y, p FROM ($body) t)
        |SELECT least(floor(p * 10), 9)::BIGINT AS bin, count(*)::BIGINT AS n,
        |  round(avg(p), 4) AS mean_p, round(avg(y::DOUBLE), 4) AS pos_rate
        |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin

@@ -772,16 +772,9 @@ object Curation {
     * the composite can never drift from the component oracles.
     */
   def sqlCuratedManifest: String = {
-    def noOrder(sql: String): String = {
-      val i = sql.lastIndexOf("ORDER BY")
-      // fail loudly at oracle-construction time if a component is ever
-      // refactored away from a TERMINAL order clause (a -1 would throw a
-      // bare StringIndexOutOfBounds; an ORDER BY inside a trailing paren
-      // would silently truncate mid-query)
-      require(i >= 0 && !sql.substring(i).contains(")"),
-        s"component oracle must end in a terminal ORDER BY clause:\n$sql")
-      sql.substring(0, i)
-    }
+    // the shared terminal-ORDER-BY guard (Portable.sqlNoOrder): fail
+    // loudly at oracle-construction time, never truncate mid-query
+    def noOrder(sql: String): String = Portable.sqlNoOrder(sql)
     s"""WITH q AS (SELECT doc_id, quality_score FROM (${noOrder(TextOps.sqlQuality)}) t),
        |sp AS (SELECT doc_id, bits_per_token FROM (${noOrder(TextOps.sqlUnigramSurprisal)}) t),
        |bp AS (SELECT doc_id, boilerplate_frac FROM (${noOrder(graft.operators.Dedup.sqlBoilerplateFraction)}) t),
@@ -842,10 +835,12 @@ object Curation {
     * oracles run unmodified against the slice.
     */
   def sqlManifestDiff: String = {
-    val m = sqlCuratedManifest
-    val i = m.lastIndexOf("ORDER BY")
-    require(i >= 0, "manifest oracle must end in ORDER BY")
-    val body = m.substring(0, i)
+    val body = Portable.sqlNoOrder(sqlCuratedManifest)
+    // loud-failure convention: if the manifest oracle ever stops starting
+    // with exactly "WITH ", a silent no-op replace would leave BOTH
+    // slices reading the full corpus and every delta at 0
+    require(body.startsWith("WITH "),
+      s"manifest oracle must start with a WITH clause for the shadow CTE:\n$body")
     val oldBody = body.replaceFirst("^WITH ",
       "WITH documents AS (SELECT * FROM main.documents " +
         "WHERE doc_id < (SELECT (count(*) * 4) // 5 FROM main.documents)),\n")
@@ -919,12 +914,7 @@ object Curation {
     * rule — the funnel can never drift from the gates it reports on).
     */
   def sqlCurationFunnel: String = {
-    def noOrder(sql: String): String = {
-      val i = sql.lastIndexOf("ORDER BY")
-      require(i >= 0 && !sql.substring(i).contains(")"),
-        s"component oracle must end in a terminal ORDER BY clause:\n$sql")
-      sql.substring(0, i)
-    }
+    def noOrder(sql: String): String = Portable.sqlNoOrder(sql)
     s"""WITH g AS (SELECT doc_id, pass AS g_ok FROM (${noOrder(TextOps.sqlGopherRules)}) t),
        |m AS (SELECT doc_id, keep AS m_ok FROM (${noOrder(sqlCuratedManifest)}) t),
        |kl AS (SELECT doc_id FROM (${noOrder(graft.operators.Dedup.sqlDedupedCorpus)}) t),

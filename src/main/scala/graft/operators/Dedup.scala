@@ -206,7 +206,19 @@ object Dedup {
     require(bands * rows <= MinHashPerms,
       s"bands*rows must fit the ${MinHashPerms} defined permutations")
     val aggs = (0 until bands * rows).map(i => min(minHashPerm(col("h"), i)).as(s"h$i"))
-    val sig = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    bandsFromSig(hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*),
+      bands, rows)
+  }
+
+  /** Band-bucket rows from an ALREADY-AGGREGATED signature frame
+    * (doc_id, h0..h_{bands·rows−1}) — the ONE banding-fingerprint
+    * implementation every consumer reads (d4's candidate join, the saved
+    * LSH index, and each of d18's tuning configs over a shared
+    * signature), so a bucket-key change can never fork between the
+    * production path and the table that prices it.
+    */
+  private[graft] def bandsFromSig(sig: DataFrame,
+                                  bands: Int, rows: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws(",", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
         .as(s"band$b")
@@ -251,15 +263,8 @@ object Dedup {
       .map(i => min(minHashPerm(col("h"), i)).as(s"h$i"))
     val sig = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val reports = LshTuneConfigs.map { case (b, r) =>
-      val bandCols = (0 until b).map { bb =>
-        md5(concat_ws(",", (0 until r).map(rr => col(s"h${bb * r + rr}")): _*))
-          .as(s"band$bb")
-      }
-      val stacked = sig.select(col("doc_id") +: bandCols: _*)
-        .selectExpr("doc_id",
-          s"stack($b, " + (0 until b).map(bb => s"$bb, band$bb").mkString(", ") +
-            ") AS (band, bh)")
-      stacked.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+      bandsFromSig(sig, b, r)
+        .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
         .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("cand_pairs"))
         .select(lit(b).as("bands"), lit(r).as("n_rows"),
           col("cand_pairs").cast("bigint").as("cand_pairs"),

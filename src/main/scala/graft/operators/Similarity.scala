@@ -332,6 +332,17 @@ object Similarity {
 
   def kmeansModel(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val ex = explodedDims(emb).cache()
+    try kmeansModelFromEx(ex, k, iters)
+    finally ex.unpersist()
+  }
+
+  /** The Lloyd loop over an ALREADY-CACHED exploded table — factored out
+    * so multi-k callers ([[kmeansElbow]]) explode the corpus ONCE and
+    * reuse the cache across trainings instead of paying one explode per
+    * k inside [[kmeansModel]] plus one per WCSS join.
+    */
+  private def kmeansModelFromEx(ex: DataFrame, k: Int, iters: Int)
+      : (DataFrame, DataFrame) = {
     var cent = ex.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("c"), col("i"), round(col("x"), 6).as("cv"))
     var assigned: DataFrame = null
@@ -345,9 +356,7 @@ object Similarity {
       cent = assigned.join(ex, "vec_id")
         .groupBy(col("c"), col("i")).agg(round(avg(col("x")), 6).as("cv"))
     }
-    val centOut = cent.localCheckpoint(true)
-    ex.unpersist()
-    (centOut, assigned)
+    (cent.localCheckpoint(true), assigned)
   }
 
   /** k values for the c7 elbow table. */
@@ -368,17 +377,23 @@ object Similarity {
     * rounded at 2 (fp-order-safe far below either digit).
     */
   def kmeansElbow(emb: DataFrame): DataFrame = {
-    val ex = explodedDims(emb)
-    val reports = ElbowKs.map { k =>
-      val (cent, assigned) = kmeansModel(emb, k, 2)
-      val perVec = assigned.join(ex, "vec_id")
-        .join(broadcast(cent), Seq("c", "i"))
-        .groupBy(col("vec_id"))
-        .agg(round(sum((col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("dd"))
-      perVec.agg(round(sum(col("dd")), 2).as("wcss"))
-        .select(lit(k).as("k"), col("wcss"))
-    }
-    reports.reduce(_.unionByName(_)).orderBy(col("k"))
+    // ONE cached explode shared by all three trainings AND their WCSS
+    // joins — the per-k kmeansModel would re-explode the corpus each time
+    val ex = explodedDims(emb).cache()
+    try {
+      val reports = ElbowKs.map { k =>
+        val (cent, assigned) = kmeansModelFromEx(ex, k, 2)
+        val perVec = assigned.join(ex, "vec_id")
+          .join(broadcast(cent), Seq("c", "i"))
+          .groupBy(col("vec_id"))
+          .agg(round(sum((col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("dd"))
+        perVec.agg(round(sum(col("dd")), 2).as("wcss"))
+          .select(lit(k).as("k"), col("wcss"))
+      }
+      // the WCSS rows are tiny: force them while the cache is live, then
+      // union the materialized one-row frames
+      reports.map(_.localCheckpoint(true)).reduce(_.unionByName(_)).orderBy(col("k"))
+    } finally ex.unpersist()
   }
 
   def sqlKmeansElbow: String = {

@@ -1222,21 +1222,25 @@ object TextOps {
   /** Gopher repetition-coverage metrics (t27) — the CHARACTER-fraction
     * repetition rules of Rae et al. 2021 that t8's distinct/total ratio
     * can't express:
-    *  - `top2_frac`: fraction of the doc's token characters contained in
+    *  - `top2_frac`: fraction of the doc's token characters COVERED by
     *    occurrences of its single most frequent bigram (count desc, gram
     *    asc tie-break) — a doc dominated by one repeated phrase scores
     *    high even when its OTHER n-grams are all distinct;
     *  - `dup5_frac`: fraction of token characters covered by at least one
-    *    5-gram that occurs more than once IN THE SAME DOC — positional
-    *    union coverage (each character counted once however many
-    *    duplicated grams span it), the d12 span idea turned inward.
-    * Both denominators are the doc's total token characters; zero-token
-    * docs pin to 0.0.
+    *    5-gram that occurs more than once IN THE SAME DOC — the d12 span
+    *    idea turned inward.
+    * BOTH are positional-union coverage: each character counts once
+    * however many qualifying gram occurrences span it, so both columns
+    * are true fractions in [0, 1] (the naive count×len(gram) form
+    * exceeds 1.0 on self-overlapping grams — 'a a a' has two occurrences
+    * of its top bigram across three tokens). Denominators are the doc's
+    * total token characters; zero-token docs pin to 0.0.
     *
     * Scale shape: explodes are linear in corpus tokens; both gram counts
-    * partial-aggregate on (doc, gram) before their exchange; the coverage
-    * union is a distinct on (doc, position) — bounded by corpus tokens,
-    * never quadratic. Per-doc rollups are map-side combined.
+    * partial-aggregate on (doc, gram) before their exchange; both
+    * coverage unions are a distinct on (doc, position) — bounded by
+    * corpus tokens, never quadratic. Per-doc rollups are map-side
+    * combined.
     */
   def repetitionCoverage(docs: DataFrame): DataFrame = {
     val n = CovDupN
@@ -1244,15 +1248,22 @@ object TextOps {
       .withColumn("total_chars",
         aggregate(transform(col("w"), t => length(t).cast("bigint")),
           lit(0L), (a, x) => a + x))
-    val bi = tk.filter(size(col("w")) >= CovTopN)
-      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("w")) - 1),
-        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+    val g2 = tk.filter(size(col("w")) >= CovTopN)
+      .select(col("doc_id"), posexplode(transform(sequence(lit(0), size(col("w")) - CovTopN),
+        i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2)))))
+      .toDF("doc_id", "i", "g")
+    val topG = g2.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("g"))
-    val top = bi.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
-      .select(col("doc_id"),
-        (col("cnt") * length(translate(col("g"), " ", ""))).cast("bigint").as("top2_chars"))
+    val top1 = topG.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("g"))
+    val top = g2.join(top1, Seq("doc_id", "g"))
+      .select(col("doc_id"), explode(sequence(col("i") + 1, col("i") + CovTopN)).as("p"))
+      .distinct()
+      .join(tk.select(col("doc_id"), posexplode(col("w"))).toDF("doc_id", "p0", "tok")
+        .select(col("doc_id"), (col("p0") + 1).as("p"),
+          length(col("tok")).cast("bigint").as("len")), Seq("doc_id", "p"))
+      .groupBy(col("doc_id")).agg(sum(col("len")).as("top2_chars"))
     val g5 = tk.filter(size(col("w")) >= n)
       .select(col("doc_id"), posexplode(transform(sequence(lit(0), size(col("w")) - n),
         i => array_join(slice(col("w"), i + lit(1), lit(n)), " "))))
@@ -1289,19 +1300,23 @@ object TextOps {
        |tot AS (SELECT doc_id,
        |    coalesce(list_sum(list_transform(w, t -> length(t))), 0)::BIGINT AS total_chars
        |  FROM tk),
-       |bi AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS g, count(*)::BIGINT AS cnt
-       |  FROM tk, LATERAL unnest(range(1, len(w))) t(i) GROUP BY 1, 2),
-       |top AS (SELECT doc_id, (cnt * length(replace(g, ' ', '')))::BIGINT AS top2_chars
-       |  FROM (SELECT doc_id, g, cnt,
-       |      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
-       |    FROM bi) WHERE rn = 1),
+       |tl AS (SELECT doc_id, i AS p, length(w[i])::BIGINT AS len
+       |  FROM tk, LATERAL unnest(range(1, len(w) + 1)) t(i)),
+       |g2 AS (SELECT doc_id, i, w[i] || ' ' || w[i + 1] AS g
+       |  FROM tk, LATERAL unnest(range(1, len(w))) t(i)),
+       |top1 AS (SELECT doc_id, g
+       |  FROM (SELECT doc_id, g, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY count(*) DESC, g) AS rn
+       |    FROM g2 GROUP BY doc_id, g) WHERE rn = 1),
+       |cov2 AS (SELECT DISTINCT g2.doc_id, g2.i + j AS p
+       |  FROM g2 JOIN top1 USING (doc_id, g), LATERAL unnest(range(0, $CovTopN)) u(j)),
+       |top AS (SELECT cov2.doc_id, sum(tl.len)::BIGINT AS top2_chars
+       |  FROM cov2 JOIN tl ON tl.doc_id = cov2.doc_id AND tl.p = cov2.p GROUP BY 1),
        |g5 AS (SELECT doc_id, i, $g5 AS g
        |  FROM tk, LATERAL unnest(range(1, len(w) - ${n - 2})) t(i)),
        |c5 AS (SELECT doc_id, g FROM g5 GROUP BY doc_id, g HAVING count(*) >= 2),
        |cov AS (SELECT DISTINCT g5.doc_id, g5.i + j AS p
        |  FROM g5 JOIN c5 USING (doc_id, g), LATERAL unnest(range(0, $n)) u(j)),
-       |tl AS (SELECT doc_id, i AS p, length(w[i])::BIGINT AS len
-       |  FROM tk, LATERAL unnest(range(1, len(w) + 1)) t(i)),
        |dup AS (SELECT cov.doc_id, sum(tl.len)::BIGINT AS dup_chars
        |  FROM cov JOIN tl ON tl.doc_id = cov.doc_id AND tl.p = cov.p GROUP BY 1)
        |SELECT d.doc_id,
@@ -1332,9 +1347,8 @@ object TextOps {
       .orderBy(col("lang"), col("lang_pred"))
 
   def sqlLangConfusion: String = {
-    val base = sqlLangId
-    val i = base.lastIndexOf("ORDER BY")
-    s"""WITH pred AS (SELECT doc_id, lang_pred FROM (${base.substring(0, i)}) t)
+    val body = Portable.sqlNoOrder(sqlLangId)
+    s"""WITH pred AS (SELECT doc_id, lang_pred FROM ($body) t)
        |SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
        |FROM documents d JOIN pred p ON p.doc_id = d.doc_id
        |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin

@@ -274,11 +274,12 @@ object Relational {
       val li = Tables.lineitem(s, dir).select(col("l_partkey"))
       val top = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("l_partkey")).limit(10).collect()
-      val n = li.count()
       val eps = 0.001
-      val bytes = li
-        .select(expr(s"count_min_sketch(l_partkey, ${eps}d, 0.99d, 42)").as("sk"))
-        .head().getAs[Array[Byte]]("sk")
+      // count and sketch are both partial-aggregable: ONE pass, not two
+      val aggRow = li.agg(count(lit(1)).as("n"),
+        expr(s"count_min_sketch(l_partkey, ${eps}d, 0.99d, 42)").as("sk")).head()
+      val n = aggRow.getLong(0)
+      val bytes = aggRow.getAs[Array[Byte]]("sk")
       val cms = org.apache.spark.util.sketch.CountMinSketch
         .readFrom(new java.io.ByteArrayInputStream(bytes))
       val rows = top.toSeq.map { r =>

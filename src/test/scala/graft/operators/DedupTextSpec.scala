@@ -107,12 +107,16 @@ class DedupTextSpec extends AnyFunSuite {
     // asc) picks 'a b': 2 occurrences × 2 chars / 12 chars = 0.3333
     val d = docs((1L, "a b c d e f a b c d e f"),
       (2L, "one two three four five six seven"), // no repeated 5-gram
-      (3L, "x")) // sub-bigram doc pins both fractions through the 0 path
+      (3L, "x"), // sub-bigram doc pins both fractions through the 0 path
+      (4L, "a a a")) // self-overlapping top bigram: coverage caps at 1.0
     val r = TextOps.repetitionCoverage(d)
       .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
     assert(r(1L) == ((0.3333, 1.0)), s"hand case diverged: ${r(1L)}")
     assert(r(2L)._2 == 0.0, s"unique text must have zero dup coverage: ${r(2L)}")
     assert(r(3L) == ((0.0, 0.0)), s"sub-bigram doc must pin to zero: ${r(3L)}")
+    // positional union: 'a a' occurs twice over three tokens — the naive
+    // count×len form would report 4/3; coverage must read exactly 1.0
+    assert(r(4L)._1 == 1.0, s"self-overlap must not exceed 1.0: ${r(4L)}")
   }
 
   test("zipf report: geometric rank-frequency fits a negative slope, hapax and counts exact") {
