@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Empty-input robustness: a pipeline stage fed an empty shard (a crawl
+  * day with no documents, a filter that drained everything) must return
+  * an empty/degenerate frame, NEVER throw — the failure mode that takes
+  * down a scheduled 100 TB job at 3am over one empty partition. Trained
+  * operators that REQUIRE data (Whiten's Cholesky, the IRLS classifier)
+  * are exempt: their loud require IS the documented contract.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+
+  private def emptyDocs: DataFrame = {
+    val s = TestSpark.spark
+    import s.implicits._
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def emptyEvents: DataFrame = {
+    val s = TestSpark.spark
+    import s.implicits._
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("document operators survive an empty corpus") {
+    val d = emptyDocs
+    assert(TextOps.quality(d, col("text")).count() == 0)
+    assert(TextOps.langId(d, col("text")).count() == 0)
+    assert(TextOps.redact(d).count() == 0)
+    assert(TextOps.repetitionCoverage(d).count() == 0)
+    assert(TextOps.unigramSurprisal(d).count() == 0)
+    assert(TextOps.stupidBackoffSurprisal(d).count() == 0)
+    assert(TextOps.topNgrams(d).count() == 0)
+    assert(TextOps.langConfusion(d).count() == 0)
+    assert(Dedup.exact(d).count() == 0)
+    assert(Dedup.lshPairs(d).count() == 0)
+    assert(Dedup.sourceOverlap(d).count() == 0)
+    assert(Dedup.lshTuningReport(d).collect()
+      .forall(r => r.getLong(2) == 0L), "empty corpus must price zero candidates")
+    assert(Curation.ppsSample(d).count() == 0)
+    assert(Curation.perSourceCap(d).count() == 0)
+    assert(Curation.packSequences(d).count() == 0)
+    assert(Curation.curatedManifest(d).count() == 0)
+  }
+
+  test("event operators survive an empty stream-table") {
+    val e = emptyEvents
+    assert(EventWindows.tumblingHourly(e).count() == 0)
+    assert(EventWindows.hopping(e).count() == 0)
+    assert(EventWindows.ohlc(e).count() == 0)
+    assert(EventWindows.heartbeatGaps(e).count() == 0)
+    assert(EventWindows.sessionize(e).count() == 0)
+    assert(AsOf.clickAttribution(e).count() == 0)
+  }
+}
