@@ -105,5 +105,23 @@ class DailyIngestSpec extends AnyFunSuite {
     assert(gate.count() ==
       shardDocs.filter(col("doc_id") % Curation.BenchmarkMod =!= 0).count(),
       "one verdict per non-benchmark shard doc")
+
+    // day-3 deletion request: tombstone a slice OUT of the enlarged index
+    // (no rebuild — anti-filter the corpus tables, quantizers untouched)
+    val dead = col("vec_id") % 7 === 3
+    val tombstoned = Similarity.IvfPqIndex(combined.coarse,
+      combined.cells.filter(!dead), combined.pqCent, combined.codes.filter(!dead))
+    val servedAfter = Similarity.ivfPqSearch(emb, tombstoned, sub, 5, 3).collect()
+    assert(servedAfter.forall(_.getLong(2) % 7 != 3),
+      "a tombstoned vector surfaced after deletion")
+    assert(servedAfter.length == 5 * 3,
+      "deletion must not starve k on the surviving corpus")
+
+    // release dashboard: per-gate keep deltas between yesterday's slice
+    // and today's corpus — 5 gates, deltas consistent with the counts
+    val diff = Curation.manifestDiff(oldDocs, docs).collect()
+    assert(diff.length == 5 && diff.forall(r =>
+      r.getLong(3) == r.getLong(2) - r.getLong(1)),
+      s"gate diff rows inconsistent: ${diff.mkString(", ")}")
   }
 }
