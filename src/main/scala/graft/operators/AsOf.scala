@@ -190,6 +190,77 @@ object AsOf {
       .orderBy(col("click_id"))
   }
 
+  /** Funnel conversion summary (w16) — the product-analytics sequence
+    * query: of all purchases, how many were preceded (per user) by a
+    * view, and how many of THOSE views were themselves preceded by a
+    * signup — the ordered 3-step chain signup → view → purchase, counted
+    * by CHAINED as-of joins. Each step is one [[asOf]] (latest right at
+    * or before the step's anchor time), and the chain anchors step 2 at
+    * the MATCHED VIEW'S timestamp, not the purchase's — the ordering
+    * constraint that makes it a funnel rather than three independent
+    * existence checks. Unmatched steps flow through as nulls and fall
+    * out of the conditional counts.
+    *
+    * Scale shape: two w7-shaped passes (union + one key exchange + a
+    * running ignore-nulls last each — never a per-key nested loop), then
+    * one single-row aggregate. The same segmented/hot-key-capped variant
+    * (w9) slots in per step if a key owns the stream.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("vts0"))
+      .agg(max(col("event_id")).as("view_id"))
+    val signups = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts").as("sts0"))
+      .agg(max(col("event_id")).as("signup_id"))
+    val st1 = asOf(purchases, "user_id", "ts", views, "vts0", "view_id")
+      .select(col("user_id"), col("event_id"),
+        col("__match").as("view_id"), col("__mts").as("vts"))
+    // step 2 runs ONLY over view-matched rows — explicitly, in both
+    // engines: a NULL left timestamp has no place on the as-of axis, and
+    // the engines disagree about it (measured: DuckDB's sort-based ASOF
+    // puts the NULL last and matches the LATEST right row; the Spark
+    // fold matches nothing). A funnel row without step 2 cannot have
+    // step 3, so the filter is also the semantics.
+    val st2 = asOf(st1.filter(col("view_id").isNotNull),
+        "user_id", "vts", signups, "sts0", "signup_id")
+      .select(col("event_id"), col("__match").as("signup_id"))
+    val m2 = st2.agg(count(lit(1)).as("with_view"),
+      count(col("signup_id")).as("full_funnel"))
+    st1.agg(count(lit(1)).as("n_purchases"))
+      .crossJoin(broadcast(m2))
+      .select(col("n_purchases"), col("with_view"), col("full_funnel"),
+        when(col("n_purchases") === 0, lit(0.0))
+          .otherwise(round(col("with_view") / col("n_purchases"), 4)).as("view_rate"),
+        when(col("with_view") === 0, lit(0.0))
+          .otherwise(round(col("full_funnel") / col("with_view"), 4)).as("signup_rate"))
+  }
+
+  /** Oracle: the same chain as two native ASOF LEFT JOINs. */
+  val sqlFunnel: String =
+    """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts AS vts0, max(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |s AS (SELECT user_id, ts AS sts0, max(event_id) AS signup_id
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+      |st1 AS (SELECT p.user_id, p.event_id, v.view_id, v.vts0 AS vts
+      |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.vts0 <= p.ts),
+      |st2 AS (SELECT st1.event_id, s.signup_id
+      |  FROM (SELECT * FROM st1 WHERE view_id IS NOT NULL) st1
+      |  ASOF LEFT JOIN s ON st1.user_id = s.user_id AND s.sts0 <= st1.vts),
+      |m AS (SELECT (SELECT count(*) FROM st1)::BIGINT AS n_purchases,
+      |    count(*)::BIGINT AS with_view,
+      |    count(signup_id)::BIGINT AS full_funnel
+      |  FROM st2)
+      |SELECT n_purchases, with_view, full_funnel,
+      |  CASE WHEN n_purchases = 0 THEN 0.0
+      |    ELSE round(with_view::DOUBLE / n_purchases, 4) END AS view_rate,
+      |  CASE WHEN with_view = 0 THEN 0.0
+      |    ELSE round(full_funnel::DOUBLE / with_view, 4) END AS signup_rate
+      |FROM m""".stripMargin
+
   /** Segment width for the w9 query: 6-hour buckets over the events table. */
   val SegmentUs: Long = 6L * 3600 * 1000000
 

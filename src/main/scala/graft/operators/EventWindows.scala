@@ -245,6 +245,37 @@ object EventWindows {
       |  count(*)::BIGINT AS n
       |FROM w GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Cohort retention matrix (w17) — the product-analytics staple: users
+    * grouped by their FIRST-ACTIVITY week (the cohort), counted in each
+    * subsequent week they were active, keyed by whole-week offset. Both
+    * engines truncate weeks to Monday and the offset is integer day
+    * arithmetic — no session state, no windows: two partial-aggregated
+    * passes (per-user first week; distinct (user, week)) and a
+    * cohort-sized rollup.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val weeks = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+    weeks.join(cohorts, "user_id")
+      .groupBy(col("cw"), expr("datediff(wk, cw) div 7").as("offset_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("offset_weeks"), col("n_users"))
+      .orderBy(col("cohort_week"), col("offset_weeks"))
+  }
+
+  val sqlRetention: String =
+    """WITH weeks AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      |  FROM events WHERE ts IS NOT NULL),
+      |cohorts AS (SELECT user_id, min(wk) AS cw FROM weeks GROUP BY user_id)
+      |SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+      |  (date_diff('day', c.cw, w.wk) // 7)::BIGINT AS offset_weeks,
+      |  count(DISTINCT w.user_id)::BIGINT AS n_users
+      |FROM weeks w JOIN cohorts c ON c.user_id = w.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_week, offset_weeks""".stripMargin
+
   /** Latest event per user — keyed dedup keeping the newest (the batch
     * analogue of dropDuplicates-with-watermark, SURVEY §2.7).
     */

@@ -519,6 +519,16 @@ object Pipeline {
     QueryDef.sql("w9_asof_segmented", AsOf.sqlClickAttribution) { (s, dir) =>
       AsOf.clickAttributionSegmented(Tables.events(s, dir))
     },
+    // 3-step funnel via CHAINED as-ofs: step 2 anchors at the matched
+    // view's timestamp — an ordered sequence, not 3 existence checks
+    QueryDef.sql("w16_funnel", AsOf.sqlFunnel) { (s, dir) =>
+      AsOf.funnel(Tables.events(s, dir))
+    },
+    // cohort retention matrix: first-activity week x whole-week offset,
+    // two partial-aggregated passes + a cohort-sized rollup
+    QueryDef.sql("w17_retention", EventWindows.sqlRetention) { (s, dir) =>
+      EventWindows.retention(Tables.events(s, dir))
+    },
     // NEAREST as-of with tolerance (merge_asof direction='nearest'):
     // both directions read one sorted run — backward = running last,
     // forward = running first over the same window; no second exchange

@@ -36,6 +36,32 @@ class EventWindowsSpec extends AnyFunSuite {
       s"hand candle diverged: $row")
   }
 
+  test("funnel: chain anchors at the VIEW's time — a signup after the view is not a conversion") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val rows = Seq(
+      // user 1: signup -> view -> purchase, properly ordered: FULL
+      (1L, "2024-01-01 09:00:00", "signup", 10L),
+      (2L, "2024-01-01 10:00:00", "view", 10L),
+      (3L, "2024-01-01 11:00:00", "purchase", 10L),
+      // user 2: view -> purchase, no signup: view only
+      (4L, "2024-01-01 10:00:00", "view", 20L),
+      (5L, "2024-01-01 11:00:00", "purchase", 20L),
+      // user 3: bare purchase: neither
+      (6L, "2024-01-01 11:00:00", "purchase", 30L),
+      // user 4: view -> signup -> purchase: the signup is AFTER the view,
+      // so the ORDERED chain must not count it
+      (7L, "2024-01-01 10:00:00", "view", 40L),
+      (8L, "2024-01-01 10:30:00", "signup", 40L),
+      (9L, "2024-01-01 11:00:00", "purchase", 40L))
+    val d = rows.toDF("event_id", "ts_s", "event_type", "user_id")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_type"), col("user_id"), lit(0.0).as("value"), lit("").as("props"))
+    val r = AsOf.funnel(d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      == ((4L, 3L, 1L, 0.75, 0.3333)), s"funnel diverged: $r")
+  }
+
   test("heartbeat gaps: only silences past the threshold emit, bounds and seconds exact") {
     val d = events(
       (1L, "2024-01-01 00:00:00", "hb", 0.0),
