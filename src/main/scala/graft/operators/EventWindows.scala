@@ -276,6 +276,46 @@ object EventWindows {
       |FROM weeks w JOIN cohorts c ON c.user_id = w.user_id
       |GROUP BY 1, 2 ORDER BY cohort_week, offset_weeks""".stripMargin
 
+  /** Mergeable-sketch rollup (w18) — the pre-aggregation pattern every
+    * incremental metrics pipeline lives on: per-DAY HLL sketches of
+    * distinct users, then the WEEK's distinct-user estimate computed by
+    * UNIONING the daily sketches — never re-reading the day's raw
+    * events. The verdict row per week pins the two claims that make the
+    * pattern trustworthy: (a) union-of-dailies equals the
+    * direct-from-raw weekly estimate EXACTLY (HLL register merge is
+    * lossless at equal lgK — if this ever breaks, the rollup
+    * architecture is lying), and (b) the estimate is within 5% of the
+    * exact distinct count. Daily sketches are what a 100 TB pipeline
+    * stores; this query is the proof they compose.
+    */
+  def hllRollup(events: DataFrame): DataFrame = {
+    val base = events.filter(col("ts").isNotNull)
+      .select(date_trunc("week", col("ts")).as("wk"),
+        date_trunc("day", col("ts")).as("day"), col("user_id"))
+    val daily = base.groupBy(col("wk"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val merged = daily.groupBy(col("wk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+    val direct = base.groupBy(col("wk"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est_direct"),
+        countDistinct(col("user_id")).as("exact"))
+    merged.join(direct, "wk")
+      .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
+        (col("est_merged") === col("est_direct")).as("merged_eq_direct"),
+        (abs(col("est_direct").cast("double") - col("exact")) / col("exact") <= 0.05)
+          .as("within_tol"))
+      .orderBy(col("week"))
+  }
+
+  /** Oracle: the exact weekly distinct in DuckDB expects both verdicts
+    * true for every week (the q19/q20 sketch-verdict convention).
+    */
+  val sqlHllRollup: String =
+    """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+      |  true AS merged_eq_direct, true AS within_tol
+      |FROM events WHERE ts IS NOT NULL
+      |GROUP BY 1 ORDER BY week""".stripMargin
+
   /** Latest event per user — keyed dedup keeping the newest (the batch
     * analogue of dropDuplicates-with-watermark, SURVEY §2.7).
     */

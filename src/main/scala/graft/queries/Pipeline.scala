@@ -529,6 +529,11 @@ object Pipeline {
     QueryDef.sql("w17_retention", EventWindows.sqlRetention) { (s, dir) =>
       EventWindows.retention(Tables.events(s, dir))
     },
+    // mergeable-sketch rollup: weekly distinct users from UNIONED daily
+    // HLL sketches — union==direct pinned exactly, estimate within 5%
+    QueryDef.sql("w18_hll_rollup", EventWindows.sqlHllRollup) { (s, dir) =>
+      EventWindows.hllRollup(Tables.events(s, dir))
+    },
     // NEAREST as-of with tolerance (merge_asof direction='nearest'):
     // both directions read one sorted run — backward = running last,
     // forward = running first over the same window; no second exchange
