@@ -689,7 +689,10 @@ object Curation {
       .join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("llr_bits_per_token"), lit(0.0)).as("llr_bits_per_token"),
+        // + 0.0 normalizes IEEE -0.0: a doc whose ratio rounds to zero
+        // must hash as 0.0 in both engines (the p23 drift convention;
+        // surfaced by the sf0.1 sweep, invisible at sf0.01)
+        (coalesce(col("llr_bits_per_token"), lit(0.0)) + lit(0.0)).as("llr_bits_per_token"),
         (coalesce(col("llr_bits_per_token"), lit(0.0)) > 0.0).as("selected"))
       .orderBy(col("doc_id"))
   }
@@ -713,7 +716,7 @@ object Curation {
        |  FROM scored GROUP BY doc_id)
        |SELECT d.doc_id,
        |  coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
-       |  coalesce(per.llr_bits_per_token, 0.0) AS llr_bits_per_token,
+       |  coalesce(per.llr_bits_per_token, 0.0) + 0.0 AS llr_bits_per_token,
        |  (coalesce(per.llr_bits_per_token, 0.0) > 0.0) AS selected
        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
