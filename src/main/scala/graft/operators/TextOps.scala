@@ -1331,6 +1331,83 @@ object TextOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Count threshold for [[prunedLmReport]] (t30): bigrams seen fewer
+    * times than this are dropped from the pruned table.
+    */
+  val PruneMinCount = 2
+
+  /** LM pruning report (t30) — the KenLM `--prune` knob priced on real
+    * data (the s10/d18/c7 honesty-table pattern applied to the LM): drop
+    * every bigram type below [[PruneMinCount]] occurrences from the t19
+    * model and measure what it costs — pruned types (the model-size win:
+    * singleton bigrams dominate any natural corpus's type inventory) vs
+    * the corpus-mean conditional-surprisal increase (pruned bigrams
+    * degrade to the add-one floor, exactly how the scorer already treats
+    * unseen bigrams, so pruning IS forced unseen-ness). An operator
+    * reads this row before shipping a smaller model to the stream gate.
+    *
+    * Scale shape: ONE corpus pass builds the (bigram, predecessor)
+    * count table; both scorings are arithmetic over that
+    * vocabulary-sized table (each bigram type's total cost = count ×
+    * per-occurrence bits) — the corpus is never re-scanned per variant.
+    */
+  def prunedLmReport(docs: DataFrame): DataFrame = {
+    val tk = docs.select(tokens(col("text")).as("w"))
+    val uni = tk.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    val vtot = uni.agg(count(lit(1)).as("v"))
+    val grams = tk.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(
+          concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)).as("g"),
+          element_at(col("w"), i).as("pre")))).as("b"))
+      .select(col("b.g").as("g"), col("b.pre").as("pre"))
+      .groupBy(col("g"), col("pre")).agg(count(lit(1)).as("cg"))
+    val kept = col("cg") >= PruneMinCount
+    val cgp = when(kept, col("cg")).otherwise(lit(0L))
+    grams.join(uni, col("pre") === col("t"))
+      .crossJoin(broadcast(vtot))
+      .select(col("cg"), kept.as("kept"),
+        (col("cg") * -log2((col("cg") + 1.0) / (col("cu") + col("v")))).as("wb_full"),
+        (col("cg") * -log2((cgp + 1.0) / (col("cu") + col("v")))).as("wb_pruned"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept_types"),
+        sum(col("cg")).as("n_occurrences"),
+        (sum(col("wb_full")) / sum(col("cg"))).as("bf"),
+        (sum(col("wb_pruned")) / sum(col("cg"))).as("bp"))
+      .select(col("n_types"), col("n_kept_types"), col("n_occurrences"),
+        round(col("bf"), 4).as("bits_full"),
+        round(col("bp"), 4).as("bits_pruned"),
+        round(col("bp") - col("bf"), 4).as("delta_bits"),
+        round(lit(1.0) - col("n_kept_types") / col("n_types"), 4).as("type_reduction"))
+  }
+
+  def sqlPrunedLmReport: String = {
+    val toks = Portable.sqlTokens("text")
+    s"""WITH tk AS (SELECT $toks AS w FROM documents),
+       |uni AS (SELECT t, count(*)::BIGINT AS cu
+       |  FROM (SELECT unnest(w) AS t FROM tk) GROUP BY t),
+       |vtot AS (SELECT count(*)::BIGINT AS v FROM uni),
+       |grams AS (SELECT g, pre, count(*)::BIGINT AS cg FROM (
+       |    SELECT w[i] || ' ' || w[i + 1] AS g, w[i] AS pre
+       |    FROM tk, LATERAL unnest(range(1, len(w))) t(i)) GROUP BY 1, 2),
+       |sc AS (SELECT cg, cg >= $PruneMinCount AS kept,
+       |    cg * -log2((cg + 1.0) / (uni.cu + vtot.v)) AS wb_full,
+       |    cg * -log2(((CASE WHEN cg >= $PruneMinCount THEN cg ELSE 0 END) + 1.0)
+       |      / (uni.cu + vtot.v)) AS wb_pruned
+       |  FROM grams JOIN uni ON uni.t = grams.pre, vtot),
+       |m AS (SELECT count(*)::BIGINT AS n_types,
+       |    sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept_types,
+       |    sum(cg)::BIGINT AS n_occurrences,
+       |    sum(wb_full) / sum(cg) AS bf, sum(wb_pruned) / sum(cg) AS bp
+       |  FROM sc)
+       |SELECT n_types, n_kept_types, n_occurrences,
+       |  round(bf, 4) AS bits_full, round(bp, 4) AS bits_pruned,
+       |  round(bp - bf, 4) AS delta_bits,
+       |  round(1.0 - n_kept_types::DOUBLE / n_types, 4) AS type_reduction
+       |FROM m""".stripMargin
+  }
+
   /** Language-ID confusion matrix (t29) — the eval table for t3's
     * heuristic against the corpus's labeled `lang` column: (label,
     * prediction, count). A classifier whose scores are consumed

@@ -355,6 +355,11 @@ object Pipeline {
     QueryDef.sql("t29_lang_confusion", TextOps.sqlLangConfusion) { (s, dir) =>
       TextOps.langConfusion(Tables.documents(s, dir))
     },
+    // the KenLM --prune knob priced: pruned bigram types vs the corpus
+    // surprisal increase — one vocabulary-table pass per variant
+    QueryDef.sql("t30_lm_prune", TextOps.sqlPrunedLmReport) { (s, dir) =>
+      TextOps.prunedLmReport(Tables.documents(s, dir))
+    },
     QueryDef.sql("t4_fingerprint", TextOps.sqlFingerprint) { (s, dir) =>
       TextOps.fingerprint(Tables.documents(s, dir), col("text")).orderBy(col("doc_id"))
     },

@@ -348,6 +348,28 @@ object Relational {
         .orderBy(col("rf"), col("ls"))
     },
 
+    // Arbitrary GROUPING SETS (q26): the third member of the grouping
+    // family next to ROLLUP (q8) and CUBE (q14) — two independent
+    // one-dimensional rollups in ONE aggregate pass (Spark expands to an
+    // Expand + single partial-aggregated exchange, not two scans).
+    QueryDef.sql("q26_grouping_sets",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+      val view = "lineitem_q26"
+      Tables.lineitem(s, dir).createOrReplaceTempView(view)
+      s.sql(
+        s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           |  coalesce(l_linestatus, 'ALL') AS ls,
+           |  count(*) AS n,
+           |  round(sum(l_quantity), 2) AS qty
+           |FROM $view GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+           |ORDER BY rf, ls""".stripMargin)
+    },
+
     // EXCEPT (set difference).
     QueryDef.sql("q15_except",
       """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
