@@ -1087,6 +1087,78 @@ object Curation {
       .select(explode(graft.operators.Dedup.shingleArray(col("w"))).as("g"))
       .distinct()
 
+  /** SURGICAL decontamination (p39) — the span-level intervention the
+    * flag/grade/bloom gates stop short of: instead of DROPPING a
+    * benchmark-overlapping document (p5's verdict — which at 10%
+    * overlap throws away 90% clean text), cut exactly the token
+    * positions covered by a benchmark shingle occurrence and re-emit
+    * the survivor text — the p22 ExactSubstr span cut retargeted from
+    * cross-doc duplication to benchmark leakage. Covered positions use
+    * ALL gram occurrences (not per-doc distinct — every occurrence of a
+    * leaked item is cut, however often it repeats); benchmark docs
+    * themselves are excluded, as in p5.
+    *
+    * Scale shape: the benchmark shingle set broadcasts (tiny by nature,
+    * the p21 artifact); positions explode linear in corpus tokens; the
+    * coverage union is a distinct on (doc, position); the cut itself is
+    * a pure per-row array expression.
+    */
+  def decontaminateCut(docs: DataFrame): DataFrame = {
+    val n = Portable.ShingleN
+    val bench = benchmarkShingles(docs)
+    val toks = docs.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+    val grams = toks.select(col("doc_id"), posexplode(
+        when(size(col("w")) >= n, transform(sequence(lit(0), size(col("w")) - n),
+          i => array_join(slice(col("w"), i + lit(1), lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))))
+      .toDF("doc_id", "i0", "g")
+    val covArr = grams.join(broadcast(bench), "g")
+      .select(col("doc_id"), explode(sequence(col("i0") + 1, col("i0") + n)).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cps0"))
+    val cps = coalesce(col("cps0"), array().cast("array<int>"))
+    val kept = filter(
+      zip_with(col("w"), sequence(lit(1), size(col("w"))),
+        (t, p) => when(array_contains(cps, p), lit(null)).otherwise(t)),
+      x => x.isNotNull)
+    toks.join(covArr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(cps).cast("long").as("cut_tokens"),
+        // guard the empty doc: sequence(1, 0) would count DOWN
+        when(size(col("w")) === 0, lit(""))
+          .otherwise(array_join(kept, " ")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlDecontaminateCut: String = {
+    val n = Portable.ShingleN
+    val grams = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w FROM documents),
+       |bench AS (SELECT DISTINCT $grams AS g
+       |  FROM toks, LATERAL unnest(range(1, len(w) - ${n - 2})) t(i)
+       |  WHERE doc_id % $BenchmarkMod = 0),
+       |tr AS (SELECT doc_id, w FROM toks WHERE doc_id % $BenchmarkMod <> 0),
+       |gr AS (SELECT doc_id, i, $grams AS g
+       |  FROM tr, LATERAL unnest(range(1, len(w) - ${n - 2})) t(i)),
+       |cov AS (SELECT DISTINCT gr.doc_id, p
+       |  FROM gr JOIN bench USING (g), LATERAL unnest(range(gr.i, gr.i + $n)) t(p)),
+       |pos AS (SELECT doc_id, p FROM tr, LATERAL unnest(range(1, len(w) + 1)) t(p)),
+       |keep AS (SELECT pos.doc_id, pos.p FROM pos
+       |  LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+       |  WHERE cov.p IS NULL),
+       |cut AS (SELECT doc_id, count(*)::BIGINT AS cut_tokens FROM cov GROUP BY doc_id),
+       |cln AS (SELECT keep.doc_id, string_agg(w[p], ' ' ORDER BY p) AS clean_text
+       |  FROM keep JOIN tr ON tr.doc_id = keep.doc_id GROUP BY keep.doc_id)
+       |SELECT tr.doc_id, len(w)::BIGINT AS n_tokens,
+       |  coalesce(cut.cut_tokens, 0)::BIGINT AS cut_tokens,
+       |  coalesce(cln.clean_text, '') AS clean_text
+       |FROM tr LEFT JOIN cut ON cut.doc_id = tr.doc_id
+       |LEFT JOIN cln ON cln.doc_id = tr.doc_id
+       |ORDER BY tr.doc_id""".stripMargin
+  }
+
   /** Contamination REPORT (p21) — the graded form of [[decontaminate]]:
     * p5 lists contaminated docs with a raw shared-shingle count, but what
     * a decontamination run acts on is the FRACTION of a document's

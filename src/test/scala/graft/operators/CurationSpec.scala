@@ -94,6 +94,25 @@ class CurationSpec extends AnyFunSuite {
     assert(!r.contains(0L))
   }
 
+  test("surgical decontamination cuts exactly the benchmark-covered run, keeps the rest") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // doc 0 (0 % 97 == 0) IS the benchmark; doc 1 quotes a 3-token run
+    // of it mid-text; doc 2 is clean
+    val d = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "clean text here alpha beta gamma more clean text"),
+      (2L, "completely unrelated words throughout this document"))
+      .toDF("doc_id", "text")
+    val r = Curation.decontaminateCut(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(!r.contains(0L), "benchmark docs are excluded from the cut output")
+    assert(r(1L) == ((9L, 3L, "clean text here more clean text")),
+      s"exactly the quoted run must be excised: ${r(1L)}")
+    assert(r(2L) == ((6L, 0L, "completely unrelated words throughout this document")),
+      s"clean doc must pass through intact: ${r(2L)}")
+  }
+
   test("PPS sample: total picks == total div stride, multiplicity proportional to weight") {
     val s = TestSpark.spark
     import s.implicits._
