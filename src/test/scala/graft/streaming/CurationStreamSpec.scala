@@ -208,6 +208,65 @@ class CurationStreamSpec extends AnyFunSuite {
       s"pairs must not repeat across bands: $got")
   }
 
+  test("packing stream: crash mid-corpus redelivers without shifting a single span (state rolls back)") {
+    val spark = TestSpark.spark
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = graft.operators.Curation.packSequences(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getInt(6)))).toMap
+
+    val dataDir = Files.createTempDirectory("graft-packcrash-data").toString
+    val ckpt = Files.createTempDirectory("graft-packcrash-ckpt").toString
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val base = System.currentTimeMillis() - 3600000L
+    def writeChunk(df: DataFrame, i: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft-packcrash-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dest = new java.io.File(dataDir, f"chunk-$i%03d.parquet")
+      Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(base + i * 60000L))
+    }
+    val mid = ids(ids.length / 2)
+    writeChunk(docs.filter(col("doc_id") < mid), 0)
+    writeChunk(docs.filter(col("doc_id") >= mid), 1)
+
+    val got = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long, Int)]
+    val deliveries = new java.util.concurrent.atomic.AtomicLong
+    @volatile var crashOnce = true
+    def startQuery() = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dataDir)
+      CurationStream.packStream(stream).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.collect()
+          deliveries.addAndGet(rows.length.toLong)
+          rows.foreach(r => got.put(r.getLong(0),
+            (r.getLong(4), r.getLong(5), r.getInt(6))))
+          // die AFTER the side effect, BEFORE the state/offset commit:
+          // the replayed batch must recompute the IDENTICAL spans off
+          // the rolled-back running offsets
+          if (crashOnce) { crashOnce = false; sys.error("injected crash") }
+          ()
+        }.start()
+    }
+    val q1 = startQuery()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q1.awaitTermination(60000))
+    val q2 = startQuery()
+    assert(q2.awaitTermination(120000), "restarted packing query did not finish")
+    q2.stop()
+
+    assert(deliveries.get() > ids.length.toLong,
+      s"expected a redelivered batch: ${deliveries.get()} for ${ids.length} docs")
+    assert(got.toMap == batch,
+      s"crash-replayed packing diverged from batch: " +
+        s"stream-only=${got.toMap.toSet -- batch.toSet} batch-only=${batch.toSet -- got.toMap.toSet}")
+  }
+
   test("streamed packing equals batch packSequences across micro-batch boundaries (ordered ingest)") {
     val spark = TestSpark.spark
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
