@@ -207,12 +207,18 @@ object AsOf {
     * (w9) slots in per step if a key owns the stream.
     */
   def funnel(events: DataFrame): DataFrame = {
-    val purchases = events.filter(col("event_type") === "purchase")
+    // null event times are excluded on EVERY side up front (the w10/w17
+    // convention, and this operator's own step-2 rule): a null ts has no
+    // place on the as-of axis, and the engines disagree about it —
+    // DuckDB's sort-based ASOF puts a NULL last and matches the latest
+    // row, the Spark fold puts it first and matches nothing
+    val evs = events.filter(col("ts").isNotNull)
+    val purchases = evs.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"))
-    val views = events.filter(col("event_type") === "view")
+    val views = evs.filter(col("event_type") === "view")
       .groupBy(col("user_id"), col("ts").as("vts0"))
       .agg(max(col("event_id")).as("view_id"))
-    val signups = events.filter(col("event_type") === "signup")
+    val signups = evs.filter(col("event_type") === "signup")
       .groupBy(col("user_id"), col("ts").as("sts0"))
       .agg(max(col("event_id")).as("signup_id"))
     val st1 = asOf(purchases, "user_id", "ts", views, "vts0", "view_id")
@@ -240,11 +246,12 @@ object AsOf {
 
   /** Oracle: the same chain as two native ASOF LEFT JOINs. */
   val sqlFunnel: String =
-    """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+    """WITH p AS (SELECT user_id, ts, event_id FROM events
+      |  WHERE event_type = 'purchase' AND ts IS NOT NULL),
       |v AS (SELECT user_id, ts AS vts0, max(event_id) AS view_id
-      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |  FROM events WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1, 2),
       |s AS (SELECT user_id, ts AS sts0, max(event_id) AS signup_id
-      |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+      |  FROM events WHERE event_type = 'signup' AND ts IS NOT NULL GROUP BY 1, 2),
       |st1 AS (SELECT p.user_id, p.event_id, v.view_id, v.vts0 AS vts
       |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.vts0 <= p.ts),
       |st2 AS (SELECT st1.event_id, s.signup_id

@@ -1113,9 +1113,11 @@ object Curation {
           i => array_join(slice(col("w"), i + lit(1), lit(n)), " ")))
           .otherwise(array().cast("array<string>"))))
       .toDF("doc_id", "i0", "g")
+    // no distinct before collect_set: the set aggregate already
+    // deduplicates (map-side, in the partial buffer) — a distinct here
+    // would add a full extra exchange on the largest intermediate
     val covArr = grams.join(broadcast(bench), "g")
       .select(col("doc_id"), explode(sequence(col("i0") + 1, col("i0") + n)).as("p"))
-      .distinct()
       .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cps0"))
     val cps = coalesce(col("cps0"), array().cast("array<int>"))
     val kept = filter(

@@ -1001,7 +1001,7 @@ object Dedup {
        |clus AS (SELECT a AS doc_id, min(b) AS cluster
        |  FROM (SELECT a, b FROM r UNION ALL SELECT a, b FROM self)
        |  GROUP BY a),
-       |sp AS (${TextOps.sqlDatasetSplit.replace("ORDER BY doc_id", "")})
+       |sp AS (${graft.functions.Portable.sqlNoOrder(TextOps.sqlDatasetSplit)})
        |SELECT c.cluster, count(*)::BIGINT AS n_docs,
        |  count(DISTINCT s.split)::BIGINT AS n_splits,
        |  array_to_string(list_sort(list_distinct(list(s.split))), ',') AS splits,

@@ -1107,7 +1107,7 @@ object TextOps {
       sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
 
   def sqlGopherHistogram: String = {
-    val rules = sqlGopherRules.replace("ORDER BY doc_id", "")
+    val rules = Portable.sqlNoOrder(sqlGopherRules)
     s"""WITH g AS ($rules)
        |SELECT count(*)::BIGINT AS n_docs,
        |  sum(CASE WHEN NOT n_ok THEN 1 ELSE 0 END)::BIGINT AS fail_n,
@@ -1257,12 +1257,16 @@ object TextOps {
       .partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("g"))
     val top1 = topG.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
       .select(col("doc_id"), col("g"))
+    // ONE exploded (doc, position, length) frame shared by both coverage
+    // sums — the duplicated inline copy cost an extra corpus re-tokenize
+    val tokLens = tk.select(col("doc_id"), posexplode(col("w")))
+      .toDF("doc_id", "p0", "tok")
+      .select(col("doc_id"), (col("p0") + 1).as("p"),
+        length(col("tok")).cast("bigint").as("len"))
     val top = g2.join(top1, Seq("doc_id", "g"))
       .select(col("doc_id"), explode(sequence(col("i") + 1, col("i") + CovTopN)).as("p"))
       .distinct()
-      .join(tk.select(col("doc_id"), posexplode(col("w"))).toDF("doc_id", "p0", "tok")
-        .select(col("doc_id"), (col("p0") + 1).as("p"),
-          length(col("tok")).cast("bigint").as("len")), Seq("doc_id", "p"))
+      .join(tokLens, Seq("doc_id", "p"))
       .groupBy(col("doc_id")).agg(sum(col("len")).as("top2_chars"))
     val g5 = tk.filter(size(col("w")) >= n)
       .select(col("doc_id"), posexplode(transform(sequence(lit(0), size(col("w")) - n),
@@ -1273,10 +1277,6 @@ object TextOps {
     val covered = g5.join(rep5, Seq("doc_id", "g"))
       .select(col("doc_id"), explode(sequence(col("i") + 1, col("i") + n)).as("p"))
       .distinct()
-    val tokLens = tk.select(col("doc_id"), posexplode(col("w")))
-      .toDF("doc_id", "p0", "tok")
-      .select(col("doc_id"), (col("p0") + 1).as("p"),
-        length(col("tok")).cast("bigint").as("len"))
     val dup = covered.join(tokLens, Seq("doc_id", "p"))
       .groupBy(col("doc_id")).agg(sum(col("len")).as("dup_chars"))
     tk.select(col("doc_id"), col("total_chars"))
@@ -1365,20 +1365,27 @@ object TextOps {
       .groupBy(col("g"), col("pre")).agg(count(lit(1)).as("cg"))
     val kept = col("cg") >= PruneMinCount
     val cgp = when(kept, col("cg")).otherwise(lit(0L))
+    // corpus-global double sums are ORDER-SENSITIVE (Spark's partial
+    // merge order vs DuckDB's scan order) — the repo's fp convention:
+    // round each type's contribution, sum as DECIMAL (exact, order-free
+    // in both engines), divide the two exactly-determined numbers once
     grams.join(uni, col("pre") === col("t"))
       .crossJoin(broadcast(vtot))
       .select(col("cg"), kept.as("kept"),
-        (col("cg") * -log2((col("cg") + 1.0) / (col("cu") + col("v")))).as("wb_full"),
-        (col("cg") * -log2((cgp + 1.0) / (col("cu") + col("v")))).as("wb_pruned"))
+        round(col("cg") * -log2((col("cg") + 1.0) / (col("cu") + col("v"))), 6)
+          .cast("decimal(28,6)").as("wb_full"),
+        round(col("cg") * -log2((cgp + 1.0) / (col("cu") + col("v"))), 6)
+          .cast("decimal(28,6)").as("wb_pruned"))
       .agg(count(lit(1)).as("n_types"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept_types"),
         sum(col("cg")).as("n_occurrences"),
-        (sum(col("wb_full")) / sum(col("cg"))).as("bf"),
-        (sum(col("wb_pruned")) / sum(col("cg"))).as("bp"))
+        sum(col("wb_full")).cast("double").as("sf"),
+        sum(col("wb_pruned")).cast("double").as("sp"))
       .select(col("n_types"), col("n_kept_types"), col("n_occurrences"),
-        round(col("bf"), 4).as("bits_full"),
-        round(col("bp"), 4).as("bits_pruned"),
-        round(col("bp") - col("bf"), 4).as("delta_bits"),
+        round(col("sf") / col("n_occurrences"), 4).as("bits_full"),
+        round(col("sp") / col("n_occurrences"), 4).as("bits_pruned"),
+        round(col("sp") / col("n_occurrences") - col("sf") / col("n_occurrences"), 4)
+          .as("delta_bits"),
         round(lit(1.0) - col("n_kept_types") / col("n_types"), 4).as("type_reduction"))
   }
 
@@ -1392,18 +1399,19 @@ object TextOps {
        |    SELECT w[i] || ' ' || w[i + 1] AS g, w[i] AS pre
        |    FROM tk, LATERAL unnest(range(1, len(w))) t(i)) GROUP BY 1, 2),
        |sc AS (SELECT cg, cg >= $PruneMinCount AS kept,
-       |    cg * -log2((cg + 1.0) / (uni.cu + vtot.v)) AS wb_full,
-       |    cg * -log2(((CASE WHEN cg >= $PruneMinCount THEN cg ELSE 0 END) + 1.0)
-       |      / (uni.cu + vtot.v)) AS wb_pruned
+       |    round(cg * -log2((cg + 1.0) / (uni.cu + vtot.v)), 6)::DECIMAL(28,6) AS wb_full,
+       |    round(cg * -log2(((CASE WHEN cg >= $PruneMinCount THEN cg ELSE 0 END) + 1.0)
+       |      / (uni.cu + vtot.v)), 6)::DECIMAL(28,6) AS wb_pruned
        |  FROM grams JOIN uni ON uni.t = grams.pre, vtot),
        |m AS (SELECT count(*)::BIGINT AS n_types,
        |    sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept_types,
        |    sum(cg)::BIGINT AS n_occurrences,
-       |    sum(wb_full) / sum(cg) AS bf, sum(wb_pruned) / sum(cg) AS bp
+       |    sum(wb_full)::DOUBLE AS sf, sum(wb_pruned)::DOUBLE AS sp
        |  FROM sc)
        |SELECT n_types, n_kept_types, n_occurrences,
-       |  round(bf, 4) AS bits_full, round(bp, 4) AS bits_pruned,
-       |  round(bp - bf, 4) AS delta_bits,
+       |  round(sf / n_occurrences, 4) AS bits_full,
+       |  round(sp / n_occurrences, 4) AS bits_pruned,
+       |  round(sp / n_occurrences - sf / n_occurrences, 4) AS delta_bits,
        |  round(1.0 - n_kept_types::DOUBLE / n_types, 4) AS type_reduction
        |FROM m""".stripMargin
   }

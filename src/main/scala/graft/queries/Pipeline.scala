@@ -556,12 +556,12 @@ object Pipeline {
     // real corpus-prep job runs them — quality gate, then exact-dedup
     // representative selection, then language tag.
     QueryDef.sql("p1_clean_corpus",
-      s"""WITH q AS (${TextOps.sqlQuality.replace("ORDER BY doc_id", "")}),
+      s"""WITH q AS (${graft.functions.Portable.sqlNoOrder(TextOps.sqlQuality)}),
          |keep AS (SELECT doc_id FROM q WHERE quality_score >= 0.15),
          |rep AS (SELECT min(d.doc_id) AS doc_id
          |        FROM documents d JOIN keep k ON d.doc_id = k.doc_id
          |        GROUP BY md5(lower(trim(d.text)))),
-         |lang AS (${TextOps.sqlLangId.replace("ORDER BY doc_id", "")})
+         |lang AS (${graft.functions.Portable.sqlNoOrder(TextOps.sqlLangId)})
          |SELECT r.doc_id, l.lang_pred
          |FROM rep r JOIN lang l ON l.doc_id = r.doc_id
          |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
