@@ -600,17 +600,17 @@ object Pipeline {
     QueryDef.sql("p5_decontaminate", Curation.sqlDecontaminate) { (s, dir) =>
       Curation.decontaminate(Tables.documents(s, dir))
     },
-    // bloom-filter decontamination (p5's scale path once the benchmark set
-    // no longer broadcasts): 128 KB sketch literal, per-row probe, no join
-    // — one-sided error, superset of the exact gate (no false negatives;
-    // rows-only driver check, the sketch bits aren't oracle-replayable;
-    // CurationSpec pins the superset relation per doc)
     // SURGICAL span-level decontamination: cut exactly the benchmark-
     // covered token positions, keep the clean remainder — the p22 span
     // cut retargeted at leakage
     QueryDef.sql("p39_decontam_cut", Curation.sqlDecontaminateCut) { (s, dir) =>
       Curation.decontaminateCut(Tables.documents(s, dir))
     },
+    // bloom-filter decontamination (p5's scale path once the benchmark set
+    // no longer broadcasts): 128 KB sketch literal, per-row probe, no join
+    // — one-sided error, superset of the exact gate (no false negatives;
+    // rows-only driver check, the sketch bits aren't oracle-replayable;
+    // CurationSpec pins the superset relation per doc)
     QueryDef.rowsOnly("p29_bloom_decontam") { (s, dir) =>
       val docs = Tables.documents(s, dir)
       Curation.bloomDecontaminate(docs, Curation.trainBenchmarkBloom(docs))
