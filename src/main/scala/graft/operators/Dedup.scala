@@ -909,6 +909,51 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT doc_id FROM drop)
        |ORDER BY doc_id""".stripMargin
 
+  /** Dedup savings report (d20) — the business-value row of the dedup
+    * chain: per source, the token volume before and after near-dup
+    * removal and the fraction saved. The number a pipeline owner reads
+    * to decide whether the chain pays for itself (and WHICH sources are
+    * re-crawl-heavy enough to renegotiate); derived entirely from the
+    * SAVED label artifact, so at 100 TB it costs one token count plus a
+    * dimension-sized join — the chain itself runs zero times here.
+    */
+  def dedupSavingsFrom(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(Portable.tokens(col("text"))).cast("bigint").as("n"))
+    val dropped = clusters.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    toks.join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("is_dup"), lit(0L)).otherwise(col("n"))).as("kept_tokens"))
+      .select(col("source"), col("n_tokens"), col("kept_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - col("kept_tokens") / col("n_tokens"), 4))
+          .as("savings_frac"))
+      .orderBy(col("source"))
+  }
+
+  def sqlDedupSavings: String =
+    s"""WITH RECURSIVE p AS ($sqlLshPairs),
+       |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+       |r AS (SELECT a, b FROM e
+       |      UNION
+       |      SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |self AS (SELECT DISTINCT a, a AS b FROM e),
+       |clus AS (SELECT a AS doc_id, min(b) AS cluster
+       |  FROM (SELECT a, b FROM r UNION ALL SELECT a, b FROM self)
+       |  GROUP BY a),
+       |drop AS (SELECT doc_id FROM clus WHERE doc_id != cluster),
+       |tk AS (SELECT doc_id, source, len(${Portable.sqlTokens("text")})::BIGINT AS n
+       |  FROM documents)
+       |SELECT source, sum(n)::BIGINT AS n_tokens,
+       |  sum(CASE WHEN doc_id IN (SELECT doc_id FROM drop) THEN 0 ELSE n END)::BIGINT
+       |    AS kept_tokens,
+       |  CASE WHEN sum(n) = 0 THEN 0.0
+       |    ELSE round(1.0 - sum(CASE WHEN doc_id IN (SELECT doc_id FROM drop)
+       |      THEN 0 ELSE n END)::DOUBLE / sum(n), 4) END AS savings_frac
+       |FROM tk GROUP BY source ORDER BY source""".stripMargin
+
   /** The keep-list with a QUALITY-RANKED canonical (p28): instead of d9's
     * min-doc_id representative, each near-dup cluster keeps its
     * highest-[[TextOps.qualityScore]] member (ties broken to the lower

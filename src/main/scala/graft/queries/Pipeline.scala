@@ -98,6 +98,12 @@ object Pipeline {
     QueryDef.sql("d11_dedup_from_saved", Dedup.sqlDupClusters) { (s, dir) =>
       Dedup.loadClusters(s, clusterLabelDir(s, dir))
     },
+    // the dedup chain's business-value row: per-source token volume
+    // before/after near-dup removal, from the SAVED labels alone
+    QueryDef.sql("d20_dedup_savings", Dedup.sqlDedupSavings) { (s, dir) =>
+      Dedup.dedupSavingsFrom(Tables.documents(s, dir),
+        Dedup.loadClusters(s, clusterLabelDir(s, dir)))
+    },
     // cross-doc exact-substring coverage (Lee et al. 2021's ExactSubstr
     // pass, hashed-window form): per doc, how many token positions sit in
     // a SubstrN-token run whose exact text also occurs in another doc
