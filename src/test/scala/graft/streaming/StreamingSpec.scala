@@ -261,6 +261,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("OHLC candles stream under watermark: struct-ordered open/close equal batch (w14)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq((1L, ts("2024-01-01 00:05:00"), "x", 3.0),
+      (2L, ts("2024-01-01 00:10:00"), "x", 9.0),
+      (3L, ts("2024-01-01 00:20:00"), "x", 1.0),
+      (4L, ts("2024-01-01 00:40:00"), "x", 5.0))
+    val batchDf = rows.toDF("event_id", "ts", "event_type", "value")
+      .withColumn("user_id", lit(0L)).withColumn("props", lit(""))
+    val batch = graft.operators.EventWindows.ohlc(batchDf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    // the SAME aggregate expressions as a watermarked stream, append mode
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String, Double)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, java.sql.Timestamp, String, Double)]], spark)
+    val tagged = struct(unix_micros(col("ts")).as("t"),
+      col("event_id").as("e"), col("value").as("v"))
+    val agg = input.toDF().toDF("event_id", "ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(min(tagged).as("o"), max(tagged).as("c"),
+        round(max(col("value")), 2).as("high"), round(min(col("value")), 2).as("low"),
+        count(lit(1)).as("n"))
+      .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), round(col("o.v"), 2).as("open"), col("high"), col("low"),
+        round(col("c.v"), 2).as("close"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("ohlc_stream").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((9L, ts("2024-01-02 12:00:00"), "flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ohlc_stream")
+        .filter(col("event_type") =!= "flush")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+      assert(streamed == batch, s"stream/batch candle divergence:\n  $streamed\n  $batch")
+    } finally q.stop()
+  }
+
   test("streaming dedup by @id compensates at-least-once redelivery (SURVEY 2.7)") {
     val spark = TestSpark.spark
     val msgs = TestSpark.messages(
