@@ -162,6 +162,73 @@ object Curation {
        |    - (ca.carry + iv.cum - iv.w) // s.stride >= 1
        |ORDER BY iv.doc_id""".stripMargin
 
+  /** STRATIFIED systematic PPS (p40) — [[ppsSample]] run per SOURCE
+    * stratum: each source gets its own weight line and its own stride,
+    * so every stratum lands EXACTLY its proportional sample size (the
+    * survey-sampling composition of p3's strata with p34's
+    * guaranteed-size machinery: Bernoulli-per-stratum still has
+    * per-stratum size variance; this has none). Same integer arithmetic,
+    * bit-identical cross-engine.
+    *
+    * Scale shape: the p34 shape with `source` prepended to every key —
+    * per-(source, shard) windows for the prefix sums, a sources×shards
+    * carry table (broadcast), a sources-sized stride table (broadcast);
+    * one corpus shuffle total.
+    */
+  def ppsSampleStratified(docs: DataFrame): DataFrame = {
+    val shard = (Portable.hash32(col("doc_id").cast("string")) % PpsShards).cast("int")
+    val base = docs.select(col("doc_id"), col("source"),
+      shard.as("shard"), col("n_chars").as("w"))
+    val wWin = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+    val intervals = base.withColumn("cum", sum(col("w")).over(wWin))
+    val shardTot = base.groupBy(col("source"), col("shard"))
+      .agg(sum(col("w")).as("tot"), count(lit(1)).as("cnt"))
+    val carryWin = Window.partitionBy(col("source")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = shardTot
+      .withColumn("carry", coalesce(sum(col("tot")).over(carryWin), lit(0L)))
+      .select(col("source"), col("shard"), col("carry"))
+    val strides = shardTot.groupBy(col("source"))
+      .agg(sum(col("tot")).as("total"), sum(col("cnt")).as("ndocs"))
+      .select(col("source"), greatest(
+        expr(s"total div greatest(ndocs div $PpsTargetDiv, 1L)"), lit(1L))
+        .as("stride"))
+    intervals
+      .join(broadcast(carries), Seq("source", "shard"))
+      .join(broadcast(strides), "source")
+      .withColumn("n_picks",
+        (expr("(carry + cum) div stride") -
+          expr("(carry + cum - w) div stride")).cast("int"))
+      .filter(col("n_picks") >= 1)
+      .select(col("doc_id"), col("source"), col("w"), col("n_picks"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sqlPpsSampleStratified: String =
+    s"""WITH iv AS (SELECT doc_id, source,
+       |    (${Portable.sqlHash32("doc_id::VARCHAR")} % $PpsShards)::INT AS shard,
+       |    n_chars AS w,
+       |    sum(n_chars) OVER (PARTITION BY source,
+       |      (${Portable.sqlHash32("doc_id::VARCHAR")} % $PpsShards)
+       |      ORDER BY doc_id) AS cum
+       |  FROM documents),
+       |st AS (SELECT source, shard, sum(w) AS tot, count(*) AS cnt
+       |  FROM iv GROUP BY 1, 2),
+       |ca AS (SELECT source, shard, coalesce(sum(tot) OVER (PARTITION BY source
+       |    ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+       |  FROM st),
+       |sr AS (SELECT source,
+       |    greatest(sum(tot) // greatest(sum(cnt) // $PpsTargetDiv, 1), 1) AS stride
+       |  FROM st GROUP BY source)
+       |SELECT iv.doc_id, iv.source, iv.w::BIGINT AS w,
+       |  ((ca.carry + iv.cum) // sr.stride
+       |    - (ca.carry + iv.cum - iv.w) // sr.stride)::INT AS n_picks
+       |FROM iv JOIN ca ON ca.source = iv.source AND ca.shard = iv.shard
+       |JOIN sr ON sr.source = iv.source
+       |WHERE (ca.carry + iv.cum) // sr.stride
+       |    - (ca.carry + iv.cum - iv.w) // sr.stride >= 1
+       |ORDER BY iv.doc_id""".stripMargin
+
   // ----------------------------------------------------- token chunking
 
   /** Fixed-size token windows with overlap — the sequence-prep op that

@@ -603,6 +603,11 @@ object Pipeline {
     QueryDef.sql("p34_pps_sample", Curation.sqlPpsSample) { (s, dir) =>
       Curation.ppsSample(Tables.documents(s, dir))
     },
+    // stratified systematic PPS: p34 per source stratum — every stratum
+    // lands exactly its proportional sample, zero per-stratum variance
+    QueryDef.sql("p40_pps_stratified", Curation.sqlPpsSampleStratified) { (s, dir) =>
+      Curation.ppsSampleStratified(Tables.documents(s, dir))
+    },
     QueryDef.sql("p5_decontaminate", Curation.sqlDecontaminate) { (s, dir) =>
       Curation.decontaminate(Tables.documents(s, dir))
     },

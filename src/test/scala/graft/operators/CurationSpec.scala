@@ -131,6 +131,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got == again, "PPS selection must be deterministic")
   }
 
+  test("stratified PPS: each source lands exactly its own total div stride picks") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // source A: 40 docs of weight 50; source B: 20 docs of weight 200
+    val rows = (1L to 40L).map(i => (i, 50L, "A")) ++
+      (100L to 119L).map(i => (i, 200L, "B"))
+    val d = rows.toDF("doc_id", "n_chars", "source")
+    val got = Curation.ppsSampleStratified(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    // A: total 2000, target 4, stride 500 -> exactly 4 picks
+    // B: total 4000, target 2, stride 2000 -> exactly 2 picks
+    val perSource = got.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(perSource == Map("A" -> 4, "B" -> 2),
+      s"per-stratum sample sizes must be exact: $perSource")
+  }
+
   test("chunking: overlapping fixed windows cover every token, tail is short") {
     val words = (1 to 150).map(i => s"w$i")
     val d = docs((1L, words.mkString(" "), "s"))
