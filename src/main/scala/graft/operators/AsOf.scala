@@ -204,7 +204,12 @@ object AsOf {
     * Scale shape: two w7-shaped passes (union + one key exchange + a
     * running ignore-nulls last each — never a per-key nested loop), then
     * one single-row aggregate. The same segmented/hot-key-capped variant
-    * (w9) slots in per step if a key owns the stream.
+    * (w9) slots in per step if a key owns the stream. st1 is consumed
+    * twice, but the n_purchases count branch does NOT replan step 1:
+    * pruning drops the window expressions, the empty Window node is
+    * removed, and the __side=1 filter folds the union to the bare
+    * purchases scan — so each as-of fold executes exactly once
+    * (plan-locked in PlanShapeSpec: exactly two __k exchanges).
     */
   def funnel(events: DataFrame): DataFrame = {
     // null event times are excluded on EVERY side up front (the w10/w17

@@ -113,12 +113,17 @@ object EventWindows {
       .orderBy(col("win_start"), col("event_type"))
 
   /** Oracle twin: each event's 4 covering window starts are the slide
-    * multiples in (t − window, t] — integer epoch-microsecond floor
-    * division, exactly Spark's epoch-aligned assignment.
+    * multiples in (t − window, t] — epoch-microsecond FLOOR alignment,
+    * exactly Spark's epoch-aligned assignment. Floor is spelled with the
+    * sign-safe double-mod `x − ((x % s + s) % s)` rather than DuckDB's
+    * `//`, which truncates toward zero and would mis-align any pre-1970
+    * timestamp (negative epoch micros) relative to Spark's floor.
     */
   val sqlHopping: String =
     s"""WITH hops AS (
-       |  SELECT make_timestamp((epoch_us(ts) // $HopSlideUs - i) * $HopSlideUs) AS ws,
+       |  SELECT make_timestamp(epoch_us(ts)
+       |      - ((epoch_us(ts) % $HopSlideUs + $HopSlideUs) % $HopSlideUs)
+       |      - i * $HopSlideUs) AS ws,
        |    event_type, value
        |  FROM events, LATERAL unnest(range(0, $HopSlots)) t(i)
        |  WHERE ts IS NOT NULL)
@@ -302,7 +307,13 @@ object EventWindows {
     merged.join(direct, "wk")
       .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
         (col("est_merged") === col("est_direct")).as("merged_eq_direct"),
-        (abs(col("est_direct").cast("double") - col("exact")) / col("exact") <= 0.05)
+        // Tolerance note: at lgK=12 the HLL relative std error is ~1.6%, so
+        // a 5% bound is only ~3 sigma — a legitimately unlucky hash draw on
+        // a future corpus could breach it with no code defect. 10% (~6
+        // sigma) keeps the pinned-true oracle robust across datasets; the
+        // LOSSLESS claim stays the strict one (merged_eq_direct: register
+        // merge at equal lgK is exact, pinned as equality).
+        (abs(col("est_direct").cast("double") - col("exact")) / col("exact") <= 0.10)
           .as("within_tol"))
       .orderBy(col("week"))
   }

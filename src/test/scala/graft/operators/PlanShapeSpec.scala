@@ -454,6 +454,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"totals must come from broadcast single-row aggregates:\n$plan")
   }
 
+  test("w16 funnel runs each as-of fold exactly once — no duplicated step-1 stage") {
+    // funnel() consumes st1 twice (the step-2 chain and the n_purchases
+    // count). The count branch must NOT replan the step-1 as-of: column
+    // pruning drops the window expressions, RemoveNoopOperators drops the
+    // empty Window, and the __side=1 filter folds the union to the bare
+    // purchases branch — so the whole plan carries exactly TWO as-of key
+    // exchanges (one per funnel step), each executed once. A refactor
+    // that breaks the pruning (e.g. counting a step-1 output column)
+    // would silently re-run the most expensive stage at 100 TB; this
+    // assertion turns that into a CI failure.
+    val plan = executed(AsOf.funnel(graft.Tables.events(TestSpark.spark, dir)))
+    val asOfExchanges = "Exchange hashpartitioning\\(__k".r.findAllIn(plan).size
+    assert(asOfExchanges == 2,
+      s"expected exactly 2 as-of key exchanges (one per funnel step), got $asOfExchanges in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cross product in:\n$plan")
+  }
+
   test("multimodal kernel is one plan: pruned scan under the mapPartitions seam, no RDD break") {
     val docs = graft.Tables.documents(TestSpark.spark, dir)
     val q = Multimodal.extractFeatures(Multimodal.assets(docs))
