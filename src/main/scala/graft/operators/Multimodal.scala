@@ -345,6 +345,206 @@ object Multimodal {
        |ORDER BY asset_id, idx""".stripMargin
   }
 
+  // ------------------------------------------ perceptual image near-dup
+
+  /** aHash grid edge: 8x8 = 64 bits on any image at least 8 px per axis;
+    * smaller images hash at native resolution (nbits = w*h < 64), and the
+    * pair join keys on nbits so differently-sized fingerprints never mix.
+    */
+  val HashGrid = 8
+
+  /** Near-dup radius (Manku et al.'s classic k=3, matching d15) and the
+    * pigeonhole band count k+1: a pair within Hamming distance 3 must
+    * agree EXACTLY on at least one of 4 bands.
+    */
+  val HashMaxHamming = 3
+  val HashBands = HashMaxHamming + 1
+
+  /** Average hash (aHash) of a decoded image — the classic perceptual
+    * fingerprint: block-average the image to a [[HashGrid]]-square grid
+    * (exactly [[thumbnails]]' integer floor-mean blocks, summed to a
+    * luminance), then set bit i iff block i's luminance exceeds the mean
+    * over all blocks. The comparison is cross-multiplied
+    * (`lum_i * nblocks > total`) so the whole hash is integer-exact —
+    * no float mean — and replays bit-for-bit in the oracle. Returns
+    * (hash, nbits); a near-identical image (small crop, brightness
+    * touch-up, recompression noise) flips at most a few bits.
+    */
+  def aHash(img: MediaCodec.Ppm): (Long, Int) = {
+    val gw = math.min(img.width, HashGrid)
+    val gh = math.min(img.height, HashGrid)
+    val g = gw * gh
+    val lums = new Array[Long](g)
+    var total = 0L
+    var i = 0
+    var by = 0
+    while (by < gh) {
+      var bx = 0
+      while (bx < gw) {
+        val y0 = by * img.height / gh; val y1 = (by + 1) * img.height / gh
+        val x0 = bx * img.width / gw; val x1 = (bx + 1) * img.width / gw
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = 3 * (y * img.width + x)
+            s += img.rgb(p) + img.rgb(p + 1) + img.rgb(p + 2)
+            x += 1
+          }
+          y += 1
+        }
+        lums(i) = s / ((y1 - y0).toLong * (x1 - x0))
+        total += lums(i)
+        i += 1
+        bx += 1
+      }
+      by += 1
+    }
+    var h = 0L
+    i = 0
+    while (i < g) {
+      if (lums(i) * g > total) h |= (1L << i)
+      i += 1
+    }
+    (h, g)
+  }
+
+  /** Fingerprint every image asset through the same batched kernel seam
+    * as [[extractFeatures]]: decode → aHash, one (asset_id, ahash, nbits)
+    * row per image. The payload never leaves the kernel — what shuffles
+    * downstream is 8 bytes per image, which is what makes image dedup
+    * run over gigabytes at a 100 TB crawl, not the crawl itself.
+    */
+  def imageHashes(assetsDf: DataFrame): DataFrame = {
+    val spark = assetsDf.sparkSession
+    import spark.implicits._
+    assetsDf.filter(col("kind") === "image")
+      .select(col("asset_id"), col("data")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, data) =>
+            val (h, g) = aHash(MediaCodec.decodePpm(data))
+            (id, h, g)
+          }
+        }
+      }
+      .toDF("asset_id", "ahash", "nbits")
+  }
+
+  /** Perceptual image near-dup pairs (mm7) — the multimodal leg of the
+    * dedup chain: two images are near-dups when their aHash fingerprints
+    * differ in at most [[HashMaxHamming]] bits. Candidate generation is
+    * d15's byte-band pigeonhole applied to the pixel fingerprint: the
+    * hash splits into [[HashBands]] equal bands of ceil(nbits/4) bits,
+    * any qualifying pair agrees exactly on >=1 band, so the band-bucket
+    * equi-join finds EVERY pair within the radius (exact, not
+    * probabilistic — banding==brute pinned in MultimodalSpec), then a
+    * codegen'd bit_count(xor) verifies candidates only.
+    *
+    * Scale shape: one 12-byte fingerprint row per image, 4 band rows,
+    * one equi-join on (nbits, band, value) — 2^16 buckets per band at
+    * the full 64-bit hash — no cross product, payloads long gone.
+    */
+  def imageHashPairs(assetsDf: DataFrame): DataFrame = {
+    val stacked = imageHashes(assetsDf)
+      .withColumn("w", expr(s"cast((nbits + ${HashBands - 1}) div $HashBands as int)"))
+      .select(col("asset_id"), col("ahash"), col("nbits"),
+        explode(expr(s"""transform(sequence(0, ${HashBands - 1}),
+          b -> struct(b as band,
+            (shiftright(ahash, b * w) & (shiftleft(cast(1 as bigint), w) - 1)) as bv))"""))
+          .as("s"))
+      .select(col("asset_id"), col("ahash"), col("nbits"),
+        col("s.band").as("band"), col("s.bv").as("bv"))
+    val cand = stacked.as("x").join(stacked.as("y"),
+        col("x.nbits") === col("y.nbits") && col("x.band") === col("y.band") &&
+          col("x.bv") === col("y.bv") && col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("ia"), col("y.asset_id").as("ib"),
+        col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+      .distinct()
+    cand.select(col("ia"), col("ib"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= HashMaxHamming)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** 8x8 image fixture for mm7: [[assets]]' 2x2 payload carries only 4
+    * pixels (a 4-bit hash — degenerate buckets), so the hash fixture
+    * synthesizes REAL 8x8 binary PPMs whose 192 payload bytes come from
+    * 12 chained md5 digests of the text — deterministic, full 64-bit
+    * fingerprints. The corpus has no duplicate texts, so the fixture
+    * PLANTS near-dups: every 10th doc also emits a "retouched" variant
+    * (asset_id + [[VariantOffset]]) whose first pixel is forced to pure
+    * white — the brightness-touch-up edit aHash is built to survive,
+    * flipping ~1 bit — so the band join finds real pairs on fixture
+    * data, replayed identically by the oracle. The kernel path is
+    * byte-identical to what a real 8x8 thumbnail flows through.
+    */
+  val HashPpmW = 8
+  val HashPpmH = 8
+  val VariantOffset = 1000000000L
+
+  def hashAssets(docs: DataFrame): DataFrame = {
+    val digests = md5(col("text")) +:
+      (1 until 12).map(i => md5(concat(col("text"), lit("#" + i))))
+    val withHex = docs.select(col("doc_id"), concat(digests: _*).as("hx"))
+    val header = lit(MediaCodec.ppmHeader(HashPpmW, HashPpmH))
+    val base = withHex.select(
+      col("doc_id").as("asset_id"), lit("image").as("kind"),
+      concat(header, to_binary(col("hx"), lit("hex"))).as("data"))
+    val variants = withHex.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + VariantOffset).as("asset_id"),
+        lit("image").as("kind"),
+        concat(header, to_binary(
+          concat(lit("ffffff"), substring(col("hx"), 7, 378)), lit("hex"))).as("data"))
+    base.unionByName(variants)
+  }
+
+  /** Oracle for [[hashAssets]] → [[imageHashPairs]]: replay the 192
+    * payload bytes from the 12 digests, compute the 64 single-pixel
+    * block luminances, the cross-multiplied mean-comparison bits, and
+    * the same 16-bit-band pigeonhole join + bit_count verify. Bit 63 is
+    * set by adding Long.MIN_VALUE (DuckDB raises on `1 << 63`); shifts
+    * on the resulting negative hash are arithmetic in BOTH engines and
+    * the band mask strips the sign-extension, measured identical.
+    */
+  val sqlImageHashPairs: String = {
+    val g = HashPpmW * HashPpmH
+    val hx = ("md5(text)" +: (1 until 12).map(i => s"md5(text || '#$i')"))
+      .mkString(" || ")
+    val lums = (0 until g).map { k =>
+      val b = (0 until 3)
+        .map(c => s"('0x' || substr(hx, ${2 * (3 * k + c) + 1}, 2))::BIGINT")
+        .mkString(" + ")
+      s"($b) AS l$k"
+    }.mkString(", ")
+    val total = (0 until g).map(k => s"l$k").mkString(" + ")
+    val hashExpr = (0 until g).map { k =>
+      val bit = if (k == 63) "(-9223372036854775807 - 1)" else s"${1L << k}"
+      s"CASE WHEN l$k * $g > total THEN $bit ELSE 0 END"
+    }.mkString(" + ")
+    val bandW = (g + HashBands - 1) / HashBands
+    val mask = (1L << bandW) - 1
+    val bandList = (0 until HashBands).mkString(", ")
+    s"""WITH hxs AS (SELECT doc_id, $hx AS hx FROM documents),
+       |m AS (SELECT doc_id, hx FROM hxs
+       |  UNION ALL
+       |  SELECT doc_id + $VariantOffset, 'ffffff' || substr(hx, 7)
+       |  FROM hxs WHERE doc_id % 10 = 0),
+       |l AS (SELECT doc_id, $lums FROM m),
+       |tt AS (SELECT *, ($total) AS total FROM l),
+       |hs AS (SELECT doc_id, ($hashExpr)::BIGINT AS h FROM tt),
+       |st AS (SELECT doc_id, h, b AS band, (h >> (b * $bandW)) & $mask AS bv
+       |  FROM hs, LATERAL unnest([$bandList]) t(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib,
+       |    x.h AS ha, y.h AS hb
+       |  FROM st x JOIN st y ON x.band = y.band AND x.bv = y.bv
+       |    AND x.doc_id < y.doc_id)
+       |SELECT ia, ib, bit_count(xor(ha, hb))::INT AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= $HashMaxHamming
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** Frame sampling for video assets: every `stride`-th frame index with its
     * timestamp offset; explodes only scalar pairs, never the payload.
     */

@@ -878,6 +878,11 @@ object Pipeline {
     QueryDef.sql("mm6_histogram", Multimodal.sqlChannelHistogram) { (s, dir) =>
       Multimodal.channelHistogram(Multimodal.assets(Tables.documents(s, dir)))
     },
+    // perceptual image near-dup: decode -> 64-bit aHash in the kernel,
+    // then d15's banded-Hamming pigeonhole — exact within radius 3
+    QueryDef.sql("mm7_image_near_dup", Multimodal.sqlImageHashPairs) { (s, dir) =>
+      Multimodal.imageHashPairs(Multimodal.hashAssets(Tables.documents(s, dir)))
+    },
     // per-user heartbeat gaps: the outages sessionization implies —
     // one lag over the per-key order, output only the silences
     QueryDef.sql("w15_gaps", EventWindows.sqlHeartbeatGaps) { (s, dir) =>

@@ -162,4 +162,53 @@ class MultimodalSpec extends AnyFunSuite {
     // right output pixel: floor(260/4)=65, floor(262/4)=65, floor(264/4)=66
     assert(got((1L, 0L)) == ((65L, 65L, 66L)), s"$got")
   }
+
+  // hand-built 8x8 PPM from a per-pixel grayscale level function
+  private def ppm8x8(lum: Int => Int): Array[Byte] =
+    MediaCodec.ppmHeader(8, 8) ++
+      (0 until 64).flatMap(p => Seq.fill(3)(lum(p).toByte)).toArray
+
+  test("mm7: a brightness touch-up pairs within the radius, an inverted image does not") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // A: dark half (lum 30), bright half (lum 240) -> bits 32..63 set
+    val a = ppm8x8(p => if (p < 32) 10 else 80)
+    // B: same but pixel 0 brightened to lum 270 — the near-identical edit.
+    // Planted so only bit 0 flips: 270*64 > new total (8880), and no other
+    // block sits near the mean, so hamming(A, B) is exactly 1
+    val b = ppm8x8(p => if (p == 0) 90 else if (p < 32) 10 else 80)
+    // C: the inversion — every bit differs (hamming 64), never a pair
+    val c = ppm8x8(p => if (p < 32) 80 else 10)
+    val assets = Seq((1L, "image", a), (2L, "image", b), (3L, "image", c))
+      .toDF("asset_id", "kind", "data")
+    val hashes = Multimodal.imageHashes(assets).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(hashes(1L)._2 == 64 && hashes(1L)._1 == (0xFFFFFFFFL << 32))
+    assert(java.lang.Long.bitCount(hashes(1L)._1 ^ hashes(2L)._1) == 1)
+    assert(java.lang.Long.bitCount(hashes(1L)._1 ^ hashes(3L)._1) == 64)
+    val pairs = Multimodal.imageHashPairs(assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1)), s"got ${pairs.toSeq}")
+  }
+
+  test("mm7 banding equals brute force on the fixture — exact within the radius") {
+    val s = TestSpark.spark
+    val fixture = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    val assets = Multimodal.hashAssets(fixture)
+    val hs = Multimodal.imageHashes(assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val brute = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      d = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2)
+      if d <= Multimodal.HashMaxHamming
+    } yield (hs(i)._1, hs(j)._1, d)).sorted
+    val banded = Multimodal.imageHashPairs(assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(banded == brute, s"banded=$banded brute=$brute")
+    assert(brute.nonEmpty, "fixture must plant at least one near-dup pair")
+    // every planted retouch pair survives banding (it must: <=3 bits differ)
+    val planted = brute.filter { case (ia, ib, _) =>
+      ib == ia + Multimodal.VariantOffset }
+    assert(planted.nonEmpty)
+  }
 }

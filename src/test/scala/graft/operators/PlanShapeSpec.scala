@@ -454,6 +454,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"totals must come from broadcast single-row aggregates:\n$plan")
   }
 
+  test("mm7 image near-dup: band equi-join, no corpus broadcast, kernel stays in-plan") {
+    val spark = TestSpark.spark
+    // the fingerprint table is corpus-sized at a real crawl — the band
+    // join must remain valid with broadcasting off (a forced broadcast()
+    // would still show here and OOM the driver at 100 TB)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(Multimodal.imageHashPairs(
+        Multimodal.hashAssets(graft.Tables.documents(spark, dir))))
+      assert(!plan.contains("BroadcastExchange") && !plan.contains("CartesianProduct"),
+        s"band pairing must equi-join on (nbits, band, value), never broadcast/cross:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join on the band key in:\n$plan")
+      assert(plan.contains("MapPartitions") && !plan.contains("ExistingRDD"),
+        s"decode kernel must stay one Catalyst plan (no RDD break):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("w16 funnel runs each as-of fold exactly once — no duplicated step-1 stage") {
     // funnel() consumes st1 twice (the step-2 chain and the n_purchases
     // count). The count branch must NOT replan the step-1 as-of: column
