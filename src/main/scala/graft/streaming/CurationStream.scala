@@ -452,6 +452,159 @@ object CurationStream {
     }
   }
 
+  /** One arriving vector of the streaming semantic gate, post-assignment:
+    * cell id, double vector + its norm (both computed by the SAME Spark
+    * expressions as batch p24), and the already-decided old-corpus
+    * verdict.
+    */
+  final case class SemRow(vec_id: Long, c: Int, v: Array[Double], nrm: Double,
+                          dropped_old: Boolean, ts: java.sql.Timestamp)
+
+  /** The emitted semantic verdict — field-for-field the batch
+    * [[graft.operators.Similarity.semDedupShard]] row.
+    */
+  final case class SemVerdict(vec_id: Long, c: Int, kept: Boolean)
+
+  /** Streaming SemDeDup gate — p24's streaming twin, completing the
+    * semantic leg of the streaming dedup chain (exact = [[firstSeen]],
+    * lexical = [[nearDupPairs]], fingerprint = [[simhashStreamPairs]],
+    * semantic = here): each arriving embedding is assigned to its SAVED
+    * k-means cell per row (the centroids ride a single-row dummy-key
+    * broadcast, k x D doubles — the quantizer IS the model, shipped to
+    * the workers exactly like the LM gate's counts map), checked against
+    * the saved corpus's cell co-members through a stream-static left
+    * join on the cell id, and checked against EARLIER STREAM arrivals in
+    * the same cell through keyed state — so the verdict equals batch
+    * p24's (old ∪ new lower-id co-members, kept or not) whenever vectors
+    * arrive in vec_id order across micro-batches (the house
+    * ordered-ingest precondition; intra-batch disorder is absorbed by
+    * the per-batch sort).
+    *
+    * Numeric parity is by construction, not hope: assignment distances,
+    * norms and the old-member cosines are the IDENTICAL Spark
+    * expressions as the batch pass (left-to-right folds, round-6/round-4
+    * at the same boundaries); the only Scala-side arithmetic is the
+    * within-stream cosine, which replays [[graft.functions.VectorExprs]]'
+    * left-to-right loop and Spark's BigDecimal.valueOf HALF_UP rounding
+    * verbatim — equality is pinned in CurationStreamSpec.
+    *
+    * Scale shape: the centroid broadcast is k x D (the tuning knob c7
+    * prices); the static side is ONE row per cell holding that cell's
+    * member block — the same co-location batch SemDeDup's equi-join
+    * relies on (Abbas et al. size k so cells stay small; a cell too fat
+    * for one block gets sub-clustered, not cross-joined). Keyed state
+    * holds only STREAM arrivals per cell — bounded by the shard, which
+    * is what a daily-ingest gate processes; for an unbounded stream,
+    * `horizonMs` evicts cells silent past the event-time horizon exactly
+    * like [[simhashStreamPairs]].
+    */
+  def semGate(embs: DataFrame, cent: DataFrame, oldEmb: DataFrame,
+              oldCells: DataFrame, tau: Double,
+              horizonMs: Option[Long] = None): DataFrame = {
+    import graft.operators.Similarity.{dot, norm}
+    val s = embs.sparkSession
+    import s.implicits._
+    val centRow = cent
+      .groupBy(col("c"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cv")))),
+        p => p("cv")).as("cvec"))
+      .agg(array_sort(collect_list(struct(col("c"), col("cvec")))).as("cents"))
+      .withColumn("one", lit(1))
+    val oldSide = oldEmb
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ov"))
+      .join(oldCells.select(col("vec_id"), col("c")), "vec_id")
+      .withColumn("onrm", norm(col("ov")))
+      .groupBy(col("c"))
+      .agg(array_sort(collect_list(
+        struct(col("vec_id").as("oid"), col("ov"), col("onrm")))).as("om"))
+    val ts =
+      if (embs.columns.contains("ts")) col("ts")
+      else lit(null).cast("timestamp")
+    val base = horizonMs match {
+      case Some(h) =>
+        require(embs.columns.contains("ts"),
+          "horizonMs requires an event-time `ts` column on the input")
+        embs.withWatermark("ts", s"$h milliseconds")
+      case None => embs
+    }
+    val timeout =
+      if (horizonMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    base
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"), ts.as("ts"))
+      .withColumn("one", lit(1))
+      .join(broadcast(centRow), "one")
+      // per-row nearest-centroid: the assignStep arithmetic as a fold —
+      // round-6 distances, min distance then min cell id (struct order)
+      .withColumn("c", array_min(transform(col("cents"), ct =>
+        struct(round(aggregate(zip_with(col("v"), ct("cvec"),
+            (x, cc) => (x - cc) * (x - cc)), lit(0.0), _ + _), 6).as("d"),
+          ct("c").as("c"))))("c"))
+      .withColumn("nrm", norm(col("v")))
+      .join(oldSide, Seq("c"), "left_outer")
+      .withColumn("dropped_old", coalesce(exists(col("om"), m =>
+        m("oid") < col("vec_id") &&
+          round(dot(col("v"), m("ov")) / (col("nrm") * m("onrm")), 4) >= tau),
+        lit(false)))
+      .select(col("vec_id"), col("c"), col("v"), col("nrm"),
+        col("dropped_old"), col("ts"))
+      .as[SemRow]
+      .groupByKey(_.c)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(semCell(tau, horizonMs))
+      .toDF()
+  }
+
+  /** Spark's round(x, 4) for doubles, verbatim (BigDecimal.valueOf +
+    * HALF_UP) — the one Scala-side arithmetic step of [[semGate]].
+    */
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Per-cell state transition of [[semGate]]: compare each arrival
+    * (vec_id order) against stored earlier stream vectors with the
+    * batch cosine arithmetic, fold in the precomputed old-corpus
+    * verdict, append the newcomer (kept or not — the non-recursive
+    * SemDeDup rule). State rolls back with the batch: crash-and-replay
+    * recomputes identical verdicts.
+    */
+  private def semCell(tau: Double, horizonMs: Option[Long])(key: Int,
+      rows: Iterator[SemRow],
+      state: GroupState[List[(Long, Array[Double], Double)]])
+      : Iterator[SemVerdict] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val stored = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Array[Double], Double)] ++= state.getOption.getOrElse(Nil)
+      val rs = rows.toArray.sortBy(_.vec_id)
+      val out = rs.map { r =>
+        val droppedStream = stored.exists { case (oid, ov, onrm) =>
+          oid < r.vec_id && {
+            var d = 0.0
+            var i = 0
+            val n = math.min(r.v.length, ov.length)
+            while (i < n) { d += r.v(i) * ov(i); i += 1 }
+            round4(d / (r.nrm * onrm)) >= tau
+          }
+        }
+        if (!stored.exists(_._1 == r.vec_id)) stored += ((r.vec_id, r.v, r.nrm))
+        SemVerdict(r.vec_id, r.c, !r.dropped_old && !droppedStream)
+      }
+      state.update(stored.toList)
+      horizonMs.foreach { h =>
+        if (rs.nonEmpty) {
+          val maxTs = rs.iterator.map(_.ts.getTime).max
+          state.setTimeoutTimestamp(
+            math.max(maxTs + h, state.getCurrentWatermarkMs() + 1))
+        }
+      }
+      out.iterator
+    }
+
   /** One arriving doc of the packing stream, post-projection. */
   final case class PackInRow(doc_id: Long, source: String, shard: Int,
                              n_tokens: Long)

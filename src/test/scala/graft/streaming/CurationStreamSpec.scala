@@ -121,6 +121,66 @@ class CurationStreamSpec extends AnyFunSuite {
       "some document must fail the band gate, or the parity pin is vacuous")
   }
 
+  test("adversarial 1-row micro-batches: verdicts identical, per-batch overhead sane") {
+    // the operational edge a redeploy hits first: a trickling source
+    // hands the gated path ONE document per micro-batch, so the two
+    // single-row artifact joins and the state round-trip re-run per doc.
+    // Results must not depend on batch size, and the fixed per-batch
+    // cost must stay bounded (it is artifact-sized, not corpus-sized).
+    val spark = TestSpark.spark
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 40)
+    val hot = CurationStream.trainHotShingles(docs)
+    val lm = trainLm(docs)
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+
+    def run(chunks: Seq[Seq[Long]]): (Map[Long, (Boolean, Boolean, Boolean, Boolean)], Long) = {
+      val dataDir = Files.createTempDirectory("graft-tinybatch-data").toString
+      val base = System.currentTimeMillis() - 3600000L
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        val tmp = Files.createTempDirectory("graft-tinybatch-chunk").toString
+        docs.filter(col("doc_id").isin(chunk: _*)).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dest = new java.io.File(dataDir, f"chunk-$i%04d.parquet")
+        Files.move(part.toPath, dest.toPath)
+        assert(dest.setLastModified(base + i * 1000L))
+      }
+      val got = scala.collection.concurrent.TrieMap
+        .empty[Long, (Boolean, Boolean, Boolean, Boolean)]
+      val nBatches = new java.util.concurrent.atomic.AtomicLong
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dataDir)
+      val q = CurationStream.manifest(stream, hot, lm).writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          nBatches.incrementAndGet()
+          b.collect().foreach(r => got.put(r.getLong(0),
+            (r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(8))))
+          ()
+        }.start()
+      val t0 = System.nanoTime()
+      assert(q.awaitTermination(300000), "tiny-batch stream did not finish")
+      q.stop()
+      assert(nBatches.get() >= chunks.length.toLong, s"expected >=${chunks.length} batches")
+      (got.toMap, (System.nanoTime() - t0) / 1000000L)
+    }
+
+    // known-good shape (one batch) vs the adversarial shape (one DOC per batch)
+    val (wide, _) = run(Seq(ids.toSeq))
+    val (tiny, tinyMs) = run(ids.map(Seq(_)).toSeq)
+    assert(tiny == wide,
+      s"1-row micro-batches changed verdicts: tiny-only=${tiny.toSet -- wide.toSet} " +
+        s"wide-only=${wide.toSet -- tiny.toSet}")
+    // overhead guard: the per-batch fixed cost (two single-row artifact
+    // joins + state commit) must stay well under a second on this box —
+    // 3 s/batch would mean something corpus-sized snuck onto the path
+    assert(tinyMs < ids.length * 3000L,
+      s"per-batch overhead blew up: ${tinyMs}ms for ${ids.length} one-doc batches")
+  }
+
   test("hot-shingle artifact is bounded by construction; the cap changes nothing on the fixtures") {
     val spark = TestSpark.spark
     import spark.implicits._
@@ -206,6 +266,109 @@ class CurationStreamSpec extends AnyFunSuite {
     // (the minimal-collision-band filter is the stateless dedup)
     assert(got.size == got.distinct.size,
       s"pairs must not repeat across bands: $got")
+  }
+
+  test("streaming semantic gate equals batch p24 against the same saved clustering; crash redelivery changes nothing") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cut = emb.count() * 4 / 5
+    val tau = 0.4
+    val kmDir = Files.createTempDirectory("graft-semgate-km").toString
+    graft.operators.Similarity.trainAndSaveKmeans(
+      emb.filter(col("vec_id") < cut), 4, 2, kmDir)
+    val cent = graft.sources.ModelStore.load(spark, s"$kmDir/centroids")
+    val cells = graft.sources.ModelStore.load(spark, s"$kmDir/cells")
+    val batch = graft.operators.Similarity
+      .semDedupShard(emb, cut, cent, cells, tau).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(batch.exists(!_._2._2), "fixture must drop at least one shard vector")
+
+    val oldEmb = emb.filter(col("vec_id") < cut)
+    val shard = emb.filter(col("vec_id") >= cut)
+    val dataDir = Files.createTempDirectory("graft-semgate-data").toString
+    val ckpt = Files.createTempDirectory("graft-semgate-ckpt").toString
+    val ids = shard.select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    val base = System.currentTimeMillis() - 3600000L
+    def writeChunk(df: DataFrame, i: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft-semgate-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dest = new java.io.File(dataDir, f"chunk-$i%03d.parquet")
+      Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(base + i * 60000L))
+    }
+    // vec_id-ordered ingest across micro-batches: the house precondition
+    val mid = ids(ids.length / 2)
+    writeChunk(shard.filter(col("vec_id") < mid), 0)
+    writeChunk(shard.filter(col("vec_id") >= mid), 1)
+
+    val got = scala.collection.concurrent.TrieMap.empty[Long, (Int, Boolean)]
+    val deliveries = new java.util.concurrent.atomic.AtomicLong
+    @volatile var crashOnce = true
+    def startQuery() = {
+      val stream = spark.readStream.schema(shard.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dataDir)
+      CurationStream.semGate(stream, cent, oldEmb, cells, tau).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.collect()
+          deliveries.addAndGet(rows.length.toLong)
+          rows.foreach(r => got.put(r.getLong(0), (r.getInt(1), r.getBoolean(2))))
+          // die AFTER the side effect, BEFORE the state/offset commit:
+          // the replayed batch must recompute identical verdicts off the
+          // rolled-back per-cell member state
+          if (crashOnce) { crashOnce = false; sys.error("injected crash") }
+          ()
+        }.start()
+    }
+    val q1 = startQuery()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q1.awaitTermination(60000))
+    val q2 = startQuery()
+    assert(q2.awaitTermination(120000), "restarted semantic gate did not finish")
+    q2.stop()
+
+    assert(deliveries.get() > ids.length.toLong,
+      s"expected a redelivered batch: ${deliveries.get()} for ${ids.length} vectors")
+    assert(got.toMap == batch,
+      s"streamed semantic verdicts diverged from batch p24: " +
+        s"stream-only=${got.toMap.toSet -- batch.toSet} batch-only=${batch.toSet -- got.toMap.toSet}")
+  }
+
+  test("semantic gate catches a WITHIN-STREAM near-dup: the state leg, not just the saved corpus") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // saved world: 2 centroids on the axes, corpus = one vector near +x
+    val cent = Seq((0, 1, 1.0), (0, 2, 0.0), (1, 1, 0.0), (1, 2, 1.0))
+      .toDF("c", "i", "cv")
+    val oldEmb = Seq((0L, "a", Array(1.0f, 0.05f))).toDF("vec_id", "label", "embedding")
+    val oldCells = Seq((0L, 0)).toDF("vec_id", "c")
+    // stream: 10 dups the saved vector (old leg), 11 is fresh near +y,
+    // 12 dups 11 (stream leg, no old co-member anywhere close)
+    val shard = Seq(
+      (10L, "s", Array(1.0f, 0.0f)),
+      (11L, "s", Array(0.0f, 1.0f)),
+      (12L, "s", Array(0.05f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val dataDir = Files.createTempDirectory("graft-semgate2").toString
+    shard.coalesce(1).write.mode("overwrite").parquet(dataDir)
+    val got = scala.collection.concurrent.TrieMap.empty[Long, Boolean]
+    val stream = spark.readStream.schema(shard.schema).parquet(dataDir)
+    val q = CurationStream.semGate(stream, cent, oldEmb, oldCells, 0.9).writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r => got.put(r.getLong(0), r.getBoolean(2)))
+        ()
+      }.start()
+    assert(q.awaitTermination(120000), "semantic gate stream did not finish")
+    q.stop()
+    assert(got.toMap == Map(10L -> false, 11L -> true, 12L -> false),
+      s"got ${got.toMap}")
   }
 
   test("packing stream: crash mid-corpus redelivers without shifting a single span (state rolls back)") {
