@@ -1010,6 +1010,108 @@ object Curation {
        |ORDER BY stage""".stripMargin
   }
 
+  // ------------------------------------------- composed daily ingest (p41)
+
+  /** The composed daily-ingest report (p41) — ONE query proving the
+    * artifact economy holds together: yesterday's saved artifacts (LSH
+    * index + cluster labels, distinct-gram index, k-means cells, LM) plus
+    * today's shard produce, in a single pass, the updated dedup labels,
+    * the shard's span coverage, the semantic verdicts (which double as
+    * the shard's entry into the saved ANN coarse geometry), the merged
+    * LM's totals, and the release diff — each stage summarized as one
+    * (stage, item, n) row. Every number derives from an operator whose
+    * own oracle is green (d13/d14/d16/p24/t24/p36); the composite oracle
+    * nests those oracles verbatim (the p32 composition rule), so the
+    * report can never drift from the steps it reports on.
+    *
+    * Scale shape: pure composition — every stage keeps its own
+    * shard-cost plan (index-join pairs, star-edge contraction, saved-gram
+    * semi-join, cell-confined cosine, vocabulary-sized count merge,
+    * manifest aggregate); the report itself adds only single-row
+    * aggregates and a ~k+12-row union. Nothing here re-reads the old
+    * corpus except the declared p36 slice re-score and the semantic
+    * prune's cell co-member blocks — both the components' own documented
+    * economics.
+    */
+  def dailyIngest(docs: DataFrame, emb: DataFrame, dCut: Long, vCut: Long,
+                  lshPairs: DataFrame, oldLabels: DataFrame,
+                  substrIdx: DataFrame, cent: DataFrame, oldCells: DataFrame,
+                  lmOld: TextOps.SurprisalModel, lmShard: TextOps.SurprisalModel,
+                  tau: Double): DataFrame = {
+    val shardDocs = docs.filter(col("doc_id") >= dCut)
+    val labels = Dedup.shardUpdateClustersFrom(lshPairs, oldLabels)
+    val spans = Dedup.shardSubstrSpans(shardDocs, substrIdx)
+    val sem = Similarity.semDedupShard(emb, vCut, cent, oldCells, tau)
+    val merged = TextOps.mergeSurprisalModels(lmOld, lmShard, docs)
+    val diff = manifestDiff(docs.filter(col("doc_id") < dCut), docs)
+    def one(stage: Long, item: String, df: DataFrame): DataFrame =
+      df.select(lit(stage).as("stage"), lit(item).as("item"),
+        col("n").cast("long").as("n"))
+    Seq(
+      one(0L, "shard_docs", shardDocs.agg(count(lit(1)).as("n"))),
+      one(1L, "lexical_pairs", lshPairs.agg(count(lit(1)).as("n"))),
+      one(2L, "lexical_absorbed", labels
+        .filter(col("doc_id") >= dCut && col("cluster") =!= col("doc_id"))
+        .agg(count(lit(1)).as("n"))),
+      one(3L, "substr_flagged",
+        spans.filter(col("dup_tokens") > 0).agg(count(lit(1)).as("n"))),
+      one(4L, "semantic_dropped",
+        sem.filter(!col("kept")).agg(count(lit(1)).as("n"))),
+      // per-cell shard occupancy: the shard ENTERING the saved coarse
+      // geometry — the ANN-encode leg's assignment, cell by cell
+      sem.groupBy(col("c")).agg(count(lit(1)).as("n"))
+        .select(lit(5L).as("stage"),
+          concat(lit("ann_cell_"), col("c").cast("string")).as("item"),
+          col("n").cast("long").as("n")),
+      // merged-LM totals: count additivity made visible as integers —
+      // old + shard token counts MUST equal the full corpus's
+      merged.totals.select(lit(6L).as("stage"), lit("lm_tokens").as("item"),
+        col("n").cast("long").as("n")),
+      merged.totals.select(lit(6L).as("stage"), lit("lm_vocab").as("item"),
+        col("v").cast("long").as("n")),
+      diff.select(lit(7L).as("stage"),
+        concat(lit("diff_"), col("gate")).as("item"),
+        col("delta").cast("long").as("n"))
+    ).reduce(_.unionByName(_)).orderBy(col("stage"), col("item"))
+  }
+
+  /** Oracle for [[dailyIngest]]: the component oracles nested verbatim
+    * (d13 pairs, d14 labels, d16 spans, p24 semantic verdicts, p36
+    * diff), the merged-LM totals replayed as the full corpus's exact
+    * token/vocab counts (t24's additivity claim in integer form), each
+    * reduced to the same summary rows.
+    */
+  def sqlDailyIngest: String = {
+    def noOrder(sql: String): String = Portable.sqlNoOrder(sql)
+    s"""WITH sp AS (SELECT * FROM (${noOrder(Dedup.sqlShardLshPairs)}) t),
+       |lab AS (SELECT * FROM (${noOrder(Dedup.sqlShardUpdateClusters)}) t),
+       |ss AS (SELECT * FROM (${noOrder(Dedup.sqlShardSubstrSpans)}) t),
+       |sem AS (SELECT * FROM (${noOrder(Similarity.sqlSemDedupShard(4, 2, 0.4))}) t),
+       |md AS (SELECT * FROM (${noOrder(sqlManifestDiff)}) t),
+       |dcut AS (SELECT (count(*) * 4) // 5 AS c FROM documents),
+       |lmtk AS (SELECT unnest(${Portable.sqlTokens("text")}) AS t FROM documents),
+       |lmtot AS (SELECT count(*)::BIGINT AS n, count(DISTINCT t)::BIGINT AS v
+       |  FROM lmtk)
+       |SELECT * FROM (
+       |  SELECT 0::BIGINT AS stage, 'shard_docs' AS item,
+       |    (SELECT count(*) FROM documents
+       |     WHERE doc_id >= (SELECT c FROM dcut))::BIGINT AS n
+       |  UNION ALL SELECT 1, 'lexical_pairs', (SELECT count(*) FROM sp)
+       |  UNION ALL SELECT 2, 'lexical_absorbed',
+       |    (SELECT count(*) FROM lab
+       |     WHERE doc_id >= (SELECT c FROM dcut) AND cluster <> doc_id)
+       |  UNION ALL SELECT 3, 'substr_flagged',
+       |    (SELECT count(*) FROM ss WHERE dup_tokens > 0)
+       |  UNION ALL SELECT 4, 'semantic_dropped',
+       |    (SELECT count(*) FROM sem WHERE NOT kept)
+       |  UNION ALL SELECT 5, 'ann_cell_' || c::VARCHAR, count(*)::BIGINT
+       |    FROM sem GROUP BY c
+       |  UNION ALL SELECT 6, 'lm_tokens', (SELECT n FROM lmtot)
+       |  UNION ALL SELECT 6, 'lm_vocab', (SELECT v FROM lmtot)
+       |  UNION ALL SELECT 7, 'diff_' || gate, delta FROM md)
+       |ORDER BY stage, item""".stripMargin
+  }
+
   // ------------------------------------------- segment-level dedup
 
   /** Non-overlapping segment width (tokens) for sub-document dedup. */

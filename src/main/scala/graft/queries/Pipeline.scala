@@ -721,6 +721,40 @@ object Pipeline {
     },
     // release-over-release manifest diff: per-gate pass counts on the
     // first-4/5 slice vs the full corpus — the keep-set drift dashboard
+    // the composed daily-ingest report: one query over EVERY saved
+    // artifact — updated labels, span coverage, semantic verdicts,
+    // merged-LM totals, release diff — with the component oracles
+    // nested verbatim (the p32 composition rule)
+    QueryDef.sql("p41_daily_ingest", Curation.sqlDailyIngest) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val dCut = docs.count() * 4 / 5
+      val vCut = emb.count() * 4 / 5
+      val idxDir = artifactDir("lshindex", dir)(tmp =>
+        Dedup.buildAndSaveLshIndex(docs.filter(col("doc_id") < dCut), tmp))
+      val idx = Dedup.loadLshIndex(s, idxDir)
+      val labDir = artifactDir("lshlabels", dir)(tmp =>
+        Dedup.clusterIndexAndSave(idx, tmp))
+      val pairsDir = artifactDir("shardpairs", dir)(tmp =>
+        graft.sources.ModelStore.saveLarge(
+          Dedup.shardLshPairs(docs.filter(col("doc_id") >= dCut), idx), tmp))
+      val substrDir = artifactDir("substridx", dir)(tmp =>
+        Dedup.buildAndSaveSubstrIndex(docs.filter(col("doc_id") < dCut), tmp))
+      val kmDir = artifactDir("km_old", dir)(tmp =>
+        Similarity.trainAndSaveKmeans(emb.filter(col("vec_id") < vCut), 4, 2, tmp))
+      val lmOldDir = artifactDir("lm_old", dir)(tmp =>
+        TextOps.trainAndSaveSurprisalModel(docs.filter(col("doc_id") < dCut), tmp))
+      val lmShardDir = artifactDir("lm_shard", dir)(tmp =>
+        TextOps.trainAndSaveSurprisalModel(docs.filter(col("doc_id") >= dCut), tmp))
+      Curation.dailyIngest(docs, emb, dCut, vCut,
+        graft.sources.ModelStore.load(s, pairsDir),
+        Dedup.loadClusters(s, labDir),
+        Dedup.loadSubstrIndex(s, substrDir),
+        graft.sources.ModelStore.load(s, s"$kmDir/centroids"),
+        graft.sources.ModelStore.load(s, s"$kmDir/cells"),
+        TextOps.loadSurprisalModel(s, lmOldDir),
+        TextOps.loadSurprisalModel(s, lmShardDir), 0.4)
+    },
     QueryDef.sql("p36_manifest_diff", Curation.sqlManifestDiff) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val cut = docs.count() * 4 / 5
