@@ -29,9 +29,22 @@ object MediaCodec {
     * exactly width*height*3 sample bytes.
     */
   def decodePpm(bytes: Array[Byte]): Ppm = {
-    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
-      "not a P6 PPM: bad magic")
-    var pos = 2
+    val (ppm, next) = decodePpmAt(bytes, 0)
+    require(next == bytes.length,
+      s"PPM: ${bytes.length - next} trailing bytes after pixel data")
+    ppm
+  }
+
+  /** Parse ONE P6 image starting at `start`, returning it plus the offset
+    * one past its pixel data — the cursor form [[decodePpmReel]] walks a
+    * concatenated-frame payload with; [[decodePpm]] is the exact-length
+    * special case.
+    */
+  def decodePpmAt(bytes: Array[Byte], start: Int): (Ppm, Int) = {
+    require(bytes.length - start >= 2 &&
+      bytes(start) == 'P' && bytes(start + 1) == '6',
+      s"not a P6 PPM: bad magic at byte $start")
+    var pos = start + 2
     def skipSeparators(): Unit = {
       var more = true
       while (more && pos < bytes.length) {
@@ -57,9 +70,26 @@ object MediaCodec {
     // Long math: a crafted 65536x65536 header would overflow w*h*3 to 0 and
     // sail past the byte-count check into NaN features downstream
     val n = w.toLong * h * 3
-    require(bytes.length.toLong - pos == n,
+    require(bytes.length.toLong - pos >= n,
       s"PPM: expected $n pixel bytes, got ${bytes.length - pos}")
-    Ppm(w, h, Array.tabulate(n.toInt)(i => bytes(pos + i) & 0xff))
+    val p = pos
+    (Ppm(w, h, Array.tabulate(n.toInt)(i => bytes(p + i) & 0xff)), p + n.toInt)
+  }
+
+  /** Parse a "reel": back-to-back complete P6 images in one payload (the
+    * frame-major layout a raw video dump concatenates). Walks headers with
+    * the cursor parser — frames may differ in size; a torn final frame
+    * fails loudly inside [[decodePpmAt]]'s byte-count check.
+    */
+  def decodePpmReel(bytes: Array[Byte]): Seq[Ppm] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Ppm]
+    var pos = 0
+    while (pos < bytes.length) {
+      val (ppm, next) = decodePpmAt(bytes, pos)
+      out += ppm
+      pos = next
+    }
+    out.toSeq
   }
 
   // ------------------------------------------------------------------ WAV

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -446,8 +446,19 @@ object Multimodal {
     * one equi-join on (nbits, band, value) — 2^16 buckets per band at
     * the full 64-bit hash — no cross product, payloads long gone.
     */
-  def imageHashPairs(assetsDf: DataFrame): DataFrame = {
-    val stacked = imageHashes(assetsDf)
+  def imageHashPairs(assetsDf: DataFrame): DataFrame =
+    bandedHammingPairs(imageHashes(assetsDf))
+
+  /** Shared banded-Hamming pairing over any (asset_id, ahash, nbits)
+    * fingerprint table — the d15 pigeonhole machinery factored out once
+    * for every perceptual modality (image aHash here, audio
+    * sign-of-delta in [[audioHashPairs]]): split into [[HashBands]]
+    * bands, equi-join on exact band agreement (every pair within
+    * [[HashMaxHamming]] shares >=1 band — exact, not probabilistic),
+    * verify candidates with codegen'd bit_count(xor).
+    */
+  private[operators] def bandedHammingPairs(hashes: DataFrame): DataFrame = {
+    val stacked = hashes
       .withColumn("w", expr(s"cast((nbits + ${HashBands - 1}) div $HashBands as int)"))
       .select(col("asset_id"), col("ahash"), col("nbits"),
         explode(expr(s"""transform(sequence(0, ${HashBands - 1}),
@@ -542,6 +553,280 @@ object Multimodal {
        |    AND x.doc_id < y.doc_id)
        |SELECT ia, ib, bit_count(xor(ha, hb))::INT AS hamming
        |FROM cand WHERE bit_count(xor(ha, hb)) <= $HashMaxHamming
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // ------------------------------------------------- audio perceptual hash
+
+  /** mm8 audio fixture shape: 65 PCM16 samples @16 kHz in a REAL RIFF/WAV
+    * envelope — 64 sign-of-delta bits, a full fingerprint from 260 payload
+    * bytes (9 chained md5 digests, truncated).
+    */
+  val AudioHashSamples = 65
+
+  /** Perceptual audio fingerprint — the Chromaprint idea at its core: the
+    * bit vector of FRAME-ENERGY DELTAS. Frame f's energy here is the
+    * decoded sample's |amplitude| (exact int), and bit f is set iff
+    * e(f+1) > e(f) — strictly, so ties are stable. Sign-of-delta is what
+    * makes it perceptual: any positive re-scaling of the waveform (volume
+    * normalization, the most common audio re-encode artifact) preserves
+    * every strict comparison, so the fingerprint is IDENTICAL — while a
+    * clipped intro or an edited sample flips only the bits whose frames
+    * it touches. Returns (hash, nbits) with nbits = min(samples-1, 64).
+    */
+  def audioHash(wav: MediaCodec.Wav): (Long, Int) = {
+    val s = wav.samples
+    require(s.length >= 2, "audio hash needs at least two samples")
+    val nb = math.min(s.length - 1, 64)
+    var h = 0L
+    var i = 0
+    while (i < nb) {
+      // Long abs: Short.MinValue would overflow Int negation at -32768
+      if (math.abs(s(i + 1).toLong) > math.abs(s(i).toLong)) h |= (1L << i)
+      i += 1
+    }
+    (h, nb)
+  }
+
+  /** Fingerprint every audio asset through the batched kernel seam: REAL
+    * RIFF walk ([[MediaCodec.decodeWav]]) then [[audioHash]] — one
+    * (asset_id, ahash, nbits) row per clip; the waveform never leaves the
+    * kernel.
+    */
+  def audioHashes(assetsDf: DataFrame): DataFrame = {
+    val spark = assetsDf.sparkSession
+    import spark.implicits._
+    assetsDf.filter(col("kind") === "audio")
+      .select(col("asset_id"), col("data")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, data) =>
+            val (h, g) = audioHash(MediaCodec.decodeWav(data))
+            (id, h, g)
+          }
+        }
+      }
+      .toDF("asset_id", "ahash", "nbits")
+  }
+
+  /** Perceptual audio near-dup pairs (mm8) — the audio leg of the
+    * multimodal dedup chain, mm7's machinery applied to the waveform
+    * fingerprint: [[audioHashes]] then the SAME [[bandedHammingPairs]]
+    * byte-band pigeonhole + bit_count verify (exact within
+    * [[HashMaxHamming]], banding==brute pinned in MultimodalSpec).
+    */
+  def audioHashPairs(assetsDf: DataFrame): DataFrame =
+    bandedHammingPairs(audioHashes(assetsDf))
+
+  /** mm8 fixture: REAL WAV audio assets whose 130 payload bytes come from
+    * 9 chained md5 digests of the text (truncated to 65 LE-int16
+    * samples). As with mm7, the corpus has no duplicate texts, so the
+    * fixture PLANTS near-dups: every 10th doc also emits a "clipped
+    * intro" variant (asset_id + [[VariantOffset]]) whose first sample is
+    * forced to silence — the edit [[audioHash]] is built to survive,
+    * flipping at most bit 0 — so the band join finds real pairs on
+    * fixture data, replayed identically by the oracle.
+    */
+  def audioHashAssets(docs: DataFrame): DataFrame = {
+    val digests = (0 until 9).map(i => md5(concat(col("text"), lit("#a" + i))))
+    val withHex = docs.select(col("doc_id"),
+      substring(concat(digests: _*), 1, 260).as("hx"))
+    val header = lit(MediaCodec.wavHeader(AudioHashSamples, AudioRate))
+    val base = withHex.select(
+      col("doc_id").as("asset_id"), lit("audio").as("kind"),
+      concat(header, to_binary(col("hx"), lit("hex"))).as("data"))
+    val variants = withHex.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + VariantOffset).as("asset_id"),
+        lit("audio").as("kind"),
+        concat(header, to_binary(
+          concat(lit("0000"), substring(col("hx"), 5, 256)), lit("hex"))).as("data"))
+    base.unionByName(variants)
+  }
+
+  /** Oracle for [[audioHashAssets]] -> [[audioHashPairs]]: replay the 130
+    * payload bytes from the digests, decode the 65 LE-int16 samples, the
+    * 64 strict |e(f+1)| > |e(f)| comparisons, and the same 16-bit-band
+    * pigeonhole join + bit_count verify as mm7 (bit 63 via the
+    * add-Long.MinValue trick; arithmetic shifts masked per band).
+    */
+  val sqlAudioHashPairs: String = {
+    val nb = AudioHashSamples - 1
+    val hx = (0 until 9).map(i => s"md5(text || '#a$i')").mkString(" || ")
+    val es = (0 until AudioHashSamples).map { i =>
+      val lo = s"('0x' || substr(hx, ${4 * i + 1}, 2))::BIGINT"
+      val hi = s"('0x' || substr(hx, ${4 * i + 3}, 2))::BIGINT"
+      s"abs(CASE WHEN $lo + $hi * 256 < 32768 THEN $lo + $hi * 256 " +
+        s"ELSE $lo + $hi * 256 - 65536 END) AS e$i"
+    }.mkString(", ")
+    val hashExpr = (0 until nb).map { k =>
+      val bit = if (k == 63) "(-9223372036854775807 - 1)" else s"${1L << k}"
+      s"CASE WHEN e${k + 1} > e$k THEN $bit ELSE 0 END"
+    }.mkString(" + ")
+    val bandW = (nb + HashBands - 1) / HashBands
+    val mask = (1L << bandW) - 1
+    val bandList = (0 until HashBands).mkString(", ")
+    s"""WITH hxs AS (SELECT doc_id,
+       |    substr($hx, 1, 260) AS hx FROM documents),
+       |m AS (SELECT doc_id, hx FROM hxs
+       |  UNION ALL
+       |  SELECT doc_id + $VariantOffset, '0000' || substr(hx, 5)
+       |  FROM hxs WHERE doc_id % 10 = 0),
+       |l AS (SELECT doc_id, $es FROM m),
+       |hs AS (SELECT doc_id, ($hashExpr)::BIGINT AS h FROM l),
+       |st AS (SELECT doc_id, h, b AS band, (h >> (b * $bandW)) & $mask AS bv
+       |  FROM hs, LATERAL unnest([$bandList]) t(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib,
+       |    x.h AS ha, y.h AS hb
+       |  FROM st x JOIN st y ON x.band = y.band AND x.bv = y.bv
+       |    AND x.doc_id < y.doc_id)
+       |SELECT ia, ib, bit_count(xor(ha, hb))::INT AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= $HashMaxHamming
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // --------------------------------------------------- video perceptual dup
+
+  /** mm9 video fixture shape: 8 frames of 4x4 P6 PPM concatenated into one
+    * "reel" payload (frame-major raw layout), walked by the REAL cursor
+    * parser [[MediaCodec.decodePpmReel]].
+    */
+  val VideoFrames = 8
+
+  /** Two videos are near-dups when at least this fraction of frame
+    * positions carry an identical per-frame aHash — 6 of 8 on the
+    * fixture, surviving a one-frame re-encode glitch with margin.
+    */
+  val VideoMatchFrac = 0.75
+
+  /** Per-frame perceptual fingerprints of every video asset: the reel is
+    * decoded INSIDE the batched kernel (real container walk, frame by
+    * frame), each frame aHashed exactly like a still image — one
+    * (asset_id, frame_no, fhash, nbits) row per frame. What shuffles
+    * downstream is ~10 bytes per frame, never pixels.
+    */
+  def videoFrameHashes(assetsDf: DataFrame): DataFrame = {
+    val spark = assetsDf.sparkSession
+    import spark.implicits._
+    assetsDf.filter(col("kind") === "video")
+      .select(col("asset_id"), col("data")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { case (id, data) =>
+            MediaCodec.decodePpmReel(data).iterator.zipWithIndex.map {
+              case (ppm, f) =>
+                val (h, g) = aHash(ppm)
+                (id, f, h, g)
+            }
+          }
+        }
+      }
+      .toDF("asset_id", "frame_no", "fhash", "nbits")
+  }
+
+  /** Video near-dup pairs (mm9) — the temporal leg of the perceptual
+    * chain: candidates come from an INVERTED INDEX on (frame_no, fhash)
+    * — an equi-join where two videos collide iff some position carries
+    * the identical frame fingerprint — and the verify step is the
+    * per-pair count of matching positions against [[VideoMatchFrac]] of
+    * the longer video. A trimmed/re-encoded upload shares all but its
+    * edited frames and clears the bar; unrelated videos meet only
+    * through rare 16-bit frame-hash collisions at one position and are
+    * filtered by the fraction.
+    *
+    * Scale shape: the join key space is positions x 2^16 hashes, the
+    * per-key lists are collision-sized, and the pair aggregation sees
+    * only true/colliding matches — never an all-pairs product. A crawl
+    * where one frame hash is pathologically hot (letterbox black frames)
+    * would cap that key's df exactly like d2's shingle cap; the fixture
+    * has no such head.
+    */
+  def videoNearDupPairs(assetsDf: DataFrame): DataFrame = {
+    val fh = videoFrameHashes(assetsDf)
+    val cnt = fh.groupBy(col("asset_id")).agg(count(lit(1)).as("nf"))
+    val matches = fh.as("x").join(fh.as("y"),
+        col("x.frame_no") === col("y.frame_no") &&
+          col("x.nbits") === col("y.nbits") &&
+          col("x.fhash") === col("y.fhash") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("ia"), col("y.asset_id").as("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("n_match"))
+    matches
+      .join(cnt.as("ca"), col("ia") === col("ca.asset_id"))
+      .join(cnt.as("cb"), col("ib") === col("cb.asset_id"))
+      .filter(col("n_match").cast("double")
+        / greatest(col("ca.nf"), col("cb.nf")) >= VideoMatchFrac)
+      .select(col("ia"), col("ib"), col("n_match"),
+        round(col("n_match").cast("double")
+          / greatest(col("ca.nf"), col("cb.nf")), 4).as("match_frac"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** mm9 fixture: video assets as REAL 8-frame 4x4 PPM reels whose 384
+    * payload bytes come from 24 chained md5 digests. Every 10th doc also
+    * emits a "re-encode glitch" variant (asset_id + [[VariantOffset]])
+    * with frame 3's first pixel forced white — that frame's hash moves,
+    * the other 7 positions still match exactly (7/8 >= 0.75), so the
+    * inverted index finds real pairs on fixture data.
+    */
+  def videoHashAssets(docs: DataFrame): DataFrame = {
+    val digests = (0 until 24).map(i => md5(concat(col("text"), lit("#v" + i))))
+    val withHex = docs.select(col("doc_id"), concat(digests: _*).as("hx"))
+    def reel(hx: Column): Column =
+      concat((0 until VideoFrames).flatMap { f =>
+        Seq(lit(MediaCodec.ppmHeader(4, 4)),
+          to_binary(substring(hx, f * 96 + 1, 96), lit("hex")))
+      }: _*)
+    val base = withHex.select(
+      col("doc_id").as("asset_id"), lit("video").as("kind"),
+      reel(col("hx")).as("data"))
+    val variants = withHex.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + VariantOffset).as("asset_id"),
+        lit("video").as("kind"),
+        reel(concat(substring(col("hx"), 1, 288), lit("ffffff"),
+          substring(col("hx"), 295, 474))).as("data"))
+    base.unionByName(variants)
+  }
+
+  /** Oracle for [[videoHashAssets]] -> [[videoNearDupPairs]]: frames
+    * unnest as (doc_id, f) rows whose 16 pixel luminances read at
+    * f-computed hex offsets, the cross-multiplied mean comparison builds
+    * each 16-bit frame hash, and the same position+hash equi-join /
+    * count / fraction replays the verify.
+    */
+  val sqlVideoNearDupPairs: String = {
+    val hx = (0 until 24).map(i => s"md5(text || '#v$i')").mkString(" || ")
+    val lums = (0 until 16).map { k =>
+      val b = (0 until 3)
+        .map(c => s"('0x' || substr(hx, f * 96 + ${6 * k + 2 * c + 1}, 2))::BIGINT")
+        .mkString(" + ")
+      s"($b) AS l$k"
+    }.mkString(", ")
+    val total = (0 until 16).map(k => s"l$k").mkString(" + ")
+    val hashExpr = (0 until 16)
+      .map(k => s"CASE WHEN l$k * 16 > total THEN ${1L << k} ELSE 0 END")
+      .mkString(" + ")
+    val frameList = (0 until VideoFrames).mkString(", ")
+    s"""WITH hxs AS (SELECT doc_id, $hx AS hx FROM documents),
+       |m AS (SELECT doc_id, hx FROM hxs
+       |  UNION ALL
+       |  SELECT doc_id + $VariantOffset,
+       |    substr(hx, 1, 288) || 'ffffff' || substr(hx, 295)
+       |  FROM hxs WHERE doc_id % 10 = 0),
+       |fr AS (SELECT doc_id, f FROM m, LATERAL unnest([$frameList]) t(f)),
+       |l AS (SELECT fr.doc_id, fr.f, $lums
+       |  FROM fr JOIN m ON fr.doc_id = m.doc_id),
+       |tt AS (SELECT *, ($total) AS total FROM l),
+       |hs AS (SELECT doc_id, f, ($hashExpr)::BIGINT AS h FROM tt),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM hs GROUP BY 1),
+       |g AS (SELECT x.doc_id AS ia, y.doc_id AS ib,
+       |    CAST(count(*) AS BIGINT) AS n_match
+       |  FROM hs x JOIN hs y ON x.f = y.f AND x.h = y.h
+       |    AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT ia, ib, n_match,
+       |  round(n_match::DOUBLE / greatest(ca.nf, cb.nf), 4) AS match_frac
+       |FROM g JOIN cnt ca ON g.ia = ca.doc_id JOIN cnt cb ON g.ib = cb.doc_id
+       |WHERE n_match::DOUBLE / greatest(ca.nf, cb.nf) >= $VideoMatchFrac
        |ORDER BY 1, 2""".stripMargin
   }
 

@@ -917,6 +917,17 @@ object Pipeline {
     QueryDef.sql("mm7_image_near_dup", Multimodal.sqlImageHashPairs) { (s, dir) =>
       Multimodal.imageHashPairs(Multimodal.hashAssets(Tables.documents(s, dir)))
     },
+    // perceptual audio near-dup: RIFF walk -> sign-of-energy-delta
+    // fingerprint in the kernel, same banded-Hamming pairing as mm7 —
+    // volume-invariant by construction
+    QueryDef.sql("mm8_audio_near_dup", Multimodal.sqlAudioHashPairs) { (s, dir) =>
+      Multimodal.audioHashPairs(Multimodal.audioHashAssets(Tables.documents(s, dir)))
+    },
+    // video near-dup: reel walk -> per-frame aHash, inverted index on
+    // (position, frame hash), matching-position fraction verify
+    QueryDef.sql("mm9_video_near_dup", Multimodal.sqlVideoNearDupPairs) { (s, dir) =>
+      Multimodal.videoNearDupPairs(Multimodal.videoHashAssets(Tables.documents(s, dir)))
+    },
     // per-user heartbeat gaps: the outages sessionization implies —
     // one lag over the per-key order, output only the silences
     QueryDef.sql("w15_gaps", EventWindows.sqlHeartbeatGaps) { (s, dir) =>

@@ -211,4 +211,104 @@ class MultimodalSpec extends AnyFunSuite {
       ib == ia + Multimodal.VariantOffset }
     assert(planted.nonEmpty)
   }
+
+  // hand-built mono PCM16 WAV from sample values (LE two's complement)
+  private def wav(samples: Seq[Int]): Array[Byte] =
+    MediaCodec.wavHeader(samples.length, 16000) ++
+      samples.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+
+  test("mm8: audioHash is sign-of-energy-delta, strictly — and volume-invariant") {
+    // energies |s| = [0, 5, 3, 3, 10]: deltas up,down,TIE,up -> bits 0 and 3
+    val (h, nb) = Multimodal.audioHash(MediaCodec.decodeWav(wav(Seq(0, 5, -3, 3, 10))))
+    assert(nb == 4 && h == 9L, s"h=$h nb=$nb")
+    // positive rescaling preserves every strict comparison AND every tie
+    val (h3, _) = Multimodal.audioHash(MediaCodec.decodeWav(wav(Seq(0, 15, -9, 9, 30))))
+    assert(h3 == h)
+    // an edit to sample i touches only the two deltas around it — here
+    // silencing sample 1 can flip bits 0 and 1, nothing else
+    val (hc, _) = Multimodal.audioHash(MediaCodec.decodeWav(wav(Seq(0, 0, -3, 3, 10))))
+    assert((h ^ hc) == ((h ^ hc) & 3L))
+  }
+
+  test("mm8: clipped-intro variant pairs within the radius, reversed audio does not") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // first delta is DOWN (200 < 300), so clipping sample 0 to silence
+    // flips exactly bit 0 (200 > 0) and nothing else
+    val base = Seq(300, 200, 50, 300, 250, 400, 10, 500, 450, 600,
+      20, 700, 650, 800, 30, 900, 850, 1000, 40, 1100)
+    val a = wav(base)
+    val b = wav(0 +: base.tail)           // clipped first sample
+    val c = wav(base.reverse)             // every delta direction flips
+    val assets = Seq((1L, "audio", a), (2L, "audio", b), (3L, "audio", c))
+      .toDF("asset_id", "kind", "data")
+    val pairs = Multimodal.audioHashPairs(assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1)), s"got ${pairs.toSeq}")
+  }
+
+  test("mm8 banding equals brute force on the fixture — exact within the radius") {
+    val s = TestSpark.spark
+    val fixture = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    val assets = Multimodal.audioHashAssets(fixture)
+    val hs = Multimodal.audioHashes(assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val brute = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      d = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2)
+      if d <= Multimodal.HashMaxHamming
+    } yield (hs(i)._1, hs(j)._1, d)).sorted
+    val banded = Multimodal.audioHashPairs(assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(banded == brute, s"banded=$banded brute=$brute")
+    val planted = brute.filter { case (ia, ib, _) =>
+      ib == ia + Multimodal.VariantOffset }
+    assert(planted.nonEmpty)
+  }
+
+  // hand-built 4x4 PPM frame from a per-pixel grayscale level function
+  private def ppm4x4(lum: Int => Int): Array[Byte] =
+    MediaCodec.ppmHeader(4, 4) ++
+      (0 until 16).flatMap(p => Seq.fill(3)(lum(p).toByte)).toArray
+
+  test("mm9: the reel parser walks concatenated frames; a torn frame fails loudly") {
+    val reel = ppm4x4(_ => 10) ++ ppm4x4(p => p * 10) ++ ppm4x4(_ => 200)
+    val frames = MediaCodec.decodePpmReel(reel)
+    assert(frames.length == 3)
+    assert(frames.forall(f => f.width == 4 && f.height == 4))
+    assert(frames(2).rgb.forall(_ == 200))
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodePpmReel(reel.dropRight(5))
+    }
+  }
+
+  test("mm9: a one-frame glitch still pairs at 7/8; unrelated videos do not") {
+    val s = TestSpark.spark
+    import s.implicits._
+    def frame(f: Int, inverted: Boolean): Array[Byte] =
+      ppm4x4 { p =>
+        val bright = (p + f) % 2 == 0
+        if (bright ^ inverted) 80 else 10
+      }
+    val a = (0 until 8).map(f => frame(f, inverted = false))
+      .reduce(_ ++ _)
+    val b = (0 until 8).map(f => frame(f, inverted = f == 3))
+      .reduce(_ ++ _)
+    val c = (0 until 8).map(_ => ppm4x4(_ => 50)).reduce(_ ++ _)
+    val assets = Seq((1L, "video", a), (2L, "video", b), (3L, "video", c))
+      .toDF("asset_id", "kind", "data")
+    val pairs = Multimodal.videoNearDupPairs(assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(pairs.toSeq == Seq((1L, 2L, 7L, 0.875)), s"got ${pairs.toSeq}")
+  }
+
+  test("mm9 fixture: every planted re-encode variant pairs with its base") {
+    val s = TestSpark.spark
+    val fixture = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    val pairs = Multimodal.videoNearDupPairs(Multimodal.videoHashAssets(fixture))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (ia, ib, n) =>
+      ib == ia + Multimodal.VariantOffset && n >= 7 })
+  }
 }
