@@ -452,6 +452,131 @@ object CurationStream {
     }
   }
 
+  /** One banded image-fingerprint arrival of [[mediaStreamPairs]]. */
+  final case class MediaBucketRow(asset_id: Long, ahash: Long, nbits: Int,
+                                  band: Int, bv: Long, ts: java.sql.Timestamp)
+
+  /** An emitted perceptual pair: the arriving asset vs an earlier one. */
+  final case class MediaPair(asset_id: Long, dup_of: Long, hamming: Int)
+
+  /** Streaming perceptual image dedup — mm7's streaming twin, completing
+    * the within-stream dedup chain across MODALITIES (exact text =
+    * [[firstSeen]], lexical = [[nearDupPairs]], fingerprint =
+    * [[simhashStreamPairs]], semantic = [[semGate]], perceptual media =
+    * here): each arriving image is decoded and aHashed INSIDE the
+    * micro-batch by the same batched kernel as batch mm7 (a typed
+    * mapPartitions is a narrow streaming transform — payloads never
+    * reach the shuffle), the 64-bit fingerprint explodes into the same
+    * 16-bit pigeonhole bands, and keyed state per (nbits, band, value)
+    * bucket compares each arrival against earlier fingerprints —
+    * emitting (asset_id, dup_of, hamming) for every pair within
+    * [[graft.operators.Multimodal.HashMaxHamming]], exactly once via
+    * the minimal-agreeing-band rule. Batch parity (streamed pairs ==
+    * [[graft.operators.Multimodal.imageHashPairs]]) and
+    * crash-redelivery identity are pinned in CurationStreamSpec.
+    *
+    * Scale shape: state per bucket is (id, hash) pairs — 16 bytes per
+    * image per band, fingerprints only, pixels long gone; `horizonMs`
+    * evicts buckets silent past the event-time horizon exactly like
+    * [[simhashStreamPairs]] (a crawl gate typically dedups today
+    * against this week, not against all history).
+    */
+  def mediaStreamPairs(assets: DataFrame,
+                       horizonMs: Option[Long] = None): DataFrame = {
+    import graft.operators.{MediaCodec, Multimodal}
+    val s = assets.sparkSession
+    import s.implicits._
+    val ts =
+      if (assets.columns.contains("ts")) col("ts")
+      else lit(null).cast("timestamp")
+    if (horizonMs.isDefined)
+      require(assets.columns.contains("ts"),
+        "horizonMs requires an event-time `ts` column on the input")
+    val hashed = assets.filter(col("kind") === "image")
+      .select(col("asset_id"), col("data"), ts.as("ts"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.BatchSize).flatMap { batch =>
+          batch.map { case (id, data, t) =>
+            val (h, g) = Multimodal.aHash(MediaCodec.decodePpm(data))
+            (id, h, g, t)
+          }
+        }
+      }
+      .toDF("asset_id", "ahash", "nbits", "ts")
+    // the watermark re-attaches AFTER the kernel (the kernel re-creates
+    // the row, so the event-time tag must be declared on its output)
+    val base = horizonMs match {
+      case Some(h) => hashed.withWatermark("ts", s"$h milliseconds")
+      case None    => hashed
+    }
+    val timeout =
+      if (horizonMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    base
+      .withColumn("w",
+        expr(s"cast((nbits + ${Multimodal.HashBands - 1}) div ${Multimodal.HashBands} as int)"))
+      .select(col("asset_id"), col("ahash"), col("nbits"), col("ts"), col("w"),
+        explode(array((0 until Multimodal.HashBands).map(b => lit(b)): _*)).as("band"))
+      .withColumn("bv",
+        expr(s"shiftright(ahash, band * w) & (shiftleft(cast(1 as bigint), w) - 1)"))
+      .select(col("asset_id"), col("ahash"), col("nbits"),
+        col("band"), col("bv"), col("ts"))
+      .as[MediaBucketRow]
+      // nbits rides the key: hashes of different widths never pair (the
+      // batch join's x.nbits = y.nbits), and band/value complete the bucket
+      .groupByKey(r => (r.nbits.toLong << 24) | (r.band.toLong << 16) | r.bv)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(mediaBucket(horizonMs))
+      .toDF()
+  }
+
+  /** Per-bucket state transition of [[mediaStreamPairs]]: compare each
+    * arrival (asset_id order) against the stored fingerprints, emit
+    * minimal-band pairs, append the newcomer. State rolls back with the
+    * batch, so crash-and-replay recomputes identical pairs.
+    */
+  private def mediaBucket(horizonMs: Option[Long])(key: Long,
+      rows: Iterator[MediaBucketRow],
+      state: GroupState[List[(Long, Long)]]): Iterator[MediaPair] = {
+    import graft.operators.Multimodal
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val nbits = (key >> 24).toInt
+      val band = ((key >> 16) & 0xffL).toInt
+      val bandW = (nbits + Multimodal.HashBands - 1) / Multimodal.HashBands
+      val mask = (1L << bandW) - 1
+      def bandOf(h: Long, b: Int): Long = (h >> (b * bandW)) & mask
+      val stored = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long)] ++= state.getOption.getOrElse(Nil)
+      val rs = rows.toArray.sortBy(_.asset_id)
+      val out = scala.collection.mutable.ArrayBuffer.empty[MediaPair]
+      rs.foreach { r =>
+        stored.foreach { case (oid, oh) =>
+          if (oid != r.asset_id &&
+              java.lang.Long.bitCount(r.ahash ^ oh) <= Multimodal.HashMaxHamming) {
+            val minBand = (0 until Multimodal.HashBands)
+              .find(b => bandOf(r.ahash, b) == bandOf(oh, b)).get
+            if (minBand == band)
+              out += MediaPair(r.asset_id, oid,
+                java.lang.Long.bitCount(r.ahash ^ oh))
+          }
+        }
+        stored += ((r.asset_id, r.ahash))
+      }
+      state.update(stored.toList)
+      horizonMs.foreach { h =>
+        if (rs.nonEmpty) {
+          val maxTs = rs.iterator.map(_.ts.getTime).max
+          state.setTimeoutTimestamp(
+            math.max(maxTs + h, state.getCurrentWatermarkMs() + 1))
+        }
+      }
+      out.iterator
+    }
+  }
+
   /** One arriving vector of the streaming semantic gate, post-assignment:
     * cell id, double vector + its norm (both computed by the SAME Spark
     * expressions as batch p24), and the already-decided old-corpus

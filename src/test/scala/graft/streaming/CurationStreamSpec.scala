@@ -777,4 +777,123 @@ class CurationStreamSpec extends AnyFunSuite {
       "after the watermark passes the horizon the hash's next arrival " +
         "must be canonical again")
   }
+
+  test("streaming image near-dup equals the batch mm7 pass; crash-redelivery changes nothing") {
+    val spark = TestSpark.spark
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val assets = graft.operators.Multimodal.hashAssets(docs)
+    val batch = graft.operators.Multimodal.imageHashPairs(assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batch.nonEmpty, "fixture must plant image near-dup pairs")
+
+    // the crawl lands as 3 asset_id-ordered files (variants last — the
+    // id-ordered-ingest precondition); a crash after the first delivered
+    // batch forces a replay (state rolls back with the batch)
+    val dataDir = Files.createTempDirectory("graft-mediastream-data").toString
+    val ckpt = Files.createTempDirectory("graft-mediastream-ckpt").toString
+    val ids = assets.select(col("asset_id")).collect().map(_.getLong(0)).sorted
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val base = System.currentTimeMillis() - 3600000L
+    var i = 0
+    def land(df: DataFrame): Unit = {
+      val tmp = Files.createTempDirectory("graft-mediastream-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dest = new java.io.File(dataDir, f"chunk-$i%03d.parquet")
+      Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(base + i * 60000L))
+      i += 1
+    }
+    land(assets.filter(col("asset_id") < c1))
+    land(assets.filter(col("asset_id") >= c1 && col("asset_id") < c2))
+    land(assets.filter(col("asset_id") >= c2))
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    @volatile var crashOnce = true
+    def run() = {
+      val stream = spark.readStream.schema(assets.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dataDir)
+      CurationStream.mediaStreamPairs(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.collect()
+          got.synchronized {
+            rows.foreach(r => got += ((r.getLong(0), r.getLong(1), r.getInt(2))))
+          }
+          if (crashOnce && rows.nonEmpty) { crashOnce = false; sys.error("injected crash") }
+          ()
+        }.start()
+    }
+    val q1 = run()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q1.awaitTermination(60000))
+    val q2 = run()
+    assert(q2.awaitTermination(180000), "media stream did not finish")
+    q2.stop()
+
+    val norm = got.map { case (a, b, h) => (math.min(a, b), math.max(a, b), h) }.toSet
+    assert(norm == batch,
+      s"stream-only=${(norm -- batch).take(5)} batch-only=${(batch -- norm).take(5)}")
+  }
+
+  test("media stream horizon: silent buckets evict, pairs inside the horizon still found") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val horizon = 60000L
+    val t0 = 1700000000000L
+    val dataDir = Files.createTempDirectory("graft-mediahzn-data").toString
+    val ckpt = Files.createTempDirectory("graft-mediahzn-ckpt").toString
+    var chunk = 0
+    def ppm8x8(lum: Int => Int): Array[Byte] =
+      graft.operators.MediaCodec.ppmHeader(8, 8) ++
+        (0 until 64).flatMap(p => Seq.fill(3)(lum(p).toByte)).toArray
+    def land(rows: (Long, String, Array[Byte], Long)*): Unit = {
+      val tmp = Files.createTempDirectory("graft-mediahzn-chunk").toString
+      rows.toSeq.toDF("asset_id", "kind", "data", "ms")
+        .withColumn("ts", (col("ms") / 1000.0).cast("timestamp")).drop("ms")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dest = new java.io.File(dataDir, f"chunk-$chunk%03d.parquet")
+      Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - 3600000L + chunk * 60000L))
+      chunk += 1
+    }
+    val img = ppm8x8(p => if (p < 32) 10 else 80)
+    val unrelated = ppm8x8(p => if (p % 2 == 0) 10 else 80)
+    // a: first copy + an intra-horizon duplicate 30 s later -> pair found
+    land((1L, "image", img, t0), (2L, "image", img, t0 + 30000L))
+    // b, c: far-future images move the watermark past every bucket deadline
+    // the far images must not LAND IN img's buckets — an arrival wins over
+    // an expired timer and re-arms it (Spark's data-over-timeout rule), so
+    // a bucket-sharing image would keep the state alive past the horizon.
+    // The inversion shares no (band, value): bands swap 0x0000 <-> 0xffff
+    land((3L, "image", unrelated, t0 + 600000L))
+    land((4L, "image", ppm8x8(p => if (p < 32) 80 else 10), t0 + 610000L))
+    // d: the same image again — its buckets were evicted, NO pair vs 1/2
+    land((5L, "image", img, t0 + 620000L))
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "asset_id BIGINT, kind STRING, data BINARY, ts TIMESTAMP")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = CurationStream.mediaStreamPairs(stream, horizonMs = Some(horizon))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          got.synchronized { got += ((r.getLong(0), r.getLong(1))) })
+        ()
+      }.start()
+    assert(q.awaitTermination(180000), "media horizon drain did not finish")
+    q.stop()
+
+    assert(got.toSet == Set((2L, 1L)),
+      s"inside-horizon pair found once, evicted buckets stay silent: $got")
+  }
 }
