@@ -298,6 +298,136 @@ object TextOps {
        |  FROM sc) WHERE rnk <= $k
        |ORDER BY doc_id, rnk""".stripMargin
 
+  // ------------------------------------------------------------- BM25
+
+  /** Okapi BM25 constants — the standard Lucene/Robertson defaults. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 20
+
+  /** The benchmark query for t31/t32 — fixture-vocabulary terms. */
+  val Bm25Query: Seq[String] = Seq("spark", "hash", "window")
+
+  // derived constants embedded IDENTICALLY in both engines: computed once
+  // here, interpolated into the oracle via Double.toString (round-trip
+  // exact), so neither engine constant-folds a different rounding
+  private val Bm25K1p1 = Bm25K1 + 1.0
+  private val Bm25OneMinusB = 1.0 - Bm25B
+
+  /** A BM25 inverted index, the four tables a retrieval serving layer
+    * ships: term postings (t, doc_id, tf), per-doc lengths, per-term
+    * document frequencies, and the single-row corpus totals.
+    */
+  final case class Bm25Index(postings: DataFrame, doclen: DataFrame,
+                             stats: DataFrame, corpus: DataFrame)
+
+  /** Build the inverted index in one corpus pass: tokenize, tf per
+    * (term, doc) — map-side combined before the shuffle, the exact t5
+    * shape — df from the postings, lengths and totals from the docs.
+    * Nothing is collected; the postings table IS the index, partitioned
+    * by its own term key (at 100 TB this is the table a search tier
+    * bucket-joins queries against).
+    */
+  def buildBm25Index(docs: DataFrame): Bm25Index = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val postings = toks.groupBy(col("t"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val doclen = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("bigint").as("dl"))
+    val stats = postings.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val corpus = doclen.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    Bm25Index(postings, doclen, stats, corpus)
+  }
+
+  /** Persist the index under `dir` (postings/doclen scale with the
+    * corpus — parallel write; stats with the vocabulary; corpus is one
+    * row) and reload it — the t14/d11/s9/t21 train-once convention
+    * applied to retrieval: index tonight, serve tomorrow.
+    */
+  def trainAndSaveBm25Index(docs: DataFrame, dir: String): Bm25Index = {
+    val idx = buildBm25Index(docs)
+    graft.sources.ModelStore.saveLarge(idx.postings, s"$dir/bm25_postings")
+    graft.sources.ModelStore.saveLarge(idx.doclen, s"$dir/bm25_doclen")
+    graft.sources.ModelStore.saveLarge(idx.stats, s"$dir/bm25_stats")
+    graft.sources.ModelStore.save(idx.corpus, s"$dir/bm25_corpus")
+    loadBm25Index(docs.sparkSession, dir)
+  }
+
+  def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Bm25Index =
+    Bm25Index(
+      graft.sources.ModelStore.load(spark, s"$dir/bm25_postings"),
+      graft.sources.ModelStore.load(spark, s"$dir/bm25_doclen"),
+      graft.sources.ModelStore.load(spark, s"$dir/bm25_stats"),
+      graft.sources.ModelStore.load(spark, s"$dir/bm25_corpus"))
+
+  /** BM25 top-k retrieval (t31): build in-lineage and score. */
+  def bm25TopK(docs: DataFrame, query: Seq[String] = Bm25Query,
+               k: Int = Bm25TopK): DataFrame =
+    bm25FromIndex(buildBm25Index(docs), query, k)
+
+  /** Score a query against a BM25 index: the postings scan is FILTERED
+    * to the query terms (a pushed-down IN over the index's own key — the
+    * serving read touches |q| posting lists, not the corpus), per-term
+    * stats broadcast (|q| rows after their own filter), one doc-length
+    * join, and the classic
+    * idf(t) * tf (k1+1) / (tf + k1 (1 - b + b dl/avgdl)) contribution
+    * with idf = ln(1 + (N - df + 0.5)/(df + 0.5)). Per-doc summation
+    * follows the repo's order-free fp convention: each contribution is
+    * rounded then summed as DECIMAL (exact in any order in both
+    * engines), ranked on the exact decimal, rounded once for output.
+    */
+  def bm25FromIndex(idx: Bm25Index, query: Seq[String] = Bm25Query,
+                    k: Int = Bm25TopK): DataFrame = {
+    val qp = idx.postings.filter(col("t").isin(query: _*))
+    val qs = idx.stats.filter(col("t").isin(query: _*))
+    val avgdl = col("sum_dl").cast("double") / col("n")
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val denom = col("tf") +
+      lit(Bm25K1) * (lit(Bm25OneMinusB) + lit(Bm25B) * (col("dl") / avgdl))
+    val contrib = qp.join(broadcast(qs), "t")
+      .join(idx.doclen, "doc_id")
+      .crossJoin(broadcast(idx.corpus))
+      .select(col("doc_id"),
+        round(idf * (col("tf") * Bm25K1p1) / denom, 6)
+          .cast("decimal(28,6)").as("w"))
+    val scored = contrib.groupBy(col("doc_id")).agg(sum(col("w")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("s").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("rnk"), col("doc_id"),
+        round(col("s").cast("double"), 4).as("score"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Oracle for t31/t32: the identical tf/df/length/total computation and
+    * the identical fp sequence per contribution (constants interpolated
+    * from the same Scala doubles), decimal-summed and ranked the same.
+    */
+  def sqlBm25TopK: String = {
+    val q = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(${graft.functions.Portable.sqlTokens("text")}) AS t
+       |  FROM documents),
+       |p AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+       |  WHERE t IN ($q) GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, len(${graft.functions.Portable.sqlTokens("text")})::BIGINT AS dl
+       |  FROM documents),
+       |s AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl
+       |  FROM dl),
+       |contrib AS (SELECT p.doc_id,
+       |    round(ln(1.0 + (c.n - s.df + 0.5) / (s.df + 0.5))
+       |        * (p.tf * $Bm25K1p1)
+       |        / (p.tf + $Bm25K1 * ($Bm25OneMinusB + $Bm25B * (dl.dl / (c.sum_dl::DOUBLE / c.n)))),
+       |      6)::DECIMAL(28,6) AS w
+       |  FROM p JOIN s USING (t) JOIN dl USING (doc_id), c),
+       |sc AS (SELECT doc_id, sum(w) AS s FROM contrib GROUP BY 1)
+       |SELECT rnk, doc_id, round(s::DOUBLE, 4) AS score FROM (
+       |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= $Bm25TopK ORDER BY rnk""".stripMargin
+  }
+
   /** Unigram-LM surprisal per document (t13) — the oracle-checkable core of
     * the CCNet/KenLM-style perplexity quality filter: train a unigram model
     * on the corpus (add-one smoothing over the observed vocabulary), score

@@ -318,6 +318,19 @@ object Pipeline {
     QueryDef.sql("t22_sb_surprisal", TextOps.sqlStupidBackoffSurprisal) { (s, dir) =>
       TextOps.stupidBackoffSurprisal(Tables.documents(s, dir))
     },
+    // Okapi BM25 top-k retrieval: inverted index in one corpus pass,
+    // postings scan filtered to the query terms, order-free decimal sum
+    QueryDef.sql("t31_bm25_topk", TextOps.sqlBm25TopK) { (s, dir) =>
+      TextOps.bm25TopK(Tables.documents(s, dir))
+    },
+    // the same query served from the PERSISTED index (postings + lengths
+    // + stats + totals saved tonight, loaded tomorrow) — must hash-match
+    // t31 (the train-once gate applied to retrieval)
+    QueryDef.sql("t32_bm25_from_saved", TextOps.sqlBm25TopK) { (s, dir) =>
+      val bmDir = artifactDir("bm25", dir)(tmp =>
+        TextOps.trainAndSaveBm25Index(Tables.documents(s, dir), tmp))
+      TextOps.bm25FromIndex(TextOps.loadBm25Index(s, bmDir))
+    },
     // incremental LM update: two models trained independently (old 4/5,
     // shard 1/5 — saved artifacts) MERGE with one vocabulary-sized
     // aggregation, and scoring from the merged model must hash-match

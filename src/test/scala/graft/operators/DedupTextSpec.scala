@@ -151,6 +151,30 @@ class DedupTextSpec extends AnyFunSuite {
     assert(top.head.getString(2) == "uniqueterm")
   }
 
+  test("bm25: tf saturates, length normalizes, absent terms exclude") {
+    val d = docs(
+      (1L, "spark alpha beta"),                       // short, one hit
+      (2L, "spark " + Seq.fill(20)("filler").mkString(" ")), // long, one hit
+      (3L, "spark spark spark alpha beta"),           // tf 3
+      (4L, "alpha beta gamma"))                       // no query term
+    val got = TextOps.bm25TopK(d, query = Seq("spark"), k = 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    // higher tf wins, then the short doc beats the long one (dl norm);
+    // the doc without the term never appears
+    assert(got.toSeq == Seq((1, 3L), (2, 1L), (3, 2L)), s"got ${got.toSeq}")
+  }
+
+  test("bm25: a rare term outscores a ubiquitous one at equal tf and length") {
+    val d = docs(
+      (1L, "rareterm alpha beta"),
+      (2L, "common alpha beta"),
+      (3L, "common gamma delta"),
+      (4L, "common epsilon zeta"))
+    val got = TextOps.bm25TopK(d, query = Seq("rareterm", "common"), k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.head == ((1, 1L)), s"got ${got.toSeq}")
+  }
+
   test("langId picks the language with most marker hits, alphabetical ties") {
     val d = docs((1L, "the a value value"), (2L, "spark stream batch batch"))
     val r = TextOps.langId(d, col("text")).orderBy(col("doc_id")).collect()
