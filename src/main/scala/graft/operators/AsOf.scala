@@ -487,6 +487,101 @@ object AsOf {
     * per click (same gap + same direction would mean the same view row,
     * since right rows are unique per (key, ts)), so the pick is total.
     */
+  /** LINEAR-INTERPOLATION as-of (w19) — the gap-fill join: each left row
+    * gets the bracketing right rows (latest at-or-before AND earliest
+    * strictly-after, per key) and the payload linearly interpolated
+    * between them at the left timestamp; one-sided brackets clamp to the
+    * existing side, no bracket at all is null. The standard time-series
+    * alignment for joining a sparse metric onto event times (sensor
+    * resampling, price marking, metric attribution) — an operator family
+    * Spark has no native form for.
+    *
+    * Same scale shape as [[asOfNearest]] (which it shares the union +
+    * one-sort + two-frame machinery with): one hash exchange on the key,
+    * one partition-local sort, both bracket candidates off the same
+    * sorted run — never a per-key pair join. Tie rule inherited from the
+    * (ts, side) sort: a right row exactly at the left instant is the
+    * BACKWARD bracket (inclusive <=), so the interpolation factor is 0
+    * and the row takes that exact payload.
+    *
+    * FP contract with the oracle: the factor is (int64 micros delta
+    * cast double) / (int64 micros delta), applied as pv + (nv-pv)*f —
+    * one multiply, one add, identical in both engines.
+    */
+  def asOfInterpolate(left: DataFrame, key: String, leftTs: String,
+                      right: DataFrame, rightTs: String, payload: String): DataFrame = {
+    val payType = right.schema(payload).dataType
+    val (l, r) = prepSides(left, key, leftTs, right, rightTs, payload)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
+    val wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("__pay", dupGuardedPay(Seq(col("__k")), payType))
+      .select(col("*"),
+        last(col("__pay"), ignoreNulls = true).over(wb).as("__pv"),
+        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true)
+          .over(wb).as("__pts"),
+        first(col("__pay"), ignoreNulls = true).over(wf).as("__nv"),
+        first(when(col("__side") === 0, col("__ts")), ignoreNulls = true)
+          .over(wf).as("__nts"))
+      .filter(col("__side") === 1)
+      .withColumn("__interp",
+        when(col("__pts").isNotNull && col("__nts").isNotNull,
+          col("__pv") + (col("__nv") - col("__pv")) *
+            ((unix_micros(col("__ts")) - unix_micros(col("__pts"))).cast("double")
+              / (unix_micros(col("__nts")) - unix_micros(col("__pts")))))
+          .when(col("__pts").isNotNull, col("__pv"))
+          .otherwise(col("__nv")))
+      .select((left.columns.map(c => col(s"__row.$c"))
+        :+ col("__pv") :+ col("__nv") :+ col("__interp")): _*)
+  }
+
+  /** w19: every click's value interpolated between its user's bracketing
+    * views — the per-instant view dedup (max value) is the w7 convention.
+    */
+  def clickValueInterpolation(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click" && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = events.filter(col("event_type") === "view" && col("ts").isNotNull)
+      .groupBy(col("user_id"), col("ts").as("vts"))
+      .agg(max(col("value")).as("v"))
+    asOfInterpolate(clicks, "user_id", "ts", views, "vts", "v")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        round(col("__pv"), 6).as("prev_v"), round(col("__nv"), 6).as("next_v"),
+        round(col("__interp"), 6).as("interp"))
+      .orderBy(col("click_id"))
+  }
+
+  /** Oracle for w19: the IDENTICAL union + (ts, side)-sorted frames in
+    * DuckDB window syntax (IGNORE NULLS running brackets), the identical
+    * micros-ratio lerp.
+    */
+  val sqlClickValueInterpolation: String =
+    s"""WITH c AS (SELECT user_id, ts, event_id FROM events
+       |  WHERE event_type = 'click' AND ts IS NOT NULL),
+       |v AS (SELECT user_id, ts AS vts, max(value) AS v FROM events
+       |  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1, 2),
+       |u AS (SELECT user_id AS k, ts, 1 AS side, NULL::DOUBLE AS pay, event_id FROM c
+       |  UNION ALL
+       |  SELECT user_id, vts, 0, v, NULL FROM v),
+       |w AS (SELECT *,
+       |    last_value(pay IGNORE NULLS) OVER win_b AS pv,
+       |    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER win_b AS pts,
+       |    first_value(pay IGNORE NULLS) OVER win_f AS nv,
+       |    first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER win_f AS nts
+       |  FROM u
+       |  WINDOW win_b AS (PARTITION BY k ORDER BY ts, side
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    win_f AS (PARTITION BY k ORDER BY ts, side
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT event_id AS click_id, k AS user_id,
+       |  round(pv, 6) AS prev_v, round(nv, 6) AS next_v,
+       |  round(CASE WHEN pts IS NOT NULL AND nts IS NOT NULL THEN
+       |      pv + (nv - pv) * ((epoch_us(ts) - epoch_us(pts))::DOUBLE
+       |        / (epoch_us(nts) - epoch_us(pts)))
+       |    WHEN pts IS NOT NULL THEN pv ELSE nv END, 6) AS interp
+       |FROM w WHERE side = 1 ORDER BY click_id""".stripMargin
+
   val sqlClickNearestAttribution: String =
     s"""WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
        |v AS (SELECT user_id, ts AS vts, max(event_id) AS view_id

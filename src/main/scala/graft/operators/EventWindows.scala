@@ -327,6 +327,87 @@ object EventWindows {
       |FROM events WHERE ts IS NOT NULL
       |GROUP BY 1 ORDER BY week""".stripMargin
 
+  /** w20 histogram shape: unit-width bins over [0, [[HistBins]]); the top
+    * bin absorbs overflow, negatives clamp to bin 0.
+    */
+  val HistBins = 1024
+
+  /** Weekly value quantiles from MERGED DAILY HISTOGRAMS (w20) — w18's
+    * union-of-dailies story for a numeric column: each day reduces to a
+    * fixed-bin count vector (the mergeable sketch — integer counts, so
+    * the daily->weekly merge is an EXACT sum in any order, the property
+    * HLL only approximates), and the weekly quantile reads off the
+    * cumulative histogram with within-bin linear interpolation. The
+    * t-digest/HDR-histogram deployment shape: ship tiny per-day
+    * artifacts, answer any quantile over any day range later without
+    * touching raw events.
+    *
+    * Estimate contract (identical in the oracle): rank = ceil(q*N); the
+    * answering bin is the one whose cumulative range covers the rank;
+    * est = bin_lo + (rank - cum_prev)/cnt (unit bins). Accuracy is
+    * bounded by the bin width by construction — a DETERMINISTIC bound,
+    * not a probabilistic one, so the oracle replays the numbers
+    * themselves, no tolerance verdict needed.
+    *
+    * Scale shape: two partial-aggregated groupBys (events -> daily bins
+    * -> weekly bins, each key space bounded by days x [[HistBins]]), one
+    * window over the weekly vectors (at most [[HistBins]] rows per
+    * week), quantile explode on the bounded table. Nothing scales with
+    * the event count past the first map-side combine.
+    */
+  def histogramQuantileRollup(events: DataFrame): DataFrame = {
+    val base = events.filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(date_trunc("week", col("ts")).as("wk"),
+        date_trunc("day", col("ts")).as("day"),
+        least(greatest(floor(col("value")), lit(0L)), lit(HistBins - 1L))
+          .cast("int").as("bin"))
+    val daily = base.groupBy(col("wk"), col("day"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val weekly = daily.groupBy(col("wk"), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val wCum = Window.partitionBy(col("wk")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("wk"))
+    val cum = weekly.select(col("wk"), col("bin"), col("cnt"),
+      sum(col("cnt")).over(wCum).as("cum"),
+      sum(col("cnt")).over(wTot).as("n"))
+    cum.select(col("wk"), col("bin"), col("cnt"), col("cum"), col("n"),
+        explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+      .withColumn("rank", ceil(col("q") * col("n")))
+      .filter(col("cum") >= col("rank") && col("cum") - col("cnt") < col("rank"))
+      .select(date_format(col("wk"), "yyyy-MM-dd").as("week"), col("q"),
+        round(col("bin") +
+          (col("rank") - (col("cum") - col("cnt"))).cast("double") / col("cnt"), 6)
+          .as("est"),
+        col("n").as("n_events"))
+      .orderBy(col("week"), col("q"))
+  }
+
+  /** Oracle for w20: the identical daily-bin -> weekly-sum -> cumulative
+    * -> rank walk (quantile literals forced DOUBLE so neither engine
+    * slips into decimal arithmetic).
+    */
+  val sqlHistogramQuantileRollup: String =
+    s"""WITH b AS (SELECT date_trunc('week', ts) AS wk, date_trunc('day', ts) AS day,
+       |    least(greatest(floor(value), 0), ${HistBins - 1})::INT AS bin
+       |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+       |daily AS (SELECT wk, day, bin, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM b GROUP BY 1, 2, 3),
+       |weekly AS (SELECT wk, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+       |  FROM daily GROUP BY 1, 2),
+       |cum AS (SELECT wk, bin, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY wk ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY wk) AS BIGINT) AS n
+       |  FROM weekly),
+       |e AS (SELECT wk, q, bin, cnt, cum, n, ceil(q * n)::BIGINT AS rank
+       |  FROM cum, LATERAL unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) t(q))
+       |SELECT strftime(wk, '%Y-%m-%d') AS week, q,
+       |  round(bin + ((rank - (cum - cnt))::DOUBLE / cnt), 6) AS est,
+       |  n AS n_events
+       |FROM e WHERE cum >= rank AND cum - cnt < rank
+       |ORDER BY week, q""".stripMargin
+
   /** Latest event per user — keyed dedup keeping the newest (the batch
     * analogue of dropDuplicates-with-watermark, SURVEY §2.7).
     */

@@ -555,6 +555,11 @@ object Pipeline {
     },
     // mergeable-sketch rollup: weekly distinct users from UNIONED daily
     // HLL sketches — union==direct pinned exactly, estimate within 5%
+    // weekly value quantiles from merged daily fixed-bin histograms —
+    // the mergeable-sketch rollup with an EXACT merge (integer counts)
+    QueryDef.sql("w20_hist_quantiles", EventWindows.sqlHistogramQuantileRollup) { (s, dir) =>
+      EventWindows.histogramQuantileRollup(Tables.events(s, dir))
+    },
     QueryDef.sql("w18_hll_rollup", EventWindows.sqlHllRollup) { (s, dir) =>
       EventWindows.hllRollup(Tables.events(s, dir))
     },
@@ -567,6 +572,11 @@ object Pipeline {
     // w11 via the SEGMENTED nearest path: symmetric carry-in/carry-out
     // over the bucket-summary table, windows partition (key, bucket) —
     // same oracle, pure plan change (the w9-vs-w7 relationship)
+    // linear-interpolation as-of: each click's value lerped between its
+    // user's bracketing views (one-sided clamps, exact-instant factor 0)
+    QueryDef.sql("w19_interpolate", AsOf.sqlClickValueInterpolation) { (s, dir) =>
+      AsOf.clickValueInterpolation(Tables.events(s, dir))
+    },
     QueryDef.sql("w12_nearest_segmented", AsOf.sqlClickNearestAttribution) { (s, dir) =>
       AsOf.clickNearestSegmented(Tables.events(s, dir))
     },

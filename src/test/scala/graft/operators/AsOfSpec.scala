@@ -472,4 +472,25 @@ class AsOfSpec extends AnyFunSuite {
     // bucket boundary, 200 forward across one
     assert(plain(100L)._1 == Some(11L) && plain(200L)._1 == Some(12L), s"$plain")
   }
+
+  test("interpolation as-of: lerp between brackets, one-sided clamps, exact instant, no-bracket null") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val clicks = Seq(
+      (1L, ts(0), 100L),  // before first view -> clamp forward to 10.0
+      (1L, ts(4), 101L),  // 3/4 between t1 (10) and t5 (30) -> 25.0
+      (1L, ts(5), 102L),  // exactly at a view -> factor 0 -> 30.0
+      (1L, ts(9), 103L),  // after last view -> clamp backward to 30.0
+      (2L, ts(5), 104L)   // user with no views -> null
+    ).toDF("user_id", "ts", "event_id")
+    val views = Seq((1L, ts(1), 10.0), (1L, ts(5), 30.0))
+      .toDF("user_id", "vts", "v")
+    val got = AsOf.asOfInterpolate(clicks, "user_id", "ts", views, "vts", "v")
+      .select(col("event_id"), col("__interp"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got == Map(100L -> Some(10.0), 101L -> Some(25.0), 102L -> Some(30.0),
+      103L -> Some(30.0), 104L -> None), s"$got")
+  }
 }

@@ -73,4 +73,29 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(("2024-01-01 01:00:00", "2024-01-01 04:00:00", 10800L)),
       s"gaps diverged: ${r.toSeq}")
   }
+
+  test("histogram quantiles: rank walk hand-exact, day split merges exactly, clamps hold") {
+    // ten values 0.5..9.5 spread across THREE days of one week: the
+    // weekly histogram must equal the single-day one (integer-sum merge)
+    val rows = (0 until 10).map { i =>
+      val d = 1 + i % 3 // Jan 1-3, 2024 — Mon-Wed of one ISO week
+      (i.toLong, f"2024-01-0$d 12:00:00", "x", i + 0.5)
+    }
+    val r = EventWindows.histogramQuantileRollup(events(rows: _*)).collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2), x.getLong(3)))
+    // N=10: p50 rank 5 -> bin 4 filled to its top edge (est 5.0);
+    // p90 rank 9 -> bin 8 -> 9.0; p99 rank ceil(9.9)=10 -> bin 9 -> 10.0
+    assert(r.toSeq == Seq(
+      ("2024-01-01", 0.5, 5.0, 10L),
+      ("2024-01-01", 0.9, 9.0, 10L),
+      ("2024-01-01", 0.99, 10.0, 10L)), s"quantiles diverged: ${r.toSeq}")
+
+    // clamps: a negative and an overflow value land in the edge bins
+    val extreme = events(
+      (1L, "2024-01-01 12:00:00", "x", -5.0),
+      (2L, "2024-01-01 13:00:00", "x", 2000.0))
+    val e = EventWindows.histogramQuantileRollup(extreme).collect()
+      .map(x => (x.getDouble(1), x.getDouble(2))).toMap
+    assert(e(0.5) == 1.0 && e(0.99) == 1024.0, s"clamps diverged: $e")
+  }
 }
