@@ -505,4 +505,40 @@ class PlanShapeSpec extends AnyFunSuite {
       && !readSchema.contains("n_chars") && !readSchema.contains("source"),
       s"scan should read only doc_id+text under the kernel, got: $readSchema")
   }
+
+  test("interpolation as-of: union+window form — one key exchange, both brackets off one sorted run, no join") {
+    val spark = TestSpark.spark
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(AsOf.clickValueInterpolation(graft.Tables.events(spark, dir)))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"interpolation as-of must never plan a per-key nested loop:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"union+window form has NO join at all:\n$plan")
+      val keyExchanges = plan.split("\n").count(_.contains("hashpartitioning(__k"))
+      assert(keyExchanges <= 1,
+        s"backward+forward brackets must share one exchange, saw $keyExchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("histogram quantiles: both rollups partial-aggregate; the window runs over the bounded weekly table") {
+    val plan = executed(EventWindows.histogramQuantileRollup(
+      graft.Tables.events(TestSpark.spark, dir)))
+    // events -> daily and daily -> weekly must each map-side combine: a
+    // missing partial would shuffle raw events instead of (day, bin) rows
+    val partials = plan.split("\n").count(l =>
+      l.contains("HashAggregate") && l.contains("partial_count") ||
+      l.contains("HashAggregate") && l.contains("partial_sum"))
+    assert(partials >= 2, s"expected map-side combines for daily AND weekly rollups:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the quantile walk is windows over the bounded table, no join:\n$plan")
+    // the explode (quantile fan-out) must sit ABOVE the weekly aggregate,
+    // operating on at most HistBins rows per week, never on raw events
+    val lines = plan.split("\n")
+    val genIdx = lines.indexWhere(_.contains("Generate"))
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    assert(genIdx >= 0 && aggIdx > genIdx,
+      s"explode must run over the aggregated table (Generate above HashAggregate):\n$plan")
+  }
 }
