@@ -428,6 +428,67 @@ object TextOps {
        |WHERE rnk <= $Bm25TopK ORDER BY rnk""".stripMargin
   }
 
+  /** RRF constant (Cormack et al. 2009's k=60, the Lucene/ES default). */
+  val RrfK = 60
+
+  /** Hybrid retrieval via RECIPROCAL RANK FUSION (t33) — the two-tower
+    * serving pattern: the same user query arrives in both of its forms
+    * (the term list, and the query VECTOR its embedding model produced —
+    * here the fixture's vec 0, with vec_id ≡ doc_id in the synthetic
+    * corpus), each tower retrieves its top-k independently — BM25 over
+    * the inverted index, exact cosine over the vector table — and the
+    * lists fuse by RRF(d) = Σ 1/(K + rank_d), the score-free rule that
+    * needs no cross-tower calibration (BM25 scores and cosines are not
+    * comparable; ranks are).
+    *
+    * Scale shape: ALL the heavy lifting is inside the two component
+    * retrievals, each already index-pruned (the BM25 scan touches |q|
+    * posting lists; the dense tower swaps to the saved IVF-PQ path at
+    * corpus scale). The fusion itself sees two k-row lists: a full-outer
+    * join on doc_id + one window over ≤ 2k rows — per-query cost is
+    * O(k), and a many-query batch would partition the same plan by qid.
+    *
+    * FP contract: each tower contributes exactly 1/(K+rank) — one IEEE
+    * division — and the fused score is ONE two-term add in a fixed
+    * expression order, identical in both engines; ties break on doc_id.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame,
+                query: Seq[String] = Bm25Query, k: Int = Bm25TopK): DataFrame = {
+    val lex = bm25TopK(docs, query, k)
+      .select(col("doc_id"), col("rnk").as("lex_rnk"))
+    val dense = Similarity.knnBrute(emb, 1, k)
+      .select(col("vec_id").as("doc_id"), col("rnk").as("dense_rnk"))
+    val fused = lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("dense_rnk")), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("rnk"), col("doc_id"), round(col("rrf"), 6).as("rrf"),
+        col("lex_rnk"), col("dense_rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Oracle for t33: the two component oracles nested VERBATIM (the p32
+    * composition rule — the fusion can never drift from the towers it
+    * fuses), full-outer joined, the identical one-add RRF.
+    */
+  def sqlHybridRrf: String =
+    s"""WITH lex AS (SELECT doc_id, rnk AS lex_rnk FROM (${sqlBm25TopK})),
+       |dense AS (SELECT vec_id AS doc_id, rnk AS dense_rnk
+       |  FROM (${Similarity.sqlKnnBrute(1, Bm25TopK)})),
+       |fused AS (SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+       |    lex_rnk, dense_rnk,
+       |    coalesce(1.0 / ($RrfK + lex_rnk), 0.0)
+       |      + coalesce(1.0 / ($RrfK + dense_rnk), 0.0) AS rrf
+       |  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
+       |SELECT rnk, doc_id, round(rrf, 6) AS rrf, lex_rnk, dense_rnk FROM (
+       |  SELECT doc_id, rrf, lex_rnk, dense_rnk,
+       |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+       |  FROM fused) WHERE rnk <= $Bm25TopK
+       |ORDER BY rnk""".stripMargin
+
   /** Unigram-LM surprisal per document (t13) — the oracle-checkable core of
     * the CCNet/KenLM-style perplexity quality filter: train a unigram model
     * on the corpus (add-one smoothing over the observed vocabulary), score

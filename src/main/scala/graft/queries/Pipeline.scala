@@ -331,6 +331,12 @@ object Pipeline {
         TextOps.trainAndSaveBm25Index(Tables.documents(s, dir), tmp))
       TextOps.bm25FromIndex(TextOps.loadBm25Index(s, bmDir))
     },
+    // hybrid retrieval: BM25 and dense cosine top-k fused by reciprocal
+    // rank fusion — all work inside the two index-pruned towers, the
+    // fusion is a full-outer join of two k-row lists
+    QueryDef.sql("t33_hybrid_rrf", TextOps.sqlHybridRrf) { (s, dir) =>
+      TextOps.hybridRrf(Tables.documents(s, dir), Tables.embeddings(s, dir))
+    },
     // incremental LM update: two models trained independently (old 4/5,
     // shard 1/5 — saved artifacts) MERGE with one vocabulary-sized
     // aggregation, and scoring from the merged model must hash-match

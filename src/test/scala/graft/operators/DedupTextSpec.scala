@@ -175,6 +175,29 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got.head == ((1, 1L)), s"got ${got.toSeq}")
   }
 
+  test("hybrid rrf: both-list docs beat single-list docs, absent docs never fuse in") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // lexical ranks for 'spark': doc 2 (tf 3) -> 1, doc 1 -> 2, doc 3 absent.
+    val d = docs((1L, "spark alpha"), (2L, "spark spark spark"), (3L, "beta gamma"))
+    // dense ranks for query vec 0: vec 1 (identical) -> 1, vec 3 -> 2,
+    // vec 2 (orthogonal) -> outside k=2. vec_id ≡ doc_id.
+    val e = Seq(
+      (0L, "q", Array(1.0f, 0.0f)),
+      (1L, "x", Array(1.0f, 0.0f)),
+      (2L, "x", Array(0.0f, 1.0f)),
+      (3L, "x", Array(0.9f, 0.1f))).toDF("vec_id", "label", "embedding")
+    val got = TextOps.hybridRrf(d, e, query = Seq("spark"), k = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        Option(r.get(3)).map(_.toString.toInt), Option(r.get(4)).map(_.toString.toInt)))
+    // doc 1 (lex 2 + dense 1 = 1/62 + 1/61) beats doc 2 (lex 1 ONLY =
+    // 1/61) — presence in both towers outranks winning one; doc 3
+    // (dense 2 only = 1/62) is cut at k, and doc 2's orthogonal vector
+    // proves a tower miss costs exactly its contribution, nothing else
+    assert(got.toSeq == Seq((1, 1L, Some(2), Some(1)), (2, 2L, Some(1), None)),
+      s"got ${got.toSeq}")
+  }
+
   test("langId picks the language with most marker hits, alphabetical ties") {
     val d = docs((1L, "the a value value"), (2L, "spark stream batch batch"))
     val r = TextOps.langId(d, col("text")).orderBy(col("doc_id")).collect()
