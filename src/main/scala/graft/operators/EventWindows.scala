@@ -408,6 +408,63 @@ object EventWindows {
        |FROM e WHERE cum >= rank AND cum - cnt < rank
        |ORDER BY week, q""".stripMargin
 
+  /** RUN-LENGTH STATUS INTERVALS (w21) — the SCD Type-2 derivation from a
+    * changelog: consecutive same-type events per user collapse into one
+    * validity interval [valid_from, valid_to), valid_to = the next run's
+    * start, open (null + is_current) for the live run. The
+    * gaps-and-islands pattern every warehouse uses to build a type-2
+    * dimension from an event stream: lag flags the change points, a
+    * running sum numbers the runs, one bounded aggregate per run.
+    *
+    * Scale shape: ONE exchange on the user key; the lag flag and the
+    * running run-number share the same partition-local sort; the run
+    * aggregate is partial (map-side combines within a run) and the
+    * valid_to lead runs over the RUNS table — rows = state changes, not
+    * events. Determinism: exact-ts ties order by event_id in both
+    * engines.
+    */
+  def statusIntervals(events: DataFrame): DataFrame = {
+    val base = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("event_type"), 1).over(w)
+    val flagged = base.withColumn("chg",
+      when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+    val grp = flagged.withColumn("grp",
+      sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = grp.groupBy(col("user_id"), col("grp"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("grp"))
+    runs.withColumn("valid_to", lead(col("valid_from"), 1).over(wr))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("n_events"), col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  /** Oracle for w21: the identical lag-flag -> run-number -> per-run
+    * aggregate -> lead walk.
+    */
+  val sqlStatusIntervals: String =
+    """WITH b AS (SELECT user_id, ts, event_id, event_type FROM events
+      |  WHERE ts IS NOT NULL),
+      |f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+      |  FROM f),
+      |runs AS (SELECT user_id, grp, event_type, min(ts) AS valid_from,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM g GROUP BY 1, 2, 3)
+      |SELECT user_id, event_type, valid_from, valid_to, n_events,
+      |  valid_to IS NULL AS is_current FROM (
+      |  SELECT user_id, event_type, valid_from, n_events,
+      |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY grp) AS valid_to
+      |  FROM runs)
+      |ORDER BY user_id, valid_from""".stripMargin
+
   /** Latest event per user — keyed dedup keeping the newest (the batch
     * analogue of dropDuplicates-with-watermark, SURVEY §2.7).
     */

@@ -569,6 +569,12 @@ object Pipeline {
     QueryDef.sql("w18_hll_rollup", EventWindows.sqlHllRollup) { (s, dir) =>
       EventWindows.hllRollup(Tables.events(s, dir))
     },
+    // SCD2 from a changelog: consecutive same-type runs per user collapse
+    // to validity intervals — lag change-flag, running run number, one
+    // bounded aggregate per run, valid_to off the runs table
+    QueryDef.sql("w21_status_intervals", EventWindows.sqlStatusIntervals) { (s, dir) =>
+      EventWindows.statusIntervals(Tables.events(s, dir))
+    },
     // NEAREST as-of with tolerance (merge_asof direction='nearest'):
     // both directions read one sorted run — backward = running last,
     // forward = running first over the same window; no second exchange

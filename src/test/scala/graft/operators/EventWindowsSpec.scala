@@ -74,6 +74,20 @@ class EventWindowsSpec extends AnyFunSuite {
       s"gaps diverged: ${r.toSeq}")
   }
 
+  test("status intervals: runs collapse, a re-entered type opens a NEW interval, last run is current") {
+    val r = EventWindows.statusIntervals(events(
+      (1L, "2024-01-01 10:00:00", "view", 0.0),
+      (2L, "2024-01-01 11:00:00", "view", 0.0),   // same run
+      (3L, "2024-01-01 12:00:00", "click", 0.0),  // change point
+      (4L, "2024-01-01 13:00:00", "view", 0.0)    // view RE-ENTERED: new run
+    )).collect().map(x => (x.getString(1), x.getTimestamp(2).toString,
+      Option(x.getTimestamp(3)).map(_.toString), x.getLong(4), x.getBoolean(5)))
+    assert(r.toSeq == Seq(
+      ("view",  "2024-01-01 10:00:00.0", Some("2024-01-01 12:00:00.0"), 2L, false),
+      ("click", "2024-01-01 12:00:00.0", Some("2024-01-01 13:00:00.0"), 1L, false),
+      ("view",  "2024-01-01 13:00:00.0", None, 1L, true)), s"intervals diverged: ${r.toSeq}")
+  }
+
   test("histogram quantiles: rank walk hand-exact, day split merges exactly, clamps hold") {
     // ten values 0.5..9.5 spread across THREE days of one week: the
     // weekly histogram must equal the single-day one (integer-sum merge)
