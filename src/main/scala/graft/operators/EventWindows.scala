@@ -75,6 +75,81 @@ object EventWindows {
        |  RANGE BETWEEN $RangeFrameUs PRECEDING AND CURRENT ROW)
        |ORDER BY event_id""".stripMargin
 
+  /** w22 minimum history: an anomaly verdict needs at least this many
+    * strictly-earlier events in the trailing day.
+    */
+  val AnomMinHist = 5
+
+  /** w22 trailing-history frame: 24 hours in microseconds — sized to the
+    * fixture's event density (~2 events per user-day); a verdict needs a
+    * day of personal history, not an hour.
+    */
+  val AnomFrameUs = 86400000000L
+
+  /** TRAILING-HISTORY ANOMALY Z-SCORE (w22) — each event scored against
+    * its user's OWN trailing day, current event excluded: z = (x − μ)/σ over
+    * the RANGE frame [t−24h, t), |z| > 3 flags the anomaly. The
+    * self-calibrating rate/value monitor (fraud spikes, sensor glitches,
+    * abuse bursts) — w10's event-time frame turned into a verdict.
+    *
+    * FP contract: the frame aggregates are DECIMAL sums of the 6-dp
+    * rounded value and its square — exact in ANY accumulation order, so
+    * the segment-tree vs running-accumulator difference between engines
+    * cannot surface. The variance numerator n·Σx² − (Σx)² stays in exact
+    * integer/decimal arithmetic; only the final two divisions and the
+    * sqrt run in double, in one fixed expression order. σ = 0 (constant
+    * history) yields a null z in both engines by an explicit guard, never
+    * an engine-specific inf/NaN.
+    *
+    * Scale shape: identical to w10 — one hash exchange on user_id, one
+    * partition-local sort, three frame aggregates off the same run.
+    */
+  def anomalyZ(events: DataFrame): DataFrame = {
+    val x = round(col("value"), 6).cast("decimal(18,6)")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-AnomFrameUs, -1L)
+    val framed = events.filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), x.as("xv"),
+        count(lit(1)).over(w).as("n_hist"),
+        sum(x).over(w).as("s"),
+        sum((x * x).cast("decimal(38,12)")).over(w).as("ss"))
+      .filter(col("n_hist") >= AnomMinHist)
+    val varNum = (col("n_hist") * col("ss") - (col("s") * col("s")).cast("decimal(38,12)"))
+      .cast("double")
+    val variance = varNum / (col("n_hist") * (col("n_hist") - 1)).cast("double")
+    val sd = sqrt(variance)
+    val z = when(variance > 0.0,
+      (col("xv").cast("double") - col("s").cast("double") / col("n_hist")) / sd)
+    framed.select(col("event_id"), col("user_id"), col("n_hist"),
+        round(z, 4).as("z"),
+        (z.isNotNull && abs(z) > 3.0).as("is_anom"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Oracle for w22: identical decimal frame sums, identical variance
+    * numerator in exact arithmetic, identical final double sequence.
+    */
+  val sqlAnomalyZ: String =
+    s"""WITH f AS (SELECT event_id, user_id,
+       |    round(value, 6)::DECIMAL(18,6) AS xv,
+       |    CAST(count(*) OVER win AS BIGINT) AS n_hist,
+       |    sum(round(value, 6)::DECIMAL(18,6)) OVER win AS s,
+       |    sum((round(value, 6)::DECIMAL(18,6) * round(value, 6)::DECIMAL(18,6))::DECIMAL(38,12)) OVER win AS ss
+       |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+       |    RANGE BETWEEN $AnomFrameUs PRECEDING AND 1 PRECEDING)),
+       |g AS (SELECT event_id, user_id, n_hist,
+       |    (n_hist * ss - (s * s)::DECIMAL(38,12))::DOUBLE
+       |      / (n_hist * (n_hist - 1))::DOUBLE AS var,
+       |    xv::DOUBLE - s::DOUBLE / n_hist AS dx
+       |  FROM f WHERE n_hist >= $AnomMinHist)
+       |SELECT event_id, user_id, n_hist,
+       |  round(CASE WHEN var > 0.0 THEN dx / sqrt(var) END, 4) AS z,
+       |  CASE WHEN var > 0.0 THEN abs(CASE WHEN var > 0.0 THEN dx / sqrt(var) END) > 3.0
+       |    ELSE FALSE END AS is_anom
+       |FROM g ORDER BY event_id""".stripMargin
+
   /** Hopping-window parameters (w13): 1-hour windows sliding every 15
     * minutes — every event lands in exactly WindowUs/SlideUs = 4
     * overlapping windows. The slide in microseconds is the oracle's

@@ -575,6 +575,12 @@ object Pipeline {
     QueryDef.sql("w21_status_intervals", EventWindows.sqlStatusIntervals) { (s, dir) =>
       EventWindows.statusIntervals(Tables.events(s, dir))
     },
+    // trailing-history anomaly z-score: each event vs its user's own last
+    // hour (current excluded) — decimal frame sums make the variance
+    // order-free, only the last divisions and sqrt run in double
+    QueryDef.sql("w22_anomaly_z", EventWindows.sqlAnomalyZ) { (s, dir) =>
+      EventWindows.anomalyZ(Tables.events(s, dir))
+    },
     // NEAREST as-of with tolerance (merge_asof direction='nearest'):
     // both directions read one sorted run — backward = running last,
     // forward = running first over the same window; no second exchange

@@ -88,6 +88,29 @@ class EventWindowsSpec extends AnyFunSuite {
       ("view",  "2024-01-01 13:00:00.0", None, 1L, true)), s"intervals diverged: ${r.toSeq}")
   }
 
+  test("anomaly z: planted spike flags, normal tail doesn't, constant history yields null z") {
+    // 6 calm events then a spike, all within one user's trailing day
+    val calm = (0 until 6).map(i => (i.toLong, f"2024-01-01 ${10 + i}%02d:00:00", "x", 10.0 + i % 2))
+    val spike = Seq((6L, "2024-01-01 16:30:00", "x", 500.0),
+                    (7L, "2024-01-01 17:00:00", "x", 10.0))
+    val r = EventWindows.anomalyZ(events(calm ++ spike: _*)).collect()
+      .map(x => x.getLong(0) ->
+        (Option(x.get(3)).map(_.toString.toDouble), x.getBoolean(4)))
+      .toMap
+    // events 0-4 lack history (n_hist < 5) and never appear
+    assert(!r.contains(4L) && r.contains(5L), s"min-history cut diverged: $r")
+    assert(r(6L)._2, s"spike must flag: ${r(6L)}")          // 500 vs calm history
+    assert(!r(5L)._2, s"calm event must not flag: ${r(5L)}")
+    // event 7 scores against a history CONTAINING the spike: huge sd, no flag
+    assert(!r(7L)._2, s"post-spike event must absorb the spike into sd: ${r(7L)}")
+
+    // constant history: sd = 0 -> z null, is_anom false (never inf/NaN)
+    val const = (0 until 6).map(i => (i.toLong, f"2024-01-01 ${10 + i}%02d:00:00", "x", 7.0))
+    val c = EventWindows.anomalyZ(events(const: _*)).collect()
+      .map(x => (Option(x.get(3)), x.getBoolean(4)))
+    assert(c.nonEmpty && c.forall { case (z, a) => z.isEmpty && !a }, s"constant history: ${c.toSeq}")
+  }
+
   test("histogram quantiles: rank walk hand-exact, day split merges exactly, clamps hold") {
     // ten values 0.5..9.5 spread across THREE days of one week: the
     // weekly histogram must equal the single-day one (integer-sum merge)
