@@ -517,6 +517,70 @@ object EventWindows {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
+  /** Input row for the streaming [[statusIntervalsStream]]. */
+  final case class RunEv(k: Long, tsUs: Long, eventId: Long, typ: String)
+
+  /** The open run per user: its type, start, and event count. */
+  final case class OpenRun(typ: String, fromUs: Long, n: Long)
+
+  /** One CLOSED interval emitted by the stream (micros; the open run
+    * stays in state — append mode cannot retract a "current" row).
+    */
+  final case class ClosedRun(user_id: Long, event_type: String,
+                             valid_from_us: Long, valid_to_us: Long,
+                             n_events: Long)
+
+  /** STREAMING status intervals — [[statusIntervals]] maintained as
+    * events arrive: keyed state holds each user's ONE open run; a type
+    * change closes it (emit) and opens the next. Emits CLOSED intervals
+    * only — append mode cannot retract, and the open run is by definition
+    * still mutable — so under per-key ordered ingest (the packStream
+    * precondition: sticky key partitioning gives it) the streamed output
+    * EQUALS the batch w21 rows with is_current = false; the state itself
+    * is the is_current row. Within a micro-batch, rows sort by
+    * (ts, event_id) — the batch tie rule — so intra-batch disorder is
+    * absorbed.
+    *
+    * Scale shape: state is ONE small run record per live user (the
+    * dimension's size, not the stream's history), shuffled once per
+    * micro-batch on the user key like all keyed state.
+    */
+  def statusIntervalsStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id").as("k"), unix_micros(col("ts")).as("tsUs"),
+        col("event_id").as("eventId"), col("event_type").as("typ"))
+      .as[RunEv]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(runFold)
+      .toDF()
+  }
+
+  /** Per-user state transition of [[statusIntervalsStream]]: fold the
+    * batch's (ts, event_id)-sorted arrivals over the stored open run —
+    * the w21 change-point rule verbatim.
+    */
+  private def runFold(k: Long, rows: Iterator[RunEv],
+      state: org.apache.spark.sql.streaming.GroupState[OpenRun]): Iterator[ClosedRun] = {
+    val rs = rows.toArray.sortBy(r => (r.tsUs, r.eventId))
+    var open = state.getOption
+    val out = scala.collection.mutable.ArrayBuffer.empty[ClosedRun]
+    rs.foreach { r =>
+      open match {
+        case Some(o) if o.typ == r.typ => open = Some(o.copy(n = o.n + 1))
+        case Some(o) =>
+          out += ClosedRun(k, o.typ, o.fromUs, r.tsUs, o.n)
+          open = Some(OpenRun(r.typ, r.tsUs, 1L))
+        case None => open = Some(OpenRun(r.typ, r.tsUs, 1L))
+      }
+    }
+    open.foreach(state.update)
+    out.iterator
+  }
+
   /** Oracle for w21: the identical lag-flag -> run-number -> per-run
     * aggregate -> lead walk.
     */

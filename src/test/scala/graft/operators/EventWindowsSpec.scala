@@ -111,6 +111,40 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(c.nonEmpty && c.forall { case (z, a) => z.isEmpty && !a }, s"constant history: ${c.toSeq}")
   }
 
+  test("streaming status intervals equal the batch CLOSED rows across micro-batch boundaries") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", "view", 0.0),
+      (2L, "2024-01-01 11:00:00", "view", 0.0),
+      (3L, "2024-01-01 12:00:00", "click", 0.0),
+      (4L, "2024-01-01 13:00:00", "view", 0.0),
+      (5L, "2024-01-01 14:00:00", "view", 0.0))
+    val batch = EventWindows.statusIntervals(events(rows: _*))
+      .filter(!col("is_current"))
+      .collect()
+      .map(r => (r.getString(1), r.getTimestamp(2).getTime * 1000,
+        r.getTimestamp(3).getTime * 1000, r.getLong(4))).toSet
+
+    val in = MemoryStream[(Long, String, String, Double)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, String, Double)]], spark)
+    val streamed = EventWindows.statusIntervalsStream(
+      in.toDF().toDF("event_id", "ts_s", "event_type", "value")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+          col("event_type"), lit(0L).as("user_id")))
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("scd_stream").start()
+    try {
+      // a run SPLIT across micro-batches must not close at the boundary
+      in.addData(rows.take(2): _*); q.processAllAvailable()
+      in.addData(rows.drop(2): _*); q.processAllAvailable()
+      val got = spark.table("scd_stream").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got == batch, s"stream=$got\nbatch=$batch")
+    } finally q.stop()
+  }
+
   test("histogram quantiles: rank walk hand-exact, day split merges exactly, clamps hold") {
     // ten values 0.5..9.5 spread across THREE days of one week: the
     // weekly histogram must equal the single-day one (integer-sum merge)
