@@ -19,6 +19,21 @@ import graft.functions.Portable
   */
 object Similarity {
 
+  /** MMR trade-off: λ weights relevance, 1−λ the diversity penalty. */
+  val MmrLambda = 0.7
+  val MmrCand = 20
+  val MmrK = 10
+
+  /** Input to the per-query MMR fold: one row per ordered candidate pair
+    * (a scored against already-selectable b), plus a's relevance.
+    */
+  final case class MmrIn(qid: Long, a_id: Long, rel: Double,
+                         b_id: Long, psim: Double)
+
+  /** One MMR pick. */
+  final case class MmrOut(qid: Long, rnk: Int, vec_id: Long,
+                          rel: Double, mmr: Double)
+
   /** Codegen'd native expression (graft.functions.DotProduct); the
     * composable zip_with/aggregate form allocates per row and was the
     * benchmark bottleneck at O(n^2) pair volume.
@@ -1482,4 +1497,121 @@ object Similarity {
        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
        |  >= $CosineDupThreshold
        |ORDER BY ia, ib""".stripMargin
+
+  // ------------------------------------------------- MMR re-rank (s14)
+
+  /** MAXIMAL MARGINAL RELEVANCE re-rank (s14, Carbonell & Goldstein
+    * 1998) — the diversification pass a retrieval stack runs AFTER its
+    * top-k: greedily pick argmax λ·rel(c) − (1−λ)·max_{s∈sel} sim(c, s),
+    * so a redundant near-duplicate of an already-picked result is
+    * penalized by its similarity to it and a novel-but-relevant one
+    * rises. Selection is inherently sequential (each pick changes every
+    * remaining score), so it CANNOT be a window function; the right
+    * distribution is PER QUERY: the candidate set is k-bounded by
+    * construction (here [[MmrCand]] = 20 from the exact tower, so ≤ 380
+    * pair rows per query), and the greedy fold runs inside mapGroups on
+    * the qid key — a million queries parallelize across executors, each
+    * group doing O(C²·k) work on its own bounded rows, nothing
+    * corpus-sized ever concentrating anywhere.
+    *
+    * FP contract: rel and pairwise sims are the house 4-dp-rounded
+    * cosines (cross-engine identical); scores are λ·rel − (1−λ)·max in
+    * raw doubles — one multiply, one subtract, a max over identical
+    * values — compared with a vec_id tie-break; the emitted mmr rounds
+    * HALF_UP to 6, DuckDB's round convention.
+    */
+  def mmrRerank(emb: DataFrame, nQueries: Int = 1, cand: Int = MmrCand,
+                k: Int = MmrK): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val top = knnBrute(emb, nQueries, cand)
+      .select(col("qid"), col("vec_id"), col("sim").as("rel"))
+    val e = vecs(emb).withColumn("nrm", norm(col("v")))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val cv = top.join(e, "vec_id")
+    val pairs = cv.as("a").join(cv.as("b"),
+        col("a.qid") === col("b.qid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.qid").as("qid"), col("a.vec_id").as("a_id"),
+        col("a.rel").as("rel"), col("b.vec_id").as("b_id"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4)
+          .as("psim"))
+    pairs.as[MmrIn]
+      .groupByKey(_.qid)
+      .flatMapGroups((qid: Long, rows: Iterator[MmrIn]) => mmrGreedy(qid, rows, k))
+      .toDF()
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** The per-query greedy fold of [[mmrRerank]] — bounded at C candidates
+    * and C² pair rows by construction; the oracle unrolls the identical
+    * k selection steps.
+    */
+  private def mmrGreedy(qid: Long, rows: Iterator[MmrIn],
+                        k: Int): Iterator[MmrOut] = {
+    val rs = rows.toArray
+    val rel = rs.map(r => r.a_id -> r.rel).toMap
+    val ps = rs.map(r => (r.a_id, r.b_id) -> r.psim).toMap
+    val oneMinus = 1.0 - MmrLambda
+    var selected = Vector.empty[Long]
+    val out = Vector.newBuilder[MmrOut]
+    var rnk = 0
+    while (rnk < k && selected.size < rel.size) {
+      rnk += 1
+      val (best, score) = rel.keysIterator.filterNot(selected.contains)
+        .map { c =>
+          val pen = if (selected.isEmpty) 0.0
+            else selected.iterator.map(sel => ps((c, sel))).max
+          (c, MmrLambda * rel(c) - oneMinus * pen)
+        }
+        .reduceLeft { (x, y) =>
+          if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x
+        }
+      val mmr6 = java.math.BigDecimal.valueOf(score)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      out += MmrOut(qid, rnk, best, rel(best), mmr6)
+      selected :+= best
+    }
+    out.result().iterator
+  }
+
+  /** Oracle for s14: the component kNN oracle nested for candidates and
+    * pairwise sims, then the k greedy steps UNROLLED as chained CTEs (the
+    * c2/c6 fixed-iteration replay pattern) — each step scores the not-yet-
+    * selected candidates against the previous selection and picks the
+    * (score DESC, vec_id) head.
+    */
+  def sqlMmrRerank(nQueries: Int = 1, cand: Int = MmrCand,
+                   k: Int = MmrK): String = {
+    val lam = MmrLambda.toString
+    val om = (1.0 - MmrLambda).toString
+    val steps = (1 to k).map { i =>
+      val prev = if (i == 1) "sel0" else s"sel${i - 1}"
+      s"""sc$i AS MATERIALIZED (SELECT c.qid, c.vec_id, c.rel,
+         |    $lam * c.rel - $om * coalesce((SELECT max(p.psim) FROM pair p
+         |      JOIN $prev s ON p.qid = s.qid AND p.b_id = s.vec_id
+         |      WHERE p.qid = c.qid AND p.a_id = c.vec_id), 0.0) AS m
+         |  FROM cv c WHERE NOT EXISTS (SELECT 1 FROM $prev s
+         |    WHERE s.qid = c.qid AND s.vec_id = c.vec_id)),
+         |pk$i AS MATERIALIZED (SELECT qid, vec_id, rel, m, $i AS rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY m DESC, vec_id) AS rn
+         |  FROM sc$i) WHERE rn = 1),
+         |sel$i AS MATERIALIZED (SELECT qid, vec_id FROM $prev
+         |  UNION ALL SELECT qid, vec_id FROM pk$i)""".stripMargin
+    }
+    val picks = (1 to k).map(i => s"SELECT qid, vec_id, rel, m, rnk FROM pk$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH knn AS MATERIALIZED (${sqlKnnBrute(nQueries, cand)}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cv AS MATERIALIZED (SELECT knn.qid, knn.vec_id, knn.sim AS rel, e.v
+       |  FROM knn JOIN e USING (vec_id)),
+       |pair AS MATERIALIZED (SELECT a.qid, a.vec_id AS a_id, b.vec_id AS b_id,
+       |    round(list_dot_product(a.v, b.v)
+       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS psim
+       |  FROM cv a JOIN cv b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+       |sel0 AS (SELECT 0::BIGINT AS qid, 0::BIGINT AS vec_id WHERE 1 = 0),
+       |${steps.mkString(",\n")}
+       |SELECT qid, rnk, vec_id, rel, round(m, 6) AS mmr FROM (
+       |  ${picks.replace("\n", "\n  ")})
+       |ORDER BY qid, rnk""".stripMargin
+  }
 }

@@ -473,6 +473,12 @@ object Pipeline {
       Similarity.ivfPqSearch(Tables.embeddings(s, dir), pruned,
         64 / Similarity.PqBlocks, 10, 5)
     },
+    // MMR diversified re-rank: greedy λ·rel − (1−λ)·max-sim selection
+    // over the bounded top-20 candidate set, run per query inside
+    // mapGroups; oracle unrolls the 10 selection steps as chained CTEs
+    QueryDef.sql("s14_mmr_rerank", Similarity.sqlMmrRerank()) { (s, dir) =>
+      Similarity.mmrRerank(Tables.embeddings(s, dir))
+    },
     // incremental shard ingest: train the index on the FIRST 4/5 of the
     // corpus (saved artifact), one-pass encode the held-out shard against
     // the saved quantizers (coarse assign -> residual -> nearest PQ code,

@@ -187,6 +187,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(perQ.values.forall(_ == 5), s"a query starved: ${perQ.toMap}")
   }
 
+  test("MMR re-rank: a redundant twin of the top pick is demoted below a novel candidate") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // query = vec 0. vec 1: most relevant. vec 2: near-CLONE of vec 1
+    // (sim≈1, redundant). vec 3: slightly less relevant but NOVEL
+    // (sim to 1 only ~0.35 — the shared query component).
+    val e = Seq(
+      (0L, "q", Array(1.00f, 0.00f, 0.00f)),
+      (1L, "x", Array(0.60f, 0.80f, 0.00f)),
+      (2L, "x", Array(0.60f, 0.81f, 0.00f)),
+      (3L, "x", Array(0.58f, 0.00f, 0.80f))).toDF("vec_id", "label", "embedding")
+    val got = Similarity.mmrRerank(e, nQueries = 1, cand = 3, k = 3).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    // pure relevance would order 1, 2, 3; MMR must pick the novel 3 second
+    assert(got.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)), s"got ${got.toSeq}")
+  }
+
   test("source overlap: identical sources read near-1 jaccard, disjoint sources near-0") {
     val spark = TestSpark.spark
     import spark.implicits._
