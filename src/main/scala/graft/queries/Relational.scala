@@ -359,6 +359,35 @@ object Relational {
     // family next to ROLLUP (q8) and CUBE (q14) — two independent
     // one-dimensional rollups in ONE aggregate pass (Spark expands to an
     // Expand + single partial-aggregated exchange, not two scans).
+    // RUNNING DISTINCT per key (q25): at every order, how many DISTINCT
+    // priorities has this customer used so far. COUNT(DISTINCT) over a
+    // running frame would be O(frame) per row; the first-occurrence-flag
+    // + running-sum form is two windows — rn=1 marks each (cust, prio)'s
+    // first order, the running sum of flags IS the distinct count. Two
+    // exchanges ((cust, prio) then its prefix (cust)); everything else is
+    // partition-local.
+    QueryDef.sql("q25_running_distinct",
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CAST(sum(f) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_prio
+        |FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+        |    CASE WHEN row_number() OVER (
+        |      PARTITION BY o_custkey, o_orderpriority
+        |      ORDER BY o_orderdate, o_orderkey) = 1 THEN 1 ELSE 0 END AS f
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val wf = Window.partitionBy(col("o_custkey"), col("o_orderpriority"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wr = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("first", when(row_number().over(wf) === 1, 1L).otherwise(0L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          sum(col("first")).over(wr).as("n_prio"))
+        .orderBy(col("o_orderkey"))
+    },
     QueryDef.sql("q26_grouping_sets",
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,
