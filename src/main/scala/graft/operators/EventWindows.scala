@@ -127,6 +127,92 @@ object EventWindows {
       .orderBy(col("event_id"))
   }
 
+  /** Input row for [[anomalyZStream]] — `v` is the RAW value; the 6-dp
+    * decimal rounding happens inside the fold with the exact Java
+    * sequence Spark's round() uses, so the streamed arithmetic replays
+    * the batch expression bit-for-bit.
+    */
+  final case class AnomEv(k: Long, tsUs: Long, eventId: Long, v: Double)
+
+  /** One streamed anomaly verdict (same columns as the batch w22). */
+  final case class AnomOut(event_id: Long, user_id: Long, n_hist: Long,
+                           z: Option[Double], is_anom: Boolean)
+
+  /** STREAMING anomaly z-score — [[anomalyZ]] as keyed state: each user's
+    * trailing-day history ((tsUs, 6-dp decimal) pairs) lives in state;
+    * an arriving event is scored against the history BEFORE insertion,
+    * with same-instant peers scored together first (the batch frame's
+    * exclusive upper bound excludes ts-peers — the fold preserves that by
+    * batching same-tsUs arrivals). Entries older than the frame are
+    * evicted on every arrival, so per-key state is bounded by
+    * arrival-rate × frame width BY CONSTRUCTION. Under per-key ordered
+    * ingest the streamed verdicts EQUAL the batch w22 rows.
+    *
+    * Arithmetic contract: the fold replays the batch expression sequence
+    * verbatim — BigDecimal.valueOf(raw).setScale(6, HALF_UP) (Spark's
+    * round()), exact decimal sums of x and x², the exact decimal
+    * variance numerator, then the identical double divisions/sqrt and
+    * the HALF_UP 4-dp z rounding.
+    */
+  def anomalyZStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events.filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id").as("k"), unix_micros(col("ts")).as("tsUs"),
+        col("event_id").as("eventId"), col("value").as("v"))
+      .as[AnomEv]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(anomFold)
+      .toDF()
+  }
+
+  /** Per-user state transition of [[anomalyZStream]]. State rows carry
+    * the decimal's unscaled long (scale 6) so the encoder stays exact.
+    */
+  private def anomFold(k: Long, rows: Iterator[AnomEv],
+      state: org.apache.spark.sql.streaming.GroupState[List[(Long, Long)]])
+      : Iterator[AnomOut] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def dec6(raw: Double): JBD = JBD.valueOf(raw).setScale(6, RoundingMode.HALF_UP)
+    val rs = rows.toArray.sortBy(r => (r.tsUs, r.eventId))
+    var hist = state.getOption.getOrElse(Nil)
+      .map { case (ts, unscaled) => (ts, JBD.valueOf(unscaled, 6)) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnomOut]
+    var i = 0
+    while (i < rs.length) {
+      // all arrivals at this exact instant score against the SAME
+      // pre-insertion history (the batch frame's ts-peer exclusion)
+      var j = i
+      while (j < rs.length && rs(j).tsUs == rs(i).tsUs) j += 1
+      val t = rs(i).tsUs
+      hist = hist.filter { case (ts, _) => ts >= t - AnomFrameUs }
+      val inFrame = hist.filter { case (ts, _) => ts <= t - 1 }
+      val n = inFrame.size.toLong
+      if (n >= AnomMinHist) {
+        val s6 = inFrame.map(_._2).reduce(_.add(_))
+        val ss = inFrame.map { case (_, x) => x.multiply(x) }.reduce(_.add(_))
+        val varNum = JBD.valueOf(n).multiply(ss)
+          .subtract(s6.multiply(s6)).doubleValue()
+        val variance = varNum / (n * (n - 1)).toDouble
+        (i until j).foreach { r =>
+          val xv = dec6(rs(r).v)
+          val z = if (variance > 0.0)
+            Some((xv.doubleValue() - s6.doubleValue() / n) / math.sqrt(variance))
+          else None
+          val z4 = z.map(zz => JBD.valueOf(zz)
+            .setScale(4, RoundingMode.HALF_UP).doubleValue())
+          out += AnomOut(rs(r).eventId, k, n, z4, z.exists(math.abs(_) > 3.0))
+        }
+      }
+      (i until j).foreach(r => hist ::= (rs(r).tsUs, dec6(rs(r).v)))
+      i = j
+    }
+    state.update(hist.map { case (ts, d) => (ts, d.unscaledValue().longValueExact()) })
+    out.iterator
+  }
+
   /** Oracle for w22: identical decimal frame sums, identical variance
     * numerator in exact arithmetic, identical final double sequence.
     */

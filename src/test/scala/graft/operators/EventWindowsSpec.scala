@@ -145,6 +145,42 @@ class EventWindowsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly z equals batch across micro-batches, ts-peers and the eviction horizon") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // 7 calm events, a spike, a SAME-INSTANT peer pair, then a row two
+    // days later (everything before it must be evicted -> no verdict)
+    val rows = (0 until 7).map(i =>
+      (i.toLong, f"2024-01-01 ${8 + i}%02d:00:00", "x", 10.0 + (i % 3) * 0.7)) ++ Seq(
+      (7L, "2024-01-01 16:00:00", "x", 400.0),
+      (8L, "2024-01-01 17:00:00", "x", 11.1),
+      (9L, "2024-01-01 17:00:00", "x", 12.2),   // exact ts peer of 8
+      (10L, "2024-01-03 18:00:00", "x", 10.0))  // > 24h after everything
+    val batch = EventWindows.anomalyZ(events(rows: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(2), Option(r.get(3)), r.getBoolean(4))).toSet
+    assert(batch.exists(_._1 == 8L) && batch.exists(_._1 == 9L)
+      && !batch.exists(_._1 == 10L), s"fixture must exercise peers+eviction: $batch")
+
+    val in = MemoryStream[(Long, String, String, Double)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, String, Double)]], spark)
+    val streamed = EventWindows.anomalyZStream(
+      in.toDF().toDF("event_id", "ts_s", "event_type", "value")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+          col("value"), lit(0L).as("user_id")))
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("anom_stream").start()
+    try {
+      // split so history accumulates ACROSS batches and the peer pair
+      // arrives in one batch
+      in.addData(rows.take(6): _*); q.processAllAvailable()
+      in.addData(rows.drop(6): _*); q.processAllAvailable()
+      val got = spark.table("anom_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(2), Option(r.get(3)), r.getBoolean(4))).toSet
+      assert(got == batch, s"stream=$got\nbatch=$batch")
+    } finally q.stop()
+  }
+
   test("histogram quantiles: rank walk hand-exact, day split merges exactly, clamps hold") {
     // ten values 0.5..9.5 spread across THREE days of one week: the
     // weekly histogram must equal the single-day one (integer-sum merge)
