@@ -400,18 +400,39 @@ object TextOps {
       .orderBy(col("rnk"))
   }
 
-  /** Oracle for t31/t32: the identical tf/df/length/total computation and
-    * the identical fp sequence per contribution (constants interpolated
-    * from the same Scala doubles), decimal-summed and ranked the same.
+  /** TOMBSTONED BM25 serving (t35, the s13 deletion leg applied to
+    * retrieval): a delete-list anti-filters the per-doc index tables
+    * (postings, lengths) and the derived statistics are re-derived FROM
+    * THE PRUNED INDEX — df with one vocabulary-sized aggregation over
+    * surviving postings, totals with a one-row aggregate over surviving
+    * lengths — so deletion never re-tokenizes a document, and a deleted
+    * doc can neither surface NOR keep inflating idf/avgdl. Serving must
+    * hash-match a fresh build on the surviving corpus.
     */
-  def sqlBm25TopK: String = {
+  def deleteFromBm25Index(idx: Bm25Index, deleted: Column): Bm25Index = {
+    val postings = idx.postings.filter(!deleted)
+    val doclen = idx.doclen.filter(!deleted)
+    val stats = postings.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val corpus = doclen.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    Bm25Index(postings, doclen, stats, corpus)
+  }
+
+  /** Oracle for t31/t32/t34/t35: the identical tf/df/length/total
+    * computation and the identical fp sequence per contribution
+    * (constants interpolated from the same Scala doubles),
+    * decimal-summed and ranked the same. `pred` restricts the corpus
+    * (the t35 survivor set); the default is the full corpus.
+    */
+  def sqlBm25TopK: String = sqlBm25TopKOver("TRUE")
+
+  def sqlBm25TopKOver(pred: String): String = {
     val q = Bm25Query.map(t => s"'$t'").mkString(", ")
     s"""WITH toks AS (SELECT doc_id, unnest(${graft.functions.Portable.sqlTokens("text")}) AS t
-       |  FROM documents),
+       |  FROM documents WHERE $pred),
        |p AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
        |  WHERE t IN ($q) GROUP BY 1, 2),
        |dl AS (SELECT doc_id, len(${graft.functions.Portable.sqlTokens("text")})::BIGINT AS dl
-       |  FROM documents),
+       |  FROM documents WHERE $pred),
        |s AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
        |c AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl
        |  FROM dl),
@@ -426,6 +447,25 @@ object TextOps {
        |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
        |  FROM sc)
        |WHERE rnk <= $Bm25TopK ORDER BY rnk""".stripMargin
+  }
+
+  /** INCREMENTAL BM25 index merge (t34) — today's shard enters the saved
+    * index with NO recount of the old corpus: postings and doc lengths
+    * are per-doc rows (disjoint doc sets — pure union), term dfs are
+    * ADDITIVE on the term key (one vocabulary-sized outer-join
+    * aggregation, the t24 LM-merge rule), and the one-row totals add.
+    * Serving from the merge must hash-match the full-corpus build — the
+    * count-additivity proof that a 100 TB search tier refreshes its
+    * index by shard, never by rescan.
+    */
+  def mergeBm25Indexes(old: Bm25Index, shard: Bm25Index): Bm25Index = {
+    val postings = old.postings.unionByName(shard.postings)
+    val doclen = old.doclen.unionByName(shard.doclen)
+    val stats = old.stats.unionByName(shard.stats)
+      .groupBy(col("t")).agg(sum(col("df")).as("df"))
+    val corpus = old.corpus.unionByName(shard.corpus)
+      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))
+    Bm25Index(postings, doclen, stats, corpus)
   }
 
   /** RRF constant (Cormack et al. 2009's k=60, the Lucene/ES default). */

@@ -331,6 +331,32 @@ object Pipeline {
         TextOps.trainAndSaveBm25Index(Tables.documents(s, dir), tmp))
       TextOps.bm25FromIndex(TextOps.loadBm25Index(s, bmDir))
     },
+    // incremental index refresh: BM25 indexes trained independently on
+    // the old 4/5 and the new 1/5 (saved artifacts) MERGE with one
+    // vocabulary-sized df aggregation + pure unions, and serving from
+    // the merge must hash-match the full-corpus t31 build — the index
+    // never rescans yesterday's corpus
+    QueryDef.sql("t34_bm25_merged", TextOps.sqlBm25TopK) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cut = docs.count() * 4 / 5
+      val dirA = artifactDir("bm25_old", dir)(tmp =>
+        TextOps.trainAndSaveBm25Index(docs.filter(col("doc_id") < cut), tmp))
+      val dirB = artifactDir("bm25_shard", dir)(tmp =>
+        TextOps.trainAndSaveBm25Index(docs.filter(col("doc_id") >= cut), tmp))
+      TextOps.bm25FromIndex(TextOps.mergeBm25Indexes(
+        TextOps.loadBm25Index(s, dirA), TextOps.loadBm25Index(s, dirB)))
+    },
+    // tombstoned retrieval serving: a delete-list anti-filters the saved
+    // index's per-doc tables, df/totals re-derive from the pruned index
+    // (one vocab-sized agg, no re-tokenization) — must hash-match a
+    // fresh build on the survivors
+    QueryDef.sql("t35_bm25_deleted",
+      TextOps.sqlBm25TopKOver("doc_id % 7 <> 3")) { (s, dir) =>
+      val bmDir = artifactDir("bm25", dir)(tmp =>
+        TextOps.trainAndSaveBm25Index(Tables.documents(s, dir), tmp))
+      TextOps.bm25FromIndex(TextOps.deleteFromBm25Index(
+        TextOps.loadBm25Index(s, bmDir), col("doc_id") % 7 === 3))
+    },
     // hybrid retrieval: BM25 and dense cosine top-k fused by reciprocal
     // rank fusion — all work inside the two index-pruned towers, the
     // fusion is a full-outer join of two k-row lists

@@ -175,6 +175,26 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got.head == ((1, 1L)), s"got ${got.toSeq}")
   }
 
+  test("bm25 delete: the top hit tombstones away, survivors rescore under the pruned stats") {
+    val d = docs(
+      (1L, "spark spark spark alpha"),  // the undisputed top hit
+      (2L, "spark beta gamma"),
+      (3L, "spark delta epsilon"),
+      (4L, "alpha beta gamma"))
+    val idx = TextOps.buildBm25Index(d)
+    val pruned = TextOps.deleteFromBm25Index(idx, col("doc_id") === 1)
+    val got = TextOps.bm25FromIndex(pruned, query = Seq("spark"), k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(!got.exists(_._2 == 1L), s"deleted doc surfaced: ${got.toSeq}")
+    // and the result equals a fresh build on the survivors (df/N/avgdl
+    // all re-derived, not stale)
+    val fresh = TextOps.bm25TopK(d.filter(col("doc_id") =!= 1), Seq("spark"), 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val gotFull = TextOps.bm25FromIndex(pruned, query = Seq("spark"), k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(gotFull.toSeq == fresh.toSeq, s"pruned=${gotFull.toSeq} fresh=${fresh.toSeq}")
+  }
+
   test("hybrid rrf: both-list docs beat single-list docs, absent docs never fuse in") {
     val s = TestSpark.spark
     import s.implicits._
