@@ -468,6 +468,105 @@ object TextOps {
     Bm25Index(postings, doclen, stats, corpus)
   }
 
+  /** Top phrases kept per document by the RAKE extractor. */
+  val RakeTopK = 3
+
+  /** RAKE KEYWORD EXTRACTION (t36, Rose et al. 2010) — the
+    * stopword-delimited phrase scorer: a document's candidate phrases
+    * are its maximal stopword-free token runs (the w21 gaps-and-islands
+    * walk applied INSIDE a token array — the run id is the running count
+    * of stopwords before each token); each word scores degree/freq over
+    * the document's phrases (degree = Σ lengths of phrases containing
+    * it — co-occurrence favors words that live in long phrases), and a
+    * phrase scores the sum of its words' scores. Top-[[RakeTopK]]
+    * distinct phrases per doc, ties broken on the phrase text.
+    *
+    * Scale shape: everything is per-document — explode to (doc, pos,
+    * token), one window per doc for the run ids, two partial-aggregated
+    * groupBys ((doc, run) phrases and (doc, word) stats), a bounded
+    * join back on (doc, word), the top-k window per doc. No corpus-wide
+    * state at all; the whole extractor is embarrassingly parallel over
+    * documents.
+    *
+    * FP contract: word scores are small-integer ratios rounded to 6 dp
+    * and summed as DECIMAL (order-free); ranks compare the exact
+    * decimals.
+    */
+  def rakePhrases(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("stop", col("tok").isin(Stopwords: _*))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val runs = toks
+      .withColumn("rid", sum(col("stop").cast("long")).over(w))
+      .filter(!col("stop") && col("tok") =!= "")
+    val phrases = runs.groupBy(col("doc_id"), col("rid"))
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("pos"), col("tok")))), x => x("tok")), " ")
+          .as("phrase"),
+        count(lit(1)).as("plen"))
+    val wordStats = runs.join(phrases.select(col("doc_id"), col("rid"), col("plen")),
+        Seq("doc_id", "rid"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .withColumn("wscore",
+        round(col("degree").cast("double") / col("freq"), 6).cast("decimal(28,6)"))
+    val scored = runs.join(wordStats, Seq("doc_id", "tok"))
+      .join(phrases.select(col("doc_id"), col("rid"), col("phrase")),
+        Seq("doc_id", "rid"))
+      .groupBy(col("doc_id"), col("rid"), col("phrase"))
+      .agg(sum(col("wscore")).as("score"))
+      .select(col("doc_id"), col("phrase"), col("score")).distinct()
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("phrase"))
+    scored.withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= RakeTopK)
+      .select(col("doc_id"), col("rnk"), col("phrase"),
+        // round in DECIMAL space then cast: rounding the double instead
+        // diverges at 4-dp half boundaries (valueOf's shortest-repr vs
+        // the true binary value — measured at sf0.1)
+        round(col("score"), 4).cast("double").as("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** Oracle for t36: the identical explode -> stop-run walk -> per-doc
+    * word stats -> decimal phrase sum -> top-k.
+    */
+  def sqlRakePhrases: String = {
+    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH tw AS (SELECT doc_id, ${graft.functions.Portable.sqlTokens("text")} AS w
+       |  FROM documents),
+       |toks AS (SELECT doc_id, p - 1 AS pos, w[p] AS tok,
+       |    w[p] IN ($stops) AS stop
+       |  FROM tw, LATERAL unnest(range(1, len(w) + 1)) t(p)),
+       |rids AS (SELECT doc_id, pos, tok, stop,
+       |    CAST(sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rid
+       |  FROM toks),
+       |runs AS (SELECT doc_id, pos, tok, rid FROM rids
+       |  WHERE NOT stop AND tok <> ''),
+       |phrases AS (SELECT doc_id, rid,
+       |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+       |    CAST(count(*) AS BIGINT) AS plen
+       |  FROM runs GROUP BY 1, 2),
+       |ws AS (SELECT r.doc_id, r.tok,
+       |    round(CAST(sum(p.plen) AS BIGINT)::DOUBLE / count(*), 6)::DECIMAL(28,6) AS wscore
+       |  FROM runs r JOIN phrases p USING (doc_id, rid)
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT DISTINCT s.doc_id, p.phrase, s.score FROM (
+       |    SELECT r2.doc_id, r2.rid, sum(w.wscore) AS score
+       |    FROM runs r2 JOIN ws w ON w.doc_id = r2.doc_id AND w.tok = r2.tok
+       |    GROUP BY 1, 2) s
+       |  JOIN phrases p ON p.doc_id = s.doc_id AND p.rid = s.rid)
+       |SELECT doc_id, rnk, phrase, round(score, 4)::DOUBLE AS score FROM (
+       |  SELECT doc_id, phrase, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, phrase) AS rnk
+       |  FROM sc) WHERE rnk <= $RakeTopK
+       |ORDER BY doc_id, rnk""".stripMargin
+  }
+
   /** RRF constant (Cormack et al. 2009's k=60, the Lucene/ES default). */
   val RrfK = 60
 

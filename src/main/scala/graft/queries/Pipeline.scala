@@ -331,6 +331,11 @@ object Pipeline {
         TextOps.trainAndSaveBm25Index(Tables.documents(s, dir), tmp))
       TextOps.bm25FromIndex(TextOps.loadBm25Index(s, bmDir))
     },
+    // RAKE keyword extraction: stopword-delimited phrase runs scored by
+    // per-doc word degree/freq — wholly per-document, no corpus state
+    QueryDef.sql("t36_rake_phrases", TextOps.sqlRakePhrases) { (s, dir) =>
+      TextOps.rakePhrases(Tables.documents(s, dir))
+    },
     // incremental index refresh: BM25 indexes trained independently on
     // the old 4/5 and the new 1/5 (saved artifacts) MERGE with one
     // vocabulary-sized df aggregation + pure unions, and serving from

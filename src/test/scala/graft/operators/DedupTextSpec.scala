@@ -195,6 +195,18 @@ class DedupTextSpec extends AnyFunSuite {
     assert(gotFull.toSeq == fresh.toSeq, s"pruned=${gotFull.toSeq} fresh=${fresh.toSeq}")
   }
 
+  test("rake: stopword-delimited phrases, degree/freq hand-exact, long phrases win") {
+    // stops 'of'/'and' split 3 phrases; degree: deep 2+3, learning 2+2,
+    // convolutional/networks 3, fast 2 -> phrase sums 8.5 / 4.5 / 4.0
+    val d = docs((1L, "deep learning of deep convolutional networks and fast learning"))
+    val got = TextOps.rakePhrases(d).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1, "deep convolutional networks", 8.5),
+      (2, "deep learning", 4.5),
+      (3, "fast learning", 4.0)), s"got ${got.toSeq}")
+  }
+
   test("hybrid rrf: both-list docs beat single-list docs, absent docs never fuse in") {
     val s = TestSpark.spark
     import s.implicits._
