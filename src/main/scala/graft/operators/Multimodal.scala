@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -828,6 +829,88 @@ object Multimodal {
        |FROM g JOIN cnt ca ON g.ia = ca.doc_id JOIN cnt cb ON g.ib = cb.doc_id
        |WHERE n_match::DOUBLE / greatest(ca.nf, cb.nf) >= $VideoMatchFrac
        |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Shot-cut threshold: consecutive frames whose 16-bit aHashes differ
+    * by MORE than this many bits mark a boundary. Within-shot repeats
+    * differ by 0; independent scenes differ by ~8 (half the bits).
+    */
+  val ShotCutBits = 4
+
+  /** mm10 fixture: SHOT-STRUCTURED reels — 4 frames of scene A then 4 of
+    * scene B (each scene's 16 pixels from 3 chained md5 digests of the
+    * doc text), so the only true cut is at frame 4 and every other
+    * transition is a 0-bit repeat. Same REAL container bytes as the mm9
+    * reels, walked by the same cursor parser.
+    */
+  def videoShotAssets(docs: DataFrame): DataFrame = {
+    def hx(tag: String): Column =
+      concat((0 until 3).map(i => md5(concat(col("text"), lit(s"#$tag$i")))): _*)
+    def frame(h: Column): Column =
+      concat(lit(MediaCodec.ppmHeader(4, 4)), to_binary(h, lit("hex")))
+    docs.select(col("doc_id").as("asset_id"), lit("video").as("kind"),
+      concat(Seq.fill(4)(frame(hx("sa"))) ++ Seq.fill(4)(frame(hx("sb"))): _*)
+        .as("data"))
+  }
+
+  /** SHOT-BOUNDARY DETECTION (mm10) — the temporal segmentation every
+    * video-curation pipeline runs before per-shot sampling/dedup: one
+    * lag over each asset's per-frame perceptual hashes, hamming =
+    * bit_count(xor) against the previous frame, a cut wherever the
+    * distance clears [[ShotCutBits]]. Emits every transition with its
+    * distance (the honesty table — thresholds are tunable downstream).
+    *
+    * Scale shape: the reel decodes ONCE in the batched kernel
+    * ([[videoFrameHashes]] — pixels never leave it); what shuffles is
+    * ~10 bytes per frame into a per-asset window whose partition is one
+    * reel's frames. Detection cost is linear in frames, zero joins.
+    */
+  def shotBoundaries(assetsDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("frame_no"))
+    videoFrameHashes(assetsDf)
+      .select(col("asset_id"), col("frame_no"), col("fhash"),
+        lag(col("fhash"), 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .select(col("asset_id"), col("frame_no"),
+        bit_count(col("prev").bitwiseXOR(col("fhash"))).cast("int").as("hamming"))
+      .withColumn("is_cut", col("hamming") > ShotCutBits)
+      .orderBy(col("asset_id"), col("frame_no"))
+  }
+
+  /** Oracle for [[videoShotAssets]] -> [[shotBoundaries]]: the two scene
+    * hashes replay from the same digest hex (per-scene 16-luminance
+    * cross-multiplied mean), frames 1..7 take (prev, cur) by position,
+    * and the same bit_count(xor) walk emits every transition.
+    */
+  val sqlShotBoundaries: String = {
+    def scene(tag: String, h: String, out: String): String = {
+      val hx = (0 until 3).map(i => s"md5(text || '#$tag$i')").mkString(" || ")
+      val lums = (0 until 16).map { k =>
+        val b = (0 until 3)
+          .map(c => s"('0x' || substr($h, ${6 * k + 2 * c + 1}, 2))::BIGINT")
+          .mkString(" + ")
+        s"($b) AS l$k"
+      }.mkString(", ")
+      val total = (0 until 16).map(k => s"l$k").mkString(" + ")
+      val hashExpr = (0 until 16)
+        .map(k => s"CASE WHEN l$k * 16 > total THEN ${1L << k} ELSE 0 END")
+        .mkString(" + ")
+      s"""hx_$tag AS (SELECT doc_id, $hx AS $h FROM documents),
+         |l_$tag AS (SELECT doc_id, $lums FROM hx_$tag),
+         |t_$tag AS (SELECT *, ($total) AS total FROM l_$tag),
+         |$out AS (SELECT doc_id, ($hashExpr)::BIGINT AS $out FROM t_$tag)""".stripMargin
+    }
+    s"""WITH ${scene("sa", "ha_hex", "ha")},
+       |${scene("sb", "hb_hex", "hb")},
+       |h AS (SELECT ha.doc_id, ha.ha, hb.hb FROM ha JOIN hb USING (doc_id)),
+       |tr AS (SELECT doc_id, f,
+       |    CASE WHEN f <= 4 THEN ha ELSE hb END AS prev,
+       |    CASE WHEN f < 4 THEN ha ELSE hb END AS cur
+       |  FROM h, LATERAL unnest([1, 2, 3, 4, 5, 6, 7]) t(f))
+       |SELECT doc_id AS asset_id, f AS frame_no,
+       |  bit_count(xor(prev, cur))::INT AS hamming,
+       |  bit_count(xor(prev, cur)) > $ShotCutBits AS is_cut
+       |FROM tr ORDER BY asset_id, frame_no""".stripMargin
   }
 
   /** Frame sampling for video assets: every `stride`-th frame index with its

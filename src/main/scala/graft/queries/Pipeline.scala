@@ -1006,6 +1006,12 @@ object Pipeline {
     QueryDef.sql("mm9_video_near_dup", Multimodal.sqlVideoNearDupPairs) { (s, dir) =>
       Multimodal.videoNearDupPairs(Multimodal.videoHashAssets(Tables.documents(s, dir)))
     },
+    // shot-boundary detection: one lag over each reel's per-frame aHashes
+    // (decoded once in the kernel), cut where the hamming distance clears
+    // the threshold — within-shot repeats are 0 bits, scene cuts ~half
+    QueryDef.sql("mm10_shot_bounds", Multimodal.sqlShotBoundaries) { (s, dir) =>
+      Multimodal.shotBoundaries(Multimodal.videoShotAssets(Tables.documents(s, dir)))
+    },
     // per-user heartbeat gaps: the outages sessionization implies —
     // one lag over the per-key order, output only the silences
     QueryDef.sql("w15_gaps", EventWindows.sqlHeartbeatGaps) { (s, dir) =>

@@ -311,4 +311,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.forall { case (ia, ib, n) =>
       ib == ia + Multimodal.VariantOffset && n >= 7 })
   }
+
+  test("mm10: a repeat-then-cut reel yields exactly one boundary; a static reel yields none") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // checkerboard scene then inverted checkerboard: hashes are bitwise
+    // complements (hamming 16) — one cut at the transition, zeros inside
+    def scene(inv: Boolean): Array[Byte] = ppm4x4 { p =>
+      if ((p % 2 == 0) ^ inv) 80 else 10
+    }
+    val cutReel = (Seq.fill(4)(scene(false)) ++ Seq.fill(4)(scene(true))).reduce(_ ++ _)
+    val staticReel = Seq.fill(8)(scene(false)).reduce(_ ++ _)
+    val assets = Seq((1L, "video", cutReel), (2L, "video", staticReel))
+      .toDF("asset_id", "kind", "data")
+    val got = Multimodal.shotBoundaries(assets).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+    val cuts = got.filter(_._4)
+    assert(cuts.toSeq == Seq((1L, 4, 16, true)), s"cuts diverged: ${cuts.toSeq}")
+    assert(got.count(!_._4) == 13, s"expected 13 quiet transitions: ${got.toSeq}")
+    assert(got.filter(x => !x._4).forall(_._3 == 0), s"within-shot hamming must be 0")
+  }
 }
