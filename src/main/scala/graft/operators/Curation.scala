@@ -1451,4 +1451,78 @@ object Curation {
     // streaming micro-batch unchanged (stateless, join-free)
     if (docs.isStreaming) gated else gated.orderBy(col("doc_id"))
   }
+
+  // ------------------------------------------------ curriculum manifest
+
+  /** Curriculum phase boundaries in z-score units: |z| <= this is the
+    * "medium" band, below is "easy", above is "hard".
+    */
+  val CurriculumBand = 0.5
+  val CurriculumSeed = "curr"
+
+  /** CURRICULUM MANIFEST (p42) — the easy-to-hard data ordering a
+    * curriculum-trained run consumes (Bengio et al. 2009 applied to
+    * corpus curation): every document scored for difficulty by its t13
+    * unigram surprisal (bits/token under the corpus's own LM — template
+    * text scores low, rare-token text high), assigned a phase by its
+    * corpus z-score (fixed z thresholds, never a global percentile
+    * sort), and given the p14 deterministic shuffle key so consumers
+    * range-partition by (phase, order_key) for a reproducible
+    * within-phase order.
+    *
+    * Scale shape: difficulty is the t13 skeleton (vocabulary-keyed
+    * equi-joins, single-row totals broadcast); the corpus mean/variance
+    * come from ONE partial-aggregated pass over the 4-decimal scores
+    * summed as DECIMALs — order-free by exactness, so both engines and
+    * any partitioning agree to the bit — and ride a single-row
+    * broadcast; phase assignment and the shuffle key are then pure
+    * per-row expressions. No ntile, no global sort, nothing beyond t13's
+    * shuffles.
+    */
+  def curriculum(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val diff = TextOps.unigramSurprisal(docs)
+      .select(col("doc_id"), col("n_tokens"), col("bits_per_token"),
+        col("bits_per_token").cast(DecimalType(18, 4)).as("d"))
+    // E[x] and E[x^2] from exact decimal sums; sigma from the one-row
+    // aggregate (fp, but computed once from exact inputs)
+    val stats = diff
+      .agg((sum(col("d")).cast("double") / count(lit(1))).as("mu"),
+        (sum(col("d") * col("d")).cast("double") / count(lit(1))).as("m2"))
+      .select(col("mu"),
+        sqrt(greatest(col("m2") - col("mu") * col("mu"), lit(0.0)))
+          .as("sigma"))
+    diff.crossJoin(broadcast(stats))
+      .withColumn("zraw", when(col("sigma") === 0.0, lit(0.0))
+        .otherwise((col("bits_per_token") - col("mu")) / col("sigma")))
+      .select(col("doc_id"), col("n_tokens"), col("bits_per_token"),
+        (round(col("zraw"), 4) + 0.0).as("z"),
+        when(col("zraw") < -CurriculumBand, "easy")
+          .when(col("zraw") <= CurriculumBand, "medium")
+          .otherwise("hard").as("phase"),
+        Portable.hash32(concat_ws("-", lit(CurriculumSeed), col("doc_id")))
+          .as("order_key"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[curriculum]]: nests the full t13 oracle, replays the
+    * decimal moment sums, the z arithmetic, the band cases and the
+    * shuffle key.
+    */
+  def sqlCurriculum: String =
+    s"""WITH diff AS (${Portable.sqlNoOrder(TextOps.sqlUnigramSurprisal)}),
+       |x AS (SELECT doc_id, n_tokens, bits_per_token,
+       |    CAST(bits_per_token AS DECIMAL(18,4)) AS d FROM diff),
+       |st AS (SELECT CAST(sum(d) AS DOUBLE) / count(*) AS mu,
+       |    CAST(sum(d*d) AS DOUBLE) / count(*) AS m2 FROM x),
+       |s2 AS (SELECT mu, sqrt(greatest(m2 - mu*mu, 0.0)) AS sigma FROM st),
+       |zd AS (SELECT x.*, CASE WHEN sigma = 0.0 THEN 0.0
+       |    ELSE (bits_per_token - mu) / sigma END AS zraw FROM x, s2)
+       |SELECT doc_id, n_tokens, bits_per_token,
+       |  round(zraw, 4) + 0.0 AS z,
+       |  CASE WHEN zraw < -$CurriculumBand THEN 'easy'
+       |       WHEN zraw <= $CurriculumBand THEN 'medium'
+       |       ELSE 'hard' END AS phase,
+       |  ${Portable.sqlHash32(s"'$CurriculumSeed-' || doc_id::VARCHAR")} AS order_key
+       |FROM zd ORDER BY doc_id""".stripMargin
 }

@@ -758,6 +758,11 @@ object Pipeline {
     QueryDef.sql("p14_shuffle_order", Curation.sqlShuffleOrder) { (s, dir) =>
       Curation.shuffleOrder(Tables.documents(s, dir))
     },
+    // curriculum manifest: t13 difficulty, phase by corpus z-score
+    // (decimal-exact moments, one broadcast scalar row), p14 order key
+    QueryDef.sql("p42_curriculum", Curation.sqlCurriculum) { (s, dir) =>
+      Curation.curriculum(Tables.documents(s, dir))
+    },
 
     // -------- per-source adaptive quality gate (keep >= source median)
     QueryDef.sql("p15_quality_gate", Curation.sqlQualityGate) { (s, dir) =>

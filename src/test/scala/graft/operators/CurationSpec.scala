@@ -261,4 +261,23 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("curriculum: rare-token doc lands in the hard phase, z-scores follow the 1-outlier algebra") {
+    // 9 identical common docs + 1 rare-token doc: z_common = -1/sqrt(9),
+    // z_rare = sqrt(9) — common land in the medium band, the outlier is hard
+    val d = docs(((0L until 9L).map(i => (i, "the quick brown fox", "a")) :+
+      (9L, "xylophone quixotic zephyr glyph", "a")): _*)
+    val got = Curation.curriculum(d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getString(4))).toMap
+    assert(got(9L)._2 == "hard" && got(9L)._1 == 3.0, s"$got")
+    assert((0L until 9L).forall(i =>
+      got(i)._2 == "medium" && got(i)._1 == -0.3333), s"$got")
+  }
+
+  test("curriculum: uniform corpus has zero sigma, everything medium at z=0") {
+    val d = docs((0L until 5L).map(i => (i, "same text every time", "a")): _*)
+    val got = Curation.curriculum(d).collect()
+      .map(r => (r.getDouble(3), r.getString(4))).toSet
+    assert(got == Set((0.0, "medium")), s"$got")
+  }
 }
