@@ -468,6 +468,96 @@ object TextOps {
     Bm25Index(postings, doclen, stats, corpus)
   }
 
+  /** Cavnar–Trenkle profile sizes: per-language and per-document top
+    * trigram counts. The language profile is rank-truncated at
+    * [[CtLangTop]]; a document gram absent from a profile costs exactly
+    * that maximum rank distance.
+    */
+  val CtLangTop = 50
+  val CtDocTop = 20
+
+  /** CHARACTER-N-GRAM LANGUAGE ID (t37, Cavnar & Trenkle 1994) — the
+    * real algorithm behind fastText-era langid's ancestors, replacing
+    * t3's marker-word heuristic with trained profiles: each language's
+    * profile is its top-[[CtLangTop]] character trigrams RANKED by
+    * frequency (ties on the gram text); a document's top-[[CtDocTop]]
+    * trigrams score against every candidate profile by OUT-OF-PLACE
+    * distance — Σ |doc_rank − profile_rank|, an absent gram costing the
+    * maximum [[CtLangTop]] — and the minimum-distance language wins
+    * (alphabetical ties). Trained on the corpus's own lang labels;
+    * emits the prediction and its correctness per doc, the honesty
+    * column t29's confusion matrix consumes.
+    *
+    * Scale shape: gram counting is the t5 shape (explode + map-side
+    * combined (doc, gram) groupBy); the language profile is ≤ langs ×
+    * [[CtLangTop]] rows and BROADCASTS; scoring fans each doc's ≤
+    * [[CtDocTop]] grams across the candidate languages (a bounded
+    * constant per doc) and partial-aggregates the distance. Integer
+    * arithmetic end to end — no fp contract needed.
+    */
+  def ctLangId(docs: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"), col("lang"),
+        lower(trim(col("text"))).as("t"))
+      .filter(length(col("t")) >= 3)
+    val grams = t.select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), length(col("t")) - 2)).as("p"), col("t"))
+      .select(col("doc_id"), col("lang"), expr("substring(t, p, 3)").as("g"))
+    val langProf = grams.groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("lr", row_number().over(
+        W.partitionBy(col("lang")).orderBy(col("c").desc, col("g"))))
+      .filter(col("lr") <= CtLangTop)
+      .select(col("lang").as("cand"), col("g"), col("lr"))
+    val docProf = grams.groupBy(col("doc_id"), col("lang"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dr", row_number().over(
+        W.partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))))
+      .filter(col("dr") <= CtDocTop)
+      .select(col("doc_id"), col("lang"), col("g"), col("dr"))
+    // identical to langProf's language set (same length filter feeds
+    // both) but a column-pruned scan instead of a third gram explode
+    val langs = t.select(col("lang").as("cand")).distinct()
+    val dists = docProf.crossJoin(broadcast(langs))
+      .join(broadcast(langProf), Seq("cand", "g"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg(sum(coalesce(abs(col("dr") - col("lr")), lit(CtLangTop.toLong)))
+        .as("dist"))
+    dists.withColumn("rn", row_number().over(
+        W.partitionBy(col("doc_id")).orderBy(col("dist"), col("cand"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand").as("pred"), col("dist"),
+        (col("cand") === col("lang")).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for t37: identical gram walk, rank truncations, out-of-place
+    * distance and argmin tie-breaks.
+    */
+  val sqlCtLangId: String =
+    s"""WITH d AS (SELECT doc_id, lang, lower(trim(text)) AS t FROM documents
+       |  WHERE len(lower(trim(text))) >= 3),
+       |grams AS (SELECT doc_id, lang, substr(t, p, 3) AS g
+       |  FROM d, LATERAL unnest(range(1, len(t) - 1)) u(p)),
+       |lp AS (SELECT lang AS cand, g, lr FROM (
+       |  SELECT lang, g, row_number() OVER (PARTITION BY lang
+       |      ORDER BY count(*) DESC, g) AS lr
+       |  FROM grams GROUP BY lang, g) WHERE lr <= $CtLangTop),
+       |dp AS (SELECT doc_id, lang, g, dr FROM (
+       |  SELECT doc_id, lang, g, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY count(*) DESC, g) AS dr
+       |  FROM grams GROUP BY doc_id, lang, g) WHERE dr <= $CtDocTop),
+       |langs AS (SELECT DISTINCT cand FROM lp),
+       |dist AS (SELECT dp.doc_id, dp.lang, l.cand,
+       |    CAST(sum(coalesce(abs(dp.dr - lp.lr), $CtLangTop)) AS BIGINT) AS dist
+       |  FROM dp CROSS JOIN langs l
+       |  LEFT JOIN lp ON lp.cand = l.cand AND lp.g = dp.g
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id, cand AS pred, dist, cand = lang AS correct FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY dist, cand) AS rn FROM dist)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** Top phrases kept per document by the RAKE extractor. */
   val RakeTopK = 3
 

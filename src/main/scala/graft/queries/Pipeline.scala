@@ -331,6 +331,11 @@ object Pipeline {
         TextOps.trainAndSaveBm25Index(Tables.documents(s, dir), tmp))
       TextOps.bm25FromIndex(TextOps.loadBm25Index(s, bmDir))
     },
+    // Cavnar-Trenkle n-gram language ID: trained per-language trigram
+    // rank profiles (broadcast), out-of-place distance per doc, argmin
+    QueryDef.sql("t37_ct_langid", TextOps.sqlCtLangId) { (s, dir) =>
+      TextOps.ctLangId(Tables.documents(s, dir))
+    },
     // RAKE keyword extraction: stopword-delimited phrase runs scored by
     // per-doc word degree/freq — wholly per-document, no corpus state
     QueryDef.sql("t36_rake_phrases", TextOps.sqlRakePhrases) { (s, dir) =>

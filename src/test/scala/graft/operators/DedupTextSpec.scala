@@ -195,6 +195,27 @@ class DedupTextSpec extends AnyFunSuite {
     assert(gotFull.toSeq == fresh.toSeq, s"pruned=${gotFull.toSeq} fresh=${fresh.toSeq}")
   }
 
+  test("ct langid: profiles separate crafted languages; prediction reads the text, not the label") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // two 'languages' with disjoint character distributions; doc 99 is
+    // mislabeled ita but WRITTEN in ger — the profile must out it
+    val ger = Seq("schwarz strasse durch schnell", "zwischen schreiben strauch",
+      "durch schwer strasse zwischen")
+    val ita = Seq("perche della quando famiglia", "bellissimo ragazzo della",
+      "quando perche famiglia della")
+    val rows = ger.zipWithIndex.map { case (t, i) => (i.toLong, t, "ger") } ++
+      ita.zipWithIndex.map { case (t, i) => (10L + i, t, "ita") } :+
+      (99L, "strasse durch schwarz schnell", "ita")
+    val d = rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("x")).withColumn("n_chars", length(col("text")))
+    val got = TextOps.ctLangId(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(3))).toMap
+    assert((0 until 3).forall(i => got(i.toLong) == ("ger", true)), s"$got")
+    assert((10 until 13).forall(i => got(i.toLong) == ("ita", true)), s"$got")
+    assert(got(99L) == ("ger", false), s"mislabeled doc must be outed by its text: $got")
+  }
+
   test("rake: stopword-delimited phrases, degree/freq hand-exact, long phrases win") {
     // stops 'of'/'and' split 3 phrases; degree: deep 2+3, learning 2+2,
     // convolutional/networks 3, fast 2 -> phrase sums 8.5 / 4.5 / 4.0

@@ -541,4 +541,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(genIdx >= 0 && aggIdx > genIdx,
       s"explode must run over the aggregated table (Generate above HashAggregate):\n$plan")
   }
+
+  test("ct langid: doc top-K cut below the exchange, profiles broadcast, no corpus cross") {
+    val plan = executed(TextOps.ctLangId(graft.Tables.documents(TestSpark.spark, dir)))
+    // per-doc and per-language rank truncations must push a partial
+    // WindowGroupLimit below their exchanges — what shuffles is each
+    // doc's top-20 grams, not its whole gram multiset
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected rank-truncation pushdown (WindowGroupLimit) in:\n$plan")
+    // the language profile (<= langs x 50 rows) and language list ride
+    // broadcasts; the only cross is docProf x the bounded language list
+    assert(plan.contains("BroadcastExchange"),
+      s"expected the language profile to broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the candidate fan-out must be a broadcast of the bounded language list:\n$plan")
+  }
+
+  test("curriculum: one scalar stats row broadcasts; no sort or ntile over the corpus") {
+    val plan = executed(Curation.curriculum(graft.Tables.documents(TestSpark.spark, dir)))
+    // mean/sigma arrive as a broadcast single-row aggregate; phase
+    // assignment is then per-row — a percentile/ntile formulation would
+    // show a corpus-wide Window with an empty partition spec here
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the stats row to broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"stats must broadcast, not cross:\n$plan")
+    assert(!plan.contains("ntile") && !plan.contains("Window "),
+      s"phases come from fixed z thresholds, never a global rank:\n$plan")
+  }
 }
