@@ -708,4 +708,70 @@ object EventWindows {
       |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events) WHERE rn = 1
       |ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------- trending items
+
+  /** Items kept per window by the trending report. */
+  val TrendTopK = 3
+
+  /** TRENDING ITEMS (w23) — the "what's hot right now" dashboard over a
+    * high-cardinality item key (the JSON `k` prop): per tumbling day,
+    * the top-[[TrendTopK]] items by event count, each carrying its rank
+    * and its DELTA vs the same item's count in the previous day — volume
+    * says what's big, the delta says what's RISING; a rank-by-volume
+    * table that also exposes growth is what an ops dashboard actually
+    * plots.
+    *
+    * Scale shape: raw events collapse to (day, item) counts in ONE
+    * map-side combined aggregate — nothing past that first combine
+    * scales with event volume. The lag runs per ITEM over its few day
+    * rows (bounded by the calendar, partitioned by the high-cardinality
+    * key — no skew); the top-K rank per day partial-limits before its
+    * exchange (WindowGroupLimit), so what shuffles for ranking is K rows
+    * per (day, input partition).
+    */
+  def trendingItems(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("ts").isNotNull && col("props").isNotNull)
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("day"), col("item")).agg(count(lit(1)).as("n"))
+    val wItem = Window.partitionBy(col("item")).orderBy(col("day"))
+    val wDay = Window.partitionBy(col("day"))
+      .orderBy(col("n").desc, col("item"))
+    daily
+      .withColumn("prev_day", lag(col("day"), 1).over(wItem))
+      .withColumn("prev_n", lag(col("n"), 1).over(wItem))
+      // only an ADJACENT calendar day counts as "previous" for the delta
+      .withColumn("delta", col("n") - when(
+        datediff(col("day"), col("prev_day")) === 1, col("prev_n"))
+        .otherwise(lit(0L)))
+      .withColumn("rank", row_number().over(wDay))
+      .filter(col("rank") <= TrendTopK)
+      .select(col("day"), col("rank"), col("item"), col("n"), col("delta"))
+      .orderBy(col("day"), col("rank"))
+  }
+
+  /** Oracle for [[trendingItems]]: same (day, item) rollup, adjacent-day
+    * lag and rank tie-breaks.
+    */
+  val sqlTrendingItems: String =
+    s"""WITH daily AS (
+       |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       |    json_extract(props, '$$.k')::INT AS item,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events WHERE ts IS NOT NULL AND props IS NOT NULL
+       |    AND json_extract(props, '$$.k') IS NOT NULL
+       |  GROUP BY 1, 2),
+       |lagd AS (SELECT *,
+       |    lag(day) OVER (PARTITION BY item ORDER BY day) AS prev_day,
+       |    lag(n) OVER (PARTITION BY item ORDER BY day) AS prev_n
+       |  FROM daily),
+       |ranked AS (SELECT day, item, n,
+       |    n - CASE WHEN date_diff('day', prev_day::DATE, day::DATE) = 1
+       |      THEN prev_n ELSE 0 END AS delta,
+       |    row_number() OVER (PARTITION BY day ORDER BY n DESC, item) AS rank
+       |  FROM lagd)
+       |SELECT day, rank, item, n, delta FROM ranked
+       |WHERE rank <= $TrendTopK ORDER BY day, rank""".stripMargin
 }

@@ -623,6 +623,11 @@ object Pipeline {
     QueryDef.sql("w22_anomaly_z", EventWindows.sqlAnomalyZ) { (s, dir) =>
       EventWindows.anomalyZ(Tables.events(s, dir))
     },
+    // trending items per day: one (day, item) map-side combine, top-K by
+    // count with an adjacent-day growth delta — rank cut pushes partial
+    QueryDef.sql("w23_trending", EventWindows.sqlTrendingItems) { (s, dir) =>
+      EventWindows.trendingItems(Tables.events(s, dir))
+    },
     // NEAREST as-of with tolerance (merge_asof direction='nearest'):
     // both directions read one sorted run — backward = running last,
     // forward = running first over the same window; no second exchange

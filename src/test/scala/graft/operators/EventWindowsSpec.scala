@@ -205,4 +205,29 @@ class EventWindowsSpec extends AnyFunSuite {
       .map(x => (x.getDouble(1), x.getDouble(2))).toMap
     assert(e(0.5) == 1.0 && e(0.99) == 1024.0, s"clamps diverged: $e")
   }
+
+  test("trending: volume ranks with item tie-break; delta only credits the ADJACENT previous day") {
+    val s = TestSpark.spark
+    import s.implicits._
+    def ev(id: Long, day: String, item: Int) =
+      (id, s"$day 12:00:00", s"""{"k": $item}""")
+    // day 1: item 7 x3, item 9 x1; day 2: item 9 x4 (rising), item 7 x2
+    // (falling); day 4 (gap!): item 7 x2 -> prev day is day 2, NOT
+    // adjacent, so its delta is the full count
+    val rows = Seq(
+      ev(1, "2024-01-01", 7), ev(2, "2024-01-01", 7), ev(3, "2024-01-01", 7),
+      ev(4, "2024-01-01", 9),
+      ev(5, "2024-01-02", 9), ev(6, "2024-01-02", 9), ev(7, "2024-01-02", 9),
+      ev(8, "2024-01-02", 9), ev(9, "2024-01-02", 7), ev(10, "2024-01-02", 7),
+      ev(11, "2024-01-04", 7), ev(12, "2024-01-04", 7))
+    val d = rows.toDF("event_id", "ts_s", "props")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"), col("props"),
+        lit(0L).as("user_id"), lit("x").as("event_type"), lit(0.0).as("value"))
+    val got = EventWindows.trendingItems(d).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 1, 7, 3L, 3L), ("2024-01-01", 2, 9, 1L, 1L),
+      ("2024-01-02", 1, 9, 4L, 3L), ("2024-01-02", 2, 7, 2L, -1L),
+      ("2024-01-04", 1, 7, 2L, 2L)), s"${got.toSeq}")
+  }
 }
