@@ -406,6 +406,55 @@ object Relational {
            |ORDER BY rf, ls""".stripMargin)
     },
 
+    // Market-basket association: PMI of item pairs sharing a (user, day)
+    // basket — log2(P(a,b) / P(a)P(b)) in basket-count form. The pair
+    // join keys on the basket id with fanout bounded by per-basket item
+    // count; presence counts and the basket total partial-aggregate; the
+    // only broadcasts are the bounded item-count table and one scalar row.
+    QueryDef.sql("q27_basket_pmi",
+      """WITH bi AS (SELECT DISTINCT user_id,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    json_extract(props, '$.k')::INT AS item
+        |  FROM events WHERE ts IS NOT NULL AND props IS NOT NULL
+        |    AND json_extract(props, '$.k') IS NOT NULL),
+        |nb AS (SELECT count(*)::BIGINT AS n
+        |  FROM (SELECT DISTINCT user_id, day FROM bi)),
+        |ic AS (SELECT item, count(*)::BIGINT AS c FROM bi GROUP BY item),
+        |pc AS (SELECT a.item AS ia, b.item AS ib, count(*)::BIGINT AS cab
+        |  FROM bi a JOIN bi b ON a.user_id = b.user_id AND a.day = b.day
+        |    AND a.item < b.item
+        |  GROUP BY 1, 2)
+        |SELECT pc.ia, pc.ib, pc.cab,
+        |  round(log2(pc.cab::DOUBLE * (SELECT n FROM nb) / (ca.c * cb.c)), 4) AS pmi
+        |FROM pc
+        |JOIN ic ca ON ca.item = pc.ia
+        |JOIN ic cb ON cb.item = pc.ib
+        |WHERE pc.cab >= 2
+        |ORDER BY ia, ib""".stripMargin) { (s, dir) =>
+      val bi = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("props").isNotNull)
+        .select(col("user_id"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"))
+        .filter(col("item").isNotNull).distinct()
+      val nb = bi.select(col("user_id"), col("day")).distinct()
+        .agg(count(lit(1)).as("n"))
+      val ic = bi.groupBy(col("item")).agg(count(lit(1)).as("c"))
+      val pc = bi.as("a").join(bi.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+            col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+        .agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 2)
+      pc.join(ic.select(col("item").as("ia"), col("c").as("ca")), "ia")
+        .join(ic.select(col("item").as("ib"), col("c").as("cb")), "ib")
+        .crossJoin(broadcast(nb))
+        .select(col("ia"), col("ib"), col("cab"),
+          round(log2(col("cab").cast("double") * col("n") / (col("ca") * col("cb"))), 4)
+            .as("pmi"))
+        .orderBy(col("ia"), col("ib"))
+    },
+
     // EXCEPT (set difference).
     QueryDef.sql("q15_except",
       """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
