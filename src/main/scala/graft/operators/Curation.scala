@@ -1480,18 +1480,28 @@ object Curation {
     * shuffles.
     */
   def curriculum(docs: DataFrame): DataFrame = {
+    val diff = curriculumDiff(TextOps.unigramSurprisal(docs))
+    assignPhases(diff, curriculumStats(diff))
+  }
+
+  private def curriculumDiff(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val diff = TextOps.unigramSurprisal(docs)
-      .select(col("doc_id"), col("n_tokens"), col("bits_per_token"),
-        col("bits_per_token").cast(DecimalType(18, 4)).as("d"))
-    // E[x] and E[x^2] from exact decimal sums; sigma from the one-row
-    // aggregate (fp, but computed once from exact inputs)
-    val stats = diff
+    scored.select(col("doc_id"), col("n_tokens"), col("bits_per_token"),
+      col("bits_per_token").cast(DecimalType(18, 4)).as("d"))
+  }
+
+  /** E[x] and E[x^2] from exact decimal sums; sigma from the one-row
+    * aggregate (fp, but computed once from exact inputs).
+    */
+  private def curriculumStats(diff: DataFrame): DataFrame =
+    diff
       .agg((sum(col("d")).cast("double") / count(lit(1))).as("mu"),
         (sum(col("d") * col("d")).cast("double") / count(lit(1))).as("m2"))
       .select(col("mu"),
         sqrt(greatest(col("m2") - col("mu") * col("mu"), lit(0.0)))
           .as("sigma"))
+
+  private def assignPhases(diff: DataFrame, stats: DataFrame): DataFrame =
     diff.crossJoin(broadcast(stats))
       .withColumn("zraw", when(col("sigma") === 0.0, lit(0.0))
         .otherwise((col("bits_per_token") - col("mu")) / col("sigma")))
@@ -1503,7 +1513,6 @@ object Curation {
         Portable.hash32(concat_ws("-", lit(CurriculumSeed), col("doc_id")))
           .as("order_key"))
       .orderBy(col("doc_id"))
-  }
 
   /** Oracle for [[curriculum]]: nests the full t13 oracle, replays the
     * decimal moment sums, the z arithmetic, the band cases and the
@@ -1525,4 +1534,81 @@ object Curation {
        |       ELSE 'hard' END AS phase,
        |  ${Portable.sqlHash32(s"'$CurriculumSeed-' || doc_id::VARCHAR")} AS order_key
        |FROM zd ORDER BY doc_id""".stripMargin
+
+  /** Persist the curriculum artifact: the t13 LM (counts/totals/band via
+    * [[TextOps.trainAndSaveSurprisalModel]]) plus the FROZEN difficulty
+    * stats row — the corpus mu/sigma under that model. Freezing both is
+    * what makes phase assignments stable across shards: today's shard is
+    * phased on yesterday's scale, not its own (a shard of hard docs must
+    * land in "hard", not be re-centered to "medium" by its own mean).
+    */
+  def trainAndSaveCurriculum(docs: DataFrame, dir: String): Unit = {
+    val model = TextOps.trainAndSaveSurprisalModel(docs, dir)
+    val diff = curriculumDiff(TextOps.unigramSurprisalFromSaved(docs, model))
+    graft.sources.ModelStore.save(curriculumStats(diff), s"$dir/curr_stats")
+  }
+
+  /** CURRICULUM FOR A NEW SHARD (p43) — p42's incremental twin: score
+    * the shard under the SAVED LM (a token the model never saw degrades
+    * to the add-one floor, the t21 unseen convention) and phase it with
+    * the SAVED mu/sigma. Nothing retrains and nothing re-reads the old
+    * corpus; the shard pays shard cost. This is the operator a daily
+    * pipeline actually runs — p42 is the once-per-corpus calibration
+    * that produces its artifacts.
+    */
+  def curriculumShard(shard: DataFrame,
+                      spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    val model = TextOps.loadSurprisalModel(spark, dir)
+    val stats = graft.sources.ModelStore.load(spark, s"$dir/curr_stats")
+    assignPhases(
+      curriculumDiff(TextOps.unigramSurprisalFromSaved(shard, model)), stats)
+  }
+
+  /** Oracle for [[curriculumShard]]: replays the 4/5 split, trains the
+    * unigram model and freezes the stats on the OLD slice, scores the
+    * shard with the left-join add-one floor for unseen tokens, and
+    * applies the frozen z thresholds.
+    */
+  def sqlCurriculumShard: String = {
+    val toks = Portable.sqlTokens("text")
+    s"""WITH cn AS (SELECT (count(*) * 4) // 5 AS cnt FROM documents),
+       |old AS (SELECT d.* FROM documents d, cn WHERE d.doc_id < cn.cnt),
+       |shard AS (SELECT d.* FROM documents d, cn WHERE d.doc_id >= cn.cnt),
+       |otk AS (SELECT doc_id, unnest($toks) AS t FROM old),
+       |otf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM otk GROUP BY 1, 2),
+       |counts AS (SELECT t, sum(tf)::BIGINT AS c FROM otf GROUP BY t),
+       |totals AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM counts),
+       |oscored AS (SELECT otf.doc_id, otf.tf,
+       |    otf.tf * -log2((counts.c + 1.0) / (totals.n + totals.v)) AS wbits
+       |  FROM otf JOIN counts USING (t), totals),
+       |oper AS (SELECT doc_id, round(sum(wbits) / sum(tf), 4) AS bpt
+       |  FROM oscored GROUP BY doc_id),
+       |odiff AS (SELECT CAST(coalesce(oper.bpt, 0.0) AS DECIMAL(18,4)) AS d
+       |  FROM old LEFT JOIN oper ON oper.doc_id = old.doc_id),
+       |st AS (SELECT CAST(sum(d) AS DOUBLE) / count(*) AS mu,
+       |    CAST(sum(d*d) AS DOUBLE) / count(*) AS m2 FROM odiff),
+       |s2 AS (SELECT mu, sqrt(greatest(m2 - mu*mu, 0.0)) AS sigma FROM st),
+       |stk AS (SELECT doc_id, unnest($toks) AS t FROM shard),
+       |stf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM stk GROUP BY 1, 2),
+       |sscored AS (SELECT stf.doc_id, stf.tf,
+       |    stf.tf * -log2((coalesce(counts.c, 0) + 1.0) / (totals.n + totals.v)) AS wbits
+       |  FROM stf LEFT JOIN counts USING (t), totals),
+       |sper AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+       |    round(sum(wbits) / sum(tf), 4) AS bits_per_token
+       |  FROM sscored GROUP BY doc_id),
+       |sdiff AS (SELECT s.doc_id,
+       |    coalesce(sper.n_tokens, 0)::BIGINT AS n_tokens,
+       |    coalesce(sper.bits_per_token, 0.0) AS bits_per_token
+       |  FROM shard s LEFT JOIN sper ON sper.doc_id = s.doc_id),
+       |zd AS (SELECT sdiff.*, CASE WHEN sigma = 0.0 THEN 0.0
+       |    ELSE (bits_per_token - mu) / sigma END AS zraw FROM sdiff, s2)
+       |SELECT doc_id, n_tokens, bits_per_token,
+       |  round(zraw, 4) + 0.0 AS z,
+       |  CASE WHEN zraw < -$CurriculumBand THEN 'easy'
+       |       WHEN zraw <= $CurriculumBand THEN 'medium'
+       |       ELSE 'hard' END AS phase,
+       |  ${Portable.sqlHash32(s"'$CurriculumSeed-' || doc_id::VARCHAR")} AS order_key
+       |FROM zd ORDER BY doc_id""".stripMargin
+  }
 }

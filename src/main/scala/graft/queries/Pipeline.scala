@@ -773,6 +773,16 @@ object Pipeline {
     QueryDef.sql("p42_curriculum", Curation.sqlCurriculum) { (s, dir) =>
       Curation.curriculum(Tables.documents(s, dir))
     },
+    // incremental curriculum: today's shard scored under YESTERDAY'S
+    // saved LM and phased on the FROZEN mu/sigma — shard cost only,
+    // unseen tokens degrade to the add-one floor
+    QueryDef.sql("p43_curriculum_shard", Curation.sqlCurriculumShard) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cut = docs.count() * 4 / 5
+      val curDir = artifactDir("curriculum", dir)(tmp =>
+        Curation.trainAndSaveCurriculum(docs.filter(col("doc_id") < cut), tmp))
+      Curation.curriculumShard(docs.filter(col("doc_id") >= cut), s, curDir)
+    },
 
     // -------- per-source adaptive quality gate (keep >= source median)
     QueryDef.sql("p15_quality_gate", Curation.sqlQualityGate) { (s, dir) =>

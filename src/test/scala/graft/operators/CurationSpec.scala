@@ -274,6 +274,23 @@ class CurationSpec extends AnyFunSuite {
       got(i)._2 == "medium" && got(i)._1 == -0.3333), s"$got")
   }
 
+  test("curriculum shard: phased on the FROZEN scale — a hard-only shard stays hard") {
+    val s = TestSpark.spark
+    // old corpus: 9 easy + 1 hard doc sets mu/sigma; the shard is ALL
+    // unseen-token docs — on its own mean it would re-center to medium,
+    // on the frozen scale every doc must land in "hard"
+    val old = docs(((0L until 9L).map(i => (i, "the quick brown fox", "a")) :+
+      (9L, "xylophone quixotic zephyr glyph", "a")): _*)
+    val shard = docs((10L until 14L).map(i =>
+      (i, s"unseen$i tokens$i everywhere$i", "a")): _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft-curr-test").toString
+    Curation.trainAndSaveCurriculum(old, dir)
+    val got = Curation.curriculumShard(shard, s, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(got.keySet == (10L until 14L).toSet && got.values.forall(_ == "hard"),
+      s"frozen-scale phasing diverged: $got")
+  }
+
   test("curriculum: uniform corpus has zero sigma, everything medium at z=0") {
     val d = docs((0L until 5L).map(i => (i, "same text every time", "a")): _*)
     val got = Curation.curriculum(d).collect()
