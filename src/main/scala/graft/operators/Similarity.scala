@@ -1614,4 +1614,80 @@ object Similarity {
        |  ${picks.replace("\n", "\n  ")})
        |ORDER BY qid, rnk""".stripMargin
   }
+
+  // ------------------------------------------------ index drift report
+
+  /** Cell-occupancy drift beyond this absolute fraction flags the cell. */
+  val IvfDriftFlag = 0.02
+
+  /** ANN INDEX DRIFT REPORT (s15) — the "when to retrain the quantizer"
+    * monitoring table, closing the index lifecycle the way p23 closes
+    * the LM's: each cell's occupancy fraction in the SAVED index vs in a
+    * new shard assigned against the SAVED coarse centroids. A shard
+    * whose embedding distribution moved piles into few cells — those
+    * cells' probe lists grow long and nprobe recall degrades — and the
+    * per-cell drift column says so before serving does.
+    *
+    * Scale shape: the old side is a count over the saved cells table;
+    * the shard side is the c2 assign (one broadcast join against k×D
+    * centroids) plus a count; everything after is arithmetic over k
+    * rows with the two totals on a single-row broadcast. Encode-free:
+    * no PQ work, no pair joins — strictly cheaper than s11's encode, so
+    * it can run on every shard as a pre-flight.
+    */
+  def ivfDriftReport(shard: DataFrame, idx: IvfPqIndex): DataFrame = {
+    val oldSz = idx.cells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("old_n"))
+    val newSz = assign(unitEmb(shard), idx.coarse)
+      .select(col("c").as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("new_n"))
+    val j = oldSz.join(newSz, Seq("cell"), "full_outer")
+      .select(col("cell"), coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"))
+    val tot = j.agg(sum(col("old_n")).as("ot"), sum(col("new_n")).as("nt"))
+    val of = col("old_n").cast("double") / col("ot")
+    val nf = col("new_n").cast("double") / col("nt")
+    j.crossJoin(broadcast(tot))
+      .select(col("cell"), col("old_n"), col("new_n"),
+        (round(of, 4) + 0.0).as("old_frac"),
+        (round(nf, 4) + 0.0).as("new_frac"),
+        (round(nf - of, 4) + 0.0).as("drift"),
+        (abs(nf - of) > IvfDriftFlag).as("flagged"))
+      .orderBy(col("cell"))
+  }
+
+  /** Oracle for [[ivfDriftReport]]: replays the 4/5 split, the coarse
+    * training on the old slice, the shard's nearest-saved-centroid
+    * assignment, and the occupancy arithmetic.
+    */
+  def sqlIvfDrift: String = {
+    val eUnit =
+      """cn AS (SELECT (count(*) * 4) // 5 AS cnt FROM embeddings),
+        |eall AS (SELECT vec_id,
+        |    list_transform(v0, x -> round(x / sqrt(list_dot_product(v0, v0)), 6)) AS v
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings)),
+        |e AS (SELECT vec_id, v FROM eall WHERE vec_id < (SELECT cnt FROM cn))""".stripMargin
+    val (kmCtes, aN, cN) = sqlKmeansCtes(IvfPqCoarse, 2, eUnit)
+    s"""WITH $kmCtes,
+       |exn AS (SELECT vec_id, i::INT AS i, v[i] AS x
+       |  FROM eall, LATERAL unnest(range(1, len(v) + 1)) t(i)
+       |  WHERE vec_id >= (SELECT cnt FROM cn)),
+       |ncd AS (SELECT exn.vec_id, p.c, round(sum((exn.x - p.cv) * (exn.x - p.cv)), 6) AS d
+       |  FROM exn JOIN $cN p USING (i) GROUP BY 1, 2),
+       |ncell AS (SELECT vec_id, c FROM (
+       |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |  FROM ncd) WHERE rn = 1),
+       |osz AS (SELECT c AS cell, count(*)::BIGINT AS old_n FROM $aN GROUP BY 1),
+       |nsz AS (SELECT c AS cell, count(*)::BIGINT AS new_n FROM ncell GROUP BY 1),
+       |j AS (SELECT coalesce(osz.cell, nsz.cell) AS cell,
+       |    coalesce(old_n, 0)::BIGINT AS old_n, coalesce(new_n, 0)::BIGINT AS new_n
+       |  FROM osz FULL OUTER JOIN nsz ON osz.cell = nsz.cell),
+       |tt AS (SELECT sum(old_n)::BIGINT AS ot, sum(new_n)::BIGINT AS nt FROM j)
+       |SELECT cell, old_n, new_n,
+       |  round(old_n::DOUBLE / ot, 4) + 0.0 AS old_frac,
+       |  round(new_n::DOUBLE / nt, 4) + 0.0 AS new_frac,
+       |  round(new_n::DOUBLE / nt - old_n::DOUBLE / ot, 4) + 0.0 AS drift,
+       |  abs(new_n::DOUBLE / nt - old_n::DOUBLE / ot) > $IvfDriftFlag AS flagged
+       |FROM j, tt ORDER BY cell""".stripMargin
+  }
 }

@@ -536,6 +536,18 @@ object Pipeline {
         idx.codes.unionByName(newCodes))
       Similarity.ivfPqSearch(emb, combined, sub, 10, 5)
     },
+    // index drift pre-flight: per-cell occupancy of the saved index vs a
+    // new shard assigned against the saved centroids — the "when to
+    // retrain the quantizer" table, strictly cheaper than the s11 encode
+    QueryDef.sql("s15_ivf_drift", Similarity.sqlIvfDrift) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val sub = 64 / Similarity.PqBlocks
+      val cut = emb.count() * 4 / 5
+      val idxDir = artifactDir("ivfpq_inc", dir)(tmp =>
+        Similarity.trainAndSaveIvfPq(emb.filter(col("vec_id") < cut), sub, tmp))
+      Similarity.ivfDriftReport(emb.filter(col("vec_id") >= cut),
+        Similarity.loadIvfPq(s, idxDir))
+    },
     // the nprobe tuning table: measured recall@k + ADC candidate volume
     // per probe width against the brute-force ground truth, served from
     // the SAME saved index as s9 — what an operator reads before setting

@@ -187,6 +187,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(perQ.values.forall(_ == 5), s"a query starved: ${perQ.toMap}")
   }
 
+  test("ivf drift: a shifted shard piles into one cell — flagged, fractions conserved") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // saved index: 4 vectors in each of two axis-aligned cells; the
+    // shard is ALL e2-direction vectors, so cell 1 must show +0.5 drift
+    // and cell 0 −0.5, both past the flag threshold
+    val coarse = Seq((0, 1, 1.0), (0, 2, 0.0), (0, 3, 0.0),
+      (1, 1, 0.0), (1, 2, 1.0), (1, 3, 0.0)).toDF("c", "i", "cv")
+    val cells = ((0L until 4L).map(i => (i, 0)) ++ (4L until 8L).map(i => (i, 1)))
+      .toDF("vec_id", "cell")
+    val idx = Similarity.IvfPqIndex(coarse, cells, coarse.limit(0), cells.limit(0))
+    val shard = (100L until 104L).map(i => (i, Array(0.05f, 1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfDriftReport(shard, idx).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(got(0) == ((4L, 0L, -0.5, true)), s"$got")
+    assert(got(1) == ((4L, 4L, 0.5, true)), s"$got")
+  }
+
   test("MMR re-rank: a redundant twin of the top pick is demoted below a novel candidate") {
     val spark = TestSpark.spark
     import spark.implicits._
