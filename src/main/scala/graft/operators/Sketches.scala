@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** K-minimum-values (KMV) distinct-count sketches — the mergeable-sketch
+  * family member HLL (w18) cannot replace: because a KMV sketch carries the
+  * k smallest item HASHES (not register maxima), two sketches support SET
+  * ALGEBRA — union by re-minning, and intersection via the Jaccard share of
+  * the merged k-min (Beyer et al., "On Synopses for Distinct-Value
+  * Estimation Under Multiset Operations", SIGMOD 2007). HLL union is exact
+  * under merge but has no intersection; KMV buys |A∩B| for the price of k
+  * hash values per set.
+  *
+  * Determinism: the hash is [[Portable.hash32]] (md5-derived, identical in
+  * DuckDB), the k-th-min selection is a total order over those hashes, and
+  * the estimator `(k-1)·2^32 div h_k` is INTEGER division — every output is
+  * replayed bit-for-bit by the SQL oracle, no probabilistic tolerance pin
+  * anywhere (the ADVICE r10 lesson: pinned-true tolerance verdicts go
+  * spurious on a new corpus; deterministic replays don't).
+  *
+  * Scale shape: a sketch is ≤ k rows per group. Building one is a groupBy
+  * + per-group top-k (rank ≤ k over the hash order — Spark runs the rank
+  * filter inside the window sort, nothing materializes beyond the group's
+  * distinct hashes); every later merge/fan-out touches only sketch rows,
+  * never raw events. The 100 TB story: ship k·groups rows a day, answer
+  * union/intersection/rolling-window cardinalities forever without
+  * re-reading the corpus.
+  */
+object Sketches {
+
+  /** Sketch size: relative error ~ 1/sqrt(k-2) ≈ 13% — the fixture checks
+    * the ARITHMETIC (deterministic replay), not the accuracy; accuracy is
+    * a documented property of k, tuned per deployment.
+    */
+  val KmvK = 64
+
+  /** (k-1)·2^32 — the estimator numerator; fits BIGINT with k=64. */
+  val KmvNum: Long = (KmvK - 1).toLong * 4294967296L
+
+  /** SQL fragment estimating distinct count from (n kept rows, max kept
+    * hash): when fewer than k distinct hashes exist the sketch IS the set
+    * (estimate = exact n); otherwise the classic k-th-min estimator, with
+    * greatest(h,1) guarding the measure-zero h_k = 0 draw. Integer `div`
+    * truncation matches DuckDB `//` (both operands non-negative).
+    */
+  private def estExpr(n: String, hk: String): String =
+    s"CASE WHEN $n < $KmvK THEN $n ELSE $KmvNum div greatest($hk, 1L) END"
+
+  private def sqlEstExpr(n: String, hk: String): String =
+    s"CASE WHEN $n < $KmvK THEN $n ELSE $KmvNum // greatest($hk, 1) END"
+
+  // ------------------------------------------------------------ q28 set ops
+
+  /** Per-event-type KMV sketches over the item universe, then pairwise
+    * union AND intersection cardinality estimates (q28). For each type
+    * pair: merge the two k-min lists, re-min to k, estimate the union from
+    * the merged k-th min, and estimate the intersection as
+    * `(items of the merged k-min present in BOTH sketches) / k_used ×
+    * est_union` — the Jaccard-share identity, integer-exact because
+    * `n_both · est_union` fits a BIGINT.
+    *
+    * Plan shape: one distinct + per-type rank builds the sketches (the only
+    * pass over events); everything after operates on ≤ k·|types| rows —
+    * the pair expansion is a broadcast nested-loop over the |types|-row
+    * dimension (bounded by construction, the q27 basket-pair argument),
+    * and the merged rank partitions by pair.
+    */
+  def kmvSetOps(events: DataFrame): DataFrame = {
+    val items = events
+      .filter(col("ts").isNotNull && col("props").isNotNull)
+      .select(col("event_type").as("t"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .select(col("t"), Portable.hash32(col("item").cast("string")).as("h"))
+      .distinct()
+    val sk = items
+      .withColumn("r", row_number().over(Window.partitionBy(col("t")).orderBy(col("h"))))
+      .filter(col("r") <= KmvK)
+    val te = sk.groupBy(col("t"))
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .withColumn("est", expr(estExpr("n", "hk")))
+    val types = sk.select(col("t")).distinct()
+    val prs = types.as("a").join(broadcast(types.as("b")), col("a.t") < col("b.t"))
+      .select(col("a.t").as("ta"), col("b.t").as("tb"))
+    val mA = prs.join(sk.select(col("t").as("ta"), col("h")), "ta")
+      .select(col("ta"), col("tb"), col("h"), lit(1).as("ia"), lit(0).as("ib"))
+    val mB = prs.join(sk.select(col("t").as("tb"), col("h")), "tb")
+      .select(col("ta"), col("tb"), col("h"), lit(0).as("ia"), lit(1).as("ib"))
+    val m = mA.unionByName(mB)
+      .groupBy(col("ta"), col("tb"), col("h"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    val mr = m.withColumn("r",
+        row_number().over(Window.partitionBy(col("ta"), col("tb")).orderBy(col("h"))))
+      .filter(col("r") <= KmvK)
+    val u = mr.groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("hu"),
+        sum(col("ia") * col("ib")).as("n_both"))
+      .withColumn("est_union", expr(estExpr("k_used", "hu")))
+      .withColumn("est_inter", expr("(n_both * est_union) div k_used"))
+    u.join(te.select(col("t").as("ta"), col("est").as("est_a")), "ta")
+      .join(te.select(col("t").as("tb"), col("est").as("est_b")), "tb")
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("k_used"), col("n_both"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_inter"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Oracle for [[kmvSetOps]] — the identical hash, rank, and integer
+    * estimator replayed in DuckDB (QUALIFY is the rank-≤-k filter).
+    */
+  val sqlKmvSetOps: String = {
+    // plain string (not an s-interpolator): "$.k" stays literal
+    val h = Portable.sqlHash32("(json_extract(props, '$.k')::INT)::VARCHAR")
+    s"""WITH items AS (SELECT DISTINCT event_type AS t, $h AS h
+       |  FROM events WHERE ts IS NOT NULL AND props IS NOT NULL
+       |    AND json_extract(props, '$$.k') IS NOT NULL),
+       |sk AS (SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS r
+       |  FROM items QUALIFY r <= $KmvK),
+       |te AS (SELECT t, count(*)::BIGINT AS n, max(h) AS hk FROM sk GROUP BY t),
+       |tes AS (SELECT t, ${sqlEstExpr("n", "hk")} AS est FROM te),
+       |types AS (SELECT DISTINCT t FROM sk),
+       |prs AS (SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b ON a.t < b.t),
+       |m AS (SELECT ta, tb, h, max(ia) AS ia, max(ib) AS ib FROM (
+       |    SELECT ta, tb, h, 1 AS ia, 0 AS ib FROM prs JOIN sk ON sk.t = prs.ta
+       |    UNION ALL
+       |    SELECT ta, tb, h, 0 AS ia, 1 AS ib FROM prs JOIN sk ON sk.t = prs.tb)
+       |  GROUP BY 1, 2, 3),
+       |mr AS (SELECT ta, tb, h, ia, ib,
+       |    row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS r
+       |  FROM m QUALIFY r <= $KmvK),
+       |u AS (SELECT ta, tb, count(*)::BIGINT AS k_used, max(h) AS hu,
+       |    sum(ia * ib)::BIGINT AS n_both
+       |  FROM mr GROUP BY 1, 2),
+       |ue AS (SELECT *, ${sqlEstExpr("k_used", "hu")} AS est_union FROM u)
+       |SELECT ue.ta AS type_a, ue.tb AS type_b, ue.k_used, ue.n_both,
+       |  ea.est AS est_a, eb.est AS est_b, ue.est_union,
+       |  (ue.n_both * ue.est_union) // ue.k_used AS est_inter
+       |FROM ue
+       |JOIN tes ea ON ea.t = ue.ta
+       |JOIN tes eb ON eb.t = ue.tb
+       |ORDER BY type_a, type_b""".stripMargin
+  }
+
+  // ------------------------------------------------------- w24 rolling DAU
+
+  /** Rolling-window length in days (a 7-day rolling DAU window). */
+  val RollDays = 7
+
+  /** 7-day rolling distinct users per day from MERGED DAILY KMV SKETCHES
+    * (w24) — w18's union-of-dailies story with set-algebra-capable
+    * sketches: each day reduces to its k smallest user-hashes; a day's
+    * sketch fans out to the ≤ 7 window-ends it participates in (an explode
+    * of 7 integer offsets, equi-semijoined back to days that exist — no
+    * range join); each window-end re-mins the union and estimates. The
+    * raw-events pass is the daily distinct + rank; the fan-out and merge
+    * touch only k-rows-per-day sketch rows. `exact_dau7` replays the same
+    * window over the distinct (day, user) pairs — the declared exact
+    * baseline column (deterministic, so the oracle pins BOTH, no
+    * tolerance verdict).
+    */
+  def rollingDau(events: DataFrame): DataFrame = {
+    val du = events.filter(col("ts").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val daysPresent = du.select(col("day")).distinct()
+    val sk = du
+      .select(col("day"), Portable.hash32(col("user_id").cast("string")).as("h"))
+      .distinct()
+      .withColumn("r", row_number().over(Window.partitionBy(col("day")).orderBy(col("h"))))
+      .filter(col("r") <= KmvK)
+    val offs = explode(sequence(lit(0), lit(RollDays - 1))).as("i")
+    // sketch fan-out: (day, h) contributes to ends day..day+6 that exist
+    val fanned = sk.select(col("day"), col("h"), offs)
+      .select(expr(s"date_add(day, i)").as("end"), col("h"))
+      .join(daysPresent.select(col("day").as("end")), Seq("end"), "left_semi")
+      .distinct() // same user-hash from two days in one window re-mins once
+    val merged = fanned
+      .withColumn("r", row_number().over(Window.partitionBy(col("end")).orderBy(col("h"))))
+      .filter(col("r") <= KmvK)
+      .groupBy(col("end"))
+      .agg(count(lit(1)).as("nm"), max(col("h")).as("hk"))
+      .withColumn("est_dau7", expr(estExpr("nm", "hk")))
+    val exact = du.select(col("day"), col("user_id"), offs)
+      .select(expr(s"date_add(day, i)").as("end"), col("user_id"))
+      .join(daysPresent.select(col("day").as("end")), Seq("end"), "left_semi")
+      .groupBy(col("end"))
+      .agg(countDistinct(col("user_id")).as("exact_dau7"))
+    val winDays = daysPresent.select(col("day"), offs)
+      .select(expr(s"date_add(day, i)").as("end"))
+      .join(daysPresent.select(col("day").as("end")), Seq("end"), "left_semi")
+      .groupBy(col("end")).agg(count(lit(1)).as("win_days"))
+    merged.join(exact, "end").join(winDays, "end")
+      .select(date_format(col("end"), "yyyy-MM-dd").as("day"),
+        col("win_days"), col("est_dau7"), col("exact_dau7"))
+      .orderBy(col("day"))
+  }
+
+  /** Oracle for [[rollingDau]]: identical hash, fan-out, re-min, and
+    * integer estimator (DuckDB DATE + INT is date_add).
+    */
+  val sqlRollingDau: String = {
+    val h = Portable.sqlHash32("user_id::VARCHAR")
+    s"""WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id
+       |  FROM events WHERE ts IS NOT NULL),
+       |days AS (SELECT DISTINCT day FROM du),
+       |sk AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS r
+       |  FROM (SELECT DISTINCT day, $h AS h FROM du) QUALIFY r <= $KmvK),
+       |offs AS (SELECT i::INT AS i FROM range($RollDays) t(i)),
+       |fanned AS (SELECT DISTINCT sk.day + offs.i AS e, sk.h
+       |  FROM sk CROSS JOIN offs
+       |  WHERE sk.day + offs.i IN (SELECT day FROM days)),
+       |merged AS (SELECT e, h, row_number() OVER (PARTITION BY e ORDER BY h) AS r
+       |  FROM fanned QUALIFY r <= $KmvK),
+       |mest AS (SELECT e, count(*)::BIGINT AS nm, max(h) AS hk
+       |  FROM merged GROUP BY e),
+       |exact AS (SELECT du.day + offs.i AS e,
+       |    count(DISTINCT du.user_id)::BIGINT AS exact_dau7
+       |  FROM du CROSS JOIN offs
+       |  WHERE du.day + offs.i IN (SELECT day FROM days) GROUP BY 1),
+       |wd AS (SELECT days.day + offs.i AS e, count(*)::BIGINT AS win_days
+       |  FROM days CROSS JOIN offs
+       |  WHERE days.day + offs.i IN (SELECT day FROM days) GROUP BY 1)
+       |SELECT strftime(mest.e, '%Y-%m-%d') AS day, wd.win_days,
+       |  ${sqlEstExpr("mest.nm", "mest.hk")} AS est_dau7, exact.exact_dau7
+       |FROM mest JOIN exact ON exact.e = mest.e JOIN wd ON wd.e = mest.e
+       |ORDER BY day""".stripMargin
+  }
+}

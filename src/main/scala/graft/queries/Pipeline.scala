@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOf, Bpe, Curation, Dedup, EventWindows, Multimodal, RangeJoin, Similarity, TextOps, Whiten}
+import graft.operators.{AsOf, Bpe, Curation, Dedup, EventWindows, Multimodal, RangeJoin, Similarity, Sketches, TextOps, Whiten}
 
 /** Training-data pipeline suite: dedup family, text analysis, similarity
   * search, event-time windows — the 100 TB-scale operators beyond the
@@ -639,6 +639,13 @@ object Pipeline {
     // count with an adjacent-day growth delta — rank cut pushes partial
     QueryDef.sql("w23_trending", EventWindows.sqlTrendingItems) { (s, dir) =>
       EventWindows.trendingItems(Tables.events(s, dir))
+    },
+    // 7-day rolling DAU from merged daily KMV sketches: raw events reduce
+    // to k hashes/day once; the rolling window is a 7-way fan-out + re-min
+    // over sketch rows only. exact_dau7 is the declared exact baseline —
+    // both columns deterministic, oracle replays both
+    QueryDef.sql("w24_rolling_dau", Sketches.sqlRollingDau) { (s, dir) =>
+      Sketches.rollingDau(Tables.events(s, dir))
     },
     // NEAREST as-of with tolerance (merge_asof direction='nearest'):
     // both directions read one sorted run — backward = running last,

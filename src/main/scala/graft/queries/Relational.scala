@@ -577,6 +577,16 @@ object Relational {
       val b = Tables.supplier(s, dir).filter(col("s_acctbal") < 2000)
         .select(col("s_nationkey").as("nationkey"))
       a.union(b).distinct().orderBy(col("nationkey"))
+    },
+
+    // KMV distinct-count set algebra (q28): per-event-type k-minimum-values
+    // sketches, pairwise union AND intersection estimates — the set
+    // operation HLL (w18/q20) cannot perform. One distinct pass over
+    // events builds the sketches; every merge after runs on ≤ k·|types|
+    // rows. Deterministic md5 hashes + integer-division estimator → the
+    // oracle replays every number, no tolerance pin.
+    QueryDef.sql("q28_kmv_setops", graft.operators.Sketches.sqlKmvSetOps) { (s, dir) =>
+      graft.operators.Sketches.kmvSetOps(Tables.events(s, dir))
     }
   )
 }
