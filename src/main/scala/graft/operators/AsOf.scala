@@ -924,4 +924,91 @@ object RangeJoin {
        |FROM s JOIN p ON s.user_id = p.user_id
        |  AND epoch_us(p.pts) - epoch_us(s.sts) BETWEEN 0 AND $WindowUs
        |ORDER BY signup_id, purchase_id""".stripMargin
+
+  // --------------------------------------------- w25 multi-touch attribution
+
+  /** Lookback window for multi-touch attribution: 3 days in micros. */
+  val TouchWindowUs: Long = 3L * 86400 * 1000000
+
+  /** Linear multi-touch attribution (w25): each purchase's value splits
+    * EQUALLY across every click/view by the same user in the strict 3-day
+    * lookback (t.ts < p.ts), rolled up to attributed revenue per (purchase
+    * day, touch type); purchases with no touch in window land whole under
+    * 'direct'. The marketing-attribution twin of w7's last-touch as-of.
+    *
+    * Exactness: value is carried as 6-dp integer micro-currency (the w22
+    * decimal trick, folded to BIGINT), each touch's share is the integer
+    * `(xvm · n_type) div n_touches` — truncation loses at most
+    * n_touches−1 micro-units per (purchase, type), deterministically in
+    * both engines — and every sum after is integer. `attr_micro` is the
+    * exact ledger; `attributed` is its 6-dp display form.
+    *
+    * Scale shape: candidate pairs come from [[banded]] (time-bucketed
+    * equi-join, per-pair exactly once); the per-purchase normalizer is a
+    * window over (purchase_id) — purchases×types rows, bounded fan-in;
+    * the 'direct' remainder is a left-anti on purchase_id. No per-key
+    * |L|×|R| blowup anywhere.
+    */
+  def multiTouch(events: DataFrame): DataFrame = {
+    val xvm = (round(col("value"), 6).cast("decimal(18,6)") * lit(1000000))
+      .cast("long")
+    val touches = events
+      .filter(col("event_type").isin("click", "view") && col("ts").isNotNull)
+      .select(col("user_id"), col("ts").as("tts"), col("event_type").as("touch_type"))
+    val purchases = events
+      .filter(col("event_type") === "purchase" && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"), xvm.as("xvm"))
+    val pairs = banded(touches, "user_id", "tts", purchases, "pts", TouchWindowUs)
+      .filter(unix_micros(col("pts")) - unix_micros(col("tts")) >= 1)
+      .select(col("purchase_id"), to_date(col("pts")).as("day"), col("xvm"),
+        col("touch_type"))
+    val g = pairs.groupBy(col("purchase_id"), col("day"), col("xvm"), col("touch_type"))
+      .agg(count(lit(1)).as("n_t"))
+      .withColumn("n", sum(col("n_t"))
+        .over(Window.partitionBy(col("purchase_id"))))
+    val attr = g.select(col("day"), col("touch_type"), col("purchase_id"),
+      col("n_t"), expr("(xvm * n_t) div n").as("amt"))
+    val direct = purchases
+      .join(pairs.select(col("purchase_id")).distinct(), Seq("purchase_id"), "left_anti")
+      .select(to_date(col("pts")).as("day"), lit("direct").as("touch_type"),
+        col("purchase_id"), lit(0L).as("n_t"), col("xvm").as("amt"))
+    attr.unionByName(direct)
+      .groupBy(col("day"), col("touch_type"))
+      .agg(countDistinct(col("purchase_id")).as("n_purch"),
+        sum(col("n_t")).as("n_pairs"), sum(col("amt")).as("attr_micro"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("touch_type"),
+        col("n_purch"), col("n_pairs"), col("attr_micro"),
+        round(col("attr_micro").cast("double") / 1000000, 6).as("attributed"))
+      .orderBy(col("day"), col("touch_type"))
+  }
+
+  /** Oracle for [[multiTouch]]: plain range predicate stands in for the
+    * banded candidate join (identical pair set); same integer ledger.
+    */
+  val sqlMultiTouch: String =
+    s"""WITH t AS (SELECT user_id, ts AS tts, event_type AS touch_type
+       |  FROM events WHERE event_type IN ('click', 'view') AND ts IS NOT NULL),
+       |p AS (SELECT event_id AS purchase_id, user_id, ts AS pts,
+       |    CAST(round(value, 6)::DECIMAL(18,6) * 1000000 AS BIGINT) AS xvm
+       |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+       |    AND value IS NOT NULL),
+       |pr AS (SELECT p.purchase_id, p.pts::DATE AS day, p.xvm, t.touch_type
+       |  FROM p JOIN t ON t.user_id = p.user_id
+       |    AND epoch_us(p.pts) - epoch_us(t.tts) BETWEEN 1 AND $TouchWindowUs),
+       |g AS (SELECT purchase_id, day, xvm, touch_type, count(*)::BIGINT AS n_t
+       |  FROM pr GROUP BY 1, 2, 3, 4),
+       |gn AS (SELECT *, sum(n_t) OVER (PARTITION BY purchase_id) AS n FROM g),
+       |attr AS (SELECT day, touch_type, purchase_id, n_t,
+       |    ((xvm * n_t) // n)::BIGINT AS amt FROM gn
+       |  UNION ALL
+       |  SELECT pts::DATE AS day, 'direct' AS touch_type, purchase_id,
+       |    0::BIGINT AS n_t, xvm AS amt
+       |  FROM p WHERE purchase_id NOT IN (SELECT purchase_id FROM pr))
+       |SELECT strftime(day, '%Y-%m-%d') AS day, touch_type,
+       |  count(DISTINCT purchase_id)::BIGINT AS n_purch,
+       |  sum(n_t)::BIGINT AS n_pairs, sum(amt)::BIGINT AS attr_micro,
+       |  round(sum(amt)::DOUBLE / 1000000, 6) AS attributed
+       |FROM attr GROUP BY 1, 2 ORDER BY day, touch_type""".stripMargin
 }

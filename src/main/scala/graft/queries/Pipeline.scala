@@ -647,6 +647,12 @@ object Pipeline {
     QueryDef.sql("w24_rolling_dau", Sketches.sqlRollingDau) { (s, dir) =>
       Sketches.rollingDau(Tables.events(s, dir))
     },
+    // linear multi-touch attribution: banded-range candidate pairs,
+    // per-purchase window normalizer, integer micro-currency ledger —
+    // truncation-deterministic in both engines, 'direct' remainder anti-join
+    QueryDef.sql("w25_multitouch", RangeJoin.sqlMultiTouch) { (s, dir) =>
+      RangeJoin.multiTouch(Tables.events(s, dir))
+    },
     // NEAREST as-of with tolerance (merge_asof direction='nearest'):
     // both directions read one sorted run — backward = running last,
     // forward = running first over the same window; no second exchange
