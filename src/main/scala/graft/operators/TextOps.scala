@@ -1930,4 +1930,54 @@ object TextOps {
        |  sum(CASE WHEN (h // 32) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS weight
        |FROM hh GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
   }
+
+  // ------------------------------------------------- sentence stats (t38)
+
+  /** Sentence segmentation stats per document (t38): split on terminal
+    * punctuation runs `[.!?]+`, drop whitespace-only segments, report the
+    * sentence count, mean trimmed-sentence length in characters, and the
+    * longest sentence's word count — the sentence-level half of the t2
+    * quality battery (mean sentence length is a Gopher rule input; the
+    * per-sentence word ceiling catches unsegmented boilerplate walls).
+    *
+    * Pure per-row array expressions (split / filter / transform /
+    * aggregate) — no explode, no shuffle beyond the terminal sort; the
+    * char-total fold is integer so the mean's single double division is
+    * the only float step, replayed identically by the oracle.
+    */
+  def sentenceStats(docs: DataFrame): DataFrame = {
+    val sents = filter(split(col("text"), "[.!?]+"),
+      s => length(trim(s)) > lit(0))
+    val nSent = size(col("sents")).cast("long")
+    val chars = aggregate(col("sents"), lit(0L),
+      (a, s) => a + length(trim(s)).cast("long"))
+    val maxWords = array_max(transform(col("sents"),
+      s => size(split(trim(s), "\\s+")).cast("long")))
+    docs.select(col("doc_id"), sents.as("sents"))
+      .select(col("doc_id"), nSent.as("n_sent"),
+        when(nSent > 0, round(chars.cast("double") / nSent, 4))
+          .otherwise(lit(0.0)).as("avg_chars"),
+        when(nSent > 0, maxWords).otherwise(lit(0L)).as("max_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[sentenceStats]]: identical split regex, trim filter,
+    * integer fold, and rounding in DuckDB's list functions.
+    */
+  val sqlSentenceStats: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '[.!?]+'),
+      |      s -> len(trim(s)) > 0) AS sents
+      |  FROM documents)
+      |SELECT doc_id, len(sents)::BIGINT AS n_sent,
+      |  CASE WHEN len(sents) > 0 THEN
+      |    round(list_reduce(list_prepend(0::BIGINT,
+      |        list_transform(sents, s -> len(trim(s))::BIGINT)),
+      |      (a, b) -> a + b)::DOUBLE / len(sents), 4)
+      |  ELSE 0.0 END AS avg_chars,
+      |  CASE WHEN len(sents) > 0 THEN
+      |    list_max(list_transform(sents,
+      |      s -> len(regexp_split_to_array(trim(s), '\s+'))::BIGINT))
+      |  ELSE 0 END AS max_words
+      |FROM t ORDER BY doc_id""".stripMargin
 }

@@ -336,6 +336,11 @@ object Pipeline {
     QueryDef.sql("t37_ct_langid", TextOps.sqlCtLangId) { (s, dir) =>
       TextOps.ctLangId(Tables.documents(s, dir))
     },
+    // sentence segmentation stats: per-row array expressions only —
+    // no explode, no shuffle beyond the terminal sort
+    QueryDef.sql("t38_sentence_stats", TextOps.sqlSentenceStats) { (s, dir) =>
+      TextOps.sentenceStats(Tables.documents(s, dir))
+    },
     // RAKE keyword extraction: stopword-delimited phrase runs scored by
     // per-doc word degree/freq — wholly per-document, no corpus state
     QueryDef.sql("t36_rake_phrases", TextOps.sqlRakePhrases) { (s, dir) =>
