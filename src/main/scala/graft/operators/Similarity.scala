@@ -1656,17 +1656,23 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** Shared oracle base for s15/s16: the 4/5 old-slice cut on the unit
+    * sphere — `eall` is every unit vector, `e` the old slice the saved
+    * index was trained on.
+    */
+  private val sqlEUnitOldSlice: String =
+    """cn AS (SELECT (count(*) * 4) // 5 AS cnt FROM embeddings),
+      |eall AS (SELECT vec_id,
+      |    list_transform(v0, x -> round(x / sqrt(list_dot_product(v0, v0)), 6)) AS v
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings)),
+      |e AS (SELECT vec_id, v FROM eall WHERE vec_id < (SELECT cnt FROM cn))""".stripMargin
+
   /** Oracle for [[ivfDriftReport]]: replays the 4/5 split, the coarse
     * training on the old slice, the shard's nearest-saved-centroid
     * assignment, and the occupancy arithmetic.
     */
   def sqlIvfDrift: String = {
-    val eUnit =
-      """cn AS (SELECT (count(*) * 4) // 5 AS cnt FROM embeddings),
-        |eall AS (SELECT vec_id,
-        |    list_transform(v0, x -> round(x / sqrt(list_dot_product(v0, v0)), 6)) AS v
-        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings)),
-        |e AS (SELECT vec_id, v FROM eall WHERE vec_id < (SELECT cnt FROM cn))""".stripMargin
+    val eUnit = sqlEUnitOldSlice
     val (kmCtes, aN, cN) = sqlKmeansCtes(IvfPqCoarse, 2, eUnit)
     s"""WITH $kmCtes,
        |exn AS (SELECT vec_id, i::INT AS i, v[i] AS x
@@ -1689,5 +1695,106 @@ object Similarity {
        |  round(new_n::DOUBLE / nt - old_n::DOUBLE / ot, 4) + 0.0 AS drift,
        |  abs(new_n::DOUBLE / nt - old_n::DOUBLE / ot) > $IvfDriftFlag AS flagged
        |FROM j, tt ORDER BY cell""".stripMargin
+  }
+
+  /** IVF INDEX REPAIR BY MEDIAN SPLIT (s16) — the action s15's drift
+    * table calls for: the hottest cell (largest probe list, the nprobe
+    * recall bottleneck) splits into two at the MEDIAN of its members
+    * along their highest-variance dimension. Median, not 2-means: the
+    * halves are balanced BY CONSTRUCTION (a 2-means split can converge
+    * 90/10 and leave the hot list hot), and the whole repair is
+    * integer-deterministic — unit components are 6-dp by construction,
+    * so they ride as exact 1e6-scaled BIGINTs; the per-dimension
+    * variance argmax uses the exact integer moment form n·Σx² − (Σx)²
+    * in decimal(38) (overflow-safe at corpus scale), and the lower
+    * median reads off a cumulative histogram.
+    *
+    * Scale shape: occupancy is one count over the saved cells table;
+    * member moments are one partial-aggregated pass over the hot cell's
+    * exploded dims; the median does NOT sort members — it aggregates a
+    * histogram whose key domain is bounded at 2e6+1 by the 6-dp value
+    * grid (the w20 mergeable-histogram idea), so the one unpartitioned
+    * cumulative window runs over ≤ value-domain rows, never corpus rows.
+    */
+  def ivfMedianSplit(emb: DataFrame, idx: IvfPqIndex): DataFrame = {
+    val osz = idx.cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val hot = osz
+      .agg(max(struct(col("n"), (-col("cell")).cast("long").as("nc"),
+        col("cell").as("c"))).as("b"))
+      .select(col("b.c").as("hot_cell"))
+    val memberIds = idx.cells.join(broadcast(hot), col("cell") === col("hot_cell"))
+      .select(col("vec_id"))
+    val mx = explodedDims(unitEmb(emb))
+      .join(memberIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("i"),
+        (col("x").cast("decimal(18,6)") * 1000000).cast("long").as("xm"))
+    val stats = mx.groupBy(col("i"))
+      .agg(count(lit(1)).as("n"), sum(col("xm")).cast("decimal(38,0)").as("s"),
+        sum((col("xm") * col("xm")).cast("decimal(38,0)")).as("ss"))
+      .select(col("i"),
+        (col("n").cast("decimal(38,0)") * col("ss") - col("s") * col("s")).as("vn"))
+    val sdim = stats
+      .agg(max(struct(col("vn"), (-col("i")).as("ni"), col("i").as("ii"))).as("b"))
+      .select(col("b.ii").as("split_dim"))
+    val mxd = mx.join(broadcast(sdim), col("i") === col("split_dim"))
+    val tot = mxd.agg(count(lit(1)).as("nt"))
+    val wcum = Window.orderBy(col("xm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = mxd.groupBy(col("xm")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= expr("(nt + 1) div 2"))
+      .agg(min(col("xm")).as("med"))
+    val kids = mxd.crossJoin(broadcast(med))
+      .select(when(col("xm") <= col("med"), 1).otherwise(2).as("sub"))
+      .groupBy(col("sub")).agg(count(lit(1)).as("n"))
+    val untouched = osz.crossJoin(broadcast(hot))
+      .filter(col("cell") =!= col("hot_cell"))
+      .select(col("cell").cast("long").as("cell"), lit(0).as("sub"), col("n"),
+        lit(false).as("is_split"), lit(-1).as("split_dim"), lit(0.0).as("split_val"))
+    val split = kids.crossJoin(broadcast(hot)).crossJoin(broadcast(sdim))
+      .crossJoin(broadcast(med))
+      .select(col("hot_cell").cast("long").as("cell"), col("sub"), col("n"),
+        lit(true).as("is_split"), col("split_dim"),
+        round(col("med").cast("double") / 1000000, 6).as("split_val"))
+    untouched.unionByName(split).orderBy(col("cell"), col("sub"))
+  }
+
+  /** Oracle for [[ivfMedianSplit]]: replays the saved coarse training
+    * (the s15 base), then the integer moments, argmax dimension,
+    * histogram median, and the balanced two-way cut.
+    */
+  def sqlIvfSplit: String = {
+    val (kmCtes, aN, _) = sqlKmeansCtes(IvfPqCoarse, 2, sqlEUnitOldSlice)
+    s"""WITH $kmCtes,
+       |osz AS (SELECT c AS cell, count(*)::BIGINT AS n FROM $aN GROUP BY 1),
+       |hot AS (SELECT cell FROM osz ORDER BY n DESC, cell LIMIT 1),
+       |mx AS (SELECT ex.vec_id, ex.i,
+       |    CAST(ex.x::DECIMAL(18,6) * 1000000 AS BIGINT) AS xm
+       |  FROM $aN a JOIN ex ON ex.vec_id = a.vec_id
+       |  WHERE a.c = (SELECT cell FROM hot)),
+       |stats AS (SELECT i, count(*) AS n, sum(xm) AS s, sum(xm * xm) AS ss
+       |  FROM mx GROUP BY i),
+       |sd AS (SELECT i AS split_dim FROM stats
+       |  ORDER BY (n * ss - s * s) DESC, i LIMIT 1),
+       |mxd AS (SELECT xm FROM mx WHERE i = (SELECT split_dim FROM sd)),
+       |tt AS (SELECT count(*)::BIGINT AS nt FROM mxd),
+       |hist AS (SELECT xm, count(*)::BIGINT AS c FROM mxd GROUP BY xm),
+       |cum AS (SELECT xm, sum(c) OVER (ORDER BY xm
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+       |medv AS (SELECT min(xm) AS med FROM cum, tt
+       |  WHERE cum >= (tt.nt + 1) // 2),
+       |kids AS (SELECT CASE WHEN xm <= (SELECT med FROM medv) THEN 1 ELSE 2 END AS sub,
+       |    count(*)::BIGINT AS n
+       |  FROM mxd GROUP BY 1)
+       |SELECT cell::BIGINT AS cell, 0 AS sub, n, false AS is_split,
+       |  -1 AS split_dim, 0.0 AS split_val
+       |FROM osz WHERE cell != (SELECT cell FROM hot)
+       |UNION ALL
+       |SELECT (SELECT cell FROM hot)::BIGINT AS cell, kids.sub, kids.n,
+       |  true AS is_split, (SELECT split_dim FROM sd) AS split_dim,
+       |  round((SELECT med FROM medv)::DOUBLE / 1000000, 6) AS split_val
+       |FROM kids
+       |ORDER BY cell, sub""".stripMargin
   }
 }

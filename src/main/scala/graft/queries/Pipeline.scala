@@ -553,6 +553,18 @@ object Pipeline {
       Similarity.ivfDriftReport(emb.filter(col("vec_id") >= cut),
         Similarity.loadIvfPq(s, idxDir))
     },
+    // index repair: the hottest saved cell splits at the member median
+    // along the max-variance dimension — balanced halves by construction,
+    // integer moments + bounded-domain histogram median, no member sort
+    QueryDef.sql("s16_ivf_split", Similarity.sqlIvfSplit) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val sub = 64 / Similarity.PqBlocks
+      val cut = emb.count() * 4 / 5
+      val idxDir = artifactDir("ivfpq_inc", dir)(tmp =>
+        Similarity.trainAndSaveIvfPq(emb.filter(col("vec_id") < cut), sub, tmp))
+      Similarity.ivfMedianSplit(emb.filter(col("vec_id") < cut),
+        Similarity.loadIvfPq(s, idxDir))
+    },
     // the nprobe tuning table: measured recall@k + ADC candidate volume
     // per probe width against the brute-force ground truth, served from
     // the SAME saved index as s9 — what an operator reads before setting
