@@ -199,6 +199,77 @@ object Sketches {
       .orderBy(col("day"))
   }
 
+  // ------------------------------------------------- streaming daily KMV
+
+  /** Daily KMV distinct-user estimate in batch form — the comparison twin
+    * of [[kmvDauStream]] (same hash, same k-min, same integer estimator;
+    * one day of [[rollingDau]]'s fan-in).
+    */
+  def dailyKmv(events: DataFrame): DataFrame = {
+    val sk = events.filter(col("ts").isNotNull)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        Portable.hash32(col("user_id").cast("string")).as("h"))
+      .distinct()
+      .withColumn("r", row_number().over(Window.partitionBy(col("day")).orderBy(col("h"))))
+      .filter(col("r") <= KmvK)
+    sk.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+      .select(col("day"), col("n_kept"), expr(estExpr("n_kept", "hk")).as("est"))
+      .orderBy(col("day"))
+  }
+
+  /** One streamed arrival: the day key and the already-hashed user. */
+  final case class KmvEv(day: String, h: Long)
+
+  /** One streamed estimate emission (same columns as [[dailyKmv]]). */
+  final case class KmvDayOut(day: String, n_kept: Long, est: Long)
+
+  /** STREAMING daily distinct-user KMV (the [[dailyKmv]] twin as keyed
+    * state): each day's state is its k smallest distinct user-hashes — a
+    * BOUNDED-BY-CONSTRUCTION ≤ k-element sorted set, the whole point of
+    * carrying a sketch instead of a seen-set (the firstSeen dedup horizon
+    * problem doesn't exist here: state never exceeds k longs per day no
+    * matter the arrival count). Insertion is idempotent (set semantics),
+    * so at-least-once redelivery cannot change an estimate — the crash
+    * story is free. Each micro-batch emits the day's current estimate;
+    * the final emission per day equals the batch [[dailyKmv]] row.
+    *
+    * The hash column is the SAME [[Portable.hash32]] Catalyst expression
+    * the batch side uses — computed in the streaming select, before the
+    * fold — so stream/batch parity needs no JVM reimplementation of md5.
+    */
+  def kmvDauStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events.filter(col("ts").isNotNull)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        Portable.hash32(col("user_id").cast("string")).as("h"))
+      .as[KmvEv]
+      .groupByKey(_.day)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(kmvFold)
+      .toDF()
+  }
+
+  /** Per-day state transition: fold arrivals into the k-min set, emit the
+    * current estimate (same arithmetic as [[estExpr]], h_k guard included).
+    */
+  private def kmvFold(day: String, rows: Iterator[KmvEv],
+      state: org.apache.spark.sql.streaming.GroupState[List[Long]])
+      : Iterator[KmvDayOut] = {
+    val set = scala.collection.mutable.TreeSet.from(state.getOption.getOrElse(Nil))
+    rows.foreach { r =>
+      set += r.h
+      if (set.size > KmvK) set -= set.last
+    }
+    val kept = set.toList
+    state.update(kept)
+    val n = kept.size.toLong
+    val est = if (n < KmvK) n else KmvNum / math.max(kept.last, 1L)
+    Iterator.single(KmvDayOut(day, n, est))
+  }
+
   /** Oracle for [[rollingDau]]: identical hash, fan-out, re-min, and
     * integer estimator (DuckDB DATE + INT is date_add).
     */
