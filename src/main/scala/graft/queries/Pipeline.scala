@@ -201,6 +201,13 @@ object Pipeline {
       Dedup.splitLeakage(Tables.documents(s, dir),
         Dedup.loadClusters(s, clusterLabelDir(s, dir)))
     },
+    // the FIX for what p31 measures: split by the dup-cluster label's
+    // hash, so cluster members share a split by construction; the
+    // leak_free column re-derives the p31 verdict per group
+    QueryDef.sql("p45_group_split", Dedup.sqlGroupSplit) { (s, dir) =>
+      Dedup.groupSplit(Tables.documents(s, dir),
+        Dedup.loadClusters(s, clusterLabelDir(s, dir)))
+    },
     // repeated-shingle boilerplate score (hot shingles ARE the signal here)
     QueryDef.sql("t18_boilerplate", Dedup.sqlBoilerplateFraction) { (s, dir) =>
       Dedup.boilerplateFraction(Tables.documents(s, dir))
