@@ -270,6 +270,76 @@ object Sketches {
     Iterator.single(KmvDayOut(day, n, est))
   }
 
+  // ------------------------------------------- streaming heavy hitters
+
+  /** SpaceSaving counter capacity per day — state is ≤ this many
+    * (item, count, err) triples regardless of item cardinality; every
+    * estimate's error is ≤ n/capacity (Metwally et al., ICDT 2005).
+    */
+  val SsCounters = 16
+
+  /** One streamed arrival for the heavy-hitter fold. */
+  final case class SsEv(day: String, item: Int)
+
+  /** One tracked counter emission: est overestimates the true count by at
+    * most err (so true ∈ [est − err, est]); n_seen is the day's arrival
+    * total the n/C error bound reads against.
+    */
+  final case class SsOut(day: String, item: Int, est: Long, err: Long,
+                         n_seen: Long)
+
+  /** STREAMING heavy hitters per day (the bounded-state twin of w23's
+    * trending counts): a SpaceSaving summary of [[SsCounters]] counters
+    * per day. An untracked arrival under a full table evicts the minimum
+    * counter and inherits its count as `err` — the classic guarantee
+    * follows: any item with true count > n/C is tracked, and
+    * est − err ≤ true ≤ est, DETERMINISTIC bounds (not probabilistic),
+    * which is what lets the spec pin them. w23 itself needs the exact
+    * (day, item) counts — unbounded key cardinality in streaming; this is
+    * the fixed-memory summary a 100 TB stream can actually keep.
+    */
+  def heavyHittersStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events.filter(col("ts").isNotNull && col("props").isNotNull)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .as[SsEv]
+      .groupByKey(_.day)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(ssFold)
+      .toDF()
+  }
+
+  /** Per-day SpaceSaving transition. State: (n_seen, tracked counters).
+    * Eviction picks the minimum count with smallest-item tie-break, so
+    * the summary is a deterministic function of the arrival sequence.
+    */
+  private def ssFold(day: String, rows: Iterator[SsEv],
+      state: org.apache.spark.sql.streaming.GroupState[(Long, List[(Int, Long, Long)])])
+      : Iterator[SsOut] = {
+    val (n0, l0) = state.getOption.getOrElse((0L, Nil))
+    var n = n0
+    val m = scala.collection.mutable.Map.from(
+      l0.map { case (i, c, e) => i -> ((c, e)) })
+    rows.foreach { r =>
+      n += 1
+      m.get(r.item) match {
+        case Some((c, e)) => m(r.item) = (c + 1, e)
+        case None if m.size < SsCounters => m(r.item) = (1L, 0L)
+        case None =>
+          val (vi, (vc, _)) = m.minBy { case (i, (c, _)) => (c, i.toLong) }
+          m -= vi
+          m(r.item) = (vc + 1, vc)
+      }
+    }
+    state.update((n, m.toList.map { case (i, (c, e)) => (i, c, e) }))
+    m.toList.sortBy(_._1)
+      .map { case (i, (c, e)) => SsOut(day, i, c, e, n) }.iterator
+  }
+
   /** Oracle for [[rollingDau]]: identical hash, fan-out, re-min, and
     * integer estimator (DuckDB DATE + INT is date_add).
     */

@@ -69,4 +69,73 @@ class SketchesSpec extends AnyFunSuite {
       assert(lastPerDay() == got, "redelivery changed an estimate")
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: exact under capacity; SpaceSaving bounds hold over it") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // one skewed day: items 1/2/3 heavy (50/30/20), 37 distinct singletons
+    // interleaved — domain 40 > the 16-counter capacity
+    val heavy = Seq.fill(50)(1) ++ Seq.fill(30)(2) ++ Seq.fill(20)(3)
+    val cold = (100 until 137).toSeq
+    // deterministic interleave: round-robin heavy/cold so evictions happen
+    // mid-stream, not only at the tail
+    val items = (heavy.grouped(3).toSeq.zipAll(cold.grouped(1).toSeq, Nil, Nil)
+      .flatMap { case (h, c) => h ++ c })
+    val rows = items.zipWithIndex.map { case (it, i) =>
+      (i.toLong, "2024-04-01 10:00:00", s"""{"k": $it}""")
+    }
+    val trueCounts = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = items.size.toLong
+
+    val in = MemoryStream[(Long, String, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, String)]], spark)
+    val streamed = Sketches.heavyHittersStream(
+      in.toDF().toDF("event_id", "ts_s", "props")
+        .select(to_timestamp(col("ts_s")).as("ts"), col("props")))
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("ss_stream").start()
+    try {
+      in.addData(rows.take(60): _*); q.processAllAvailable()
+      in.addData(rows.drop(60): _*); q.processAllAvailable()
+      // final emission per (day, item) = the last micro-batch's summary
+      val finalRows = spark.table("ss_stream")
+        .withColumn("seq", monotonically_increasing_id())
+        .collect().sortBy(_.getLong(5))
+        .map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap // later emissions overwrite earlier ones
+      val tracked = finalRows.filter(_._2._3 == n) // rows from the final state
+      assert(tracked.nonEmpty && tracked.size <= Sketches.SsCounters,
+        s"summary must stay within capacity: ${tracked.size}")
+      // SpaceSaving guarantees, deterministic: est−err ≤ true ≤ est,
+      // err ≤ n/C, and every item with true > n/C is tracked
+      tracked.foreach { case (item, (est, err, _)) =>
+        val t = trueCounts.getOrElse(item, 0L)
+        assert(est - err <= t && t <= est, s"bound broke for $item: est=$est err=$err true=$t")
+        assert(err <= n / Sketches.SsCounters, s"err too big for $item: $err")
+      }
+      Seq(1, 2, 3).foreach { hh =>
+        assert(tracked.contains(hh), s"heavy item $hh missing (true=${trueCounts(hh)})")
+        assert(tracked(hh)._1 - tracked(hh)._2 <= trueCounts(hh))
+      }
+    } finally q.stop()
+
+    // under-capacity domain: the summary IS the exact count table
+    val small = (0 until 30).map(i => (i.toLong, "2024-04-02 09:00:00",
+      s"""{"k": ${i % 5}}"""))
+    val in2 = MemoryStream[(Long, String, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, String)]], spark)
+    val q2 = Sketches.heavyHittersStream(
+      in2.toDF().toDF("event_id", "ts_s", "props")
+        .select(to_timestamp(col("ts_s")).as("ts"), col("props")))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_stream2").start()
+    try {
+      in2.addData(small: _*); q2.processAllAvailable()
+      val got = spark.table("ss_stream2").collect()
+        .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == (0 until 5).map(i => (i, 6L, 0L)).toSet, s"exact path diverged: $got")
+    } finally q2.stop()
+  }
 }
