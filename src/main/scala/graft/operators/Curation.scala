@@ -1611,4 +1611,92 @@ object Curation {
        |  ${Portable.sqlHash32(s"'$CurriculumSeed-' || doc_id::VARCHAR")} AS order_key
        |FROM zd ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------ epoch schedule (p44)
+
+  /** Token budget as a multiple of the corpus, in halves: budget =
+    * [[EpochBudgetHalves]]/2 × total tokens (kept integral so the budget
+    * itself is an exact BIGINT).
+    */
+  val EpochBudgetHalves = 5 // 2.5 epochs' worth of tokens
+
+  /** DATA REPETITION SCHEDULE UNDER A TOKEN BUDGET (p44) — the "how many
+    * epochs of each source" table a fixed-compute pretraining run needs
+    * (the Llama/Gopher data-recipe question): allocate a token budget B
+    * across sources as alloc_s = min(λ·t_s, cap_s·t_s), Σ alloc = B —
+    * classic water-filling, where cap_s is the per-source max-repeat
+    * ceiling (high-value sources tolerate more epochs than crawl; here
+    * derived 1..5 from the source hash so the algorithm is exercised
+    * without a semantic source map). λ has a CLOSED FORM over sources
+    * sorted by cap: clamp the k lowest-cap sources, spread the remainder
+    * over the rest, pick the k whose λ lands between the neighbouring
+    * caps — no iteration, one window pass.
+    *
+    * Determinism: token counts, caps, budget, and both prefix sums are
+    * exact integers (the windowed sums never touch doubles, so engine
+    * aggregation-tree order is irrelevant); each candidate λ is ONE
+    * double division of two exact integers; the winning candidate is the
+    * smallest valid k. If the budget exceeds total capacity every source
+    * clamps and λ canonicalizes to the largest cap.
+    *
+    * Scale shape: one tokenize+sum shuffle on the bounded source key;
+    * everything after runs on |sources| rows.
+    */
+  def epochSchedule(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), size(Portable.tokens(col("text"))).cast("long").as("tk"))
+      .groupBy(col("source")).agg(sum(col("tk")).as("t"))
+      .withColumn("e", Portable.hash32(col("source")) % 5 + 1)
+    val ord = Window.orderBy(col("e"), col("source"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = st.agg(sum(col("t")).as("tt"))
+    val cand = st.crossJoin(broadcast(tot))
+      .withColumn("k", row_number().over(ord))
+      .withColumn("cumCap", sum(col("e") * col("t")).over(run))
+      .withColumn("cumT", sum(col("t")).over(run))
+      .withColumn("lage", lag(col("e"), 1, 0).over(ord))
+      .withColumn("lam",
+        (expr(s"($EpochBudgetHalves * tt) div 2") - (col("cumCap") - col("e") * col("t")))
+          .cast("double") / (col("tt") - col("cumT") + col("t")).cast("double"))
+    val pick = cand
+      .filter(col("lam") >= col("lage") && col("lam") <= col("e"))
+      .agg(min(struct(col("k"), col("lam"))).as("b"))
+      .select(col("b.lam").as("lam0"))
+    val maxE = st.agg(max(col("e")).cast("double").as("emax"))
+    st.crossJoin(broadcast(pick)).crossJoin(broadcast(maxE))
+      .withColumn("lam", coalesce(col("lam0"), col("emax")))
+      .select(col("source"), col("t").as("tokens"), col("e").cast("int").as("cap_epochs"),
+        round(col("lam"), 6).as("lam"),
+        round(least(col("lam"), col("e").cast("double")), 6).as("epochs"),
+        round(least(col("lam"), col("e").cast("double")) * col("t"), 2).as("alloc_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle for [[epochSchedule]]: identical integer prefix sums, the
+    * same candidate-λ division, smallest-valid-k pick, clamp fallback.
+    */
+  def sqlEpochSchedule: String = {
+    val toks = Portable.sqlTokens("text")
+    val h = Portable.sqlHash32("source")
+    s"""WITH st AS (SELECT source, sum(len($toks))::BIGINT AS t,
+       |    ($h % 5 + 1) AS e
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT sum(t)::BIGINT AS tt FROM st),
+       |cand AS (SELECT source, t, e,
+       |    row_number() OVER (ORDER BY e, source) AS k,
+       |    lag(e, 1, 0) OVER (ORDER BY e, source) AS lage,
+       |    ((($EpochBudgetHalves * tt) // 2
+       |       - (sum(e * t) OVER w - e * t))::DOUBLE
+       |      / (tt - sum(t) OVER w + t)::DOUBLE) AS lam
+       |  FROM st, tot
+       |  WINDOW w AS (ORDER BY e, source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |pick AS (SELECT coalesce(
+       |    (SELECT lam FROM cand WHERE lam >= lage AND lam <= e ORDER BY k LIMIT 1),
+       |    (SELECT max(e)::DOUBLE FROM st)) AS lam)
+       |SELECT st.source, st.t AS tokens, st.e::INT AS cap_epochs,
+       |  round(pick.lam, 6) AS lam,
+       |  round(least(pick.lam, st.e::DOUBLE), 6) AS epochs,
+       |  round(least(pick.lam, st.e::DOUBLE) * st.t, 2) AS alloc_tokens
+       |FROM st, pick ORDER BY source""".stripMargin
+  }
 }

@@ -734,6 +734,12 @@ object Pipeline {
     QueryDef.sql("p4_source_cap", Curation.sqlPerSourceCap) { (s, dir) =>
       Curation.perSourceCap(Tables.documents(s, dir))
     },
+    // data repetition schedule: water-fill a token budget across sources
+    // under per-source epoch caps — closed-form lambda over one window
+    // pass, integer prefix sums, one double division per candidate
+    QueryDef.sql("p44_epoch_schedule", Curation.sqlEpochSchedule) { (s, dir) =>
+      Curation.epochSchedule(Tables.documents(s, dir))
+    },
     // systematic PPS weighted sampling: guaranteed sample size, selection
     // probability exactly proportional to doc weight, pure integer
     // arithmetic — the sharded prefix sum + tiny carry table, one shuffle
