@@ -925,6 +925,38 @@ object RangeJoin {
        |  AND epoch_us(p.pts) - epoch_us(s.sts) BETWEEN 0 AND $WindowUs
        |ORDER BY signup_id, purchase_id""".stripMargin
 
+  /** STREAM-STREAM interval join — [[signupPurchases]] with BOTH sides
+    * unbounded (the one join Structured Streaming can run without keyed
+    * state code): watermarks on both event times plus the two-sided time
+    * condition let Spark bound the join state — a signup can be evicted
+    * once the purchase-side watermark passes sts + window (no purchase
+    * that could still match is in flight), so state is watermark-horizon
+    * × arrival-rate, not stream length. Inner join in append mode emits
+    * each pair exactly once; under ordered-within-watermark ingest the
+    * emitted set EQUALS the batch [[signupPurchases]] pairs.
+    *
+    * At 100 TB-rates this replaces the banded batch join for the online
+    * path: same pair semantics, state bounded by the same window that
+    * bounds the batch candidate volume.
+    */
+  def signupPurchasesStream(signups: DataFrame, purchases: DataFrame,
+                            delay: String = "1 hour"): DataFrame = {
+    val s = signups
+      .select(col("user_id").as("s_user"), col("ts").as("sts"),
+        col("event_id").as("signup_id"))
+      .withWatermark("sts", delay)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("pts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("pts", delay)
+    s.join(p,
+        col("s_user") === col("p_user") &&
+          col("pts") >= col("sts") &&
+          col("pts") <= col("sts") + expr(s"INTERVAL $WindowUs MICROSECOND"))
+      .select(col("signup_id"), col("purchase_id"), col("s_user").as("user_id"),
+        (unix_micros(col("pts")) - unix_micros(col("sts"))).as("gap_us"))
+  }
+
   // --------------------------------------------- w25 multi-touch attribution
 
   /** Lookback window for multi-touch attribution: 3 days in micros. */
