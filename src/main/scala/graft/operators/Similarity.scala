@@ -1251,6 +1251,67 @@ object Similarity {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  /** PQ CODEBOOK UTILIZATION (s17) — the index-health table next to
+    * drift (s15) and repair (s16): per (block, code) corpus usage over
+    * the SAVED codes table, against the FULL block×code grid so dead
+    * codes show as zero rows (a code no vector maps to is wasted
+    * codebook precision — the retrain signal for that block; a block
+    * whose vectors pile onto few codes quantizes coarsely and its ADC
+    * distances flatten). All integer counts plus one rounded fraction —
+    * deterministic, and one groupBy over the codes artifact (no decode,
+    * no pair join; the grid side is a 128-row literal).
+    */
+  def pqUtilization(idx: IvfPqIndex): DataFrame = {
+    val spark = idx.codes.sparkSession
+    val used = idx.codes.groupBy(col("m"), col("c"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val grid = spark.range(PqBlocks).select(col("id").cast("int").as("m"))
+      .crossJoin(spark.range(PqCodes).select(col("id").cast("int").as("c")))
+    val tot = idx.codes.agg(count(lit(1)).as("nt"))
+    val wBlock = Window.partitionBy(col("m"))
+    grid.join(used, Seq("m", "c"), "left")
+      .select(col("m"), col("c"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+      .crossJoin(broadcast(tot))
+      .select(col("m"), col("c"), col("n_vecs"),
+        (round(col("n_vecs").cast("double") / col("nt"), 6) + 0.0).as("frac"),
+        (col("n_vecs") > 0).as("used"))
+      .withColumn("block_codes_used",
+        sum(when(col("used"), 1L).otherwise(0L)).over(wBlock))
+      .orderBy(col("m"), col("c"))
+  }
+
+  /** Oracle for [[pqUtilization]]: replays the saved index's coarse +
+    * residual-PQ training (the s8/s9 CTEs), then the same grid join.
+    */
+  def sqlPqUtilization(dim: Int): String = {
+    val sub = dim / PqBlocks
+    val eUnit =
+      """e AS (SELECT vec_id,
+        |    list_transform(v0, x -> round(x / sqrt(list_dot_product(v0, v0)), 6)) AS v
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings))""".stripMargin
+    val (kmCtes, aN, cN) = sqlKmeansCtes(IvfPqCoarse, 2, eUnit)
+    val (pqSteps, raN, _) = sqlPqStepCtes("exr", "r")
+    s"""WITH $kmCtes,
+       |exb AS (SELECT vec_id, i, ((i - 1) // $sub)::INT AS m, x FROM ex),
+       |exr AS (SELECT exb.vec_id, exb.i, exb.m, exb.x - $cN.cv AS x
+       |  FROM exb JOIN $aN a USING (vec_id)
+       |  JOIN $cN ON $cN.c = a.c AND $cN.i = exb.i),
+       |rc0 AS (SELECT vec_id::INT AS c, i, round(x, 6) AS cv FROM exr WHERE vec_id < $PqCodes),
+       |$pqSteps,
+       |used AS (SELECT m, c, count(*)::BIGINT AS n_vecs FROM $raN GROUP BY 1, 2),
+       |grid AS (SELECT gm.m::INT AS m, gc.c::INT AS c
+       |  FROM range($PqBlocks) gm(m) CROSS JOIN range($PqCodes) gc(c)),
+       |tot AS (SELECT count(*)::BIGINT AS nt FROM $raN),
+       |g AS (SELECT grid.m, grid.c, coalesce(used.n_vecs, 0)::BIGINT AS n_vecs
+       |  FROM grid LEFT JOIN used ON used.m = grid.m AND used.c = grid.c)
+       |SELECT g.m, g.c, g.n_vecs,
+       |  round(g.n_vecs::DOUBLE / tot.nt, 6) + 0.0 AS frac,
+       |  g.n_vecs > 0 AS used,
+       |  sum(CASE WHEN g.n_vecs > 0 THEN 1 ELSE 0 END) OVER (PARTITION BY g.m)::BIGINT
+       |    AS block_codes_used
+       |FROM g, tot ORDER BY m, c""".stripMargin
+  }
+
   // --------------------------------------------------------- SemDeDup
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by

@@ -505,6 +505,14 @@ object Pipeline {
       Similarity.ivfPqSearch(Tables.embeddings(s, dir),
         Similarity.loadIvfPq(s, idxDir), 64 / Similarity.PqBlocks, 10, 5)
     },
+    // codebook utilization: per (block, code) usage over the saved codes
+    // table against the full grid — dead codes and coarse blocks surface
+    // as the retrain signal; one groupBy over the artifact
+    QueryDef.sql("s17_pq_utilization", Similarity.sqlPqUtilization(64)) { (s, dir) =>
+      val idxDir = artifactDir("ivfpq", dir)(tmp =>
+        Similarity.trainAndSaveIvfPq(Tables.embeddings(s, dir), 64 / Similarity.PqBlocks, tmp))
+      Similarity.pqUtilization(Similarity.loadIvfPq(s, idxDir))
+    },
     // tombstoned serving (s13): a delete-list (vec_id % 7 = 3 stands in
     // for the tombstone table) anti-filtered from the SAVED index's
     // corpus tables — GDPR-style deletion without a rebuild; the two
