@@ -579,6 +579,51 @@ object Relational {
       a.union(b).distinct().orderBy(col("nationkey"))
     },
 
+    // Correlated EXISTS subquery (TPC-H Q4 shape): Catalyst decorrelates
+    // the EXISTS into a LEFT SEMI join on the correlation key — never a
+    // per-row re-scan; the fact-side predicate pushes into the semi
+    // join's build side.
+    QueryDef.sql("q29_exists_subquery",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders_q29")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q29")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM orders_q29
+          |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM lineitem_q29
+          |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // Correlated SCALAR subquery (TPC-H Q17 shape): the per-part average
+    // decorrelates into one partial-aggregated per-part table joined back
+    // on the correlation key — one aggregate + one join, not a re-scan
+    // per probe row. l_quantity is integer-valued, so the avg is an exact
+    // integer sum over an exact count: the 0.2·avg threshold is the same
+    // double in both engines and the boundary cannot flip.
+    QueryDef.sql("q30_scalar_subquery",
+      """SELECT l.l_returnflag AS rf, CAST(count(*) AS BIGINT) AS n_small,
+        |  round(sum(l.l_extendedprice), 2) AS revenue
+        |FROM lineitem l
+        |WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY l.l_returnflag ORDER BY rf""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q30")
+      s.sql(
+        """SELECT l.l_returnflag AS rf, count(*) AS n_small,
+          |  round(sum(l.l_extendedprice), 2) AS revenue
+          |FROM lineitem_q30 l
+          |WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+          |                      FROM lineitem_q30 l2 WHERE l2.l_partkey = l.l_partkey)
+          |GROUP BY l.l_returnflag ORDER BY rf""".stripMargin)
+    },
+
     // KMV distinct-count set algebra (q28): per-event-type k-minimum-values
     // sketches, pairwise union AND intersection estimates — the set
     // operation HLL (w18/q20) cannot perform. One distinct pass over
