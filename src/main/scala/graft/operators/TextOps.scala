@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
 
@@ -1929,6 +1930,139 @@ object TextOps {
        |SELECT doc_id, (h % $HashFeatBuckets)::BIGINT AS bucket,
        |  sum(CASE WHEN (h // 32) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS weight
        |FROM hh GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
+  }
+
+  // ------------------------------------------------- collocations (t39)
+
+  /** Minimum bigram count for the collocation table (rare pairs have
+    * unstable PMI; the classic cut).
+    */
+  val CollocMinCount = 5
+  val CollocTopK = 50
+
+  /** CORPUS COLLOCATIONS (t39): top-K adjacent-word bigrams by PMI —
+    * log2(p(a,b) / p(a)p(b)) with p(a,b) over the bigram total and p(·)
+    * over the token total, the q27 association measure applied to the
+    * TOKEN STREAM (adjacency) instead of baskets (co-presence). Bigrams
+    * come from a per-row array expression (no position self-join); all
+    * counts are integers, and each PMI is ONE double expression over
+    * five exact integers — identical in both engines.
+    *
+    * Scale shape: one explode + (pair) partial aggregate, one (token)
+    * partial aggregate, two broadcastable scalar totals, a bounded top-K.
+    */
+  def collocations(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    // guard single-token docs: Spark's sequence(1, 0) DESCENDS ([1, 0]),
+    // it is not empty like DuckDB's range(1, 1) — emit no bigrams instead
+    val pairs = docs
+      .select(explode(when(size(toks) > 1,
+        transform(sequence(lit(1), size(toks) - 1),
+          j => concat_ws(" ", element_at(toks, j), element_at(toks, (j + 1).cast("int")))))
+        .otherwise(array().cast("array<string>")))
+        .as("pair"))
+    val pc = pairs.groupBy(col("pair")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= CollocMinCount)
+    val uni = docs.select(explode(toks).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val totT = uni.agg(sum(col("c")).as("tt"))
+    val totB = pairs.agg(count(lit(1)).as("tb"))
+    val scored = pc
+      .withColumn("a", split_part(col("pair"), lit(" "), lit(1)))
+      .withColumn("b", split_part(col("pair"), lit(" "), lit(2)))
+      .join(uni.select(col("t").as("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("t").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totB))
+      .select(col("pair"), col("cab"),
+        round(log2(col("cab").cast("double") * col("tt") * col("tt")
+          / (col("tb") * col("ca") * col("cb"))), 4).as("pmi"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("pair"))))
+      .filter(col("rank") <= CollocTopK)
+      .select(col("rank"), col("pair"), col("cab"), col("pmi"))
+      .orderBy(col("rank"))
+  }
+
+  /** Oracle for [[collocations]]: same per-row bigram construction, the
+    * identical five-integer PMI expression, same cuts and tie-breaks.
+    */
+  val sqlCollocations: String = {
+    val toks = Portable.sqlTokens("text")
+    s"""WITH tk AS (SELECT $toks AS toks FROM documents),
+      |pairs AS (SELECT unnest(list_transform(range(1, len(toks)),
+      |    j -> toks[j] || ' ' || toks[j + 1])) AS pair FROM tk),
+      |pc AS (SELECT pair, count(*)::BIGINT AS cab FROM pairs
+      |  GROUP BY pair HAVING count(*) >= $CollocMinCount),
+      |uni AS (SELECT unnest(toks) AS t FROM tk),
+      |uc AS (SELECT t, count(*)::BIGINT AS c FROM uni GROUP BY t),
+      |tt AS (SELECT sum(c)::BIGINT AS tt FROM uc),
+      |tb AS (SELECT count(*)::BIGINT AS tb FROM pairs),
+      |scored AS (SELECT pc.pair, pc.cab,
+      |    round(log2(pc.cab::DOUBLE * tt.tt * tt.tt
+      |      / (tb.tb * ca.c * cb.c)), 4) AS pmi
+      |  FROM pc
+      |  JOIN uc ca ON ca.t = split_part(pc.pair, ' ', 1)
+      |  JOIN uc cb ON cb.t = split_part(pc.pair, ' ', 2)
+      |  CROSS JOIN tt CROSS JOIN tb)
+      |SELECT rank, pair, cab, pmi FROM (
+      |  SELECT pair, cab, pmi,
+      |    row_number() OVER (ORDER BY pmi DESC, pair) AS rank
+      |  FROM scored) WHERE rank <= $CollocTopK
+      |ORDER BY rank""".stripMargin
+  }
+
+  // ----------------------------------------------------- Heaps' law (t40)
+
+  /** Corpus-order checkpoint buckets for the vocabulary-growth curve. */
+  val HeapsBuckets = 20
+
+  /** HEAPS'-LAW VOCABULARY GROWTH (t40, the companion of t28's Zipf
+    * table): cumulative distinct-type count vs cumulative token count at
+    * [[HeapsBuckets]] corpus-order checkpoints. A token's contribution to
+    * the type curve is its FIRST bucket (min bucket over its
+    * occurrences — the q25 first-occurrence idea lifted to aggregate
+    * form, so there is no per-token window); the curve itself is a
+    * running sum over the bounded bucket domain, never over tokens.
+    */
+  def heapsCurve(docs: DataFrame): DataFrame = {
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val base = docs.crossJoin(broadcast(nd))
+      .select(expr(s"(doc_id * $HeapsBuckets) div nd").as("bucket"),
+        explode(tokens(col("text"))).as("t"))
+    val tokCnt = base.groupBy(col("bucket")).agg(count(lit(1)).as("toks"))
+    val firstB = base.groupBy(col("t")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val run = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokCnt.join(firstB, Seq("bucket"), "left")
+      .select(col("bucket"), col("toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .select(col("bucket"),
+        sum(col("toks")).over(run).as("cum_tokens"),
+        sum(col("new_types")).over(run).as("cum_types"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Oracle for [[heapsCurve]]: identical bucketing, min-bucket type
+    * attribution, and bounded running sums.
+    */
+  val sqlHeapsCurve: String = {
+    val toks = Portable.sqlTokens("text")
+    s"""WITH nd AS (SELECT count(*)::BIGINT AS nd FROM documents),
+      |base AS (SELECT (doc_id * $HeapsBuckets) // nd.nd AS bucket,
+      |    unnest($toks) AS t
+      |  FROM documents, nd),
+      |tc AS (SELECT bucket, count(*)::BIGINT AS toks FROM base GROUP BY bucket),
+      |fb AS (SELECT bucket, count(*)::BIGINT AS new_types FROM (
+      |    SELECT t, min(bucket) AS bucket FROM base GROUP BY t)
+      |  GROUP BY bucket)
+      |SELECT tc.bucket,
+      |  (sum(tc.toks) OVER w)::BIGINT AS cum_tokens,
+      |  (sum(coalesce(fb.new_types, 0)) OVER w)::BIGINT AS cum_types
+      |FROM tc LEFT JOIN fb USING (bucket)
+      |WINDOW w AS (ORDER BY tc.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY bucket""".stripMargin
   }
 
   // ------------------------------------------------- sentence stats (t38)

@@ -348,6 +348,17 @@ object Pipeline {
     QueryDef.sql("t38_sentence_stats", TextOps.sqlSentenceStats) { (s, dir) =>
       TextOps.sentenceStats(Tables.documents(s, dir))
     },
+    // adjacency collocations: q27's PMI over the token stream — per-row
+    // bigram arrays (no position self-join), integer counts, one double
+    // log2 per pair, bounded top-K
+    QueryDef.sql("t39_collocations", TextOps.sqlCollocations) { (s, dir) =>
+      TextOps.collocations(Tables.documents(s, dir))
+    },
+    // Heaps'-law vocabulary growth: first-bucket type attribution in
+    // aggregate form, running sums over the bounded bucket domain
+    QueryDef.sql("t40_heaps", TextOps.sqlHeapsCurve) { (s, dir) =>
+      TextOps.heapsCurve(Tables.documents(s, dir))
+    },
     // RAKE keyword extraction: stopword-delimited phrase runs scored by
     // per-doc word degree/freq — wholly per-document, no corpus state
     QueryDef.sql("t36_rake_phrases", TextOps.sqlRakePhrases) { (s, dir) =>
