@@ -459,15 +459,7 @@ object Multimodal {
     * verify candidates with codegen'd bit_count(xor).
     */
   private[operators] def bandedHammingPairs(hashes: DataFrame): DataFrame = {
-    val stacked = hashes
-      .withColumn("w", expr(s"cast((nbits + ${HashBands - 1}) div $HashBands as int)"))
-      .select(col("asset_id"), col("ahash"), col("nbits"),
-        explode(expr(s"""transform(sequence(0, ${HashBands - 1}),
-          b -> struct(b as band,
-            (shiftright(ahash, b * w) & (shiftleft(cast(1 as bigint), w) - 1)) as bv))"""))
-          .as("s"))
-      .select(col("asset_id"), col("ahash"), col("nbits"),
-        col("s.band").as("band"), col("s.bv").as("bv"))
+    val stacked = bandStack(hashes)
     val cand = stacked.as("x").join(stacked.as("y"),
         col("x.nbits") === col("y.nbits") && col("x.band") === col("y.band") &&
           col("x.bv") === col("y.bv") && col("x.asset_id") < col("y.asset_id"))
@@ -478,6 +470,66 @@ object Multimodal {
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
       .filter(col("hamming") <= HashMaxHamming)
       .orderBy(col("ia"), col("ib"))
+  }
+
+  /** The band-explosion half of [[bandedHammingPairs]], factored so the
+    * incremental path can probe a different build side.
+    */
+  private def bandStack(hashes: DataFrame): DataFrame = hashes
+    .withColumn("w", expr(s"cast((nbits + ${HashBands - 1}) div $HashBands as int)"))
+    .select(col("asset_id"), col("ahash"), col("nbits"),
+      explode(expr(s"""transform(sequence(0, ${HashBands - 1}),
+        b -> struct(b as band,
+          (shiftright(ahash, b * w) & (shiftleft(cast(1 as bigint), w) - 1)) as bv))"""))
+        .as("s"))
+    .select(col("asset_id"), col("ahash"), col("nbits"),
+      col("s.band").as("band"), col("s.bv").as("bv"))
+
+  /** INCREMENTAL IMAGE-SHARD DEDUP (mm11) — d13's saved-index economics
+    * applied to the perceptual modality: yesterday's corpus ships as its
+    * SAVED fingerprint table (8 bytes an image, the artifact mm7 already
+    * computes); today's shard decodes and hashes ONLY its own images,
+    * then band-probes the saved+shard fingerprints. Emitted pairs touch
+    * the shard on at least one side by construction (the probe side IS
+    * the shard); old×old pairs never recompute. Candidate volume scales
+    * with the shard, not the corpus — the s11/d13 argument, verbatim.
+    */
+  def imageShardNearDup(savedHashes: DataFrame, shardAssets: DataFrame): DataFrame = {
+    val newH = imageHashes(shardAssets)
+    val probe = bandStack(newH)
+    val build = bandStack(savedHashes.unionByName(newH))
+    val cand = probe.as("x").join(build.as("y"),
+        col("x.nbits") === col("y.nbits") && col("x.band") === col("y.band") &&
+          col("x.bv") === col("y.bv") && col("x.asset_id") =!= col("y.asset_id"))
+      .select(least(col("x.asset_id"), col("y.asset_id")).as("ia"),
+        greatest(col("x.asset_id"), col("y.asset_id")).as("ib"),
+        col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+      .select(col("ia"), col("ib"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .distinct()
+    cand.filter(col("hamming") <= HashMaxHamming)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** Oracle for [[imageShardNearDup]]: the mm7 replay with the 4/5 cut —
+    * pairs restricted to those with a shard-side asset (variant ids map
+    * back to their base doc for the newness test).
+    */
+  // def, not val: sqlImageHashCtes is declared later in the object and a
+  // val here would capture null at initialization order
+  def sqlImageShardPairs: String = {
+    val isNewX =
+      s"(CASE WHEN x.doc_id >= $VariantOffset THEN x.doc_id - $VariantOffset ELSE x.doc_id END) >= (SELECT cnt FROM cn)"
+    s"""WITH cn AS (SELECT (count(*) * 4) // 5 AS cnt FROM documents),
+       |${sqlImageHashCtes}
+       |cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS ia,
+       |    greatest(x.doc_id, y.doc_id) AS ib,
+       |    bit_count(xor(x.h, y.h))::INT AS hamming
+       |  FROM st x JOIN st y ON x.band = y.band AND x.bv = y.bv
+       |    AND x.doc_id <> y.doc_id
+       |  WHERE $isNewX)
+       |SELECT ia, ib, hamming FROM cand WHERE hamming <= $HashMaxHamming
+       |ORDER BY 1, 2""".stripMargin
   }
 
   /** 8x8 image fixture for mm7: [[assets]]' 2x2 payload carries only 4
@@ -520,7 +572,11 @@ object Multimodal {
     * on the resulting negative hash are arithmetic in BOTH engines and
     * the band mask strips the sign-extension, measured identical.
     */
-  val sqlImageHashPairs: String = {
+  /** The decode-replay CTE chain shared by mm7 and mm11: digests →
+    * luminances → aHash bits → band stack (`st`). Ends with a trailing
+    * comma so callers append their own pairing CTEs.
+    */
+  private val sqlImageHashCtes: String = {
     val g = HashPpmW * HashPpmH
     val hx = ("md5(text)" +: (1 until 12).map(i => s"md5(text || '#$i')"))
       .mkString(" || ")
@@ -538,7 +594,7 @@ object Multimodal {
     val bandW = (g + HashBands - 1) / HashBands
     val mask = (1L << bandW) - 1
     val bandList = (0 until HashBands).mkString(", ")
-    s"""WITH hxs AS (SELECT doc_id, $hx AS hx FROM documents),
+    s"""hxs AS (SELECT doc_id, $hx AS hx FROM documents),
        |m AS (SELECT doc_id, hx FROM hxs
        |  UNION ALL
        |  SELECT doc_id + $VariantOffset, 'ffffff' || substr(hx, 7)
@@ -547,7 +603,11 @@ object Multimodal {
        |tt AS (SELECT *, ($total) AS total FROM l),
        |hs AS (SELECT doc_id, ($hashExpr)::BIGINT AS h FROM tt),
        |st AS (SELECT doc_id, h, b AS band, (h >> (b * $bandW)) & $mask AS bv
-       |  FROM hs, LATERAL unnest([$bandList]) t(b)),
+       |  FROM hs, LATERAL unnest([$bandList]) t(b)),""".stripMargin
+  }
+
+  val sqlImageHashPairs: String =
+    s"""WITH $sqlImageHashCtes
        |cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib,
        |    x.h AS ha, y.h AS hb
        |  FROM st x JOIN st y ON x.band = y.band AND x.bv = y.bv
@@ -555,7 +615,6 @@ object Multimodal {
        |SELECT ia, ib, bit_count(xor(ha, hb))::INT AS hamming
        |FROM cand WHERE bit_count(xor(ha, hb)) <= $HashMaxHamming
        |ORDER BY 1, 2""".stripMargin
-  }
 
   // ------------------------------------------------- audio perceptual hash
 

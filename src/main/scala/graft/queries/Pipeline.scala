@@ -1111,6 +1111,21 @@ object Pipeline {
     QueryDef.sql("mm10_shot_bounds", Multimodal.sqlShotBoundaries) { (s, dir) =>
       Multimodal.shotBoundaries(Multimodal.videoShotAssets(Tables.documents(s, dir)))
     },
+    // incremental image-shard dedup: today's shard decodes and hashes
+    // only its own images, band-probes the SAVED fingerprint table —
+    // candidate volume scales with the shard, never re-decodes the corpus
+    QueryDef.sql("mm11_image_shard_dedup", Multimodal.sqlImageShardPairs) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cut = docs.count() * 4 / 5
+      val idxDir = artifactDir("imghash", dir) { tmp =>
+        graft.sources.ModelStore.saveLarge(
+          Multimodal.imageHashes(Multimodal.hashAssets(docs.filter(col("doc_id") < cut))),
+          s"$tmp/hashes")
+      }
+      Multimodal.imageShardNearDup(
+        graft.sources.ModelStore.load(s, s"$idxDir/hashes"),
+        Multimodal.hashAssets(docs.filter(col("doc_id") >= cut)))
+    },
     // per-user heartbeat gaps: the outages sessionization implies —
     // one lag over the per-key order, output only the silences
     QueryDef.sql("w15_gaps", EventWindows.sqlHeartbeatGaps) { (s, dir) =>
