@@ -568,4 +568,72 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("ntile") && !plan.contains("Window "),
       s"phases come from fixed z thresholds, never a global rank:\n$plan")
   }
+
+  test("KMV sketches: rank<=k compiles to WindowGroupLimit; pair fan-out never a cross product") {
+    val ev = graft.Tables.events(TestSpark.spark, dir)
+    val plan = executed(Sketches.kmvSetOps(ev))
+    // only the k smallest hashes per group survive the window sort — the
+    // property that makes a sketch build a top-k, not a group sort
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the rank<=k filter as a group limit in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the |types|-row pair expansion must broadcast, not cross:\n$plan")
+    val plan2 = executed(Sketches.rollingDau(ev))
+    assert(plan2.contains("WindowGroupLimit") && !plan2.contains("CartesianProduct")
+      && !plan2.contains("BroadcastNestedLoopJoin"),
+      s"rolling-DAU fan-out must be explode + equi-semijoin, never a range join:\n$plan2")
+  }
+
+  test("multi-touch attribution: banded equi-join only, normalizer window keyed by purchase") {
+    val plan = executed(RangeJoin.multiTouch(graft.Tables.events(TestSpark.spark, dir)))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"touch-purchase candidates must come from the banded equi-join:\n$plan")
+    assert(plan.contains("Window"),
+      s"expected the per-purchase normalizer window in:\n$plan")
+  }
+
+  test("IVF median split: one bounded-domain window, no corpus window, no cross product") {
+    val spark = TestSpark.spark
+    val emb = graft.Tables.embeddings(spark, dir)
+    val cut = emb.count() * 4 / 5
+    val old = emb.filter(col("vec_id") < cut)
+    val idx = Similarity.ivfPqTrain(old, 8)
+    val plan = executed(Similarity.ivfMedianSplit(old, idx))
+    assert(!plan.contains("CartesianProduct"),
+      s"split must broadcast its one-row picks, not cross:\n$plan")
+    // the ONLY unpartitioned window is the cumulative histogram over the
+    // bounded 6-dp value domain — a member-sort formulation would add a
+    // corpus-sized Window/Sort here
+    val windows = "Window ".r.findAllIn(plan).size
+    assert(windows <= 1, s"expected at most the histogram-cum window, got $windows:\n$plan")
+  }
+
+  test("Heaps curve: type attribution is aggregate-form — no per-token window") {
+    val plan = executed(TextOps.heapsCurve(graft.Tables.documents(TestSpark.spark, dir)))
+    val windows = "Window ".r.findAllIn(plan).size
+    assert(windows <= 1,
+      s"first-occurrence must be min-bucket aggregation, not a token window ($windows):\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"doc-count must broadcast:\n$plan")
+  }
+
+  test("image shard dedup: band probe is a shuffled equi-join with no forced broadcast") {
+    val spark = TestSpark.spark
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.catalog.clearCache()
+    try {
+      val docs = graft.Tables.documents(spark, dir)
+      val cut = docs.count() * 4 / 5
+      val saved = Multimodal.imageHashes(
+        Multimodal.hashAssets(docs.filter(col("doc_id") < cut)))
+      val plan = executed(Multimodal.imageShardNearDup(saved,
+        Multimodal.hashAssets(docs.filter(col("doc_id") >= cut))))
+      // fingerprint volume is corpus-sized at scale: the band join must
+      // stay valid without a driver-sized broadcast
+      assert(!plan.contains("BroadcastExchange") && !plan.contains("CartesianProduct"),
+        s"band probe must not force a broadcast or cross:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join on the band key in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
