@@ -238,6 +238,110 @@ object Whiten {
        |SELECT $out FROM vv$PowerIters""".stripMargin
   }
 
+  /** TOP-2 PRINCIPAL DIRECTIONS (c8): the c6 power iteration plus one
+    * Hotelling deflation — after the dominant pair (λ1, v1) converges,
+    * iterate again on C − λ1·v1·v1ᵀ for (λ2, v2). Emits both
+    * eigenvalues, PC2's share of the top-2 spectrum (the "is one
+    * direction dominating my embeddings" diagnostic — anisotropy is the
+    * standard embedding pathology whitening corrects), the |v1·v2|
+    * orthogonality check, and PC2 itself. The check column is honest
+    * about power iteration's limit: with a well-separated spectrum it
+    * sits near 0; on a near-degenerate top pair (λ1 ≈ λ2 — the fixture's
+    * case) the fixed iteration count leaves visible residue, which is
+    * exactly when the share2 diagnostic reads ~0.5 and says no single
+    * direction dominates.
+    *
+    * Scale shape: identical to c6 — the corpus cost is the ONE gram
+    * pass; both iterations are D×D driver arithmetic, and the oracle
+    * replays every IEEE step (left-associated sums, same literal start
+    * vector, same deflation expression order).
+    */
+  def pcaTop2(emb: DataFrame): DataFrame = {
+    val c = Array.ofDim[Double](D, D)
+    gram(emb).collect().foreach { r =>
+      c(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getDouble(2)
+    }
+    def iterate(m: Array[Array[Double]]): (Double, Array[Double]) = {
+      var v = Array.fill(D)(PowerStart)
+      var eig = 0.0
+      for (_ <- 0 until PowerIters) {
+        val w = Array.tabulate(D)(i =>
+          (0 until D).map(j => m(i)(j) * v(j)).reduce(_ + _))
+        eig = math.sqrt(w.map(x => x * x).reduce(_ + _))
+        v = w.map(_ / eig)
+      }
+      (eig, v)
+    }
+    val (e1, v1) = iterate(c)
+    val d = Array.tabulate(D, D)((i, j) => c(i)(j) - e1 * v1(i) * v1(j))
+    val (e2, v2) = iterate(d)
+    val dot = (0 until D).map(i => v1(i) * v2(i)).reduce(_ + _)
+    val spark = emb.sparkSession
+    spark.range(1).select(
+      (round(lit(e1), 6) + lit(0.0)).as("eig1") +:
+        (round(lit(e2), 6) + lit(0.0)).as("eig2") +:
+        (round(lit(e2 / (e1 + e2)), 6) + lit(0.0)).as("share2") +:
+        (round(lit(math.abs(dot)), 6) + lit(0.0)).as("abs_dot") +:
+        (0 until D).map(i => (round(lit(v2(i)), 6) + lit(0.0)).as(s"pc2_${i + 1}")): _*)
+  }
+
+  /** Oracle for [[pcaTop2]]: the c6 replay run twice — pass `a` on the
+    * covariance cells, an explicit deflation CTE, pass `b` on the
+    * deflated cells — every sum left-associated.
+    */
+  val sqlPcaTop2: String = {
+    val covCells = (for (i <- 1 to D; j <- 1 to D) yield
+      s"max(CASE WHEN i = $i AND j = $j THEN cov END) AS c_${i}_$j").mkString(",\n    ")
+    // one unrolled power chain; cell(i, j) names the matrix entry column
+    def chain(tag: String, cell: (Int, Int) => String, src: String): (String, String) = {
+      val ctes = (1 to PowerIters).flatMap { it =>
+        val prevV = (j: Int) =>
+          if (it == 1) PowerStart.toString else s"${tag}v${it - 1}_$j"
+        val wCols = (1 to D).map { i =>
+          (1 to D).map(j => s"${cell(i, j)} * ${prevV(j)}").mkString(" + ") +
+            s" AS ${tag}w${it}_$i"
+        }.mkString(",\n    ")
+        val nrm = "sqrt(" +
+          (1 to D).map(i => s"${tag}w${it}_$i * ${tag}w${it}_$i").mkString(" + ") + ")"
+        val vCols = (1 to D).map(i => s"${tag}w${it}_$i / $nrm AS ${tag}v${it}_$i")
+          .mkString(",\n    ")
+        val prev = if (it == 1) src else s"${tag}vv${it - 1}"
+        Seq(s"${tag}ww$it AS (SELECT *, $wCols FROM $prev)",
+          s"${tag}vv$it AS (SELECT *, $vCols FROM ${tag}ww$it)")
+      }.mkString(",\n")
+      (ctes, s"${tag}vv$PowerIters")
+    }
+    val (aCtes, aLast) = chain("a", (i, j) => s"c_${i}_$j", "gp")
+    val e1 = "sqrt(" +
+      (1 to D).map(i => s"aw${PowerIters}_$i * aw${PowerIters}_$i").mkString(" + ") + ")"
+    val defCols = (for (i <- 1 to D; j <- 1 to D) yield
+      s"c_${i}_$j - e1 * av${PowerIters}_$i * av${PowerIters}_$j AS d_${i}_$j")
+      .mkString(",\n    ")
+    val (bCtes, bLast) = chain("b", (i, j) => s"d_${i}_$j", "dp")
+    val e2 = "sqrt(" +
+      (1 to D).map(i => s"bw${PowerIters}_$i * bw${PowerIters}_$i").mkString(" + ") + ")"
+    val dot = (1 to D)
+      .map(i => s"av${PowerIters}_$i * bv${PowerIters}_$i").mkString(" + ")
+    val out = (Seq(
+      s"round(e1, 6) + 0.0 AS eig1",
+      s"round($e2, 6) + 0.0 AS eig2",
+      s"round($e2 / (e1 + $e2), 6) + 0.0 AS share2",
+      s"round(abs($dot), 6) + 0.0 AS abs_dot") ++
+      (1 to D).map(i => s"round(bv${PowerIters}_$i, 6) + 0.0 AS pc2_$i"))
+      .mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:$D] AS v FROM embeddings),
+       |g AS (SELECT i, j, round(avg(v[i] * v[j]) - avg(v[i]) * avg(v[j]), 6) AS cov
+       |  FROM e, LATERAL unnest(range(1, $D + 1)) t1(i),
+       |    LATERAL unnest(range(1, $D + 1)) t2(j)
+       |  GROUP BY 1, 2),
+       |gp AS (SELECT $covCells FROM g),
+       |$aCtes,
+       |e1c AS (SELECT *, $e1 AS e1 FROM $aLast),
+       |dp AS (SELECT *, $defCols FROM e1c),
+       |$bCtes
+       |SELECT $out FROM $bLast""".stripMargin
+  }
+
   // -------------------------------------------------------- persistence
 
   /** Persist a trained model under `dir` as one tiny parquet of (kind, i,

@@ -1053,6 +1053,11 @@ object Pipeline {
     QueryDef.sql("c6_pca_power", Whiten.sqlPcaPower) { (s, dir) =>
       Whiten.pcaPower(Tables.embeddings(s, dir))
     },
+    // top-2 spectrum: c6 plus one Hotelling deflation — the anisotropy
+    // diagnostic; corpus cost is still the single gram pass
+    QueryDef.sql("c8_pca_top2", Whiten.sqlPcaTop2) { (s, dir) =>
+      Whiten.pcaTop2(Tables.embeddings(s, dir))
+    },
 
     // -------- int8 quantization error budget per coarse cell
     QueryDef.sql("c5_quant_error", Similarity.sqlQuantError) { (s, dir) =>
