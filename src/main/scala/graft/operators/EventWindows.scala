@@ -752,6 +752,72 @@ object EventWindows {
       .orderBy(col("day"), col("rank"))
   }
 
+  /** DAY-OVER-DAY CHURN (w26) — the set-difference companion of w24's
+    * rolling DAU: for each day with an ADJACENT previous calendar day in
+    * the data, how many of yesterday's actives returned (retained), how
+    * many went silent (churned), and how many are new. Pure equi-joins
+    * over the distinct (day, user) pairs — yesterday's set arrives as the
+    * same table keyed one day later, so each day is one join key and no
+    * window or cross product appears; days without an adjacent
+    * predecessor emit nothing (a gap day would otherwise read as 100%
+    * churn).
+    *
+    * churn_rate = churned/yesterday as ONE double division of two exact
+    * integers, rounded — deterministic in both engines.
+    */
+  def dayChurn(events: DataFrame): DataFrame = {
+    val du = events.filter(col("ts").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val prev = du.select(date_add(col("day"), 1).as("day"),
+      col("user_id").as("prev_user"))
+    val days = du.select(col("day")).distinct()
+    val prevDays = days.select(date_add(col("day"), 1).as("day"))
+    val adjacent = days.join(prevDays, Seq("day"), "left_semi")
+    val joined = du.join(adjacent, Seq("day"), "left_semi").as("t")
+      .join(prev.as("y"),
+        col("t.day") === col("y.day") && col("t.user_id") === col("y.prev_user"),
+        "full_outer")
+      .select(coalesce(col("t.day"), col("y.day")).as("day"),
+        col("t.user_id").isNotNull.as("today"),
+        col("y.prev_user").isNotNull.as("yesterday"))
+      .join(adjacent, Seq("day"), "left_semi")
+    joined.groupBy(col("day"))
+      .agg(sum(when(col("today") && col("yesterday"), 1L).otherwise(0L)).as("retained"),
+        sum(when(!col("today") && col("yesterday"), 1L).otherwise(0L)).as("churned"),
+        sum(when(col("today") && !col("yesterday"), 1L).otherwise(0L)).as("new_users"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("retained"), col("churned"), col("new_users"),
+        (round(col("churned").cast("double")
+          / (col("retained") + col("churned")), 4) + 0.0).as("churn_rate"))
+      .orderBy(col("day"))
+  }
+
+  /** Oracle for [[dayChurn]]: the same shifted self-join over distinct
+    * (day, user) pairs, restricted to adjacent-day pairs.
+    */
+  val sqlDayChurn: String =
+    """WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id
+      |  FROM events WHERE ts IS NOT NULL),
+      |days AS (SELECT DISTINCT day FROM du),
+      |adj AS (SELECT day FROM days
+      |  WHERE day IN (SELECT day + 1 FROM days)),
+      |t AS (SELECT du.day, du.user_id FROM du WHERE du.day IN (SELECT day FROM adj)),
+      |y AS (SELECT du.day + 1 AS day, du.user_id AS prev_user FROM du),
+      |j AS (SELECT coalesce(t.day, y.day) AS day,
+      |    t.user_id IS NOT NULL AS today,
+      |    y.prev_user IS NOT NULL AS yesterday
+      |  FROM t FULL OUTER JOIN y ON t.day = y.day AND t.user_id = y.prev_user)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  sum(CASE WHEN today AND yesterday THEN 1 ELSE 0 END)::BIGINT AS retained,
+      |  sum(CASE WHEN NOT today AND yesterday THEN 1 ELSE 0 END)::BIGINT AS churned,
+      |  sum(CASE WHEN today AND NOT yesterday THEN 1 ELSE 0 END)::BIGINT AS new_users,
+      |  round(sum(CASE WHEN NOT today AND yesterday THEN 1 ELSE 0 END)::DOUBLE
+      |    / (sum(CASE WHEN today AND yesterday THEN 1 ELSE 0 END)
+      |       + sum(CASE WHEN NOT today AND yesterday THEN 1 ELSE 0 END)), 4) + 0.0
+      |    AS churn_rate
+      |FROM j WHERE day IN (SELECT day FROM adj)
+      |GROUP BY day ORDER BY day""".stripMargin
+
   /** Oracle for [[trendingItems]]: same (day, item) rollup, adjacent-day
     * lag and rank tie-breaks.
     */

@@ -683,6 +683,11 @@ object Pipeline {
     QueryDef.sql("w23_trending", EventWindows.sqlTrendingItems) { (s, dir) =>
       EventWindows.trendingItems(Tables.events(s, dir))
     },
+    // day-over-day churn: shifted self-join over distinct (day, user)
+    // pairs, adjacent-day gated — pure equi-joins, one double division
+    QueryDef.sql("w26_day_churn", EventWindows.sqlDayChurn) { (s, dir) =>
+      EventWindows.dayChurn(Tables.events(s, dir))
+    },
     // 7-day rolling DAU from merged daily KMV sketches: raw events reduce
     // to k hashes/day once; the rolling window is a 7-way fan-out + re-min
     // over sketch rows only. exact_dau7 is the declared exact baseline —
