@@ -77,6 +77,20 @@ object Sketches {
       .filter(col("item").isNotNull)
       .select(col("t"), Portable.hash32(col("item").cast("string")).as("h"))
       .distinct()
+    kmvPairwise(items)
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("k_used"), col("n_both"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_inter"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** The pairwise KMV core over any distinct (t, h) membership table:
+    * per-key sketches, merged re-min per key pair, union/intersection
+    * estimates — shared by q28 (event types × items) and t41 (sources ×
+    * vocabulary). Returns (ta, tb, k_used, n_both, est_a, est_b,
+    * est_union, est_inter), unordered.
+    */
+  private def kmvPairwise(items: DataFrame): DataFrame = {
     val sk = items
       .withColumn("r", row_number().over(Window.partitionBy(col("t")).orderBy(col("h"))))
       .filter(col("r") <= KmvK)
@@ -103,21 +117,36 @@ object Sketches {
       .withColumn("est_inter", expr("(n_both * est_union) div k_used"))
     u.join(te.select(col("t").as("ta"), col("est").as("est_a")), "ta")
       .join(te.select(col("t").as("tb"), col("est").as("est_b")), "tb")
-      .select(col("ta").as("type_a"), col("tb").as("type_b"),
-        col("k_used"), col("n_both"), col("est_a"), col("est_b"),
-        col("est_union"), col("est_inter"))
-      .orderBy(col("type_a"), col("type_b"))
   }
 
-  /** Oracle for [[kmvSetOps]] — the identical hash, rank, and integer
-    * estimator replayed in DuckDB (QUALIFY is the rank-≤-k filter).
+  /** SOURCE VOCABULARY OVERLAP (t41): pairwise Jaccard of per-source
+    * vocabularies estimated from KMV sketches — the d19 source-overlap
+    * question asked of the LEXICON instead of the documents (two crawls
+    * with near-identical vocabularies are stylistic near-clones even
+    * when no document matches; the mixture-weighting signal). The
+    * Jaccard estimate n_both/k_used comes straight from the merged
+    * k-min; corpus cost is one distinct (source, token) pass, sketches
+    * after.
     */
-  val sqlKmvSetOps: String = {
-    // plain string (not an s-interpolator): "$.k" stays literal
-    val h = Portable.sqlHash32("(json_extract(props, '$.k')::INT)::VARCHAR")
-    s"""WITH items AS (SELECT DISTINCT event_type AS t, $h AS h
-       |  FROM events WHERE ts IS NOT NULL AND props IS NOT NULL
-       |    AND json_extract(props, '$$.k') IS NOT NULL),
+  def vocabOverlap(docs: DataFrame): DataFrame = {
+    val items = docs
+      .select(col("source").as("t"), explode(Portable.tokens(col("text"))).as("tok"))
+      .select(col("t"), Portable.hash32(col("tok")).as("h"))
+      .distinct()
+    kmvPairwise(items)
+      .select(col("ta").as("source_a"), col("tb").as("source_b"),
+        col("k_used"), col("n_both"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_inter"),
+        (round(col("n_both").cast("double") / col("k_used"), 4) + 0.0).as("jaccard_est"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** The pairwise-KMV CTE chain shared by the q28/t41 oracles: expects a
+    * leading CTE named `items` (DISTINCT t, h), ends after `ue`/`tes` —
+    * callers append their final SELECT.
+    */
+  private def sqlKmvPairwiseCtes(itemsCte: String): String =
+    s"""$itemsCte,
        |sk AS (SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS r
        |  FROM items QUALIFY r <= $KmvK),
        |te AS (SELECT t, count(*)::BIGINT AS n, max(h) AS hk FROM sk GROUP BY t),
@@ -135,7 +164,19 @@ object Sketches {
        |u AS (SELECT ta, tb, count(*)::BIGINT AS k_used, max(h) AS hu,
        |    sum(ia * ib)::BIGINT AS n_both
        |  FROM mr GROUP BY 1, 2),
-       |ue AS (SELECT *, ${sqlEstExpr("k_used", "hu")} AS est_union FROM u)
+       |ue AS (SELECT *, ${sqlEstExpr("k_used", "hu")} AS est_union FROM u)""".stripMargin
+
+  /** Oracle for [[kmvSetOps]] — the identical hash, rank, and integer
+    * estimator replayed in DuckDB (QUALIFY is the rank-≤-k filter).
+    */
+  val sqlKmvSetOps: String = {
+    // plain string (not an s-interpolator): "$.k" stays literal
+    val h = Portable.sqlHash32("(json_extract(props, '$.k')::INT)::VARCHAR")
+    val items =
+      s"""items AS (SELECT DISTINCT event_type AS t, $h AS h
+         |  FROM events WHERE ts IS NOT NULL AND props IS NOT NULL
+         |    AND json_extract(props, '$$.k') IS NOT NULL)""".stripMargin
+    s"""WITH ${sqlKmvPairwiseCtes(items)}
        |SELECT ue.ta AS type_a, ue.tb AS type_b, ue.k_used, ue.n_both,
        |  ea.est AS est_a, eb.est AS est_b, ue.est_union,
        |  (ue.n_both * ue.est_union) // ue.k_used AS est_inter
@@ -143,6 +184,26 @@ object Sketches {
        |JOIN tes ea ON ea.t = ue.ta
        |JOIN tes eb ON eb.t = ue.tb
        |ORDER BY type_a, type_b""".stripMargin
+  }
+
+  /** Oracle for [[vocabOverlap]]: the same chain over the per-source
+    * distinct token hashes.
+    */
+  val sqlVocabOverlap: String = {
+    val h = Portable.sqlHash32("tok")
+    val items =
+      s"""items AS (SELECT DISTINCT t, $h AS h FROM (
+         |  SELECT source AS t, unnest(${Portable.sqlTokens("text")}) AS tok
+         |  FROM documents))""".stripMargin
+    s"""WITH ${sqlKmvPairwiseCtes(items)}
+       |SELECT ue.ta AS source_a, ue.tb AS source_b, ue.k_used, ue.n_both,
+       |  ea.est AS est_a, eb.est AS est_b, ue.est_union,
+       |  (ue.n_both * ue.est_union) // ue.k_used AS est_inter,
+       |  round(ue.n_both::DOUBLE / ue.k_used, 4) + 0.0 AS jaccard_est
+       |FROM ue
+       |JOIN tes ea ON ea.t = ue.ta
+       |JOIN tes eb ON eb.t = ue.tb
+       |ORDER BY source_a, source_b""".stripMargin
   }
 
   // ------------------------------------------------------- w24 rolling DAU

@@ -359,6 +359,12 @@ object Pipeline {
     QueryDef.sql("t40_heaps", TextOps.sqlHeapsCurve) { (s, dir) =>
       TextOps.heapsCurve(Tables.documents(s, dir))
     },
+    // per-source vocabulary Jaccard via KMV sketches: d19's overlap
+    // question asked of the lexicon — one distinct (source, token) pass,
+    // sketch rows after
+    QueryDef.sql("t41_vocab_overlap", Sketches.sqlVocabOverlap) { (s, dir) =>
+      Sketches.vocabOverlap(Tables.documents(s, dir))
+    },
     // RAKE keyword extraction: stopword-delimited phrase runs scored by
     // per-doc word degree/freq — wholly per-document, no corpus state
     QueryDef.sql("t36_rake_phrases", TextOps.sqlRakePhrases) { (s, dir) =>
