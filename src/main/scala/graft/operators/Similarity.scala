@@ -1251,6 +1251,62 @@ object Similarity {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  /** NIGHTLY INDEX DECISION (p46) — s15's monitoring and s16's repair
+    * composed into the one-row table the nightly index job actually
+    * reads: how many cells drifted, what the worst drift is, which cell
+    * the median split would cut and what the occupancy looks like after,
+    * and the resulting ACTION — `retrain` when ≥2 cells drifted past the
+    * flag (the quantizer no longer fits the distribution), `split` when
+    * one cell holds >30% of the corpus (one probe list dominates
+    * serving), `serve` otherwise. Both inputs are the already-costed
+    * plans (drift = assign + count; split = moments + bounded
+    * histogram); the composition itself is three single-row aggregates.
+    */
+  def indexNightlyDecision(shard: DataFrame, oldEmb: DataFrame,
+                           idx: IvfPqIndex): DataFrame = {
+    val dr = ivfDriftReport(shard, idx)
+    val sp = ivfMedianSplit(oldEmb, idx)
+    val da = dr.agg(sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+      (max(abs(col("drift"))) + lit(0.0)).as("max_abs_drift"))
+    val tot = sp.agg(sum(col("n")).as("tot"), max(col("n")).as("post_max_n"))
+    val hot = sp.filter(col("is_split"))
+      .groupBy(col("cell"), col("split_dim"), col("split_val"))
+      .agg(sum(col("n")).as("hot_n"), max(col("n")).as("max_child_n"))
+    hot.crossJoin(broadcast(da)).crossJoin(broadcast(tot))
+      .select(col("n_flagged"), col("max_abs_drift"),
+        col("cell").as("hot_cell"), col("hot_n"),
+        col("split_dim"), col("split_val"),
+        col("max_child_n"), col("post_max_n"),
+        (round(col("hot_n").cast("double") / col("tot"), 4) + 0.0).as("hot_frac"),
+        when(col("n_flagged") >= 2, "retrain")
+          .when(col("hot_n").cast("double") / col("tot") > 0.3, "split")
+          .otherwise("serve").as("action"))
+      .orderBy(col("hot_cell"))
+  }
+
+  /** Oracle for [[indexNightlyDecision]]: the s15 and s16 oracles nested
+    * whole as CTE subqueries (their CTE namespaces stay isolated), then
+    * the same three aggregates and decision CASE.
+    */
+  def sqlIndexNightlyDecision: String = {
+    import graft.functions.Portable.sqlNoOrder
+    s"""WITH dr AS (${sqlNoOrder(sqlIvfDrift)}),
+       |sp AS (${sqlNoOrder(sqlIvfSplit)}),
+       |da AS (SELECT sum(CASE WHEN flagged THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+       |    max(abs(drift)) + 0.0 AS max_abs_drift FROM dr),
+       |tt AS (SELECT sum(n)::BIGINT AS tot, max(n)::BIGINT AS post_max_n FROM sp),
+       |hot AS (SELECT cell AS hot_cell, split_dim, split_val,
+       |    sum(n)::BIGINT AS hot_n, max(n)::BIGINT AS max_child_n
+       |  FROM sp WHERE is_split GROUP BY 1, 2, 3)
+       |SELECT da.n_flagged, da.max_abs_drift, hot.hot_cell, hot.hot_n,
+       |  hot.split_dim, hot.split_val, hot.max_child_n, tt.post_max_n,
+       |  round(hot.hot_n::DOUBLE / tt.tot, 4) + 0.0 AS hot_frac,
+       |  CASE WHEN da.n_flagged >= 2 THEN 'retrain'
+       |       WHEN hot.hot_n::DOUBLE / tt.tot > 0.3 THEN 'split'
+       |       ELSE 'serve' END AS action
+       |FROM hot, da, tt ORDER BY hot_cell""".stripMargin
+  }
+
   /** PQ CODEBOOK UTILIZATION (s17) — the index-health table next to
     * drift (s15) and repair (s16): per (block, code) corpus usage over
     * the SAVED codes table, against the FULL block×code grid so dead

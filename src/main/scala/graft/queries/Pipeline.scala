@@ -597,6 +597,17 @@ object Pipeline {
       Similarity.ivfMedianSplit(emb.filter(col("vec_id") < cut),
         Similarity.loadIvfPq(s, idxDir))
     },
+    // the one-row table the nightly index job reads: drift monitoring +
+    // split prediction + the retrain/split/serve decision
+    QueryDef.sql("p46_index_decision", Similarity.sqlIndexNightlyDecision) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val sub = 64 / Similarity.PqBlocks
+      val cut = emb.count() * 4 / 5
+      val idxDir = artifactDir("ivfpq_inc", dir)(tmp =>
+        Similarity.trainAndSaveIvfPq(emb.filter(col("vec_id") < cut), sub, tmp))
+      Similarity.indexNightlyDecision(emb.filter(col("vec_id") >= cut),
+        emb.filter(col("vec_id") < cut), Similarity.loadIvfPq(s, idxDir))
+    },
     // the nprobe tuning table: measured recall@k + ADC candidate volume
     // per probe width against the brute-force ground truth, served from
     // the SAME saved index as s9 — what an operator reads before setting
