@@ -190,6 +190,49 @@ object AsOf {
       .orderBy(col("click_id"))
   }
 
+  /** TEMPORAL DIMENSION LOOKUP (w27) — the warehouse SCD pattern as an
+    * as-of: each purchase labeled with the user's STATUS at that instant,
+    * where status is the type of the latest signup/error changelog event
+    * at or before the purchase (purchases before any status row read
+    * 'none'). This is the lookup w21's validity intervals exist to
+    * answer, composed from the same [[asOf]] fold the attribution
+    * queries use — dimension versioning without materializing intervals.
+    * Same-instant changelog duplicates collapse by max event_id (the
+    * [[clickAttribution]] dedup guard).
+    */
+  def statusLookup(events: DataFrame): DataFrame = {
+    val dim = events
+      .filter(col("event_type").isin("signup", "error") && col("ts").isNotNull)
+      .groupBy(col("user_id"), col("ts").as("sts"))
+      .agg(max(struct(col("event_id"), col("event_type"))).as("b"))
+      .select(col("user_id"), col("sts"), col("b.event_type").as("status"))
+    val purchases = events
+      .filter(col("event_type") === "purchase" && col("ts").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    asOf(purchases, "user_id", "ts", dim, "sts", "status")
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("__match"), lit("none")).as("status"),
+        (unix_micros(col("ts")) - unix_micros(col("__mts"))).as("since_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Oracle for [[statusLookup]]: DuckDB's native ASOF LEFT JOIN over
+    * the arg_max-deduped changelog (null left ts pre-filtered — the
+    * engine-divergence gotcha).
+    */
+  val sqlStatusLookup: String =
+    """WITH st AS (SELECT user_id, ts AS sts,
+      |    arg_max(event_type, event_id) AS status
+      |  FROM events WHERE event_type IN ('signup', 'error')
+      |    AND ts IS NOT NULL GROUP BY 1, 2),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase' AND ts IS NOT NULL)
+      |SELECT p.purchase_id, p.user_id,
+      |  coalesce(st.status, 'none') AS status,
+      |  (epoch_us(p.ts) - epoch_us(st.sts))::BIGINT AS since_us
+      |FROM p ASOF LEFT JOIN st ON p.user_id = st.user_id AND st.sts <= p.ts
+      |ORDER BY purchase_id""".stripMargin
+
   /** Funnel conversion summary (w16) — the product-analytics sequence
     * query: of all purchases, how many were preceded (per user) by a
     * view, and how many of THOSE views were themselves preceded by a

@@ -689,6 +689,12 @@ object Pipeline {
     QueryDef.sql("w21_status_intervals", EventWindows.sqlStatusIntervals) { (s, dir) =>
       EventWindows.statusIntervals(Tables.events(s, dir))
     },
+    // temporal dimension lookup: purchases labeled with the user's
+    // status at that instant — the SCD lookup w21's intervals answer,
+    // composed from the same as-of fold; no intervals materialized
+    QueryDef.sql("w27_status_lookup", AsOf.sqlStatusLookup) { (s, dir) =>
+      AsOf.statusLookup(Tables.events(s, dir))
+    },
     // trailing-history anomaly z-score: each event vs its user's own last
     // hour (current excluded) — decimal frame sums make the variance
     // order-free, only the last divisions and sqrt run in double
