@@ -752,6 +752,56 @@ object EventWindows {
       .orderBy(col("day"), col("rank"))
   }
 
+  /** TIME-WEIGHTED AVERAGE VALUE (w28, the TWAP companion of w14's
+    * OHLC): per (user, day), each event's value weighted by how long it
+    * held — the interval to the next event — over the span from first
+    * to last event; days with a single event have no held interval and
+    * emit nothing. Same-instant events get zero weight (order-free).
+    *
+    * Exactness: values ride as 6-dp decimals, interval lengths as exact
+    * micros, each product and the sum in decimal(38,6) — magnitude-safe
+    * (1e9 value-micro × 1e11 us ≪ 38 digits) and order-free; the single
+    * double division at the end is the only float step. One window pass
+    * (lead) + one partial aggregate.
+    */
+  def twap(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val vm = round(col("value"), 6).cast("decimal(18,6)")
+    val base = events.filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+        col("event_id"), vm.as("xv"))
+      .withColumn("dur", unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("dur").isNotNull)
+    base.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_held"),
+        sum(col("dur")).as("span_us"),
+        sum((col("xv") * col("dur")).cast("decimal(38,6)")).as("vw"))
+      .filter(col("span_us") > 0)
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_held"), col("span_us"),
+        (round(col("vw").cast("double") / col("span_us"), 6) + 0.0).as("twap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Oracle for [[twap]]: identical decimal products, exact micro spans,
+    * one double division.
+    */
+  val sqlTwap: String =
+    """WITH b AS (SELECT user_id, ts::DATE AS day, ts, event_id,
+      |    round(value, 6)::DECIMAL(18,6) AS xv
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |d AS (SELECT *, epoch_us(lead(ts) OVER (PARTITION BY user_id, day
+      |      ORDER BY ts, event_id)) - epoch_us(ts) AS dur
+      |  FROM b),
+      |g AS (SELECT user_id, day, count(*)::BIGINT AS n_held,
+      |    sum(dur)::BIGINT AS span_us,
+      |    sum((xv * dur)::DECIMAL(38,6)) AS vw
+      |  FROM d WHERE dur IS NOT NULL GROUP BY 1, 2)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_held, span_us,
+      |  round(vw::DOUBLE / span_us, 6) + 0.0 AS twap
+      |FROM g WHERE span_us > 0 ORDER BY user_id, day""".stripMargin
+
   /** DAY-OVER-DAY CHURN (w26) — the set-difference companion of w24's
     * rolling DAU: for each day with an ADJACENT previous calendar day in
     * the data, how many of yesterday's actives returned (retained), how

@@ -711,6 +711,11 @@ object Pipeline {
     QueryDef.sql("w26_day_churn", EventWindows.sqlDayChurn) { (s, dir) =>
       EventWindows.dayChurn(Tables.events(s, dir))
     },
+    // time-weighted average value per (user, day): lead-interval weights
+    // in exact decimal micros, one double division — the TWAP to w14's OHLC
+    QueryDef.sql("w28_twap", EventWindows.sqlTwap) { (s, dir) =>
+      EventWindows.twap(Tables.events(s, dir))
+    },
     // 7-day rolling DAU from merged daily KMV sketches: raw events reduce
     // to k hashes/day once; the rolling window is a 7-way fan-out + re-min
     // over sketch rows only. exact_dau7 is the declared exact baseline —
