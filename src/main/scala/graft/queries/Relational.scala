@@ -579,6 +579,31 @@ object Relational {
       a.union(b).distinct().orderBy(col("nationkey"))
     },
 
+    // Relative-rank window functions: percent_rank and cume_dist of the
+    // order's value within its priority class — the remaining members of
+    // the rank family next to row_number (w3/q5), rank-cut top-k (q2),
+    // and ntile (w6). Emitted as floor-scaled parts-per-million: both
+    // engines compute the identical (rank-1)/(n-1) double, and floor of
+    // that same double is engine-proof where round() is not (Spark
+    // rounds the shortest decimal string half-up, DuckDB rounds the raw
+    // binary — they split exactly at .5-boundary ranks like 41/640).
+    // The filter applies BEFORE ranking and pushes to the parquet scan.
+    QueryDef.sql("q31_relative_rank",
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_ppm,
+        |  CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_ppm
+        |FROM orders WHERE o_totalprice >= 400000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir).filter(col("o_totalprice") >= 400000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(percent_rank().over(w) * 1000000).cast("long").as("pr_ppm"),
+          floor(cume_dist().over(w) * 1000000).cast("long").as("cd_ppm"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Correlated EXISTS subquery (TPC-H Q4 shape): Catalyst decorrelates
     // the EXISTS into a LEFT SEMI join on the correlation key — never a
     // per-row re-scan; the fact-side predicate pushes into the semi
