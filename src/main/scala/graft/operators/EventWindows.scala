@@ -802,6 +802,74 @@ object EventWindows {
       |  round(vw::DOUBLE / span_us, 6) + 0.0 AS twap
       |FROM g WHERE span_us > 0 ORDER BY user_id, day""".stripMargin
 
+  /** One streamed arrival for [[twapStream]] (raw value; 6-dp rounding
+    * happens inside the fold with Spark's exact round sequence).
+    */
+  final case class TwapEv(k: Long, day: String, tsUs: Long, eventId: Long,
+                          v: Double)
+
+  /** One streamed TWAP snapshot (same columns as the batch [[twap]]). */
+  final case class TwapOut(user_id: Long, day: String, n_held: Long,
+                           span_us: Long, twap: Option[Double])
+
+  /** Per-(user, day) fold state. The weighted accumulator is a
+    * decimal(·,6)·micros product sum whose unscaled value exceeds a
+    * long (xv_unscaled·dur ≈ 3e19), so it rides as the BigInteger's
+    * decimal string — exact, like the batch decimal(38,6) column.
+    */
+  final case class TwapState(lastTsUs: Long, lastVmUnscaled: Long,
+                             accUnscaled: String, spanUs: Long, nHeld: Long)
+
+  /** STREAMING TWAP — [[twap]] as keyed state: each (user, day) holds its
+    * last event's (ts, 6-dp value) plus the exact running weighted sum;
+    * an arrival credits the PREVIOUS value with the elapsed interval
+    * (the lead-delta fold inverted), so under per-key ordered ingest the
+    * final snapshot per key EQUALS the batch row. State is four longs
+    * and one decimal string per open (user, day) — bounded by key
+    * construction, not by arrival count.
+    */
+  def twapStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events.filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id").as("k"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        unix_micros(col("ts")).as("tsUs"), col("event_id").as("eventId"),
+        col("value").as("v"))
+      .as[TwapEv]
+      .groupByKey(e => (e.k, e.day))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(twapFold)
+      .toDF()
+  }
+
+  private def twapFold(key: (Long, String), rows: Iterator[TwapEv],
+      state: org.apache.spark.sql.streaming.GroupState[TwapState])
+      : Iterator[TwapOut] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val rs = rows.toArray.sortBy(r => (r.tsUs, r.eventId))
+    var st = state.getOption.getOrElse(TwapState(-1L, 0L, "0", 0L, 0L))
+    var acc = new JBD(new java.math.BigInteger(st.accUnscaled), 6)
+    rs.foreach { r =>
+      if (st.lastTsUs >= 0) {
+        val dur = r.tsUs - st.lastTsUs
+        acc = acc.add(JBD.valueOf(st.lastVmUnscaled, 6)
+          .multiply(JBD.valueOf(dur)))
+        st = st.copy(spanUs = st.spanUs + dur, nHeld = st.nHeld + 1)
+      }
+      val vm = JBD.valueOf(r.v).setScale(6, RoundingMode.HALF_UP)
+      st = st.copy(lastTsUs = r.tsUs,
+        lastVmUnscaled = vm.unscaledValue().longValueExact())
+    }
+    state.update(st.copy(accUnscaled = acc.unscaledValue().toString))
+    val twapVal = if (st.spanUs > 0)
+      Some(JBD.valueOf(acc.doubleValue() / st.spanUs)
+        .setScale(6, RoundingMode.HALF_UP).doubleValue() + 0.0)
+    else None
+    Iterator.single(TwapOut(key._1, key._2, st.nHeld, st.spanUs, twapVal))
+  }
+
   /** DAY-OVER-DAY CHURN (w26) — the set-difference companion of w24's
     * rolling DAU: for each day with an ADJACENT previous calendar day in
     * the data, how many of yesterday's actives returned (retained), how

@@ -206,6 +206,53 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(e(0.5) == 1.0 && e(0.99) == 1024.0, s"clamps diverged: $e")
   }
 
+  test("streaming TWAP equals batch across micro-batches, ts-peers and single-event days") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // day 1: four intervals incl. a zero-width ts-peer pair; day 2: a
+    // single event (no held interval — batch emits nothing)
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", "x", 10.0),
+      (2L, "2024-01-01 11:00:00", "x", 20.125),
+      (3L, "2024-01-01 11:00:00", "x", 30.0),   // exact ts peer of 2
+      (4L, "2024-01-01 12:30:00", "x", 7.5),
+      (5L, "2024-01-02 09:00:00", "x", 99.0))
+    val batch = EventWindows.twap(events(rows: _*)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(batch.size == 1 && batch.head._2 == "2024-01-01",
+      s"fixture must leave exactly the one multi-event day: $batch")
+
+    val in = MemoryStream[(Long, String, Double)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, Double)]], spark)
+    val streamed = EventWindows.twapStream(
+      in.toDF().toDF("event_id", "ts_s", "value")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+          col("value"), lit(0L).as("user_id")))
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("twap_stream").start()
+    try {
+      val feed = rows.map(r => (r._1, r._2, r._4))
+      // split mid-day so the held interval crosses the batch boundary
+      in.addData(feed.take(2): _*); q.processAllAvailable()
+      in.addData(feed.drop(2): _*); q.processAllAvailable()
+      val got = spark.table("twap_stream")
+        .withColumn("seq", monotonically_increasing_id())
+        .collect().sortBy(_.getLong(5))
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), Option(r.get(4)))))
+        .toMap // last emission per key wins
+      val gotFinal = got.collect {
+        case ((u, d), (n, span, Some(t: Double))) if span > 0 => (u, d, n, span, t)
+      }.toSet
+      assert(gotFinal == batch, s"stream=$gotFinal\nbatch=$batch")
+      // the single-event day is an open position: present, zero span
+      assert(got((0L, "2024-01-02")) == ((0L, 0L, None)),
+        s"single-event day must hold state with no estimate: $got")
+    } finally q.stop()
+  }
+
   test("trending: volume ranks with item tie-break; delta only credits the ADJACENT previous day") {
     val s = TestSpark.spark
     import s.implicits._
