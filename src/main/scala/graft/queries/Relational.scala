@@ -649,6 +649,16 @@ object Relational {
           |GROUP BY l.l_returnflag ORDER BY rf""".stripMargin)
     },
 
+    // Weighted PageRank over the item co-basket graph (q32): link
+    // analysis joins connected components in the graph family. Every
+    // per-edge contribution floors to 1e-12 fixed-point BIGINT before
+    // the per-node sum, so each round's only order-sensitive reduction
+    // is an integer sum — the floor trick that lets an ITERATIVE float
+    // algorithm hash-match across engines.
+    QueryDef.sql("q32_item_pagerank", graft.operators.Graph.sqlItemPageRank) { (s, dir) =>
+      graft.operators.Graph.itemPageRank(Tables.events(s, dir))
+    },
+
     // KMV distinct-count set algebra (q28): per-event-type k-minimum-values
     // sketches, pairwise union AND intersection estimates — the set
     // operation HLL (w18/q20) cannot perform. One distinct pass over
