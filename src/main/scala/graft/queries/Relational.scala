@@ -649,6 +649,29 @@ object Relational {
           |GROUP BY l.l_returnflag ORDER BY rf""".stripMargin)
     },
 
+    // UNPIVOT (q33, the inverse of q16's pivot): four measure columns
+    // melt to (metric, value) rows via stack() — one generator, no
+    // shuffle before the final bounded aggregate. The oracle is the
+    // dialect-portable UNION ALL form.
+    QueryDef.sql("q33_unpivot",
+      """SELECT metric, CAST(count(*) AS BIGINT) AS n, round(sum(v), 2) AS total
+        |FROM (
+        |  SELECT 'quantity' AS metric, l_quantity AS v FROM lineitem WHERE l_linenumber = 1
+        |  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem WHERE l_linenumber = 1
+        |  UNION ALL SELECT 'discount', l_discount FROM lineitem WHERE l_linenumber = 1
+        |  UNION ALL SELECT 'tax', l_tax FROM lineitem WHERE l_linenumber = 1)
+        |GROUP BY metric ORDER BY metric""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).filter(col("l_linenumber") === 1)
+        .selectExpr("""stack(4,
+            'quantity', l_quantity,
+            'extendedprice', l_extendedprice,
+            'discount', l_discount,
+            'tax', l_tax) AS (metric, v)""")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 2).as("total"))
+        .orderBy(col("metric"))
+    },
+
     // Weighted PageRank over the item co-basket graph (q32): link
     // analysis joins connected components in the graph family. Every
     // per-edge contribution floors to 1e-12 fixed-point BIGINT before
