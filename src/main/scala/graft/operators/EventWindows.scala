@@ -446,13 +446,24 @@ object EventWindows {
     * incremental metrics pipeline lives on: per-DAY HLL sketches of
     * distinct users, then the WEEK's distinct-user estimate computed by
     * UNIONING the daily sketches — never re-reading the day's raw
-    * events. The verdict row per week pins the two claims that make the
-    * pattern trustworthy: (a) union-of-dailies equals the
-    * direct-from-raw weekly estimate EXACTLY (HLL register merge is
-    * lossless at equal lgK — if this ever breaks, the rollup
-    * architecture is lying), and (b) the estimate is within 5% of the
-    * exact distinct count. Daily sketches are what a 100 TB pipeline
-    * stores; this query is the proof they compose.
+    * events. The verdict row per week pins the claims that make the
+    * pattern trustworthy, each at the strength it actually has:
+    *  - `merge_associative` (EXACT, pinned as equality): union of the
+    *    daily sketches equals union of pre-unioned halves — register
+    *    merge is order- and grouping-free, which is what lets a pipeline
+    *    roll days into weeks into months without re-reading anything.
+    *  - `within_tol` / `within_tol_merged` (~6-sigma 10% band, vs the
+    *    exact count): both the direct and the rolled-up estimates are
+    *    accurate.
+    * A round-11 sf0.1 sweep caught the EARLIER form of this verdict
+    * pinning merged == direct-from-raw: that equality is a SPARSE-MODE
+    * ACCIDENT. Once a sketch goes dense, DataSketches serves a
+    * directly-built sketch from its HIP estimator but a union result
+    * from the composite estimator (merging invalidates HIP), so the two
+    * estimates legitimately differ (observed 1488 vs 1494 on 1500) even
+    * though the registers merged losslessly. The associativity claim is
+    * the true invariant — both sides of IT are union results, served by
+    * the same estimator.
     */
   def hllRollup(events: DataFrame): DataFrame = {
     val base = events.filter(col("ts").isNotNull)
@@ -462,29 +473,35 @@ object EventWindows {
       .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
     val merged = daily.groupBy(col("wk"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+    // the same dailies pre-unioned into two arbitrary half-groups, then
+    // unioned — a different merge tree over the same registers
+    val regrouped = daily
+      .groupBy(col("wk"), (dayofmonth(col("day")) % 2).as("h"))
+      .agg(expr("hll_union_agg(sk)").as("hsk"))
+      .groupBy(col("wk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(hsk))").as("est_regrouped"))
     val direct = base.groupBy(col("wk"))
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est_direct"),
         countDistinct(col("user_id")).as("exact"))
-    merged.join(direct, "wk")
+    merged.join(regrouped, "wk").join(direct, "wk")
       .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
-        (col("est_merged") === col("est_direct")).as("merged_eq_direct"),
-        // Tolerance note: at lgK=12 the HLL relative std error is ~1.6%, so
-        // a 5% bound is only ~3 sigma — a legitimately unlucky hash draw on
-        // a future corpus could breach it with no code defect. 10% (~6
-        // sigma) keeps the pinned-true oracle robust across datasets; the
-        // LOSSLESS claim stays the strict one (merged_eq_direct: register
-        // merge at equal lgK is exact, pinned as equality).
+        (col("est_merged") === col("est_regrouped")).as("merge_associative"),
+        // 10% ≈ 6 sigma at lgK=12's ~1.6% std error — robust across
+        // datasets where a 5% (3-sigma) pin would go spurious
         (abs(col("est_direct").cast("double") - col("exact")) / col("exact") <= 0.10)
-          .as("within_tol"))
+          .as("within_tol"),
+        (abs(col("est_merged").cast("double") - col("exact")) / col("exact") <= 0.10)
+          .as("within_tol_merged"))
       .orderBy(col("week"))
   }
 
-  /** Oracle: the exact weekly distinct in DuckDB expects both verdicts
-    * true for every week (the q19/q20 sketch-verdict convention).
+  /** Oracle: the exact weekly distinct in DuckDB expects all three
+    * verdicts true for every week (the q19/q20 sketch-verdict
+    * convention).
     */
   val sqlHllRollup: String =
     """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
-      |  true AS merged_eq_direct, true AS within_tol
+      |  true AS merge_associative, true AS within_tol, true AS within_tol_merged
       |FROM events WHERE ts IS NOT NULL
       |GROUP BY 1 ORDER BY week""".stripMargin
 
