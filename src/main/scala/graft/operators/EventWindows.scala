@@ -442,6 +442,54 @@ object EventWindows {
       |FROM weeks w JOIN cohorts c ON c.user_id = w.user_id
       |GROUP BY 1, 2 ORDER BY cohort_week, offset_weeks""".stripMargin
 
+  /** COHORT LIFETIME VALUE (w29, w17's revenue companion): purchase
+    * revenue attributed to the buyer's FIRST-ACTIVITY-week cohort at its
+    * week offset, with the cumulative LTV curve per cohort. Revenue
+    * rides the exact micro-currency ledger; the cumulative window runs
+    * over the bounded (cohort × offset) table — never events.
+    */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val active = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val cohorts = active.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+    val rev = events
+      .filter(col("event_type") === "purchase" && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"),
+        (round(col("value"), 6).cast("decimal(18,6)") * 1000000).cast("long").as("vm"))
+    val cell = rev.join(cohorts, "user_id")
+      .groupBy(col("cw"), expr("datediff(wk, cw) div 7").as("offset_weeks"))
+      .agg(count(lit(1)).as("n_purch"), sum(col("vm")).as("rev_micro"))
+    val wc = Window.partitionBy(col("cw")).orderBy(col("offset_weeks"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell.withColumn("cum_micro", sum(col("rev_micro")).over(wc))
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("offset_weeks"), col("n_purch"), col("rev_micro"),
+        col("cum_micro"))
+      .orderBy(col("cohort_week"), col("offset_weeks"))
+  }
+
+  /** Oracle for [[cohortLtv]]: same first-week cohorts, micro ledger,
+    * and bounded cumulative window.
+    */
+  val sqlCohortLtv: String =
+    """WITH active AS (SELECT user_id, date_trunc('week', ts) AS wk
+      |  FROM events WHERE ts IS NOT NULL),
+      |cohorts AS (SELECT user_id, min(wk) AS cw FROM active GROUP BY user_id),
+      |rev AS (SELECT user_id, date_trunc('week', ts) AS wk,
+      |    CAST(round(value, 6)::DECIMAL(18,6) * 1000000 AS BIGINT) AS vm
+      |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+      |    AND value IS NOT NULL),
+      |cell AS (SELECT c.cw, (date_diff('day', c.cw, r.wk) // 7)::BIGINT AS offset_weeks,
+      |    count(*)::BIGINT AS n_purch, sum(r.vm)::BIGINT AS rev_micro
+      |  FROM rev r JOIN cohorts c ON c.user_id = r.user_id
+      |  GROUP BY 1, 2)
+      |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, offset_weeks, n_purch,
+      |  rev_micro,
+      |  (sum(rev_micro) OVER (PARTITION BY cw ORDER BY offset_weeks
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_micro
+      |FROM cell ORDER BY cohort_week, offset_weeks""".stripMargin
+
   /** Mergeable-sketch rollup (w18) — the pre-aggregation pattern every
     * incremental metrics pipeline lives on: per-DAY HLL sketches of
     * distinct users, then the WEEK's distinct-user estimate computed by

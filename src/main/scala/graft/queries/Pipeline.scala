@@ -716,6 +716,11 @@ object Pipeline {
     QueryDef.sql("w28_twap", EventWindows.sqlTwap) { (s, dir) =>
       EventWindows.twap(Tables.events(s, dir))
     },
+    // cohort LTV: revenue on the first-activity-week cohort grid with the
+    // cumulative curve — micro ledger, window over (cohort x offset) only
+    QueryDef.sql("w29_cohort_ltv", EventWindows.sqlCohortLtv) { (s, dir) =>
+      EventWindows.cohortLtv(Tables.events(s, dir))
+    },
     // 7-day rolling DAU from merged daily KMV sketches: raw events reduce
     // to k hashes/day once; the rolling window is a 7-way fan-out + re-min
     // over sketch rows only. exact_dau7 is the declared exact baseline —

@@ -649,6 +649,41 @@ object Relational {
           |GROUP BY l.l_returnflag ORDER BY rf""".stripMargin)
     },
 
+    // RFM segmentation (q34): recency/frequency/monetary quintiles per
+    // purchasing user — the classic marketing segmentation as three
+    // ntile(5) windows over one per-user aggregate (dimension-sized, the
+    // w6 precedent; at billions of users swap ntile for q13's quantile
+    // boundaries + per-row bucketing). Monetary rides the exact
+    // micro-currency ledger (w25's trick) so the quintile order is
+    // integer-deterministic; every ntile orders with a user_id tie-break.
+    QueryDef.sql("q34_rfm",
+      """WITH u AS (SELECT user_id,
+        |    max(epoch_us(ts))::BIGINT AS last_us,
+        |    count(*)::BIGINT AS freq,
+        |    sum(CAST(round(value, 6)::DECIMAL(18,6) * 1000000 AS BIGINT))::BIGINT AS mon_micro
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY user_id)
+        |SELECT user_id, last_us, freq, mon_micro,
+        |  ntile(5) OVER (ORDER BY last_us, user_id)::INT AS r,
+        |  ntile(5) OVER (ORDER BY freq, user_id)::INT AS f,
+        |  ntile(5) OVER (ORDER BY mon_micro, user_id)::INT AS m
+        |FROM u ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val u = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("freq"),
+          sum((round(col("value"), 6).cast("decimal(18,6)") * 1000000).cast("long"))
+            .as("mon_micro"))
+      u.select(col("user_id"), col("last_us"), col("freq"), col("mon_micro"),
+          ntile(5).over(Window.orderBy(col("last_us"), col("user_id"))).as("r"),
+          ntile(5).over(Window.orderBy(col("freq"), col("user_id"))).as("f"),
+          ntile(5).over(Window.orderBy(col("mon_micro"), col("user_id"))).as("m"))
+        .orderBy(col("user_id"))
+    },
+
     // UNPIVOT (q33, the inverse of q16's pivot): four measure columns
     // melt to (metric, value) rows via stack() — one generator, no
     // shuffle before the final bounded aggregate. The oracle is the
