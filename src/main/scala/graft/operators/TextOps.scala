@@ -1952,27 +1952,42 @@ object TextOps {
     * partial aggregate, two broadcastable scalar totals, a bounded top-K.
     */
   def collocations(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // MATERIALIZE the token array in its own projection: inlining the
+    // split() tree under transform/element_at re-runs the regex once per
+    // array ACCESS (the CurationStream r10 lesson) — ~2·len split calls
+    // per document instead of one
+    val tk = docs.select(tokens(col("text")).as("toks"))
+    val toks = col("toks")
     // guard single-token docs: Spark's sequence(1, 0) DESCENDS ([1, 0]),
     // it is not empty like DuckDB's range(1, 1) — emit no bigrams instead
-    val pairs = docs
+    val pairs = tk
       .select(explode(when(size(toks) > 1,
         transform(sequence(lit(1), size(toks) - 1),
           j => concat_ws(" ", element_at(toks, j), element_at(toks, (j + 1).cast("int")))))
         .otherwise(array().cast("array<string>")))
         .as("pair"))
+    // the two scalar totals come from array SIZES on a plain doc scan —
+    // equal to the exploded counts by construction (a re-aggregation of
+    // the pair/unigram streams would re-explode the corpus)
     val pc = pairs.groupBy(col("pair")).agg(count(lit(1)).as("cab"))
       .filter(col("cab") >= CollocMinCount)
-    val uni = docs.select(explode(toks).as("t"))
+    val uni = tk.select(explode(toks).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
-    val totT = uni.agg(sum(col("c")).as("tt"))
-    val totB = pairs.agg(count(lit(1)).as("tb"))
-    val scored = pc
-      .withColumn("a", split_part(col("pair"), lit(" "), lit(1)))
-      .withColumn("b", split_part(col("pair"), lit(" "), lit(2)))
-      .join(uni.select(col("t").as("a"), col("c").as("ca")), "a")
-      .join(uni.select(col("t").as("b"), col("c").as("cb")), "b")
-      .crossJoin(broadcast(totT)).crossJoin(broadcast(totB))
+    val tots = tk.agg(sum(size(toks)).cast("long").as("tt"),
+      sum(greatest(size(toks) - 1, lit(0))).cast("long").as("tb"))
+    // melt each pair to its two (side, word) rows so the unigram table —
+    // a full corpus explode — is consumed ONCE, then pivot the two counts
+    // back; two joins against uni would run the explode twice
+    val sides = pc.select(col("pair"), col("cab"), explode(array(
+        struct(lit(1).as("s"), split_part(col("pair"), lit(" "), lit(1)).as("t")),
+        struct(lit(2).as("s"), split_part(col("pair"), lit(" "), lit(2)).as("t"))))
+        .as("x"))
+      .select(col("pair"), col("cab"), col("x.s").as("s"), col("x.t").as("t"))
+    val scored = sides.join(uni, "t")
+      .groupBy(col("pair"), col("cab"))
+      .agg(max(when(col("s") === 1, col("c"))).as("ca"),
+        max(when(col("s") === 2, col("c"))).as("cb"))
+      .crossJoin(broadcast(tots))
       .select(col("pair"), col("cab"),
         round(log2(col("cab").cast("double") * col("tt") * col("tt")
           / (col("tb") * col("ca") * col("cb"))), 4).as("pmi"))
@@ -1996,15 +2011,15 @@ object TextOps {
       |  GROUP BY pair HAVING count(*) >= $CollocMinCount),
       |uni AS (SELECT unnest(toks) AS t FROM tk),
       |uc AS (SELECT t, count(*)::BIGINT AS c FROM uni GROUP BY t),
-      |tt AS (SELECT sum(c)::BIGINT AS tt FROM uc),
-      |tb AS (SELECT count(*)::BIGINT AS tb FROM pairs),
+      |tots AS (SELECT sum(len(toks))::BIGINT AS tt,
+      |    sum(greatest(len(toks) - 1, 0))::BIGINT AS tb FROM tk),
       |scored AS (SELECT pc.pair, pc.cab,
-      |    round(log2(pc.cab::DOUBLE * tt.tt * tt.tt
-      |      / (tb.tb * ca.c * cb.c)), 4) AS pmi
+      |    round(log2(pc.cab::DOUBLE * tots.tt * tots.tt
+      |      / (tots.tb * ca.c * cb.c)), 4) AS pmi
       |  FROM pc
       |  JOIN uc ca ON ca.t = split_part(pc.pair, ' ', 1)
       |  JOIN uc cb ON cb.t = split_part(pc.pair, ' ', 2)
-      |  CROSS JOIN tt CROSS JOIN tb)
+      |  CROSS JOIN tots)
       |SELECT rank, pair, cab, pmi FROM (
       |  SELECT pair, cab, pmi,
       |    row_number() OVER (ORDER BY pmi DESC, pair) AS rank
