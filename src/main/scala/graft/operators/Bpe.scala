@@ -81,12 +81,16 @@ object Bpe {
     * (a,a)) — the standard BPE count, identical in the oracle.
     */
   private[graft] def pairCounts(words: DataFrame): DataFrame = {
-    val a = split(col("syms"), " ")
+    // materialize the split before indexing into it: an inlined split
+    // tree under transform/element_at re-runs the split once per array
+    // ACCESS (the t39 lesson — 2·len splits per word instead of one)
+    val a = col("__a")
     val pairs = when(size(a) >= 2,
       transform(sequence(lit(1), size(a) - 1),
         i => struct(element_at(a, i).as("x"), element_at(a, i + 1).as("y"))))
       .otherwise(array().cast("array<struct<x:string,y:string>>"))
-    words.select(col("freq"), explode(pairs).as("pr"))
+    words.select(col("freq"), split(col("syms"), " ").as("__a"))
+      .select(col("freq"), explode(pairs).as("pr"))
       .groupBy(col("pr.x").as("x"), col("pr.y").as("y"))
       .agg(sum(col("freq")).as("cnt"))
   }
