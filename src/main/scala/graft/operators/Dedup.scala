@@ -142,6 +142,54 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
+  /** EXACT similarity join via PREFIX FILTERING (d21 — Bayardo et al.,
+    * "Scaling Up All Pairs Similarity Search", WWW 2007): the same pairs
+    * as [[jaccardPairs]] (d2), found WITHOUT the full inverted-index
+    * self-join. Shingles order globally by (df asc, g asc) — rarest
+    * first — and each doc exposes only its first m − ⌈τ·m⌉ + 1 shingles
+    * as join keys: any pair with J ≥ τ shares ≥ ⌈τ·m⌉ shingles per side,
+    * which cannot all hide in the ⌈τ·m⌉ − 1 suffix positions, so the
+    * prefix join finds EVERY qualifying pair (a deterministic guarantee
+    * — LSH's d4 trades that for probability). Verification counts the
+    * intersection only for candidate pairs.
+    *
+    * Same output as d2 → same oracle (the w9-vs-w7 pure-plan-change
+    * relationship). Scale: join keys per doc shrink from m to ~(1−τ)m
+    * and concentrate on RARE shingles (tiny postings), while d2 joins
+    * every posting of every shingle; the global-order rank is one window
+    * over the df-capped VOCABULARY (bounded by the cap, not the corpus).
+    */
+  def ppJoinPairs(docs: DataFrame): DataFrame = {
+    val tau = JaccardThreshold
+    val sh = shingles(docs)
+    val rank = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .withColumn("r", row_number().over(Window.orderBy(col("df"), col("g"))))
+      .select(col("g"), col("r"))
+    val ranked = sh.join(rank, "g")
+    val cnt = ranked.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+    val prefix = ranked.join(cnt, "doc_id")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("r"))))
+      .filter(col("pos") <= col("m") - ceil(lit(tau) * col("m")) + 1)
+      .select(col("doc_id"), col("g"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("ia"), col("g")), "ia")
+      .join(sh.select(col("doc_id").as("ib"), col("g")), Seq("ib", "g"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("doc_id").as("ia"), col("m").as("na")), "ia")
+      .join(cnt.select(col("doc_id").as("ib"), col("m").as("nb")), "ib")
+      .select(col("ia"), col("ib"),
+        round(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy(col("ia"), col("ib"))
+  }
+
   val sqlJaccardPairs: String =
     s"""WITH $sqlShingleCtes,
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -60,6 +60,12 @@ object Pipeline {
     QueryDef.sql("d2_ngram_jaccard", Dedup.sqlJaccardPairs) { (s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir))
     },
+    // d2's pairs via PREFIX FILTERING (Bayardo 2007): deterministic
+    // candidate bound (LSH d4 is probabilistic), join keys shrink to the
+    // rare-shingle prefix — same output, same oracle, pure plan change
+    QueryDef.sql("d21_ppjoin", Dedup.sqlJaccardPairs) { (s, dir) =>
+      Dedup.ppJoinPairs(Tables.documents(s, dir))
+    },
     QueryDef.sql("d3_minhash_sig", Dedup.sqlMinhashSignatures) { (s, dir) =>
       Dedup.minhashSignatures(Tables.documents(s, dir))
     },
