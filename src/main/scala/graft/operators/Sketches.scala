@@ -279,6 +279,58 @@ object Sketches {
       .orderBy(col("day"))
   }
 
+  /** The k-min sketch ROWS per day — the persistable artifact form
+    * ([[dailyKmv]] is its estimate view).
+    */
+  def dailyKmvSketchRows(events: DataFrame): DataFrame =
+    events.filter(col("ts").isNotNull)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        Portable.hash32(col("user_id").cast("string")).as("h"))
+      .distinct()
+      .withColumn("r", row_number().over(Window.partitionBy(col("day")).orderBy(col("h"))))
+      .filter(col("r") <= KmvK)
+      .select(col("day"), col("h"))
+
+  /** Calendar boundary for the p47 refresh fixture: days before this are
+    * "yesterday's saved artifact", days at/after are the arriving shard.
+    */
+  val KmvRefreshCutDay = "2024-01-25"
+
+  /** SKETCH REFRESH FROM A SAVED ARTIFACT (p47) — the persistence leg
+    * the KMV family's siblings already have (LSH d13, BM25 t34, IVF-PQ
+    * s11): yesterday's corpus ships as its ≤ k-rows-per-day sketch
+    * table; a new shard hashes ONLY its own events and re-mins into the
+    * union. Because the day key partitions the two sides (an old day's
+    * data never arrives in the shard), the refreshed sketches EQUAL the
+    * from-scratch [[dailyKmv]] over the whole corpus — which is exactly
+    * what the oracle replays, so the equality is the correctness gate,
+    * not a claim.
+    */
+  def kmvRefresh(saved: DataFrame, shardEvents: DataFrame): DataFrame = {
+    val merged = saved.unionByName(dailyKmvSketchRows(shardEvents))
+      .distinct()
+      .withColumn("r", row_number().over(Window.partitionBy(col("day")).orderBy(col("h"))))
+      .filter(col("r") <= KmvK)
+    merged.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+      .select(col("day"), col("n_kept"), expr(estExpr("n_kept", "hk")).as("est"))
+      .orderBy(col("day"))
+  }
+
+  /** Oracle for [[kmvRefresh]]: the from-scratch daily KMV over ALL
+    * events — equal to saved∪shard by the day-partition argument.
+    */
+  val sqlDailyKmv: String = {
+    val h = Portable.sqlHash32("user_id::VARCHAR")
+    s"""WITH du AS (SELECT DISTINCT strftime(ts::DATE, '%Y-%m-%d') AS day, $h AS h
+       |  FROM events WHERE ts IS NOT NULL),
+       |sk AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS r
+       |  FROM du QUALIFY r <= $KmvK),
+       |g AS (SELECT day, count(*)::BIGINT AS n_kept, max(h) AS hk FROM sk GROUP BY day)
+       |SELECT day, n_kept, ${sqlEstExpr("n_kept", "hk")} AS est
+       |FROM g ORDER BY day""".stripMargin
+  }
+
   /** One streamed arrival: the day key and the already-hashed user. */
   final case class KmvEv(day: String, h: Long)
 

@@ -727,6 +727,23 @@ object Pipeline {
     QueryDef.sql("w29_cohort_ltv", EventWindows.sqlCohortLtv) { (s, dir) =>
       EventWindows.cohortLtv(Tables.events(s, dir))
     },
+    // KMV sketch persistence: saved per-day k-min rows + an arriving
+    // shard re-minned — equals the from-scratch daily KMV because the
+    // day key partitions the sides; the oracle replays from scratch
+    QueryDef.sql("p47_kmv_refresh", Sketches.sqlDailyKmv) { (s, dir) =>
+      val cut = Sketches.KmvRefreshCutDay
+      val skDir = artifactDir("kmvdaily", dir) { tmp =>
+        graft.sources.ModelStore.saveLarge(
+          Sketches.dailyKmvSketchRows(
+            Tables.events(s, dir).filter(
+              date_format(to_date(col("ts")), "yyyy-MM-dd") < cut)),
+          s"$tmp/sketch")
+      }
+      Sketches.kmvRefresh(
+        graft.sources.ModelStore.load(s, s"$skDir/sketch"),
+        Tables.events(s, dir).filter(
+          date_format(to_date(col("ts")), "yyyy-MM-dd") >= cut))
+    },
     // 7-day rolling DAU from merged daily KMV sketches: raw events reduce
     // to k hashes/day once; the rolling window is a 7-way fan-out + re-min
     // over sketch rows only. exact_dau7 is the declared exact baseline —
