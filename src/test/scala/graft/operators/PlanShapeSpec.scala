@@ -616,6 +616,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"doc-count must broadcast:\n$plan")
   }
 
+  test("ppjoin: prefix join and verify stay shuffled equi-joins; no cross product") {
+    val spark = TestSpark.spark
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.catalog.clearCache()
+    try {
+      val plan = executed(Dedup.ppJoinPairs(graft.Tables.documents(spark, dir)))
+      // candidate volume is data-dependent: neither the prefix self-join
+      // nor the candidate-restricted verify may force a broadcast
+      assert(!plan.contains("BroadcastExchange") && !plan.contains("CartesianProduct"),
+        s"prefix join must not force a broadcast or cross:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected shuffled equi-joins in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("image shard dedup: band probe is a shuffled equi-join with no forced broadcast") {
     val spark = TestSpark.spark
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
