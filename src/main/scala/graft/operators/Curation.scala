@@ -1010,6 +1010,69 @@ object Curation {
        |ORDER BY stage""".stripMargin
   }
 
+  // ------------------------------------------ soft-dedup weights (p48)
+
+  /** Soft deduplication (p48): instead of DROPPING near-duplicates, give
+    * every document a sampling weight of 1/cluster-size (the
+    * SlimPajama/D4-style downweighting — a cluster of n near-identical
+    * documents contributes one document's worth of expected tokens, but
+    * keeps its internal variety). Consumes the SAVED cluster labels (the
+    * d8/d11 artifact) — the chain's most expensive product runs once;
+    * this is one join over it. Output per document: the cluster size,
+    * the weight in ppm, the token count and the expected token
+    * contribution under weighted sampling — the exact input p34's PPS
+    * sampler takes as its size column for a dedup-aware draw.
+    *
+    * Determinism: weights are floored fixed-point ppm BIGINTs (the q31
+    * floor rule), so every emitted value is integer-exact across engines.
+    *
+    * Scale shape: one bounded aggregate over the label artifact (cluster
+    * sizes), two co-partitioned equi-joins on doc_id/cluster, no
+    * broadcast of anything corpus-sized; per-doc weight math is
+    * shuffle-free projection.
+    */
+  def softDedupWeights(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val cs = clusters.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+    docs.select(col("doc_id"),
+        size(Portable.tokens(col("text"))).cast("bigint").as("n_tok"))
+      .join(clusters, Seq("doc_id"), "left")
+      .join(cs, Seq("cluster"), "left")
+      .select(col("doc_id"),
+        coalesce(col("csize"), lit(1L)).as("csize"),
+        col("n_tok"))
+      .select(col("doc_id"), col("csize"),
+        floor(lit(1000000.0) / col("csize")).cast("long").as("w_ppm"),
+        col("n_tok"),
+        floor(col("n_tok") * lit(1000000.0) / col("csize")).cast("long")
+          .as("exp_tok_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[softDedupWeights]]: re-derives the cluster labels with
+    * the d8 recursive closure, then replays the floored ppm arithmetic.
+    */
+  def sqlSoftDedupWeights: String =
+    s"""WITH RECURSIVE p AS (${graft.operators.Dedup.sqlLshPairs}),
+       |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+       |r AS (SELECT a, b FROM e
+       |      UNION
+       |      SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |self AS (SELECT DISTINCT a, a AS b FROM e),
+       |clus AS (SELECT a AS doc_id, min(b) AS cluster
+       |  FROM (SELECT a, b FROM r UNION ALL SELECT a, b FROM self)
+       |  GROUP BY a),
+       |cs AS (SELECT cluster, count(*)::BIGINT AS csize FROM clus GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(cs.csize, 1)::BIGINT AS csize,
+       |  floor(1000000.0 / coalesce(cs.csize, 1))::BIGINT AS w_ppm,
+       |  len(${Portable.sqlTokens("d.text")})::BIGINT AS n_tok,
+       |  floor(len(${Portable.sqlTokens("d.text")})
+       |    * 1000000.0 / coalesce(cs.csize, 1))::BIGINT AS exp_tok_ppm
+       |FROM documents d
+       |LEFT JOIN clus ON clus.doc_id = d.doc_id
+       |LEFT JOIN cs ON cs.cluster = clus.cluster
+       |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------- composed daily ingest (p41)
 
   /** The composed daily-ingest report (p41) — ONE query proving the

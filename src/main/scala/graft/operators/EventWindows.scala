@@ -1023,4 +1023,104 @@ object EventWindows {
        |  FROM lagd)
        |SELECT day, rank, item, n, delta FROM ranked
        |WHERE rank <= $TrendTopK ORDER BY day, rank""".stripMargin
+
+  // ------------------------------------------ Kaplan-Meier survival (w30)
+
+  /** A purchase above this value is the "conversion" event w30 measures
+    * time-to; users who never convert are right-censored at corpus end.
+    */
+  val SurvValueFloor = 120.0
+
+  /** Kaplan-Meier survival curve (w30): time in whole days from a user's
+    * first event to their first high-value purchase (value >
+    * [[SurvValueFloor]]); users who never convert are right-CENSORED at
+    * the end of the observation window (corpus max ts) — they leave the
+    * risk set at their observed span without counting as an event. The
+    * product-limit estimator S(t) = Π_{t_i ≤ t} (1 − d_i / n_i) is
+    * emitted at every conversion time — the censoring-aware
+    * time-to-convert distribution w26's day-over-day churn rate and
+    * w16's funnel counts cannot give (dropping the censored users would
+    * bias conversion fast; counting them as non-converts would bias it
+    * slow; KM is the unbiased middle).
+    *
+    * Determinism: day buckets are exact integer division (remainder
+    * subtracted before the double divide, so the quotient is an exact
+    * multiple); the cumulative product runs as a prefix sum of ln terms
+    * under one total order (prefix sums are order-deterministic in both
+    * engines), exp'd and rounded; the everyone-converts collapse to zero
+    * survivors is pinned to 0.0 explicitly rather than through ln(0).
+    *
+    * Scale shape: one groupBy(user_id) over events (the corpus-sized
+    * shuffle), then everything runs on the per-distinct-duration table —
+    * bounded by the observation window in days, so the single-partition
+    * prefix windows run over hundreds of rows, not data-sized input.
+    */
+  def kmSurvival(events: DataFrame): DataFrame = {
+    val day = 86400000000L
+    val ev = events.filter(col("ts").isNotNull)
+    val per = ev.groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("f"),
+        min(when(col("event_type") === "purchase" && col("value") > SurvValueFloor,
+          unix_micros(col("ts")))).as("p"))
+    val mx = ev.agg(max(unix_micros(col("ts"))).as("m"))
+    val dd = coalesce(col("p"), col("m")) - col("f")
+    val du = per.crossJoin(broadcast(mx))
+      .select(((dd - pmod(dd, lit(day))) / lit(day)).cast("long").as("t_days"),
+        col("p").isNotNull.as("converted"))
+    val byT = du.groupBy(col("t_days"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_conv"))
+    val n = du.agg(count(lit(1)).as("n_users"))
+    val wBefore = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byT.crossJoin(broadcast(n))
+      .withColumn("n_risk",
+        col("n_users") - coalesce(sum(col("n_all")).over(wBefore), lit(0L)))
+      .filter(col("n_conv") > 0)
+    val wCum = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lnTerm = when(col("n_conv") < col("n_risk"),
+      log((col("n_risk") - col("n_conv")).cast("double") / col("n_risk")))
+    risk
+      .withColumn("dead",
+        max(when(col("n_conv") >= col("n_risk"), 1).otherwise(0)).over(wCum))
+      .withColumn("surv", when(col("dead") === 1, lit(0.0))
+        .otherwise(round(exp(sum(lnTerm).over(wCum)), 6)))
+      .select(col("t_days"), col("n_risk"), col("n_conv"), col("surv"))
+      .orderBy(col("t_days"))
+  }
+
+  /** Oracle for [[kmSurvival]]: identical duration bucketing (`//` on
+    * non-negative micros matches the remainder-subtracted divide), risk
+    * prefix sums and ln-prefix product under the same total order.
+    */
+  val sqlKmSurvival: String =
+    s"""WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS e
+       |  FROM events WHERE ts IS NOT NULL),
+       |per AS (SELECT user_id, min(e) AS f,
+       |    min(CASE WHEN event_type = 'purchase' AND value > $SurvValueFloor
+       |      THEN e END) AS p
+       |  FROM ev GROUP BY 1),
+       |mx AS (SELECT max(e) AS m FROM ev),
+       |du AS (SELECT (coalesce(p, mx.m) - f) // 86400000000 AS t_days,
+       |    p IS NOT NULL AS converted
+       |  FROM per, mx),
+       |byt AS (SELECT t_days, count(*)::BIGINT AS n_all,
+       |    sum(CASE WHEN converted THEN 1 ELSE 0 END)::BIGINT AS n_conv
+       |  FROM du GROUP BY 1),
+       |n AS (SELECT count(*)::BIGINT AS n_users FROM du),
+       |risk AS (SELECT t_days, n_conv,
+       |    (n.n_users - coalesce(sum(n_all) OVER (ORDER BY t_days
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n_risk
+       |  FROM byt, n),
+       |evs AS (SELECT * FROM risk WHERE n_conv > 0),
+       |km AS (SELECT t_days, n_risk, n_conv,
+       |    max(CASE WHEN n_conv >= n_risk THEN 1 ELSE 0 END) OVER w AS dead,
+       |    sum(CASE WHEN n_conv < n_risk
+       |      THEN ln((n_risk - n_conv)::DOUBLE / n_risk) END) OVER w AS s
+       |  FROM evs
+       |  WINDOW w AS (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT t_days, n_risk, n_conv,
+       |  CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(s), 6) END AS surv
+       |FROM km ORDER BY t_days""".stripMargin
 }

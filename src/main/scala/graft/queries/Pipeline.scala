@@ -200,6 +200,13 @@ object Pipeline {
     QueryDef.sql("d17_cluster_sizes", Dedup.sqlClusterSizeHistogram) { (s, dir) =>
       Dedup.clusterSizeHistogram(Dedup.loadClusters(s, clusterLabelDir(s, dir)))
     },
+    // SOFT dedup: 1/cluster-size sampling weights from the SAME saved
+    // labels (SlimPajama-style downweighting instead of dropping) — the
+    // dedup-aware size column p34's PPS draw takes; floored ppm integers
+    QueryDef.sql("p48_soft_dedup_weights", Curation.sqlSoftDedupWeights) { (s, dir) =>
+      Curation.softDedupWeights(Tables.documents(s, dir),
+        Dedup.loadClusters(s, clusterLabelDir(s, dir)))
+    },
     // cross-split near-dup leakage: clusters spanning train/val/test — the
     // split audit the dedup papers exist for; derived from the SAME saved
     // labels, aggregate keys on cluster id, no pair enumeration
@@ -716,6 +723,12 @@ object Pipeline {
     // pairs, adjacent-day gated — pure equi-joins, one double division
     QueryDef.sql("w26_day_churn", EventWindows.sqlDayChurn) { (s, dir) =>
       EventWindows.dayChurn(Tables.events(s, dir))
+    },
+    // Kaplan-Meier survival over user lifetimes: censoring-aware
+    // product-limit curve — one corpus shuffle to per-user spans, then
+    // day-bounded prefix windows; ln-prefix product, zero-survivor pinned
+    QueryDef.sql("w30_survival", EventWindows.sqlKmSurvival) { (s, dir) =>
+      EventWindows.kmSurvival(Tables.events(s, dir))
     },
     // time-weighted average value per (user, day): lead-interval weights
     // in exact decimal micros, one double division — the TWAP to w14's OHLC

@@ -694,4 +694,24 @@ class DedupTextSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(byDoc(3L).head._1 == h % TextOps.HashFeatBuckets)
   }
+
+  test("soft-dedup weights: 1/cluster-size ppm, unlabeled docs get full weight") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a b c"),       // cluster of 2 -> w 500000
+      (2L, "a b c d"),     // cluster of 2 -> w 500000, exp floor(4e6/2)
+      (3L, "x"))           // no label row -> singleton, full weight
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster")
+    val got = Curation.softDedupWeights(d, clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 500000L, 3L, 1500000L),
+      (2L, 2L, 500000L, 4L, 2000000L),
+      (3L, 1L, 1000000L, 1L, 1000000L)), s"${got.toSeq}")
+    // invariant: a cluster's expected tokens ≈ one member's worth — here
+    // (3 + 4) / 2 tokens = 3.5 -> 3500000 ppm split across the two rows
+    assert(got.filter(_._2 == 2L).map(_._5).sum == 3500000L)
+  }
 }

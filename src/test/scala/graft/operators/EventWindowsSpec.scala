@@ -277,4 +277,43 @@ class EventWindowsSpec extends AnyFunSuite {
       ("2024-01-02", 1, 9, 4L, 3L), ("2024-01-02", 2, 7, 2L, -1L),
       ("2024-01-04", 1, 7, 2L, 2L)), s"${got.toSeq}")
   }
+
+  test("KM survival: censored users stay at risk until their span, never count as events") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // A converts on day 2, C on day 0; B never converts (its purchase is
+    // below the value floor) and is censored at the corpus end (day 10).
+    // Hand KM: t=0 -> 1 - 1/3 = 2/3; t=2 -> 2/3 * (1 - 1/2) = 1/3.
+    // B's censoring at day 10 emits NO row but kept it in t=2's risk set.
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "view", 0.0),
+      (2L, "2024-01-03 01:00:00", 10L, "purchase", 200.0), // A: day 2
+      (3L, "2024-01-01 00:00:00", 20L, "view", 0.0),
+      (4L, "2024-01-05 00:00:00", 20L, "purchase", 50.0),  // B: below floor
+      (5L, "2024-01-11 00:00:00", 20L, "view", 0.0),       // corpus max
+      (6L, "2024-01-01 00:00:00", 30L, "purchase", 130.0)) // C: day 0
+    val d = rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), lit("").as("props"))
+    val got = EventWindows.kmSurvival(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 3L, 1L, 0.666667), (2L, 2L, 1L, 0.333333)),
+      s"hand KM diverged: ${got.toSeq}")
+  }
+
+  test("KM survival: everyone converting pins the tail to exactly 0.0, not ln(0)") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "view", 0.0),
+      (2L, "2024-01-02 00:00:00", 10L, "purchase", 500.0),
+      (3L, "2024-01-01 00:00:00", 20L, "purchase", 500.0))
+    val d = rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), lit("").as("props"))
+    val got = EventWindows.kmSurvival(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 2L, 1L, 0.5), (1L, 1L, 1L, 0.0)),
+      s"${got.toSeq}")
+  }
 }
