@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link analysis over event-derived graphs — the family member next to
@@ -29,21 +30,12 @@ object Graph {
   /** Fixed-point scale for per-edge contributions. */
   val PrFp = 1000000000000.0
 
-  def itemPageRank(events: DataFrame): DataFrame = {
-    val bi = events
-      .filter(col("ts").isNotNull && col("props").isNotNull)
-      .select(col("user_id"),
-        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
-        get_json_object(col("props"), "$.k").cast("int").as("item"))
-      .filter(col("item").isNotNull).distinct()
-    val pc = bi.as("a").join(bi.as("b"),
-        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
-          col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-    val edges = pc.select(col("ia").as("src"), col("ib").as("dst"), col("w"))
-      .unionByName(pc.select(col("ib").as("src"), col("ia").as("dst"), col("w")))
+  /** The [[PrIters]] damped rounds shared by q32 and t42: `edges` is a
+    * directed (src, dst, w) table (both directions present for an
+    * undirected graph); node identity is whatever type the edge keys
+    * carry — the rounds are key-type-agnostic. Returns (item, pr).
+    */
+  private def prRounds(edges: DataFrame): DataFrame = {
     val ow = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val nodes = edges.select(col("dst").as("item")).distinct()
     val nn = nodes.agg(count(lit(1)).as("nn"))
@@ -62,17 +54,36 @@ object Graph {
           (lit(1.0 - PrDamp) / col("nn") +
             lit(PrDamp) * (coalesce(col("fp"), lit(0L)) / lit(PrFp))).as("pr"))
     }
-    pr.select(col("item"), floor(col("pr") * 1000000000).cast("long").as("pr_ppb"))
+    pr
+  }
+
+  def itemPageRank(events: DataFrame): DataFrame = {
+    val bi = events
+      .filter(col("ts").isNotNull && col("props").isNotNull)
+      .select(col("user_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull).distinct()
+    val pc = bi.as("a").join(bi.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+          col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val edges = pc.select(col("ia").as("src"), col("ib").as("dst"), col("w"))
+      .unionByName(pc.select(col("ib").as("src"), col("ia").as("dst"), col("w")))
+    prRounds(edges)
+      .select(col("item"), floor(col("pr") * 1000000000).cast("long").as("pr_ppb"))
       .orderBy(col("pr_ppb").desc, col("item"))
   }
 
-  /** Oracle for [[itemPageRank]]: the identical rounds unrolled as CTEs —
-    * same floor-fixed-point contributions, same integer sums, same double
-    * update expression with the Scala-printed damping literals.
+  /** The SQL twin of [[prRounds]] — iteration CTEs over `ed`, `ow`,
+    * `nodes`, `nn`; shared by the q32 and t42 oracles so the engines'
+    * round arithmetic is pinned by one definition.
     */
-  def sqlItemPageRank: String = {
+  private def sqlPrIterCtes: String = {
     val base = (1 - PrDamp).toString // exact shortest-decimal of the double
-    val iters = (1 to PrIters).map { it =>
+    (1 to PrIters).map { it =>
       val prev = if (it == 1) "pr0" else s"pr${it - 1}"
       s"""c$it AS (SELECT e.dst,
          |    sum(floor(p.pr * e.w / o.ow * $PrFp))::BIGINT AS fp
@@ -82,6 +93,14 @@ object Graph {
          |    $base / nn.nn + $PrDamp * (coalesce(c$it.fp, 0) / $PrFp) AS pr
          |  FROM nodes n LEFT JOIN c$it ON c$it.dst = n.item, nn)""".stripMargin
     }.mkString(",\n")
+  }
+
+  /** Oracle for [[itemPageRank]]: the identical rounds unrolled as CTEs —
+    * same floor-fixed-point contributions, same integer sums, same double
+    * update expression with the Scala-printed damping literals.
+    */
+  def sqlItemPageRank: String = {
+    val iters = sqlPrIterCtes
     s"""WITH bi AS (SELECT DISTINCT user_id,
        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        |    json_extract(props, '$$.k')::INT AS item
@@ -100,5 +119,90 @@ object Graph {
        |$iters
        |SELECT item, floor(pr * 1000000000)::BIGINT AS pr_ppb
        |FROM pr$PrIters ORDER BY pr_ppb DESC, item""".stripMargin
+  }
+
+  // ------------------------------------------- TextRank keywords (t42)
+
+  /** Adjacency-bigram edges repeated fewer times than this are noise, not
+    * graph structure (the t39 collocation floor applied to ranking).
+    */
+  val TrMinEdge = 5
+
+  /** Keywords emitted by [[textRank]]. */
+  val TrTopK = 20
+
+  /** TextRank keyword extraction (t42, Mihalcea & Tarau 2004): PageRank
+    * over the corpus token-adjacency graph — nodes are tokens, an
+    * undirected edge joins tokens that appear adjacent ≥ [[TrMinEdge]]
+    * times (t39's bigram stream turned into graph structure), rank flows
+    * along co-occurrence weights through [[prRounds]], the SAME damped
+    * fixed-point rounds q32 runs over the item graph. The top-[[TrTopK]]
+    * tokens by rank are the corpus keywords — the graph-centrality
+    * alternative to t5's TF-IDF and t36's RAKE scores: a token matters
+    * because well-connected tokens keep linking to it, not because it is
+    * merely frequent.
+    *
+    * Scale shape: bigram extraction is one linear pass (the materialized
+    * token array, the t39/r10 lesson); the edge aggregate keys on token
+    * pairs (vocabulary-bounded, not corpus-bounded); each rank round is
+    * one equi-join + partial-aggregated integer sum over the bounded
+    * edge table.
+    */
+  def textRank(docs: DataFrame): DataFrame = {
+    val tk = docs.select(graft.functions.Portable.tokens(col("text")).as("toks"))
+    val toks = col("toks")
+    val bi = tk
+      .select(explode(when(size(toks) > 1,
+        transform(sequence(lit(1), size(toks) - 1),
+          j => concat_ws(" ", element_at(toks, j), element_at(toks, (j + 1).cast("int")))))
+        .otherwise(array().cast("array<string>")))
+        .as("pair"))
+      .select(split_part(col("pair"), lit(" "), lit(1)).as("a"),
+        split_part(col("pair"), lit(" "), lit(2)).as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = bi
+      .select(least(col("a"), col("b")).as("ia"), greatest(col("a"), col("b")).as("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= TrMinEdge)
+    val edges = und.select(col("ia").as("src"), col("ib").as("dst"), col("w"))
+      .unionByName(und.select(col("ib").as("src"), col("ia").as("dst"), col("w")))
+    val scored = prRounds(edges)
+      .select(col("item").as("token"),
+        floor(col("pr") * 1000000000).cast("long").as("pr_ppb"))
+    val w = Window.orderBy(col("pr_ppb").desc, col("token"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TrTopK)
+      .select(col("rnk"), col("token"), col("pr_ppb"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Oracle for [[textRank]]: t39's bigram CTE, the undirected edge
+    * canonicalization, then [[sqlPrIterCtes]] verbatim.
+    */
+  def sqlTextRank: String = {
+    val toks = graft.functions.Portable.sqlTokens("text")
+    val iters = sqlPrIterCtes
+    s"""WITH tk AS (SELECT $toks AS toks FROM documents),
+       |pairs AS (SELECT unnest(list_transform(range(1, len(toks)),
+       |    j -> toks[j] || ' ' || toks[j + 1])) AS pair FROM tk),
+       |ab AS (SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+       |  FROM pairs WHERE split_part(pair, ' ', 1) != split_part(pair, ' ', 2)),
+       |und AS (SELECT least(a, b) AS ia, greatest(a, b) AS ib,
+       |    count(*)::BIGINT AS w
+       |  FROM ab GROUP BY 1, 2 HAVING count(*) >= $TrMinEdge),
+       |ed AS (SELECT ia AS src, ib AS dst, w FROM und
+       |  UNION ALL SELECT ib, ia, w FROM und),
+       |ow AS (SELECT src AS item, sum(w)::BIGINT AS ow FROM ed GROUP BY 1),
+       |nodes AS (SELECT DISTINCT dst AS item FROM ed),
+       |nn AS (SELECT count(*)::BIGINT AS nn FROM nodes),
+       |pr0 AS (SELECT item, 1.0 / nn.nn AS pr FROM nodes, nn),
+       |$iters,
+       |scored AS (SELECT item AS token,
+       |    floor(pr * 1000000000)::BIGINT AS pr_ppb FROM pr$PrIters)
+       |SELECT rnk, token, pr_ppb FROM (
+       |  SELECT token, pr_ppb,
+       |    row_number() OVER (ORDER BY pr_ppb DESC, token) AS rnk
+       |  FROM scored) WHERE rnk <= $TrTopK
+       |ORDER BY rnk""".stripMargin
   }
 }

@@ -367,6 +367,12 @@ object Pipeline {
     QueryDef.sql("t39_collocations", TextOps.sqlCollocations) { (s, dir) =>
       TextOps.collocations(Tables.documents(s, dir))
     },
+    // TextRank keywords: t39's bigram stream as an undirected graph,
+    // q32's damped fixed-point PageRank rounds over it — centrality-based
+    // keywords next to t5's TF-IDF and t36's RAKE
+    QueryDef.sql("t42_textrank", graft.operators.Graph.sqlTextRank) { (s, dir) =>
+      graft.operators.Graph.textRank(Tables.documents(s, dir))
+    },
     // Heaps'-law vocabulary growth: first-bucket type attribution in
     // aggregate form, running sums over the bounded bucket domain
     QueryDef.sql("t40_heaps", TextOps.sqlHeapsCurve) { (s, dir) =>
