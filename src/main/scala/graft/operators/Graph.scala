@@ -176,6 +176,165 @@ object Graph {
       .orderBy(col("rnk"))
   }
 
+  // --------------------------------- Markov removal-effect attribution (w31)
+
+  /** Absorbing-chain iteration depth: P(convert within [[MkIters]] steps)
+    * is the estimator both engines compute — identical truncation, no
+    * linear solve to replay.
+    */
+  val MkIters = 12
+
+  /** MARKOV ATTRIBUTION (w31): the probabilistic counterpart of w25's
+    * linear multi-touch. Each (user, day) is a journey: the day's event
+    * types in time order, truncated at the first purchase; journeys end
+    * in the absorbing `conv` state (day converted) or `drop`. Transition
+    * counts over all journeys define a Markov chain; a channel's REMOVAL
+    * EFFECT is how much the chain's start→conv absorption probability
+    * falls when every transition touching that channel is deleted (mass
+    * into a removed channel is lost, not rerouted — the standard
+    * formulation), and credit shares normalize the removal effects.
+    * Answers what last-touch and linear splits cannot: how much
+    * conversion a channel CAUSES, counting its mid-path feeder role.
+    *
+    * Determinism: absorption is computed as the K-step conversion
+    * probability with per-term floors to 1e-12 fixed point (the q32/t42
+    * integer-sum trick), so the only order-sensitive reduction per round
+    * is an integer sum; removal and credit shares are integer arithmetic
+    * over the ppb fixed-points.
+    *
+    * Scale shape: one corpus-sized window (per user-day event order) and
+    * one aggregate to per-journey state arrays; everything after runs on
+    * the (states × states) transition table — a few dozen rows — so the
+    * K rounds × (channels + 1) scenarios are joins over tiny bounded
+    * tables, never the corpus.
+    */
+  def markovAttribution(events: DataFrame): DataFrame = {
+    val fp = PrFp
+    val ev = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("e"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("e"), col("event_id"))
+    val idxd = ev.withColumn("idx", row_number().over(w))
+    val grouped = idxd.groupBy(col("user_id"), col("day"))
+      .agg(array_sort(collect_list(struct(col("idx"), col("event_type")))).as("all"),
+        min(when(col("event_type") === "purchase", col("idx"))).as("pidx"))
+    val states = grouped.select(concat(
+        array(lit("start")),
+        transform(filter(col("all"),
+          x => col("pidx").isNull || x("idx") < col("pidx")),
+          x => x("event_type")),
+        array(when(col("pidx").isNotNull, lit("conv")).otherwise(lit("drop"))))
+      .as("stt"))
+    val trans = states
+      .select(explode(transform(sequence(lit(1), size(col("stt")) - 1),
+        j => concat_ws(">", element_at(col("stt"), j),
+          element_at(col("stt"), (j + 1).cast("int"))))).as("pair"))
+      .select(split_part(col("pair"), lit(">"), lit(1)).as("s"),
+        split_part(col("pair"), lit(">"), lit(2)).as("t"))
+      .groupBy(col("s"), col("t")).agg(count(lit(1)).as("cnt"))
+    val tot = trans.groupBy(col("s")).agg(sum(col("cnt")).as("tot"))
+    val chans = trans.select(col("s").as("ch"))
+      .filter(col("ch") =!= "start").distinct()
+    val scens = chans.unionByName(
+      events.sparkSession.range(1).select(lit("_base").as("ch")))
+    val scTrans = trans.join(tot, "s").crossJoin(scens)
+      .filter(col("ch") === "_base" ||
+        (col("s") =!= col("ch") && col("t") =!= col("ch")))
+    val conv1 = scens.select(col("ch"), lit("conv").as("state"), lit(1.0).as("p"))
+    var p = conv1
+    for (_ <- 1 to MkIters) {
+      val step = scTrans
+        .join(p.select(col("ch"), col("state").as("t"), col("p")), Seq("ch", "t"))
+        .select(col("ch"), col("s"),
+          floor(col("cnt") * col("p") / col("tot") * lit(fp)).cast("long").as("fp"))
+        .groupBy(col("ch"), col("s")).agg(sum(col("fp")).as("fp"))
+        .select(col("ch"), col("s").as("state"), (col("fp") / lit(fp)).as("p"))
+        .filter(col("state") =!= "conv")
+      p = step.unionByName(conv1)
+    }
+    // a scenario whose chain never reaches start→conv has NO start row in
+    // p (nothing joined back to it) — that is pconv = 0, not a missing
+    // channel: left-join from the scenario list and coalesce
+    val pstart = scens.join(
+        p.filter(col("state") === "start").select(col("ch"), col("p")),
+        Seq("ch"), "left")
+      .select(col("ch"),
+        floor(coalesce(col("p"), lit(0.0)) * 1000000000).cast("long").as("pconv_ppb"))
+    val base = pstart.filter(col("ch") === "_base")
+      .select(col("pconv_ppb").as("pb"))
+    val rem = pstart.filter(col("ch") =!= "_base").crossJoin(broadcast(base))
+      .select(col("ch").as("channel"), col("pconv_ppb"),
+        floor((col("pb") - col("pconv_ppb")) * lit(1000000.0) / col("pb"))
+          .cast("long").as("removal_ppm"))
+    val totRem = rem.agg(sum(col("removal_ppm")).as("trm"))
+    rem.crossJoin(broadcast(totRem))
+      .select(col("channel"), col("pconv_ppb"), col("removal_ppm"),
+        when(col("trm") > 0,
+          floor(col("removal_ppm") * lit(1000000.0) / col("trm")).cast("long"))
+          .otherwise(lit(0L)).as("credit_ppm"))
+      .orderBy(col("channel"))
+  }
+
+  /** Oracle for [[markovAttribution]]: same journey construction, same
+    * K unrolled fixed-point rounds per scenario, same integer credit
+    * arithmetic.
+    */
+  def sqlMarkovAttribution: String = {
+    val fp = PrFp
+    val rounds = (1 to MkIters).map { it =>
+      val prev = if (it == 1) "p0" else s"p${it - 1}"
+      s"""p$it AS (
+         |  SELECT * FROM (
+         |    SELECT s.ch, s.s AS state,
+         |      sum(floor(s.cnt * p.p / s.tot * $fp))::BIGINT / $fp AS p
+         |    FROM sct s JOIN $prev p ON p.ch = s.ch AND p.state = s.t
+         |    GROUP BY 1, 2) WHERE state != 'conv'
+         |  UNION ALL SELECT ch, 'conv', 1.0 FROM scen)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT user_id, ts::DATE AS day, epoch_us(ts) AS e,
+       |    event_id, event_type
+       |  FROM events WHERE ts IS NOT NULL),
+       |idxd AS (SELECT *, row_number() OVER (PARTITION BY user_id, day
+       |    ORDER BY e, event_id) AS idx FROM ev),
+       |days AS (SELECT user_id, day,
+       |    min(CASE WHEN event_type = 'purchase' THEN idx END) AS pidx
+       |  FROM idxd GROUP BY 1, 2),
+       |seqs AS (SELECT i.user_id, i.day,
+       |    list(i.event_type ORDER BY i.idx) AS sq
+       |  FROM idxd i JOIN days dd ON i.user_id = dd.user_id AND i.day = dd.day
+       |  WHERE dd.pidx IS NULL OR i.idx < dd.pidx GROUP BY 1, 2),
+       |st AS (SELECT ['start'] || coalesce(s.sq, [])
+       |    || [CASE WHEN d.pidx IS NOT NULL THEN 'conv' ELSE 'drop' END] AS stt
+       |  FROM days d LEFT JOIN seqs s ON s.user_id = d.user_id AND s.day = d.day),
+       |tr AS (SELECT unnest(list_transform(range(1, len(stt)),
+       |    j -> stt[j] || '>' || stt[j + 1])) AS pair FROM st),
+       |cnt AS (SELECT split_part(pair, '>', 1) AS s, split_part(pair, '>', 2) AS t,
+       |    count(*)::BIGINT AS cnt FROM tr GROUP BY 1, 2),
+       |tot AS (SELECT s, sum(cnt)::BIGINT AS tot FROM cnt GROUP BY 1),
+       |chans AS (SELECT DISTINCT s AS ch FROM cnt WHERE s != 'start'),
+       |scen AS (SELECT ch FROM chans UNION ALL SELECT '_base'),
+       |sct AS (SELECT sc.ch, c.s, c.t, c.cnt, tot.tot
+       |  FROM cnt c CROSS JOIN scen sc JOIN tot ON tot.s = c.s
+       |  WHERE sc.ch = '_base' OR (c.s != sc.ch AND c.t != sc.ch)),
+       |p0 AS (SELECT ch, 'conv' AS state, 1.0 AS p FROM scen),
+       |$rounds,
+       |ps AS (SELECT scen.ch,
+       |    floor(coalesce(pk.p, 0.0) * 1000000000)::BIGINT AS pconv_ppb
+       |  FROM scen LEFT JOIN (SELECT ch, p FROM p$MkIters WHERE state = 'start') pk
+       |    ON pk.ch = scen.ch),
+       |base AS (SELECT pconv_ppb AS pb FROM ps WHERE ch = '_base'),
+       |rem AS (SELECT ch AS channel, pconv_ppb,
+       |    floor((base.pb - pconv_ppb) * 1000000.0 / base.pb)::BIGINT AS removal_ppm
+       |  FROM ps, base WHERE ch != '_base'),
+       |trm AS (SELECT sum(removal_ppm)::BIGINT AS trm FROM rem)
+       |SELECT channel, pconv_ppb, removal_ppm,
+       |  CASE WHEN trm.trm > 0
+       |    THEN floor(removal_ppm * 1000000.0 / trm.trm)::BIGINT
+       |    ELSE 0 END AS credit_ppm
+       |FROM rem, trm ORDER BY channel""".stripMargin
+  }
+
   /** Oracle for [[textRank]]: t39's bigram CTE, the undirected edge
     * canonicalization, then [[sqlPrIterCtes]] verbatim.
     */

@@ -730,6 +730,14 @@ object Pipeline {
     QueryDef.sql("w26_day_churn", EventWindows.sqlDayChurn) { (s, dir) =>
       EventWindows.dayChurn(Tables.events(s, dir))
     },
+    // Markov removal-effect attribution: journeys as an absorbing chain,
+    // K-step fixed-point absorption per removal scenario — what a channel
+    // CAUSES vs w25's positional split; corpus touched once, rounds run
+    // on the states-squared table
+    QueryDef.sql("w31_markov_attribution",
+      graft.operators.Graph.sqlMarkovAttribution) { (s, dir) =>
+      graft.operators.Graph.markovAttribution(Tables.events(s, dir))
+    },
     // Kaplan-Meier survival over user lifetimes: censoring-aware
     // product-limit curve — one corpus shuffle to per-user spans, then
     // day-bounded prefix windows; ln-prefix product, zero-survivor pinned

@@ -35,4 +35,27 @@ class GraphSpec extends AnyFunSuite {
     val d = Seq((1L, "every bigram here appears exactly once")).toDF("doc_id", "text")
     assert(Graph.textRank(d).count() == 0)
   }
+
+  test("markov attribution: the sole feeder into conversion takes all the credit") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // journey A: view -> purchase (converts through view only)
+    // journey B: click -> end of day (drop)
+    // chain: start->view .5, start->click .5, view->conv 1, click->drop 1
+    // remove view => pconv 0 (full removal effect); remove click => pconv
+    // unchanged at .5 (zero effect) — credit must be 100% view.
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 11:00:00", 1L, "purchase", 9.0),
+      (3L, "2024-01-01 10:00:00", 2L, "click", 0.0))
+    val d = rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), lit("").as("props"))
+    val got = Graph.markovAttribution(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("click", 500000000L, 0L, 0L),
+      ("view", 0L, 1000000L, 1000000L)), s"${got.toSeq}")
+  }
 }
