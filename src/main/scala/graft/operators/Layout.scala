@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout optimization for scan pruning (q35): the z-order
+  * clustering audit behind Delta/Iceberg `OPTIMIZE ZORDER BY`. Min/max
+  * file statistics only prune scans when the file layout makes value
+  * ranges narrow; sorting by ONE column gives that column perfect
+  * pruning and leaves every other column's ranges full-width. Z-ordering
+  * interleaves the bits of two columns so BOTH get sub-linear file
+  * ranges — this operator measures exactly how much, on the lineitem
+  * fact table, by laying the rows out both ways and reporting the
+  * fraction of files a point probe on each column must scan.
+  *
+  * File assignment is SHUFFLE-FREE by construction: a file is a quadtree
+  * cell — the top bits of the interleaved key (respectively the top bits
+  * of the scaled sort column for the linear layout) — a pure per-row
+  * projection after one broadcast scalar row of global min/max. That is
+  * the 100 TB shape: no global sort, no window; the write itself would
+  * be `.repartitionByRange`/bucketing on the same key, and the audit's
+  * cell stats are exactly the parquet footer min/max the scan planner
+  * would see.
+  *
+  * Determinism: bit interleaving, scaling and the pruning arithmetic are
+  * pure integer expressions (`div` / `//` on non-negative operands), so
+  * every emitted value hash-matches with no rounding pin.
+  */
+object Layout {
+
+  /** Bits per dimension in the interleaved key (16 → 32-bit z key). */
+  val ZBits = 16
+
+  /** Top bits of the key that name a file: 4 → up to 16 files/cells. */
+  val FileBits = 4
+
+  private val zShift = 1L << (2 * ZBits - FileBits)
+  private val lShift = 1L << (ZBits - FileBits)
+
+  /** Bit-interleave expression over pre-scaled 16-bit a16/b16 columns —
+    * emitted in either engine's dialect (`shift` renders a right shift).
+    */
+  private def zTerms(shift: (String, Int) => String): String =
+    (0 until ZBits).map { i =>
+      s"((${shift("a16", i)} & 1) * ${1L << (2 * i)}) + " +
+        s"((${shift("b16", i)} & 1) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+
+  def zorderAudit(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(col("l_partkey").as("a"), col("l_suppkey").as("b"))
+    val mm = base.agg(min(col("a")).as("amn"), max(col("a")).as("amx"),
+      min(col("b")).as("bmn"), max(col("b")).as("bmx"))
+    val scaled = base.crossJoin(broadcast(mm)).select(col("a"), col("b"),
+      expr("((a - amn) * 65535) div greatest(amx - amn, 1L)").as("a16"),
+      expr("((b - bmn) * 65535) div greatest(bmx - bmn, 1L)").as("b16"))
+    val z = zTerms((c, i) => s"shiftright($c, $i)")
+    val filed = scaled.select(col("a"), col("b"),
+      expr(s"($z) div $zShift").as("zfile"),
+      expr(s"a16 div $lShift").as("lfile"))
+    def stats(fcol: String, layout: String): DataFrame =
+      filed.groupBy(col(fcol).as("f"))
+        .agg(min(col("a")).as("amn"), max(col("a")).as("amx"),
+          min(col("b")).as("bmn"), max(col("b")).as("bmx"))
+        .withColumn("layout", lit(layout))
+    val st = stats("zfile", "zorder").unionByName(stats("lfile", "linear"))
+    val nf = st.groupBy(col("layout")).agg(count(lit(1)).as("n_files"))
+    def leg(probe: String, vcol: Column, mnc: String, mxc: String): DataFrame = {
+      val vals = base.select(vcol.as("v")).distinct()
+      val nv = vals.agg(count(lit(1)).as("n_vals"))
+      vals.join(broadcast(st.select(col("layout"), col(mnc).as("mn"), col(mxc).as("mx"))),
+          col("v") >= col("mn") && col("v") <= col("mx"))
+        .groupBy(col("layout")).agg(count(lit(1)).as("files_scanned"))
+        .join(broadcast(nf), "layout").crossJoin(broadcast(nv))
+        .select(col("layout"), lit(probe).as("probe_col"), col("n_files"),
+          col("n_vals"), col("files_scanned"),
+          expr("files_scanned * 1000000 div (n_vals * n_files)").as("scan_frac_ppm"))
+    }
+    leg("partkey", col("a"), "amn", "amx")
+      .unionByName(leg("suppkey", col("b"), "bmn", "bmx"))
+      .orderBy(col("layout"), col("probe_col"))
+  }
+
+  /** Oracle for [[zorderAudit]]: identical integer scaling, interleave,
+    * quadtree-cell assignment and pruning counts.
+    */
+  def sqlZorderAudit: String = {
+    val z = zTerms((c, i) => s"($c >> $i)")
+    s"""WITH base AS (SELECT l_partkey AS a, l_suppkey AS b FROM lineitem),
+       |mm AS (SELECT min(a) AS amn, max(a) AS amx, min(b) AS bmn, max(b) AS bmx
+       |  FROM base),
+       |scaled AS (SELECT a, b,
+       |    ((a - mm.amn) * 65535) // greatest(mm.amx - mm.amn, 1) AS a16,
+       |    ((b - mm.bmn) * 65535) // greatest(mm.bmx - mm.bmn, 1) AS b16
+       |  FROM base, mm),
+       |filed AS (SELECT a, b, ($z) // $zShift AS zfile, a16 // $lShift AS lfile
+       |  FROM scaled),
+       |st AS (
+       |  SELECT 'zorder' AS layout, zfile AS f, min(a) AS amn, max(a) AS amx,
+       |      min(b) AS bmn, max(b) AS bmx FROM filed GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'linear', lfile, min(a), max(a), min(b), max(b)
+       |  FROM filed GROUP BY 2),
+       |nf AS (SELECT layout, count(*)::BIGINT AS n_files FROM st GROUP BY 1),
+       |va AS (SELECT DISTINCT a AS v FROM base),
+       |vb AS (SELECT DISTINCT b AS v FROM base),
+       |nva AS (SELECT count(*)::BIGINT AS n_vals FROM va),
+       |nvb AS (SELECT count(*)::BIGINT AS n_vals FROM vb),
+       |lega AS (SELECT st.layout, 'partkey' AS probe_col,
+       |    count(*)::BIGINT AS files_scanned
+       |  FROM st JOIN va ON va.v BETWEEN st.amn AND st.amx GROUP BY 1, 2),
+       |legb AS (SELECT st.layout, 'suppkey' AS probe_col,
+       |    count(*)::BIGINT AS files_scanned
+       |  FROM st JOIN vb ON vb.v BETWEEN st.bmn AND st.bmx GROUP BY 1, 2),
+       |leg AS (
+       |  SELECT lega.layout, probe_col, nf.n_files, nva.n_vals, files_scanned
+       |  FROM lega JOIN nf ON nf.layout = lega.layout, nva
+       |  UNION ALL
+       |  SELECT legb.layout, probe_col, nf.n_files, nvb.n_vals, files_scanned
+       |  FROM legb JOIN nf ON nf.layout = legb.layout, nvb)
+       |SELECT layout, probe_col, n_files, n_vals, files_scanned,
+       |  (files_scanned * 1000000) // (n_vals * n_files) AS scan_frac_ppm
+       |FROM leg ORDER BY layout, probe_col""".stripMargin
+  }
+}

@@ -725,6 +725,14 @@ object Relational {
     // oracle replays every number, no tolerance pin.
     QueryDef.sql("q28_kmv_setops", graft.operators.Sketches.sqlKmvSetOps) { (s, dir) =>
       graft.operators.Sketches.kmvSetOps(Tables.events(s, dir))
+    },
+
+    // Z-ORDER LAYOUT AUDIT (q35): how much min/max file pruning each
+    // layout buys per probe column — quadtree-cell file ids are pure
+    // per-row bit arithmetic after one broadcast scalar row (no global
+    // sort/window anywhere), the 100 TB OPTIMIZE ZORDER shape
+    QueryDef.sql("q35_zorder_layout", graft.operators.Layout.sqlZorderAudit) { (s, dir) =>
+      graft.operators.Layout.zorderAudit(Tables.lineitem(s, dir))
     }
   )
 }
