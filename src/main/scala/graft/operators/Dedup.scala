@@ -190,6 +190,73 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
+  /** Directed containment threshold (d22). */
+  val ContainThreshold = 0.9
+
+  /** DIRECTED containment pairs (d22): |S(src) ∩ S(dst)| / |S(src)| ≥
+    * [[ContainThreshold]] over the df-capped shingle sets — the
+    * asymmetric relation Jaccard (d2/d21) structurally misses: a short
+    * document quoted whole inside a much longer one has tiny Jaccard
+    * (union is the big doc) but containment ≈ 1. The quote/subset
+    * detector a crawl dedup needs next to the near-dup detector.
+    *
+    * Candidates come from d21's prefix-filtering bound, adapted to the
+    * asymmetric case: if |A∩B| ≥ τ·|A| then at most |A| − ⌈τ·|A|⌉
+    * elements of A miss B, so ANY fixed |A| − ⌈τ·|A|⌉ + 1 of A's
+    * shingles must hit B — join only src's rarest-first prefix against
+    * the full index (dst side has no prefix: containment puts no lower
+    * bound on the dst's share of its OWN set). Deterministically
+    * complete, like d21; the oracle brute-forces all pairs and must
+    * agree exactly.
+    *
+    * Scale: src join keys shrink to ~(1−τ)·m rarest shingles per doc
+    * against df-capped postings; intersection counting touches only
+    * candidate pairs.
+    */
+  def containmentPairs(docs: DataFrame): DataFrame = {
+    val tau = ContainThreshold
+    val sh = shingles(docs)
+    val rank = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .withColumn("r", row_number().over(Window.orderBy(col("df"), col("g"))))
+      .select(col("g"), col("r"))
+    val ranked = sh.join(rank, "g")
+    val cnt = ranked.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+    val prefix = ranked.join(cnt, "doc_id")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("r"))))
+      .filter(col("pos") <= col("m") - ceil(lit(tau) * col("m")) + 1)
+      .select(col("doc_id"), col("g"))
+    val cand = prefix.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("src"), col("g")), "src")
+      .join(sh.select(col("doc_id").as("dst"), col("g")), Seq("dst", "g"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("doc_id").as("src"), col("m").as("ns")), "src")
+      .select(col("src"), col("dst"),
+        round(col("inter") * lit(1.0) / col("ns"), 4).as("containment"))
+      .filter(col("containment") >= tau)
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** Oracle for [[containmentPairs]]: brute-force directed pairs — the
+    * prefix filter is a pure plan optimization with a deterministic
+    * completeness guarantee, so outputs must match exactly.
+    */
+  val sqlContainmentPairs: String =
+    s"""WITH $sqlShingleCtes,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id src, b.doc_id dst, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id != b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT src, dst, round(inter * 1.0 / c.n, 4) AS containment
+       |FROM pairs JOIN cnt c ON c.doc_id = src
+       |WHERE round(inter * 1.0 / c.n, 4) >= $ContainThreshold
+       |ORDER BY src, dst""".stripMargin
+
   val sqlJaccardPairs: String =
     s"""WITH $sqlShingleCtes,
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

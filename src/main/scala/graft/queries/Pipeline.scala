@@ -63,6 +63,12 @@ object Pipeline {
     // d2's pairs via PREFIX FILTERING (Bayardo 2007): deterministic
     // candidate bound (LSH d4 is probabilistic), join keys shrink to the
     // rare-shingle prefix — same output, same oracle, pure plan change
+    // DIRECTED containment pairs: the quote/subset detector symmetric
+    // Jaccard misses — src's rarest-first prefix joined against the full
+    // df-capped index (the d21 bound, asymmetric form), exact verify
+    QueryDef.sql("d22_containment", Dedup.sqlContainmentPairs) { (s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir))
+    },
     QueryDef.sql("d21_ppjoin", Dedup.sqlJaccardPairs) { (s, dir) =>
       Dedup.ppJoinPairs(Tables.documents(s, dir))
     },

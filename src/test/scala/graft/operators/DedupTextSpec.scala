@@ -695,6 +695,21 @@ class DedupTextSpec extends AnyFunSuite {
     assert(byDoc(3L).head._1 == h % TextOps.HashFeatBuckets)
   }
 
+  test("containment: a quoted-whole short doc is caught directed, invisible to Jaccard") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " " + (1 to 12).map(i => s"filler$i").mkString(" ")
+    val d = Seq((1L, short), (2L, long),
+      (3L, "completely unrelated other text body")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)),
+      s"expected only the directed short→long row: ${cont.toSeq}")
+    // the same pair is below the symmetric Jaccard threshold (3/15 = .2)
+    assert(Dedup.jaccardPairs(d).count() == 0)
+  }
+
   test("soft-dedup weights: 1/cluster-size ppm, unlabeled docs get full weight") {
     val s = TestSpark.spark
     import s.implicits._
