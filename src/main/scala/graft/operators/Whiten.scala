@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding whitening / decorrelation for the embedding store (the missing
@@ -137,7 +138,17 @@ object Whiten {
     * the apply-anywhere half of train-once/apply-anywhere — pure codegen,
     * no training scans.
     */
-  def whitenWith(emb: DataFrame, m: Array[Double], l: Array[Array[Double]]): DataFrame = {
+  def whitenWith(emb: DataFrame, m: Array[Double], l: Array[Array[Double]]): DataFrame =
+    whitenCols(emb, m, l)
+      .select(col("vec_id") +: (0 until D).map(i => round(col(s"y$i"), 4).as(s"y$i")): _*)
+      .orderBy(col("vec_id"))
+
+  /** The UNROUNDED substitution columns y0..y{D-1} — shared by
+    * [[whitenWith]] (rounds at the output boundary) and [[mahalanobis]]
+    * (squares before any rounding).
+    */
+  private def whitenCols(emb: DataFrame, m: Array[Double],
+                         l: Array[Array[Double]]): DataFrame = {
     var df = vecs(emb)
     for (i <- 0 until D) {
       val xi = element_at(col("v"), i + 1) - lit(m(i))
@@ -146,8 +157,35 @@ object Whiten {
         else xi - (0 until i).map(k => lit(l(i)(k)) * col(s"y$k")).reduce(_ + _)
       df = df.withColumn(s"y$i", sub / lit(l(i)(i)))
     }
-    df.select(col("vec_id") +: (0 until D).map(i => round(col(s"y$i"), 4).as(s"y$i")): _*)
-      .orderBy(col("vec_id"))
+    df
+  }
+
+  /** Outliers reported by [[mahalanobis]]. */
+  val MahalTopK = 20
+
+  /** MAHALANOBIS OUTLIERS (c10): squared Mahalanobis distance is exactly
+    * the squared norm of the whitened vector — md² = ‖L⁻¹(x − m)‖² — so
+    * the c4 whitening machinery doubles as a covariance-aware outlier
+    * detector: the embedding-space curation gate (drop or audit the
+    * farthest points before training) that a plain Euclidean norm gets
+    * wrong whenever dimensions correlate. Emits the top-[[MahalTopK]] by
+    * distance; squares accumulate left-associated over the UNROUNDED
+    * substitution columns, rounded once at the output.
+    *
+    * Scale shape: training is c4's two tiny aggregates (D and D² rows
+    * collected); scoring is pure codegen projection; the top-K is
+    * TakeOrderedAndProject, never a global window.
+    */
+  def mahalanobis(emb: DataFrame): DataFrame = {
+    val (m, l) = model(emb)
+    val md2 = (0 until D).map(i => col(s"y$i") * col(s"y$i")).reduce(_ + _)
+    val scored = whitenCols(emb, m, l)
+      .select(col("vec_id"), round(md2, 4).as("md2"))
+    val top = scored.orderBy(col("md2").desc, col("vec_id")).limit(MahalTopK)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("md2").desc, col("vec_id"))))
+      .select(col("rnk"), col("vec_id"), col("md2"))
+      .orderBy(col("rnk"))
   }
 
   // ------------------------------------------- dominant PC (power method)
@@ -392,7 +430,30 @@ object Whiten {
     * per dimension. Every sum is written left-associated so DuckDB executes
     * the same IEEE operation sequence as [[cholesky]]/[[whiten]].
     */
-  val sqlWhiten: String = {
+  val sqlWhiten: String =
+    s"""$sqlWhitenPrefix
+       |SELECT vec_id, ${(0 until D).map(i => s"round(y$i, 4) AS y$i").mkString(", ")}
+       |FROM s$D ORDER BY vec_id""".stripMargin
+
+  /** Oracle for [[mahalanobis]]: the same substitution CTEs, squares
+    * left-associated over the unrounded columns, top-K by (md2, vec_id).
+    */
+  val sqlMahalanobis: String = {
+    val sq = (0 until D).map(i => s"y$i * y$i").mkString(" + ")
+    s"""$sqlWhitenPrefix,
+       |scored AS (SELECT vec_id, round($sq, 4) AS md2 FROM s$D)
+       |SELECT rnk, vec_id, md2 FROM (
+       |  SELECT vec_id, md2,
+       |    row_number() OVER (ORDER BY md2 DESC, vec_id) AS rnk
+       |  FROM scored) WHERE rnk <= $MahalTopK
+       |ORDER BY rnk""".stripMargin
+  }
+
+  /** The shared oracle scaffolding of [[sqlWhiten]] / [[sqlMahalanobis]]:
+    * covariance + means pivoted to scalars, Cholesky CTEs, forward
+    * substitution to the UNROUNDED y columns in CTE s$D.
+    */
+  private lazy val sqlWhitenPrefix: String = {
     val covCells = (for (i <- 1 to D; j <- 1 to i) yield
       s"max(CASE WHEN g.i = $i AND g.j = $j THEN cov END) AS c_${i}_$j").mkString(",\n    ")
     val meanCells = (1 to D)
@@ -428,7 +489,6 @@ object Whiten {
       val num = if (i == 1) s"(v[1] - m_1)" else s"((v[$i] - m_$i) - ($sumK))"
       s"s$i AS (SELECT *, $num / l_${i}_$i AS y${i - 1} FROM $prev)"
     }
-    val ys = (0 until D).map(i => s"round(y$i, 4) AS y$i").mkString(", ")
     s"""WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:$D] AS v FROM embeddings),
        |g AS (SELECT i::INT AS i, j::INT AS j,
        |    round(avg(v[i] * v[j]) - avg(v[i]) * avg(v[j]), 6) AS cov
@@ -442,7 +502,6 @@ object Whiten {
        |  FROM g, mn),
        |${cholCtes.mkString(",\n")},
        |rows AS (SELECT vec_id, v, ch$D.* FROM e, ch$D),
-       |${subCtes.mkString(",\n")}
-       |SELECT vec_id, $ys FROM s$D ORDER BY vec_id""".stripMargin
+       |${subCtes.mkString(",\n")}""".stripMargin
   }
 }

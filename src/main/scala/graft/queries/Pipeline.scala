@@ -1141,6 +1141,12 @@ object Pipeline {
     QueryDef.sql("c4_whiten", Whiten.sqlWhiten) { (s, dir) =>
       Whiten.whiten(Tables.embeddings(s, dir))
     },
+    // covariance-aware embedding outliers: md2 = squared norm of the
+    // whitened vector — c4's machinery as a curation gate; codegen
+    // scoring, TakeOrdered top-K, no global window
+    QueryDef.sql("c10_mahalanobis", Whiten.sqlMahalanobis) { (s, dir) =>
+      Whiten.mahalanobis(Tables.embeddings(s, dir))
+    },
     // dominant principal component by fixed power iteration over the
     // rounded covariance — corpus touched once, iteration driver-side,
     // oracle replays the identical IEEE sequence

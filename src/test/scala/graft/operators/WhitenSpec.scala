@@ -83,4 +83,26 @@ class WhitenSpec extends AnyFunSuite {
       if (j > i) assert(l(i)(j) == 0.0, "L must be lower-triangular")
     }
   }
+
+  test("mahalanobis flags the anti-correlated point a Euclidean norm would miss") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // dims 1-2 near-perfectly correlated (t, t); the planted outlier
+    // (0.5, -0.5) BREAKS the correlation with a SMALLER Euclidean norm
+    // than the legitimate extremes (±1, ±1) — covariance-aware distance
+    // must rank it first anyway.
+    def noise(i: Int, k: Int): Float = 0.01f * ((i * k) % 7 - 3)
+    val cloud = (1 to 32).map { i =>
+      val t = -1.0f + 2.0f * (i - 1) / 31.0f
+      (i.toLong, Array(t, t) ++ (3 to 8).map(k => noise(i, k)))
+    }
+    val outlier = (99L, Array(0.5f, -0.5f) ++ (3 to 8).map(k => noise(99, k)))
+    val emb = (cloud :+ outlier).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+    val top = Whiten.mahalanobis(emb).collect()
+    assert(top.head.getLong(1) == 99L,
+      s"outlier should rank first: ${top.take(3).toSeq}")
+    assert(top.head.getDouble(2) > 2 * top(1).getDouble(2),
+      s"outlier should dominate: ${top.take(2).toSeq}")
+  }
 }
