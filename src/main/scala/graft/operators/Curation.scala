@@ -107,9 +107,26 @@ object Curation {
     * tiny table, then broadcast back), and the single-row grand total
     * arrives via a broadcast cross join. One corpus shuffle total.
     */
-  def ppsSample(docs: DataFrame): DataFrame = {
+  def ppsSample(docs: DataFrame): DataFrame =
+    ppsWeighted(docs.select(col("doc_id"), col("n_chars").as("w")))
+
+  /** DEDUP-AWARE PPS (p49): [[ppsSample]]'s systematic draw with the
+    * size column swapped for p48's soft-dedup expected-token weights —
+    * a near-dup cluster of n documents collectively holds ONE document's
+    * worth of selection probability, so the sample is
+    * duplication-debiased without dropping anything. The composition the
+    * two operators exist for: saved d8/d11 labels → [[softDedupWeights]]
+    * → the same one-shuffle sharded prefix-sum machinery, integer-exact
+    * end to end.
+    */
+  def ppsSoftDedup(docs: DataFrame, clusters: DataFrame): DataFrame =
+    ppsWeighted(softDedupWeights(docs, clusters)
+      .select(col("doc_id"), col("exp_tok_ppm").as("w")))
+
+  /** The p34 sampler body over an arbitrary (doc_id, w) weighting. */
+  private[operators] def ppsWeighted(base0: DataFrame): DataFrame = {
     val shard = (Portable.hash32(col("doc_id").cast("string")) % PpsShards).cast("int")
-    val base = docs.select(col("doc_id"), shard.as("shard"), col("n_chars").as("w"))
+    val base = base0.select(col("doc_id"), shard.as("shard"), col("w"))
     val wWin = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
     val intervals = base.withColumn("cum", sum(col("w")).over(wWin))
     // shard totals come from a PLAIN aggregate, not max(cum) over the
@@ -138,6 +155,48 @@ object Curation {
       .filter(col("n_picks") >= 1)
       .select(col("doc_id"), col("w"), col("n_picks"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[ppsSoftDedup]]: the p48 weight CTEs (recursive closure
+    * + floored ppm arithmetic) feeding the p34 systematic-draw CTEs.
+    */
+  val sqlPpsSoftDedup: String = {
+    val h = Portable.sqlHash32("doc_id::VARCHAR")
+    s"""WITH RECURSIVE p AS (${graft.operators.Dedup.sqlLshPairs}),
+       |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+       |r AS (SELECT a, b FROM e
+       |      UNION
+       |      SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |self AS (SELECT DISTINCT a, a AS b FROM e),
+       |clus AS (SELECT a AS doc_id, min(b) AS cluster
+       |  FROM (SELECT a, b FROM r UNION ALL SELECT a, b FROM self)
+       |  GROUP BY a),
+       |cs AS (SELECT cluster, count(*)::BIGINT AS csize FROM clus GROUP BY 1),
+       |wt AS (SELECT d.doc_id,
+       |    floor(len(${Portable.sqlTokens("d.text")})
+       |      * 1000000.0 / coalesce(cs.csize, 1))::BIGINT AS w
+       |  FROM documents d
+       |  LEFT JOIN clus ON clus.doc_id = d.doc_id
+       |  LEFT JOIN cs ON cs.cluster = clus.cluster),
+       |iv AS (SELECT doc_id,
+       |    ($h % $PpsShards)::INT AS shard, w,
+       |    sum(w) OVER (PARTITION BY ($h % $PpsShards)
+       |      ORDER BY doc_id) AS cum
+       |  FROM wt),
+       |st AS (SELECT shard, max(cum) AS tot FROM iv GROUP BY shard),
+       |ca AS (SELECT shard, coalesce(sum(tot) OVER (ORDER BY shard
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry FROM st),
+       |tt AS (SELECT sum(tot) AS total FROM st),
+       |tg AS (SELECT (count(*) // $PpsTargetDiv)::BIGINT AS target FROM wt)
+       |SELECT iv.doc_id, iv.w::BIGINT AS w,
+       |  ((ca.carry + iv.cum) // s.stride
+       |    - (ca.carry + iv.cum - iv.w) // s.stride)::INT AS n_picks
+       |FROM iv JOIN ca USING (shard),
+       |  (SELECT greatest(tt.total // greatest(tg.target, 1), 1) AS stride
+       |   FROM tt, tg) s
+       |WHERE (ca.carry + iv.cum) // s.stride
+       |    - (ca.carry + iv.cum - iv.w) // s.stride >= 1
+       |ORDER BY iv.doc_id""".stripMargin
   }
 
   val sqlPpsSample: String =

@@ -1024,6 +1024,80 @@ object EventWindows {
        |SELECT day, rank, item, n, delta FROM ranked
        |WHERE rank <= $TrendTopK ORDER BY day, rank""".stripMargin
 
+  // -------------------------------------- seasonal decomposition (w32)
+
+  /** STL-LITE SEASONAL DECOMPOSITION (w32): daily purchase revenue split
+    * into trend + day-of-week seasonal + remainder — trend is the
+    * centered 7-observation moving average (null at the edges where the
+    * frame is short), the seasonal index is the mean detrended value per
+    * ISO weekday, and the remainder is what anomaly review reads (w22's
+    * z-score gives per-event anomalies; this gives the series-level
+    * decomposition a weekly business cycle needs before any threshold
+    * is meaningful).
+    *
+    * Determinism: daily totals and every cross-row reduction accumulate
+    * in DECIMAL (exact, order-free); doubles appear only in per-row
+    * divisions and the final rounding, so no float sum ever crosses a
+    * partition boundary.
+    *
+    * Scale shape: one corpus-sized groupBy(day); everything after runs
+    * on the bounded daily table (corpus age in days), where the
+    * single-partition centered window is a window over dozens of rows.
+    */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("ts").isNotNull && col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("yd"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val tr = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("s7", sum(col("yd")).over(w7))
+      .withColumn("trend",
+        when(col("n7") === 7, col("s7").cast("double") / 7.0))
+      .withColumn("det",
+        round(col("yd").cast("double") - col("trend"), 6).cast("decimal(18,6)"))
+      .withColumn("dow", weekday(col("day")) + 1)
+    val seas = tr.filter(col("det").isNotNull)
+      .groupBy(col("dow"))
+      .agg((sum(col("det")).cast("double") / count(lit(1))).as("seasonal0"))
+    tr.join(broadcast(seas), Seq("dow"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("yd").cast("double").as("y"),
+        round(col("trend"), 4).as("trend"),
+        when(col("det").isNotNull, round(col("seasonal0"), 4)).as("seasonal"),
+        round(col("det").cast("double") - col("seasonal0"), 4).as("resid"))
+      .orderBy(col("day"))
+  }
+
+  /** Oracle for [[seasonalDecompose]]: identical decimal accumulation,
+    * 7-row centered frame, isodow seasonal means and rounding.
+    */
+  val sqlSeasonalDecompose: String =
+    """WITH daily AS (SELECT ts::DATE AS day,
+      |    sum(value::DECIMAL(18,2)) AS yd
+      |  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'
+      |  GROUP BY 1),
+      |tr AS (SELECT day, yd,
+      |    count(*) OVER w7 AS n7,
+      |    sum(yd) OVER w7 AS s7
+      |  FROM daily
+      |  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |dt AS (SELECT day, yd,
+      |    CASE WHEN n7 = 7 THEN s7::DOUBLE / 7.0 END AS trend,
+      |    round(yd::DOUBLE - (CASE WHEN n7 = 7 THEN s7::DOUBLE / 7.0 END),
+      |      6)::DECIMAL(18,6) AS det,
+      |    isodow(day) AS dow
+      |  FROM tr),
+      |se AS (SELECT dow, sum(det)::DOUBLE / count(*) AS seasonal0
+      |  FROM dt WHERE det IS NOT NULL GROUP BY 1)
+      |SELECT strftime(dt.day, '%Y-%m-%d') AS day, dt.yd::DOUBLE AS y,
+      |  round(dt.trend, 4) AS trend,
+      |  CASE WHEN dt.det IS NOT NULL THEN round(se.seasonal0, 4) END AS seasonal,
+      |  round(dt.det::DOUBLE - se.seasonal0, 4) AS resid
+      |FROM dt LEFT JOIN se ON se.dow = dt.dow
+      |ORDER BY day""".stripMargin
+
   // ------------------------------------------ Kaplan-Meier survival (w30)
 
   /** A purchase above this value is the "conversion" event w30 measures

@@ -233,46 +233,43 @@ object Graph {
       .select(split_part(col("pair"), lit(">"), lit(1)).as("s"),
         split_part(col("pair"), lit(">"), lit(2)).as("t"))
       .groupBy(col("s"), col("t")).agg(count(lit(1)).as("cnt"))
-    val tot = trans.groupBy(col("s")).agg(sum(col("cnt")).as("tot"))
-    val chans = trans.select(col("s").as("ch"))
-      .filter(col("ch") =!= "start").distinct()
-    val scens = chans.unionByName(
-      events.sparkSession.range(1).select(lit("_base").as("ch")))
-    val scTrans = trans.join(tot, "s").crossJoin(scens)
-      .filter(col("ch") === "_base" ||
-        (col("s") =!= col("ch") && col("t") =!= col("ch")))
-    val conv1 = scens.select(col("ch"), lit("conv").as("state"), lit(1.0).as("p"))
-    var p = conv1
-    for (_ <- 1 to MkIters) {
-      val step = scTrans
-        .join(p.select(col("ch"), col("state").as("t"), col("p")), Seq("ch", "t"))
-        .select(col("ch"), col("s"),
-          floor(col("cnt") * col("p") / col("tot") * lit(fp)).cast("long").as("fp"))
-        .groupBy(col("ch"), col("s")).agg(sum(col("fp")).as("fp"))
-        .select(col("ch"), col("s").as("state"), (col("fp") / lit(fp)).as("p"))
-        .filter(col("state") =!= "conv")
-      p = step.unionByName(conv1)
+    // the chain itself is BOUNDED BY CONSTRUCTION — (event-type alphabet
+    // + start/conv/drop)² rows — so the K rounds × scenarios run on the
+    // driver (the IRLS/c1 pattern: distributed work ends at the tiny
+    // aggregate, the oracle replays the identical IEEE sequence); the
+    // first distributed form of this spent 12 s building 60 joins of
+    // 30-row tables
+    val cnt = trans.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tot = cnt.groupBy(_._1).map { case (s, rows) => s -> rows.map(_._3).sum }
+    val chans = cnt.map(_._1).distinct.filter(_ != "start").sorted
+    def pconv(removed: Option[String]): Double = {
+      val kept = cnt.filter { case (s, t, _) =>
+        removed.forall(ch => s != ch && t != ch) }
+      var p = Map("conv" -> 1.0)
+      for (_ <- 1 to MkIters) {
+        val fps = kept.toSeq.flatMap { case (s, t, c) =>
+          p.get(t).map(pt =>
+            s -> math.floor(c * pt / tot(s) * fp).toLong)
+        }.groupBy(_._1).map { case (s, terms) => s -> terms.map(_._2).sum }
+        p = fps.map { case (s, v) => s -> v / fp } - "conv" + ("conv" -> 1.0)
+      }
+      p.getOrElse("start", 0.0)
     }
-    // a scenario whose chain never reaches start→conv has NO start row in
-    // p (nothing joined back to it) — that is pconv = 0, not a missing
-    // channel: left-join from the scenario list and coalesce
-    val pstart = scens.join(
-        p.filter(col("state") === "start").select(col("ch"), col("p")),
-        Seq("ch"), "left")
-      .select(col("ch"),
-        floor(coalesce(col("p"), lit(0.0)) * 1000000000).cast("long").as("pconv_ppb"))
-    val base = pstart.filter(col("ch") === "_base")
-      .select(col("pconv_ppb").as("pb"))
-    val rem = pstart.filter(col("ch") =!= "_base").crossJoin(broadcast(base))
-      .select(col("ch").as("channel"), col("pconv_ppb"),
-        floor((col("pb") - col("pconv_ppb")) * lit(1000000.0) / col("pb"))
-          .cast("long").as("removal_ppm"))
-    val totRem = rem.agg(sum(col("removal_ppm")).as("trm"))
-    rem.crossJoin(broadcast(totRem))
-      .select(col("channel"), col("pconv_ppb"), col("removal_ppm"),
-        when(col("trm") > 0,
-          floor(col("removal_ppm") * lit(1000000.0) / col("trm")).cast("long"))
-          .otherwise(lit(0L)).as("credit_ppm"))
+    val pb = math.floor(pconv(None) * 1000000000).toLong
+    val rows = chans.map { ch =>
+      val pr = math.floor(pconv(Some(ch)) * 1000000000).toLong
+      val removal = math.floor((pb - pr) * 1000000.0 / pb).toLong
+      (ch, pr, removal)
+    }
+    val trm = rows.map(_._3).sum
+    val out = rows.map { case (ch, pr, removal) =>
+      val credit =
+        if (trm > 0) math.floor(removal * 1000000.0 / trm).toLong else 0L
+      (ch, pr, removal, credit)
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("channel", "pconv_ppb", "removal_ppm", "credit_ppm")
       .orderBy(col("channel"))
   }
 

@@ -424,6 +424,69 @@ object Similarity {
     s"$parts\nORDER BY k"
   }
 
+  /** CENTROID SILHOUETTE (c11): per-cluster and overall quality score —
+    * s = (b − a) / max(a, b) with a = distance to the own centroid and
+    * b = distance to the nearest OTHER centroid. c7's elbow says how
+    * WCSS falls with k; the silhouette says whether the chosen k's cells
+    * are actually separated (≈1 tight and far apart, ≈0 touching, <0
+    * misassigned) — the clustering-quality row a retrain decision reads
+    * next to s15's drift. Centroid form, not pairwise: the classic
+    * all-pairs silhouette is quadratic per cell; against centroids it is
+    * one broadcast join per vector — the only form that scales.
+    *
+    * Determinism: squared distances are rounded at the aggregate (the
+    * kmeans convention), sqrt/divide are per-row IEEE, per-row s is
+    * rounded to a DECIMAL so the per-cell means are exact integer-scaled
+    * sums divided once — no float reduction crosses a partition.
+    */
+  def silhouette(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val (cent, assigned) = kmeansModel(emb, k, iters)
+    val dd = explodedDims(emb).join(broadcast(cent), "i")
+      .groupBy(col("vec_id"), col("c"))
+      .agg(round(sum((col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("dd"))
+    val wo = dd.join(assigned.select(col("vec_id"), col("c").as("own")), "vec_id")
+    val aSide = wo.filter(col("c") === col("own"))
+      .select(col("vec_id"), col("own"), sqrt(col("dd")).as("a"))
+    val bSide = wo.filter(col("c") =!= col("own"))
+      .groupBy(col("vec_id")).agg(sqrt(min(col("dd"))).as("b"))
+    val s = aSide.join(bSide, "vec_id")
+      .select(col("vec_id"), col("own"),
+        round(when(greatest(col("a"), col("b")) > 0,
+            (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)), 6).cast("decimal(18,6)").as("s"))
+    val per = s.groupBy(col("own").as("c"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 4).as("mean_sil"))
+    val overall = s.agg(count(lit(1)).as("n"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 4).as("mean_sil"))
+      .select(lit(-1).as("c"), col("n"), col("mean_sil"))
+    per.unionByName(overall).orderBy(col("c"))
+  }
+
+  /** Oracle for [[silhouette]]: the kmeans CTEs, all-centroid distances,
+    * nearest-other minimum and the decimal-mean arithmetic replayed.
+    */
+  def sqlSilhouette(k: Int, iters: Int): String = {
+    val (ctes, lastA, lastC) = sqlKmeansCtes(k, iters)
+    s"""WITH $ctes,
+       |dd AS (SELECT ex.vec_id, p.c,
+       |    round(sum((ex.x - p.cv) * (ex.x - p.cv)), 6) AS dd
+       |  FROM ex JOIN $lastC p USING (i) GROUP BY 1, 2),
+       |wo AS (SELECT dd.*, a.c AS own FROM dd JOIN $lastA a USING (vec_id)),
+       |aa AS (SELECT vec_id, own, sqrt(dd) AS a FROM wo WHERE c = own),
+       |bb AS (SELECT vec_id, sqrt(min(dd)) AS b FROM wo WHERE c != own GROUP BY 1),
+       |ss AS (SELECT aa.vec_id, aa.own,
+       |    round(CASE WHEN greatest(a, b) > 0
+       |      THEN (b - a) / greatest(a, b) ELSE 0.0 END, 6)::DECIMAL(18,6) AS s
+       |  FROM aa JOIN bb USING (vec_id)),
+       |per AS (SELECT own AS c, count(*)::BIGINT AS n,
+       |    round(sum(s)::DOUBLE / count(*), 4) AS mean_sil FROM ss GROUP BY 1)
+       |SELECT c, n, mean_sil FROM per
+       |UNION ALL
+       |SELECT -1, count(*)::BIGINT, round(sum(s)::DOUBLE / count(*), 4) FROM ss
+       |ORDER BY c""".stripMargin
+  }
+
   /** Assign vectors to their nearest centroid from an ALREADY-TRAINED
     * centroid table ([[kmeansModel]]'s first output or [[loadCentroids]]):
     * one corpus pass, no training rounds — how a saved coarse quantizer

@@ -206,6 +206,12 @@ object Pipeline {
     QueryDef.sql("d17_cluster_sizes", Dedup.sqlClusterSizeHistogram) { (s, dir) =>
       Dedup.clusterSizeHistogram(Dedup.loadClusters(s, clusterLabelDir(s, dir)))
     },
+    // p48's weights composed into p34's systematic draw: the
+    // duplication-debiased sample — one corpus shuffle, integer-exact
+    QueryDef.sql("p49_pps_soft_dedup", Curation.sqlPpsSoftDedup) { (s, dir) =>
+      Curation.ppsSoftDedup(Tables.documents(s, dir),
+        Dedup.loadClusters(s, clusterLabelDir(s, dir)))
+    },
     // SOFT dedup: 1/cluster-size sampling weights from the SAME saved
     // labels (SlimPajama-style downweighting instead of dropping) — the
     // dedup-aware size column p34's PPS draw takes; floored ppm integers
@@ -736,6 +742,12 @@ object Pipeline {
     QueryDef.sql("w26_day_churn", EventWindows.sqlDayChurn) { (s, dir) =>
       EventWindows.dayChurn(Tables.events(s, dir))
     },
+    // STL-lite decomposition of daily revenue: trend (7-obs centered MA)
+    // + ISO-weekday seasonal + remainder, decimal-exact reductions —
+    // one corpus groupBy, then day-bounded windows
+    QueryDef.sql("w32_seasonal", EventWindows.sqlSeasonalDecompose) { (s, dir) =>
+      EventWindows.seasonalDecompose(Tables.events(s, dir))
+    },
     // Markov removal-effect attribution: journeys as an absorbing chain,
     // K-step fixed-point absorption per removal scenario — what a channel
     // CAUSES vs w25's positional split; corpus touched once, rounds run
@@ -1106,6 +1118,12 @@ object Pipeline {
     // -------- deterministic distributed k-means (2 Lloyd iterations)
     QueryDef.sql("c2_kmeans", Similarity.sqlKmeans(4, 2)) { (s, dir) =>
       Similarity.kmeans(Tables.embeddings(s, dir), 4, 2)
+    },
+    // centroid silhouette: are the chosen k's cells SEPARATED (c7 says
+    // only how WCSS falls) — broadcast all-centroid distances per vector,
+    // decimal-exact per-cell means; the scalable (non-pairwise) form
+    QueryDef.sql("c11_silhouette", Similarity.sqlSilhouette(4, 2)) { (s, dir) =>
+      Similarity.silhouette(Tables.embeddings(s, dir), 4, 2)
     },
     // the elbow table: WCSS per candidate k — the tuning row every
     // cell-blocked operator's k is picked from

@@ -278,6 +278,33 @@ class EventWindowsSpec extends AnyFunSuite {
       ("2024-01-04", 1, 7, 2L, 2L)), s"${got.toSeq}")
   }
 
+  test("seasonal decomposition: a pure weekly pattern leaves zero residuals") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // one purchase per day for 14 days from Monday 2024-01-01, value
+    // 100 + 10*(isodow-1): the 7-obs MA is the constant 130, the
+    // seasonal index absorbs the rest, residuals must be exactly 0.
+    val rows = (0 until 14).map { i =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+      val dow = day.getDayOfWeek.getValue
+      (i.toLong, s"$day 12:00:00", 100.0 + 10.0 * (dow - 1))
+    }
+    val d = rows.toDF("event_id", "ts_s", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        lit(1L).as("user_id"), lit("purchase").as("event_type"),
+        col("value"), lit("").as("props"))
+    val got = EventWindows.seasonalDecompose(d).collect()
+    assert(got.length == 14)
+    val full = got.filter(!_.isNullAt(2)) // rows with a full 7-obs window
+    assert(full.length == 8, s"expected 8 full-window days, ${full.length}")
+    full.foreach { r =>
+      assert(r.getDouble(2) == 130.0, s"trend ${r.getString(0)}: ${r.getDouble(2)}")
+      assert(r.getDouble(4) == 0.0, s"resid ${r.getString(0)}: ${r.getDouble(4)}")
+    }
+    val monday = full.find(_.getString(0) == "2024-01-08").get
+    assert(monday.getDouble(3) == -30.0, s"monday seasonal: $monday")
+  }
+
   test("KM survival: censored users stay at risk until their span, never count as events") {
     val s = TestSpark.spark
     import s.implicits._

@@ -585,4 +585,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.keySet == Set(1L))
     assert(rows(1L) >= 8)
   }
+
+  test("silhouette: two tight well-separated blobs score near 1, per-cell and overall") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // vec 0 seeds cluster A (around 0), vec 1 seeds cluster B (around 10)
+    def near(c: Float, j: Int) = Array(c + 0.01f * j, c, c - 0.01f * j, c)
+    val pts = Seq(0L -> near(0f, 0), 1L -> near(10f, 0)) ++
+      (2 to 8).map(j => j.toLong -> near(0f, j)) ++
+      (9 to 15).map(j => j.toLong -> near(10f, j))
+    val emb = pts.toDF("vec_id", "embedding").withColumn("label", lit(0))
+    val got = Similarity.silhouette(emb, 2, 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(-1, 0, 1), s"${got.toSeq}")
+    assert(got.find(_._1 == -1).get._2 == 16L)
+    got.foreach { case (c, _, m) =>
+      assert(m > 0.9, s"cell $c mean silhouette $m should be near 1")
+    }
+  }
 }
