@@ -70,6 +70,19 @@ object Dedup {
     sh0.join(rare, "g")
   }
 
+  /** [[shingles]] with the identity reduced to an xxhash64 LONG BEFORE
+    * any exchange — the df-cap groupBy and every downstream join shuffle
+    * 8 bytes instead of a ~30-byte string (the d12 gram-key lesson).
+    * For consumers whose OUTPUT depends only on set intersections
+    * (d21/d22), a 2^-64 collision cannot visibly perturb the result.
+    */
+  private[graft] def hashedShingles(docs: DataFrame): DataFrame = {
+    val sh0 = rawShingles(docs).select(col("doc_id"), xxhash64(col("g")).as("g"))
+    val rare = sh0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDocFreq).select(col("g"))
+    sh0.join(rare, "g")
+  }
+
   /** The UN-capped per-doc shingle stream — exposed so t18/p21 (which
     * need hot shingles: they ARE the signal there) and the ScaleOpsSpec
     * pair-volume proof can read the pre-filter stream; every candidate-
@@ -161,15 +174,26 @@ object Dedup {
     */
   def ppJoinPairs(docs: DataFrame): DataFrame = {
     val tau = JaccardThreshold
-    val sh = shingles(docs)
-    val rank = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .withColumn("r", row_number().over(Window.orderBy(col("df"), col("g"))))
-      .select(col("g"), col("r"))
-    val ranked = sh.join(rank, "g")
+    // two plan-level costs dominate this operator, both fixed here:
+    //  - shingle identity shuffles as an xxhash64 LONG, not a ~30-byte
+    //    string (the d12 gram-key lesson; output depends only on set
+    //    intersections, which a 2^-64 collision cannot visibly perturb);
+    //  - the shingle table feeds FOUR downstream exchanges (df, prefix,
+    //    both verify sides) — without materialization the corpus-sized
+    //    explode+distinct re-runs per consumer, so it is localCheckpointed
+    //    once (the kmeansModel precedent; at cluster scale this is the
+    //    persist-the-inverted-index step every PPJoin implementation has)
+    val sh = hashedShingles(docs).localCheckpoint(true)
+    // rarest-first needs only a TOTAL ORDER on shingles, not a global
+    // rank: ordering the per-doc window by (df, g) directly is the same
+    // prefix bound without pushing the whole df-capped vocabulary
+    // through one rank partition
+    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "g")
     val cnt = ranked.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
     val prefix = ranked.join(cnt, "doc_id")
       .withColumn("pos", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("r"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
       .filter(col("pos") <= col("m") - ceil(lit(tau) * col("m")) + 1)
       .select(col("doc_id"), col("g"))
     val cand = prefix.as("a").join(prefix.as("b"),
@@ -215,15 +239,16 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame): DataFrame = {
     val tau = ContainThreshold
-    val sh = shingles(docs)
-    val rank = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .withColumn("r", row_number().over(Window.orderBy(col("df"), col("g"))))
-      .select(col("g"), col("r"))
-    val ranked = sh.join(rank, "g")
+    // same cost structure as [[ppJoinPairs]]: hashed shingle keys, one
+    // materialization for the four consumers, per-doc (df, g) ordering
+    // instead of a global vocabulary rank
+    val sh = hashedShingles(docs).localCheckpoint(true)
+    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "g")
     val cnt = ranked.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
     val prefix = ranked.join(cnt, "doc_id")
       .withColumn("pos", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("r"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
       .filter(col("pos") <= col("m") - ceil(lit(tau) * col("m")) + 1)
       .select(col("doc_id"), col("g"))
     val cand = prefix.as("a").join(sh.as("b"),
