@@ -208,23 +208,33 @@ object Graph {
     * K rounds × (channels + 1) scenarios are joins over tiny bounded
     * tables, never the corpus.
     */
-  def markovAttribution(events: DataFrame): DataFrame = {
-    val fp = PrFp
+  /** Per (user, day) journey: the day's event types in time order,
+    * truncated at the first purchase, plus the conversion flag — the
+    * shared construction of [[markovAttribution]] and [[topPaths]].
+    */
+  private def journeys(events: DataFrame): DataFrame = {
     val ev = events.filter(col("ts").isNotNull)
       .select(col("user_id"), to_date(col("ts")).as("day"),
         unix_micros(col("ts")).as("e"), col("event_id"), col("event_type"))
     val w = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("e"), col("event_id"))
     val idxd = ev.withColumn("idx", row_number().over(w))
-    val grouped = idxd.groupBy(col("user_id"), col("day"))
+    idxd.groupBy(col("user_id"), col("day"))
       .agg(array_sort(collect_list(struct(col("idx"), col("event_type")))).as("all"),
         min(when(col("event_type") === "purchase", col("idx"))).as("pidx"))
-    val states = grouped.select(concat(
-        array(lit("start")),
+      .select(
         transform(filter(col("all"),
           x => col("pidx").isNull || x("idx") < col("pidx")),
-          x => x("event_type")),
-        array(when(col("pidx").isNotNull, lit("conv")).otherwise(lit("drop"))))
+          x => x("event_type")).as("seq"),
+        col("pidx").isNotNull.as("conv"))
+  }
+
+  def markovAttribution(events: DataFrame): DataFrame = {
+    val fp = PrFp
+    val states = journeys(events).select(concat(
+        array(lit("start")),
+        col("seq"),
+        array(when(col("conv"), lit("conv")).otherwise(lit("drop"))))
       .as("stt"))
     val trans = states
       .select(explode(transform(sequence(lit(1), size(col("stt")) - 1),
@@ -272,6 +282,61 @@ object Graph {
     out.toSeq.toDF("channel", "pconv_ppb", "removal_ppm", "credit_ppm")
       .orderBy(col("channel"))
   }
+
+  /** Paths reported by [[topPaths]]. */
+  val PathTopK = 20
+
+  /** TOP CONVERSION PATHS (q37): the journey table [[markovAttribution]]
+    * models, reported raw — each distinct pre-purchase event-type path
+    * with its traffic, conversions and conversion rate, top
+    * [[PathTopK]] by traffic. The path-level view w31's chain
+    * abstraction aggregates away: WHICH exact sequences convert.
+    *
+    * Scale shape: the one corpus window + per-journey aggregate shared
+    * with w31, then a groupBy on the bounded path-string domain and a
+    * TakeOrdered top-K.
+    */
+  def topPaths(events: DataFrame): DataFrame = {
+    val per = journeys(events)
+      .select(concat_ws(">", col("seq")).as("path"), col("conv"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("conv"), 1L).otherwise(0L)).as("n_conv"))
+      .withColumn("cvr_ppm", expr("n_conv * 1000000 div n"))
+    val top = per.orderBy(col("n").desc, col("path")).limit(PathTopK)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("n").desc, col("path"))))
+      .select(col("rnk"), col("path"), col("n"), col("n_conv"), col("cvr_ppm"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Oracle for [[topPaths]]: the w31 journey CTEs, string-joined paths,
+    * integer conversion rate and the same top-K tie-breaks.
+    */
+  val sqlTopPaths: String =
+    s"""WITH ev AS (SELECT user_id, ts::DATE AS day, epoch_us(ts) AS e,
+       |    event_id, event_type
+       |  FROM events WHERE ts IS NOT NULL),
+       |idxd AS (SELECT *, row_number() OVER (PARTITION BY user_id, day
+       |    ORDER BY e, event_id) AS idx FROM ev),
+       |days AS (SELECT user_id, day,
+       |    min(CASE WHEN event_type = 'purchase' THEN idx END) AS pidx
+       |  FROM idxd GROUP BY 1, 2),
+       |seqs AS (SELECT i.user_id, i.day,
+       |    list(i.event_type ORDER BY i.idx) AS sq
+       |  FROM idxd i JOIN days dd ON i.user_id = dd.user_id AND i.day = dd.day
+       |  WHERE dd.pidx IS NULL OR i.idx < dd.pidx GROUP BY 1, 2),
+       |jt AS (SELECT coalesce(array_to_string(s.sq, '>'), '') AS path,
+       |    d.pidx IS NOT NULL AS conv
+       |  FROM days d LEFT JOIN seqs s ON s.user_id = d.user_id AND s.day = d.day),
+       |per AS (SELECT path, count(*)::BIGINT AS n,
+       |    sum(CASE WHEN conv THEN 1 ELSE 0 END)::BIGINT AS n_conv
+       |  FROM jt GROUP BY 1)
+       |SELECT rnk, path, n, n_conv, cvr_ppm FROM (
+       |  SELECT path, n, n_conv, (n_conv * 1000000) // n AS cvr_ppm,
+       |    row_number() OVER (ORDER BY n DESC, path) AS rnk
+       |  FROM per) WHERE rnk <= $PathTopK
+       |ORDER BY rnk""".stripMargin
 
   /** Oracle for [[markovAttribution]]: same journey construction, same
     * K unrolled fixed-point rounds per scenario, same integer credit

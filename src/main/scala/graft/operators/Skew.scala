@@ -50,4 +50,56 @@ object Skew {
       explode(array((0 until salt).map(lit(_)): _*)))
     f.join(d, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Reducer count the [[skewReport]] salt recommendation assumes. */
+  val SkewPartitions = 32
+
+  /** JOIN-KEY SKEW ADVISOR (q36): the diagnosis q21/q22 are the cure
+    * for. For each candidate shuffle key, one pass computes the key
+    * histogram's shape — total rows, distinct keys, the hottest key and
+    * its row count, the skew factor (max/avg, integer ×1000) and the
+    * recommended salt: how many of [[SkewPartitions]] reducers the hot
+    * key needs, ⌈max·P/n⌉ (1 = no salting needed). Integer-exact, so the
+    * advisor row itself is oracle-gated.
+    *
+    * Scale shape: ONE scan of the fact table (the candidate keys explode
+    * per row into (key_col, value) pairs), one partial-aggregated shuffle
+    * keyed by (key_col, value), then per-key-column aggregates over the
+    * bounded histogram. The hot key resolves via max(struct(c, -kv)) —
+    * no second scan, min key id on ties.
+    */
+  def skewReport(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val pairs = df.select(explode(array(keys.map(k =>
+        struct(lit(k).as("kc"), col(k).cast("long").as("kv"))): _*)).as("p"))
+      .select(col("p.kc").as("key_col"), col("p.kv").as("kv"))
+    val hist = pairs.groupBy(col("key_col"), col("kv"))
+      .agg(count(lit(1)).as("c"))
+    hist.groupBy(col("key_col"))
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(struct(col("c"), (-col("kv")).as("nk"))).as("mx"))
+      .select(col("key_col"), col("n_rows"), col("n_keys"),
+        col("mx.c").as("max_rows"), (-col("mx.nk")).as("hot_key"))
+      .select(col("key_col"), col("n_rows"), col("n_keys"), col("max_rows"),
+        col("hot_key"),
+        expr("max_rows * 1000 * n_keys div n_rows").as("skew_x1000"),
+        expr(s"(max_rows * $SkewPartitions + n_rows - 1) div n_rows")
+          .as("rec_salt"))
+      .orderBy(col("key_col"))
+  }
+
+  /** Oracle for [[skewReport]] over lineitem's three join keys. */
+  val sqlSkewReport: String = {
+    def part(k: String): String =
+      s"""(WITH p AS (SELECT $k AS kv, count(*)::BIGINT AS c
+         |    FROM lineitem GROUP BY 1),
+         |  s AS (SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+         |      max(c)::BIGINT AS max_rows FROM p),
+         |  h AS (SELECT min(kv)::BIGINT AS hot_key FROM p, s WHERE p.c = s.max_rows)
+         |  SELECT '$k' AS key_col, n_rows, n_keys, max_rows, hot_key,
+         |    (max_rows * 1000 * n_keys) // n_rows AS skew_x1000,
+         |    (max_rows * $SkewPartitions + n_rows - 1) // n_rows AS rec_salt
+         |  FROM s, h)""".stripMargin
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(part)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+  }
 }

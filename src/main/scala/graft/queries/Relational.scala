@@ -727,6 +727,20 @@ object Relational {
       graft.operators.Sketches.kmvSetOps(Tables.events(s, dir))
     },
 
+    // JOIN-KEY SKEW ADVISOR (q36): the diagnosis q21/q22 are the cure
+    // for — one exploded scan, histogram shape per candidate key, hot
+    // key via max(struct), integer salt recommendation
+    QueryDef.sql("q36_skew_report", graft.operators.Skew.sqlSkewReport) { (s, dir) =>
+      graft.operators.Skew.skewReport(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    },
+
+    // TOP CONVERSION PATHS (q37): the raw path-level view w31's chain
+    // aggregates away — shared journey construction, bounded path domain
+    QueryDef.sql("q37_top_paths", graft.operators.Graph.sqlTopPaths) { (s, dir) =>
+      graft.operators.Graph.topPaths(Tables.events(s, dir))
+    },
+
     // Z-ORDER LAYOUT AUDIT (q35): how much min/max file pruning each
     // layout buys per probe column — quadtree-cell file ids are pure
     // per-row bit arithmetic after one broadcast scalar row (no global
