@@ -967,6 +967,51 @@ object Similarity {
     rerankAdcTopK(adist, emb, nQueries, k)
   }
 
+  /** SERVING-MODE search (s19's batch kernel): [[ivfPqSearch]] for
+    * EXTERNAL queries — the query vectors arrive separately from the
+    * indexed corpus (a request stream, not a self-join), so there is no
+    * self-exclusion by id: query ids live in their own id space and
+    * every indexed vector is a legal neighbor. Same probes → LUT → ADC →
+    * exact-rerank arithmetic; `corpus` supplies the exact vectors the
+    * rerank scores (the artifact convention: codes serve the candidates,
+    * the corpus table serves the final distances).
+    */
+  def ivfPqServe(queries: DataFrame, corpus: DataFrame, idx: IvfPqIndex,
+                 sub: Int, k: Int): DataFrame = {
+    val IvfPqIndex(coarse, _, pqCent, codes) = idx
+    val qex = explodedBlocks(queries, sub)
+      .select(col("vec_id").as("qid"), col("i"), col("m"), col("x").as("qx"))
+    val qdist = qex.join(broadcast(coarse), "i")
+      .groupBy(col("qid"), col("c"))
+      .agg(round(sum((col("qx") - col("cv")) * (col("qx") - col("cv"))), 6).as("d"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("d"), col("c"))
+    val probes = qdist.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= IvfPqProbes).select(col("qid"), col("c").as("cell"))
+    val lut = qex.join(broadcast(probes), "qid")
+      .join(broadcast(coarse.select(col("c").as("cell"), col("i"), col("cv"))),
+        Seq("cell", "i"))
+      .select(col("qid"), col("cell"), col("i"), col("m"),
+        (col("qx") - col("cv")).as("qr"))
+      .join(broadcast(pqCent.select(col("c"), col("i"), col("cv").as("pcv"))), "i")
+      .groupBy(col("qid"), col("cell"), col("m"), col("c"))
+      .agg(round(sum((col("qr") - col("pcv")) * (col("qr") - col("pcv"))), 6).as("dq"))
+    val adist = codes.join(broadcast(lut), Seq("cell", "m", "c"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("dq")), 6).as("adist"))
+    val wCand = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    val cands = adist.withColumn("cr", row_number().over(wCand))
+      .filter(col("cr") <= PqRerank * k).select(col("qid"), col("vec_id"))
+    val u = unitVecs(corpus)
+    val qv = unitVecs(queries).select(col("vec_id").as("qid2"), col("v").as("qv"))
+    val sims = cands.join(u, "vec_id").join(broadcast(qv), col("qid") === col("qid2"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Persist a trained IVF-PQ index under `dir`: the two quantizers
     * (coarse centroids, PQ codebooks — dimension-sized, single file) and
     * the two corpus-scaling tables (cell assignment, codes — parallel

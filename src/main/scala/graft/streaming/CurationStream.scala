@@ -830,4 +830,31 @@ object CurationStream {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(firstSeen(dedupHorizonMs))
       .toDF()
   }
+
+  // ------------------------------------------ streaming ANN serving (s19)
+
+  /** STREAMING ANN SERVING: the saved IVF-PQ index's online leg — a
+    * request stream of query vectors answered micro-batch by micro-batch
+    * with [[graft.operators.Similarity.ivfPqServe]], the s9 arithmetic
+    * against the static artifact tables (codes for candidates, the
+    * corpus table for the exact rerank). Stateless by construction:
+    * every micro-batch is an independent batch of lookups, so results
+    * are identical however the request stream is chopped, and a replayed
+    * batch re-emits identical rows (at-least-once sink semantics, like
+    * every foreachBatch sink here).
+    *
+    * This closes the index lifecycle: build (s8) → save (s9) → daily
+    * shard encode (s11) → filter/delete (s12/s13) → repair (s16) →
+    * SERVE, online.
+    */
+  def annServe(queries: DataFrame, corpus: DataFrame,
+               idx: graft.operators.Similarity.IvfPqIndex, sub: Int, k: Int)
+              (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          onBatch(graft.operators.Similarity.ivfPqServe(b, corpus, idx, sub, k))
+        ()
+      }
 }
