@@ -379,6 +379,14 @@ object Pipeline {
     QueryDef.sql("t39_collocations", TextOps.sqlCollocations) { (s, dir) =>
       TextOps.collocations(Tables.documents(s, dir))
     },
+    // UNIGRAM-LM TOKENIZER (hard-EM Viterbi, Kudo 2018 variant): the
+    // top-down tokenizer next to BPE's bottom-up merges — integer
+    // fixed-point scores make the DP exactly replayable; all per-word
+    // work is a fold, the vocabulary rides as one bounded map column
+    QueryDef.sql("t43_unigram_vocab",
+      graft.operators.Unigram.sqlUnigramVocab) { (s, dir) =>
+      graft.operators.Unigram.unigramVocab(Tables.documents(s, dir))
+    },
     // TextRank keywords: t39's bigram stream as an undirected graph,
     // q32's damped fixed-point PageRank rounds over it — centrality-based
     // keywords next to t5's TF-IDF and t36's RAKE

