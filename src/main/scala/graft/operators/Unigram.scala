@@ -93,7 +93,16 @@ object Unigram {
     * The DP and backwalk are two folds per row; `scores` rides along as
     * a single bounded map column.
     */
-  private def eStep(wrds: DataFrame, scores: DataFrame): DataFrame = {
+  private def eStep(wrds: DataFrame, scores: DataFrame): DataFrame =
+    segmented(wrds, scores)
+      .select(col("c"), explode(col("ps")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("c")).as("cnt"))
+
+  /** Viterbi segmentation of every distinct word: (w, c, ps) with `ps`
+    * the maximum-likelihood piece sequence (reverse order — counts and
+    * sizes don't care).
+    */
+  private def segmented(wrds: DataFrame, scores: DataFrame): DataFrame = {
     val smapRow = scores
       .agg(map_from_entries(collect_list(struct(col("piece"), col("score"))))
         .as("smap"))
@@ -133,8 +142,56 @@ object Unigram {
               array(col("w").substr(j + 1, pos - j))).as("acc")))
             .otherwise(st)
         })("acc"))
-    walked.select(col("c"), explode(col("ps")).as("piece"))
-      .groupBy(col("piece")).agg(sum(col("c")).as("cnt"))
+    walked.select(col("w"), col("c"), col("ps"))
+  }
+
+  /** The post-EM model: piece scores after [[UniRounds]] rounds — the
+    * saveable tokenizer (piece, score BIGINT fixed-point ln-prob).
+    */
+  private def trainScores(docs: DataFrame): DataFrame = {
+    val wrds = words(docs).localCheckpoint(true)
+    var counts = cnt0(wrds).localCheckpoint(true)
+    val alpha = counts.filter(length(col("piece")) === 1).select(col("piece"))
+    for (_ <- 1 to UniRounds)
+      counts = eStep(wrds, scored(counts, alpha)).localCheckpoint(true)
+    scored(counts, alpha)
+  }
+
+  /** Train the unigram tokenizer and persist it — the t14/t21 artifact
+    * convention: the model (a few hundred LONG-scored pieces) ships to
+    * wherever text needs tokenizing; scores are integers, so the
+    * round trip is bit-exact by construction.
+    */
+  def trainAndSaveUnigram(docs: DataFrame, dir: String): DataFrame = {
+    val m = trainScores(docs)
+    graft.sources.ModelStore.save(m, dir)
+    m
+  }
+
+  def loadUnigram(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.sources.ModelStore.load(spark, dir)
+
+  /** TOKENIZER FERTILITY under a TRAINED unigram model (t44, the t17
+    * twin): per document, words / pieces / integer pieces-per-word —
+    * the compression metric tokenizer choices are graded by, computed
+    * on text the model never saw (train on the first 4/5, score all).
+    * One corpus pass to (doc, word) pairs; the DP fold runs once per
+    * DISTINCT word and joins back — the BPE apply shape.
+    */
+  def unigramFertility(docs: DataFrame, model: DataFrame): DataFrame = {
+    val dw = docs
+      .select(col("doc_id"), explode(graft.functions.Portable.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), substring(col("t"), 1, MaxWordLen).as("w"))
+      .filter(length(col("w")) > 0)
+    val wrds = dw.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val wp = segmented(wrds, model)
+      .select(col("w"), size(col("ps")).cast("long").as("np"))
+    dw.join(wp, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        expr("n_pieces * 1000000 div n_words").as("ppw_ppm"))
+      .orderBy(col("doc_id"))
   }
 
   def unigramVocab(docs: DataFrame): DataFrame = {
@@ -159,9 +216,9 @@ object Unigram {
   // ----------------------------------------------------------- oracle side
 
   /** Piece-count CTE from substring occurrences; exposes `<tag>cnt`. */
-  private def sqlCnt0(tag: String): String =
+  private def sqlCnt0(tag: String, wt: String = "wrds"): String =
     s"""${tag}cnt AS MATERIALIZED (SELECT substr(w, i, l) AS piece, sum(c)::BIGINT AS cnt
-       |  FROM wrds,
+       |  FROM $wt,
        |    LATERAL unnest(range(1, len(w) + 1)) t1(i),
        |    LATERAL unnest(range(1, least($MaxPieceLen, len(w) - i + 1) + 1)) t2(l)
        |  GROUP BY 1)""".stripMargin
@@ -187,10 +244,10 @@ object Unigram {
     * argmax via QUALIFY with the same (sc, j) tie-break), one choice
     * table, then an unrolled backwalk emitting one piece per hop.
     */
-  private def sqlEStep(tag: String, sc: String): String = {
+  private def sqlEStep(tag: String, sc: String, wt: String = "wrds"): String = {
     val dps = (1 to MaxWordLen).map { i =>
       val js = (math.max(0, i - MaxPieceLen) until i).map { j =>
-        val prev = if (j == 0) s"(SELECT w, 0::BIGINT AS sc FROM wrds)"
+        val prev = if (j == 0) s"(SELECT w, 0::BIGINT AS sc FROM $wt)"
         else s"${tag}dp$j"
         s"""SELECT d.w, d.sc + s.score AS sc, $j AS j
            |    FROM $prev d JOIN ${sc} s
@@ -207,7 +264,7 @@ object Unigram {
       .map(i => s"SELECT w, $i AS i, j FROM ${tag}dp$i")
       .mkString("\n  UNION ALL\n  ")
     val bws = (1 to MaxWordLen).map { k =>
-      val prev = if (k == 1) s"(SELECT w, len(w)::INT AS pos FROM wrds)"
+      val prev = if (k == 1) s"(SELECT w, len(w)::INT AS pos FROM $wt)"
       else s"(SELECT w, pos FROM ${tag}bw${k - 1})"
       s"""${tag}bw$k AS MATERIALIZED (
          |  SELECT b.w, d.j AS pos, substr(b.w, d.j + 1, b.pos - d.j) AS piece
@@ -220,10 +277,13 @@ object Unigram {
        |${tag}ch AS MATERIALIZED (
        |  $choices),
        |$bws,
+       |${tag}wp AS MATERIALIZED (SELECT w, count(*)::BIGINT AS np FROM (
+       |  $allPieces
+       |  ) GROUP BY 1),
        |${tag}out AS MATERIALIZED (SELECT p.piece, sum(wr.c)::BIGINT AS cnt
        |  FROM (
        |  $allPieces
-       |  ) p JOIN wrds wr ON wr.w = p.w
+       |  ) p JOIN $wt wr ON wr.w = p.w
        |  GROUP BY 1)""".stripMargin
   }
 
@@ -249,5 +309,37 @@ object Unigram {
        |    row_number() OVER (ORDER BY cnt DESC, piece) AS rnk
        |  FROM $last, ftot)
        |WHERE rnk <= $TopOut ORDER BY rnk""".stripMargin
+  }
+
+  /** Oracle for [[unigramFertility]] over a model trained on the first
+    * 4/5 of the corpus: replays the training rounds on the slice, the
+    * final scoring, then one apply E-step over the FULL corpus's words.
+    */
+  def sqlUnigramFertility: String = {
+    val toks = graft.functions.Portable.sqlTokens("text")
+    val rounds = (1 to UniRounds).map { r =>
+      val in = if (r == 1) "r0cnt" else s"r${r - 1}out"
+      s"${sqlScored(s"r$r", in)},\n${sqlEStep(s"r$r", s"r${r}sc", "trwrds")}"
+    }.mkString(",\n")
+    s"""WITH cn AS (SELECT (count(*) * 4) // 5 AS cnt FROM documents),
+       |trtoks AS (SELECT unnest($toks) AS t FROM documents d, cn
+       |  WHERE d.doc_id < cn.cnt),
+       |trwrds AS MATERIALIZED (SELECT substr(t, 1, $MaxWordLen) AS w,
+       |    count(*)::BIGINT AS c
+       |  FROM trtoks WHERE length(substr(t, 1, $MaxWordLen)) > 0 GROUP BY 1),
+       |${sqlCnt0("r0", "trwrds")},
+       |alpha AS (SELECT piece FROM r0cnt WHERE length(piece) = 1),
+       |$rounds,
+       |${sqlScored("f", s"r${UniRounds}out")},
+       |dw AS MATERIALIZED (SELECT doc_id, substr(t, 1, $MaxWordLen) AS w FROM
+       |  (SELECT doc_id, unnest($toks) AS t FROM documents)
+       |  WHERE length(substr(t, 1, $MaxWordLen)) > 0),
+       |wrds AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c FROM dw GROUP BY 1),
+       |${sqlEStep("ap", "fsc", "wrds")}
+       |SELECT d.doc_id, count(*)::BIGINT AS n_words,
+       |  sum(wp.np)::BIGINT AS n_pieces,
+       |  ((sum(wp.np) * 1000000) // count(*))::BIGINT AS ppw_ppm
+       |FROM dw d JOIN apwp wp ON wp.w = d.w
+       |GROUP BY 1 ORDER BY d.doc_id""".stripMargin
   }
 }

@@ -387,6 +387,19 @@ object Pipeline {
       graft.operators.Unigram.sqlUnigramVocab) { (s, dir) =>
       graft.operators.Unigram.unigramVocab(Tables.documents(s, dir))
     },
+    // unigram tokenizer fertility from the SAVED model (t14/t17's twin
+    // for the unigram family): train on the first 4/5, persist, tokenize
+    // everything — the compression metric tokenizers are graded by
+    QueryDef.sql("t44_unigram_fertility",
+      graft.operators.Unigram.sqlUnigramFertility) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cut = docs.count() * 4 / 5
+      val mDir = artifactDir("unigram", dir)(tmp =>
+        graft.operators.Unigram.trainAndSaveUnigram(
+          docs.filter(col("doc_id") < cut), tmp))
+      graft.operators.Unigram.unigramFertility(docs,
+        graft.operators.Unigram.loadUnigram(s, mDir))
+    },
     // TextRank keywords: t39's bigram stream as an undirected graph,
     // q32's damped fixed-point PageRank rounds over it — centrality-based
     // keywords next to t5's TF-IDF and t36's RAKE

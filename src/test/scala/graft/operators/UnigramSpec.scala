@@ -25,6 +25,21 @@ class UnigramSpec extends AnyFunSuite {
       (2, "cd", 10L, 166666666L)), s"${got.toSeq}")
   }
 
+  test("saved model round trip: fertility from the loaded model equals from the trained one") {
+    val s = TestSpark.spark
+    val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-unigram").toString
+    val trained = Unigram.trainAndSaveUnigram(docs, dir)
+    val a = Unigram.unigramFertility(docs, trained).collect()
+    val b = Unigram.unigramFertility(docs, Unigram.loadUnigram(s, dir)).collect()
+    assert(a.sameElements(b), "integer scores must round-trip bit-exact")
+    // every word yields at least one piece and at most len pieces
+    a.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"pieces >= words: $r")
+      assert(r.getLong(3) >= 1000000L, s"ppw >= 1: $r")
+    }
+  }
+
   test("segmentations tile each word exactly: piece chars sum to corpus word chars") {
     val s = TestSpark.spark
     import org.apache.spark.sql.functions._
