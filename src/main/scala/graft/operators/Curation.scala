@@ -1069,6 +1069,55 @@ object Curation {
        |ORDER BY stage""".stripMargin
   }
 
+  // --------------------------------- apportioned eval carve-out (p52)
+
+  /** Eval-set size apportioned by [[evalQuotas]]. */
+  val EvalSetK = 100
+
+  /** LARGEST-REMAINDER APPORTIONMENT (p52, Hamilton's method): how many
+    * of a fixed [[EvalSetK]]-document eval set each source contributes —
+    * exactly proportional in integers. Bernoulli splits (p2) have
+    * per-source size variance and floor-only quotas under-fill; this is
+    * the deterministic fix: base = ⌊n·K/N⌋ per source, then the K − Σbase
+    * leftover seats go to the largest remainders (ties by source name).
+    * Σ quota = K exactly, every time, on any data.
+    *
+    * Scale shape: one partial-aggregated pass to per-source counts; the
+    * ranking window runs over the source domain (dozens of rows).
+    */
+  def evalQuotas(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum(col("n_docs")).as("n"))
+    val based = per.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"n_docs * $EvalSetK div n"))
+      .withColumn("rem", expr(s"n_docs * $EvalSetK % n"))
+    val left = based.agg((lit(EvalSetK) - sum(col("base"))).as("leftover"))
+    val w = Window.orderBy(col("rem").desc, col("source"))
+    based.crossJoin(broadcast(left))
+      .withColumn("rr", row_number().over(w))
+      .select(col("source"), col("n_docs"),
+        (col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle for [[evalQuotas]]: same integer base/remainder arithmetic
+    * and (remainder, source) seat ranking.
+    */
+  val sqlEvalQuotas: String =
+    s"""WITH per AS (SELECT source, count(*)::BIGINT AS n_docs
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(n_docs)::BIGINT AS n FROM per),
+       |based AS (SELECT source, n_docs,
+       |    (n_docs * $EvalSetK) // n AS base,
+       |    (n_docs * $EvalSetK) % n AS rem
+       |  FROM per, tot),
+       |lft AS (SELECT ($EvalSetK - sum(base))::BIGINT AS leftover FROM based)
+       |SELECT source, n_docs,
+       |  (base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+       |    <= lft.leftover THEN 1 ELSE 0 END)::BIGINT AS quota
+       |FROM based, lft ORDER BY source""".stripMargin
+
   // ------------------------------------------ soft-dedup weights (p48)
 
   /** Soft deduplication (p48): instead of DROPPING near-duplicates, give

@@ -267,6 +267,86 @@ object Dedup {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** CLUSTER COHERENCE AUDIT (d23): transitive closure can chain A–B–C
+    * where A and C share almost nothing — this measures how much. For
+    * every multi-member cluster in the SAVED labels, the exact Jaccard
+    * of every member pair (quadratic per cluster, bounded by the d17
+    * histogram's cluster sizes — the declared exact piece), reporting
+    * per cluster the pair count, the WORST pair and the fraction of
+    * pairs at or above the pairing threshold, plus the corpus row
+    * (cluster −1). A low frac_ge_tau says the banding is over-merging
+    * and d18's tuning table is the fix.
+    */
+  def clusterCoherence(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val tau = JaccardThreshold
+    val sh = hashedShingles(docs).localCheckpoint(true)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+    val pairs = clusters.as("a").join(clusters.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.cluster").as("cluster"),
+        col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("ia"), col("g")), "ia")
+      .join(sh.select(col("doc_id").as("ib"), col("g")), Seq("ib", "g"))
+      .groupBy(col("cluster"), col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
+    val jac = pairs.join(inter, Seq("cluster", "ia", "ib"), "left")
+      .join(cnt.select(col("doc_id").as("ia"), col("m").as("na")), "ia")
+      .join(cnt.select(col("doc_id").as("ib"), col("m").as("nb")), "ib")
+      .select(col("cluster"),
+        round(coalesce(col("inter"), lit(0L)) * lit(1.0)
+          / (col("na") + col("nb") - coalesce(col("inter"), lit(0L))), 4)
+          .cast("decimal(18,4)").as("jac"))
+    def shape(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = g
+      .agg(count(lit(1)).as("n_pairs"), min(col("jac")).cast("double").as("min_jac"),
+        round(sum(when(col("jac") >= tau, 1L).otherwise(0L)) * lit(1.0)
+          / count(lit(1)), 4).as("frac_ge_tau"))
+    shape(jac.groupBy(col("cluster")))
+      .unionByName(shape(jac.groupBy(lit(-1L).as("cluster"))))
+      .orderBy(col("cluster"))
+  }
+
+  /** Oracle for [[clusterCoherence]]: the d8 recursive closure, the
+    * brute-force per-pair intersection and the same rounded fractions.
+    */
+  def sqlClusterCoherence: String =
+    s"""WITH RECURSIVE p AS ($sqlLshPairs),
+       |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+       |r AS (SELECT a, b FROM e
+       |      UNION
+       |      SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |self AS (SELECT DISTINCT a, a AS b FROM e),
+       |clus AS (SELECT a AS doc_id, min(b) AS cluster
+       |  FROM (SELECT a, b FROM r UNION ALL SELECT a, b FROM self)
+       |  GROUP BY a),
+       |$sqlShingleCtes,
+       |cnt AS (SELECT doc_id, count(*) AS m FROM sh GROUP BY 1),
+       |prs AS (SELECT a.cluster, a.doc_id AS ia, b.doc_id AS ib
+       |  FROM clus a JOIN clus b
+       |    ON a.cluster = b.cluster AND a.doc_id < b.doc_id),
+       |iv AS (SELECT prs.cluster, prs.ia, prs.ib, count(*)::BIGINT AS inter
+       |  FROM prs JOIN sh sa ON sa.doc_id = prs.ia
+       |  JOIN sh sb ON sb.doc_id = prs.ib AND sb.g = sa.g
+       |  GROUP BY 1, 2, 3),
+       |jac AS (SELECT prs.cluster,
+       |    round(coalesce(iv.inter, 0) * 1.0
+       |      / (ca.m + cb.m - coalesce(iv.inter, 0)), 4)::DECIMAL(18,4) AS jac
+       |  FROM prs
+       |  LEFT JOIN iv ON iv.cluster = prs.cluster
+       |    AND iv.ia = prs.ia AND iv.ib = prs.ib
+       |  JOIN cnt ca ON ca.doc_id = prs.ia
+       |  JOIN cnt cb ON cb.doc_id = prs.ib)
+       |SELECT cluster, count(*)::BIGINT AS n_pairs,
+       |  min(jac)::DOUBLE AS min_jac,
+       |  round(sum(CASE WHEN jac >= $JaccardThreshold THEN 1 ELSE 0 END) * 1.0
+       |    / count(*), 4) AS frac_ge_tau
+       |FROM jac GROUP BY cluster
+       |UNION ALL
+       |SELECT -1, count(*)::BIGINT, min(jac)::DOUBLE,
+       |  round(sum(CASE WHEN jac >= $JaccardThreshold THEN 1 ELSE 0 END) * 1.0
+       |    / count(*), 4)
+       |FROM jac
+       |ORDER BY cluster""".stripMargin
+
   /** Oracle for [[containmentPairs]]: brute-force directed pairs — the
     * prefix filter is a pure plan optimization with a deterministic
     * completeness guarantee, so outputs must match exactly.

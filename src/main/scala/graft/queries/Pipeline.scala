@@ -212,6 +212,18 @@ object Pipeline {
       Curation.ppsSoftDedup(Tables.documents(s, dir),
         Dedup.loadClusters(s, clusterLabelDir(s, dir)))
     },
+    // cluster coherence audit: exact Jaccard of every intra-cluster pair
+    // from the SAME saved labels — how much transitive closure diluted
+    // the clusters (worst pair + fraction >= tau, per cluster + corpus)
+    QueryDef.sql("d23_cluster_coherence", Dedup.sqlClusterCoherence) { (s, dir) =>
+      Dedup.clusterCoherence(Tables.documents(s, dir),
+        Dedup.loadClusters(s, clusterLabelDir(s, dir)))
+    },
+    // deterministic fixed-size eval carve-out: Hamilton largest-remainder
+    // quotas per source — sums to K exactly on any data
+    QueryDef.sql("p52_eval_quotas", Curation.sqlEvalQuotas) { (s, dir) =>
+      Curation.evalQuotas(Tables.documents(s, dir))
+    },
     // SOFT dedup: 1/cluster-size sampling weights from the SAME saved
     // labels (SlimPajama-style downweighting instead of dropping) — the
     // dedup-aware size column p34's PPS draw takes; floored ppm integers

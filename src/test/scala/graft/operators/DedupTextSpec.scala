@@ -710,6 +710,36 @@ class DedupTextSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(d).count() == 0)
   }
 
+  test("cluster coherence: a closure-chained stranger drags min_jac to zero") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val same = "alpha beta gamma delta epsilon zeta"
+    val d = Seq((1L, same), (2L, same),
+      (3L, "totally different words entirely unrelated content"))
+      .toDF("doc_id", "text")
+    // labels force 3 into the {1,2} cluster — the over-merge the audit exists for
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster")
+    val got = Dedup.clusterCoherence(d, clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (-1L, 3L, 0.0, 0.3333),
+      (1L, 3L, 0.0, 0.3333)), s"${got.toSeq}")
+  }
+
+  test("eval quotas: largest remainder sums to exactly K, ties by source") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val d = (1 to 3).flatMap(src => (1 to 1).map(i =>
+      (src.toLong * 10 + i, s"src$src")))
+      .toDF("doc_id", "source")
+    val got = Curation.evalQuotas(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 3 equal sources, K=100: base 33 each, 1 leftover seat -> first source
+    assert(got.toSeq == Seq(
+      ("src1", 1L, 34L), ("src2", 1L, 33L), ("src3", 1L, 33L)), s"${got.toSeq}")
+    assert(got.map(_._3).sum == Curation.EvalSetK)
+  }
+
   test("soft-dedup weights: 1/cluster-size ppm, unlabeled docs get full weight") {
     val s = TestSpark.spark
     import s.implicits._
