@@ -727,6 +727,54 @@ object Relational {
       graft.operators.Sketches.kmvSetOps(Tables.events(s, dir))
     },
 
+    // SOLE-LATE-SUPPLIER (q38, the TPC-H Q21 shape): suppliers who alone
+    // held up multi-supplier orders. The classic doubly-correlated
+    // EXISTS / NOT-EXISTS, written in its DECORRELATED Spark form — one
+    // per-order aggregate (distinct suppliers, distinct late suppliers)
+    // replaces both correlated subqueries; the oracle keeps the
+    // textbook correlated formulation, so the equivalence itself is
+    // what the gate checks. Late = shipped > 60 days after order date
+    // (exact integer micros).
+    QueryDef.sql("q38_blame_supplier",
+      s"""WITH l AS (SELECT li.l_orderkey AS ok, li.l_suppkey AS sk,
+        |    epoch_us(li.l_shipdate) > epoch_us(o.o_orderdate)
+        |      + ${60L * 86400000000L} AS late
+        |  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey),
+        |blamed AS (SELECT DISTINCT l1.ok, l1.sk FROM l l1
+        |  WHERE l1.late
+        |    AND EXISTS (SELECT 1 FROM l l2
+        |      WHERE l2.ok = l1.ok AND l2.sk != l1.sk)
+        |    AND NOT EXISTS (SELECT 1 FROM l l3
+        |      WHERE l3.ok = l1.ok AND l3.sk != l1.sk AND l3.late))
+        |SELECT rnk, s_name, numwait FROM (
+        |  SELECT s.s_name, count(*)::BIGINT AS numwait,
+        |    row_number() OVER (ORDER BY count(*) DESC, s.s_name) AS rnk
+        |  FROM blamed b JOIN supplier s ON s.s_suppkey = b.sk
+        |  GROUP BY 1) WHERE rnk <= 20
+        |ORDER BY rnk""".stripMargin) { (s, dir) =>
+      val late = Tables.lineitem(s, dir).as("li")
+        .join(Tables.orders(s, dir).as("o"),
+          col("li.l_orderkey") === col("o.o_orderkey"))
+        .select(col("li.l_orderkey").as("ok"), col("li.l_suppkey").as("sk"),
+          (unix_micros(col("li.l_shipdate").cast("timestamp")) >
+            unix_micros(col("o.o_orderdate").cast("timestamp"))
+              + lit(60L * 86400000000L)).as("late"))
+      val per = late.groupBy(col("ok"))
+        .agg(countDistinct(col("sk")).as("nsupp"),
+          countDistinct(when(col("late"), col("sk"))).as("nlate"))
+      val blamed = late.filter(col("late")).select(col("ok"), col("sk")).distinct()
+        .join(per.filter(col("nsupp") >= 2 && col("nlate") === 1), "ok")
+      val counted = blamed.groupBy(col("sk")).agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("sk") === col("s_suppkey"))
+      val top = counted.orderBy(col("numwait").desc, col("s_name")).limit(20)
+      top.withColumn("rnk", row_number().over(
+          Window.orderBy(col("numwait").desc, col("s_name"))))
+        .select(col("rnk"), col("s_name"), col("numwait"))
+        .orderBy(col("rnk"))
+    },
+
     // JOIN-KEY SKEW ADVISOR (q36): the diagnosis q21/q22 are the cure
     // for — one exploded scan, histogram shape per candidate key, hot
     // key via max(struct), integer salt recommendation
