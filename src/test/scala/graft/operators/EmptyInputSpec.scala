@@ -59,4 +59,31 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(EventWindows.sessionize(e).count() == 0)
     assert(AsOf.clickAttribution(e).count() == 0)
   }
+
+  test("round-11 additions survive empty inputs") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val d = emptyDocs
+    val e = emptyEvents
+    val emptyClusters = Seq.empty[(Long, Long)].toDF("doc_id", "cluster")
+    assert(Curation.softDedupWeights(d, emptyClusters).count() == 0)
+    assert(Curation.ppsSoftDedup(d, emptyClusters).count() == 0)
+    assert(Curation.evalQuotas(d).count() == 0)
+    assert(Dedup.containmentPairs(d).count() == 0)
+    assert(Dedup.ppJoinPairs(d).count() == 0)
+    assert(Dedup.clusterCoherence(d, emptyClusters).count() == 0)
+    assert(Graph.textRank(d).count() == 0)
+    assert(Unigram.unigramVocab(d).count() == 0)
+    assert(EventWindows.kmSurvival(e).count() == 0)
+    assert(EventWindows.seasonalDecompose(e).count() == 0)
+    assert(Graph.markovAttribution(e).count() == 0)
+    assert(Graph.topPaths(e).count() == 0)
+    val el = Seq.empty[(Long, Long)].toDF("l_partkey", "l_suppkey")
+    assert(Layout.zorderAudit(el).count() == 0)
+    val el2 = Seq.empty[(Long, Long, Long)]
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+    // an empty fact still yields the (empty) advisor table, not a throw
+    assert(Skew.skewReport(el2,
+      Seq("l_orderkey", "l_partkey", "l_suppkey")).count() == 0)
+  }
 }
