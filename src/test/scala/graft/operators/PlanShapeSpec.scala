@@ -632,6 +632,29 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("containment: candidate join and verify stay shuffled equi-joins; no cross product") {
+    val spark = TestSpark.spark
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.catalog.clearCache()
+    try {
+      val plan = executed(Dedup.containmentPairs(graft.Tables.documents(spark, dir)))
+      assert(!plan.contains("BroadcastExchange") && !plan.contains("CartesianProduct"),
+        s"asymmetric prefix join must not force a broadcast or cross:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected shuffled equi-joins in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("zorder audit: no window anywhere — file ids are per-row projections") {
+    val spark = TestSpark.spark
+    val plan = executed(Layout.zorderAudit(
+      graft.Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))))
+    assert(!plan.contains("Window"),
+      s"quadtree-cell assignment must not re-introduce a global window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"bounded sides must broadcast:\n$plan")
+  }
+
   test("image shard dedup: band probe is a shuffled equi-join with no forced broadcast") {
     val spark = TestSpark.spark
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
