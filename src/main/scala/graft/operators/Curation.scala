@@ -168,11 +168,11 @@ object Curation {
        |      UNION
        |      SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
        |self AS (SELECT DISTINCT a, a AS b FROM e),
-       |clus AS (SELECT a AS doc_id, min(b) AS cluster
+       |clus AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster
        |  FROM (SELECT a, b FROM r UNION ALL SELECT a, b FROM self)
        |  GROUP BY a),
-       |cs AS (SELECT cluster, count(*)::BIGINT AS csize FROM clus GROUP BY 1),
-       |wt AS (SELECT d.doc_id,
+       |cs AS MATERIALIZED (SELECT cluster, count(*)::BIGINT AS csize FROM clus GROUP BY 1),
+       |wt AS MATERIALIZED (SELECT d.doc_id,
        |    floor(len(${Portable.sqlTokens("d.text")})
        |      * 1000000.0 / coalesce(cs.csize, 1))::BIGINT AS w
        |  FROM documents d
@@ -1166,10 +1166,10 @@ object Curation {
        |      UNION
        |      SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
        |self AS (SELECT DISTINCT a, a AS b FROM e),
-       |clus AS (SELECT a AS doc_id, min(b) AS cluster
+       |clus AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster
        |  FROM (SELECT a, b FROM r UNION ALL SELECT a, b FROM self)
        |  GROUP BY a),
-       |cs AS (SELECT cluster, count(*)::BIGINT AS csize FROM clus GROUP BY 1)
+       |cs AS MATERIALIZED (SELECT cluster, count(*)::BIGINT AS csize FROM clus GROUP BY 1)
        |SELECT d.doc_id,
        |  coalesce(cs.csize, 1)::BIGINT AS csize,
        |  floor(1000000.0 / coalesce(cs.csize, 1))::BIGINT AS w_ppm,

@@ -315,19 +315,20 @@ object Dedup {
        |      UNION
        |      SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
        |self AS (SELECT DISTINCT a, a AS b FROM e),
-       |clus AS (SELECT a AS doc_id, min(b) AS cluster
+       |clus AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster
        |  FROM (SELECT a, b FROM r UNION ALL SELECT a, b FROM self)
        |  GROUP BY a),
        |$sqlShingleCtes,
-       |cnt AS (SELECT doc_id, count(*) AS m FROM sh GROUP BY 1),
-       |prs AS (SELECT a.cluster, a.doc_id AS ia, b.doc_id AS ib
+       |shm AS MATERIALIZED (SELECT doc_id, g FROM sh),
+       |cnt AS MATERIALIZED (SELECT doc_id, count(*) AS m FROM shm GROUP BY 1),
+       |prs AS MATERIALIZED (SELECT a.cluster, a.doc_id AS ia, b.doc_id AS ib
        |  FROM clus a JOIN clus b
        |    ON a.cluster = b.cluster AND a.doc_id < b.doc_id),
-       |iv AS (SELECT prs.cluster, prs.ia, prs.ib, count(*)::BIGINT AS inter
-       |  FROM prs JOIN sh sa ON sa.doc_id = prs.ia
-       |  JOIN sh sb ON sb.doc_id = prs.ib AND sb.g = sa.g
+       |iv AS MATERIALIZED (SELECT prs.cluster, prs.ia, prs.ib, count(*)::BIGINT AS inter
+       |  FROM prs JOIN shm sa ON sa.doc_id = prs.ia
+       |  JOIN shm sb ON sb.doc_id = prs.ib AND sb.g = sa.g
        |  GROUP BY 1, 2, 3),
-       |jac AS (SELECT prs.cluster,
+       |jac AS MATERIALIZED (SELECT prs.cluster,
        |    round(coalesce(iv.inter, 0) * 1.0
        |      / (ca.m + cb.m - coalesce(iv.inter, 0)), 4)::DECIMAL(18,4) AS jac
        |  FROM prs
