@@ -1253,12 +1253,17 @@ object Curation {
     * reduced to the same summary rows.
     */
   def sqlDailyIngest: String = {
+    // component CTEs are MATERIALIZED (except sp, which DuckDB's binder
+    // rejects materializing) so each nested oracle evaluates once; the
+    // composite replay is still minutes-scale at sf0.1 in DuckDB — the
+    // driver's sf0.01 gate is the enforced one, and each component's own
+    // oracle is sf0.1-green individually
     def noOrder(sql: String): String = Portable.sqlNoOrder(sql)
     s"""WITH sp AS (SELECT * FROM (${noOrder(Dedup.sqlShardLshPairs)}) t),
-       |lab AS (SELECT * FROM (${noOrder(Dedup.sqlShardUpdateClusters)}) t),
-       |ss AS (SELECT * FROM (${noOrder(Dedup.sqlShardSubstrSpans)}) t),
-       |sem AS (SELECT * FROM (${noOrder(Similarity.sqlSemDedupShard(4, 2, 0.4))}) t),
-       |md AS (SELECT * FROM (${noOrder(sqlManifestDiff)}) t),
+       |lab AS MATERIALIZED (SELECT * FROM (${noOrder(Dedup.sqlShardUpdateClusters)}) t),
+       |ss AS MATERIALIZED (SELECT * FROM (${noOrder(Dedup.sqlShardSubstrSpans)}) t),
+       |sem AS MATERIALIZED (SELECT * FROM (${noOrder(Similarity.sqlSemDedupShard(4, 2, 0.4))}) t),
+       |md AS MATERIALIZED (SELECT * FROM (${noOrder(sqlManifestDiff)}) t),
        |dcut AS (SELECT (count(*) * 4) // 5 AS c FROM documents),
        |lmtk AS (SELECT unnest(${Portable.sqlTokens("text")}) AS t FROM documents),
        |lmtot AS (SELECT count(*)::BIGINT AS n, count(DISTINCT t)::BIGINT AS v
