@@ -35,7 +35,11 @@ object Graph {
     * undirected graph); node identity is whatever type the edge keys
     * carry — the rounds are key-type-agnostic. Returns (item, pr).
     */
-  private def prRounds(edges: DataFrame): DataFrame = {
+  private def prRounds(edges0: DataFrame): DataFrame = {
+    // the edge table is bounded (co-occurrence pairs above the floor) and
+    // every round references it — materialize once or the basket/bigram
+    // aggregation re-runs per round (the t43 localCheckpoint lesson)
+    val edges = edges0.localCheckpoint(true)
     val ow = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val nodes = edges.select(col("dst").as("item")).distinct()
     val nn = nodes.agg(count(lit(1)).as("nn"))
