@@ -1876,6 +1876,40 @@ object TextOps {
     * 4-decimal-rounded, far above the fp noise floor of a vocabulary-
     * sized summation.
     */
+  /** LEXICAL DIVERSITY PER SOURCE (t45): type-token ratio and Herdan's
+    * C = ln V / ln N — the source-level vocabulary-richness row next to
+    * t40's corpus growth curve (TTR falls mechanically with size;
+    * Herdan's C is the size-robust comparison, so a source whose C sags
+    * is template-heavy whatever its volume). One pass to per-(source,
+    * token) counts, then a source-sized aggregate; integer ppm TTR, one
+    * rounded double per source.
+    */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val per = docs.select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+    per.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+        when(col("n_tokens") > 1,
+          round(log(col("n_types").cast("double"))
+            / log(col("n_tokens").cast("double")), 4)).as("herdan_c"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle for [[lexicalDiversity]]: identical grouping and the same
+    * ln-ratio arithmetic.
+    */
+  val sqlLexicalDiversity: String =
+    s"""WITH per AS (SELECT source, unnest(${Portable.sqlTokens("text")}) AS t
+       |  FROM documents),
+       |pc AS (SELECT source, t, count(*)::BIGINT AS c FROM per GROUP BY 1, 2)
+       |SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+       |  (count(*) * 1000000 // sum(c))::BIGINT AS ttr_ppm,
+       |  CASE WHEN sum(c) > 1
+       |    THEN round(ln(count(*)::DOUBLE) / ln(sum(c)::DOUBLE), 4) END AS herdan_c
+       |FROM pc GROUP BY source ORDER BY source""".stripMargin
+
   def zipfReport(docs: DataFrame): DataFrame = {
     val counts = docs.select(explode(tokens(col("text"))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))

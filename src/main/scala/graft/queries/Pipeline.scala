@@ -950,6 +950,11 @@ object Pipeline {
     QueryDef.sql("t28_zipf", TextOps.sqlZipfReport) { (s, dir) =>
       TextOps.zipfReport(Tables.documents(s, dir))
     },
+    // lexical diversity per source: TTR + Herdan's C (size-robust) —
+    // the template-heaviness row next to t40's growth curve
+    QueryDef.sql("t45_lexical_diversity", TextOps.sqlLexicalDiversity) { (s, dir) =>
+      TextOps.lexicalDiversity(Tables.documents(s, dir))
+    },
 
     // -------- temperature-scaled data-mixing weights over the source stats
     QueryDef.sql("p10_mixture", Curation.sqlMixtureWeights) { (s, dir) =>
