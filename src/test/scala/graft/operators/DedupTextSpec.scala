@@ -710,6 +710,20 @@ class DedupTextSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(d).count() == 0)
   }
 
+  test("lexical diversity: hand TTR and Herdan's C per source") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val d = Seq((1L, "a b a b", "src_a"), (2L, "x y z", "src_b"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.lexicalDiversity(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // src_a: N=4 V=2 -> TTR .5, C = ln2/ln4 = .5; src_b: N=3 V=3 -> 1, 1
+    assert(got.toSeq == Seq(
+      ("src_a", 4L, 2L, 500000L, 0.5),
+      ("src_b", 3L, 3L, 1000000L, 1.0)), s"${got.toSeq}")
+  }
+
   test("cluster coherence: a closure-chained stranger drags min_jac to zero") {
     val s = TestSpark.spark
     import s.implicits._
