@@ -1079,8 +1079,12 @@ object Curation {
     * exactly proportional in integers. Bernoulli splits (p2) have
     * per-source size variance and floor-only quotas under-fill; this is
     * the deterministic fix: base = ⌊n·K/N⌋ per source, then the K − Σbase
-    * leftover seats go to the largest remainders (ties by source name).
-    * Σ quota = K exactly, every time, on any data.
+    * leftover seats go to the largest remainders (ties by source name),
+    * each quota capped at the source's document count so the plan is
+    * always satisfiable. When N ≥ K the cap never binds (base ≤ n·K/N ≤ n
+    * with equality only at K = N where no seats remain), so Σ quota = K
+    * exactly; when N < K every source saturates its cap and Σ quota = N —
+    * the whole corpus is the eval set.
     *
     * Scale shape: one partial-aggregated pass to per-source counts; the
     * ranking window runs over the source domain (dozens of rows).
@@ -1096,8 +1100,8 @@ object Curation {
     based.crossJoin(broadcast(left))
       .withColumn("rr", row_number().over(w))
       .select(col("source"), col("n_docs"),
-        (col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
-          .as("quota"))
+        least(col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L),
+          col("n_docs")).as("quota"))
       .orderBy(col("source"))
   }
 
@@ -1114,8 +1118,8 @@ object Curation {
        |  FROM per, tot),
        |lft AS (SELECT ($EvalSetK - sum(base))::BIGINT AS leftover FROM based)
        |SELECT source, n_docs,
-       |  (base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
-       |    <= lft.leftover THEN 1 ELSE 0 END)::BIGINT AS quota
+       |  least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+       |    <= lft.leftover THEN 1 ELSE 0 END, n_docs)::BIGINT AS quota
        |FROM based, lft ORDER BY source""".stripMargin
 
   // ------------------------------------------ soft-dedup weights (p48)

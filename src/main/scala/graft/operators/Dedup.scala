@@ -300,8 +300,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"), min(col("jac")).cast("double").as("min_jac"),
         round(sum(when(col("jac") >= tau, 1L).otherwise(0L)) * lit(1.0)
           / count(lit(1)), 4).as("frac_ge_tau"))
+    // corpus row via a GLOBAL aggregate (the c11 silhouette idiom), not
+    // groupBy(lit(-1)): a grouped aggregate over an empty pair table
+    // emits zero rows, while the oracle's global corpus row always
+    // emits one — a corpus with no near-duplicate pairs must still
+    // report (-1, 0, null, null) in both engines.
+    val corpus = jac
+      .agg(count(lit(1)).as("n_pairs"), min(col("jac")).cast("double").as("min_jac"),
+        round(sum(when(col("jac") >= tau, 1L).otherwise(0L)) * lit(1.0)
+          / count(lit(1)), 4).as("frac_ge_tau"))
+      .select(lit(-1L).as("cluster"), col("n_pairs"), col("min_jac"),
+        col("frac_ge_tau"))
     shape(jac.groupBy(col("cluster")))
-      .unionByName(shape(jac.groupBy(lit(-1L).as("cluster"))))
+      .unionByName(corpus)
       .orderBy(col("cluster"))
   }
 

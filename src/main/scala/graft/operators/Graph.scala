@@ -272,7 +272,11 @@ object Graph {
     val pb = math.floor(pconv(None) * 1000000000).toLong
     val rows = chans.map { ch =>
       val pr = math.floor(pconv(Some(ch)) * 1000000000).toLong
-      val removal = math.floor((pb - pr) * 1000000.0 / pb).toLong
+      // pb == 0 (journeys but zero conversions within MkIters steps):
+      // removal effect is undefined — emit 0, mirrored in the oracle's
+      // CASE, instead of NaN.toLong (here) / division-by-zero (DuckDB)
+      val removal =
+        if (pb > 0) math.floor((pb - pr) * 1000000.0 / pb).toLong else 0L
       (ch, pr, removal)
     }
     val trm = rows.map(_._3).sum
@@ -391,7 +395,9 @@ object Graph {
        |    ON pk.ch = scen.ch),
        |base AS (SELECT pconv_ppb AS pb FROM ps WHERE ch = '_base'),
        |rem AS (SELECT ch AS channel, pconv_ppb,
-       |    floor((base.pb - pconv_ppb) * 1000000.0 / base.pb)::BIGINT AS removal_ppm
+       |    CASE WHEN base.pb > 0
+       |      THEN floor((base.pb - pconv_ppb) * 1000000.0 / base.pb)::BIGINT
+       |      ELSE 0 END AS removal_ppm
        |  FROM ps, base WHERE ch != '_base'),
        |trm AS (SELECT sum(removal_ppm)::BIGINT AS trm FROM rem)
        |SELECT channel, pconv_ppb, removal_ppm,

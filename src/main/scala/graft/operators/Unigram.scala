@@ -184,7 +184,22 @@ object Unigram {
       .select(col("doc_id"), substring(col("t"), 1, MaxWordLen).as("w"))
       .filter(length(col("w")) > 0)
     val wrds = dw.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val wp = segmented(wrds, model)
+    // UNK closure: a held-out word can contain a character the trained
+    // vocabulary never saw; without a score the DP has no candidate at
+    // that position (null segmentation here, a dropped word in the
+    // oracle's inner join). Augment the model with every corpus
+    // character absent from it, scored one nat below the rarest trained
+    // piece — both engines apply the identical closure, so every word
+    // stays segmentable and segmentations still match piece for piece.
+    val unk = model.agg((min(col("score")) - ScoreFp.toLong).as("score"))
+    val corpusChars = wrds
+      .select(explode(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1)))).as("piece"))
+      .distinct()
+    val fullModel = model.unionByName(
+      corpusChars.join(model, Seq("piece"), "left_anti")
+        .crossJoin(broadcast(unk)))
+    val wp = segmented(wrds, fullModel)
       .select(col("w"), size(col("ps")).cast("long").as("np"))
     dw.join(wp, "w")
       .groupBy(col("doc_id"))
@@ -335,7 +350,14 @@ object Unigram {
        |  (SELECT doc_id, unnest($toks) AS t FROM documents)
        |  WHERE length(substr(t, 1, $MaxWordLen)) > 0),
        |wrds AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c FROM dw GROUP BY 1),
-       |${sqlEStep("ap", "fsc", "wrds")}
+       |unkv AS (SELECT min(score) - 1000000000 AS score FROM fsc),
+       |unkch AS (SELECT DISTINCT substr(w, i, 1) AS piece
+       |  FROM wrds, LATERAL unnest(range(1, len(w) + 1)) t(i)),
+       |apsc AS MATERIALIZED (SELECT piece, score FROM fsc
+       |  UNION ALL
+       |  SELECT c.piece, u.score FROM unkch c, unkv u
+       |  WHERE c.piece NOT IN (SELECT piece FROM fsc)),
+       |${sqlEStep("ap", "apsc", "wrds")}
        |SELECT d.doc_id, count(*)::BIGINT AS n_words,
        |  sum(wp.np)::BIGINT AS n_pieces,
        |  ((sum(wp.np) * 1000000) // count(*))::BIGINT AS ppw_ppm

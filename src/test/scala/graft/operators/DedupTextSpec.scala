@@ -740,18 +740,47 @@ class DedupTextSpec extends AnyFunSuite {
       (1L, 3L, 0.0, 0.3333)), s"${got.toSeq}")
   }
 
+  test("cluster coherence: no multi-member clusters still yields the corpus row") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // every cluster a singleton -> zero pairs; the corpus row must still
+    // appear (global aggregate), matching the oracle's UNION ALL row
+    val d = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different words entirely unrelated content"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "cluster")
+    val got = Dedup.clusterCoherence(d, clusters).collect()
+    assert(got.length == 1, got.mkString(","))
+    assert(got(0).getLong(0) == -1L && got(0).getLong(1) == 0L
+      && got(0).isNullAt(2) && got(0).isNullAt(3), got(0).toString)
+  }
+
   test("eval quotas: largest remainder sums to exactly K, ties by source") {
     val s = TestSpark.spark
     import s.implicits._
-    val d = (1 to 3).flatMap(src => (1 to 1).map(i =>
-      (src.toLong * 10 + i, s"src$src")))
+    // N = 120 >= K = 100: quotas proportional, sum exactly K, cap inert
+    val d = (1 to 3).flatMap(src => (1 to 40).map(i =>
+      (src.toLong * 100 + i, s"src$src")))
       .toDF("doc_id", "source")
     val got = Curation.evalQuotas(d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    // 3 equal sources, K=100: base 33 each, 1 leftover seat -> first source
+    // 3 equal sources of 40, K=100: base 33 each, 1 leftover seat -> src1
     assert(got.toSeq == Seq(
-      ("src1", 1L, 34L), ("src2", 1L, 33L), ("src3", 1L, 33L)), s"${got.toSeq}")
+      ("src1", 40L, 34L), ("src2", 40L, 33L), ("src3", 40L, 33L)), s"${got.toSeq}")
     assert(got.map(_._3).sum == Curation.EvalSetK)
+  }
+
+  test("eval quotas: corpus smaller than K caps every quota at n_docs") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // N = 3 < K = 100: uncapped base would be 33 per 1-doc source — an
+    // unsatisfiable sampling plan; the cap makes quota = n_docs, sum = N
+    val d = (1 to 3).map(src => (src.toLong * 10 + 1, s"src$src"))
+      .toDF("doc_id", "source")
+    val got = Curation.evalQuotas(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("src1", 1L, 1L), ("src2", 1L, 1L), ("src3", 1L, 1L)), s"${got.toSeq}")
   }
 
   test("soft-dedup weights: 1/cluster-size ppm, unlabeled docs get full weight") {

@@ -71,7 +71,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Curation.evalQuotas(d).count() == 0)
     assert(Dedup.containmentPairs(d).count() == 0)
     assert(Dedup.ppJoinPairs(d).count() == 0)
-    assert(Dedup.clusterCoherence(d, emptyClusters).count() == 0)
+    // the corpus row (-1) is a global aggregate: it emits even with zero
+    // pairs, matching the oracle's always-present UNION ALL row
+    val coh = Dedup.clusterCoherence(d, emptyClusters).collect()
+    assert(coh.length == 1 && coh(0).getLong(0) == -1L && coh(0).getLong(1) == 0L)
     assert(Graph.textRank(d).count() == 0)
     assert(Unigram.unigramVocab(d).count() == 0)
     assert(EventWindows.kmSurvival(e).count() == 0)

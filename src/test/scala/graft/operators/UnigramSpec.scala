@@ -57,4 +57,27 @@ class UnigramSpec extends AnyFunSuite {
     // ranks are 1..n dense in emitted order
     assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length).toSeq)
   }
+
+  test("fertility: a character unseen in training segments via the UNK closure") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // model trained only on ascii words; doc 3 introduces 'ø' and 'q',
+    // characters the vocabulary never saw — without the UNK closure the
+    // DP has no candidate at those positions (null pieces here, dropped
+    // words in the oracle). Every doc must still report, with the
+    // whole-word char bound holding.
+    val train = Seq((1L, "abab abab cd cd cd"), (2L, "abab cd ab"))
+      .toDF("doc_id", "text")
+    val model = Unigram.trainAndSaveUnigram(train,
+      java.nio.file.Files.createTempDirectory("graft-unk").toString)
+    val all = Seq((1L, "abab abab cd cd cd"), (2L, "abab cd ab"),
+      (3L, "brød quøz abab")).toDF("doc_id", "text")
+    val got = Unigram.unigramFertility(all, model).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L), s"${got.toSeq}")
+    val d3 = got.find(_._1 == 3L).get
+    // 3 words; 'abab' is one piece; the unk words segment into at most
+    // one piece per char and at least one piece per word
+    assert(d3._2 == 3L && d3._3 >= 3L && d3._3 <= 1L + 4L + 4L, s"$d3")
+  }
 }
