@@ -103,6 +103,18 @@ object Bench {
     // and points the reader at the file.
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // append-only history: BENCH.out is overwritten per run and the
+    // driver's stdout tail truncates, so cross-round diffs need a durable
+    // in-repo record of every full per-query map (bench/rNN.json snapshots
+    // are cut from here at round start)
+    val hist = java.nio.file.Paths.get(
+      java.nio.file.Paths.get(out).toAbsolutePath.getParent.toString,
+      "bench", "history.jsonl")
+    java.nio.file.Files.createDirectories(hist.getParent)
+    java.nio.file.Files.write(hist,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm+interleaved-min-of-$runs","loadavg_start":$loadavgStart,"loadavg_end":$loadavgEnd,"n_queries":${ok.size},"noisy":$noisyJson,"failed":$failedJson,"sf":"$sfDir","queries_file":"$out"}"""
     println(summary)
     spark.stop()

@@ -173,9 +173,12 @@ object Graph {
     val scored = prRounds(edges)
       .select(col("item").as("token"),
         floor(col("pr") * 1000000000).cast("long").as("pr_ppb"))
+    // top-K via orderBy+limit (TakeOrderedAndProject — the c10/q38
+    // idiom): the cut happens map-side; the rank window runs over the
+    // K surviving rows, never the full token-centrality table
+    val top = scored.orderBy(col("pr_ppb").desc, col("token")).limit(TrTopK)
     val w = Window.orderBy(col("pr_ppb").desc, col("token"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TrTopK)
+    top.withColumn("rnk", row_number().over(w))
       .select(col("rnk"), col("token"), col("pr_ppb"))
       .orderBy(col("rnk"))
   }

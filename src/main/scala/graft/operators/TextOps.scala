@@ -501,17 +501,31 @@ object TextOps {
     val t = docs.select(col("doc_id"), col("lang"),
         lower(trim(col("text"))).as("t"))
       .filter(length(col("t")) >= 3)
+    // single-scan contract (the d21 precedent, re-aggregation form): the
+    // corpus-sized gram explode runs ONCE, into the per-(doc, gram) count
+    // table, which both profiles consume — the language profile is a
+    // second-level aggregate of those partial counts (sum of per-doc
+    // counts == raw occurrence count). The materialized intermediate is
+    // the distinct (doc, gram) table, far smaller than the raw gram
+    // stream; without the checkpoint AQE does NOT reuse the exchange
+    // (column pruning makes the two aggregate subtrees canonically
+    // different), so the corpus would be scanned and exploded twice.
+    // Measured at sf0.1 local[32] (parquet in page cache): 3.5 s -> 4.0 s
+    // — the checkpoint costs ~0.4 s locally where scans are free, and
+    // halves the dominant scan where they are not.
     val grams = t.select(col("doc_id"), col("lang"),
         explode(sequence(lit(1), length(col("t")) - 2)).as("p"), col("t"))
       .select(col("doc_id"), col("lang"), expr("substring(t, p, 3)").as("g"))
-    val langProf = grams.groupBy(col("lang"), col("g"))
+    val docGram = grams.groupBy(col("doc_id"), col("lang"), col("g"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val langProf = docGram.groupBy(col("lang"), col("g"))
+      .agg(sum(col("c")).as("c"))
       .withColumn("lr", row_number().over(
         W.partitionBy(col("lang")).orderBy(col("c").desc, col("g"))))
       .filter(col("lr") <= CtLangTop)
       .select(col("lang").as("cand"), col("g"), col("lr"))
-    val docProf = grams.groupBy(col("doc_id"), col("lang"), col("g"))
-      .agg(count(lit(1)).as("c"))
+    val docProf = docGram
       .withColumn("dr", row_number().over(
         W.partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))))
       .filter(col("dr") <= CtDocTop)
@@ -2025,10 +2039,13 @@ object TextOps {
       .select(col("pair"), col("cab"),
         round(log2(col("cab").cast("double") * col("tt") * col("tt")
           / (col("tb") * col("ca") * col("cb"))), 4).as("pmi"))
-    scored
+    // top-K via orderBy+limit (TakeOrderedAndProject — the c10/q38
+    // idiom): the cut happens map-side by construction; the rank window
+    // then runs over exactly K rows, never the full pair table
+    val top = scored.orderBy(col("pmi").desc, col("pair")).limit(CollocTopK)
+    top
       .withColumn("rank", row_number().over(
         Window.orderBy(col("pmi").desc, col("pair"))))
-      .filter(col("rank") <= CollocTopK)
       .select(col("rank"), col("pair"), col("cab"), col("pmi"))
       .orderBy(col("rank"))
   }

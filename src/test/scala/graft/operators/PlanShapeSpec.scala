@@ -675,4 +675,18 @@ class PlanShapeSpec extends AnyFunSuite {
         s"expected a shuffled equi-join on the band key in:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("collocations + textrank: top-K is TakeOrderedAndProject, never a full-table rank") {
+    val docs = graft.Tables.documents(TestSpark.spark, dir)
+    // the PMI pair table / token-centrality table are unbounded at scale;
+    // the K-cut must be the map-side partial top-K, with the rank window
+    // running over exactly K surviving rows
+    for ((name, df) <- Seq(
+        "t39" -> TextOps.collocations(docs),
+        "t42" -> Graph.textRank(docs))) {
+      val plan = executed(df)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name: global ORDER BY+LIMIT must plan as partial top-K:\n$plan")
+    }
+  }
 }
