@@ -1438,19 +1438,43 @@ object Dedup {
       .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
 
   /** Build and persist the ExactSubstr gram index of a corpus: the
-    * DISTINCT hashed [[SubstrN]]-token windows, one 8-byte column — the
-    * artifact [[shardSubstrSpans]] checks a new shard against. Linear in
-    * corpus tokens (the suffix array's distributed stand-in, same as the
-    * d12 trade).
+    * DISTINCT hashed [[SubstrN]]-token windows with their document
+    * frequency — (g, df), 16 bytes per gram — the artifact
+    * [[shardSubstrSpans]] checks a new shard against. Linear in corpus
+    * tokens (the suffix array's distributed stand-in, same as the d12
+    * trade). Membership consumers project `g`; the df column exists for
+    * COUNT-REVERSIBLE DELETION ([[deleteFromSubstrIndex]]) — without it
+    * a right-to-be-forgotten request would force a full-corpus rebuild,
+    * because a bare gram set cannot know which grams the deleted docs
+    * were the sole contributors of.
     */
   def buildAndSaveSubstrIndex(docs: DataFrame, dir: String): Unit =
     graft.sources.ModelStore.saveLarge(
       positionalGrams(
         docs.select(col("doc_id"), Portable.tokens(col("text")).as("w")))
-        .select(col("g")).distinct(), dir)
+        .select(col("doc_id"), col("g")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("df")), dir)
 
   def loadSubstrIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     graft.sources.ModelStore.load(spark, dir)
+
+  /** Count-reversible deletion from the saved ExactSubstr gram index
+    * (the t35 BM25-delete pattern applied to the d16 artifact): the
+    * deleted docs' own distinct grams are computed at DELETE-LIST cost,
+    * per-gram doc frequencies decrement, and grams whose df reaches zero
+    * leave the index — exactly the index a fresh build over the
+    * survivors would produce (df over distinct docs is additive), with
+    * the surviving corpus never re-tokenized.
+    */
+  def deleteFromSubstrIndex(idxGrams: DataFrame, deletedDocs: DataFrame): DataFrame = {
+    val dg = positionalGrams(
+        deletedDocs.select(col("doc_id"), Portable.tokens(col("text")).as("w")))
+      .select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("d"))
+    idxGrams.join(dg, Seq("g"), "left")
+      .select(col("g"), (col("df") - coalesce(col("d"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+  }
 
   /** Incremental cross-doc exact-substring coverage (d16) — d12's audit
     * for a NEW shard at shard cost: a shard token position is duplicated

@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import Portable._
+
+/** COMPOSED RIGHT-TO-BE-FORGOTTEN SWEEP (p53): one delete-list applied
+  * across EVERY saved artifact the engine persists, in one report.
+  *
+  * Deletion has existed per-artifact — BM25 (t35), ANN codes (s13) — but
+  * a real erasure request (GDPR art. 17) hits all of them at once, under
+  * a legal deadline, and the proof obligation is per artifact: the
+  * deleted key can never surface again, and every DERIVED statistic must
+  * re-derive from the pruned artifact, not the stale one. This operator
+  * is that sweep, composed the way p41 composes the daily ingest: each
+  * leg is the artifact's own deletion rule, and the oracle replays every
+  * leg from the base tables so the report cannot drift from the pruning
+  * it claims.
+  *
+  * Per-artifact deletion semantics (all shard-cost — the old corpus is
+  * never re-read):
+  *  - LSH index (d13 artifact): shingle postings, band buckets and
+  *    posting counts are PER-DOC rows — anti-filter. The stop list is
+  *    doc-free and stays (frozen-index semantics, as d13 declares).
+  *  - Cluster labels (d11/d14 artifact): labels are NOT per-doc prunable
+  *    — a deleted doc may be the transitive BRIDGE of its cluster, so
+  *    surviving members can separate. Labels re-derive by re-running the
+  *    closure over the pruned index's own pairs ([[Dedup.indexPairs]]) —
+  *    pair-table cost, not corpus cost (shingling/banding not redone).
+  *  - ExactSubstr gram index (d16 artifact): count-reversible decrement
+  *    ([[Dedup.deleteFromSubstrIndex]]) — the deleted docs' grams
+  *    decrement df, zero-df grams leave; equals a fresh survivor build.
+  *  - BM25 index (t32 artifact): [[TextOps.deleteFromBm25Index]] — per-doc
+  *    tables anti-filter, df/totals re-derive from surviving postings.
+  *  - ANN index (s9 artifact): cell assignments and PQ codes anti-filter
+  *    (the s13 rule); the two trained quantizers are model, not data.
+  *  - KMV day sketches (p47 artifact): a sketch is NOT per-key prunable —
+  *    dropping the deleted user's hash leaves the k-min of the wrong set
+  *    (the k-th smallest survivor was never stored), so AFFECTED DAYS
+  *    (days the deleted users appear, found from their own events)
+  *    rebuild from surviving raw events; untouched days keep their saved
+  *    rows. Equals the from-scratch daily sketch of survivors by the
+  *    day-partition argument p47 proves.
+  *
+  * Report: one row per artifact — rows before, rows after, and a
+  * re-derived integrity statistic that only comes out right if the
+  * pruning + re-derivation did (distinct surviving keys, re-closed
+  * cluster count, re-summed dfs, re-estimated sketch total).
+  *
+  * Scale shape: every leg is an aggregate over an artifact table (never
+  * the corpus) except the two declared rebuild legs, which touch the
+  * delete-list's own rows (substr decrement, affected-day events). The
+  * label re-closure runs over the pair table — the d8 star-contraction,
+  * O(log n) rounds on edges only.
+  */
+object Forget {
+
+  /** The house delete-list predicates, one per key space (the t35/s13
+    * "% 7 = 3" convention): documents, vectors and users whose key is
+    * ≡ 3 (mod 7) have requested erasure.
+    */
+  val DocDeleted: Column = col("doc_id") % 7 === 3
+  val VecDeleted: Column = col("vec_id") % 7 === 3
+  val UserDeleted: Column = col("user_id") % 7 === 3
+
+  /** Anti-filter the per-doc tables of a saved LSH index; the stop list
+    * is doc-free and the df-capped signatures stay FROZEN (d13's declared
+    * index semantics — deletion does not re-open the df cap).
+    */
+  def pruneLshIndex(idx: Dedup.LshIndex): Dedup.LshIndex = Dedup.LshIndex(
+    idx.shingles.filter(!DocDeleted),
+    idx.buckets.filter(!DocDeleted),
+    idx.stop,
+    idx.counts.filter(!DocDeleted))
+
+  /** Anti-filter the per-vector tables of a saved IVF-PQ index (the s13
+    * rule, centralized): a deleted vector can never be a candidate and
+    * never rides a posting list; the quantizers are untouched.
+    */
+  def pruneAnnIndex(idx: Similarity.IvfPqIndex): Similarity.IvfPqIndex =
+    Similarity.IvfPqIndex(idx.coarse, idx.cells.filter(!VecDeleted),
+      idx.pqCent, idx.codes.filter(!VecDeleted))
+
+  /** KMV day sketches after erasure: affected days (found from the
+    * deleted users' own events — delete-list cost) rebuild from
+    * surviving events; untouched days keep their saved rows verbatim.
+    */
+  def pruneKmvSketch(saved: DataFrame, events: DataFrame): DataFrame = {
+    val ev = events.filter(col("ts").isNotNull)
+      .withColumn("day", date_format(to_date(col("ts")), "yyyy-MM-dd"))
+    val affected = ev.filter(UserDeleted).select(col("day")).distinct()
+    val rebuilt = Sketches.dailyKmvSketchRows(
+      ev.filter(!UserDeleted).join(affected, Seq("day"), "left_semi"))
+    saved.join(affected, Seq("day"), "left_anti").unionByName(rebuilt)
+  }
+
+  /** The composed sweep report — see object doc. Every `rows_before`
+    * counts the loaded artifact; every `rows_after` and `stat` derive
+    * from the pruned/re-derived one.
+    */
+  def rtbfSweep(docs: DataFrame, events: DataFrame, idx: Dedup.LshIndex,
+                labels: DataFrame, substrIdx: DataFrame,
+                bm25: TextOps.Bm25Index, ann: Similarity.IvfPqIndex,
+                kmvSaved: DataFrame): DataFrame = {
+    def leg(name: String, before: DataFrame, afterAgg: DataFrame): DataFrame =
+      before.agg(count(lit(1)).as("rows_before"))
+        .crossJoin(afterAgg)
+        .select(lit(name).as("artifact"), col("rows_before"),
+          col("rows_after"), col("stat"))
+    val pruned = pruneLshIndex(idx)
+    val newLabels = Dedup.connectedComponents(Dedup.indexPairs(pruned))
+    val prunedSubstr = Dedup.deleteFromSubstrIndex(
+      substrIdx, docs.filter(DocDeleted))
+    val prunedBm = TextOps.deleteFromBm25Index(bm25, DocDeleted)
+    val prunedAnn = pruneAnnIndex(ann)
+    val newSketch = pruneKmvSketch(kmvSaved, events)
+    val est = newSketch
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+      .select(expr(Sketches.estExpr("n_kept", "hk")).as("est"))
+    leg("ann_cells", ann.cells,
+        prunedAnn.cells.agg(count(lit(1)).as("rows_after"),
+          sum(col("vec_id")).as("stat")))
+      .unionByName(leg("bm25_postings", bm25.postings,
+        prunedBm.postings.agg(count(lit(1)).as("rows_after"),
+          countDistinct(col("t")).as("stat"))))
+      .unionByName(leg("dup_labels", labels,
+        newLabels.agg(count(lit(1)).as("rows_after"),
+          countDistinct(col("lab")).as("stat"))))
+      .unionByName(leg("kmv_days", kmvSaved,
+        newSketch.agg(count(lit(1)).as("rows_after"))
+          .crossJoin(est.agg(sum(col("est")).as("stat")))))
+      .unionByName(leg("lsh_buckets", idx.buckets,
+        pruned.buckets.agg(count(lit(1)).as("rows_after"),
+          countDistinct(concat_ws(":", col("band"), col("bh"))).as("stat"))))
+      .unionByName(leg("lsh_shingles", idx.shingles,
+        pruned.shingles.agg(count(lit(1)).as("rows_after"),
+          countDistinct(col("h")).as("stat"))))
+      .unionByName(leg("substr_grams", substrIdx,
+        prunedSubstr.agg(count(lit(1)).as("rows_after"),
+          sum(col("df")).as("stat"))))
+      .orderBy(col("artifact"))
+  }
+
+  /** Oracle for [[rtbfSweep]]: every artifact replayed from the base
+    * tables (the d13/t31/p47 build CTEs), pruned by the same predicates,
+    * with the label leg's closure as a recursive CTE over the pruned
+    * pair graph — the p41 rule: the report's oracle nests the component
+    * semantics verbatim, so no leg can drift.
+    */
+  def sqlRtbfSweep: String = {
+    val h = Portable.sqlHash32("g")
+    val mins = (0 until MinHashPerms)
+      .map(i => s"min(${Portable.sqlMinHashPerm("h", i)}) AS h$i").mkString(", ")
+    val arms = (0 until MinHashBands).map { b =>
+      val cols = (0 until MinHashRows).map(r => s"h${b * MinHashRows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    val n10 = Dedup.SubstrN
+    val grams10 = (0 until n10).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    val uh = Portable.sqlHash32("user_id::VARCHAR")
+    s"""WITH RECURSIVE ${Dedup.sqlShingleCtes},
+       |hashed AS MATERIALIZED (SELECT doc_id, $h AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
+       |stacked AS MATERIALIZED ($arms),
+       |cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+       |  FROM stacked x JOIN stacked y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |hcnt AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
+       |hint AS (SELECT c.ia, c.ib, count(*) AS inter
+       |  FROM cand c JOIN hashed a ON a.doc_id = c.ia
+       |  JOIN hashed b ON b.doc_id = c.ib AND b.h = a.h
+       |  GROUP BY 1, 2),
+       |fpairs AS MATERIALIZED (SELECT c.ia, c.ib
+       |  FROM cand c JOIN hint p ON p.ia = c.ia AND p.ib = c.ib
+       |  JOIN hcnt ca ON ca.doc_id = c.ia JOIN hcnt cb ON cb.doc_id = c.ib
+       |  WHERE round(p.inter * 1.0 / (ca.n + cb.n - p.inter), 4)
+       |    >= ${Dedup.JaccardThreshold}),
+       |spr AS (SELECT ia, ib FROM fpairs WHERE ia % 7 != 3 AND ib % 7 != 3),
+       |e AS (SELECT ia AS a, ib AS b FROM spr UNION SELECT ib, ia FROM spr),
+       |r AS (SELECT a, b FROM e
+       |      UNION
+       |      SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |self AS (SELECT DISTINCT a, a AS b FROM e),
+       |comp AS (SELECT a AS doc_id, min(b) AS cluster
+       |  FROM (SELECT a, b FROM r UNION ALL SELECT a, b FROM self)
+       |  GROUP BY a),
+       |stoks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w FROM documents),
+       |sg AS MATERIALIZED (SELECT DISTINCT doc_id, $grams10 AS g
+       |  FROM stoks, LATERAL unnest(range(1, len(w) - ${n10 - 2})) t(i)),
+       |btoks AS (SELECT doc_id, unnest(${Portable.sqlTokens("text")}) AS t
+       |  FROM documents),
+       |bp AS MATERIALIZED (SELECT DISTINCT t, doc_id FROM btoks),
+       |kall AS (SELECT DISTINCT strftime(ts::DATE, '%Y-%m-%d') AS day, $uh AS h
+       |  FROM events WHERE ts IS NOT NULL),
+       |ksur AS (SELECT DISTINCT strftime(ts::DATE, '%Y-%m-%d') AS day, $uh AS h
+       |  FROM events WHERE ts IS NOT NULL AND user_id % 7 != 3),
+       |kb AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS r
+       |  FROM kall QUALIFY r <= ${Sketches.KmvK}),
+       |ka AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS r
+       |  FROM ksur QUALIFY r <= ${Sketches.KmvK}),
+       |kg AS (SELECT day, count(*)::BIGINT AS n_kept, max(h) AS hk FROM ka
+       |  GROUP BY day)
+       |SELECT * FROM (
+       |SELECT 'ann_cells' AS artifact,
+       |  (SELECT count(*) FROM embeddings)::BIGINT AS rows_before,
+       |  (SELECT count(*) FROM embeddings WHERE vec_id % 7 != 3)::BIGINT AS rows_after,
+       |  (SELECT sum(vec_id) FROM embeddings WHERE vec_id % 7 != 3)::BIGINT AS stat
+       |UNION ALL
+       |SELECT 'bm25_postings',
+       |  (SELECT count(*) FROM bp)::BIGINT,
+       |  (SELECT count(*) FROM bp WHERE doc_id % 7 != 3)::BIGINT,
+       |  (SELECT count(DISTINCT t) FROM bp WHERE doc_id % 7 != 3)::BIGINT
+       |UNION ALL
+       |SELECT 'dup_labels',
+       |  (SELECT count(DISTINCT x) FROM
+       |    (SELECT ia AS x FROM fpairs UNION ALL SELECT ib FROM fpairs))::BIGINT,
+       |  (SELECT count(*) FROM comp)::BIGINT,
+       |  (SELECT count(DISTINCT cluster) FROM comp)::BIGINT
+       |UNION ALL
+       |SELECT 'kmv_days',
+       |  (SELECT count(*) FROM kb)::BIGINT,
+       |  (SELECT count(*) FROM ka)::BIGINT,
+       |  (SELECT sum(${Sketches.sqlEstExpr("n_kept", "hk")}) FROM kg)::BIGINT
+       |UNION ALL
+       |SELECT 'lsh_buckets',
+       |  (SELECT count(*) FROM stacked)::BIGINT,
+       |  (SELECT count(*) FROM stacked WHERE doc_id % 7 != 3)::BIGINT,
+       |  (SELECT count(DISTINCT band::VARCHAR || ':' || bh) FROM stacked
+       |    WHERE doc_id % 7 != 3)::BIGINT
+       |UNION ALL
+       |SELECT 'lsh_shingles',
+       |  (SELECT count(*) FROM hashed)::BIGINT,
+       |  (SELECT count(*) FROM hashed WHERE doc_id % 7 != 3)::BIGINT,
+       |  (SELECT count(DISTINCT h) FROM hashed WHERE doc_id % 7 != 3)::BIGINT
+       |UNION ALL
+       |SELECT 'substr_grams',
+       |  (SELECT count(DISTINCT g) FROM sg)::BIGINT,
+       |  (SELECT count(DISTINCT g) FROM sg WHERE doc_id % 7 != 3)::BIGINT,
+       |  (SELECT count(*) FROM sg WHERE doc_id % 7 != 3)::BIGINT
+       |) ORDER BY artifact""".stripMargin
+  }
+}

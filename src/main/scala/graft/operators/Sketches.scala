@@ -47,10 +47,10 @@ object Sketches {
     * greatest(h,1) guarding the measure-zero h_k = 0 draw. Integer `div`
     * truncation matches DuckDB `//` (both operands non-negative).
     */
-  private def estExpr(n: String, hk: String): String =
+  private[graft] def estExpr(n: String, hk: String): String =
     s"CASE WHEN $n < $KmvK THEN $n ELSE $KmvNum div greatest($hk, 1L) END"
 
-  private def sqlEstExpr(n: String, hk: String): String =
+  private[graft] def sqlEstExpr(n: String, hk: String): String =
     s"CASE WHEN $n < $KmvK THEN $n ELSE $KmvNum // greatest($hk, 1) END"
 
   // ------------------------------------------------------------ q28 set ops

@@ -224,6 +224,37 @@ object Pipeline {
     QueryDef.sql("p52_eval_quotas", Curation.sqlEvalQuotas) { (s, dir) =>
       Curation.evalQuotas(Tables.documents(s, dir))
     },
+    // composed right-to-be-forgotten sweep: ONE delete-list applied
+    // across every saved artifact (LSH index, cluster labels, gram
+    // index, BM25, ANN, KMV day sketches), each pruned by its own
+    // deletion rule at shard cost and its derived stats re-derived from
+    // the pruned artifact — the p41 composition rule applied to erasure
+    QueryDef.sql("p53_rtbf_sweep",
+      graft.operators.Forget.sqlRtbfSweep) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val events = Tables.events(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val idxDir = artifactDir("lshindex_full", dir)(tmp =>
+        Dedup.buildAndSaveLshIndex(docs, tmp))
+      val idx = Dedup.loadLshIndex(s, idxDir)
+      val labDir = artifactDir("lshlabels_full", dir)(tmp =>
+        Dedup.clusterIndexAndSave(idx, tmp))
+      val subDir = artifactDir("substridx_full", dir)(tmp =>
+        Dedup.buildAndSaveSubstrIndex(docs, tmp))
+      val bmDir = artifactDir("bm25", dir)(tmp =>
+        TextOps.trainAndSaveBm25Index(docs, tmp))
+      val annDir = artifactDir("ivfpq", dir)(tmp =>
+        Similarity.trainAndSaveIvfPq(emb, 64 / Similarity.PqBlocks, tmp))
+      val kmvDir = artifactDir("kmvfull", dir)(tmp =>
+        graft.sources.ModelStore.saveLarge(
+          graft.operators.Sketches.dailyKmvSketchRows(events), s"$tmp/sketch"))
+      graft.operators.Forget.rtbfSweep(docs, events, idx,
+        Dedup.loadClusters(s, labDir),
+        Dedup.loadSubstrIndex(s, subDir),
+        TextOps.loadBm25Index(s, bmDir),
+        Similarity.loadIvfPq(s, annDir),
+        graft.sources.ModelStore.load(s, s"$kmvDir/sketch"))
+    },
     // SOFT dedup: 1/cluster-size sampling weights from the SAME saved
     // labels (SlimPajama-style downweighting instead of dropping) — the
     // dedup-aware size column p34's PPS draw takes; floored ppm integers
