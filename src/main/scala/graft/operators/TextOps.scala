@@ -450,6 +450,47 @@ object TextOps {
        |WHERE rnk <= $Bm25TopK ORDER BY rnk""".stripMargin
   }
 
+  /** MULTI-QUERY BM25 SERVING (the kernel behind the streaming twin of
+    * t32, mirroring s19's ANN serving): each request row is
+    * (query_id, terms ARRAY<STRING>); every query scores with EXACTLY
+    * [[bm25FromIndex]]'s fp sequence per contribution (same constants,
+    * same 6-digit round, same decimal sum), ranked per query — so a
+    * one-row batch carrying [[Bm25Query]] reproduces t32 verbatim
+    * (pinned in CurationStreamSpec).
+    *
+    * Scale shape: the batch's distinct terms BROADCAST into the postings
+    * and stats scans (per-batch |terms| posting lists read, never the
+    * corpus); doc lengths join only touched docs; the rank window
+    * partitions by query_id, so WindowGroupLimit truncates map-side and
+    * no request can see another's rows.
+    */
+  def bm25ServeBatch(queries: DataFrame, idx: Bm25Index,
+                     k: Int = Bm25TopK): DataFrame = {
+    val qt = queries
+      .select(col("query_id"), explode(col("terms")).as("t")).distinct()
+    val terms = qt.select(col("t")).distinct()
+    val qs = idx.stats.join(broadcast(terms), "t")
+    val avgdl = col("sum_dl").cast("double") / col("n")
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val denom = col("tf") +
+      lit(Bm25K1) * (lit(Bm25OneMinusB) + lit(Bm25B) * (col("dl") / avgdl))
+    val contrib = idx.postings.join(broadcast(qt), "t")
+      .join(broadcast(qs), "t")
+      .join(idx.doclen, "doc_id")
+      .crossJoin(broadcast(idx.corpus))
+      .select(col("query_id"), col("doc_id"),
+        round(idf * (col("tf") * Bm25K1p1) / denom, 6)
+          .cast("decimal(28,6)").as("w"))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("s").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        round(col("s").cast("double"), 4).as("score"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** INCREMENTAL BM25 index merge (t34) — today's shard enters the saved
     * index with NO recount of the old corpus: postings and doc lengths
     * are per-doc rows (disjoint doc sets — pure union), term dfs are

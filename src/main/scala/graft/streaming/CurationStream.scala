@@ -857,4 +857,28 @@ object CurationStream {
           onBatch(graft.operators.Similarity.ivfPqServe(b, corpus, idx, sub, k))
         ()
       }
+
+  /** STREAMING BM25 SERVING — [[annServe]]'s retrieval twin, closing the
+    * last lifecycle asymmetry (both indexes now serve online): a request
+    * stream of (query_id, terms) rows answered per micro-batch from the
+    * four SAVED t32 index tables via
+    * [[graft.operators.TextOps.bm25ServeBatch]]. Stateless by
+    * construction — each micro-batch is an independent batch of lookups
+    * touching only its own terms' posting lists, so results are
+    * identical however the request stream is chopped, and a replayed
+    * batch re-emits identical rows (at-least-once sink semantics).
+    *
+    * Lifecycle: build (t31) → save (t32) → merge (t34) → delete (t35) →
+    * hybrid fuse (t33) → SERVE, online.
+    */
+  def bm25Serve(queries: DataFrame, idx: graft.operators.TextOps.Bm25Index,
+                k: Int = graft.operators.TextOps.Bm25TopK)
+               (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          onBatch(graft.operators.TextOps.bm25ServeBatch(b, idx, k))
+        ()
+      }
 }

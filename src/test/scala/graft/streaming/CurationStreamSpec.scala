@@ -23,6 +23,64 @@ class CurationStreamSpec extends AnyFunSuite {
     graft.operators.TextOps.trainAndSaveSurprisalModel(docs, dir)
   }
 
+  test("streaming BM25 serving equals the batch serve; a Bm25Query request reproduces t32") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val idxDir = Files.createTempDirectory("graft-bm25serve-idx").toString
+    TextOps.trainAndSaveBm25Index(docs, idxDir)
+    val idx = TextOps.loadBm25Index(spark, idxDir)
+    val queries = Seq(
+      (1L, TextOps.Bm25Query),               // t32's own fixed query
+      (2L, Seq("spark")),
+      (3L, Seq("window", "hash")),
+      (4L, Seq("zzznosuchterm")),            // unknown term -> no rows
+      (5L, Seq("spark", "spark", "window")), // duplicate terms collapse
+      (6L, Seq("hash"))
+    ).toDF("query_id", "terms")
+    val expected = TextOps.bm25ServeBatch(queries, idx).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // the one-row Bm25Query request must reproduce t32 verbatim
+    val t32 = TextOps.bm25FromIndex(idx).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(expected.filter(_._1 == 1L).map(x => (x._2, x._3, x._4)).toSeq == t32,
+      "a Bm25Query request must serve t32's exact rows")
+    assert(!expected.exists(_._1 == 4L), "unknown-term query emits nothing")
+
+    val dataDir = Files.createTempDirectory("graft-bm25serve-req").toString
+    def writeChunk(df: DataFrame, i: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft-bm25serve-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      Files.move(part.toPath,
+        new java.io.File(dataDir, f"req-$i%03d.parquet").toPath)
+      ()
+    }
+    writeChunk(queries.filter(col("query_id") < 4L), 0)
+    writeChunk(queries.filter(col("query_id") >= 4L), 1)
+
+    val got = scala.collection.concurrent.TrieMap
+      .empty[(Long, Int), (Long, Double)]
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = CurationStream.bm25Serve(stream, idx) { b =>
+      b.collect().foreach(r =>
+        got.put((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+    }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-bm25serve-ckpt").toString)
+      .start()
+    q.awaitTermination(120000)
+    val streamed = got.toSeq
+      .map { case ((qid, rnk), (d, s)) => (qid, rnk, d, s) }.sorted
+    assert(streamed == expected.toSeq.sorted,
+      s"streamed BM25 serve diverged:\n$streamed\nvs\n${expected.toSeq.sorted}")
+    assert(streamed.map(_._1).distinct.length == 5)
+  }
+
   test("streaming ANN serving equals the batch serve, however the request stream is chopped") {
     val spark = TestSpark.spark
     import graft.operators.Similarity
