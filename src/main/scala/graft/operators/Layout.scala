@@ -46,7 +46,13 @@ object Layout {
         s"((${shift("b16", i)} & 1) * ${1L << (2 * i + 1)})"
     }.mkString(" + ")
 
-  def zorderAudit(lineitem: DataFrame): DataFrame = {
+  /** The shared cell assignment: every row with its z key and its
+    * quadtree cell (`zfile`) / linear bucket (`lfile`) — one broadcast
+    * scalar row of global min/max, then pure per-row bit math. The audit
+    * reads the hypothetical layout off this frame; [[writeZordered]]
+    * makes it physical.
+    */
+  private def filed(lineitem: DataFrame): DataFrame = {
     val base = lineitem.select(col("l_partkey").as("a"), col("l_suppkey").as("b"))
     val mm = base.agg(min(col("a")).as("amn"), max(col("a")).as("amx"),
       min(col("b")).as("bmn"), max(col("b")).as("bmx"))
@@ -54,9 +60,44 @@ object Layout {
       expr("((a - amn) * 65535) div greatest(amx - amn, 1L)").as("a16"),
       expr("((b - bmn) * 65535) div greatest(bmx - bmn, 1L)").as("b16"))
     val z = zTerms((c, i) => s"shiftright($c, $i)")
-    val filed = scaled.select(col("a"), col("b"),
+    scaled.select(col("a"), col("b"),
+      expr(s"$z").as("zkey"),
       expr(s"($z) div $zShift").as("zfile"),
       expr(s"a16 div $lShift").as("lfile"))
+  }
+
+  /** The audited per-cell min/max table for the z layout — exactly the
+    * parquet footer statistics [[writeZordered]]'s output files must
+    * reproduce cell-for-cell (LayoutSpec proves they do).
+    */
+  def zCellStats(lineitem: DataFrame): DataFrame =
+    filed(lineitem).groupBy(col("zfile"))
+      .agg(min(col("a")).as("amn"), max(col("a")).as("amx"),
+        min(col("b")).as("bmn"), max(col("b")).as("bmx"))
+      .orderBy(col("zfile"))
+
+  /** WRITE the z-ordered layout q35 audits: every row routed to its
+    * quadtree cell — `repartition(zfile)` hash-routes each cell's rows
+    * to exactly one task, `partitionBy(zfile)` gives each cell its own
+    * file, `sortWithinPartitions(zkey)` orders rows inside it (tight
+    * row-group stats beyond the file level). NO GLOBAL SORT anywhere —
+    * the classic `ORDER BY zkey` write is a full-corpus range sort;
+    * cell routing is a hash exchange plus per-partition sorts, the
+    * shape that survives 100 TB. The resulting footers carry the
+    * audit's predicted per-cell min/max verbatim, so the audit's
+    * scan_frac_ppm is the layout's REAL pruning rate, not a model.
+    */
+  def writeZordered(lineitem: DataFrame, dir: String): Unit =
+    filed(lineitem)
+      .select(col("a").as("l_partkey"), col("b").as("l_suppkey"),
+        col("zkey"), col("zfile"))
+      .repartition(col("zfile"))
+      .sortWithinPartitions(col("zfile"), col("zkey"))
+      .write.mode("overwrite").partitionBy("zfile").parquet(dir)
+
+  def zorderAudit(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(col("l_partkey").as("a"), col("l_suppkey").as("b"))
+    val filed = this.filed(lineitem)
     def stats(fcol: String, layout: String): DataFrame =
       filed.groupBy(col(fcol).as("f"))
         .agg(min(col("a")).as("amn"), max(col("a")).as("amx"),

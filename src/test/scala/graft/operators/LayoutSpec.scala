@@ -32,6 +32,60 @@ class LayoutSpec extends AnyFunSuite {
       ("zorder", "suppkey", 4L, 2L, 4L, 500000L)), s"${got.toSeq}")
   }
 
+  test("z-order write realizes the audit: real parquet footers equal the predicted cell stats and skip rate") {
+    import scala.jdk.CollectionConverters._
+    val s = TestSpark.spark
+    val li = graft.Tables.lineitem(s, "/root/testdata/sf0.001")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val out = java.nio.file.Files.createTempDirectory("graft-zwrite").toString
+    Layout.writeZordered(li, out)
+    val predicted = Layout.zCellStats(li).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // read the REAL footers: per cell exactly one file whose column
+    // statistics must equal the audited cell min/max
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val cellDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("zfile="))
+    val actual = cellDirs.map { d =>
+      val cell = d.getName.stripPrefix("zfile=").toLong
+      val parts = d.listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"cell $cell must be one file, got ${parts.length}")
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(parts.head.getAbsolutePath), conf))
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala.toSeq
+        def mm(name: String): (Long, Long) = {
+          val ss = blocks.map(b => b.getColumns.asScala
+            .find(_.getPath.toDotString == name).get.getStatistics)
+          (ss.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+            ss.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+        }
+        val (amn, amx) = mm("l_partkey")
+        val (bmn, bmx) = mm("l_suppkey")
+        cell -> ((amn, amx, bmn, bmx))
+      } finally rd.close()
+    }.toMap
+    assert(actual == predicted,
+      s"footer stats diverge from audited cells:\n$actual\nvs\n$predicted")
+    // the realized skip rate, recomputed from the REAL footers, equals
+    // the audit's predicted files_scanned for both probe columns
+    val audit = Layout.zorderAudit(li).collect()
+      .filter(_.getString(0) == "zorder")
+      .map(r => r.getString(1) -> r.getLong(4)).toMap
+    val aVals = li.select(col("l_partkey")).distinct().collect().map(_.getLong(0))
+    val bVals = li.select(col("l_suppkey")).distinct().collect().map(_.getLong(0))
+    val stats = actual.values.toSeq
+    val scannedA = aVals.map(v => stats.count(c => v >= c._1 && v <= c._2).toLong).sum
+    val scannedB = bVals.map(v => stats.count(c => v >= c._3 && v <= c._4).toLong).sum
+    assert(scannedA == audit("partkey"),
+      s"partkey realized scan $scannedA != predicted ${audit("partkey")}")
+    assert(scannedB == audit("suppkey"),
+      s"suppkey realized scan $scannedB != predicted ${audit("suppkey")}")
+  }
+
   test("zorder audit: constant column degenerates safely (greatest(..,1) guard)") {
     val s = TestSpark.spark
     import s.implicits._
