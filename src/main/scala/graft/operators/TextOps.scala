@@ -418,6 +418,20 @@ object TextOps {
     Bm25Index(postings, doclen, stats, corpus)
   }
 
+  /** [[deleteFromBm25Index]] against a TOMBSTONE TABLE (doc_id rows)
+    * instead of a predicate — the form an online erasure pipeline
+    * feeds: per-doc tables anti-join the list (AQE broadcasts it when
+    * small), statistics re-derive from the survivors identically.
+    */
+  def deleteListFromBm25Index(idx: Bm25Index, deletedIds: DataFrame): Bm25Index = {
+    val ids = deletedIds.select(col("doc_id")).distinct()
+    val postings = idx.postings.join(ids, Seq("doc_id"), "left_anti")
+    val doclen = idx.doclen.join(ids, Seq("doc_id"), "left_anti")
+    val stats = postings.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val corpus = doclen.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    Bm25Index(postings, doclen, stats, corpus)
+  }
+
   /** Oracle for t31/t32/t34/t35: the identical tf/df/length/total
     * computation and the identical fp sequence per contribution
     * (constants interpolated from the same Scala doubles),

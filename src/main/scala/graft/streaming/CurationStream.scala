@@ -881,4 +881,31 @@ object CurationStream {
           onBatch(graft.operators.TextOps.bm25ServeBatch(b, idx, k))
         ()
       }
+
+  /** TOMBSTONE-AWARE ONLINE SERVING — erasure reaches the serving layer
+    * WITHOUT a restart, completing the p53 story online: every
+    * micro-batch re-reads the tombstone table (the append-only doc_id
+    * list an erasure pipeline maintains; the index rebuild can lag
+    * behind it) and serves from the tombstone-pruned index — so a doc
+    * erased between two requests is served to the first and invisible
+    * to the second, with df/avgdl re-derived per batch exactly as t35
+    * prescribes. The tombstone read is one small parquet scan per
+    * batch; the anti-join broadcasts it; everything else is
+    * [[bm25Serve]]'s stateless lookup shape.
+    */
+  def bm25ServeWithTombstones(queries: DataFrame,
+                              idx: graft.operators.TextOps.Bm25Index,
+                              tombstoneDir: String,
+                              k: Int = graft.operators.TextOps.Bm25TopK)
+                             (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val tomb = b.sparkSession.read.parquet(tombstoneDir)
+          onBatch(graft.operators.TextOps.bm25ServeBatch(b,
+            graft.operators.TextOps.deleteListFromBm25Index(idx, tomb), k))
+        }
+        ()
+      }
 }

@@ -81,6 +81,69 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(streamed.map(_._1).distinct.length == 5)
   }
 
+  test("tombstoned serving: a doc erased between requests vanishes from the next batch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val idxDir = Files.createTempDirectory("graft-bm25tomb-idx").toString
+    TextOps.trainAndSaveBm25Index(docs, idxDir)
+    val idx = TextOps.loadBm25Index(spark, idxDir)
+    // the victim: the corpus's rank-1 doc for the house query
+    val victim = TextOps.bm25FromIndex(idx).collect().head.getLong(1)
+    val tombDir = Files.createTempDirectory("graft-bm25tomb-list").toString
+    Seq.empty[Long].toDF("doc_id").write.mode("overwrite").parquet(tombDir)
+
+    val dataDir = Files.createTempDirectory("graft-bm25tomb-req").toString
+    def writeReq(qid: Long, i: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft-bm25tomb-chunk").toString
+      Seq((qid, TextOps.Bm25Query)).toDF("query_id", "terms")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      Files.move(part.toPath,
+        new java.io.File(dataDir, f"req-$i%03d.parquet").toPath)
+      ()
+    }
+    writeReq(1L, 0)
+
+    val got = scala.collection.concurrent.TrieMap
+      .empty[(Long, Int), (Long, Double)]
+    val schema = Seq((1L, Seq("x"))).toDF("query_id", "terms").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = CurationStream.bm25ServeWithTombstones(stream, idx, tombDir) { b =>
+      b.collect().foreach(r =>
+        got.put((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+    }
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-bm25tomb-ckpt").toString)
+      .start()
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(cond, s"timed out waiting for $what")
+    }
+    await(got.keys.exists(_._1 == 1L), "query 1 results")
+    // erase the victim BETWEEN the two requests — no restart, no rebuild
+    Seq(victim).toDF("doc_id").write.mode("append").parquet(tombDir)
+    writeReq(2L, 1)
+    await(got.keys.exists(_._1 == 2L), "query 2 results")
+    q.stop()
+    q.awaitTermination(30000)
+
+    val served1 = got.toSeq.collect { case ((1L, _), (d, _)) => d }
+    val served2 = got.toSeq.collect { case ((2L, rnk), (d, s)) => (rnk, d, s) }.sorted
+    assert(served1.contains(victim), "pre-erasure serve must include the victim")
+    assert(!served2.exists(_._2 == victim), "post-erasure serve must not")
+    // and the post-erasure batch equals t35's batch semantics exactly
+    val expected = TextOps.bm25FromIndex(
+      TextOps.deleteListFromBm25Index(idx, Seq(victim).toDF("doc_id")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(served2 == expected, s"$served2\nvs\n$expected")
+  }
+
   test("streaming ANN serving equals the batch serve, however the request stream is chopped") {
     val spark = TestSpark.spark
     import graft.operators.Similarity
