@@ -52,19 +52,43 @@ object Layout {
     * reads the hypothetical layout off this frame; [[writeZordered]]
     * makes it physical.
     */
-  private def filed(lineitem: DataFrame): DataFrame = {
-    val base = lineitem.select(col("l_partkey").as("a"), col("l_suppkey").as("b"))
-    val mm = base.agg(min(col("a")).as("amn"), max(col("a")).as("amx"),
-      min(col("b")).as("bmn"), max(col("b")).as("bmx"))
+  /** Cell assignment under GIVEN bounds — the shard-append path: scaling
+    * frozen to the layout's saved min/max (an index does not re-scale
+    * per shard — d13's frozen-df rule applied to layout), out-of-range
+    * shard values clamped into the edge cells. The clamp is a no-op on
+    * the full path (global bounds contain every value), so the audit's
+    * arithmetic is unchanged.
+    */
+  private def filedWith(base: DataFrame, mm: DataFrame): DataFrame = {
     val scaled = base.crossJoin(broadcast(mm)).select(col("a"), col("b"),
-      expr("((a - amn) * 65535) div greatest(amx - amn, 1L)").as("a16"),
-      expr("((b - bmn) * 65535) div greatest(bmx - bmn, 1L)").as("b16"))
+      expr("least(greatest(((a - amn) * 65535) div greatest(amx - amn, 1L), 0L), 65535L)")
+        .as("a16"),
+      expr("least(greatest(((b - bmn) * 65535) div greatest(bmx - bmn, 1L), 0L), 65535L)")
+        .as("b16"))
     val z = zTerms((c, i) => s"shiftright($c, $i)")
     scaled.select(col("a"), col("b"),
       expr(s"$z").as("zkey"),
       expr(s"($z) div $zShift").as("zfile"),
       expr(s"a16 div $lShift").as("lfile"))
   }
+
+  private def keyCols(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_partkey").as("a"), col("l_suppkey").as("b"))
+
+  private def bounds(base: DataFrame): DataFrame =
+    base.agg(min(col("a")).as("amn"), max(col("a")).as("amx"),
+      min(col("b")).as("bmn"), max(col("b")).as("bmx"))
+
+  private def filed(lineitem: DataFrame): DataFrame = {
+    val base = keyCols(lineitem)
+    filedWith(base, bounds(base))
+  }
+
+  /** Recompute each row's cell under GIVEN saved bounds — (a, b, zfile);
+    * the frozen-cell invariant check shard appends are tested against.
+    */
+  def cellOf(lineitem: DataFrame, mm: DataFrame): DataFrame =
+    filedWith(keyCols(lineitem), mm).select(col("a"), col("b"), col("zfile"))
 
   /** The audited per-cell min/max table for the z layout — exactly the
     * parquet footer statistics [[writeZordered]]'s output files must
@@ -87,13 +111,58 @@ object Layout {
     * audit's predicted per-cell min/max verbatim, so the audit's
     * scan_frac_ppm is the layout's REAL pruning rate, not a model.
     */
-  def writeZordered(lineitem: DataFrame, dir: String): Unit =
-    filed(lineitem)
+  def writeZordered(lineitem: DataFrame, dir: String): Unit = {
+    val base = keyCols(lineitem)
+    val mm = bounds(base).localCheckpoint(true)
+    filedWith(base, mm)
       .select(col("a").as("l_partkey"), col("b").as("l_suppkey"),
         col("zkey"), col("zfile"))
       .repartition(col("zfile"))
       .sortWithinPartitions(col("zfile"), col("zkey"))
       .write.mode("overwrite").partitionBy("zfile").parquet(dir)
+    // persist the scaling bounds next to the data (underscore path —
+    // invisible to parquet readers) so shard appends can assign cells
+    // without re-deriving bounds from a corpus they must not re-read;
+    // written after the data so the overwrite above cannot clobber it
+    graft.sources.ModelStore.save(mm, s"$dir/_zbounds")
+  }
+
+  /** INCREMENTAL SHARD APPEND into an existing z-ordered layout: cells
+    * are assigned under the SAVED bounds (frozen scaling — re-scaling
+    * per shard would move every existing row's cell), shard rows land
+    * as new files inside their cells' directories, and only the shard
+    * is read or written. A touched cell accumulates files until
+    * [[compactCell]] rewrites it — the d13/t34/s11 artifact economics
+    * applied to physical layout: daily data enters at shard cost, the
+    * full corpus is never relaid.
+    */
+  def writeZorderedShard(shard: DataFrame, dir: String): Unit = {
+    val mm = graft.sources.ModelStore.load(shard.sparkSession, s"$dir/_zbounds")
+    filedWith(keyCols(shard), mm)
+      .select(col("a").as("l_partkey"), col("b").as("l_suppkey"),
+        col("zkey"), col("zfile"))
+      .repartition(col("zfile"))
+      .sortWithinPartitions(col("zfile"), col("zkey"))
+      .write.mode("append").partitionBy("zfile").parquet(dir)
+  }
+
+  /** Rewrite ONE cell's accumulated files into a single z-sorted file
+    * (dynamic partition overwrite — the other cells' files are
+    * untouched). The cell's rows are materialized off the source files
+    * before the overwrite (localCheckpoint) so the rewrite never reads
+    * what it is replacing.
+    */
+  def compactCell(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  cell: Long): Unit =
+    spark.read.parquet(dir)
+      .filter(col("zfile").cast("long") === cell)
+      .select(col("l_partkey"), col("l_suppkey"), col("zkey"),
+        col("zfile").cast("long").as("zfile"))
+      .localCheckpoint(true)
+      .coalesce(1)
+      .sortWithinPartitions(col("zkey"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("zfile").parquet(dir)
 
   def zorderAudit(lineitem: DataFrame): DataFrame = {
     val base = lineitem.select(col("l_partkey").as("a"), col("l_suppkey").as("b"))

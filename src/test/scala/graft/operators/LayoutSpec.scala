@@ -86,6 +86,55 @@ class LayoutSpec extends AnyFunSuite {
       s"suppkey realized scan $scannedB != predicted ${audit("suppkey")}")
   }
 
+  test("incremental z-order: shard appends into frozen cells; compaction restores one tight file") {
+    val s = TestSpark.spark
+    val li = graft.Tables.lineitem(s, "/root/testdata/sf0.001")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+    val cut = li.agg(expr("percentile_approx(l_orderkey, 0.8)")).first().getLong(0)
+    val old = li.filter(col("l_orderkey") < cut).drop("l_orderkey")
+    val shard = li.filter(col("l_orderkey") >= cut).drop("l_orderkey")
+    val out = java.nio.file.Files.createTempDirectory("graft-zshard").toString
+    Layout.writeZordered(old, out)
+    Layout.writeZorderedShard(shard, out)
+
+    // nothing lost, nothing duplicated
+    val back = s.read.parquet(out)
+    assert(back.count() == li.count(), "append must preserve row count")
+
+    // frozen-cell invariant: every row sits in the cell the SAVED bounds
+    // assign it to — shard rows included (old-bounds scaling, clamped)
+    val mm = graft.sources.ModelStore.load(s, s"$out/_zbounds")
+    val recomputed = Layout.cellOf(back, mm)
+    val pairs = back.select(col("l_partkey"), col("l_suppkey"),
+        col("zfile").cast("long").as("zf"))
+      .groupBy("l_partkey", "l_suppkey", "zf").count()
+    val expectPairs = recomputed
+      .select(col("a").as("l_partkey"), col("b").as("l_suppkey"),
+        col("zfile").as("zf"))
+      .groupBy("l_partkey", "l_suppkey", "zf").count()
+    assert(pairs.exceptAll(expectPairs).count() == 0
+      && expectPairs.exceptAll(pairs).count() == 0,
+      "every row must sit in the saved-bounds cell")
+
+    // a shard-touched cell holds >1 file; compaction rewrites ONLY it
+    val cellDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("zfile="))
+    def filesOf(d: java.io.File) = d.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val touched = cellDirs.find(filesOf(_).length > 1)
+    assert(touched.nonEmpty, "the shard must have touched at least one cell")
+    val cell = touched.get.getName.stripPrefix("zfile=").toLong
+    val untouchedFiles = cellDirs.filter(_ != touched.get)
+      .map(d => d.getName -> filesOf(d).map(_.getName).toSet).toMap
+    Layout.compactCell(s, out, cell)
+    assert(filesOf(touched.get).length == 1, "compacted cell must be one file")
+    val afterFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("zfile=")).filter(_.getName != touched.get.getName)
+      .map(d => d.getName -> filesOf(d).map(_.getName).toSet).toMap
+    assert(afterFiles == untouchedFiles, "compaction must not touch other cells")
+    assert(s.read.parquet(out).count() == li.count(), "compaction preserves rows")
+  }
+
   test("zorder audit: constant column degenerates safely (greatest(..,1) guard)") {
     val s = TestSpark.spark
     import s.implicits._
