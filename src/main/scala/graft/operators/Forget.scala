@@ -36,6 +36,10 @@ import Portable._
   *    tables anti-filter, df/totals re-derive from surviving postings.
   *  - ANN index (s9 artifact): cell assignments and PQ codes anti-filter
   *    (the s13 rule); the two trained quantizers are model, not data.
+  *  - Perceptual media fingerprints (mm11 artifact): per-asset rows —
+  *    anti-filter, where an asset is deleted when its SOURCE document is
+  *    (derived variants of an erased doc are derived personal data and
+  *    go with it).
   *  - KMV day sketches (p47 artifact): a sketch is NOT per-key prunable —
   *    dropping the deleted user's hash leaves the k-min of the wrong set
   *    (the k-th smallest survivor was never stored), so AFFECTED DAYS
@@ -83,6 +87,17 @@ object Forget {
     Similarity.IvfPqIndex(idx.coarse, idx.cells.filter(!VecDeleted),
       idx.pqCent, idx.codes.filter(!VecDeleted))
 
+  /** Anti-filter the saved perceptual fingerprint table (mm11
+    * artifact): an asset dies with its source document — variant asset
+    * ids (source + [[Multimodal.VariantOffset]]) resolve to the source
+    * before the delete predicate applies.
+    */
+  def pruneMediaFingerprints(fp: DataFrame): DataFrame = {
+    val src = when(col("asset_id") >= Multimodal.VariantOffset,
+      col("asset_id") - Multimodal.VariantOffset).otherwise(col("asset_id"))
+    fp.filter(!(src % 7 === 3))
+  }
+
   /** KMV day sketches after erasure: affected days (found from the
     * deleted users' own events — delete-list cost) rebuild from
     * surviving events; untouched days keep their saved rows verbatim.
@@ -103,7 +118,7 @@ object Forget {
   def rtbfSweep(docs: DataFrame, events: DataFrame, idx: Dedup.LshIndex,
                 labels: DataFrame, substrIdx: DataFrame,
                 bm25: TextOps.Bm25Index, ann: Similarity.IvfPqIndex,
-                kmvSaved: DataFrame): DataFrame = {
+                kmvSaved: DataFrame, mediaFp: DataFrame): DataFrame = {
     def leg(name: String, before: DataFrame, afterAgg: DataFrame): DataFrame =
       before.agg(count(lit(1)).as("rows_before"))
         .crossJoin(afterAgg)
@@ -116,6 +131,7 @@ object Forget {
     val prunedBm = TextOps.deleteFromBm25Index(bm25, DocDeleted)
     val prunedAnn = pruneAnnIndex(ann)
     val newSketch = pruneKmvSketch(kmvSaved, events)
+    val prunedFp = pruneMediaFingerprints(mediaFp)
     val est = newSketch
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
@@ -138,6 +154,9 @@ object Forget {
       .unionByName(leg("lsh_shingles", idx.shingles,
         pruned.shingles.agg(count(lit(1)).as("rows_after"),
           countDistinct(col("h")).as("stat"))))
+      .unionByName(leg("media_fingerprints", mediaFp,
+        prunedFp.agg(count(lit(1)).as("rows_after"),
+          countDistinct(col("ahash")).as("stat"))))
       .unionByName(leg("substr_grams", substrIdx,
         prunedSubstr.agg(count(lit(1)).as("rows_after"),
           sum(col("df")).as("stat"))))
@@ -161,7 +180,11 @@ object Forget {
     val n10 = Dedup.SubstrN
     val grams10 = (0 until n10).map(j => s"w[i + $j]").mkString(" || ' ' || ")
     val uh = Portable.sqlHash32("user_id::VARCHAR")
-    s"""WITH RECURSIVE ${Dedup.sqlShingleCtes},
+    val vo = Multimodal.VariantOffset
+    val srcDoc =
+      s"(CASE WHEN doc_id >= $vo THEN doc_id - $vo ELSE doc_id END)"
+    s"""WITH RECURSIVE ${Multimodal.sqlImageHashCtes}
+       |${Dedup.sqlShingleCtes},
        |hashed AS MATERIALIZED (SELECT doc_id, $h AS h FROM sh),
        |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
        |stacked AS MATERIALIZED ($arms),
@@ -235,6 +258,11 @@ object Forget {
        |  (SELECT count(*) FROM hashed)::BIGINT,
        |  (SELECT count(*) FROM hashed WHERE doc_id % 7 != 3)::BIGINT,
        |  (SELECT count(DISTINCT h) FROM hashed WHERE doc_id % 7 != 3)::BIGINT
+       |UNION ALL
+       |SELECT 'media_fingerprints',
+       |  (SELECT count(*) FROM hs)::BIGINT,
+       |  (SELECT count(*) FROM hs WHERE $srcDoc % 7 != 3)::BIGINT,
+       |  (SELECT count(DISTINCT h) FROM hs WHERE $srcDoc % 7 != 3)::BIGINT
        |UNION ALL
        |SELECT 'substr_grams',
        |  (SELECT count(DISTINCT g) FROM sg)::BIGINT,

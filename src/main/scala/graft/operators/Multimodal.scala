@@ -576,7 +576,7 @@ object Multimodal {
     * luminances → aHash bits → band stack (`st`). Ends with a trailing
     * comma so callers append their own pairing CTEs.
     */
-  private val sqlImageHashCtes: String = {
+  private[operators] val sqlImageHashCtes: String = {
     val g = HashPpmW * HashPpmH
     val hx = ("md5(text)" +: (1 until 12).map(i => s"md5(text || '#$i')"))
       .mkString(" || ")

@@ -248,12 +248,17 @@ object Pipeline {
       val kmvDir = artifactDir("kmvfull", dir)(tmp =>
         graft.sources.ModelStore.saveLarge(
           graft.operators.Sketches.dailyKmvSketchRows(events), s"$tmp/sketch"))
+      val fpDir = artifactDir("imghash_full", dir)(tmp =>
+        graft.sources.ModelStore.saveLarge(
+          graft.operators.Multimodal.imageHashes(
+            graft.operators.Multimodal.hashAssets(docs)), s"$tmp/hashes"))
       graft.operators.Forget.rtbfSweep(docs, events, idx,
         Dedup.loadClusters(s, labDir),
         Dedup.loadSubstrIndex(s, subDir),
         TextOps.loadBm25Index(s, bmDir),
         Similarity.loadIvfPq(s, annDir),
-        graft.sources.ModelStore.load(s, s"$kmvDir/sketch"))
+        graft.sources.ModelStore.load(s, s"$kmvDir/sketch"),
+        graft.sources.ModelStore.load(s, s"$fpDir/hashes"))
     },
     // SOFT dedup: 1/cluster-size sampling weights from the SAME saved
     // labels (SlimPajama-style downweighting instead of dropping) — the

@@ -47,6 +47,15 @@ class ForgetSpec extends AnyFunSuite {
     assert(ann.cells.filter(Forget.VecDeleted).count() == 0)
     assert(ann.codes.filter(Forget.VecDeleted).count() == 0)
 
+    // the fingerprint table: an erased doc's assets die, INCLUDING its
+    // derived variant (asset_id = doc_id + VariantOffset)
+    val fp = Forget.pruneMediaFingerprints(
+      Multimodal.imageHashes(Multimodal.hashAssets(docs)))
+    val srcId = when(col("asset_id") >= Multimodal.VariantOffset,
+      col("asset_id") - Multimodal.VariantOffset).otherwise(col("asset_id"))
+    assert(fp.filter(srcId % 7 === 3).count() == 0,
+      "asset (or derived variant) of an erased doc in the fingerprints")
+
     // the rebuilt sketch holds only hashes surviving users produce (a
     // colliding survivor may legitimately keep a shared hash alive)
     val saved = Sketches.dailyKmvSketchRows(events)
