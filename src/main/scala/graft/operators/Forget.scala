@@ -87,6 +87,21 @@ object Forget {
     Similarity.IvfPqIndex(idx.coarse, idx.cells.filter(!VecDeleted),
       idx.pqCent, idx.codes.filter(!VecDeleted))
 
+  /** [[pruneAnnIndex]] against a TOMBSTONE TABLE (vec_id rows) — the
+    * online-serving form: per-vector tables anti-join the list (AQE
+    * broadcasts it when small); a tombstoned vector can never be an ADC
+    * candidate, so the exact rerank (which reads the raw corpus only
+    * for candidates) cannot resurface it either.
+    */
+  def pruneAnnIndexList(idx: Similarity.IvfPqIndex,
+                        deletedIds: DataFrame): Similarity.IvfPqIndex = {
+    val ids = deletedIds.select(col("vec_id")).distinct()
+    Similarity.IvfPqIndex(idx.coarse,
+      idx.cells.join(ids, Seq("vec_id"), "left_anti"),
+      idx.pqCent,
+      idx.codes.join(ids, Seq("vec_id"), "left_anti"))
+  }
+
   /** Anti-filter the saved perceptual fingerprint table (mm11
     * artifact): an asset dies with its source document — variant asset
     * ids (source + [[Multimodal.VariantOffset]]) resolve to the source

@@ -775,6 +775,50 @@ object Relational {
         .orderBy(col("rnk"))
     },
 
+    // DORMANT CAPITAL (q39, the TPC-H Q22 shape): above-average-balance
+    // customers with no order since 2000-01-01, reported per nation — the
+    // scalar-subquery + NOT EXISTS pair in its decorrelated Spark form:
+    // ONE global aggregate broadcasts as a scalar row (the comparison is
+    // pure integers — cents x count > total-cents, so no division and no
+    // float ordering anywhere), the NOT EXISTS is one anti-join against
+    // the distinct order-customer keys (AQE broadcasts it when small),
+    // and the nation dim broadcasts. The oracle keeps the textbook
+    // subquery form. Balances ride the exact cents ledger (the
+    // q34/w25 money idiom) so every emitted sum is a BIGINT.
+    QueryDef.sql("q39_dormant_capital",
+      """WITH cc AS (SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal, 2)::DECIMAL(12,2) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |pos AS (SELECT * FROM cc WHERE cents > 0)
+        |SELECT n.n_name, count(*)::BIGINT AS n_cust,
+        |  sum(c.cents)::BIGINT AS bal_cents
+        |FROM pos c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE c.cents * (SELECT count(*) FROM pos)
+        |    > (SELECT sum(cents) FROM pos)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= '2000-01-01')
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, dir) =>
+      val cc = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"),
+        (round(col("c_acctbal"), 2).cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+      val pos = cc.filter(col("cents") > 0)
+      val thr = pos.agg(sum(col("cents")).as("tot"), count(lit(1)).as("n"))
+      val rich = pos.crossJoin(broadcast(thr))
+        .filter(col("cents") * col("n") > col("tot"))
+      val dormant = rich.join(
+        Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey").as("c_custkey")).distinct(),
+        Seq("c_custkey"), "left_anti")
+      dormant.join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+          "c_nationkey")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("bal_cents"))
+        .orderBy(col("n_name"))
+    },
+
     // JOIN-KEY SKEW ADVISOR (q36): the diagnosis q21/q22 are the cure
     // for — one exploded scan, histogram shape per candidate key, hot
     // key via max(struct), integer salt recommendation

@@ -882,6 +882,28 @@ object CurationStream {
         ()
       }
 
+  /** [[annServe]] with a PER-BATCH TOMBSTONE read — the ANN side of
+    * [[bm25ServeWithTombstones]]: each micro-batch re-reads the
+    * append-only vec_id tombstone table and serves from the pruned
+    * index, so an erasure lands between two queries without restart or
+    * index rebuild. The quantizers are untouched; only per-vector rows
+    * anti-join the (small, broadcast) list.
+    */
+  def annServeWithTombstones(queries: DataFrame, corpus: DataFrame,
+                             idx: graft.operators.Similarity.IvfPqIndex,
+                             tombstoneDir: String, sub: Int, k: Int)
+                            (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val tomb = b.sparkSession.read.parquet(tombstoneDir)
+          onBatch(graft.operators.Similarity.ivfPqServe(b, corpus,
+            graft.operators.Forget.pruneAnnIndexList(idx, tomb), sub, k))
+        }
+        ()
+      }
+
   /** TOMBSTONE-AWARE ONLINE SERVING — erasure reaches the serving layer
     * WITHOUT a restart, completing the p53 story online: every
     * micro-batch re-reads the tombstone table (the append-only doc_id

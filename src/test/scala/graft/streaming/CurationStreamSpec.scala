@@ -144,6 +144,75 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(served2 == expected, s"$served2\nvs\n$expected")
   }
 
+  test("tombstoned ANN serving: a vector erased between requests vanishes from the next batch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.{Forget, Similarity}
+    val corpus = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val sub = 64 / Similarity.PqBlocks
+    val idxDir = Files.createTempDirectory("graft-anntomb-idx").toString
+    Similarity.trainAndSaveIvfPq(corpus, sub, idxDir)
+    val idx = Similarity.loadIvfPq(spark, idxDir)
+    val qvec = corpus.filter(col("vec_id") === 0L)
+      .select(lit(20001L).as("vec_id"), col("embedding"), col("label"))
+    // the victim: this query's best match
+    val victim = Similarity.ivfPqServe(qvec, corpus, idx, sub, 5)
+      .collect().head.getLong(2)
+    val tombDir = Files.createTempDirectory("graft-anntomb-list").toString
+    Seq.empty[Long].toDF("vec_id").write.mode("overwrite").parquet(tombDir)
+
+    val dataDir = Files.createTempDirectory("graft-anntomb-req").toString
+    def writeReq(qid: Long, i: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft-anntomb-chunk").toString
+      corpus.filter(col("vec_id") === 0L)
+        .select(lit(qid).as("vec_id"), col("embedding"), col("label"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      Files.move(part.toPath,
+        new java.io.File(dataDir, f"req-$i%03d.parquet").toPath)
+      ()
+    }
+    writeReq(20001L, 0)
+
+    val got = scala.collection.concurrent.TrieMap
+      .empty[(Long, Int), (Long, Double)]
+    val stream = spark.readStream.schema(qvec.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = CurationStream.annServeWithTombstones(
+        stream, corpus, idx, tombDir, sub, 5) { b =>
+      b.collect().foreach(r =>
+        got.put((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+    }
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-anntomb-ckpt").toString)
+      .start()
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(cond, s"timed out waiting for $what")
+    }
+    await(got.keys.exists(_._1 == 20001L), "query 1 results")
+    Seq(victim).toDF("vec_id").write.mode("append").parquet(tombDir)
+    writeReq(20002L, 1)
+    await(got.keys.exists(_._1 == 20002L), "query 2 results")
+    q.stop()
+    q.awaitTermination(30000)
+
+    val served1 = got.toSeq.collect { case ((20001L, _), (v, _)) => v }
+    val served2 = got.toSeq.collect { case ((20002L, rnk), (v, s)) => (rnk, v, s) }.sorted
+    assert(served1.contains(victim), "pre-erasure serve must include the victim")
+    assert(!served2.exists(_._2 == victim), "post-erasure serve must not")
+    val expected = Similarity.ivfPqServe(
+        corpus.filter(col("vec_id") === 0L)
+          .select(lit(20002L).as("vec_id"), col("embedding"), col("label")),
+        corpus, Forget.pruneAnnIndexList(idx, Seq(victim).toDF("vec_id")),
+        sub, 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+    assert(served2 == expected, s"$served2\nvs\n$expected")
+  }
+
   test("streaming ANN serving equals the batch serve, however the request stream is chopped") {
     val spark = TestSpark.spark
     import graft.operators.Similarity
