@@ -89,4 +89,27 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Skew.skewReport(el2,
       Seq("l_orderkey", "l_partkey", "l_suppkey")).count() == 0)
   }
+
+  test("round-12 additions survive empty inputs") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val d = emptyDocs
+    val e = emptyEvents
+    // empty erasure surfaces: an index built from nothing prunes to
+    // nothing; an empty delete-list changes nothing
+    val emptyIdxGrams = Seq.empty[(Long, Long)].toDF("g", "df")
+    assert(Dedup.deleteFromSubstrIndex(emptyIdxGrams, d).count() == 0)
+    val emptySketch = Seq.empty[(String, Long)].toDF("day", "h")
+    assert(graft.operators.Forget.pruneKmvSketch(emptySketch, e).count() == 0)
+    val emptyFp = Seq.empty[(Long, Long, Int)].toDF("asset_id", "ahash", "nbits")
+    assert(graft.operators.Forget.pruneMediaFingerprints(emptyFp).count() == 0)
+    // serving an empty request batch from a real index emits nothing
+    val docsReal = graft.Tables.documents(s, "/root/testdata/sf0.001").limit(50)
+    val bm = TextOps.buildBm25Index(docsReal)
+    val emptyQ = Seq.empty[(Long, Seq[String])].toDF("query_id", "terms")
+    assert(TextOps.bm25ServeBatch(emptyQ, bm).count() == 0)
+    // deleting EVERYTHING from an index leaves a servable empty index
+    val allGone = TextOps.deleteFromBm25Index(bm, lit(true))
+    assert(TextOps.bm25FromIndex(allGone).count() == 0)
+  }
 }
