@@ -34,6 +34,11 @@ import Portable._
   *    decrement df, zero-df grams leave; equals a fresh survivor build.
   *  - BM25 index (t32 artifact): [[TextOps.deleteFromBm25Index]] — per-doc
   *    tables anti-filter, df/totals re-derive from surviving postings.
+  *  - LM counts (t21 artifact): count-reversible decrement
+  *    ([[TextOps.deleteFromSurprisalModel]], the t24 merge inverted) —
+  *    the deleted docs' token counts subtract, the vocabulary and
+  *    totals re-derive; the erased text stops influencing every
+  *    downstream surprisal/quality verdict.
   *  - ANN index (s9 artifact): cell assignments and PQ codes anti-filter
   *    (the s13 rule); the two trained quantizers are model, not data.
   *  - Perceptual media fingerprints (mm11 artifact): per-asset rows —
@@ -52,6 +57,21 @@ import Portable._
   * re-derived integrity statistic that only comes out right if the
   * pruning + re-derivation did (distinct surviving keys, re-closed
   * cluster count, re-summed dfs, re-estimated sketch total).
+  *
+  * The artifact taxonomy this sweep makes explicit — every saved
+  * artifact in the engine falls in one of three erasure classes:
+  *  1. PER-KEY PRUNABLE (anti-filter): LSH postings/buckets/counts,
+  *     BM25 postings/doclens, ANN cells/codes, media fingerprints.
+  *  2. COUNT-REVERSIBLE (decrement, equals the survivor build): substr
+  *     gram dfs, BM25 df/totals, LM counts/totals, KMV via bounded
+  *     affected-day rebuild, cluster labels via pair-graph re-closure.
+  *  3. MODEL-EXEMPT (trained aggregates where a single document's
+  *     contribution is not recoverable and retraining is the only exact
+  *     remedy): BPE/unigram tokenizer vocabularies, k-means centroids,
+  *     PQ codebooks, whitening matrices — the quantizer halves of the
+  *     indexes above, declared model-not-data by s13's rule; a real
+  *     deployment schedules their retrain, it does not block serving
+  *     on it.
   *
   * Scale shape: every leg is an aggregate over an artifact table (never
   * the corpus) except the two declared rebuild legs, which touch the
@@ -133,7 +153,8 @@ object Forget {
   def rtbfSweep(docs: DataFrame, events: DataFrame, idx: Dedup.LshIndex,
                 labels: DataFrame, substrIdx: DataFrame,
                 bm25: TextOps.Bm25Index, ann: Similarity.IvfPqIndex,
-                kmvSaved: DataFrame, mediaFp: DataFrame): DataFrame = {
+                kmvSaved: DataFrame, mediaFp: DataFrame,
+                lm: TextOps.SurprisalModel): DataFrame = {
     def leg(name: String, before: DataFrame, afterAgg: DataFrame): DataFrame =
       before.agg(count(lit(1)).as("rows_before"))
         .crossJoin(afterAgg)
@@ -147,6 +168,9 @@ object Forget {
     val prunedAnn = pruneAnnIndex(ann)
     val newSketch = pruneKmvSketch(kmvSaved, events)
     val prunedFp = pruneMediaFingerprints(mediaFp)
+    // band recompute stays unexecuted here (lazy) — the leg reads counts
+    val prunedLm = TextOps.deleteFromSurprisalModel(lm,
+      docs.filter(DocDeleted), docs.filter(!DocDeleted))
     val est = newSketch
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
@@ -163,6 +187,9 @@ object Forget {
       .unionByName(leg("kmv_days", kmvSaved,
         newSketch.agg(count(lit(1)).as("rows_after"))
           .crossJoin(est.agg(sum(col("est")).as("stat")))))
+      .unionByName(leg("lm_counts", lm.counts,
+        prunedLm.counts.agg(count(lit(1)).as("rows_after"),
+          sum(col("c")).as("stat"))))
       .unionByName(leg("lsh_buckets", idx.buckets,
         pruned.buckets.agg(count(lit(1)).as("rows_after"),
           countDistinct(concat_ws(":", col("band"), col("bh"))).as("stat"))))
@@ -231,6 +258,12 @@ object Forget {
        |btoks AS (SELECT doc_id, unnest(${Portable.sqlTokens("text")}) AS t
        |  FROM documents),
        |bp AS MATERIALIZED (SELECT DISTINCT t, doc_id FROM btoks),
+       |lmc AS MATERIALIZED (SELECT t, count(*)::BIGINT AS c FROM btoks GROUP BY t),
+       |lmdel AS (SELECT t, count(*)::BIGINT AS d FROM btoks
+       |  WHERE doc_id % 7 = 3 GROUP BY t),
+       |lmafter AS (SELECT l.t, l.c - coalesce(d.d, 0) AS c
+       |  FROM lmc l LEFT JOIN lmdel d USING (t)
+       |  WHERE l.c - coalesce(d.d, 0) > 0),
        |kall AS (SELECT DISTINCT strftime(ts::DATE, '%Y-%m-%d') AS day, $uh AS h
        |  FROM events WHERE ts IS NOT NULL),
        |ksur AS (SELECT DISTINCT strftime(ts::DATE, '%Y-%m-%d') AS day, $uh AS h
@@ -262,6 +295,11 @@ object Forget {
        |  (SELECT count(*) FROM kb)::BIGINT,
        |  (SELECT count(*) FROM ka)::BIGINT,
        |  (SELECT sum(${Sketches.sqlEstExpr("n_kept", "hk")}) FROM kg)::BIGINT
+       |UNION ALL
+       |SELECT 'lm_counts',
+       |  (SELECT count(*) FROM lmc)::BIGINT,
+       |  (SELECT count(*) FROM lmafter)::BIGINT,
+       |  (SELECT sum(c) FROM lmafter)::BIGINT
        |UNION ALL
        |SELECT 'lsh_buckets',
        |  (SELECT count(*) FROM stacked)::BIGINT,

@@ -925,6 +925,35 @@ object TextOps {
     * scoring from merge(train(old), train(shard)) must hash-match t13's
     * full-corpus train byte-for-byte.
     */
+  /** COUNT-REVERSIBLE DELETION from a saved LM (the t24 merge, inverted
+    * — the erasure leg an add-one unigram model admits that a trained
+    * tokenizer does not): the deleted docs' own token counts subtract
+    * from the model's counts at delete-list cost, zero-count words leave
+    * the vocabulary, N subtracts the deleted token mass, V re-counts
+    * from the pruned table, and the quality band re-derives by scoring
+    * `bandCorpus` under the pruned model. Below the vocab cap this
+    * EQUALS a fresh train over the survivors (integer count identity,
+    * property-pinned); at cap the lookup table stays frozen (a
+    * below-cap word the survivors would promote cannot re-enter — the
+    * pruneLshIndex frozen-df convention).
+    */
+  def deleteFromSurprisalModel(m: SurprisalModel, deletedDocs: DataFrame,
+                               bandCorpus: DataFrame): SurprisalModel = {
+    val dc = deletedDocs.select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("d"))
+    val counts = m.counts.join(dc, Seq("t"), "left")
+      .select(col("t"), (col("c") - coalesce(col("d"), lit(0L))).as("c"))
+      .filter(col("c") > 0)
+    val totals = m.totals.select(col("n").as("n0"))
+      .crossJoin(broadcast(dc.agg(coalesce(sum(col("d")), lit(0L)).as("nd"))))
+      .crossJoin(broadcast(counts.agg(count(lit(1)).as("v"))))
+      .select((col("n0") - col("nd")).as("n"), col("v"))
+    val band = scoreUnigram(bandCorpus, counts, totals)
+      .agg(percentile(col("bits_per_token"), lit(0.25)).as("lo"),
+        percentile(col("bits_per_token"), lit(0.75)).as("hi"))
+    SurprisalModel(counts, totals, band)
+  }
+
   def mergeSurprisalModels(a: SurprisalModel, b: SurprisalModel,
                            bandCorpus: DataFrame): SurprisalModel = {
     val counts = a.counts.unionByName(b.counts)

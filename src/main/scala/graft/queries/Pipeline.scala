@@ -252,13 +252,16 @@ object Pipeline {
         graft.sources.ModelStore.saveLarge(
           graft.operators.Multimodal.imageHashes(
             graft.operators.Multimodal.hashAssets(docs)), s"$tmp/hashes"))
+      val lmDir = artifactDir("lm", dir)(tmp =>
+        TextOps.trainAndSaveSurprisalModel(docs, tmp))
       graft.operators.Forget.rtbfSweep(docs, events, idx,
         Dedup.loadClusters(s, labDir),
         Dedup.loadSubstrIndex(s, subDir),
         TextOps.loadBm25Index(s, bmDir),
         Similarity.loadIvfPq(s, annDir),
         graft.sources.ModelStore.load(s, s"$kmvDir/sketch"),
-        graft.sources.ModelStore.load(s, s"$fpDir/hashes"))
+        graft.sources.ModelStore.load(s, s"$fpDir/hashes"),
+        TextOps.loadSurprisalModel(s, lmDir))
     },
     // SOFT dedup: 1/cluster-size sampling weights from the SAME saved
     // labels (SlimPajama-style downweighting instead of dropping) — the

@@ -68,6 +68,34 @@ class ForgetPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("lm count-decrement scores exactly like the survivor train on random corpora") {
+    val s = TestSpark.spark
+    (61L to 64L).foreach { seed =>
+      val d = docs(seed)
+      val survivors = d.filter(!Forget.DocDeleted)
+      val full = java.nio.file.Files.createTempDirectory("graft-fprop-lmf").toString
+      val fresh = java.nio.file.Files.createTempDirectory("graft-fprop-lms").toString
+      TextOps.trainAndSaveSurprisalModel(d, full)
+      TextOps.trainAndSaveSurprisalModel(survivors, fresh)
+      val pruned = TextOps.deleteFromSurprisalModel(
+        TextOps.loadSurprisalModel(s, full), d.filter(Forget.DocDeleted), survivors)
+      val freshM = TextOps.loadSurprisalModel(s, fresh)
+      assert(pruned.counts.orderBy(col("t")).collect().map(_.toSeq).toSeq
+        == freshM.counts.orderBy(col("t")).collect().map(_.toSeq).toSeq,
+        s"seed $seed counts")
+      assert(pruned.totals.collect().map(_.toSeq).toSeq
+        == freshM.totals.collect().map(_.toSeq).toSeq, s"seed $seed totals")
+      // scoring under the pruned model is byte-identical to the
+      // survivor-trained model's — the erased text no longer influences
+      // any downstream verdict
+      val a = TextOps.unigramSurprisalFromSaved(survivors, pruned)
+        .collect().map(_.toSeq).toSeq
+      val b = TextOps.unigramSurprisalFromSaved(survivors, freshM)
+        .collect().map(_.toSeq).toSeq
+      assert(a == b, s"seed $seed scoring")
+    }
+  }
+
   test("kmv affected-day rebuild equals the survivor sketch on random event tables") {
     val s = TestSpark.spark
     import s.implicits._
