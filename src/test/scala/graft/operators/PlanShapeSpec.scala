@@ -676,6 +676,41 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bm25 serving batch: terms broadcast into the postings scan, per-query rank is partitioned") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val docs = graft.Tables.documents(s, dir)
+    val idx = TextOps.buildBm25Index(docs)
+    val queries = Seq((1L, Seq("the", "and")), (2L, Seq("spark")))
+      .toDF("query_id", "terms")
+    val plan = executed(TextOps.bm25ServeBatch(queries, idx))
+    // the request side must broadcast — a shuffle of the corpus-sized
+    // postings keyed by query terms would defeat the serving economics
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the term/stats broadcasts in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cross product:\n$plan")
+    // the rank window partitions by query_id: WindowGroupLimit truncates
+    // map-side and one query can never funnel the whole batch
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-K must partial-limit:\n$plan")
+  }
+
+  test("q39 decorrelation: scalar threshold broadcasts, NOT EXISTS is an anti-join") {
+    val plan = executed(graft.SparkEntry.queries("q39_dormant_capital")(
+      TestSpark.spark, dir))
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS must plan as an anti-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the scalar row must broadcast, not cross:\n$plan")
+  }
+
+  test("rtbf sweep: artifact-table aggregates only — no cross product anywhere") {
+    val plan = executed(graft.SparkEntry.queries("p53_rtbf_sweep")(
+      TestSpark.spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"every leg must stay equi-join/broadcast:\n$plan")
+  }
+
   test("collocations + textrank: top-K is TakeOrderedAndProject, never a full-table rank") {
     val docs = graft.Tables.documents(TestSpark.spark, dir)
     // the PMI pair table / token-centrality table are unbounded at scale;
