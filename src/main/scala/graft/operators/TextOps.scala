@@ -347,7 +347,16 @@ object TextOps {
     */
   def trainAndSaveBm25Index(docs: DataFrame, dir: String): Bm25Index = {
     val idx = buildBm25Index(docs)
-    graft.sources.ModelStore.saveLarge(idx.postings, s"$dir/bm25_postings")
+    // postings land RANGE-PARTITIONED AND SORTED by their own term key:
+    // every parquet footer then carries a tight [min_t, max_t], so a
+    // serving read with a pushed-down term predicate opens only the
+    // row groups holding its posting lists — the layout that makes
+    // [[bm25ServeBatch]]'s scan an index seek, not a table scan
+    idx.postings
+      .repartitionByRange(col("t"))
+      .sortWithinPartitions(col("t"), col("doc_id"))
+      .write.option("maxRecordsPerFile", "5000000")
+      .mode("overwrite").parquet(s"$dir/bm25_postings")
     graft.sources.ModelStore.saveLarge(idx.doclen, s"$dir/bm25_doclen")
     graft.sources.ModelStore.saveLarge(idx.stats, s"$dir/bm25_stats")
     graft.sources.ModelStore.save(idx.corpus, s"$dir/bm25_corpus")
@@ -472,23 +481,35 @@ object TextOps {
     * one-row batch carrying [[Bm25Query]] reproduces t32 verbatim
     * (pinned in CurationStreamSpec).
     *
-    * Scale shape: the batch's distinct terms BROADCAST into the postings
-    * and stats scans (per-batch |terms| posting lists read, never the
-    * corpus); doc lengths join only touched docs; the rank window
-    * partitions by query_id, so WindowGroupLimit truncates map-side and
-    * no request can see another's rows.
+    * Scale shape: the batch's distinct terms (bounded by the request
+    * batch) become a pushed-down IN predicate on the postings/stats
+    * scans — with the saved index's t-sorted layout the read opens only
+    * the row groups holding those posting lists — then broadcast-join
+    * to reattach query ids; doc lengths join only touched docs; the
+    * rank window partitions by query_id, so WindowGroupLimit truncates
+    * map-side and no request can see another's rows.
     */
   def bm25ServeBatch(queries: DataFrame, idx: Bm25Index,
                      k: Int = Bm25TopK): DataFrame = {
     val qt = queries
       .select(col("query_id"), explode(col("terms")).as("t")).distinct()
-    val terms = qt.select(col("t")).distinct()
-    val qs = idx.stats.join(broadcast(terms), "t")
+    // the batch's term set collects to a LITERAL IN predicate — bounded
+    // by the request batch, and the one form parquet pushes down: with
+    // the index's t-sorted layout (trainAndSaveBm25Index) the postings
+    // scan opens only the row groups holding these terms' posting lists
+    // (a broadcast join probes every row group; a pushed filter skips
+    // them) — plan-locked in PlanShapeSpec
+    val termList = qt.select(col("t")).distinct().collect().map(_.getString(0))
+    val qp0 =
+      if (termList.isEmpty) idx.postings.filter(lit(false))
+      else idx.postings.filter(col("t").isin(termList.toSeq: _*))
+    val qs = idx.stats.filter(
+      if (termList.isEmpty) lit(false) else col("t").isin(termList.toSeq: _*))
     val avgdl = col("sum_dl").cast("double") / col("n")
     val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
     val denom = col("tf") +
       lit(Bm25K1) * (lit(Bm25OneMinusB) + lit(Bm25B) * (col("dl") / avgdl))
-    val contrib = idx.postings.join(broadcast(qt), "t")
+    val contrib = qp0.join(broadcast(qt), "t")
       .join(broadcast(qs), "t")
       .join(idx.doclen, "doc_id")
       .crossJoin(broadcast(idx.corpus))

@@ -676,18 +676,22 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("bm25 serving batch: terms broadcast into the postings scan, per-query rank is partitioned") {
+  test("bm25 serving batch: term IN-filter pushed to the saved postings scan, per-query rank partitioned") {
     val s = TestSpark.spark
     import s.implicits._
     val docs = graft.Tables.documents(s, dir)
-    val idx = TextOps.buildBm25Index(docs)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-bm25plan").toString
+    val idx = TextOps.trainAndSaveBm25Index(docs, idxDir)
     val queries = Seq((1L, Seq("the", "and")), (2L, Seq("spark")))
       .toDF("query_id", "terms")
     val plan = executed(TextOps.bm25ServeBatch(queries, idx))
-    // the request side must broadcast — a shuffle of the corpus-sized
-    // postings keyed by query terms would defeat the serving economics
+    // the serving read is an index SEEK: the batch's term list reaches
+    // the parquet scan as a pushed filter (with the t-sorted layout that
+    // is row-group pruning), never a full postings probe
+    assert(plan.contains("PushedFilters: [In(t"),
+      s"expected the term IN-list pushed to the postings scan in:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
-      s"expected the term/stats broadcasts in:\n$plan")
+      s"expected the query-id/stats broadcasts in:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no cross product:\n$plan")
     // the rank window partitions by query_id: WindowGroupLimit truncates
     // map-side and one query can never funnel the whole batch
