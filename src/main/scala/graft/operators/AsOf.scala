@@ -903,6 +903,103 @@ object AsOf {
         GroupStateTimeout.EventTimeTimeout)(foldNearest(tolUs))
       .toDF()
   }
+  // ----------------------------------------------------- streaming funnel
+
+  /** Tagged funnel event: side 0 = signup, 1 = view, 2 = purchase — the
+    * intra-batch sort order at one instant, mirroring the batch chain's
+    * inclusive-<= tie rules (a signup at the view's instant matches it; a
+    * view at the purchase's instant matches it).
+    */
+  final case class FunnelEv(k: String, tsUs: Long, side: Int, id: Long)
+
+  /** O(1) per-user funnel state: the latest signup, and the latest view
+    * WITH the signup that was current when it arrived — the chained
+    * as-of, folded forward.
+    */
+  final case class FunnelSt(sigTs: Option[Long], sigId: Option[Long],
+                            viewTs: Option[Long], viewId: Option[Long],
+                            viewSigId: Option[Long])
+
+  /** One funnel row per purchase: its as-of view and that view's as-of
+    * signup (the w16 semantics — step 2 anchors at the MATCHED VIEW's
+    * instant, not the purchase's).
+    */
+  final case class FunnelRow(user_id: String, purchase_id: Long,
+                             view_id: Option[Long], signup_id: Option[Long])
+
+  /** Per-key fold shared by [[funnelStream]] and its spec: rows sort by
+    * (instant, side, id); a signup advances the signup state
+    * (latest-wins, larger id at the same instant — the batch's
+    * per-(user, ts) max(event_id) pre-aggregation); a view advances the
+    * view state AND freezes the then-current as-of signup into it (under
+    * in-order arrival that is exactly `signup as-of vts`); a purchase
+    * emits the stored view at-or-before its own instant, or unmatched —
+    * the [[foldAsOf]] no-rewind rule: an out-of-order purchase older
+    * than the stored view emits observably unmatched, never matched to
+    * its event-time future.
+    */
+  def foldFunnel(key: String, rows: Iterator[FunnelEv],
+                 state: org.apache.spark.sql.streaming.GroupState[FunnelSt])
+      : Iterator[FunnelRow] = {
+    var st = state.getOption.getOrElse(FunnelSt(None, None, None, None, None))
+    val out = rows.toSeq.sortBy(e => (e.tsUs, e.side, e.id)).flatMap { e =>
+      e.side match {
+        case 0 =>
+          val newer = st.sigTs.forall(t => e.tsUs > t ||
+            (e.tsUs == t && st.sigId.forall(e.id > _)))
+          if (newer) st = st.copy(sigTs = Some(e.tsUs), sigId = Some(e.id))
+          Nil
+        case 1 =>
+          val newer = st.viewTs.forall(t => e.tsUs > t ||
+            (e.tsUs == t && st.viewId.forall(e.id > _)))
+          if (newer) {
+            val sig =
+              if (st.sigTs.exists(_ <= e.tsUs)) st.sigId else None
+            st = st.copy(viewTs = Some(e.tsUs), viewId = Some(e.id),
+              viewSigId = sig)
+          }
+          Nil
+        case _ =>
+          val ok = st.viewTs.exists(_ <= e.tsUs)
+          Seq(FunnelRow(key, e.id,
+            if (ok) st.viewId else None,
+            if (ok) st.viewSigId else None))
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** STREAMING FUNNEL — the w16 chained as-of running continuously: one
+    * events stream, per-user keyed state, one emitted row per purchase
+    * carrying its as-of view and that view's as-of signup. Equals the
+    * batch [[funnel]]'s per-purchase chain exactly when each user's
+    * events ARRIVE in event-time order (the [[asOfStream]] contract);
+    * intra-batch disorder is absorbed by the (instant, side, id) sort.
+    *
+    * Scale shape: state is FIVE scalars per live user — not the user's
+    * history — partitioned by key like all keyed state; each micro-batch
+    * shuffles once on user_id. The continuous form of the funnel a batch
+    * job re-derives from scratch each day.
+    */
+  def funnelStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.filter(col("ts").isNotNull &&
+        col("event_type").isin("signup", "view", "purchase"))
+      .select(col("user_id").cast("string").as("k"),
+        unix_micros(col("ts")).as("tsUs"),
+        when(col("event_type") === "signup", 0)
+          .when(col("event_type") === "view", 1)
+          .otherwise(2).as("side"),
+        col("event_id").as("id"))
+      .as[FunnelEv]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(foldFunnel)
+      .toDF()
+  }
 }
 
 /** Banded event-time RANGE join — as-of's sibling among the operators

@@ -493,4 +493,85 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == Map(100L -> Some(10.0), 101L -> Some(25.0), 102L -> Some(30.0),
       103L -> Some(30.0), 104L -> None), s"$got")
   }
+
+  test("streaming funnel equals the batch chain per purchase on in-order arrival") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val evs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("ts").isNotNull)
+    // batch ground truth: the funnel operator's own chain, per purchase
+    val purchases = evs.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = evs.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("vts0"))
+      .agg(max(col("event_id")).as("view_id"))
+    val signups = evs.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts").as("sts0"))
+      .agg(max(col("event_id")).as("signup_id"))
+    val st1 = AsOf.asOf(purchases, "user_id", "ts", views, "vts0", "view_id")
+      .select(col("user_id"), col("event_id"),
+        col("__match").as("view_id"), col("__mts").as("vts"))
+    val st2 = AsOf.asOf(st1.filter(col("view_id").isNotNull),
+        "user_id", "vts", signups, "sts0", "signup_id")
+      .select(col("event_id"), col("__match").as("signup_id"))
+    val sigOf = st2.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val expected = st1.collect().map { r =>
+      val pid = r.getLong(1)
+      val v = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      pid -> ((v, if (v.isEmpty) None else sigOf.getOrElse(pid, None)))
+    }.toMap
+    assert(expected.nonEmpty && expected.values.exists(_._1.nonEmpty),
+      "fixture must exercise matched purchases")
+
+    // stream the SAME events in event-time order, chopped in two batches
+    val rows = evs.filter(col("event_type").isin("signup", "view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getLong(3)))
+      .sortBy(x => (x._2.getTime, x._4))
+    val in = MemoryStream[(Long, Timestamp, String, Long)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Timestamp, String, Long)]],
+      spark)
+    val q = AsOf.funnelStream(
+        in.toDF().toDF("user_id", "ts", "event_type", "event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_stream").start()
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    in.addData(h1.toIndexedSeq); q.processAllAvailable()
+    in.addData(h2.toIndexedSeq); q.processAllAvailable()
+    val got = spark.table("funnel_stream").collect().map { r =>
+      r.getAs[Long]("purchase_id") -> ((
+        Option(r.getAs[java.lang.Long]("view_id")).map(_.longValue),
+        Option(r.getAs[java.lang.Long]("signup_id")).map(_.longValue)))
+    }.toMap
+    q.stop()
+    assert(got == expected,
+      s"diff=${(got.toSet -- expected.toSet).take(5)} vs ${(expected.toSet -- got.toSet).take(5)}")
+  }
+
+  test("streaming funnel no-rewind: an out-of-order purchase older than the stored view emits unmatched") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def st(s: Option[AsOf.FunnelSt]) = TestGroupState.create[AsOf.FunnelSt](
+      org.apache.spark.api.java.Optional.ofNullable(s.orNull),
+      GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long], hasTimedOut = false)
+    // batch 1: signup@1, view@5 (captures signup), state advances
+    val s1 = st(None)
+    assert(AsOf.foldFunnel("u", Iterator(
+      AsOf.FunnelEv("u", 1000000L, 0, 10L),
+      AsOf.FunnelEv("u", 5000000L, 1, 20L)), s1).isEmpty)
+    // batch 2: a LATE purchase at t=3 (older than the stored view at t=5)
+    // must emit unmatched — never matched to its event-time future
+    val s2 = st(Some(s1.get))
+    val out = AsOf.foldFunnel("u", Iterator(
+      AsOf.FunnelEv("u", 3000000L, 2, 30L)), s2).toList
+    assert(out == List(AsOf.FunnelRow("u", 30L, None, None)), s"$out")
+    // an in-order purchase at t=9 then matches view 20 + signup 10
+    val s3 = st(Some(s2.get))
+    val out2 = AsOf.foldFunnel("u", Iterator(
+      AsOf.FunnelEv("u", 9000000L, 2, 31L)), s3).toList
+    assert(out2 == List(AsOf.FunnelRow("u", 31L, Some(20L), Some(10L))), s"$out2")
+  }
 }
