@@ -494,8 +494,24 @@ object Multimodal {
     * the shard); old×old pairs never recompute. Candidate volume scales
     * with the shard, not the corpus — the s11/d13 argument, verbatim.
     */
-  def imageShardNearDup(savedHashes: DataFrame, shardAssets: DataFrame): DataFrame = {
-    val newH = imageHashes(shardAssets)
+  def imageShardNearDup(savedHashes: DataFrame, shardAssets: DataFrame): DataFrame =
+    shardBandProbe(savedHashes, imageHashes(shardAssets))
+
+  /** Incremental AUDIO-shard dedup (mm12, mm11's waveform sibling):
+    * today's shard decodes and fingerprints only its own audio, then
+    * band-probes the SAVED fingerprint table — candidate volume scales
+    * with the shard, the corpus is never re-decoded. Same 8-bytes-per-
+    * asset economics, same pigeonhole exactness.
+    */
+  def audioShardNearDup(savedHashes: DataFrame, shardAssets: DataFrame): DataFrame =
+    shardBandProbe(savedHashes, audioHashes(shardAssets))
+
+  /** The shared shard probe behind mm11/mm12: new fingerprints band-join
+    * saved ∪ new (cross-corpus AND within-shard pairs), bit_count
+    * verifies candidates only — the d13 two-sided candidate rule applied
+    * to the Hamming pigeonhole.
+    */
+  private def shardBandProbe(savedHashes: DataFrame, newH: DataFrame): DataFrame = {
     val probe = bandStack(newH)
     val build = bandStack(savedHashes.unionByName(newH))
     val cand = probe.as("x").join(build.as("y"),
@@ -508,6 +524,37 @@ object Multimodal {
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
       .distinct()
     cand.filter(col("hamming") <= HashMaxHamming)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** Incremental VIDEO-shard dedup (mm13, the temporal leg's shard path):
+    * the corpus ships as its saved per-frame fingerprint table; the
+    * shard's frames probe the (position, frame-hash) inverted index —
+    * the mm9 verify (matching-position fraction against the longer
+    * video) over pairs with a shard side only. Within-shard pairs found
+    * from both directions collapse via the per-position distinct.
+    */
+  def videoShardNearDup(savedFrames: DataFrame, shardAssets: DataFrame): DataFrame = {
+    val newF = videoFrameHashes(shardAssets)
+    val all = savedFrames.unionByName(newF)
+    val cnt = all.groupBy(col("asset_id")).agg(count(lit(1)).as("nf"))
+    val pos = newF.as("x").join(all.as("y"),
+        col("x.frame_no") === col("y.frame_no") &&
+          col("x.nbits") === col("y.nbits") &&
+          col("x.fhash") === col("y.fhash") &&
+          col("x.asset_id") =!= col("y.asset_id"))
+      .select(least(col("x.asset_id"), col("y.asset_id")).as("ia"),
+        greatest(col("x.asset_id"), col("y.asset_id")).as("ib"),
+        col("x.frame_no").as("f"))
+      .distinct()
+    pos.groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("n_match"))
+      .join(cnt.as("ca"), col("ia") === col("ca.asset_id"))
+      .join(cnt.as("cb"), col("ib") === col("cb.asset_id"))
+      .filter(col("n_match").cast("double")
+        / greatest(col("ca.nf"), col("cb.nf")) >= VideoMatchFrac)
+      .select(col("ia"), col("ib"), col("n_match"),
+        round(col("n_match").cast("double")
+          / greatest(col("ca.nf"), col("cb.nf")), 4).as("match_frac"))
       .orderBy(col("ia"), col("ib"))
   }
 
@@ -709,7 +756,7 @@ object Multimodal {
     * pigeonhole join + bit_count verify as mm7 (bit 63 via the
     * add-Long.MinValue trick; arithmetic shifts masked per band).
     */
-  val sqlAudioHashPairs: String = {
+  private val sqlAudioHashCtes: String = {
     val nb = AudioHashSamples - 1
     val hx = (0 until 9).map(i => s"md5(text || '#a$i')").mkString(" || ")
     val es = (0 until AudioHashSamples).map { i =>
@@ -725,7 +772,7 @@ object Multimodal {
     val bandW = (nb + HashBands - 1) / HashBands
     val mask = (1L << bandW) - 1
     val bandList = (0 until HashBands).mkString(", ")
-    s"""WITH hxs AS (SELECT doc_id,
+    s"""hxs AS (SELECT doc_id,
        |    substr($hx, 1, 260) AS hx FROM documents),
        |m AS (SELECT doc_id, hx FROM hxs
        |  UNION ALL
@@ -734,13 +781,35 @@ object Multimodal {
        |l AS (SELECT doc_id, $es FROM m),
        |hs AS (SELECT doc_id, ($hashExpr)::BIGINT AS h FROM l),
        |st AS (SELECT doc_id, h, b AS band, (h >> (b * $bandW)) & $mask AS bv
-       |  FROM hs, LATERAL unnest([$bandList]) t(b)),
+       |  FROM hs, LATERAL unnest([$bandList]) t(b)),""".stripMargin
+  }
+
+  val sqlAudioHashPairs: String =
+    s"""WITH $sqlAudioHashCtes
        |cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib,
        |    x.h AS ha, y.h AS hb
        |  FROM st x JOIN st y ON x.band = y.band AND x.bv = y.bv
        |    AND x.doc_id < y.doc_id)
        |SELECT ia, ib, bit_count(xor(ha, hb))::INT AS hamming
        |FROM cand WHERE bit_count(xor(ha, hb)) <= $HashMaxHamming
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Oracle for [[audioShardNearDup]]: the mm8 replay with the 4/5 cut —
+    * pairs restricted to those with a shard-side asset (variant ids map
+    * back to their base doc for the newness test).
+    */
+  def sqlAudioShardPairs: String = {
+    val isNewX =
+      s"(CASE WHEN x.doc_id >= $VariantOffset THEN x.doc_id - $VariantOffset ELSE x.doc_id END) >= (SELECT cnt FROM cn)"
+    s"""WITH cn AS (SELECT (count(*) * 4) // 5 AS cnt FROM documents),
+       |$sqlAudioHashCtes
+       |cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS ia,
+       |    greatest(x.doc_id, y.doc_id) AS ib,
+       |    bit_count(xor(x.h, y.h))::INT AS hamming
+       |  FROM st x JOIN st y ON x.band = y.band AND x.bv = y.bv
+       |    AND x.doc_id <> y.doc_id
+       |  WHERE $isNewX)
+       |SELECT ia, ib, hamming FROM cand WHERE hamming <= $HashMaxHamming
        |ORDER BY 1, 2""".stripMargin
   }
 
@@ -853,7 +922,7 @@ object Multimodal {
     * each 16-bit frame hash, and the same position+hash equi-join /
     * count / fraction replays the verify.
     */
-  val sqlVideoNearDupPairs: String = {
+  private val sqlVideoHashCtes: String = {
     val hx = (0 until 24).map(i => s"md5(text || '#v$i')").mkString(" || ")
     val lums = (0 until 16).map { k =>
       val b = (0 until 3)
@@ -866,7 +935,7 @@ object Multimodal {
       .map(k => s"CASE WHEN l$k * 16 > total THEN ${1L << k} ELSE 0 END")
       .mkString(" + ")
     val frameList = (0 until VideoFrames).mkString(", ")
-    s"""WITH hxs AS (SELECT doc_id, $hx AS hx FROM documents),
+    s"""hxs AS (SELECT doc_id, $hx AS hx FROM documents),
        |m AS (SELECT doc_id, hx FROM hxs
        |  UNION ALL
        |  SELECT doc_id + $VariantOffset,
@@ -877,12 +946,38 @@ object Multimodal {
        |  FROM fr JOIN m ON fr.doc_id = m.doc_id),
        |tt AS (SELECT *, ($total) AS total FROM l),
        |hs AS (SELECT doc_id, f, ($hashExpr)::BIGINT AS h FROM tt),
-       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM hs GROUP BY 1),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM hs GROUP BY 1),""".stripMargin
+  }
+
+  val sqlVideoNearDupPairs: String =
+    s"""WITH $sqlVideoHashCtes
        |g AS (SELECT x.doc_id AS ia, y.doc_id AS ib,
        |    CAST(count(*) AS BIGINT) AS n_match
        |  FROM hs x JOIN hs y ON x.f = y.f AND x.h = y.h
        |    AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2)
+       |SELECT ia, ib, n_match,
+       |  round(n_match::DOUBLE / greatest(ca.nf, cb.nf), 4) AS match_frac
+       |FROM g JOIN cnt ca ON g.ia = ca.doc_id JOIN cnt cb ON g.ib = cb.doc_id
+       |WHERE n_match::DOUBLE / greatest(ca.nf, cb.nf) >= $VideoMatchFrac
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Oracle for [[videoShardNearDup]]: the mm9 replay with the 4/5 cut —
+    * per-position matches counted once per pair (DISTINCT on the
+    * canonical pair + position), pairs restricted to a shard side.
+    */
+  def sqlVideoShardPairs: String = {
+    val isNewX =
+      s"(CASE WHEN x.doc_id >= $VariantOffset THEN x.doc_id - $VariantOffset ELSE x.doc_id END) >= (SELECT cnt FROM cn)"
+    s"""WITH cn AS (SELECT (count(*) * 4) // 5 AS cnt FROM documents),
+       |$sqlVideoHashCtes
+       |pos AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS ia,
+       |    greatest(x.doc_id, y.doc_id) AS ib, x.f AS f
+       |  FROM hs x JOIN hs y ON x.f = y.f AND x.h = y.h
+       |    AND x.doc_id <> y.doc_id
+       |  WHERE $isNewX),
+       |g AS (SELECT ia, ib, CAST(count(*) AS BIGINT) AS n_match
+       |  FROM pos GROUP BY 1, 2)
        |SELECT ia, ib, n_match,
        |  round(n_match::DOUBLE / greatest(ca.nf, cb.nf), 4) AS match_frac
        |FROM g JOIN cnt ca ON g.ia = ca.doc_id JOIN cnt cb ON g.ib = cb.doc_id

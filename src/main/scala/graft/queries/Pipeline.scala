@@ -1326,6 +1326,36 @@ object Pipeline {
         graft.sources.ModelStore.load(s, s"$idxDir/hashes"),
         Multimodal.hashAssets(docs.filter(col("doc_id") >= cut)))
     },
+    // incremental audio-shard dedup (mm12): the waveform sibling of mm11
+    // — shard decodes only itself, band-probes the saved fingerprints
+    QueryDef.sql("mm12_audio_shard_dedup", Multimodal.sqlAudioShardPairs) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cut = docs.count() * 4 / 5
+      val idxDir = artifactDir("audhash", dir) { tmp =>
+        graft.sources.ModelStore.saveLarge(
+          Multimodal.audioHashes(
+            Multimodal.audioHashAssets(docs.filter(col("doc_id") < cut))),
+          s"$tmp/hashes")
+      }
+      Multimodal.audioShardNearDup(
+        graft.sources.ModelStore.load(s, s"$idxDir/hashes"),
+        Multimodal.audioHashAssets(docs.filter(col("doc_id") >= cut)))
+    },
+    // incremental video-shard dedup (mm13): the temporal leg's shard
+    // path — shard frames probe the saved (position, frame-hash) index
+    QueryDef.sql("mm13_video_shard_dedup", Multimodal.sqlVideoShardPairs) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cut = docs.count() * 4 / 5
+      val idxDir = artifactDir("vidhash", dir) { tmp =>
+        graft.sources.ModelStore.saveLarge(
+          Multimodal.videoFrameHashes(
+            Multimodal.videoHashAssets(docs.filter(col("doc_id") < cut))),
+          s"$tmp/hashes")
+      }
+      Multimodal.videoShardNearDup(
+        graft.sources.ModelStore.load(s, s"$idxDir/hashes"),
+        Multimodal.videoHashAssets(docs.filter(col("doc_id") >= cut)))
+    },
     // per-user heartbeat gaps: the outages sessionization implies —
     // one lag over the per-key order, output only the silences
     QueryDef.sql("w15_gaps", EventWindows.sqlHeartbeatGaps) { (s, dir) =>

@@ -331,4 +331,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.count(!_._4) == 13, s"expected 13 quiet transitions: ${got.toSeq}")
     assert(got.filter(x => !x._4).forall(_._3 == 0), s"within-shot hamming must be 0")
   }
+
+  test("mm12/mm13: shard probes find exactly the full-corpus pairs that touch the shard") {
+    val s = TestSpark.spark
+    val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    val cut = docs.count() * 4 / 5
+    def base(id: Long): Long =
+      if (id >= Multimodal.VariantOffset) id - Multimodal.VariantOffset else id
+    // audio: band probe against the saved fingerprints
+    val savedA = Multimodal.audioHashes(
+      Multimodal.audioHashAssets(docs.filter(col("doc_id") < cut)))
+    val gotA = Multimodal.audioShardNearDup(savedA,
+        Multimodal.audioHashAssets(docs.filter(col("doc_id") >= cut)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullA = Multimodal.audioHashPairs(Multimodal.audioHashAssets(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expA = fullA.filter(p => base(p._1) >= cut || base(p._2) >= cut)
+    assert(gotA.nonEmpty, "fixture must plant shard-side audio pairs")
+    assert(gotA == expA, s"missing=${expA -- gotA} extra=${gotA -- expA}")
+    // video: frame-position probe against the saved frame hashes
+    val savedV = Multimodal.videoFrameHashes(
+      Multimodal.videoHashAssets(docs.filter(col("doc_id") < cut)))
+    val gotV = Multimodal.videoShardNearDup(savedV,
+        Multimodal.videoHashAssets(docs.filter(col("doc_id") >= cut)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullV = Multimodal.videoNearDupPairs(Multimodal.videoHashAssets(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expV = fullV.filter(p => base(p._1) >= cut || base(p._2) >= cut)
+    assert(gotV.nonEmpty, "fixture must plant shard-side video pairs")
+    assert(gotV == expV, s"missing=${expV -- gotV} extra=${gotV -- expV}")
+  }
 }
