@@ -976,6 +976,12 @@ object AsOf {
     * batch [[funnel]]'s per-purchase chain exactly when each user's
     * events ARRIVE in event-time order (the [[asOfStream]] contract);
     * intra-batch disorder is absorbed by the (instant, side, id) sort.
+    * The same-instant tie rules (signup before view before purchase)
+    * are likewise enforceable only WITHIN a micro-batch — a signup at
+    * exactly the view's instant that arrives in a LATER batch cannot
+    * retro-enter the already-frozen view state, the one equal-timestamp
+    * corner where "arrival in event-time order" under-determines the
+    * batch order (the asOfStream contract's same caveat).
     *
     * Scale shape: state is FIVE scalars per live user — not the user's
     * history — partitioned by key like all keyed state; each micro-batch
