@@ -819,6 +819,42 @@ object Relational {
         .orderBy(col("n_name"))
     },
 
+    // LARGE-VOLUME CUSTOMER (q40, the TPC-H Q18 shape): orders whose
+    // line quantities sum past a threshold, with their customers — the
+    // IN-over-grouped-HAVING subquery in its decorrelated Spark form:
+    // ONE partial-aggregated pass over lineitem produces the qualifying
+    // per-order sums (map-side combine before the shuffle), which join
+    // orders directly (the aggregate IS the semi-join side and carries
+    // the sum the output needs — no second lineitem pass, no IN
+    // re-scan), customer broadcasts, and the top-20 is
+    // TakeOrderedAndProject. Quantities are small integers in doubles,
+    // so the sums are exact in any order.
+    QueryDef.sql("q40_big_orders",
+      """SELECT c.c_name, o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS odate,
+        |  round(o.o_totalprice, 2) AS total, round(q.qty, 2) AS qty
+        |FROM orders o
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS qty
+        |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) q
+        |  ON q.l_orderkey = o.o_orderkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val q = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 300)
+      val top = Tables.orders(s, dir)
+        .join(q, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"))),
+          col("c_custkey") === col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+      top.select(col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        round(col("o_totalprice"), 2).as("total"), round(col("qty"), 2).as("qty"))
+    },
+
     // JOIN-KEY SKEW ADVISOR (q36): the diagnosis q21/q22 are the cure
     // for — one exploded scan, histogram shape per candidate key, hot
     // key via max(struct), integer salt recommendation
