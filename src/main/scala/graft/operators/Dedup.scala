@@ -1467,6 +1467,13 @@ object Dedup {
     * the surviving corpus never re-tokenized.
     */
   def deleteFromSubstrIndex(idxGrams: DataFrame, deletedDocs: DataFrame): DataFrame = {
+    // loud artifact-version guard: a pre-df index (bare gram set) cannot
+    // know which grams the deleted docs were the sole contributors of —
+    // the only exact remedy for such an artifact is a survivor rebuild
+    require(idxGrams.columns.contains("df"),
+      "substr index predates the (g, df) schema — count-reversible " +
+        "deletion needs per-gram doc frequencies; rebuild the index with " +
+        "buildAndSaveSubstrIndex")
     val dg = positionalGrams(
         deletedDocs.select(col("doc_id"), Portable.tokens(col("text")).as("w")))
       .select(col("doc_id"), col("g")).distinct()

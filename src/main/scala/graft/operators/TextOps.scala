@@ -489,6 +489,12 @@ object TextOps {
     * rank window partitions by query_id, so WindowGroupLimit truncates
     * map-side and no request can see another's rows.
     */
+  /** Distinct-term cap for [[bm25ServeBatch]]'s literal-IN pushdown; a
+    * batch past it serves via the broadcast-join path instead (a mega-IN
+    * literal bloats codegen; the join stays posting-list-bounded).
+    */
+  val ServeTermPushdownMax = 1000
+
   def bm25ServeBatch(queries: DataFrame, idx: Bm25Index,
                      k: Int = Bm25TopK): DataFrame = {
     val qt = queries
@@ -499,12 +505,19 @@ object TextOps {
     // scan opens only the row groups holding these terms' posting lists
     // (a broadcast join probes every row group; a pushed filter skips
     // them) — plan-locked in PlanShapeSpec
-    val termList = qt.select(col("t")).distinct().collect().map(_.getString(0))
-    val qp0 =
-      if (termList.isEmpty) idx.postings.filter(lit(false))
-      else idx.postings.filter(col("t").isin(termList.toSeq: _*))
-    val qs = idx.stats.filter(
-      if (termList.isEmpty) lit(false) else col("t").isin(termList.toSeq: _*))
+    val terms = qt.select(col("t")).distinct()
+    val termList = terms.limit(ServeTermPushdownMax + 1)
+      .collect().map(_.getString(0))
+    // a pathological batch (one request with a huge term list) must not
+    // compile a mega-IN: past the cap, fall back to the broadcast join —
+    // still never a shuffle of the postings on the term key
+    val usePushdown = termList.length <= ServeTermPushdownMax
+    def restrict(t: DataFrame): DataFrame =
+      if (termList.isEmpty) t.filter(lit(false))
+      else if (usePushdown) t.filter(col("t").isin(termList.toSeq: _*))
+      else t.join(broadcast(terms), "t")
+    val qp0 = restrict(idx.postings)
+    val qs = restrict(idx.stats)
     val avgdl = col("sum_dl").cast("double") / col("n")
     val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
     val denom = col("tf") +
