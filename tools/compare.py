@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/compare.py [sfdir] [outdir]
+Usage: python3 tools/compare.py [sfdir] [outdir] [query ...]
+
+Optional trailing query names restrict the comparison (the VerifyOne
+fast loop without rebuilding oracle_sql.json).
 
 Reads each query's parquet dump under outdir, runs the corresponding oracle
 SQL from oracle_sql.json in DuckDB (with views named after the fixture
@@ -26,6 +29,13 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+only = set(sys.argv[3:])
+if only:
+    missing = only - set(oracle)
+    if missing:
+        print(f"unknown queries: {sorted(missing)}")
+        sys.exit(2)
+    oracle = {k: v for k, v in oracle.items() if k in only}
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
