@@ -1583,31 +1583,24 @@ object Curation {
 
   // ------------------------------------- bloom-filter decontamination (p29)
 
-  /** Bloom sketch size for the benchmark-shingle filter: 2^20 bits =
-    * 128 KB — a plan-shipped literal, three orders of magnitude under the
-    * collected-set gate's refusal threshold. At this size / the fixture's
-    * item count the false-positive rate is far below one per corpus;
-    * production sizes bits ~10x expected items for ~1% FPR.
-    */
-  val BloomBits: Long = 1L << 20
+  // sketch layout (2^20 bits = 128 KB plan literal, k = 6 md5-window
+  // positions) lives in graft.functions.Bloom.PortableBloomBits/K —
+  // three orders of magnitude under the collected-set gate's refusal
+  // threshold; at the fixture's item count the FPR is far below one per
+  // corpus, and production sizes bits ~10x expected items for ~1% FPR
 
-  /** Expected-item parameter (fixes the hash-function count, hence the
-    * sketch layout — two builds over the same set are byte-identical).
+  /** Train the benchmark bloom artifact: distinct benchmark shingles
+    * aggregated into the PORTABLE 2^20-bit array
+    * ([[graft.functions.Bloom.portableBloomArray]]) — one corpus-side
+    * partial-aggregated pass whose merge is bitwise OR,
+    * order-independent, and reproducible BIT-FOR-BIT by any engine with
+    * md5 (positions are fixed 5-hex windows of one digest). That last
+    * property is what upgraded p29 from a rows-only driver check to a
+    * full hash-gated query: the oracle rebuilds the identical bits and
+    * replays the identical probe, false positives included.
     */
-  val BloomEstItems: Long = 100000L
-
-  /** Train the benchmark bloom artifact: distinct benchmark shingles,
-    * xxhash64'd, aggregated into one serialized sketch. The build is a
-    * partial aggregate whose merge is bitwise OR — one corpus-side pass,
-    * order-independent, deterministic. The returned bytes are the gate
-    * artifact (ModelStore-persistable binary, like the classifier
-    * weights).
-    */
-  def trainBenchmarkBloom(docs: DataFrame): Array[Byte] =
-    benchmarkShingles(docs)
-      .agg(graft.functions.Bloom.bloomAgg(xxhash64(col("g")),
-        BloomEstItems, BloomBits).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+  def trainBenchmarkBloom(docs: DataFrame): Array[Long] =
+    graft.functions.Bloom.portableBloomArray(benchmarkShingles(docs))
 
   /** The decontamination gate at the scale where the benchmark shingle SET
     * no longer broadcasts (the contaminationGate refusal path): probe each
@@ -1619,17 +1612,56 @@ object Curation {
     * false positive wastes one clean doc, a false negative ships a leaked
     * benchmark item to training.
     */
-  def bloomDecontaminate(docs: DataFrame, bloom: Array[Byte]): DataFrame = {
+  def bloomDecontaminate(docs: DataFrame, bloom: Array[Long]): DataFrame = {
     val gated = docs.filter(col("doc_id") % BenchmarkMod =!= 0)
       .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
       .select(col("doc_id"),
         size(filter(Dedup.shingleArray(col("w")),
-          g => graft.functions.Bloom.mightContain(bloom, xxhash64(g))))
+          g => graft.functions.Bloom.portableMightContain(bloom, g)))
           .cast("bigint").as("n_maybe"))
       .withColumn("flagged", col("n_maybe") > 0)
     // presentation sort is a batch concept; the same gate applies to a
     // streaming micro-batch unchanged (stateless, join-free)
     if (docs.isStreaming) gated else gated.orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[bloomDecontaminate]]: rebuild the identical bit table
+    * from the benchmark shingles (same 5-hex-window positions, same
+    * bit_or — 1 << 63 via the add-MinValue trick DuckDB needs), probe
+    * every non-benchmark doc's distinct shingles requiring ALL k bits,
+    * count per doc. The sketch's false positives replay exactly, so the
+    * comparison is a hash match, not a tolerance verdict.
+    */
+  def sqlBloomDecontaminate: String = {
+    val n = graft.functions.Portable.ShingleN
+    val grams = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    val k = graft.functions.Bloom.PortableBloomK
+    val posSel = graft.functions.Bloom.sqlPortablePositions("g")
+      .zipWithIndex.map { case (e, i) => s"$e AS p$i" }.mkString(", ")
+    val posList = (0 until k).map(i => s"p$i").mkString(", ")
+    val mask =
+      "CASE WHEN p % 64 = 63 THEN (-9223372036854775807 - 1) ELSE (1::BIGINT << (p % 64)::INT) END"
+    s"""WITH toks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, $grams AS g
+       |       FROM toks, LATERAL unnest(range(1, len(w) - ${n - 2})) t(i)),
+       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % $BenchmarkMod = 0),
+       |bpos AS (SELECT $posSel FROM bench),
+       |bp AS (SELECT unnest([$posList]) AS p FROM bpos),
+       |bloom AS MATERIALIZED (SELECT p // 64 AS idx, bit_or($mask) AS bits
+       |  FROM bp GROUP BY 1),
+       |dsh AS (SELECT doc_id, g, $posSel FROM sh WHERE doc_id % $BenchmarkMod != 0),
+       |dp AS (SELECT doc_id, g, unnest([$posList]) AS p FROM dsh),
+       |hit AS (SELECT dp.doc_id, dp.g, count(*) AS khit
+       |  FROM dp JOIN bloom b ON b.idx = dp.p // 64
+       |  WHERE (b.bits & ($mask)) != 0
+       |  GROUP BY 1, 2),
+       |per AS (SELECT doc_id, count(*)::BIGINT AS n_maybe FROM hit
+       |  WHERE khit = $k GROUP BY 1)
+       |SELECT d.doc_id, coalesce(per.n_maybe, 0)::BIGINT AS n_maybe,
+       |  coalesce(per.n_maybe, 0) > 0 AS flagged
+       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+       |WHERE d.doc_id % $BenchmarkMod != 0
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   // ------------------------------------------------ curriculum manifest

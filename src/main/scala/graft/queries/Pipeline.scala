@@ -960,9 +960,12 @@ object Pipeline {
     // bloom-filter decontamination (p5's scale path once the benchmark set
     // no longer broadcasts): 128 KB sketch literal, per-row probe, no join
     // — one-sided error, superset of the exact gate (no false negatives;
-    // rows-only driver check, the sketch bits aren't oracle-replayable;
-    // CurationSpec pins the superset relation per doc)
-    QueryDef.rowsOnly("p29_bloom_decontam") { (s, dir) =>
+    // CurationSpec pins the superset relation per doc). The sketch is the
+    // PORTABLE md5-window bloom, so the oracle rebuilds the identical
+    // bits and the comparison is a full hash match — the last rows-only
+    // query in the suite became oracle-gated with this construction
+    QueryDef.sql("p29_bloom_decontam",
+      Curation.sqlBloomDecontaminate) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       Curation.bloomDecontaminate(docs, Curation.trainBenchmarkBloom(docs))
     },
