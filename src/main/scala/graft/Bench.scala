@@ -106,10 +106,12 @@ object Bench {
     // append-only history: BENCH.out is overwritten per run and the
     // driver's stdout tail truncates, so cross-round diffs need a durable
     // in-repo record of every full per-query map (bench/rNN.json snapshots
-    // are cut from here at round start)
-    val hist = java.nio.file.Paths.get(
-      java.nio.file.Paths.get(out).toAbsolutePath.getParent.toString,
-      "bench", "history.jsonl")
+    // are cut from here at round start). Anchored to the repo root (the
+    // sbt working directory), NOT derived from `out`'s parent — an
+    // invocation writing BENCH.out elsewhere must still append to the
+    // one committed history file, or the record silently forks.
+    val hist = java.nio.file.Paths.get("bench", "history.jsonl")
+      .toAbsolutePath
     java.nio.file.Files.createDirectories(hist.getParent)
     java.nio.file.Files.write(hist,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),

@@ -905,12 +905,19 @@ object AsOf {
   }
   // ----------------------------------------------------- streaming funnel
 
-  /** Tagged funnel event: side 0 = signup, 1 = view, 2 = purchase — the
-    * intra-batch sort order at one instant, mirroring the batch chain's
-    * inclusive-<= tie rules (a signup at the view's instant matches it; a
-    * view at the purchase's instant matches it).
+  /** Tagged funnel event: side 0 = signup, 1 = view, 2 = purchase,
+    * 3 = forget (the erasure control record) — the intra-batch sort
+    * order at one instant, mirroring the batch chain's inclusive-<= tie
+    * rules (a signup at the view's instant matches it; a view at the
+    * purchase's instant matches it; a forget at an instant erases AFTER
+    * that instant's purchases attribute — erasure effective from t
+    * onward, the same inclusive boundary). `ts` carries the
+    * watermark-tagged event time through to the stateful operator (the
+    * GateRow convention — the fold itself reads only `tsUs`); null when
+    * no horizon is armed.
     */
-  final case class FunnelEv(k: String, tsUs: Long, side: Int, id: Long)
+  final case class FunnelEv(k: String, tsUs: Long, side: Int, id: Long,
+                            ts: java.sql.Timestamp = null)
 
   /** O(1) per-user funnel state: the latest signup, and the latest view
     * WITH the signup that was current when it arrived — the chained
@@ -936,39 +943,75 @@ object AsOf {
     * emits the stored view at-or-before its own instant, or unmatched —
     * the [[foldAsOf]] no-rewind rule: an out-of-order purchase older
     * than the stored view emits observably unmatched, never matched to
-    * its event-time future.
+    * its event-time future. A forget record (side 3 — the user's
+    * erasure request riding the stream as a control event, the p53
+    * delete-list's online form) resets the fold to empty: the erased
+    * signup/view can never attribute a later purchase, in this batch or
+    * any after, and an all-empty end state is REMOVED, not stored — an
+    * erased user leaves no key behind.
+    *
+    * `horizonMs` is the event-time state horizon (the
+    * [[graft.streaming.CurationStream.firstSeen]] precedent verbatim):
+    * each batch re-arms an event-time timeout at the user's max event
+    * time + horizon, clamped above the current watermark, and a user
+    * idle past it is evicted when the watermark passes — the next
+    * purchase starts from empty state, exactly as if the user were new.
     */
-  def foldFunnel(key: String, rows: Iterator[FunnelEv],
-                 state: org.apache.spark.sql.streaming.GroupState[FunnelSt])
-      : Iterator[FunnelRow] = {
-    var st = state.getOption.getOrElse(FunnelSt(None, None, None, None, None))
-    val out = rows.toSeq.sortBy(e => (e.tsUs, e.side, e.id)).flatMap { e =>
-      e.side match {
-        case 0 =>
-          val newer = st.sigTs.forall(t => e.tsUs > t ||
-            (e.tsUs == t && st.sigId.forall(e.id > _)))
-          if (newer) st = st.copy(sigTs = Some(e.tsUs), sigId = Some(e.id))
-          Nil
-        case 1 =>
-          val newer = st.viewTs.forall(t => e.tsUs > t ||
-            (e.tsUs == t && st.viewId.forall(e.id > _)))
-          if (newer) {
-            val sig =
-              if (st.sigTs.exists(_ <= e.tsUs)) st.sigId else None
-            st = st.copy(viewTs = Some(e.tsUs), viewId = Some(e.id),
-              viewSigId = sig)
-          }
-          Nil
-        case _ =>
-          val ok = st.viewTs.exists(_ <= e.tsUs)
-          Seq(FunnelRow(key, e.id,
-            if (ok) st.viewId else None,
-            if (ok) st.viewSigId else None))
+  def foldFunnel(horizonMs: Option[Long])(key: String,
+      rows: Iterator[FunnelEv],
+      state: org.apache.spark.sql.streaming.GroupState[FunnelSt])
+      : Iterator[FunnelRow] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val empty = FunnelSt(None, None, None, None, None)
+      var st = state.getOption.getOrElse(empty)
+      val rs = rows.toSeq.sortBy(e => (e.tsUs, e.side, e.id))
+      val out = rs.flatMap { e =>
+        e.side match {
+          case 0 =>
+            val newer = st.sigTs.forall(t => e.tsUs > t ||
+              (e.tsUs == t && st.sigId.forall(e.id > _)))
+            if (newer) st = st.copy(sigTs = Some(e.tsUs), sigId = Some(e.id))
+            Nil
+          case 1 =>
+            val newer = st.viewTs.forall(t => e.tsUs > t ||
+              (e.tsUs == t && st.viewId.forall(e.id > _)))
+            if (newer) {
+              val sig =
+                if (st.sigTs.exists(_ <= e.tsUs)) st.sigId else None
+              st = st.copy(viewTs = Some(e.tsUs), viewId = Some(e.id),
+                viewSigId = sig)
+            }
+            Nil
+          case 2 =>
+            val ok = st.viewTs.exists(_ <= e.tsUs)
+            Seq(FunnelRow(key, e.id,
+              if (ok) st.viewId else None,
+              if (ok) st.viewSigId else None))
+          case _ =>
+            st = empty
+            Nil
+        }
       }
+      if (st == empty) {
+        // nothing worth storing: a purchase against empty state emits
+        // unmatched with or without a stored empty row, and a forget
+        // that ends the batch empty must leave NO key behind
+        if (state.exists) state.remove()
+      } else {
+        state.update(st)
+        horizonMs.foreach { h =>
+          if (rs.nonEmpty) {
+            val maxTsMs = rs.iterator.map(_.tsUs / 1000L).max
+            state.setTimeoutTimestamp(
+              math.max(maxTsMs + h, state.getCurrentWatermarkMs() + 1))
+          }
+        }
+      }
+      out.iterator
     }
-    state.update(st)
-    out.iterator
-  }
 
   /** STREAMING FUNNEL — the w16 chained as-of running continuously: one
     * events stream, per-user keyed state, one emitted row per purchase
@@ -983,27 +1026,50 @@ object AsOf {
     * corner where "arrival in event-time order" under-determines the
     * batch order (the asOfStream contract's same caveat).
     *
-    * Scale shape: state is FIVE scalars per live user — not the user's
+    * Scale shape: state is FIVE scalars per user — not the user's
     * history — partitioned by key like all keyed state; each micro-batch
-    * shuffles once on user_id. The continuous form of the funnel a batch
-    * job re-derives from scratch each day.
+    * shuffles once on user_id. WHICH users hold state is the
+    * `horizonMs` knob: None keeps a key per EVER-SEEN user (five
+    * scalars each — survivable on RocksDB for bounded user populations,
+    * and the exact-equals-batch mode), while Some(h) applies the
+    * [[graft.streaming.CurationStream.firstSeen]] event-time horizon —
+    * users idle past h are evicted when the watermark passes, bounding
+    * state by arrival rate × horizon on a years-long rapid; what the
+    * horizon trades away is only attribution ACROSS gaps longer than
+    * itself (a returning user's pre-gap signup no longer attributes).
+    *
+    * Erasure reaches the RUNNING query (no restart): a `forget` control
+    * event for a user purges the key's state in its micro-batch — the
+    * erased signup/view can never attribute a purchase again, and the
+    * key itself is removed from the store. The continuous form of the
+    * funnel a batch job re-derives from scratch each day.
     */
-  def funnelStream(events: DataFrame): DataFrame = {
+  def funnelStream(events: DataFrame,
+                   horizonMs: Option[Long] = None): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    events.filter(col("ts").isNotNull &&
-        col("event_type").isin("signup", "view", "purchase"))
+    val base0 = events.filter(col("ts").isNotNull &&
+      col("event_type").isin("signup", "view", "purchase", "forget"))
+    val base = horizonMs match {
+      case Some(h) => base0.withWatermark("ts", s"$h milliseconds")
+      case None    => base0
+    }
+    val timeout =
+      if (horizonMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    base
       .select(col("user_id").cast("string").as("k"),
         unix_micros(col("ts")).as("tsUs"),
         when(col("event_type") === "signup", 0)
           .when(col("event_type") === "view", 1)
-          .otherwise(2).as("side"),
-        col("event_id").as("id"))
+          .when(col("event_type") === "purchase", 2)
+          .otherwise(3).as("side"),
+        col("event_id").as("id"),
+        col("ts"))
       .as[FunnelEv]
       .groupByKey(_.k)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(foldFunnel)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(foldFunnel(horizonMs))
       .toDF()
   }
 }

@@ -209,7 +209,13 @@ object Forget {
     * tables (the d13/t31/p47 build CTEs), pruned by the same predicates,
     * with the label leg's closure as a recursive CTE over the pruned
     * pair graph — the p41 rule: the report's oracle nests the component
-    * semantics verbatim, so no leg can drift.
+    * semantics verbatim, so no leg can drift. That includes the SAVED
+    * models' truncations: the lm leg's `lmc` CTE rebuilds the
+    * vocabulary under the same top-[[TextOps.LmVocabTopK]]-by-(count,
+    * term) cap [[TextOps.trainAndSaveSurprisalModel]] persists, so the
+    * gate keeps holding when a corpus's vocabulary outgrows the cap
+    * (the decrement leg reads the saved, capped table — the oracle must
+    * decrement the same frozen vocabulary, not an uncapped rebuild).
     */
   def sqlRtbfSweep: String = {
     val h = Portable.sqlHash32("g")
@@ -258,7 +264,9 @@ object Forget {
        |btoks AS (SELECT doc_id, unnest(${Portable.sqlTokens("text")}) AS t
        |  FROM documents),
        |bp AS MATERIALIZED (SELECT DISTINCT t, doc_id FROM btoks),
-       |lmc AS MATERIALIZED (SELECT t, count(*)::BIGINT AS c FROM btoks GROUP BY t),
+       |lmc AS MATERIALIZED (
+       |  SELECT t, c FROM (SELECT t, count(*)::BIGINT AS c FROM btoks GROUP BY t)
+       |  QUALIFY row_number() OVER (ORDER BY c DESC, t) <= ${TextOps.LmVocabTopK}),
        |lmdel AS (SELECT t, count(*)::BIGINT AS d FROM btoks
        |  WHERE doc_id % 7 = 3 GROUP BY t),
        |lmafter AS (SELECT l.t, l.c - coalesce(d.d, 0) AS c

@@ -488,6 +488,17 @@ object TextOps {
     * to reattach query ids; doc lengths join only touched docs; the
     * rank window partitions by query_id, so WindowGroupLimit truncates
     * map-side and no request can see another's rows.
+    *
+    * Latency shape (explicit, for the streaming caller): collecting the
+    * term set is a DRIVER ROUND-TRIP per invocation — up to
+    * [[ServeTermPushdownMax]]+1 strings — and the literal-IN predicate
+    * it produces compiles a FRESH plan (and codegen) per micro-batch.
+    * That is the deliberate trade: the per-batch driver hop and codegen
+    * are milliseconds, and in exchange the postings scan opens only the
+    * requested terms' row groups instead of probing every row group
+    * through a join. A latency-critical server past ~100 batches/s would
+    * pre-register the broadcast-join form (plan reuse, no collect) and
+    * pay the full-scan probe instead.
     */
   /** Distinct-term cap for [[bm25ServeBatch]]'s literal-IN pushdown; a
     * batch past it serves via the broadcast-join path instead (a mega-IN

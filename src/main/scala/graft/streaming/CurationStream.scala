@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -51,12 +51,63 @@ object CurationStream {
 
   /** Per-row gate output (pre-canonical). `ts` is the event time carried
     * for the optional dedup horizon (null when the input has no ts
-    * column and the horizon is off).
+    * column and the horizon is off). `op` is the control tag: "add" for
+    * a document arrival, [[OpForget]] for an erasure control record
+    * (defaults to "add" when the input has no op column).
     */
   final case class GateRow(doc_id: Long, h: String, quality_score: Double,
                            bits_per_token: Double, boiler_frac: Double,
                            quality_ok: Boolean, ppl_ok: Boolean,
-                           boiler_ok: Boolean, ts: java.sql.Timestamp)
+                           boiler_ok: Boolean, ts: java.sql.Timestamp,
+                           op: String)
+
+  /** THE DELETE-CONTROL CONVENTION (the p53 sweep's online leg, for the
+    * state the sweep cannot reach): every keyed-state gate in this file
+    * accepts an optional `op` STRING column on its input stream — absent
+    * or "add" means a normal arrival; `op = "forget"` marks an ERASURE
+    * CONTROL RECORD. A forget record carries the same payload columns as
+    * an arrival (the operator still holds the data it is erasing — that
+    * is why it must erase), flows through the IDENTICAL per-row
+    * expressions, and therefore lands on exactly the state keys the
+    * original arrival populated (same text hash, same fingerprint
+    * bands, same cell assignment); there the state transition PURGES the
+    * erased key's entries instead of comparing/appending, and emits
+    * nothing. Within a micro-batch, rows process in (id, op) order with
+    * forget AFTER add at the same id — deterministic under
+    * crash-and-replay like every fold here (state commits with the
+    * batch, so a replayed forget re-purges identically).
+    *
+    * What this does and does not promise: from the forget record's
+    * batch onward the erased document can never influence a verdict —
+    * never be the canonical that demotes a newcomer, never vote a pair,
+    * never drop a near-duplicate vector. Rows it influenced BEFORE the
+    * forget were already emitted to the sink (at-least-once append
+    * semantics — output cannot be retracted); those live in the saved
+    * artifacts, which is exactly [[graft.operators.Forget.rtbfSweep]]'s
+    * jurisdiction. The two legs together close the erasure story: p53
+    * prunes everything persisted, the forget record purges everything
+    * live.
+    *
+    * Deliberately exempt: [[packStream]] (state is one running token
+    * offset per (source, shard) — aggregate position, not per-document
+    * data; un-packing a document would shift every later span, i.e. a
+    * REPACK, which is an artifact-level rebuild, not a state purge) and
+    * [[nearDupPairs]] (stateless — its corpus side is the saved LSH
+    * index, erased by serving from the p53-pruned artifact, the
+    * bm25ServeWithTombstones convention).
+    */
+  val OpForget = "forget"
+
+  /** The input's control tag: its `op` column, or constant "add" when
+    * the stream carries none (every pre-existing caller).
+    */
+  private def opCol(df: DataFrame): Column =
+    if (df.columns.contains("op")) col("op") else lit("add")
+
+  /** Intra-batch processing rank of a control tag: forget applies AFTER
+    * the same id's add (erasure effective from its own record onward).
+    */
+  private def opRank(op: String): Int = if (op == OpForget) 1 else 0
 
   /** The streamed manifest row: per-gate verdicts + the final keep. */
   final case class ManifestRow(doc_id: Long, quality_score: Double,
@@ -143,6 +194,7 @@ object CurationStream {
       .withColumn("sh", Dedup.shingleArray(col("w")))
       .select(col("doc_id"),
         ts.as("ts"),
+        opCol(docs).as("op"),
         md5(lower(trim(col("text")))).as("h"),
         TextOps.qualityScore(col("text")).as("quality_score"),
         bits.as("bits_per_token"),
@@ -161,9 +213,18 @@ object CurationStream {
   /** First-seen canonical per text hash: the group's min-doc_id row in the
     * first micro-batch that sees the hash is canonical; everything later
     * (same batch or any after, within the horizon) is a duplicate.
-    * State is one boolean per hash, committed WITH the batch — a
-    * crash-and-replay recomputes the identical verdicts (RecoverySpec's
+    * State is the canonical doc_id per hash, committed WITH the batch —
+    * a crash-and-replay recomputes the identical verdicts (RecoverySpec's
     * at-least-once contract).
+    *
+    * A forget record for the CANONICAL document clears the hash's state:
+    * the next arrival of that text is canonical again (the erased doc no
+    * longer demotes newcomers to duplicates — its live influence ends in
+    * the forget's own batch). A forget for a non-canonical doc is a
+    * no-op here: a duplicate never influenced any verdict, and its
+    * persisted traces are [[graft.operators.Forget.rtbfSweep]]'s job.
+    * Storing the canonical's ID (not a boolean) is what makes this
+    * decidable locally; the state is still one scalar per hash.
     *
     * `horizonMs` is the EVENT-TIME dedup horizon (the
     * dropDuplicatesWithinWatermark convention, applied to canonical
@@ -185,27 +246,41 @@ object CurationStream {
     * rejects).
     */
   def firstSeen(horizonMs: Option[Long])(h: String, rows: Iterator[GateRow],
-                state: GroupState[Boolean]): Iterator[ManifestRow] =
+                state: GroupState[Long]): Iterator[ManifestRow] =
     if (state.hasTimedOut) {
       state.remove()
       Iterator.empty
     } else {
-      val rs = rows.toArray.sortBy(_.doc_id)
-      val seenBefore = state.exists
-      if (!seenBefore && rs.nonEmpty) state.update(true)
-      horizonMs.foreach { h =>
-        if (state.exists && rs.nonEmpty) {
-          val maxTs = rs.iterator.map(_.ts.getTime).max
-          state.setTimeoutTimestamp(
-            math.max(maxTs + h, state.getCurrentWatermarkMs() + 1))
+      val rs = rows.toArray.sortBy(r => (r.doc_id, opRank(r.op)))
+      var canonicalId: Option[Long] = state.getOption
+      val out = rs.iterator.flatMap { r =>
+        if (r.op == OpForget) {
+          if (canonicalId.contains(r.doc_id)) canonicalId = None
+          Iterator.empty
+        } else {
+          val canonical = canonicalId.isEmpty
+          if (canonical) canonicalId = Some(r.doc_id)
+          Iterator.single(ManifestRow(r.doc_id, r.quality_score,
+            r.bits_per_token, r.boiler_frac,
+            r.quality_ok, r.ppl_ok, r.boiler_ok, canonical,
+            r.quality_ok && r.ppl_ok && r.boiler_ok && canonical))
         }
+      }.toArray
+      canonicalId match {
+        case Some(id) =>
+          state.update(id)
+          horizonMs.foreach { h =>
+            if (rs.nonEmpty) {
+              val maxTs = rs.iterator.map(_.ts.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(maxTs + h, state.getCurrentWatermarkMs() + 1))
+            }
+          }
+        case None =>
+          // an erased canonical leaves NO key behind (and no timer)
+          if (state.exists) state.remove()
       }
-      rs.iterator.zipWithIndex.map { case (r, i) =>
-        val canonical = !seenBefore && i == 0
-        ManifestRow(r.doc_id, r.quality_score, r.bits_per_token, r.boiler_frac,
-          r.quality_ok, r.ppl_ok, r.boiler_ok, canonical,
-          r.quality_ok && r.ppl_ok && r.boiler_ok && canonical)
-      }
+      out.iterator
     }
 
   /** Cap on the collected stop-shingle set the streaming near-dup gate

@@ -559,19 +559,96 @@ class AsOfSpec extends AnyFunSuite {
       org.apache.spark.api.java.Optional.empty[Long], hasTimedOut = false)
     // batch 1: signup@1, view@5 (captures signup), state advances
     val s1 = st(None)
-    assert(AsOf.foldFunnel("u", Iterator(
+    assert(AsOf.foldFunnel(None)("u", Iterator(
       AsOf.FunnelEv("u", 1000000L, 0, 10L),
       AsOf.FunnelEv("u", 5000000L, 1, 20L)), s1).isEmpty)
     // batch 2: a LATE purchase at t=3 (older than the stored view at t=5)
     // must emit unmatched — never matched to its event-time future
     val s2 = st(Some(s1.get))
-    val out = AsOf.foldFunnel("u", Iterator(
+    val out = AsOf.foldFunnel(None)("u", Iterator(
       AsOf.FunnelEv("u", 3000000L, 2, 30L)), s2).toList
     assert(out == List(AsOf.FunnelRow("u", 30L, None, None)), s"$out")
     // an in-order purchase at t=9 then matches view 20 + signup 10
     val s3 = st(Some(s2.get))
-    val out2 = AsOf.foldFunnel("u", Iterator(
+    val out2 = AsOf.foldFunnel(None)("u", Iterator(
       AsOf.FunnelEv("u", 9000000L, 2, 31L)), s3).toList
     assert(out2 == List(AsOf.FunnelRow("u", 31L, Some(20L), Some(10L))), s"$out2")
+  }
+
+  test("funnel forget control: the erased user's signup/view can never attribute again; the key leaves the store") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def st(s: Option[AsOf.FunnelSt]) = TestGroupState.create[AsOf.FunnelSt](
+      org.apache.spark.api.java.Optional.ofNullable(s.orNull),
+      GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long], hasTimedOut = false)
+    // build state: signup@1, view@5
+    val s1 = st(None)
+    AsOf.foldFunnel(None)("u", Iterator(
+      AsOf.FunnelEv("u", 1000000L, 0, 10L),
+      AsOf.FunnelEv("u", 5000000L, 1, 20L)), s1)
+    assert(s1.exists, "state must exist before the forget")
+    // forget-only batch: the key is REMOVED, not stored empty
+    val s2 = st(Some(s1.get))
+    assert(AsOf.foldFunnel(None)("u", Iterator(
+      AsOf.FunnelEv("u", 6000000L, 3, 0L)), s2).isEmpty)
+    assert(s2.isRemoved, "a forget that ends the batch empty must remove the key")
+    // same-batch ordering: purchase@7 AFTER forget@6 emits unmatched;
+    // purchase@6 (the forget's own instant, side order 2 < 3) still
+    // attributes — erasure is effective from its instant onward
+    val s3 = st(Some(s1.get))
+    val out = AsOf.foldFunnel(None)("u", Iterator(
+      AsOf.FunnelEv("u", 7000000L, 2, 31L),
+      AsOf.FunnelEv("u", 6000000L, 3, 0L),
+      AsOf.FunnelEv("u", 6000000L, 2, 30L)), s3).toList
+    assert(out == List(
+      AsOf.FunnelRow("u", 30L, Some(20L), Some(10L)),
+      AsOf.FunnelRow("u", 31L, None, None)), s"$out")
+    // and NEW events after the forget rebuild from scratch (no ghost)
+    val s4 = st(None)
+    val out2 = AsOf.foldFunnel(None)("u", Iterator(
+      AsOf.FunnelEv("u", 8000000L, 1, 40L),
+      AsOf.FunnelEv("u", 9000000L, 2, 41L)), s4).toList
+    assert(out2 == List(AsOf.FunnelRow("u", 41L, Some(40L), None)),
+      "post-forget events see a fresh fold: view matches, erased signup does not")
+  }
+
+  test("funnel horizon: idle users evict when the watermark passes; within-horizon attribution unchanged") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(sec: Long) = new Timestamp(t0 + sec * 1000)
+    val in = MemoryStream[(Long, Timestamp, String, Long)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Timestamp, String, Long)]],
+      spark)
+    // 10-second event-time horizon
+    val q = AsOf.funnelStream(
+        in.toDF().toDF("user_id", "ts", "event_type", "event_id"),
+        horizonMs = Some(10000L))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_horizon").start()
+    // batch 1: user 1 signs up and views; user 2 views
+    in.addData(Seq((1L, at(0), "signup", 10L), (1L, at(1), "view", 11L),
+      (2L, at(1), "view", 21L)))
+    q.processAllAvailable()
+    // batch 2: user 2 stays active far in the future — the watermark
+    // advances past user 1's deadline (t=1s + 10s), evicting user 1
+    in.addData(Seq((2L, at(100), "view", 22L)))
+    q.processAllAvailable()
+    // batch 3 (exists only to let the batch-2 watermark move first):
+    // user 2 purchases within its horizon — attribution unchanged;
+    // user 1 purchases after its idle gap — state was evicted, unmatched
+    in.addData(Seq((1L, at(101), "purchase", 12L),
+      (2L, at(101), "purchase", 23L)))
+    q.processAllAvailable()
+    val got = spark.table("funnel_horizon").collect().map { r =>
+      r.getAs[Long]("purchase_id") ->
+        Option(r.getAs[java.lang.Long]("view_id")).map(_.longValue)
+    }.toMap
+    q.stop()
+    assert(got(23L).contains(22L),
+      s"within-horizon purchase must still attribute: $got")
+    assert(got(12L).isEmpty,
+      s"the idle user's pre-gap view must be gone after eviction: $got")
   }
 }
