@@ -420,7 +420,7 @@ object CurationStream {
 
   /** One (doc, band) bucket row of the streaming SimHash dedup. */
   final case class SimBucketRow(doc_id: Long, sim: Long, band: Int, bv: Long,
-                                ts: java.sql.Timestamp)
+                                ts: java.sql.Timestamp, op: String)
 
   /** An emitted within-stream near-dup pair. */
   final case class SimPair(doc_id: Long, dup_of: Long, hamming: Int)
@@ -471,8 +471,9 @@ object CurationStream {
     base
       .withColumn("w", TextOps.tokens(col("text")))
       .withColumn("th", transform(col("w"), t => Portable.hash32(t)))
-      .select(col("doc_id"), Dedup.simhashExpr(col("th")).as("sim"), ts.as("ts"))
-      .select(col("doc_id"), col("sim"), col("ts"),
+      .select(col("doc_id"), Dedup.simhashExpr(col("th")).as("sim"),
+        ts.as("ts"), opCol(docs).as("op"))
+      .select(col("doc_id"), col("sim"), col("ts"), col("op"),
         explode(array((0 until bands).map(b => lit(b)): _*)).as("band"))
       .withColumn("bv",
         expr(s"shiftright(sim, band * ${Dedup.SimHashBandBits}) & 255"))
@@ -483,9 +484,13 @@ object CurationStream {
   }
 
   /** Per-bucket state transition of [[simhashStreamPairs]]: compare each
-    * arrival (doc_id order) against the stored fingerprints, emit
-    * minimal-band pairs, append the newcomer. State rolls back with the
-    * batch, so crash-and-replay recomputes identical pairs.
+    * arrival (doc_id order, forget after add at the same id) against the
+    * stored fingerprints, emit minimal-band pairs, append the newcomer.
+    * A forget record purges its doc's fingerprint from the bucket — the
+    * erased doc can never vote a pair again — and a bucket left empty is
+    * REMOVED, not stored. State rolls back with the batch, so
+    * crash-and-replay recomputes identical pairs (and re-purges
+    * identically).
     */
   private def simBucket(horizonMs: Option[Long])(key: Long,
       rows: Iterator[SimBucketRow],
@@ -498,29 +503,37 @@ object CurationStream {
       val band = (key / 256L).toInt
       val stored = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long)] ++= state.getOption.getOrElse(Nil)
-      val rs = rows.toArray.sortBy(_.doc_id)
+      val rs = rows.toArray.sortBy(r => (r.doc_id, opRank(r.op)))
       val out = scala.collection.mutable.ArrayBuffer.empty[SimPair]
       def byteOf(sim: Long, b: Int): Long =
         (sim >> (b * Dedup.SimHashBandBits)) & 255L
       rs.foreach { r =>
-        stored.foreach { case (od, os) =>
-          if (od != r.doc_id &&
-              java.lang.Long.bitCount(r.sim ^ os) <= Dedup.HammingMax) {
-            val minBand = (0 until Portable.SimHashBits / Dedup.SimHashBandBits)
-              .find(b => byteOf(r.sim, b) == byteOf(os, b)).get
-            if (minBand == band)
-              out += SimPair(r.doc_id, od,
-                java.lang.Long.bitCount(r.sim ^ os))
+        if (r.op == OpForget) {
+          stored.filterInPlace(_._1 != r.doc_id)
+        } else {
+          stored.foreach { case (od, os) =>
+            if (od != r.doc_id &&
+                java.lang.Long.bitCount(r.sim ^ os) <= Dedup.HammingMax) {
+              val minBand = (0 until Portable.SimHashBits / Dedup.SimHashBandBits)
+                .find(b => byteOf(r.sim, b) == byteOf(os, b)).get
+              if (minBand == band)
+                out += SimPair(r.doc_id, od,
+                  java.lang.Long.bitCount(r.sim ^ os))
+            }
           }
+          stored += ((r.doc_id, r.sim))
         }
-        stored += ((r.doc_id, r.sim))
       }
-      state.update(stored.toList)
-      horizonMs.foreach { h =>
-        if (rs.nonEmpty) {
-          val maxTs = rs.iterator.map(_.ts.getTime).max
-          state.setTimeoutTimestamp(
-            math.max(maxTs + h, state.getCurrentWatermarkMs() + 1))
+      if (stored.isEmpty) {
+        if (state.exists) state.remove()
+      } else {
+        state.update(stored.toList)
+        horizonMs.foreach { h =>
+          if (rs.nonEmpty) {
+            val maxTs = rs.iterator.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs + h, state.getCurrentWatermarkMs() + 1))
+          }
         }
       }
       out.iterator
@@ -529,7 +542,8 @@ object CurationStream {
 
   /** One banded image-fingerprint arrival of [[mediaStreamPairs]]. */
   final case class MediaBucketRow(asset_id: Long, ahash: Long, nbits: Int,
-                                  band: Int, bv: Long, ts: java.sql.Timestamp)
+                                  band: Int, bv: Long, ts: java.sql.Timestamp,
+                                  op: String)
 
   /** An emitted perceptual pair: the arriving asset vs an earlier one. */
   final case class MediaPair(asset_id: Long, dup_of: Long, hamming: Int)
@@ -568,17 +582,17 @@ object CurationStream {
       require(assets.columns.contains("ts"),
         "horizonMs requires an event-time `ts` column on the input")
     val hashed = assets.filter(col("kind") === "image")
-      .select(col("asset_id"), col("data"), ts.as("ts"))
-      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .select(col("asset_id"), col("data"), ts.as("ts"), opCol(assets).as("op"))
+      .as[(Long, Array[Byte], java.sql.Timestamp, String)]
       .mapPartitions { rows =>
         rows.grouped(Multimodal.BatchSize).flatMap { batch =>
-          batch.map { case (id, data, t) =>
+          batch.map { case (id, data, t, op) =>
             val (h, g) = Multimodal.aHash(MediaCodec.decodePpm(data))
-            (id, h, g, t)
+            (id, h, g, t, op)
           }
         }
       }
-      .toDF("asset_id", "ahash", "nbits", "ts")
+      .toDF("asset_id", "ahash", "nbits", "ts", "op")
     // the watermark re-attaches AFTER the kernel (the kernel re-creates
     // the row, so the event-time tag must be declared on its output)
     val base = horizonMs match {
@@ -591,12 +605,13 @@ object CurationStream {
     base
       .withColumn("w",
         expr(s"cast((nbits + ${Multimodal.HashBands - 1}) div ${Multimodal.HashBands} as int)"))
-      .select(col("asset_id"), col("ahash"), col("nbits"), col("ts"), col("w"),
+      .select(col("asset_id"), col("ahash"), col("nbits"), col("ts"),
+        col("op"), col("w"),
         explode(array((0 until Multimodal.HashBands).map(b => lit(b)): _*)).as("band"))
       .withColumn("bv",
         expr(s"shiftright(ahash, band * w) & (shiftleft(cast(1 as bigint), w) - 1)"))
       .select(col("asset_id"), col("ahash"), col("nbits"),
-        col("band"), col("bv"), col("ts"))
+        col("band"), col("bv"), col("ts"), col("op"))
       .as[MediaBucketRow]
       // nbits rides the key: hashes of different widths never pair (the
       // batch join's x.nbits = y.nbits), and band/value complete the bucket
@@ -606,9 +621,13 @@ object CurationStream {
   }
 
   /** Per-bucket state transition of [[mediaStreamPairs]]: compare each
-    * arrival (asset_id order) against the stored fingerprints, emit
-    * minimal-band pairs, append the newcomer. State rolls back with the
-    * batch, so crash-and-replay recomputes identical pairs.
+    * arrival (asset_id order, forget after add at the same id) against
+    * the stored fingerprints, emit minimal-band pairs, append the
+    * newcomer. A forget record purges its asset's fingerprint from the
+    * bucket (the erased image can never vote a pair again); a bucket
+    * left empty is removed. State rolls back with the batch, so
+    * crash-and-replay recomputes identical pairs and re-purges
+    * identically.
     */
   private def mediaBucket(horizonMs: Option[Long])(key: Long,
       rows: Iterator[MediaBucketRow],
@@ -625,27 +644,35 @@ object CurationStream {
       def bandOf(h: Long, b: Int): Long = (h >> (b * bandW)) & mask
       val stored = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long)] ++= state.getOption.getOrElse(Nil)
-      val rs = rows.toArray.sortBy(_.asset_id)
+      val rs = rows.toArray.sortBy(r => (r.asset_id, opRank(r.op)))
       val out = scala.collection.mutable.ArrayBuffer.empty[MediaPair]
       rs.foreach { r =>
-        stored.foreach { case (oid, oh) =>
-          if (oid != r.asset_id &&
-              java.lang.Long.bitCount(r.ahash ^ oh) <= Multimodal.HashMaxHamming) {
-            val minBand = (0 until Multimodal.HashBands)
-              .find(b => bandOf(r.ahash, b) == bandOf(oh, b)).get
-            if (minBand == band)
-              out += MediaPair(r.asset_id, oid,
-                java.lang.Long.bitCount(r.ahash ^ oh))
+        if (r.op == OpForget) {
+          stored.filterInPlace(_._1 != r.asset_id)
+        } else {
+          stored.foreach { case (oid, oh) =>
+            if (oid != r.asset_id &&
+                java.lang.Long.bitCount(r.ahash ^ oh) <= Multimodal.HashMaxHamming) {
+              val minBand = (0 until Multimodal.HashBands)
+                .find(b => bandOf(r.ahash, b) == bandOf(oh, b)).get
+              if (minBand == band)
+                out += MediaPair(r.asset_id, oid,
+                  java.lang.Long.bitCount(r.ahash ^ oh))
+            }
           }
+          stored += ((r.asset_id, r.ahash))
         }
-        stored += ((r.asset_id, r.ahash))
       }
-      state.update(stored.toList)
-      horizonMs.foreach { h =>
-        if (rs.nonEmpty) {
-          val maxTs = rs.iterator.map(_.ts.getTime).max
-          state.setTimeoutTimestamp(
-            math.max(maxTs + h, state.getCurrentWatermarkMs() + 1))
+      if (stored.isEmpty) {
+        if (state.exists) state.remove()
+      } else {
+        state.update(stored.toList)
+        horizonMs.foreach { h =>
+          if (rs.nonEmpty) {
+            val maxTs = rs.iterator.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs + h, state.getCurrentWatermarkMs() + 1))
+          }
         }
       }
       out.iterator
@@ -658,7 +685,8 @@ object CurationStream {
     * verdict.
     */
   final case class SemRow(vec_id: Long, c: Int, v: Array[Double], nrm: Double,
-                          dropped_old: Boolean, ts: java.sql.Timestamp)
+                          dropped_old: Boolean, ts: java.sql.Timestamp,
+                          op: String)
 
   /** The emitted semantic verdict — field-for-field the batch
     * [[graft.operators.Similarity.semDedupShard]] row.
@@ -733,7 +761,8 @@ object CurationStream {
       else GroupStateTimeout.NoTimeout
     base
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"), ts.as("ts"))
+        transform(col("embedding"), x => x.cast("double")).as("v"),
+        ts.as("ts"), opCol(embs).as("op"))
       .withColumn("one", lit(1))
       .join(broadcast(centRow), "one")
       // per-row nearest-centroid: the assignStep arithmetic as a fold —
@@ -749,7 +778,7 @@ object CurationStream {
           round(dot(col("v"), m("ov")) / (col("nrm") * m("onrm")), 4) >= tau),
         lit(false)))
       .select(col("vec_id"), col("c"), col("v"), col("nrm"),
-        col("dropped_old"), col("ts"))
+        col("dropped_old"), col("ts"), col("op"))
       .as[SemRow]
       .groupByKey(_.c)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(semCell(tau, horizonMs))
@@ -764,11 +793,17 @@ object CurationStream {
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Per-cell state transition of [[semGate]]: compare each arrival
-    * (vec_id order) against stored earlier stream vectors with the
-    * batch cosine arithmetic, fold in the precomputed old-corpus
-    * verdict, append the newcomer (kept or not — the non-recursive
-    * SemDeDup rule). State rolls back with the batch: crash-and-replay
-    * recomputes identical verdicts.
+    * (vec_id order, forget after add at the same id) against stored
+    * earlier stream vectors with the batch cosine arithmetic, fold in
+    * the precomputed old-corpus verdict, append the newcomer (kept or
+    * not — the non-recursive SemDeDup rule). A forget record purges its
+    * vector from the cell's members — the erased embedding can never
+    * drop a later near-duplicate again (its OLD-corpus twin is erased by
+    * gating against the p53-pruned saved tables instead — the
+    * `dropped_old` leg reads whatever artifact the caller passed). A
+    * cell left empty is removed. State rolls back with the batch:
+    * crash-and-replay recomputes identical verdicts and re-purges
+    * identically.
     */
   private def semCell(tau: Double, horizonMs: Option[Long])(key: Int,
       rows: Iterator[SemRow],
@@ -780,26 +815,35 @@ object CurationStream {
     } else {
       val stored = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Array[Double], Double)] ++= state.getOption.getOrElse(Nil)
-      val rs = rows.toArray.sortBy(_.vec_id)
-      val out = rs.map { r =>
-        val droppedStream = stored.exists { case (oid, ov, onrm) =>
-          oid < r.vec_id && {
-            var d = 0.0
-            var i = 0
-            val n = math.min(r.v.length, ov.length)
-            while (i < n) { d += r.v(i) * ov(i); i += 1 }
-            round4(d / (r.nrm * onrm)) >= tau
+      val rs = rows.toArray.sortBy(r => (r.vec_id, opRank(r.op)))
+      val out = rs.flatMap { r =>
+        if (r.op == OpForget) {
+          stored.filterInPlace(_._1 != r.vec_id)
+          None
+        } else {
+          val droppedStream = stored.exists { case (oid, ov, onrm) =>
+            oid < r.vec_id && {
+              var d = 0.0
+              var i = 0
+              val n = math.min(r.v.length, ov.length)
+              while (i < n) { d += r.v(i) * ov(i); i += 1 }
+              round4(d / (r.nrm * onrm)) >= tau
+            }
           }
+          if (!stored.exists(_._1 == r.vec_id)) stored += ((r.vec_id, r.v, r.nrm))
+          Some(SemVerdict(r.vec_id, r.c, !r.dropped_old && !droppedStream))
         }
-        if (!stored.exists(_._1 == r.vec_id)) stored += ((r.vec_id, r.v, r.nrm))
-        SemVerdict(r.vec_id, r.c, !r.dropped_old && !droppedStream)
       }
-      state.update(stored.toList)
-      horizonMs.foreach { h =>
-        if (rs.nonEmpty) {
-          val maxTs = rs.iterator.map(_.ts.getTime).max
-          state.setTimeoutTimestamp(
-            math.max(maxTs + h, state.getCurrentWatermarkMs() + 1))
+      if (stored.isEmpty) {
+        if (state.exists) state.remove()
+      } else {
+        state.update(stored.toList)
+        horizonMs.foreach { h =>
+          if (rs.nonEmpty) {
+            val maxTs = rs.iterator.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs + h, state.getCurrentWatermarkMs() + 1))
+          }
         }
       }
       out.iterator
@@ -885,6 +929,13 @@ object CurationStream {
     * longer than the horizon is evicted when the watermark passes its
     * deadline. None keeps state for the query's lifetime — a deliberate
     * choice for bounded corpora, not the only mode.
+    *
+    * Erasure reaches the RUNNING manifest through the [[OpForget]]
+    * convention: a forget record carrying the erased document's
+    * (doc_id, text) flows through the same gates to the same hash key
+    * and clears the canonical state when the erased doc held it — no
+    * restart, no checkpoint surgery (CurationStreamSpec pins it across
+    * an injected crash).
     */
   def manifest(docs: DataFrame, hot: DataFrame, lm: TextOps.SurprisalModel,
                dedupHorizonMs: Option[Long] = None): DataFrame = {

@@ -1135,4 +1135,235 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(got.toSet == Set((2L, 1L)),
       s"inside-horizon pair found once, evicted buckets stay silent: $got")
   }
+
+  test("erasure reaches the live canonical state: a forgotten canonical stops demoting newcomers, across crash-and-replay") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dup = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, dup, "add"),
+      (2L, dup, "add"),
+      (3L, "entirely different unique content with other words inside", "add"))
+      .toDF("doc_id", "text", "op")
+    val hot = CurationStream.trainHotShingles(docs.drop("op"))
+    val lm = trainLm(docs.drop("op"))
+
+    val dataDir = Files.createTempDirectory("graft-forgetcanon-data").toString
+    val ckpt = Files.createTempDirectory("graft-forgetcanon-ckpt").toString
+    val base = System.currentTimeMillis() - 3600000L
+    var i = 0
+    def land(rows: (Long, String, String)*): Unit = {
+      val tmp = Files.createTempDirectory("graft-forgetcanon-chunk").toString
+      rows.toSeq.toDF("doc_id", "text", "op")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dest = new java.io.File(dataDir, f"chunk-$i%03d.parquet")
+      Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(base + i * 60000L))
+      i += 1
+    }
+    // batch 1: 1 is canonical for the dup text, 2 its duplicate
+    land((1L, dup, "add"), (2L, dup, "add"), (3L, "entirely different unique content with other words inside", "add"))
+    // batch 2: the canonical requests erasure (control record: same
+    // payload columns, op=forget — routes to the same hash key)
+    land((1L, dup, CurationStream.OpForget))
+    // batch 3: the same text arrives again — with 1 erased it is
+    // canonical; 5 right after it is its duplicate
+    land((4L, dup, "add"), (5L, dup, "add"))
+    // batch 4: a forget for a NON-canonical doc (2) is a state no-op —
+    // 6 is still demoted by the new canonical 4
+    land((2L, dup, CurationStream.OpForget), (6L, dup, "add"))
+
+    val got = scala.collection.concurrent.TrieMap.empty[Long, Boolean]
+    val rowsSeen = new java.util.concurrent.atomic.AtomicLong
+    @volatile var crashOnce = true
+    def run() = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dataDir)
+      CurationStream.manifest(stream, hot, lm).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.collect()
+          rowsSeen.addAndGet(rows.length.toLong)
+          rows.foreach(r => got.put(r.getLong(0), r.getBoolean(7)))
+          if (crashOnce && rows.nonEmpty) { crashOnce = false; sys.error("injected crash") }
+          ()
+        }.start()
+    }
+    val q1 = run()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q1.awaitTermination(60000))
+    val q2 = run()
+    assert(q2.awaitTermination(180000), "canonical-erasure stream did not finish")
+    q2.stop()
+
+    // forget records emit nothing: only the 6 documents produced rows
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), s"${got.keySet}")
+    assert(got(1L) && !got(2L) && got(3L),
+      s"pre-erasure verdicts: ${got.toMap}")
+    assert(got(4L),
+      "after the canonical's erasure the same text must be canonical again")
+    assert(!got(5L) && !got(6L),
+      s"the NEW canonical demotes later arrivals; a non-canonical forget is a no-op: ${got.toMap}")
+  }
+
+  test("simhash forget purges live fingerprints: the erased doc never votes a pair again, the gate stays alive") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dataDir = Files.createTempDirectory("graft-forgetsim-data").toString
+    val ckpt = Files.createTempDirectory("graft-forgetsim-ckpt").toString
+    val base = System.currentTimeMillis() - 3600000L
+    var i = 0
+    def land(rows: (Long, String, String)*): Unit = {
+      val tmp = Files.createTempDirectory("graft-forgetsim-chunk").toString
+      rows.toSeq.toDF("doc_id", "text", "op")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dest = new java.io.File(dataDir, f"chunk-$i%03d.parquet")
+      Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(base + i * 60000L))
+      i += 1
+    }
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    land((1L, text, "add"), (2L, text, "add"))   // pair (2,1)
+    land((1L, text, CurationStream.OpForget),    // both copies erased
+         (2L, text, CurationStream.OpForget))
+    land((3L, text, "add"))                      // nothing left to pair with
+    land((4L, text, "add"))                      // gate alive: pair (4,3)
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, op STRING")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = CurationStream.simhashStreamPairs(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          got.synchronized { got += ((r.getLong(0), r.getLong(1))) })
+        ()
+      }.start()
+    assert(q.awaitTermination(180000), "simhash forget drain did not finish")
+    q.stop()
+    assert(got.toSet == Set((2L, 1L), (4L, 3L)),
+      s"erased fingerprints must not vote, surviving ones must: $got")
+  }
+
+  test("media forget purges live fingerprints: the erased image never votes a pair again, the gate stays alive") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dataDir = Files.createTempDirectory("graft-forgetmedia-data").toString
+    val ckpt = Files.createTempDirectory("graft-forgetmedia-ckpt").toString
+    def ppm8x8(lum: Int => Int): Array[Byte] =
+      graft.operators.MediaCodec.ppmHeader(8, 8) ++
+        (0 until 64).flatMap(p => Seq.fill(3)(lum(p).toByte)).toArray
+    val base = System.currentTimeMillis() - 3600000L
+    var i = 0
+    def land(rows: (Long, String, Array[Byte], String)*): Unit = {
+      val tmp = Files.createTempDirectory("graft-forgetmedia-chunk").toString
+      rows.toSeq.toDF("asset_id", "kind", "data", "op")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dest = new java.io.File(dataDir, f"chunk-$i%03d.parquet")
+      Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(base + i * 60000L))
+      i += 1
+    }
+    val img = ppm8x8(p => if (p < 32) 10 else 80)
+    land((1L, "image", img, "add"), (2L, "image", img, "add"))
+    land((1L, "image", img, CurationStream.OpForget),
+         (2L, "image", img, CurationStream.OpForget))
+    land((3L, "image", img, "add"))
+    land((4L, "image", img, "add"))
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "asset_id BIGINT, kind STRING, data BINARY, op STRING")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = CurationStream.mediaStreamPairs(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          got.synchronized { got += ((r.getLong(0), r.getLong(1))) })
+        ()
+      }.start()
+    assert(q.awaitTermination(180000), "media forget drain did not finish")
+    q.stop()
+    assert(got.toSet == Set((2L, 1L), (4L, 3L)),
+      s"erased fingerprints must not vote, surviving ones must: $got")
+  }
+
+  test("semantic gate erasure, both legs: a forgotten stream vector stops dropping near-dups; the old-corpus leg follows the p53-pruned artifact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val cent = Seq((0, 1, 1.0), (0, 2, 0.0), (1, 1, 0.0), (1, 2, 1.0))
+      .toDF("c", "i", "cv")
+    val oldEmb = Seq((0L, "a", Array(1.0f, 0.05f))).toDF("vec_id", "label", "embedding")
+    val oldCells = Seq((0L, 0)).toDF("vec_id", "c")
+    val dataDir = Files.createTempDirectory("graft-forgetsem-data").toString
+    val base = System.currentTimeMillis() - 3600000L
+    var i = 0
+    def land(rows: (Long, String, Array[Float], String)*): Unit = {
+      val tmp = Files.createTempDirectory("graft-forgetsem-chunk").toString
+      rows.toSeq.toDF("vec_id", "label", "embedding", "op")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dest = new java.io.File(dataDir, f"chunk-$i%03d.parquet")
+      Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(base + i * 60000L))
+      i += 1
+    }
+    // 11 lands near +y; 12 would duplicate it; after 11's erasure 12 is
+    // kept; 13 then duplicates 12 (the purged cell re-fills)
+    land((11L, "s", Array(0.0f, 1.0f), "add"))
+    land((11L, "s", Array(0.0f, 1.0f), CurationStream.OpForget))
+    land((12L, "s", Array(0.05f, 1.0f), "add"))
+    land((13L, "s", Array(0.02f, 1.0f), "add"))
+    def runGate(oe: DataFrame, oc: DataFrame, extra: (Long, String, Array[Float], String)*)
+        : Map[Long, Boolean] = {
+      if (extra.nonEmpty) land(extra: _*)
+      val got = scala.collection.concurrent.TrieMap.empty[Long, Boolean]
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, label STRING, embedding ARRAY<FLOAT>, op STRING")
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dataDir)
+      val q = CurationStream.semGate(stream, cent, oe, oc, 0.9).writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-forgetsem-ckpt").toString)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r => got.put(r.getLong(0), r.getBoolean(2)))
+          ()
+        }.start()
+      assert(q.awaitTermination(180000), "semantic erasure drain did not finish")
+      q.stop()
+      got.toMap
+    }
+    // leg 1 (live state): with 11 forgotten, 12 is KEPT; 13 then dups 12
+    val live = runGate(oldEmb, oldCells)
+    assert(live == Map(11L -> true, 12L -> true, 13L -> false),
+      s"stream-state purge verdicts: $live")
+    // leg 2 (saved corpus): vector 10 duplicates the SAVED vector 0 —
+    // dropped against the full artifact, KEPT against the p53-pruned one
+    // (a fresh stream over the pruned tables is exactly how erasure
+    // reaches the dropped_old leg — the tombstoned-serving convention)
+    val withOld = runGate(oldEmb, oldCells, (10L, "s", Array(1.0f, 0.0f), "add"))
+    assert(withOld(10L) == false, s"full artifact must drop 10: $withOld")
+    val pruned = runGate(oldEmb.filter(col("vec_id") =!= 0L),
+      oldCells.filter(col("vec_id") =!= 0L))
+    assert(pruned(10L) == true,
+      s"pruned artifact must keep 10 — the erased saved vector no longer votes: $pruned")
+  }
 }
