@@ -569,6 +569,40 @@ object TextOps {
     Bm25Index(postings, doclen, stats, corpus)
   }
 
+  /** COMPACT a BM25 index into the t-sorted serving layout (t46 — the
+    * maintenance leg [[mergeBm25Indexes]] makes necessary): each t34
+    * merge is content-correct but LAYOUT-fragmenting — the union keeps
+    * every input file, so after k merges a term's posting list straddles
+    * up to k files whose [min_t, max_t] footers overlap, and the
+    * index-seek serving path ([[bm25ServeBatch]]'s pushed-down IN, which
+    * skips row groups BY those footers) degrades toward a probe of
+    * every file. Compaction rewrites the postings through the IDENTICAL
+    * physical contract as [[trainAndSaveBm25Index]] — range-partitioned
+    * and sorted by the term key, so files carry tight, non-overlapping
+    * term ranges again — and re-persists the other three tables as they
+    * stand. Pure data movement: no re-tokenization, no count
+    * re-derivation; serving from the compacted index must hash-match
+    * the fresh full-corpus build (the [[graft.operators.Layout]]
+    * per-cell compaction idea, applied to the retrieval index).
+    *
+    * Scale shape: one range shuffle of the postings table (the artifact,
+    * never the corpus) sized by `spark.sql.shuffle.partitions` /
+    * maxRecordsPerFile; a 100 TB tier runs it as the nightly step after
+    * the day's shard merges, exactly like log-structured stores compact
+    * L0 runs.
+    */
+  def compactAndSaveBm25Index(idx: Bm25Index, dir: String): Bm25Index = {
+    idx.postings
+      .repartitionByRange(col("t"))
+      .sortWithinPartitions(col("t"), col("doc_id"))
+      .write.option("maxRecordsPerFile", "5000000")
+      .mode("overwrite").parquet(s"$dir/bm25_postings")
+    graft.sources.ModelStore.saveLarge(idx.doclen, s"$dir/bm25_doclen")
+    graft.sources.ModelStore.saveLarge(idx.stats, s"$dir/bm25_stats")
+    graft.sources.ModelStore.save(idx.corpus, s"$dir/bm25_corpus")
+    loadBm25Index(idx.postings.sparkSession, dir)
+  }
+
   /** Cavnar–Trenkle profile sizes: per-language and per-document top
     * trigram counts. The language profile is rank-truncated at
     * [[CtLangTop]]; a document gram absent from a profile costs exactly

@@ -488,6 +488,26 @@ object Pipeline {
       TextOps.bm25FromIndex(TextOps.mergeBm25Indexes(
         TextOps.loadBm25Index(s, dirA), TextOps.loadBm25Index(s, dirB)))
     },
+    // index compaction: the merged index re-written through the same
+    // range-partition-by-term contract as a fresh save, restoring the
+    // tight per-file [min_t, max_t] footers the index-seek serving path
+    // skips by — pure data movement (no re-tokenize, no recount), and
+    // serving from the compacted artifact must hash-match the
+    // full-corpus build
+    QueryDef.sql("t46_bm25_compacted", TextOps.sqlBm25TopK) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cut = docs.count() * 4 / 5
+      val dirA = artifactDir("bm25_old", dir)(tmp =>
+        TextOps.trainAndSaveBm25Index(docs.filter(col("doc_id") < cut), tmp))
+      val dirB = artifactDir("bm25_shard", dir)(tmp =>
+        TextOps.trainAndSaveBm25Index(docs.filter(col("doc_id") >= cut), tmp))
+      val cDir = artifactDir("bm25_compacted", dir)(tmp => {
+        TextOps.compactAndSaveBm25Index(TextOps.mergeBm25Indexes(
+          TextOps.loadBm25Index(s, dirA), TextOps.loadBm25Index(s, dirB)), tmp)
+        ()
+      })
+      TextOps.bm25FromIndex(TextOps.loadBm25Index(s, cDir))
+    },
     // tombstoned retrieval serving: a delete-list anti-filters the saved
     // index's per-doc tables, df/totals re-derive from the pruned index
     // (one vocab-sized agg, no re-tokenization) — must hash-match a

@@ -195,6 +195,61 @@ class DedupTextSpec extends AnyFunSuite {
     assert(gotFull.toSeq == fresh.toSeq, s"pruned=${gotFull.toSeq} fresh=${fresh.toSeq}")
   }
 
+  test("bm25 compaction: merged-index fragmentation healed, per-file term ranges disjoint again, serving hash-matches the fresh build") {
+    import scala.jdk.CollectionConverters._
+    val s = TestSpark.spark
+    val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    val cut = docs.count() * 4 / 5
+    val dirA = java.nio.file.Files.createTempDirectory("graft-bm25cmp-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-bm25cmp-b").toString
+    TextOps.trainAndSaveBm25Index(docs.filter(col("doc_id") < cut), dirA)
+    TextOps.trainAndSaveBm25Index(docs.filter(col("doc_id") >= cut), dirB)
+
+    def fileRanges(dirs: String*): Seq[(String, String)] = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      dirs.flatMap(d => new java.io.File(s"$d/bm25_postings").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .toSeq)
+        .map { f =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+          try {
+            val ss = rd.getFooter.getBlocks.asScala.toSeq.map(b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == "t").get.getStatistics)
+            def str(x: Any) =
+              x.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+            (ss.map(st => str(st.genericGetMin)).min,
+              ss.map(st => str(st.genericGetMax)).max)
+          } finally rd.close()
+        }
+    }
+    def overlaps(rs: Seq[(String, String)]): Boolean = {
+      val sorted = rs.sortBy(_._1)
+      sorted.zip(sorted.tail).exists { case (a, b) => b._1 < a._2 }
+    }
+    // the fragmented state a t34 merge leaves on disk: each shard save is
+    // t-sorted INTERNALLY, but both span the vocabulary, so term ranges
+    // overlap across the union's files — the seek path degrades
+    val frag = fileRanges(dirA, dirB)
+    assert(frag.length >= 2 && overlaps(frag),
+      s"the two shard saves must overlap in term range, or this pin is vacuous: $frag")
+
+    val cDir = java.nio.file.Files.createTempDirectory("graft-bm25cmp-c").toString
+    val compacted = TextOps.compactAndSaveBm25Index(TextOps.mergeBm25Indexes(
+      TextOps.loadBm25Index(s, dirA), TextOps.loadBm25Index(s, dirB)), cDir)
+    // healed: per-file ranges are disjoint again (a term's posting list
+    // straddles a boundary only as a shared endpoint, never an interior)
+    val comp = fileRanges(cDir)
+    assert(!overlaps(comp), s"compacted ranges must be disjoint: $comp")
+    // and compaction moved data only: serving equals the fresh build
+    val fresh = TextOps.bm25TopK(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val served = TextOps.bm25FromIndex(compacted).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(served == fresh, s"compacted serve diverged:\n$served\nvs\n$fresh")
+  }
+
   test("ct langid: profiles separate crafted languages; prediction reads the text, not the label") {
     val s = TestSpark.spark
     import s.implicits._
