@@ -1429,7 +1429,7 @@ object Dedup {
     * in-corpus pass ([[coveredPositions]]) and the incremental shard
     * pass ([[shardSubstrSpans]]).
     */
-  private def positionalGrams(toks: DataFrame): DataFrame =
+  private[graft] def positionalGrams(toks: DataFrame): DataFrame =
     toks.filter(size(col("w")) >= SubstrN)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("w")) - (SubstrN - 1)),

@@ -81,6 +81,26 @@ import Portable._
   */
 object Forget {
 
+  /** THE SAVED-ARTIFACT CATALOG: one entry per persisted artifact the
+    * engine maintains, with its erasure class (the taxonomy in the
+    * object doc — "per-key-prunable" anti-filters, "count-reversible"
+    * decrements/re-derives). This is the single source of truth BOTH
+    * lifecycle reports enumerate: [[rtbfSweep]] (p53) emits one leg per
+    * entry and [[artifactManifest]] (p54) one health row per entry, so
+    * neither can silently drop an artifact the other covers (ForgetSpec
+    * pins the three-way name equality).
+    */
+  val ArtifactCatalog: Seq[(String, String)] = Seq(
+    "ann_cells" -> "per-key-prunable",
+    "bm25_postings" -> "per-key-prunable",
+    "dup_labels" -> "count-reversible",
+    "kmv_days" -> "count-reversible",
+    "lm_counts" -> "count-reversible",
+    "lsh_buckets" -> "per-key-prunable",
+    "lsh_shingles" -> "per-key-prunable",
+    "media_fingerprints" -> "per-key-prunable",
+    "substr_grams" -> "count-reversible")
+
   /** The house delete-list predicates, one per key space (the t35/s13
     * "% 7 = 3" convention): documents, vectors and users whose key is
     * ≡ 3 (mod 7) have requested erasure.
@@ -175,33 +195,43 @@ object Forget {
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
       .select(expr(Sketches.estExpr("n_kept", "hk")).as("est"))
-    leg("ann_cells", ann.cells,
+    // legs keyed by artifact name; the CATALOG enumerates the report, so
+    // a catalog entry without a leg (or vice versa) fails loudly instead
+    // of silently dropping an artifact from the sweep
+    val legs: Map[String, DataFrame] = Map(
+      "ann_cells" -> leg("ann_cells", ann.cells,
         prunedAnn.cells.agg(count(lit(1)).as("rows_after"),
-          sum(col("vec_id")).as("stat")))
-      .unionByName(leg("bm25_postings", bm25.postings,
+          sum(col("vec_id")).as("stat"))),
+      "bm25_postings" -> leg("bm25_postings", bm25.postings,
         prunedBm.postings.agg(count(lit(1)).as("rows_after"),
-          countDistinct(col("t")).as("stat"))))
-      .unionByName(leg("dup_labels", labels,
+          countDistinct(col("t")).as("stat"))),
+      "dup_labels" -> leg("dup_labels", labels,
         newLabels.agg(count(lit(1)).as("rows_after"),
-          countDistinct(col("lab")).as("stat"))))
-      .unionByName(leg("kmv_days", kmvSaved,
+          countDistinct(col("lab")).as("stat"))),
+      "kmv_days" -> leg("kmv_days", kmvSaved,
         newSketch.agg(count(lit(1)).as("rows_after"))
-          .crossJoin(est.agg(sum(col("est")).as("stat")))))
-      .unionByName(leg("lm_counts", lm.counts,
+          .crossJoin(est.agg(sum(col("est")).as("stat")))),
+      "lm_counts" -> leg("lm_counts", lm.counts,
         prunedLm.counts.agg(count(lit(1)).as("rows_after"),
-          sum(col("c")).as("stat"))))
-      .unionByName(leg("lsh_buckets", idx.buckets,
+          sum(col("c")).as("stat"))),
+      "lsh_buckets" -> leg("lsh_buckets", idx.buckets,
         pruned.buckets.agg(count(lit(1)).as("rows_after"),
-          countDistinct(concat_ws(":", col("band"), col("bh"))).as("stat"))))
-      .unionByName(leg("lsh_shingles", idx.shingles,
+          countDistinct(concat_ws(":", col("band"), col("bh"))).as("stat"))),
+      "lsh_shingles" -> leg("lsh_shingles", idx.shingles,
         pruned.shingles.agg(count(lit(1)).as("rows_after"),
-          countDistinct(col("h")).as("stat"))))
-      .unionByName(leg("media_fingerprints", mediaFp,
+          countDistinct(col("h")).as("stat"))),
+      "media_fingerprints" -> leg("media_fingerprints", mediaFp,
         prunedFp.agg(count(lit(1)).as("rows_after"),
-          countDistinct(col("ahash")).as("stat"))))
-      .unionByName(leg("substr_grams", substrIdx,
+          countDistinct(col("ahash")).as("stat"))),
+      "substr_grams" -> leg("substr_grams", substrIdx,
         prunedSubstr.agg(count(lit(1)).as("rows_after"),
           sum(col("df")).as("stat"))))
+    require(legs.keySet == ArtifactCatalog.map(_._1).toSet,
+      s"sweep legs must cover the artifact catalog exactly: " +
+        s"missing=${ArtifactCatalog.map(_._1).toSet -- legs.keySet} " +
+        s"extra=${legs.keySet -- ArtifactCatalog.map(_._1).toSet}")
+    ArtifactCatalog.map { case (name, _) => legs(name) }
+      .reduce(_.unionByName(_))
       .orderBy(col("artifact"))
   }
 
@@ -329,6 +359,218 @@ object Forget {
        |  (SELECT count(DISTINCT g) FROM sg)::BIGINT,
        |  (SELECT count(DISTINCT g) FROM sg WHERE doc_id % 7 != 3)::BIGINT,
        |  (SELECT count(*) FROM sg WHERE doc_id % 7 != 3)::BIGINT
+       |) ORDER BY artifact""".stripMargin
+  }
+
+  /** ARTIFACT MANIFEST / HEALTH TABLE (p54) — the table a nightly job
+    * (p41/p46) and an erasure sweep (p53) read FIRST: one row per
+    * [[ArtifactCatalog]] entry with the artifact's erasure class, its
+    * size, and a STALENESS verdict generalizing the p23/s15 drift idea
+    * to every artifact — "does the saved artifact still cover today's
+    * corpus?":
+    *  - `rows`: the artifact table's row count (what storage holds).
+    *  - `covered_keys`: the subject keys the SAVED artifact covers —
+    *    docs for the per-doc indexes (BM25 via its doclen table, LSH
+    *    via distinct postings/bucket docs, labels via labeled docs),
+    *    vectors for ANN cells, days for the KMV sketch, assets for the
+    *    fingerprints, distinct grams for the substring index, and TOKEN
+    *    OCCURRENCES for the LM (its persisted totals' N — the
+    *    full-build-corpus statistic, cap-independent).
+    *  - `fresh_keys`: the keys a fresh build TODAY would cover — the
+    *    corpus row counts where enumeration is metadata (docs, vectors,
+    *    event days, assets), one corpus pass where the key set is
+    *    derived (shingled docs, distinct grams, total tokens). Key-set
+    *    replay only; never a full artifact rebuild.
+    *  - `stale = covered_keys < fresh_keys`: the artifact no longer
+    *    covers the corpus — re-train/merge before serving from it (the
+    *    p41 ingest or t34/t24-style merge is the remedy; p23/s15 are the
+    *    finer-grained drill-downs for the LM and ANN rows).
+    *
+    * The expected round-trip: artifacts built on yesterday's 4/5 slice
+    * (`bm25Old`, `annInc`, `lmOld` — the p23/s15/t34 incremental
+    * fixtures) report stale against today's full corpus; the
+    * full-corpus artifacts (LSH, labels, substr, KMV, fingerprints)
+    * report fresh. The oracle replays every count from the base tables,
+    * so a manifest row can only match if the saved artifact really
+    * holds what a build of its declared slice produces — the health
+    * check checks itself.
+    *
+    * Scale shape: every `rows`/`covered_keys` is an aggregate over an
+    * artifact table; `fresh_keys` is metadata or one shared corpus
+    * pass (the shingle-doc and gram probes are TakeOrdered-free
+    * distinct-count aggregations); nothing is collected, nothing joins
+    * corpus-to-corpus.
+    */
+  def artifactManifest(docs: DataFrame, events: DataFrame, emb: DataFrame,
+                       idx: Dedup.LshIndex, labels: DataFrame,
+                       substrIdx: DataFrame, bm25Old: TextOps.Bm25Index,
+                       annInc: Similarity.IvfPqIndex, kmvSaved: DataFrame,
+                       mediaFp: DataFrame,
+                       lmOld: TextOps.SurprisalModel): DataFrame = {
+    val cls = ArtifactCatalog.toMap
+    def leg(name: String, rows: DataFrame, covered: DataFrame,
+            fresh: DataFrame): DataFrame =
+      rows.crossJoin(covered).crossJoin(fresh)
+        .select(lit(name).as("artifact"),
+          lit(cls(name)).as("erasure_class"),
+          col("n_rows"), col("covered_keys"), col("fresh_keys"),
+          (col("covered_keys") < col("fresh_keys")).as("stale"))
+    def cnt(df: DataFrame) = df.agg(count(lit(1)).as("n_rows"))
+    def dcov(df: DataFrame, c: String) =
+      df.agg(countDistinct(col(c)).as("covered_keys"))
+    val docCount = docs.agg(count(lit(1)).as("fresh_keys"))
+    // shared corpus probes, materialized once (two legs read shDocs)
+    val shDocs = Dedup.rawShingles(docs)
+      .agg(countDistinct(col("doc_id")).as("fresh_keys"))
+      .localCheckpoint(true)
+    val pairDocs = Dedup.indexPairs(idx)
+      .select(explode(array(col("ia"), col("ib"))).as("d"))
+      .agg(countDistinct(col("d")).as("fresh_keys"))
+    val gramCount = Dedup.positionalGrams(
+        docs.select(col("doc_id"), Portable.tokens(col("text")).as("w")))
+      .agg(countDistinct(col("g")).as("fresh_keys"))
+    val tokenCount = docs
+      .agg(coalesce(sum(size(Portable.tokens(col("text")))), lit(0L))
+        .cast("bigint").as("fresh_keys"))
+    val assetCount = docs
+      .agg((count(lit(1)) +
+        count(when(col("doc_id") % 10 === 0, lit(1)))).as("fresh_keys"))
+    val dayCount = events.filter(col("ts").isNotNull)
+      .agg(countDistinct(to_date(col("ts"))).as("fresh_keys"))
+    leg("ann_cells", cnt(annInc.cells), dcov(annInc.cells, "vec_id"),
+        emb.agg(count(lit(1)).as("fresh_keys")))
+      .unionByName(leg("bm25_postings", cnt(bm25Old.postings),
+        dcov(bm25Old.doclen, "doc_id"), docCount))
+      .unionByName(leg("dup_labels", cnt(labels),
+        dcov(labels, "doc_id"), pairDocs))
+      .unionByName(leg("kmv_days", cnt(kmvSaved),
+        dcov(kmvSaved, "day"), dayCount))
+      .unionByName(leg("lm_counts", cnt(lmOld.counts),
+        lmOld.totals.select(col("n").as("covered_keys")), tokenCount))
+      .unionByName(leg("lsh_buckets", cnt(idx.buckets),
+        dcov(idx.buckets, "doc_id"), shDocs))
+      .unionByName(leg("lsh_shingles", cnt(idx.shingles),
+        dcov(idx.shingles, "doc_id"), shDocs))
+      .unionByName(leg("media_fingerprints", cnt(mediaFp),
+        dcov(mediaFp, "asset_id"), assetCount))
+      .unionByName(leg("substr_grams", cnt(substrIdx),
+        dcov(substrIdx, "g"), gramCount))
+      .orderBy(col("artifact"))
+  }
+
+  /** Oracle for [[artifactManifest]]: every count replayed from the base
+    * tables — the saved artifacts' declared build slices (full corpus
+    * for LSH/labels/substr/KMV/fingerprints; the doc_id/vec_id < 4N/5
+    * cut for BM25/LM/ANN, the p23/s15/t34 fixture convention), the LM
+    * vocabulary under its persisted top-K cap, the LSH replay through
+    * the same shingle/MinHash/verify CTEs as p53's oracle. Stale flags
+    * are re-derived from the replayed counts, so the gate fails if the
+    * manifest's coverage arithmetic OR the underlying artifacts drift.
+    */
+  def sqlArtifactManifest: String = {
+    val h = Portable.sqlHash32("g")
+    val mins = (0 until MinHashPerms)
+      .map(i => s"min(${Portable.sqlMinHashPerm("h", i)}) AS h$i").mkString(", ")
+    val arms = (0 until MinHashBands).map { b =>
+      val cols = (0 until MinHashRows).map(r => s"h${b * MinHashRows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    val n10 = Dedup.SubstrN
+    val grams10 = (0 until n10).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    val classCase = ArtifactCatalog
+      .map { case (n, c) => s"WHEN '$n' THEN '$c'" }.mkString(" ")
+    s"""WITH ${Dedup.sqlShingleCtes},
+       |cn AS (SELECT (count(*) * 4) // 5 AS cnt FROM documents),
+       |en AS (SELECT (count(*) * 4) // 5 AS cnt FROM embeddings),
+       |hashed AS MATERIALIZED (SELECT doc_id, $h AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
+       |stacked AS MATERIALIZED ($arms),
+       |cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+       |  FROM stacked x JOIN stacked y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |hcnt AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
+       |hint AS (SELECT c.ia, c.ib, count(*) AS inter
+       |  FROM cand c JOIN hashed a ON a.doc_id = c.ia
+       |  JOIN hashed b ON b.doc_id = c.ib AND b.h = a.h
+       |  GROUP BY 1, 2),
+       |fpairs AS MATERIALIZED (SELECT c.ia, c.ib
+       |  FROM cand c JOIN hint p ON p.ia = c.ia AND p.ib = c.ib
+       |  JOIN hcnt ca ON ca.doc_id = c.ia JOIN hcnt cb ON cb.doc_id = c.ib
+       |  WHERE round(p.inter * 1.0 / (ca.n + cb.n - p.inter), 4)
+       |    >= ${Dedup.JaccardThreshold}),
+       |stoks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w FROM documents),
+       |sg AS MATERIALIZED (SELECT DISTINCT doc_id, $grams10 AS g
+       |  FROM stoks, LATERAL unnest(range(1, len(w) - ${n10 - 2})) t(i)),
+       |btoks AS (SELECT doc_id, unnest(${Portable.sqlTokens("text")}) AS t
+       |  FROM documents),
+       |bp AS MATERIALIZED (SELECT DISTINCT t, doc_id FROM btoks),
+       |olmc AS (SELECT t, c FROM (
+       |    SELECT t, count(*)::BIGINT AS c FROM btoks
+       |    WHERE doc_id < (SELECT cnt FROM cn) GROUP BY t)
+       |  QUALIFY row_number() OVER (ORDER BY c DESC, t) <= ${TextOps.LmVocabTopK}),
+       |kall AS (SELECT DISTINCT strftime(ts::DATE, '%Y-%m-%d') AS day,
+       |    ${Portable.sqlHash32("user_id::VARCHAR")} AS kh
+       |  FROM events WHERE ts IS NOT NULL),
+       |kb AS (SELECT day, kh, row_number() OVER (PARTITION BY day ORDER BY kh) AS r
+       |  FROM kall QUALIFY r <= ${Sketches.KmvK})
+       |SELECT artifact,
+       |  CASE artifact $classCase END AS erasure_class,
+       |  n_rows, covered_keys, fresh_keys,
+       |  covered_keys < fresh_keys AS stale
+       |FROM (
+       |SELECT 'ann_cells' AS artifact,
+       |  (SELECT count(*) FROM embeddings
+       |    WHERE vec_id < (SELECT cnt FROM en))::BIGINT AS n_rows,
+       |  (SELECT count(DISTINCT vec_id) FROM embeddings
+       |    WHERE vec_id < (SELECT cnt FROM en))::BIGINT AS covered_keys,
+       |  (SELECT count(*) FROM embeddings)::BIGINT AS fresh_keys
+       |UNION ALL
+       |SELECT 'bm25_postings',
+       |  (SELECT count(*) FROM bp WHERE doc_id < (SELECT cnt FROM cn))::BIGINT,
+       |  (SELECT count(*) FROM documents
+       |    WHERE doc_id < (SELECT cnt FROM cn))::BIGINT,
+       |  (SELECT count(*) FROM documents)::BIGINT
+       |UNION ALL
+       |SELECT 'dup_labels',
+       |  (SELECT count(DISTINCT x) FROM
+       |    (SELECT ia AS x FROM fpairs UNION ALL SELECT ib FROM fpairs))::BIGINT,
+       |  (SELECT count(DISTINCT x) FROM
+       |    (SELECT ia AS x FROM fpairs UNION ALL SELECT ib FROM fpairs))::BIGINT,
+       |  (SELECT count(DISTINCT x) FROM
+       |    (SELECT ia AS x FROM fpairs UNION ALL SELECT ib FROM fpairs))::BIGINT
+       |UNION ALL
+       |SELECT 'kmv_days',
+       |  (SELECT count(*) FROM kb)::BIGINT,
+       |  (SELECT count(DISTINCT day) FROM kall)::BIGINT,
+       |  (SELECT count(DISTINCT day) FROM kall)::BIGINT
+       |UNION ALL
+       |SELECT 'lm_counts',
+       |  (SELECT count(*) FROM olmc)::BIGINT,
+       |  (SELECT count(*) FROM btoks WHERE doc_id < (SELECT cnt FROM cn))::BIGINT,
+       |  (SELECT count(*) FROM btoks)::BIGINT
+       |UNION ALL
+       |SELECT 'lsh_buckets',
+       |  (SELECT count(*) FROM stacked)::BIGINT,
+       |  (SELECT count(DISTINCT doc_id) FROM stacked)::BIGINT,
+       |  (SELECT count(DISTINCT doc_id) FROM hashed)::BIGINT
+       |UNION ALL
+       |SELECT 'lsh_shingles',
+       |  (SELECT count(*) FROM hashed)::BIGINT,
+       |  (SELECT count(DISTINCT doc_id) FROM hashed)::BIGINT,
+       |  (SELECT count(DISTINCT doc_id) FROM hashed)::BIGINT
+       |UNION ALL
+       |SELECT 'media_fingerprints',
+       |  (SELECT count(*) + count(*) FILTER (WHERE doc_id % 10 = 0)
+       |    FROM documents)::BIGINT,
+       |  (SELECT count(*) + count(*) FILTER (WHERE doc_id % 10 = 0)
+       |    FROM documents)::BIGINT,
+       |  (SELECT count(*) + count(*) FILTER (WHERE doc_id % 10 = 0)
+       |    FROM documents)::BIGINT
+       |UNION ALL
+       |SELECT 'substr_grams',
+       |  (SELECT count(DISTINCT g) FROM sg)::BIGINT,
+       |  (SELECT count(DISTINCT g) FROM sg)::BIGINT,
+       |  (SELECT count(DISTINCT g) FROM sg)::BIGINT
        |) ORDER BY artifact""".stripMargin
   }
 }

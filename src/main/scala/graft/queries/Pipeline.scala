@@ -263,6 +263,48 @@ object Pipeline {
         graft.sources.ModelStore.load(s, s"$fpDir/hashes"),
         TextOps.loadSurprisalModel(s, lmDir))
     },
+    // artifact manifest / health table: one row per saved artifact
+    // (erasure class, size, coverage vs today's corpus, staleness
+    // verdict) — the table the nightly job and the p53 sweep read
+    // first; incremental artifacts (bm25_old, lm_old, ivfpq_inc — the
+    // 4/5 fixtures) report stale, full-corpus artifacts report fresh
+    QueryDef.sql("p54_artifact_manifest",
+      graft.operators.Forget.sqlArtifactManifest) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val events = Tables.events(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val dcut = docs.count() * 4 / 5
+      val ecut = emb.count() * 4 / 5
+      val sub = 64 / Similarity.PqBlocks
+      val idxDir = artifactDir("lshindex_full", dir)(tmp =>
+        Dedup.buildAndSaveLshIndex(docs, tmp))
+      val idx = Dedup.loadLshIndex(s, idxDir)
+      val labDir = artifactDir("lshlabels_full", dir)(tmp =>
+        Dedup.clusterIndexAndSave(idx, tmp))
+      val subDir = artifactDir("substridx_full", dir)(tmp =>
+        Dedup.buildAndSaveSubstrIndex(docs, tmp))
+      val bmDir = artifactDir("bm25_old", dir)(tmp =>
+        TextOps.trainAndSaveBm25Index(docs.filter(col("doc_id") < dcut), tmp))
+      val annDir = artifactDir("ivfpq_inc", dir)(tmp =>
+        Similarity.trainAndSaveIvfPq(emb.filter(col("vec_id") < ecut), sub, tmp))
+      val kmvDir = artifactDir("kmvfull", dir)(tmp =>
+        graft.sources.ModelStore.saveLarge(
+          graft.operators.Sketches.dailyKmvSketchRows(events), s"$tmp/sketch"))
+      val fpDir = artifactDir("imghash_full", dir)(tmp =>
+        graft.sources.ModelStore.saveLarge(
+          graft.operators.Multimodal.imageHashes(
+            graft.operators.Multimodal.hashAssets(docs)), s"$tmp/hashes"))
+      val lmDir = artifactDir("lm_old", dir)(tmp =>
+        TextOps.trainAndSaveSurprisalModel(docs.filter(col("doc_id") < dcut), tmp))
+      graft.operators.Forget.artifactManifest(docs, events, emb, idx,
+        Dedup.loadClusters(s, labDir),
+        Dedup.loadSubstrIndex(s, subDir),
+        TextOps.loadBm25Index(s, bmDir),
+        Similarity.loadIvfPq(s, annDir),
+        graft.sources.ModelStore.load(s, s"$kmvDir/sketch"),
+        graft.sources.ModelStore.load(s, s"$fpDir/hashes"),
+        TextOps.loadSurprisalModel(s, lmDir))
+    },
     // SOFT dedup: 1/cluster-size sampling weights from the SAME saved
     // labels (SlimPajama-style downweighting instead of dropping) — the
     // dedup-aware size column p34's PPS draw takes; floored ppm integers

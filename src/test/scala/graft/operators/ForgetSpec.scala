@@ -94,6 +94,23 @@ class ForgetSpec extends AnyFunSuite {
       "kept-days + rebuilt-days must equal the survivor sketch")
   }
 
+  test("the artifact catalog is the single source of truth: the p53 sweep and the p54 manifest both enumerate it exactly") {
+    val s = TestSpark.spark
+    val catalog = Forget.ArtifactCatalog.map(_._1)
+    assert(catalog == catalog.sorted && catalog.distinct == catalog,
+      "catalog must be sorted and duplicate-free (both reports ORDER BY artifact)")
+    val sweep = graft.SparkEntry.queries("p53_rtbf_sweep")(s, dir)
+      .select(col("artifact")).collect().map(_.getString(0)).toSeq
+    assert(sweep == catalog,
+      s"p53 legs must enumerate the catalog: $sweep vs $catalog")
+    val manifest = graft.SparkEntry.queries("p54_artifact_manifest")(s, dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(manifest.map(_._1) == catalog,
+      s"p54 rows must enumerate the catalog: ${manifest.map(_._1)} vs $catalog")
+    assert(manifest == Forget.ArtifactCatalog,
+      "p54's erasure_class column must carry the catalog's classes verbatim")
+  }
+
   test("label re-derivation drops the erased doc's partner from the duplicate list") {
     val s = TestSpark.spark
     import s.implicits._
