@@ -855,6 +855,78 @@ object Relational {
         round(col("o_totalprice"), 2).as("total"), round(col("qty"), 2).as("qty"))
     },
 
+    // SMALL-QUANTITY-ORDER REVENUE (q41, the TPC-H Q17 shape): lines
+    // whose quantity is under 20% of their PART'S average quantity —
+    // the correlated scalar-avg subquery in its decorrelated Spark
+    // form: ONE partial-aggregated pass over lineitem produces every
+    // part's average (quantities are integers in doubles, so the avg is
+    // order-exact), which joins back to lineitem on the co-partitioned
+    // part key — no per-row subquery re-scan; part broadcasts for the
+    // brand rollup. Money follows the house cents convention (per-row
+    // round to DECIMAL, integer sum — order-free in both engines),
+    // divided by 7 once at the end (the Q17 "yearly average" output).
+    QueryDef.sql("q41_small_qty_revenue",
+      """WITH li AS (SELECT l_partkey, l_quantity,
+        |    CAST(round(l_extendedprice, 2)::DECIMAL(12,2) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem),
+        |aq AS (SELECT l_partkey, avg(l_quantity) AS aq FROM li GROUP BY 1)
+        |SELECT p.p_brand, count(*)::BIGINT AS n_lines,
+        |  round(sum(l.cents) / 700.0, 2) AS avg_yearly
+        |FROM li l
+        |JOIN aq USING (l_partkey)
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_quantity < 0.2 * aq.aq
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_quantity"),
+        (round(col("l_extendedprice"), 2).cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+      val aq = li.groupBy(col("l_partkey")).agg(avg(col("l_quantity")).as("aq"))
+      li.join(aq, "l_partkey")
+        .filter(col("l_quantity") < lit(0.2) * col("aq"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))), "l_partkey")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("cents")) / 700.0, 2).as("avg_yearly"))
+        .orderBy(col("p_brand"))
+    },
+
+    // TOP SUPPLIER (q42, the TPC-H Q15 shape): the supplier(s) whose
+    // quarterly revenue equals the maximum — Q15's correlated scalar-max
+    // view in its decorrelated Spark form: per-supplier revenue is one
+    // partial-aggregated pass over the date-pruned lineitem scan
+    // (per-row cents rounding, integer sums — exact in any order), the
+    // max is a ONE-ROW broadcast joined back (never a re-scan of the
+    // revenue view), ties all surface, supplier broadcasts for the name.
+    QueryDef.sql("q42_top_supplier",
+      """WITH rev AS (SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * (1 - l_discount), 2)
+        |      ::DECIMAL(12,2) * 100 AS BIGINT))::BIGINT AS rev_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT r.l_suppkey AS s_suppkey, s.s_name,
+        |  round(r.rev_cents / 100.0, 2) AS total_revenue
+        |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        |WHERE r.rev_cents = (SELECT max(rev_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_suppkey"),
+          (round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+            .cast("decimal(12,2)") * 100).cast("long").as("c"))
+        .groupBy(col("l_suppkey")).agg(sum(col("c")).as("rev_cents"))
+      rev.crossJoin(broadcast(rev.agg(max(col("rev_cents")).as("mx"))))
+        .filter(col("rev_cents") === col("mx"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_name"))), "l_suppkey")
+        .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
+          round(col("rev_cents") / 100.0, 2).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+
     // JOIN-KEY SKEW ADVISOR (q36): the diagnosis q21/q22 are the cure
     // for — one exploded scan, histogram shape per candidate key, hot
     // key via max(struct), integer salt recommendation

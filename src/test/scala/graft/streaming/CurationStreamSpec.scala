@@ -507,6 +507,57 @@ class CurationStreamSpec extends AnyFunSuite {
       s"pairs must not repeat across bands: $got")
   }
 
+  test("near-dup gate over the p53-pruned index: the erased corpus doc never surfaces, surviving pairs unchanged") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "orange banana cherry date elderberry fig grape honeydew " +
+      "kiwi lemon mango nectarine papaya quince raspberry strawberry"
+    // doc 3 (≡3 mod 7 — erased) anchors `other`; doc 1 anchors `base`
+    val old = Seq((1L, base), (3L, other),
+      (2L, "completely different words entirely unrelated content here okay"))
+      .toDF("doc_id", "text")
+    val idxDir = Files.createTempDirectory("graft-prunedndp-idx").toString
+    graft.operators.Dedup.buildAndSaveLshIndex(old, idxDir)
+    val idx = graft.operators.Dedup.loadLshIndex(spark, idxDir)
+    val pruned = graft.operators.Forget.pruneLshIndex(idx)
+
+    val shard = Seq((10L, base + " appended"), (11L, other + " trailer"))
+      .toDF("doc_id", "text")
+    // pre-erasure sanity: the full index pairs 11 with the victim 3
+    val full = graft.operators.Dedup.shardLshPairs(shard, idx)
+      .filter(col("ia") < 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == Set((1L, 10L), (3L, 11L)), s"fixture: $full")
+    val batchPruned = graft.operators.Dedup.shardLshPairs(shard, pruned)
+      .filter(col("ia") < 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val dataDir = Files.createTempDirectory("graft-prunedndp-data").toString
+    shard.coalesce(1).write.mode("overwrite").parquet(dataDir)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val stream = spark.readStream.schema(shard.schema).parquet(dataDir)
+    val q = CurationStream.nearDupPairs(stream, pruned)
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          got.synchronized { got += ((r.getLong(1), r.getLong(0), r.getDouble(2))) })
+        ()
+      }.start()
+    assert(q.awaitTermination(120000), "pruned near-dup stream did not finish")
+    q.stop()
+
+    // the erased doc never votes; the surviving anchor still pairs —
+    // and the stream equals the batch shard pass over the SAME pruned
+    // artifact (how erasure reaches this stateless gate: the
+    // tombstoned-serving convention, not state surgery)
+    assert(!got.exists(_._1 == 3L), s"erased doc surfaced: $got")
+    assert(got.toSet == batchPruned && got.exists(_._1 == 1L),
+      s"stream-over-pruned must equal batch-over-pruned: $got vs $batchPruned")
+  }
+
   test("streaming semantic gate equals batch p24 against the same saved clustering; crash redelivery changes nothing") {
     val spark = TestSpark.spark
     import spark.implicits._
