@@ -911,6 +911,11 @@ object Relational {
         |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
         |WHERE r.rev_cents = (SELECT max(rev_cents) FROM rev)
         |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      // the revenue view is consumed twice (rows + its max); AQE does
+      // NOT reuse the exchange across the differently-pruned subtrees
+      // (the t37 lesson), so without the checkpoint the lineitem scan
+      // and aggregation run twice — materialize the SMALL per-supplier
+      // table once and both consumers read it
       val rev = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
@@ -918,6 +923,7 @@ object Relational {
           (round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
             .cast("decimal(12,2)") * 100).cast("long").as("c"))
         .groupBy(col("l_suppkey")).agg(sum(col("c")).as("rev_cents"))
+        .localCheckpoint(true)
       rev.crossJoin(broadcast(rev.agg(max(col("rev_cents")).as("mx"))))
         .filter(col("rev_cents") === col("mx"))
         .join(broadcast(Tables.supplier(s, dir)

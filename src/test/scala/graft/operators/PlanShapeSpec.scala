@@ -715,6 +715,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"every leg must stay equi-join/broadcast:\n$plan")
   }
 
+  test("q41 decorrelation: the per-part average joins back as an equi-join — no cross product, no third lineitem pass") {
+    val plan = executed(graft.SparkEntry.queries("q41_small_qty_revenue")(
+      TestSpark.spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"the avg join-back must stay an equi-join:\n$plan")
+    // Q17 is inherently two lineitem passes (the per-part average and the
+    // join-back) — but never more
+    val scans = plan.split("lineitem.parquet").length - 1
+    assert(scans <= 2, s"expected at most 2 lineitem scans, got $scans:\n$plan")
+  }
+
+  test("q42 decorrelation: the revenue view materializes once — one lineitem scan feeds both consumers") {
+    val plan = executed(graft.SparkEntry.queries("q42_top_supplier")(
+      TestSpark.spark, dir))
+    // the checkpointed per-supplier view is read by the row side AND the
+    // max side; without it the scan + aggregation would run twice
+    val scans = plan.split("lineitem.parquet").length - 1
+    assert(scans <= 1, s"expected one lineitem scan, got $scans:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"the revenue view must be the materialized checkpoint:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the one-row max must broadcast:\n$plan")
+  }
+
   test("collocations + textrank: top-K is TakeOrderedAndProject, never a full-table rank") {
     val docs = graft.Tables.documents(TestSpark.spark, dir)
     // the PMI pair table / token-centrality table are unbounded at scale;
