@@ -896,20 +896,23 @@ object Relational {
     // quarterly revenue equals the maximum — Q15's correlated scalar-max
     // view in its decorrelated Spark form: per-supplier revenue is one
     // partial-aggregated pass over the date-pruned lineitem scan
-    // (per-row cents rounding, integer sums — exact in any order), the
+    // (revenue as the EXACT integer product of the two 2-decimal
+    // factors in 1e-4 units — both engines agree bit-for-bit in any
+    // summation order, with no per-row rounding boundary at all), the
     // max is a ONE-ROW broadcast joined back (never a re-scan of the
     // revenue view), ties all surface, supplier broadcasts for the name.
     QueryDef.sql("q42_top_supplier",
       """WITH rev AS (SELECT l_suppkey,
-        |    sum(CAST(round(l_extendedprice * (1 - l_discount), 2)
-        |      ::DECIMAL(12,2) * 100 AS BIGINT))::BIGINT AS rev_cents
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT))::BIGINT
+        |      AS rev_c4
         |  FROM lineitem
         |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
         |  GROUP BY 1)
         |SELECT r.l_suppkey AS s_suppkey, s.s_name,
-        |  round(r.rev_cents / 100.0, 2) AS total_revenue
+        |  round(r.rev_c4 / 10000.0, 2) AS total_revenue
         |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
-        |WHERE r.rev_cents = (SELECT max(rev_cents) FROM rev)
+        |WHERE r.rev_c4 = (SELECT max(rev_c4) FROM rev)
         |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
       // the revenue view is consumed twice (rows + its max); AQE does
       // NOT reuse the exchange across the differently-pruned subtrees
@@ -920,17 +923,138 @@ object Relational {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .select(col("l_suppkey"),
-          (round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
-            .cast("decimal(12,2)") * 100).cast("long").as("c"))
-        .groupBy(col("l_suppkey")).agg(sum(col("c")).as("rev_cents"))
+          (round(col("l_extendedprice") * 100).cast("long")
+            * round((lit(1.0) - col("l_discount")) * 100).cast("long")).as("c"))
+        .groupBy(col("l_suppkey")).agg(sum(col("c")).as("rev_c4"))
         .localCheckpoint(true)
-      rev.crossJoin(broadcast(rev.agg(max(col("rev_cents")).as("mx"))))
-        .filter(col("rev_cents") === col("mx"))
+      rev.crossJoin(broadcast(rev.agg(max(col("rev_c4")).as("mx"))))
+        .filter(col("rev_c4") === col("mx"))
         .join(broadcast(Tables.supplier(s, dir)
           .select(col("s_suppkey").as("l_suppkey"), col("s_name"))), "l_suppkey")
         .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
-          round(col("rev_cents") / 100.0, 2).as("total_revenue"))
+          round(col("rev_c4") / 10000.0, 2).as("total_revenue"))
         .orderBy(col("s_suppkey"))
+    },
+
+    // VOLUME SHIPPING (q43, the TPC-H Q7 shape): revenue shipped
+    // between two nations, per direction and year — the classic
+    // star-with-two-role-dimensions join: nation joins TWICE under
+    // different roles (supplier's vs customer's), the two-nation
+    // predicate filters each role BEFORE the fact joins (supplier and
+    // customer shrink to the two nations' rows and broadcast), and the
+    // one genuine shuffle is lineitem ⋈ orders on their shared key.
+    // Revenue is the exact integer product of the two 2-decimal factors
+    // (1e-4 units) — order-free and boundary-free in both engines;
+    // year() is exact integer arithmetic.
+    QueryDef.sql("q43_volume_shipping",
+      """WITH v AS (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l.l_shipdate)::INT AS l_year,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS c4
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01')
+        |SELECT supp_nation, cust_nation, l_year,
+        |  count(*)::BIGINT AS n_lines, sum(c4)::BIGINT AS revenue_c4
+        |FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val nations = Tables.nation(s, dir)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey"), col("n_name"))
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * round((lit(1.0) - col("l_discount")) * 100).cast("long")).as("c4"))
+      li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("c4")).as("revenue_c4"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // NATIONAL MARKET SHARE (q44, the TPC-H Q8 shape): one nation's
+    // share of a region's revenue in one part segment, per year — the
+    // conditional-sum-over-sum ratio computed in ONE aggregation pass
+    // (sum(CASE)/sum, never two scans); every dimension chain
+    // (part-type filter, customer→nation→region, supplier→nation role)
+    // broadcasts, and the fact-side shuffle is again only
+    // lineitem ⋈ orders. The ratio divides two exact integer 1e-4-unit
+    // sums, so the double is identical in both engines.
+    QueryDef.sql("q44_market_share",
+      """WITH v AS (
+        |  SELECT year(o.o_orderdate)::INT AS o_year, n2.n_name AS supp_nation,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS c4
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'ASIA'
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        |  WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1998-01-01')
+        |SELECT o_year,
+        |  sum(CASE WHEN supp_nation = 'NATION_3' THEN c4 ELSE 0 END)::BIGINT
+        |    AS nation_c4,
+        |  sum(c4)::BIGINT AS total_c4,
+        |  round(sum(CASE WHEN supp_nation = 'NATION_3' THEN c4 ELSE 0 END)
+        |    / sum(c4)::DOUBLE, 4) AS mkt_share
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val asiaCust = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir)
+            .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val econParts = Tables.part(s, dir)
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+      val ords = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val natC4 = sum(when(col("supp_nation") === "NATION_3",
+        col("c4")).otherwise(0L))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * round((lit(1.0) - col("l_discount")) * 100).cast("long")).as("c4"))
+        .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_year"))
+        .agg(natC4.as("nation_c4"),
+          sum(col("c4")).as("total_c4"),
+          round(natC4.cast("double") /
+            sum(col("c4")).cast("double"), 4).as("mkt_share"))
+        .orderBy(col("o_year"))
     },
 
     // JOIN-KEY SKEW ADVISOR (q36): the diagnosis q21/q22 are the cure
