@@ -967,6 +967,14 @@ object Similarity {
     rerankAdcTopK(adist, emb, nQueries, k)
   }
 
+  /** Probed-cell cap for [[ivfPqServe]]'s literal-IN pushdown; a request
+    * batch probing more distinct cells than this serves via the plain
+    * broadcast-LUT join instead (a mega-IN bloats codegen; the join
+    * stays probed-cell-bounded either way — the
+    * [[graft.operators.TextOps.ServeTermPushdownMax]] convention).
+    */
+  val ServeCellPushdownMax = 1000
+
   /** SERVING-MODE search (s19's batch kernel): [[ivfPqSearch]] for
     * EXTERNAL queries — the query vectors arrive separately from the
     * indexed corpus (a request stream, not a self-join), so there is no
@@ -975,6 +983,20 @@ object Similarity {
     * exact-rerank arithmetic; `corpus` supplies the exact vectors the
     * rerank scores (the artifact convention: codes serve the candidates,
     * the corpus table serves the final distances).
+    *
+    * INDEX SEEK (the t31/t32 layout idea applied to ANN): the batch's
+    * probed cells — at most queries × [[IvfPqProbes]], collected as one
+    * small driver round-trip after the coarse-assign job — become a
+    * pushed-down IN predicate on the codes scan, and with the saved
+    * index's cell-clustered layout ([[trainAndSaveIvfPq]]) the read
+    * opens only the row groups holding those cells' codes; a join alone
+    * probes every row group. Past [[ServeCellPushdownMax]] distinct
+    * cells the literal is skipped and the broadcast-LUT join carries the
+    * restriction alone (never a shuffle of the codes). Results are
+    * identical either way — the filter is a superset restriction of the
+    * join. The same latency shape note as bm25ServeBatch applies: one
+    * driver hop + fresh codegen per serve batch, traded for a file-skip
+    * read.
     */
   def ivfPqServe(queries: DataFrame, corpus: DataFrame, idx: IvfPqIndex,
                  sub: Int, k: Int): DataFrame = {
@@ -987,6 +1009,13 @@ object Similarity {
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("d"), col("c"))
     val probes = qdist.withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= IvfPqProbes).select(col("qid"), col("c").as("cell"))
+    val probedCells = probes.select(col("cell")).distinct()
+      .limit(ServeCellPushdownMax + 1).collect().map(_.getInt(0))
+    val servedCodes =
+      if (probedCells.isEmpty) codes.filter(lit(false))
+      else if (probedCells.length <= ServeCellPushdownMax)
+        codes.filter(col("cell").isin(probedCells.toSeq: _*))
+      else codes
     val lut = qex.join(broadcast(probes), "qid")
       .join(broadcast(coarse.select(col("c").as("cell"), col("i"), col("cv"))),
         Seq("cell", "i"))
@@ -995,7 +1024,7 @@ object Similarity {
       .join(broadcast(pqCent.select(col("c"), col("i"), col("cv").as("pcv"))), "i")
       .groupBy(col("qid"), col("cell"), col("m"), col("c"))
       .agg(round(sum((col("qr") - col("pcv")) * (col("qr") - col("pcv"))), 6).as("dq"))
-    val adist = codes.join(broadcast(lut), Seq("cell", "m", "c"))
+    val adist = servedCodes.join(broadcast(lut), Seq("cell", "m", "c"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(round(sum(col("dq")), 6).as("adist"))
     val wCand = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
@@ -1017,14 +1046,50 @@ object Similarity {
     * the two corpus-scaling tables (cell assignment, codes — parallel
     * write). Parquet doubles are binary-exact, so a loaded index serves
     * bit-identical results.
+    *
+    * The codes land RANGE-PARTITIONED AND SORTED by their own cell key
+    * (the trainAndSaveBm25Index layout contract, applied to ANN): every
+    * parquet footer then carries a tight [min_cell, max_cell], so
+    * [[ivfPqServe]]'s pushed-down probed-cell IN opens only the row
+    * groups holding those cells' codes — an index seek, not a scan of
+    * every file.
     */
   def trainAndSaveIvfPq(emb: DataFrame, sub: Int, dir: String): IvfPqIndex = {
     val idx = ivfPqTrain(emb, sub)
     graft.sources.ModelStore.save(idx.coarse, s"$dir/ivfpq_coarse")
     graft.sources.ModelStore.save(idx.pqCent, s"$dir/ivfpq_codebooks")
     graft.sources.ModelStore.saveLarge(idx.cells, s"$dir/ivfpq_cells")
-    graft.sources.ModelStore.saveLarge(idx.codes, s"$dir/ivfpq_codes")
+    idx.codes
+      .repartitionByRange(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"), col("m"))
+      .write.option("maxRecordsPerFile", "5000000")
+      .mode("overwrite").parquet(s"$dir/ivfpq_codes")
     idx
+  }
+
+  /** COMPACT an IVF-PQ index into the cell-clustered serving layout
+    * (s18 — [[TextOps.compactAndSaveBm25Index]]'s ANN twin): each s11
+    * shard encode unions new code files next to the old ones, so after
+    * k appends a cell's codes straddle up to k files whose
+    * [min_cell, max_cell] footers overlap, and [[ivfPqServe]]'s
+    * probed-cell seek degrades toward probing every file. Compaction
+    * rewrites the codes through the identical cell-sorted contract as a
+    * fresh save — one artifact-sized shuffle; no re-encoding, no
+    * re-quantization (the two quantizers persist as they stand, cells
+    * as they stand) — the nightly step after the day's shard encodes.
+    * Serving from the compacted index must hash-match serving from the
+    * fragmented union.
+    */
+  def compactAndSaveIvfPq(idx: IvfPqIndex, dir: String): IvfPqIndex = {
+    graft.sources.ModelStore.save(idx.coarse, s"$dir/ivfpq_coarse")
+    graft.sources.ModelStore.save(idx.pqCent, s"$dir/ivfpq_codebooks")
+    graft.sources.ModelStore.saveLarge(idx.cells, s"$dir/ivfpq_cells")
+    idx.codes
+      .repartitionByRange(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"), col("m"))
+      .write.option("maxRecordsPerFile", "5000000")
+      .mode("overwrite").parquet(s"$dir/ivfpq_codes")
+    loadIvfPq(idx.codes.sparkSession, dir)
   }
 
   def loadIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex =

@@ -738,6 +738,30 @@ object Pipeline {
         idx.codes.unionByName(newCodes))
       Similarity.ivfPqSearch(emb, combined, sub, 10, 5)
     },
+    // ANN index compaction (t46's twin): shard encodes union new code
+    // files next to the old ones, fragmenting the cell-clustered layout
+    // the serving seek skips by; compaction rewrites the codes through
+    // the same cell-sorted contract as a fresh save (no re-encoding, no
+    // re-quantization) and serving from the compacted artifact must
+    // hash-match serving from the fragmented union (= s11's oracle)
+    QueryDef.sql("s18_ann_compacted",
+      Similarity.sqlKnnIvfPqIncremental(10, 5, 64)) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val sub = 64 / Similarity.PqBlocks
+      val cut = emb.count() * 4 / 5
+      val idxDir = artifactDir("ivfpq_inc", dir)(tmp =>
+        Similarity.trainAndSaveIvfPq(emb.filter(col("vec_id") < cut), sub, tmp))
+      val cDir = artifactDir("ivfpq_compacted", dir)(tmp => {
+        val idx = Similarity.loadIvfPq(s, idxDir)
+        val (newCells, newCodes) =
+          Similarity.encodeIvfPqShard(emb.filter(col("vec_id") >= cut), idx, sub)
+        Similarity.compactAndSaveIvfPq(Similarity.IvfPqIndex(idx.coarse,
+          idx.cells.unionByName(newCells), idx.pqCent,
+          idx.codes.unionByName(newCodes)), tmp)
+        ()
+      })
+      Similarity.ivfPqSearch(emb, Similarity.loadIvfPq(s, cDir), sub, 10, 5)
+    },
     // index drift pre-flight: per-cell occupancy of the saved index vs a
     // new shard assigned against the saved centroids — the "when to
     // retrain the quantizer" table, strictly cheaper than the s11 encode

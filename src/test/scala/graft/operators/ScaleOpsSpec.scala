@@ -187,6 +187,73 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(perQ.values.forall(_ == 5), s"a query starved: ${perQ.toMap}")
   }
 
+  test("ann compaction heals the cell layout: fragmented appends overlap, compacted files are disjoint, serving seeks and matches") {
+    import scala.jdk.CollectionConverters._
+    val spark = TestSpark.spark
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val sub = 64 / Similarity.PqBlocks
+    val cut = emb.count() * 4 / 5
+    val trainDir = java.nio.file.Files.createTempDirectory("graft-anncmp-t").toString
+    Similarity.trainAndSaveIvfPq(emb.filter(col("vec_id") < cut), sub, trainDir)
+    val idx = Similarity.loadIvfPq(spark, trainDir)
+    val (newCells, newCodes) =
+      Similarity.encodeIvfPqShard(emb.filter(col("vec_id") >= cut), idx, sub)
+    // the fragmented on-disk state a shard append leaves: the shard's
+    // code files land NEXT TO the old ones, each internally sorted but
+    // both spanning the cell range
+    val shardDir = java.nio.file.Files.createTempDirectory("graft-anncmp-s").toString
+    graft.sources.ModelStore.saveLarge(newCodes, s"$shardDir/codes")
+
+    def cellRanges(dirs: String*): Seq[(Int, Int)] = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      dirs.flatMap(d => new java.io.File(d).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .toSeq)
+        .map { f =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+          try {
+            val ss = rd.getFooter.getBlocks.asScala.toSeq.map(b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == "cell").get.getStatistics)
+            (ss.map(_.genericGetMin.asInstanceOf[Integer].intValue).min,
+              ss.map(_.genericGetMax.asInstanceOf[Integer].intValue).max)
+          } finally rd.close()
+        }
+    }
+    def overlaps(rs: Seq[(Int, Int)]): Boolean = {
+      val sorted = rs.sortBy(_._1)
+      sorted.zip(sorted.tail).exists { case (a, b) => b._1 < a._2 }
+    }
+    val frag = cellRanges(s"$trainDir/ivfpq_codes", s"$shardDir/codes")
+    assert(frag.length >= 2 && overlaps(frag),
+      s"the shard append must overlap the old cell ranges, or this pin is vacuous: $frag")
+
+    val combined = Similarity.IvfPqIndex(idx.coarse,
+      idx.cells.unionByName(newCells), idx.pqCent,
+      idx.codes.unionByName(newCodes))
+    val cDir = java.nio.file.Files.createTempDirectory("graft-anncmp-c").toString
+    val compacted = Similarity.compactAndSaveIvfPq(combined, cDir)
+    val comp = cellRanges(s"$cDir/ivfpq_codes")
+    assert(!overlaps(comp), s"compacted cell ranges must be disjoint: $comp")
+
+    // serving: compacted == fragmented union, and the codes scan carries
+    // the probed-cell IN pushdown (the seek the layout exists for)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        col("embedding"))
+    val fromUnion = Similarity.ivfPqServe(queries, emb, combined, sub, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val served = Similarity.ivfPqServe(queries, emb, compacted, sub, 5)
+    val got = served.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == fromUnion,
+      s"compacted serve diverged:\n$got\nvs\n$fromUnion")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("In(cell"),
+      s"probed cells must push down to the codes scan:\n$plan")
+  }
+
   test("ivf drift: a shifted shard piles into one cell — flagged, fractions conserved") {
     val spark = TestSpark.spark
     import spark.implicits._
