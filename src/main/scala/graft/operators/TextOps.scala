@@ -569,6 +569,65 @@ object TextOps {
     Bm25Index(postings, doclen, stats, corpus)
   }
 
+  /** The benchmark phrase for t47 — fixture-vocabulary adjacent tokens. */
+  val PhraseQuery: Seq[String] = Seq("window", "join")
+
+  /** PHRASE SEARCH (t47) — the positional-index query class BM25 cannot
+    * express: documents containing the EXACT consecutive token sequence,
+    * with the match count (Lucene's PhraseQuery with slop 0). The trick
+    * that makes it a relational plan instead of a per-doc scan: each
+    * phrase term's positional postings are shifted LEFT by the term's
+    * offset in the phrase, so an exact adjacency becomes EQUALITY of the
+    * aligned start positions — and the n-way intersection is a chain of
+    * equi-joins on (doc_id, aligned_start). Overlapping matches count
+    * individually ("a a a" matches "a a" twice); the single-term phrase
+    * degenerates to a posting count.
+    *
+    * Scale shape: ONE corpus pass builds the positional postings for the
+    * PHRASE'S OWN terms only (the filter is a pushed-down IN at the
+    * scan when served from a saved positional index; in-lineage it cuts
+    * the explode's output to the phrase terms' occurrences), then the
+    * filtered postings are localCheckpointed ONCE and every leg derives
+    * from them — the t37 single-scan contract (without it, AQE rebuilds
+    * the corpus explode per leg). Joins are (doc, position)-keyed —
+    * posting-list sized, never corpus-to-corpus; no arrays ride the
+    * shuffle, 16 bytes a row.
+    */
+  def phraseSearch(docs: DataFrame,
+                   phrase: Seq[String] = PhraseQuery): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val pos = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "t")))
+      .filter(col("t").isin(phrase.distinct: _*))
+      .localCheckpoint(true)
+    val legs = phrase.zipWithIndex.map { case (term, i) =>
+      pos.filter(col("t") === term)
+        .select(col("doc_id"), (col("p") - i).as("p0"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc_id", "p0")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[phraseSearch]]: the same aligned-position equi-join
+    * chain over 1-based array positions (the base cancels in the join).
+    */
+  def sqlPhraseSearch(phrase: Seq[String] = PhraseQuery): String = {
+    val legs = phrase.zipWithIndex.map { case (term, i) =>
+      s"l$i AS (SELECT doc_id, i - $i AS p0 FROM pp WHERE t = '$term')"
+    }.mkString(",\n")
+    val joins = (1 until phrase.length)
+      .map(i => s"JOIN l$i USING (doc_id, p0)").mkString(" ")
+    s"""WITH stoks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w
+       |  FROM documents),
+       |pp AS (SELECT doc_id, i, w[i] AS t FROM stoks,
+       |  LATERAL unnest(range(1, len(w) + 1)) r(i)),
+       |$legs
+       |SELECT doc_id, count(*)::BIGINT AS n_matches
+       |FROM l0 $joins
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** COMPACT a BM25 index into the t-sorted serving layout (t46 — the
     * maintenance leg [[mergeBm25Indexes]] makes necessary): each t34
     * merge is content-correct but LAYOUT-fragmenting — the union keeps

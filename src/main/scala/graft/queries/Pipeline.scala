@@ -530,6 +530,13 @@ object Pipeline {
       TextOps.bm25FromIndex(TextOps.mergeBm25Indexes(
         TextOps.loadBm25Index(s, dirA), TextOps.loadBm25Index(s, dirB)))
     },
+    // phrase search: the positional-index query class BM25 can't
+    // express — exact consecutive-token matches per doc, with adjacency
+    // turned into an equi-join key by shifting each term's positions by
+    // its phrase offset; one corpus pass, postings-sized joins
+    QueryDef.sql("t47_phrase_search", TextOps.sqlPhraseSearch()) { (s, dir) =>
+      TextOps.phraseSearch(Tables.documents(s, dir))
+    },
     // index compaction: the merged index re-written through the same
     // range-partition-by-term contract as a fresh save, restoring the
     // tight per-file [min_t, max_t] footers the index-seek serving path

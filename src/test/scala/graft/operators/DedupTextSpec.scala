@@ -195,6 +195,31 @@ class DedupTextSpec extends AnyFunSuite {
     assert(gotFull.toSeq == fresh.toSeq, s"pruned=${gotFull.toSeq} fresh=${fresh.toSeq}")
   }
 
+  test("phrase search: exact adjacency only, overlapping matches each count, order matters") {
+    val d = docs(
+      (1L, "alpha beta gamma"),        // one match
+      (2L, "alpha beta alpha beta"),   // two disjoint matches
+      (3L, "alpha alpha alpha"),       // self-overlap fixture (below)
+      (4L, "beta alpha"),              // reversed order: no match
+      (5L, "alpha gamma beta"))        // non-adjacent: no match
+    val got = TextOps.phraseSearch(d, Seq("alpha", "beta")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L), s"got $got")
+    // overlapping matches count individually: "alpha alpha alpha" has
+    // TWO "alpha alpha" occurrences
+    val ov = TextOps.phraseSearch(d, Seq("alpha", "alpha")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ov == Map(3L -> 2L), s"got $ov")
+    // a 3-token phrase chains the join one more leg
+    val tri = TextOps.phraseSearch(d, Seq("alpha", "beta", "gamma")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tri == Map(1L -> 1L), s"got $tri")
+    // single-term phrase degenerates to the posting count
+    val one = TextOps.phraseSearch(d, Seq("alpha")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(one == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 1L, 5L -> 1L), s"got $one")
+  }
+
   test("bm25 compaction: merged-index fragmentation healed, per-file term ranges disjoint again, serving hash-matches the fresh build") {
     import scala.jdk.CollectionConverters._
     val s = TestSpark.spark
