@@ -609,6 +609,57 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Default window for [[proximitySearch]] (t48): "within 5 tokens". */
+  val ProximitySlop = 5
+
+  /** PROXIMITY SEARCH (t48) — [[phraseSearch]]'s sloppy sibling: per-doc
+    * count of ORDERED term pairs where `b` follows `a` within `slop`
+    * tokens (0 < pos_b − pos_a ≤ slop; slop 1 degenerates to the exact
+    * bigram). The position predicate is a RANGE, not an equality — the
+    * same trap as the w8 event-time range join, solved the same way
+    * ([[graft.operators.RangeJoin.banded]]'s blocking, applied INSIDE
+    * the document): positions quantize into slop-width buckets that
+    * join as part of the equi-key — the a-side occupies buckets b and
+    * b+1 (the two a window starting inside bucket b can reach), so one
+    * term-spammed document cannot own a |A|×|B| pair blowup on a single
+    * reducer — then the exact range filter decides. One corpus pass
+    * builds both terms' postings (checkpointed once, both legs derive).
+    */
+  def proximitySearch(docs: DataFrame, a: String, b: String,
+                      slop: Int = ProximitySlop): DataFrame = {
+    require(slop >= 1, "slop must be at least 1")
+    val pos = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "t")))
+      .filter(col("t").isin(Seq(a, b).distinct: _*))
+      .localCheckpoint(true)
+    val la = pos.filter(col("t") === a)
+      .select(col("doc_id"), col("p").as("pa"),
+        explode(array(expr(s"p div $slop"), expr(s"p div $slop") + 1)).as("bk"))
+    val lb = pos.filter(col("t") === b)
+      .select(col("doc_id"), col("p").as("pb"), expr(s"p div $slop").as("bk"))
+    la.join(lb, Seq("doc_id", "bk"))
+      .filter(col("pb") - col("pa") > 0 && col("pb") - col("pa") <= slop)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[proximitySearch]]: the plain range join the banded
+    * form must equal (DuckDB's optimizer handles the small fixture; the
+    * banding exists for the 100 TB side, not the oracle).
+    */
+  def sqlProximitySearch(a: String, b: String,
+                         slop: Int = ProximitySlop): String =
+    s"""WITH stoks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w
+       |  FROM documents),
+       |pp AS (SELECT doc_id, i, w[i] AS t FROM stoks,
+       |  LATERAL unnest(range(1, len(w) + 1)) r(i)),
+       |la AS (SELECT doc_id, i AS pa FROM pp WHERE t = '$a'),
+       |lb AS (SELECT doc_id, i AS pb FROM pp WHERE t = '$b')
+       |SELECT doc_id, count(*)::BIGINT AS n_pairs
+       |FROM la JOIN lb USING (doc_id)
+       |WHERE pb - pa > 0 AND pb - pa <= $slop
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Oracle for [[phraseSearch]]: the same aligned-position equi-join
     * chain over 1-based array positions (the base cancels in the join).
     */

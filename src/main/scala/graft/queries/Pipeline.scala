@@ -537,6 +537,14 @@ object Pipeline {
     QueryDef.sql("t47_phrase_search", TextOps.sqlPhraseSearch()) { (s, dir) =>
       TextOps.phraseSearch(Tables.documents(s, dir))
     },
+    // proximity search: t47's sloppy sibling — ordered term pairs within
+    // a token window; the position RANGE predicate rides the equi-key as
+    // slop-width buckets (the w8 banded range join applied inside the
+    // document), so a term-spammed doc can't own a pair blowup
+    QueryDef.sql("t48_proximity_search",
+      TextOps.sqlProximitySearch("window", "join")) { (s, dir) =>
+      TextOps.proximitySearch(Tables.documents(s, dir), "window", "join")
+    },
     // index compaction: the merged index re-written through the same
     // range-partition-by-term contract as a fresh save, restoring the
     // tight per-file [min_t, max_t] footers the index-seek serving path

@@ -220,6 +220,24 @@ class DedupTextSpec extends AnyFunSuite {
     assert(one == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 1L, 5L -> 1L), s"got $one")
   }
 
+  test("proximity search: ordered window pairs, band boundaries exact, slop 1 is the bigram") {
+    val d = docs(
+      (1L, "alpha x x x x beta"),      // gap 5 == slop -> pair
+      (2L, "alpha x x x x x beta"),    // gap 6 > slop  -> none
+      (3L, "beta alpha"),              // reversed      -> none
+      (4L, "alpha beta alpha beta"),   // pairs (0,1),(0,3),(2,3) at slop 5
+      (5L, "alpha alpha beta"))        // two a's, one b in range -> 2
+    val got = TextOps.proximitySearch(d, "alpha", "beta", slop = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 4L -> 3L, 5L -> 2L), s"got $got")
+    // slop 1 degenerates to the exact bigram (phraseSearch agreement)
+    val bg = TextOps.proximitySearch(d, "alpha", "beta", slop = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ph = TextOps.phraseSearch(d, Seq("alpha", "beta")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bg == ph, s"slop-1 $bg must equal the exact phrase $ph")
+  }
+
   test("bm25 compaction: merged-index fragmentation healed, per-file term ranges disjoint again, serving hash-matches the fresh build") {
     import scala.jdk.CollectionConverters._
     val s = TestSpark.spark
