@@ -19,6 +19,132 @@ import graft.functions.Portable
   */
 object Curation {
 
+  /** PER-SOURCE DATASHEET (p55, "Datasheets for Datasets" — Gebru et
+    * al. 2018, the composition/documentation artifact; the table a
+    * dataset RELEASE ships): one row per source with the statistics the
+    * battery computes individually, composed the p41/p53 way — every
+    * column nests an existing component's exact semantics, and the
+    * oracle replays each from the base tables, so the published
+    * datasheet cannot drift from the gates that produced the data:
+    *  - volume: document and token counts (t1's units);
+    *  - mean quality score (the p20 gate's per-row expression, t2);
+    *  - language mix: majority label + its share (exact integer counts,
+    *    alphabetical tie-break);
+    *  - near-duplicate rate in ppm, from the SAVED cluster-label
+    *    artifact (d8/d11's labels; floored integer ppm — the p48
+    *    convention), never a fresh pair enumeration;
+    *  - benchmark-contaminated documents (p21's verdicts; benchmark
+    *    docs themselves are excluded from every count, p21's rule);
+    *  - mean unigram surprisal (t13's per-doc bits, zero-token docs
+    *    pinned at 0.0, the p23 averaging idiom).
+    *
+    * Scale shape: one token/shingle pass each for quality,
+    * contamination and surprisal (corpus-linear, partial-aggregated per
+    * source); the dup column is an aggregate of the saved label
+    * artifact; the lang mix aggregates the bounded (source, lang)
+    * table. Nothing is collected; every join is keyed or broadcast.
+    */
+  def datasheet(docs: DataFrame, labels: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    val src = docs.select(col("doc_id"), col("source"))
+    val per = docs.select(col("source"),
+      size(Portable.tokens(col("text"))).cast("long").as("n_tok"),
+      TextOps.qualityScore(col("text")).as("q"))
+    val vol = per.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"),
+        round(avg(col("q")), 4).as("mean_quality"))
+    val wLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("c").desc, col("lang"))
+    val topLang = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(wLang)).filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("c"))
+    val dup = labels.join(src, "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup"))
+    val cont = contaminationReport(docs).filter(col("contaminated"))
+      .join(src, "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_contaminated"))
+    val bits = TextOps.unigramSurprisal(docs).join(src, "doc_id")
+      .groupBy(col("source"))
+      .agg(round(avg(col("bits_per_token")), 4).as("mean_bits_per_token"))
+    vol.join(topLang, "source")
+      .join(dup, Seq("source"), "left")
+      .join(cont, Seq("source"), "left")
+      .join(bits, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_quality"), col("top_lang"),
+        round(col("c") * lit(1.0) / col("n_docs"), 4).as("top_lang_frac"),
+        expr("(coalesce(n_dup, 0) * 1000000) div n_docs").as("dup_ppm"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        col("mean_bits_per_token"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle for [[datasheet]]: every column replayed from the base
+    * tables — the p21 contamination CTEs, the t13 full-corpus model, the
+    * d8 closure over the LSH replay (the p53 oracle's chain, unpruned) —
+    * composed per source.
+    */
+  def sqlDatasheet: String = {
+    import graft.functions.Portable
+    val q = TextOps.sqlQualityScoreExpr("text")
+    s"""WITH RECURSIVE ${graft.operators.Dedup.sqlShingleCtes},
+       |p AS MATERIALIZED (${graft.operators.Dedup.sqlLshPairs}),
+       |e AS (SELECT ia AS a, ib AS b FROM p
+       |      UNION SELECT ib, ia FROM p),
+       |r AS (SELECT a, b FROM e
+       |      UNION
+       |      SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |self AS (SELECT DISTINCT a, a AS b FROM e),
+       |comp AS (SELECT a AS doc_id FROM
+       |  (SELECT a, b FROM r UNION ALL SELECT a, b FROM self)
+       |  GROUP BY a),
+       |bench AS (SELECT DISTINCT g FROM sh0 WHERE doc_id % $BenchmarkMod = 0),
+       |cper AS (SELECT c.doc_id, count(*)::BIGINT AS n_shingles,
+       |    count(b.g)::BIGINT AS n_shared
+       |  FROM (SELECT doc_id, g FROM sh0 WHERE doc_id % $BenchmarkMod <> 0) c
+       |  LEFT JOIN bench b ON b.g = c.g GROUP BY 1),
+       |btoks AS (SELECT doc_id, unnest(${Portable.sqlTokens("text")}) AS t
+       |  FROM documents),
+       |btf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM btoks GROUP BY 1, 2),
+       |fc AS (SELECT t, sum(tf)::BIGINT AS c FROM btf GROUP BY t),
+       |ft AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM fc),
+       |fsc AS (SELECT btf.doc_id, btf.tf,
+       |    btf.tf * -log2((fc.c + 1.0) / (ft.n + ft.v)) AS wbits
+       |  FROM btf JOIN fc USING (t), ft),
+       |fper AS (SELECT doc_id, round(sum(wbits) / sum(tf), 4) AS bits
+       |  FROM fsc GROUP BY doc_id),
+       |vol AS (SELECT d.source, count(*)::BIGINT AS n_docs,
+       |    coalesce(sum(len(${Portable.sqlTokens("text")})), 0)::BIGINT AS n_tokens,
+       |    round(avg($q), 4) AS mean_quality,
+       |    round(avg(coalesce(fper.bits, 0.0)), 4) AS mean_bits_per_token
+       |  FROM documents d LEFT JOIN fper ON fper.doc_id = d.doc_id
+       |  GROUP BY d.source),
+       |lc AS (SELECT source, lang, count(*)::BIGINT AS c
+       |  FROM documents GROUP BY 1, 2),
+       |lt AS (SELECT source, lang, c,
+       |    row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+       |  FROM lc),
+       |dup AS (SELECT d.source, count(*)::BIGINT AS n_dup
+       |  FROM comp JOIN documents d ON d.doc_id = comp.doc_id GROUP BY 1),
+       |cont AS (SELECT d.source, count(*)::BIGINT AS n_contaminated
+       |  FROM cper JOIN documents d ON d.doc_id = cper.doc_id
+       |  WHERE cper.n_shared * 1.0 / cper.n_shingles > $ContaminationFracMax
+       |  GROUP BY 1)
+       |SELECT v.source, v.n_docs, v.n_tokens, v.mean_quality,
+       |  lt.lang AS top_lang,
+       |  round(lt.c * 1.0 / v.n_docs, 4) AS top_lang_frac,
+       |  (coalesce(dup.n_dup, 0) * 1000000) // v.n_docs AS dup_ppm,
+       |  coalesce(cont.n_contaminated, 0)::BIGINT AS n_contaminated,
+       |  v.mean_bits_per_token
+       |FROM vol v
+       |JOIN lt ON lt.source = v.source AND lt.rn = 1
+       |LEFT JOIN dup ON dup.source = v.source
+       |LEFT JOIN cont ON cont.source = v.source
+       |ORDER BY v.source""".stripMargin
+  }
+
   // ------------------------------------------- deterministic sampling
 
   /** Per-source sampling rate in percent: 20..79, derived from the source

@@ -305,6 +305,15 @@ object Pipeline {
         graft.sources.ModelStore.load(s, s"$fpDir/hashes"),
         TextOps.loadSurprisalModel(s, lmDir))
     },
+    // per-source DATASHEET (Gebru et al. 2018): the release table —
+    // volume, mean quality, language mix, dup rate from the SAVED
+    // labels, contamination verdicts, mean surprisal — every column an
+    // existing component's exact semantics, oracle-nested per source so
+    // the published sheet can't drift from the gates that made the data
+    QueryDef.sql("p55_datasheet", Curation.sqlDatasheet) { (s, dir) =>
+      Curation.datasheet(Tables.documents(s, dir),
+        Dedup.loadClusters(s, clusterLabelDir(s, dir)))
+    },
     // SOFT dedup: 1/cluster-size sampling weights from the SAME saved
     // labels (SlimPajama-style downweighting instead of dropping) — the
     // dedup-aware size column p34's PPS draw takes; floored ppm integers
