@@ -609,6 +609,28 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** [[phraseSearch]]'s PER-ROW form — the phrase match count as a pure
+    * array expression over one document's own tokens (a window fold, no
+    * explode, no join, no state): the form a STREAMING GATE applies to
+    * each arriving document (the gopher-battery convention — stream-
+    * ready as-is), and the right plan whenever the phrase list rides
+    * WITH the row instead of indexing the corpus. Equality with the
+    * join form is unit-pinned; the join form remains the corpus-query
+    * plan (its per-term postings filter is what a saved positional
+    * index can push down — a per-row fold must read every document).
+    */
+  def phraseMatchExpr(textCol: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "empty phrase")
+    val n = phrase.length
+    val w = tokens(textCol)
+    when(size(w) < n, lit(0L)).otherwise(
+      aggregate(sequence(lit(0), size(w) - n), lit(0L),
+        (acc, i) => acc + when(
+          phrase.zipWithIndex
+            .map { case (t, j) => element_at(w, i + j + 1) === t }
+            .reduce(_ && _), lit(1L)).otherwise(lit(0L))))
+  }
+
   /** Default window for [[proximitySearch]] (t48): "within 5 tokens". */
   val ProximitySlop = 5
 

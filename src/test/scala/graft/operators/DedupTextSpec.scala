@@ -220,6 +220,21 @@ class DedupTextSpec extends AnyFunSuite {
     assert(one == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 1L, 5L -> 1L), s"got $one")
   }
 
+  test("phrase match per-row expression equals the join form on the fixture corpus (the streaming-gate twin)") {
+    val s = TestSpark.spark
+    val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    for (phrase <- Seq(Seq("window", "join"), Seq("window"),
+        TextOps.PhraseQuery :+ "nosuchtoken")) {
+      val viaJoin = TextOps.phraseSearch(docs, phrase).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val perRow = docs.select(col("doc_id"),
+          TextOps.phraseMatchExpr(col("text"), phrase).as("m"))
+        .filter(col("m") > 0).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(perRow == viaJoin, s"phrase $phrase: $perRow vs $viaJoin")
+    }
+  }
+
   test("proximity search: ordered window pairs, band boundaries exact, slop 1 is the bigram") {
     val d = docs(
       (1L, "alpha x x x x beta"),      // gap 5 == slop -> pair
