@@ -368,7 +368,7 @@ object Forget {
     * size, and a STALENESS verdict generalizing the p23/s15 drift idea
     * to every artifact — "does the saved artifact still cover today's
     * corpus?":
-    *  - `rows`: the artifact table's row count (what storage holds).
+    *  - `n_rows`: the artifact table's row count (what storage holds).
     *  - `covered_keys`: the subject keys the SAVED artifact covers —
     *    docs for the per-doc indexes (BM25 via its doclen table, LSH
     *    via distinct postings/bucket docs, labels via labeled docs),
@@ -395,7 +395,7 @@ object Forget {
     * holds what a build of its declared slice produces — the health
     * check checks itself.
     *
-    * Scale shape: every `rows`/`covered_keys` is an aggregate over an
+    * Scale shape: every `n_rows`/`covered_keys` is an aggregate over an
     * artifact table; `fresh_keys` is metadata or one shared corpus
     * pass (the shingle-doc and gram probes are TakeOrdered-free
     * distinct-count aggregations); nothing is collected, nothing joins
