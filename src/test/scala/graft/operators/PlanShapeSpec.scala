@@ -715,6 +715,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"every leg must stay equi-join/broadcast:\n$plan")
   }
 
+  test("artifact manifest: one-row health legs, no cross product anywhere") {
+    val plan = executed(graft.SparkEntry.queries("p54_artifact_manifest")(
+      TestSpark.spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"coverage probes must stay aggregates + broadcast one-row joins:\n$plan")
+  }
+
+  test("positional retrieval: postings materialize once per query, joins stay equi-joins") {
+    for (name <- Seq("t47_phrase_search", "t48_proximity_search")) {
+      val plan = executed(graft.SparkEntry.queries(name)(TestSpark.spark, dir))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: position joins must stay equi-keyed:\n$plan")
+      // the phrase terms' postings are the checkpointed intermediate —
+      // every leg reads it, the corpus explode runs once
+      assert(plan.contains("ExistingRDD"),
+        s"$name: the filtered postings must be the materialized checkpoint:\n$plan")
+      assert(!plan.contains("documents.parquet"),
+        s"$name: no leg may re-scan the corpus past the checkpoint:\n$plan")
+    }
+  }
+
   test("q41 decorrelation: the per-part average joins back as an equi-join — no cross product, no third lineitem pass") {
     val plan = executed(graft.SparkEntry.queries("q41_small_qty_revenue")(
       TestSpark.spark, dir))
