@@ -106,12 +106,18 @@ object Bench {
     // append-only history: BENCH.out is overwritten per run and the
     // driver's stdout tail truncates, so cross-round diffs need a durable
     // in-repo record of every full per-query map (bench/rNN.json snapshots
-    // are cut from here at round start). Anchored to the repo root (the
-    // sbt working directory), NOT derived from `out`'s parent — an
-    // invocation writing BENCH.out elsewhere must still append to the
-    // one committed history file, or the record silently forks.
-    val hist = java.nio.file.Paths.get("bench", "history.jsonl")
-      .toAbsolutePath
+    // are cut from here at round start). Anchored to the REPO ROOT found
+    // by walking up from cwd to the nearest .git dir — NOT the raw cwd
+    // and NOT `out`'s parent — so an invocation launched from a subdir
+    // or writing BENCH.out elsewhere still appends to the one committed
+    // history file instead of silently forking the record. Outside any
+    // git checkout the cwd is the only sane anchor left.
+    val repoRoot = Iterator
+      .iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null)
+      .find(d => java.nio.file.Files.exists(d.resolve(".git")))
+      .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
+    val hist = repoRoot.resolve("bench").resolve("history.jsonl")
     java.nio.file.Files.createDirectories(hist.getParent)
     java.nio.file.Files.write(hist,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),

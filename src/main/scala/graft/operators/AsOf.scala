@@ -646,9 +646,16 @@ object AsOf {
 
   /** Tagged union row for the streaming as-of (micros keep ordering exact;
     * tsUs is optional so a null LEFT event time flows through as a row
-    * instead of killing the query at the non-nullable encoder).
+    * instead of killing the query at the non-nullable encoder). Sides:
+    * 0 = right, 1 = left, 2 = forget control record (an `op = "forget"`
+    * row from EITHER input — the
+    * [[graft.streaming.CurationStream.OpForget]] convention); the
+    * (tsUs, side) sort puts a same-instant forget after both sides, so
+    * erasure is effective from its instant onward. `ts` carries the
+    * watermark-tagged event time when a horizon is armed.
     */
-  final case class StreamEv(k: String, tsUs: Option[Long], side: Int, pay: String)
+  final case class StreamEv(k: String, tsUs: Option[Long], side: Int,
+                            pay: String, ts: java.sql.Timestamp = null)
 
   /** One enriched left row: the latest right payload/ts seen at or before it. */
   final case class StreamMatch(k: String, ts_us: Option[Long], value: String,
@@ -664,9 +671,13 @@ object AsOf {
     * event time emits unmatched — `vts <= NULL` is never true in the
     * batch/oracle semantics, so it must not read the state.
     */
-  def foldAsOf(key: String, rows: Iterator[StreamEv],
+  def foldAsOf(horizonMs: Option[Long])(key: String, rows: Iterator[StreamEv],
                state: org.apache.spark.sql.streaming.GroupState[(Long, String)])
-      : Iterator[StreamMatch] = {
+      : Iterator[StreamMatch] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
     var cur: Option[(Long, String)] = state.getOption
     val batch = rows.toSeq
     // within-batch duplicate check FIRST, independent of the carried
@@ -683,7 +694,14 @@ object AsOf {
         s"as-of stream: conflicting right rows at (key=$key, ts=$t) — " +
           "pre-aggregate right to one row per (key, ts)"))
     val out = batch.sortBy(e => (e.tsUs.getOrElse(Long.MinValue), e.side)).flatMap { e =>
-      if (e.side == 0) {
+      if (e.side == 2) {
+        // forget control record: the key's carried (ts, payload) is
+        // purged from this instant onward — a later left row in this
+        // batch (or any after) can only match a right row that ALSO
+        // arrives after the forget
+        cur = None
+        None
+      } else if (e.side == 0) {
         // the batch asOf's two enforced preconditions, enforced HERE too
         // (an exception stops the query — the rapid's error-stop
         // contract, same as a raise_error in the batch plan):
@@ -723,7 +741,21 @@ object AsOf {
         Some(StreamMatch(key, e.tsUs, e.pay, m.map(_._2), m.map(_._1)))
       }
     }
-    cur.foreach(state.update)
+    cur match {
+      case Some(c) =>
+        state.update(c)
+        horizonMs.foreach { h =>
+          // deadline anchor: the later of the carried right instant and
+          // this batch's max event time (left arrivals are activity too)
+          val anchor = (c._1 +: batch.flatMap(_.tsUs)).max
+          state.setTimeoutTimestamp(math.max(
+            anchor / 1000L + h, state.getCurrentWatermarkMs() + 1))
+        }
+      case None =>
+        // an erased key leaves NOTHING behind (and a key that never
+        // carried a right row was never stored to begin with)
+        if (state.exists) state.remove()
+    }
     out.iterator
   }
 
@@ -752,24 +784,47 @@ object AsOf {
     * value/payload); ts is event-time (TimestampType).
     */
   def asOfStream(left: DataFrame, key: String, leftTs: String, value: String,
-                 right: DataFrame, rightTs: String, payload: String): DataFrame = {
+                 right: DataFrame, rightTs: String, payload: String,
+                 horizonMs: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.streaming.CurationStream.{opCol, OpForget}
+    // the forget control convention: an optional `op` column on EITHER
+    // input marks erasure records (side 2); they carry the key and event
+    // time, purge the key's carried (ts, payload) in their micro-batch,
+    // and a same-instant forget applies after both sides' rows
+    def side(df: DataFrame, dataSide: Int): Column =
+      when(opCol(df) === OpForget, 2).otherwise(dataSide)
     val l = left.select(col(key).cast("string").as("k"),
-      unix_micros(col(leftTs)).as("tsUs"), lit(1).as("side"),
-      col(value).cast("string").as("pay"))
+      unix_micros(col(leftTs)).as("tsUs"), side(left, 1).as("side"),
+      col(value).cast("string").as("pay"),
+      col(leftTs).cast("timestamp").as("ts"))
     // same null semantics as the batch [[prepSides]]: null-key / null-ts
     // RIGHT rows are dropped (they can never match anything; letting them
     // into the null-key state group would silently enrich null-key left
     // rows, which the batch join semantics forbid)
     val r = right.filter(col(key).isNotNull && col(rightTs).isNotNull)
       .select(col(key).cast("string").as("k"),
-        unix_micros(col(rightTs)).as("tsUs"), lit(0).as("side"),
-        col(payload).cast("string").as("pay"))
-    l.unionByName(r).as[StreamEv]
+        unix_micros(col(rightTs)).as("tsUs"), side(right, 0).as("side"),
+        col(payload).cast("string").as("pay"),
+        col(rightTs).cast("timestamp").as("ts"))
+    val u0 = l.unionByName(r)
+    // `horizonMs` bounds the ever-seen-key state accretion (the
+    // [[graft.streaming.CurationStream.firstSeen]] convention): a key
+    // with no arrivals on either side for h evicts when the watermark
+    // passes — the next left row starts unenriched, exactly as if the
+    // key were new; within the horizon, semantics are unchanged
+    val u = horizonMs match {
+      case Some(h) => u0.withWatermark("ts", s"$h milliseconds")
+      case None    => u0
+    }
+    val timeout =
+      if (horizonMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    u.as[StreamEv]
       .groupByKey(_.k)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(foldAsOf)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(foldAsOf(horizonMs))
       .toDF()
   }
 
@@ -921,11 +976,17 @@ object AsOf {
 
   /** O(1) per-user funnel state: the latest signup, and the latest view
     * WITH the signup that was current when it arrived — the chained
-    * as-of, folded forward.
+    * as-of, folded forward. `seenTsUs` is the user's LIFETIME max event
+    * time (since the last erasure), carried so the horizon deadline
+    * never moves backward: a late-arriving OLDER event re-arming the
+    * timeout from only its own batch's max would pull an already-armed
+    * deadline earlier and evict the user before the documented
+    * max-event-time + horizon.
     */
   final case class FunnelSt(sigTs: Option[Long], sigId: Option[Long],
                             viewTs: Option[Long], viewId: Option[Long],
-                            viewSigId: Option[Long])
+                            viewSigId: Option[Long],
+                            seenTsUs: Long = Long.MinValue)
 
   /** One funnel row per purchase: its as-of view and that view's as-of
     * signup (the w16 semantics — step 2 anchors at the MATCHED VIEW's
@@ -951,11 +1012,14 @@ object AsOf {
     * erased user leaves no key behind.
     *
     * `horizonMs` is the event-time state horizon (the
-    * [[graft.streaming.CurationStream.firstSeen]] precedent verbatim):
-    * each batch re-arms an event-time timeout at the user's max event
-    * time + horizon, clamped above the current watermark, and a user
-    * idle past it is evicted when the watermark passes — the next
-    * purchase starts from empty state, exactly as if the user were new.
+    * [[graft.streaming.CurationStream.firstSeen]] precedent): each batch
+    * re-arms an event-time timeout at the user's LIFETIME max event time
+    * + horizon (tracked in [[FunnelSt.seenTsUs]], reset by a forget),
+    * clamped above the current watermark, and a user idle past it is
+    * evicted when the watermark passes — the next purchase starts from
+    * empty state, exactly as if the user were new. Lifetime, not the
+    * batch's max: a late straggler must never pull an armed deadline
+    * earlier.
     */
   def foldFunnel(horizonMs: Option[Long])(key: String,
       rows: Iterator[FunnelEv],
@@ -967,8 +1031,12 @@ object AsOf {
     } else {
       val empty = FunnelSt(None, None, None, None, None)
       var st = state.getOption.getOrElse(empty)
+      // lifetime max event time, reset by a forget: an erased user is new
+      var seen = st.seenTsUs
+      st = st.copy(seenTsUs = Long.MinValue)
       val rs = rows.toSeq.sortBy(e => (e.tsUs, e.side, e.id))
       val out = rs.flatMap { e =>
+        if (e.side != 3) seen = math.max(seen, e.tsUs)
         e.side match {
           case 0 =>
             val newer = st.sigTs.forall(t => e.tsUs > t ||
@@ -992,6 +1060,7 @@ object AsOf {
               if (ok) st.viewSigId else None))
           case _ =>
             st = empty
+            seen = Long.MinValue
             Nil
         }
       }
@@ -1001,13 +1070,11 @@ object AsOf {
         // that ends the batch empty must leave NO key behind
         if (state.exists) state.remove()
       } else {
-        state.update(st)
+        state.update(st.copy(seenTsUs = seen))
         horizonMs.foreach { h =>
-          if (rs.nonEmpty) {
-            val maxTsMs = rs.iterator.map(_.tsUs / 1000L).max
+          if (seen != Long.MinValue)
             state.setTimeoutTimestamp(
-              math.max(maxTsMs + h, state.getCurrentWatermarkMs() + 1))
-          }
+              math.max(seen / 1000L + h, state.getCurrentWatermarkMs() + 1))
         }
       }
       out.iterator

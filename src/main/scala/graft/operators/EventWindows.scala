@@ -130,9 +130,14 @@ object EventWindows {
   /** Input row for [[anomalyZStream]] — `v` is the RAW value; the 6-dp
     * decimal rounding happens inside the fold with the exact Java
     * sequence Spark's round() uses, so the streamed arithmetic replays
-    * the batch expression bit-for-bit.
+    * the batch expression bit-for-bit. `op` is the
+    * [[graft.streaming.CurationStream.OpForget]] control tag ("add" when
+    * the input has no op column); `ts` carries the watermark-tagged
+    * event time when a horizon is armed (the GateRow convention).
     */
-  final case class AnomEv(k: Long, tsUs: Long, eventId: Long, v: Double)
+  final case class AnomEv(k: Long, tsUs: Long, eventId: Long, v: Double,
+                          op: String = "add",
+                          ts: java.sql.Timestamp = null)
 
   /** One streamed anomaly verdict (same columns as the batch w22). */
   final case class AnomOut(event_id: Long, user_id: Long, n_hist: Long,
@@ -153,63 +158,119 @@ object EventWindows {
     * round()), exact decimal sums of x and x², the exact decimal
     * variance numerator, then the identical double divisions/sqrt and
     * the HALF_UP 4-dp z rounding.
+    *
+    * Per-key state is bounded by arrival-rate × frame BY CONSTRUCTION,
+    * but WHICH users hold a key is the `horizonMs` knob (the
+    * [[graft.streaming.CurationStream.firstSeen]] convention): None
+    * keeps a key per ever-seen user forever; Some(h) arms an event-time
+    * timeout at the user's max HELD event time + h (the history's newest
+    * entry — the lifetime max, so a late straggler never pulls an armed
+    * deadline earlier) and evicts idle users when the watermark passes —
+    * the next arrival rebuilds history from empty, exactly the
+    * > 24h-idle case where the batch frame is empty anyway, so verdicts
+    * within the horizon are unchanged whenever h ≥ the frame width.
+    *
+    * Erasure reaches the RUNNING query: an `op = "forget"` control
+    * record (the [[graft.streaming.CurationStream.OpForget]] convention
+    * — optional `op` column, absent means "add") purges the user's held
+    * history in its micro-batch; the erased values can never enter
+    * another event's μ/σ, and a history left empty removes the key from
+    * the store. Within a batch the forget applies AFTER same-instant
+    * arrivals (erasure effective from its instant onward).
     */
-  def anomalyZStream(events: DataFrame): DataFrame = {
+  def anomalyZStream(events: DataFrame,
+                     horizonMs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.streaming.CurationStream.{opCol, OpForget}
     val s = events.sparkSession
     import s.implicits._
-    events.filter(col("ts").isNotNull && col("value").isNotNull)
+    val base0 = events.filter(col("ts").isNotNull &&
+      (col("value").isNotNull || opCol(events) === OpForget))
+    val base = horizonMs match {
+      case Some(h) => base0.withWatermark("ts", s"$h milliseconds")
+      case None    => base0
+    }
+    val timeout =
+      if (horizonMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    base
       .select(col("user_id").as("k"), unix_micros(col("ts")).as("tsUs"),
-        col("event_id").as("eventId"), col("value").as("v"))
+        col("event_id").as("eventId"),
+        coalesce(col("value"), lit(0.0)).as("v"),
+        opCol(events).as("op"), col("ts"))
       .as[AnomEv]
       .groupByKey(_.k)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(anomFold)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(anomFold(horizonMs))
       .toDF()
   }
 
   /** Per-user state transition of [[anomalyZStream]]. State rows carry
     * the decimal's unscaled long (scale 6) so the encoder stays exact.
     */
-  private def anomFold(k: Long, rows: Iterator[AnomEv],
+  private def anomFold(horizonMs: Option[Long])(k: Long,
+      rows: Iterator[AnomEv],
       state: org.apache.spark.sql.streaming.GroupState[List[(Long, Long)]])
-      : Iterator[AnomOut] = {
+      : Iterator[AnomOut] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
     import java.math.{BigDecimal => JBD, RoundingMode}
+    import graft.streaming.CurationStream.{opRank, OpForget}
     def dec6(raw: Double): JBD = JBD.valueOf(raw).setScale(6, RoundingMode.HALF_UP)
-    val rs = rows.toArray.sortBy(r => (r.tsUs, r.eventId))
+    val rs = rows.toArray.sortBy(r => (r.tsUs, opRank(r.op), r.eventId))
     var hist = state.getOption.getOrElse(Nil)
       .map { case (ts, unscaled) => (ts, JBD.valueOf(unscaled, 6)) }
     val out = scala.collection.mutable.ArrayBuffer.empty[AnomOut]
     var i = 0
     while (i < rs.length) {
       // all arrivals at this exact instant score against the SAME
-      // pre-insertion history (the batch frame's ts-peer exclusion)
+      // pre-insertion history (the batch frame's ts-peer exclusion);
+      // a same-instant forget sorts after them and applies last
       var j = i
       while (j < rs.length && rs(j).tsUs == rs(i).tsUs) j += 1
+      val adds = (i until j).filter(r => rs(r).op != OpForget)
       val t = rs(i).tsUs
-      hist = hist.filter { case (ts, _) => ts >= t - AnomFrameUs }
-      val inFrame = hist.filter { case (ts, _) => ts <= t - 1 }
-      val n = inFrame.size.toLong
-      if (n >= AnomMinHist) {
-        val s6 = inFrame.map(_._2).reduce(_.add(_))
-        val ss = inFrame.map { case (_, x) => x.multiply(x) }.reduce(_.add(_))
-        val varNum = JBD.valueOf(n).multiply(ss)
-          .subtract(s6.multiply(s6)).doubleValue()
-        val variance = varNum / (n * (n - 1)).toDouble
-        (i until j).foreach { r =>
-          val xv = dec6(rs(r).v)
-          val z = if (variance > 0.0)
-            Some((xv.doubleValue() - s6.doubleValue() / n) / math.sqrt(variance))
-          else None
-          val z4 = z.map(zz => JBD.valueOf(zz)
-            .setScale(4, RoundingMode.HALF_UP).doubleValue())
-          out += AnomOut(rs(r).eventId, k, n, z4, z.exists(math.abs(_) > 3.0))
+      if (adds.nonEmpty) {
+        hist = hist.filter { case (ts, _) => ts >= t - AnomFrameUs }
+        val inFrame = hist.filter { case (ts, _) => ts <= t - 1 }
+        val n = inFrame.size.toLong
+        if (n >= AnomMinHist) {
+          val s6 = inFrame.map(_._2).reduce(_.add(_))
+          val ss = inFrame.map { case (_, x) => x.multiply(x) }.reduce(_.add(_))
+          val varNum = JBD.valueOf(n).multiply(ss)
+            .subtract(s6.multiply(s6)).doubleValue()
+          val variance = varNum / (n * (n - 1)).toDouble
+          adds.foreach { r =>
+            val xv = dec6(rs(r).v)
+            val z = if (variance > 0.0)
+              Some((xv.doubleValue() - s6.doubleValue() / n) / math.sqrt(variance))
+            else None
+            val z4 = z.map(zz => JBD.valueOf(zz)
+              .setScale(4, RoundingMode.HALF_UP).doubleValue())
+            out += AnomOut(rs(r).eventId, k, n, z4, z.exists(math.abs(_) > 3.0))
+          }
         }
+        adds.foreach(r => hist ::= (rs(r).tsUs, dec6(rs(r).v)))
       }
-      (i until j).foreach(r => hist ::= (rs(r).tsUs, dec6(rs(r).v)))
+      // the forget purges everything held so far (including this batch's
+      // earlier arrivals); later arrivals rebuild from empty
+      if (adds.length < j - i) hist = Nil
       i = j
     }
-    state.update(hist.map { case (ts, d) => (ts, d.unscaledValue().longValueExact()) })
+    if (hist.isEmpty) {
+      // an erased (or never-built) history leaves NO key behind
+      if (state.exists) state.remove()
+    } else {
+      state.update(hist.map { case (ts, d) => (ts, d.unscaledValue().longValueExact()) })
+      horizonMs.foreach { h =>
+        // the newest held entry IS the lifetime max event time (inserts
+        // always keep the max; eviction only drops older entries)
+        state.setTimeoutTimestamp(math.max(
+          hist.iterator.map(_._1).max / 1000L + h,
+          state.getCurrentWatermarkMs() + 1))
+      }
+    }
     out.iterator
   }
 
@@ -668,11 +729,20 @@ object EventWindows {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
-  /** Input row for the streaming [[statusIntervalsStream]]. */
-  final case class RunEv(k: Long, tsUs: Long, eventId: Long, typ: String)
+  /** Input row for the streaming [[statusIntervalsStream]]. `op` is the
+    * erasure control tag, `ts` the watermark carrier (both the
+    * [[AnomEv]] convention).
+    */
+  final case class RunEv(k: Long, tsUs: Long, eventId: Long, typ: String,
+                         op: String = "add",
+                         ts: java.sql.Timestamp = null)
 
-  /** The open run per user: its type, start, and event count. */
-  final case class OpenRun(typ: String, fromUs: Long, n: Long)
+  /** The open run per user: its type, start, event count, and the
+    * user's lifetime max event time (`lastTsUs` — the horizon deadline
+    * anchor, so a late straggler never pulls an armed deadline earlier).
+    */
+  final case class OpenRun(typ: String, fromUs: Long, n: Long,
+                           lastTsUs: Long = Long.MinValue)
 
   /** One CLOSED interval emitted by the stream (micros; the open run
     * stays in state — append mode cannot retract a "current" row).
@@ -694,43 +764,85 @@ object EventWindows {
     *
     * Scale shape: state is ONE small run record per live user (the
     * dimension's size, not the stream's history), shuffled once per
-    * micro-batch on the user key like all keyed state.
+    * micro-batch on the user key like all keyed state. WHICH users hold
+    * a record is the `horizonMs` knob (the
+    * [[graft.streaming.CurationStream.firstSeen]] convention): None
+    * keeps every ever-seen user's open run forever (exact batch
+    * equality); Some(h) evicts a user idle past h when the watermark
+    * passes — SILENTLY, emitting nothing: the open run is by definition
+    * still mutable and append mode cannot retract, so eviction trades
+    * away only the close of a run whose continuation gap exceeded the
+    * horizon (the returning user starts a fresh run). The deadline arms
+    * at the lifetime max event time + h ([[OpenRun.lastTsUs]]).
+    *
+    * Erasure reaches the RUNNING query: an `op = "forget"` control
+    * record purges the user's open run in its micro-batch WITHOUT
+    * emitting it (the run's data is erased, not published) and removes
+    * the key; later events open a fresh run.
     */
-  def statusIntervalsStream(events: DataFrame): DataFrame = {
+  def statusIntervalsStream(events: DataFrame,
+                            horizonMs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.streaming.CurationStream.opCol
     val s = events.sparkSession
     import s.implicits._
-    events.filter(col("ts").isNotNull)
+    val base0 = events.filter(col("ts").isNotNull)
+    val base = horizonMs match {
+      case Some(h) => base0.withWatermark("ts", s"$h milliseconds")
+      case None    => base0
+    }
+    val timeout =
+      if (horizonMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    base
       .select(col("user_id").as("k"), unix_micros(col("ts")).as("tsUs"),
-        col("event_id").as("eventId"), col("event_type").as("typ"))
+        col("event_id").as("eventId"), col("event_type").as("typ"),
+        opCol(events).as("op"), col("ts"))
       .as[RunEv]
       .groupByKey(_.k)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(runFold)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(runFold(horizonMs))
       .toDF()
   }
 
   /** Per-user state transition of [[statusIntervalsStream]]: fold the
-    * batch's (ts, event_id)-sorted arrivals over the stored open run —
-    * the w21 change-point rule verbatim.
+    * batch's (ts, op, event_id)-sorted arrivals over the stored open
+    * run — the w21 change-point rule verbatim, plus the forget purge.
     */
-  private def runFold(k: Long, rows: Iterator[RunEv],
-      state: org.apache.spark.sql.streaming.GroupState[OpenRun]): Iterator[ClosedRun] = {
-    val rs = rows.toArray.sortBy(r => (r.tsUs, r.eventId))
-    var open = state.getOption
-    val out = scala.collection.mutable.ArrayBuffer.empty[ClosedRun]
-    rs.foreach { r =>
-      open match {
-        case Some(o) if o.typ == r.typ => open = Some(o.copy(n = o.n + 1))
-        case Some(o) =>
-          out += ClosedRun(k, o.typ, o.fromUs, r.tsUs, o.n)
-          open = Some(OpenRun(r.typ, r.tsUs, 1L))
-        case None => open = Some(OpenRun(r.typ, r.tsUs, 1L))
+  private def runFold(horizonMs: Option[Long])(k: Long,
+      rows: Iterator[RunEv],
+      state: org.apache.spark.sql.streaming.GroupState[OpenRun]): Iterator[ClosedRun] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      import graft.streaming.CurationStream.{opRank, OpForget}
+      val rs = rows.toArray.sortBy(r => (r.tsUs, opRank(r.op), r.eventId))
+      var open = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedRun]
+      rs.foreach { r =>
+        if (r.op == OpForget) open = None
+        else open match {
+          case Some(o) if o.typ == r.typ =>
+            open = Some(o.copy(n = o.n + 1,
+              lastTsUs = math.max(o.lastTsUs, r.tsUs)))
+          case Some(o) =>
+            out += ClosedRun(k, o.typ, o.fromUs, r.tsUs, o.n)
+            open = Some(OpenRun(r.typ, r.tsUs, 1L,
+              math.max(o.lastTsUs, r.tsUs)))
+          case None => open = Some(OpenRun(r.typ, r.tsUs, 1L, r.tsUs))
+        }
       }
+      open match {
+        case Some(o) =>
+          state.update(o)
+          horizonMs.foreach(h => state.setTimeoutTimestamp(math.max(
+            o.lastTsUs / 1000L + h, state.getCurrentWatermarkMs() + 1)))
+        case None =>
+          // an erased open run leaves NO key behind (and emits nothing)
+          if (state.exists) state.remove()
+      }
+      out.iterator
     }
-    open.foreach(state.update)
-    out.iterator
-  }
 
   /** Oracle for w21: the identical lag-flag -> run-number -> per-run
     * aggregate -> lead walk.
@@ -871,7 +983,8 @@ object EventWindows {
     * happens inside the fold with Spark's exact round sequence).
     */
   final case class TwapEv(k: Long, day: String, tsUs: Long, eventId: Long,
-                          v: Double)
+                          v: Double, op: String = "add",
+                          ts: java.sql.Timestamp = null)
 
   /** One streamed TWAP snapshot (same columns as the batch [[twap]]). */
   final case class TwapOut(user_id: Long, day: String, n_held: Long,
@@ -891,48 +1004,102 @@ object EventWindows {
     * (the lead-delta fold inverted), so under per-key ordered ingest the
     * final snapshot per key EQUALS the batch row. State is four longs
     * and one decimal string per open (user, day) — bounded by key
-    * construction, not by arrival count.
+    * construction, not by arrival count — BUT the (user, day) key SET
+    * accretes one key per user per calendar day forever unless a
+    * horizon is armed: `horizonMs = Some(h)` (the
+    * [[graft.streaming.CurationStream.firstSeen]] convention) evicts a
+    * key idle past h when the watermark passes, which is exactly "the
+    * day closed h ago" — bounding live state to users × open days. The
+    * deadline arms at the key's max event time + h (tracked across
+    * batches via the stored last instant) so a late straggler never
+    * pulls it earlier; what eviction trades away is only the re-emission
+    * of an already-final snapshot if a beyond-horizon straggler arrives
+    * (it restarts the day from empty — observable as a fresh, smaller
+    * snapshot, never a corrupted one).
+    *
+    * Erasure reaches the RUNNING query: an `op = "forget"` control
+    * record purges the (user, day-of-its-ts) key's state in its
+    * micro-batch and emits nothing — the composed p53 sweep names each
+    * (user, day) it erases, one control record per day, exactly as it
+    * names each saved artifact. Snapshots already emitted to the sink
+    * are append-mode history — [[graft.operators.Forget.rtbfSweep]]'s
+    * jurisdiction, not the state's.
     */
-  def twapStream(events: DataFrame): DataFrame = {
+  def twapStream(events: DataFrame,
+                 horizonMs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.streaming.CurationStream.{opCol, OpForget}
     val s = events.sparkSession
     import s.implicits._
-    events.filter(col("ts").isNotNull && col("value").isNotNull)
+    val base0 = events.filter(col("ts").isNotNull &&
+      (col("value").isNotNull || opCol(events) === OpForget))
+    val base = horizonMs match {
+      case Some(h) => base0.withWatermark("ts", s"$h milliseconds")
+      case None    => base0
+    }
+    val timeout =
+      if (horizonMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    base
       .select(col("user_id").as("k"),
         date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
         unix_micros(col("ts")).as("tsUs"), col("event_id").as("eventId"),
-        col("value").as("v"))
+        coalesce(col("value"), lit(0.0)).as("v"),
+        opCol(events).as("op"), col("ts"))
       .as[TwapEv]
       .groupByKey(e => (e.k, e.day))
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(twapFold)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(twapFold(horizonMs))
       .toDF()
   }
 
-  private def twapFold(key: (Long, String), rows: Iterator[TwapEv],
+  private def twapFold(horizonMs: Option[Long])(key: (Long, String),
+      rows: Iterator[TwapEv],
       state: org.apache.spark.sql.streaming.GroupState[TwapState])
-      : Iterator[TwapOut] = {
+      : Iterator[TwapOut] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
     import java.math.{BigDecimal => JBD, RoundingMode}
-    val rs = rows.toArray.sortBy(r => (r.tsUs, r.eventId))
-    var st = state.getOption.getOrElse(TwapState(-1L, 0L, "0", 0L, 0L))
+    import graft.streaming.CurationStream.{opRank, OpForget}
+    val init = TwapState(-1L, 0L, "0", 0L, 0L)
+    val rs = rows.toArray.sortBy(r => (r.tsUs, opRank(r.op), r.eventId))
+    var st = state.getOption.getOrElse(init)
     var acc = new JBD(new java.math.BigInteger(st.accUnscaled), 6)
+    // lifetime max event time (the horizon anchor); reset by a forget
+    var seen = st.lastTsUs
     rs.foreach { r =>
-      if (st.lastTsUs >= 0) {
-        val dur = r.tsUs - st.lastTsUs
-        acc = acc.add(JBD.valueOf(st.lastVmUnscaled, 6)
-          .multiply(JBD.valueOf(dur)))
-        st = st.copy(spanUs = st.spanUs + dur, nHeld = st.nHeld + 1)
+      if (r.op == OpForget) {
+        st = init
+        acc = new JBD(java.math.BigInteger.ZERO, 6)
+        seen = -1L
+      } else {
+        seen = math.max(seen, r.tsUs)
+        if (st.lastTsUs >= 0) {
+          val dur = r.tsUs - st.lastTsUs
+          acc = acc.add(JBD.valueOf(st.lastVmUnscaled, 6)
+            .multiply(JBD.valueOf(dur)))
+          st = st.copy(spanUs = st.spanUs + dur, nHeld = st.nHeld + 1)
+        }
+        val vm = JBD.valueOf(r.v).setScale(6, RoundingMode.HALF_UP)
+        st = st.copy(lastTsUs = r.tsUs,
+          lastVmUnscaled = vm.unscaledValue().longValueExact())
       }
-      val vm = JBD.valueOf(r.v).setScale(6, RoundingMode.HALF_UP)
-      st = st.copy(lastTsUs = r.tsUs,
-        lastVmUnscaled = vm.unscaledValue().longValueExact())
     }
-    state.update(st.copy(accUnscaled = acc.unscaledValue().toString))
-    val twapVal = if (st.spanUs > 0)
-      Some(JBD.valueOf(acc.doubleValue() / st.spanUs)
-        .setScale(6, RoundingMode.HALF_UP).doubleValue() + 0.0)
-    else None
-    Iterator.single(TwapOut(key._1, key._2, st.nHeld, st.spanUs, twapVal))
+    if (st.lastTsUs < 0) {
+      // an erased (user, day) leaves NO key behind and emits nothing
+      if (state.exists) state.remove()
+      Iterator.empty
+    } else {
+      state.update(st.copy(accUnscaled = acc.unscaledValue().toString))
+      horizonMs.foreach(h => state.setTimeoutTimestamp(math.max(
+        seen / 1000L + h, state.getCurrentWatermarkMs() + 1)))
+      val twapVal = if (st.spanUs > 0)
+        Some(JBD.valueOf(acc.doubleValue() / st.spanUs)
+          .setScale(6, RoundingMode.HALF_UP).doubleValue() + 0.0)
+      else None
+      Iterator.single(TwapOut(key._1, key._2, st.nHeld, st.spanUs, twapVal))
+    }
   }
 
   /** DAY-OVER-DAY CHURN (w26) — the set-difference companion of w24's

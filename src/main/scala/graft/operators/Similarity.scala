@@ -1081,6 +1081,9 @@ object Similarity {
     * fragmented union.
     */
   def compactAndSaveIvfPq(idx: IvfPqIndex, dir: String): IvfPqIndex = {
+    // never in place: overwrite deletes `dir` before the lazy reads run
+    graft.sources.ModelStore.requireNotInPlace(dir,
+      idx.coarse, idx.pqCent, idx.cells, idx.codes)
     graft.sources.ModelStore.save(idx.coarse, s"$dir/ivfpq_coarse")
     graft.sources.ModelStore.save(idx.pqCent, s"$dir/ivfpq_codebooks")
     graft.sources.ModelStore.saveLarge(idx.cells, s"$dir/ivfpq_cells")

@@ -331,8 +331,13 @@ object Sketches {
        |FROM g ORDER BY day""".stripMargin
   }
 
-  /** One streamed arrival: the day key and the already-hashed user. */
-  final case class KmvEv(day: String, h: Long)
+  /** One streamed arrival: the day key and the already-hashed user.
+    * `op` is the [[graft.streaming.CurationStream.OpForget]] control tag
+    * ("add" when the input has no op column); `ts` carries the
+    * watermark-tagged event time when a horizon is armed.
+    */
+  final case class KmvEv(day: String, h: Long, op: String = "add",
+                         ts: java.sql.Timestamp = null)
 
   /** One streamed estimate emission (same columns as [[dailyKmv]]). */
   final case class KmvDayOut(day: String, n_kept: Long, est: Long)
@@ -351,37 +356,89 @@ object Sketches {
     * the batch side uses — computed in the streaming select, before the
     * fold — so stream/batch parity needs no JVM reimplementation of md5.
     */
-  def kmvDauStream(events: DataFrame): DataFrame = {
+  /** `horizonMs` bounds the one-key-per-calendar-day accretion (the
+    * [[graft.streaming.CurationStream.firstSeen]] convention): a day
+    * idle past h evicts when the watermark passes — in event time a day
+    * stops arriving ≤ the watermark delay after it ends, so h a little
+    * over a day keeps exactly the open days live. Erasure reaches the
+    * RUNNING sketch: an `op = "forget"` control record (optional `op`
+    * column) carries the user like an arrival, hashes through the SAME
+    * expression, and REMOVES that hash from its day's k-min set — the
+    * user's identifier is physically gone from state. Honesty note: a
+    * hash that was discarded while the erased member occupied a slot
+    * cannot be resurrected, so the post-forget estimate may read low
+    * relative to a never-added world (set semantics bound the error to
+    * the number of forgotten members); the erased day re-emits its
+    * corrected estimate in the forget's own micro-batch.
+    */
+  def kmvDauStream(events: DataFrame,
+                   horizonMs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.streaming.CurationStream.opCol
     val s = events.sparkSession
     import s.implicits._
-    events.filter(col("ts").isNotNull)
+    val base0 = events.filter(col("ts").isNotNull)
+    val base = horizonMs match {
+      case Some(h) => base0.withWatermark("ts", s"$h milliseconds")
+      case None    => base0
+    }
+    val timeout =
+      if (horizonMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    base
       .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
-        Portable.hash32(col("user_id").cast("string")).as("h"))
+        Portable.hash32(col("user_id").cast("string")).as("h"),
+        opCol(events).as("op"), col("ts"))
       .as[KmvEv]
       .groupByKey(_.day)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(kmvFold)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(kmvFold(horizonMs))
       .toDF()
   }
 
-  /** Per-day state transition: fold arrivals into the k-min set, emit the
-    * current estimate (same arithmetic as [[estExpr]], h_k guard included).
+  /** Per-day state transition: fold arrivals into the k-min set (forget
+    * records remove their hash), emit the current estimate (same
+    * arithmetic as [[estExpr]], h_k guard included). Adds are
+    * order-insensitive (set semantics); forgets apply at their
+    * event-time position, after same-instant adds.
     */
-  private def kmvFold(day: String, rows: Iterator[KmvEv],
+  private def kmvFold(horizonMs: Option[Long])(day: String,
+      rows: Iterator[KmvEv],
       state: org.apache.spark.sql.streaming.GroupState[List[Long]])
-      : Iterator[KmvDayOut] = {
-    val set = scala.collection.mutable.TreeSet.from(state.getOption.getOrElse(Nil))
-    rows.foreach { r =>
-      set += r.h
-      if (set.size > KmvK) set -= set.last
+      : Iterator[KmvDayOut] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      import graft.streaming.CurationStream.{opRank, OpForget}
+      val set = scala.collection.mutable.TreeSet.from(state.getOption.getOrElse(Nil))
+      var maxTsMs = Long.MinValue
+      rows.toArray.sortBy(r =>
+        (Option(r.ts).map(_.getTime).getOrElse(Long.MinValue), opRank(r.op), r.h))
+        .foreach { r =>
+          Option(r.ts).foreach(t => maxTsMs = math.max(maxTsMs, t.getTime))
+          if (r.op == OpForget) set -= r.h
+          else {
+            set += r.h
+            if (set.size > KmvK) set -= set.last
+          }
+        }
+      val kept = set.toList
+      if (kept.isEmpty) {
+        // a fully-erased day leaves NO key behind and emits nothing
+        if (state.exists) state.remove()
+        Iterator.empty
+      } else {
+        state.update(kept)
+        horizonMs.foreach { h =>
+          if (maxTsMs != Long.MinValue)
+            state.setTimeoutTimestamp(math.max(
+              maxTsMs + h, state.getCurrentWatermarkMs() + 1))
+        }
+        val n = kept.size.toLong
+        val est = if (n < KmvK) n else KmvNum / math.max(kept.last, 1L)
+        Iterator.single(KmvDayOut(day, n, est))
+      }
     }
-    val kept = set.toList
-    state.update(kept)
-    val n = kept.size.toLong
-    val est = if (n < KmvK) n else KmvNum / math.max(kept.last, 1L)
-    Iterator.single(KmvDayOut(day, n, est))
-  }
 
   // ------------------------------------------- streaming heavy hitters
 
@@ -391,8 +448,11 @@ object Sketches {
     */
   val SsCounters = 16
 
-  /** One streamed arrival for the heavy-hitter fold. */
-  final case class SsEv(day: String, item: Int)
+  /** One streamed arrival for the heavy-hitter fold (`op`/`ts`: the
+    * [[KmvEv]] control/watermark convention).
+    */
+  final case class SsEv(day: String, item: Int, op: String = "add",
+                        ts: java.sql.Timestamp = null)
 
   /** One tracked counter emission: est overestimates the true count by at
     * most err (so true ∈ [est − err, est]); n_seen is the day's arrival
@@ -411,47 +471,85 @@ object Sketches {
     * (day, item) counts — unbounded key cardinality in streaming; this is
     * the fixed-memory summary a 100 TB stream can actually keep.
     */
-  def heavyHittersStream(events: DataFrame): DataFrame = {
+  /** `horizonMs` bounds the per-calendar-day key accretion and `op =
+    * "forget"` control records reach the RUNNING summary — both the
+    * [[kmvDauStream]] conventions. A forget record carries the item like
+    * an arrival (same props extraction) and REMOVES its counter: the
+    * item's identifiable record is physically gone from state and it can
+    * never surface in a later emission (unless re-added fresh). The
+    * day's arrival total n_seen is an aggregate, not item-keyed data, so
+    * it stands — every surviving counter's est − err ≤ true ≤ est bound
+    * still holds (removing a counter never touches another's).
+    */
+  def heavyHittersStream(events: DataFrame,
+                         horizonMs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.streaming.CurationStream.opCol
     val s = events.sparkSession
     import s.implicits._
-    events.filter(col("ts").isNotNull && col("props").isNotNull)
+    val base0 = events.filter(col("ts").isNotNull && col("props").isNotNull)
+    val base = horizonMs match {
+      case Some(h) => base0.withWatermark("ts", s"$h milliseconds")
+      case None    => base0
+    }
+    val timeout =
+      if (horizonMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    base
       .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
-        get_json_object(col("props"), "$.k").cast("int").as("item"))
+        get_json_object(col("props"), "$.k").cast("int").as("item"),
+        opCol(events).as("op"), col("ts"))
       .filter(col("item").isNotNull)
       .as[SsEv]
       .groupByKey(_.day)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(ssFold)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(ssFold(horizonMs))
       .toDF()
   }
 
   /** Per-day SpaceSaving transition. State: (n_seen, tracked counters).
     * Eviction picks the minimum count with smallest-item tie-break, so
-    * the summary is a deterministic function of the arrival sequence.
+    * the summary is a deterministic function of the arrival sequence —
+    * forgets included: they apply at their arrival position (the
+    * sequence is the semantics here, unlike the set-semantics KMV).
     */
-  private def ssFold(day: String, rows: Iterator[SsEv],
+  private def ssFold(horizonMs: Option[Long])(day: String,
+      rows: Iterator[SsEv],
       state: org.apache.spark.sql.streaming.GroupState[(Long, List[(Int, Long, Long)])])
-      : Iterator[SsOut] = {
-    val (n0, l0) = state.getOption.getOrElse((0L, Nil))
-    var n = n0
-    val m = scala.collection.mutable.Map.from(
-      l0.map { case (i, c, e) => i -> ((c, e)) })
-    rows.foreach { r =>
-      n += 1
-      m.get(r.item) match {
-        case Some((c, e)) => m(r.item) = (c + 1, e)
-        case None if m.size < SsCounters => m(r.item) = (1L, 0L)
-        case None =>
-          val (vi, (vc, _)) = m.minBy { case (i, (c, _)) => (c, i.toLong) }
-          m -= vi
-          m(r.item) = (vc + 1, vc)
+      : Iterator[SsOut] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      import graft.streaming.CurationStream.OpForget
+      val (n0, l0) = state.getOption.getOrElse((0L, Nil))
+      var n = n0
+      var maxTsMs = Long.MinValue
+      val m = scala.collection.mutable.Map.from(
+        l0.map { case (i, c, e) => i -> ((c, e)) })
+      rows.foreach { r =>
+        Option(r.ts).foreach(t => maxTsMs = math.max(maxTsMs, t.getTime))
+        if (r.op == OpForget) m -= r.item
+        else {
+          n += 1
+          m.get(r.item) match {
+            case Some((c, e)) => m(r.item) = (c + 1, e)
+            case None if m.size < SsCounters => m(r.item) = (1L, 0L)
+            case None =>
+              val (vi, (vc, _)) = m.minBy { case (i, (c, _)) => (c, i.toLong) }
+              m -= vi
+              m(r.item) = (vc + 1, vc)
+          }
+        }
       }
+      state.update((n, m.toList.map { case (i, (c, e)) => (i, c, e) }))
+      horizonMs.foreach { h =>
+        if (maxTsMs != Long.MinValue)
+          state.setTimeoutTimestamp(math.max(
+            maxTsMs + h, state.getCurrentWatermarkMs() + 1))
+      }
+      m.toList.sortBy(_._1)
+        .map { case (i, (c, e)) => SsOut(day, i, c, e, n) }.iterator
     }
-    state.update((n, m.toList.map { case (i, (c, e)) => (i, c, e) }))
-    m.toList.sortBy(_._1)
-      .map { case (i, (c, e)) => SsOut(day, i, c, e, n) }.iterator
-  }
 
   /** Oracle for [[rollingDau]]: identical hash, fan-out, re-min, and
     * integer estimator (DuckDB DATE + INT is date_add).

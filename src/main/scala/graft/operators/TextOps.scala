@@ -724,6 +724,9 @@ object TextOps {
     * L0 runs.
     */
   def compactAndSaveBm25Index(idx: Bm25Index, dir: String): Bm25Index = {
+    // never in place: overwrite deletes `dir` before the lazy reads run
+    graft.sources.ModelStore.requireNotInPlace(dir,
+      idx.postings, idx.doclen, idx.stats, idx.corpus)
     idx.postings
       .repartitionByRange(col("t"))
       .sortWithinPartitions(col("t"), col("doc_id"))

@@ -997,7 +997,11 @@ object Relational {
     // (part-type filter, customer→nation→region, supplier→nation role)
     // broadcasts, and the fact-side shuffle is again only
     // lineitem ⋈ orders. The ratio divides two exact integer 1e-4-unit
-    // sums, so the double is identical in both engines.
+    // sums and is emitted UNROUNDED: IEEE division of identical longs is
+    // bit-identical in both engines, while round() on a computed double
+    // is the boundary-unsafe class the q44 1-cent flip taught (Spark
+    // rounds the shortest-decimal rendering, DuckDB the binary value) —
+    // the exact integer sums ride along as the auditable gate columns.
     QueryDef.sql("q44_market_share",
       """WITH v AS (
         |  SELECT year(o.o_orderdate)::INT AS o_year, n2.n_name AS supp_nation,
@@ -1016,8 +1020,8 @@ object Relational {
         |  sum(CASE WHEN supp_nation = 'NATION_3' THEN c4 ELSE 0 END)::BIGINT
         |    AS nation_c4,
         |  sum(c4)::BIGINT AS total_c4,
-        |  round(sum(CASE WHEN supp_nation = 'NATION_3' THEN c4 ELSE 0 END)
-        |    / sum(c4)::DOUBLE, 4) AS mkt_share
+        |  sum(CASE WHEN supp_nation = 'NATION_3' THEN c4 ELSE 0 END)::BIGINT
+        |    / sum(c4)::DOUBLE AS mkt_share
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       val asiaCust = Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)
@@ -1052,8 +1056,8 @@ object Relational {
         .groupBy(col("o_year"))
         .agg(natC4.as("nation_c4"),
           sum(col("c4")).as("total_c4"),
-          round(natC4.cast("double") /
-            sum(col("c4")).cast("double"), 4).as("mkt_share"))
+          (natC4.cast("double") /
+            sum(col("c4")).cast("double")).as("mkt_share"))
         .orderBy(col("o_year"))
     },
 

@@ -37,4 +37,32 @@ object ModelStore {
 
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Refuse an IN-PLACE rewrite: mode-overwrite deletes the target
+    * directory before the (lazy) input DataFrames have been read, so
+    * compacting an index into the directory it was loaded from either
+    * throws Spark's cannot-overwrite-a-path-being-read error or destroys
+    * the artifact mid-job. Compaction callers pass every table about to
+    * be rewritten; any input file already under `dir` aborts loudly
+    * BEFORE the first delete. Tables not yet backed by files (a
+    * fresh-built in-memory index) have no inputFiles and pass.
+    */
+  def requireNotInPlace(dir: String, inputs: DataFrame*): Unit = {
+    def norm(s: String): String = {
+      val p =
+        try {
+          val u = new java.net.URI(s)
+          if (u.getScheme != null && u.getPath != null) u.getPath else s
+        } catch { case _: Exception => s }
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    }
+    val out = norm(dir)
+    val hit = inputs.iterator.flatMap(_.inputFiles).find { f =>
+      val p = norm(f)
+      p == out || p.startsWith(out + java.io.File.separator)
+    }
+    require(hit.isEmpty,
+      s"in-place compaction: output dir $dir overlaps an input file " +
+        s"(${hit.getOrElse("")}); write to a fresh directory, then swap")
+  }
 }

@@ -99,15 +99,17 @@ object CurationStream {
   val OpForget = "forget"
 
   /** The input's control tag: its `op` column, or constant "add" when
-    * the stream carries none (every pre-existing caller).
+    * the stream carries none (every pre-existing caller). Public: the
+    * analytics stream twins (EventWindows, AsOf, Sketches) share the
+    * convention — one `op` column spelling, one default.
     */
-  private def opCol(df: DataFrame): Column =
+  def opCol(df: DataFrame): Column =
     if (df.columns.contains("op")) col("op") else lit("add")
 
   /** Intra-batch processing rank of a control tag: forget applies AFTER
     * the same id's add (erasure effective from its own record onward).
     */
-  private def opRank(op: String): Int = if (op == OpForget) 1 else 0
+  def opRank(op: String): Int = if (op == OpForget) 1 else 0
 
   /** The streamed manifest row: per-gate verdicts + the final keep. */
   final case class ManifestRow(doc_id: Long, quality_score: Double,
@@ -229,7 +231,11 @@ object CurationStream {
     * `horizonMs` is the EVENT-TIME dedup horizon (the
     * dropDuplicatesWithinWatermark convention, applied to canonical
     * selection): every arrival re-arms an event-time timeout at the
-    * hash's max event time + horizon, and when the watermark passes it
+    * ARRIVING BATCH's max event time + horizon (not the hash's lifetime
+    * max — a late straggler can pull the deadline earlier, evicting
+    * sooner; never below watermark + 1, and at worst that narrows the
+    * re-detection window the horizon already trades away), and when the
+    * watermark passes it
     * the state is evicted — the next arrival is canonical again.
     * Duplicates INSIDE the horizon are detected exactly as in the
     * unbounded mode; what the horizon trades away is only re-detection

@@ -64,7 +64,7 @@ class AsOfPropertySpec extends AnyFunSuite {
           hasTimedOut = false)
         val evs = b.map(e => AsOf.StreamEv("k",
           Some(e.tsUs), if (e.isRight) 0 else 1, e.pay))
-        val res = AsOf.foldAsOf("k", evs.iterator, st).toList
+        val res = AsOf.foldAsOf(None)("k", evs.iterator, st).toList
         carried = if (st.exists) Some(st.get) else carried
         res
       }

@@ -306,6 +306,18 @@ class DedupTextSpec extends AnyFunSuite {
     val served = TextOps.bm25FromIndex(compacted).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(served == fresh, s"compacted serve diverged:\n$served\nvs\n$fresh")
+
+    // in-place compaction refused BEFORE any delete: mode-overwrite would
+    // drop dirA while the lazy postings read still points at it,
+    // destroying the artifact mid-job — the guard aborts with the load
+    // dir intact and the index still servable
+    val loaded = TextOps.loadBm25Index(s, dirA)
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.compactAndSaveBm25Index(loaded, dirA)
+    }
+    assert(ex.getMessage.contains("in-place"), ex.getMessage)
+    assert(TextOps.bm25FromIndex(TextOps.loadBm25Index(s, dirA)).count() > 0,
+      "guard must fire before the artifact is touched")
   }
 
   test("ct langid: profiles separate crafted languages; prediction reads the text, not the label") {

@@ -343,4 +343,179 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 2L, 1L, 0.5), (1L, 1L, 1L, 0.0)),
       s"${got.toSeq}")
   }
+
+  test("anomaly z forget: the erased history never scores a later event; survivors and rebuilds unaffected") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val calm1 = (0 until 6).map(i =>
+      (i.toLong, f"2024-01-01 ${8 + i}%02d:00:00", 10.0 + i % 2, 1L, "add"))
+    val calm2 = (0 until 6).map(i =>
+      (100L + i, f"2024-01-01 ${8 + i}%02d:00:00", 10.0 + i % 2, 2L, "add"))
+    val in = MemoryStream[(Long, String, Double, Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, Double, Long, String)]],
+      spark)
+    val q = EventWindows.anomalyZStream(
+        in.toDF().toDF("event_id", "ts_s", "value", "user_id", "op")
+          .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+            col("value"), col("user_id"), col("op")))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_forget").start()
+    try {
+      in.addData(calm1 ++ calm2: _*); q.processAllAvailable()
+      // erase user 1's held history mid-stream (value unused on a forget)
+      in.addData((999L, "2024-01-01 14:30:00", 0.0, 1L, "forget"))
+      q.processAllAvailable()
+      // probe both users: the survivor scores against its 6-event
+      // history; the erased user has NO history to score against
+      in.addData((7L, "2024-01-01 15:00:00", 400.0, 1L, "add"),
+        (107L, "2024-01-01 15:00:00", 400.0, 2L, "add"))
+      q.processAllAvailable()
+      val got = spark.table("anom_forget").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(4)))).toMap
+      assert(!got.contains(7L), s"erased history must not score the probe: $got")
+      assert(got(107L) == ((6L, true)),
+        s"survivor must flag the spike against its full history: $got")
+      // post-forget arrivals rebuild from EMPTY (no ghost of the erased
+      // values): 4 more events give the next probe exactly 5 of history
+      in.addData((8 until 12).map(i =>
+        (i.toLong, f"2024-01-01 15:${(i - 7) * 10}%02d:00", 10.0, 1L, "add")): _*)
+      q.processAllAvailable()
+      in.addData((12L, "2024-01-01 16:30:00", 10.0, 1L, "add"))
+      q.processAllAvailable()
+      val n12 = spark.table("anom_forget").collect()
+        .find(_.getLong(0) == 12L).map(_.getLong(2))
+      assert(n12.contains(5L),
+        s"history must rebuild from empty after the forget: n_hist=$n12")
+    } finally q.stop()
+  }
+
+  test("anomaly z horizon: idle users physically evict from the checkpoint; active users keep their history") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(sec: Long) = new java.sql.Timestamp(t0 + sec * 1000)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-anomh-ckpt").toString
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double, Long)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, java.sql.Timestamp, Double, Long)]],
+      spark)
+    // 10-second event-time horizon
+    val q = EventWindows.anomalyZStream(
+        in.toDF().toDF("event_id", "ts", "value", "user_id"),
+        horizonMs = Some(10000L))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("anom_horizon").start()
+    try {
+      // user 1 active early; user 2 keeps the stream (and watermark) alive
+      in.addData((0 until 6).map(i => (i.toLong, at(i), 10.0 + i % 2, 1L)) :+
+        ((100L, at(1), 11.0, 2L))); q.processAllAvailable()
+      in.addData((101L, at(100), 12.0, 2L)); q.processAllAvailable()
+      // the batch-2 watermark (100s − 10s) passes user 1's deadline
+      // (5s + 10s); this batch fires the timer
+      in.addData((102L, at(101), 13.0, 2L)); q.processAllAvailable()
+    } finally q.stop()
+    val keys = graft.streaming.StateAudit.stateTable(spark, ckpt)
+      .select(col("key").getField("value")).collect()
+      .map(_.getLong(0)).toSet
+    assert(keys == Set(2L),
+      s"idle user must be physically evicted from the state store: $keys")
+  }
+
+  test("status intervals forget: the open run is erased unpublished; horizon evicts idle users silently") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(sec: Long) = new java.sql.Timestamp(t0 + sec * 1000)
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, java.sql.Timestamp, String, Long, String)]],
+      spark)
+    // 10-second horizon exercises eviction in the same query
+    val q = EventWindows.statusIntervalsStream(
+        in.toDF().toDF("event_id", "ts", "event_type", "user_id", "op"),
+        horizonMs = Some(10000L))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd_forget").start()
+    try {
+      // user 1: view run closes at the click; the click run stays open.
+      // user 3: a view run that will be EVICTED by the horizon, not closed
+      in.addData((1L, at(0), "view", 1L, "add"), (2L, at(1), "view", 1L, "add"),
+        (3L, at(2), "click", 1L, "add"), (30L, at(0), "view", 3L, "add"))
+      q.processAllAvailable()
+      // erase user 1's open click run — it must never be emitted
+      in.addData((0L, at(3), null.asInstanceOf[String], 1L, "forget"))
+      q.processAllAvailable()
+      // user 1 returns: a fresh view run opens (no close of the erased
+      // click run), then a click closes IT; user 3 idles past the horizon
+      in.addData((4L, at(4), "view", 1L, "add"))
+      q.processAllAvailable()
+      in.addData((5L, at(5), "click", 1L, "add"), (90L, at(100), "view", 9L, "add"))
+      q.processAllAvailable()
+      in.addData((91L, at(101), "view", 9L, "add"))
+      q.processAllAvailable()
+      // user 3 re-appears AFTER eviction: opens fresh, then closes — the
+      // pre-gap view run from t=0 must never close (it was evicted)
+      in.addData((31L, at(102), "click", 3L, "add"), (32L, at(103), "view", 3L, "add"))
+      q.processAllAvailable()
+      val got = spark.table("scd_forget").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2) / 1000000L,
+          r.getLong(3) / 1000000L)).toSet
+      val t0s = t0 / 1000
+      assert(got.contains((1L, "view", t0s + 0, t0s + 2)),
+        s"the pre-forget closed run must emit: $got")
+      assert(!got.exists(r => r._1 == 1L && r._2 == "click"),
+        s"the erased open click run must never be published: $got")
+      assert(got.contains((1L, "view", t0s + 4, t0s + 5)),
+        s"the post-forget fresh run must close normally: $got")
+      assert(!got.exists(r => r._1 == 3L && r._3 == t0s),
+        s"the evicted pre-gap run must never close (silent eviction): $got")
+      assert(got.contains((3L, "click", t0s + 102, t0s + 103)),
+        s"the returning user's fresh run must close normally: $got")
+    } finally q.stop()
+  }
+
+  test("streaming TWAP forget: the (user, day) key purges unpublished and rebuilds fresh; survivors untouched") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String, Double, Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, Double, Long, String)]],
+      spark)
+    val q = EventWindows.twapStream(
+        in.toDF().toDF("event_id", "ts_s", "value", "user_id", "op")
+          .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+            col("value"), col("user_id"), col("op")))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("twap_forget").start()
+    try {
+      in.addData((1L, "2024-01-01 10:00:00", 10.0, 1L, "add"),
+        (2L, "2024-01-01 11:00:00", 20.0, 1L, "add"),
+        (11L, "2024-01-01 10:00:00", 30.0, 2L, "add"),
+        (12L, "2024-01-01 11:00:00", 40.0, 2L, "add"))
+      q.processAllAvailable()
+      val before = spark.table("twap_forget").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(before((1L, "2024-01-01")) == 1L && before((2L, "2024-01-01")) == 1L,
+        s"both users must hold a day-1 position: $before")
+      // erase user 1's day-1 state: the forget batch emits NOTHING for it
+      in.addData((0L, "2024-01-01 12:00:00", 0.0, 1L, "forget"))
+      q.processAllAvailable()
+      val afterForget = spark.table("twap_forget")
+        .withColumn("seq", monotonically_increasing_id()).collect()
+      assert(afterForget.length == before.size,
+        s"a forget-only batch must emit no snapshot: ${afterForget.length} rows")
+      // user 1 returns on day 1: the fold restarts from EMPTY (one event,
+      // no held interval) — the erased 10:00–11:00 interval is gone
+      in.addData((3L, "2024-01-01 13:00:00", 50.0, 1L, "add"))
+      q.processAllAvailable()
+      val rebuilt = spark.table("twap_forget")
+        .withColumn("seq", monotonically_increasing_id())
+        .collect().sortBy(_.getLong(5)).last
+      assert((rebuilt.getLong(0), rebuilt.getString(1), rebuilt.getLong(2),
+        rebuilt.getLong(3)) == ((1L, "2024-01-01", 0L, 0L)),
+        s"post-forget rebuild must start from empty state: $rebuilt")
+    } finally q.stop()
+  }
 }
