@@ -651,4 +651,79 @@ class AsOfSpec extends AnyFunSuite {
     assert(got(12L).isEmpty,
       s"the idle user's pre-gap view must be gone after eviction: $got")
   }
+
+  test("as-of forget control: the carried payload purges, the key leaves the store, replay is identical") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def st(s: Option[(Long, String)]) = TestGroupState.create[(Long, String)](
+      org.apache.spark.api.java.Optional.ofNullable(s.orNull),
+      GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long], hasTimedOut = false)
+    // carry a right payload
+    val s1 = st(None)
+    AsOf.foldAsOf(None)("u",
+      Iterator(AsOf.StreamEv("u", Some(1000000L), 0, "p1")), s1)
+    assert(s1.exists, "state must exist before the forget")
+    // one batch: left@2 (matches p1), forget@3, left@4 (must be unmatched)
+    val batch = Seq(
+      AsOf.StreamEv("u", Some(4000000L), 1, "l2"),
+      AsOf.StreamEv("u", Some(3000000L), 2, null),
+      AsOf.StreamEv("u", Some(2000000L), 1, "l1"))
+    val s2 = st(Some(s1.get))
+    val out = AsOf.foldAsOf(None)("u", batch.iterator, s2).toList
+    assert(out == List(
+      AsOf.StreamMatch("u", Some(2000000L), "l1", Some("p1"), Some(1000000L)),
+      AsOf.StreamMatch("u", Some(4000000L), "l2", None, None)), s"$out")
+    assert(s2.isRemoved, "a forget that ends the batch empty must remove the key")
+    // crash-and-replay: state rolls back with the batch, so redelivering
+    // the identical batch must produce the identical output and removal
+    val s3 = st(Some(s1.get))
+    val out2 = AsOf.foldAsOf(None)("u", batch.iterator, s3).toList
+    assert(out2 == out && s3.isRemoved, "replayed forget batch must re-purge identically")
+    // a right row AFTER the forget in the same batch rebuilds fresh state
+    val s4 = st(Some(s1.get))
+    val out3 = AsOf.foldAsOf(None)("u", Iterator(
+      AsOf.StreamEv("u", Some(3000000L), 2, null),
+      AsOf.StreamEv("u", Some(5000000L), 0, "p2"),
+      AsOf.StreamEv("u", Some(6000000L), 1, "l3")), s4).toList
+    assert(out3 == List(
+      AsOf.StreamMatch("u", Some(6000000L), "l3", Some("p2"), Some(5000000L))),
+      s"post-forget right must enrich fresh: $out3")
+    assert(s4.get == ((5000000L, "p2")), "rebuilt state must carry only the post-forget right")
+  }
+
+  test("as-of horizon: keys idle on both sides evict when the watermark passes; active keys enrich unchanged") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(sec: Long) = new Timestamp(t0 + sec * 1000)
+    val rIn = MemoryStream[(String, Timestamp, String)](
+      implicitly[org.apache.spark.sql.Encoder[(String, Timestamp, String)]], spark)
+    val lIn = MemoryStream[(String, Timestamp, String)](
+      implicitly[org.apache.spark.sql.Encoder[(String, Timestamp, String)]], spark)
+    val q = AsOf.asOfStream(
+        lIn.toDF().toDF("k", "ts", "v"), "k", "ts", "v",
+        rIn.toDF().toDF("k", "ts", "p"), "ts", "p",
+        horizonMs = Some(10000L))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_horizon").start()
+    try {
+      // rights for keys a and b
+      rIn.addData(("a", at(0), "pa"), ("b", at(1), "pb")); q.processAllAvailable()
+      // key b stays active far in the future — the watermark passes key
+      // a's deadline (0s + 10s), evicting it
+      rIn.addData(("b", at(100), "pb2")); q.processAllAvailable()
+      // probes (a later batch so the batch-2 watermark applies): key a
+      // arrives after its idle gap — unenriched, as if new; key b is
+      // within its horizon — enriched with its latest right
+      lIn.addData(("a", at(101), "la"), ("b", at(101), "lb"))
+      q.processAllAvailable()
+      val got = spark.table("asof_horizon").collect()
+        .map(r => r.getString(2) -> Option(r.getString(3))).toMap
+      assert(got("lb").contains("pb2"),
+        s"the active key must enrich from its latest right: $got")
+      assert(got("la").isEmpty,
+        s"the idle key's carried right must be gone after eviction: $got")
+    } finally q.stop()
+  }
 }

@@ -127,22 +127,26 @@ class EventWindowsSpec extends AnyFunSuite {
       .map(r => (r.getString(1), r.getTimestamp(2).getTime * 1000,
         r.getTimestamp(3).getTime * 1000, r.getLong(4))).toSet
 
-    val in = MemoryStream[(Long, String, String, Double)](
-      implicitly[org.apache.spark.sql.Encoder[(Long, String, String, Double)]], spark)
-    val streamed = EventWindows.statusIntervalsStream(
-      in.toDF().toDF("event_id", "ts_s", "event_type", "value")
-        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
-          col("event_type"), lit(0L).as("user_id")))
-    val q = streamed.writeStream.outputMode("append")
-      .format("memory").queryName("scd_stream").start()
-    try {
-      // a run SPLIT across micro-batches must not close at the boundary
-      in.addData(rows.take(2): _*); q.processAllAvailable()
-      in.addData(rows.drop(2): _*); q.processAllAvailable()
-      val got = spark.table("scd_stream").collect()
-        .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
-      assert(got == batch, s"stream=$got\nbatch=$batch")
-    } finally q.stop()
+    // parity must hold in the unbounded mode AND with a horizon wider
+    // than the fixture's idle gaps (the within-horizon contract)
+    Seq(None, Some(86400000L)).foreach { hz =>
+      val in = MemoryStream[(Long, String, String, Double)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, String, String, Double)]], spark)
+      val streamed = EventWindows.statusIntervalsStream(
+        in.toDF().toDF("event_id", "ts_s", "event_type", "value")
+          .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+            col("event_type"), lit(0L).as("user_id")), hz)
+      val q = streamed.writeStream.outputMode("append")
+        .format("memory").queryName(s"scd_stream_${hz.isDefined}").start()
+      try {
+        // a run SPLIT across micro-batches must not close at the boundary
+        in.addData(rows.take(2): _*); q.processAllAvailable()
+        in.addData(rows.drop(2): _*); q.processAllAvailable()
+        val got = spark.table(s"scd_stream_${hz.isDefined}").collect()
+          .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+        assert(got == batch, s"horizon=$hz: stream=$got\nbatch=$batch")
+      } finally q.stop()
+    }
   }
 
   test("streaming anomaly z equals batch across micro-batches, ts-peers and the eviction horizon") {
@@ -162,23 +166,28 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(batch.exists(_._1 == 8L) && batch.exists(_._1 == 9L)
       && !batch.exists(_._1 == 10L), s"fixture must exercise peers+eviction: $batch")
 
-    val in = MemoryStream[(Long, String, String, Double)](
-      implicitly[org.apache.spark.sql.Encoder[(Long, String, String, Double)]], spark)
-    val streamed = EventWindows.anomalyZStream(
-      in.toDF().toDF("event_id", "ts_s", "event_type", "value")
-        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
-          col("value"), lit(0L).as("user_id")))
-    val q = streamed.writeStream.outputMode("append")
-      .format("memory").queryName("anom_stream").start()
-    try {
-      // split so history accumulates ACROSS batches and the peer pair
-      // arrives in one batch
-      in.addData(rows.take(6): _*); q.processAllAvailable()
-      in.addData(rows.drop(6): _*); q.processAllAvailable()
-      val got = spark.table("anom_stream").collect()
-        .map(r => (r.getLong(0), r.getLong(2), Option(r.get(3)), r.getBoolean(4))).toSet
-      assert(got == batch, s"stream=$got\nbatch=$batch")
-    } finally q.stop()
+    // parity in unbounded mode AND with the horizon equal to the frame
+    // width: eviction then coincides with the frame going empty, so
+    // within-horizon verdicts are unchanged even across the 2-day gap
+    Seq(None, Some(EventWindows.AnomFrameUs / 1000L)).foreach { hz =>
+      val in = MemoryStream[(Long, String, String, Double)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, String, String, Double)]], spark)
+      val streamed = EventWindows.anomalyZStream(
+        in.toDF().toDF("event_id", "ts_s", "event_type", "value")
+          .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+            col("value"), lit(0L).as("user_id")), hz)
+      val q = streamed.writeStream.outputMode("append")
+        .format("memory").queryName(s"anom_stream_${hz.isDefined}").start()
+      try {
+        // split so history accumulates ACROSS batches and the peer pair
+        // arrives in one batch
+        in.addData(rows.take(6): _*); q.processAllAvailable()
+        in.addData(rows.drop(6): _*); q.processAllAvailable()
+        val got = spark.table(s"anom_stream_${hz.isDefined}").collect()
+          .map(r => (r.getLong(0), r.getLong(2), Option(r.get(3)), r.getBoolean(4))).toSet
+        assert(got == batch, s"horizon=$hz: stream=$got\nbatch=$batch")
+      } finally q.stop()
+    }
   }
 
   test("histogram quantiles: rank walk hand-exact, day split merges exactly, clamps hold") {
@@ -224,33 +233,37 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(batch.size == 1 && batch.head._2 == "2024-01-01",
       s"fixture must leave exactly the one multi-event day: $batch")
 
-    val in = MemoryStream[(Long, String, Double)](
-      implicitly[org.apache.spark.sql.Encoder[(Long, String, Double)]], spark)
-    val streamed = EventWindows.twapStream(
-      in.toDF().toDF("event_id", "ts_s", "value")
-        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
-          col("value"), lit(0L).as("user_id")))
-    val q = streamed.writeStream.outputMode("append")
-      .format("memory").queryName("twap_stream").start()
-    try {
-      val feed = rows.map(r => (r._1, r._2, r._4))
-      // split mid-day so the held interval crosses the batch boundary
-      in.addData(feed.take(2): _*); q.processAllAvailable()
-      in.addData(feed.drop(2): _*); q.processAllAvailable()
-      val got = spark.table("twap_stream")
-        .withColumn("seq", monotonically_increasing_id())
-        .collect().sortBy(_.getLong(5))
-        .map(r => (r.getLong(0), r.getString(1)) ->
-          ((r.getLong(2), r.getLong(3), Option(r.get(4)))))
-        .toMap // last emission per key wins
-      val gotFinal = got.collect {
-        case ((u, d), (n, span, Some(t: Double))) if span > 0 => (u, d, n, span, t)
-      }.toSet
-      assert(gotFinal == batch, s"stream=$gotFinal\nbatch=$batch")
-      // the single-event day is an open position: present, zero span
-      assert(got((0L, "2024-01-02")) == ((0L, 0L, None)),
-        s"single-event day must hold state with no estimate: $got")
-    } finally q.stop()
+    // parity in unbounded mode AND with a horizon wider than the
+    // fixture's day-to-day gap (the within-horizon contract)
+    Seq(None, Some(86400000L)).foreach { hz =>
+      val in = MemoryStream[(Long, String, Double)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, String, Double)]], spark)
+      val streamed = EventWindows.twapStream(
+        in.toDF().toDF("event_id", "ts_s", "value")
+          .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+            col("value"), lit(0L).as("user_id")), hz)
+      val q = streamed.writeStream.outputMode("append")
+        .format("memory").queryName(s"twap_stream_${hz.isDefined}").start()
+      try {
+        val feed = rows.map(r => (r._1, r._2, r._4))
+        // split mid-day so the held interval crosses the batch boundary
+        in.addData(feed.take(2): _*); q.processAllAvailable()
+        in.addData(feed.drop(2): _*); q.processAllAvailable()
+        val got = spark.table(s"twap_stream_${hz.isDefined}")
+          .withColumn("seq", monotonically_increasing_id())
+          .collect().sortBy(_.getLong(5))
+          .map(r => (r.getLong(0), r.getString(1)) ->
+            ((r.getLong(2), r.getLong(3), Option(r.get(4)))))
+          .toMap // last emission per key wins
+        val gotFinal = got.collect {
+          case ((u, d), (n, span, Some(t: Double))) if span > 0 => (u, d, n, span, t)
+        }.toSet
+        assert(gotFinal == batch, s"horizon=$hz: stream=$gotFinal\nbatch=$batch")
+        // the single-event day is an open position: present, zero span
+        assert(got((0L, "2024-01-02")) == ((0L, 0L, None)),
+          s"single-event day must hold state with no estimate: $got")
+      } finally q.stop()
+    }
   }
 
   test("trending: volume ranks with item tie-break; delta only credits the ADJACENT previous day") {
@@ -388,6 +401,63 @@ class EventWindowsSpec extends AnyFunSuite {
       assert(n12.contains(5L),
         s"history must rebuild from empty after the forget: n_hist=$n12")
     } finally q.stop()
+  }
+
+  test("anomaly z forget survives crash-and-replay: the redelivered forget batch re-purges identically") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def at(hm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-anomcr-data").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-anomcr-ckpt").toString
+    val schema = Seq((1L, at("08:00"), 1.0, 1L, "add"))
+      .toDF("event_id", "ts", "value", "user_id", "op").schema
+    def land(i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-anomcr-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dest = new java.io.File(dataDir, f"chunk-$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - 3600000L + i * 60000L))
+      ()
+    }
+    land(0, ((0 until 6).map(i => (i.toLong, at(f"${8 + i}%02d:00"), 10.0 + i % 2, 1L, "add")) ++
+      (0 until 6).map(i => (100L + i, at(f"${8 + i}%02d:00"), 10.0 + i % 2, 2L, "add")))
+      .toDF("event_id", "ts", "value", "user_id", "op"))
+    land(1, Seq((999L, at("14:30"), 0.0, 1L, "forget"))
+      .toDF("event_id", "ts", "value", "user_id", "op"))
+    land(2, Seq((7L, at("15:00"), 400.0, 1L, "add"),
+      (107L, at("15:00"), 400.0, 2L, "add"))
+      .toDF("event_id", "ts", "value", "user_id", "op"))
+
+    val byId = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    @volatile var crashOnce = true
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dataDir)
+      EventWindows.anomalyZStream(stream).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.collect().foreach(r => byId.put(r.getLong(0), r.getLong(2)))
+          // die on the FORGET batch, after the side effect and before the
+          // state commit: the restart must redeliver it and re-purge
+          if (id == 1L && crashOnce) { crashOnce = false; sys.error("injected crash") }
+          ()
+        }.start()
+    }
+    val q1 = startQuery()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q1.awaitTermination(60000))
+    val q2 = startQuery()
+    assert(q2.awaitTermination(120000), "restarted query did not finish in time")
+    q2.stop()
+    assert(!crashOnce, "the injected crash must have fired")
+    assert(!byId.contains(7L),
+      s"the replayed forget must still purge user 1's history: $byId")
+    assert(byId.get(107L).contains(6L),
+      s"the survivor must score against its full history: $byId")
   }
 
   test("anomaly z horizon: idle users physically evict from the checkpoint; active users keep their history") {

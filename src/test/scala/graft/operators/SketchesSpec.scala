@@ -138,4 +138,117 @@ class SketchesSpec extends AnyFunSuite {
       assert(got == (0 until 5).map(i => (i, 6L, 0L)).toSet, s"exact path diverged: $got")
     } finally q2.stop()
   }
+
+  test("KMV forget: the erased user's hash physically leaves the sketch; the day re-estimates; replay idempotent") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // an under-k day: the sketch IS the distinct set, so the estimate
+    // must drop exactly by one on the forget
+    val adds = (0 until 10).map(i =>
+      (i.toLong, "2024-03-05 09:00:00", 5000L + i, "add"))
+    val in = MemoryStream[(Long, String, Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, Long, String)]],
+      spark)
+    val q = Sketches.kmvDauStream(
+        in.toDF().toDF("event_id", "ts_s", "user_id", "op")
+          .select(to_timestamp(col("ts_s")).as("ts"), col("user_id"), col("op")))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("kmv_forget").start()
+    def last(): (Long, Long) = spark.table("kmv_forget")
+      .withColumn("seq", monotonically_increasing_id())
+      .collect().sortBy(_.getLong(3)).last match {
+        case r => (r.getLong(1), r.getLong(2))
+      }
+    try {
+      in.addData(adds: _*); q.processAllAvailable()
+      assert(last() == ((10L, 10L)), s"pre-forget snapshot: ${last()}")
+      // erase user 5005: same hash expression, removal from the k-min set
+      in.addData((99L, "2024-03-05 10:00:00", 5005L, "forget"))
+      q.processAllAvailable()
+      assert(last() == ((9L, 9L)),
+        s"the erased user's hash must leave the sketch: ${last()}")
+      // at-least-once replay of the forget: removal is idempotent
+      in.addData((99L, "2024-03-05 10:00:00", 5005L, "forget"))
+      q.processAllAvailable()
+      assert(last() == ((9L, 9L)), s"replayed forget must be a no-op: ${last()}")
+      // the user returns later: a fresh add re-enters the sketch
+      in.addData((100L, "2024-03-05 11:00:00", 5005L, "add"))
+      q.processAllAvailable()
+      assert(last() == ((10L, 10L)), s"re-added user must count again: ${last()}")
+    } finally q.stop()
+  }
+
+  test("KMV horizon: a closed day physically evicts from the checkpoint; the open day survives") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kmvh-ckpt").toString
+    val in = MemoryStream[(Long, String, Long)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, Long)]], spark)
+    // 1-hour horizon: a day with no arrivals for an hour of event time
+    // is final and evicts
+    val q = Sketches.kmvDauStream(
+        in.toDF().toDF("event_id", "ts_s", "user_id")
+          .select(to_timestamp(col("ts_s")).as("ts"), col("user_id")),
+        horizonMs = Some(3600L * 1000))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("kmv_horizon").start()
+    try {
+      in.addData((1L, "2024-03-05 09:00:00", 1L), (2L, "2024-03-05 09:10:00", 2L))
+      q.processAllAvailable()
+      // day 2 arrivals push the watermark past day 1's deadline
+      in.addData((3L, "2024-03-06 12:00:00", 3L)); q.processAllAvailable()
+      in.addData((4L, "2024-03-06 12:10:00", 4L)); q.processAllAvailable()
+    } finally q.stop()
+    val keys = graft.streaming.StateAudit.stateTable(spark, ckpt)
+      .select(col("key").getField("value")).collect()
+      .map(_.getString(0)).toSet
+    assert(keys == Set("2024-03-06"),
+      s"the closed day must be physically evicted: $keys")
+  }
+
+  test("heavy-hitter forget: the item's counter is erased (others' bounds untouched); a re-add starts fresh") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // under-capacity exact path: items 0..4, six arrivals each
+    val adds = (0 until 30).map(i =>
+      (i.toLong, "2024-04-03 09:00:00", s"""{"k": ${i % 5}}""", "add"))
+    val in = MemoryStream[(Long, String, String, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, String, String)]],
+      spark)
+    val q = Sketches.heavyHittersStream(
+        in.toDF().toDF("event_id", "ts_s", "props", "op")
+          .select(to_timestamp(col("ts_s")).as("ts"), col("props"), col("op")))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_forget").start()
+    def lastByItem(): Map[Int, (Long, Long, Long)] = spark.table("ss_forget")
+      .withColumn("seq", monotonically_increasing_id())
+      .collect().sortBy(_.getLong(5))
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    try {
+      in.addData(adds: _*); q.processAllAvailable()
+      assert(lastByItem() == (0 until 5).map(i => i -> ((6L, 0L, 30L))).toMap,
+        s"exact pre-forget table: ${lastByItem()}")
+      // erase item 2: its counter goes; survivors re-emit unchanged
+      // (n_seen is the day's arrival total — an aggregate, it stands)
+      in.addData((99L, "2024-04-03 10:00:00", """{"k": 2}""", "forget"))
+      q.processAllAvailable()
+      val after = lastByItem()
+      assert(!spark.table("ss_forget")
+        .withColumn("seq", monotonically_increasing_id())
+        .collect().sortBy(_.getLong(5)).reverse.take(4).exists(_.getInt(1) == 2),
+        s"the erased item must not be in the post-forget emission")
+      (Seq(0, 1, 3, 4)).foreach(i => assert(after(i) == ((6L, 0L, 30L)),
+        s"survivor $i must be untouched: $after"))
+      // a re-added item starts from a FRESH counter, not the erased one
+      in.addData((100L, "2024-04-03 11:00:00", """{"k": 2}""", "add"))
+      q.processAllAvailable()
+      assert(lastByItem()(2) == ((1L, 0L, 31L)),
+        s"re-added item must start fresh: ${lastByItem()(2)}")
+    } finally q.stop()
+  }
 }

@@ -106,4 +106,40 @@ class StateAuditSpec extends AnyFunSuite {
       .map(_.getString(0)).toSet
     assert(keys == Set("8"), s"state store keys: $keys")
   }
+
+  test("TWAP forget leaves no trace in the checkpoint: the erased (user, day) key is absent, survivors intact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def at(s: Long) = new java.sql.Timestamp(t0 + s * 1000)
+    val schema = Seq((1L, at(0), 1.0, 1L, "add"))
+      .toDF("event_id", "ts", "value", "user_id", "op").schema
+    val dataDir = Files.createTempDirectory("graft-stateaudit-tdata").toString
+    val ckpt = Files.createTempDirectory("graft-stateaudit-tckpt").toString
+    land(dataDir, 0, Seq(
+      (1L, at(0), 10.0, 7L, "add"), (2L, at(60), 20.0, 7L, "add"),
+      (3L, at(0), 30.0, 8L, "add"), (4L, at(60), 40.0, 8L, "add"))
+      .toDF("event_id", "ts", "value", "user_id", "op"))
+    land(dataDir, 1, Seq((0L, at(120), 0.0, 7L, "forget"))
+      .toDF("event_id", "ts", "value", "user_id", "op"))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = graft.operators.EventWindows.twapStream(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("noop").start()
+    assert(q.awaitTermination(120000), "twap drain did not finish")
+
+    // the (user, day) grouping key is a tuple — audit its fields directly
+    val keys = StateAudit.stateTable(spark, ckpt)
+      .select(col("key.*")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(keys == Set((8L, "2024-01-01")),
+      s"the forgotten user's (user, day) key must be physically absent: $keys")
+    // and the ops report agrees: one key total
+    val total = StateAudit.stateReport(spark, ckpt)
+      .filter(col("partition_id") === -1).first().getLong(1)
+    assert(total == 1L, s"expected 1 surviving key, got $total")
+  }
 }
