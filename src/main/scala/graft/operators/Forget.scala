@@ -99,6 +99,7 @@ object Forget {
     "lsh_buckets" -> "per-key-prunable",
     "lsh_shingles" -> "per-key-prunable",
     "media_fingerprints" -> "per-key-prunable",
+    "pos_postings" -> "per-key-prunable",
     "substr_grams" -> "count-reversible")
 
   /** The house delete-list predicates, one per key space (the t35/s13
@@ -174,7 +175,8 @@ object Forget {
                 labels: DataFrame, substrIdx: DataFrame,
                 bm25: TextOps.Bm25Index, ann: Similarity.IvfPqIndex,
                 kmvSaved: DataFrame, mediaFp: DataFrame,
-                lm: TextOps.SurprisalModel): DataFrame = {
+                lm: TextOps.SurprisalModel,
+                posIdx: TextOps.PositionalIndex): DataFrame = {
     def leg(name: String, before: DataFrame, afterAgg: DataFrame): DataFrame =
       before.agg(count(lit(1)).as("rows_before"))
         .crossJoin(afterAgg)
@@ -223,6 +225,10 @@ object Forget {
       "media_fingerprints" -> leg("media_fingerprints", mediaFp,
         prunedFp.agg(count(lit(1)).as("rows_after"),
           countDistinct(col("ahash")).as("stat"))),
+      "pos_postings" -> leg("pos_postings", posIdx.postings,
+        TextOps.deleteFromPositionalIndex(posIdx, DocDeleted).postings
+          .agg(count(lit(1)).as("rows_after"),
+            countDistinct(col("t")).as("stat"))),
       "substr_grams" -> leg("substr_grams", substrIdx,
         prunedSubstr.agg(count(lit(1)).as("rows_after"),
           sum(col("df")).as("stat"))))
@@ -355,6 +361,11 @@ object Forget {
        |  (SELECT count(*) FROM hs WHERE $srcDoc % 7 != 3)::BIGINT,
        |  (SELECT count(DISTINCT h) FROM hs WHERE $srcDoc % 7 != 3)::BIGINT
        |UNION ALL
+       |SELECT 'pos_postings',
+       |  (SELECT count(*) FROM btoks)::BIGINT,
+       |  (SELECT count(*) FROM btoks WHERE doc_id % 7 != 3)::BIGINT,
+       |  (SELECT count(DISTINCT t) FROM btoks WHERE doc_id % 7 != 3)::BIGINT
+       |UNION ALL
        |SELECT 'substr_grams',
        |  (SELECT count(DISTINCT g) FROM sg)::BIGINT,
        |  (SELECT count(DISTINCT g) FROM sg WHERE doc_id % 7 != 3)::BIGINT,
@@ -406,7 +417,8 @@ object Forget {
                        substrIdx: DataFrame, bm25Old: TextOps.Bm25Index,
                        annInc: Similarity.IvfPqIndex, kmvSaved: DataFrame,
                        mediaFp: DataFrame,
-                       lmOld: TextOps.SurprisalModel): DataFrame = {
+                       lmOld: TextOps.SurprisalModel,
+                       posOld: TextOps.PositionalIndex): DataFrame = {
     val cls = ArtifactCatalog.toMap
     def leg(name: String, rows: DataFrame, covered: DataFrame,
             fresh: DataFrame): DataFrame =
@@ -453,6 +465,12 @@ object Forget {
         dcov(idx.shingles, "doc_id"), shDocs))
       .unionByName(leg("media_fingerprints", cnt(mediaFp),
         dcov(mediaFp, "asset_id"), assetCount))
+      .unionByName(leg("pos_postings", cnt(posOld.postings),
+        dcov(posOld.postings, "doc_id"),
+        // a zero-token doc has no occurrences, so fresh coverage counts
+        // docs that tokenize non-empty (what a fresh build would index)
+        docs.filter(size(Portable.tokens(col("text"))) > 0)
+          .agg(count(lit(1)).as("fresh_keys"))))
       .unionByName(leg("substr_grams", cnt(substrIdx),
         dcov(substrIdx, "g"), gramCount))
       .orderBy(col("artifact"))
@@ -566,6 +584,12 @@ object Forget {
        |    FROM documents)::BIGINT,
        |  (SELECT count(*) + count(*) FILTER (WHERE doc_id % 10 = 0)
        |    FROM documents)::BIGINT
+       |UNION ALL
+       |SELECT 'pos_postings',
+       |  (SELECT count(*) FROM btoks WHERE doc_id < (SELECT cnt FROM cn))::BIGINT,
+       |  (SELECT count(DISTINCT doc_id) FROM btoks
+       |    WHERE doc_id < (SELECT cnt FROM cn))::BIGINT,
+       |  (SELECT count(DISTINCT doc_id) FROM btoks)::BIGINT
        |UNION ALL
        |SELECT 'substr_grams',
        |  (SELECT count(DISTINCT g) FROM sg)::BIGINT,

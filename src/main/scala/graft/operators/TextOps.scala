@@ -596,16 +596,129 @@ object TextOps {
   def phraseSearch(docs: DataFrame,
                    phrase: Seq[String] = PhraseQuery): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    val pos = docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "t")))
+    val pos = buildPositionalIndex(docs).postings
       .filter(col("t").isin(phrase.distinct: _*))
       .localCheckpoint(true)
+    phraseFromIndex(PositionalIndex(pos), phrase)
+  }
+
+  // ---------------------------------------- positional index (t49–t52)
+
+  /** A positional index — the SAVED artifact behind phrase (t47) and
+    * proximity (t48) search, closing the one asymmetry the retrieval
+    * family had: BM25 and ANN both ship build → save → merge → delete →
+    * compact → serve lifecycles, while positional search re-derived its
+    * postings from the corpus on every query. One table: (t, doc_id, p)
+    * — a row per token OCCURRENCE (BM25's postings collapse to tf; this
+    * keeps every position, the Lucene `.pos` file as a parquet table).
+    *
+    * The saved layout is the t32/s18 serving contract verbatim:
+    * range-partitioned and sorted by the term key, so every parquet
+    * footer carries a tight [min_t, max_t] and a phrase query's
+    * pushed-down term predicates open only the row groups holding its
+    * terms' occurrence lists — an index seek, not a corpus scan.
+    */
+  final case class PositionalIndex(postings: DataFrame)
+
+  /** One corpus pass: tokenize + posexplode. Nothing is collected; the
+    * occurrence table IS the index.
+    */
+  def buildPositionalIndex(docs: DataFrame): PositionalIndex =
+    PositionalIndex(docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "t")))
+      .select(col("t"), col("doc_id"), col("p")))
+
+  /** The physical serving contract, shared by save and compact: term
+    * ranges tight and non-overlapping per file (trainAndSaveBm25Index's
+    * layout, applied to occurrences).
+    */
+  private def savePositionalLayout(postings: DataFrame, dir: String): Unit =
+    postings
+      .repartitionByRange(col("t"))
+      .sortWithinPartitions(col("t"), col("doc_id"), col("p"))
+      .write.option("maxRecordsPerFile", "5000000")
+      .mode("overwrite").parquet(s"$dir/pos_postings")
+
+  /** Index tonight, serve tomorrow (the t14/t32/s9 train-once rule). */
+  def trainAndSavePositionalIndex(docs: DataFrame, dir: String): PositionalIndex = {
+    savePositionalLayout(buildPositionalIndex(docs).postings, dir)
+    loadPositionalIndex(docs.sparkSession, dir)
+  }
+
+  def loadPositionalIndex(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): PositionalIndex =
+    PositionalIndex(graft.sources.ModelStore.load(spark, s"$dir/pos_postings"))
+
+  /** Incremental refresh (the t34 rule): occurrences are per-doc rows on
+    * disjoint doc sets — a pure union, no recount, no rescan of the old
+    * corpus. Layout-fragmenting like every merge; compaction heals it.
+    */
+  def mergePositionalIndexes(old: PositionalIndex,
+                             shard: PositionalIndex): PositionalIndex =
+    PositionalIndex(old.postings.unionByName(shard.postings))
+
+  /** The t46 nightly step for the positional artifact: rewrite the
+    * merged occurrences through the identical physical contract as a
+    * fresh save — pure data movement, no re-tokenization; serving from
+    * the compacted index must hash-match the fresh full-corpus build.
+    */
+  def compactAndSavePositionalIndex(idx: PositionalIndex,
+                                    dir: String): PositionalIndex = {
+    // never in place: overwrite deletes `dir` before the lazy read runs
+    graft.sources.ModelStore.requireNotInPlace(dir, idx.postings)
+    savePositionalLayout(idx.postings, dir)
+    loadPositionalIndex(idx.postings.sparkSession, dir)
+  }
+
+  /** Tombstoned serving (the t35/s13 rule): occurrences are per-doc rows
+    * — anti-filter; there are no derived statistics to re-derive, so a
+    * deleted doc simply can never match a phrase again.
+    */
+  def deleteFromPositionalIndex(idx: PositionalIndex,
+                                deleted: Column): PositionalIndex =
+    PositionalIndex(idx.postings.filter(!deleted))
+
+  /** [[deleteFromPositionalIndex]] against a tombstone TABLE (doc_id
+    * rows) — the online erasure form (AQE broadcasts a small list).
+    */
+  def deleteListFromPositionalIndex(idx: PositionalIndex,
+                                    deletedIds: DataFrame): PositionalIndex =
+    PositionalIndex(idx.postings.join(
+      deletedIds.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"))
+
+  /** Phrase search SERVED from a positional index (t49): identical
+    * aligned-position equi-join chain as [[phraseSearch]], but each
+    * leg's term filter is a PUSHED-DOWN predicate on the saved
+    * occurrence table — with the t-sorted layout the scan opens only
+    * the phrase terms' row groups (no explode, no corpus pass, no
+    * checkpoint needed: each leg is already an index seek).
+    */
+  def phraseFromIndex(idx: PositionalIndex,
+                      phrase: Seq[String] = PhraseQuery): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
     val legs = phrase.zipWithIndex.map { case (term, i) =>
-      pos.filter(col("t") === term)
+      idx.postings.filter(col("t") === term)
         .select(col("doc_id"), (col("p") - i).as("p0"))
     }
     legs.reduce((a, b) => a.join(b, Seq("doc_id", "p0")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Proximity search served from the index (t52) — [[proximitySearch]]'s
+    * banded range join over two pushed-down occurrence scans.
+    */
+  def proximityFromIndex(idx: PositionalIndex, a: String, b: String,
+                         slop: Int = ProximitySlop): DataFrame = {
+    require(slop >= 1, "slop must be at least 1")
+    val la = idx.postings.filter(col("t") === a)
+      .select(col("doc_id"), col("p").as("pa"),
+        explode(array(expr(s"p div $slop"), expr(s"p div $slop") + 1)).as("bk"))
+    val lb = idx.postings.filter(col("t") === b)
+      .select(col("doc_id"), col("p").as("pb"), expr(s"p div $slop").as("bk"))
+    la.join(lb, Seq("doc_id", "bk"))
+      .filter(col("pb") - col("pa") > 0 && col("pb") - col("pa") <= slop)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("doc_id"))
   }
 
@@ -650,19 +763,36 @@ object TextOps {
   def proximitySearch(docs: DataFrame, a: String, b: String,
                       slop: Int = ProximitySlop): DataFrame = {
     require(slop >= 1, "slop must be at least 1")
-    val pos = docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "t")))
+    val pos = buildPositionalIndex(docs).postings
       .filter(col("t").isin(Seq(a, b).distinct: _*))
       .localCheckpoint(true)
-    val la = pos.filter(col("t") === a)
-      .select(col("doc_id"), col("p").as("pa"),
-        explode(array(expr(s"p div $slop"), expr(s"p div $slop") + 1)).as("bk"))
-    val lb = pos.filter(col("t") === b)
-      .select(col("doc_id"), col("p").as("pb"), expr(s"p div $slop").as("bk"))
-    la.join(lb, Seq("doc_id", "bk"))
-      .filter(col("pb") - col("pa") > 0 && col("pb") - col("pa") <= slop)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_pairs"))
-      .orderBy(col("doc_id"))
+    proximityFromIndex(PositionalIndex(pos), a, b, slop)
+  }
+
+  /** [[proximitySearch]]'s PER-ROW form — [[phraseMatchExpr]]'s sloppy
+    * sibling, completing the per-row twin pair: the ordered-pair count
+    * (0 < pos_b − pos_a ≤ slop) as a pure array fold over one
+    * document's own tokens — for each occurrence of `b`, count the `a`s
+    * in the preceding slop-wide window. No explode, no join, no state:
+    * the form a streaming gate applies per arriving document. Equality
+    * with the join form is unit-pinned; the join form stays the
+    * corpus-query plan (its per-term filters are what the saved index
+    * pushes down — a per-row fold must read every document).
+    */
+  def proximityMatchExpr(textCol: Column, a: String, b: String,
+                         slop: Int = ProximitySlop): Column = {
+    require(slop >= 1, "slop must be at least 1")
+    val w = tokens(textCol)
+    // i is the 0-based position of a candidate `b`; the inner fold
+    // counts `a`s at positions [i - slop, i - 1]. sequence() never runs
+    // backwards (Spark descends when start > stop), so i = 0 is guarded.
+    when(size(w) < 2, lit(0L)).otherwise(
+      aggregate(sequence(lit(0), size(w) - 1), lit(0L),
+        (acc, i) => acc + when(element_at(w, i + 1) === b && i >= 1,
+          aggregate(sequence(greatest(lit(0), i - slop), i - 1), lit(0L),
+            (inner, j) => inner +
+              when(element_at(w, j + 1) === a, 1L).otherwise(0L)))
+          .otherwise(lit(0L))))
   }
 
   /** Oracle for [[proximitySearch]]: the plain range join the banded
@@ -685,14 +815,21 @@ object TextOps {
   /** Oracle for [[phraseSearch]]: the same aligned-position equi-join
     * chain over 1-based array positions (the base cancels in the join).
     */
-  def sqlPhraseSearch(phrase: Seq[String] = PhraseQuery): String = {
+  def sqlPhraseSearch(phrase: Seq[String] = PhraseQuery): String =
+    sqlPhraseSearchOver("TRUE", phrase)
+
+  /** [[sqlPhraseSearch]] over a corpus restriction — the t51 tombstoned
+    * survivor set (the sqlBm25TopKOver convention).
+    */
+  def sqlPhraseSearchOver(pred: String,
+                          phrase: Seq[String] = PhraseQuery): String = {
     val legs = phrase.zipWithIndex.map { case (term, i) =>
       s"l$i AS (SELECT doc_id, i - $i AS p0 FROM pp WHERE t = '$term')"
     }.mkString(",\n")
     val joins = (1 until phrase.length)
       .map(i => s"JOIN l$i USING (doc_id, p0)").mkString(" ")
     s"""WITH stoks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w
-       |  FROM documents),
+       |  FROM documents WHERE $pred),
        |pp AS (SELECT doc_id, i, w[i] AS t FROM stoks,
        |  LATERAL unnest(range(1, len(w) + 1)) r(i)),
        |$legs

@@ -254,6 +254,8 @@ object Pipeline {
             graft.operators.Multimodal.hashAssets(docs)), s"$tmp/hashes"))
       val lmDir = artifactDir("lm", dir)(tmp =>
         TextOps.trainAndSaveSurprisalModel(docs, tmp))
+      val posDir = artifactDir("posidx", dir)(tmp =>
+        TextOps.trainAndSavePositionalIndex(docs, tmp))
       graft.operators.Forget.rtbfSweep(docs, events, idx,
         Dedup.loadClusters(s, labDir),
         Dedup.loadSubstrIndex(s, subDir),
@@ -261,7 +263,8 @@ object Pipeline {
         Similarity.loadIvfPq(s, annDir),
         graft.sources.ModelStore.load(s, s"$kmvDir/sketch"),
         graft.sources.ModelStore.load(s, s"$fpDir/hashes"),
-        TextOps.loadSurprisalModel(s, lmDir))
+        TextOps.loadSurprisalModel(s, lmDir),
+        TextOps.loadPositionalIndex(s, posDir))
     },
     // artifact manifest / health table: one row per saved artifact
     // (erasure class, size, coverage vs today's corpus, staleness
@@ -296,6 +299,9 @@ object Pipeline {
             graft.operators.Multimodal.hashAssets(docs)), s"$tmp/hashes"))
       val lmDir = artifactDir("lm_old", dir)(tmp =>
         TextOps.trainAndSaveSurprisalModel(docs.filter(col("doc_id") < dcut), tmp))
+      val posDir = artifactDir("posidx_old", dir)(tmp =>
+        TextOps.trainAndSavePositionalIndex(
+          docs.filter(col("doc_id") < dcut), tmp))
       graft.operators.Forget.artifactManifest(docs, events, emb, idx,
         Dedup.loadClusters(s, labDir),
         Dedup.loadSubstrIndex(s, subDir),
@@ -303,7 +309,8 @@ object Pipeline {
         Similarity.loadIvfPq(s, annDir),
         graft.sources.ModelStore.load(s, s"$kmvDir/sketch"),
         graft.sources.ModelStore.load(s, s"$fpDir/hashes"),
-        TextOps.loadSurprisalModel(s, lmDir))
+        TextOps.loadSurprisalModel(s, lmDir),
+        TextOps.loadPositionalIndex(s, posDir))
     },
     // per-source DATASHEET (Gebru et al. 2018): the release table —
     // volume, mean quality, language mix, dup rate from the SAVED
@@ -553,6 +560,54 @@ object Pipeline {
     QueryDef.sql("t48_proximity_search",
       TextOps.sqlProximitySearch("window", "join")) { (s, dir) =>
       TextOps.proximitySearch(Tables.documents(s, dir), "window", "join")
+    },
+    // phrase search served from the SAVED positional index (the t32
+    // rule applied to positions): occurrences persisted t-sorted once,
+    // each phrase leg a pushed-down term seek — no explode, no corpus
+    // pass at query time; must hash-match t47's in-lineage build
+    QueryDef.sql("t49_phrase_from_saved", TextOps.sqlPhraseSearch()) { (s, dir) =>
+      val posDir = artifactDir("posidx", dir)(tmp =>
+        TextOps.trainAndSavePositionalIndex(Tables.documents(s, dir), tmp))
+      TextOps.phraseFromIndex(TextOps.loadPositionalIndex(s, posDir))
+    },
+    // positional-index maintenance (the t34+t46 legs): two shard saves
+    // merge by pure union (per-doc rows, no recount), compaction
+    // rewrites the union through the same t-sorted contract as a fresh
+    // save, and serving from the compacted artifact must hash-match the
+    // full-corpus build
+    QueryDef.sql("t50_pos_compacted", TextOps.sqlPhraseSearch()) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cut = docs.count() * 4 / 5
+      val dirA = artifactDir("posidx_old", dir)(tmp =>
+        TextOps.trainAndSavePositionalIndex(docs.filter(col("doc_id") < cut), tmp))
+      val dirB = artifactDir("posidx_shard", dir)(tmp =>
+        TextOps.trainAndSavePositionalIndex(docs.filter(col("doc_id") >= cut), tmp))
+      val cDir = artifactDir("posidx_compacted", dir)(tmp => {
+        TextOps.compactAndSavePositionalIndex(TextOps.mergePositionalIndexes(
+          TextOps.loadPositionalIndex(s, dirA),
+          TextOps.loadPositionalIndex(s, dirB)), tmp)
+        ()
+      })
+      TextOps.phraseFromIndex(TextOps.loadPositionalIndex(s, cDir))
+    },
+    // tombstoned positional serving (the t35/s13 rule): a delete-list
+    // anti-filters the saved occurrences — a deleted doc can never match
+    // a phrase again; must hash-match a fresh build on the survivors
+    QueryDef.sql("t51_pos_deleted",
+      TextOps.sqlPhraseSearchOver("doc_id % 7 <> 3")) { (s, dir) =>
+      val posDir = artifactDir("posidx", dir)(tmp =>
+        TextOps.trainAndSavePositionalIndex(Tables.documents(s, dir), tmp))
+      TextOps.phraseFromIndex(TextOps.deleteFromPositionalIndex(
+        TextOps.loadPositionalIndex(s, posDir), col("doc_id") % 7 === 3))
+    },
+    // proximity search served from the same saved index — both
+    // positional query classes read one artifact
+    QueryDef.sql("t52_proximity_from_saved",
+      TextOps.sqlProximitySearch("window", "join")) { (s, dir) =>
+      val posDir = artifactDir("posidx", dir)(tmp =>
+        TextOps.trainAndSavePositionalIndex(Tables.documents(s, dir), tmp))
+      TextOps.proximityFromIndex(
+        TextOps.loadPositionalIndex(s, posDir), "window", "join")
     },
     // index compaction: the merged index re-written through the same
     // range-partition-by-term contract as a fresh save, restoring the

@@ -515,16 +515,19 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
-    // ntile bucketing over a total order.
+    // ntile bucketing over a total order — via the distributed rank
+    // (Ranking.withNtile): the customer dimension is small today, but
+    // the q34 rule applies to every data-scaled frame, so no query
+    // ships the single-task unpartitioned-window plan.
     QueryDef.sql("w6_ntile",
       """SELECT q, CAST(count(*) AS BIGINT) AS n,
         |  round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
         |FROM (SELECT c_acctbal,
         |  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS q FROM customer)
         |GROUP BY q ORDER BY q""".stripMargin) { (s, dir) =>
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(s, dir)
-        .select(col("c_acctbal"), ntile(4).over(w).as("q"))
+      graft.operators.Ranking.withNtile(
+          Tables.customer(s, dir).select(col("c_acctbal"), col("c_custkey")),
+          "q", 4, Seq(col("c_acctbal"), col("c_custkey")))
         .groupBy(col("q"))
         .agg(count(lit(1)).as("n"),
           round(min(col("c_acctbal")), 2).as("lo"),
@@ -650,12 +653,14 @@ object Relational {
     },
 
     // RFM segmentation (q34): recency/frequency/monetary quintiles per
-    // purchasing user — the classic marketing segmentation as three
-    // ntile(5) windows over one per-user aggregate (dimension-sized, the
-    // w6 precedent; at billions of users swap ntile for q13's quantile
-    // boundaries + per-row bucketing). Monetary rides the exact
+    // purchasing user — the classic marketing segmentation, each
+    // quintile computed by Ranking.withNtile: range-partitioned sort +
+    // partition-local rank + broadcast offsets, bit-identical to
+    // ntile(5) because the user_id tie-break makes each order total —
+    // never an unpartitioned window, so the user dimension can grow to
+    // billions without a single-task stage. Monetary rides the exact
     // micro-currency ledger (w25's trick) so the quintile order is
-    // integer-deterministic; every ntile orders with a user_id tie-break.
+    // integer-deterministic.
     QueryDef.sql("q34_rfm",
       """WITH u AS (SELECT user_id,
         |    max(epoch_us(ts))::BIGINT AS last_us,
@@ -677,10 +682,14 @@ object Relational {
           count(lit(1)).as("freq"),
           sum((round(col("value"), 6).cast("decimal(18,6)") * 1000000).cast("long"))
             .as("mon_micro"))
-      u.select(col("user_id"), col("last_us"), col("freq"), col("mon_micro"),
-          ntile(5).over(Window.orderBy(col("last_us"), col("user_id"))).as("r"),
-          ntile(5).over(Window.orderBy(col("freq"), col("user_id"))).as("f"),
-          ntile(5).over(Window.orderBy(col("mon_micro"), col("user_id"))).as("m"))
+      val rr = graft.operators.Ranking.withNtile(
+        u, "r", 5, Seq(col("last_us"), col("user_id")))
+      val ff = graft.operators.Ranking.withNtile(
+        rr, "f", 5, Seq(col("freq"), col("user_id")))
+      graft.operators.Ranking.withNtile(
+          ff, "m", 5, Seq(col("mon_micro"), col("user_id")))
+        .select(col("user_id"), col("last_us"), col("freq"), col("mon_micro"),
+          col("r"), col("f"), col("m"))
         .orderBy(col("user_id"))
     },
 

@@ -65,4 +65,58 @@ object StateAudit {
     stateTable(spark, ckpt, operatorId)
       .filter(col("key").getField("value").cast("string")
         .isin(erasedKeys: _*))
+
+  /** One live checkpoint a [[checkpointManifest]] row accounts for:
+    * where it lives, whether its gate was started with an event-time
+    * horizon (the config is the pipeline's to declare — a checkpoint
+    * does not record it), and which stateful operator holds the keys.
+    */
+  final case class CheckpointEntry(artifact: String, ckpt: String,
+                                   horizonConfigured: Boolean,
+                                   operatorId: Int = 0)
+
+  /** CHECKPOINT MANIFEST — p54's health table for the OTHER storage
+    * class: a checkpoint is equally a persisted file tree holding
+    * subject keys (this module reads them), so the inventory that
+    * enumerates every saved artifact must cover running queries' state
+    * too. One row per entry: key count and occupied state partitions
+    * (the [[stateReport]] numbers), whether the gate runs with a
+    * bounding horizon, and the erasure class — "live-purgeable", the
+    * class every gate here earns by accepting op="forget" control
+    * records (vs the saved artifacts' anti-filter/decrement classes).
+    *
+    * Scale shape: per checkpoint, one statestore read (a task per state
+    * partition) feeding two aggregates; nothing is collected.
+    */
+  def checkpointManifest(spark: SparkSession,
+                         entries: Seq[CheckpointEntry]): DataFrame = {
+    require(entries.nonEmpty, "at least one checkpoint entry")
+    entries.map { e =>
+      stateTable(spark, e.ckpt, e.operatorId)
+        .agg(count(lit(1)).as("n_keys"),
+          countDistinct(col("partition_id")).as("n_partitions"))
+        .select(lit(e.artifact).as("artifact"),
+          lit("live-purgeable").as("erasure_class"),
+          col("n_keys"), col("n_partitions"),
+          lit(e.horizonConfigured).as("horizon_configured"))
+    }.reduce(_.unionByName(_)).orderBy(col("artifact"))
+  }
+
+  /** The single GDPR inventory covering BOTH storage classes: p54's
+    * saved-artifact manifest rows plus this module's checkpoint rows,
+    * aligned on (artifact, storage_class, erasure_class, n_rows) with
+    * the class-specific columns nullable on the other side — `stale`
+    * is a saved-artifact question (a checkpoint is always current),
+    * `horizon_configured` a live-state one.
+    */
+  def unifiedManifest(saved: DataFrame, checkpoints: DataFrame): DataFrame =
+    saved.select(col("artifact"),
+        lit("saved-artifact").as("storage_class"),
+        col("erasure_class"), col("n_rows"),
+        col("stale"), lit(null).cast("boolean").as("horizon_configured"))
+      .unionByName(checkpoints.select(col("artifact"),
+        lit("checkpoint").as("storage_class"),
+        col("erasure_class"), col("n_keys").as("n_rows"),
+        lit(null).cast("boolean").as("stale"), col("horizon_configured")))
+      .orderBy(col("storage_class"), col("artifact"))
 }

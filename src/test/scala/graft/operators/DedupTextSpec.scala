@@ -253,6 +253,105 @@ class DedupTextSpec extends AnyFunSuite {
     assert(bg == ph, s"slop-1 $bg must equal the exact phrase $ph")
   }
 
+  test("proximity match per-row expression equals the join form on the fixture corpus (the t48 streaming-gate twin)") {
+    val s = TestSpark.spark
+    val corpus = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    for ((a, b, slop) <- Seq(("window", "join", 5), ("window", "join", 1),
+        ("window", "window", 3), ("join", "window", 5),
+        ("window", "nosuchtoken", 5))) {
+      val viaJoin = TextOps.proximitySearch(corpus, a, b, slop).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val perRow = corpus.select(col("doc_id"),
+          TextOps.proximityMatchExpr(col("text"), a, b, slop).as("m"))
+        .filter(col("m") > 0).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(perRow == viaJoin, s"($a,$b,$slop): $perRow vs $viaJoin")
+    }
+    // and slop-1 per-row agrees with the exact-bigram phrase expression
+    val d = docs((1L, "alpha beta gamma alpha beta"), (2L, "beta alpha"))
+    val prox1 = d.select(TextOps.proximityMatchExpr(col("text"),
+      "alpha", "beta", 1).as("m")).collect().map(_.getLong(0)).toSeq
+    val phr = d.select(TextOps.phraseMatchExpr(col("text"),
+      Seq("alpha", "beta")).as("m")).collect().map(_.getLong(0)).toSeq
+    assert(prox1 == phr && prox1 == Seq(2L, 0L), s"$prox1 vs $phr")
+  }
+
+  test("positional index lifecycle: saved serving, merge + compaction footers, tombstoned serving, in-place guard") {
+    import scala.jdk.CollectionConverters._
+    val s = TestSpark.spark
+    val corpus = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    val cut = corpus.count() * 4 / 5
+
+    // serve-from-saved equals the in-lineage build, both query classes
+    val full = java.nio.file.Files.createTempDirectory("graft-pos-full").toString
+    val idx = TextOps.trainAndSavePositionalIndex(corpus, full)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m(TextOps.phraseFromIndex(idx)) == m(TextOps.phraseSearch(corpus)),
+      "saved phrase serving must equal the in-lineage build")
+    assert(m(TextOps.proximityFromIndex(idx, "window", "join")) ==
+      m(TextOps.proximitySearch(corpus, "window", "join")),
+      "saved proximity serving must equal the in-lineage build")
+
+    // two shard saves overlap in term range (the fragmented state a
+    // merge leaves); compaction restores disjoint per-file footers
+    val dirA = java.nio.file.Files.createTempDirectory("graft-pos-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-pos-b").toString
+    TextOps.trainAndSavePositionalIndex(corpus.filter(col("doc_id") < cut), dirA)
+    TextOps.trainAndSavePositionalIndex(corpus.filter(col("doc_id") >= cut), dirB)
+    def fileRanges(dirs: String*): Seq[(String, String)] = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      dirs.flatMap(d => new java.io.File(s"$d/pos_postings").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .toSeq)
+        .map { f =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+          try {
+            val ss = rd.getFooter.getBlocks.asScala.toSeq.map(b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == "t").get.getStatistics)
+            def str(x: Any) =
+              x.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+            (ss.map(st => str(st.genericGetMin)).min,
+              ss.map(st => str(st.genericGetMax)).max)
+          } finally rd.close()
+        }
+    }
+    def overlaps(rs: Seq[(String, String)]): Boolean = {
+      val sorted = rs.sortBy(_._1)
+      sorted.zip(sorted.tail).exists { case (a, b) => b._1 < a._2 }
+    }
+    val frag = fileRanges(dirA, dirB)
+    assert(frag.length >= 2 && overlaps(frag),
+      s"the two shard saves must overlap in term range, or this pin is vacuous: $frag")
+    val cDir = java.nio.file.Files.createTempDirectory("graft-pos-c").toString
+    val compacted = TextOps.compactAndSavePositionalIndex(
+      TextOps.mergePositionalIndexes(
+        TextOps.loadPositionalIndex(s, dirA),
+        TextOps.loadPositionalIndex(s, dirB)), cDir)
+    assert(!overlaps(fileRanges(cDir)),
+      s"compacted ranges must be disjoint: ${fileRanges(cDir)}")
+    assert(m(TextOps.phraseFromIndex(compacted)) == m(TextOps.phraseSearch(corpus)),
+      "compacted serve must equal the fresh full-corpus build")
+
+    // tombstoned serving equals a fresh build on the survivors
+    val deleted = corpus.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+    assert(m(TextOps.phraseFromIndex(
+        TextOps.deleteListFromPositionalIndex(idx, deleted))) ==
+      m(TextOps.phraseSearch(corpus.filter(col("doc_id") % 7 =!= 3))),
+      "tombstoned serve must equal the survivor build")
+
+    // in-place compaction refused before the artifact is touched
+    val loaded = TextOps.loadPositionalIndex(s, dirA)
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.compactAndSavePositionalIndex(loaded, dirA)
+    }
+    assert(ex.getMessage.contains("in-place"), ex.getMessage)
+    assert(TextOps.phraseFromIndex(TextOps.loadPositionalIndex(s, dirA))
+      .count() > 0, "guard must fire before the artifact is touched")
+  }
+
   test("bm25 compaction: merged-index fragmentation healed, per-file term ranges disjoint again, serving hash-matches the fresh build") {
     import scala.jdk.CollectionConverters._
     val s = TestSpark.spark

@@ -736,6 +736,49 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("positional serving: term predicates pushed to the saved occurrence scan — an index seek, never a corpus pass") {
+    val s = TestSpark.spark
+    val docs = graft.Tables.documents(s, dir)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-posplan").toString
+    val idx = TextOps.trainAndSavePositionalIndex(docs, idxDir)
+    for ((name, df) <- Seq(
+        "t49" -> TextOps.phraseFromIndex(idx),
+        "t52" -> TextOps.proximityFromIndex(idx, "window", "join"))) {
+      val plan = executed(df)
+      // each leg's term filter reaches the parquet scan: with the
+      // t-sorted layout that is row-group pruning (the bm25ServeBatch
+      // seek contract applied to occurrences)
+      assert(plan.contains("PushedFilters: [IsNotNull(t), EqualTo(t,"),
+        s"$name: expected the term predicate pushed to the scan in:\n$plan")
+      assert(!plan.contains("documents.parquet"),
+        s"$name: serving must read the artifact, never the corpus:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: position joins must stay equi-keyed:\n$plan")
+    }
+  }
+
+  test("distributed ntile: the rank window is partition-keyed — never the move-everything-to-one-task plan") {
+    val s = TestSpark.spark
+    val df = Ranking.withNtile(
+      graft.Tables.customer(s, dir).select(col("c_acctbal"), col("c_custkey")),
+      "q", 4, Seq(col("c_acctbal"), col("c_custkey")))
+    val plan = executed(df)
+    assert(!plan.contains("ntile("),
+      s"the bucket must be rank arithmetic, not an ntile window:\n$plan")
+    // every Window node keys on the frozen partition id (the range
+    // layout rides the checkpoint; nothing re-sorts globally)
+    val winLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("__pid")),
+      s"every rank window must partition by __pid:\n$plan")
+    // and the full q34 query plans the same way: no ntile anywhere
+    val q34 = executed(graft.SparkEntry.queries("q34_rfm")(s, dir))
+    assert(!q34.contains("ntile("),
+      s"q34 must ride the distributed rank, not a global ntile:\n$q34")
+    val q34Wins = q34.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(q34Wins.forall(_.contains("__pid")),
+      s"q34's windows must all be partition-keyed:\n$q34")
+  }
+
   test("q41 decorrelation: the per-part average joins back as an equi-join — no cross product, no third lineitem pass") {
     val plan = executed(graft.SparkEntry.queries("q41_small_qty_revenue")(
       TestSpark.spark, dir))

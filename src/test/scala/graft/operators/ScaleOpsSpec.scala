@@ -51,6 +51,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got((0L, "a")) == ((50L, (1 to 50).sum.toLong)), s"$got")
   }
 
+  test("distributed ntile equals Spark's ntile bit-for-bit on every fill shape (the q34 remedy)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // duplicate VALUES with a unique id tie-break — the exact q34 shape;
+    // n spans q=0 (n<k), exact multiples, and every remainder class
+    for (n <- Seq(1, 3, 4, 5, 10, 12, 13, 997); k <- Seq(4, 5)) {
+      val df = (1 to n).map(i => ((i * 7919) % 23).toLong -> i.toLong)
+        .toDF("v", "id")
+      val viaNtile = df.select(col("id"),
+          ntile(k).over(Window.orderBy(col("v"), col("id"))).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val viaRank = Ranking.withNtile(df, "b", k, Seq(col("v"), col("id")))
+        .select(col("id"), col("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(viaRank == viaNtile, s"n=$n k=$k: $viaRank vs $viaNtile")
+    }
+  }
+
   test("bloom-pruned join: actually prunes non-matching fact rows, result equals the plain join") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -142,4 +142,63 @@ class StateAuditSpec extends AnyFunSuite {
       .filter(col("partition_id") === -1).first().getLong(1)
     assert(total == 1L, s"expected 1 surviving key, got $total")
   }
+
+  test("checkpoint manifest: live state joins the artifact inventory, and the unified table covers both storage classes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(s: Long) = new java.sql.Timestamp(t0 + s * 1000)
+    // a real stopped query's checkpoint: the funnel gate with a horizon
+    // configured, two users' state committed
+    val schema = Seq((1L, at(0), "signup", 1L))
+      .toDF("user_id", "ts", "event_type", "event_id").schema
+    val dataDir = Files.createTempDirectory("graft-ckptman-data").toString
+    val ckpt = Files.createTempDirectory("graft-ckptman-ckpt").toString
+    land(dataDir, 0, Seq(
+      (7L, at(0), "signup", 10L), (7L, at(1), "view", 11L),
+      (8L, at(0), "signup", 20L))
+      .toDF("user_id", "ts", "event_type", "event_id"))
+    val stream = spark.readStream.schema(schema).parquet(dataDir)
+    val q = graft.operators.AsOf.funnelStream(stream,
+        horizonMs = Some(3600000L))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("noop").start()
+    assert(q.awaitTermination(120000), "funnel drain did not finish")
+
+    val rows = StateAudit.checkpointManifest(spark, Seq(
+        StateAudit.CheckpointEntry("funnel_users", ckpt,
+          horizonConfigured = true)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.length == 1)
+    val (name, cls, nKeys, nParts, hzn) = rows.head
+    assert(name == "funnel_users" && cls == "live-purgeable" && hzn,
+      s"manifest row: ${rows.head}")
+    // key count agrees with the ops report; occupied partitions bounded
+    // by the key count and the state-partition config
+    val reported = StateAudit.stateReport(spark, ckpt)
+      .filter(col("partition_id") === -1).first().getLong(1)
+    assert(nKeys == reported && nKeys == 2L, s"manifest row: ${rows.head}")
+    assert(nParts >= 1L && nParts <= nKeys, s"manifest row: ${rows.head}")
+
+    // the unified table: one inventory, both storage classes, the
+    // class-specific columns null on the other side
+    val saved = Seq(("bm25_postings", "per-key-prunable", 123L, 10L, 12L, true))
+      .toDF("artifact", "erasure_class", "n_rows",
+        "covered_keys", "fresh_keys", "stale")
+    val uni = StateAudit.unifiedManifest(saved,
+        StateAudit.checkpointManifest(spark, Seq(
+          StateAudit.CheckpointEntry("funnel_users", ckpt,
+            horizonConfigured = true))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), Option(r.get(4)), Option(r.get(5))))
+    assert(uni.toSeq == Seq(
+      ("funnel_users", "checkpoint", "live-purgeable", 2L,
+        None, Some(true)),
+      ("bm25_postings", "saved-artifact", "per-key-prunable", 123L,
+        Some(true), None)),
+      s"unified manifest: ${uni.toSeq}")
+  }
 }
