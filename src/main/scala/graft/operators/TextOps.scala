@@ -705,6 +705,51 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** MULTI-QUERY PHRASE SERVING (the [[bm25ServeBatch]] convention for
+    * the positional index): each request row is (query_id, phrase
+    * ARRAY&lt;STRING&gt;), and every query's match counts equal
+    * [[phraseFromIndex]]'s — so a one-row batch carrying [[PhraseQuery]]
+    * reproduces t49 verbatim (unit-pinned).
+    *
+    * [[phraseFromIndex]]'s join CHAIN has one leg per phrase term — a
+    * per-query plan shape, which a batch of mixed-length phrases cannot
+    * share. The batch form re-expresses adjacency as OFFSET COVERAGE in
+    * one fixed-shape plan: explode each phrase to (offset, term) rows,
+    * join the postings once on the term key, align p0 = p − offset, and
+    * a start position is a match iff its (query, doc, p0) group covers
+    * ALL n offsets — countDistinct(offset) = n (duplicate phrase terms
+    * are exactly the multiple (offset, p) rows the count needs).
+    *
+    * Scale shape: the batch's distinct terms push down as a literal IN
+    * on the occurrence scan (row-group seek under the t-sorted layout;
+    * [[ServeTermPushdownMax]] caps the literal, broadcast-join fallback
+    * past it — the bm25ServeBatch trade, same per-batch driver hop),
+    * the request set broadcasts, and the coverage count shuffles
+    * postings-sized (query, doc, p0) rows, never the corpus.
+    */
+  def phraseServeBatch(queries: DataFrame, idx: PositionalIndex): DataFrame = {
+    val qt = queries
+      .select(col("query_id"), size(col("phrase")).as("n"),
+        posexplode(col("phrase")).as(Seq("off", "t")))
+    val terms = qt.select(col("t")).distinct()
+    val termList = terms.limit(ServeTermPushdownMax + 1)
+      .collect().map(_.getString(0))
+    val restricted =
+      if (termList.isEmpty) idx.postings.filter(lit(false))
+      else if (termList.length <= ServeTermPushdownMax)
+        idx.postings.filter(col("t").isin(termList.toSeq: _*))
+      else idx.postings.join(broadcast(terms), "t")
+    restricted.join(broadcast(qt), "t")
+      .select(col("query_id"), col("n"), col("doc_id"),
+        (col("p") - col("off")).as("p0"), col("off"))
+      .groupBy(col("query_id"), col("n"), col("doc_id"), col("p0"))
+      .agg(countDistinct(col("off")).as("k"))
+      .filter(col("k") === col("n"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
   /** Proximity search served from the index (t52) — [[proximitySearch]]'s
     * banded range join over two pushed-down occurrence scans.
     */

@@ -27,7 +27,7 @@ object ScaleUp {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "bench/sf0.3"
     val copies = if (args.length > 2) args(2).toInt else 3
-    val prefixes = Seq("", "q", "x", "j", "v", "w", "y", "z")
+    val prefixes = Seq("", "q", "x", "j", "v", "w", "y", "z", "k")
     require(copies <= prefixes.length, s"at most ${prefixes.length} copies")
     val spark = graft.GraftSession.get()
     spark.sparkContext.setLogLevel("ERROR")

@@ -352,6 +352,36 @@ class DedupTextSpec extends AnyFunSuite {
       .count() > 0, "guard must fire before the artifact is touched")
   }
 
+  test("phrase serve batch: every query equals the single-query join chain; offset coverage handles duplicate terms and misses") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val corpus = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pos-batch").toString
+    val idx = TextOps.trainAndSavePositionalIndex(corpus, dir)
+    val phrases = Seq(
+      1L -> TextOps.PhraseQuery,          // the t49 query verbatim
+      2L -> Seq("window"),                // single term = posting count
+      3L -> Seq("the", "the"),            // duplicate phrase terms
+      4L -> Seq("nosuchtoken", "window")) // one leg misses -> no rows
+    val got = TextOps.phraseServeBatch(
+        phrases.toDF("query_id", "phrase"), idx)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    phrases.foreach { case (qid, ph) =>
+      val single = TextOps.phraseFromIndex(idx, ph).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val mine = got.collect { case ((q, d), n) if q == qid => d -> n }
+      assert(mine == single, s"query $qid ($ph): $mine vs $single")
+    }
+    // and the house per-row twin agrees with query 3's duplicate-term
+    // coverage (the subtle case: one posting row serves two offsets)
+    val dup = corpus.select(col("doc_id"),
+        TextOps.phraseMatchExpr(col("text"), Seq("the", "the")).as("m"))
+      .filter(col("m") > 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.collect { case ((3L, d), n) => d -> n } == dup)
+  }
+
   test("bm25 compaction: merged-index fragmentation healed, per-file term ranges disjoint again, serving hash-matches the fresh build") {
     import scala.jdk.CollectionConverters._
     val s = TestSpark.spark

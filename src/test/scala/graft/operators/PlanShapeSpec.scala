@@ -755,6 +755,18 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"),
         s"$name: position joins must stay equi-keyed:\n$plan")
     }
+    // the multi-query batch form: the batch's term set is a pushed IN,
+    // the request rows broadcast, coverage joins stay equi-keyed
+    val sess = s
+    import sess.implicits._
+    val batch = Seq((1L, Seq("window", "join")), (2L, Seq("spark")))
+      .toDF("query_id", "phrase")
+    val bplan = executed(TextOps.phraseServeBatch(batch, idx))
+    assert(bplan.contains("PushedFilters: [In(t"),
+      s"serve batch: expected the term IN-list pushed to the scan in:\n$bplan")
+    assert(bplan.contains("BroadcastHashJoin") &&
+      !bplan.contains("CartesianProduct"),
+      s"serve batch: request rows must broadcast, joins equi-keyed:\n$bplan")
   }
 
   test("distributed ntile: the rank window is partition-keyed — never the move-everything-to-one-task plan") {
