@@ -1062,4 +1062,48 @@ object CurationStream {
         }
         ()
       }
+
+  /** PHRASE SERVING, online ([[bm25Serve]]'s convention for the saved
+    * positional index): a stream of (query_id, phrase) rows answered
+    * per micro-batch from the t49 artifact via
+    * [[graft.operators.TextOps.phraseServeBatch]] — stateless lookups
+    * touching only the batch's own terms' occurrence lists, identical
+    * however the request stream is chopped.
+    *
+    * Lifecycle, positional edition: build (t47) → save (t49) → merge +
+    * compact (t50) → delete (t51) → SERVE, online.
+    */
+  def phraseServe(queries: DataFrame,
+                  idx: graft.operators.TextOps.PositionalIndex)
+                 (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          onBatch(graft.operators.TextOps.phraseServeBatch(b, idx))
+        ()
+      }
+
+  /** [[phraseServe]] with the PER-BATCH TOMBSTONE read
+    * ([[bm25ServeWithTombstones]]' rule): each micro-batch re-reads the
+    * append-only doc_id tombstone table and serves from the anti-
+    * filtered occurrences, so an erased doc stops matching phrases
+    * between two requests with no restart and no index rebuild —
+    * positional search has no derived statistics, so the prune is the
+    * whole story.
+    */
+  def phraseServeWithTombstones(queries: DataFrame,
+                                idx: graft.operators.TextOps.PositionalIndex,
+                                tombstoneDir: String)
+                               (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val tomb = b.sparkSession.read.parquet(tombstoneDir)
+          onBatch(graft.operators.TextOps.phraseServeBatch(b,
+            graft.operators.TextOps.deleteListFromPositionalIndex(idx, tomb)))
+        }
+        ()
+      }
 }

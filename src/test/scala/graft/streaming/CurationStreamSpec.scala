@@ -81,6 +81,70 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(streamed.map(_._1).distinct.length == 5)
   }
 
+  test("tombstoned phrase serving: a doc erased between requests stops matching the phrase, no restart, no rebuild") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val idxDir = Files.createTempDirectory("graft-postomb-idx").toString
+    val idx = TextOps.trainAndSavePositionalIndex(docs, idxDir)
+    // the victim: a doc the house phrase matches
+    val victim = TextOps.phraseFromIndex(idx).collect().head.getLong(0)
+    val tombDir = Files.createTempDirectory("graft-postomb-list").toString
+    Seq.empty[Long].toDF("doc_id").write.mode("overwrite").parquet(tombDir)
+
+    val dataDir = Files.createTempDirectory("graft-postomb-req").toString
+    def writeReq(qid: Long, i: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft-postomb-chunk").toString
+      Seq((qid, TextOps.PhraseQuery)).toDF("query_id", "phrase")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      Files.move(part.toPath,
+        new java.io.File(dataDir, f"req-$i%03d.parquet").toPath)
+      ()
+    }
+    writeReq(1L, 0)
+
+    val got = scala.collection.concurrent.TrieMap.empty[(Long, Long), Long]
+    val schema = Seq((1L, Seq("x"))).toDF("query_id", "phrase").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = CurationStream.phraseServeWithTombstones(stream, idx, tombDir) { b =>
+      b.collect().foreach(r =>
+        got.put((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    }
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-postomb-ckpt").toString)
+      .start()
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(cond, s"timed out waiting for $what")
+    }
+    await(got.keys.exists(_._1 == 1L), "query 1 results")
+    // erase the victim BETWEEN the two requests
+    Seq(victim).toDF("doc_id").write.mode("append").parquet(tombDir)
+    writeReq(2L, 1)
+    await(got.keys.exists(_._1 == 2L), "query 2 results")
+    q.stop()
+    q.awaitTermination(30000)
+
+    val served1 = got.toSeq.collect { case ((1L, d), n) => d -> n }.toMap
+    val served2 = got.toSeq.collect { case ((2L, d), n) => d -> n }.toMap
+    assert(served1.contains(victim), "pre-erasure serve must include the victim")
+    assert(!served2.contains(victim), "post-erasure serve must not")
+    // the pre-erasure batch equals t49, the post-erasure batch t51
+    val t49 = TextOps.phraseFromIndex(idx).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t51 = TextOps.phraseFromIndex(TextOps.deleteListFromPositionalIndex(
+        idx, Seq(victim).toDF("doc_id"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served1 == t49, s"$served1\nvs\n$t49")
+    assert(served2 == t51, s"$served2\nvs\n$t51")
+  }
+
   test("tombstoned serving: a doc erased between requests vanishes from the next batch") {
     val spark = TestSpark.spark
     import spark.implicits._
