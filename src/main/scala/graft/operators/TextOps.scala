@@ -750,6 +750,47 @@ object TextOps {
       .orderBy(col("query_id"), col("doc_id"))
   }
 
+  /** MULTI-QUERY PROXIMITY SERVING ([[phraseServeBatch]]'s sibling):
+    * each request row is (query_id, a, b, slop), answered with exactly
+    * [[proximityFromIndex]]'s semantics — the banded range join runs
+    * with query_id riding the equi-key, so requests can't see each
+    * other's pairs and one fixed-shape plan serves the whole batch.
+    * The a-side explodes to buckets with the REQUEST'S OWN slop (the
+    * per-row `p div slop` is computed after the term join attaches it),
+    * so mixed-slop batches serve together. One-row-batch == t52 and
+    * mixed batches == per-query calls are unit-pinned.
+    *
+    * Scale shape: the batch's distinct terms push down as the literal
+    * IN (same cap + broadcast fallback as [[phraseServeBatch]]), the
+    * request rows broadcast onto the postings, and the pair join keys
+    * on (query, doc, bucket) — postings-sized, term-spam-safe by the
+    * same banding argument as the single-query form.
+    */
+  def proximityServeBatch(queries: DataFrame,
+                          idx: PositionalIndex): DataFrame = {
+    val qa = queries.select(col("query_id"), col("a").as("t"), col("slop"))
+    val qb = queries.select(col("query_id"), col("b").as("t"), col("slop"))
+    val terms = qa.select(col("t")).unionByName(qb.select(col("t"))).distinct()
+    val termList = terms.limit(ServeTermPushdownMax + 1)
+      .collect().map(_.getString(0))
+    val restricted =
+      if (termList.isEmpty) idx.postings.filter(lit(false))
+      else if (termList.length <= ServeTermPushdownMax)
+        idx.postings.filter(col("t").isin(termList.toSeq: _*))
+      else idx.postings.join(broadcast(terms), "t")
+    val la = restricted.join(broadcast(qa), "t")
+      .select(col("query_id"), col("doc_id"), col("p").as("pa"), col("slop"),
+        explode(array(expr("p div slop"), expr("p div slop") + 1)).as("bk"))
+    val lb = restricted.join(broadcast(qb), "t")
+      .select(col("query_id"), col("doc_id"), col("p").as("pb"),
+        expr("p div slop").as("bk"))
+    la.join(lb, Seq("query_id", "doc_id", "bk"))
+      .filter(col("pb") - col("pa") > 0 && col("pb") - col("pa") <= col("slop"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
   /** Proximity search served from the index (t52) — [[proximitySearch]]'s
     * banded range join over two pushed-down occurrence scans.
     */

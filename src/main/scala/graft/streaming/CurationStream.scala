@@ -1106,4 +1106,20 @@ object CurationStream {
         }
         ()
       }
+
+  /** PROXIMITY SERVING, online — [[phraseServe]]'s sibling over
+    * (query_id, a, b, slop) request rows, answered per micro-batch via
+    * [[graft.operators.TextOps.proximityServeBatch]] (mixed slops serve
+    * together; stateless, chop-invariant).
+    */
+  def proximityServe(queries: DataFrame,
+                     idx: graft.operators.TextOps.PositionalIndex)
+                    (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          onBatch(graft.operators.TextOps.proximityServeBatch(b, idx))
+        ()
+      }
 }

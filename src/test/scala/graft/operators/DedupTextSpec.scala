@@ -380,6 +380,24 @@ class DedupTextSpec extends AnyFunSuite {
       .filter(col("m") > 0).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got.collect { case ((3L, d), n) => d -> n } == dup)
+
+    // the proximity batch: mixed slops and same-term requests each
+    // equal the single-query banded form
+    val preq = Seq(
+      (1L, "window", "join", 5),  // the t52 request verbatim
+      (2L, "window", "join", 1),  // slop 1 = exact bigram
+      (3L, "the", "the", 3),      // a == b
+      (4L, "nosuchtoken", "join", 5))
+    val pgot = TextOps.proximityServeBatch(
+        preq.toDF("query_id", "a", "b", "slop"), idx)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    preq.foreach { case (qid, a, b, slop) =>
+      val single = TextOps.proximityFromIndex(idx, a, b, slop).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val mine = pgot.collect { case ((q, d), n) if q == qid => d -> n }
+      assert(mine == single, s"query $qid ($a,$b,$slop): $mine vs $single")
+    }
   }
 
   test("bm25 compaction: merged-index fragmentation healed, per-file term ranges disjoint again, serving hash-matches the fresh build") {

@@ -145,6 +145,38 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(served2 == t51, s"$served2\nvs\n$t51")
   }
 
+  test("proximity serving stream: mixed-slop request batch equals the per-query banded form") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val idxDir = Files.createTempDirectory("graft-proxserve-idx").toString
+    val idx = TextOps.trainAndSavePositionalIndex(docs, idxDir)
+    val reqs = Seq((1L, "window", "join", 5), (2L, "join", "window", 2))
+    val expected = reqs.flatMap { case (qid, a, b, slop) =>
+      TextOps.proximityFromIndex(idx, a, b, slop).collect()
+        .map(r => ((qid, r.getLong(0)), r.getLong(1)))
+    }.toMap
+    val dataDir = Files.createTempDirectory("graft-proxserve-req").toString
+    reqs.toDF("query_id", "a", "b", "slop")
+      .coalesce(1).write.mode("overwrite").parquet(dataDir)
+    val got = scala.collection.concurrent.TrieMap.empty[(Long, Long), Long]
+    val stream = spark.readStream
+      .schema(reqs.toDF("query_id", "a", "b", "slop").schema).parquet(dataDir)
+    val q = CurationStream.proximityServe(stream, idx) { b =>
+      b.collect().foreach(r =>
+        got.put((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-proxserve-ckpt").toString)
+      .start()
+    assert(q.awaitTermination(120000), "proximity serve did not finish")
+    q.stop()
+    assert(got.toMap == expected, s"${got.toMap}\nvs\n$expected")
+    assert(got.keys.map(_._1).toSet == Set(1L, 2L))
+  }
+
   test("tombstoned serving: a doc erased between requests vanishes from the next batch") {
     val spark = TestSpark.spark
     import spark.implicits._
