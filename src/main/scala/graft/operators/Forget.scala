@@ -441,9 +441,15 @@ object Forget {
     val gramCount = Dedup.positionalGrams(
         docs.select(col("doc_id"), Portable.tokens(col("text")).as("w")))
       .agg(countDistinct(col("g")).as("fresh_keys"))
-    val tokenCount = docs
+    // one tokenizing pass feeds BOTH token-keyed probes (lm totals and
+    // positional doc coverage) — the shDocs shared-probe rule
+    val tokProbe = docs
       .agg(coalesce(sum(size(Portable.tokens(col("text")))), lit(0L))
-        .cast("bigint").as("fresh_keys"))
+          .cast("bigint").as("n_tokens"),
+        count(when(size(Portable.tokens(col("text"))) > 0, lit(1)))
+          .as("n_token_docs"))
+      .localCheckpoint(true)
+    val tokenCount = tokProbe.select(col("n_tokens").as("fresh_keys"))
     val assetCount = docs
       .agg((count(lit(1)) +
         count(when(col("doc_id") % 10 === 0, lit(1)))).as("fresh_keys"))
@@ -469,8 +475,7 @@ object Forget {
         dcov(posOld.postings, "doc_id"),
         // a zero-token doc has no occurrences, so fresh coverage counts
         // docs that tokenize non-empty (what a fresh build would index)
-        docs.filter(size(Portable.tokens(col("text"))) > 0)
-          .agg(count(lit(1)).as("fresh_keys"))))
+        tokProbe.select(col("n_token_docs").as("fresh_keys"))))
       .unionByName(leg("substr_grams", cnt(substrIdx),
         dcov(substrIdx, "g"), gramCount))
       .orderBy(col("artifact"))
