@@ -768,8 +768,11 @@ object TextOps {
     */
   def proximityServeBatch(queries: DataFrame,
                           idx: PositionalIndex): DataFrame = {
-    val qa = queries.select(col("query_id"), col("a").as("t"), col("slop"))
-    val qb = queries.select(col("query_id"), col("b").as("t"), col("slop"))
+    // a malformed request (slop < 1 would divide by zero inside the
+    // shared plan) is DROPPED, not allowed to kill the serving batch
+    val valid = queries.filter(col("slop") >= 1)
+    val qa = valid.select(col("query_id"), col("a").as("t"), col("slop"))
+    val qb = valid.select(col("query_id"), col("b").as("t"), col("slop"))
     val terms = qa.select(col("t")).unionByName(qb.select(col("t"))).distinct()
     val termList = terms.limit(ServeTermPushdownMax + 1)
       .collect().map(_.getString(0))

@@ -387,14 +387,17 @@ class DedupTextSpec extends AnyFunSuite {
       (1L, "window", "join", 5),  // the t52 request verbatim
       (2L, "window", "join", 1),  // slop 1 = exact bigram
       (3L, "the", "the", 3),      // a == b
-      (4L, "nosuchtoken", "join", 5))
+      (4L, "nosuchtoken", "join", 5),
+      (5L, "window", "join", 0))  // malformed: dropped, never div-by-zero
     val pgot = TextOps.proximityServeBatch(
         preq.toDF("query_id", "a", "b", "slop"), idx)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
       .toMap
     preq.foreach { case (qid, a, b, slop) =>
-      val single = TextOps.proximityFromIndex(idx, a, b, slop).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val single =
+        if (slop < 1) Map.empty[Long, Long] // dropped, not served
+        else TextOps.proximityFromIndex(idx, a, b, slop).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
       val mine = pgot.collect { case ((q, d), n) if q == qid => d -> n }
       assert(mine == single, s"query $qid ($a,$b,$slop): $mine vs $single")
     }
