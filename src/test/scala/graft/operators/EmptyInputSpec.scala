@@ -112,4 +112,39 @@ class EmptyInputSpec extends AnyFunSuite {
     val allGone = TextOps.deleteFromBm25Index(bm, lit(true))
     assert(TextOps.bm25FromIndex(allGone).count() == 0)
   }
+
+  test("round-14 additions survive empty inputs") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val d = emptyDocs
+    // an index built from an empty corpus serves (empty) results for
+    // both positional query classes, single and batch form
+    val emptyIdx = TextOps.buildPositionalIndex(d)
+    assert(TextOps.phraseFromIndex(emptyIdx).count() == 0)
+    assert(TextOps.proximityFromIndex(emptyIdx, "a", "b").count() == 0)
+    assert(TextOps.phraseSearch(d).count() == 0)
+    assert(TextOps.proximitySearch(d, "a", "b").count() == 0)
+    // empty request batches against a real index emit nothing
+    val docsReal = graft.Tables.documents(s, "/root/testdata/sf0.001").limit(50)
+    val idx = TextOps.buildPositionalIndex(docsReal)
+    assert(TextOps.phraseServeBatch(
+      Seq.empty[(Long, Seq[String])].toDF("query_id", "phrase"), idx)
+      .count() == 0)
+    assert(TextOps.proximityServeBatch(
+      Seq.empty[(Long, String, String, Int)].toDF("query_id", "a", "b", "slop"),
+      idx).count() == 0)
+    // deleting everything leaves a servable empty index
+    assert(TextOps.phraseFromIndex(
+      TextOps.deleteFromPositionalIndex(idx, lit(true))).count() == 0)
+    // the distributed rank on an empty frame is an empty frame
+    assert(Ranking.withNtile(
+      Seq.empty[(Long, Long)].toDF("v", "id"), "b", 5,
+      Seq(col("v"), col("id"))).count() == 0)
+    // per-row gates on empty/short text score zero, never throw
+    val scored = Seq((1L, ""), (2L, "one")).toDF("doc_id", "text")
+      .select(TextOps.phraseMatchExpr(col("text"), Seq("a", "b")).as("p"),
+        TextOps.proximityMatchExpr(col("text"), "a", "b").as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(scored.forall(_ == ((0L, 0L))), scored.toSeq.toString)
+  }
 }
