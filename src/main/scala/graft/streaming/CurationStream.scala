@@ -1122,4 +1122,23 @@ object CurationStream {
           onBatch(graft.operators.TextOps.proximityServeBatch(b, idx))
         ()
       }
+
+  /** [[proximityServe]] with the per-batch tombstone re-read — the
+    * erasure convention, completing the positional pair: both query
+    * classes serve tombstone-aware from the same artifact.
+    */
+  def proximityServeWithTombstones(queries: DataFrame,
+                                   idx: graft.operators.TextOps.PositionalIndex,
+                                   tombstoneDir: String)
+                                  (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val tomb = b.sparkSession.read.parquet(tombstoneDir)
+          onBatch(graft.operators.TextOps.proximityServeBatch(b,
+            graft.operators.TextOps.deleteListFromPositionalIndex(idx, tomb)))
+        }
+        ()
+      }
 }

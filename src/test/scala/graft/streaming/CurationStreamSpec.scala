@@ -145,36 +145,68 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(served2 == t51, s"$served2\nvs\n$t51")
   }
 
-  test("proximity serving stream: mixed-slop request batch equals the per-query banded form") {
+  test("proximity serving stream: mixed-slop request batch equals the per-query banded form; tombstones land between requests") {
     val spark = TestSpark.spark
     import spark.implicits._
     import graft.operators.TextOps
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val idxDir = Files.createTempDirectory("graft-proxserve-idx").toString
     val idx = TextOps.trainAndSavePositionalIndex(docs, idxDir)
+    val victim = TextOps.proximityFromIndex(idx, "window", "join", 5)
+      .collect().head.getLong(0)
+    val tombDir = Files.createTempDirectory("graft-proxserve-tomb").toString
+    Seq.empty[Long].toDF("doc_id").write.mode("overwrite").parquet(tombDir)
+
     val reqs = Seq((1L, "window", "join", 5), (2L, "join", "window", 2))
     val expected = reqs.flatMap { case (qid, a, b, slop) =>
       TextOps.proximityFromIndex(idx, a, b, slop).collect()
         .map(r => ((qid, r.getLong(0)), r.getLong(1)))
     }.toMap
     val dataDir = Files.createTempDirectory("graft-proxserve-req").toString
-    reqs.toDF("query_id", "a", "b", "slop")
-      .coalesce(1).write.mode("overwrite").parquet(dataDir)
+    def writeReqs(rows: Seq[(Long, String, String, Int)], i: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft-proxserve-chunk").toString
+      rows.toDF("query_id", "a", "b", "slop")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      Files.move(part.toPath,
+        new java.io.File(dataDir, f"req-$i%03d.parquet").toPath)
+      ()
+    }
+    writeReqs(reqs, 0)
     val got = scala.collection.concurrent.TrieMap.empty[(Long, Long), Long]
     val stream = spark.readStream
-      .schema(reqs.toDF("query_id", "a", "b", "slop").schema).parquet(dataDir)
-    val q = CurationStream.proximityServe(stream, idx) { b =>
+      .schema(reqs.toDF("query_id", "a", "b", "slop").schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = CurationStream.proximityServeWithTombstones(stream, idx, tombDir) { b =>
       b.collect().foreach(r =>
         got.put((r.getLong(0), r.getLong(1)), r.getLong(2)))
     }
-      .trigger(Trigger.AvailableNow())
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
       .option("checkpointLocation",
         Files.createTempDirectory("graft-proxserve-ckpt").toString)
       .start()
-    assert(q.awaitTermination(120000), "proximity serve did not finish")
-    q.stop()
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(cond, s"timed out waiting for $what")
+    }
+    await(got.keys.exists(_._1 == 2L), "first request batch")
+    // with an empty tombstone list, both queries equal the plain form
     assert(got.toMap == expected, s"${got.toMap}\nvs\n$expected")
-    assert(got.keys.map(_._1).toSet == Set(1L, 2L))
+    // erase the victim BETWEEN requests; the re-issued query misses it
+    Seq(victim).toDF("doc_id").write.mode("append").parquet(tombDir)
+    writeReqs(Seq((3L, "window", "join", 5)), 1)
+    await(got.keys.exists(_._1 == 3L), "post-erasure request")
+    q.stop()
+    q.awaitTermination(30000)
+    val served3 = got.toSeq.collect { case ((3L, d), n) => d -> n }.toMap
+    assert(!served3.contains(victim), "post-erasure serve must not include the victim")
+    val t51like = TextOps.proximityFromIndex(
+        TextOps.deleteListFromPositionalIndex(idx, Seq(victim).toDF("doc_id")),
+        "window", "join", 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served3 == t51like, s"$served3\nvs\n$t51like")
   }
 
   test("tombstoned serving: a doc erased between requests vanishes from the next batch") {
