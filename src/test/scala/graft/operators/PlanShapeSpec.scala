@@ -767,6 +767,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bplan.contains("BroadcastHashJoin") &&
       !bplan.contains("CartesianProduct"),
       s"serve batch: request rows must broadcast, joins equi-keyed:\n$bplan")
+    val pbatch = Seq((1L, "window", "join", 5), (2L, "join", "window", 2))
+      .toDF("query_id", "a", "b", "slop")
+    val pplan = executed(TextOps.proximityServeBatch(pbatch, idx))
+    assert(pplan.contains("PushedFilters: [In(t"),
+      s"proximity batch: expected the term IN-list pushed to the scan in:\n$pplan")
+    assert(pplan.contains("BroadcastHashJoin") &&
+      !pplan.contains("CartesianProduct"),
+      s"proximity batch: request rows must broadcast, pair join equi-keyed:\n$pplan")
   }
 
   test("distributed ntile: the rank window is partition-keyed — never the move-everything-to-one-task plan") {
