@@ -183,6 +183,15 @@ class StateAuditSpec extends AnyFunSuite {
     assert(nKeys == reported && nKeys == 2L, s"manifest row: ${rows.head}")
     assert(nParts >= 1L && nParts <= nKeys, s"manifest row: ${rows.head}")
 
+    // a multi-entry inventory unions and sorts by artifact name (two
+    // logical gates may well read state from the same store family)
+    val multi = StateAudit.checkpointManifest(spark, Seq(
+        StateAudit.CheckpointEntry("z_gate", ckpt, horizonConfigured = false),
+        StateAudit.CheckpointEntry("a_gate", ckpt, horizonConfigured = true)))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(4)))
+    assert(multi.toSeq == Seq(("a_gate", 2L, true), ("z_gate", 2L, false)),
+      s"multi-entry manifest: ${multi.toSeq}")
+
     // the unified table: one inventory, both storage classes, the
     // class-specific columns null on the other side
     val saved = Seq(("bm25_postings", "per-key-prunable", 123L, 10L, 12L, true))
