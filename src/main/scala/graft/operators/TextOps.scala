@@ -884,6 +884,78 @@ object TextOps {
           .otherwise(lit(0L))))
   }
 
+  /** Default chain gap and benchmark terms for [[spanNearFromIndex]]
+    * (t53) — fixture-vocabulary terms that chain at sf0.001 and up.
+    */
+  val SpanNearGap = 8
+  val SpanNearTerms: Seq[String] = Seq("window", "join", "hash")
+
+  /** SPAN-NEAR SEARCH (t53 — Lucene's ordered SpanNearQuery): per-doc
+    * count of ordered occurrence CHAINS p₁ < p₂ < … < pₖ with every
+    * consecutive gap within `gap`, closing the positional query family:
+    * phrase (t47) is the adjacency-locked case, proximity (t48) the
+    * k = 2 case, this the general k. Each chain step is EXACTLY t48's
+    * banded range join — the chain-prefix side explodes into the two
+    * slop-width buckets its window can reach — so the whole query is
+    * k−1 postings-sized equi-joins (each surviving row IS a distinct
+    * chain prefix, multiplicity preserved by construction), never a
+    * per-doc scan, and a term-spammed document still cannot own a
+    * single-reducer pair blowup. Served from the saved positional
+    * index, the k term filters are pushed-down row-group seeks.
+    */
+  def spanNearFromIndex(idx: PositionalIndex,
+                        terms: Seq[String] = SpanNearTerms,
+                        gap: Int = SpanNearGap): DataFrame = {
+    require(terms.length >= 2, "span-near needs at least two terms")
+    require(gap >= 1, "gap must be at least 1")
+    val legs = terms.map(t =>
+      idx.postings.filter(col("t") === t).select(col("doc_id"), col("p")))
+    val chains = legs.tail.foldLeft(legs.head) { (prefix, leg) =>
+      val pa = prefix.select(col("doc_id"), col("p").as("pa"),
+        explode(array(expr(s"p div $gap"), expr(s"p div $gap") + 1)).as("bk"))
+      val lb = leg.select(col("doc_id"), col("p").as("pb"),
+        expr(s"p div $gap").as("bk"))
+      pa.join(lb, Seq("doc_id", "bk"))
+        .filter(col("pb") - col("pa") > 0 && col("pb") - col("pa") <= gap)
+        .select(col("doc_id"), col("pb").as("p"))
+    }
+    chains.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chains"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[spanNearFromIndex]] built in-lineage (the t47/t48 convention):
+    * one corpus pass cut to the chain's own terms, checkpointed once.
+    */
+  def spanNearSearch(docs: DataFrame, terms: Seq[String] = SpanNearTerms,
+                     gap: Int = SpanNearGap): DataFrame = {
+    require(terms.length >= 2, "span-near needs at least two terms")
+    val pos = buildPositionalIndex(docs).postings
+      .filter(col("t").isin(terms.distinct: _*))
+      .localCheckpoint(true)
+    spanNearFromIndex(PositionalIndex(pos), terms, gap)
+  }
+
+  /** Oracle for [[spanNearFromIndex]]: the plain chained range joins the
+    * banded form must equal.
+    */
+  def sqlSpanNearSearch(terms: Seq[String] = SpanNearTerms,
+                        gap: Int = SpanNearGap): String = {
+    val legs = terms.zipWithIndex.map { case (term, i) =>
+      s"l$i AS (SELECT doc_id, i AS p$i FROM pp WHERE t = '$term')"
+    }.mkString(",\n")
+    val joins = (1 until terms.length).map(i =>
+      s"JOIN l$i ON l$i.doc_id = l${i - 1}.doc_id " +
+        s"AND l$i.p$i - l${i - 1}.p${i - 1} BETWEEN 1 AND $gap").mkString(" ")
+    s"""WITH stoks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w
+       |  FROM documents),
+       |pp AS (SELECT doc_id, i, w[i] AS t FROM stoks,
+       |  LATERAL unnest(range(1, len(w) + 1)) r(i)),
+       |$legs
+       |SELECT l0.doc_id, count(*)::BIGINT AS n_chains
+       |FROM l0 $joins
+       |GROUP BY l0.doc_id ORDER BY l0.doc_id""".stripMargin
+  }
+
   /** Oracle for [[proximitySearch]]: the plain range join the banded
     * form must equal (DuckDB's optimizer handles the small fixture; the
     * banding exists for the 100 TB side, not the oracle).

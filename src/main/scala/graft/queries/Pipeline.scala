@@ -609,6 +609,15 @@ object Pipeline {
       TextOps.proximityFromIndex(
         TextOps.loadPositionalIndex(s, posDir), "window", "join")
     },
+    // span-near (ordered k-term chains, each gap within the window —
+    // Lucene's SpanNearQuery): t48's banded range join applied k-1
+    // times, each surviving row a distinct chain prefix; served from
+    // the same saved positional artifact with pushed-down term seeks
+    QueryDef.sql("t53_spannear", TextOps.sqlSpanNearSearch()) { (s, dir) =>
+      val posDir = artifactDir("posidx", dir)(tmp =>
+        TextOps.trainAndSavePositionalIndex(Tables.documents(s, dir), tmp))
+      TextOps.spanNearFromIndex(TextOps.loadPositionalIndex(s, posDir))
+    },
     // index compaction: the merged index re-written through the same
     // range-partition-by-term contract as a fresh save, restoring the
     // tight per-file [min_t, max_t] footers the index-seek serving path

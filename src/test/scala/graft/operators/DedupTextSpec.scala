@@ -352,6 +352,34 @@ class DedupTextSpec extends AnyFunSuite {
       .count() > 0, "guard must fire before the artifact is touched")
   }
 
+  test("span-near: ordered chains only, gap boundary exact, multiplicity by chain, k=2 degenerates to proximity") {
+    val d = docs(
+      (1L, "a x x b x x c"),        // gaps 3,3 within 3 -> one chain
+      (2L, "a x x x b c"),          // first gap 4 > 3 -> none
+      (3L, "c b a"),                // reversed -> none
+      (4L, "a b a b c"),            // chains: (0,1,4),(0,3,4),(2,3,4) -> 3
+      (5L, "a b c b c"))            // (0,1,2),(0,1,4)? gap b@1->c@4 = 3 ok; (0,3,4) -> 3
+    val got = TextOps.spanNearSearch(d, Seq("a", "b", "c"), gap = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 4L -> 3L, 5L -> 3L), s"got $got")
+    // k = 2 is exactly proximity
+    val k2 = TextOps.spanNearSearch(d, Seq("a", "b"), gap = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val prox = TextOps.proximitySearch(d, "a", "b", slop = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(k2 == prox, s"$k2 vs $prox")
+    // in-lineage equals serve-from-saved on the fixture corpus
+    val s = TestSpark.spark
+    val corpus = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spannear").toString
+    val idx = TextOps.trainAndSavePositionalIndex(corpus, dir)
+    val inline = TextOps.spanNearSearch(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val served = TextOps.spanNearFromIndex(idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(inline.nonEmpty && inline == served, s"$inline vs $served")
+  }
+
   test("phrase serve batch: every query equals the single-query join chain; offset coverage handles duplicate terms and misses") {
     val s = TestSpark.spark
     import s.implicits._

@@ -743,7 +743,8 @@ class PlanShapeSpec extends AnyFunSuite {
     val idx = TextOps.trainAndSavePositionalIndex(docs, idxDir)
     for ((name, df) <- Seq(
         "t49" -> TextOps.phraseFromIndex(idx),
-        "t52" -> TextOps.proximityFromIndex(idx, "window", "join"))) {
+        "t52" -> TextOps.proximityFromIndex(idx, "window", "join"),
+        "t53" -> TextOps.spanNearFromIndex(idx))) {
       val plan = executed(df)
       // each leg's term filter reaches the parquet scan: with the
       // t-sorted layout that is row-group pruning (the bm25ServeBatch
