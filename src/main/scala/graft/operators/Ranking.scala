@@ -38,22 +38,45 @@ object Ranking {
   /** Append ntile(`buckets`) over the total order `keys` as column
     * `out` (INT, 1-based). `keys` MUST be duplicate-free as a composite
     * (append a unique id as the last key); equality with `ntile` is
-    * pinned in ScaleOpsSpec.
+    * pinned in ScaleOpsSpec. `out` must not already exist (silent
+    * overwrite would corrupt a caller frame); the internal temp columns
+    * are collision-proofed against the input schema. `numPartitions`
+    * overrides the range-shuffle width; the default reads
+    * `spark.sql.shuffle.partitions` and falls back to the cluster
+    * default parallelism when that value is non-numeric (e.g. "auto").
     */
   def withNtile(df: DataFrame, out: String, buckets: Int,
-                keys: Seq[Column]): DataFrame = {
+                keys: Seq[Column], numPartitions: Option[Int] = None): DataFrame = {
     require(buckets >= 1, "buckets must be at least 1")
     require(keys.nonEmpty, "at least one order key")
-    val parts = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
+    require(!df.columns.contains(out),
+      s"output column '$out' already exists in the input frame")
+    val parts = numPartitions.filter(_ > 0).getOrElse(
+      scala.util.Try(df.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt)
+        .toOption.filter(_ > 0)
+        .getOrElse(df.sparkSession.sparkContext.defaultParallelism))
+    def fresh(base: String): String = {
+      var n = base
+      while (df.columns.contains(n) || n == out) n += "_"
+      n
+    }
+    val pidCol = fresh("__pid")
+    val rnCol = fresh("__rn")
+    // persist, not localCheckpoint: the counts collect below is the
+    // FIRST action, so it materializes the cache as a side effect and
+    // the whole op costs one job over the input (the checkpoint form
+    // paid a materialization job plus a second counting pass). The
+    // layout is equally frozen: partitions compute once and are reused
+    // by step 3 (MEMORY_AND_DISK spills rather than recomputes).
     val mat = df
       .repartitionByRange(parts, keys: _*)
       .sortWithinPartitions(keys: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .withColumn(pidCol, spark_partition_id())
+      .persist()
     // partition counts: a config-bounded driver round-trip (<= parts
     // rows), collected from the SAME materialized layout step 3 reads
-    val counts = mat.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+    val counts = mat.groupBy(col(pidCol)).agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = counts.values.sum
     val offsets = counts.keys.toSeq.sorted.map { pid =>
@@ -64,15 +87,15 @@ object Ranking {
     val t = r * (q + 1)
     // ntile's exact fill rule at rank rn: first r buckets take q+1 rows
     val bucket =
-      if (q == 0) col("__rn")
-      else expr(s"""CASE WHEN __rn <= $t THEN (__rn + $q) div ${q + 1}
-                    ELSE $r + (__rn - $t + $q - 1) div $q END""")
+      if (q == 0) col(rnCol)
+      else expr(s"""CASE WHEN $rnCol <= $t THEN ($rnCol + $q) div ${q + 1}
+                    ELSE $r + ($rnCol - $t + $q - 1) div $q END""")
     mat
-      .withColumn("__rn",
+      .withColumn(rnCol,
         row_number().over(
-          Window.partitionBy(col("__pid")).orderBy(keys: _*)).cast("long") +
-          coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L)))
+          Window.partitionBy(col(pidCol)).orderBy(keys: _*)).cast("long") +
+          coalesce(element_at(typedLit(offsets), col(pidCol)), lit(0L)))
       .withColumn(out, bucket.cast("int"))
-      .drop("__pid", "__rn")
+      .drop(pidCol, rnCol)
   }
 }

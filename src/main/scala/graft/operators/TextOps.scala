@@ -728,7 +728,12 @@ object TextOps {
     * postings-sized (query, doc, p0) rows, never the corpus.
     */
   def phraseServeBatch(queries: DataFrame, idx: PositionalIndex): DataFrame = {
-    val qt = queries
+    // a malformed request (null or empty phrase — the single-query form
+    // throws require(phrase.nonEmpty)) is DROPPED, not allowed to kill
+    // the serving batch; [[phraseServeRejects]] surfaces the dropped
+    // query_ids so a caller can tell "no matches" from "bad request"
+    val valid = queries.filter(phraseValidPred)
+    val qt = valid
       .select(col("query_id"), size(col("phrase")).as("n"),
         posexplode(col("phrase")).as(Seq("off", "t")))
     val terms = qt.select(col("t")).distinct()
@@ -768,9 +773,11 @@ object TextOps {
     */
   def proximityServeBatch(queries: DataFrame,
                           idx: PositionalIndex): DataFrame = {
-    // a malformed request (slop < 1 would divide by zero inside the
-    // shared plan) is DROPPED, not allowed to kill the serving batch
-    val valid = queries.filter(col("slop") >= 1)
+    // a malformed request (null terms, or slop < 1 — which would divide
+    // by zero inside the shared plan) is DROPPED, not allowed to kill
+    // the serving batch; [[proximityServeRejects]] surfaces the dropped
+    // query_ids so a caller can tell "no matches" from "bad request"
+    val valid = queries.filter(proximityValidPred)
     val qa = valid.select(col("query_id"), col("a").as("t"), col("slop"))
     val qb = valid.select(col("query_id"), col("b").as("t"), col("slop"))
     val terms = qa.select(col("t")).unionByName(qb.select(col("t"))).distinct()
@@ -793,6 +800,45 @@ object TextOps {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("query_id"), col("doc_id"))
   }
+
+  /** The serve-batch validity contracts — each batch server filters on
+    * its predicate and the matching `*ServeRejects` returns the exact
+    * complement, so a dropped request is always detectable. The guards
+    * are ordered so the predicate is never three-valued-NULL (isNotNull
+    * first), keeping serve + rejects a true partition of the batch.
+    */
+  private def phraseValidPred: Column =
+    col("phrase").isNotNull && size(col("phrase")) >= 1
+  private def proximityValidPred: Column =
+    col("a").isNotNull && col("b").isNotNull &&
+      col("slop").isNotNull && col("slop") >= 1
+  private def spanNearValidPred: Column =
+    col("terms").isNotNull && size(col("terms")) >= 2 &&
+      col("gap").isNotNull && col("gap") >= 1
+
+  /** The query_ids [[phraseServeBatch]] DROPS as malformed (null or
+    * empty phrase) — the detection channel the batch contract needs:
+    * without it a rejected request is indistinguishable from a query
+    * with zero matching documents. The streaming twins surface this per
+    * micro-batch via their `onRejects` callback.
+    */
+  def phraseServeRejects(queries: DataFrame): DataFrame =
+    queries.filter(!phraseValidPred).select(col("query_id"))
+      .orderBy(col("query_id"))
+
+  /** [[phraseServeRejects]] for [[proximityServeBatch]] (null term or
+    * null/sub-1 slop).
+    */
+  def proximityServeRejects(queries: DataFrame): DataFrame =
+    queries.filter(!proximityValidPred).select(col("query_id"))
+      .orderBy(col("query_id"))
+
+  /** [[phraseServeRejects]] for [[spanNearServeBatch]] (null or sub-2
+    * term chain, null/sub-1 gap).
+    */
+  def spanNearServeRejects(queries: DataFrame): DataFrame =
+    queries.filter(!spanNearValidPred).select(col("query_id"))
+      .orderBy(col("query_id"))
 
   /** Proximity search served from the index (t52) — [[proximitySearch]]'s
     * banded range join over two pushed-down occurrence scans.
@@ -825,12 +871,15 @@ object TextOps {
     require(phrase.nonEmpty, "empty phrase")
     val n = phrase.length
     val w = tokens(textCol)
-    when(size(w) < n, lit(0L)).otherwise(
+    // null text scores 0, like every other non-matching document — the
+    // join form simply emits no row, and a gate summing or filtering on
+    // the count must see the same thing (coalesce, not propagated null)
+    coalesce(when(size(w) < n, lit(0L)).otherwise(
       aggregate(sequence(lit(0), size(w) - n), lit(0L),
         (acc, i) => acc + when(
           phrase.zipWithIndex
             .map { case (t, j) => element_at(w, i + j + 1) === t }
-            .reduce(_ && _), lit(1L)).otherwise(lit(0L))))
+            .reduce(_ && _), lit(1L)).otherwise(lit(0L)))), lit(0L))
   }
 
   /** Default window for [[proximitySearch]] (t48): "within 5 tokens". */
@@ -875,13 +924,14 @@ object TextOps {
     // i is the 0-based position of a candidate `b`; the inner fold
     // counts `a`s at positions [i - slop, i - 1]. sequence() never runs
     // backwards (Spark descends when start > stop), so i = 0 is guarded.
-    when(size(w) < 2, lit(0L)).otherwise(
+    // null text scores 0 (coalesce), matching the join form's no-row.
+    coalesce(when(size(w) < 2, lit(0L)).otherwise(
       aggregate(sequence(lit(0), size(w) - 1), lit(0L),
         (acc, i) => acc + when(element_at(w, i + 1) === b && i >= 1,
           aggregate(sequence(greatest(lit(0), i - slop), i - 1), lit(0L),
             (inner, j) => inner +
               when(element_at(w, j + 1) === a, 1L).otherwise(0L)))
-          .otherwise(lit(0L))))
+          .otherwise(lit(0L)))), lit(0L))
   }
 
   /** Default chain gap and benchmark terms for [[spanNearFromIndex]]
@@ -934,6 +984,224 @@ object TextOps {
       .localCheckpoint(true)
     spanNearFromIndex(PositionalIndex(pos), terms, gap)
   }
+
+  /** MULTI-QUERY SPAN-NEAR SERVING — the [[proximityServeBatch]]
+    * convention for the general ordered chain, completing the serving
+    * symmetry of the positional family (phrase and proximity each ship
+    * a batch server; span-near is their generalization, so its server
+    * subsumes both): each request row is (query_id, terms
+    * ARRAY&lt;STRING&gt;, gap), answered with exactly
+    * [[spanNearFromIndex]]'s semantics — one-row batches reproduce t53
+    * verbatim and a k = 2 request equals the proximity form
+    * (unit-pinned).
+    *
+    * A chain of k terms needs k−1 join steps — a per-k plan shape,
+    * which a mixed-k batch cannot share leg-for-leg. The batch form
+    * plans kMax−1 steps (kMax = the batch's longest chain, a one-row
+    * driver aggregate — request-bounded like the term collect) and
+    * lets each query FINISH EARLY: after step s, rows of queries whose
+    * chain length is exactly s+1 are complete and exit to the result
+    * union; only longer chains continue into step s+1. A query's rows
+    * never meet another query's (query_id rides every equi-key), and
+    * each step is t48's banded range join with the REQUEST'S OWN gap —
+    * the prefix side explodes into the two gap-width buckets its
+    * window can reach, the gap applied after the term join attaches
+    * it, so mixed-gap batches serve in one plan.
+    *
+    * Malformed requests (null or sub-2 term arrays, null or sub-1
+    * gaps) are DROPPED, not allowed to kill the batch;
+    * [[spanNearServeRejects]] returns exactly the dropped query_ids.
+    *
+    * Scale shape: the batch's distinct terms push down as the literal
+    * IN on the occurrence scan (row-group seek under the t-sorted
+    * layout; [[ServeTermPushdownMax]] caps the literal with the
+    * broadcast-join fallback past it), the exploded request rows
+    * broadcast onto the postings, and every join keys on (query, doc,
+    * bucket) — postings-sized rows, term-spam-safe by the banding
+    * argument. Driver round-trips: the capped term collect plus one
+    * 1-row kMax aggregate, both request-bounded, never data-bounded.
+    */
+  def spanNearServeBatch(queries: DataFrame,
+                         idx: PositionalIndex): DataFrame = {
+    val valid = queries.filter(spanNearValidPred)
+      .select(col("query_id"), col("terms"), col("gap"),
+        size(col("terms")).as("n"))
+    val qt = valid.select(col("query_id"), col("gap"), col("n"),
+      posexplode(col("terms")).as(Seq("off", "t")))
+    val terms = qt.select(col("t")).distinct()
+    val termList = terms.limit(ServeTermPushdownMax + 1)
+      .collect().map(_.getString(0))
+    val restricted =
+      if (termList.isEmpty) idx.postings.filter(lit(false))
+      else if (termList.length <= ServeTermPushdownMax)
+        idx.postings.filter(col("t").isin(termList.toSeq: _*))
+      else idx.postings.join(broadcast(terms), "t")
+    // the batch's longest chain: a one-row aggregate (request-bounded)
+    val kMax = valid.agg(coalesce(max(col("n")), lit(2)))
+      .collect()(0).getInt(0)
+    // step-s postings: each query's offset-s term occurrences, with the
+    // request's own gap and chain length riding the row
+    def leg(s: Int): DataFrame =
+      restricted.join(broadcast(qt.filter(col("off") === s)), "t")
+        .select(col("query_id"), col("doc_id"), col("p"),
+          col("gap"), col("n"))
+    val finished = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var prefix = leg(0)
+    for (s <- 1 until kMax) {
+      finished += prefix.filter(col("n") === s)
+        .select(col("query_id"), col("doc_id"))
+      val active = prefix.filter(col("n") > s)
+      val pa = active.select(col("query_id"), col("doc_id"),
+        col("p").as("pa"), col("gap"), col("n"),
+        explode(array(expr("p div gap"), expr("p div gap") + 1)).as("bk"))
+      val lb = leg(s).select(col("query_id"), col("doc_id"),
+        col("p").as("pb"), expr("p div gap").as("bk"))
+      prefix = pa.join(lb, Seq("query_id", "doc_id", "bk"))
+        .filter(col("pb") - col("pa") > 0 && col("pb") - col("pa") <= col("gap"))
+        .select(col("query_id"), col("doc_id"), col("pb").as("p"),
+          col("gap"), col("n"))
+    }
+    finished += prefix.select(col("query_id"), col("doc_id"))
+    finished.reduce(_.unionByName(_))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_chains"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  /** [[spanNearFromIndex]]'s PER-ROW form — completing the per-row
+    * twin triple (phrase t47, proximity t48, span-near t53): the
+    * ordered-chain count as a pure nested array fold over one
+    * document's own tokens. chains(i, j) = number of chains of
+    * terms[0..j] ending at position i — 1 if j = 0 and the token
+    * matches, else the sum of chains(p, j−1) over the gap-wide window
+    * p ∈ [i−gap, i−1]; the total is Σᵢ chains(i, k−1). No explode, no
+    * join, no state: the form a streaming gate applies per arriving
+    * document. Equality with the join form is unit-pinned (including
+    * k = 2 ≡ [[proximityMatchExpr]]); null text scores 0.
+    *
+    * Cost: the nesting is k−1 folds deep, O(len · gap^(k−1)) worst
+    * case per row — the per-row gate trade for small k (the default
+    * chain is 3 terms). The join form stays the corpus-query plan: its
+    * per-term postings filters are what the saved index pushes down,
+    * while a per-row fold must read every document.
+    */
+  def spanNearMatchExpr(textCol: Column, terms: Seq[String] = SpanNearTerms,
+                        gap: Int = SpanNearGap): Column = {
+    require(terms.length >= 2, "span-near needs at least two terms")
+    require(gap >= 1, "gap must be at least 1")
+    val w = tokens(textCol)
+    def chainsEndingAt(i: Column, j: Int): Column =
+      if (j == 0) when(element_at(w, i + 1) === terms.head, lit(1L))
+        .otherwise(lit(0L))
+      else when(element_at(w, i + 1) === terms(j) && i >= 1,
+        aggregate(sequence(greatest(lit(0), i - gap), i - 1), lit(0L),
+          (acc, p) => acc + chainsEndingAt(p, j - 1)))
+        .otherwise(lit(0L))
+    coalesce(when(size(w) < terms.length, lit(0L)).otherwise(
+      aggregate(sequence(lit(0), size(w) - 1), lit(0L),
+        (acc, i) => acc + chainsEndingAt(i, terms.length - 1))), lit(0L))
+  }
+
+  /** Oracle for [[spanNearServeBatch]] (t54): each request's chain is
+    * the per-query [[sqlSpanNearSearch]] join form with its query_id
+    * as a literal, UNION ALL'd — the batch must equal running every
+    * request alone.
+    */
+  def sqlSpanNearServeBatch(requests: Seq[(Long, Seq[String], Int)]): String = {
+    val legs = requests.map { case (qid, terms, gap) =>
+      val ls = terms.zipWithIndex.map { case (term, i) =>
+        s"l$i AS (SELECT doc_id, i AS p$i FROM pp WHERE t = '$term')"
+      }.mkString(",\n")
+      val joins = (1 until terms.length).map(i =>
+        s"JOIN l$i ON l$i.doc_id = l${i - 1}.doc_id " +
+          s"AND l$i.p$i - l${i - 1}.p${i - 1} BETWEEN 1 AND $gap").mkString(" ")
+      s"""SELECT * FROM (WITH $ls
+         |SELECT $qid::BIGINT AS query_id, l0.doc_id,
+         |  count(*)::BIGINT AS n_chains
+         |FROM l0 $joins GROUP BY l0.doc_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH stoks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w
+       |  FROM documents),
+       |pp AS (SELECT doc_id, i, w[i] AS t FROM stoks,
+       |  LATERAL unnest(range(1, len(w) + 1)) r(i))
+       |$legs
+       |ORDER BY query_id, doc_id""".stripMargin
+  }
+
+  /** Stop-candidate threshold for [[termCostDeciles]]: a term whose
+    * document frequency exceeds 1/[[StopDfDenominator]] of the corpus
+    * (20%) is a serve-time stop candidate.
+    */
+  val StopDfDenominator = 5
+
+  /** HOT-TERM SERVING COST TABLE (t55) — the d18/s10 honesty pattern
+    * applied to the term-seek serving path: a stopword query term drags
+    * its WHOLE posting list through [[bm25ServeBatch]] /
+    * [[phraseServeBatch]] / [[spanNearServeBatch]] — the inherent cost
+    * of term-keyed retrieval, priced here per df-decile BEFORE an
+    * operator wires a request stream to the index. Terms rank into
+    * deciles by document frequency (the total order (df, occ, t) —
+    * t unique — rides [[Ranking.withNtile]], the distributed bucketing,
+    * because the vocabulary is data-scaled); per decile: term count,
+    * total posting volume, the worst df, and the worst single-term
+    * serve cost `max_occ` (occurrence rows ONE term at that decile
+    * drags through a serve plan — the row count the pushed-down seek
+    * reads, so the table IS the measured per-request cost model).
+    *
+    * THE POLICY this table feeds (the serve-time stop rule): a term
+    * with df &gt; corpus/[[StopDfDenominator]] is a stop CANDIDATE
+    * (`n_stop_candidates` counts them per decile — they concentrate in
+    * decile 10). Serving keeps answering them correctly — dropping
+    * terms silently would corrupt phrase/chain semantics — but an
+    * operator should either strip them from request streams upstream
+    * or budget the top decile's `max_occ` rows per request; alerting
+    * on requests that touch stop candidates is the
+    * `*ServeRejects`-style detection channel, applied to cost instead
+    * of malformedness.
+    *
+    * Scale shape: one aggregate over the saved occurrence table
+    * (postings-sized, never the corpus), a vocabulary-sized distributed
+    * ntile (range shuffle — no serial window), a broadcast one-row
+    * corpus count, and a 10-row report.
+    */
+  def termCostDeciles(idx: PositionalIndex, docs: DataFrame): DataFrame = {
+    val stats = idx.postings.groupBy(col("t"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
+    val deciled = Ranking.withNtile(stats, "decile", 10,
+      Seq(col("df"), col("occ"), col("t")))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    deciled.crossJoin(broadcast(nd))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("occ")).as("postings_volume"),
+        max(col("df")).as("max_df"),
+        max(col("occ")).as("max_occ"),
+        sum(when(col("df") * StopDfDenominator > col("n_docs"), 1L)
+          .otherwise(0L)).as("n_stop_candidates"))
+      .orderBy(col("decile"))
+  }
+
+  /** Oracle for [[termCostDeciles]]: the identical term stats and
+    * decile walk — ntile over the same total order (df, occ, t), the
+    * integer stop-candidate rule (df · 5 &gt; corpus), all-integer
+    * columns so the comparison is hash-exact.
+    */
+  def sqlTermCostDeciles: String =
+    s"""WITH stoks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w
+       |  FROM documents),
+       |pp AS (SELECT doc_id, i, w[i] AS t FROM stoks,
+       |  LATERAL unnest(range(1, len(w) + 1)) r(i)),
+       |ts AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df,
+       |  count(*)::BIGINT AS occ FROM pp GROUP BY t),
+       |dec AS (SELECT t, df, occ,
+       |  ntile(10) OVER (ORDER BY df, occ, t)::INT AS decile FROM ts)
+       |SELECT decile, count(*)::BIGINT AS n_terms,
+       |  sum(occ)::BIGINT AS postings_volume,
+       |  max(df)::BIGINT AS max_df, max(occ)::BIGINT AS max_occ,
+       |  sum(CASE WHEN df * $StopDfDenominator >
+       |    (SELECT count(*) FROM documents) THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_stop_candidates
+       |FROM dec GROUP BY decile ORDER BY decile""".stripMargin
 
   /** Oracle for [[spanNearFromIndex]]: the plain chained range joins the
     * banded form must equal.

@@ -51,6 +51,18 @@ object Pipeline {
     artifactDir("dupclusters", dir)(tmp =>
       graft.operators.Dedup.clusterAndSave(Tables.documents(s, dir), tmp))
 
+  /** The t54 serving batch — mixed chain lengths, mixed gaps, shared by
+    * the Spark query and the generated oracle: the t53 request verbatim
+    * (one-row-batch == t53 modulo the query_id column), a k = 2 chain
+    * (proximity semantics through the general server), a tighter-gap
+    * variant of the same chain, and a duplicate-term chain.
+    */
+  private val SpanNearBatch: Seq[(Long, Seq[String], Int)] = Seq(
+    (1L, graft.operators.TextOps.SpanNearTerms, graft.operators.TextOps.SpanNearGap),
+    (2L, Seq("window", "join"), 5),
+    (3L, Seq("window", "join", "hash"), 3),
+    (4L, Seq("the", "the"), 4))
+
   val queries: Seq[QueryDef] = Seq(
 
     // -------- dedup
@@ -617,6 +629,31 @@ object Pipeline {
       val posDir = artifactDir("posidx", dir)(tmp =>
         TextOps.trainAndSavePositionalIndex(Tables.documents(s, dir), tmp))
       TextOps.spanNearFromIndex(TextOps.loadPositionalIndex(s, posDir))
+    },
+    // span-near BATCH serving (the proximityServeBatch convention for
+    // the general chain): a mixed-k, mixed-gap request batch answered in
+    // one fixed-shape plan — kMax-1 banded steps, each query finishing
+    // early at its own chain length, query_id riding every equi-key;
+    // must hash-match running every request alone (the t53 chain form)
+    QueryDef.sql("t54_spannear_served",
+      TextOps.sqlSpanNearServeBatch(SpanNearBatch)) { (s, dir) =>
+      val posDir = artifactDir("posidx", dir)(tmp =>
+        TextOps.trainAndSavePositionalIndex(Tables.documents(s, dir), tmp))
+      import s.implicits._
+      TextOps.spanNearServeBatch(
+        SpanNearBatch.toDF("query_id", "terms", "gap"),
+        TextOps.loadPositionalIndex(s, posDir))
+    },
+    // hot-term serving honesty table (the d18/s10 pattern for the
+    // term-seek path): per df-decile posting volume + the worst
+    // single-term serve cost, with the serve-time stop-candidate count
+    // (df > corpus/5) — the table an operator reads before wiring a
+    // request stream to the index; deciles ride the distributed ntile
+    QueryDef.sql("t55_term_cost_deciles", TextOps.sqlTermCostDeciles) { (s, dir) =>
+      val posDir = artifactDir("posidx", dir)(tmp =>
+        TextOps.trainAndSavePositionalIndex(Tables.documents(s, dir), tmp))
+      TextOps.termCostDeciles(
+        TextOps.loadPositionalIndex(s, posDir), Tables.documents(s, dir))
     },
     // index compaction: the merged index re-written through the same
     // range-partition-by-term contract as a fresh save, restoring the

@@ -1075,14 +1075,30 @@ object CurationStream {
     */
   def phraseServe(queries: DataFrame,
                   idx: graft.operators.TextOps.PositionalIndex)
-                 (onBatch: DataFrame => Unit)
+                 (onBatch: DataFrame => Unit,
+                  onRejects: DataFrame => Unit = _ => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
-        if (!b.isEmpty)
+        if (!b.isEmpty) {
           onBatch(graft.operators.TextOps.phraseServeBatch(b, idx))
+          surfaceRejects(
+            graft.operators.TextOps.phraseServeRejects(b), onRejects)
+        }
         ()
       }
+
+  /** The malformed-request channel shared by the positional serving
+    * twins: the batch servers DROP requests that would poison the
+    * shared plan (empty phrases, sub-1 slops, sub-2 chains), so a
+    * rejected request would otherwise be indistinguishable from a
+    * query with zero matches. Each micro-batch hands the dropped
+    * query_ids to `onRejects` (default no-op) so an operator can alert
+    * on a malformed-request producer without parsing serve output.
+    */
+  private def surfaceRejects(rejects: DataFrame,
+                             onRejects: DataFrame => Unit): Unit =
+    if (!rejects.isEmpty) onRejects(rejects)
 
   /** [[phraseServe]] with the PER-BATCH TOMBSTONE read
     * ([[bm25ServeWithTombstones]]' rule): each micro-batch re-reads the
@@ -1095,7 +1111,8 @@ object CurationStream {
   def phraseServeWithTombstones(queries: DataFrame,
                                 idx: graft.operators.TextOps.PositionalIndex,
                                 tombstoneDir: String)
-                               (onBatch: DataFrame => Unit)
+                               (onBatch: DataFrame => Unit,
+                                onRejects: DataFrame => Unit = _ => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1103,6 +1120,8 @@ object CurationStream {
           val tomb = b.sparkSession.read.parquet(tombstoneDir)
           onBatch(graft.operators.TextOps.phraseServeBatch(b,
             graft.operators.TextOps.deleteListFromPositionalIndex(idx, tomb)))
+          surfaceRejects(
+            graft.operators.TextOps.phraseServeRejects(b), onRejects)
         }
         ()
       }
@@ -1114,12 +1133,16 @@ object CurationStream {
     */
   def proximityServe(queries: DataFrame,
                      idx: graft.operators.TextOps.PositionalIndex)
-                    (onBatch: DataFrame => Unit)
+                    (onBatch: DataFrame => Unit,
+                     onRejects: DataFrame => Unit = _ => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
-        if (!b.isEmpty)
+        if (!b.isEmpty) {
           onBatch(graft.operators.TextOps.proximityServeBatch(b, idx))
+          surfaceRejects(
+            graft.operators.TextOps.proximityServeRejects(b), onRejects)
+        }
         ()
       }
 
@@ -1130,7 +1153,8 @@ object CurationStream {
   def proximityServeWithTombstones(queries: DataFrame,
                                    idx: graft.operators.TextOps.PositionalIndex,
                                    tombstoneDir: String)
-                                  (onBatch: DataFrame => Unit)
+                                  (onBatch: DataFrame => Unit,
+                                   onRejects: DataFrame => Unit = _ => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1138,6 +1162,54 @@ object CurationStream {
           val tomb = b.sparkSession.read.parquet(tombstoneDir)
           onBatch(graft.operators.TextOps.proximityServeBatch(b,
             graft.operators.TextOps.deleteListFromPositionalIndex(idx, tomb)))
+          surfaceRejects(
+            graft.operators.TextOps.proximityServeRejects(b), onRejects)
+        }
+        ()
+      }
+
+  /** SPAN-NEAR SERVING, online — the general ordered-chain member of
+    * the positional serving family, completing its symmetry: a stream
+    * of (query_id, terms, gap) request rows answered per micro-batch
+    * from the saved positional artifact via
+    * [[graft.operators.TextOps.spanNearServeBatch]] (mixed chain
+    * lengths and gaps serve together; stateless, chop-invariant;
+    * malformed requests surface through `onRejects`).
+    */
+  def spanNearServe(queries: DataFrame,
+                    idx: graft.operators.TextOps.PositionalIndex)
+                   (onBatch: DataFrame => Unit,
+                    onRejects: DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          onBatch(graft.operators.TextOps.spanNearServeBatch(b, idx))
+          surfaceRejects(
+            graft.operators.TextOps.spanNearServeRejects(b), onRejects)
+        }
+        ()
+      }
+
+  /** [[spanNearServe]] with the per-batch tombstone re-read — the
+    * erasure convention every positional query class now carries: an
+    * erased doc stops matching chains between two requests with no
+    * restart and no index rebuild.
+    */
+  def spanNearServeWithTombstones(queries: DataFrame,
+                                  idx: graft.operators.TextOps.PositionalIndex,
+                                  tombstoneDir: String)
+                                 (onBatch: DataFrame => Unit,
+                                  onRejects: DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val tomb = b.sparkSession.read.parquet(tombstoneDir)
+          onBatch(graft.operators.TextOps.spanNearServeBatch(b,
+            graft.operators.TextOps.deleteListFromPositionalIndex(idx, tomb)))
+          surfaceRejects(
+            graft.operators.TextOps.spanNearServeRejects(b), onRejects)
         }
         ()
       }

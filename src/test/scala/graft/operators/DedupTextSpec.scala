@@ -380,6 +380,97 @@ class DedupTextSpec extends AnyFunSuite {
     assert(inline.nonEmpty && inline == served, s"$inline vs $served")
   }
 
+  test("span-near serve batch: every query equals the single-query chain, short chains exit early, rejects are the exact complement") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val corpus = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sn-batch").toString
+    val idx = TextOps.trainAndSavePositionalIndex(corpus, dir)
+    val reqs = Seq(
+      (1L, Seq("window", "join", "hash"), 8), // the t53 request verbatim
+      (2L, Seq("window", "join"), 5),         // k=2: proximity semantics
+      (3L, Seq("window", "join", "hash"), 3), // same chain, tighter gap
+      (4L, Seq("the", "the"), 4),             // duplicate-term chain
+      (5L, Seq("nosuchtoken", "join"), 8),    // first leg misses -> no rows
+      (6L, Seq("window"), 8),                 // malformed: sub-2 chain
+      (7L, Seq("window", "join"), 0))         // malformed: sub-1 gap
+    val reqDf = reqs.toDF("query_id", "terms", "gap")
+    val got = TextOps.spanNearServeBatch(reqDf, idx)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    reqs.foreach { case (qid, terms, gap) =>
+      val single =
+        if (terms.length < 2 || gap < 1) Map.empty[Long, Long] // dropped
+        else TextOps.spanNearFromIndex(idx, terms, gap).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val mine = got.collect { case ((q, d), n) if q == qid => d -> n }
+      assert(mine == single, s"query $qid ($terms, $gap): $mine vs $single")
+    }
+    assert(got.exists { case ((q, _), _) => q == 1L },
+      "the fixture chain must match somewhere")
+    // the k=2 member equals the dedicated proximity server's answer
+    val prox = TextOps.proximityFromIndex(idx, "window", "join", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.collect { case ((2L, d), n) => d -> n } == prox)
+    // rejects are EXACTLY the malformed query_ids — the detection
+    // channel that makes the drop distinguishable from zero matches
+    val rej = TextOps.spanNearServeRejects(reqDf).collect().map(_.getLong(0))
+    assert(rej.toSeq == Seq(6L, 7L), rej.toSeq.toString)
+    // and the sibling rejects stay exact complements of their servers
+    val preq = Seq((1L, "window", "join", 5), (2L, "window", "join", 0))
+      .toDF("query_id", "a", "b", "slop")
+    assert(TextOps.proximityServeRejects(preq).collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    val phreq = Seq(1L -> Seq("window"), 2L -> Seq.empty[String])
+      .toDF("query_id", "phrase")
+    assert(TextOps.phraseServeRejects(phreq).collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("span-near per-row twin equals the join form; null text scores 0 across all three match exprs") {
+    val d = docs(
+      (1L, "a x x b x x c"),
+      (2L, "a x x x b c"),
+      (3L, "c b a"),
+      (4L, "a b a b c"),
+      (5L, "a b c b c"))
+    val terms = Seq("a", "b", "c")
+    val expr5 = d.select(col("doc_id"),
+        TextOps.spanNearMatchExpr(col("text"), terms, gap = 3).as("m"))
+      .filter(col("m") > 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val join5 = TextOps.spanNearSearch(d, terms, gap = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(expr5 == join5, s"$expr5 vs $join5")
+    // k = 2 degenerates to the proximity per-row twin
+    val k2 = d.select(TextOps.spanNearMatchExpr(col("text"),
+      Seq("a", "b"), gap = 3).as("m")).collect().map(_.getLong(0)).toSeq
+    val prox = d.select(TextOps.proximityMatchExpr(col("text"),
+      "a", "b", slop = 3).as("m")).collect().map(_.getLong(0)).toSeq
+    assert(k2 == prox, s"$k2 vs $prox")
+    // and on the fixture corpus the twin agrees with t53's chain form
+    val s = TestSpark.spark
+    val corpus = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    val exprC = corpus.select(col("doc_id"),
+        TextOps.spanNearMatchExpr(col("text")).as("m"))
+      .filter(col("m") > 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val joinC = TextOps.spanNearSearch(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(exprC.nonEmpty && exprC == joinC)
+    // null text scores 0 (not null) in every per-row gate — the join
+    // forms emit no row, and a gate summing the count must agree
+    val nd = docs((1L, null), (2L, "a b c"))
+    val row = nd.filter(col("doc_id") === 1L).select(
+      TextOps.phraseMatchExpr(col("text"), Seq("a", "b")).as("ph"),
+      TextOps.proximityMatchExpr(col("text"), "a", "b", 3).as("pr"),
+      TextOps.spanNearMatchExpr(col("text"), Seq("a", "b", "c"), 3).as("sn"))
+      .collect()(0)
+    assert(!row.isNullAt(0) && row.getLong(0) == 0L, "phrase null-text")
+    assert(!row.isNullAt(1) && row.getLong(1) == 0L, "proximity null-text")
+    assert(!row.isNullAt(2) && row.getLong(2) == 0L, "span-near null-text")
+  }
+
   test("phrase serve batch: every query equals the single-query join chain; offset coverage handles duplicate terms and misses") {
     val s = TestSpark.spark
     import s.implicits._

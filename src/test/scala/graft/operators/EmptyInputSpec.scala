@@ -147,4 +147,34 @@ class EmptyInputSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(scored.forall(_ == ((0L, 0L))), scored.toSeq.toString)
   }
+
+  test("round-15 additions survive empty inputs") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val docsReal = graft.Tables.documents(s, "/root/testdata/sf0.001").limit(50)
+    val idx = TextOps.buildPositionalIndex(docsReal)
+    // an empty span-near batch against a real index emits nothing, and
+    // an all-malformed batch serves nothing but rejects everything
+    val emptyB = Seq.empty[(Long, Seq[String], Int)]
+      .toDF("query_id", "terms", "gap")
+    assert(TextOps.spanNearServeBatch(emptyB, idx).count() == 0)
+    assert(TextOps.spanNearServeRejects(emptyB).count() == 0)
+    val badB = Seq((1L, Seq("a"), 8), (2L, Seq("a", "b"), 0))
+      .toDF("query_id", "terms", "gap")
+    assert(TextOps.spanNearServeBatch(badB, idx).count() == 0)
+    assert(TextOps.spanNearServeRejects(badB).count() == 2)
+    // span-near against an empty index: single and batch forms
+    val emptyIdx = TextOps.buildPositionalIndex(emptyDocs)
+    assert(TextOps.spanNearFromIndex(emptyIdx, Seq("a", "b"), 3).count() == 0)
+    assert(TextOps.spanNearServeBatch(
+      Seq((1L, Seq("a", "b"), 3)).toDF("query_id", "terms", "gap"),
+      emptyIdx).count() == 0)
+    // the per-row chain gate on empty/short text scores zero
+    val scored = Seq((1L, ""), (2L, "a b")).toDF("doc_id", "text")
+      .select(TextOps.spanNearMatchExpr(col("text"), Seq("a", "b", "c"), 3))
+      .collect().map(_.getLong(0))
+    assert(scored.forall(_ == 0L), scored.toSeq.toString)
+    // the term-cost table over an empty corpus is an empty report
+    assert(TextOps.termCostDeciles(emptyIdx, emptyDocs).count() == 0)
+  }
 }

@@ -776,6 +776,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pplan.contains("BroadcastHashJoin") &&
       !pplan.contains("CartesianProduct"),
       s"proximity batch: request rows must broadcast, pair join equi-keyed:\n$pplan")
+    // the span-near batch: mixed-k chains share one plan — the term IN
+    // pushed down, request rows broadcast, every chain step equi-keyed
+    val snbatch = Seq((1L, Seq("window", "join", "hash"), 8),
+        (2L, Seq("window", "join"), 5))
+      .toDF("query_id", "terms", "gap")
+    val snplan = executed(TextOps.spanNearServeBatch(snbatch, idx))
+    assert(snplan.contains("PushedFilters: [In(t"),
+      s"span-near batch: expected the term IN-list pushed to the scan in:\n$snplan")
+    assert(snplan.contains("BroadcastHashJoin") &&
+      !snplan.contains("CartesianProduct"),
+      s"span-near batch: request rows must broadcast, chain joins equi-keyed:\n$snplan")
   }
 
   test("distributed ntile: the rank window is partition-keyed — never the move-everything-to-one-task plan") {

@@ -209,6 +209,77 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(served3 == t51like, s"$served3\nvs\n$t51like")
   }
 
+  test("span-near serving stream: mixed-k/gap batch equals the per-query chain; rejects surface; tombstones land between requests") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val idxDir = Files.createTempDirectory("graft-snserve-idx").toString
+    val idx = TextOps.trainAndSavePositionalIndex(docs, idxDir)
+    val victim = TextOps.spanNearFromIndex(idx).collect().head.getLong(0)
+    val tombDir = Files.createTempDirectory("graft-snserve-tomb").toString
+    Seq.empty[Long].toDF("doc_id").write.mode("overwrite").parquet(tombDir)
+
+    // mixed chain lengths and gaps, plus one malformed request (sub-2
+    // chain): served answers must equal the per-query form, and the
+    // malformed query_id must surface via onRejects — not vanish
+    val reqs = Seq(
+      (1L, Seq("window", "join", "hash"), 8),
+      (2L, Seq("window", "join"), 5),
+      (9L, Seq("window"), 8))
+    val expected = reqs.filter(_._2.length >= 2).flatMap {
+      case (qid, terms, gap) =>
+        TextOps.spanNearFromIndex(idx, terms, gap).collect()
+          .map(r => ((qid, r.getLong(0)), r.getLong(1)))
+    }.toMap
+    val dataDir = Files.createTempDirectory("graft-snserve-req").toString
+    def writeReqs(rows: Seq[(Long, Seq[String], Int)], i: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft-snserve-chunk").toString
+      rows.toDF("query_id", "terms", "gap")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      Files.move(part.toPath,
+        new java.io.File(dataDir, f"req-$i%03d.parquet").toPath)
+      ()
+    }
+    writeReqs(reqs, 0)
+    val got = scala.collection.concurrent.TrieMap.empty[(Long, Long), Long]
+    val rejected = scala.collection.concurrent.TrieMap.empty[Long, Unit]
+    val stream = spark.readStream
+      .schema(reqs.toDF("query_id", "terms", "gap").schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = CurationStream.spanNearServeWithTombstones(stream, idx, tombDir)(
+      b => b.collect().foreach(r =>
+        got.put((r.getLong(0), r.getLong(1)), r.getLong(2))),
+      rej => rej.collect().foreach(r => rejected.put(r.getLong(0), ())))
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-snserve-ckpt").toString)
+      .start()
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(cond, s"timed out waiting for $what")
+    }
+    await(got.keys.exists(_._1 == 2L) && rejected.contains(9L),
+      "first request batch + its reject")
+    assert(got.toMap == expected, s"${got.toMap}\nvs\n$expected")
+    assert(rejected.keySet == Set(9L), rejected.keySet.toString)
+    // erase the victim BETWEEN requests; the re-issued query misses it
+    Seq(victim).toDF("doc_id").write.mode("append").parquet(tombDir)
+    writeReqs(Seq((3L, TextOps.SpanNearTerms, TextOps.SpanNearGap)), 1)
+    await(got.keys.exists(_._1 == 3L), "post-erasure request")
+    q.stop()
+    q.awaitTermination(30000)
+    val served3 = got.toSeq.collect { case ((3L, d), n) => d -> n }.toMap
+    assert(!served3.contains(victim), "post-erasure serve must not include the victim")
+    val survivors = TextOps.spanNearFromIndex(
+        TextOps.deleteListFromPositionalIndex(idx, Seq(victim).toDF("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served3 == survivors, s"$served3\nvs\n$survivors")
+  }
+
   test("tombstoned serving: a doc erased between requests vanishes from the next batch") {
     val spark = TestSpark.spark
     import spark.implicits._
