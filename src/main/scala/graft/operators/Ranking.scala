@@ -45,9 +45,13 @@ object Ranking {
     * `spark.sql.shuffle.partitions` and falls back to the cluster
     * default parallelism when that value is non-numeric (e.g. "auto").
     */
-  def withNtile(df: DataFrame, out: String, buckets: Int,
-                keys: Seq[Column], numPartitions: Option[Int] = None): DataFrame = {
-    require(buckets >= 1, "buckets must be at least 1")
+  /** The shared core: the input materialized in the frozen range layout
+    * with a GLOBAL 1-based rank appended under a collision-proof fresh
+    * name — plus the total row count (already on the driver from the
+    * counts round-trip, so ntile's fill arithmetic costs nothing extra).
+    */
+  private def globalRank(df: DataFrame, out: String, keys: Seq[Column],
+                         numPartitions: Option[Int]): (DataFrame, String, Long) = {
     require(keys.nonEmpty, "at least one order key")
     require(!df.columns.contains(out),
       s"output column '$out' already exists in the input frame")
@@ -82,6 +86,32 @@ object Ranking {
     val offsets = counts.keys.toSeq.sorted.map { pid =>
       pid -> counts.filter(_._1 < pid).values.sum
     }.toMap
+    val ranked = mat
+      .withColumn(rnCol,
+        row_number().over(
+          Window.partitionBy(col(pidCol)).orderBy(keys: _*)).cast("long") +
+          coalesce(element_at(typedLit(offsets), col(pidCol)), lit(0L)))
+      .drop(pidCol)
+    (ranked, rnCol, total)
+  }
+
+  /** Append a GLOBAL 1-based `row_number()` over the total order `keys`
+    * as column `out` (BIGINT) — the distributed replacement for
+    * `row_number() OVER (ORDER BY ...)` when the frame scales with the
+    * data (a full-vocabulary Zipf rank, a corpus-wide position): same
+    * three steps as [[withNtile]], identical to the serial window
+    * whenever the keys form a total order (unit-pinned).
+    */
+  def withRowNumber(df: DataFrame, out: String, keys: Seq[Column],
+                    numPartitions: Option[Int] = None): DataFrame = {
+    val (ranked, rnCol, _) = globalRank(df, out, keys, numPartitions)
+    ranked.withColumnRenamed(rnCol, out)
+  }
+
+  def withNtile(df: DataFrame, out: String, buckets: Int,
+                keys: Seq[Column], numPartitions: Option[Int] = None): DataFrame = {
+    require(buckets >= 1, "buckets must be at least 1")
+    val (ranked, rnCol, total) = globalRank(df, out, keys, numPartitions)
     val q = total / buckets
     val r = total % buckets
     val t = r * (q + 1)
@@ -90,12 +120,8 @@ object Ranking {
       if (q == 0) col(rnCol)
       else expr(s"""CASE WHEN $rnCol <= $t THEN ($rnCol + $q) div ${q + 1}
                     ELSE $r + ($rnCol - $t + $q - 1) div $q END""")
-    mat
-      .withColumn(rnCol,
-        row_number().over(
-          Window.partitionBy(col(pidCol)).orderBy(keys: _*)).cast("long") +
-          coalesce(element_at(typedLit(offsets), col(pidCol)), lit(0L)))
+    ranked
       .withColumn(out, bucket.cast("int"))
-      .drop(pidCol, rnCol)
+      .drop(rnCol)
   }
 }

@@ -2791,9 +2791,14 @@ object TextOps {
   def zipfReport(docs: DataFrame): DataFrame = {
     val counts = docs.select(explode(tokens(col("text"))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("c").desc, col("t"))
-    val ranked = counts.withColumn("r", row_number().over(w))
+    // the frequency rank must cover EVERY vocabulary entry (the OLS fit
+    // reads all of them), and the vocabulary scales with the corpus —
+    // so the rank rides the distributed row number, never the
+    // move-everything-to-one-task `row_number() OVER (ORDER BY ...)`
+    // (the q34 lesson; (c desc, t) is a total order, so the two agree
+    // bit-for-bit and the oracle's serial window replays it)
+    val ranked = Ranking
+      .withRowNumber(counts, "r", Seq(col("c").desc, col("t")))
       .select(log2(col("r")).as("x"), log2(col("c")).as("y"),
         col("c"), (col("c") === 1).cast("bigint").as("hapax"))
     ranked.agg(

@@ -431,12 +431,19 @@ object Relational {
         |JOIN ic cb ON cb.item = pc.ib
         |WHERE pc.cab >= 2
         |ORDER BY ia, ib""".stripMargin) { (s, dir) =>
+      // the basket table feeds FOUR consumers (the global count, the
+      // item counts, both sides of the pair self-join): checkpoint it
+      // once (the t37 single-scan rule) so every leg reads one frozen
+      // layout instead of re-deriving the events scan + JSON extract +
+      // distinct — fewer stages, and the pair join's first exchange
+      // hashes a pinned input (the bench-noise remedy for this query)
       val bi = Tables.events(s, dir)
         .filter(col("ts").isNotNull && col("props").isNotNull)
         .select(col("user_id"),
           date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
           get_json_object(col("props"), "$.k").cast("int").as("item"))
         .filter(col("item").isNotNull).distinct()
+        .localCheckpoint(true)
       val nb = bi.select(col("user_id"), col("day")).distinct()
         .agg(count(lit(1)).as("n"))
       val ic = bi.groupBy(col("item")).agg(count(lit(1)).as("c"))

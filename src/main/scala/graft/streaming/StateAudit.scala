@@ -39,17 +39,51 @@ object StateAudit {
       .option("operatorId", operatorId.toString)
       .load(ckpt)
 
-  /** State-size accounting: rows per state partition plus the totals
-    * row (partition_id = -1) — the table that says whether a horizon is
-    * needed before the executors say it with an OOM.
+  /** On-disk state bytes per partition, from the checkpoint's own file
+    * tree (`ckpt/state/&lt;operatorId&gt;/&lt;partitionId&gt;/...` — delta
+    * and snapshot files alike, the bytes a restart replays and an
+    * executor's state store must hold): one row per state partition
+    * directory. The statestore source exposes rows, not sizes, so the
+    * bytes come from the filesystem — a driver-side listing bounded by
+    * the (config-sized) state partition count, through the Hadoop FS
+    * API so HDFS/object-store checkpoints account identically to local
+    * ones.
+    */
+  def stateBytes(spark: SparkSession, ckpt: String,
+                 operatorId: Int = 0): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$ckpt/state/$operatorId")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val rows =
+      if (!fs.exists(root)) Seq.empty[(Int, Long)]
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.forall(_.isDigit))
+        .map(st => st.getPath.getName.toInt ->
+          fs.getContentSummary(st.getPath).getLength)
+    import spark.implicits._
+    rows.toDF("partition_id", "state_bytes")
+  }
+
+  /** State-size accounting: rows AND on-disk bytes per state partition
+    * plus the totals row (partition_id = -1) — the table that says
+    * whether a horizon is needed before the executors say it with an
+    * OOM. Keys come from the statestore source (committed snapshot);
+    * bytes from the checkpoint file tree ([[stateBytes]] — a partition
+    * directory can carry bytes for zero live keys, tombstones in
+    * not-yet-compacted deltas, so the join is outer on both sides).
     */
   def stateReport(spark: SparkSession, ckpt: String,
                   operatorId: Int = 0): DataFrame = {
     val t = stateTable(spark, ckpt, operatorId)
       .groupBy(col("partition_id")).agg(count(lit(1)).as("n_keys"))
+      .join(stateBytes(spark, ckpt, operatorId), Seq("partition_id"), "full_outer")
+      .select(col("partition_id"),
+        coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+        coalesce(col("state_bytes"), lit(0L)).as("state_bytes"))
     t.unionByName(
-        t.agg(sum(col("n_keys")).as("n_keys"))
-          .select(lit(-1).as("partition_id"), col("n_keys")))
+        t.agg(sum(col("n_keys")).as("n_keys"),
+            sum(col("state_bytes")).as("state_bytes"))
+          .select(lit(-1).as("partition_id"), col("n_keys"),
+            col("state_bytes")))
       .orderBy(col("partition_id"))
   }
 
@@ -92,12 +126,15 @@ object StateAudit {
                          entries: Seq[CheckpointEntry]): DataFrame = {
     require(entries.nonEmpty, "at least one checkpoint entry")
     entries.map { e =>
+      val bytes = stateBytes(spark, e.ckpt, e.operatorId)
+        .agg(coalesce(sum(col("state_bytes")), lit(0L)).as("state_bytes"))
       stateTable(spark, e.ckpt, e.operatorId)
         .agg(count(lit(1)).as("n_keys"),
           countDistinct(col("partition_id")).as("n_partitions"))
+        .crossJoin(broadcast(bytes))
         .select(lit(e.artifact).as("artifact"),
           lit("live-purgeable").as("erasure_class"),
-          col("n_keys"), col("n_partitions"),
+          col("n_keys"), col("n_partitions"), col("state_bytes"),
           lit(e.horizonConfigured).as("horizon_configured"))
     }.reduce(_.unionByName(_)).orderBy(col("artifact"))
   }
@@ -113,10 +150,12 @@ object StateAudit {
     saved.select(col("artifact"),
         lit("saved-artifact").as("storage_class"),
         col("erasure_class"), col("n_rows"),
-        col("stale"), lit(null).cast("boolean").as("horizon_configured"))
+        col("stale"), lit(null).cast("boolean").as("horizon_configured"),
+        lit(null).cast("bigint").as("state_bytes"))
       .unionByName(checkpoints.select(col("artifact"),
         lit("checkpoint").as("storage_class"),
         col("erasure_class"), col("n_keys").as("n_rows"),
-        lit(null).cast("boolean").as("stale"), col("horizon_configured")))
+        lit(null).cast("boolean").as("stale"), col("horizon_configured"),
+        col("state_bytes")))
       .orderBy(col("storage_class"), col("artifact"))
 }

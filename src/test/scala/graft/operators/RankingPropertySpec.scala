@@ -47,4 +47,34 @@ class RankingPropertySpec extends AnyFunSuite {
       assert(got.size == rows.size, s"seed $seed must keep every row")
     }
   }
+
+  test("withRowNumber equals the serial row_number on random duplicate-heavy frames, including desc keys") {
+    val s = TestSpark.spark
+    import s.implicits._
+    (201L to 206L).foreach { seed =>
+      val (rows, _) = frame(seed)
+      val df = rows.toDF("v", "id")
+      // ascending composite
+      val serial = df.select(col("id"),
+          row_number().over(Window.orderBy(col("v"), col("id"))).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      val got = Ranking.withRowNumber(df, "r", Seq(col("v"), col("id")))
+        .select(col("id"), col("r"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == serial, s"seed $seed n=${rows.size}")
+      // descending first key (the zipf shape: freq desc, term asc)
+      val serialD = df.select(col("id"),
+          row_number().over(Window.orderBy(col("v").desc, col("id"))).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      val gotD = Ranking.withRowNumber(df, "r", Seq(col("v").desc, col("id")))
+        .select(col("id"), col("r"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotD == serialD, s"seed $seed n=${rows.size} (desc)")
+    }
+    // collision guard: an existing output column is refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      Ranking.withRowNumber(Seq((1L, 2L)).toDF("r", "id"), "r", Seq(col("id")))
+    }
+    assert(ex.getMessage.contains("already exists"), ex.getMessage)
+  }
 }

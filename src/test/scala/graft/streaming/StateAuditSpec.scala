@@ -171,29 +171,44 @@ class StateAuditSpec extends AnyFunSuite {
         StateAudit.CheckpointEntry("funnel_users", ckpt,
           horizonConfigured = true)))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        r.getLong(3), r.getBoolean(4)))
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
     assert(rows.length == 1)
-    val (name, cls, nKeys, nParts, hzn) = rows.head
+    val (name, cls, nKeys, nParts, nBytes, hzn) = rows.head
     assert(name == "funnel_users" && cls == "live-purgeable" && hzn,
       s"manifest row: ${rows.head}")
+    // a populated gate's state occupies real bytes on disk — the
+    // executor-OOM sizing column the key count alone can't give
+    assert(nBytes > 0L, s"manifest row: ${rows.head}")
     // key count agrees with the ops report; occupied partitions bounded
     // by the key count and the state-partition config
     val reported = StateAudit.stateReport(spark, ckpt)
-      .filter(col("partition_id") === -1).first().getLong(1)
-    assert(nKeys == reported && nKeys == 2L, s"manifest row: ${rows.head}")
+      .filter(col("partition_id") === -1).first()
+    assert(nKeys == reported.getLong(1) && nKeys == 2L,
+      s"manifest row: ${rows.head}")
     assert(nParts >= 1L && nParts <= nKeys, s"manifest row: ${rows.head}")
+    // the report's totals row carries the same file-tree byte count
+    assert(reported.getLong(2) == nBytes,
+      s"report total bytes ${reported.getLong(2)} vs manifest $nBytes")
+    // and the per-partition byte rows sum to it (bytes exist even for
+    // partitions holding zero live keys — the directory is accounted)
+    val perPart = StateAudit.stateReport(spark, ckpt)
+      .filter(col("partition_id") >= 0)
+      .agg(org.apache.spark.sql.functions.sum(col("state_bytes")))
+      .first().getLong(0)
+    assert(perPart == nBytes, s"per-partition sum $perPart vs $nBytes")
 
     // a multi-entry inventory unions and sorts by artifact name (two
     // logical gates may well read state from the same store family)
     val multi = StateAudit.checkpointManifest(spark, Seq(
         StateAudit.CheckpointEntry("z_gate", ckpt, horizonConfigured = false),
         StateAudit.CheckpointEntry("a_gate", ckpt, horizonConfigured = true)))
-      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(4)))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(5)))
     assert(multi.toSeq == Seq(("a_gate", 2L, true), ("z_gate", 2L, false)),
       s"multi-entry manifest: ${multi.toSeq}")
 
     // the unified table: one inventory, both storage classes, the
-    // class-specific columns null on the other side
+    // class-specific columns null on the other side (state bytes are a
+    // checkpoint-tree question, null for saved artifacts)
     val saved = Seq(("bm25_postings", "per-key-prunable", 123L, 10L, 12L, true))
       .toDF("artifact", "erasure_class", "n_rows",
         "covered_keys", "fresh_keys", "stale")
@@ -202,12 +217,12 @@ class StateAuditSpec extends AnyFunSuite {
           StateAudit.CheckpointEntry("funnel_users", ckpt,
             horizonConfigured = true))))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
-        r.getLong(3), Option(r.get(4)), Option(r.get(5))))
+        r.getLong(3), Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))
     assert(uni.toSeq == Seq(
       ("funnel_users", "checkpoint", "live-purgeable", 2L,
-        None, Some(true)),
+        None, Some(true), Some(nBytes)),
       ("bm25_postings", "saved-artifact", "per-key-prunable", 123L,
-        Some(true), None)),
+        Some(true), None, None)),
       s"unified manifest: ${uni.toSeq}")
   }
 }
