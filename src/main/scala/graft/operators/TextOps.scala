@@ -506,9 +506,24 @@ object TextOps {
     */
   val ServeTermPushdownMax = 1000
 
+  /** The BM25 request-validity predicate and its rejects complement —
+    * the positional family's malformed-request contract applied to the
+    * (query_id, terms) shape: a null or empty term array cannot score
+    * (the explode emits nothing), so the request is DROPPED and a
+    * caller distinguishes it from a zero-match query through this
+    * channel (the streaming twins surface it via `onRejects`).
+    */
+  private def bm25ValidPred: Column =
+    col("terms").isNotNull && size(col("terms")) >= 1
+
+  /** The query_ids [[bm25ServeBatch]] drops as malformed. */
+  def bm25ServeRejects(queries: DataFrame): DataFrame =
+    queries.filter(!bm25ValidPred).select(col("query_id"))
+      .orderBy(col("query_id"))
+
   def bm25ServeBatch(queries: DataFrame, idx: Bm25Index,
                      k: Int = Bm25TopK): DataFrame = {
-    val qt = queries
+    val qt = queries.filter(bm25ValidPred)
       .select(col("query_id"), explode(col("terms")).as("t")).distinct()
     // the batch's term set collects to a LITERAL IN predicate — bounded
     // by the request batch, and the one form parquet pushes down: with
@@ -1180,6 +1195,45 @@ object TextOps {
           .otherwise(0L)).as("n_stop_candidates"))
       .orderBy(col("decile"))
   }
+
+  /** The ACTIONABLE output of [[termCostDeciles]]'s policy (t56): the
+    * stop-candidate terms themselves — every term whose df exceeds
+    * corpus/[[StopDfDenominator]], with its df, occurrence volume
+    * (the rows ONE request carrying it drags through a serve plan),
+    * and its share of the corpus in ppm — the list an upstream
+    * request-stripper loads, or an alerting rule joins request streams
+    * against. Worst terms first.
+    *
+    * Scale shape: one aggregate over the occurrence table, a broadcast
+    * one-row corpus count, a stop-list-sized result (a term must appear
+    * in a fifth of all documents to qualify — the list is inherently
+    * tiny however large the corpus).
+    */
+  def servingStopCandidates(idx: PositionalIndex, docs: DataFrame): DataFrame = {
+    val stats = idx.postings.groupBy(col("t"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    stats.crossJoin(broadcast(nd))
+      .filter(col("df") * StopDfDenominator > col("n_docs"))
+      .select(col("t"), col("df"), col("occ"),
+        expr("df * 1000000 div n_docs").as("df_ppm"))
+      .orderBy(col("df").desc, col("t"))
+  }
+
+  /** Oracle for [[servingStopCandidates]]: identical stats, the same
+    * integer stop rule and ppm arithmetic.
+    */
+  def sqlServingStopCandidates: String =
+    s"""WITH stoks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w
+       |  FROM documents),
+       |pp AS (SELECT doc_id, i, w[i] AS t FROM stoks,
+       |  LATERAL unnest(range(1, len(w) + 1)) r(i)),
+       |ts AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df,
+       |  count(*)::BIGINT AS occ FROM pp GROUP BY t),
+       |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+       |SELECT t, df, occ, (df * 1000000 // n_docs)::BIGINT AS df_ppm
+       |FROM ts, nd WHERE df * $StopDfDenominator > n_docs
+       |ORDER BY df DESC, t""".stripMargin
 
   /** Oracle for [[termCostDeciles]]: the identical term stats and
     * decile walk — ntile over the same total order (df, occ, t), the

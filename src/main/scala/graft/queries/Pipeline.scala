@@ -655,6 +655,15 @@ object Pipeline {
       TextOps.termCostDeciles(
         TextOps.loadPositionalIndex(s, posDir), Tables.documents(s, dir))
     },
+    // the actionable stop list behind t55's policy: every term over the
+    // df threshold (corpus/5), worst first — the table an upstream
+    // request-stripper loads; inherently tiny at any corpus size
+    QueryDef.sql("t56_stop_candidates", TextOps.sqlServingStopCandidates) { (s, dir) =>
+      val posDir = artifactDir("posidx", dir)(tmp =>
+        TextOps.trainAndSavePositionalIndex(Tables.documents(s, dir), tmp))
+      TextOps.servingStopCandidates(
+        TextOps.loadPositionalIndex(s, posDir), Tables.documents(s, dir))
+    },
     // index compaction: the merged index re-written through the same
     // range-partition-by-term contract as a fresh save, restoring the
     // tight per-file [min_t, max_t] footers the index-seek serving path

@@ -1005,12 +1005,16 @@ object CurationStream {
     */
   def bm25Serve(queries: DataFrame, idx: graft.operators.TextOps.Bm25Index,
                 k: Int = graft.operators.TextOps.Bm25TopK)
-               (onBatch: DataFrame => Unit)
+               (onBatch: DataFrame => Unit,
+                onRejects: DataFrame => Unit = _ => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
-        if (!b.isEmpty)
+        if (!b.isEmpty) {
           onBatch(graft.operators.TextOps.bm25ServeBatch(b, idx, k))
+          surfaceRejects(
+            graft.operators.TextOps.bm25ServeRejects(b), onRejects)
+        }
         ()
       }
 
@@ -1051,7 +1055,8 @@ object CurationStream {
                               idx: graft.operators.TextOps.Bm25Index,
                               tombstoneDir: String,
                               k: Int = graft.operators.TextOps.Bm25TopK)
-                             (onBatch: DataFrame => Unit)
+                             (onBatch: DataFrame => Unit,
+                              onRejects: DataFrame => Unit = _ => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1059,6 +1064,8 @@ object CurationStream {
           val tomb = b.sparkSession.read.parquet(tombstoneDir)
           onBatch(graft.operators.TextOps.bm25ServeBatch(b,
             graft.operators.TextOps.deleteListFromBm25Index(idx, tomb), k))
+          surfaceRejects(
+            graft.operators.TextOps.bm25ServeRejects(b), onRejects)
         }
         ()
       }

@@ -425,6 +425,15 @@ class DedupTextSpec extends AnyFunSuite {
       .toDF("query_id", "phrase")
     assert(TextOps.phraseServeRejects(phreq).collect()
       .map(_.getLong(0)).toSeq == Seq(2L))
+    // and the bm25 server carries the same contract: an empty term
+    // array is dropped from serving and surfaced by its rejects
+    val breq = Seq(1L -> Seq("window"), 2L -> Seq.empty[String])
+      .toDF("query_id", "terms")
+    val bm = TextOps.buildBm25Index(corpus)
+    assert(TextOps.bm25ServeRejects(breq).collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    assert(TextOps.bm25ServeBatch(breq, bm).collect()
+      .map(_.getLong(0)).toSet == Set(1L))
   }
 
   test("span-near per-row twin equals the join form; null text scores 0 across all three match exprs") {

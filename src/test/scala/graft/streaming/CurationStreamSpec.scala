@@ -1199,7 +1199,7 @@ class CurationStreamSpec extends AnyFunSuite {
     }
   }
 
-  test("positional per-row gates score a stream: phrase and proximity counts equal the batch join forms row for row") {
+  test("positional per-row gates score a stream: phrase, proximity and span-near counts equal the batch join forms row for row") {
     val spark = TestSpark.spark
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val T = graft.operators.TextOps
@@ -1207,32 +1207,37 @@ class CurationStreamSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val batchProx = T.proximitySearch(docs, "window", "join").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchSpan = T.spanNearSearch(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     val dataDir = Files.createTempDirectory("graft-stream-pos-data").toString
     docs.coalesce(1).write.mode("overwrite").parquet(dataDir)
-    val got = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long)]
+    val got = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long, Long)]
     val stream = spark.readStream.schema(docs.schema).parquet(dataDir)
-    // both expressions are pure per-row folds — the SAME columns gate
-    // the stream (the classifier/gopher stateless-gate convention);
-    // the join forms stay the corpus-query plans
+    // all three expressions are pure per-row folds — the SAME columns
+    // gate the stream (the classifier/gopher stateless-gate
+    // convention); the join forms stay the corpus-query plans
     val q = stream.select(col("doc_id"),
         T.phraseMatchExpr(col("text"), T.PhraseQuery).as("np"),
-        T.proximityMatchExpr(col("text"), "window", "join").as("nx"))
+        T.proximityMatchExpr(col("text"), "window", "join").as("nx"),
+        T.spanNearMatchExpr(col("text")).as("ns"))
       .writeStream.outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, _: Long) =>
         b.collect().foreach(r =>
-          got.put(r.getLong(0), (r.getLong(1), r.getLong(2))))
+          got.put(r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
         ()
       }.start()
     assert(q.awaitTermination(120000), "positional gate stream did not finish")
     q.stop()
     assert(got.size == docs.count(), s"${got.size}")
-    got.foreach { case (id, (np, nx)) =>
+    got.foreach { case (id, (np, nx, ns)) =>
       assert(np == batchPhrase.getOrElse(id, 0L),
         s"doc $id phrase: stream $np vs batch ${batchPhrase.get(id)}")
       assert(nx == batchProx.getOrElse(id, 0L),
         s"doc $id proximity: stream $nx vs batch ${batchProx.get(id)}")
+      assert(ns == batchSpan.getOrElse(id, 0L),
+        s"doc $id span-near: stream $ns vs batch ${batchSpan.get(id)}")
     }
   }
 
