@@ -1143,6 +1143,170 @@ object TextOps {
        |ORDER BY query_id, doc_id""".stripMargin
   }
 
+  /** Default window and benchmark terms for [[coocFromIndex]] (t57). */
+  val CoocWindow = 12
+  val CoocTerms: Seq[String] = Seq("window", "join", "hash")
+
+  /** UNORDERED CO-OCCURRENCE WINDOWS (t57 — Lucene's UNORDERED
+    * SpanNearQuery, classic IR's `WITHIN` operator): per-doc count of
+    * window START positions whose `window`-token span contains at
+    * least one occurrence of EVERY query term, in any order —
+    * completing the positional query family's ordered/unordered pair
+    * (phrase = ordered+adjacent, span-near = ordered+gapped, this =
+    * order-free). Duplicate request terms collapse (set semantics: a
+    * window containing "a" satisfies both "a"s).
+    *
+    * The plan is the [[phraseServeBatch]] COVERAGE trick generalized:
+    * each occurrence of a term at position p COVERS the starts
+    * [p−window+1, p] (every window beginning there contains it), so
+    * explode each occurrence into its covered starts and a start is a
+    * hit iff its (doc, start) group covers ALL k distinct terms —
+    * countDistinct(t) = k. No pair join AT ALL: cost is window ×
+    * posting volume rows into one partial-aggregated count — even a
+    * term-spammed document cannot build a cross product, because
+    * nothing is ever joined against anything.
+    */
+  def coocFromIndex(idx: PositionalIndex,
+                    terms: Seq[String] = CoocTerms,
+                    window: Int = CoocWindow): DataFrame = {
+    val ts = terms.distinct
+    require(ts.length >= 2, "co-occurrence needs at least two distinct terms")
+    require(window >= 1, "window must be at least 1")
+    idx.postings.filter(col("t").isin(ts: _*))
+      .select(col("t"), col("doc_id"),
+        explode(sequence(greatest(col("p") - (window - 1), lit(0)),
+          col("p"))).as("w0"))
+      .groupBy(col("doc_id"), col("w0"))
+      .agg(countDistinct(col("t")).as("k"))
+      .filter(col("k") === ts.length)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[coocFromIndex]] built in-lineage (the t47/t48 convention). One
+    * corpus pass cut to the query's own terms; a single consumer, so no
+    * checkpoint is needed.
+    */
+  def coocSearch(docs: DataFrame, terms: Seq[String] = CoocTerms,
+                 window: Int = CoocWindow): DataFrame =
+    coocFromIndex(buildPositionalIndex(docs), terms, window)
+
+  /** MULTI-QUERY CO-OCCURRENCE SERVING: each request row is (query_id,
+    * terms ARRAY&lt;STRING&gt;, win), and — unlike span-near, whose
+    * chains need kMax−1 join steps — the coverage count is ONE
+    * fixed-shape plan for ANY mix of term counts and windows: the
+    * request's own win rides the explode and its distinct-term count
+    * rides the coverage test. Malformed requests (fewer than two
+    * distinct terms, null/sub-1 windows) are dropped;
+    * [[coocServeRejects]] returns exactly them.
+    *
+    * Scale shape: pushed-down term IN under [[ServeTermPushdownMax]]
+    * (broadcast fallback past it), exploded request rows broadcast,
+    * win × postings coverage rows partial-aggregate on (query, doc,
+    * start) — never a join of postings against postings.
+    */
+  def coocServeBatch(queries: DataFrame, idx: PositionalIndex): DataFrame = {
+    val valid = queries.filter(coocValidPred)
+    val qt = valid.select(col("query_id"), col("win"),
+      size(array_distinct(col("terms"))).as("n"),
+      explode(array_distinct(col("terms"))).as("t"))
+    val terms = qt.select(col("t")).distinct()
+    val termList = terms.limit(ServeTermPushdownMax + 1)
+      .collect().map(_.getString(0))
+    val restricted =
+      if (termList.isEmpty) idx.postings.filter(lit(false))
+      else if (termList.length <= ServeTermPushdownMax)
+        idx.postings.filter(col("t").isin(termList.toSeq: _*))
+      else idx.postings.join(broadcast(terms), "t")
+    restricted.join(broadcast(qt), "t")
+      .select(col("query_id"), col("n"), col("t"), col("doc_id"),
+        explode(sequence(greatest(col("p") - (col("win") - 1), lit(0)),
+          col("p"))).as("w0"))
+      .groupBy(col("query_id"), col("n"), col("doc_id"), col("w0"))
+      .agg(countDistinct(col("t")).as("k"))
+      .filter(col("k") === col("n"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  private def coocValidPred: Column =
+    col("terms").isNotNull && size(array_distinct(col("terms"))) >= 2 &&
+      col("win").isNotNull && col("win") >= 1
+
+  /** The query_ids [[coocServeBatch]] drops as malformed. */
+  def coocServeRejects(queries: DataFrame): DataFrame =
+    queries.filter(!coocValidPred).select(col("query_id"))
+      .orderBy(col("query_id"))
+
+  /** [[coocFromIndex]]'s PER-ROW form, completing the per-row quartet
+    * (phrase, proximity, span-near, co-occurrence): for each start
+    * position, every term must appear somewhere in the next `window`
+    * tokens — `exists` over an array slice per term, no explode, no
+    * join, no state. O(len · window · k) per row; null text scores 0.
+    */
+  def coocMatchExpr(textCol: Column, terms: Seq[String] = CoocTerms,
+                    window: Int = CoocWindow): Column = {
+    val ts = terms.distinct
+    require(ts.length >= 2, "co-occurrence needs at least two distinct terms")
+    require(window >= 1, "window must be at least 1")
+    val w = tokens(textCol)
+    coalesce(when(size(w) < 1, lit(0L)).otherwise(
+      aggregate(sequence(lit(0), size(w) - 1), lit(0L),
+        (acc, i) => acc + when(
+          ts.map(t => exists(slice(w, i + 1, lit(window)), x => x === t))
+            .reduce(_ && _), lit(1L)).otherwise(lit(0L)))), lit(0L))
+  }
+
+  /** Oracle for [[coocFromIndex]]: the identical coverage walk over
+    * 1-based positions (counts are base-invariant — shifting every
+    * position shifts every covered start with it).
+    */
+  def sqlCoocSearch(terms: Seq[String] = CoocTerms,
+                    window: Int = CoocWindow): String = {
+    val ts = terms.distinct
+    sqlCoocOver(ts, window, s"$window", ts.length.toString, "TRUE")
+  }
+
+  private def sqlCoocOver(ts: Seq[String], window: Int, winExpr: String,
+                          nExpr: String, pred: String): String = {
+    val inList = ts.map(t => s"'$t'").mkString(", ")
+    s"""SELECT doc_id, count(*)::BIGINT AS n_windows FROM (
+       |  SELECT doc_id, s FROM (
+       |    SELECT DISTINCT doc_id, t, s FROM (
+       |      SELECT doc_id, i, t FROM pp WHERE t IN ($inList) AND $pred),
+       |      LATERAL unnest(range(greatest(i - ($winExpr - 1), 1), i + 1)) r(s))
+       |  GROUP BY doc_id, s HAVING count(DISTINCT t) = $nExpr)
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  /** Full oracle (with the token CTEs) for [[coocSearch]]/t57. */
+  def sqlCoocSearchFull(terms: Seq[String] = CoocTerms,
+                        window: Int = CoocWindow): String =
+    s"""WITH stoks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w
+       |  FROM documents),
+       |pp AS (SELECT doc_id, i, w[i] AS t FROM stoks,
+       |  LATERAL unnest(range(1, len(w) + 1)) r(i))
+       |${sqlCoocSearch(terms, window)}
+       |ORDER BY doc_id""".stripMargin
+
+  /** Oracle for [[coocServeBatch]] (t58): per-request coverage walks
+    * with literal query_ids, UNION ALL'd (the t54 convention).
+    */
+  def sqlCoocServeBatch(requests: Seq[(Long, Seq[String], Int)]): String = {
+    val legs = requests.map { case (qid, terms, win) =>
+      val ts = terms.distinct
+      s"""SELECT $qid::BIGINT AS query_id, doc_id, n_windows FROM (
+         |${sqlCoocOver(ts, win, win.toString, ts.length.toString, "TRUE")})""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH stoks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w
+       |  FROM documents),
+       |pp AS (SELECT doc_id, i, w[i] AS t FROM stoks,
+       |  LATERAL unnest(range(1, len(w) + 1)) r(i))
+       |$legs
+       |ORDER BY query_id, doc_id""".stripMargin
+  }
+
   /** Stop-candidate threshold for [[termCostDeciles]]: a term whose
     * document frequency exceeds 1/[[StopDfDenominator]] of the corpus
     * (20%) is a serve-time stop candidate.

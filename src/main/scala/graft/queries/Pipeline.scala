@@ -63,6 +63,17 @@ object Pipeline {
     (3L, Seq("window", "join", "hash"), 3),
     (4L, Seq("the", "the"), 4))
 
+  /** The t58 serving batch (the [[SpanNearBatch]] convention for the
+    * unordered family): the t57 request verbatim, a 2-term pair in a
+    * tight window, a wide-window variant, and a duplicate-term request
+    * (set semantics — collapses to 2 distinct terms).
+    */
+  private val CoocBatch: Seq[(Long, Seq[String], Int)] = Seq(
+    (1L, graft.operators.TextOps.CoocTerms, graft.operators.TextOps.CoocWindow),
+    (2L, Seq("window", "join"), 4),
+    (3L, Seq("window", "join", "hash"), 30),
+    (4L, Seq("the", "a", "the"), 6))
+
   val queries: Seq[QueryDef] = Seq(
 
     // -------- dedup
@@ -654,6 +665,28 @@ object Pipeline {
         TextOps.trainAndSavePositionalIndex(Tables.documents(s, dir), tmp))
       TextOps.termCostDeciles(
         TextOps.loadPositionalIndex(s, posDir), Tables.documents(s, dir))
+    },
+    // unordered co-occurrence windows (Lucene's unordered SpanNear, IR's
+    // WITHIN): starts whose window contains every term in any order —
+    // the coverage trick, no pair join at all; completes the positional
+    // family's ordered/unordered pair, served from the same artifact
+    QueryDef.sql("t57_cooc_window", TextOps.sqlCoocSearchFull()) { (s, dir) =>
+      val posDir = artifactDir("posidx", dir)(tmp =>
+        TextOps.trainAndSavePositionalIndex(Tables.documents(s, dir), tmp))
+      TextOps.coocFromIndex(TextOps.loadPositionalIndex(s, posDir))
+    },
+    // co-occurrence BATCH serving: mixed term-counts and windows in ONE
+    // fixed-shape plan (the request's win rides the explode, its
+    // distinct-term count rides the coverage test); must hash-match
+    // running every request alone
+    QueryDef.sql("t58_cooc_served",
+      TextOps.sqlCoocServeBatch(CoocBatch)) { (s, dir) =>
+      val posDir = artifactDir("posidx", dir)(tmp =>
+        TextOps.trainAndSavePositionalIndex(Tables.documents(s, dir), tmp))
+      import s.implicits._
+      TextOps.coocServeBatch(
+        CoocBatch.toDF("query_id", "terms", "win"),
+        TextOps.loadPositionalIndex(s, posDir))
     },
     // the actionable stop list behind t55's policy: every term over the
     // df threshold (corpus/5), worst first — the table an upstream

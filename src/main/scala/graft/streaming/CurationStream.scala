@@ -1220,4 +1220,47 @@ object CurationStream {
         }
         ()
       }
+
+  /** CO-OCCURRENCE SERVING, online — the unordered member of the
+    * positional serving family: a stream of (query_id, terms, win)
+    * request rows answered per micro-batch via
+    * [[graft.operators.TextOps.coocServeBatch]] (mixed term-counts and
+    * windows share one fixed-shape plan; stateless, chop-invariant;
+    * malformed requests surface through `onRejects`).
+    */
+  def coocServe(queries: DataFrame,
+                idx: graft.operators.TextOps.PositionalIndex)
+               (onBatch: DataFrame => Unit,
+                onRejects: DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          onBatch(graft.operators.TextOps.coocServeBatch(b, idx))
+          surfaceRejects(
+            graft.operators.TextOps.coocServeRejects(b), onRejects)
+        }
+        ()
+      }
+
+  /** [[coocServe]] with the per-batch tombstone re-read — the erasure
+    * convention all four positional query classes now carry.
+    */
+  def coocServeWithTombstones(queries: DataFrame,
+                              idx: graft.operators.TextOps.PositionalIndex,
+                              tombstoneDir: String)
+                             (onBatch: DataFrame => Unit,
+                              onRejects: DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val tomb = b.sparkSession.read.parquet(tombstoneDir)
+          onBatch(graft.operators.TextOps.coocServeBatch(b,
+            graft.operators.TextOps.deleteListFromPositionalIndex(idx, tomb)))
+          surfaceRejects(
+            graft.operators.TextOps.coocServeRejects(b), onRejects)
+        }
+        ()
+      }
 }

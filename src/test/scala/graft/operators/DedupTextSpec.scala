@@ -436,6 +436,65 @@ class DedupTextSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("co-occurrence windows: any order counts, boundary exact, duplicates collapse, serve batch equals per-query, rejects exact") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val d = docs(
+      (1L, "a x b"),        // win 3: starts 0 (a@0,b@2 in [0,3)) -> 1
+      (2L, "b x a"),        // unordered: same count as doc 1
+      (3L, "a x x b"),      // win 3: b@3 outside [0,3), a@0 outside [1,4)+ -> 0
+      (4L, "a b a"),        // win 2: starts 0 (a@0,b@1) and 1 (b@1,a@2) -> 2
+      (5L, "a x x"))        // b missing -> no row
+    val got = TextOps.coocSearch(d, Seq("a", "b"), window = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 2L), s"got $got")
+    val got2 = TextOps.coocSearch(d, Seq("a", "b"), window = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 == Map(4L -> 2L), s"got $got2")
+    // duplicate request terms collapse (set semantics)
+    val dup = TextOps.coocSearch(d, Seq("a", "b", "a"), window = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dup == got, s"$dup vs $got")
+    // the per-row twin agrees, including the zero rows the join omits
+    val viaExpr = d.select(col("doc_id"),
+        TextOps.coocMatchExpr(col("text"), Seq("a", "b"), 3).as("m"))
+      .filter(col("m") > 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaExpr == got, s"$viaExpr vs $got")
+    // null text scores 0, like the other per-row gates
+    val nulls = docs((1L, null)).select(
+      TextOps.coocMatchExpr(col("text"), Seq("a", "b"), 3)).collect()(0)
+    assert(!nulls.isNullAt(0) && nulls.getLong(0) == 0L)
+
+    // serve batch: every query equals the single-query form on the
+    // fixture corpus; malformed requests drop into the rejects
+    val corpus = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cooc").toString
+    val idx = TextOps.trainAndSavePositionalIndex(corpus, dir)
+    val reqs = Seq(
+      (1L, TextOps.CoocTerms, TextOps.CoocWindow),  // t57 verbatim
+      (2L, Seq("window", "join"), 4),
+      (3L, Seq("the", "a", "the"), 6),              // duplicates collapse
+      (4L, Seq("nosuchtoken", "join"), 8),          // one term missing
+      (5L, Seq("window", "window"), 8),             // 1 distinct: malformed
+      (6L, Seq("window", "join"), 0))               // sub-1 window: malformed
+    val reqDf = reqs.toDF("query_id", "terms", "win")
+    val served = TextOps.coocServeBatch(reqDf, idx).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    reqs.foreach { case (qid, terms, win) =>
+      val single =
+        if (terms.distinct.length < 2 || win < 1) Map.empty[Long, Long]
+        else TextOps.coocFromIndex(idx, terms, win).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val mine = served.collect { case ((q, d0), n) if q == qid => d0 -> n }
+      assert(mine == single, s"query $qid ($terms, $win): $mine vs $single")
+    }
+    assert(served.exists { case ((q, _), _) => q == 1L },
+      "the fixture co-occurrence must match somewhere")
+    assert(TextOps.coocServeRejects(reqDf).collect()
+      .map(_.getLong(0)).toSeq == Seq(5L, 6L))
+  }
+
   test("span-near per-row twin equals the join form; null text scores 0 across all three match exprs") {
     val d = docs(
       (1L, "a x x b x x c"),

@@ -176,5 +176,20 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(scored.forall(_ == 0L), scored.toSeq.toString)
     // the term-cost table over an empty corpus is an empty report
     assert(TextOps.termCostDeciles(emptyIdx, emptyDocs).count() == 0)
+    // the stop-candidate list over an empty corpus is empty
+    assert(TextOps.servingStopCandidates(emptyIdx, emptyDocs).count() == 0)
+    // co-occurrence: empty/malformed batches and empty indexes
+    assert(TextOps.coocFromIndex(emptyIdx, Seq("a", "b"), 3).count() == 0)
+    assert(TextOps.coocServeBatch(
+      Seq.empty[(Long, Seq[String], Int)].toDF("query_id", "terms", "win"),
+      idx).count() == 0)
+    val badCooc = Seq((1L, Seq("a"), 3), (2L, Seq("a", "b"), 0))
+      .toDF("query_id", "terms", "win")
+    assert(TextOps.coocServeBatch(badCooc, idx).count() == 0)
+    assert(TextOps.coocServeRejects(badCooc).count() == 2)
+    val coocScore = Seq((1L, ""), (2L, "a")).toDF("doc_id", "text")
+      .select(TextOps.coocMatchExpr(col("text"), Seq("a", "b"), 3))
+      .collect().map(_.getLong(0))
+    assert(coocScore.forall(_ == 0L), coocScore.toSeq.toString)
   }
 }

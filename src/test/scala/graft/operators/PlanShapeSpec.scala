@@ -787,6 +787,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(snplan.contains("BroadcastHashJoin") &&
       !snplan.contains("CartesianProduct"),
       s"span-near batch: request rows must broadcast, chain joins equi-keyed:\n$snplan")
+    // the unordered family: the single-query coverage count has NO join
+    // at all — the term seek feeds one partial-aggregated count
+    val cplan = executed(TextOps.coocFromIndex(idx, Seq("window", "join"), 5))
+    assert(cplan.contains("PushedFilters: [In(t"),
+      s"cooc: expected the term IN-list pushed to the scan in:\n$cplan")
+    assert(!cplan.contains("Join"),
+      s"cooc: the coverage count must not join anything:\n$cplan")
+    // and its batch form joins ONLY the broadcast request rows
+    val cbatch = Seq((1L, Seq("window", "join"), 5),
+        (2L, Seq("window", "join", "hash"), 12))
+      .toDF("query_id", "terms", "win")
+    val cbplan = executed(TextOps.coocServeBatch(cbatch, idx))
+    assert(cbplan.contains("PushedFilters: [In(t"),
+      s"cooc batch: expected the term IN-list pushed to the scan in:\n$cbplan")
+    assert(cbplan.contains("BroadcastHashJoin") &&
+      !cbplan.contains("SortMergeJoin") &&
+      !cbplan.contains("CartesianProduct"),
+      s"cooc batch: the only join is the broadcast request attach:\n$cbplan")
   }
 
   test("distributed ntile: the rank window is partition-keyed — never the move-everything-to-one-task plan") {

@@ -112,4 +112,47 @@ class SpanNearPropertySpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSeq == Seq(9L))
     }
   }
+
+  /** Reference for the UNORDERED family: window starts [i, i+win)
+    * containing every distinct term — a direct scan, no cleverness.
+    */
+  private def refWindows(toks: Seq[String], terms: Seq[String], win: Int): Long = {
+    val ts = terms.distinct
+    toks.indices.count { i =>
+      val seen = toks.slice(i, i + win).toSet
+      ts.forall(seen.contains)
+    }.toLong
+  }
+
+  test("co-occurrence fold, coverage join form, and batch server all equal the reference scan") {
+    val s = TestSpark.spark
+    import s.implicits._
+    (501L to 506L).foreach { seed =>
+      val (docs, terms, win) = sample(seed)
+      val ts = terms.distinct
+      if (ts.length >= 2) {
+        val expected = docs.zipWithIndex.map { case (toks, i) =>
+          i.toLong -> refWindows(toks, ts, win)
+        }.toMap
+        val df = docs.zipWithIndex
+          .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+          .toDF("doc_id", "text")
+        val viaExpr = df.select(col("doc_id"),
+            TextOps.coocMatchExpr(col("text"), terms, win).as("m"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(viaExpr == expected,
+          s"seed $seed terms=$terms win=$win: fold $viaExpr vs scan $expected")
+        val viaJoin = TextOps.coocSearch(df, terms, win).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(viaJoin == expected.filter(_._2 > 0L),
+          s"seed $seed terms=$terms win=$win: coverage $viaJoin vs scan")
+        val served = TextOps.coocServeBatch(
+            Seq((1L, terms, win)).toDF("query_id", "terms", "win"),
+            TextOps.buildPositionalIndex(df))
+          .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+        assert(served == expected.filter(_._2 > 0L),
+          s"seed $seed terms=$terms win=$win: served $served vs scan")
+      }
+    }
+  }
 }

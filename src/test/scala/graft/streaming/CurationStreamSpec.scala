@@ -280,6 +280,73 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(served3 == survivors, s"$served3\nvs\n$survivors")
   }
 
+  test("co-occurrence serving stream: mixed-window batch equals the per-query coverage form; rejects surface; tombstones land between requests") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val idxDir = Files.createTempDirectory("graft-coocserve-idx").toString
+    val idx = TextOps.trainAndSavePositionalIndex(docs, idxDir)
+    val victim = TextOps.coocFromIndex(idx).collect().head.getLong(0)
+    val tombDir = Files.createTempDirectory("graft-coocserve-tomb").toString
+    Seq.empty[Long].toDF("doc_id").write.mode("overwrite").parquet(tombDir)
+
+    val reqs = Seq(
+      (1L, TextOps.CoocTerms, TextOps.CoocWindow),
+      (2L, Seq("window", "join"), 4),
+      (9L, Seq("window", "window"), 4)) // 1 distinct term: malformed
+    val expected = reqs.filter(_._2.distinct.length >= 2).flatMap {
+      case (qid, terms, win) =>
+        TextOps.coocFromIndex(idx, terms, win).collect()
+          .map(r => ((qid, r.getLong(0)), r.getLong(1)))
+    }.toMap
+    val dataDir = Files.createTempDirectory("graft-coocserve-req").toString
+    def writeReqs(rows: Seq[(Long, Seq[String], Int)], i: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft-coocserve-chunk").toString
+      rows.toDF("query_id", "terms", "win")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      Files.move(part.toPath,
+        new java.io.File(dataDir, f"req-$i%03d.parquet").toPath)
+      ()
+    }
+    writeReqs(reqs, 0)
+    val got = scala.collection.concurrent.TrieMap.empty[(Long, Long), Long]
+    val rejected = scala.collection.concurrent.TrieMap.empty[Long, Unit]
+    val stream = spark.readStream
+      .schema(reqs.toDF("query_id", "terms", "win").schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = CurationStream.coocServeWithTombstones(stream, idx, tombDir)(
+      b => b.collect().foreach(r =>
+        got.put((r.getLong(0), r.getLong(1)), r.getLong(2))),
+      rej => rej.collect().foreach(r => rejected.put(r.getLong(0), ())))
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-coocserve-ckpt").toString)
+      .start()
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(cond, s"timed out waiting for $what")
+    }
+    await(got.keys.exists(_._1 == 2L) && rejected.contains(9L),
+      "first request batch + its reject")
+    assert(got.toMap == expected, s"${got.toMap}\nvs\n$expected")
+    assert(rejected.keySet == Set(9L), rejected.keySet.toString)
+    Seq(victim).toDF("doc_id").write.mode("append").parquet(tombDir)
+    writeReqs(Seq((3L, TextOps.CoocTerms, TextOps.CoocWindow)), 1)
+    await(got.keys.exists(_._1 == 3L), "post-erasure request")
+    q.stop()
+    q.awaitTermination(30000)
+    val served3 = got.toSeq.collect { case ((3L, d), n) => d -> n }.toMap
+    assert(!served3.contains(victim), "post-erasure serve must not include the victim")
+    val survivors = TextOps.coocFromIndex(
+        TextOps.deleteListFromPositionalIndex(idx, Seq(victim).toDF("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served3 == survivors, s"$served3\nvs\n$survivors")
+  }
+
   test("tombstoned serving: a doc erased between requests vanishes from the next batch") {
     val spark = TestSpark.spark
     import spark.implicits._
@@ -1199,7 +1266,7 @@ class CurationStreamSpec extends AnyFunSuite {
     }
   }
 
-  test("positional per-row gates score a stream: phrase, proximity and span-near counts equal the batch join forms row for row") {
+  test("positional per-row gates score a stream: phrase, proximity, span-near and co-occurrence counts equal the batch join forms row for row") {
     val spark = TestSpark.spark
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val T = graft.operators.TextOps
@@ -1209,10 +1276,12 @@ class CurationStreamSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val batchSpan = T.spanNearSearch(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchCooc = T.coocSearch(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     val dataDir = Files.createTempDirectory("graft-stream-pos-data").toString
     docs.coalesce(1).write.mode("overwrite").parquet(dataDir)
-    val got = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long, Long)]
+    val got = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long, Long, Long)]
     val stream = spark.readStream.schema(docs.schema).parquet(dataDir)
     // all three expressions are pure per-row folds — the SAME columns
     // gate the stream (the classifier/gopher stateless-gate
@@ -1220,24 +1289,28 @@ class CurationStreamSpec extends AnyFunSuite {
     val q = stream.select(col("doc_id"),
         T.phraseMatchExpr(col("text"), T.PhraseQuery).as("np"),
         T.proximityMatchExpr(col("text"), "window", "join").as("nx"),
-        T.spanNearMatchExpr(col("text")).as("ns"))
+        T.spanNearMatchExpr(col("text")).as("ns"),
+        T.coocMatchExpr(col("text")).as("nc"))
       .writeStream.outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, _: Long) =>
         b.collect().foreach(r =>
-          got.put(r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+          got.put(r.getLong(0),
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
         ()
       }.start()
     assert(q.awaitTermination(120000), "positional gate stream did not finish")
     q.stop()
     assert(got.size == docs.count(), s"${got.size}")
-    got.foreach { case (id, (np, nx, ns)) =>
+    got.foreach { case (id, (np, nx, ns, nc)) =>
       assert(np == batchPhrase.getOrElse(id, 0L),
         s"doc $id phrase: stream $np vs batch ${batchPhrase.get(id)}")
       assert(nx == batchProx.getOrElse(id, 0L),
         s"doc $id proximity: stream $nx vs batch ${batchProx.get(id)}")
       assert(ns == batchSpan.getOrElse(id, 0L),
         s"doc $id span-near: stream $ns vs batch ${batchSpan.get(id)}")
+      assert(nc == batchCooc.getOrElse(id, 0L),
+        s"doc $id cooc: stream $nc vs batch ${batchCooc.get(id)}")
     }
   }
 
