@@ -98,6 +98,14 @@ object Portable {
 
   def sqlTokens(e: String): String = s"regexp_split_to_array(lower(trim($e)), '\\s+')"
 
+  /** A SQL STRING LITERAL for `s` — single quotes doubled (the ANSI
+    * escape both engines accept). Every oracle builder that interpolates
+    * a runtime term/phrase into SQL must route it through here: the
+    * builders are public API, and a term containing `'` would otherwise
+    * produce a syntactically broken (or injected) oracle query.
+    */
+  def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** Word n-gram size for shingling (dedup family). */
   val ShingleN = 3
 

@@ -67,17 +67,25 @@ object Ranking {
     }
     val pidCol = fresh("__pid")
     val rnCol = fresh("__rn")
-    // persist, not localCheckpoint: the counts collect below is the
-    // FIRST action, so it materializes the cache as a side effect and
-    // the whole op costs one job over the input (the checkpoint form
-    // paid a materialization job plus a second counting pass). The
-    // layout is equally frozen: partitions compute once and are reused
-    // by step 3 (MEMORY_AND_DISK spills rather than recomputes).
+    // LAZY localCheckpoint, not persist: the counts collect below is
+    // the FIRST action, so it materializes the checkpoint blocks as a
+    // side effect and the whole op still costs one job over the input
+    // (eager=true paid a materialization job plus a second counting
+    // pass — the round-14 shape). The layout is equally frozen (step 3
+    // reads the saved blocks, never re-runs the range exchange, so the
+    // sampled range bounds the counts were collected under are the
+    // bounds every consumer sees). Unlike persist(), this registers NO
+    // CacheManager entry: blocks die with the RDD via the
+    // ContextCleaner once the returned frame is unreferenced, so a
+    // long-lived session calling withNtile/withRowNumber on varied
+    // inputs holds at most the live frames' blocks — no session-long
+    // cache accumulation and no "already cached" double-cache warnings
+    // (RankingLifecycleSpec pins the cache-manager contract).
     val mat = df
       .repartitionByRange(parts, keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn(pidCol, spark_partition_id())
-      .persist()
+      .localCheckpoint(false)
     // partition counts: a config-bounded driver round-trip (<= parts
     // rows), collected from the SAME materialized layout step 3 reads
     val counts = mat.groupBy(col(pidCol)).agg(count(lit(1)).as("__c"))

@@ -450,7 +450,7 @@ object TextOps {
   def sqlBm25TopK: String = sqlBm25TopKOver("TRUE")
 
   def sqlBm25TopKOver(pred: String): String = {
-    val q = Bm25Query.map(t => s"'$t'").mkString(", ")
+    val q = Bm25Query.map(Portable.sqlLit).mkString(", ")
     s"""WITH toks AS (SELECT doc_id, unnest(${graft.functions.Portable.sqlTokens("text")}) AS t
        |  FROM documents WHERE $pred),
        |p AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
@@ -514,7 +514,8 @@ object TextOps {
     * channel (the streaming twins surface it via `onRejects`).
     */
   private def bm25ValidPred: Column =
-    col("terms").isNotNull && size(col("terms")) >= 1
+    col("terms").isNotNull && size(col("terms")) >= 1 &&
+      forall(col("terms"), _.isNotNull)
 
   /** The query_ids [[bm25ServeBatch]] drops as malformed. */
   def bm25ServeRejects(queries: DataFrame): DataFrame =
@@ -822,13 +823,22 @@ object TextOps {
     * are ordered so the predicate is never three-valued-NULL (isNotNull
     * first), keeping serve + rejects a true partition of the batch.
     */
+  // each array-shaped predicate also rejects a NULL ELEMENT inside the
+  // array: a null term never equi-joins a posting, so without the check
+  // the request would silently serve zero rows yet be absent from
+  // *ServeRejects — exactly the "bad request indistinguishable from
+  // zero matches" state the rejects channel exists to eliminate. The
+  // forall lambda is isNotNull, which is two-valued per element, so the
+  // guard itself can never go three-valued-NULL.
   private def phraseValidPred: Column =
-    col("phrase").isNotNull && size(col("phrase")) >= 1
+    col("phrase").isNotNull && size(col("phrase")) >= 1 &&
+      forall(col("phrase"), _.isNotNull)
   private def proximityValidPred: Column =
     col("a").isNotNull && col("b").isNotNull &&
       col("slop").isNotNull && col("slop") >= 1
   private def spanNearValidPred: Column =
     col("terms").isNotNull && size(col("terms")) >= 2 &&
+      forall(col("terms"), _.isNotNull) &&
       col("gap").isNotNull && col("gap") >= 1
 
   /** The query_ids [[phraseServeBatch]] DROPS as malformed (null or
@@ -1125,7 +1135,7 @@ object TextOps {
   def sqlSpanNearServeBatch(requests: Seq[(Long, Seq[String], Int)]): String = {
     val legs = requests.map { case (qid, terms, gap) =>
       val ls = terms.zipWithIndex.map { case (term, i) =>
-        s"l$i AS (SELECT doc_id, i AS p$i FROM pp WHERE t = '$term')"
+        s"l$i AS (SELECT doc_id, i AS p$i FROM pp WHERE t = ${Portable.sqlLit(term)})"
       }.mkString(",\n")
       val joins = (1 until terms.length).map(i =>
         s"JOIN l$i ON l$i.doc_id = l${i - 1}.doc_id " +
@@ -1232,6 +1242,7 @@ object TextOps {
 
   private def coocValidPred: Column =
     col("terms").isNotNull && size(array_distinct(col("terms"))) >= 2 &&
+      forall(col("terms"), _.isNotNull) &&
       col("win").isNotNull && col("win") >= 1
 
   /** The query_ids [[coocServeBatch]] drops as malformed. */
@@ -1270,7 +1281,7 @@ object TextOps {
 
   private def sqlCoocOver(ts: Seq[String], window: Int, winExpr: String,
                           nExpr: String, pred: String): String = {
-    val inList = ts.map(t => s"'$t'").mkString(", ")
+    val inList = ts.map(Portable.sqlLit).mkString(", ")
     s"""SELECT doc_id, count(*)::BIGINT AS n_windows FROM (
        |  SELECT doc_id, s FROM (
        |    SELECT DISTINCT doc_id, t, s FROM (
@@ -1427,7 +1438,7 @@ object TextOps {
   def sqlSpanNearSearch(terms: Seq[String] = SpanNearTerms,
                         gap: Int = SpanNearGap): String = {
     val legs = terms.zipWithIndex.map { case (term, i) =>
-      s"l$i AS (SELECT doc_id, i AS p$i FROM pp WHERE t = '$term')"
+      s"l$i AS (SELECT doc_id, i AS p$i FROM pp WHERE t = ${Portable.sqlLit(term)})"
     }.mkString(",\n")
     val joins = (1 until terms.length).map(i =>
       s"JOIN l$i ON l$i.doc_id = l${i - 1}.doc_id " +
@@ -1452,8 +1463,8 @@ object TextOps {
        |  FROM documents),
        |pp AS (SELECT doc_id, i, w[i] AS t FROM stoks,
        |  LATERAL unnest(range(1, len(w) + 1)) r(i)),
-       |la AS (SELECT doc_id, i AS pa FROM pp WHERE t = '$a'),
-       |lb AS (SELECT doc_id, i AS pb FROM pp WHERE t = '$b')
+       |la AS (SELECT doc_id, i AS pa FROM pp WHERE t = ${Portable.sqlLit(a)}),
+       |lb AS (SELECT doc_id, i AS pb FROM pp WHERE t = ${Portable.sqlLit(b)})
        |SELECT doc_id, count(*)::BIGINT AS n_pairs
        |FROM la JOIN lb USING (doc_id)
        |WHERE pb - pa > 0 AND pb - pa <= $slop
@@ -1471,7 +1482,7 @@ object TextOps {
   def sqlPhraseSearchOver(pred: String,
                           phrase: Seq[String] = PhraseQuery): String = {
     val legs = phrase.zipWithIndex.map { case (term, i) =>
-      s"l$i AS (SELECT doc_id, i - $i AS p0 FROM pp WHERE t = '$term')"
+      s"l$i AS (SELECT doc_id, i - $i AS p0 FROM pp WHERE t = ${Portable.sqlLit(term)})"
     }.mkString(",\n")
     val joins = (1 until phrase.length)
       .map(i => s"JOIN l$i USING (doc_id, p0)").mkString(" ")

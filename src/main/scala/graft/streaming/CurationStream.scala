@@ -1006,7 +1006,7 @@ object CurationStream {
   def bm25Serve(queries: DataFrame, idx: graft.operators.TextOps.Bm25Index,
                 k: Int = graft.operators.TextOps.Bm25TopK)
                (onBatch: DataFrame => Unit,
-                onRejects: DataFrame => Unit = _ => ())
+                onRejects: DataFrame => Unit = NoRejects)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1056,7 +1056,7 @@ object CurationStream {
                               tombstoneDir: String,
                               k: Int = graft.operators.TextOps.Bm25TopK)
                              (onBatch: DataFrame => Unit,
-                              onRejects: DataFrame => Unit = _ => ())
+                              onRejects: DataFrame => Unit = NoRejects)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1083,7 +1083,7 @@ object CurationStream {
   def phraseServe(queries: DataFrame,
                   idx: graft.operators.TextOps.PositionalIndex)
                  (onBatch: DataFrame => Unit,
-                  onRejects: DataFrame => Unit = _ => ())
+                  onRejects: DataFrame => Unit = NoRejects)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1095,17 +1095,32 @@ object CurationStream {
         ()
       }
 
+  /** The DEFAULT no-op rejects consumer — a SENTINEL, not just a
+    * convenience: [[surfaceRejects]] compares against it by reference
+    * and skips the rejects computation entirely when a caller left the
+    * default in place, so the ten serving twins pay the extra per-
+    * micro-batch Spark job (an `isEmpty` over the request batch) ONLY
+    * when someone actually consumes the channel. A caller who wants the
+    * no-op behavior while still paying for detection can pass its own
+    * `_ => ()` literal, which is a different function instance.
+    */
+  val NoRejects: DataFrame => Unit = _ => ()
+
   /** The malformed-request channel shared by the positional serving
     * twins: the batch servers DROP requests that would poison the
     * shared plan (empty phrases, sub-1 slops, sub-2 chains), so a
     * rejected request would otherwise be indistinguishable from a
     * query with zero matches. Each micro-batch hands the dropped
-    * query_ids to `onRejects` (default no-op) so an operator can alert
-    * on a malformed-request producer without parsing serve output.
+    * query_ids to `onRejects` (default [[NoRejects]], which skips the
+    * whole computation) so an operator can alert on a malformed-request
+    * producer without parsing serve output.
     */
-  private def surfaceRejects(rejects: DataFrame,
+  private def surfaceRejects(rejects: => DataFrame,
                              onRejects: DataFrame => Unit): Unit =
-    if (!rejects.isEmpty) onRejects(rejects)
+    if (!(onRejects eq NoRejects)) {
+      val r = rejects
+      if (!r.isEmpty) onRejects(r)
+    }
 
   /** [[phraseServe]] with the PER-BATCH TOMBSTONE read
     * ([[bm25ServeWithTombstones]]' rule): each micro-batch re-reads the
@@ -1119,7 +1134,7 @@ object CurationStream {
                                 idx: graft.operators.TextOps.PositionalIndex,
                                 tombstoneDir: String)
                                (onBatch: DataFrame => Unit,
-                                onRejects: DataFrame => Unit = _ => ())
+                                onRejects: DataFrame => Unit = NoRejects)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1141,7 +1156,7 @@ object CurationStream {
   def proximityServe(queries: DataFrame,
                      idx: graft.operators.TextOps.PositionalIndex)
                     (onBatch: DataFrame => Unit,
-                     onRejects: DataFrame => Unit = _ => ())
+                     onRejects: DataFrame => Unit = NoRejects)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1161,7 +1176,7 @@ object CurationStream {
                                    idx: graft.operators.TextOps.PositionalIndex,
                                    tombstoneDir: String)
                                   (onBatch: DataFrame => Unit,
-                                   onRejects: DataFrame => Unit = _ => ())
+                                   onRejects: DataFrame => Unit = NoRejects)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1186,7 +1201,7 @@ object CurationStream {
   def spanNearServe(queries: DataFrame,
                     idx: graft.operators.TextOps.PositionalIndex)
                    (onBatch: DataFrame => Unit,
-                    onRejects: DataFrame => Unit = _ => ())
+                    onRejects: DataFrame => Unit = NoRejects)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1207,7 +1222,7 @@ object CurationStream {
                                   idx: graft.operators.TextOps.PositionalIndex,
                                   tombstoneDir: String)
                                  (onBatch: DataFrame => Unit,
-                                  onRejects: DataFrame => Unit = _ => ())
+                                  onRejects: DataFrame => Unit = NoRejects)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1231,7 +1246,7 @@ object CurationStream {
   def coocServe(queries: DataFrame,
                 idx: graft.operators.TextOps.PositionalIndex)
                (onBatch: DataFrame => Unit,
-                onRejects: DataFrame => Unit = _ => ())
+                onRejects: DataFrame => Unit = NoRejects)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1250,7 +1265,7 @@ object CurationStream {
                               idx: graft.operators.TextOps.PositionalIndex,
                               tombstoneDir: String)
                              (onBatch: DataFrame => Unit,
-                              onRejects: DataFrame => Unit = _ => ())
+                              onRejects: DataFrame => Unit = NoRejects)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>

@@ -23,4 +23,24 @@ object Bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** True when the session's CacheManager holds NO entries — the
+    * resource-lifetime contract RankingLifecycleSpec pins: library
+    * operators must not leave session-long cache registrations behind
+    * (persist() entries live until session end; localCheckpoint blocks
+    * are ContextCleaner-scoped instead). SharedState is sql-private,
+    * hence the bridge.
+    */
+  def noCachedPlans(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
+
+  /** Drop every CacheManager entry (correctness-neutral: uncached plans
+    * recompute). Lets a lifecycle spec establish a clean baseline in a
+    * shared test session where earlier suites' query CONSTRUCTION
+    * legitimately registered caches.
+    */
+  def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.clearCache()
 }

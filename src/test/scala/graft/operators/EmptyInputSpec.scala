@@ -192,4 +192,43 @@ class EmptyInputSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(coocScore.forall(_ == 0L), coocScore.toSeq.toString)
   }
+
+  test("a NULL ELEMENT inside a request's term array is rejected, not silently zero-served") {
+    // the round-15 advisory: a null term never equi-joins a posting, so
+    // before the element check such a request served zero rows while
+    // being absent from *ServeRejects — indistinguishable from a real
+    // zero-match query. Each batch pairs the malformed request with a
+    // well-formed sibling to pin serve + rejects as a true partition.
+    val s = TestSpark.spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val idx = TextOps.buildPositionalIndex(docs)
+    def rejected(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+
+    val ph = Seq((1L, Seq("a", null)), (2L, Seq("a", "b")))
+      .toDF("query_id", "phrase")
+    assert(rejected(TextOps.phraseServeRejects(ph)) == Set(1L))
+    assert(rejected(TextOps.phraseServeBatch(ph, idx)
+      .select(col("query_id"))) == Set(2L))
+
+    val sn = Seq((1L, Seq("a", null, "c"), 2), (2L, Seq("a", "b"), 2))
+      .toDF("query_id", "terms", "gap")
+    assert(rejected(TextOps.spanNearServeRejects(sn)) == Set(1L))
+    assert(rejected(TextOps.spanNearServeBatch(sn, idx)
+      .select(col("query_id"))) == Set(2L))
+
+    val cc = Seq((1L, Seq("a", null, "b"), 4), (2L, Seq("a", "c"), 4))
+      .toDF("query_id", "terms", "win")
+    assert(rejected(TextOps.coocServeRejects(cc)) == Set(1L))
+    assert(rejected(TextOps.coocServeBatch(cc, idx)
+      .select(col("query_id"))) == Set(2L))
+
+    val bm = Seq((1L, Seq("a", null)), (2L, Seq("a")))
+      .toDF("query_id", "terms")
+    assert(rejected(TextOps.bm25ServeRejects(bm)) == Set(1L))
+    val bmIdx = TextOps.buildBm25Index(docs)
+    assert(rejected(TextOps.bm25ServeBatch(bm, bmIdx)
+      .select(col("query_id"))) == Set(2L))
+  }
 }

@@ -13,9 +13,14 @@ import graft.TestSpark
   * unpartitioned window is bounded" was a per-round judge audit; this
   * test makes it structural: the lint sweeps the OPTIMIZED logical plan
   * of every `SparkEntry.queries` entry, collects every Window node
-  * without partition keys, and fails unless the query is explicitly
-  * allowlisted with its boundedness argument. A future query that
-  * reintroduces a data-scaled serial window fails CI, not the cluster.
+  * without partition keys, and fails unless the window is SHAPE-BOUNDED
+  * (a provable row cap below it in the plan — see [[shapeBounded]]) or
+  * the query is explicitly allowlisted with its boundedness argument.
+  * Shape-provable beats allowlisted: the round-15 list carried 12
+  * entries (the limit+rank and BM25 rank<=k families) whose bound the
+  * optimizer already enforces — those are now CHECKED in the plan, and
+  * a stale-entry assert deleted them. A future query that reintroduces
+  * a data-scaled serial window fails CI, not the cluster.
   *
   * The sweep inspects plans WITHOUT executing the queries (artifact
   * builds memoized inside query construction do run, once, at the
@@ -33,25 +38,6 @@ class WindowLintSpec extends AnyFunSuite {
     * unpartitioned), so the list can only shrink when plans improve.
     */
   private val allowed: Map[String, String] = Map(
-    // --- rank over an orderBy+limit(K) cut: the limit compiles to
-    // TakeOrderedAndProject (map-side top-K), so exactly K rows reach
-    // the serial window (verified in the executed plans)
-    "c10_mahalanobis" -> "rank over limit(MahalTopK) rows",
-    "q37_top_paths" -> "rank over limit(PathTopK) rows",
-    "q38_blame_supplier" -> "rank over limit(20) rows",
-    "t39_collocations" -> "rank over limit(CollocTopK) rows",
-    "t42_textrank" -> "rank over limit(TrTopK) rows",
-    "t43_unigram_vocab" -> "rank over limit(TopOut) rows",
-    // --- rank<=k filter: Catalyst's InferWindowGroupLimit rewrites the
-    // input to a physical TakeOrderedAndProject below the window
-    // (verified: t31's plan shows the window fed by the top-k), so the
-    // serial stage sees k rows however large the posting list is
-    "t31_bm25_topk" -> "rank<=k over the scored set: top-k below the window",
-    "t32_bm25_from_saved" -> "t31's rank<=k shape over the saved index",
-    "t33_hybrid_rrf" -> "two rank<=k legs (bm25 + cosine), each top-k'd below its window",
-    "t34_bm25_merged" -> "t31's rank<=k shape over the merged index",
-    "t35_bm25_deleted" -> "t31's rank<=k shape over the tombstoned index",
-    "t46_bm25_compacted" -> "t31's rank<=k shape over the compacted index",
     // --- fixed config-bounded domains: the window input is an
     // aggregate over a domain that never scales with the corpus
     "p34_pps_sample" -> "carry cumsum over 64 shard totals (shard = hash % 64)",
@@ -73,14 +59,43 @@ class WindowLintSpec extends AnyFunSuite {
     "w32_seasonal" -> "±3-day rolling mean over one row per calendar day"
   )
 
-  test("every unpartitioned window in every registered query plan is allowlisted with a boundedness argument") {
+  /** The SHAPE-PROVABLE bound the optimizer itself guarantees: any
+    * window whose input, walking down through row-preserving/shrinking
+    * unary nodes (Project/Filter/Sort), is capped at this many rows is
+    * accepted WITHOUT an allowlist entry — the bound is CHECKED in the
+    * optimized plan, not claimed in a comment. Two shapes qualify:
+    *  - a Limit below the window (`maxRows` propagates up through
+    *    Project/Filter/Sort), the orderBy+limit(K)+rank family;
+    *  - Catalyst's InferWindowGroupLimit node (the `rank <= k` rewrite,
+    *    the t31 BM25 family): an UNPARTITIONED WindowGroupLimit feeds
+    *    the serial window at most `limit` rows (map-side partial top-k
+    *    + one k-row final), however large the posting list is.
+    * Every such bound is a config constant (top-k, report caps), so the
+    * ceiling just separates "config" from "corpus-scaled".
+    */
+  private val MaxProvableRows = 10000L
+
+  private def shapeBounded(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    if (p.maxRows.exists(_ <= MaxProvableRows)) true
+    else p match {
+      case g: WindowGroupLimit =>
+        g.partitionSpec.isEmpty && g.limit <= MaxProvableRows
+      case u @ (_: Project | _: Filter | _: Sort) =>
+        shapeBounded(u.asInstanceOf[UnaryNode].child)
+      case _ => false
+    }
+  }
+
+  test("every unpartitioned window in every registered query plan is shape-bounded or allowlisted with a boundedness argument") {
     val s = TestSpark.spark
     val offenders = scala.collection.mutable.SortedMap.empty[String, Int]
     for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
       val df = fn(s, dir)
       val wins = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
-            if w.partitionSpec.isEmpty => w
+            if w.partitionSpec.isEmpty && !shapeBounded(w.child) => w
       }
       if (wins.nonEmpty) offenders(name) = wins.size
     }
