@@ -406,11 +406,14 @@ object Forget {
     * holds what a build of its declared slice produces — the health
     * check checks itself.
     *
-    * Scale shape: every `n_rows`/`covered_keys` is an aggregate over an
-    * artifact table; `fresh_keys` is metadata or one shared corpus
-    * pass (the shingle-doc and gram probes are TakeOrdered-free
-    * distinct-count aggregations); nothing is collected, nothing joins
-    * corpus-to-corpus.
+    * Scale shape: every `n_rows`/`covered_keys` is ONE aggregate over
+    * its artifact table (the regular legs compute both in a single
+    * scan); every doc-keyed `fresh_keys` probe is a conditional
+    * aggregate over ONE shared tokenizing corpus scan, so the report's
+    * corpus cost stays constant as the catalog grows — only the
+    * gram-distinct probe (a corpus-wide DISTINCT) and the pair probe
+    * (artifact-scaled) keep their own passes. Nothing is collected,
+    * nothing joins corpus-to-corpus.
     */
   def artifactManifest(docs: DataFrame, events: DataFrame, emb: DataFrame,
                        idx: Dedup.LshIndex, labels: DataFrame,
@@ -420,64 +423,73 @@ object Forget {
                        lmOld: TextOps.SurprisalModel,
                        posOld: TextOps.PositionalIndex): DataFrame = {
     val cls = ArtifactCatalog.toMap
-    def leg(name: String, rows: DataFrame, covered: DataFrame,
-            fresh: DataFrame): DataFrame =
-      rows.crossJoin(covered).crossJoin(fresh)
+    def leg(name: String, stats: DataFrame, fresh: DataFrame): DataFrame =
+      stats.crossJoin(fresh)
         .select(lit(name).as("artifact"),
           lit(cls(name)).as("erasure_class"),
           col("n_rows"), col("covered_keys"), col("fresh_keys"),
           (col("covered_keys") < col("fresh_keys")).as("stale"))
-    def cnt(df: DataFrame) = df.agg(count(lit(1)).as("n_rows"))
-    def dcov(df: DataFrame, c: String) =
-      df.agg(countDistinct(col(c)).as("covered_keys"))
-    val docCount = docs.agg(count(lit(1)).as("fresh_keys"))
-    // shared corpus probes, materialized once (two legs read shDocs)
-    val shDocs = Dedup.rawShingles(docs)
-      .agg(countDistinct(col("doc_id")).as("fresh_keys"))
+    // the regular legs' n_rows + covered_keys come from the SAME
+    // artifact table, so one aggregate serves both — half the artifact
+    // scans of the two-frame form this replaces
+    def stats(df: DataFrame, c: String) =
+      df.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(c)).as("covered_keys"))
+    // THE SHARED CORPUS SCAN: every doc-keyed fresh_keys probe is a
+    // conditional aggregate over one tokenizing pass — doc count, token
+    // total, non-empty-tokenizing docs (what a fresh positional build
+    // would index), asset count (every doc + the %10 variant the mm
+    // fixture plants), and shingle-producing docs (rawShingles emits
+    // rows exactly for docs with >= ShingleN tokens, so the count IS
+    // countDistinct(doc_id) over the shingle stream without exploding
+    // it). Previously five separate corpus scans, three of them
+    // tokenizing — the "catalog size x corpus passes" growth the
+    // round-15 bench flagged on p54. The gram-distinct probe keeps its
+    // own pass (a corpus-wide DISTINCT cannot fold into a row-level
+    // aggregate); everything else here reads artifacts or events.
+    val docProbe = docs
+      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("w"))), lit(0L)).cast("bigint").as("n_tokens"),
+        count(when(size(col("w")) > 0, lit(1))).as("n_token_docs"),
+        (count(lit(1)) +
+          count(when(col("doc_id") % 10 === 0, lit(1)))).as("n_assets"),
+        count(when(size(col("w")) >= Portable.ShingleN, lit(1)))
+          .as("n_shingle_docs"))
       .localCheckpoint(true)
+    def freshFrom(c: String) = docProbe.select(col(c).as("fresh_keys"))
     val pairDocs = Dedup.indexPairs(idx)
       .select(explode(array(col("ia"), col("ib"))).as("d"))
       .agg(countDistinct(col("d")).as("fresh_keys"))
     val gramCount = Dedup.positionalGrams(
         docs.select(col("doc_id"), Portable.tokens(col("text")).as("w")))
       .agg(countDistinct(col("g")).as("fresh_keys"))
-    // one tokenizing pass feeds BOTH token-keyed probes (lm totals and
-    // positional doc coverage) — the shDocs shared-probe rule
-    val tokProbe = docs
-      .agg(coalesce(sum(size(Portable.tokens(col("text")))), lit(0L))
-          .cast("bigint").as("n_tokens"),
-        count(when(size(Portable.tokens(col("text"))) > 0, lit(1)))
-          .as("n_token_docs"))
-      .localCheckpoint(true)
-    val tokenCount = tokProbe.select(col("n_tokens").as("fresh_keys"))
-    val assetCount = docs
-      .agg((count(lit(1)) +
-        count(when(col("doc_id") % 10 === 0, lit(1)))).as("fresh_keys"))
     val dayCount = events.filter(col("ts").isNotNull)
       .agg(countDistinct(to_date(col("ts"))).as("fresh_keys"))
-    leg("ann_cells", cnt(annInc.cells), dcov(annInc.cells, "vec_id"),
+    leg("ann_cells", stats(annInc.cells, "vec_id"),
         emb.agg(count(lit(1)).as("fresh_keys")))
-      .unionByName(leg("bm25_postings", cnt(bm25Old.postings),
-        dcov(bm25Old.doclen, "doc_id"), docCount))
-      .unionByName(leg("dup_labels", cnt(labels),
-        dcov(labels, "doc_id"), pairDocs))
-      .unionByName(leg("kmv_days", cnt(kmvSaved),
-        dcov(kmvSaved, "day"), dayCount))
-      .unionByName(leg("lm_counts", cnt(lmOld.counts),
-        lmOld.totals.select(col("n").as("covered_keys")), tokenCount))
-      .unionByName(leg("lsh_buckets", cnt(idx.buckets),
-        dcov(idx.buckets, "doc_id"), shDocs))
-      .unionByName(leg("lsh_shingles", cnt(idx.shingles),
-        dcov(idx.shingles, "doc_id"), shDocs))
-      .unionByName(leg("media_fingerprints", cnt(mediaFp),
-        dcov(mediaFp, "asset_id"), assetCount))
-      .unionByName(leg("pos_postings", cnt(posOld.postings),
-        dcov(posOld.postings, "doc_id"),
+      .unionByName(leg("bm25_postings",
+        bm25Old.postings.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(bm25Old.doclen
+            .agg(countDistinct(col("doc_id")).as("covered_keys"))),
+        freshFrom("n_docs")))
+      .unionByName(leg("dup_labels", stats(labels, "doc_id"), pairDocs))
+      .unionByName(leg("kmv_days", stats(kmvSaved, "day"), dayCount))
+      .unionByName(leg("lm_counts",
+        lmOld.counts.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(lmOld.totals.select(col("n").as("covered_keys"))),
+        freshFrom("n_tokens")))
+      .unionByName(leg("lsh_buckets", stats(idx.buckets, "doc_id"),
+        freshFrom("n_shingle_docs")))
+      .unionByName(leg("lsh_shingles", stats(idx.shingles, "doc_id"),
+        freshFrom("n_shingle_docs")))
+      .unionByName(leg("media_fingerprints", stats(mediaFp, "asset_id"),
+        freshFrom("n_assets")))
+      .unionByName(leg("pos_postings", stats(posOld.postings, "doc_id"),
         // a zero-token doc has no occurrences, so fresh coverage counts
         // docs that tokenize non-empty (what a fresh build would index)
-        tokProbe.select(col("n_token_docs").as("fresh_keys"))))
-      .unionByName(leg("substr_grams", cnt(substrIdx),
-        dcov(substrIdx, "g"), gramCount))
+        freshFrom("n_token_docs")))
+      .unionByName(leg("substr_grams", stats(substrIdx, "g"), gramCount))
       .orderBy(col("artifact"))
   }
 
