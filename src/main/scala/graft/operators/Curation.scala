@@ -1418,6 +1418,57 @@ object Curation {
        |ORDER BY stage, item""".stripMargin
   }
 
+  // ------------------------------------- full multimodal ingest (p56)
+
+  /** The daily-ingest report EXTENDED to the perceptual modalities
+    * (p56) — the last compositional gap of the artifact economy: p41
+    * proves the text/embedding legs cohere in one plan, but a
+    * multimodal crawl's day also band-probes the SAVED image/audio
+    * fingerprint tables and the per-frame video index (mm11/mm12/mm13).
+    * This appends one (stage, item, n) row per media leg — the shard's
+    * near-dup pair count against saved ∪ shard fingerprints — to the
+    * p41 report, so ONE query covers a multimodal shard's full ingest:
+    * lexical pairs and labels, span coverage, semantic verdicts, merged
+    * LM, release diff, AND the three perceptual dedup legs. The oracle
+    * ([[sqlDailyIngestFull]]) nests the mm11–mm13 oracles verbatim
+    * (the p32/p41 composition rule), so the composite can never drift
+    * from the standalone legs.
+    *
+    * Scale shape: pure composition again — each media leg keeps its own
+    * shard-probe plan (shard-side decode only, band-bucketed candidate
+    * join, 8–12 B fingerprints; the saved corpus is never re-decoded),
+    * and the report adds only three single-row aggregates to p41's
+    * union.
+    */
+  def dailyIngestFull(base: DataFrame, imgPairs: DataFrame,
+                      audPairs: DataFrame, vidPairs: DataFrame): DataFrame = {
+    def one(stage: Long, item: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n"))
+        .select(lit(stage).as("stage"), lit(item).as("item"), col("n"))
+    base
+      .unionByName(one(8L, "image_pairs", imgPairs))
+      .unionByName(one(9L, "audio_pairs", audPairs))
+      .unionByName(one(10L, "video_pairs", vidPairs))
+      .orderBy(col("stage"), col("item"))
+  }
+
+  /** Oracle for [[dailyIngestFull]]: [[sqlDailyIngest]] nested verbatim
+    * plus one counted leg per mm11/mm12/mm13 oracle, each nested
+    * verbatim inside its own subquery (CTE names stay scoped, so the
+    * three hash-replay chains cannot collide with the base report's).
+    */
+  def sqlDailyIngestFull: String = {
+    def cnt(sql: String): String =
+      s"(SELECT count(*)::BIGINT FROM (${Portable.sqlNoOrder(sql)}) t)"
+    s"""SELECT * FROM (
+       |SELECT * FROM (${Portable.sqlNoOrder(sqlDailyIngest)}) base
+       |UNION ALL SELECT 8::BIGINT AS stage, 'image_pairs' AS item,
+       |  ${cnt(Multimodal.sqlImageShardPairs)} AS n
+       |UNION ALL SELECT 9, 'audio_pairs', ${cnt(Multimodal.sqlAudioShardPairs)}
+       |UNION ALL SELECT 10, 'video_pairs', ${cnt(Multimodal.sqlVideoShardPairs)})
+       |ORDER BY stage, item""".stripMargin
+  }
+
   // ------------------------------------------- segment-level dedup
 
   /** Non-overlapping segment width (tokens) for sub-document dedup. */

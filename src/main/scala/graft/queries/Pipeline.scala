@@ -51,6 +51,93 @@ object Pipeline {
     artifactDir("dupclusters", dir)(tmp =>
       graft.operators.Dedup.clusterAndSave(Tables.documents(s, dir), tmp))
 
+  /** The composed daily-ingest report over the text/embedding artifact
+    * economy — p41's body, shared with p56 (which appends the
+    * perceptual-media legs to the same base plan). Every artifact rides
+    * the per-(kind, corpus) memoization, so the two queries build each
+    * saved index exactly once per process.
+    */
+  private def dailyIngestBase(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val dCut = docs.count() * 4 / 5
+    val vCut = emb.count() * 4 / 5
+    val idxDir = artifactDir("lshindex", dir)(tmp =>
+      Dedup.buildAndSaveLshIndex(docs.filter(col("doc_id") < dCut), tmp))
+    val idx = Dedup.loadLshIndex(s, idxDir)
+    val labDir = artifactDir("lshlabels", dir)(tmp =>
+      Dedup.clusterIndexAndSave(idx, tmp))
+    val pairsDir = artifactDir("shardpairs", dir)(tmp =>
+      graft.sources.ModelStore.saveLarge(
+        Dedup.shardLshPairs(docs.filter(col("doc_id") >= dCut), idx), tmp))
+    val substrDir = artifactDir("substridx", dir)(tmp =>
+      Dedup.buildAndSaveSubstrIndex(docs.filter(col("doc_id") < dCut), tmp))
+    val kmDir = artifactDir("km_old", dir)(tmp =>
+      Similarity.trainAndSaveKmeans(emb.filter(col("vec_id") < vCut), 4, 2, tmp))
+    val lmOldDir = artifactDir("lm_old", dir)(tmp =>
+      TextOps.trainAndSaveSurprisalModel(docs.filter(col("doc_id") < dCut), tmp))
+    val lmShardDir = artifactDir("lm_shard", dir)(tmp =>
+      TextOps.trainAndSaveSurprisalModel(docs.filter(col("doc_id") >= dCut), tmp))
+    Curation.dailyIngest(docs, emb, dCut, vCut,
+      graft.sources.ModelStore.load(s, pairsDir),
+      Dedup.loadClusters(s, labDir),
+      Dedup.loadSubstrIndex(s, substrDir),
+      graft.sources.ModelStore.load(s, s"$kmDir/centroids"),
+      graft.sources.ModelStore.load(s, s"$kmDir/cells"),
+      TextOps.loadSurprisalModel(s, lmOldDir),
+      TextOps.loadSurprisalModel(s, lmShardDir), 0.4)
+  }
+
+  /** mm11's body (shard-side image hashes band-probe the saved
+    * fingerprint table), shared with p56's image leg.
+    */
+  private def imageShardPairs(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cut = docs.count() * 4 / 5
+    val idxDir = artifactDir("imghash", dir) { tmp =>
+      graft.sources.ModelStore.saveLarge(
+        Multimodal.imageHashes(Multimodal.hashAssets(docs.filter(col("doc_id") < cut))),
+        s"$tmp/hashes")
+    }
+    Multimodal.imageShardNearDup(
+      graft.sources.ModelStore.load(s, s"$idxDir/hashes"),
+      Multimodal.hashAssets(docs.filter(col("doc_id") >= cut)))
+  }
+
+  /** mm12's body (waveform fingerprints), shared with p56's audio leg. */
+  private def audioShardPairs(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cut = docs.count() * 4 / 5
+    val idxDir = artifactDir("audhash", dir) { tmp =>
+      graft.sources.ModelStore.saveLarge(
+        Multimodal.audioHashes(
+          Multimodal.audioHashAssets(docs.filter(col("doc_id") < cut))),
+        s"$tmp/hashes")
+    }
+    Multimodal.audioShardNearDup(
+      graft.sources.ModelStore.load(s, s"$idxDir/hashes"),
+      Multimodal.audioHashAssets(docs.filter(col("doc_id") >= cut)))
+  }
+
+  /** mm13's body (per-frame hash index), shared with p56's video leg. */
+  private def videoShardPairs(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cut = docs.count() * 4 / 5
+    val idxDir = artifactDir("vidhash", dir) { tmp =>
+      graft.sources.ModelStore.saveLarge(
+        Multimodal.videoFrameHashes(
+          Multimodal.videoHashAssets(docs.filter(col("doc_id") < cut))),
+        s"$tmp/hashes")
+    }
+    Multimodal.videoShardNearDup(
+      graft.sources.ModelStore.load(s, s"$idxDir/hashes"),
+      Multimodal.videoHashAssets(docs.filter(col("doc_id") >= cut)))
+  }
+
   /** The t54 serving batch — mixed chain lengths, mixed gaps, shared by
     * the Spark query and the generated oracle: the t53 request verbatim
     * (one-row-batch == t53 modulo the query_id column), a k = 2 chain
@@ -1342,34 +1429,17 @@ object Pipeline {
     // merged-LM totals, release diff — with the component oracles
     // nested verbatim (the p32 composition rule)
     QueryDef.sql("p41_daily_ingest", Curation.sqlDailyIngest) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val emb = Tables.embeddings(s, dir)
-      val dCut = docs.count() * 4 / 5
-      val vCut = emb.count() * 4 / 5
-      val idxDir = artifactDir("lshindex", dir)(tmp =>
-        Dedup.buildAndSaveLshIndex(docs.filter(col("doc_id") < dCut), tmp))
-      val idx = Dedup.loadLshIndex(s, idxDir)
-      val labDir = artifactDir("lshlabels", dir)(tmp =>
-        Dedup.clusterIndexAndSave(idx, tmp))
-      val pairsDir = artifactDir("shardpairs", dir)(tmp =>
-        graft.sources.ModelStore.saveLarge(
-          Dedup.shardLshPairs(docs.filter(col("doc_id") >= dCut), idx), tmp))
-      val substrDir = artifactDir("substridx", dir)(tmp =>
-        Dedup.buildAndSaveSubstrIndex(docs.filter(col("doc_id") < dCut), tmp))
-      val kmDir = artifactDir("km_old", dir)(tmp =>
-        Similarity.trainAndSaveKmeans(emb.filter(col("vec_id") < vCut), 4, 2, tmp))
-      val lmOldDir = artifactDir("lm_old", dir)(tmp =>
-        TextOps.trainAndSaveSurprisalModel(docs.filter(col("doc_id") < dCut), tmp))
-      val lmShardDir = artifactDir("lm_shard", dir)(tmp =>
-        TextOps.trainAndSaveSurprisalModel(docs.filter(col("doc_id") >= dCut), tmp))
-      Curation.dailyIngest(docs, emb, dCut, vCut,
-        graft.sources.ModelStore.load(s, pairsDir),
-        Dedup.loadClusters(s, labDir),
-        Dedup.loadSubstrIndex(s, substrDir),
-        graft.sources.ModelStore.load(s, s"$kmDir/centroids"),
-        graft.sources.ModelStore.load(s, s"$kmDir/cells"),
-        TextOps.loadSurprisalModel(s, lmOldDir),
-        TextOps.loadSurprisalModel(s, lmShardDir), 0.4)
+      dailyIngestBase(s, dir)
+    },
+    // p41 EXTENDED to the perceptual modalities (p56): the same
+    // composed report plus one row per media shard-dedup leg (mm11
+    // image, mm12 audio, mm13 video pairs) — one plan covering a
+    // MULTIMODAL shard's full daily ingest, the component oracles
+    // nested verbatim so the composite can't drift from the legs
+    QueryDef.sql("p56_media_ingest", Curation.sqlDailyIngestFull) { (s, dir) =>
+      Curation.dailyIngestFull(dailyIngestBase(s, dir),
+        imageShardPairs(s, dir), audioShardPairs(s, dir),
+        videoShardPairs(s, dir))
     },
     QueryDef.sql("p36_manifest_diff", Curation.sqlManifestDiff) { (s, dir) =>
       val docs = Tables.documents(s, dir)
@@ -1571,46 +1641,17 @@ object Pipeline {
     // only its own images, band-probes the SAVED fingerprint table —
     // candidate volume scales with the shard, never re-decodes the corpus
     QueryDef.sql("mm11_image_shard_dedup", Multimodal.sqlImageShardPairs) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val cut = docs.count() * 4 / 5
-      val idxDir = artifactDir("imghash", dir) { tmp =>
-        graft.sources.ModelStore.saveLarge(
-          Multimodal.imageHashes(Multimodal.hashAssets(docs.filter(col("doc_id") < cut))),
-          s"$tmp/hashes")
-      }
-      Multimodal.imageShardNearDup(
-        graft.sources.ModelStore.load(s, s"$idxDir/hashes"),
-        Multimodal.hashAssets(docs.filter(col("doc_id") >= cut)))
+      imageShardPairs(s, dir)
     },
     // incremental audio-shard dedup (mm12): the waveform sibling of mm11
     // — shard decodes only itself, band-probes the saved fingerprints
     QueryDef.sql("mm12_audio_shard_dedup", Multimodal.sqlAudioShardPairs) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val cut = docs.count() * 4 / 5
-      val idxDir = artifactDir("audhash", dir) { tmp =>
-        graft.sources.ModelStore.saveLarge(
-          Multimodal.audioHashes(
-            Multimodal.audioHashAssets(docs.filter(col("doc_id") < cut))),
-          s"$tmp/hashes")
-      }
-      Multimodal.audioShardNearDup(
-        graft.sources.ModelStore.load(s, s"$idxDir/hashes"),
-        Multimodal.audioHashAssets(docs.filter(col("doc_id") >= cut)))
+      audioShardPairs(s, dir)
     },
     // incremental video-shard dedup (mm13): the temporal leg's shard
     // path — shard frames probe the saved (position, frame-hash) index
     QueryDef.sql("mm13_video_shard_dedup", Multimodal.sqlVideoShardPairs) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val cut = docs.count() * 4 / 5
-      val idxDir = artifactDir("vidhash", dir) { tmp =>
-        graft.sources.ModelStore.saveLarge(
-          Multimodal.videoFrameHashes(
-            Multimodal.videoHashAssets(docs.filter(col("doc_id") < cut))),
-          s"$tmp/hashes")
-      }
-      Multimodal.videoShardNearDup(
-        graft.sources.ModelStore.load(s, s"$idxDir/hashes"),
-        Multimodal.videoHashAssets(docs.filter(col("doc_id") >= cut)))
+      videoShardPairs(s, dir)
     },
     // per-user heartbeat gaps: the outages sessionization implies —
     // one lag over the per-key order, output only the silences

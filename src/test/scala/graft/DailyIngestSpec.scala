@@ -124,4 +124,55 @@ class DailyIngestSpec extends AnyFunSuite {
       r.getLong(3) == r.getLong(2) - r.getLong(1)),
       s"gate diff rows inconsistent: ${diff.mkString(", ")}")
   }
+
+  test("the p56 media-extended report equals the base report plus the standalone media legs") {
+    // the composition rule made a Spark-side pin (the oracle nests the
+    // component oracles; this nests the component OPERATORS): stages
+    // 0-7 are byte-identical to dailyIngest's own rows, and stages
+    // 8/9/10 carry exactly the standalone mm11/mm12/mm13 pair counts
+    val spark = TestSpark.spark
+    import graft.operators.Multimodal
+    val root = java.nio.file.Files.createTempDirectory("graft-p56").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dCut = docs.count() * 4 / 5
+    val vCut = emb.count() * 4 / 5
+    val oldDocs = docs.filter(col("doc_id") < dCut)
+    val shardDocs = docs.filter(col("doc_id") >= dCut)
+    Dedup.buildAndSaveLshIndex(oldDocs, s"$root/lsh")
+    val lshIdx = Dedup.loadLshIndex(spark, s"$root/lsh")
+    Dedup.clusterIndexAndSave(lshIdx, s"$root/lshlabels")
+    Dedup.buildAndSaveSubstrIndex(oldDocs, s"$root/substr")
+    TextOps.trainAndSaveSurprisalModel(oldDocs, s"$root/lm")
+    TextOps.trainAndSaveSurprisalModel(shardDocs, s"$root/lmShard")
+    Similarity.trainAndSaveKmeans(emb.filter(col("vec_id") < vCut), 4, 2, s"$root/km")
+    val base = Curation.dailyIngest(docs, emb, dCut, vCut,
+      Dedup.shardLshPairs(shardDocs, lshIdx),
+      Dedup.loadClusters(spark, s"$root/lshlabels"),
+      Dedup.loadSubstrIndex(spark, s"$root/substr"),
+      graft.sources.ModelStore.load(spark, s"$root/km/centroids"),
+      graft.sources.ModelStore.load(spark, s"$root/km/cells"),
+      TextOps.loadSurprisalModel(spark, s"$root/lm"),
+      TextOps.loadSurprisalModel(spark, s"$root/lmShard"), 0.4)
+    val img = Multimodal.imageShardNearDup(
+      Multimodal.imageHashes(Multimodal.hashAssets(oldDocs)),
+      Multimodal.hashAssets(shardDocs))
+    val aud = Multimodal.audioShardNearDup(
+      Multimodal.audioHashes(Multimodal.audioHashAssets(oldDocs)),
+      Multimodal.audioHashAssets(shardDocs))
+    val vid = Multimodal.videoShardNearDup(
+      Multimodal.videoFrameHashes(Multimodal.videoHashAssets(oldDocs)),
+      Multimodal.videoHashAssets(shardDocs))
+    val full = Curation.dailyIngestFull(base, img, aud, vid)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val baseRows = base.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(full.filter(_._1 <= 7L).sorted.sameElements(baseRows.sorted),
+      "stages 0-7 must be the base report verbatim")
+    assert(full.filter(_._1 >= 8L).toSeq.sortBy(_._1) == Seq(
+      (8L, "image_pairs", img.count()),
+      (9L, "audio_pairs", aud.count()),
+      (10L, "video_pairs", vid.count())),
+      "media stages must equal the standalone legs' pair counts")
+  }
 }
