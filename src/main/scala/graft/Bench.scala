@@ -33,8 +33,34 @@ object Bench {
     // ambient load BEFORE any Spark work: the co-tenant noise a judge
     // needs to separate machine load from regression (the end-of-run
     // loadavg includes this bench's own threads)
-    val loadavgStart = java.lang.management.ManagementFactory
+    def loadavg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadavgAmbient = loadavg
+    // IDLE-START GATE (the scaling sweep's protocol, encoded): a bench
+    // started on a loaded host publishes noise — the round-15 driver
+    // run started at loadavg 5.56/32 and flagged 14 queries the
+    // clean-start run didn't. Above SPARK_GRAFT_MAX_LOAD (default 2.0)
+    // this WAITS for the 1-minute load to drain, up to
+    // SPARK_GRAFT_IDLE_WAIT seconds (default 300), polling every 10 s;
+    // it never refuses (the driver's round must complete), but the
+    // JSON records how the gate resolved ("idle", "waited_Ns", or
+    // "proceeded_loaded") so a loaded run SAYS so instead of being
+    // diagnosed after the fact.
+    val maxLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(2.0)
+    val idleWaitS = sys.env.get("SPARK_GRAFT_IDLE_WAIT")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(300)
+    var waitedS = 0
+    while (loadavg > maxLoad && waitedS < idleWaitS) {
+      if (waitedS == 0) System.err.println(
+        f"[bench] loadavg ${loadavg}%.2f > $maxLoad%.1f — waiting up to ${idleWaitS}s for an idle start")
+      Thread.sleep(10000); waitedS += 10
+    }
+    val loadavgStart = loadavg
+    val loadGate =
+      if (waitedS == 0 && loadavgStart <= maxLoad) "idle"
+      else if (loadavgStart <= maxLoad) s"waited_${waitedS}s"
+      else "proceeded_loaded"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -92,7 +118,7 @@ object Bench {
     val loadavgEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm+interleaved-min-of-$runs","loadavg_start":$loadavgStart,"loadavg_end":$loadavgEnd,"queries":${obj(_.head)},"queries_median":${obj(median)},"noisy":$noisyJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm+interleaved-min-of-$runs","loadavg_ambient":$loadavgAmbient,"loadavg_start":$loadavgStart,"loadavg_end":$loadavgEnd,"load_gate":"$loadGate","queries":${obj(_.head)},"queries_median":${obj(median)},"noisy":$noisyJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of stdout; the full
     // per-query map is ~10 KB (166 names alone exceed 2 KB), so it can never
     // ride the stdout tail — three rounds of BENCH_rNN.json landed with
@@ -123,7 +149,7 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm+interleaved-min-of-$runs","loadavg_start":$loadavgStart,"loadavg_end":$loadavgEnd,"n_queries":${ok.size},"noisy":$noisyJson,"failed":$failedJson,"sf":"$sfDir","queries_file":"$out"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm+interleaved-min-of-$runs","loadavg_start":$loadavgStart,"loadavg_end":$loadavgEnd,"load_gate":"$loadGate","n_queries":${ok.size},"noisy":$noisyJson,"failed":$failedJson,"sf":"$sfDir","queries_file":"$out"}"""
     println(summary)
     spark.stop()
   }

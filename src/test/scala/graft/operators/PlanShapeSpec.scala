@@ -722,6 +722,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"coverage probes must stay aggregates + broadcast one-row joins:\n$plan")
   }
 
+  test("p56 media ingest: the full multimodal composition stays cross-product-free") {
+    // p41's legs plus the three media shard probes in ONE plan — each
+    // leg keeps its own plan-locked shape; the composition must not
+    // introduce a cartesian anywhere (the p53/p54 lock applied to the
+    // widest composition query)
+    val plan = executed(graft.SparkEntry.queries("p56_media_ingest")(
+      TestSpark.spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"every composed leg must stay equi-join/broadcast:\n$plan")
+  }
+
   test("positional retrieval: postings materialize once per query, joins stay equi-joins") {
     for (name <- Seq("t47_phrase_search", "t48_proximity_search")) {
       val plan = executed(graft.SparkEntry.queries(name)(TestSpark.spark, dir))
