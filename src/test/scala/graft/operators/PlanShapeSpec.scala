@@ -826,18 +826,24 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = executed(df)
     assert(!plan.contains("ntile("),
       s"the bucket must be rank arithmetic, not an ntile window:\n$plan")
-    // every Window node keys on the frozen partition id (the range
-    // layout rides the checkpoint; nothing re-sorts globally)
+    // round 16: NO Window node at all — the partition-local position
+    // reads off monotonically_increasing_id over the checkpointed sort
+    // order, so the old PARTITION BY __pid window (a second full
+    // shuffle + re-sort of the frame) is gone entirely
     val winLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
-    assert(winLines.nonEmpty && winLines.forall(_.contains("__pid")),
-      s"every rank window must partition by __pid:\n$plan")
-    // and the full q34 query plans the same way: no ntile anywhere
+    assert(winLines.isEmpty,
+      s"the distributed rank must be window-free (mono-id local offset " +
+        s"+ broadcast partition offsets):\n$plan")
+    assert(plan.contains("monotonically_increasing_id"),
+      s"the local offset must ride the mono-id projection:\n$plan")
+    // and the full q34 query plans the same way: no ntile, no rank
+    // window anywhere (its three quintiles are all Ranking.withNtile)
     val q34 = executed(graft.SparkEntry.queries("q34_rfm")(s, dir))
     assert(!q34.contains("ntile("),
       s"q34 must ride the distributed rank, not a global ntile:\n$q34")
     val q34Wins = q34.linesIterator.filter(_.contains("Window ")).toSeq
-    assert(q34Wins.forall(_.contains("__pid")),
-      s"q34's windows must all be partition-keyed:\n$q34")
+    assert(q34Wins.isEmpty,
+      s"q34's ranks must all be window-free:\n$q34")
   }
 
   test("q41 decorrelation: the per-part average joins back as an equi-join — no cross product, no third lineitem pass") {
