@@ -523,9 +523,19 @@ object TextOps {
       .orderBy(col("query_id"))
 
   def bm25ServeBatch(queries: DataFrame, idx: Bm25Index,
-                     k: Int = Bm25TopK): DataFrame = {
-    val qt = queries.filter(bm25ValidPred)
-      .select(col("query_id"), explode(col("terms")).as("t")).distinct()
+                     k: Int = Bm25TopK): DataFrame =
+    bm25ScoreQt(queries.filter(bm25ValidPred)
+      .select(col("query_id"), explode(col("terms")).as("t")).distinct(),
+      idx, k)
+
+  /** The shared scoring core behind [[bm25ServeBatch]] and
+    * [[bm25ServeBatchBudgeted]]: `qt` is the already-validated,
+    * already-policy-filtered (query_id, t) set — everything from the
+    * term-pushdown collect to the per-query rank is identical for both
+    * entry points, so the budgeted path can never drift from the plain
+    * one on the terms it keeps.
+    */
+  private def bm25ScoreQt(qt: DataFrame, idx: Bm25Index, k: Int): DataFrame = {
     // the batch's term set collects to a LITERAL IN predicate — bounded
     // by the request batch, and the one form parquet pushes down: with
     // the index's t-sorted layout (trainAndSaveBm25Index) the postings
@@ -564,6 +574,110 @@ object TextOps {
       .select(col("query_id"), col("rnk"), col("doc_id"),
         round(col("s").cast("double"), 4).as("score"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Per-request posting-volume budget for [[bm25ServeBatchBudgeted]]:
+    * a request may drag at most `Bm25BudgetFactor` × corpus-size
+    * posting rows through the serve plan (t55's cost model as an
+    * enforced ceiling, in the BM25 index's unit — one posting row per
+    * (term, doc), so a term costs its df).
+    */
+  val Bm25BudgetFactor = 1L
+
+  /** The terms a budgeted serve KEEPS, per request: each request's
+    * distinct terms are priced by df from the index's own stats table
+    * (terms absent from the vocabulary cost 0) and kept in increasing
+    * (df, t) order while the running total stays within
+    * [[Bm25BudgetFactor]] × N — the classic IR practice (rare terms
+    * carry the information; stopwords carry the cost) made a
+    * deterministic, replayable rule. The rarest term always survives
+    * (its df is at most N), so no request is starved and no new reject
+    * class exists; the malformed-request contract is unchanged
+    * ([[bm25ServeRejects]]).
+    *
+    * Scale shape: stats restricted by the same pushdown/broadcast rule
+    * as serving, a batch-sized broadcast join, a REQUEST-partitioned
+    * cumulative window (never corpus-scaled), and a one-row corpus
+    * broadcast. The payoff is downstream: dropped hot terms never
+    * reach the postings IN-list, so their row groups are never opened.
+    */
+  def bm25BudgetTerms(queries: DataFrame, idx: Bm25Index): DataFrame = {
+    val qtAll = queries.filter(bm25ValidPred)
+      .select(col("query_id"), explode(col("terms")).as("t")).distinct()
+    val terms = qtAll.select(col("t")).distinct()
+    val termList = terms.limit(ServeTermPushdownMax + 1)
+      .collect().map(_.getString(0))
+    val qs =
+      if (termList.isEmpty) idx.stats.filter(lit(false))
+      else if (termList.length <= ServeTermPushdownMax)
+        idx.stats.filter(col("t").isin(termList.toSeq: _*))
+      else idx.stats.join(broadcast(terms), "t")
+    val costed = qtAll.join(broadcast(qs), Seq("t"), "left")
+      .select(col("query_id"), col("t"),
+        coalesce(col("df"), lit(0L)).as("__bdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__bdf"), col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    costed.withColumn("__bcum", sum(col("__bdf")).over(w))
+      .crossJoin(broadcast(idx.corpus.select(col("n"))))
+      .filter(col("__bcum") <= col("n") * Bm25BudgetFactor)
+      .select(col("query_id"), col("t"))
+  }
+
+  /** SERVE-TIME COST BUDGET ENFORCED (t59) — the t55/t56 pricing story
+    * closed at the serving layer: [[bm25ServeBatch]] with each request
+    * first stripped to its budgeted term set ([[bm25BudgetTerms]]),
+    * then scored through the IDENTICAL shared core. A stopword-heavy
+    * request degrades to its informative terms instead of dragging the
+    * hot posting lists through the plan — and because the postings
+    * IN-pushdown is collected AFTER the strip, the dropped terms' row
+    * groups are never even opened (the t32 index-seek layout does the
+    * rest). Result shape and ranking semantics are bm25ServeBatch's,
+    * over the surviving terms.
+    */
+  def bm25ServeBatchBudgeted(queries: DataFrame, idx: Bm25Index,
+                             k: Int = Bm25TopK): DataFrame =
+    bm25ScoreQt(bm25BudgetTerms(queries, idx), idx, k)
+
+  /** Oracle for [[bm25ServeBatchBudgeted]] (t59): the request batch as
+    * a VALUES table, the full t31 scoring chain, and the SAME budget
+    * walk — df-priced terms, per-request cumulative keep under
+    * [[Bm25BudgetFactor]] × N — replayed from the base documents table.
+    */
+  def sqlBm25ServeBudgeted(requests: Seq[(Long, Seq[String])]): String = {
+    val vals = requests.flatMap { case (qid, ts) =>
+      ts.map(t => s"($qid::BIGINT, ${Portable.sqlLit(t)})")
+    }.mkString(", ")
+    s"""WITH req AS (SELECT DISTINCT query_id, t
+       |  FROM (VALUES $vals) v(query_id, t)),
+       |toks AS (SELECT doc_id, unnest(${Portable.sqlTokens("text")}) AS t
+       |  FROM documents),
+       |p AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+       |  WHERE t IN (SELECT t FROM req) GROUP BY 1, 2),
+       |s AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+       |dl AS (SELECT doc_id, len(${Portable.sqlTokens("text")})::BIGINT AS dl
+       |  FROM documents),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       |cost AS (SELECT r.query_id, r.t, coalesce(s.df, 0)::BIGINT AS cdf
+       |  FROM req r LEFT JOIN s ON s.t = r.t),
+       |kept AS (SELECT query_id, t FROM (
+       |    SELECT query_id, t, sum(cdf) OVER (PARTITION BY query_id
+       |      ORDER BY cdf, t ROWS UNBOUNDED PRECEDING) AS cum FROM cost), c
+       |  WHERE cum <= c.n * $Bm25BudgetFactor),
+       |contrib AS (SELECT kept.query_id, p.doc_id,
+       |    round(ln(1.0 + (c.n - s.df + 0.5) / (s.df + 0.5))
+       |        * (p.tf * $Bm25K1p1)
+       |        / (p.tf + $Bm25K1 * ($Bm25OneMinusB + $Bm25B * (dl.dl / (c.sum_dl::DOUBLE / c.n)))),
+       |      6)::DECIMAL(28,6) AS w
+       |  FROM kept JOIN p ON p.t = kept.t JOIN s ON s.t = kept.t
+       |  JOIN dl ON dl.doc_id = p.doc_id, c),
+       |sc AS (SELECT query_id, doc_id, sum(w) AS s FROM contrib GROUP BY 1, 2)
+       |SELECT query_id, rnk, doc_id, round(s::DOUBLE, 4) AS score FROM (
+       |  SELECT query_id, doc_id, s, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY s DESC, doc_id) AS rnk FROM sc)
+       |WHERE rnk <= $Bm25TopK ORDER BY query_id, rnk""".stripMargin
   }
 
   /** INCREMENTAL BM25 index merge (t34) — today's shard enters the saved

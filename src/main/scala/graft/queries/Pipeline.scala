@@ -150,6 +150,22 @@ object Pipeline {
     (3L, Seq("window", "join", "hash"), 3),
     (4L, Seq("the", "the"), 4))
 
+  /** The t59 serving batch — requests chosen to exercise the budget
+    * policy at every fixture scale: the standard bench query (all
+    * near-stopword terms — only the rarest survives), a rare term
+    * riding with two hot ones (the rare term plus the cheaper hot one
+    * survive), an out-of-vocabulary term (costs 0, survives, scores
+    * nothing) with a rare partner, and an all-hot request (degrades to
+    * its single cheapest term). The df PROPORTIONS drive the rule, so
+    * the kept sets are stable across scale factors and both engines
+    * replay them identically.
+    */
+  private val Bm25BudgetBatch: Seq[(Long, Seq[String])] = Seq(
+    (1L, graft.operators.TextOps.Bm25Query),
+    (2L, Seq("dup", "the", "batch")),
+    (3L, Seq("zzznotaterm", "dup")),
+    (4L, Seq("join", "merge", "scan", "row")))
+
   /** The t58 serving batch (the [[SpanNearBatch]] convention for the
     * unordered family): the t57 request verbatim, a 2-term pair in a
     * tight window, a wide-window variant, and a duplicate-term request
@@ -581,6 +597,20 @@ object Pipeline {
       val bmDir = artifactDir("bm25", dir)(tmp =>
         TextOps.trainAndSaveBm25Index(Tables.documents(s, dir), tmp))
       TextOps.bm25FromIndex(TextOps.loadBm25Index(s, bmDir))
+    },
+    // serve-time cost budget ENFORCED (t59): each request stripped to
+    // its budgeted term set (rarest-first under df-cost <= corpus size)
+    // before the seek — a stopword-heavy request degrades to its
+    // informative terms; the dropped hot terms never reach the postings
+    // IN-pushdown, so their row groups are never opened
+    QueryDef.sql("t59_bm25_budgeted",
+      TextOps.sqlBm25ServeBudgeted(Bm25BudgetBatch)) { (s, dir) =>
+      val bmDir = artifactDir("bm25", dir)(tmp =>
+        TextOps.trainAndSaveBm25Index(Tables.documents(s, dir), tmp))
+      import s.implicits._
+      TextOps.bm25ServeBatchBudgeted(
+        Bm25BudgetBatch.toDF("query_id", "terms"),
+        TextOps.loadBm25Index(s, bmDir))
     },
     // Cavnar-Trenkle n-gram language ID: trained per-language trigram
     // rank profiles (broadcast), out-of-place distance per doc, argmin

@@ -697,6 +697,26 @@ class PlanShapeSpec extends AnyFunSuite {
     // map-side and one query can never funnel the whole batch
     assert(plan.contains("WindowGroupLimit"),
       s"per-query top-K must partial-limit:\n$plan")
+    // the BUDGETED serve (t59) keeps the identical seek shape — the
+    // IN-pushdown is collected AFTER the strip, so a dropped hot term's
+    // row groups are never opened. On this corpus "the" is over budget
+    // next to "spark" (df-rarest first): it must be ABSENT from the
+    // postings scan's pushed filter, while the seek itself remains.
+    val bplan = executed(TextOps.bm25ServeBatchBudgeted(
+      Seq((1L, Seq("the", "spark"))).toDF("query_id", "terms"), idx))
+    // the STATS scan legitimately reads both terms (pricing needs the
+    // hot term's df); the POSTINGS scan is the one the budget protects.
+    // With a single surviving term Catalyst collapses the IN to an
+    // EqualTo — either way it is a pushed term seek without "the".
+    val postingsLine = bplan.linesIterator
+      .filter(l => l.contains("bm25_postings") &&
+        (l.contains("PushedFilters: [In(t") ||
+          l.contains("EqualTo(t,"))).mkString("\n")
+    assert(postingsLine.nonEmpty,
+      s"budgeted serve must keep the postings index seek:\n$bplan")
+    assert(postingsLine.contains("spark") && !postingsLine.contains("the,") &&
+      !postingsLine.contains("the)") && !postingsLine.contains("the]"),
+      s"the dropped hot term must not reach the postings scan:\n$postingsLine")
   }
 
   test("q39 decorrelation: scalar threshold broadcasts, NOT EXISTS is an anti-join") {
