@@ -1018,6 +1018,33 @@ object CurationStream {
         ()
       }
 
+  /** [[bm25Serve]] with the t59 SERVE-TIME COST BUDGET — the online
+    * twin of [[graft.operators.TextOps.bm25ServeBatchBudgeted]]: each
+    * micro-batch's requests are stripped to their budgeted term sets
+    * (df-priced, rarest-first, within Bm25BudgetFactor × N) before the
+    * seek, so a stopword-flooded request stream degrades gracefully
+    * instead of dragging the hot posting lists through every
+    * micro-batch. Stateless like its sibling (results identical however
+    * the stream is chopped); malformed requests surface through
+    * `onRejects` exactly as [[bm25Serve]]'s (the budget adds no reject
+    * class — the rarest term always survives).
+    */
+  def bm25ServeBudgeted(queries: DataFrame,
+                        idx: graft.operators.TextOps.Bm25Index,
+                        k: Int = graft.operators.TextOps.Bm25TopK)
+                       (onBatch: DataFrame => Unit,
+                        onRejects: DataFrame => Unit = NoRejects)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          onBatch(graft.operators.TextOps.bm25ServeBatchBudgeted(b, idx, k))
+          surfaceRejects(
+            graft.operators.TextOps.bm25ServeRejects(b), onRejects)
+        }
+        ()
+      }
+
   /** [[annServe]] with a PER-BATCH TOMBSTONE read — the ANN side of
     * [[bm25ServeWithTombstones]]: each micro-batch re-reads the
     * append-only vec_id tombstone table and serves from the pruned

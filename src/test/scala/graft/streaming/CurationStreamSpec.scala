@@ -81,6 +81,59 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(streamed.map(_._1).distinct.length == 5)
   }
 
+  test("streaming BUDGETED BM25 serving equals the batch budgeted serve, however the stream is chopped") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val idxDir = Files.createTempDirectory("graft-bm25budget-idx").toString
+    TextOps.trainAndSaveBm25Index(docs, idxDir)
+    val idx = TextOps.loadBm25Index(spark, idxDir)
+    val queries = Seq(
+      (1L, TextOps.Bm25Query),          // all near-stopwords: rarest survives
+      (2L, Seq("dup", "the", "batch")), // rare + two hot
+      (3L, Seq("zzznosuchterm", "dup")),
+      (4L, Seq("join", "merge", "scan", "row"))
+    ).toDF("query_id", "terms")
+    val expected = TextOps.bm25ServeBatchBudgeted(queries, idx).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(expected.nonEmpty, "the budgeted fixture batch must serve rows")
+
+    val dataDir = Files.createTempDirectory("graft-bm25budget-req").toString
+    def writeChunk(df: DataFrame, i: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft-bm25budget-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      Files.move(part.toPath,
+        new java.io.File(dataDir, f"req-$i%03d.parquet").toPath)
+      ()
+    }
+    // chop so a rare+hot request and an all-hot request land in
+    // DIFFERENT micro-batches: the budget walk is per-request, so the
+    // split must not change any keep decision
+    writeChunk(queries.filter(col("query_id") <= 2L), 0)
+    writeChunk(queries.filter(col("query_id") > 2L), 1)
+
+    val got = scala.collection.concurrent.TrieMap
+      .empty[(Long, Int), (Long, Double)]
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = CurationStream.bm25ServeBudgeted(stream, idx) { b =>
+      b.collect().foreach(r =>
+        got.put((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+    }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-bm25budget-ckpt").toString)
+      .start()
+    q.awaitTermination(120000)
+    val streamed = got.toSeq
+      .map { case ((qid, rnk), (d, s)) => (qid, rnk, d, s) }.sorted
+    assert(streamed == expected.toSeq.sorted,
+      s"streamed budgeted serve diverged:\n$streamed\nvs\n${expected.toSeq.sorted}")
+  }
+
   test("tombstoned phrase serving: a doc erased between requests stops matching the phrase, no restart, no rebuild") {
     val spark = TestSpark.spark
     import spark.implicits._
