@@ -601,7 +601,21 @@ object TextOps {
     * broadcast. The payoff is downstream: dropped hot terms never
     * reach the postings IN-list, so their row groups are never opened.
     */
-  def bm25BudgetTerms(queries: DataFrame, idx: Bm25Index): DataFrame = {
+  def bm25BudgetTerms(queries: DataFrame, idx: Bm25Index): DataFrame =
+    bm25RequestCosts(queries, idx).filter(col("kept"))
+      .select(col("query_id"), col("t"))
+
+  /** THE PER-REQUEST COST AUDIT (t60) — the budget walk with its
+    * working shown: one row per (request, distinct term) carrying the
+    * term's posting-row price (`df_cost`), the request's running total
+    * in keep order (`cum`), and the keep/drop verdict — the table an
+    * operator reads to see WHY a request was degraded, completing the
+    * pricing story (t55 per-term price, t56 the stop list, t59 the
+    * enforcement, this the per-request explanation).
+    * [[bm25BudgetTerms]] is exactly its kept slice, so the audit can
+    * never disagree with what serving actually did.
+    */
+  def bm25RequestCosts(queries: DataFrame, idx: Bm25Index): DataFrame = {
     val qtAll = queries.filter(bm25ValidPred)
       .select(col("query_id"), explode(col("terms")).as("t")).distinct()
     val terms = qtAll.select(col("t")).distinct()
@@ -614,15 +628,40 @@ object TextOps {
       else idx.stats.join(broadcast(terms), "t")
     val costed = qtAll.join(broadcast(qs), Seq("t"), "left")
       .select(col("query_id"), col("t"),
-        coalesce(col("df"), lit(0L)).as("__bdf"))
+        coalesce(col("df"), lit(0L)).as("df_cost"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("__bdf"), col("t"))
+      .partitionBy(col("query_id")).orderBy(col("df_cost"), col("t"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    costed.withColumn("__bcum", sum(col("__bdf")).over(w))
+    costed.withColumn("cum", sum(col("df_cost")).over(w))
       .crossJoin(broadcast(idx.corpus.select(col("n"))))
-      .filter(col("__bcum") <= col("n") * Bm25BudgetFactor)
-      .select(col("query_id"), col("t"))
+      .select(col("query_id"), col("t"), col("df_cost"), col("cum"),
+        (col("cum") <= col("n") * Bm25BudgetFactor).as("kept"))
+      .orderBy(col("query_id"), col("cum"), col("t"))
+  }
+
+  /** Oracle for [[bm25RequestCosts]] (t60): the identical VALUES batch,
+    * df pricing and cumulative walk, every column integer/boolean so
+    * the comparison is hash-exact.
+    */
+  def sqlBm25RequestCosts(requests: Seq[(Long, Seq[String])]): String = {
+    val vals = requests.flatMap { case (qid, ts) =>
+      ts.map(t => s"($qid::BIGINT, ${Portable.sqlLit(t)})")
+    }.mkString(", ")
+    s"""WITH req AS (SELECT DISTINCT query_id, t
+       |  FROM (VALUES $vals) v(query_id, t)),
+       |toks AS (SELECT doc_id, unnest(${Portable.sqlTokens("text")}) AS t
+       |  FROM documents),
+       |s AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df FROM toks
+       |  WHERE t IN (SELECT t FROM req) GROUP BY t),
+       |nd AS (SELECT count(*)::BIGINT AS n FROM documents)
+       |SELECT query_id, t, df_cost, cum,
+       |  cum <= n * $Bm25BudgetFactor AS kept
+       |FROM (SELECT r.query_id, r.t, coalesce(s.df, 0)::BIGINT AS df_cost,
+       |    (sum(coalesce(s.df, 0)::BIGINT) OVER (PARTITION BY r.query_id
+       |      ORDER BY coalesce(s.df, 0), r.t ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+       |  FROM req r LEFT JOIN s ON s.t = r.t), nd
+       |ORDER BY query_id, cum, t""".stripMargin
   }
 
   /** SERVE-TIME COST BUDGET ENFORCED (t59) — the t55/t56 pricing story
@@ -635,6 +674,14 @@ object TextOps {
     * groups are never even opened (the t32 index-seek layout does the
     * rest). Result shape and ranking semantics are bm25ServeBatch's,
     * over the surviving terms.
+    *
+    * Scope, deliberately: the budget applies to BAG-OF-WORDS scoring
+    * only, where dropping a term degrades the ranking gracefully. The
+    * positional family (phrase/span-near/cooc) is STRUCTURAL — removing
+    * a term changes what the query MEANS, not just how well it is
+    * answered — so those servers keep their full term sets and hot-term
+    * protection lives upstream (strip against [[servingStopCandidates]]
+    * before the request reaches the index, the t56 list's purpose).
     */
   def bm25ServeBatchBudgeted(queries: DataFrame, idx: Bm25Index,
                              k: Int = Bm25TopK): DataFrame =

@@ -612,6 +612,19 @@ object Pipeline {
         Bm25BudgetBatch.toDF("query_id", "terms"),
         TextOps.loadBm25Index(s, bmDir))
     },
+    // the budget walk's audit table (t60): per (request, term) price,
+    // running total in keep order, and the keep/drop verdict — WHY a
+    // request was degraded; t59's kept set is exactly this table's
+    // kept slice (by construction — one shared walk)
+    QueryDef.sql("t60_request_costs",
+      TextOps.sqlBm25RequestCosts(Bm25BudgetBatch)) { (s, dir) =>
+      val bmDir = artifactDir("bm25", dir)(tmp =>
+        TextOps.trainAndSaveBm25Index(Tables.documents(s, dir), tmp))
+      import s.implicits._
+      TextOps.bm25RequestCosts(
+        Bm25BudgetBatch.toDF("query_id", "terms"),
+        TextOps.loadBm25Index(s, bmDir))
+    },
     // Cavnar-Trenkle n-gram language ID: trained per-language trigram
     // rank profiles (broadcast), out-of-place distance per doc, argmin
     QueryDef.sql("t37_ct_langid", TextOps.sqlCtLangId) { (s, dir) =>

@@ -86,6 +86,31 @@ class Bm25BudgetSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("the cost audit explains every request and its kept slice IS the served term set") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val idx = TextOps.buildBm25Index(corpus(s))
+    val reqs = Seq(
+      (1L, Seq("rare", "mid", "hot")),
+      (2L, Seq("ghost", "stop"))).toDF("query_id", "terms")
+    val audit = TextOps.bm25RequestCosts(reqs, idx)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    // one row per (request, distinct term); cum is the running df total
+    // in (df, t) order; kept flips exactly where the ceiling (n = 6) is
+    assert(audit.toSeq == Seq(
+      (1L, "rare", 1L, 1L, true),
+      (1L, "mid", 3L, 4L, true),
+      (1L, "hot", 5L, 9L, false),
+      (2L, "ghost", 0L, 0L, true),
+      (2L, "stop", 6L, 6L, true)))
+    val keptFromAudit = audit.filter(_._5).map(a => (a._1, a._2)).toSet
+    val served = TextOps.bm25BudgetTerms(reqs, idx)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(keptFromAudit == served,
+      "the audit's kept slice must equal the budgeted serve's term set")
+  }
+
   test("empty batch and empty index both serve empty without error") {
     val s = TestSpark.spark
     import s.implicits._
