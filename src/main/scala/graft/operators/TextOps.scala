@@ -358,7 +358,15 @@ object TextOps {
       .write.option("maxRecordsPerFile", "5000000")
       .mode("overwrite").parquet(s"$dir/bm25_postings")
     graft.sources.ModelStore.saveLarge(idx.doclen, s"$dir/bm25_doclen")
-    graft.sources.ModelStore.saveLarge(idx.stats, s"$dir/bm25_stats")
+    // stats gets the SAME t-sorted layout: every serving path that
+    // prices or scores terms (bm25ScoreQt's df join, the t59/t60 budget
+    // walk) pushes a term IN-list into this scan too, and with tight
+    // [min_t, max_t] footers that read seeks its row groups instead of
+    // scanning the vocabulary
+    idx.stats
+      .repartitionByRange(col("t"))
+      .sortWithinPartitions(col("t"))
+      .write.mode("overwrite").parquet(s"$dir/bm25_stats")
     graft.sources.ModelStore.save(idx.corpus, s"$dir/bm25_corpus")
     loadBm25Index(docs.sparkSession, dir)
   }
@@ -1689,7 +1697,13 @@ object TextOps {
       .write.option("maxRecordsPerFile", "5000000")
       .mode("overwrite").parquet(s"$dir/bm25_postings")
     graft.sources.ModelStore.saveLarge(idx.doclen, s"$dir/bm25_doclen")
-    graft.sources.ModelStore.saveLarge(idx.stats, s"$dir/bm25_stats")
+    // compaction re-establishes the full layout contract, stats included
+    // (a merged index's stats arrive as an unioned aggregate — this is
+    // where they regain tight [min_t, max_t] footers)
+    idx.stats
+      .repartitionByRange(col("t"))
+      .sortWithinPartitions(col("t"))
+      .write.mode("overwrite").parquet(s"$dir/bm25_stats")
     graft.sources.ModelStore.save(idx.corpus, s"$dir/bm25_corpus")
     loadBm25Index(idx.postings.sparkSession, dir)
   }
