@@ -600,9 +600,9 @@ class DedupTextSpec extends AnyFunSuite {
     TextOps.trainAndSaveBm25Index(docs.filter(col("doc_id") < cut), dirA)
     TextOps.trainAndSaveBm25Index(docs.filter(col("doc_id") >= cut), dirB)
 
-    def fileRanges(dirs: String*): Seq[(String, String)] = {
+    def tableRanges(sub: String, dirs: String*): Seq[(String, String)] = {
       val conf = new org.apache.hadoop.conf.Configuration()
-      dirs.flatMap(d => new java.io.File(s"$d/bm25_postings").listFiles()
+      dirs.flatMap(d => new java.io.File(s"$d/$sub").listFiles()
         .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .toSeq)
         .map { f =>
@@ -626,6 +626,8 @@ class DedupTextSpec extends AnyFunSuite {
     // the fragmented state a t34 merge leaves on disk: each shard save is
     // t-sorted INTERNALLY, but both span the vocabulary, so term ranges
     // overlap across the union's files — the seek path degrades
+    def fileRanges(dirs: String*): Seq[(String, String)] =
+      tableRanges("bm25_postings", dirs: _*)
     val frag = fileRanges(dirA, dirB)
     assert(frag.length >= 2 && overlaps(frag),
       s"the two shard saves must overlap in term range, or this pin is vacuous: $frag")
@@ -637,6 +639,13 @@ class DedupTextSpec extends AnyFunSuite {
     // straddles a boundary only as a shared endpoint, never an interior)
     val comp = fileRanges(cDir)
     assert(!overlaps(comp), s"compacted ranges must be disjoint: $comp")
+    // the STATS table honors the same layout contract (round 16: the
+    // pricing/scoring df scans push term IN-lists into it too) — both
+    // at train time and after compaction
+    assert(!overlaps(tableRanges("bm25_stats", dirA)),
+      "trained stats footers must be t-disjoint")
+    assert(!overlaps(tableRanges("bm25_stats", cDir)),
+      "compacted stats footers must be t-disjoint")
     // and compaction moved data only: serving equals the fresh build
     val fresh = TextOps.bm25TopK(docs).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
