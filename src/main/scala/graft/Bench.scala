@@ -57,8 +57,13 @@ object Bench {
       Thread.sleep(10000); waitedS += 10
     }
     val loadavgStart = loadavg
+    // getSystemLoadAverage returns -1.0 where the platform exposes no
+    // load average — record that as its own gate value ("unavailable"),
+    // never as "idle": an unknown load is not a known-low one, and the
+    // gate's whole point is that a run SAYS what it started under
     val loadGate =
-      if (waitedS == 0 && loadavgStart <= maxLoad) "idle"
+      if (loadavgStart < 0) "unavailable"
+      else if (waitedS == 0 && loadavgStart <= maxLoad) "idle"
       else if (loadavgStart <= maxLoad) s"waited_${waitedS}s"
       else "proceeded_loaded"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -128,18 +128,22 @@ object Dedup {
     * exact-Jaccard verify on candidates only) + [[connectedComponents]];
     * keep this form for small corpora and for validating LSH recall.
     *
-    * Note on cache lifecycle: the shingle index is cached because three
-    * consumers read it (doc counts + both join sides); it stays pinned for
-    * the session. Long-lived multi-job sessions should bound storage with
-    * spark.catalog.clearCache() between pipeline runs (one-shot jobs — the
-    * normal deployment — don't care).
+    * Materialization lifecycle (the Ranking house rule, not cache()):
+    * three consumers read the shingle index (doc counts + both join
+    * sides), so it takes a LAZY localCheckpoint — the first action over
+    * the returned frame materializes the blocks once and every scan in
+    * the plan reuses them, but NO CacheManager entry exists: the blocks
+    * die with the RDD via the ContextCleaner when the frame is
+    * unreferenced, so a long-lived session calling this on varied
+    * corpora accumulates nothing (RankingLifecycleSpec pins the
+    * zero-cache-growth contract for the dedup operators too).
     */
   def jaccardPairs(docs: DataFrame): DataFrame = {
     // df-capped index (df <= MaxShingleDocFreq enforced inside shingles):
     // the self-join key is never a stop-shingle, so per-key output is
     // bounded — NOT the raw shingle stream (that's rawShingles, for the
     // operators where hot shingles are the signal)
-    val sh = shingles(docs).cache()
+    val sh = shingles(docs).localCheckpoint(false)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -593,7 +597,10 @@ object Dedup {
     * 100 TB only same-bucket pairs are ever materialized.
     */
   def lshPairs(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).cache()
+    // lazy localCheckpoint, not cache(): three consumers (signature
+    // banding + both verify sides) share the materialized blocks with
+    // no session-long CacheManager pin — the jaccardPairs lifecycle note
+    val sh = shingles(docs).localCheckpoint(false)
     val cand = lshCandidates(sh, MinHashBands, MinHashRows)
     // verify ONLY candidate pairs with exact jaccard — the LSH payoff: the
     // full pairwise self-join is never materialized, just bucket-cohabitants
@@ -872,10 +879,10 @@ object Dedup {
     * the Jaccard verify joins candidate pairs to the hashed shingle
     * tables on 8-byte keys, touching only candidate docs' postings. AQE
     * broadcasts the shard side when it measures small. The shard's capped
-    * postings are cached (two consumers: band signing and the verify)
-    * under the [[jaccardPairs]] cache-lifecycle convention — one-shot
-    * jobs don't care; long-lived sessions bound storage with
-    * clearCache() between runs.
+    * postings take a lazy localCheckpoint (two consumers: band signing
+    * and the verify) under the [[jaccardPairs]] materialization
+    * convention — blocks are reclaimed with the frame, no session-long
+    * cache pin.
     */
   def shardLshPairs(shard: DataFrame, idx: LshIndex): DataFrame = {
     val hashed = rawShingles(shard)
@@ -884,7 +891,7 @@ object Dedup {
     val sdf = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val news = hashed
       .join(sdf.filter(col("df") <= MaxShingleDocFreq).select(col("h")), "h")
-      .cache()
+      .localCheckpoint(false)
     val nb = bandBuckets(news)
     val cross = nb.as("x").join(idx.buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * bucketing coincide, so the result is ntile's bit-for-bit):
   *
   *  1. range-repartition + sort by the keys (the distributed sort Spark
-  *     already does well), freeze the partitioning with an eager
-  *     localCheckpoint so every consumer sees the same layout;
+  *     already does well), freeze the partitioning with a LAZY
+  *     localCheckpoint (materialized by the counts collect in step 2)
+  *     so every consumer sees the same layout;
   *  2. per-partition row counts -> global rank offsets. This is a
   *     numPartitions-row driver round-trip (the bm25ServeBatch class of
   *     bounded collect: `spark.sql.shuffle.partitions` rows, config-
@@ -33,6 +34,17 @@ import org.apache.spark.sql.functions._
   * global order costs), then map-side-only arithmetic; no stage sees
   * more than a partition, and no Window node exists in the plan at all
   * (plan-locked in PlanShapeSpec).
+  *
+  * Fault-tolerance caveat (deliberate trade): localCheckpoint blocks are
+  * UNRECOVERABLE after executor loss — unlike persist(), a consumer
+  * action on a previously-returned ranked frame FAILS instead of
+  * recomputing, and Spark documents local checkpointing as unsafe with
+  * dynamic allocation (an idle-decommissioned executor takes its blocks
+  * with it). On the single-host harness this cannot trigger; a
+  * multi-node deployment that needs lost-executor recovery should
+  * disable dynamic allocation for the job or accept the retry-from-
+  * source failure mode. The rank VALUES are unaffected either way —
+  * only availability of the returned frame is.
   */
 object Ranking {
 

@@ -345,6 +345,13 @@ object TextOps {
     * row) and reload it — the t14/d11/s9/t21 train-once convention
     * applied to retrieval: index tonight, serve tomorrow.
     */
+  /** File width for the saved per-term stats table: vocabulary-sized
+    * (one row per distinct term), so a handful of range partitions keeps
+    * footers tight without scattering near-empty files the way the
+    * session-wide shuffle-partition default would.
+    */
+  val Bm25StatsFiles = 4
+
   def trainAndSaveBm25Index(docs: DataFrame, dir: String): Bm25Index = {
     val idx = buildBm25Index(docs)
     // postings land RANGE-PARTITIONED AND SORTED by their own term key:
@@ -362,9 +369,11 @@ object TextOps {
     // prices or scores terms (bm25ScoreQt's df join, the t59/t60 budget
     // walk) pushes a term IN-list into this scan too, and with tight
     // [min_t, max_t] footers that read seeks its row groups instead of
-    // scanning the vocabulary
+    // scanning the vocabulary. Explicit small width: the table is
+    // vocabulary-sized (one row per term), and the default
+    // shuffle-partition count would scatter it into near-empty files
     idx.stats
-      .repartitionByRange(col("t"))
+      .repartitionByRange(Bm25StatsFiles, col("t"))
       .sortWithinPartitions(col("t"))
       .write.mode("overwrite").parquet(s"$dir/bm25_stats")
     graft.sources.ModelStore.save(idx.corpus, s"$dir/bm25_corpus")
@@ -1699,9 +1708,11 @@ object TextOps {
     graft.sources.ModelStore.saveLarge(idx.doclen, s"$dir/bm25_doclen")
     // compaction re-establishes the full layout contract, stats included
     // (a merged index's stats arrive as an unioned aggregate — this is
-    // where they regain tight [min_t, max_t] footers)
+    // where they regain tight [min_t, max_t] footers); same explicit
+    // small width as the fresh save — vocabulary-sized table, no
+    // near-empty file scatter
     idx.stats
-      .repartitionByRange(col("t"))
+      .repartitionByRange(Bm25StatsFiles, col("t"))
       .sortWithinPartitions(col("t"))
       .write.mode("overwrite").parquet(s"$dir/bm25_stats")
     graft.sources.ModelStore.save(idx.corpus, s"$dir/bm25_corpus")

@@ -38,6 +38,40 @@ class RankingLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup operators register no CacheManager entries (cache-discipline sweep)") {
+    val s = TestSpark.spark
+    import s.implicits._
+    Bridge.clearCaches(s)
+    assert(Bridge.noCachedPlans(s))
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // varied inputs across calls — the session-accumulation shape the
+    // round-16 sweep eliminated: jaccardPairs/lshPairs/shardLshPairs
+    // materialize their shared shingle frames via lazy localCheckpoint
+    // (blocks die with the frame), never a session-pinned cache()
+    (1 to 3).foreach { i =>
+      val d = (0L until 4L * i)
+        .map(id => (id, if (id % 2 == 0) base else s"$base extra$id word$i"))
+        .toDF("doc_id", "text")
+      Dedup.jaccardPairs(d).count()
+      Dedup.lshPairs(d).count()
+      assert(Bridge.noCachedPlans(s),
+        s"dedup call $i left a CacheManager entry behind (session-long leak)")
+    }
+    // the incremental shard path: the index build itself cache()s scoped
+    // intermediates but unpersists them before returning; the shard-pair
+    // serve must then leave the manager empty too
+    val dir = java.nio.file.Files.createTempDirectory("lsh_lifecycle").toString
+    val corpus = (0L until 6L).map(id => (id, s"$base corpusdoc$id"))
+      .toDF("doc_id", "text")
+    Dedup.buildAndSaveLshIndex(corpus, dir)
+    val idx = Dedup.loadLshIndex(s, dir)
+    val shard = (100L until 104L).map(id => (id, s"$base sharddoc$id"))
+      .toDF("doc_id", "text")
+    Dedup.shardLshPairs(shard, idx).count()
+    assert(Bridge.noCachedPlans(s),
+      "shard dedup left a CacheManager entry behind (session-long leak)")
+  }
+
   test("rank stays correct when consumed after later Ranking calls intervene") {
     val s = TestSpark.spark
     import s.implicits._
