@@ -999,16 +999,43 @@ object Similarity {
     * read.
     */
   def ivfPqServe(queries: DataFrame, corpus: DataFrame, idx: IvfPqIndex,
-                 sub: Int, k: Int): DataFrame = {
-    val IvfPqIndex(coarse, _, pqCent, codes) = idx
+                 sub: Int, k: Int): DataFrame =
+    ivfPqServeFromProbes(queries, corpus, idx, sub, k,
+      servingProbes(queries, idx.coarse, sub).select(col("qid"), col("cell")))
+
+  /** The probe stage shared by plain and budgeted serving: each request
+    * vector's [[IvfPqProbes]] nearest coarse cells with their probe rank
+    * `pr` (1 = nearest) — [[ivfPqServe]]'s exact probe arithmetic
+    * (full-dimension unit-sphere distance, (d, cell) tie-break),
+    * factored out so the s20 budget walk prices EXACTLY the cells the
+    * plain path would probe.
+    */
+  private def servingProbes(queries: DataFrame, coarse: DataFrame,
+                            sub: Int): DataFrame = {
     val qex = explodedBlocks(queries, sub)
       .select(col("vec_id").as("qid"), col("i"), col("m"), col("x").as("qx"))
     val qdist = qex.join(broadcast(coarse), "i")
       .groupBy(col("qid"), col("c"))
       .agg(round(sum((col("qx") - col("cv")) * (col("qx") - col("cv"))), 6).as("d"))
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("d"), col("c"))
-    val probes = qdist.withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= IvfPqProbes).select(col("qid"), col("c").as("cell"))
+    qdist.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= IvfPqProbes)
+      .select(col("qid"), col("c").as("cell"), col("pr"))
+  }
+
+  /** The shared scoring core behind [[ivfPqServe]] and
+    * [[ivfPqServeBudgeted]]: `probes` is the already-policy-filtered
+    * (qid, cell) set — everything from the probed-cell pushdown collect
+    * to the exact rerank is identical for both entry points, so the
+    * budgeted path can never drift from the plain one on the cells it
+    * keeps (the bm25ScoreQt convention applied to ANN).
+    */
+  private def ivfPqServeFromProbes(queries: DataFrame, corpus: DataFrame,
+                                   idx: IvfPqIndex, sub: Int, k: Int,
+                                   probes: DataFrame): DataFrame = {
+    val IvfPqIndex(coarse, _, pqCent, codes) = idx
+    val qex = explodedBlocks(queries, sub)
+      .select(col("vec_id").as("qid"), col("i"), col("m"), col("x").as("qx"))
     val probedCells = probes.select(col("cell")).distinct()
       .limit(ServeCellPushdownMax + 1).collect().map(_.getInt(0))
     val servedCodes =
@@ -1039,6 +1066,182 @@ object Similarity {
     sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("vec_id"), col("sim"))
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Per-request candidate-volume budget for [[ivfPqServeBudgeted]]:
+    * a request may drag at most `AnnBudgetFactor` × the EXPECTED probe
+    * volume (n × [[IvfPqProbes]] / [[IvfPqCoarse]] candidates — what a
+    * perfectly balanced index costs per request) through the ADC scan.
+    * The t59 cost model in the ANN index's unit: one ADC candidate per
+    * (probed cell, member vector), so a cell costs its occupancy.
+    */
+  val AnnBudgetFactor = 1L
+
+  /** THE PER-REQUEST PROBE AUDIT (s21) — the ANN budget walk with its
+    * working shown (t60's audit-table idea applied to the vector side):
+    * one row per (request, probed cell) carrying the probe rank `pr`
+    * (1 = nearest), the cell's candidate price (`occ_cost` — its member
+    * count in the saved index, the rows an ADC scan of that cell pays),
+    * the request's running total in probe order (`cum`), and the
+    * keep/drop verdict. A probed cell is kept while the running volume
+    * stays within [[AnnBudgetFactor]] × n × [[IvfPqProbes]] /
+    * [[IvfPqCoarse]] — nearest-FIRST, because for ANN the nearest cell
+    * carries the recall (the rarest-first rule's mirror image: BM25
+    * keeps the cheapest-informative terms, ANN keeps the
+    * closest-informative cells). The NEAREST probe always survives
+    * unconditionally (`pr` = 1), so no request is starved even when one
+    * pathological cell alone exceeds the budget; dropping trailing
+    * probes degrades recall gracefully (narrower nprobe — exactly the
+    * knob s10 prices), never meaning.
+    *
+    * Scale shape: cell occupancies are one bounded aggregate over the
+    * saved assignment table ([[IvfPqCoarse]] rows, broadcast), the walk
+    * is a REQUEST-partitioned cumulative window over at most
+    * [[IvfPqProbes]] rows per request (never corpus-scaled), and the
+    * corpus size is a one-row broadcast. [[annBudgetProbes]] is exactly
+    * this table's kept slice, so the audit can never disagree with what
+    * serving did.
+    */
+  def annProbeCosts(queries: DataFrame, idx: IvfPqIndex, sub: Int): DataFrame = {
+    val probes = servingProbes(queries, idx.coarse, sub)
+    val occ = idx.cells.groupBy(col("cell")).agg(count(lit(1)).as("occ_cost"))
+    val nv = idx.cells.agg(count(lit(1)).as("n_vec"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("pr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probes.join(broadcast(occ), Seq("cell"), "left")
+      .select(col("qid"), col("pr"), col("cell"),
+        coalesce(col("occ_cost"), lit(0L)).as("occ_cost"))
+      .withColumn("cum", sum(col("occ_cost")).over(w))
+      .crossJoin(broadcast(nv))
+      .select(col("qid"), col("pr"), col("cell"), col("occ_cost"), col("cum"),
+        (col("pr") === 1 ||
+          col("cum") * lit(IvfPqCoarse) <=
+            col("n_vec") * lit(IvfPqProbes * AnnBudgetFactor)).as("kept"))
+      .orderBy(col("qid"), col("pr"))
+  }
+
+  /** The (qid, cell) probes a budgeted serve KEEPS — [[annProbeCosts]]'s
+    * kept slice by construction (one shared walk, spec-pinned).
+    */
+  def annBudgetProbes(queries: DataFrame, idx: IvfPqIndex, sub: Int): DataFrame =
+    annProbeCosts(queries, idx, sub).filter(col("kept"))
+      .select(col("qid"), col("cell"))
+
+  /** SERVE-TIME COST BUDGET ENFORCED for ANN (s20) — the t59 pattern
+    * applied to [[ivfPqServe]]: each request's probed cells are first
+    * stripped to the budgeted set ([[annBudgetProbes]] — occupancy-
+    * priced from the saved index's own assignment table, kept
+    * nearest-first under [[AnnBudgetFactor]] × expected volume, the
+    * nearest probe always surviving), then scored through the IDENTICAL
+    * shared core. A request whose probes land in pathologically crowded
+    * cells degrades to a narrower effective nprobe instead of dragging
+    * the hot cells' full code blocks through the plan — and because the
+    * probed-cell IN-pushdown is collected AFTER the strip, a dropped
+    * cell's row groups are never even opened (the cell-clustered
+    * [[trainAndSaveIvfPq]] layout does the rest; plan-locked in
+    * PlanShapeSpec). Result shape and rerank semantics are
+    * [[ivfPqServe]]'s, over the surviving cells.
+    *
+    * No new reject class exists: a malformed (null/empty-vector) request
+    * emits nothing from the probe stage in BOTH entry points, and the
+    * nearest-probe guarantee means every probing request is answered.
+    */
+  def ivfPqServeBudgeted(queries: DataFrame, corpus: DataFrame,
+                         idx: IvfPqIndex, sub: Int, k: Int): DataFrame =
+    ivfPqServeFromProbes(queries, corpus, idx, sub, k,
+      annBudgetProbes(queries, idx, sub))
+
+  /** Oracle for [[annProbeCosts]] (s21): replays the coarse training
+    * (as [[sqlKnnIvfPq]] — the oracle can't read the saved artifact),
+    * the probe assignment with identical rounding and (d, cell)
+    * tie-break, the occupancy pricing and the nearest-first cumulative
+    * walk — every output column integer/boolean so the comparison is
+    * hash-exact. No PQ CTEs: the audit prices probes, it never scores.
+    */
+  def sqlAnnProbeCosts(nQueries: Int, dim: Int): String = {
+    val eUnit =
+      """e AS (SELECT vec_id,
+        |    list_transform(v0, x -> round(x / sqrt(list_dot_product(v0, v0)), 6)) AS v
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings))""".stripMargin
+    val (kmCtes, aN, cN) = sqlKmeansCtes(IvfPqCoarse, 2, eUnit)
+    s"""WITH $kmCtes,
+       |qd AS (SELECT ex.vec_id AS qid, p.c, round(sum((ex.x - p.cv) * (ex.x - p.cv)), 6) AS d
+       |  FROM ex JOIN $cN p USING (i) WHERE ex.vec_id < $nQueries GROUP BY 1, 2),
+       |pw AS (SELECT qid, c AS cell, pr FROM (
+       |  SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY d, c) AS pr
+       |  FROM qd) WHERE pr <= $IvfPqProbes),
+       |bocc AS (SELECT c AS cell, count(*)::BIGINT AS occ FROM $aN GROUP BY 1),
+       |bnv AS (SELECT count(*)::BIGINT AS n FROM $aN),
+       |walk AS (SELECT pw.qid, pw.pr, pw.cell,
+       |    coalesce(bocc.occ, 0)::BIGINT AS occ_cost,
+       |    (sum(coalesce(bocc.occ, 0)::BIGINT) OVER (PARTITION BY pw.qid
+       |      ORDER BY pw.pr ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+       |  FROM pw LEFT JOIN bocc USING (cell))
+       |SELECT qid, pr, cell, occ_cost, cum,
+       |  (pr = 1 OR cum * $IvfPqCoarse <= n * ${IvfPqProbes * AnnBudgetFactor}) AS kept
+       |FROM walk, bnv
+       |ORDER BY qid, pr""".stripMargin
+  }
+
+  /** Oracle for [[ivfPqServeBudgeted]] (s20): the full [[sqlKnnIvfPq]]
+    * training replay, the SAME budget walk (occupancy-priced probes,
+    * nearest-first cumulative keep with the pr = 1 guarantee), then the
+    * LUT/ADC/rerank tail over the kept probes only — SERVE semantics
+    * (external-request id space: no self-exclusion; the query vectors
+    * here are corpus rows, so each matches itself at rank 1, a nonzero
+    * fixed point both engines replay identically).
+    */
+  def sqlIvfPqServeBudgeted(nQueries: Int, k: Int, dim: Int): String = {
+    val sub = dim / PqBlocks
+    val eUnit =
+      """e AS (SELECT vec_id,
+        |    list_transform(v0, x -> round(x / sqrt(list_dot_product(v0, v0)), 6)) AS v
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings))""".stripMargin
+    val (kmCtes, aN, cN) = sqlKmeansCtes(IvfPqCoarse, 2, eUnit)
+    val (pqSteps, raN, rcN) = sqlPqStepCtes("exr", "r")
+    s"""WITH $kmCtes,
+       |exb AS (SELECT vec_id, i, ((i - 1) // $sub)::INT AS m, x FROM ex),
+       |exr AS (SELECT exb.vec_id, exb.i, exb.m, exb.x - $cN.cv AS x
+       |  FROM exb JOIN $aN a USING (vec_id)
+       |  JOIN $cN ON $cN.c = a.c AND $cN.i = exb.i),
+       |rc0 AS (SELECT vec_id::INT AS c, i, round(x, 6) AS cv FROM exr WHERE vec_id < $PqCodes),
+       |$pqSteps,
+       |qd AS (SELECT ex.vec_id AS qid, p.c, round(sum((ex.x - p.cv) * (ex.x - p.cv)), 6) AS d
+       |  FROM ex JOIN $cN p USING (i) WHERE ex.vec_id < $nQueries GROUP BY 1, 2),
+       |pw AS (SELECT qid, c AS cell, pr FROM (
+       |  SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY d, c) AS pr
+       |  FROM qd) WHERE pr <= $IvfPqProbes),
+       |bocc AS (SELECT c AS cell, count(*)::BIGINT AS occ FROM $aN GROUP BY 1),
+       |bnv AS (SELECT count(*)::BIGINT AS n FROM $aN),
+       |bwalk AS (SELECT pw.qid, pw.cell, pw.pr,
+       |    (sum(coalesce(bocc.occ, 0)::BIGINT) OVER (PARTITION BY pw.qid
+       |      ORDER BY pw.pr ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+       |  FROM pw LEFT JOIN bocc USING (cell)),
+       |probes AS (SELECT qid, cell FROM bwalk, bnv
+       |  WHERE pr = 1 OR cum * $IvfPqCoarse <= n * ${IvfPqProbes * AnnBudgetFactor}),
+       |qres AS (SELECT pr.qid, pr.cell, exb.i, exb.m, exb.x - $cN.cv AS qr
+       |  FROM probes pr JOIN exb ON exb.vec_id = pr.qid
+       |  JOIN $cN ON $cN.c = pr.cell AND $cN.i = exb.i),
+       |lut AS (SELECT qres.qid, qres.cell, qres.m, p.c,
+       |    round(sum((qres.qr - p.cv) * (qres.qr - p.cv)), 6) AS dq
+       |  FROM qres JOIN $rcN p ON p.i = qres.i GROUP BY 1, 2, 3, 4),
+       |ad AS (SELECT l.qid, a.vec_id, round(sum(l.dq), 6) AS adist
+       |  FROM $raN a JOIN $aN cells ON cells.vec_id = a.vec_id
+       |  JOIN lut l ON l.cell = cells.c AND l.m = a.m AND l.c = a.c
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS cr
+       |  FROM ad) WHERE cr <= ${PqRerank * k}),
+       |sims AS (SELECT c.qid, c.vec_id,
+       |    round(list_dot_product(qu.v, xu.v), 4) AS sim
+       |  FROM cand c JOIN e xu ON xu.vec_id = c.vec_id
+       |  JOIN e qu ON qu.vec_id = c.qid)
+       |SELECT qid, rnk, vec_id, sim FROM (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM sims) WHERE rnk <= $k
+       |ORDER BY qid, rnk""".stripMargin
   }
 
   /** Persist a trained IVF-PQ index under `dir`: the two quantizers

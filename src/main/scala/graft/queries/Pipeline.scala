@@ -1105,6 +1105,33 @@ object Pipeline {
       Similarity.ivfPqRecallReport(Tables.embeddings(s, dir),
         Similarity.loadIvfPq(s, idxDir), 64 / Similarity.PqBlocks, 10, 5, Seq(1, 2, 4))
     },
+    // serve-time cost budget ENFORCED for ANN (s20, the t59 pattern on
+    // the vector side): each request's probed cells stripped to the
+    // occupancy-priced, nearest-first-kept set BEFORE the codes seek —
+    // a request landing in pathologically crowded cells degrades to a
+    // narrower effective nprobe; the dropped cell's row groups are
+    // never opened (the pushdown is collected after the strip)
+    QueryDef.sql("s20_ann_budgeted",
+      Similarity.sqlIvfPqServeBudgeted(10, 5, 64)) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idxDir = artifactDir("ivfpq", dir)(tmp =>
+        Similarity.trainAndSaveIvfPq(emb, 64 / Similarity.PqBlocks, tmp))
+      Similarity.ivfPqServeBudgeted(emb.filter(col("vec_id") < 10), emb,
+        Similarity.loadIvfPq(s, idxDir), 64 / Similarity.PqBlocks, 5)
+    },
+    // the ANN budget walk's audit table (s21, t60's twin): per
+    // (request, probed cell) price from the saved index's occupancy,
+    // running volume in nearest-first keep order, keep/drop verdict —
+    // WHY a request was narrowed; s20's kept probes are exactly this
+    // table's kept slice (one shared walk)
+    QueryDef.sql("s21_probe_costs",
+      Similarity.sqlAnnProbeCosts(10, 64)) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idxDir = artifactDir("ivfpq", dir)(tmp =>
+        Similarity.trainAndSaveIvfPq(emb, 64 / Similarity.PqBlocks, tmp))
+      Similarity.annProbeCosts(emb.filter(col("vec_id") < 10),
+        Similarity.loadIvfPq(s, idxDir), 64 / Similarity.PqBlocks)
+    },
 
     // -------- event-time windows
     QueryDef.sql("w1_tumbling", EventWindows.sqlTumblingHourly) { (s, dir) =>

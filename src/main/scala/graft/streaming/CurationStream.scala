@@ -1045,6 +1045,35 @@ object CurationStream {
         ()
       }
 
+  /** [[annServe]] with the s20 SERVE-TIME COST BUDGET — the online twin
+    * of [[graft.operators.Similarity.ivfPqServeBudgeted]]: each
+    * micro-batch's requests are stripped to their budgeted probe sets
+    * (occupancy-priced from the saved index's assignment table, kept
+    * nearest-first within AnnBudgetFactor × expected volume, the
+    * nearest probe always surviving) before the codes seek, so a
+    * request stream landing in pathologically crowded cells degrades to
+    * a narrower effective nprobe per batch instead of dragging the hot
+    * cells' code blocks through every micro-batch. Stateless like its
+    * sibling — the budget walk prices each request independently
+    * against the static index, so results are identical however the
+    * stream is chopped (CurationStreamSpec pins stream == batch). No
+    * reject channel, exactly as [[annServe]]: ANN requests carry no
+    * malformed-but-present shape (a null/empty vector emits nothing in
+    * both entry points), and the budget adds no reject class.
+    */
+  def annServeBudgeted(queries: DataFrame, corpus: DataFrame,
+                       idx: graft.operators.Similarity.IvfPqIndex,
+                       sub: Int, k: Int)
+                      (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          onBatch(graft.operators.Similarity.ivfPqServeBudgeted(
+            b, corpus, idx, sub, k))
+        ()
+      }
+
   /** [[annServe]] with a PER-BATCH TOMBSTONE read — the ANN side of
     * [[bm25ServeWithTombstones]]: each micro-batch re-reads the
     * append-only vec_id tombstone table and serves from the pruned

@@ -719,6 +719,47 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the dropped hot term must not reach the postings scan:\n$postingsLine")
   }
 
+  test("budgeted ANN serve: a dropped cell never reaches the codes scan's pushdown") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // the AnnBudgetSpec fixture saved to parquet: 4 axis clusters sized
+    // 10/3/2/1 (dim 8, sub 1), so a request probing cell 0 then cell 1
+    // keeps only cell 0 (occ 10 alone exceeds the budget of 8; pr = 1
+    // guarantee) and drops cell 1
+    def axis(ax: Int, hi: Float = 1.0f, lo: (Int, Float) = (0, 0.0f)) = {
+      val v = Array.fill(8)(0.0f); v(ax) = hi
+      if (lo._2 != 0.0f) v(lo._1) = lo._2
+      v
+    }
+    val members: Seq[(Long, Int)] =
+      Seq(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3) ++ (4L to 12L).map(_ -> 0) ++
+        Seq(13L -> 1, 14L -> 1, 15L -> 2)
+    val corpus = members.map { case (id, ax) => (id, s"c$ax", axis(ax)) }
+      .toDF("vec_id", "label", "embedding")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-annplan").toString
+    Similarity.trainAndSaveIvfPq(corpus, 1, idxDir)
+    val idx = Similarity.loadIvfPq(s, idxDir)
+    val q = Seq((100L, "q", axis(0, 1.0f, (1, 0.5f))))
+      .toDF("vec_id", "label", "embedding")
+    def codesFilter(plan: String): String = plan.linesIterator
+      .filter(l => l.contains("ivfpq_codes") && l.contains("PushedFilters: ["))
+      .mkString("\n")
+    // plain serve: BOTH probed cells reach the scan's pushed filter
+    val plain = codesFilter(executed(Similarity.ivfPqServe(q, corpus, idx, 1, 3)))
+    assert(plain.contains("In(cell, [0,1])") || plain.contains("In(cell, [1,0])"),
+      s"plain serve must push both probed cells:\n$plain")
+    // budgeted serve: the pushdown is collected AFTER the strip — the
+    // dropped cell (1) must be absent while the kept cell's seek remains
+    // (a single-cell IN collapses to EqualTo, the t59 convention)
+    val budgeted = codesFilter(executed(
+      Similarity.ivfPqServeBudgeted(q, corpus, idx, 1, 3)))
+    assert(budgeted.contains("EqualTo(cell,0)") || budgeted.contains("In(cell, [0])"),
+      s"budgeted serve must keep the codes index seek on the kept cell:\n$budgeted")
+    assert(!budgeted.contains("cell,1") && !budgeted.contains("[0,1]") &&
+      !budgeted.contains("[1,0]") && !budgeted.contains("cell, [1"),
+      s"the dropped cell must not reach the codes scan:\n$budgeted")
+  }
+
   test("q39 decorrelation: scalar threshold broadcasts, NOT EXISTS is an anti-join") {
     val plan = executed(graft.SparkEntry.queries("q39_dormant_capital")(
       TestSpark.spark, dir))

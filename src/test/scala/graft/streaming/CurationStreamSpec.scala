@@ -581,6 +581,60 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(streamed.map(_._1).distinct.length == 6)
   }
 
+  test("budgeted streaming ANN serving equals the budgeted batch serve across micro-batch chops") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.Similarity
+    val corpus = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val sub = 64 / Similarity.PqBlocks
+    val idxDir = Files.createTempDirectory("graft-annbudget-idx").toString
+    Similarity.trainAndSaveIvfPq(corpus, sub, idxDir)
+    val idx = Similarity.loadIvfPq(spark, idxDir)
+    val queries = corpus.filter(col("vec_id") < 6)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"),
+        col("label"))
+    // the pin must not be vacuous: this fixture's occupancy skew makes
+    // the budget actually DROP a probe for at least one request
+    assert(Similarity.annProbeCosts(queries, idx, sub)
+      .filter(!col("kept")).count() > 0,
+      "fixture must exercise the budget (a dropped probe)")
+    val expected = Similarity.ivfPqServeBudgeted(queries, corpus, idx, sub, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+
+    val dataDir = Files.createTempDirectory("graft-annbudget-req").toString
+    def writeChunk(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft-annbudget-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      Files.move(part.toPath,
+        new java.io.File(dataDir, f"req-$i%03d.parquet").toPath)
+      ()
+    }
+    writeChunk(queries.filter(col("vec_id") < 10002L), 0)
+    writeChunk(queries.filter(col("vec_id") >= 10002L && col("vec_id") < 10004L), 1)
+    writeChunk(queries.filter(col("vec_id") >= 10004L), 2)
+
+    val got = scala.collection.concurrent.TrieMap
+      .empty[(Long, Int), (Long, Double)]
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = CurationStream.annServeBudgeted(stream, corpus, idx, sub, 5) { b =>
+      b.collect().foreach(r =>
+        got.put((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+    }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-annbudget-ckpt").toString)
+      .start()
+    q.awaitTermination(120000)
+    val streamed = got.toSeq
+      .map { case ((qid, rnk), (v, s)) => (qid, rnk, v, s) }.sorted
+    assert(streamed == expected.toSeq.sorted,
+      s"budgeted streamed serve diverged:\n$streamed\nvs\n${expected.toSeq.sorted}")
+    assert(streamed.map(_._1).distinct.length == 6)
+  }
+
   test("streamed gates equal the batch manifest; crash mid-corpus redelivers without changing a verdict") {
     val spark = TestSpark.spark
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
