@@ -128,22 +128,25 @@ object Dedup {
     * exact-Jaccard verify on candidates only) + [[connectedComponents]];
     * keep this form for small corpora and for validating LSH recall.
     *
-    * Materialization lifecycle (the Ranking house rule, not cache()):
-    * three consumers read the shingle index (doc counts + both join
-    * sides), so it takes a LAZY localCheckpoint — the first action over
-    * the returned frame materializes the blocks once and every scan in
-    * the plan reuses them, but NO CacheManager entry exists: the blocks
-    * die with the RDD via the ContextCleaner when the frame is
-    * unreferenced, so a long-lived session calling this on varied
-    * corpora accumulates nothing (RankingLifecycleSpec pins the
-    * zero-cache-growth contract for the dedup operators too).
+    * Materialization lifecycle (the house rule, not cache()): three
+    * consumers read the shingle index (doc counts + both join sides),
+    * so it takes an EAGER localCheckpoint — the shared-intermediate
+    * form (the d21/t37 convention): with no earlier action to
+    * materialize lazily off, a lazy checkpoint would let the self-join's
+    * concurrent scans RACE and recompute partitions (measured +60% on
+    * d2 at sf0.1); the eager job computes the shingle index exactly
+    * once and every consumer reads stored blocks. NO CacheManager entry
+    * exists either way: blocks die with the RDD via the ContextCleaner
+    * when the frame is unreferenced, so a long-lived session calling
+    * this on varied corpora accumulates nothing (RankingLifecycleSpec
+    * pins the zero-cache-growth contract for the dedup operators too).
     */
   def jaccardPairs(docs: DataFrame): DataFrame = {
     // df-capped index (df <= MaxShingleDocFreq enforced inside shingles):
     // the self-join key is never a stop-shingle, so per-key output is
     // bounded — NOT the raw shingle stream (that's rawShingles, for the
     // operators where hot shingles are the signal)
-    val sh = shingles(docs).localCheckpoint(false)
+    val sh = shingles(docs).localCheckpoint(true)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -597,10 +600,10 @@ object Dedup {
     * 100 TB only same-bucket pairs are ever materialized.
     */
   def lshPairs(docs: DataFrame): DataFrame = {
-    // lazy localCheckpoint, not cache(): three consumers (signature
-    // banding + both verify sides) share the materialized blocks with
-    // no session-long CacheManager pin — the jaccardPairs lifecycle note
-    val sh = shingles(docs).localCheckpoint(false)
+    // eager localCheckpoint, not cache(): three consumers (signature
+    // banding + both verify sides) read stored blocks with no
+    // session-long CacheManager pin — the jaccardPairs lifecycle note
+    val sh = shingles(docs).localCheckpoint(true)
     val cand = lshCandidates(sh, MinHashBands, MinHashRows)
     // verify ONLY candidate pairs with exact jaccard — the LSH payoff: the
     // full pairwise self-join is never materialized, just bucket-cohabitants
@@ -879,8 +882,8 @@ object Dedup {
     * the Jaccard verify joins candidate pairs to the hashed shingle
     * tables on 8-byte keys, touching only candidate docs' postings. AQE
     * broadcasts the shard side when it measures small. The shard's capped
-    * postings take a lazy localCheckpoint (two consumers: band signing
-    * and the verify) under the [[jaccardPairs]] materialization
+    * postings take an eager localCheckpoint (two consumers: band
+    * signing and the verify) under the [[jaccardPairs]] materialization
     * convention — blocks are reclaimed with the frame, no session-long
     * cache pin.
     */
@@ -891,7 +894,7 @@ object Dedup {
     val sdf = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val news = hashed
       .join(sdf.filter(col("df") <= MaxShingleDocFreq).select(col("h")), "h")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val nb = bandBuckets(news)
     val cross = nb.as("x").join(idx.buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&

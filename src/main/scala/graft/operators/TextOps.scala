@@ -1573,6 +1573,40 @@ object TextOps {
       .orderBy(col("df").desc, col("t"))
   }
 
+  /** THE POSITIONAL FAMILY'S HOT-TERM PROTECTION, made wireable (the
+    * round-16 scope note turned into code): the t59/s20 budgets are
+    * bag-of-words-only BY DESIGN — dropping a term from a
+    * phrase/span-near/cooc request changes what it MEANS, not just how
+    * well it's answered — so the positional servers never strip terms.
+    * Their protection is a GATE, not a rewrite: this table lists, per
+    * request, every [[servingStopCandidates]] term the request touches
+    * together with its occurrence volume `occ` — the posting rows that
+    * ONE leg would drag through k−1 join steps of the serve plan. A
+    * guarded streaming twin refuses such requests whole and hands this
+    * table to the operator (the request's cost and the exact term that
+    * caused it), leaving the unguarded twins' serve-anything semantics
+    * untouched for callers that strip upstream.
+    *
+    * `termsCol` names the request column holding the term array
+    * ("terms" for span-near/cooc, "phrase" for the phrase family);
+    * proximity's (a, b) pair form is `array(a, b)` at the call site.
+    * Malformed requests (null array / null element) emit nothing here —
+    * they stay on the malformed-rejects channel, which judges shape,
+    * not cost.
+    *
+    * Scale shape: one explode of the request batch, one broadcast join
+    * against the inherently tiny stop list (a term must appear in a
+    * fifth of all documents to qualify), zero index reads.
+    */
+  def positionalStopLegs(requests: DataFrame, stop: DataFrame,
+                         termsCol: String = "terms"): DataFrame =
+    requests
+      .filter(col(termsCol).isNotNull && forall(col(termsCol), _.isNotNull))
+      .select(col("query_id"), explode(col(termsCol)).as("t")).distinct()
+      .join(broadcast(stop.select(col("t"), col("occ"))), "t")
+      .select(col("query_id"), col("t"), col("occ"))
+      .orderBy(col("query_id"), col("t"))
+
   /** Oracle for [[servingStopCandidates]]: identical stats, the same
     * integer stop rule and ppm arithmetic.
     */

@@ -1269,6 +1269,52 @@ object CurationStream {
         ()
       }
 
+  /** [[spanNearServe]] with the HOT-TERM GATE — the positional family's
+    * declared protection ("strip upstream against the t56 stop list")
+    * wired as an opt-in operator instead of a policy comment: each
+    * micro-batch's requests are checked against the
+    * [[graft.operators.TextOps.servingStopCandidates]] table, and a
+    * request touching ANY stop-candidate term is REFUSED WHOLE — never
+    * served, never silently term-stripped (a span-near chain is
+    * structural: dropping a leg changes what the query means, which is
+    * exactly why the t59/s20 budgets exclude this family). The refusal
+    * surfaces on its own channel, distinct from malformed rejects:
+    * `onRefused` receives the (query_id, t, occ) legs — the exact term
+    * that triggered the gate and the posting rows that one leg would
+    * have dragged through each of the chain's k−1 join steps — so the
+    * operator is told what the request would have COST, not just that
+    * it was dropped. Well-formed, non-hot requests serve byte-identically
+    * to [[spanNearServe]]; the malformed channel is unchanged (a request
+    * both malformed and hot appears on each channel, each judging its
+    * own axis: shape vs cost).
+    *
+    * The other positional members keep their pinned decisions: phrase
+    * and proximity serve full term sets (their two-term shapes bound a
+    * request's legs by construction), cooc callers can wire the same
+    * gate through [[graft.operators.TextOps.positionalStopLegs]] — the
+    * gate composes, it is not baked into every twin.
+    */
+  def spanNearServeGuarded(queries: DataFrame,
+                           idx: graft.operators.TextOps.PositionalIndex,
+                           stop: DataFrame)
+                          (onBatch: DataFrame => Unit,
+                           onRejects: DataFrame => Unit = NoRejects,
+                           onRefused: DataFrame => Unit = NoRejects)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val legs = graft.operators.TextOps.positionalStopLegs(b, stop)
+          val hot = legs.select(col("query_id")).distinct()
+          onBatch(graft.operators.TextOps.spanNearServeBatch(
+            b.join(hot, Seq("query_id"), "left_anti"), idx))
+          surfaceRejects(
+            graft.operators.TextOps.spanNearServeRejects(b), onRejects)
+          surfaceRejects(legs, onRefused)
+        }
+        ()
+      }
+
   /** [[spanNearServe]] with the per-batch tombstone re-read — the
     * erasure convention every positional query class now carries: an
     * erased doc stops matching chains between two requests with no

@@ -39,10 +39,14 @@ class WindowLintSpec extends AnyFunSuite {
     */
   private val allowed: Map[String, String] = Map(
     // --- fixed config-bounded domains: the window input is an
-    // aggregate over a domain that never scales with the corpus
-    "p34_pps_sample" -> "carry cumsum over 64 shard totals (shard = hash % 64)",
-    "p49_pps_soft_dedup" -> "p34's 64-row shard-total carry, soft-weighted",
-    "t40_heaps" -> "cumsum over the HeapsBuckets-row bucket table",
+    // aggregate over a domain that never scales with the corpus.
+    // (The `hash % K` shard-carry family — p34/p49 — is no longer
+    // listed: its bound is now PROVED from the plan by the
+    // bounded-domain-aggregate case in [[shapeBounded]].)
+    "t40_heaps" -> ("cumsum over the HeapsBuckets-row bucket table " +
+      "(bucket = doc_id*20 div n_docs: the <=21-value domain is a DATA " +
+      "fact — doc_id < n_docs — not a plan shape, so it stays a " +
+      "reviewed claim)"),
     "s16_ivf_split" -> "median-histogram cumsum, input hard-capped at 2e6+1 rows",
     "p46_index_decision" -> "s16's capped median-histogram cumsums (composition)",
     // --- tokenizer symbol tables: id assignment over the
@@ -75,6 +79,49 @@ class WindowLintSpec extends AnyFunSuite {
     */
   private val MaxProvableRows = 10000L
 
+  /** Plan-derivable cardinality ceiling of a grouping expression: a
+    * modulus by a literal K can take at most K (pmod) or 2K−1 (signed
+    * remainder) values, a literal exactly one, a boolean three (t/f/
+    * null) — and casts/aliases preserve the bound. Attributes resolve
+    * through the defining Project below, so `groupBy(shard)` over a
+    * projected `hash(id) % 64` proves the same bound as the inline
+    * expression. Anything else: unknown (None) — the proof must come
+    * from the expression, never from data.
+    */
+  private def domainSize(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      scope: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e match {
+      case _: Literal => Some(1L)
+      case a: Alias => domainSize(a.child, scope)
+      case c: Cast => domainSize(c.child, scope)
+      case r: Remainder => r.right match {
+        case Literal(k: Int, _) if k != 0 => Some(2L * math.abs(k) - 1)
+        case Literal(k: Long, _) if k != 0 => Some(2L * math.abs(k) - 1)
+        case _ => None
+      }
+      case p: Pmod => p.right match {
+        case Literal(k: Int, _) if k != 0 => Some(math.abs(k).toLong)
+        case Literal(k: Long, _) if k != 0 => Some(math.abs(k))
+        case _ => None
+      }
+      case attr: AttributeReference =>
+        scope.collectFirst {
+          case pr: org.apache.spark.sql.catalyst.plans.logical.Project
+              if pr.projectList.exists(a =>
+                a.exprId == attr.exprId && a.isInstanceOf[Alias]) =>
+            val a = pr.projectList.find(_.exprId == attr.exprId)
+              .get.asInstanceOf[Alias]
+            domainSize(a.child, pr.child)
+        }.flatten
+      case e if e.dataType == org.apache.spark.sql.types.BooleanType =>
+        Some(3L)
+      case _ => None
+    }
+  }
+
   private def shapeBounded(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
@@ -84,6 +131,16 @@ class WindowLintSpec extends AnyFunSuite {
         g.partitionSpec.isEmpty && g.limit <= MaxProvableRows
       case u @ (_: Project | _: Filter | _: Sort) =>
         shapeBounded(u.asInstanceOf[UnaryNode].child)
+      // bounded-domain aggregate (the p34 shard-carry family): an
+      // aggregate emits at most one row per grouping-key combination,
+      // so when EVERY grouping expression has a plan-derivable domain
+      // (hash % 64, booleans, literals) the product bounds the window
+      // input however large the corpus below it is
+      case a: Aggregate if a.groupingExpressions.nonEmpty =>
+        val ds = a.groupingExpressions.map(domainSize(_, a.child))
+        ds.forall(_.isDefined) &&
+          ds.flatten.forall(_ <= MaxProvableRows) &&
+          ds.flatten.product <= MaxProvableRows
       case _ => false
     }
   }

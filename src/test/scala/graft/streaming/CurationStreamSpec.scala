@@ -635,6 +635,76 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(streamed.map(_._1).distinct.length == 6)
   }
 
+  test("guarded span-near serving refuses a hot-term request and tells the operator its cost") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.TextOps
+    // "the" appears in all 12 docs (df 12, 12*5 > 12 -> stop candidate),
+    // twice in doc 1 (occ 13 > df — the refusal reports VOLUME, not just
+    // df); every content word has df <= 2 (2*5 <= 12 -> not a candidate)
+    val docs = Seq(
+      (1L, "the window opens the frame"),
+      (2L, "the window join runs fast"),
+      (3L, "the hash join probes well"),
+      (4L, "the scan reads rows quickly"),
+      (5L, "the merge sorts data"),
+      (6L, "the filter prunes early"),
+      (7L, "the exchange moves data"),
+      (8L, "the codegen emits bytecode"),
+      (9L, "the planner picks strategies"),
+      (10L, "the catalog stores schemas"),
+      (11L, "the broadcast ships tables"),
+      (12L, "the shuffle writes blocks")).toDF("doc_id", "text")
+    val idx = TextOps.buildPositionalIndex(docs)
+    val stop = TextOps.servingStopCandidates(idx, docs)
+    assert(stop.collect().map(_.getString(0)).toSeq == Seq("the"),
+      "fixture: exactly one stop candidate")
+    val reqs = Seq(
+      (1L, Seq("window", "join"), 3),  // clean: must serve
+      (2L, Seq("the", "join"), 4),     // hot leg: must be refused whole
+      (3L, Seq("join"), 2)             // sub-2 chain: malformed reject
+    ).toDF("query_id", "terms", "gap")
+    // the explicit per-family decision, pinned: the positional budget is
+    // a GATE (refuse + explain), never a term strip — so the expected
+    // serve is the UNGUARDED batch twin over only the clean request
+    val expected = TextOps.spanNearServeBatch(
+      reqs.filter(col("query_id") === 1L), idx).collect().map(_.toSeq).toSeq
+    assert(expected.nonEmpty, "the clean request must actually match")
+    // what the refusal channel must carry: the hot term and the posting
+    // rows ONE leg of it drags through each chain join step
+    val theOcc = idx.postings.filter(col("t") === "the").count()
+    assert(theOcc == 13L)
+
+    val dataDir = Files.createTempDirectory("graft-snguard-req").toString
+    val tmp = Files.createTempDirectory("graft-snguard-chunk").toString
+    reqs.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    Files.move(part.toPath, new java.io.File(dataDir, "req-000.parquet").toPath)
+
+    val served = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val rejected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val refused = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val stream = spark.readStream.schema(reqs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = CurationStream.spanNearServeGuarded(stream, idx, stop)(
+      b => served ++= b.collect().map(_.toSeq),
+      r => rejected ++= r.collect().map(_.getLong(0)),
+      l => refused ++= l.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))))
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-snguard-ckpt").toString)
+      .start()
+    q.awaitTermination(60000)
+
+    assert(served.toSeq == expected,
+      s"clean request must serve byte-identically:\n$served\nvs\n$expected")
+    assert(rejected.toSeq == Seq(3L), "malformed channel judges shape only")
+    assert(refused.toSeq == Seq((2L, "the", theOcc)),
+      "the operator is told the hot term AND its posting volume")
+  }
+
   test("streamed gates equal the batch manifest; crash mid-corpus redelivers without changing a verdict") {
     val spark = TestSpark.spark
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
