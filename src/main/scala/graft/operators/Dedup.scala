@@ -131,15 +131,23 @@ object Dedup {
     * Materialization lifecycle (the house rule, not cache()): three
     * consumers read the shingle index (doc counts + both join sides),
     * so it takes an EAGER localCheckpoint — the shared-intermediate
-    * form (the d21/t37 convention): with no earlier action to
-    * materialize lazily off, a lazy checkpoint would let the self-join's
-    * concurrent scans RACE and recompute partitions (measured +60% on
-    * d2 at sf0.1); the eager job computes the shingle index exactly
-    * once and every consumer reads stored blocks. NO CacheManager entry
-    * exists either way: blocks die with the RDD via the ContextCleaner
-    * when the frame is unreferenced, so a long-lived session calling
-    * this on varied corpora accumulates nothing (RankingLifecycleSpec
-    * pins the zero-cache-growth contract for the dedup operators too).
+    * form (the d21/t37 convention: no earlier action exists to
+    * materialize a lazy checkpoint off, so the eager job computes the
+    * index exactly once and every consumer reads stored blocks). NO
+    * CacheManager entry exists: blocks die with the RDD via the
+    * ContextCleaner when the frame is unreferenced, so a long-lived
+    * session calling this on varied corpora accumulates nothing
+    * (RankingLifecycleSpec pins the zero-cache-growth contract for the
+    * dedup operators too).
+    *
+    * HONESTY NOTE on the benchmark price (the r15 q34 lesson, second
+    * sighting): the previous cache() form benched d2 at ~2.2 s warm at
+    * sf0.1 — FLATTERED by the leak itself: the CacheManager dedups by
+    * plan, so every warm pass after the first reused the prior pass's
+    * cached shingle index and never paid the shingle computation. The
+    * checkpointed form's ~3.6 s is the honest per-call price a fresh
+    * session actually pays; measured eager == lazy within noise at
+    * bench scale, eager kept per the convention above.
     */
   def jaccardPairs(docs: DataFrame): DataFrame = {
     // df-capped index (df <= MaxShingleDocFreq enforced inside shingles):

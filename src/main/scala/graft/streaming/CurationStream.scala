@@ -1360,6 +1360,36 @@ object CurationStream {
         ()
       }
 
+  /** [[coocServe]] with the HOT-TERM GATE — [[spanNearServeGuarded]]'s
+    * contract for the unordered family (the same
+    * [[graft.operators.TextOps.positionalStopLegs]] pricing, the same
+    * refuse-whole/never-strip rule — an unordered window query is still
+    * structural: its terms are the question): hot requests surface on
+    * `onRefused` as (query_id, t, occ) legs, clean requests serve
+    * byte-identically to [[coocServe]], the malformed channel is
+    * unchanged.
+    */
+  def coocServeGuarded(queries: DataFrame,
+                       idx: graft.operators.TextOps.PositionalIndex,
+                       stop: DataFrame)
+                      (onBatch: DataFrame => Unit,
+                       onRejects: DataFrame => Unit = NoRejects,
+                       onRefused: DataFrame => Unit = NoRejects)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val legs = graft.operators.TextOps.positionalStopLegs(b, stop)
+          val hot = legs.select(col("query_id")).distinct()
+          onBatch(graft.operators.TextOps.coocServeBatch(
+            b.join(hot, Seq("query_id"), "left_anti"), idx))
+          surfaceRejects(
+            graft.operators.TextOps.coocServeRejects(b), onRejects)
+          surfaceRejects(legs, onRefused)
+        }
+        ()
+      }
+
   /** [[coocServe]] with the per-batch tombstone re-read — the erasure
     * convention all four positional query classes now carry.
     */

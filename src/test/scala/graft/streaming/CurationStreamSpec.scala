@@ -703,6 +703,41 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(rejected.toSeq == Seq(3L), "malformed channel judges shape only")
     assert(refused.toSeq == Seq((2L, "the", theOcc)),
       "the operator is told the hot term AND its posting volume")
+
+    // the unordered family carries the same contract (coocServeGuarded):
+    // clean serves, hot refuses with the identical (query_id, t, occ)
+    // explanation, sub-2-distinct stays malformed
+    val creqs = Seq(
+      (1L, Seq("window", "join"), 6),
+      (2L, Seq("the", "join"), 5),
+      (3L, Seq("join"), 2)).toDF("query_id", "terms", "win")
+    val cexpected = TextOps.coocServeBatch(
+      creqs.filter(col("query_id") === 1L), idx).collect().map(_.toSeq).toSeq
+    assert(cexpected.nonEmpty)
+    val cDir = Files.createTempDirectory("graft-coocguard-req").toString
+    val ctmp = Files.createTempDirectory("graft-coocguard-chunk").toString
+    creqs.coalesce(1).write.mode("overwrite").parquet(ctmp)
+    val cpart = new java.io.File(ctmp).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    Files.move(cpart.toPath, new java.io.File(cDir, "req-000.parquet").toPath)
+    val cServed = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val cRejected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val cRefused = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val cStream = spark.readStream.schema(creqs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(cDir)
+    val cq = CurationStream.coocServeGuarded(cStream, idx, stop)(
+      b => cServed ++= b.collect().map(_.toSeq),
+      r => cRejected ++= r.collect().map(_.getLong(0)),
+      l => cRefused ++= l.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))))
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-coocguard-ckpt").toString)
+      .start()
+    cq.awaitTermination(60000)
+    assert(cServed.toSeq == cexpected)
+    assert(cRejected.toSeq == Seq(3L))
+    assert(cRefused.toSeq == Seq((2L, "the", theOcc)))
   }
 
   test("streamed gates equal the batch manifest; crash mid-corpus redelivers without changing a verdict") {
