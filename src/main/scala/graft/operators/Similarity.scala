@@ -1151,6 +1151,53 @@ object Similarity {
     ivfPqServeFromProbes(queries, corpus, idx, sub, k,
       annBudgetProbes(queries, idx, sub))
 
+  /** PER-CELL BUDGET PRESSURE (s22) — the s20 budget's dashboard view,
+    * request-free: every occupied cell of the saved index with its
+    * member count, its corpus share in ppm, and the `over_budget` flag —
+    * TRUE when the cell ALONE exceeds a whole request's candidate
+    * budget ([[AnnBudgetFactor]] × n × [[IvfPqProbes]] /
+    * [[IvfPqCoarse]]), i.e. every request probing it either survives on
+    * the nearest-probe guarantee or drops it. The t56-stop-candidate
+    * idea applied to cells: t56 lists the terms an operator should
+    * strip; this lists the cells whose crowding is throttling recall —
+    * the trigger an operator reads BEFORE scheduling the s16 median
+    * split or the s8 retrain (the s15 drift report says the
+    * distribution moved; this says serving is paying for it).
+    *
+    * Scale shape: one [[IvfPqCoarse]]-row aggregate over the saved
+    * assignment table plus a one-row broadcast total — a report whose
+    * cost is one corpus-column scan however large the index.
+    */
+  def annCellPressure(idx: IvfPqIndex): DataFrame = {
+    val occ = idx.cells.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+    val nv = idx.cells.agg(count(lit(1)).as("n_vec"))
+    occ.crossJoin(broadcast(nv))
+      .select(col("cell"), col("occ"),
+        expr("occ * 1000000 div n_vec").as("occ_ppm"),
+        (col("occ") * lit(IvfPqCoarse) >
+          col("n_vec") * lit(IvfPqProbes * AnnBudgetFactor)).as("over_budget"))
+      .orderBy(col("cell"))
+  }
+
+  /** Oracle for [[annCellPressure]] (s22): the coarse-training replay's
+    * assignment CTE aggregated by cell with the identical integer ppm
+    * and over-budget arithmetic — every column integer/boolean.
+    */
+  def sqlAnnCellPressure: String = {
+    val eUnit =
+      """e AS (SELECT vec_id,
+        |    list_transform(v0, x -> round(x / sqrt(list_dot_product(v0, v0)), 6)) AS v
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings))""".stripMargin
+    val (kmCtes, aN, _) = sqlKmeansCtes(IvfPqCoarse, 2, eUnit)
+    s"""WITH $kmCtes,
+       |pocc AS (SELECT c AS cell, count(*)::BIGINT AS occ FROM $aN GROUP BY 1),
+       |pnv AS (SELECT count(*)::BIGINT AS n_vec FROM $aN)
+       |SELECT cell, occ, (occ * 1000000 // n_vec)::BIGINT AS occ_ppm,
+       |  occ * $IvfPqCoarse > n_vec * ${IvfPqProbes * AnnBudgetFactor} AS over_budget
+       |FROM pocc, pnv
+       |ORDER BY cell""".stripMargin
+  }
+
   /** Oracle for [[annProbeCosts]] (s21): replays the coarse training
     * (as [[sqlKnnIvfPq]] — the oracle can't read the saved artifact),
     * the probe assignment with identical rounding and (d, cell)

@@ -1607,6 +1607,32 @@ object TextOps {
       .select(col("query_id"), col("t"), col("occ"))
       .orderBy(col("query_id"), col("t"))
 
+  /** Oracle for [[positionalStopLegs]] (t61): the request batch as a
+    * VALUES table, the t56 stop-candidate rule replayed from the base
+    * documents, the same distinct-terms join — (query_id, t, occ) rows
+    * in (query_id, t) order, integer/string only so the comparison is
+    * hash-exact.
+    */
+  def sqlPositionalStopLegs(requests: Seq[(Long, Seq[String])]): String = {
+    val vals = requests.flatMap { case (qid, ts) =>
+      ts.map(t => s"($qid::BIGINT, ${Portable.sqlLit(t)})")
+    }.mkString(", ")
+    s"""WITH req AS (SELECT DISTINCT query_id, t
+       |  FROM (VALUES $vals) v(query_id, t)),
+       |gtoks AS (SELECT doc_id, ${Portable.sqlTokens("text")} AS w
+       |  FROM documents),
+       |gpp AS (SELECT doc_id, w[i] AS t FROM gtoks,
+       |  LATERAL unnest(range(1, len(w) + 1)) r(i)),
+       |gts AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df,
+       |  count(*)::BIGINT AS occ FROM gpp GROUP BY t),
+       |gnd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+       |gstop AS (SELECT t, occ FROM gts, gnd
+       |  WHERE df * $StopDfDenominator > n_docs)
+       |SELECT r.query_id, r.t, s.occ
+       |FROM req r JOIN gstop s USING (t)
+       |ORDER BY query_id, t""".stripMargin
+  }
+
   /** Oracle for [[servingStopCandidates]]: identical stats, the same
     * integer stop rule and ppm arithmetic.
     */

@@ -827,6 +827,22 @@ object Pipeline {
       TextOps.servingStopCandidates(
         TextOps.loadPositionalIndex(s, posDir), Tables.documents(s, dir))
     },
+    // the hot-term gate's pricing table (t61): per request of the t54
+    // batch, every t56 stop-candidate leg it touches with the posting
+    // volume ONE such leg drags through each chain join step — what the
+    // guarded twins hand the operator on refusal, as an oracle-gated
+    // batch surface
+    QueryDef.sql("t61_stop_legs",
+      TextOps.sqlPositionalStopLegs(
+        SpanNearBatch.map { case (q, ts, _) => (q, ts) })) { (s, dir) =>
+      val posDir = artifactDir("posidx", dir)(tmp =>
+        TextOps.trainAndSavePositionalIndex(Tables.documents(s, dir), tmp))
+      import s.implicits._
+      TextOps.positionalStopLegs(
+        SpanNearBatch.toDF("query_id", "terms", "gap"),
+        TextOps.servingStopCandidates(
+          TextOps.loadPositionalIndex(s, posDir), Tables.documents(s, dir)))
+    },
     // index compaction: the merged index re-written through the same
     // range-partition-by-term contract as a fresh save, restoring the
     // tight per-file [min_t, max_t] footers the index-seek serving path
@@ -1131,6 +1147,18 @@ object Pipeline {
         Similarity.trainAndSaveIvfPq(emb, 64 / Similarity.PqBlocks, tmp))
       Similarity.annProbeCosts(emb.filter(col("vec_id") < 10),
         Similarity.loadIvfPq(s, idxDir), 64 / Similarity.PqBlocks)
+    },
+    // the budget's request-free dashboard (s22): per occupied cell of
+    // the saved index — member count, corpus share in ppm, and the
+    // over_budget flag (the cell ALONE exceeds a request's candidate
+    // budget: crowding is throttling recall) — what an operator reads
+    // before scheduling the s16 split or the s8 retrain
+    QueryDef.sql("s22_cell_pressure",
+      Similarity.sqlAnnCellPressure) { (s, dir) =>
+      val idxDir = artifactDir("ivfpq", dir)(tmp =>
+        Similarity.trainAndSaveIvfPq(Tables.embeddings(s, dir),
+          64 / Similarity.PqBlocks, tmp))
+      Similarity.annCellPressure(Similarity.loadIvfPq(s, idxDir))
     },
 
     // -------- event-time windows

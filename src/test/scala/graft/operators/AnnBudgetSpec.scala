@@ -118,6 +118,24 @@ class AnnBudgetSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("cell-pressure dashboard flags exactly the cell that alone exceeds a request budget") {
+    val s = TestSpark.spark
+    val idx = Similarity.ivfPqTrain(corpus(s), Sub)
+    // n = 16, budget = 8: cell 0 (occ 10) alone exceeds it — every
+    // request probing it rides the pr = 1 guarantee or drops it; the
+    // other cells are fine (the driver fixture never fires this flag —
+    // its k-means cells are balanced — so the skewed world pins BOTH
+    // outcomes)
+    val rows = Similarity.annCellPressure(idx)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(rows == Seq(
+      (0, 10L, 625000L, true),
+      (1, 3L, 187500L, false),
+      (2, 2L, 125000L, false),
+      (3, 1L, 62500L, false)), s"unexpected pressure table:\n$rows")
+  }
+
   test("empty request batch serves empty without error") {
     val s = TestSpark.spark
     import s.implicits._
