@@ -1179,6 +1179,125 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** BUDGET RECALL HONESTY REPORT (s23) — the s10 pattern applied to
+    * the s20 budget: recall is REPORTED, never assumed. Per request:
+    * how many probed cells the budget kept/dropped, the candidate
+    * volume each side represents (from the s21 audit — kept_volume is
+    * what the budgeted serve actually scanned, probed_volume what the
+    * plain serve would have), and `recall_vs_plain` = |budgeted top-k ∩
+    * plain top-k| / k — the measured price of the narrowing, per
+    * request, against the un-budgeted serve as ground truth. A request
+    * whose probes all fit (dropped_cells = 0) MUST report 1.0 — the
+    * shared-core guarantee made visible (spec-pinned); a narrowed
+    * request reports exactly what the dropped cell's absence cost it.
+    *
+    * Scale shape: two serve passes over the same saved index (both
+    * cell-pruned seeks) plus the request-bounded audit walk — the
+    * report costs two lookups per request, and in production runs over
+    * a SAMPLED request set exactly like s10's recall table.
+    */
+  def annBudgetRecall(queries: DataFrame, corpus: DataFrame, idx: IvfPqIndex,
+                      sub: Int, k: Int): DataFrame = {
+    val plain = ivfPqServe(queries, corpus, idx, sub, k)
+    val bud = ivfPqServeBudgeted(queries, corpus, idx, sub, k)
+    val hits = bud.select(col("qid"), col("vec_id"))
+      .join(plain.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    val costs = annProbeCosts(queries, idx, sub)
+      .groupBy(col("qid")).agg(
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_cells"),
+        sum(when(col("kept"), lit(0L)).otherwise(1L)).as("dropped_cells"),
+        sum(when(col("kept"), col("occ_cost")).otherwise(0L)).as("kept_volume"),
+        sum(col("occ_cost")).as("probed_volume"))
+    costs.join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("kept_cells"), col("dropped_cells"),
+        col("kept_volume"), col("probed_volume"),
+        (round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 4) + 0.0)
+          .as("recall_vs_plain"))
+      .orderBy(col("qid"))
+  }
+
+  /** Oracle for [[annBudgetRecall]] (s23): ONE training replay shared
+    * by both serve chains — the budgeted chain is the s20 oracle
+    * verbatim, the plain chain the same tail over ALL probes (suffixed
+    * CTE namespace), joined per request with the audit's volume sums
+    * and the identical round(·, 4) + 0.0 recall arithmetic.
+    */
+  def sqlAnnBudgetRecall(nQueries: Int, k: Int, dim: Int): String = {
+    val sub = dim / PqBlocks
+    val eUnit =
+      """e AS (SELECT vec_id,
+        |    list_transform(v0, x -> round(x / sqrt(list_dot_product(v0, v0)), 6)) AS v
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings))""".stripMargin
+    val (kmCtes, aN, cN) = sqlKmeansCtes(IvfPqCoarse, 2, eUnit)
+    val (pqSteps, raN, rcN) = sqlPqStepCtes("exr", "r")
+    // one serve tail (LUT -> ADC -> rerank -> top-k) parameterized by its
+    // probes CTE and a namespace suffix, so the two chains cannot collide
+    def serveTail(sfx: String, probesCte: String): String =
+      s"""qres$sfx AS (SELECT pr.qid, pr.cell, exb.i, exb.m, exb.x - $cN.cv AS qr
+         |  FROM $probesCte pr JOIN exb ON exb.vec_id = pr.qid
+         |  JOIN $cN ON $cN.c = pr.cell AND $cN.i = exb.i),
+         |lut$sfx AS (SELECT qres$sfx.qid, qres$sfx.cell, qres$sfx.m, p.c,
+         |    round(sum((qres$sfx.qr - p.cv) * (qres$sfx.qr - p.cv)), 6) AS dq
+         |  FROM qres$sfx JOIN $rcN p ON p.i = qres$sfx.i GROUP BY 1, 2, 3, 4),
+         |ad$sfx AS (SELECT l.qid, a.vec_id, round(sum(l.dq), 6) AS adist
+         |  FROM $raN a JOIN $aN cells ON cells.vec_id = a.vec_id
+         |  JOIN lut$sfx l ON l.cell = cells.c AND l.m = a.m AND l.c = a.c
+         |  GROUP BY 1, 2),
+         |cand$sfx AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS cr
+         |  FROM ad$sfx) WHERE cr <= ${PqRerank * k}),
+         |sims$sfx AS (SELECT c.qid, c.vec_id,
+         |    round(list_dot_product(qu.v, xu.v), 4) AS sim
+         |  FROM cand$sfx c JOIN e xu ON xu.vec_id = c.vec_id
+         |  JOIN e qu ON qu.vec_id = c.qid),
+         |topk$sfx AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+         |  FROM sims$sfx) WHERE rnk <= $k)""".stripMargin
+    s"""WITH $kmCtes,
+       |exb AS (SELECT vec_id, i, ((i - 1) // $sub)::INT AS m, x FROM ex),
+       |exr AS (SELECT exb.vec_id, exb.i, exb.m, exb.x - $cN.cv AS x
+       |  FROM exb JOIN $aN a USING (vec_id)
+       |  JOIN $cN ON $cN.c = a.c AND $cN.i = exb.i),
+       |rc0 AS (SELECT vec_id::INT AS c, i, round(x, 6) AS cv FROM exr WHERE vec_id < $PqCodes),
+       |$pqSteps,
+       |qd AS (SELECT ex.vec_id AS qid, p.c, round(sum((ex.x - p.cv) * (ex.x - p.cv)), 6) AS d
+       |  FROM ex JOIN $cN p USING (i) WHERE ex.vec_id < $nQueries GROUP BY 1, 2),
+       |pw AS (SELECT qid, c AS cell, pr FROM (
+       |  SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY d, c) AS pr
+       |  FROM qd) WHERE pr <= $IvfPqProbes),
+       |bocc AS (SELECT c AS cell, count(*)::BIGINT AS occ FROM $aN GROUP BY 1),
+       |bnv AS (SELECT count(*)::BIGINT AS n FROM $aN),
+       |bwalk AS (SELECT pw.qid, pw.cell, pw.pr,
+       |    coalesce(bocc.occ, 0)::BIGINT AS occ_cost,
+       |    (sum(coalesce(bocc.occ, 0)::BIGINT) OVER (PARTITION BY pw.qid
+       |      ORDER BY pw.pr ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+       |  FROM pw LEFT JOIN bocc USING (cell)),
+       |bverd AS (SELECT qid, cell, pr, occ_cost,
+       |    (pr = 1 OR cum * $IvfPqCoarse <= n * ${IvfPqProbes * AnnBudgetFactor}) AS kept
+       |  FROM bwalk, bnv),
+       |probesb AS (SELECT qid, cell FROM bverd WHERE kept),
+       |probesp AS (SELECT qid, cell FROM pw),
+       |${serveTail("b", "probesb")},
+       |${serveTail("p", "probesp")},
+       |costs AS (SELECT qid,
+       |    sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS kept_cells,
+       |    sum(CASE WHEN kept THEN 0 ELSE 1 END)::BIGINT AS dropped_cells,
+       |    sum(CASE WHEN kept THEN occ_cost ELSE 0 END)::BIGINT AS kept_volume,
+       |    sum(occ_cost)::BIGINT AS probed_volume
+       |  FROM bverd GROUP BY 1),
+       |hits AS (SELECT b.qid, count(*)::BIGINT AS h
+       |  FROM topkb b JOIN topkp p ON p.qid = b.qid AND p.vec_id = b.vec_id
+       |  GROUP BY 1)
+       |SELECT c.qid, c.kept_cells, c.dropped_cells, c.kept_volume,
+       |  c.probed_volume,
+       |  round(coalesce(h.h, 0) / ${k}.0, 4) + 0.0 AS recall_vs_plain
+       |FROM costs c LEFT JOIN hits h ON h.qid = c.qid
+       |ORDER BY c.qid""".stripMargin
+  }
+
   /** Oracle for [[annCellPressure]] (s22): the coarse-training replay's
     * assignment CTE aggregated by cell with the identical integer ppm
     * and over-budget arithmetic — every column integer/boolean.

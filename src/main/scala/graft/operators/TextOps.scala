@@ -744,6 +744,107 @@ object TextOps {
        |WHERE rnk <= $Bm25TopK ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** BUDGET RECALL HONESTY REPORT for BM25 (t62) — the s23/s10 pattern
+    * on the text side, completing the quartet on BOTH index families
+    * (price t55 → enforce t59 → audit t60 → measure HERE): per request,
+    * how many terms the budget kept/dropped, the posting volume each
+    * side represents (kept_volume is what the budgeted serve actually
+    * seeks, priced_volume what the plain serve would have), and
+    * `recall_vs_plain` = |budgeted top-k ∩ plain top-k| / k against the
+    * un-budgeted serve as ground truth. A request whose terms all fit
+    * MUST report 1.0 (the shared-core guarantee made visible,
+    * spec-pinned); a degraded request reports exactly what dropping its
+    * hot terms cost. Denominator is the literal k (the s10 convention —
+    * every fixture request matches ≥ k docs; the oracle mirrors it).
+    *
+    * Scale shape: two term-pushdown seeks over the same saved index
+    * plus the request-bounded t60 walk — production runs it over a
+    * SAMPLED request set, the s10 rule.
+    */
+  def bm25BudgetRecall(queries: DataFrame, idx: Bm25Index,
+                       k: Int = Bm25TopK): DataFrame = {
+    val plain = bm25ServeBatch(queries, idx, k)
+    val bud = bm25ServeBatchBudgeted(queries, idx, k)
+    val hits = bud.select(col("query_id"), col("doc_id"))
+      .join(plain.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val costs = bm25RequestCosts(queries, idx)
+      .groupBy(col("query_id")).agg(
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_terms"),
+        sum(when(col("kept"), lit(0L)).otherwise(1L)).as("dropped_terms"),
+        sum(when(col("kept"), col("df_cost")).otherwise(0L)).as("kept_volume"),
+        sum(col("df_cost")).as("priced_volume"))
+    costs.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("kept_terms"), col("dropped_terms"),
+        col("kept_volume"), col("priced_volume"),
+        (round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 4) + 0.0)
+          .as("recall_vs_plain"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Oracle for [[bm25BudgetRecall]] (t62): one tokenize/stats replay
+    * shared by both serve chains (the budgeted chain is the t59 oracle
+    * verbatim, the plain chain the same scoring over ALL request
+    * terms), joined per request with the t60 walk's volume sums and the
+    * identical round(·, 4) + 0.0 recall arithmetic.
+    */
+  def sqlBm25BudgetRecall(requests: Seq[(Long, Seq[String])]): String = {
+    val vals = requests.flatMap { case (qid, ts) =>
+      ts.map(t => s"($qid::BIGINT, ${Portable.sqlLit(t)})")
+    }.mkString(", ")
+    def scoreTail(sfx: String, termsCte: String): String =
+      s"""contrib$sfx AS (SELECT kt.query_id, p.doc_id,
+         |    round(ln(1.0 + (c.n - s.df + 0.5) / (s.df + 0.5))
+         |        * (p.tf * $Bm25K1p1)
+         |        / (p.tf + $Bm25K1 * ($Bm25OneMinusB + $Bm25B * (dl.dl / (c.sum_dl::DOUBLE / c.n)))),
+         |      6)::DECIMAL(28,6) AS w
+         |  FROM $termsCte kt JOIN p ON p.t = kt.t JOIN s ON s.t = kt.t
+         |  JOIN dl ON dl.doc_id = p.doc_id, c),
+         |sc$sfx AS (SELECT query_id, doc_id, sum(w) AS sw FROM contrib$sfx
+         |  GROUP BY 1, 2),
+         |topk$sfx AS (SELECT query_id, doc_id FROM (
+         |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sw DESC, doc_id) AS rnk FROM sc$sfx)
+         |  WHERE rnk <= $Bm25TopK)""".stripMargin
+    s"""WITH req AS (SELECT DISTINCT query_id, t
+       |  FROM (VALUES $vals) v(query_id, t)),
+       |toks AS (SELECT doc_id, unnest(${Portable.sqlTokens("text")}) AS t
+       |  FROM documents),
+       |p AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+       |  WHERE t IN (SELECT t FROM req) GROUP BY 1, 2),
+       |s AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+       |dl AS (SELECT doc_id, len(${Portable.sqlTokens("text")})::BIGINT AS dl
+       |  FROM documents),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       |cost AS (SELECT r.query_id, r.t, coalesce(s.df, 0)::BIGINT AS cdf
+       |  FROM req r LEFT JOIN s ON s.t = r.t),
+       |walkv AS (SELECT query_id, t, cdf,
+       |    (sum(cdf) OVER (PARTITION BY query_id
+       |      ORDER BY cdf, t ROWS UNBOUNDED PRECEDING))::BIGINT AS cum FROM cost),
+       |verd AS (SELECT query_id, t, cdf,
+       |    cum <= c.n * $Bm25BudgetFactor AS kept FROM walkv, c),
+       |kept AS (SELECT query_id, t FROM verd WHERE kept),
+       |${scoreTail("b", "kept")},
+       |${scoreTail("p", "req")},
+       |costs AS (SELECT query_id,
+       |    sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS kept_terms,
+       |    sum(CASE WHEN kept THEN 0 ELSE 1 END)::BIGINT AS dropped_terms,
+       |    sum(CASE WHEN kept THEN cdf ELSE 0 END)::BIGINT AS kept_volume,
+       |    sum(cdf)::BIGINT AS priced_volume
+       |  FROM verd GROUP BY 1),
+       |hits AS (SELECT b.query_id, count(*)::BIGINT AS h
+       |  FROM topkb b JOIN topkp p2
+       |    ON p2.query_id = b.query_id AND p2.doc_id = b.doc_id
+       |  GROUP BY 1)
+       |SELECT cs.query_id, cs.kept_terms, cs.dropped_terms, cs.kept_volume,
+       |  cs.priced_volume,
+       |  round(coalesce(h.h, 0) / ${Bm25TopK}.0, 4) + 0.0 AS recall_vs_plain
+       |FROM costs cs LEFT JOIN hits h ON h.query_id = cs.query_id
+       |ORDER BY cs.query_id""".stripMargin
+  }
+
   /** INCREMENTAL BM25 index merge (t34) — today's shard enters the saved
     * index with NO recount of the old corpus: postings and doc lengths
     * are per-doc rows (disjoint doc sets — pure union), term dfs are

@@ -625,6 +625,19 @@ object Pipeline {
         Bm25BudgetBatch.toDF("query_id", "terms"),
         TextOps.loadBm25Index(s, bmDir))
     },
+    // the budget's recall honesty report on the text side (t62, s23's
+    // twin — price t55, enforce t59, audit t60, MEASURE here): per
+    // request, kept/dropped terms, posting volume each side represents,
+    // and |budgeted top-k ∩ plain top-k| / k vs the un-budgeted serve
+    QueryDef.sql("t62_budget_recall",
+      TextOps.sqlBm25BudgetRecall(Bm25BudgetBatch)) { (s, dir) =>
+      val bmDir = artifactDir("bm25", dir)(tmp =>
+        TextOps.trainAndSaveBm25Index(Tables.documents(s, dir), tmp))
+      import s.implicits._
+      TextOps.bm25BudgetRecall(
+        Bm25BudgetBatch.toDF("query_id", "terms"),
+        TextOps.loadBm25Index(s, bmDir))
+    },
     // Cavnar-Trenkle n-gram language ID: trained per-language trigram
     // rank profiles (broadcast), out-of-place distance per doc, argmin
     QueryDef.sql("t37_ct_langid", TextOps.sqlCtLangId) { (s, dir) =>
@@ -1147,6 +1160,20 @@ object Pipeline {
         Similarity.trainAndSaveIvfPq(emb, 64 / Similarity.PqBlocks, tmp))
       Similarity.annProbeCosts(emb.filter(col("vec_id") < 10),
         Similarity.loadIvfPq(s, idxDir), 64 / Similarity.PqBlocks)
+    },
+    // the budget's recall honesty report (s23, the s10 pattern applied
+    // to s20): per request — cells kept/dropped, candidate volume each
+    // side represents, and measured |budgeted top-k ∩ plain top-k| / k;
+    // a request with nothing dropped MUST report 1.0 (the shared-core
+    // guarantee made visible), a narrowed one reports what the drop
+    // actually cost
+    QueryDef.sql("s23_budget_recall",
+      Similarity.sqlAnnBudgetRecall(10, 5, 64)) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idxDir = artifactDir("ivfpq", dir)(tmp =>
+        Similarity.trainAndSaveIvfPq(emb, 64 / Similarity.PqBlocks, tmp))
+      Similarity.annBudgetRecall(emb.filter(col("vec_id") < 10), emb,
+        Similarity.loadIvfPq(s, idxDir), 64 / Similarity.PqBlocks, 5)
     },
     // the budget's request-free dashboard (s22): per occupied cell of
     // the saved index — member count, corpus share in ppm, and the

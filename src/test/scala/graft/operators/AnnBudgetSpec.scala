@@ -136,6 +136,32 @@ class AnnBudgetSpec extends AnyFunSuite {
       (3, 1L, 62500L, false)), s"unexpected pressure table:\n$rows")
   }
 
+  test("budget recall report: 1.0 exactly when nothing drops, measured overlap when a cell drops") {
+    val s = TestSpark.spark
+    val c = corpus(s)
+    val idx = Similarity.ivfPqTrain(c, Sub)
+    val qs = query(s, 100L, 0, 1) // drops cell 1
+      .unionByName(query(s, 101L, 2, 3)) // fits whole
+    val rep = Similarity.annBudgetRecall(qs, c, idx, Sub, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    // q101 keeps both probes -> the shared core makes budgeted == plain,
+    // so its recall MUST be exactly 1.0 (the honesty identity)
+    val q101 = rep.find(_._1 == 101L).get
+    assert(q101 == ((101L, 2L, 0L, 3L, 3L, 1.0)), s"fits-whole row: $q101")
+    // q100 drops cell 1 (occ 3 of 13 probed): the report's recall must
+    // equal the independently-computed top-k overlap
+    val plain = Similarity.ivfPqServe(query(s, 100L, 0, 1), c, idx, Sub, 3)
+      .collect().map(_.getLong(2)).toSet
+    val bud = Similarity.ivfPqServeBudgeted(query(s, 100L, 0, 1), c, idx, Sub, 3)
+      .collect().map(_.getLong(2)).toSet
+    val want = math.round(bud.intersect(plain).size.toDouble / 3 * 10000) / 10000.0
+    val q100 = rep.find(_._1 == 100L).get
+    assert((q100._2, q100._3, q100._4, q100._5) == ((1L, 1L, 10L, 13L)),
+      s"narrowed row volumes: $q100")
+    assert(q100._6 == want, s"recall ${q100._6} != independent $want")
+  }
+
   test("empty request batch serves empty without error") {
     val s = TestSpark.spark
     import s.implicits._

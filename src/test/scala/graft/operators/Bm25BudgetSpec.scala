@@ -111,6 +111,33 @@ class Bm25BudgetSpec extends AnyFunSuite {
       "the audit's kept slice must equal the budgeted serve's term set")
   }
 
+  test("budget recall report: 1.0 exactly when nothing drops, measured overlap when a term drops") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val idx = TextOps.buildBm25Index(corpus(s))
+    val reqs = Seq(
+      (1L, Seq("rare", "hot")),        // 1 + 5 = 6 <= 6: nothing drops
+      (2L, Seq("rare", "mid", "hot"))  // hot (df 5) drops at cum 9
+    ).toDF("query_id", "terms")
+    val rep = TextOps.bm25BudgetRecall(reqs, idx, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    // request 1 keeps everything -> shared core makes budgeted == plain,
+    // recall MUST be exactly 1.0 (the honesty identity)
+    assert(rep.find(_._1 == 1L).get == ((1L, 2L, 0L, 6L, 6L, 1.0)))
+    // request 2 drops "hot": the report's recall equals the
+    // independently-computed top-k overlap
+    val one = Seq((2L, Seq("rare", "mid", "hot"))).toDF("query_id", "terms")
+    val plain = TextOps.bm25ServeBatch(one, idx, 3)
+      .collect().map(_.getLong(2)).toSet
+    val bud = TextOps.bm25ServeBatchBudgeted(one, idx, 3)
+      .collect().map(_.getLong(2)).toSet
+    val want = math.round(bud.intersect(plain).size.toDouble / 3 * 10000) / 10000.0
+    val r2 = rep.find(_._1 == 2L).get
+    assert((r2._2, r2._3, r2._4, r2._5) == ((2L, 1L, 4L, 9L)), s"volumes: $r2")
+    assert(r2._6 == want, s"recall ${r2._6} != independent $want")
+  }
+
   test("empty batch and empty index both serve empty without error") {
     val s = TestSpark.spark
     import s.implicits._

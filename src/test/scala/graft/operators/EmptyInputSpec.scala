@@ -193,6 +193,24 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(coocScore.forall(_ == 0L), coocScore.toSeq.toString)
   }
 
+  test("round-17 additions survive empty inputs") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // the stop-leg pricer: an empty request batch, an empty stop list,
+    // and a null/null-element terms array all yield zero legs (the
+    // malformed shapes stay on the rejects channel, which judges shape)
+    val stop = Seq(("the", 13L)).toDF("t", "occ")
+    val noReqs = Seq.empty[(Long, Seq[String])].toDF("query_id", "terms")
+    assert(TextOps.positionalStopLegs(noReqs, stop).count() == 0)
+    val reqs = Seq((1L, Seq("the", "join")), (2L, Seq("join")))
+      .toDF("query_id", "terms")
+    val noStop = Seq.empty[(String, Long)].toDF("t", "occ")
+    assert(TextOps.positionalStopLegs(reqs, noStop).count() == 0)
+    val badReqs = Seq((1L, null: Seq[String]), (2L, Seq("the", null)))
+      .toDF("query_id", "terms")
+    assert(TextOps.positionalStopLegs(badReqs, stop).count() == 0)
+  }
+
   test("a NULL ELEMENT inside a request's term array is rejected, not silently zero-served") {
     // the round-15 advisory: a null term never equi-joins a posting, so
     // before the element check such a request served zero rows while
