@@ -1307,6 +1307,17 @@ object Similarity {
       """e AS (SELECT vec_id,
         |    list_transform(v0, x -> round(x / sqrt(list_dot_product(v0, v0)), 6)) AS v
         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings))""".stripMargin
+    sqlCellPressureOver(eUnit)
+  }
+
+  /** [[sqlAnnCellPressure]] trained on the first-4/5 slice — the index
+    * p46's nightly decision serves from, so its nested pressure count
+    * judges the same cells the drift/split legs do.
+    */
+  def sqlAnnCellPressureOldSlice: String =
+    sqlCellPressureOver(sqlEUnitOldSlice)
+
+  private def sqlCellPressureOver(eUnit: String): String = {
     val (kmCtes, aN, _) = sqlKmeansCtes(IvfPqCoarse, 2, eUnit)
     s"""WITH $kmCtes,
        |pocc AS (SELECT c AS cell, count(*)::BIGINT AS occ FROM $aN GROUP BY 1),
@@ -1814,15 +1825,26 @@ object Similarity {
     val da = dr.agg(sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
       (max(abs(col("drift"))) + lit(0.0)).as("max_abs_drift"))
     val tot = sp.agg(sum(col("n")).as("tot"), max(col("n")).as("post_max_n"))
+    // serving-side corroboration (round 17): how many saved cells the
+    // s20 budget flags as over a whole request's candidate budget —
+    // the s22 pressure table's count on the SAME index the decision
+    // judges. Report-only by design: the action rule stays the
+    // training-side hot_frac/drift (deterministic against the fixture
+    // oracles); an operator reads n_over_budget as the serving-cost
+    // second opinion on the same row.
+    val bp = annCellPressure(idx)
+      .agg(sum(when(col("over_budget"), 1L).otherwise(0L)).as("n_over_budget"))
     val hot = sp.filter(col("is_split"))
       .groupBy(col("cell"), col("split_dim"), col("split_val"))
       .agg(sum(col("n")).as("hot_n"), max(col("n")).as("max_child_n"))
     hot.crossJoin(broadcast(da)).crossJoin(broadcast(tot))
+      .crossJoin(broadcast(bp))
       .select(col("n_flagged"), col("max_abs_drift"),
         col("cell").as("hot_cell"), col("hot_n"),
         col("split_dim"), col("split_val"),
         col("max_child_n"), col("post_max_n"),
         (round(col("hot_n").cast("double") / col("tot"), 4) + 0.0).as("hot_frac"),
+        col("n_over_budget"),
         when(col("n_flagged") >= 2, "retrain")
           .when(col("hot_n").cast("double") / col("tot") > 0.3, "split")
           .otherwise("serve").as("action"))
@@ -1837,19 +1859,23 @@ object Similarity {
     import graft.functions.Portable.sqlNoOrder
     s"""WITH dr AS (${sqlNoOrder(sqlIvfDrift)}),
        |sp AS (${sqlNoOrder(sqlIvfSplit)}),
+       |bpq AS (${sqlNoOrder(sqlAnnCellPressureOldSlice)}),
        |da AS (SELECT sum(CASE WHEN flagged THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
        |    max(abs(drift)) + 0.0 AS max_abs_drift FROM dr),
        |tt AS (SELECT sum(n)::BIGINT AS tot, max(n)::BIGINT AS post_max_n FROM sp),
+       |bp AS (SELECT sum(CASE WHEN over_budget THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_over_budget FROM bpq),
        |hot AS (SELECT cell AS hot_cell, split_dim, split_val,
        |    sum(n)::BIGINT AS hot_n, max(n)::BIGINT AS max_child_n
        |  FROM sp WHERE is_split GROUP BY 1, 2, 3)
        |SELECT da.n_flagged, da.max_abs_drift, hot.hot_cell, hot.hot_n,
        |  hot.split_dim, hot.split_val, hot.max_child_n, tt.post_max_n,
        |  round(hot.hot_n::DOUBLE / tt.tot, 4) + 0.0 AS hot_frac,
+       |  bp.n_over_budget,
        |  CASE WHEN da.n_flagged >= 2 THEN 'retrain'
        |       WHEN hot.hot_n::DOUBLE / tt.tot > 0.3 THEN 'split'
        |       ELSE 'serve' END AS action
-       |FROM hot, da, tt ORDER BY hot_cell""".stripMargin
+       |FROM hot, da, tt, bp ORDER BY hot_cell""".stripMargin
   }
 
   /** PQ CODEBOOK UTILIZATION (s17) — the index-health table next to
