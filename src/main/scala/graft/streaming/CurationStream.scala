@@ -1126,6 +1126,60 @@ object CurationStream {
         ()
       }
 
+  /** [[bm25ServeBudgeted]] with the PER-BATCH TOMBSTONE read — the
+    * erasure convention composed with the t59 budget, closing the
+    * serving-mode symmetry (every serve twin now has both a budgeted
+    * and a tombstoned form, and this is their composition): each
+    * micro-batch re-reads the tombstone table, prunes the index
+    * (statistics re-derived from survivors), and the budget walk prices
+    * each request AGAINST THE PRUNED INDEX — so an erasure can
+    * legitimately flip a keep/drop verdict between two requests (a
+    * term whose hot df came from erased docs gets cheaper and may
+    * survive), exactly as a fresh build would price it. Serving a
+    * batch equals [[graft.operators.TextOps.bm25ServeBatchBudgeted]]
+    * over the pruned index (spec-pinned).
+    */
+  def bm25ServeBudgetedWithTombstones(queries: DataFrame,
+                                      idx: graft.operators.TextOps.Bm25Index,
+                                      tombstoneDir: String,
+                                      k: Int = graft.operators.TextOps.Bm25TopK)
+                                     (onBatch: DataFrame => Unit,
+                                      onRejects: DataFrame => Unit = NoRejects)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val tomb = b.sparkSession.read.parquet(tombstoneDir)
+          onBatch(graft.operators.TextOps.bm25ServeBatchBudgeted(b,
+            graft.operators.TextOps.deleteListFromBm25Index(idx, tomb), k))
+          surfaceRejects(
+            graft.operators.TextOps.bm25ServeRejects(b), onRejects)
+        }
+        ()
+      }
+
+  /** [[annServeBudgeted]] with the PER-BATCH TOMBSTONE read — the ANN
+    * side of [[bm25ServeBudgetedWithTombstones]]: the budget walk
+    * prices probed cells against the PRUNED index's occupancies (an
+    * erased crowd makes its cell cheaper and a previously-dropped probe
+    * may survive — prices follow the surviving truth), and serving a
+    * batch equals ivfPqServeBudgeted over the pruned index.
+    */
+  def annServeBudgetedWithTombstones(queries: DataFrame, corpus: DataFrame,
+                                     idx: graft.operators.Similarity.IvfPqIndex,
+                                     tombstoneDir: String, sub: Int, k: Int)
+                                    (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val tomb = b.sparkSession.read.parquet(tombstoneDir)
+          onBatch(graft.operators.Similarity.ivfPqServeBudgeted(b, corpus,
+            graft.operators.Forget.pruneAnnIndexList(idx, tomb), sub, k))
+        }
+        ()
+      }
+
   /** PHRASE SERVING, online ([[bm25Serve]]'s convention for the saved
     * positional index): a stream of (query_id, phrase) rows answered
     * per micro-batch from the t49 artifact via

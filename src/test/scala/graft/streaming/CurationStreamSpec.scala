@@ -635,6 +635,82 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(streamed.map(_._1).distinct.length == 6)
   }
 
+  test("budgeted tombstoned serving: prices follow the pruned index — an erasure flips a keep/drop verdict") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.TextOps
+    // n = 6, budget 6; dfs: rare 1, hot 5, stop 6. Request (rare, hot):
+    // 1 + 5 = 6 <= 6 -> BOTH kept. Erasing doc 6 (which holds NEITHER
+    // term) shrinks the corpus to n = 5, budget 5 — hot's cum 6 > 5, so
+    // the same request now drops "hot": relative price rose (df/n
+    // 5/6 -> 5/5) with no change to the term itself. The twin must
+    // re-price per batch against the pruned index.
+    val docs = Seq(
+      (1L, "stop hot mid rare"),
+      (2L, "stop hot mid extra"),
+      (3L, "stop hot mid extra"),
+      (4L, "stop hot extra pad"),
+      (5L, "stop hot extra pad"),
+      (6L, "stop filler pad pad")).toDF("doc_id", "text")
+    val idx = TextOps.buildBm25Index(docs)
+    val req = Seq("rare", "hot")
+    val tombDir = Files.createTempDirectory("graft-bmbudtomb-list").toString
+    Seq.empty[Long].toDF("doc_id").write.mode("overwrite").parquet(tombDir)
+    val dataDir = Files.createTempDirectory("graft-bmbudtomb-req").toString
+    def writeReq(qid: Long, i: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft-bmbudtomb-chunk").toString
+      Seq((qid, req)).toDF("query_id", "terms")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      Files.move(part.toPath,
+        new java.io.File(dataDir, f"req-$i%03d.parquet").toPath)
+      ()
+    }
+    writeReq(1L, 0)
+    val got = scala.collection.concurrent.TrieMap
+      .empty[(Long, Int), (Long, Double)]
+    val schema = Seq((1L, Seq("x"))).toDF("query_id", "terms").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = CurationStream.bm25ServeBudgetedWithTombstones(stream, idx, tombDir) { b =>
+      b.collect().foreach(r =>
+        got.put((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+    }
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-bmbudtomb-ckpt").toString)
+      .start()
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(cond, s"timed out waiting for $what")
+    }
+    await(got.keys.exists(_._1 == 1L), "query 1 results")
+    Seq(6L).toDF("doc_id").write.mode("append").parquet(tombDir)
+    writeReq(2L, 1)
+    await(got.keys.exists(_._1 == 2L), "query 2 results")
+    q.stop()
+    q.awaitTermination(30000)
+
+    def rows(qid: Long) = got.toSeq
+      .collect { case ((`qid`, rnk), (d, s)) => (rnk, d, s) }.sorted
+    // pre-erasure: both terms kept -> equals the plain batch serve
+    val want1 = TextOps.bm25ServeBatch(
+        Seq((1L, req)).toDF("query_id", "terms"), idx)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(rows(1L) == want1.toSeq, "pre-erasure must equal the plain serve (nothing drops)")
+    // post-erasure: the SAME request now drops "hot" -> equals the
+    // rare-only serve over the pruned index
+    val pruned = TextOps.deleteListFromBm25Index(idx, Seq(6L).toDF("doc_id"))
+    val want2 = TextOps.bm25ServeBatch(
+        Seq((2L, Seq("rare"))).toDF("query_id", "terms"), pruned)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(rows(2L) == want2.toSeq,
+      "post-erasure must re-price and drop the now-over-budget hot term")
+    assert(rows(1L) != rows(2L), "the verdict flip must be visible in the output")
+  }
+
   test("guarded span-near serving refuses a hot-term request and tells the operator its cost") {
     val spark = TestSpark.spark
     import spark.implicits._
@@ -738,6 +814,71 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(cServed.toSeq == cexpected)
     assert(cRejected.toSeq == Seq(3L))
     assert(cRefused.toSeq == Seq((2L, "the", theOcc)))
+  }
+
+  test("budgeted tombstoned ANN serving equals the budgeted batch serve over the pruned index") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.{Similarity, Forget}
+    val corpus = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val sub = 64 / Similarity.PqBlocks
+    val idxDir = Files.createTempDirectory("graft-annbudtomb-idx").toString
+    Similarity.trainAndSaveIvfPq(corpus, sub, idxDir)
+    val idx = Similarity.loadIvfPq(spark, idxDir)
+    val mkQ = (qid: Long) => corpus.filter(col("vec_id") === 0L)
+      .select(lit(qid).as("vec_id"), col("embedding"), col("label"))
+    // erase 30 vectors between the two requests: occupancies shrink, the
+    // walk re-prices, and serving must equal the budgeted batch twin
+    // over the pruned index (whatever the new verdicts are)
+    val victims = (100L to 129L)
+    val tombDir = Files.createTempDirectory("graft-annbudtomb-list").toString
+    Seq.empty[Long].toDF("vec_id").write.mode("overwrite").parquet(tombDir)
+    val dataDir = Files.createTempDirectory("graft-annbudtomb-req").toString
+    def writeReq(qid: Long, i: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft-annbudtomb-chunk").toString
+      mkQ(qid).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      Files.move(part.toPath,
+        new java.io.File(dataDir, f"req-$i%03d.parquet").toPath)
+      ()
+    }
+    writeReq(20001L, 0)
+    val got = scala.collection.concurrent.TrieMap
+      .empty[(Long, Int), (Long, Double)]
+    val stream = spark.readStream.schema(mkQ(0L).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = CurationStream.annServeBudgetedWithTombstones(
+      stream, corpus, idx, tombDir, sub, 5) { b =>
+      b.collect().foreach(r =>
+        got.put((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+    }
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-annbudtomb-ckpt").toString)
+      .start()
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(cond, s"timed out waiting for $what")
+    }
+    await(got.keys.exists(_._1 == 20001L), "query 1 results")
+    victims.toDF("vec_id").write.mode("append").parquet(tombDir)
+    writeReq(20002L, 1)
+    await(got.keys.exists(_._1 == 20002L), "query 2 results")
+    q.stop()
+    q.awaitTermination(30000)
+    def rows(qid: Long) = got.toSeq
+      .collect { case ((`qid`, rnk), (d, s)) => (rnk, d, s) }.sorted
+    val want1 = Similarity.ivfPqServeBudgeted(mkQ(20001L), corpus, idx, sub, 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(rows(20001L) == want1.toSeq)
+    val pruned = Forget.pruneAnnIndexList(idx, victims.toDF("vec_id"))
+    val want2 = Similarity.ivfPqServeBudgeted(mkQ(20002L), corpus, pruned, sub, 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(rows(20002L) == want2.toSeq)
+    assert(!rows(20002L).exists(r => victims.contains(r._2)),
+      "an erased vector must never surface post-erasure")
   }
 
   test("streamed gates equal the batch manifest; crash mid-corpus redelivers without changing a verdict") {
