@@ -1867,6 +1867,74 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
+  /** DEDUP METHOD AGREEMENT (d24) — the honesty table ACROSS the three
+    * lexical near-dup detectors (the s10/d18 "measured, never assumed"
+    * rule applied to method choice): for each pair of methods — exact
+    * shingle-Jaccard (d2), MinHash-LSH with exact verify (d4), SimHash
+    * Hamming (d15) — the pair counts each finds, the pairs both find,
+    * and the set-Jaccard of their verdicts. What each row MEANS is
+    * asymmetric by construction and worth reading off the table: d4's
+    * pairs are a strict subset of d2's (same exact verify, banded
+    * candidates — their row IS the measured banding recall, the
+    * per-corpus companion to d18's S-curve), while d15 judges a
+    * DIFFERENT similarity (fingerprint bit agreement vs shingle-set
+    * overlap), so its disagreements with d2 are genuine method
+    * disagreements — the pairs a crawl-dedup tier would treat
+    * differently depending on which detector it trusts.
+    *
+    * Scale shape: the three pair tables are the operators' own
+    * (df-capped, banded — each bounded as documented on its operator);
+    * agreement is three broadcast-sized joins on the pair key and
+    * one-row aggregates. Empty-corpus edge: 0/0 agreement defines to
+    * 1.0 (no disagreement exists), identically in both engines.
+    */
+  def methodAgreement(docs: DataFrame): DataFrame = {
+    val jac = jaccardPairs(docs).select(col("ia"), col("ib"))
+    val lsh = lshPairs(docs).select(col("ia"), col("ib"))
+    val sim = simhashPairs(docs).select(col("ia"), col("ib"))
+    def cmp(name: String, a: DataFrame, b: DataFrame): DataFrame = {
+      val na = a.agg(count(lit(1)).as("n_a"))
+      val nb = b.agg(count(lit(1)).as("n_b"))
+      val nboth = a.join(b, Seq("ia", "ib")).agg(count(lit(1)).as("n_both"))
+      val denom = col("n_a") + col("n_b") - col("n_both")
+      na.crossJoin(nb).crossJoin(nboth)
+        .select(lit(name).as("methods"), col("n_a"), col("n_b"), col("n_both"),
+          when(denom === 0, lit(1.0))
+            .otherwise(round(col("n_both").cast("double") / denom, 4) + 0.0)
+            .as("set_jaccard"))
+    }
+    cmp("jaccard_vs_lsh", jac, lsh)
+      .unionByName(cmp("jaccard_vs_simhash", jac, sim))
+      .unionByName(cmp("lsh_vs_simhash", lsh, sim))
+      .orderBy(col("methods"))
+  }
+
+  /** Oracle for [[methodAgreement]] (d24): the d2/d4/d15 oracles nested
+    * whole as isolated subqueries (the p41 composition rule), then the
+    * identical count/intersection/set-Jaccard arithmetic per method
+    * pair, with the same 0/0 → 1.0 definition.
+    */
+  def sqlMethodAgreement: String = {
+    import graft.functions.Portable.sqlNoOrder
+    def one(name: String, a: String, b: String): String =
+      s"""SELECT '$name' AS methods,
+         |  (SELECT count(*)::BIGINT FROM $a) AS n_a,
+         |  (SELECT count(*)::BIGINT FROM $b) AS n_b,
+         |  (SELECT count(*)::BIGINT FROM $a x
+         |     JOIN $b y ON x.ia = y.ia AND x.ib = y.ib) AS n_both""".stripMargin
+    s"""WITH dj AS (SELECT ia, ib FROM (${sqlNoOrder(sqlJaccardPairs)})),
+       |dl AS (SELECT ia, ib FROM (${sqlNoOrder(sqlLshPairs)})),
+       |ds AS (SELECT ia, ib FROM (${sqlNoOrder(sqlSimhashPairs)})),
+       |raw AS (${one("jaccard_vs_lsh", "dj", "dl")}
+       |  UNION ALL ${one("jaccard_vs_simhash", "dj", "ds")}
+       |  UNION ALL ${one("lsh_vs_simhash", "dl", "ds")})
+       |SELECT methods, n_a, n_b, n_both,
+       |  CASE WHEN n_a + n_b - n_both = 0 THEN 1.0
+       |       ELSE round(n_both::DOUBLE / (n_a + n_b - n_both), 4) + 0.0
+       |  END AS set_jaccard
+       |FROM raw ORDER BY methods""".stripMargin
+  }
+
   def sqlSimhashPairs: String = {
     val bands = SimHashBits / SimHashBandBits
     val bandList = (0 until bands).mkString(", ")

@@ -198,6 +198,14 @@ object Pipeline {
     QueryDef.sql("d21_ppjoin", Dedup.sqlJaccardPairs) { (s, dir) =>
       Dedup.ppJoinPairs(Tables.documents(s, dir))
     },
+    // method-agreement honesty table (d24): per detector pair — exact
+    // Jaccard (d2), MinHash-LSH (d4), SimHash (d15) — pair counts,
+    // intersection, set-Jaccard of verdicts; the d2-vs-d4 row IS the
+    // measured banding recall on this corpus, the d15 rows are genuine
+    // method disagreements (different similarity)
+    QueryDef.sql("d24_method_agreement", Dedup.sqlMethodAgreement) { (s, dir) =>
+      Dedup.methodAgreement(Tables.documents(s, dir))
+    },
     QueryDef.sql("d3_minhash_sig", Dedup.sqlMinhashSignatures) { (s, dir) =>
       Dedup.minhashSignatures(Tables.documents(s, dir))
     },
