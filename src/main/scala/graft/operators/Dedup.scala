@@ -149,12 +149,18 @@ object Dedup {
     * session actually pays; measured eager == lazy within noise at
     * bench scale, eager kept per the convention above.
     */
-  def jaccardPairs(docs: DataFrame): DataFrame = {
+  def jaccardPairs(docs: DataFrame): DataFrame =
     // df-capped index (df <= MaxShingleDocFreq enforced inside shingles):
     // the self-join key is never a stop-shingle, so per-key output is
     // bounded — NOT the raw shingle stream (that's rawShingles, for the
     // operators where hot shingles are the signal)
-    val sh = shingles(docs).localCheckpoint(true)
+    jaccardPairsFrom(shingles(docs).localCheckpoint(true))
+
+  /** [[jaccardPairs]] over an ALREADY-CHECKPOINTED shingle index —
+    * factored out so multi-method consumers ([[methodAgreement]]) pay
+    * the shingle pass ONCE across detectors (the p54 shared-scan rule).
+    */
+  private[operators] def jaccardPairsFrom(sh: DataFrame): DataFrame = {
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -607,11 +613,16 @@ object Dedup {
     * exact Jaccard >= threshold. The banding join is the scale path: at
     * 100 TB only same-bucket pairs are ever materialized.
     */
-  def lshPairs(docs: DataFrame): DataFrame = {
+  def lshPairs(docs: DataFrame): DataFrame =
     // eager localCheckpoint, not cache(): three consumers (signature
     // banding + both verify sides) read stored blocks with no
     // session-long CacheManager pin — the jaccardPairs lifecycle note
-    val sh = shingles(docs).localCheckpoint(true)
+    lshPairsFrom(shingles(docs).localCheckpoint(true))
+
+  /** [[lshPairs]] over an ALREADY-CHECKPOINTED shingle index — the
+    * [[jaccardPairsFrom]] factoring, same shared-scan rationale.
+    */
+  private[operators] def lshPairsFrom(sh: DataFrame): DataFrame = {
     val cand = lshCandidates(sh, MinHashBands, MinHashRows)
     // verify ONLY candidate pairs with exact jaccard — the LSH payoff: the
     // full pairwise self-join is never materialized, just bucket-cohabitants
@@ -1889,8 +1900,13 @@ object Dedup {
     * 1.0 (no disagreement exists), identically in both engines.
     */
   def methodAgreement(docs: DataFrame): DataFrame = {
-    val jac = jaccardPairs(docs).select(col("ia"), col("ib"))
-    val lsh = lshPairs(docs).select(col("ia"), col("ib"))
+    // ONE checkpointed shingle pass shared by the two shingle-set
+    // detectors (the p54 shared-scan rule — calling d2 and d4 through
+    // their public entries would tokenize and shingle the corpus twice);
+    // SimHash reads tokens, not shingles, so it keeps its own pass
+    val sh = shingles(docs).localCheckpoint(true)
+    val jac = jaccardPairsFrom(sh).select(col("ia"), col("ib"))
+    val lsh = lshPairsFrom(sh).select(col("ia"), col("ib"))
     val sim = simhashPairs(docs).select(col("ia"), col("ib"))
     def cmp(name: String, a: DataFrame, b: DataFrame): DataFrame = {
       val na = a.agg(count(lit(1)).as("n_a"))
