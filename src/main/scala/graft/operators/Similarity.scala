@@ -1263,21 +1263,7 @@ object Similarity {
        |  JOIN $cN ON $cN.c = a.c AND $cN.i = exb.i),
        |rc0 AS (SELECT vec_id::INT AS c, i, round(x, 6) AS cv FROM exr WHERE vec_id < $PqCodes),
        |$pqSteps,
-       |qd AS (SELECT ex.vec_id AS qid, p.c, round(sum((ex.x - p.cv) * (ex.x - p.cv)), 6) AS d
-       |  FROM ex JOIN $cN p USING (i) WHERE ex.vec_id < $nQueries GROUP BY 1, 2),
-       |pw AS (SELECT qid, c AS cell, pr FROM (
-       |  SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY d, c) AS pr
-       |  FROM qd) WHERE pr <= $IvfPqProbes),
-       |bocc AS (SELECT c AS cell, count(*)::BIGINT AS occ FROM $aN GROUP BY 1),
-       |bnv AS (SELECT count(*)::BIGINT AS n FROM $aN),
-       |bwalk AS (SELECT pw.qid, pw.cell, pw.pr,
-       |    coalesce(bocc.occ, 0)::BIGINT AS occ_cost,
-       |    (sum(coalesce(bocc.occ, 0)::BIGINT) OVER (PARTITION BY pw.qid
-       |      ORDER BY pw.pr ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
-       |  FROM pw LEFT JOIN bocc USING (cell)),
-       |bverd AS (SELECT qid, cell, pr, occ_cost,
-       |    (pr = 1 OR cum * $IvfPqCoarse <= n * ${IvfPqProbes * AnnBudgetFactor}) AS kept
-       |  FROM bwalk, bnv),
+       |${sqlAnnBudgetWalkCtes(nQueries, aN, cN)},
        |probesb AS (SELECT qid, cell FROM bverd WHERE kept),
        |probesp AS (SELECT qid, cell FROM pw),
        |${serveTail("b", "probesb")},
@@ -1328,6 +1314,31 @@ object Similarity {
        |ORDER BY cell""".stripMargin
   }
 
+  /** The probe/occupancy/budget-walk CTE block SHARED by the three ANN
+    * budget oracles (s20/s21/s23) — one authoritative SQL rendering of
+    * the rule, so a change to the budget semantics edits ONE builder
+    * (the serveTail precedent applied to the walk): emits `qd` (probe
+    * distances), `pw` (probes with rank), `bocc`/`bnv` (occupancies and
+    * corpus size), `bwalk` (the cumulative walk) and `bverd` (the
+    * keep/drop verdicts, pr = 1 guarantee included).
+    */
+  private def sqlAnnBudgetWalkCtes(nQueries: Int, aN: String, cN: String): String =
+    s"""qd AS (SELECT ex.vec_id AS qid, p.c, round(sum((ex.x - p.cv) * (ex.x - p.cv)), 6) AS d
+       |  FROM ex JOIN $cN p USING (i) WHERE ex.vec_id < $nQueries GROUP BY 1, 2),
+       |pw AS (SELECT qid, c AS cell, pr FROM (
+       |  SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY d, c) AS pr
+       |  FROM qd) WHERE pr <= $IvfPqProbes),
+       |bocc AS (SELECT c AS cell, count(*)::BIGINT AS occ FROM $aN GROUP BY 1),
+       |bnv AS (SELECT count(*)::BIGINT AS n FROM $aN),
+       |bwalk AS (SELECT pw.qid, pw.cell, pw.pr,
+       |    coalesce(bocc.occ, 0)::BIGINT AS occ_cost,
+       |    (sum(coalesce(bocc.occ, 0)::BIGINT) OVER (PARTITION BY pw.qid
+       |      ORDER BY pw.pr ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+       |  FROM pw LEFT JOIN bocc USING (cell)),
+       |bverd AS (SELECT qid, cell, pr, occ_cost, cum,
+       |    (pr = 1 OR cum * $IvfPqCoarse <= n * ${IvfPqProbes * AnnBudgetFactor}) AS kept
+       |  FROM bwalk, bnv)""".stripMargin
+
   /** Oracle for [[annProbeCosts]] (s21): replays the coarse training
     * (as [[sqlKnnIvfPq]] — the oracle can't read the saved artifact),
     * the probe assignment with identical rounding and (d, cell)
@@ -1342,23 +1353,12 @@ object Similarity {
         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings))""".stripMargin
     val (kmCtes, aN, cN) = sqlKmeansCtes(IvfPqCoarse, 2, eUnit)
     s"""WITH $kmCtes,
-       |qd AS (SELECT ex.vec_id AS qid, p.c, round(sum((ex.x - p.cv) * (ex.x - p.cv)), 6) AS d
-       |  FROM ex JOIN $cN p USING (i) WHERE ex.vec_id < $nQueries GROUP BY 1, 2),
-       |pw AS (SELECT qid, c AS cell, pr FROM (
-       |  SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY d, c) AS pr
-       |  FROM qd) WHERE pr <= $IvfPqProbes),
-       |bocc AS (SELECT c AS cell, count(*)::BIGINT AS occ FROM $aN GROUP BY 1),
-       |bnv AS (SELECT count(*)::BIGINT AS n FROM $aN),
-       |walk AS (SELECT pw.qid, pw.pr, pw.cell,
-       |    coalesce(bocc.occ, 0)::BIGINT AS occ_cost,
-       |    (sum(coalesce(bocc.occ, 0)::BIGINT) OVER (PARTITION BY pw.qid
-       |      ORDER BY pw.pr ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
-       |  FROM pw LEFT JOIN bocc USING (cell))
-       |SELECT qid, pr, cell, occ_cost, cum,
-       |  (pr = 1 OR cum * $IvfPqCoarse <= n * ${IvfPqProbes * AnnBudgetFactor}) AS kept
-       |FROM walk, bnv
+       |${sqlAnnBudgetWalkCtes(nQueries, aN, cN)}
+       |SELECT qid, pr, cell, occ_cost, cum, kept
+       |FROM bverd
        |ORDER BY qid, pr""".stripMargin
   }
+
 
   /** Oracle for [[ivfPqServeBudgeted]] (s20): the full [[sqlKnnIvfPq]]
     * training replay, the SAME budget walk (occupancy-priced probes,
@@ -1383,19 +1383,8 @@ object Similarity {
        |  JOIN $cN ON $cN.c = a.c AND $cN.i = exb.i),
        |rc0 AS (SELECT vec_id::INT AS c, i, round(x, 6) AS cv FROM exr WHERE vec_id < $PqCodes),
        |$pqSteps,
-       |qd AS (SELECT ex.vec_id AS qid, p.c, round(sum((ex.x - p.cv) * (ex.x - p.cv)), 6) AS d
-       |  FROM ex JOIN $cN p USING (i) WHERE ex.vec_id < $nQueries GROUP BY 1, 2),
-       |pw AS (SELECT qid, c AS cell, pr FROM (
-       |  SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY d, c) AS pr
-       |  FROM qd) WHERE pr <= $IvfPqProbes),
-       |bocc AS (SELECT c AS cell, count(*)::BIGINT AS occ FROM $aN GROUP BY 1),
-       |bnv AS (SELECT count(*)::BIGINT AS n FROM $aN),
-       |bwalk AS (SELECT pw.qid, pw.cell, pw.pr,
-       |    (sum(coalesce(bocc.occ, 0)::BIGINT) OVER (PARTITION BY pw.qid
-       |      ORDER BY pw.pr ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
-       |  FROM pw LEFT JOIN bocc USING (cell)),
-       |probes AS (SELECT qid, cell FROM bwalk, bnv
-       |  WHERE pr = 1 OR cum * $IvfPqCoarse <= n * ${IvfPqProbes * AnnBudgetFactor}),
+       |${sqlAnnBudgetWalkCtes(nQueries, aN, cN)},
+       |probes AS (SELECT qid, cell FROM bverd WHERE kept),
        |qres AS (SELECT pr.qid, pr.cell, exb.i, exb.m, exb.x - $cN.cv AS qr
        |  FROM probes pr JOIN exb ON exb.vec_id = pr.qid
        |  JOIN $cN ON $cN.c = pr.cell AND $cN.i = exb.i),

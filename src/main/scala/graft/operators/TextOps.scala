@@ -340,11 +340,6 @@ object TextOps {
     Bm25Index(postings, doclen, stats, corpus)
   }
 
-  /** Persist the index under `dir` (postings/doclen scale with the
-    * corpus — parallel write; stats with the vocabulary; corpus is one
-    * row) and reload it — the t14/d11/s9/t21 train-once convention
-    * applied to retrieval: index tonight, serve tomorrow.
-    */
   /** File width for the saved per-term stats table: vocabulary-sized
     * (one row per distinct term), so a handful of range partitions keeps
     * footers tight without scattering near-empty files the way the
@@ -352,6 +347,11 @@ object TextOps {
     */
   val Bm25StatsFiles = 4
 
+  /** Persist the index under `dir` (postings/doclen scale with the
+    * corpus — parallel write; stats with the vocabulary; corpus is one
+    * row) and reload it — the t14/d11/s9/t21 train-once convention
+    * applied to retrieval: index tonight, serve tomorrow.
+    */
   def trainAndSaveBm25Index(docs: DataFrame, dir: String): Bm25Index = {
     val idx = buildBm25Index(docs)
     // postings land RANGE-PARTITIONED AND SORTED by their own term key:
@@ -681,6 +681,41 @@ object TextOps {
        |ORDER BY query_id, cum, t""".stripMargin
   }
 
+  /** The request/stats/cost-walk CTE block SHARED by the BM25 budget
+    * oracles whose walk is identical (t59's serve and t62's recall
+    * report) — one authoritative SQL rendering of the df-priced
+    * rarest-first rule (the sqlAnnBudgetWalkCtes convention on the text
+    * side): emits `req` (the VALUES batch), `toks`/`p`/`s`/`dl`/`c`
+    * (the t31 index replay), `cost`/`walkv`/`verd` (the priced walk
+    * with verdicts) and `kept` (the surviving term set). t60's audit
+    * oracle keeps its own stats derivation (count-DISTINCT from toks —
+    * documented there) and is gated against the same fixtures.
+    */
+  private def sqlBm25BudgetWalkCtes(requests: Seq[(Long, Seq[String])]): String = {
+    val vals = requests.flatMap { case (qid, ts) =>
+      ts.map(t => s"($qid::BIGINT, ${Portable.sqlLit(t)})")
+    }.mkString(", ")
+    s"""req AS (SELECT DISTINCT query_id, t
+       |  FROM (VALUES $vals) v(query_id, t)),
+       |toks AS (SELECT doc_id, unnest(${Portable.sqlTokens("text")}) AS t
+       |  FROM documents),
+       |p AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+       |  WHERE t IN (SELECT t FROM req) GROUP BY 1, 2),
+       |s AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+       |dl AS (SELECT doc_id, len(${Portable.sqlTokens("text")})::BIGINT AS dl
+       |  FROM documents),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       |cost AS (SELECT r.query_id, r.t, coalesce(s.df, 0)::BIGINT AS cdf
+       |  FROM req r LEFT JOIN s ON s.t = r.t),
+       |walkv AS (SELECT query_id, t, cdf,
+       |    (sum(cdf) OVER (PARTITION BY query_id
+       |      ORDER BY cdf, t ROWS UNBOUNDED PRECEDING))::BIGINT AS cum FROM cost),
+       |verd AS (SELECT query_id, t, cdf,
+       |    cum <= c.n * $Bm25BudgetFactor AS kept FROM walkv, c),
+       |kept AS (SELECT query_id, t FROM verd WHERE kept)""".stripMargin
+  }
+
   /** SERVE-TIME COST BUDGET ENFORCED (t59) — the t55/t56 pricing story
     * closed at the serving layer: [[bm25ServeBatch]] with each request
     * first stripped to its budgeted term set ([[bm25BudgetTerms]]),
@@ -709,27 +744,8 @@ object TextOps {
     * walk — df-priced terms, per-request cumulative keep under
     * [[Bm25BudgetFactor]] × N — replayed from the base documents table.
     */
-  def sqlBm25ServeBudgeted(requests: Seq[(Long, Seq[String])]): String = {
-    val vals = requests.flatMap { case (qid, ts) =>
-      ts.map(t => s"($qid::BIGINT, ${Portable.sqlLit(t)})")
-    }.mkString(", ")
-    s"""WITH req AS (SELECT DISTINCT query_id, t
-       |  FROM (VALUES $vals) v(query_id, t)),
-       |toks AS (SELECT doc_id, unnest(${Portable.sqlTokens("text")}) AS t
-       |  FROM documents),
-       |p AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
-       |  WHERE t IN (SELECT t FROM req) GROUP BY 1, 2),
-       |s AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
-       |dl AS (SELECT doc_id, len(${Portable.sqlTokens("text")})::BIGINT AS dl
-       |  FROM documents),
-       |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
-       |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-       |cost AS (SELECT r.query_id, r.t, coalesce(s.df, 0)::BIGINT AS cdf
-       |  FROM req r LEFT JOIN s ON s.t = r.t),
-       |kept AS (SELECT query_id, t FROM (
-       |    SELECT query_id, t, sum(cdf) OVER (PARTITION BY query_id
-       |      ORDER BY cdf, t ROWS UNBOUNDED PRECEDING) AS cum FROM cost), c
-       |  WHERE cum <= c.n * $Bm25BudgetFactor),
+  def sqlBm25ServeBudgeted(requests: Seq[(Long, Seq[String])]): String =
+    s"""WITH ${sqlBm25BudgetWalkCtes(requests)},
        |contrib AS (SELECT kept.query_id, p.doc_id,
        |    round(ln(1.0 + (c.n - s.df + 0.5) / (s.df + 0.5))
        |        * (p.tf * $Bm25K1p1)
@@ -742,7 +758,7 @@ object TextOps {
        |  SELECT query_id, doc_id, s, row_number() OVER (PARTITION BY query_id
        |    ORDER BY s DESC, doc_id) AS rnk FROM sc)
        |WHERE rnk <= $Bm25TopK ORDER BY query_id, rnk""".stripMargin
-  }
+
 
   /** BUDGET RECALL HONESTY REPORT for BM25 (t62) — the s23/s10 pattern
     * on the text side, completing the quartet on BOTH index families
@@ -790,9 +806,8 @@ object TextOps {
     * identical round(·, 4) + 0.0 recall arithmetic.
     */
   def sqlBm25BudgetRecall(requests: Seq[(Long, Seq[String])]): String = {
-    val vals = requests.flatMap { case (qid, ts) =>
-      ts.map(t => s"($qid::BIGINT, ${Portable.sqlLit(t)})")
-    }.mkString(", ")
+    // one serve tail (score -> rank -> top-k) parameterized by its
+    // terms CTE and a namespace suffix, so the two chains cannot collide
     def scoreTail(sfx: String, termsCte: String): String =
       s"""contrib$sfx AS (SELECT kt.query_id, p.doc_id,
          |    round(ln(1.0 + (c.n - s.df + 0.5) / (s.df + 0.5))
@@ -807,25 +822,7 @@ object TextOps {
          |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
          |    ORDER BY sw DESC, doc_id) AS rnk FROM sc$sfx)
          |  WHERE rnk <= $Bm25TopK)""".stripMargin
-    s"""WITH req AS (SELECT DISTINCT query_id, t
-       |  FROM (VALUES $vals) v(query_id, t)),
-       |toks AS (SELECT doc_id, unnest(${Portable.sqlTokens("text")}) AS t
-       |  FROM documents),
-       |p AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
-       |  WHERE t IN (SELECT t FROM req) GROUP BY 1, 2),
-       |s AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
-       |dl AS (SELECT doc_id, len(${Portable.sqlTokens("text")})::BIGINT AS dl
-       |  FROM documents),
-       |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
-       |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-       |cost AS (SELECT r.query_id, r.t, coalesce(s.df, 0)::BIGINT AS cdf
-       |  FROM req r LEFT JOIN s ON s.t = r.t),
-       |walkv AS (SELECT query_id, t, cdf,
-       |    (sum(cdf) OVER (PARTITION BY query_id
-       |      ORDER BY cdf, t ROWS UNBOUNDED PRECEDING))::BIGINT AS cum FROM cost),
-       |verd AS (SELECT query_id, t, cdf,
-       |    cum <= c.n * $Bm25BudgetFactor AS kept FROM walkv, c),
-       |kept AS (SELECT query_id, t FROM verd WHERE kept),
+    s"""WITH ${sqlBm25BudgetWalkCtes(requests)},
        |${scoreTail("b", "kept")},
        |${scoreTail("p", "req")},
        |costs AS (SELECT query_id,

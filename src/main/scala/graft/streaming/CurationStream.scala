@@ -1338,9 +1338,12 @@ object CurationStream {
     * have dragged through each of the chain's k−1 join steps — so the
     * operator is told what the request would have COST, not just that
     * it was dropped. Well-formed, non-hot requests serve byte-identically
-    * to [[spanNearServe]]; the malformed channel is unchanged (a request
-    * both malformed and hot appears on each channel, each judging its
-    * own axis: shape vs cost).
+    * to [[spanNearServe]]; the malformed channel is unchanged. The two
+    * channels judge independent axes (shape vs cost) and can OVERLAP
+    * only when the term array itself is well-formed — a hot sub-2 chain
+    * or bad-gap request appears on both; a null/null-element array
+    * cannot be cost-judged at all (positionalStopLegs skips it), so
+    * that shape stays on the malformed channel alone.
     *
     * The other positional members keep their pinned decisions: phrase
     * and proximity serve full term sets (their two-term shapes bound a

@@ -46,8 +46,9 @@ class RankingLifecycleSpec extends AnyFunSuite {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     // varied inputs across calls — the session-accumulation shape the
     // round-16 sweep eliminated: jaccardPairs/lshPairs/shardLshPairs
-    // materialize their shared shingle frames via lazy localCheckpoint
-    // (blocks die with the frame), never a session-pinned cache()
+    // materialize their shared shingle frames via EAGER localCheckpoint
+    // (the shared-intermediate convention — blocks die with the frame,
+    // no CacheManager entry), never a session-pinned cache()
     (1 to 3).foreach { i =>
       val d = (0L until 4L * i)
         .map(id => (id, if (id % 2 == 0) base else s"$base extra$id word$i"))

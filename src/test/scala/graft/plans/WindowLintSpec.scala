@@ -135,12 +135,14 @@ class WindowLintSpec extends AnyFunSuite {
       // aggregate emits at most one row per grouping-key combination,
       // so when EVERY grouping expression has a plan-derivable domain
       // (hash % 64, booleans, literals) the product bounds the window
-      // input however large the corpus below it is
+      // input however large the corpus below it is. BigInt product —
+      // a Long product of many bounded keys could wrap and wrongly
+      // certify; +1 per NULLABLE key for its null group
       case a: Aggregate if a.groupingExpressions.nonEmpty =>
-        val ds = a.groupingExpressions.map(domainSize(_, a.child))
+        val ds = a.groupingExpressions.map(e =>
+          domainSize(e, a.child).map(d => if (e.nullable) d + 1 else d))
         ds.forall(_.isDefined) &&
-          ds.flatten.forall(_ <= MaxProvableRows) &&
-          ds.flatten.product <= MaxProvableRows
+          ds.flatten.map(BigInt(_)).product <= BigInt(MaxProvableRows)
       case _ => false
     }
   }
