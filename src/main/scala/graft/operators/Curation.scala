@@ -1342,8 +1342,16 @@ object Curation {
     val shardDocs = docs.filter(col("doc_id") >= dCut)
     val labels = Dedup.shardUpdateClustersFrom(lshPairs, oldLabels)
     val spans = Dedup.shardSubstrSpans(shardDocs, substrIdx)
-    val sem = Similarity.semDedupShard(emb, vCut, cent, oldCells, tau)
+    // sem feeds TWO report aggregates (the dropped count and the per-cell
+    // occupancy rows) and the merged-LM totals two report rows;
+    // uncheckpointed, each pass ran twice inside the one report action —
+    // checkpoint both shared intermediates CONCURRENTLY (the
+    // d24/p46 Par.run rule; they are independent)
     val merged = TextOps.mergeSurprisalModels(lmOld, lmShard, docs)
+    val Seq(sem, mergedTotals) = graft.functions.Par.run(
+      () => Similarity.semDedupShard(emb, vCut, cent, oldCells, tau)
+        .localCheckpoint(true),
+      () => merged.totals.localCheckpoint(true))
     val diff = manifestDiff(docs.filter(col("doc_id") < dCut), docs)
     def one(stage: Long, item: String, df: DataFrame): DataFrame =
       df.select(lit(stage).as("stage"), lit(item).as("item"),
@@ -1365,11 +1373,12 @@ object Curation {
           concat(lit("ann_cell_"), col("c").cast("string")).as("item"),
           col("n").cast("long").as("n")),
       // merged-LM totals: count additivity made visible as integers —
-      // old + shard token counts MUST equal the full corpus's
-      merged.totals.select(lit(6L).as("stage"), lit("lm_tokens").as("item"),
-        col("n").cast("long").as("n")),
-      merged.totals.select(lit(6L).as("stage"), lit("lm_vocab").as("item"),
-        col("v").cast("long").as("n")),
+      // old + shard token counts MUST equal the full corpus's (one-row
+      // checkpointed frame, read twice: tokens + vocab rows)
+      mergedTotals.select(lit(6L).as("stage"), lit("lm_tokens").as("item"),
+          col("n").cast("long").as("n"))
+        .unionByName(mergedTotals.select(lit(6L).as("stage"),
+          lit("lm_vocab").as("item"), col("v").cast("long").as("n"))),
       diff.select(lit(7L).as("stage"),
         concat(lit("diff_"), col("gate")).as("item"),
         col("delta").cast("long").as("n"))

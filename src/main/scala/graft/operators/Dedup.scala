@@ -161,7 +161,11 @@ object Dedup {
     * the shingle pass ONCE across detectors (the p54 shared-scan rule).
     */
   private[operators] def jaccardPairsFrom(sh: DataFrame): DataFrame = {
+    // per-doc set sizes feed BOTH verify-side joins (ca, cb) — checkpoint
+    // the docs-sized table so the aggregate over the shingle index runs
+    // once, not once per join side
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val inter = sh.as("a").join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
@@ -208,15 +212,23 @@ object Dedup {
     // rarest-first needs only a TOTAL ORDER on shingles, not a global
     // rank: ordering the per-doc window by (df, g) directly is the same
     // prefix bound without pushing the whole df-capped vocabulary
-    // through one rank partition
+    // through one rank partition.
+    // ranked (the df-annotated index) feeds cnt AND prefix; cnt feeds
+    // THREE joins (prefix bound + both verify-size sides) and prefix
+    // BOTH candidate sides — uncheckpointed, the df aggregate + join
+    // re-ran per consumer (5 evaluations of the dfreq join inside one
+    // action). Checkpoints: ranked once (index-sized), cnt and prefix
+    // once each (docs-/prefix-sized).
     val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val ranked = sh.join(dfreq, "g")
+    val ranked = sh.join(dfreq, "g").localCheckpoint(true)
     val cnt = ranked.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
     val prefix = ranked.join(cnt, "doc_id")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
       .filter(col("pos") <= col("m") - ceil(lit(tau) * col("m")) + 1)
       .select(col("doc_id"), col("g"))
+      .localCheckpoint(true)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
@@ -264,9 +276,13 @@ object Dedup {
     // materialization for the four consumers, per-doc (df, g) ordering
     // instead of a global vocabulary rank
     val sh = hashedShingles(docs).localCheckpoint(true)
+    // same materialization shape as [[ppJoinPairs]]: ranked feeds cnt +
+    // prefix, cnt feeds the prefix bound and the final src-size join —
+    // checkpoint each so the df join runs once
     val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val ranked = sh.join(dfreq, "g")
+    val ranked = sh.join(dfreq, "g").localCheckpoint(true)
     val cnt = ranked.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
     val prefix = ranked.join(cnt, "doc_id")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
@@ -302,6 +318,7 @@ object Dedup {
     val tau = JaccardThreshold
     val sh = hashedShingles(docs).localCheckpoint(true)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
     val pairs = clusters.as("a").join(clusters.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.cluster").as("cluster"),
@@ -317,6 +334,9 @@ object Dedup {
         round(coalesce(col("inter"), lit(0L)) * lit(1.0)
           / (col("na") + col("nb") - coalesce(col("inter"), lit(0L))), 4)
           .cast("decimal(18,4)").as("jac"))
+      // jac (pair-sized) feeds the per-cluster AND the corpus aggregate —
+      // uncheckpointed, the whole verify pipeline ran twice in one action
+      .localCheckpoint(true)
     def shape(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = g
       .agg(count(lit(1)).as("n_pairs"), min(col("jac")).cast("double").as("min_jac"),
         round(sum(when(col("jac") >= tau, 1L).otherwise(0L)) * lit(1.0)
@@ -440,7 +460,10 @@ object Dedup {
     */
   private[graft] def lshCandidates(sh: DataFrame, bands: Int, rows: Int): DataFrame = {
     val hashed = sh.select(col("doc_id"), Portable.hash32(col("g")).as("h"))
-    val stacked = bandBuckets(hashed, bands, rows)
+    // doc × bands bucket rows feed BOTH self-join sides — checkpoint so
+    // the 16-permutation signature aggregation over the shingle index
+    // runs once, not per side
+    val stacked = bandBuckets(hashed, bands, rows).localCheckpoint(true)
     stacked.as("x").join(stacked.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -514,7 +537,11 @@ object Dedup {
     val hashed = shingles(docs).select(col("doc_id"), Portable.hash32(col("g")).as("h"))
     val aggs = (0 until Portable.MinHashPerms)
       .map(i => min(minHashPerm(col("h"), i)).as(s"h$i"))
+    // the docs × 16 signature table feeds all three banding configs —
+    // uncheckpointed, each config re-ran the corpus shingle pass + the
+    // signature aggregation (3 scans for one shared table)
     val sig = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true)
     val reports = LshTuneConfigs.map { case (b, r) =>
       bandsFromSig(sig, b, r)
         .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
@@ -580,7 +607,10 @@ object Dedup {
       .select(col("source"), Portable.hash32(col("g")).as("h"))
     val aggs = (0 until Portable.MinHashPerms)
       .map(i => min(minHashPerm(col("h"), i)).as(s"h$i"))
+    // sources × 16 sketch table, read by BOTH sides of the self-join —
+    // uncheckpointed, the corpus shingle pass ran twice
     val sk = hashed.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true)
     val matches = (0 until Portable.MinHashPerms)
       .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -623,10 +653,16 @@ object Dedup {
     * [[jaccardPairsFrom]] factoring, same shared-scan rationale.
     */
   private[operators] def lshPairsFrom(sh: DataFrame): DataFrame = {
-    val cand = lshCandidates(sh, MinHashBands, MinHashRows)
     // verify ONLY candidate pairs with exact jaccard — the LSH payoff: the
-    // full pairwise self-join is never materialized, just bucket-cohabitants
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // full pairwise self-join is never materialized, just bucket-cohabitants.
+    // cnt is checkpointed (two verify-side joins read it — one aggregate
+    // pass over the shingle index instead of two, the jaccardPairsFrom
+    // rule), CONCURRENTLY with the banding pass's own checkpoint (both
+    // depend only on sh — Par.run keeps their jobs overlapped).
+    val Seq(cand, cnt) = graft.functions.Par.run(
+      () => lshCandidates(sh, MinHashBands, MinHashRows),
+      () => sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true))
     // no broadcast hint on cand: candidate volume is DATA-DEPENDENT (a
     // boilerplate-heavy crawl explodes band collisions), so a mandatory
     // BroadcastExchange would OOM the driver at scale. AQE broadcasts it
@@ -914,7 +950,10 @@ object Dedup {
     val news = hashed
       .join(sdf.filter(col("df") <= MaxShingleDocFreq).select(col("h")), "h")
       .localCheckpoint(true)
-    val nb = bandBuckets(news)
+    // the shard's band buckets feed TWO candidate joins (vs the saved
+    // buckets and vs themselves) — checkpoint the doc × bands table so
+    // the signature aggregation runs once
+    val nb = bandBuckets(news).localCheckpoint(true)
     val cross = nb.as("x").join(idx.buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") =!= col("y.doc_id"))
@@ -942,7 +981,11 @@ object Dedup {
     * joins are 8-byte-keyed equi-joins.
     */
   private def verifyHashedPairs(cand: DataFrame, postings: DataFrame,
-                                cnt: DataFrame): DataFrame = {
+                                cnt0: DataFrame): DataFrame = {
+    // the denominator table joins twice (ca, cb) — checkpoint the
+    // docs-sized counts so its lineage (artifact scan / shard aggregate)
+    // evaluates once per call
+    val cnt = cnt0.localCheckpoint(true)
     val inter = cand.join(postings.as("a"), col("ia") === col("a.doc_id"))
       .select(col("ia"), col("ib"), col("a.h").as("ch"))
       .join(postings.as("b"), col("ch") === col("b.h") && col("ib") === col("b.doc_id"))
@@ -1859,7 +1902,9 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame): DataFrame = {
     val bands = SimHashBits / SimHashBandBits
-    val sim = simhash(docs)
+    // the 12-byte-per-doc fingerprint table feeds BOTH self-join sides —
+    // checkpoint it so the corpus token pass + 64 bit sums run once
+    val sim = simhash(docs).localCheckpoint(true)
     val stacked = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -1905,9 +1950,21 @@ object Dedup {
     // their public entries would tokenize and shingle the corpus twice);
     // SimHash reads tokens, not shingles, so it keeps its own pass
     val sh = shingles(docs).localCheckpoint(true)
-    val jac = jaccardPairsFrom(sh).select(col("ia"), col("ib"))
-    val lsh = lshPairsFrom(sh).select(col("ia"), col("ib"))
-    val sim = simhashPairs(docs).select(col("ia"), col("ib"))
+    // each detector's PAIR TABLE is eagerly checkpointed too: every table
+    // feeds FOUR aggregate consumers below (two cmp() calls × count +
+    // intersection join), and the unioned plan holds no common subtree
+    // for them, so the uncheckpointed form re-ran every detector's full
+    // join-verify pipeline 4× inside one action. The three detectors are
+    // INDEPENDENT given sh, so their checkpoints materialize
+    // CONCURRENTLY (Par.run) — single-evaluation economics without
+    // serializing three jobs that used to overlap inside one plan.
+    val Seq(jac, lsh, sim) = graft.functions.Par.run(
+      () => jaccardPairsFrom(sh).select(col("ia"), col("ib"))
+        .localCheckpoint(true),
+      () => lshPairsFrom(sh).select(col("ia"), col("ib"))
+        .localCheckpoint(true),
+      () => simhashPairs(docs).select(col("ia"), col("ib"))
+        .localCheckpoint(true))
     def cmp(name: String, a: DataFrame, b: DataFrame): DataFrame = {
       val na = a.agg(count(lit(1)).as("n_a"))
       val nb = b.agg(count(lit(1)).as("n_b"))

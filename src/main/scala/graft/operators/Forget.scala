@@ -182,14 +182,32 @@ object Forget {
         .crossJoin(afterAgg)
         .select(lit(name).as("artifact"), col("rows_before"),
           col("rows_after"), col("stat"))
+    // For the PER-KEY-PRUNABLE artifacts the "after" table is a plain
+    // filter of the "before" table, so before-count, after-count and the
+    // survivor stat are one conditional aggregate over a SINGLE scan of
+    // the saved artifact — half the artifact reads of the two-frame form,
+    // with identical values (count/sum/countDistinct all ignore the NULL
+    // the `when` leaves on pruned rows).
+    def filterLeg(name: String, tbl: DataFrame, keep: Column,
+                  statAgg: Column): DataFrame =
+      tbl.agg(count(lit(1)).as("rows_before"),
+          // coalesce: count(*) of an empty pruned frame was 0, never NULL
+          coalesce(sum(when(keep, 1L).otherwise(0L)), lit(0L)).as("rows_after"),
+          statAgg.as("stat"))
+        .select(lit(name).as("artifact"), col("rows_before"),
+          col("rows_after"), col("stat"))
     val pruned = pruneLshIndex(idx)
-    val newLabels = Dedup.connectedComponents(Dedup.indexPairs(pruned))
+    // the label re-cluster (an action loop) and the KMV rebuild (day×K
+    // rows with an events-scan lineage, read twice: row count + estimate
+    // sum) are independent — materialize both concurrently (Par.run)
+    val Seq(newLabels, newSketch) = graft.functions.Par.run(
+      () => Dedup.connectedComponents(Dedup.indexPairs(pruned)),
+      () => pruneKmvSketch(kmvSaved, events).localCheckpoint(true))
     val prunedSubstr = Dedup.deleteFromSubstrIndex(
       substrIdx, docs.filter(DocDeleted))
-    val prunedBm = TextOps.deleteFromBm25Index(bm25, DocDeleted)
-    val prunedAnn = pruneAnnIndex(ann)
-    val newSketch = pruneKmvSketch(kmvSaved, events)
-    val prunedFp = pruneMediaFingerprints(mediaFp)
+    // (the bm25/ann/media prunes are plain per-key filters — their legs
+    // run as single-scan conditional aggregates below instead of
+    // re-reading the artifact for a separate pruned frame)
     // band recompute stays unexecuted here (lazy) — the leg reads counts
     val prunedLm = TextOps.deleteFromSurprisalModel(lm,
       docs.filter(DocDeleted), docs.filter(!DocDeleted))
@@ -200,13 +218,15 @@ object Forget {
     // legs keyed by artifact name; the CATALOG enumerates the report, so
     // a catalog entry without a leg (or vice versa) fails loudly instead
     // of silently dropping an artifact from the sweep
+    val keepDoc = !DocDeleted
+    val keepVec = !VecDeleted
+    val fpSrc = when(col("asset_id") >= Multimodal.VariantOffset,
+      col("asset_id") - Multimodal.VariantOffset).otherwise(col("asset_id"))
     val legs: Map[String, DataFrame] = Map(
-      "ann_cells" -> leg("ann_cells", ann.cells,
-        prunedAnn.cells.agg(count(lit(1)).as("rows_after"),
-          sum(col("vec_id")).as("stat"))),
-      "bm25_postings" -> leg("bm25_postings", bm25.postings,
-        prunedBm.postings.agg(count(lit(1)).as("rows_after"),
-          countDistinct(col("t")).as("stat"))),
+      "ann_cells" -> filterLeg("ann_cells", ann.cells, keepVec,
+        sum(when(keepVec, col("vec_id")))),
+      "bm25_postings" -> filterLeg("bm25_postings", bm25.postings, keepDoc,
+        countDistinct(when(keepDoc, col("t")))),
       "dup_labels" -> leg("dup_labels", labels,
         newLabels.agg(count(lit(1)).as("rows_after"),
           countDistinct(col("lab")).as("stat"))),
@@ -216,19 +236,14 @@ object Forget {
       "lm_counts" -> leg("lm_counts", lm.counts,
         prunedLm.counts.agg(count(lit(1)).as("rows_after"),
           sum(col("c")).as("stat"))),
-      "lsh_buckets" -> leg("lsh_buckets", idx.buckets,
-        pruned.buckets.agg(count(lit(1)).as("rows_after"),
-          countDistinct(concat_ws(":", col("band"), col("bh"))).as("stat"))),
-      "lsh_shingles" -> leg("lsh_shingles", idx.shingles,
-        pruned.shingles.agg(count(lit(1)).as("rows_after"),
-          countDistinct(col("h")).as("stat"))),
-      "media_fingerprints" -> leg("media_fingerprints", mediaFp,
-        prunedFp.agg(count(lit(1)).as("rows_after"),
-          countDistinct(col("ahash")).as("stat"))),
-      "pos_postings" -> leg("pos_postings", posIdx.postings,
-        TextOps.deleteFromPositionalIndex(posIdx, DocDeleted).postings
-          .agg(count(lit(1)).as("rows_after"),
-            countDistinct(col("t")).as("stat"))),
+      "lsh_buckets" -> filterLeg("lsh_buckets", idx.buckets, keepDoc,
+        countDistinct(when(keepDoc, concat_ws(":", col("band"), col("bh"))))),
+      "lsh_shingles" -> filterLeg("lsh_shingles", idx.shingles, keepDoc,
+        countDistinct(when(keepDoc, col("h")))),
+      "media_fingerprints" -> filterLeg("media_fingerprints", mediaFp,
+        !(fpSrc % 7 === 3), countDistinct(when(!(fpSrc % 7 === 3), col("ahash")))),
+      "pos_postings" -> filterLeg("pos_postings", posIdx.postings, keepDoc,
+        countDistinct(when(keepDoc, col("t")))),
       "substr_grams" -> leg("substr_grams", substrIdx,
         prunedSubstr.agg(count(lit(1)).as("rows_after"),
           sum(col("df")).as("stat"))))

@@ -40,8 +40,15 @@ object Graph {
     // every round references it — materialize once or the basket/bigram
     // aggregation re-runs per round (the t43 localCheckpoint lesson)
     val edges = edges0.localCheckpoint(true)
-    val ow = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    val nodes = edges.select(col("dst").as("item")).distinct()
+    // ow joins into every round and nodes anchors every round's left
+    // join (plus the start vector) — checkpoint both bounded tables so
+    // the per-round plan reads stored rows instead of re-aggregating /
+    // re-distincting the edge table once per reference
+    val Seq(ow, nodes) = graft.functions.Par.run(
+      () => edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+        .localCheckpoint(true),
+      () => edges.select(col("dst").as("item")).distinct()
+        .localCheckpoint(true))
     val nn = nodes.agg(count(lit(1)).as("nn"))
     var pr = nodes.crossJoin(broadcast(nn))
       .select(col("item"), (lit(1.0) / col("nn")).as("pr"))
@@ -68,6 +75,9 @@ object Graph {
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
         get_json_object(col("props"), "$.k").cast("int").as("item"))
       .filter(col("item").isNotNull).distinct()
+      // both self-join sides read the basket table — checkpoint so the
+      // events scan + JSON extraction + distinct run once
+      .localCheckpoint(true)
     val pc = bi.as("a").join(bi.as("b"),
         col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
           col("a.item") < col("b.item"))

@@ -777,8 +777,11 @@ object Similarity {
     * within the probed cells, rerank the survivors).
     */
   def knnPq(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val dim = emb.agg(max(size(col("embedding")))).first().getInt(0)
-    require(dim % PqBlocks == 0, s"dim $dim not divisible into $PqBlocks blocks")
+    // one-row dim probe, not a corpus-wide max — the knnIvfPq rationale
+    val dim = emb.select(size(col("embedding")).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % PqBlocks == 0,
+      s"dim $dim not divisible into $PqBlocks blocks")
     val sub = dim / PqBlocks
     val (cent, codes) = pqModel(emb, sub)
     val lut = explodedBlocks(emb, sub).filter(col("vec_id") < nQueries)
@@ -927,8 +930,15 @@ object Similarity {
   }
 
   def knnIvfPq(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val dim = emb.agg(max(size(col("embedding")))).first().getInt(0)
-    require(dim % PqBlocks == 0, s"dim $dim not divisible into $PqBlocks blocks")
+    // dim probe reads ONE row, not a corpus-wide max aggregate: PQ block
+    // arithmetic (explodedBlocks) already assumes a uniform dimension, so
+    // a mixed-dim corpus is invalid input either way and the full scan
+    // bought nothing (measured: the max() form cost a whole extra
+    // embeddings pass per call)
+    val dim = emb.select(size(col("embedding")).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % PqBlocks == 0,
+      s"dim $dim not divisible into $PqBlocks blocks")
     val sub = dim / PqBlocks
     ivfPqSearch(emb, ivfPqTrain(emb, sub), sub, nQueries, k)
   }
@@ -1036,14 +1046,19 @@ object Similarity {
     val IvfPqIndex(coarse, _, pqCent, codes) = idx
     val qex = explodedBlocks(queries, sub)
       .select(col("vec_id").as("qid"), col("i"), col("m"), col("x").as("qx"))
-    val probedCells = probes.select(col("cell")).distinct()
+    // the probe set is read twice — the pushdown collect below and the
+    // LUT broadcast — and for the budgeted entry its lineage includes
+    // the occupancy scan of the saved cells table; eager checkpoint (a
+    // request-bounded table) runs that pipeline once per serve
+    val probesCk = probes.localCheckpoint(true)
+    val probedCells = probesCk.select(col("cell")).distinct()
       .limit(ServeCellPushdownMax + 1).collect().map(_.getInt(0))
     val servedCodes =
       if (probedCells.isEmpty) codes.filter(lit(false))
       else if (probedCells.length <= ServeCellPushdownMax)
         codes.filter(col("cell").isin(probedCells.toSeq: _*))
       else codes
-    val lut = qex.join(broadcast(probes), "qid")
+    val lut = qex.join(broadcast(probesCk), "qid")
       .join(broadcast(coarse.select(col("c").as("cell"), col("i"), col("cv"))),
         Seq("cell", "i"))
       .select(col("qid"), col("cell"), col("i"), col("m"),
@@ -1198,12 +1213,26 @@ object Similarity {
     */
   def annBudgetRecall(queries: DataFrame, corpus: DataFrame, idx: IvfPqIndex,
                       sub: Int, k: Int): DataFrame = {
-    val plain = ivfPqServe(queries, corpus, idx, sub, k)
-    val bud = ivfPqServeBudgeted(queries, corpus, idx, sub, k)
+    // ONE audit walk feeds all three consumers: the plain serve's probe
+    // set is the walk's full (qid, cell) slice, the budgeted serve's its
+    // kept slice, and the per-request volume sums aggregate the same
+    // rows — the uncheckpointed form ran the probe pipeline (coarse
+    // assign + occupancy scan + walk) three separate times. The walk
+    // table is request-bounded (≤ n × IvfPqProbes rows), so the eager
+    // checkpoint is free; row sets — and therefore both serves' results —
+    // are identical to the three-pass form by construction.
+    val costsAll = annProbeCosts(queries, idx, sub).localCheckpoint(true)
+    // the two serve constructions each run a probe checkpoint + pushdown
+    // collect — independent given the walk, so they overlap (Par.run)
+    val Seq(plain, bud) = graft.functions.Par.run(
+      () => ivfPqServeFromProbes(queries, corpus, idx, sub, k,
+        costsAll.select(col("qid"), col("cell"))),
+      () => ivfPqServeFromProbes(queries, corpus, idx, sub, k,
+        costsAll.filter(col("kept")).select(col("qid"), col("cell"))))
     val hits = bud.select(col("qid"), col("vec_id"))
       .join(plain.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
       .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
-    val costs = annProbeCosts(queries, idx, sub)
+    val costs = costsAll
       .groupBy(col("qid")).agg(
         sum(when(col("kept"), 1L).otherwise(0L)).as("kept_cells"),
         sum(when(col("kept"), lit(0L)).otherwise(1L)).as("dropped_cells"),
@@ -1635,6 +1664,10 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("pr"), col("vec_id"))
       .agg(round(sum(col("dq")), 6).as("adist"))
+      // feeds the candidates-scanned count AND the per-width rerank —
+      // checkpoint (query-bounded rows) so the ADC scan of the codes
+      // artifact runs once, not twice
+      .localCheckpoint(true)
     val s = emb.sparkSession
     import s.implicits._
     val tagged = adist.crossJoin(broadcast(nprobes.toDF("np")))
@@ -1809,8 +1842,14 @@ object Similarity {
     */
   def indexNightlyDecision(shard: DataFrame, oldEmb: DataFrame,
                            idx: IvfPqIndex): DataFrame = {
-    val dr = ivfDriftReport(shard, idx)
-    val sp = ivfMedianSplit(oldEmb, idx)
+    // sp is a cells+1-row table whose lineage is the whole s16 repair
+    // plan; it feeds two aggregates (tot + hot) — checkpoint so the
+    // split computation runs once per decision, not twice. The drift and
+    // split legs are independent, so their internal checkpoint jobs
+    // materialize concurrently (Par.run).
+    val Seq(dr, sp) = graft.functions.Par.run(
+      () => ivfDriftReport(shard, idx),
+      () => ivfMedianSplit(oldEmb, idx).localCheckpoint(true))
     val da = dr.agg(sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
       (max(abs(col("drift"))) + lit(0.0)).as("max_abs_drift"))
     val tot = sp.agg(sum(col("n")).as("tot"), max(col("n")).as("post_max_n"))
@@ -2318,9 +2357,14 @@ object Similarity {
     val newSz = assign(unitEmb(shard), idx.coarse)
       .select(col("c").as("cell"))
       .groupBy(col("cell")).agg(count(lit(1)).as("new_n"))
+    // j is ≤ IvfPqCoarse rows but its lineage holds the shard's full
+    // nearest-centroid assignment (a corpus explode); two consumers (the
+    // totals agg and the final select) would run that assignment twice —
+    // eager checkpoint: the house shared-intermediate rule
     val j = oldSz.join(newSz, Seq("cell"), "full_outer")
       .select(col("cell"), coalesce(col("old_n"), lit(0L)).as("old_n"),
         coalesce(col("new_n"), lit(0L)).as("new_n"))
+      .localCheckpoint(true)
     val tot = j.agg(sum(col("old_n")).as("ot"), sum(col("new_n")).as("nt"))
     val of = col("old_n").cast("double") / col("ot")
     val nf = col("new_n").cast("double") / col("nt")
@@ -2401,10 +2445,17 @@ object Similarity {
       .select(col("b.c").as("hot_cell"))
     val memberIds = idx.cells.join(broadcast(hot), col("cell") === col("hot_cell"))
       .select(col("vec_id"))
+    // mx (hot-cell members × dims, integer-scaled) feeds FOUR aggregate
+    // consumers (variance stats, then the split-dim slice's total /
+    // median / child counts); its lineage is the full corpus unit-explode
+    // + semi-join, so the uncheckpointed plan re-ran that scan four times
+    // inside one action — eager checkpoint caps it at one pass (members ×
+    // dim rows, bounded by the hot cell, never the corpus)
     val mx = explodedDims(unitEmb(emb))
       .join(memberIds, Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("i"),
         (col("x").cast("decimal(18,6)") * 1000000).cast("long").as("xm"))
+      .localCheckpoint(true)
     val stats = mx.groupBy(col("i"))
       .agg(count(lit(1)).as("n"), sum(col("xm")).cast("decimal(38,0)").as("s"),
         sum((col("xm") * col("xm")).cast("decimal(38,0)")).as("ss"))

@@ -552,7 +552,12 @@ object TextOps {
     * entry points, so the budgeted path can never drift from the plain
     * one on the terms it keeps.
     */
-  private def bm25ScoreQt(qt: DataFrame, idx: Bm25Index, k: Int): DataFrame = {
+  private def bm25ScoreQt(qt0: DataFrame, idx: Bm25Index, k: Int): DataFrame = {
+    // the request-bounded (query_id, t) set is read twice — the pushdown
+    // collect and the contrib broadcast — and for the budgeted entry its
+    // lineage is the whole priced walk; eager checkpoint runs it once
+    // (the ivfPqServeFromProbes probe rule on the text side)
+    val qt = qt0.localCheckpoint(true)
     // the batch's term set collects to a LITERAL IN predicate — bounded
     // by the request batch, and the one form parquet pushes down: with
     // the index's t-sorted layout (trainAndSaveBm25Index) the postings
@@ -779,13 +784,24 @@ object TextOps {
     */
   def bm25BudgetRecall(queries: DataFrame, idx: Bm25Index,
                        k: Int = Bm25TopK): DataFrame = {
-    val plain = bm25ServeBatch(queries, idx, k)
-    val bud = bm25ServeBatchBudgeted(queries, idx, k)
+    // ONE audit walk feeds all three consumers (the annBudgetRecall
+    // sharing rule on the text side): the plain serve's term set is the
+    // walk's full (query_id, t) slice — identical to bm25ServeBatch's
+    // validated explode by construction — the budgeted serve's its kept
+    // slice, and the volume sums aggregate the same rows; the
+    // uncheckpointed form ran the stats seek + walk three times.
+    val costsAll = bm25RequestCosts(queries, idx).localCheckpoint(true)
+    // the two serve constructions each run a term checkpoint + pushdown
+    // collect — independent given the walk, so they overlap (Par.run)
+    val Seq(plain, bud) = graft.functions.Par.run(
+      () => bm25ScoreQt(costsAll.select(col("query_id"), col("t")), idx, k),
+      () => bm25ScoreQt(
+        costsAll.filter(col("kept")).select(col("query_id"), col("t")), idx, k))
     val hits = bud.select(col("query_id"), col("doc_id"))
       .join(plain.select(col("query_id"), col("doc_id")),
         Seq("query_id", "doc_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
-    val costs = bm25RequestCosts(queries, idx)
+    val costs = costsAll
       .groupBy(col("query_id")).agg(
         sum(when(col("kept"), 1L).otherwise(0L)).as("kept_terms"),
         sum(when(col("kept"), lit(0L)).otherwise(1L)).as("dropped_terms"),
@@ -1946,11 +1962,14 @@ object TextOps {
       .groupBy(col("doc_id"), col("lang"), col("cand"))
       .agg(sum(coalesce(abs(col("dr") - col("lr")), lit(CtLangTop.toLong)))
         .as("dist"))
-    dists.withColumn("rn", row_number().over(
-        W.partitionBy(col("doc_id")).orderBy(col("dist"), col("cand"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("cand").as("pred"), col("dist"),
-        (col("cand") === col("lang")).as("correct"))
+    // argmin via struct-min aggregate (the w14 "no rank window for a
+    // top-1" idiom): same (dist, cand) tie-break as the row_number form,
+    // but a hash aggregate replaces the per-doc sort window over the
+    // docs × languages distance table
+    dists.groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct(col("dist"), col("cand"))).as("b"))
+      .select(col("doc_id"), col("b.cand").as("pred"), col("b.dist").as("dist"),
+        (col("b.cand") === col("lang")).as("correct"))
       .orderBy(col("doc_id"))
   }
 

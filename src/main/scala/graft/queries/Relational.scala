@@ -775,11 +775,17 @@ object Relational {
           (unix_micros(col("li.l_shipdate").cast("timestamp")) >
             unix_micros(col("o.o_orderdate").cast("timestamp"))
               + lit(60L * 86400000000L)).as("late"))
+      // ONE aggregation pass: a blamed order has exactly ONE distinct
+      // late supplier (nlate = 1), so that supplier is readable off the
+      // same per-order aggregate as max(when(late, sk)) — the previous
+      // form re-scanned the lineitem⋈orders join a second time for a
+      // distinct + join-back (2 SortMergeJoins of the fact table → 1)
       val per = late.groupBy(col("ok"))
         .agg(countDistinct(col("sk")).as("nsupp"),
-          countDistinct(when(col("late"), col("sk"))).as("nlate"))
-      val blamed = late.filter(col("late")).select(col("ok"), col("sk")).distinct()
-        .join(per.filter(col("nsupp") >= 2 && col("nlate") === 1), "ok")
+          countDistinct(when(col("late"), col("sk"))).as("nlate"),
+          max(when(col("late"), col("sk"))).as("late_sk"))
+      val blamed = per.filter(col("nsupp") >= 2 && col("nlate") === 1)
+        .select(col("ok"), col("late_sk").as("sk"))
       val counted = blamed.groupBy(col("sk")).agg(count(lit(1)).as("numwait"))
         .join(broadcast(Tables.supplier(s, dir)
           .select(col("s_suppkey"), col("s_name"))),
