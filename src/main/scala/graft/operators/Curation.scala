@@ -1000,6 +1000,14 @@ object Curation {
     * `percentile_approx` exactly as p15→p16 demonstrates.
     */
   def curatedManifest(docs: DataFrame): DataFrame = {
+    // NOTE (round 17): sp feeds the band percentiles AND the gate join,
+    // but checkpointing it was MEASURED SLOWER — a count()-shaped
+    // consumer (the bench action, yield dashboards) lets the optimizer
+    // prune the surprisal arithmetic out of this plan entirely, and an
+    // eager checkpoint forces the full pipeline to materialize anyway
+    // (p20 0.33 s -> 1.1 s). The double evaluation only exists for
+    // consumers that read bits_per_token, and those overlap its two
+    // subtrees inside one job — leave it lazy.
     val q = TextOps.quality(docs, col("text")).select(col("doc_id"), col("quality_score"))
     val sp = TextOps.unigramSurprisal(docs).select(col("doc_id"), col("bits_per_token"))
     val bp = graft.operators.Dedup.boilerplateFraction(docs)

@@ -459,7 +459,10 @@ object Multimodal {
     * verify candidates with codegen'd bit_count(xor).
     */
   private[operators] def bandedHammingPairs(hashes: DataFrame): DataFrame = {
-    val stacked = bandStack(hashes)
+    // both self-join sides read the band rows, and their lineage is the
+    // per-asset DECODE kernel — checkpoint (a few band rows per asset)
+    // so the decode runs once, not per side
+    val stacked = bandStack(hashes).localCheckpoint(true)
     val cand = stacked.as("x").join(stacked.as("y"),
         col("x.nbits") === col("y.nbits") && col("x.band") === col("y.band") &&
           col("x.bv") === col("y.bv") && col("x.asset_id") < col("y.asset_id"))
@@ -511,7 +514,10 @@ object Multimodal {
     * verifies candidates only — the d13 two-sided candidate rule applied
     * to the Hamming pigeonhole.
     */
-  private def shardBandProbe(savedHashes: DataFrame, newH: DataFrame): DataFrame = {
+  private def shardBandProbe(savedHashes: DataFrame, newH0: DataFrame): DataFrame = {
+    // the shard's fingerprints feed the probe side AND the build union —
+    // checkpoint (8-12 B per asset) so the shard decode runs once
+    val newH = newH0.localCheckpoint(true)
     val probe = bandStack(newH)
     val build = bandStack(savedHashes.unionByName(newH))
     val cand = probe.as("x").join(build.as("y"),
@@ -535,9 +541,14 @@ object Multimodal {
     * from both directions collapse via the per-position distinct.
     */
   def videoShardNearDup(savedFrames: DataFrame, shardAssets: DataFrame): DataFrame = {
-    val newF = videoFrameHashes(shardAssets)
+    // the shard's frame hashes feed the probe side AND the build union
+    // (and through it the length table) — checkpoint so the shard reel
+    // decode runs once, and checkpoint the per-asset frame counts (two
+    // verify-side joins read them)
+    val newF = videoFrameHashes(shardAssets).localCheckpoint(true)
     val all = savedFrames.unionByName(newF)
     val cnt = all.groupBy(col("asset_id")).agg(count(lit(1)).as("nf"))
+      .localCheckpoint(true)
     val pos = newF.as("x").join(all.as("y"),
         col("x.frame_no") === col("y.frame_no") &&
           col("x.nbits") === col("y.nbits") &&
@@ -870,8 +881,12 @@ object Multimodal {
     * has no such head.
     */
   def videoNearDupPairs(assetsDf: DataFrame): DataFrame = {
-    val fh = videoFrameHashes(assetsDf)
+    // fh feeds the length table AND both inverted-index sides — three
+    // evaluations of the reel-decode kernel without a checkpoint; cnt
+    // (per-asset counts) feeds two verify-side joins
+    val fh = videoFrameHashes(assetsDf).localCheckpoint(true)
     val cnt = fh.groupBy(col("asset_id")).agg(count(lit(1)).as("nf"))
+      .localCheckpoint(true)
     val matches = fh.as("x").join(fh.as("y"),
         col("x.frame_no") === col("y.frame_no") &&
           col("x.nbits") === col("y.nbits") &&

@@ -396,18 +396,25 @@ object Similarity {
     // joins — the per-k kmeansModel would re-explode the corpus each time
     val ex = explodedDims(emb).cache()
     try {
-      val reports = ElbowKs.map { k =>
-        val (cent, assigned) = kmeansModelFromEx(ex, k, 2)
-        val perVec = assigned.join(ex, "vec_id")
-          .join(broadcast(cent), Seq("c", "i"))
-          .groupBy(col("vec_id"))
-          .agg(round(sum((col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("dd"))
-        perVec.agg(round(sum(col("dd")), 2).as("wcss"))
-          .select(lit(k).as("k"), col("wcss"))
-      }
-      // the WCSS rows are tiny: force them while the cache is live, then
-      // union the materialized one-row frames
-      reports.map(_.localCheckpoint(true)).reduce(_.unionByName(_)).orderBy(col("k"))
+      // materialize the cache ONCE up front, then run the three k
+      // trainings CONCURRENTLY (Par.run): each is an independent Lloyd
+      // loop over the same cached explode, and the sequential form left
+      // most of the machine idle during each training's small stages
+      ex.count()
+      val reports = graft.functions.Par.run(ElbowKs.map { k => () =>
+        {
+          val (cent, assigned) = kmeansModelFromEx(ex, k, 2)
+          val perVec = assigned.join(ex, "vec_id")
+            .join(broadcast(cent), Seq("c", "i"))
+            .groupBy(col("vec_id"))
+            .agg(round(sum((col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("dd"))
+          // the WCSS rows are tiny: force them while the cache is live
+          perVec.agg(round(sum(col("dd")), 2).as("wcss"))
+            .select(lit(k).as("k"), col("wcss"))
+            .localCheckpoint(true)
+        }
+      }: _*)
+      reports.reduce(_.unionByName(_)).orderBy(col("k"))
     } finally ex.unpersist()
   }
 
@@ -441,10 +448,16 @@ object Similarity {
     */
   def silhouette(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val (cent, assigned) = kmeansModel(emb, k, iters)
+    // wo (corpus × k distance rows) feeds the own-cell slice AND the
+    // nearest-other aggregate; s feeds the per-cell AND the corpus
+    // aggregate — uncheckpointed, the corpus explode-distance pass ran
+    // twice and the whole silhouette pipeline twice more (the d24
+    // shared-intermediate rule)
     val dd = explodedDims(emb).join(broadcast(cent), "i")
       .groupBy(col("vec_id"), col("c"))
       .agg(round(sum((col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("dd"))
     val wo = dd.join(assigned.select(col("vec_id"), col("c").as("own")), "vec_id")
+      .localCheckpoint(true)
     val aSide = wo.filter(col("c") === col("own"))
       .select(col("vec_id"), col("own"), sqrt(col("dd")).as("a"))
     val bSide = wo.filter(col("c") =!= col("own"))
@@ -454,6 +467,7 @@ object Similarity {
         round(when(greatest(col("a"), col("b")) > 0,
             (col("b") - col("a")) / greatest(col("a"), col("b")))
           .otherwise(lit(0.0)), 6).cast("decimal(18,6)").as("s"))
+      .localCheckpoint(true)
     val per = s.groupBy(col("own").as("c"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("s")).cast("double") / count(lit(1)), 4).as("mean_sil"))
@@ -1988,7 +2002,11 @@ object Similarity {
     */
   def semDedup(emb: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
     val (_, assigned) = kmeansModel(emb, k, iters)
+    // e (cell-annotated unit-norm corpus) feeds BOTH pair sides and the
+    // verdict anchor — checkpoint so the scan + assignment join + norm
+    // run once, not three times (the d24 shared-intermediate rule)
     val e = vecs(emb).join(assigned, "vec_id").withColumn("nrm", norm(col("v")))
+      .localCheckpoint(true)
     val a = e.select(col("c"), col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("c"), col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
     val dropped = a.join(b, "c")
@@ -2030,7 +2048,9 @@ object Similarity {
     val newCells = assign(emb.filter(col("vec_id") >= cut), cent)
     val cells = oldCells.select(col("vec_id"), col("c"))
       .unionByName(newCells.select(col("vec_id"), col("c")))
+    // same three-consumer shape as [[semDedup]]'s e — one checkpointed pass
     val e = vecs(emb).join(cells, "vec_id").withColumn("nrm", norm(col("v")))
+      .localCheckpoint(true)
     val a = e.filter(col("vec_id") >= cut)
       .select(col("c"), col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("c"), col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))

@@ -47,8 +47,11 @@ class WindowLintSpec extends AnyFunSuite {
       "(bucket = doc_id*20 div n_docs: the <=21-value domain is a DATA " +
       "fact — doc_id < n_docs — not a plan shape, so it stays a " +
       "reviewed claim)"),
+    // (p46_index_decision is no longer listed: the round-17 sharing pass
+    // materializes the s16 split leg once at construction — its capped
+    // median cumsum runs inside that job and the composition's own plan
+    // carries no unpartitioned window anymore.)
     "s16_ivf_split" -> "median-histogram cumsum, input hard-capped at 2e6+1 rows",
-    "p46_index_decision" -> "s16's capped median-histogram cumsums (composition)",
     // --- tokenizer symbol tables: id assignment over the
     // distinct-symbol dimension (O(alphabet + merges + marks) rows,
     // bounded by the configured merge-round count, never corpus-sized)
