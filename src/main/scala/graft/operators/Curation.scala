@@ -999,17 +999,25 @@ object Curation {
     * The exact percentile is the oracle-checkable twin — at 100 TB swap
     * `percentile_approx` exactly as p15→p16 demonstrates.
     */
-  def curatedManifest(docs: DataFrame): DataFrame = {
-    // NOTE (round 17): sp feeds the band percentiles AND the gate join,
-    // but checkpointing it was MEASURED SLOWER — a count()-shaped
-    // consumer (the bench action, yield dashboards) lets the optimizer
-    // prune the surprisal arithmetic out of this plan entirely, and an
-    // eager checkpoint forces the full pipeline to materialize anyway
-    // (p20 0.33 s -> 1.1 s). The double evaluation only exists for
-    // consumers that read bits_per_token, and those overlap its two
-    // subtrees inside one job — leave it lazy.
+  def curatedManifest(docs: DataFrame): DataFrame =
+    curatedManifest(docs, materializeShared = false)
+
+  /** [[curatedManifest]] with an opt-in materialization of the shared
+    * surprisal column. sp feeds the band percentiles AND the gate join;
+    * whether to checkpoint it DEPENDS ON THE CONSUMER (round-17
+    * measurement): a count()-shaped reader (p20's bench action) lets the
+    * optimizer prune the surprisal arithmetic out of the lazy plan
+    * entirely, so an eager checkpoint is pure loss there (0.33 s →
+    * 1.1 s); a gate-AGGREGATING reader (p36's diff, p32's funnel) needs
+    * every gate column, pays sp twice per manifest lazily, and wins from
+    * the one-pass checkpoint. Default lazy; aggregate consumers pass
+    * `materializeShared = true`.
+    */
+  private[operators] def curatedManifest(docs: DataFrame,
+                                         materializeShared: Boolean): DataFrame = {
     val q = TextOps.quality(docs, col("text")).select(col("doc_id"), col("quality_score"))
-    val sp = TextOps.unigramSurprisal(docs).select(col("doc_id"), col("bits_per_token"))
+    val sp0 = TextOps.unigramSurprisal(docs).select(col("doc_id"), col("bits_per_token"))
+    val sp = if (materializeShared) sp0.localCheckpoint(true) else sp0
     val bp = graft.operators.Dedup.boilerplateFraction(docs)
       .select(col("doc_id"), col("boilerplate_frac"))
     val band = sp.agg(percentile(col("bits_per_token"), lit(0.25)).as("lo"),
@@ -1085,8 +1093,13 @@ object Curation {
       gateCounts(m).selectExpr(
         s"stack(${ManifestGates.size}, " +
           ManifestGates.map(g => s"'$g', $g").mkString(", ") + s") AS (gate, $as)")
-    stacked(curatedManifest(docsOld), "n_old")
-      .join(stacked(curatedManifest(docsNew), "n_new"), "gate")
+    // the diff AGGREGATES every gate column, so each manifest wins from
+    // the materialized shared surprisal; the two slices are independent,
+    // so their checkpoint jobs overlap (Par.run)
+    val Seq(so, sn) = graft.functions.Par.run(
+      () => stacked(curatedManifest(docsOld, materializeShared = true), "n_old"),
+      () => stacked(curatedManifest(docsNew, materializeShared = true), "n_new"))
+    so.join(sn, "gate")
       .select(col("gate"), col("n_old"), col("n_new"),
         (col("n_new") - col("n_old")).as("delta"))
       .orderBy(col("gate"))
@@ -1140,6 +1153,10 @@ object Curation {
     */
   def curationFunnel(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val g = TextOps.gopherRules(docs).select(col("doc_id"), col("pass").as("g_ok"))
+    // lazy manifest: the funnel reads only `keep`, and its one aggregate
+    // overlaps the manifest's duplicated surprisal subtree inside one job
+    // (measured: the materialized form was no faster here — p36's
+    // TWO-manifest diff is where the checkpoint pays)
     val m = curatedManifest(docs).select(col("doc_id"), col("keep").as("m_ok"))
     val k = graft.operators.Dedup.dedupedCorpusFrom(docs, clusters)
       .select(col("doc_id"), lit(true).as("k_ok"))
@@ -1348,19 +1365,20 @@ object Curation {
                   lmOld: TextOps.SurprisalModel, lmShard: TextOps.SurprisalModel,
                   tau: Double): DataFrame = {
     val shardDocs = docs.filter(col("doc_id") >= dCut)
-    val labels = Dedup.shardUpdateClustersFrom(lshPairs, oldLabels)
-    val spans = Dedup.shardSubstrSpans(shardDocs, substrIdx)
-    // sem feeds TWO report aggregates (the dropped count and the per-cell
-    // occupancy rows) and the merged-LM totals two report rows;
-    // uncheckpointed, each pass ran twice inside the one report action —
-    // checkpoint both shared intermediates CONCURRENTLY (the
-    // d24/p46 Par.run rule; they are independent)
+    // FOUR independent construction-time jobs — the label star
+    // contraction (an action loop), the sem verdict checkpoint (two
+    // report aggregates read it), the merged-LM totals checkpoint (two
+    // report rows), and the diff's two materialized manifests — used to
+    // run back-to-back; Par.run overlaps them (guide §2.6), which is the
+    // single biggest wall-clock lever on this composition
     val merged = TextOps.mergeSurprisalModels(lmOld, lmShard, docs)
-    val Seq(sem, mergedTotals) = graft.functions.Par.run(
+    val Seq(labels, sem, mergedTotals, diff) = graft.functions.Par.run(
+      () => Dedup.shardUpdateClustersFrom(lshPairs, oldLabels),
       () => Similarity.semDedupShard(emb, vCut, cent, oldCells, tau)
         .localCheckpoint(true),
-      () => merged.totals.localCheckpoint(true))
-    val diff = manifestDiff(docs.filter(col("doc_id") < dCut), docs)
+      () => merged.totals.localCheckpoint(true),
+      () => manifestDiff(docs.filter(col("doc_id") < dCut), docs))
+    val spans = Dedup.shardSubstrSpans(shardDocs, substrIdx)
     def one(stage: Long, item: String, df: DataFrame): DataFrame =
       df.select(lit(stage).as("stage"), lit(item).as("item"),
         col("n").cast("long").as("n"))

@@ -1570,9 +1570,16 @@ object Pipeline {
     // MULTIMODAL shard's full daily ingest, the component oracles
     // nested verbatim so the composite can't drift from the legs
     QueryDef.sql("p56_media_ingest", Curation.sqlDailyIngestFull) { (s, dir) =>
-      Curation.dailyIngestFull(dailyIngestBase(s, dir),
-        imageShardPairs(s, dir), audioShardPairs(s, dir),
-        videoShardPairs(s, dir))
+      // the base report and the three media legs build independent
+      // artifacts/checkpoints at construction — overlap them (Par.run,
+      // the dailyIngest rule one level up; artifactDir memoization is
+      // atomic under concurrent first calls)
+      val Seq(base, img, aud, vid) = graft.functions.Par.run(
+        () => dailyIngestBase(s, dir),
+        () => imageShardPairs(s, dir),
+        () => audioShardPairs(s, dir),
+        () => videoShardPairs(s, dir))
+      Curation.dailyIngestFull(base, img, aud, vid)
     },
     QueryDef.sql("p36_manifest_diff", Curation.sqlManifestDiff) { (s, dir) =>
       val docs = Tables.documents(s, dir)
