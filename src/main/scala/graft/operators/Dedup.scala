@@ -161,11 +161,11 @@ object Dedup {
     * the shingle pass ONCE across detectors (the p54 shared-scan rule).
     */
   private[operators] def jaccardPairsFrom(sh: DataFrame): DataFrame = {
-    // per-doc set sizes feed BOTH verify-side joins (ca, cb) — checkpoint
-    // the docs-sized table so the aggregate over the shingle index runs
-    // once, not once per join side
+    // no checkpoint on cnt: its two verify-side joins broadcast the SAME
+    // canonical build, which the runtime reuses (ReusedExchange over the
+    // one BroadcastExchange — the round-17 d2 executed-plan finding), so
+    // the aggregate already runs once
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
     val inter = sh.as("a").join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
@@ -214,11 +214,11 @@ object Dedup {
     // prefix bound without pushing the whole df-capped vocabulary
     // through one rank partition.
     // ranked (the df-annotated index) feeds cnt AND prefix; cnt feeds
-    // THREE joins (prefix bound + both verify-size sides) and prefix
-    // BOTH candidate sides — uncheckpointed, the df aggregate + join
-    // re-ran per consumer (5 evaluations of the dfreq join inside one
-    // action). Checkpoints: ranked once (index-sized), cnt and prefix
-    // once each (docs-/prefix-sized).
+    // THREE joins (prefix bound + both verify-size sides) —
+    // uncheckpointed, the df aggregate + join re-ran per structurally
+    // distinct consumer. Checkpoints: ranked once (index-sized), cnt
+    // once (docs-sized). The prefix self-join needs none: its two sides
+    // reuse one exchange at runtime (the mm7 ReusedExchange finding).
     val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val ranked = sh.join(dfreq, "g").localCheckpoint(true)
     val cnt = ranked.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
@@ -228,7 +228,6 @@ object Dedup {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
       .filter(col("pos") <= col("m") - ceil(lit(tau) * col("m")) + 1)
       .select(col("doc_id"), col("g"))
-      .localCheckpoint(true)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
@@ -317,8 +316,9 @@ object Dedup {
   def clusterCoherence(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val tau = JaccardThreshold
     val sh = hashedShingles(docs).localCheckpoint(true)
+    // cnt: both verify sides reuse its one broadcast build (the
+    // jaccardPairsFrom finding) — no checkpoint
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
-      .localCheckpoint(true)
     val pairs = clusters.as("a").join(clusters.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.cluster").as("cluster"),
@@ -460,10 +460,10 @@ object Dedup {
     */
   private[graft] def lshCandidates(sh: DataFrame, bands: Int, rows: Int): DataFrame = {
     val hashed = sh.select(col("doc_id"), Portable.hash32(col("g")).as("h"))
-    // doc × bands bucket rows feed BOTH self-join sides — checkpoint so
-    // the 16-permutation signature aggregation over the shingle index
-    // runs once, not per side
-    val stacked = bandBuckets(hashed, bands, rows).localCheckpoint(true)
+    // no checkpoint: the bucket self-join's two sides exchange on
+    // identical canonical subtrees, so AQE stage reuse runs the
+    // signature aggregation once (the mm7 ReusedExchange finding)
+    val stacked = bandBuckets(hashed, bands, rows)
     stacked.as("x").join(stacked.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -653,16 +653,12 @@ object Dedup {
     * [[jaccardPairsFrom]] factoring, same shared-scan rationale.
     */
   private[operators] def lshPairsFrom(sh: DataFrame): DataFrame = {
+    val cand = lshCandidates(sh, MinHashBands, MinHashRows)
     // verify ONLY candidate pairs with exact jaccard — the LSH payoff: the
     // full pairwise self-join is never materialized, just bucket-cohabitants.
-    // cnt is checkpointed (two verify-side joins read it — one aggregate
-    // pass over the shingle index instead of two, the jaccardPairsFrom
-    // rule), CONCURRENTLY with the banding pass's own checkpoint (both
-    // depend only on sh — Par.run keeps their jobs overlapped).
-    val Seq(cand, cnt) = graft.functions.Par.run(
-      () => lshCandidates(sh, MinHashBands, MinHashRows),
-      () => sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        .localCheckpoint(true))
+    // cnt needs no checkpoint: both verify sides reuse its one broadcast
+    // build at runtime (the jaccardPairsFrom ReusedExchange finding).
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // no broadcast hint on cand: candidate volume is DATA-DEPENDENT (a
     // boilerplate-heavy crawl explodes band collisions), so a mandatory
     // BroadcastExchange would OOM the driver at scale. AQE broadcasts it
@@ -981,11 +977,10 @@ object Dedup {
     * joins are 8-byte-keyed equi-joins.
     */
   private def verifyHashedPairs(cand: DataFrame, postings: DataFrame,
-                                cnt0: DataFrame): DataFrame = {
-    // the denominator table joins twice (ca, cb) — checkpoint the
-    // docs-sized counts so its lineage (artifact scan / shard aggregate)
-    // evaluates once per call
-    val cnt = cnt0.localCheckpoint(true)
+                                cnt: DataFrame): DataFrame = {
+    // the denominator table joins twice (ca, cb) but both sides reuse
+    // its one broadcast build at runtime — no checkpoint needed (the
+    // jaccardPairsFrom ReusedExchange finding)
     val inter = cand.join(postings.as("a"), col("ia") === col("a.doc_id"))
       .select(col("ia"), col("ib"), col("a.h").as("ch"))
       .join(postings.as("b"), col("ch") === col("b.h") && col("ib") === col("b.doc_id"))
@@ -1902,9 +1897,10 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame): DataFrame = {
     val bands = SimHashBits / SimHashBandBits
-    // the 12-byte-per-doc fingerprint table feeds BOTH self-join sides —
-    // checkpoint it so the corpus token pass + 64 bit sums run once
-    val sim = simhash(docs).localCheckpoint(true)
+    // no checkpoint: the band self-join's sides reuse one exchange at
+    // runtime (the mm7 ReusedExchange finding), so the fingerprint pass
+    // already runs once
+    val sim = simhash(docs)
     val stacked = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),

@@ -459,10 +459,12 @@ object Multimodal {
     * verify candidates with codegen'd bit_count(xor).
     */
   private[operators] def bandedHammingPairs(hashes: DataFrame): DataFrame = {
-    // both self-join sides read the band rows, and their lineage is the
-    // per-asset DECODE kernel — checkpoint (a few band rows per asset)
-    // so the decode runs once, not per side
-    val stacked = bandStack(hashes).localCheckpoint(true)
+    // NO checkpoint on the band rows (round-17 finding): the two
+    // self-join sides hash-exchange on identical canonical subtrees, so
+    // AQE's stage reuse already runs the decode ONCE (the executed plan
+    // shows ReusedExchange) — a checkpoint would only add a job and
+    // break the kernel-stays-in-plan contract (PlanShapeSpec mm7)
+    val stacked = bandStack(hashes)
     val cand = stacked.as("x").join(stacked.as("y"),
         col("x.nbits") === col("y.nbits") && col("x.band") === col("y.band") &&
           col("x.bv") === col("y.bv") && col("x.asset_id") < col("y.asset_id"))
@@ -547,8 +549,8 @@ object Multimodal {
     // verify-side joins read them)
     val newF = videoFrameHashes(shardAssets).localCheckpoint(true)
     val all = savedFrames.unionByName(newF)
+    // cnt: both verify sides reuse its one broadcast build — no checkpoint
     val cnt = all.groupBy(col("asset_id")).agg(count(lit(1)).as("nf"))
-      .localCheckpoint(true)
     val pos = newF.as("x").join(all.as("y"),
         col("x.frame_no") === col("y.frame_no") &&
           col("x.nbits") === col("y.nbits") &&
@@ -881,12 +883,13 @@ object Multimodal {
     * has no such head.
     */
   def videoNearDupPairs(assetsDf: DataFrame): DataFrame = {
-    // fh feeds the length table AND both inverted-index sides — three
-    // evaluations of the reel-decode kernel without a checkpoint; cnt
-    // (per-asset counts) feeds two verify-side joins
+    // fh feeds the length table AND both inverted-index sides; the join
+    // sides reuse one exchange at runtime but the count aggregate is a
+    // structurally different consumer, so without a checkpoint the
+    // reel-decode kernel still ran twice — checkpoint fh once. cnt's own
+    // two verify-side joins reuse one broadcast build (no checkpoint).
     val fh = videoFrameHashes(assetsDf).localCheckpoint(true)
     val cnt = fh.groupBy(col("asset_id")).agg(count(lit(1)).as("nf"))
-      .localCheckpoint(true)
     val matches = fh.as("x").join(fh.as("y"),
         col("x.frame_no") === col("y.frame_no") &&
           col("x.nbits") === col("y.nbits") &&

@@ -91,9 +91,13 @@ object Sketches {
     * est_union, est_inter), unordered.
     */
   private def kmvPairwise(items: DataFrame): DataFrame = {
+    // sk (types × K rows) feeds FOUR consumers (per-type estimates, the
+    // type domain, both merge sides) — uncheckpointed, the membership
+    // scan + distinct + top-K window re-ran per consumer
     val sk = items
       .withColumn("r", row_number().over(Window.partitionBy(col("t")).orderBy(col("h"))))
       .filter(col("r") <= KmvK)
+      .localCheckpoint(true)
     val te = sk.groupBy(col("t"))
       .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
       .withColumn("est", expr(estExpr("n", "hk")))
@@ -224,10 +228,16 @@ object Sketches {
     * tolerance verdict).
     */
   def rollingDau(events: DataFrame): DataFrame = {
+    // du feeds THREE pipelines (day domain, sketch build, exact
+    // comparison) and the day domain four semi-joins — uncheckpointed,
+    // the events scan + distinct re-ran per consumer (the d24
+    // shared-intermediate rule; both tables are far smaller than events)
     val du = events.filter(col("ts").isNotNull)
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct()
+      .localCheckpoint(true)
     val daysPresent = du.select(col("day")).distinct()
+      .localCheckpoint(true)
     val sk = du
       .select(col("day"), Portable.hash32(col("user_id").cast("string")).as("h"))
       .distinct()
