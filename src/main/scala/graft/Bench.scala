@@ -124,14 +124,13 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm+interleaved-min-of-$runs","loadavg_ambient":$loadavgAmbient,"loadavg_start":$loadavgStart,"loadavg_end":$loadavgEnd,"load_gate":"$loadGate","queries":${obj(_.head)},"queries_median":${obj(median)},"noisy":$noisyJson,"failed":$failedJson,"sf":"$sfDir"}"""
-    // The driver captures only the LAST ~2000 chars of stdout; the full
-    // per-query map is ~10 KB (166 names alone exceed 2 KB), so it can never
-    // ride the stdout tail — three rounds of BENCH_rNN.json landed with
-    // parsed:null and a mid-map tail because this line was the full map.
-    // Split the contract: the durable, complete artifact is the FILE (valid
-    // single-line JSON, committed with the repo), and stdout carries a short
-    // summary line that fits the capture window whole, so parsed is non-null
-    // and points the reader at the file.
+    // Driver contract (re-established per the round-17 verdict): the
+    // COMPLETE one-line JSON — per-query map included — must be the FINAL
+    // stdout line; the driver parses full stdout (the truncated "tail"
+    // field in BENCH_rNN.json is display-only, which rounds 16-17
+    // misread as the capture window and published summary-only stdout,
+    // zeroing PERF's per-query table two rounds running). The file and
+    // the append-only history stay as the durable committed copies.
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // append-only history: BENCH.out is overwritten per run and the
@@ -154,8 +153,12 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+    // human-oriented summary first, then the full driver-parseable line
+    // LAST — nothing may print after it (spark.stop() runs before, so a
+    // shutdown warning can't land below the JSON)
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm+interleaved-min-of-$runs","loadavg_start":$loadavgStart,"loadavg_end":$loadavgEnd,"load_gate":"$loadGate","n_queries":${ok.size},"noisy":$noisyJson,"failed":$failedJson,"sf":"$sfDir","queries_file":"$out"}"""
     println(summary)
     spark.stop()
+    println(line)
   }
 }

@@ -16,9 +16,20 @@ object Verify {
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query completion lines + a final machine-readable summary (the
+    // round-17 gate hole: the driver's verify leg produced no data and
+    // nothing in OUR output distinguished "engine wrote 0 results" from
+    // "driver-side compare failed" — VERIFY_r17.json said n_queries: 0
+    // against a tree whose own run wrote 268. Now the engine SAYS what it
+    // wrote, per query and in total, on stdout.)
+    var nOk = 0
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        nOk += 1
+        println(s"[verify] ok $name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -39,5 +50,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // final stdout line, after spark.stop() so nothing prints below it
+    println(s"""{"n_queries":$nOk,"n_declared":${SparkEntry.queries.size},"out_dir":"$outDir"}""")
   }
 }

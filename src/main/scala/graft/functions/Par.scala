@@ -18,17 +18,38 @@ package graft.functions
   */
 object Par {
 
-  /** Evaluate the thunks concurrently (one driver thread each — job
-    * descriptions and scheduler pools are thread-local, which is exactly
-    * the documented mechanism for overlapping independent Spark jobs)
-    * and return their results in order. Exceptions propagate to the
-    * caller like the sequential form's would.
+  /** Evaluate the thunks concurrently and return their results in order.
+    *
+    * One DEDICATED short-lived thread per thunk, never a shared pool:
+    * Spark's job description / group / scheduler pool live in
+    * INHERITABLE thread-locals, which a fresh thread copies from its
+    * creator at `new Thread(...)` — the documented multi-job mechanism —
+    * whereas a reused pool thread keeps whatever properties it captured
+    * when the POOL spun it up (stale or none). A pool would also hold
+    * Spark actions on uninstrumented shared threads
+    * (scala.concurrent.blocking is moot with dedicated threads).
+    *
+    * Failure semantics (documented contract): every thunk runs to
+    * completion — a failed thunk does NOT cancel its siblings (callers
+    * pass idempotent materializations whose partial results are
+    * harmless; cancelling mid-checkpoint buys nothing) — then the FIRST
+    * failure in declaration order propagates to the caller, like the
+    * sequential form's would.
     */
   def run[T](thunks: (() => T)*): Seq[T] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val fs = thunks.map(t => Future(t()))
-    fs.map(f => Await.result(f, Duration.Inf))
+    val results = new Array[Either[Throwable, Any]](thunks.size)
+    val threads = thunks.zipWithIndex.map { case (t, i) =>
+      val th = new Thread(() => {
+        results(i) = try Right(t()) catch { case e: Throwable => Left(e) }
+      }, s"graft-par-$i")
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    threads.foreach(_.join())
+    results.toSeq.map {
+      case Right(v) => v.asInstanceOf[T]
+      case Left(e)  => throw e
+    }
   }
 }

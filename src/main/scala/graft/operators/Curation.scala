@@ -1611,7 +1611,15 @@ object Curation {
     * side is tiny => Spark broadcasts it; train side streams through.
     */
   def decontaminate(docs: DataFrame): DataFrame = {
-    val sh = Dedup.shingles(docs)
+    // HASHED fused index, checkpointed once: the bench-side distinct and
+    // the train-side join previously each re-ran the tokenize+shingle
+    // Generate (and the old join-form df cap doubled it again — four
+    // corpus tokenizations per call); now ONE pass builds the stored
+    // index both consumers read. n_shared counts distinct 8-byte gids —
+    // output-equal to counting strings (a 2^-64 collision is the d21
+    // accepted class). Size bound: O(docs × shingles/doc) 16-byte rows —
+    // index-sized, the d21 `ranked` caveat applies (see that site).
+    val sh = Dedup.hashedShingles(docs).localCheckpoint(true)
     val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
       .select(col("g")).distinct()
     sh.filter(col("doc_id") % BenchmarkMod =!= 0)
@@ -1742,9 +1750,17 @@ object Curation {
     // for candidate JOINS, but here a benchmark item leaked into hundreds
     // of documents is exactly the hot-shingle case the cap would hide —
     // the worst contamination would read as clean. Materialized ONCE
-    // (corpus-sized, two consumers) via localCheckpoint, not cache: the
-    // plan-keyed cache would make repeat invocations silently measure
-    // cache hits (the kmeansModel rationale).
+    // (two consumers) via localCheckpoint, not cache: the plan-keyed
+    // cache would make repeat invocations silently measure cache hits
+    // (the kmeansModel rationale).
+    // SIZE/FAULT BOUND (guide §5, the Ranking scaladoc caveat): this
+    // checkpoint is UNCAPPED-INDEX-sized — O(docs × shingles/doc) rows
+    // INCLUDING hot shingles, the largest materialization in the
+    // curation family. Blocks spill (MEMORY_AND_DISK) but are
+    // non-replicated: an executor loss fails the query, the retry
+    // re-runs it. Past executor storage, stage the stream to parquet
+    // (ModelStore.saveLarge) or run the report per-source and union —
+    // contamination is per-doc, so sharding the corpus is exact.
     val sh0 = docs
       .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
       .select(col("doc_id"), explode(Dedup.shingleArray(col("w"))).as("g"))

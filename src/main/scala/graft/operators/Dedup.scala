@@ -63,25 +63,60 @@ object Dedup {
     * the explode) — equivalent to a global DISTINCT on (doc_id, g) given
     * unique doc_ids, without that extra shuffle.
     */
-  def shingles(docs: DataFrame): DataFrame = {
-    val sh0 = rawShingles(docs)
-    val rare = sh0.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDocFreq).select(col("g"))
-    sh0.join(rare, "g")
-  }
+  def shingles(docs: DataFrame): DataFrame =
+    dfCapped(rawShingles(docs))
+
+  /** The FUSED df cap: count-over-gid window on the ONE exchange the
+    * stream pays anyway, instead of the aggregate-then-join-back form.
+    * The join form evaluated the tokenize+shingle Generate TWICE per
+    * consumer (the df aggregate's partial-agg leg and the join's stream
+    * leg are different canonical subtrees, so neither ReuseExchange nor
+    * AQE stage reuse dedups them — the round-17 column-pruned-subtree
+    * finding's sibling); the window form runs it once (guide §2.4).
+    *
+    * Scale note (§2.5/§5): WindowExec buffers one gid group per task
+    * (spilling past the in-memory threshold), so a pathological
+    * boilerplate shingle pays one spilled group — the same single-key
+    * skew both forms bottom out at (AQE can't split one key either
+    * way), and precisely the rows the cap then discards.
+    */
+  private def dfCappedKeep(stream: DataFrame): DataFrame =
+    stream.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("df") <= MaxShingleDocFreq)
+
+  private def dfCapped(stream: DataFrame): DataFrame =
+    dfCappedKeep(stream).drop("df")
 
   /** [[shingles]] with the identity reduced to an xxhash64 LONG BEFORE
-    * any exchange — the df-cap groupBy and every downstream join shuffle
+    * any exchange — the df-cap window and every downstream join shuffle
     * 8 bytes instead of a ~30-byte string (the d12 gram-key lesson).
     * For consumers whose OUTPUT depends only on set intersections
-    * (d21/d22), a 2^-64 collision cannot visibly perturb the result.
+    * (d2/d21/d22, p5's shared-count), a 2^-64 collision cannot visibly
+    * perturb the result.
     */
-  private[graft] def hashedShingles(docs: DataFrame): DataFrame = {
-    val sh0 = rawShingles(docs).select(col("doc_id"), xxhash64(col("g")).as("g"))
-    val rare = sh0.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDocFreq).select(col("g"))
-    sh0.join(rare, "g")
-  }
+  private[graft] def hashedShingles(docs: DataFrame): DataFrame =
+    dfCapped(rawShingles(docs).select(col("doc_id"), xxhash64(col("g")).as("g")))
+
+  /** [[hashedShingles]] KEEPING the cap window's df column
+    * (doc_id, g, df) — the df-annotated index d21/d22 previously
+    * re-derived with a vocabulary aggregate joined back onto the very
+    * stream the aggregate came from (one whole extra exchange + join
+    * per query); the fused window had the number all along.
+    */
+  private[graft] def hashedShinglesDf(docs: DataFrame): DataFrame =
+    dfCappedKeep(rawShingles(docs).select(col("doc_id"), xxhash64(col("g")).as("g")))
+
+  /** The full fused shingle index (doc_id, g, h): g = xxhash64 join
+    * identity, h = [[Portable.hash32]] — the minhash input, byte-equal
+    * to the string pipeline's — BOTH computed inside the one Generate
+    * pass, df-capped by the fused window. The d3/d4/d18/d19/d24 shingle
+    * consumers read this instead of re-deriving h from the string after
+    * a second (or fourth) tokenize+shingle pass.
+    */
+  private[graft] def shingleIndex(docs: DataFrame): DataFrame =
+    dfCapped(rawShingles(docs).select(col("doc_id"),
+      xxhash64(col("g")).as("g"), Portable.hash32(col("g")).as("h")))
 
   /** The UN-capped per-doc shingle stream — exposed so t18/p21 (which
     * need hot shingles: they ARE the signal there) and the ScaleOpsSpec
@@ -150,11 +185,14 @@ object Dedup {
     * bench scale, eager kept per the convention above.
     */
   def jaccardPairs(docs: DataFrame): DataFrame =
-    // df-capped index (df <= MaxShingleDocFreq enforced inside shingles):
-    // the self-join key is never a stop-shingle, so per-key output is
-    // bounded — NOT the raw shingle stream (that's rawShingles, for the
-    // operators where hot shingles are the signal)
-    jaccardPairsFrom(shingles(docs).localCheckpoint(true))
+    // df-capped index (df <= MaxShingleDocFreq enforced inside the fused
+    // window cap): the self-join key is never a stop-shingle, so per-key
+    // output is bounded — NOT the raw shingle stream (that's rawShingles,
+    // for the operators where hot shingles are the signal). HASHED
+    // identity (the d21 lesson moved here): every downstream join/agg
+    // depends only on set intersections, so the 8-byte xxhash64 key is
+    // output-equivalent and the checkpoint stores no shingle strings.
+    jaccardPairsFrom(hashedShingles(docs).localCheckpoint(true))
 
   /** [[jaccardPairs]] over an ALREADY-CHECKPOINTED shingle index —
     * factored out so multi-method consumers ([[methodAgreement]]) pay
@@ -199,28 +237,34 @@ object Dedup {
     */
   def ppJoinPairs(docs: DataFrame): DataFrame = {
     val tau = JaccardThreshold
-    // two plan-level costs dominate this operator, both fixed here:
+    // plan-level costs fixed here:
     //  - shingle identity shuffles as an xxhash64 LONG, not a ~30-byte
     //    string (the d12 gram-key lesson; output depends only on set
     //    intersections, which a 2^-64 collision cannot visibly perturb);
-    //  - the shingle table feeds FOUR downstream exchanges (df, prefix,
-    //    both verify sides) — without materialization the corpus-sized
-    //    explode+distinct re-runs per consumer, so it is localCheckpointed
-    //    once (the kmeansModel precedent; at cluster scale this is the
-    //    persist-the-inverted-index step every PPJoin implementation has)
-    val sh = hashedShingles(docs).localCheckpoint(true)
+    //  - ranked (the df-annotated index) comes straight off the fused
+    //    cap window — the old form re-derived df with a vocabulary
+    //    aggregate joined back onto the stream it came from, and
+    //    checkpointed BOTH the plain and the annotated index;
+    //  - it feeds FOUR downstream consumers (cnt, prefix, both verify
+    //    sides), so ONE eager localCheckpoint (the kmeansModel
+    //    precedent; at cluster scale this is the persist-the-inverted-
+    //    index step every PPJoin implementation has).
+    // SIZE/FAULT BOUND (guide §5, the Ranking scaladoc caveat): this
+    // checkpoint is INDEX-sized — O(docs × shingles/doc) ~20-byte rows,
+    // NOT request-bounded. localCheckpoint blocks are non-replicated
+    // executor storage (MEMORY_AND_DISK: spills, but an executor loss
+    // fails the query and the retry re-runs it, never silent
+    // recomputation). A deployment whose index outgrows executor
+    // storage should stage it to parquet instead — buildAndSaveLshIndex
+    // / the d13 incremental family IS that fallback, and at 100 TB the
+    // right architecture is the saved index, not the in-query one.
+    val ranked = hashedShinglesDf(docs).localCheckpoint(true)
+    val sh = ranked.select(col("doc_id"), col("g"))
     // rarest-first needs only a TOTAL ORDER on shingles, not a global
     // rank: ordering the per-doc window by (df, g) directly is the same
     // prefix bound without pushing the whole df-capped vocabulary
-    // through one rank partition.
-    // ranked (the df-annotated index) feeds cnt AND prefix; cnt feeds
-    // THREE joins (prefix bound + both verify-size sides) —
-    // uncheckpointed, the df aggregate + join re-ran per structurally
-    // distinct consumer. Checkpoints: ranked once (index-sized), cnt
-    // once (docs-sized). The prefix self-join needs none: its two sides
-    // reuse one exchange at runtime (the mm7 ReusedExchange finding).
-    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val ranked = sh.join(dfreq, "g").localCheckpoint(true)
+    // through one rank partition. cnt feeds THREE joins (prefix bound +
+    // both verify-size sides) — docs-sized, checkpointed once.
     val cnt = ranked.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
       .localCheckpoint(true)
     val prefix = ranked.join(cnt, "doc_id")
@@ -271,15 +315,13 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame): DataFrame = {
     val tau = ContainThreshold
-    // same cost structure as [[ppJoinPairs]]: hashed shingle keys, one
-    // materialization for the four consumers, per-doc (df, g) ordering
+    // same cost structure as [[ppJoinPairs]]: hashed shingle keys, the
+    // df-annotated index straight off the fused cap window, ONE
+    // index-sized materialization for the four consumers (same §5
+    // size/fault bound as documented there), per-doc (df, g) ordering
     // instead of a global vocabulary rank
-    val sh = hashedShingles(docs).localCheckpoint(true)
-    // same materialization shape as [[ppJoinPairs]]: ranked feeds cnt +
-    // prefix, cnt feeds the prefix bound and the final src-size join —
-    // checkpoint each so the df join runs once
-    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val ranked = sh.join(dfreq, "g").localCheckpoint(true)
+    val ranked = hashedShinglesDf(docs).localCheckpoint(true)
+    val sh = ranked.select(col("doc_id"), col("g"))
     val cnt = ranked.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
       .localCheckpoint(true)
     val prefix = ranked.join(cnt, "doc_id")
@@ -433,7 +475,9 @@ object Dedup {
     * 32-bit shingle hashes, as wide columns h0..h{n-1}.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val hashed = shingles(docs).select(col("doc_id"), Portable.hash32(col("g")).as("h"))
+    // fused index: ONE tokenize+shingle Generate (h computed inside it),
+    // then straight to the per-doc signature aggregate
+    val hashed = shingleIndex(docs).select(col("doc_id"), col("h"))
     val aggs = (0 until MinHashPerms).map(i => min(minHashPerm(col("h"), i)).as(s"h$i"))
     hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).orderBy(col("doc_id"))
   }
@@ -459,7 +503,9 @@ object Dedup {
     * [[Portable.MinHashRows]] configuration, byte-identical to the oracle.
     */
   private[graft] def lshCandidates(sh: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val hashed = sh.select(col("doc_id"), Portable.hash32(col("g")).as("h"))
+    // sh is the fused index (doc_id, g, h) — h was computed inside the
+    // shingle Generate, not re-derived from a second tokenize pass
+    val hashed = sh.select(col("doc_id"), col("h"))
     // no checkpoint: the bucket self-join's two sides exchange on
     // identical canonical subtrees, so AQE stage reuse runs the
     // signature aggregation once (the mm7 ReusedExchange finding)
@@ -534,7 +580,8 @@ object Dedup {
     * generates the oracle's literals).
     */
   def lshTuningReport(docs: DataFrame): DataFrame = {
-    val hashed = shingles(docs).select(col("doc_id"), Portable.hash32(col("g")).as("h"))
+    // fused index: one Generate, h computed inside it (the d3 form)
+    val hashed = shingleIndex(docs).select(col("doc_id"), col("h"))
     val aggs = (0 until Portable.MinHashPerms)
       .map(i => min(minHashPerm(col("h"), i)).as(s"h$i"))
     // the docs × 16 signature table feeds all three banding configs —
@@ -602,9 +649,10 @@ object Dedup {
     * passes d2/d4 price anything it flags).
     */
   def sourceOverlap(docs: DataFrame): DataFrame = {
-    val hashed = shingles(docs)
+    // fused index: one Generate, h computed inside it (the d3 form)
+    val hashed = shingleIndex(docs)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("source"), Portable.hash32(col("g")).as("h"))
+      .select(col("source"), col("h"))
     val aggs = (0 until Portable.MinHashPerms)
       .map(i => min(minHashPerm(col("h"), i)).as(s"h$i"))
     // sources × 16 sketch table, read by BOTH sides of the self-join —
@@ -646,8 +694,10 @@ object Dedup {
   def lshPairs(docs: DataFrame): DataFrame =
     // eager localCheckpoint, not cache(): three consumers (signature
     // banding + both verify sides) read stored blocks with no
-    // session-long CacheManager pin — the jaccardPairs lifecycle note
-    lshPairsFrom(shingles(docs).localCheckpoint(true))
+    // session-long CacheManager pin — the jaccardPairs lifecycle note.
+    // Fused index: one Generate builds it, h rides along for the
+    // banding, the verify joins run on the 8-byte g.
+    lshPairsFrom(shingleIndex(docs).localCheckpoint(true))
 
   /** [[lshPairs]] over an ALREADY-CHECKPOINTED shingle index — the
     * [[jaccardPairsFrom]] factoring, same shared-scan rationale.
@@ -942,9 +992,14 @@ object Dedup {
     val hashed = rawShingles(shard)
       .select(col("doc_id"), Portable.hash32(col("g")).as("h"))
       .join(idx.stop, Seq("h"), "left_anti")
-    val sdf = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // fused df cap (the shingles() window form): the old aggregate+
+    // join-back evaluated the shard's tokenize+shingle Generate twice —
+    // its two legs are different canonical subtrees, so nothing reuses
+    // them (guide §2.4); the count window caps on the one exchange the
+    // stream pays anyway
     val news = hashed
-      .join(sdf.filter(col("df") <= MaxShingleDocFreq).select(col("h")), "h")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") <= MaxShingleDocFreq).drop("df")
       .localCheckpoint(true)
     // the shard's band buckets feed TWO candidate joins (vs the saved
     // buckets and vs themselves) — checkpoint the doc × bands table so
@@ -1944,8 +1999,10 @@ object Dedup {
     // ONE checkpointed shingle pass shared by the two shingle-set
     // detectors (the p54 shared-scan rule — calling d2 and d4 through
     // their public entries would tokenize and shingle the corpus twice);
-    // SimHash reads tokens, not shingles, so it keeps its own pass
-    val sh = shingles(docs).localCheckpoint(true)
+    // SimHash reads tokens, not shingles, so it keeps its own pass.
+    // The fused index carries both identities: g for d2's verify joins,
+    // h for d4's banding.
+    val sh = shingleIndex(docs).localCheckpoint(true)
     // each detector's PAIR TABLE is eagerly checkpointed too: every table
     // feeds FOUR aggregate consumers below (two cmp() calls × count +
     // intersection join), and the unioned plan holds no common subtree

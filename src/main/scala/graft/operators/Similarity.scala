@@ -791,7 +791,11 @@ object Similarity {
     * within the probed cells, rerank the survivors).
     */
   def knnPq(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    // one-row dim probe, not a corpus-wide max — the knnIvfPq rationale
+    // one-row dim probe, not a corpus-wide max — the knnIvfPq rationale.
+    // PRECONDITION (declared, not probed): every embedding has the same
+    // dimension. The block arithmetic below assumes it, so a mixed-dim
+    // corpus is invalid input regardless of what any probe reads — the
+    // old corpus-wide max() scanned everything and validated nothing.
     val dim = emb.select(size(col("embedding")).as("d")).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
     require(dim > 0 && dim % PqBlocks == 0,
@@ -810,19 +814,47 @@ object Similarity {
     rerankAdcTopK(adist, emb, nQueries, k)
   }
 
+  /** Candidate-id cap for the exact rerank's In(vec_id) pushdown; a
+    * request batch whose ADC survivors exceed it reranks via the plain
+    * join instead (a mega-IN bloats codegen; the join stays candidate-
+    * bounded either way — the [[ServeCellPushdownMax]] convention).
+    */
+  val RerankIdPushdownMax = 10000
+
   /** Shared ADC tail for [[knnPq]] and [[ivfPqSearch]]: keep the
     * PqRerank*k best candidates by (adist, vec_id), score them with the
     * exact unit-sphere cosine, emit the top-k — one definition so the two
     * paths (and their oracles) can never drift on the cutoff, tie-breaks
     * or rounding.
+    *
+    * CANDIDATE-ID SEEK (the ivfPqServe probed-cell pushdown applied to
+    * the vector fetch, guide §3/§6): the candidate table is
+    * REQUEST-BOUNDED (≤ [[PqRerank]]·k rows per query, never
+    * corpus-scaled), so it eagerly checkpoints — the ADC pipeline runs
+    * exactly once — and its distinct ids come back as one small driver
+    * round-trip that pushes an In(vec_id) filter into the rerank's
+    * corpus read. The exact rerank then fetches only candidate vectors
+    * instead of re-scanning and re-normalizing the whole corpus; the
+    * filter is a superset restriction of the join (every joined row's
+    * vec_id is in the set), so the result is identical by construction.
     */
   private def rerankAdcTopK(adist: DataFrame, emb: DataFrame,
                             nQueries: Int, k: Int): DataFrame = {
     val wCand = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
     val cands = adist.withColumn("cr", row_number().over(wCand))
       .filter(col("cr") <= PqRerank * k).select(col("qid"), col("vec_id"))
-    val u = unitVecs(emb)
-    val qv = u.filter(col("vec_id") < nQueries)
+      .localCheckpoint(true)
+    val candIds = cands.select(col("vec_id")).distinct()
+      .limit(RerankIdPushdownMax + 1).collect().map(_.getLong(0))
+    val corpusPruned =
+      if (candIds.isEmpty) emb.filter(lit(false))
+      else if (candIds.length <= RerankIdPushdownMax)
+        emb.filter(col("vec_id").isin(candIds.toSeq: _*))
+      else emb
+    val u = unitVecs(corpusPruned)
+    // query vectors come from the UNPRUNED corpus (a query need not be
+    // its own candidate); vec_id < nQueries pushes down on its own
+    val qv = unitVecs(emb).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid2"), col("v").as("qv"))
     val sims = cands.join(u, "vec_id").join(broadcast(qv), col("qid") === col("qid2"))
       .select(col("qid"), col("vec_id"),
@@ -945,10 +977,11 @@ object Similarity {
 
   def knnIvfPq(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     // dim probe reads ONE row, not a corpus-wide max aggregate: PQ block
-    // arithmetic (explodedBlocks) already assumes a uniform dimension, so
-    // a mixed-dim corpus is invalid input either way and the full scan
-    // bought nothing (measured: the max() form cost a whole extra
-    // embeddings pass per call)
+    // arithmetic (explodedBlocks) already assumes a uniform dimension —
+    // that is a declared PRECONDITION of this operator, so a mixed-dim
+    // corpus is invalid input either way and the full scan bought
+    // nothing (measured: the max() form cost a whole extra embeddings
+    // pass per call; neither form validates uniformity)
     val dim = emb.select(size(col("embedding")).as("d")).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
     require(dim > 0 && dim % PqBlocks == 0,
@@ -1084,9 +1117,21 @@ object Similarity {
       .groupBy(col("qid"), col("vec_id"))
       .agg(round(sum(col("dq")), 6).as("adist"))
     val wCand = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    // candidate-id prune for the exact rerank, kept LAZY (the
+    // [[rerankAdcTopK]] pushdown's broadcast-semi form, guide §3.2): the
+    // distinct candidate ids semi-join the corpus read through a
+    // broadcast, so non-candidates drop BEFORE normalization instead of
+    // the rerank re-normalizing the whole corpus. Lazy on purpose — a
+    // checkpoint here would hide the codes scan (and its In(cell)
+    // pushdown, which ScaleOps/PlanShape pin) behind an ExistingRDD in
+    // the served plan. One ADC evaluation still: both consumers of the
+    // candidate window need the identical (qid, adist, vec_id) exchange
+    // below it, so the runtime reuses that exchange (the mm7 finding) —
+    // only the request-bounded window re-runs, never the codes scan.
     val cands = adist.withColumn("cr", row_number().over(wCand))
       .filter(col("cr") <= PqRerank * k).select(col("qid"), col("vec_id"))
-    val u = unitVecs(corpus)
+    val candIds = cands.select(col("vec_id")).distinct()
+    val u = unitVecs(corpus.join(broadcast(candIds), Seq("vec_id"), "left_semi"))
     val qv = unitVecs(queries).select(col("vec_id").as("qid2"), col("v").as("qv"))
     val sims = cands.join(u, "vec_id").join(broadcast(qv), col("qid") === col("qid2"))
       .select(col("qid"), col("vec_id"),
@@ -1690,11 +1735,22 @@ object Similarity {
       .agg(count(lit(1)).as("candidates_scanned"))
     val wCand = Window.partitionBy(col("np"), col("qid"))
       .orderBy(col("adist"), col("vec_id"))
+    // candidate-id seek into the per-width rerank's corpus read — the
+    // [[rerankAdcTopK]] pushdown; cands is bounded by
+    // |nprobes|·nQueries·PqRerank·k rows, never corpus-scaled
     val cands = tagged.withColumn("cr", row_number().over(wCand))
       .filter(col("cr") <= PqRerank * k)
       .select(col("np"), col("qid"), col("vec_id"))
-    val u = unitVecs(emb)
-    val qv = u.filter(col("vec_id") < nQueries)
+      .localCheckpoint(true)
+    val candIds = cands.select(col("vec_id")).distinct()
+      .limit(RerankIdPushdownMax + 1).collect().map(_.getLong(0))
+    val corpusPruned =
+      if (candIds.isEmpty) emb.filter(lit(false))
+      else if (candIds.length <= RerankIdPushdownMax)
+        emb.filter(col("vec_id").isin(candIds.toSeq: _*))
+      else emb
+    val u = unitVecs(corpusPruned)
+    val qv = unitVecs(emb).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid2"), col("v").as("qv"))
     val sims = cands.join(u, "vec_id")
       .join(broadcast(qv), col("qid") === col("qid2"))
@@ -2004,7 +2060,14 @@ object Similarity {
     val (_, assigned) = kmeansModel(emb, k, iters)
     // e (cell-annotated unit-norm corpus) feeds BOTH pair sides and the
     // verdict anchor — checkpoint so the scan + assignment join + norm
-    // run once, not three times (the d24 shared-intermediate rule)
+    // run once, not three times (the d24 shared-intermediate rule).
+    // SIZE/FAULT BOUND (guide §5, the Ranking scaladoc caveat): this is
+    // CORPUS-sized (O(vectors) rows carrying the float vector), not
+    // request-bounded; blocks spill (MEMORY_AND_DISK) but are
+    // non-replicated, so an executor loss fails the query and the retry
+    // re-runs it. A corpus that outgrows executor storage belongs on
+    // the saved-artifact path (trainAndSaveKmeans + semDedupShard reads
+    // the persisted cells) — that pair IS the staged-parquet fallback.
     val e = vecs(emb).join(assigned, "vec_id").withColumn("nrm", norm(col("v")))
       .localCheckpoint(true)
     val a = e.select(col("c"), col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
@@ -2048,7 +2111,9 @@ object Similarity {
     val newCells = assign(emb.filter(col("vec_id") >= cut), cent)
     val cells = oldCells.select(col("vec_id"), col("c"))
       .unionByName(newCells.select(col("vec_id"), col("c")))
-    // same three-consumer shape as [[semDedup]]'s e — one checkpointed pass
+    // same three-consumer shape as [[semDedup]]'s e — one checkpointed
+    // pass, same §5 CORPUS-sized bound and staged-parquet fallback as
+    // documented there
     val e = vecs(emb).join(cells, "vec_id").withColumn("nrm", norm(col("v")))
       .localCheckpoint(true)
     val a = e.filter(col("vec_id") >= cut)

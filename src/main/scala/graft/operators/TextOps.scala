@@ -2031,14 +2031,25 @@ object TextOps {
     val W = org.apache.spark.sql.expressions.Window
     val w = W.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(W.unboundedPreceding, W.currentRow)
+    // runs feeds THREE consumers (phrases, wordStats, scored) and
+    // phrases TWO — column pruning gives each a different canonical
+    // subtree, so nothing reuses them and the tokenize explode + run-id
+    // window re-ran per consumer (the shingle-fusion finding, §2.4).
+    // One eager materialization each: runs is O(non-stop tokens) rows of
+    // (doc_id, pos, tok, rid) — the d21 `ranked` §5 size/fault caveat
+    // applies (non-replicated blocks; an executor loss fails the query
+    // and the retry recomputes) — phrases is strictly smaller.
     val runs = toks
       .withColumn("rid", sum(col("stop").cast("long")).over(w))
       .filter(!col("stop") && col("tok") =!= "")
+      .select(col("doc_id"), col("pos"), col("tok"), col("rid"))
+      .localCheckpoint(true)
     val phrases = runs.groupBy(col("doc_id"), col("rid"))
       .agg(array_join(transform(array_sort(
           collect_list(struct(col("pos"), col("tok")))), x => x("tok")), " ")
           .as("phrase"),
         count(lit(1)).as("plen"))
+      .localCheckpoint(true)
     val wordStats = runs.join(phrases.select(col("doc_id"), col("rid"), col("plen")),
         Seq("doc_id", "rid"))
       .groupBy(col("doc_id"), col("tok"))

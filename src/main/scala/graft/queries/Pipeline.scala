@@ -63,22 +63,33 @@ object Pipeline {
     val emb = Tables.embeddings(s, dir)
     val dCut = docs.count() * 4 / 5
     val vCut = emb.count() * 4 / 5
-    val idxDir = artifactDir("lshindex", dir)(tmp =>
-      Dedup.buildAndSaveLshIndex(docs.filter(col("doc_id") < dCut), tmp))
+    // FIRST-BUILD overlap (guide §2.6, the Par pattern one level down
+    // from p56's query legs): the five artifacts below are mutually
+    // independent trainings, so their one-per-process builds run
+    // concurrently instead of one-by-one — artifactDir's
+    // computeIfAbsent stays the per-key atomicity guard (no build
+    // thunk calls artifactDir itself, so no recursive-update hazard).
+    // Memoized calls return instantly, so warm passes pay nothing.
+    val Seq(idxDir, substrDir, kmDir, lmOldDir, lmShardDir) =
+      graft.functions.Par.run(
+        () => artifactDir("lshindex", dir)(tmp =>
+          Dedup.buildAndSaveLshIndex(docs.filter(col("doc_id") < dCut), tmp)),
+        () => artifactDir("substridx", dir)(tmp =>
+          Dedup.buildAndSaveSubstrIndex(docs.filter(col("doc_id") < dCut), tmp)),
+        () => artifactDir("km_old", dir)(tmp =>
+          Similarity.trainAndSaveKmeans(emb.filter(col("vec_id") < vCut), 4, 2, tmp)),
+        () => artifactDir("lm_old", dir)(tmp =>
+          TextOps.trainAndSaveSurprisalModel(docs.filter(col("doc_id") < dCut), tmp)),
+        () => artifactDir("lm_shard", dir)(tmp =>
+          TextOps.trainAndSaveSurprisalModel(docs.filter(col("doc_id") >= dCut), tmp)))
     val idx = Dedup.loadLshIndex(s, idxDir)
-    val labDir = artifactDir("lshlabels", dir)(tmp =>
-      Dedup.clusterIndexAndSave(idx, tmp))
-    val pairsDir = artifactDir("shardpairs", dir)(tmp =>
-      graft.sources.ModelStore.saveLarge(
-        Dedup.shardLshPairs(docs.filter(col("doc_id") >= dCut), idx), tmp))
-    val substrDir = artifactDir("substridx", dir)(tmp =>
-      Dedup.buildAndSaveSubstrIndex(docs.filter(col("doc_id") < dCut), tmp))
-    val kmDir = artifactDir("km_old", dir)(tmp =>
-      Similarity.trainAndSaveKmeans(emb.filter(col("vec_id") < vCut), 4, 2, tmp))
-    val lmOldDir = artifactDir("lm_old", dir)(tmp =>
-      TextOps.trainAndSaveSurprisalModel(docs.filter(col("doc_id") < dCut), tmp))
-    val lmShardDir = artifactDir("lm_shard", dir)(tmp =>
-      TextOps.trainAndSaveSurprisalModel(docs.filter(col("doc_id") >= dCut), tmp))
+    // second wave, both depending on the saved LSH index only
+    val Seq(labDir, pairsDir) = graft.functions.Par.run(
+      () => artifactDir("lshlabels", dir)(tmp =>
+        Dedup.clusterIndexAndSave(idx, tmp)),
+      () => artifactDir("shardpairs", dir)(tmp =>
+        graft.sources.ModelStore.saveLarge(
+          Dedup.shardLshPairs(docs.filter(col("doc_id") >= dCut), idx), tmp)))
     Curation.dailyIngest(docs, emb, dCut, vCut,
       graft.sources.ModelStore.load(s, pairsDir),
       Dedup.loadClusters(s, labDir),

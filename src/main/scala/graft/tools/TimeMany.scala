@@ -27,9 +27,16 @@ object TimeMany {
       graft.SparkEntry.queries(n)(spark, dir).count()
       samples(n) = samples(n) :+ (System.nanoTime() - t0) / 1e9
     }
+    // true median: mean of the two middle samples for even n (the upper-
+    // middle pick biased the med column used in A/B comparisons)
+    def med(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     names.foreach { n =>
       val ts = samples(n)
-      println(f"$n%-26s min=${ts.min}%6.2f med=${ts.sorted.apply(ts.size / 2)}%6.2f  all=${ts.map(t => f"$t%.2f").mkString(",")}")
+      println(f"$n%-26s min=${ts.min}%6.2f med=${med(ts)}%6.2f  all=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }

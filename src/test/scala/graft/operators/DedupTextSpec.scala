@@ -40,6 +40,31 @@ class DedupTextSpec extends AnyFunSuite {
     assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("fused shingle index matches the string pipeline row-for-row (df cap, h values)") {
+    // the round-18 fusion computes h = hash32(g) INSIDE the one shingle
+    // Generate and df-caps with a count window instead of the aggregate+
+    // join-back — this pins that the surviving (doc, shingle) rows and
+    // their minhash-input h are byte-identical to the string pipeline's
+    val d = docs(
+      (1L, base),
+      (2L, base.replace("theta", "thetaX")),
+      (3L, base + " " + base.replace("alpha", "alphaY")),
+      (4L, "completely different words entirely unrelated content here okay"))
+    val fused = Dedup.shingleIndex(d).select(col("doc_id"), col("h"))
+    val str = Dedup.shingles(d)
+      .select(col("doc_id"), graft.functions.Portable.hash32(col("g")).as("h"))
+    assert(fused.exceptAll(str).isEmpty && str.exceptAll(fused).isEmpty,
+      "fused index (doc_id, h) multiset must equal the string pipeline's")
+    // and the df-annotated variant agrees with a recount of the capped set
+    val viaAgg = Dedup.hashedShingles(d)
+      .groupBy(col("g")).agg(count(lit(1)).as("df2"))
+    val annotated = Dedup.hashedShinglesDf(d)
+      .select(col("g"), col("df")).distinct()
+    val joined = annotated.join(viaAgg, "g")
+    assert(joined.filter(col("df") =!= col("df2")).isEmpty,
+      "window df must equal the aggregate recount per shingle")
+  }
+
   test("connected components: chain collapses to min label at fixed point") {
     val s = TestSpark.spark
     import s.implicits._

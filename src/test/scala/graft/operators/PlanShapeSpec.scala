@@ -87,13 +87,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"sampling must be a pure per-row predicate (no data shuffle):\n$plan")
   }
 
-  test("shingle index plans without a distinct exchange (per-doc array_distinct instead)") {
+  test("shingle index is one Generate + one exchange (fused window df-cap)") {
     val docs = graft.Tables.documents(TestSpark.spark, dir)
     val plan = executed(Dedup.shingles(docs))
-    // exactly the two shuffles the algorithm needs: the doc-frequency agg
-    // and the rare-join; the old global DISTINCT added a third
+    // the fused form: ONE tokenize+shingle Generate feeding ONE exchange
+    // on g, with the df cap as a count window on that exchange — the old
+    // aggregate-then-join-back form ran the Generate twice (its two legs
+    // are different canonical subtrees, so nothing reuses them) and paid
+    // a second exchange
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges <= 2, s"expected <=2 hash exchanges (df-agg + join) in:\n$plan")
+    assert(exchanges <= 1, s"expected 1 hash exchange (the window's) in:\n$plan")
+    val generates = "Generate explode".r.findAllIn(plan).size
+    assert(generates == 1, s"expected exactly 1 shingle Generate in:\n$plan")
+    assert(plan.contains("Window"), s"expected the df-cap count window in:\n$plan")
     assert(!plan.contains("HashAggregate(keys=[doc_id"),
       s"no global distinct on (doc_id, g) expected:\n$plan")
   }
@@ -929,6 +935,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the revenue view must be the materialized checkpoint:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"the one-row max must broadcast:\n$plan")
+  }
+
+  test("runtime exchange reuse holds at every checkpoint-free shared-subtree site") {
+    // Round 17 REMOVED checkpoints where the runtime already evaluates a
+    // shared subtree once: self-join sides over identical canonical
+    // subtrees and twice-broadcast builds plan a ReusedExchange in the
+    // final adaptive plan. That property is config-sensitive
+    // (spark.sql.exchange.reuse / AQE off silently re-runs corpus-scale
+    // aggregates) and was previously evidenced only by committed plan
+    // dumps — this pins it, so a config or Spark-version change fails CI
+    // instead of regressing quietly (the ADVICE r17 item).
+    val spark = TestSpark.spark
+    // forced-shuffle planning (the lshPairs-test convention): at fixture
+    // scale AQE may legitimately swap a self-join side to a broadcast,
+    // which replaces stage reuse rather than exercising it — the property
+    // these sites' comments cite is SHUFFLE-exchange reuse, so pin that.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.catalog.clearCache()
+    try {
+      val docs = graft.Tables.documents(spark, dir)
+      for ((name, df) <- Seq(
+          // cnt's two verify-side joins build ONE canonical exchange
+          "d2 jaccardPairs" -> Dedup.jaccardPairs(docs),
+          // the band-bucket self-join's sides reuse one signature exchange
+          "d4 lshPairs" -> Dedup.lshPairs(docs),
+          // the simhash band self-join's sides reuse one fingerprint pass
+          "d15 simhashPairs" -> Dedup.simhashPairs(docs),
+          // the image-fingerprint band self-join reuses one decode pass
+          "mm7 imageHashPairs" ->
+            Multimodal.imageHashPairs(Multimodal.hashAssets(docs)))) {
+        val plan = executed(df)
+        assert(plan.contains("ReusedExchange"),
+          s"$name: expected a ReusedExchange on the shared subtree (its " +
+            s"checkpoint was removed on this property holding):\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("collocations + textrank: top-K is TakeOrderedAndProject, never a full-table rank") {

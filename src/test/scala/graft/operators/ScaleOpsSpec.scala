@@ -543,7 +543,9 @@ class ScaleOpsSpec extends AnyFunSuite {
       (1000L + i, w.mkString(" "))
     }
     val docs = (base ++ planted).toDF("doc_id", "text")
-    val sh = Dedup.shingles(docs).cache()
+    // lshCandidates reads the FUSED index (doc_id, g, h) — h computed
+    // inside the shingle Generate (the round-18 fusion)
+    val sh = Dedup.shingleIndex(docs).cache()
     def recall(bands: Int, rows: Int): Double = {
       val found = Dedup.lshCandidates(sh, bands, rows).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
